@@ -1,0 +1,56 @@
+package graft.core.model
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Parsed write options (reference: `core/.../model/QbeastOptions.scala`).
+ * Option names match the reference's user API. */
+final case class QbeastOptions(
+    columnsToIndex: Seq[String],
+    cubeSize: Int,
+    columnStats: Option[String],
+    txnAppId: Option[String],
+    txnVersion: Option[Long],
+    extra: Map[String, String]) {
+
+  /** User-provided stats: `{"col_min":x,"col_max":y,"col_quantiles":[...]}` */
+  lazy val parsedColumnStats: Map[String, JValue] = columnStats match {
+    case None => Map.empty
+    case Some(json) =>
+      JsonMethods.parse(json) match {
+        case JObject(fields) => fields.toMap
+        case _ => Map.empty
+      }
+  }
+
+}
+
+object QbeastOptions {
+
+  val DefaultCubeSize: Int = 5000000
+  val DefaultBufferCapacity: Long = 100000L
+
+  val ColumnsToIndex = "columnsToIndex"
+  val CubeSize = "cubeSize"
+  val ColumnStats = "columnStats"
+  val TxnAppId = "txnAppId"
+  val TxnVersion = "txnVersion"
+
+  def apply(parameters: Map[String, String], defaultCubeSize: Int = DefaultCubeSize): QbeastOptions = {
+    val ci = CaseInsensitiveOpts(parameters)
+    QbeastOptions(
+      columnsToIndex = ci.get(ColumnsToIndex).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+        .getOrElse(Nil),
+      cubeSize = ci.get(CubeSize).map(_.toInt).getOrElse(defaultCubeSize),
+      columnStats = ci.get(ColumnStats),
+      txnAppId = ci.get(TxnAppId),
+      txnVersion = ci.get(TxnVersion).map(_.toLong),
+      extra = parameters)
+  }
+
+  private case class CaseInsensitiveOpts(params: Map[String, String]) {
+    private val lower = params.map { case (k, v) => k.toLowerCase -> v }
+    def get(key: String): Option[String] = lower.get(key.toLowerCase)
+  }
+
+}

@@ -1,0 +1,72 @@
+package graft.core.model
+
+/**
+ * Normalized query hyperrectangle in transformed space (reference:
+ * `core/.../model/QuerySpace.scala:78-165`). Bounds are treated as the
+ * CLOSED box [from, to] — deliberately conservative: file pruning may
+ * over-include (Spark re-applies row filters) but must never exclude a
+ * matching file.
+ */
+sealed trait QuerySpace extends Serializable {
+  def intersectsWith(cube: CubeId): Boolean
+  /** true iff `other` selects a subset of this space (OR-branch dedup) */
+  def contains(other: QuerySpace): Boolean
+}
+
+case object AllSpace extends QuerySpace {
+  override def intersectsWith(cube: CubeId): Boolean = true
+  override def contains(other: QuerySpace): Boolean = true
+}
+
+case object EmptySpace extends QuerySpace {
+  override def intersectsWith(cube: CubeId): Boolean = false
+  override def contains(other: QuerySpace): Boolean = other == EmptySpace
+}
+
+final case class QuerySpaceFromTo(from: Array[Double], to: Array[Double])
+    extends QuerySpace {
+
+  override def intersectsWith(cube: CubeId): Boolean = {
+    val cFrom = cube.from
+    val cTo = cube.to
+    var d = 0
+    while (d < from.length) {
+      // cube region is [cFrom, cTo); query box is closed [from, to];
+      // the top edge of the space belongs to the last cube
+      val overlaps = from(d) < cTo(d) && (to(d) >= cFrom(d))
+      if (!overlaps) return false
+      d += 1
+    }
+    true
+  }
+
+  override def contains(other: QuerySpace): Boolean = other match {
+    case EmptySpace => true
+    case QuerySpaceFromTo(of, ot) =>
+      from.indices.forall(d => from(d) <= of(d) && ot(d) <= to(d))
+    case _ => false
+  }
+
+}
+
+object QuerySpace {
+
+  /** Build from per-dimension optional bounds (None = unbounded). */
+  def apply(
+      dims: Int,
+      lower: Array[Option[Double]],
+      upper: Array[Option[Double]]): QuerySpace = {
+    if (lower.forall(_.isEmpty) && upper.forall(_.isEmpty)) return AllSpace
+    val from = new Array[Double](dims)
+    val to = new Array[Double](dims)
+    var d = 0
+    while (d < dims) {
+      from(d) = lower(d).getOrElse(0.0)
+      to(d) = upper(d).getOrElse(1.0)
+      if (from(d) > to(d)) return EmptySpace
+      d += 1
+    }
+    QuerySpaceFromTo(from, to)
+  }
+
+}

@@ -1,0 +1,196 @@
+package graft.index
+
+import graft.core.model._
+
+import scala.collection.mutable
+
+/** Names of the transient columns added during indexing (reference:
+ * `core/.../index/QbeastColumns.scala:25-143`). */
+object QbeastColumns {
+  val weightColumnName = "_qbeastWeight"
+  val cubeColumnName = "_qbeastCube"
+  val fileUUIDColumnName = "_qbeastFileUUID"
+}
+
+/**
+ * Per-partition bounded OTree builder (pass 1 of the write pipeline).
+ *
+ * Buffers up to `bufferCapacity` (point, weight) pairs, then places them
+ * lightest-first: each element walks root→down and occupies the first
+ * cube with a free slot (`groupCubeSize` slots per cube), incrementing
+ * the *domain* (subtree population estimate) of every cube it traverses.
+ * Occupancy persists across flushes so the tree keeps deepening instead
+ * of re-filling the root. Concept from the reference's
+ * `core/.../model/CubeDomainsBuilder.scala:74-193`, re-derived.
+ */
+final class LocalOTreeBuilder(dims: Int, groupCubeSize: Int, bufferCapacity: Int) {
+
+  private val occupancy = mutable.HashMap.empty[CubeId, Int]
+  private val domains = mutable.HashMap.empty[CubeId, Long]
+  private val bufPoints = new mutable.ArrayBuffer[Array[Double]](math.min(bufferCapacity, 1 << 16))
+  private val bufWeights = new mutable.ArrayBuffer[Int](math.min(bufferCapacity, 1 << 16))
+
+  def add(point: Array[Double], weight: Int): Unit = {
+    bufPoints += point
+    bufWeights += weight
+    if (bufPoints.length >= bufferCapacity) flush()
+  }
+
+  private def flush(): Unit = {
+    val order = bufPoints.indices.sortBy(bufWeights)
+    order.foreach(i => place(bufPoints(i)))
+    bufPoints.clear()
+    bufWeights.clear()
+  }
+
+  private def place(point: Array[Double]): Unit = {
+    var cube = CubeId.root(dims)
+    var placed = false
+    while (!placed) {
+      domains.update(cube, domains.getOrElse(cube, 0L) + 1L)
+      val used = occupancy.getOrElse(cube, 0)
+      if (used < groupCubeSize || cube.depth >= CubeId.MaxDepth) {
+        occupancy.update(cube, used + 1)
+        placed = true
+      } else {
+        cube = cube.childContaining(point)
+      }
+    }
+  }
+
+  /** Flush the remaining buffer and emit (cube, domain) pairs. */
+  def result(): Iterator[(String, Long)] = {
+    flush()
+    domains.iterator.map { case (cube, domain) => (cube.toString, domain) }
+  }
+
+}
+
+object OTreeAlgorithm {
+
+  val MinGroupCubeSize = 30
+
+  /** Write-parallelism-adjusted per-cube slot count (reference formula,
+   * `CubeDomainsBuilder.scala:23,40-48`). */
+  def groupCubeSize(desiredCubeSize: Int, numPartitions: Int, numElements: Long,
+      bufferCapacity: Long): Int = {
+    val groups = math.max(numPartitions.toLong, numElements / bufferCapacity)
+    val size = if (groups <= 0) desiredCubeSize.toLong else desiredCubeSize / groups
+    math.max(MinGroupCubeSize, math.min(size, Int.MaxValue).toInt)
+  }
+
+  /**
+   * Driver-side cube weight estimation (reference:
+   * `OTreeDataAnalyzer.estimateUpdatedCubeWeights`): level-order, the
+   * normalized weight of a cube adds the share of its parent's remaining
+   * weight range needed to capture `desiredCubeSize` of the subtree's
+   * `domain` elements; subtrees no larger than a cube become leaves.
+   *
+   * `existingSubtreeCounts` folds an existing revision's population in
+   * on appends.
+   */
+  def estimateCubeWeights(
+      newDomains: Map[CubeId, Long],
+      existingSubtreeCounts: Map[CubeId, Long],
+      desiredCubeSize: Int): (Map[CubeId, Weight], Map[CubeId, Long]) = {
+
+    val merged = mutable.HashMap.empty[CubeId, Long]
+    newDomains.foreach { case (c, d) => merged.update(c, d) }
+    existingSubtreeCounts.foreach { case (c, d) => merged.update(c, merged.getOrElse(c, 0L) + d) }
+    if (merged.isEmpty) return (Map.empty, Map.empty)
+
+    val nw = mutable.HashMap.empty[CubeId, Double]
+    val weights = Map.newBuilder[CubeId, Weight]
+    val counts = Map.newBuilder[CubeId, Long]
+
+    merged.keys.toSeq.sortBy(_.depth).foreach { cube =>
+      val treeSize = merged(cube)
+      val parentNw = parentNormalizedWeight(cube, nw)
+      val cubeNw =
+        if (treeSize <= desiredCubeSize) 1.0
+        else math.min(1.0, parentNw + (1.0 - parentNw) * desiredCubeSize / treeSize)
+      nw.update(cube, cubeNw)
+      weights += cube -> NormalizedWeight.toWeight(cubeNw)
+      counts += cube -> math.min(treeSize, desiredCubeSize.toLong)
+    }
+    (weights.result(), counts.result())
+  }
+
+  private def parentNormalizedWeight(cube: CubeId, nw: mutable.HashMap[CubeId, Double]): Double = {
+    var p = cube.parent
+    while (p.nonEmpty) {
+      nw.get(p.get) match {
+        case Some(w) => return w
+        case None => p = p.get.parent
+      }
+    }
+    0.0
+  }
+
+  /**
+   * Pass-2 row placement (reference: `PointWeightIndexer.scala:35-43`):
+   * the first cube on the root→leaf path whose max weight admits the
+   * row's weight; cubes absent from the estimate are fresh leaves and
+   * accept everything that reaches them.
+   */
+  def findTargetCube(
+      point: Array[Double],
+      weight: Int,
+      cubeWeights: Map[CubeId, Weight]): CubeId = {
+    var cube = CubeId.root(point.length)
+    while (true) {
+      cubeWeights.get(cube) match {
+        case None => return cube
+        case Some(maxW) if weight <= maxW.value => return cube
+        case _ =>
+          if (cube.depth >= CubeId.MaxDepth) return cube
+          cube = cube.childContaining(point)
+      }
+    }
+    cube // unreachable
+  }
+
+  /**
+   * Pack under-filled cubes into their ancestors until each group holds
+   * ~`rollupSize` rows; each resulting group becomes one output file
+   * (reference: `core/.../writer/Rollup.scala:56-76`).
+   */
+  def computeRollup(
+      cubeCounts: Map[CubeId, Long],
+      rollupSize: Long): Map[CubeId, CubeId] = {
+    if (cubeCounts.isEmpty) return Map.empty
+    val sizes = mutable.HashMap.empty[CubeId, Long]
+    val members = mutable.HashMap.empty[CubeId, mutable.ArrayBuffer[CubeId]]
+    cubeCounts.foreach { case (c, n) =>
+      sizes.update(c, n)
+      members.update(c, mutable.ArrayBuffer(c))
+    }
+    val target = Map.newBuilder[CubeId, CubeId]
+    // deepest-first by level, so parents created mid-rollup are still
+    // visited when their level comes up
+    val byDepth = mutable.HashMap.empty[Int, mutable.ArrayBuffer[CubeId]]
+    sizes.keys.foreach(c => byDepth.getOrElseUpdate(c.depth, mutable.ArrayBuffer.empty) += c)
+    val maxDepth = byDepth.keys.max
+    (maxDepth to 0 by -1).foreach { depth =>
+      byDepth.getOrElse(depth, mutable.ArrayBuffer.empty).foreach { cube =>
+        val size = sizes(cube)
+        if (size >= rollupSize || cube.isRoot) {
+          members(cube).foreach(m => target += m -> cube)
+        } else {
+          val parent = cube.parent.get
+          if (!sizes.contains(parent)) {
+            // parent wasn't assigned any rows of its own
+            sizes.update(parent, 0L)
+            members.update(parent, mutable.ArrayBuffer(parent))
+            byDepth.getOrElseUpdate(parent.depth, mutable.ArrayBuffer.empty) += parent
+          }
+          sizes.update(parent, sizes(parent) + size)
+          members(parent) ++= members(cube)
+          members.remove(cube)
+        }
+      }
+    }
+    target.result()
+  }
+
+}

@@ -1,0 +1,137 @@
+package graft.index
+
+import graft.core.model._
+import graft.core.transform._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{count, lit}
+import org.json4s._
+
+/**
+ * Decides the revision a write lands in: reuse the existing one, or cut
+ * a new revision with a (merged) wider space. All data statistics are
+ * gathered in ONE aggregate job (reference:
+ * `core/.../index/SparkRevisionFactory.scala:73-110,191-197`).
+ */
+object RevisionFactory {
+
+  /** @return (revision to write into, isNewRevision, numElements) */
+  def computeRevisionChanges(
+      existing: Option[Revision],
+      options: QbeastOptions,
+      tableID: String,
+      data: DataFrame): (Revision, Boolean, Long) = {
+
+    val schema = data.schema
+    val transformers: Vector[Transformer] =
+      if (options.columnsToIndex.nonEmpty)
+        options.columnsToIndex.map(spec => Transformer(spec, schema)).toVector
+      else existing match {
+        case Some(rev) if !rev.isStaging => rev.columnTransformers
+        case _ =>
+          throw new IllegalArgumentException(
+            "columnsToIndex is required for the first write of a qbeast table")
+      }
+
+    // one job: every transformer's aggregates + the row count
+    val statsCols = transformers.flatMap(_.statsColumns) :+ count(lit(1))
+    val statsRow = data.select(statsCols: _*).first()
+    val numElements = statsRow.getLong(statsRow.length - 1)
+
+    var offset = 0
+    val newTransformations: Vector[Transformation] = transformers.map { t =>
+      val fromStats = t match {
+        case _: QuantilesTransformer => quantilesFromColumnStats(t, options)
+        case _ if hasUserStats(t, options) => userStatsTransformation(t, options)
+        case _ =>
+          if (numElements == 0) IdentityTransformation(None)
+          else t.makeTransformation(statsRow, offset)
+      }
+      offset += t.statsColumns.size
+      // user columnStats widen data-derived ranges
+      fromStats
+    }
+
+    existing match {
+      case Some(rev) if !rev.isStaging &&
+          rev.columnTransformers.map(t => (t.columnName, t.kind)) ==
+            transformers.map(t => (t.columnName, t.kind)) &&
+          rev.desiredCubeSize == options.cubeSize &&
+          !rev.isSupersededBy(newTransformations) =>
+        (rev, false, numElements)
+      case Some(rev) if !rev.isStaging &&
+          rev.columnTransformers.map(t => (t.columnName, t.kind)) ==
+            transformers.map(t => (t.columnName, t.kind)) &&
+          rev.desiredCubeSize == options.cubeSize =>
+        // same space definition, wider domain → merge ranges, bump ID
+        val merged = rev.transformations.lazyZip(newTransformations)
+          .map((old, nu) => if (old.isSupersededBy(nu)) old.merge(nu) else old)
+        (rev.copy(revisionID = rev.revisionID + 1, timestamp = System.currentTimeMillis(),
+          transformations = merged.toVector), true, numElements)
+      case Some(rev) if !rev.isStaging =>
+        // different columns / kinds / cube size → fresh space, next ID
+        (Revision(rev.revisionID + 1, System.currentTimeMillis(), tableID,
+          options.cubeSize, transformers, newTransformations), true, numElements)
+      case _ =>
+        (Revision.firstRevision(tableID, options.cubeSize, transformers,
+          newTransformations), true, numElements)
+    }
+  }
+
+  private def hasUserStats(t: Transformer, options: QbeastOptions): Boolean =
+    options.parsedColumnStats.contains(s"${t.columnName}_min") &&
+      options.parsedColumnStats.contains(s"${t.columnName}_max")
+
+  private def userStatsTransformation(t: Transformer, options: QbeastOptions): Transformation = {
+    def num(j: JValue): Double = j match {
+      case JInt(v) => v.toDouble
+      case JLong(v) => v.toDouble
+      case JDouble(v) => v
+      case JDecimal(v) => v.toDouble
+      case JString(s) => parseTemporal(s)
+      case other => throw new IllegalArgumentException(s"bad columnStats value: $other")
+    }
+    val lo = num(options.parsedColumnStats(s"${t.columnName}_min"))
+    val hi = num(options.parsedColumnStats(s"${t.columnName}_max"))
+    if (lo == hi) IdentityTransformation(Some(lo))
+    else LinearTransformation(lo, hi, LinearTransformer.nullCoordinate(t.columnName))
+  }
+
+  /** Timestamps in columnStats use ISO strings; canonical form is micros
+   * (dates: days). */
+  private def parseTemporal(s: String): Double = {
+    try {
+      java.time.Instant.parse(s).toEpochMilli * 1000.0
+    } catch {
+      case _: Exception =>
+        try java.time.LocalDate.parse(s).toEpochDay.toDouble
+        catch {
+          case _: Exception =>
+            java.sql.Timestamp.valueOf(s).getTime * 1000.0
+        }
+    }
+  }
+
+  private def quantilesFromColumnStats(t: Transformer, options: QbeastOptions): Transformation = {
+    val key = s"${t.columnName}_quantiles"
+    options.parsedColumnStats.get(key) match {
+      case Some(JArray(values)) if values.nonEmpty =>
+        values.head match {
+          case _: JString =>
+            CDFStringQuantilesTransformation(
+              values.collect { case JString(s) => s }.toVector)
+          case _ =>
+            CDFNumericQuantilesTransformation(values.collect {
+              case JInt(v) => v.toDouble
+              case JLong(v) => v.toDouble
+              case JDouble(v) => v
+              case JDecimal(v) => v.toDouble
+            }.toVector)
+        }
+      case _ =>
+        throw new IllegalArgumentException(
+          s"""quantiles indexing of ${t.columnName} needs columnStats {"$key":[...]}""")
+    }
+  }
+
+}

@@ -1,0 +1,172 @@
+package graft.log
+
+import graft.core.model._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import scala.collection.immutable.SortedMap
+import scala.collection.mutable
+
+/**
+ * Materialized state of a qbeast table at one log version.
+ *
+ * Replaces the reference's Delta-backed `QbeastSnapshot`
+ * (`core/.../model/QbeastSnapshot.scala`) with a self-contained log.
+ * All file paths are relative to `tablePath`.
+ */
+final case class QbeastSnapshot(
+    tablePath: String,
+    version: Long,
+    schema: Option[StructType],
+    configuration: Map[String, String],
+    revisions: Map[Long, Revision],
+    files: Vector[IndexFile],
+    txns: Map[String, Long]) {
+
+  def isEmpty: Boolean = version < 0
+
+  def lastRevisionID: Long =
+    configuration.get("qbeast.lastRevisionID").map(_.toLong)
+      .getOrElse(if (revisions.isEmpty) -1L else revisions.keys.max)
+
+  def lastRevision: Option[Revision] = revisions.get(lastRevisionID)
+
+  def filesOfRevision(revisionId: Long): Vector[IndexFile] =
+    files.filter(_.revisionId == revisionId)
+
+  /** Files written by plain parquet writers (staging revision 0). */
+  def unindexedFiles: Vector[IndexFile] = filesOfRevision(Revision.StagingID)
+
+  /** Reconstruct the per-cube tree state of one revision (reference:
+   * `IndexStatusBuilder.indexCubeStatuses`): maxWeight = min over block
+   * maxWeights, elementCount = sum. */
+  def indexStatus(revisionId: Long): IndexStatus = {
+    val revision = revisions(revisionId)
+    val acc = mutable.HashMap.empty[CubeId, (Weight, Long)]
+    filesOfRevision(revisionId).foreach { f =>
+      f.blocks.foreach { b =>
+        val (w, n) = acc.getOrElse(b.cube, (Weight.MaxValue, 0L))
+        acc.update(b.cube, (w.min(b.maxWeight), n + b.elementCount))
+      }
+    }
+    val statuses = SortedMap.newBuilder[CubeId, CubeStatus]
+    acc.foreach { case (cube, (w, n)) => statuses += cube -> CubeStatus(cube, w, n) }
+    IndexStatus(revision, statuses.result())
+  }
+
+  def allFilesCount: Long = files.size.toLong
+  def totalBytes: Long = files.map(_.size).sum
+}
+
+/**
+ * Versioned JSON-lines commit log under `<table>/_qbeast_log/`:
+ * `00000000000000000000.json`, `...001.json`, ... Commits are atomic via
+ * put-if-absent (CREATE_NEW) of the next version file; a losing writer
+ * re-reads and retries (reference behavior: `DeltaMetadataWriter.scala`
+ * optimistic retry loop, minus Delta).
+ *
+ * Scale note: snapshot replay is O(total log lines) on the driver, like
+ * Delta without checkpoints; checkpointing can be layered on by writing a
+ * consolidated `.checkpoint.json` — the protocol leaves room for it.
+ */
+object QbeastLog {
+
+  val LogDirName = "_qbeast_log"
+
+  def logDir(tablePath: String) = new Path(tablePath, LogDirName)
+
+  private def versionFile(tablePath: String, v: Long): Path =
+    new Path(logDir(tablePath), f"$v%020d.json")
+
+  def exists(tablePath: String, conf: Configuration): Boolean = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(conf)
+    fs.exists(dir) && listVersions(fs, dir).nonEmpty
+  }
+
+  private def listVersions(fs: FileSystem, dir: Path): Seq[Long] = {
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
+      .map(_.stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  /** Replay the log into a snapshot. Empty/missing log → empty snapshot. */
+  def snapshot(tablePath: String, conf: Configuration): QbeastSnapshot = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(conf)
+    val versions = listVersions(fs, dir)
+    if (versions.isEmpty)
+      return QbeastSnapshot(tablePath, -1L, None, Map.empty, Map.empty, Vector.empty,
+        Map.empty)
+
+    var schema: Option[StructType] = None
+    var configuration = Map.empty[String, String]
+    val revisions = mutable.HashMap.empty[Long, Revision]
+    val files = mutable.LinkedHashMap.empty[String, IndexFile]
+    val txns = mutable.HashMap.empty[String, Long]
+
+    val dimensionsOf: Long => Int = { rid =>
+      revisions.get(rid).map(r => math.max(r.dimensionCount, 1)).getOrElse(1)
+    }
+
+    versions.foreach { v =>
+      val in = fs.open(versionFile(tablePath, v))
+      val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      try {
+        var line = reader.readLine()
+        while (line != null) {
+          if (line.nonEmpty) QbeastLogSerde.parseLine(line, dimensionsOf) match {
+            case MetaDataAction(schemaJson, conf) =>
+              schema = Some(DataType.fromJson(schemaJson).asInstanceOf[StructType])
+              configuration = conf
+            case RevisionAction(r) => revisions.update(r.revisionID, r)
+            case AddFileAction(f, _) => files.update(f.path, f)
+            case RemoveFileAction(r) => files.remove(r.path)
+            case TxnAction(appId, version) => txns.update(appId, version)
+          }
+          line = reader.readLine()
+        }
+      } finally reader.close()
+    }
+
+    QbeastSnapshot(tablePath, versions.last, schema, configuration, revisions.toMap,
+      files.values.toVector, txns.toMap)
+  }
+
+  /** Atomically commit `actions` as version `expectedVersion + 1`.
+   * Returns the committed version, or throws
+   * [[ConcurrentCommitException]] if another writer won the version. */
+  def commit(
+      tablePath: String,
+      conf: Configuration,
+      expectedVersion: Long,
+      actions: Seq[LogAction]): Long = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val next = expectedVersion + 1
+    val target = versionFile(tablePath, next)
+    val payload = actions.map(QbeastLogSerde.actionToJsonLine).mkString("", "\n", "\n")
+    try {
+      // overwrite=false → atomic put-if-absent on HDFS-compatible stores
+      val out = fs.create(target, false)
+      try out.write(payload.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      next
+    } catch {
+      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+        throw new ConcurrentCommitException(
+          s"log version $next already written by a concurrent writer")
+    }
+  }
+
+}
+
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)

@@ -1,0 +1,177 @@
+package graft.log
+
+import graft.core.model._
+import graft.core.transform._
+
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** Actions recorded in the `_qbeast_log` commit log. The *logical*
+ * metadata mirrors the reference's Delta-based format
+ * (`docs/QbeastFormat.md:81-171`) without requiring Delta Lake: a
+ * self-contained, versioned JSON-lines log. */
+sealed trait LogAction
+final case class MetaDataAction(schemaJson: String, configuration: Map[String, String])
+    extends LogAction
+final case class RevisionAction(revision: Revision) extends LogAction
+final case class AddFileAction(file: IndexFile, dataChange: Boolean) extends LogAction
+final case class RemoveFileAction(remove: RemoveFile) extends LogAction
+final case class TxnAction(appId: String, version: Long) extends LogAction
+
+object QbeastLogSerde {
+
+  implicit private val formats: Formats = DefaultFormats
+
+  // ---- transformations ----------------------------------------------------
+
+  private def transformationToJson(t: Transformation): JValue = t match {
+    case LinearTransformation(min, max, nul) =>
+      ("type" -> "linear") ~ ("min" -> min) ~ ("max" -> max) ~ ("null" -> nul)
+    case IdentityTransformation(v) =>
+      ("type" -> "identity") ~ ("value" -> v)
+    case HashTransformation(dt) =>
+      ("type" -> "hashing") ~ ("dataType" -> dt)
+    case CDFNumericQuantilesTransformation(qs) =>
+      ("type" -> "quantiles_num") ~ ("quantiles" -> qs)
+    case CDFStringQuantilesTransformation(qs) =>
+      ("type" -> "quantiles_str") ~ ("quantiles" -> qs)
+    case EmptyTransformation =>
+      JObject("type" -> JString("empty"))
+  }
+
+  private def transformationFromJson(j: JValue): Transformation =
+    (j \ "type").extract[String] match {
+      case "linear" =>
+        LinearTransformation((j \ "min").extract[Double], (j \ "max").extract[Double],
+          (j \ "null").extract[Double])
+      case "identity" => IdentityTransformation((j \ "value").extractOpt[Double])
+      case "hashing" => HashTransformation((j \ "dataType").extract[String])
+      case "quantiles_num" =>
+        CDFNumericQuantilesTransformation((j \ "quantiles").extract[Vector[Double]])
+      case "quantiles_str" =>
+        CDFStringQuantilesTransformation((j \ "quantiles").extract[Vector[String]])
+      case "empty" => EmptyTransformation
+      case other => throw new IllegalArgumentException(s"unknown transformation $other")
+    }
+
+  // ---- revisions ----------------------------------------------------------
+
+  def revisionToJson(r: Revision): JValue =
+    ("revisionID" -> r.revisionID) ~
+      ("timestamp" -> r.timestamp) ~
+      ("tableID" -> r.tableID) ~
+      ("desiredCubeSize" -> r.desiredCubeSize) ~
+      ("columnTransformers" -> r.columnTransformers.map(t =>
+        ("column" -> t.columnName) ~ ("kind" -> t.kind) ~
+          ("dataType" -> transformerDataType(t)))) ~
+      ("transformations" -> r.transformations.map(transformationToJson))
+
+  private def transformerDataType(t: Transformer): String = t match {
+    case LinearTransformer(_, dt) => dt
+    case HashTransformer(_, dt) => dt
+    case QuantilesTransformer(_, dt) => dt
+    case EmptyTransformer(_, dt) => dt
+  }
+
+  def revisionFromJson(j: JValue): Revision = {
+    val transformers = (j \ "columnTransformers").extract[Vector[JValue]].map { tj =>
+      Transformer.fromKind((tj \ "kind").extract[String], (tj \ "column").extract[String],
+        (tj \ "dataType").extract[String])
+    }
+    Revision(
+      (j \ "revisionID").extract[Long],
+      (j \ "timestamp").extract[Long],
+      (j \ "tableID").extract[String],
+      (j \ "desiredCubeSize").extract[Int],
+      transformers,
+      (j \ "transformations").extract[Vector[JValue]].map(transformationFromJson))
+  }
+
+  // ---- files --------------------------------------------------------------
+
+  private def blockToJson(b: Block): JValue =
+    ("cube" -> b.cube.toString) ~
+      ("minWeight" -> b.minWeight.value) ~
+      ("maxWeight" -> b.maxWeight.value) ~
+      ("elementCount" -> b.elementCount)
+
+  def fileToJson(f: IndexFile, dataChange: Boolean): JValue =
+    ("path" -> f.path) ~
+      ("size" -> f.size) ~
+      ("modificationTime" -> f.modificationTime) ~
+      ("revisionId" -> f.revisionId) ~
+      ("dataChange" -> dataChange) ~
+      ("blocks" -> f.blocks.map(blockToJson)) ~
+      ("stats" -> f.stats)
+
+  def fileFromJson(j: JValue, dimensionsOf: Long => Int): IndexFile = {
+    val revisionId = (j \ "revisionId").extract[Long]
+    val dims = dimensionsOf(revisionId)
+    val blocks = (j \ "blocks").extract[Vector[JValue]].map { bj =>
+      Block(
+        CubeId.fromString(math.max(dims, 1), (bj \ "cube").extract[String]),
+        Weight((bj \ "minWeight").extract[Int]),
+        Weight((bj \ "maxWeight").extract[Int]),
+        (bj \ "elementCount").extract[Long])
+    }
+    IndexFile(
+      (j \ "path").extract[String],
+      (j \ "size").extract[Long],
+      (j \ "modificationTime").extract[Long],
+      revisionId,
+      blocks,
+      (j \ "stats").extractOpt[String])
+  }
+
+  // ---- actions ------------------------------------------------------------
+
+  def actionToJsonLine(a: LogAction): String = {
+    val j: JValue = a match {
+      case MetaDataAction(schema, conf) =>
+        JObject("metaData" -> (("schemaString" -> schema) ~ ("configuration" -> conf)))
+      case RevisionAction(r) => JObject("revision" -> revisionToJson(r))
+      case AddFileAction(f, dc) => JObject("add" -> fileToJson(f, dc))
+      case RemoveFileAction(r) =>
+        JObject("remove" ->
+          (("path" -> r.path) ~ ("deletionTimestamp" -> r.deletionTimestamp)))
+      case TxnAction(appId, version) =>
+        JObject("txn" -> (("appId" -> appId) ~ ("version" -> version)))
+    }
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  /** Parse one JSON line. Revisions must be resolvable before files, so
+   * callers replay lines in order with a growing revision map. */
+  def parseLine(line: String, dimensionsOf: Long => Int): LogAction = {
+    val j = JsonMethods.parse(line)
+    (j \ "metaData") match {
+      case JNothing =>
+      case m =>
+        return MetaDataAction((m \ "schemaString").extract[String],
+          (m \ "configuration").extractOpt[Map[String, String]].getOrElse(Map.empty))
+    }
+    (j \ "revision") match {
+      case JNothing =>
+      case r => return RevisionAction(revisionFromJson(r))
+    }
+    (j \ "add") match {
+      case JNothing =>
+      case a =>
+        return AddFileAction(fileFromJson(a, dimensionsOf),
+          (a \ "dataChange").extractOpt[Boolean].getOrElse(true))
+    }
+    (j \ "remove") match {
+      case JNothing =>
+      case r =>
+        return RemoveFileAction(RemoveFile((r \ "path").extract[String],
+          (r \ "deletionTimestamp").extract[Long]))
+    }
+    (j \ "txn") match {
+      case JNothing =>
+      case t => return TxnAction((t \ "appId").extract[String], (t \ "version").extract[Long])
+    }
+    throw new IllegalArgumentException(s"unknown log action: $line")
+  }
+
+}

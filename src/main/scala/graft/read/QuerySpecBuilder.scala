@@ -1,0 +1,158 @@
+package graft.read
+
+import graft.core.model._
+import graft.core.transform._
+
+import org.apache.spark.sql.catalyst.expressions._
+
+/** One disjunct of the query: a hyperrectangle in transformed space plus
+ * a weight (sampling) range (reference: `core/.../index/query/
+ * QuerySpec.scala`, `QuerySpecBuilder.scala:51-217`). */
+final case class QuerySpec(weightRange: WeightRange, querySpace: QuerySpace)
+
+/**
+ * Extracts QuerySpecs for one revision from Catalyst data filters.
+ * Deliberately conservative: anything unrecognized simply contributes no
+ * constraint (files are over-selected, never under-selected; Spark
+ * re-applies every row filter after the scan).
+ */
+final class QuerySpecBuilder(revision: Revision) {
+
+  private val columnIndex: Map[String, Int] =
+    revision.columnNames.map(_.toLowerCase).zipWithIndex.toMap
+
+  private val MaxDisjuncts = 32
+
+  def build(filters: Seq[Expression]): Seq[QuerySpec] = {
+    val weightRange = extractWeightRange(filters)
+    val branches = expandDisjunctions(filters)
+    branches.map(conjuncts => QuerySpec(weightRange, extractQuerySpace(conjuncts))).distinct
+  }
+
+  /** Expand OR nodes into up-to-MaxDisjuncts conjunct lists; overflow
+   * drops the offending filter (conservative over-selection). */
+  private def expandDisjunctions(filters: Seq[Expression]): Seq[Seq[Expression]] = {
+    var branches: Seq[Seq[Expression]] = Seq(Nil)
+    filters.flatMap(splitConjuncts).foreach { conjunct =>
+      val options = splitDisjuncts(conjunct)
+      if (options.size * branches.size <= MaxDisjuncts) {
+        branches = for (b <- branches; o <- options) yield b ++ splitConjuncts(o)
+      }
+    }
+    branches
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def splitDisjuncts(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => splitDisjuncts(l) ++ splitDisjuncts(r)
+    case other => Seq(other)
+  }
+
+  // ---- weight (sampling) range -------------------------------------------
+
+  /** Recognize the `murmur3(cols, seed=42)` comparisons the SampleRule
+   * emits (stock Murmur3Hash doubles as the reference's QbeastMurmur3Hash
+   * marker — same algorithm, same seed, so pruning on any such filter is
+   * semantically sound). */
+  private def extractWeightRange(filters: Seq[Expression]): WeightRange = {
+    var from = Weight.MinValue
+    var to = Weight.MaxValue
+    filters.flatMap(splitConjuncts).foreach {
+      case LessThan(SamplingHash(), Literal(v: Int, _)) => to = to.min(Weight(v))
+      case LessThanOrEqual(SamplingHash(), Literal(v: Int, _)) => to = to.min(Weight(v))
+      case GreaterThanOrEqual(SamplingHash(), Literal(v: Int, _)) => from = from.max(Weight(v))
+      case GreaterThan(SamplingHash(), Literal(v: Int, _)) => from = from.max(Weight(v))
+      case _ =>
+    }
+    WeightRange(from, to)
+  }
+
+  private object SamplingHash {
+    def unapply(e: Expression): Boolean = e match {
+      case m: Murmur3Hash if m.seed == 42 &&
+        m.children.forall(_.isInstanceOf[Attribute]) => true
+      case _ => false
+    }
+  }
+
+  // ---- query space ---------------------------------------------------------
+
+  private final class Bounds(dims: Int) {
+    val lower = Array.fill[Option[Double]](dims)(None)
+    val upper = Array.fill[Option[Double]](dims)(None)
+    def tightenLower(dim: Int, coord: Double): Unit =
+      lower(dim) = Some(lower(dim).fold(coord)(math.max(_, coord)))
+    def tightenUpper(dim: Int, coord: Double): Unit =
+      upper(dim) = Some(upper(dim).fold(coord)(math.min(_, coord)))
+  }
+
+  private def extractQuerySpace(conjuncts: Seq[Expression]): QuerySpace = {
+    val dims = revision.dimensionCount
+    val bounds = new Bounds(dims)
+
+    def dimOf(a: Attribute): Option[Int] = columnIndex.get(a.name.toLowerCase)
+
+    /** `isLower`: Some(true)=lower bound, Some(false)=upper, None=point. */
+    def constrain(dim: Int, value: Any, isLower: Option[Boolean]): Unit = {
+      val t = revision.transformations(dim)
+      val monotonic = t match {
+        case _: LinearTransformation | _: IdentityTransformation |
+            _: CDFNumericQuantilesTransformation |
+            _: CDFStringQuantilesTransformation => true
+        case _ => false
+      }
+      if (!monotonic && isLower.nonEmpty) return // hash: ranges can't prune
+      val coord =
+        try t.transform(value)
+        catch { case _: Exception => return }
+      isLower match {
+        case Some(true) => bounds.tightenLower(dim, coord)
+        case Some(false) => bounds.tightenUpper(dim, coord)
+        case None =>
+          bounds.tightenLower(dim, coord)
+          bounds.tightenUpper(dim, coord)
+      }
+    }
+
+    def constrainIn(a: Attribute, values: Seq[Any]): Unit = dimOf(a).foreach { dim =>
+      val t = revision.transformations(dim)
+      val coords = values.map { v =>
+        try t.transform(v)
+        catch { case _: Exception => return } // any failure → no constraint
+      }
+      if (coords.nonEmpty) {
+        // covering range of the transformed points (reference:
+        // QueryFiltersUtils.scala IN→range); correct for hash too since
+        // every matching row's coordinate is one of the points
+        bounds.tightenLower(dim, coords.min)
+        bounds.tightenUpper(dim, coords.max)
+      }
+    }
+
+    conjuncts.foreach {
+      case GreaterThan(a: Attribute, Literal(v, _)) => dimOf(a).foreach(constrain(_, v, Some(true)))
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => dimOf(a).foreach(constrain(_, v, Some(true)))
+      case LessThan(a: Attribute, Literal(v, _)) => dimOf(a).foreach(constrain(_, v, Some(false)))
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) => dimOf(a).foreach(constrain(_, v, Some(false)))
+      case EqualTo(a: Attribute, Literal(v, _)) if v != null => dimOf(a).foreach(constrain(_, v, None))
+      case EqualTo(Literal(v, _), a: Attribute) if v != null => dimOf(a).foreach(constrain(_, v, None))
+      case EqualNullSafe(a: Attribute, Literal(v, _)) if v != null => dimOf(a).foreach(constrain(_, v, None))
+      case GreaterThan(Literal(v, _), a: Attribute) => dimOf(a).foreach(constrain(_, v, Some(false)))
+      case GreaterThanOrEqual(Literal(v, _), a: Attribute) => dimOf(a).foreach(constrain(_, v, Some(false)))
+      case LessThan(Literal(v, _), a: Attribute) => dimOf(a).foreach(constrain(_, v, Some(true)))
+      case LessThanOrEqual(Literal(v, _), a: Attribute) => dimOf(a).foreach(constrain(_, v, Some(true)))
+      case In(a: Attribute, values) if values.nonEmpty && values.forall(_.isInstanceOf[Literal]) =>
+        constrainIn(a, values.map(_.asInstanceOf[Literal].value).filter(_ != null))
+      case InSet(a: Attribute, values) if values.nonEmpty =>
+        constrainIn(a, values.toSeq.filter(_ != null))
+      case _ => // no constraint
+    }
+
+    QuerySpace(dims, bounds.lower, bounds.upper)
+  }
+
+}

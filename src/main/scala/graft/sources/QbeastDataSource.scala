@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.core.model.QbeastOptions
+import graft.log.QbeastLog
+import graft.read.QbeastFileIndex
+import graft.write.QbeastWriter
+
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+
+/**
+ * V1 DataSource for format "qbeast" (reference:
+ * `src/.../sources/QbeastDataSource.scala:107-147`). The read side hands
+ * Catalyst a plain `HadoopFsRelation` over our [[QbeastFileIndex]] +
+ * stock `ParquetFileFormat`, which is what keeps the entire relational
+ * surface (joins, aggs, windows, pushdown, codegen) inherited unchanged.
+ */
+class QbeastDataSource
+    extends RelationProvider
+    with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "qbeast"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' is required to read a qbeast table"))
+    val spark = sqlContext.sparkSession
+    val snapshot = QbeastLog.snapshot(path, spark.sparkContext.hadoopConfiguration)
+    if (snapshot.isEmpty)
+      throw new IllegalArgumentException(s"no qbeast table at $path")
+    val fileIndex = new QbeastFileIndex(spark, snapshot)
+    HadoopFsRelation(
+      location = fileIndex,
+      partitionSchema = StructType(Nil),
+      dataSchema = snapshot.schema.getOrElse(StructType(Nil)),
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = parameters)(spark)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' is required to write a qbeast table"))
+    val spark = sqlContext.sparkSession
+    val defaultCubeSize = spark.conf.getOption("spark.qbeast.index.defaultCubeSize")
+      .map(_.toInt).getOrElse(QbeastOptions.DefaultCubeSize)
+    val options = QbeastOptions(parameters, defaultCubeSize)
+    QbeastWriter.save(spark, path, data, options, mode)
+    createRelation(sqlContext, parameters)
+  }
+
+}

@@ -1,0 +1,310 @@
+package graft.write
+
+import graft.core.model._
+import graft.index._
+import graft.log._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+import scala.collection.mutable
+
+/** Hadoop `Configuration` is not Java-serializable; minimal wrapper to
+ * ship the prepared write conf to tasks. */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  @throws[IOException]
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  @throws[IOException]
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/**
+ * The full indexed-write pipeline (reference: `IndexedTable.save` →
+ * `SparkOTreeManager` → `RollupDataWriter` → Delta commit; ours commits
+ * to the self-contained qlog).
+ *
+ * Shuffle budget at scale: ONE extra shuffle vs a plain parquet write —
+ * the `repartition` by target file. Stats, domains and cube assignment
+ * are map-side passes over the source; domain aggregation ships only
+ * (cube, count) pairs.
+ */
+object QbeastWriter {
+
+  /** Entry point for `df.write.format("qbeast")...save(path)`. */
+  def save(
+      spark: SparkSession,
+      tablePath: String,
+      data: DataFrame,
+      options: QbeastOptions,
+      mode: SaveMode): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val retries = 3
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val snapshot = QbeastLog.snapshot(tablePath, conf)
+      if (!snapshot.isEmpty) {
+        mode match {
+          case SaveMode.ErrorIfExists =>
+            throw new IllegalStateException(s"qbeast table already exists at $tablePath")
+          case SaveMode.Ignore => return
+          case _ =>
+        }
+      }
+      // idempotent writes via txnAppId/txnVersion (reference:
+      // DeltaMetadataWriter.scala:164-174)
+      (options.txnAppId, options.txnVersion) match {
+        case (Some(app), Some(v)) if snapshot.txns.get(app).exists(_ >= v) => return
+        case _ =>
+      }
+      try {
+        writeOnce(spark, tablePath, data, options, mode, snapshot)
+        committed = true
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > retries) throw e
+      }
+    }
+  }
+
+  private def writeOnce(
+      spark: SparkSession,
+      tablePath: String,
+      data: DataFrame,
+      options: QbeastOptions,
+      mode: SaveMode,
+      snapshot: QbeastSnapshot): Unit = {
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val isOverwrite = mode == SaveMode.Overwrite && !snapshot.isEmpty
+    val existingRevision =
+      if (isOverwrite) None
+      else snapshot.lastRevision.filterNot(_.isStaging)
+
+    val (revision, isNewRevision0, numElements) =
+      RevisionFactory.computeRevisionChanges(existingRevision, options, tablePath, data)
+    // never collide with IDs already in the log after an overwrite
+    val revision1 =
+      if (isOverwrite && snapshot.lastRevisionID >= revision.revisionID)
+        revision.copy(revisionID = snapshot.lastRevisionID + 1)
+      else revision
+    val isNewRevision = isNewRevision0 || (revision1 ne revision)
+
+    val existingStatus =
+      if (!isNewRevision) Some(snapshot.indexStatus(revision1.revisionID))
+      else None
+
+    val files = index(spark, tablePath, data, revision1, existingStatus, numElements)
+
+    // ---- commit ----
+    val actions = mutable.ArrayBuffer.empty[LogAction]
+    val schemaJson = data.schema.json
+    val config = snapshot.configuration ++
+      Map("qbeast.lastRevisionID" -> revision1.revisionID.toString)
+    actions += MetaDataAction(schemaJson, config)
+    if (isNewRevision) actions += RevisionAction(revision1)
+    (options.txnAppId, options.txnVersion) match {
+      case (Some(app), Some(v)) => actions += TxnAction(app, v)
+      case _ =>
+    }
+    files.foreach(f => actions += AddFileAction(f, dataChange = true))
+    if (isOverwrite) {
+      val now = System.currentTimeMillis()
+      snapshot.files.foreach(f => actions += RemoveFileAction(RemoveFile(f.path, now)))
+    }
+    QbeastLog.commit(tablePath, conf, snapshot.version, actions.toSeq)
+  }
+
+  /** Index `data` into `revision` and write the parquet files (no
+   * commit). Shared by write and optimize. */
+  def index(
+      spark: SparkSession,
+      tablePath: String,
+      data: DataFrame,
+      revision: Revision,
+      existingStatus: Option[IndexStatus],
+      numElements: Long,
+      frozenWeights: Option[Map[CubeId, Weight]] = None): Seq[IndexFile] = {
+
+    val dims = revision.dimensionCount
+    val coordCols = revision.columnTransformers.lazyZip(revision.transformations)
+      .map((t, tr) => ColumnIndexer.coordinateColumn(t, tr))
+    val weightCol = ColumnIndexer.weightColumn(revision.columnNames)
+
+    val (cubeWeights, estCounts) = frozenWeights match {
+      case Some(w) =>
+        val counts = existingStatus.map(_.cubeStatuses.map { case (c, s) => c -> s.elementCount })
+          .getOrElse(Map.empty[CubeId, Long])
+        (w, counts.toMap)
+      case None =>
+        // ---- pass 1: per-partition local trees → global cube domains ----
+        val prepared = data.select((coordCols :+ weightCol).map(c => c.cast("double")): _*)
+        val numPartitions = math.max(1, classic(prepared).rdd.getNumPartitions)
+        val groupSize = OTreeAlgorithm.groupCubeSize(revision.desiredCubeSize,
+          numPartitions, numElements, QbeastOptions.DefaultBufferCapacity)
+        val domainsRdd = classic(prepared).queryExecution.toRdd.mapPartitions { rows =>
+          val builder = new LocalOTreeBuilder(dims, groupSize,
+            QbeastOptions.DefaultBufferCapacity.toInt)
+          rows.foreach { row =>
+            val point = new Array[Double](dims)
+            var d = 0
+            var anyNull = false
+            while (d < dims) {
+              if (row.isNullAt(d)) anyNull = true else point(d) = row.getDouble(d)
+              d += 1
+            }
+            if (!anyNull) {
+              val w = if (row.isNullAt(dims)) 42 else row.getDouble(dims).toInt
+              builder.add(point, w)
+            }
+          }
+          builder.result()
+        }
+        val domains = domainsRdd.reduceByKey(_ + _).collect()
+          .map { case (s, d) => CubeId.fromString(dims, s) -> d }.toMap
+
+        val existingCounts = existingStatus.map(_.subtreeCounts).getOrElse(Map.empty)
+        OTreeAlgorithm.estimateCubeWeights(domains, existingCounts,
+          revision.desiredCubeSize)
+    }
+
+    // ---- pass 2: cube assignment + rollup target file ----
+    val bWeights = spark.sparkContext.broadcast(cubeWeights)
+    val assignUdf = udf { (coords: Seq[Double], w: Int) =>
+      val point = coords.toArray
+      OTreeAlgorithm.findTargetCube(point, w, bWeights.value).bytes
+    }
+
+    val rollup = OTreeAlgorithm.computeRollup(
+      if (estCounts.nonEmpty) estCounts
+      else Map(CubeId.root(dims) -> math.max(numElements, 1L)),
+      revision.desiredCubeSize.toLong)
+    val uuidByCube: Map[CubeId, String] =
+      rollup.values.toSet.map((c: CubeId) => c -> java.util.UUID.randomUUID().toString).toMap
+    val fileByCube: Map[String, String] = rollup.map { case (cube, target) =>
+      cube.toString -> uuidByCube(target)
+    }
+    val bFiles = spark.sparkContext.broadcast(fileByCube)
+    val defaultFile = uuidByCube.getOrElse(CubeId.root(dims),
+      java.util.UUID.randomUUID().toString)
+    val fileUdf = udf { (cubeBytes: Array[Byte]) =>
+      val cube = CubeId.fromBytes(dims, cubeBytes)
+      bFiles.value.getOrElse(cube.toString, {
+        // cube unseen at rollup time (fresh leaf): roll into nearest known ancestor
+        var c = cube
+        var found: Option[String] = None
+        while (found.isEmpty && !c.isRoot) {
+          c = c.parent.get
+          found = bFiles.value.get(c.toString)
+        }
+        found.getOrElse(defaultFile)
+      })
+    }
+
+    val dataSchema = data.schema
+    val n = dataSchema.length
+    val tagged = data
+      .withColumn(QbeastColumns.cubeColumnName,
+        assignUdf(array(coordCols: _*), weightCol))
+      .withColumn(QbeastColumns.weightColumnName, weightCol)
+      .withColumn(QbeastColumns.fileUUIDColumnName,
+        fileUdf(col(QbeastColumns.cubeColumnName)))
+      .repartition(col(QbeastColumns.fileUUIDColumnName))
+
+    // ---- pass 3: physical write with per-cube block accounting ----
+    writeFiles(spark, tablePath, tagged, dataSchema, dims, revision.revisionID)
+  }
+
+  private[graft] def classic(df: DataFrame): org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+
+  /** Write each repartitioned group to `<table>/<uuid>.parquet` through
+   * the stock ParquetFileFormat OutputWriter, recording per-cube Blocks
+   * (reference: `RollupDataWriter.scala:45-137`). */
+  private def writeFiles(
+      spark: SparkSession,
+      tablePath: String,
+      tagged: DataFrame,
+      dataSchema: StructType,
+      dims: Int,
+      revisionId: Long): Seq[IndexFile] = {
+
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    val factory: OutputWriterFactory =
+      new ParquetFileFormat().prepareWrite(spark, job, Map.empty, dataSchema)
+    val serConf = new SerializableHadoopConf(job.getConfiguration)
+
+    val n = dataSchema.length
+    val fields = dataSchema.fields
+    val plan = classic(tagged).queryExecution.executedPlan
+
+    val filesRdd = plan.execute().mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val conf = serConf.value
+        val attemptId = new TaskAttemptID(
+          new TaskID(new JobID("qbeast", revisionId.toInt), TaskType.MAP, pid), 0)
+        val context = new TaskAttemptContextImpl(conf, attemptId)
+        val project = UnsafeProjection.create(
+          fields.zipWithIndex.map { case (f, i) =>
+            BoundReference(i, f.dataType, f.nullable)
+          }.toSeq)
+
+        // one open writer per target file in this partition
+        final case class OpenFile(
+            writer: org.apache.spark.sql.execution.datasources.OutputWriter,
+            path: Path,
+            blocks: mutable.HashMap[CubeId, (Int, Int, Long)])
+        val open = mutable.HashMap.empty[String, OpenFile]
+
+        rows.foreach { row =>
+          val cube = CubeId.fromBytes(dims, row.getBinary(n))
+          val weight = row.getInt(n + 1)
+          val uuid = row.getUTF8String(n + 2).toString
+          val of = open.getOrElseUpdate(uuid, {
+            val path = new Path(tablePath, s"$uuid.parquet")
+            OpenFile(factory.newInstance(path.toString, dataSchema, context), path,
+              mutable.HashMap.empty)
+          })
+          of.writer.write(project(row))
+          val (mn, mx, cnt) = of.blocks.getOrElse(cube, (Int.MaxValue, Int.MinValue, 0L))
+          of.blocks.update(cube, (math.min(mn, weight), math.max(mx, weight), cnt + 1L))
+        }
+
+        val fs = new Path(tablePath).getFileSystem(conf)
+        open.valuesIterator.map { of =>
+          of.writer.close()
+          val status = fs.getFileStatus(of.path)
+          IndexFile(
+            path = of.path.getName,
+            size = status.getLen,
+            modificationTime = status.getModificationTime,
+            revisionId = revisionId,
+            blocks = of.blocks.iterator.map { case (cube, (mn, mx, cnt)) =>
+              Block(cube, Weight(mn), Weight(mx), cnt)
+            }.toVector.sortBy(_.cube))
+        }.toVector.iterator
+      }
+    }
+    filesRdd.collect().toSeq
+  }
+
+}

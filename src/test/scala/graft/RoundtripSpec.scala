@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}
+
+class RoundtripSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("write + read roundtrip preserves content") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dir = TestSpark.tmpDir("qbeast-rt")
+    li.write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "1000")
+      .save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === li.count())
+    assert(back.schema.fieldNames.toSeq === li.schema.fieldNames.toSeq)
+    assert(back.exceptAll(li).count() === 0)
+    assert(li.exceptAll(back).count() === 0)
+  }
+
+  test("sampling accuracy within tolerance and deterministic") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dir = TestSpark.tmpDir("qbeast-sample")
+    li.write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "1000")
+      .save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    val n = back.count().toDouble
+    for (f <- Seq(0.1, 0.2, 0.5, 0.7, 0.99)) {
+      val got = back.sample(f).count().toDouble
+      assert(math.abs(got - f * n) <= 0.05 * n, s"fraction $f: got $got of $n")
+      // deterministic: same fraction → same rows
+      assert(back.sample(f).count().toDouble === got)
+    }
+  }
+
+  test("sampling prunes files") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dir = TestSpark.tmpDir("qbeast-prune")
+    li.write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "500")
+      .save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    val all = back.inputFiles.length
+    assert(all > 1, s"expected multiple files, got $all")
+    val sampled = back.sample(0.01)
+    val read = sampled.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s.inputRDDs().map(_.getNumPartitions).sum
+    }
+    // physical check: the sampled scan reads fewer input files
+    val sampledFiles = sampled.select(org.apache.spark.sql.functions
+      .input_file_name()).distinct().count()
+    assert(sampledFiles < all, s"sampled scan read $sampledFiles of $all files")
+  }
+
+  test("range filter prunes files and preserves results") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dir = TestSpark.tmpDir("qbeast-filter")
+    li.write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "500")
+      .save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    val maxKey = li.agg(org.apache.spark.sql.functions.max("l_orderkey")).head.getLong(0)
+    val cut = maxKey / 10
+    val expected = li.filter(s"l_orderkey <= $cut").count()
+    val got = back.filter(s"l_orderkey <= $cut").count()
+    assert(got === expected)
+  }
+
+}
