@@ -1,0 +1,81 @@
+package graft
+
+import graft.rules.SampleRule
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Shared access to the driver testdata: raw parquet plus cached
+ * qbeast-indexed copies (written once per scale factor under /tmp, keyed
+ * by the sf dir name). All SparkEntry queries exercising the reference
+ * surface read through the qbeast copies so the whole engine is in the
+ * loop; oracles run on the raw parquet.
+ */
+object QTables {
+
+  /** table → (columnsToIndex, cubeSize) */
+  val indexSpecs: Map[String, (String, Int)] = Map(
+    "lineitem" -> ("l_orderkey,l_extendedprice", 5000),
+    "orders" -> ("o_orderkey,o_custkey", 5000),
+    "customer" -> ("c_custkey,c_acctbal", 2000),
+    "part" -> ("p_partkey,p_retailprice", 2000),
+    "events" -> ("user_id,ts", 5000))
+
+  private val lock = new Object
+
+  def raw(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** The qbeast-indexed copy of `table`, writing it on first use. */
+  def qbeast(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, table)
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val (cols, cubeSize) = indexSpecs(table)
+        raw(spark, sfDir, table).write.format("qbeast")
+          .option("columnsToIndex", cols)
+          .option("cubeSize", cubeSize.toString)
+          .mode("overwrite")
+          .save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
+  /** A lineitem table built by an initial write plus an append (exercises
+   * revision merging); content equals the full raw table. */
+  def qbeastAppended(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "lineitem_appended")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val li = raw(spark, sfDir, "lineitem")
+        val (cols, cubeSize) = indexSpecs("lineitem")
+        li.filter("l_orderkey % 2 = 0").write.format("qbeast")
+          .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
+          .save(path)
+        li.filter("l_orderkey % 2 = 1").write.format("qbeast")
+          .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
+          .mode("append").save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
+  private def cachePath(sfDir: String, table: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    s"/tmp/graft_qbeast/$sfName/$table"
+  }
+
+  /** Make the Sample→hash-filter rule active even in sessions built
+   * without `spark.sql.extensions` (e.g. the driver's Verify/Bench). */
+  def ensureExtensions(spark: SparkSession): Unit = lock.synchronized {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val existing = cs.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[SampleRule])) {
+      cs.experimental.extraOptimizations = existing :+ new SampleRule(spark)
+    }
+  }
+
+}

@@ -35,3 +35,17 @@ object Probe {
     spark.stop()
   }
 }
+
+/** Driver-contract smoke: entry() rows>0 + Bench-style timing. */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.entry(spark)
+    val rows = df.collect()
+    println(s"[entry] rows=${rows.length} sample=${rows.take(2).mkString("; ")}")
+    spark.stop()
+  }
+}
