@@ -19,7 +19,9 @@ object QTables {
     "orders" -> ("o_orderkey,o_custkey", 5000),
     "customer" -> ("c_custkey,c_acctbal", 2000),
     "part" -> ("p_partkey,p_retailprice", 2000),
-    "events" -> ("user_id,ts", 5000))
+    // ts is TIMESTAMP(NANOS) in the fixtures, which Spark's parquet
+    // reader can't load as timestamp — index the long ids instead
+    "events" -> ("user_id,event_id", 5000))
 
   private val lock = new Object
 

@@ -185,6 +185,92 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
           dec(col("l_extendedprice")).as("sum_price"))
+    }),
+    // ---- streaming -------------------------------------------------------
+    "s01_stream_window" -> ((s, dir) =>
+      ops.Streaming.windowedAgg(s, s"$dir/events.parquet")),
+    "s02_stream_sessions" -> ((s, dir) =>
+      ops.Streaming.sessionize(s, s"$dir/events.parquet")),
+    // ---- dedup (documents) ----------------------------------------------
+    "t01_dedup_exact" -> ((s, dir) =>
+      ops.Dedup.exactDedup(QTables.raw(s, dir, "documents"), "doc_id", "text")),
+    "t02_minhash_pairs" -> ((s, dir) => {
+      ops.Dedup.minHashCandidatePairs(QTables.raw(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.2)
+        .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+        .limit(200)
+    }),
+    "t03_simhash_pairs" -> ((s, dir) => {
+      ops.Dedup.simHashPairs(QTables.raw(s, dir, "documents"), "doc_id", "text",
+          maxDistance = 16)
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(200)
+    }),
+    "t04_token_jaccard" -> ((s, dir) => {
+      val docs = QTables.raw(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("lang"), ops.Dedup.tokenSet(col("text")).as("toks"))
+      val a = docs.alias("a")
+      val b = docs.alias("b")
+      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          ops.Dedup.jaccard(col("a.toks"), col("b.toks")).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+    }),
+    // ---- text analysis ---------------------------------------------------
+    "t05_token_count" -> ((s, dir) => {
+      val d = QTables.raw(s, dir, "documents")
+      d.select(col("doc_id"),
+        ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        ops.TextOps.subTokenCount(col("text")).as("sub_tokens"))
+    }),
+    "t06_quality" -> ((s, dir) => {
+      ops.TextOps.qualityFeatures(QTables.raw(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars_m", "n_tokens", "mean_token_len", "n_punct", "n_digits")
+    }),
+    "t07_langid" -> ((s, dir) => {
+      QTables.raw(s, dir, "documents")
+        .select(col("doc_id"), ops.TextOps.langId(col("text")).as("lang_detected"))
+    }),
+    "t08_fingerprint" -> ((s, dir) => {
+      QTables.raw(s, dir, "documents")
+        .select(col("doc_id"), ops.TextOps.fingerprintUdf(col("text")).as("fp"))
+    }),
+    // ---- similarity search (embeddings) ----------------------------------
+    "e01_knn_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = QTables.raw(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      ops.Similarity.knnExact(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+        .select("vec_id", "rank")
+    }),
+    "e02_ann_lsh" -> ((s, dir) => {
+      val emb = QTables.raw(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      ops.Similarity.knnLsh(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim_r"))
+    }),
+    "e03_embedding_near_dup" -> ((s, dir) => {
+      // random test embeddings have no true near-dups; emit the top
+      // in-bucket pairs so the operator's output is observable
+      ops.Similarity.nearDupPairs(QTables.raw(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = -1.0)
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+        .limit(100)
+    }),
+    // ---- multimodal columns ----------------------------------------------
+    "m01_media_meta" -> ((s, dir) => {
+      ops.Multimodal.asMediaTable(QTables.raw(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("media_type"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))
+    }),
+    "m02_media_features" -> ((s, dir) => {
+      ops.Multimodal.extractFeatures(
+        ops.Multimodal.asMediaTable(QTables.raw(s, dir, "documents"), "doc_id", "text"))
     })
   )
 
@@ -268,7 +354,71 @@ object SparkEntry {
     "q22_append_revisions" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "s01_stream_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "s02_stream_sessions" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) -
+        |epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap FROM events)
+        |SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |AS sessions, count(*) AS n FROM x GROUP BY 1""".stripMargin,
+    "t01_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "t04_token_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |FROM documents WHERE doc_id % 20 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.2""".stripMargin,
+    "t05_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |w -> (len(w) + 3) // 4)) AS BIGINT) AS sub_tokens
+        |FROM documents""".stripMargin,
+    "t06_quality" ->
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_m,
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |CAST(len(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1) AS DOUBLE)
+        |/ len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len,
+        |CAST(len(text) - len(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+        |FROM documents""".stripMargin,
+    "t07_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |(len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4 AS s_en,
+        |(len(' '||text||' ') - len(replace(' '||text||' ', ' el ', ''))) // 4
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' la ', ''))) // 4
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' que ', ''))) // 5 AS s_es,
+        |(len(' '||text||' ') - len(replace(' '||text||' ', ' der ', ''))) // 5
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' und ', ''))) // 5
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' die ', ''))) // 5 AS s_de,
+        |(len(' '||text||' ') - len(replace(' '||text||' ', ' le ', ''))) // 4
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' et ', ''))) // 4
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' les ', ''))) // 5 AS s_fr,
+        |(len(text) - len(replace(text, '的', ''))) // 1
+        |+ (len(text) - len(replace(text, '是', ''))) // 1
+        |+ (len(text) - len(replace(text, '了', ''))) // 1 AS s_zh
+        |FROM documents)
+        |SELECT doc_id, CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+        |WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |ELSE 'de' END AS lang_detected FROM s""".stripMargin,
+    "m01_media_meta" ->
+      """SELECT doc_id, 'application/octet-stream' AS media_type,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum
+        |FROM documents""".stripMargin
   )
 
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads ride as opaque
+ * `binary` columns with a typed metadata struct. The Spark-side shape —
+ * schema, batch iteration via `mapPartitions`, partition sizing — is
+ * real and tested; the actual codec calls are STUBBED (this container
+ * ships no image/audio libraries) behind `DecodeStub` with a
+ * deterministic fake, exactly where a JNI/FFmpeg/libvips call would go.
+ */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("checksum", StringType, nullable = false))), nullable = false)))
+
+  /** Wrap a text table into the opaque-binary media shape (the test
+   * corpus has no real images; payload = utf-8 bytes stands in). */
+  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      lit("application/octet-stream").as("media_type"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
+        md5(encode(col(textCol), "UTF-8")).as("checksum")).as("meta"))
+
+  /** STUB — replace with a real decoder (libvips / javacv / ffmpeg).
+   * Deterministic fake so the pipeline shape is testable: "dimensions"
+   * derived from payload bytes. */
+  object DecodeStub {
+    final case class Decoded(width: Int, height: Int, channels: Int, meanLuma: Double)
+    def decode(payload: Array[Byte]): Decoded = {
+      // ??? <- real codec call goes here; deterministic fake below
+      if (payload == null || payload.isEmpty) Decoded(0, 0, 0, 0.0)
+      else {
+        val w = 64 + (payload(0) & 0x7f)
+        val h = 64 + (payload(payload.length / 2) & 0x7f)
+        var sum = 0L
+        var i = 0
+        while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+        Decoded(w, h, 3, sum.toDouble / payload.length)
+      }
+    }
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** Batch feature extraction: one decoder instance per partition (the
+   * real-codec pattern), rows streamed through it. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      // per-partition decoder init would happen here
+      rows.map { row =>
+        val d = DecodeStub.decode(row.getAs[Array[Byte]](payloadIdx))
+        Row(row.getLong(idIdx), d.width, d.height, d.channels, d.meanLuma)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+}

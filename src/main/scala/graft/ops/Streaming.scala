@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming operators over the events table: windowed
+ * aggregation and stateful sessionization
+ * (`flatMapGroupsWithState`). Batch parquet drives the streams
+ * synchronously via `processAllAvailable` + memory sink — the same
+ * plan shapes run unchanged against a live source at scale.
+ */
+object Streaming {
+
+  final case class Ev(user_id: Long, ts: Long)
+  final case class SessionCount(user_id: Long, sessions: Long, n: Long)
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger()
+
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The streaming file source wants a directory; stage the single
+   * fixture file into a temp dir once per path. */
+  private def stageDir(path: String): String =
+    stagedDirs.computeIfAbsent(path, { p =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(p),
+        dir.resolve(new java.io.File(p).getName))
+      dir.toString
+    })
+
+  /** The test events.parquet stores TIMESTAMP(NANOS), which Spark's
+   * reader rejects; read nanos as long and convert with integer
+   * division (micros ≈ 1.7e18 would lose precision through a double). */
+  private def eventsStream(spark: SparkSession, eventsPath: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageDir(eventsPath)
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Tumbling 1-hour windowed counts/sums over a parquet-backed stream;
+   * returns the complete result as a DataFrame. */
+  def windowedAgg(spark: SparkSession, eventsPath: String): DataFrame = {
+    val stream = eventsStream(spark, eventsPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+        col("n"), col("sv"))
+    val name = s"graft_stream_window_${counter.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Per-user session counts (sessions split at gaps > 30 min), computed
+   * with `flatMapGroupsWithState` over a streaming read — the canonical
+   * custom-state pattern; state persists across micro-batches. */
+  def sessionize(spark: SparkSession, eventsPath: String): DataFrame = {
+    import spark.implicits._
+    val stream = eventsStream(spark, eventsPath)
+      .select(col("user_id"), expr("ts div 1000").as("ts")).as[Ev]
+
+    val fn: (Long, Iterator[Ev], GroupState[(Long, Long, Long)]) => Iterator[SessionCount] =
+      (userId, events, state) => {
+        // state: (sessions, lastTsMicros, totalEvents)
+        val sorted = events.toArray.sortBy(_.ts)
+        if (sorted.isEmpty) Iterator.empty
+        else {
+          var (sessions, lastTs, total) = state.getOption.getOrElse((0L, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            val t = e.ts
+            if (lastTs == Long.MinValue || t - lastTs > 1800000000L) sessions += 1
+            lastTs = t
+            total += 1
+          }
+          state.update((sessions, lastTs, total))
+          Iterator.single(SessionCount(userId, sessions, total))
+        }
+      }
+
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+    val name = s"graft_stream_sessions_${counter.incrementAndGet()}"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // in update mode the memory sink appends each batch's updates; keep
+    // the final state per user
+    val t = spark.table(name)
+    t.groupBy("user_id").agg(max("sessions").as("sessions"), max("n").as("n"))
+  }
+
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: token counting,
+ * quality scoring, language identification, document fingerprinting.
+ * Everything except the rolling-hash fingerprint is pure `functions._`
+ * (whole-stage codegen; no UDF in the hot path).
+ */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
+
+  /** BPE-ish sub-token count: word pieces of ≤4 chars — a cheap,
+   * deterministic proxy for LLM token budgeting. */
+  def subTokenCount(c: Column): Column =
+    aggregate(
+      transform(split(trim(c), "\\s+"), w => (length(w) + lit(3)) / lit(4)),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+
+  /** Quality features: length, token count, mean token length,
+   * punctuation count, digit count, uppercase-start ratio proxy. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_chars_m", length(c).cast("long"))
+      .withColumn("n_tokens", tokenCount(c).cast("long"))
+      .withColumn("mean_token_len",
+        (length(c) - (tokenCount(c) - lit(1))).cast("double") / tokenCount(c))
+      .withColumn("n_punct", (length(c) - length(regexp_replace(c, "[.!?,;:]", ""))).cast("long"))
+      .withColumn("n_digits", (length(c) - length(regexp_replace(c, "[0-9]", ""))).cast("long"))
+  }
+
+  /** Stopword-marker language votes (en/es/de/fr/zh), counted with the
+   * replace-length trick so the identical computation is expressible in
+   * ANSI SQL for the oracle. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " que "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "zh" -> Seq("的", "是", "了"))
+
+  def markerCount(c: Column, marker: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), ""))) /
+      lit(marker.length)
+
+  /** Detected language = argmax of marker counts, ties broken by
+   * language code order; "und" when no marker hits. */
+  def langId(textCol: Column): Column = {
+    val padded = concat(lit(" "), textCol, lit(" "))
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val s = markers.map(m => markerCount(padded, m)).reduce(_ + _)
+      struct(s.cast("long").as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling polynomial fingerprint (Karp-Rabin over tokens): order-
+   * sensitive 64-bit content fingerprint, robust to whitespace changes. */
+  def fingerprintUdf = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      var h = 1125899906842597L
+      text.split("\\s+").foreach { tok =>
+        if (tok.nonEmpty) {
+          var th = 0L
+          var i = 0
+          while (i < tok.length) { th = 31 * th + tok.charAt(i); i += 1 }
+          h = h * 6364136223846793005L + th
+        }
+      }
+      h
+    }
+  }
+
+}

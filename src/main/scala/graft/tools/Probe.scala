@@ -49,3 +49,20 @@ object EntrySmoke {
     spark.stop()
   }
 }
+
+/** Probe: run the stateful streaming query twice in one session (memory
+ * sink name uniqueness + repeated state init). */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val p = "/root/testdata/sf0.001/events.parquet"
+    val a = graft.ops.Streaming.sessionize(spark, p).count()
+    val b = graft.ops.Streaming.sessionize(spark, p).count()
+    val w = graft.ops.Streaming.windowedAgg(spark, p).count()
+    println(s"[streamprobe] sessions1=$a sessions2=$b windows=$w")
+    spark.stop()
+  }
+}
