@@ -25,8 +25,13 @@ object QTables {
 
   private val lock = new Object
 
-  def raw(spark: SparkSession, sfDir: String, table: String): DataFrame =
+  def raw(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    if (table == "events") {
+      // fixture ts is TIMESTAMP(NANOS): only readable as long
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$sfDir/$table.parquet")
+  }
 
   /** The qbeast-indexed copy of `table`, writing it on first use. */
   def qbeast(spark: SparkSession, sfDir: String, table: String): DataFrame = {
@@ -60,6 +65,45 @@ object QTables {
         li.filter("l_orderkey % 2 = 1").write.format("qbeast")
           .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
           .mode("append").save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
+  /** A qbeast table adopted from plain parquet files (staging revision
+   * only, no rewrite) — reference ConvertToQbeast semantics. */
+  def qbeastConverted(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "lineitem_converted")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val dir = java.nio.file.Paths.get(path)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sfDir/lineitem.parquet"),
+          dir.resolve("lineitem.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        graft.table.QbeastTable.convertFromParquet(spark, path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
+  /** An indexed table that has been compacted with optimize() after an
+   * append (index-preserving rewrite). */
+  def qbeastOptimized(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "lineitem_optimized")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val li = raw(spark, sfDir, "lineitem")
+        li.filter("l_orderkey % 2 = 0").write.format("qbeast")
+          .option("columnsToIndex", "l_orderkey,l_extendedprice")
+          .option("cubeSize", "2000").save(path)
+        li.filter("l_orderkey % 2 = 1").write.format("qbeast")
+          .option("columnsToIndex", "l_orderkey,l_extendedprice")
+          .option("cubeSize", "2000").mode("append").save(path)
+        graft.table.QbeastTable.forPath(spark, path).optimize()
       }
     }
     spark.read.format("qbeast").load(path)

@@ -179,12 +179,37 @@ object SparkEntry {
       QTables.qbeast(s, dir, "lineitem").createOrReplaceTempView("li_q")
       s.sql("SELECT count(*) AS n FROM li_q TABLESAMPLE (5 PERCENT)")
     }),
+    "q26_sample_1pct" -> ((s, dir) => {
+      // 1% sample: benchmark counterpart of q01 (file-pruned scan)
+      QTables.qbeast(s, dir, "lineitem").sample(0.01)
+        .agg(count(lit(1)).as("n"), avg("l_extendedprice").as("avg_price"))
+    }),
     // ---- append / revisions ----------------------------------------------
     "q22_append_revisions" -> ((s, dir) => {
       QTables.qbeastAppended(s, dir)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
           dec(col("l_extendedprice")).as("sum_price"))
+    }),
+    // ---- convert / optimize / metrics ------------------------------------
+    "q23_convert_read" -> ((s, dir) => {
+      QTables.qbeastConverted(s, dir)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+    "q24_optimize_read" -> ((s, dir) => {
+      QTables.qbeastOptimized(s, dir)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          dec(col("l_extendedprice")).as("sum_price"))
+    }),
+    "q25_index_metrics" -> ((s, dir) => {
+      import s.implicits._
+      QTables.qbeast(s, dir, "lineitem") // ensure table exists
+      val sfName = new java.io.File(dir).getName
+      val m = graft.table.QbeastTable
+        .forPath(s, s"/tmp/graft_qbeast/$sfName/lineitem").indexMetrics()
+      Seq(m).toDF()
     }),
     // ---- streaming -------------------------------------------------------
     "s01_stream_window" -> ((s, dir) =>
@@ -353,6 +378,13 @@ object SparkEntry {
         |count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1""".stripMargin,
     "q22_append_revisions" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q23_convert_read" ->
+      """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q24_optimize_read" ->
+      """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1""".stripMargin,
     "s01_stream_window" ->

@@ -1,0 +1,191 @@
+package graft.table
+
+import graft.core.model._
+import graft.log._
+import graft.write.QbeastWriter
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * User-facing table facade (reference: `src/.../table/QbeastTable.scala`
+ * + `IndexedTable.optimize` + `ConvertToQbeastCommand`): revision
+ * introspection, index metrics, optimize (indexed + staging), convert.
+ */
+class QbeastTable private (spark: SparkSession, tablePath: String) {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  def snapshot: QbeastSnapshot = QbeastLog.snapshot(tablePath, conf)
+
+  def revisionIDs: Seq[Long] = snapshot.revisions.keys.toSeq.sorted
+
+  def latestRevisionID: Long = snapshot.lastRevisionID
+
+  def indexedColumns(revisionID: Long = -1L): Seq[String] = {
+    val s = snapshot
+    val rid = if (revisionID < 0) s.lastRevisionID else revisionID
+    s.revisions.get(rid).map(_.columnNames).getOrElse(Nil)
+  }
+
+  def cubeSize(revisionID: Long = -1L): Int = {
+    val s = snapshot
+    val rid = if (revisionID < 0) s.lastRevisionID else revisionID
+    s.revisions.get(rid).map(_.desiredCubeSize).getOrElse(0)
+  }
+
+  /**
+   * Rewrite the files of `revisionID` whose minimum weight fraction is ≤
+   * `fraction` (the sampling-hot head of the table), re-assigning rows
+   * against the *frozen* cube weights so the index shape is preserved
+   * while files get repacked (reference: `IndexedTable.scala:439-460`).
+   */
+  def optimize(revisionID: Long = -1L, fraction: Double = 1.0): Unit = {
+    val s = snapshot
+    val rid = if (revisionID < 0) s.lastRevisionID else revisionID
+    if (rid == Revision.StagingID) { optimizeUnindexed(); return }
+    val revision = s.revisions.getOrElse(rid, return)
+    val candidates = s.filesOfRevision(rid)
+      .filter(f => f.minWeight.fraction <= fraction)
+    if (candidates.isEmpty) return
+
+    val status = s.indexStatus(rid)
+    val frozen = status.cubeStatuses.map { case (c, st) => c -> st.maxWeight }.toMap
+    val paths = candidates.map(f => new Path(tablePath, f.path).toString)
+    val data = spark.read.parquet(paths: _*)
+    val numElements = candidates.map(_.elementCount).sum
+
+    val newFiles = QbeastWriter.index(spark, tablePath, data, revision,
+      Some(status), numElements, frozenWeights = Some(frozen))
+
+    commitRewrite(s, newFiles, candidates)
+  }
+
+  /** Index the staging (revision-0) files into the latest revision
+   * (reference: `IndexedTable.optimizeUnindexedFiles`). */
+  def optimizeUnindexed(): Unit = {
+    val s = snapshot
+    val staging = s.unindexedFiles
+    if (staging.isEmpty) return
+    val revision = s.lastRevision.filterNot(_.isStaging).getOrElse(
+      throw new IllegalStateException(
+        "no indexed revision to optimize staging files into; append indexed data first"))
+    val paths = staging.map(f => new Path(tablePath, f.path).toString)
+    val data = spark.read.parquet(paths: _*)
+    val numElements = data.count()
+    val status = s.indexStatus(revision.revisionID)
+    val newFiles = QbeastWriter.index(spark, tablePath, data, revision,
+      Some(status), numElements)
+    commitRewrite(s, newFiles, staging)
+  }
+
+  private def commitRewrite(
+      s: QbeastSnapshot,
+      adds: Seq[IndexFile],
+      removes: Seq[IndexFile]): Unit = {
+    val now = System.currentTimeMillis()
+    val actions =
+      adds.map(f => AddFileAction(f, dataChange = false)) ++
+        removes.map(f => RemoveFileAction(RemoveFile(f.path, now)))
+    var attempt = 0
+    var base = s
+    while (attempt >= 0) {
+      try {
+        QbeastLog.commit(tablePath, conf, base.version, actions)
+        attempt = -1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > 3) throw e
+          base = QbeastLog.snapshot(tablePath, conf)
+      }
+    }
+  }
+
+  /** Structural metrics of one revision's index (reference:
+   * `core/.../spark/utils/IndexMetrics.scala`). */
+  def indexMetrics(revisionID: Long = -1L): IndexMetrics = {
+    val s = snapshot
+    val rid = if (revisionID < 0) s.lastRevisionID else revisionID
+    val status = s.indexStatus(rid)
+    val files = s.filesOfRevision(rid)
+    val cubes = status.cubeStatuses
+    val counts = cubes.values.map(_.elementCount)
+    IndexMetrics(
+      revisionID = rid,
+      elementCount = counts.sum,
+      dimensionCount = status.revision.dimensionCount,
+      desiredCubeSize = status.revision.desiredCubeSize,
+      height = if (cubes.isEmpty) 0 else cubes.keys.map(_.depth).max + 1,
+      cubeCount = cubes.size,
+      blockCount = files.map(_.blocks.size).sum,
+      fileCount = files.size,
+      bytes = files.map(_.size).sum,
+      avgCubeElementCount = if (cubes.isEmpty) 0L else counts.sum / cubes.size,
+      maxCubeElementCount = if (cubes.isEmpty) 0L else counts.max)
+  }
+
+}
+
+final case class IndexMetrics(
+    revisionID: Long,
+    elementCount: Long,
+    dimensionCount: Int,
+    desiredCubeSize: Int,
+    height: Int,
+    cubeCount: Int,
+    blockCount: Int,
+    fileCount: Int,
+    bytes: Long,
+    avgCubeElementCount: Long,
+    maxCubeElementCount: Long)
+
+object QbeastTable {
+
+  def forPath(spark: SparkSession, tablePath: String): QbeastTable =
+    new QbeastTable(spark, tablePath)
+
+  /**
+   * Metadata-only adoption of a plain parquet directory (reference:
+   * `ConvertToQbeastCommand`): registers existing files as the staging
+   * revision 0 — no data rewrite; one count job records per-file element
+   * counts for the metrics/rollup paths.
+   */
+  def convertFromParquet(spark: SparkSession, path: String): QbeastTable = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val existing = QbeastLog.snapshot(path, conf)
+    if (!existing.isEmpty) return forPath(spark, path)
+
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val statuses = fs.listStatus(dir).filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(statuses.nonEmpty, s"no parquet files to convert at $path")
+
+    val df = spark.read.parquet(path)
+    val countsByFile = df.groupBy(input_file_name().as("f")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val root = CubeId.root(1)
+    val adds = statuses.map { st =>
+      val uri = st.getPath.toUri.toString
+      val n = countsByFile.find { case (k, _) => k.endsWith(st.getPath.getName) }
+        .map(_._2).getOrElse(0L)
+      IndexFile(
+        path = st.getPath.getName,
+        size = st.getLen,
+        modificationTime = st.getModificationTime,
+        revisionId = Revision.StagingID,
+        blocks = Vector(Block(root, Weight.MinValue, Weight.MaxValue, n)))
+    }.toSeq
+
+    val actions = Seq(
+      MetaDataAction(df.schema.json, Map("qbeast.lastRevisionID" -> "0")),
+      RevisionAction(Revision.staging(path))) ++
+      adds.map(a => AddFileAction(a, dataChange = false))
+    QbeastLog.commit(path, conf, existing.version, actions)
+    forPath(spark, path)
+  }
+
+}

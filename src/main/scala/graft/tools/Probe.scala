@@ -66,3 +66,37 @@ object StreamProbe {
     spark.stop()
   }
 }
+
+/** Pruning-effectiveness probe at a given SF: files read per sampling
+ * fraction and per range-filter selectivity. */
+object PruneProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val back = graft.QTables.qbeast(spark, sfDir, "lineitem")
+    val all = back.inputFiles.length
+    def filesOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    println(s"[prune] total files: $all")
+    for (f <- Seq(0.001, 0.01, 0.05, 0.1, 0.5)) {
+      val t0 = System.nanoTime()
+      val n = back.sample(f).count()
+      val dt = (System.nanoTime()-t0)/1e9
+      println(f"[prune] sample($f%5.3f): files=${filesOf(back.sample(f))}%3d rows=$n%7d time=$dt%5.2fs")
+    }
+    val maxKey = 15000
+    for (cut <- Seq(150, 1500, 15000, 150000)) {
+      val q = back.filter(col("l_orderkey") <= cut)
+      println(f"[prune] filter(l_orderkey<=$cut%6d): files=${filesOf(q)}%3d rows=${q.count()}%7d")
+    }
+    val t1 = System.nanoTime(); back.agg(sum("l_quantity")).collect(); val full=(System.nanoTime()-t1)/1e9
+    val t2 = System.nanoTime(); back.sample(0.01).agg(sum("l_quantity")).collect(); val samp=(System.nanoTime()-t2)/1e9
+    println(f"[prune] full-agg=$full%5.2fs sample1pct-agg=$samp%5.2fs speedup=${full/samp}%4.1fx")
+    spark.stop()
+  }
+}
