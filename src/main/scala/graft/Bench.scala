@@ -14,6 +14,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -109,6 +109,35 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** lineitem loaded through the SQL catalog surface: CREATE TABLE ...
+   * USING qbeast + INSERT INTO ... SELECT. Returns the catalog table name. */
+  def catalogTable(spark: SparkSession, sfDir: String): String = {
+    ensureExtensions(spark)
+    spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    val sfName = new java.io.File(sfDir).getName
+    val tableName = s"qbeast_catalog.default.lineitem_${sfName.replace(".", "_")}"
+    val path = cachePath(sfDir, "lineitem_catalog")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        spark.sql(s"""CREATE TABLE IF NOT EXISTS $tableName
+          (l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_returnflag STRING)
+          USING qbeast
+          OPTIONS ('columnsToIndex'='l_orderkey,l_extendedprice', 'cubeSize'='5000')
+          LOCATION '$path'""")
+        raw(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem_src_cat")
+        spark.sql(s"""INSERT INTO $tableName
+          SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag FROM lineitem_src_cat""")
+      } else {
+        spark.sql(s"""CREATE TABLE IF NOT EXISTS $tableName
+          (l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_returnflag STRING)
+          USING qbeast
+          OPTIONS ('columnsToIndex'='l_orderkey,l_extendedprice', 'cubeSize'='5000')
+          LOCATION '$path'""")
+      }
+    }
+    tableName
+  }
+
   private def cachePath(sfDir: String, table: String): String = {
     val sfName = new java.io.File(sfDir).getName
     s"/tmp/graft_qbeast/$sfName/$table"

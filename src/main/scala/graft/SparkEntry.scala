@@ -191,6 +191,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
           dec(col("l_extendedprice")).as("sum_price"))
     }),
+    // ---- SQL catalog surface ---------------------------------------------
+    "q27_sql_catalog" -> ((s, dir) => {
+      val table = QTables.catalogTable(s, dir)
+      s.sql(s"""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM $table WHERE l_orderkey > 100 GROUP BY l_returnflag""")
+    }),
     // ---- convert / optimize / metrics ------------------------------------
     "q23_convert_read" -> ((s, dir) => {
       QTables.qbeastConverted(s, dir)
@@ -380,6 +387,10 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q27_sql_catalog" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_orderkey > 100 GROUP BY l_returnflag""".stripMargin,
     "q23_convert_read" ->
       """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY 1""".stripMargin,

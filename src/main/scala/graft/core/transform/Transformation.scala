@@ -62,14 +62,14 @@ object Transformation {
 final case class LinearTransformation(min: Double, max: Double, nullCoordinate: Double)
     extends Transformation {
 
-  private val scale = if (max > min) 1.0 / (max - min) else 0.0
-
   override def transform(value: Any): Double = {
     if (value == null) return nullCoordinate
     val v = Transformation.toCanonicalDouble(value)
     if (v <= min) 0.0
     else if (v >= max) 1.0
-    else (v - min) * scale
+    // same op shape as the write-side Column ((v-min)/(max-min)) so both
+    // sides agree to the last bit
+    else (v - min) / (max - min)
   }
 
   override def isSupersededBy(other: Transformation): Boolean = other match {

@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.rules.SampleRule
+import graft.rules.{QbeastAnalysis, SampleRule}
 
 import org.apache.spark.sql.SparkSessionExtensions
 
@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectResolutionRule { session => new QbeastAnalysis(session) }
     extensions.injectOptimizerRule { session => new SampleRule(session) }
   }
 

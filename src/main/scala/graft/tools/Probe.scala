@@ -100,3 +100,28 @@ object PruneProbe {
     spark.stop()
   }
 }
+
+/** Probe: catalog error paths + drop/recreate. */
+object CatalogProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // probe 1: INSERT into table created without columnsToIndex
+    spark.sql("CREATE TABLE qbeast_catalog.default.noidx (a INT, b INT) USING qbeast LOCATION '/tmp/capro-noidx'")
+    try { spark.sql("INSERT INTO qbeast_catalog.default.noidx VALUES (1,2)"); println("[catprobe1] NO ERROR (bad)") }
+    catch { case e: Exception => println(s"[catprobe1] error: ${e.getMessage.linesIterator.next()}") }
+    // probe 2: select from never-written table → empty, not crash
+    val n = spark.sql("SELECT count(*) FROM qbeast_catalog.default.noidx").head.getLong(0)
+    println(s"[catprobe2] empty-table count=$n")
+    // probe 3: drop + recreate same name
+    spark.sql("DROP TABLE qbeast_catalog.default.noidx")
+    spark.sql("CREATE TABLE qbeast_catalog.default.noidx (a INT) USING qbeast OPTIONS('columnsToIndex'='a') LOCATION '/tmp/capro-noidx2'")
+    spark.sql("INSERT INTO qbeast_catalog.default.noidx VALUES (7)")
+    println(s"[catprobe3] recreate+insert rows=${spark.sql("SELECT a FROM qbeast_catalog.default.noidx").collect().mkString}")
+    spark.stop()
+  }
+}
