@@ -138,6 +138,45 @@ object QTables {
     tableName
   }
 
+  /** part indexed with a CDF-quantile transformer on p_brand (quantiles
+   * computed by QbeastUtils) + linear price. */
+  def qbeastQuantilePart(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "part_quantiles")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val part = raw(spark, sfDir, "part")
+        val brandQ = graft.utils.QbeastUtils
+          .computeStringQuantilesForColumn(part, "p_brand", 20)
+        part.write.format("qbeast")
+          .option("columnsToIndex", "p_brand:quantiles,p_retailprice")
+          .option("columnStats", s"""{"p_brand_quantiles": $brandQ}""")
+          .option("cubeSize", "2000")
+          .save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
+  /** orders written with user-provided columnStats (wider linear space
+   * than the data, so later appends skip revision bumps). */
+  def qbeastOrdersWithStats(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_stats")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, "orders").write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_totalprice")
+          .option("columnStats",
+            """{"o_orderkey_min": 0, "o_orderkey_max": 100000000,
+              |"o_totalprice_min": 0, "o_totalprice_max": 10000000}""".stripMargin)
+          .option("cubeSize", "5000")
+          .save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   private def cachePath(sfDir: String, table: String): String = {
     val sfName = new java.io.File(sfDir).getName
     s"/tmp/graft_qbeast/$sfName/$table"

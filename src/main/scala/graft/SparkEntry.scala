@@ -198,6 +198,19 @@ object SparkEntry {
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM $table WHERE l_orderkey > 100 GROUP BY l_returnflag""")
     }),
+    "q28_quantile_index" -> ((s, dir) => {
+      QTables.qbeastQuantilePart(s, dir)
+        .filter(col("p_brand").isin("Brand#11", "Brand#22", "Brand#33") &&
+          col("p_retailprice") > 1000)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dec(col("p_retailprice")).as("sum_price"))
+    }),
+    "q29_column_stats" -> ((s, dir) => {
+      QTables.qbeastOrdersWithStats(s, dir)
+        .filter(col("o_orderkey") < 5000)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     // ---- convert / optimize / metrics ------------------------------------
     "q23_convert_read" -> ((s, dir) => {
       QTables.qbeastConverted(s, dir)
@@ -391,6 +404,15 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_orderkey > 100 GROUP BY l_returnflag""".stripMargin,
+    "q28_quantile_index" ->
+      """SELECT p_brand, count(*) AS n,
+        |CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM part WHERE p_brand IN ('Brand#11','Brand#22','Brand#33')
+        |AND p_retailprice > 1000 GROUP BY 1""".stripMargin,
+    "q29_column_stats" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey < 5000 GROUP BY 1""".stripMargin,
     "q23_convert_read" ->
       """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY 1""".stripMargin,

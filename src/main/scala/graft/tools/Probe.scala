@@ -125,3 +125,19 @@ object CatalogProbe {
     spark.stop()
   }
 }
+
+/** Probe: hook + auto-selection write options through the public API. */
+object HookProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // hook runs and tags the commit
+    val d1 = java.nio.file.Files.createTempDirectory("hookprobe").toString
+    li.write.format("qbeast").option("columnsToIndex","l_orderkey,l_extendedprice")
+      .option("hook.counter","graft.CountingHook_DOES_NOT_EXIST").mode("overwrite")
+      .save(d1 + "/bad") match { case _ => }
+  }
+}

@@ -94,13 +94,26 @@ object QbeastWriter {
       snapshot: QbeastSnapshot): Unit = {
 
     val conf = spark.sparkContext.hadoopConfiguration
+    // load hooks up front so a bad class name fails before any data is
+    // written, not after
+    val hooks = PreCommitHook.loadHooks(options.extra)
     val isOverwrite = mode == SaveMode.Overwrite && !snapshot.isEmpty
     val existingRevision =
       if (isOverwrite) None
       else snapshot.lastRevision.filterNot(_.isStaging)
 
+    // reference #25: optional automatic column selection on first write
+    val options1 =
+      if (options.columnsToIndex.isEmpty && existingRevision.isEmpty &&
+        spark.conf.getOption("spark.qbeast.index.columnsToIndex.auto").contains("true")) {
+        val maxCols = spark.conf
+          .getOption("spark.qbeast.index.columnsToIndex.auto.max").map(_.toInt).getOrElse(3)
+        options.copy(columnsToIndex =
+          graft.index.ColumnsToIndexSelector.selectColumnsToIndex(data, maxCols))
+      } else options
+
     val (revision, isNewRevision0, numElements) =
-      RevisionFactory.computeRevisionChanges(existingRevision, options, tablePath, data)
+      RevisionFactory.computeRevisionChanges(existingRevision, options1, tablePath, data)
     // never collide with IDs already in the log after an overwrite
     val revision1 =
       if (isOverwrite && snapshot.lastRevisionID >= revision.revisionID)
@@ -114,10 +127,15 @@ object QbeastWriter {
 
     val files = index(spark, tablePath, data, revision1, existingStatus, numElements)
 
+    // ---- pre-commit hooks (reference #28) ----
+    val hookTags =
+      if (hooks.isEmpty) Map.empty[String, String]
+      else PreCommitHook.runHooks(hooks, spark, files)
+
     // ---- commit ----
     val actions = mutable.ArrayBuffer.empty[LogAction]
     val schemaJson = data.schema.json
-    val config = snapshot.configuration ++
+    val config = snapshot.configuration ++ hookTags ++
       Map("qbeast.lastRevisionID" -> revision1.revisionID.toString)
     actions += MetaDataAction(schemaJson, config)
     if (isNewRevision) actions += RevisionAction(revision1)

@@ -1,0 +1,61 @@
+package graft
+
+import graft.core.model.IndexFile
+import graft.write.PreCommitHook
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A hook for the spec below (must be a top-level class for reflection). */
+class CountingHook extends PreCommitHook {
+  override def name: String = "counter"
+  override def run(spark: SparkSession, files: Seq[IndexFile]): Map[String, String] =
+    Map("fileCount" -> files.size.toString, "rows" -> files.map(_.elementCount).sum.toString)
+}
+
+class UtilitiesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pre-commit hook runs and its tags land in the log configuration") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dir = TestSpark.tmpDir("hooked")
+    li.write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "2000")
+      .option("hook.counter", classOf[CountingHook].getName)
+      .save(dir)
+    val snap = graft.log.QbeastLog.snapshot(dir, spark.sparkContext.hadoopConfiguration)
+    assert(snap.configuration("qbeast.hook.counter.rows") == "6000")
+    assert(snap.configuration.contains("qbeast.hook.counter.fileCount"))
+  }
+
+  test("auto column selection picks weakly correlated numeric columns") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cols = graft.index.ColumnsToIndexSelector.selectColumnsToIndex(li, 2)
+    assert(cols.size == 2)
+    assert(cols.forall(li.schema.fieldNames.contains))
+    // end-to-end: write with auto selection enabled and no explicit columns
+    spark.conf.set("spark.qbeast.index.columnsToIndex.auto", "true")
+    spark.conf.set("spark.qbeast.index.columnsToIndex.auto.max", "2")
+    val dir = TestSpark.tmpDir("autosel")
+    try {
+      li.write.format("qbeast").option("cubeSize", "2000").save(dir)
+      val t = graft.table.QbeastTable.forPath(spark, dir)
+      assert(t.indexedColumns().size == 2)
+      assert(spark.read.format("qbeast").load(dir).count() == 6000)
+    } finally {
+      spark.conf.set("spark.qbeast.index.columnsToIndex.auto", "false")
+    }
+  }
+
+  test("numeric and string quantile computation produce sorted covering arrays") {
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val numQ = graft.utils.QbeastUtils.computeQuantilesForColumn(part, "p_retailprice", 10)
+    val nums = numQ.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble)
+    assert(nums.length > 2 && nums.sameElements(nums.sorted))
+    val strQ = graft.utils.QbeastUtils.computeStringQuantilesForColumn(part, "p_brand", 10)
+    assert(strQ.startsWith("[\"") && strQ.endsWith("\"]"))
+  }
+
+}
