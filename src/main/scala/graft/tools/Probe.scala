@@ -141,3 +141,41 @@ object HookProbe {
       .save(d1 + "/bad") match { case _ => }
   }
 }
+
+/** Plan inspection: pushed filters, codegen spans, join strategies. */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val li = graft.QTables.qbeast(spark, sf, "lineitem")
+    val o = graft.QTables.qbeast(spark, sf, "orders")
+
+    def section(name: String, plan: String, keys: Seq[String]): Unit = {
+      println(s"== $name ==")
+      plan.linesIterator.filter(l => keys.exists(l.contains)).take(12).foreach(l => println("  " + l.trim.take(160)))
+    }
+
+    val q1 = li.filter(col("l_orderkey") <= 1500 && col("l_extendedprice") > 2000)
+      .select("l_orderkey","l_quantity")
+    section("filter+project", q1.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      Seq("PushedFilters", "ReadSchema", "WholeStageCodegen"))
+
+    val q2 = li.join(broadcast(o), li("l_orderkey")===o("o_orderkey")).groupBy("o_orderpriority").count()
+    section("broadcast join", q2.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      Seq("BroadcastHashJoin", "WholeStageCodegen", "Exchange"))
+
+    val q3 = li.sample(0.01).agg(sum("l_quantity"))
+    section("sample pushdown", q3.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      Seq("Filter", "hash", "PushedFilters", "partial"))
+
+    val q4 = li.groupBy("l_returnflag").agg(sum("l_quantity"))
+    section("agg partial", q4.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      Seq("HashAggregate", "Exchange", "WholeStageCodegen"))
+    spark.stop()
+  }
+}
