@@ -236,6 +236,14 @@ object SparkEntry {
       ops.Streaming.windowedAgg(s, s"$dir/events.parquet")),
     "s02_stream_sessions" -> ((s, dir) =>
       ops.Streaming.sessionize(s, s"$dir/events.parquet")),
+    "s03_stream_ingest" -> ((s, dir) => {
+      QTables.ensureExtensions(s)
+      val sfName = new java.io.File(dir).getName
+      ops.Streaming.ingestToQbeast(s, s"$dir/events.parquet",
+          s"/tmp/graft_qbeast/$sfName/events_streamed")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dec(col("value")).as("sv"))
+    }),
     // ---- dedup (documents) ----------------------------------------------
     "t01_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exactDedup(QTables.raw(s, dir, "documents"), "doc_id", "text")),
@@ -429,6 +437,10 @@ object SparkEntry {
         |epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap FROM events)
         |SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
         |AS sessions, count(*) AS n FROM x GROUP BY 1""".stripMargin,
+    "s03_stream_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1""".stripMargin,
     "t01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,

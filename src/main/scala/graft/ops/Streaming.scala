@@ -59,6 +59,23 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Stream the events table into a qbeast-indexed table via the
+   * `writeStream.format("qbeast")` sink; returns the indexed table. */
+  def ingestToQbeast(spark: SparkSession, eventsPath: String, tableDir: String): DataFrame = {
+    if (!graft.log.QbeastLog.exists(tableDir, spark.sparkContext.hadoopConfiguration)) {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+      val q = eventsStream(spark, eventsPath).writeStream.format("qbeast")
+        .option("checkpointLocation", ckpt)
+        .option("columnsToIndex", "user_id,event_id")
+        .option("cubeSize", "5000")
+        .option("path", tableDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.format("qbeast").load(tableDir)
+  }
+
   /** Per-user session counts (sessions split at gaps > 30 min), computed
    * with `flatMapGroupsWithState` over a streaming read — the canonical
    * custom-state pattern; state persists across micro-batches. */

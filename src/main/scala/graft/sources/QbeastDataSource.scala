@@ -8,6 +8,7 @@ import graft.write.QbeastWriter
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.sources.StreamSinkProvider
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 
@@ -21,9 +22,23 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 class QbeastDataSource
     extends RelationProvider
     with CreatableRelationProvider
+    with StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "qbeast"
+
+  /** `writeStream.format("qbeast")`: indexed streaming ingestion with
+   * exactly-once batch commits (txn keys). */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' is required for a qbeast stream sink"))
+    val appId = parameters.getOrElse("checkpointLocation", path)
+    new QbeastStreamSink(path, appId, parameters)
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

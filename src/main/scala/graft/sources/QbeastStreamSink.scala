@@ -1,0 +1,38 @@
+package graft.sources
+
+import graft.core.model.QbeastOptions
+import graft.write.QbeastWriter
+
+import org.apache.spark.sql.{DataFrame, GraftShims, SaveMode}
+import org.apache.spark.sql.execution.streaming.Sink
+
+/**
+ * Structured Streaming sink: `writeStream.format("qbeast")` appends each
+ * micro-batch through the indexed write pipeline. Exactly-once on
+ * retries falls out of the commit log's txn idempotency keys
+ * (appId = checkpoint location, version = batchId) — the reference is
+ * batch-only (`QbeastAnalysis.scala:49`); this extends its lifecycle to
+ * streams without new commit machinery.
+ */
+private[sources] class QbeastStreamSink(
+    path: String,
+    appId: String,
+    parameters: Map[String, String])
+    extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = GraftShims.asBatchDataFrame(data)
+    val defaultCubeSize = spark.conf.getOption("spark.qbeast.index.defaultCubeSize")
+      .map(_.toInt).getOrElse(QbeastOptions.DefaultCubeSize)
+    val options = QbeastOptions(
+      parameters ++ Map(
+        QbeastOptions.TxnAppId -> s"qbeast-stream-$appId",
+        QbeastOptions.TxnVersion -> batchId.toString),
+      defaultCubeSize)
+    QbeastWriter.save(spark, path, batch, options, SaveMode.Append)
+  }
+
+  override def toString: String = s"QbeastStreamSink[$path]"
+
+}

@@ -179,3 +179,34 @@ object PlanProbe {
     spark.stop()
   }
 }
+
+/** Probe: streaming sink exactly-once across query restarts. */
+object SinkProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val src = java.nio.file.Files.createTempDirectory("sinkprobe-src").toString
+    val tbl = java.nio.file.Files.createTempDirectory("sinkprobe-tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sinkprobe-ckpt").toString
+    li.write.parquet(src + "/f1")
+    def runOnce(): Long = {
+      val q = spark.readStream.schema(li.schema).parquet(src + "/*")
+        .writeStream.format("qbeast")
+        .option("checkpointLocation", ckpt)
+        .option("columnsToIndex", "l_orderkey,l_extendedprice")
+        .option("path", tbl).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.format("qbeast").load(tbl).count()
+    }
+    val n1 = runOnce()
+    val n2 = runOnce()   // restart, same checkpoint: no new data -> no dupes
+    li.write.parquet(src + "/f2")  // new file arrives
+    val n3 = runOnce()
+    println(s"[sinkprobe] first=$n1 restart=$n2 afterNewFile=$n3 (expect 6000/6000/12000)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,21 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Access to `private[sql]` session internals needed by the streaming
+ * sink (same trick the reference plays by living partly in
+ * `org.apache.spark.qbeast` — see its `core/src/main/scala/org/apache/
+ * spark/qbeast/config/config.scala`). */
+object GraftShims {
+
+  /** Re-wrap a micro-batch's rows as a non-streaming DataFrame. */
+  def asBatchDataFrame(df: DataFrame): DataFrame = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = classicDf.sparkSession
+    spark.internalCreateDataFrame(
+      classicDf.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
+}
