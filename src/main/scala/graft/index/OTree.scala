@@ -28,19 +28,30 @@ final class LocalOTreeBuilder(dims: Int, groupCubeSize: Int, bufferCapacity: Int
   private val occupancy = mutable.HashMap.empty[CubeId, Int]
   private val domains = mutable.HashMap.empty[CubeId, Long]
   private val bufPoints = new mutable.ArrayBuffer[Array[Double]](math.min(bufferCapacity, 1 << 16))
-  private val bufWeights = new mutable.ArrayBuffer[Int](math.min(bufferCapacity, 1 << 16))
+  // (weight << 32 | index) packed for a primitive no-boxing sort
+  private var bufKeys = new Array[Long](math.min(bufferCapacity, 1 << 16))
+  private var bufSize = 0
 
   def add(point: Array[Double], weight: Int): Unit = {
     bufPoints += point
-    bufWeights += weight
-    if (bufPoints.length >= bufferCapacity) flush()
+    if (bufSize == bufKeys.length)
+      bufKeys = java.util.Arrays.copyOf(bufKeys, bufKeys.length * 2)
+    // flip the int sign bit so the packed long sorts by signed weight
+    bufKeys(bufSize) =
+      (((weight ^ Int.MinValue).toLong & 0xffffffffL) << 32) | bufSize.toLong
+    bufSize += 1
+    if (bufSize >= bufferCapacity) flush()
   }
 
   private def flush(): Unit = {
-    val order = bufPoints.indices.sortBy(bufWeights)
-    order.foreach(i => place(bufPoints(i)))
+    java.util.Arrays.sort(bufKeys, 0, bufSize)
+    var i = 0
+    while (i < bufSize) {
+      place(bufPoints((bufKeys(i) & 0xffffffffL).toInt))
+      i += 1
+    }
     bufPoints.clear()
-    bufWeights.clear()
+    bufSize = 0
   }
 
   private def place(point: Array[Double]): Unit = {

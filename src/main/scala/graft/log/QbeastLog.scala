@@ -69,40 +69,60 @@ final case class QbeastSnapshot(
  * re-reads and retries (reference behavior: `DeltaMetadataWriter.scala`
  * optimistic retry loop, minus Delta).
  *
- * Scale note: snapshot replay is O(total log lines) on the driver, like
- * Delta without checkpoints; checkpointing can be layered on by writing a
- * consolidated `.checkpoint.json` — the protocol leaves room for it.
+ * Scale note: snapshot replay starts at the latest consolidated
+ * checkpoint (written every CheckpointInterval commits), so driver work
+ * is O(live files + commit tail), not O(table history).
  */
 object QbeastLog {
 
   val LogDirName = "_qbeast_log"
+
+  /** Write a consolidated checkpoint every N commits so snapshot replay
+   * is O(checkpoint + tail), not O(all commits) — the Delta-checkpoint
+   * pattern; matters once streaming ingestion produces one commit per
+   * micro-batch. */
+  val CheckpointInterval = 20
 
   def logDir(tablePath: String) = new Path(tablePath, LogDirName)
 
   private def versionFile(tablePath: String, v: Long): Path =
     new Path(logDir(tablePath), f"$v%020d.json")
 
+  private def checkpointFile(tablePath: String, v: Long): Path =
+    new Path(logDir(tablePath), f"$v%020d.checkpoint.json")
+
   def exists(tablePath: String, conf: Configuration): Boolean = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(conf)
-    fs.exists(dir) && listVersions(fs, dir).nonEmpty
+    fs.exists(dir) && listVersions(fs, dir)._1.nonEmpty
   }
 
-  private def listVersions(fs: FileSystem, dir: Path): Seq[Long] = {
-    if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
-      .map(_.stripSuffix(".json").toLong)
-      .sorted
+  private def listVersions(fs: FileSystem, dir: Path): (Seq[Long], Seq[Long]) = {
+    if (!fs.exists(dir)) return (Nil, Nil)
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val commits = names
+      .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json") &&
+        n.stripSuffix(".json").forall(_.isDigit))
+      .map(_.stripSuffix(".json").toLong).sorted
+    val checkpoints = names
+      .filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json")).filter(_.forall(_.isDigit))
+      .map(_.toLong).sorted
+    (commits, checkpoints)
   }
 
-  /** Replay the log into a snapshot. Empty/missing log → empty snapshot. */
+  /** Replay the log into a snapshot, starting from the latest checkpoint
+   * if one exists. Empty/missing log → empty snapshot. */
   def snapshot(tablePath: String, conf: Configuration): QbeastSnapshot = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(conf)
-    val versions = listVersions(fs, dir)
-    if (versions.isEmpty)
+    val (allVersions, checkpoints) = listVersions(fs, dir)
+    val fromCheckpoint = checkpoints.lastOption
+    val versions = fromCheckpoint match {
+      case Some(cv) => allVersions.filter(_ > cv)
+      case None => allVersions
+    }
+    if (allVersions.isEmpty)
       return QbeastSnapshot(tablePath, -1L, None, Map.empty, Map.empty, Vector.empty,
         Map.empty)
 
@@ -116,8 +136,8 @@ object QbeastLog {
       revisions.get(rid).map(r => math.max(r.dimensionCount, 1)).getOrElse(1)
     }
 
-    versions.foreach { v =>
-      val in = fs.open(versionFile(tablePath, v))
+    def replay(path: Path): Unit = {
+      val in = fs.open(path)
       val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
       try {
         var line = reader.readLine()
@@ -136,8 +156,38 @@ object QbeastLog {
       } finally reader.close()
     }
 
-    QbeastSnapshot(tablePath, versions.last, schema, configuration, revisions.toMap,
-      files.values.toVector, txns.toMap)
+    fromCheckpoint.foreach(cv => replay(checkpointFile(tablePath, cv)))
+    versions.foreach(v => replay(versionFile(tablePath, v)))
+
+    val snap = QbeastSnapshot(tablePath, allVersions.last, schema, configuration,
+      revisions.toMap, files.values.toVector, txns.toMap)
+    maybeCheckpoint(fs, snap, fromCheckpoint.getOrElse(-1L))
+    snap
+  }
+
+  /** Write a consolidated checkpoint at the current version if the tail
+   * since the last checkpoint grew past the interval. Readers race here
+   * harmlessly: CREATE_NEW means one winner, content is deterministic. */
+  private def maybeCheckpoint(
+      fs: FileSystem,
+      snap: QbeastSnapshot,
+      lastCheckpoint: Long): Unit = {
+    if (snap.version - lastCheckpoint < CheckpointInterval) return
+    val target = checkpointFile(snap.tablePath, snap.version)
+    val actions: Seq[LogAction] =
+      snap.schema.map(sc => MetaDataAction(sc.json, snap.configuration)).toSeq ++
+        snap.revisions.values.toSeq.sortBy(_.revisionID).map(RevisionAction) ++
+        snap.txns.toSeq.map { case (a, v) => TxnAction(a, v) } ++
+        snap.files.map(f => AddFileAction(f, dataChange = false))
+    val payload = actions.map(QbeastLogSerde.actionToJsonLine).mkString("", "\n", "\n")
+    try {
+      val out = fs.create(target, false)
+      try out.write(payload.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+      // another reader already checkpointed this version
+    }
   }
 
   /** Atomically commit `actions` as version `expectedVersion + 1`.

@@ -103,6 +103,27 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /** Delete data files that are no longer referenced by the log (orphans
+   * from lost commit races, removed files from overwrite/optimize).
+   * Keeps anything newer than `retainMillis` to avoid deleting files of
+   * in-flight writers. */
+  def vacuum(retainMillis: Long = 0L): Int = {
+    val s = snapshot
+    val live = s.files.map(_.path).toSet
+    val dir = new Path(tablePath)
+    val fs = dir.getFileSystem(conf)
+    val cutoff = System.currentTimeMillis() - retainMillis
+    var deleted = 0
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") && !live.contains(name) &&
+        st.getModificationTime < cutoff) {
+        if (fs.delete(st.getPath, false)) deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** Structural metrics of one revision's index (reference:
    * `core/.../spark/utils/IndexMetrics.scala`). */
   def indexMetrics(revisionID: Long = -1L): IndexMetrics = {

@@ -210,3 +210,33 @@ object SinkProbe {
     spark.stop()
   }
 }
+
+/** Probe: log checkpoint after many appends + vacuum via facade. */
+object CkptProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ckptprobe").toString
+    (1 to 50).map(i => (i.toLong, i*1.0)).toDF("a","b").write.format("qbeast")
+      .option("columnsToIndex","a,b").save(dir)
+    (1 to 24).foreach { k =>
+      (1 to 5).map(i => ((k*100+i).toLong, i*1.0)).toDF("a","b")
+        .write.format("qbeast").mode("append").save(dir)
+    }
+    val logs = new java.io.File(dir, "_qbeast_log").list().sorted
+    val ckpts = logs.count(_.endsWith(".checkpoint.json"))
+    val n = spark.read.format("qbeast").load(dir).count()
+    // overwrite then vacuum
+    (1 to 7).map(i => (i.toLong, i*1.0)).toDF("a","b").write.format("qbeast")
+      .mode("overwrite").save(dir)
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    val deleted = t.vacuum()
+    val after = spark.read.format("qbeast").load(dir).count()
+    println(s"[ckptprobe] checkpoints=$ckpts rows=$n (expect 170) vacuumed=$deleted afterOverwrite=$after (expect 7)")
+    spark.stop()
+  }
+}

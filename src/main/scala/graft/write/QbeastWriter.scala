@@ -98,9 +98,9 @@ object QbeastWriter {
     // written, not after
     val hooks = PreCommitHook.loadHooks(options.extra)
     val isOverwrite = mode == SaveMode.Overwrite && !snapshot.isEmpty
-    val existingRevision =
-      if (isOverwrite) None
-      else snapshot.lastRevision.filterNot(_.isStaging)
+    // overwrite keeps the table's indexing config (columns/cubeSize are
+    // reused unless re-specified); it only replaces the data files
+    val existingRevision = snapshot.lastRevision.filterNot(_.isStaging)
 
     // reference #25: optional automatic column selection on first write
     val options1 =
@@ -122,7 +122,7 @@ object QbeastWriter {
     val isNewRevision = isNewRevision0 || (revision1 ne revision)
 
     val existingStatus =
-      if (!isNewRevision) Some(snapshot.indexStatus(revision1.revisionID))
+      if (!isNewRevision && !isOverwrite) Some(snapshot.indexStatus(revision1.revisionID))
       else None
 
     val files = index(spark, tablePath, data, revision1, existingStatus, numElements)
@@ -204,47 +204,44 @@ object QbeastWriter {
           revision.desiredCubeSize)
     }
 
-    // ---- pass 2: cube assignment + rollup target file ----
-    val bWeights = spark.sparkContext.broadcast(cubeWeights)
-    val assignUdf = udf { (coords: Seq[Double], w: Int) =>
-      val point = coords.toArray
-      OTreeAlgorithm.findTargetCube(point, w, bWeights.value).bytes
-    }
-
+    // ---- pass 2: cube assignment + rollup target file (ONE udf/row) ----
     val rollup = OTreeAlgorithm.computeRollup(
       if (estCounts.nonEmpty) estCounts
       else Map(CubeId.root(dims) -> math.max(numElements, 1L)),
       revision.desiredCubeSize.toLong)
     val uuidByCube: Map[CubeId, String] =
       rollup.values.toSet.map((c: CubeId) => c -> java.util.UUID.randomUUID().toString).toMap
-    val fileByCube: Map[String, String] = rollup.map { case (cube, target) =>
-      cube.toString -> uuidByCube(target)
+    val fileByCube: Map[CubeId, String] = rollup.map { case (cube, target) =>
+      cube -> uuidByCube(target)
     }
-    val bFiles = spark.sparkContext.broadcast(fileByCube)
     val defaultFile = uuidByCube.getOrElse(CubeId.root(dims),
       java.util.UUID.randomUUID().toString)
-    val fileUdf = udf { (cubeBytes: Array[Byte]) =>
-      val cube = CubeId.fromBytes(dims, cubeBytes)
-      bFiles.value.getOrElse(cube.toString, {
-        // cube unseen at rollup time (fresh leaf): roll into nearest known ancestor
-        var c = cube
-        var found: Option[String] = None
-        while (found.isEmpty && !c.isRoot) {
-          c = c.parent.get
-          found = bFiles.value.get(c.toString)
-        }
-        found.getOrElse(defaultFile)
-      })
+    val bWeights = spark.sparkContext.broadcast(cubeWeights)
+    val bFiles = spark.sparkContext.broadcast(fileByCube)
+
+    // one pass per row: target cube + rollup file together
+    val assignUdf = udf { (coords: Seq[Double], w: Int) =>
+      val point = coords.toArray
+      val cube = OTreeAlgorithm.findTargetCube(point, w, bWeights.value)
+      val files = bFiles.value
+      var c = cube
+      var file = files.getOrElse(c, null)
+      // cube unseen at rollup time (fresh leaf): nearest known ancestor
+      while (file == null && !c.isRoot) {
+        c = c.parent.get
+        file = files.getOrElse(c, null)
+      }
+      (cube.bytes, if (file == null) defaultFile else file)
     }
 
     val dataSchema = data.schema
     val n = dataSchema.length
     val tagged = data
-      .withColumn(QbeastColumns.cubeColumnName,
-        assignUdf(array(coordCols: _*), weightCol))
+      .withColumn("_qbeastAssign", assignUdf(array(coordCols: _*), weightCol))
+      .withColumn(QbeastColumns.cubeColumnName, col("_qbeastAssign._1"))
       .withColumn(QbeastColumns.weightColumnName, weightCol)
-      .withColumn(QbeastColumns.fileUUIDColumnName,
-        fileUdf(col(QbeastColumns.cubeColumnName)))
+      .withColumn(QbeastColumns.fileUUIDColumnName, col("_qbeastAssign._2"))
+      .drop("_qbeastAssign")
       .repartition(col(QbeastColumns.fileUUIDColumnName))
 
     // ---- pass 3: physical write with per-cube block accounting ----

@@ -1,0 +1,48 @@
+package graft
+
+import graft.log.QbeastLog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LogCheckpointSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("many commits trigger a checkpoint; snapshot state is identical") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("ckpt-log")
+    val df0 = (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+    df0.write.format("qbeast").option("columnsToIndex", "a,b")
+      .option("cubeSize", "1000").save(dir)
+    (1 to QbeastLog.CheckpointInterval + 2).foreach { k =>
+      (1 to 10).map(i => ((k * 100 + i).toLong, i * 1.0)).toDF("a", "b")
+        .write.format("qbeast").mode("append").save(dir)
+    }
+    // a checkpoint file must exist now
+    val logFiles = new java.io.File(dir, "_qbeast_log").list().toSeq
+    assert(logFiles.exists(_.endsWith(".checkpoint.json")),
+      s"no checkpoint in $logFiles")
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() == 50 + (QbeastLog.CheckpointInterval + 2) * 10)
+    // sanity: snapshot from checkpoint equals full state
+    val snap = QbeastLog.snapshot(dir, spark.sparkContext.hadoopConfiguration)
+    assert(snap.files.map(_.elementCount).sum == back.count())
+  }
+
+  test("vacuum deletes unreferenced files only") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("vacuum")
+    val df = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+    df.write.format("qbeast").option("columnsToIndex", "a,b")
+      .option("cubeSize", "200").save(dir)
+    // overwrite leaves the first write's files as removed-but-present
+    df.filter("a <= 10").write.format("qbeast").mode("overwrite").save(dir)
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    val before = new java.io.File(dir).list().count(_.endsWith(".parquet"))
+    val deleted = t.vacuum()
+    val after = new java.io.File(dir).list().count(_.endsWith(".parquet"))
+    assert(deleted > 0 && after == before - deleted)
+    assert(spark.read.format("qbeast").load(dir).count() == 10)
+  }
+
+}
