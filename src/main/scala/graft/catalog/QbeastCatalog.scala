@@ -93,7 +93,19 @@ class QbeastCatalog extends CatalogExtension {
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = delegate match {
     case Some(d) => d.alterTable(ident, changes: _*)
-    case None => loadTable(ident)
+    case None =>
+      // reference #30: ALTER TABLE SET/UNSET TBLPROPERTIES
+      val table = QbeastCatalog.standaloneTables.getOrElse(key(ident),
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Seq(catalogName) ++ ident.namespace() :+ ident.name()))
+      val props = changes.foldLeft(table.tableProperties) {
+        case (acc, set: TableChange.SetProperty) => acc + (set.property() -> set.value())
+        case (acc, rm: TableChange.RemoveProperty) => acc - rm.property()
+        case (acc, _) => acc
+      }
+      val updated = table.copy(tableProperties = props)
+      QbeastCatalog.standaloneTables.put(key(ident), updated)
+      updated
   }
 
   override def dropTable(ident: Identifier): Boolean = delegate match {
@@ -193,4 +205,8 @@ object QbeastCatalog {
   /** Identifier → table for standalone-mode catalogs (table data +
    * metadata live in the table's own log; this is just the name map). */
   private[catalog] val standaloneTables = TrieMap.empty[(String, String), QbeastTableImpl]
+
+  /** Location of a standalone-catalog table, for tooling. */
+  def tableLocation(namespace: String, name: String): Option[String] =
+    standaloneTables.get((namespace, name)).map(_.location)
 }

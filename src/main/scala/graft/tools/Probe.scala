@@ -240,3 +240,55 @@ object CkptProbe {
     spark.stop()
   }
 }
+
+/** Probe: CTAS + saveAsTable option propagation (SURVEY #24). */
+object CtasProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .createOrReplaceTempView("li_src")
+    // CTAS with options
+    try {
+      spark.sql(s"""CREATE TABLE qbeast_catalog.default.ctas1
+        USING qbeast OPTIONS ('columnsToIndex'='l_orderkey,l_extendedprice','cubeSize'='1000')
+        LOCATION '${java.nio.file.Files.createTempDirectory("ctas1")}'
+        AS SELECT l_orderkey, l_extendedprice FROM li_src""")
+      val n = spark.sql("SELECT count(*) FROM qbeast_catalog.default.ctas1").head.getLong(0)
+      val cols = graft.table.QbeastTable.forPath(spark,
+        graft.catalog.QbeastCatalog.tableLocation("default","ctas1").getOrElse("?")).indexedColumns()
+      println(s"[ctas] rows=$n indexedCols=$cols")
+    } catch { case e: Exception => println(s"[ctas] FAILED: ${e.getMessage.linesIterator.next()}") }
+    spark.stop()
+  }
+}
+
+/** Probe: df.write.saveAsTable option propagation. */
+object SaveAsTableProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey","l_extendedprice")
+    try {
+      li.write.format("qbeast")
+        .option("columnsToIndex","l_orderkey,l_extendedprice")
+        .option("cubeSize","1000")
+        .option("path", java.nio.file.Files.createTempDirectory("sat1").toString)
+        .saveAsTable("qbeast_catalog.default.sat1")
+      val n = spark.sql("SELECT count(*) FROM qbeast_catalog.default.sat1").head.getLong(0)
+      val loc = graft.catalog.QbeastCatalog.tableLocation("default","sat1").getOrElse("?")
+      val cols = graft.table.QbeastTable.forPath(spark, loc).indexedColumns()
+      println(s"[sat] rows=$n indexedCols=$cols")
+    } catch { case e: Exception => println(s"[sat] FAILED: ${e.getMessage.linesIterator.next()}") }
+    spark.stop()
+  }
+}

@@ -49,6 +49,22 @@ class CatalogSpec extends AnyFunSuite {
     assert(math.abs(s5 - 300) <= 60, s"5% of 6000 expected ~300, got $s5")
   }
 
+  test("CTAS and ALTER TABLE SET TBLPROPERTIES") {
+    val loc = TestSpark.tmpDir("cat-ctas")
+    spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .createOrReplaceTempView("part_src")
+    spark.sql(s"""CREATE TABLE qbeast_catalog.default.part_ctas
+      USING qbeast OPTIONS ('columnsToIndex'='p_partkey,p_retailprice')
+      LOCATION '$loc' AS SELECT p_partkey, p_retailprice FROM part_src""")
+    val n = spark.sql("SELECT count(*) FROM qbeast_catalog.default.part_ctas").head.getLong(0)
+    assert(n == spark.table("part_src").count())
+    spark.sql("ALTER TABLE qbeast_catalog.default.part_ctas SET TBLPROPERTIES ('x'='1')")
+    val t = spark.sessionState.catalogManager.catalog("qbeast_catalog")
+      .asInstanceOf[graft.catalog.QbeastCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("default"), "part_ctas"))
+    assert(t.properties().get("x") == "1")
+  }
+
   test("INSERT OVERWRITE replaces content") {
     val loc = TestSpark.tmpDir("cat-overwrite")
     spark.sql(s"""CREATE TABLE qbeast_catalog.default.ow (a BIGINT, b DOUBLE)
