@@ -292,3 +292,41 @@ object SaveAsTableProbe {
     spark.stop()
   }
 }
+
+/** Scale probe: synthesize 10M rows, index them, measure write
+ * throughput and pruning (16x the bench SF). */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val n = 10000000L
+    val df = spark.range(n).select(
+      col("id"),
+      (rand(42) * 1000000).as("x"),
+      (randn(7) * 100 + 500).as("y"),
+      concat(lit("payload_"), col("id")).as("s"))
+    val dir = java.nio.file.Files.createTempDirectory("scale10m").toString
+    val t0 = System.nanoTime()
+    df.write.format("qbeast")
+      .option("columnsToIndex", "x,y")
+      .option("cubeSize", "100000")
+      .save(dir)
+    val dt = (System.nanoTime() - t0) / 1e9
+    val back = spark.read.format("qbeast").load(dir)
+    val files = back.inputFiles.length
+    def filesOf(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(input_file_name()).distinct().count()
+    val f001 = filesOf(back.sample(0.001))
+    val f01 = filesOf(back.sample(0.01))
+    val t1 = System.nanoTime(); val full = back.agg(sum("y")).head.getDouble(0); val tf = (System.nanoTime()-t1)/1e9
+    val t2 = System.nanoTime(); val samp = back.sample(0.01).agg(avg("y")).head.getDouble(0); val ts = (System.nanoTime()-t2)/1e9
+    println(f"[scale] rows=$n write=${dt}%.1fs (${n/dt/1e6}%.2fM rows/s) files=$files")
+    println(f"[scale] sample(0.001) reads $f001/$files files; sample(0.01) reads $f01/$files")
+    println(f"[scale] full-agg=${tf}%.2fs sampled-agg=${ts}%.2fs speedup=${tf/ts}%.1fx avgErr=${math.abs(samp - full/n)/(full/n)*100}%.3f%%")
+    spark.stop()
+  }
+}
