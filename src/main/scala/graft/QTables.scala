@@ -23,6 +23,28 @@ object QTables {
     // reader can't load as timestamp — index the long ids instead
     "events" -> ("user_id,event_id", 5000))
 
+  /** Variant index layouts (table, variant) → (source, columns, cubeSize):
+   * 3-dim with a Timestamp dimension; hash-indexed string dimension. */
+  val variantSpecs: Map[String, (String, String, Int)] = Map(
+    "lineitem_3d" -> ("lineitem", "l_orderkey,l_extendedprice,l_shipdate", 5000),
+    "customer_hash" -> ("customer", "c_mktsegment:hashing,c_custkey", 2000))
+
+  def qbeastVariant(spark: SparkSession, sfDir: String, variant: String): DataFrame = {
+    ensureExtensions(spark)
+    val (source, cols, cubeSize) = variantSpecs(variant)
+    val path = cachePath(sfDir, variant)
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, source).write.format("qbeast")
+          .option("columnsToIndex", cols)
+          .option("cubeSize", cubeSize.toString)
+          .mode("overwrite")
+          .save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   private val lock = new Object
 
   def raw(spark: SparkSession, sfDir: String, table: String): DataFrame = {

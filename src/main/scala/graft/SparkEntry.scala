@@ -191,6 +191,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
           dec(col("l_extendedprice")).as("sum_price"))
     }),
+    // ---- transformer variants --------------------------------------------
+    "q30_timestamp_index" -> ((s, dir) => {
+      // 3-dim index incl. Timestamp (linear over micros); date-range scan
+      QTables.qbeastVariant(s, dir, "lineitem_3d")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")) &&
+          col("l_orderkey") < 100000)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+    "q31_hash_index" -> ((s, dir) => {
+      // hash-transformed string dimension; equality predicate prunes
+      QTables.qbeastVariant(s, dir, "customer_hash")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .agg(count(lit(1)).as("n"), dec(col("c_acctbal")).as("sum_bal"))
+    }),
+    "q32_random_split" -> ((s, dir) => {
+      // deterministic hash-range splits partition the table exactly
+      val li = QTables.qbeast(s, dir, "lineitem")
+      val Array(a, b) = li.randomSplit(Array(0.3, 0.7))
+      a.union(b).agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
     // ---- SQL catalog surface ---------------------------------------------
     "q27_sql_catalog" -> ((s, dir) => {
       val table = QTables.catalogTable(s, dir)
@@ -408,6 +430,18 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q30_timestamp_index" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |AND l_orderkey < 100000 GROUP BY 1""".stripMargin,
+    "q31_hash_index" ->
+      """SELECT count(*) AS n,
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q32_random_split" ->
+      "SELECT count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem",
     "q27_sql_catalog" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

@@ -3,6 +3,7 @@ package graft.core.transform
 import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.TimestampType
 
 /**
  * Per-column transformer: declares the aggregate statistics needed to
@@ -70,7 +71,10 @@ object Transformer {
   def canonicalColumn(name: String, dataTypeName: String): Column = {
     val c = col(name)
     dataTypeName match {
-      case "timestamp" | "timestamp_ntz" => unix_micros(c).cast(DoubleType)
+      case "timestamp" => unix_micros(c).cast(DoubleType)
+      // NTZ micros == TZ micros under the UTC session; unix_micros only
+      // accepts TIMESTAMP
+      case "timestamp_ntz" => unix_micros(c.cast(TimestampType)).cast(DoubleType)
       case "date" => unix_date(c).cast(DoubleType)
       case _ => c.cast(DoubleType)
     }

@@ -330,3 +330,25 @@ object ScaleProbe {
     spark.stop()
   }
 }
+
+/** Probe: timestamp-dimension and hash-dimension pruning. */
+object VariantPruneProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val li3 = graft.QTables.qbeastVariant(spark, "/root/testdata/sf0.1", "lineitem_3d")
+    def filesOf(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(input_file_name()).distinct().count()
+    val all = li3.inputFiles.length
+    val narrow = li3.filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")))
+    println(s"[vprune] lineitem_3d files=$all shipdate<1995-06: files=${filesOf(narrow)} rows=${narrow.count()}")
+    val ch = graft.QTables.qbeastVariant(spark, "/root/testdata/sf0.1", "customer_hash")
+    val eq = ch.filter(col("c_mktsegment") === "BUILDING")
+    println(s"[vprune] customer_hash files=${ch.inputFiles.length} mktsegment=BUILDING: files=${filesOf(eq)} rows=${eq.count()}")
+    spark.stop()
+  }
+}
