@@ -328,6 +328,13 @@ object SparkEntry {
       ops.Similarity.knnLsh(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
         .select(col("vec_id"), round(col("sim"), 4).as("sim_r"))
     }),
+    "e04_ann_ivf" -> ((s, dir) => {
+      val emb = QTables.raw(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      ops.Similarity.knnIvf(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim_r"))
+    }),
     "e03_embedding_near_dup" -> ((s, dir) => {
       // random test embeddings have no true near-dups; emit the top
       // in-bucket pairs so the operator's output is observable

@@ -90,6 +90,48 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k: k-means centroids partition
+   * the vectors; the query scans only the `nProbe` clusters with the
+   * nearest centroids. At 100 TB the cluster assignment is a write-time
+   * column (data co-located by `repartition(cluster)`), making each
+   * query a partition-pruned scan; here the assignment happens inline.
+   */
+  def knnIvf(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      nClusters: Int = 16,
+      nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = embeddings.withColumn("_vec",
+      array_to_vector(col(embCol).cast("array<double>")))
+    val model = new KMeans().setK(nClusters).setSeed(42L)
+      .setFeaturesCol("_vec").setPredictionCol("_cluster")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+    val centroids = model.clusterCenters
+    val qArr = queryVec.toArray
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      val arr = c.toArray
+      var d = 0.0
+      var j = 0
+      while (j < arr.length && j < qArr.length) {
+        val diff = arr(j) - qArr(j); d += diff * diff; j += 1
+      }
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val sim = Dedup.cosine(col(embCol), lit(qArr))
+    assigned
+      .filter(col("_cluster").isin(probes.toSeq: _*))
+      .select(col(idCol), sim.as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All pairs with cosine ≥ threshold, LSH-blocked (equi-join on bucket;
    * near-identical vectors collide with high probability). */
   def nearDupPairs(
