@@ -55,6 +55,23 @@ class RoundtripSpec extends AnyFunSuite {
     }
   }
 
+  test("sampling accuracy within the reference-enforced ±1% of f·N (sf0.01)") {
+    // mirror of the reference's QbeastSamplingTest.scala:33-53 tolerance
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val dir = TestSpark.tmpDir("qbeast-tol")
+    li.write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "1000")
+      .save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    val n = back.count().toDouble
+    for (f <- Seq(0.1, 0.2, 0.5, 0.7, 0.99)) {
+      val got = back.sample(f).count().toDouble
+      assert(math.abs(got - f * n) <= 0.01 * n,
+        s"fraction $f: got $got, expected ${f * n} ± ${0.01 * n}")
+    }
+  }
+
   test("sampling prunes files") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val dir = TestSpark.tmpDir("qbeast-prune")
