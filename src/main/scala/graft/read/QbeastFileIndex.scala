@@ -66,11 +66,19 @@ object QbeastFileIndex {
    * candidates — they are unindexed, root-only data. */
   def selectFiles(snapshot: QbeastSnapshot, filters: Seq[Expression]): Vector[IndexFile] = {
     val byRevision = snapshot.files.groupBy(_.revisionId)
+    val latestColumns = snapshot.lastRevision.map(_.columnNames)
     byRevision.iterator.flatMap { case (revisionId, files) =>
       snapshot.revisions.get(revisionId).filterNot(_.isStaging) match {
         case None => files // staging or unknown revision: keep everything
         case Some(revision) =>
-          val specs = new QuerySpecBuilder(revision).build(filters)
+          var specs = new QuerySpecBuilder(revision).build(filters)
+          // the sampling hash filter is over the LATEST revision's
+          // columns; block weights of a revision indexed on different
+          // columns say nothing about it — drop the weight constraint
+          // there (space pruning stays valid)
+          if (!latestColumns.contains(revision.columnNames)) {
+            specs = specs.map(_.copy(weightRange = WeightRange.All))
+          }
           if (specs.forall(s => s.weightRange.isAll && s.querySpace == AllSpace)) files
           else files.filter(f => f.blocks.exists(b => specs.exists(s => blockMatches(b, s))))
       }

@@ -25,39 +25,54 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 class SampleRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
-    case s @ Sample(lower, upper, false, _, child) if hasQbeastRelation(child) =>
-      pushSampleAsFilter(lower, upper, child)
+    // ONLY a linear Project/Filter chain over ONE qbeast relation may be
+    // rewritten (reference `SampleRule.scala:89-107` matches the same
+    // shapes): rewriting below a join/union/agg would sample each side
+    // independently (≈ f² of the join), not f of the result.
+    case s @ Sample(lower, upper, false, _, child) =>
+      linearChainRelation(child) match {
+        case Some((fi, relation)) =>
+          revisionColumns(fi, relation.output) match {
+            case Some(cols) => injectWeightFilter(lower, upper, child, relation)
+            case None => s
+          }
+        case None => s
+      }
   }
 
-  private def hasQbeastRelation(plan: LogicalPlan): Boolean = {
-    var found = false
-    plan.foreach {
-      case LogicalRelation(HadoopFsRelation(_: QbeastFileIndex, _, _, _, _, _), _, _, _, _) =>
-        found = true
-      case _ =>
-    }
-    found
+  /** The single qbeast relation at the bottom of a Project/Filter-only
+   * chain, if that is the plan's shape. */
+  private def linearChainRelation(
+      plan: LogicalPlan): Option[(QbeastFileIndex, LogicalRelation)] = plan match {
+    case r @ LogicalRelation(HadoopFsRelation(fi: QbeastFileIndex, _, _, _, _, _), _, _, _, _) =>
+      Some((fi, r))
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      linearChainRelation(p.child)
+    case f: Filter => linearChainRelation(f.child)
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      linearChainRelation(s.child)
+    case _ => None
   }
 
-  /** Replace the Sample node by weight filters injected directly above
-   * each qbeast relation (below any Project, so the indexed columns are
-   * always in scope). */
-  private def pushSampleAsFilter(
+  /** Replace the Sample node by a weight filter injected directly above
+   * the relation (below any Project, so the indexed columns are always
+   * in scope). */
+  private def injectWeightFilter(
       lower: Double,
       upper: Double,
-      child: LogicalPlan): LogicalPlan = child transformUp {
-    case r @ LogicalRelation(HadoopFsRelation(fi: QbeastFileIndex, _, _, _, _, _), _, _, _, _) =>
-      revisionColumns(fi, r.output) match {
-        case Some(cols) =>
-          val hashExpr = new Murmur3Hash(cols)
-          val minW = Literal(Weight.fromFraction(lower).value)
-          val maxW = Literal(Weight.fromFraction(upper).value)
-          val condition =
-            if (lower <= 0.0) LessThan(hashExpr, maxW)
-            else And(GreaterThanOrEqual(hashExpr, minW), LessThan(hashExpr, maxW))
-          Filter(condition, r)
-        case None => r
-      }
+      child: LogicalPlan,
+      target: LogicalRelation): LogicalPlan = child transformUp {
+    case r: LogicalRelation if r eq target =>
+      val fi = r.relation.asInstanceOf[HadoopFsRelation].location
+        .asInstanceOf[QbeastFileIndex]
+      val cols = revisionColumns(fi, r.output).get
+      val hashExpr = new Murmur3Hash(cols)
+      val minW = Literal(Weight.fromFraction(lower).value)
+      val maxW = Literal(Weight.fromFraction(upper).value)
+      val condition =
+        if (lower <= 0.0) LessThan(hashExpr, maxW)
+        else And(GreaterThanOrEqual(hashExpr, minW), LessThan(hashExpr, maxW))
+      Filter(condition, r)
   }
 
   /** Indexed columns of the latest revision, resolved against the

@@ -352,3 +352,22 @@ object VariantPruneProbe {
     spark.stop()
   }
 }
+
+/** Probe: sample-over-join semantics through the public API. */
+object JoinSampleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = graft.QTables.qbeast(spark, "/root/testdata/sf0.001", "lineitem")
+    val o = graft.QTables.qbeast(spark, "/root/testdata/sf0.001", "orders")
+    val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+    val total = joined.count()
+    val half = joined.sample(0.5).count()
+    val single = li.sample(0.5).count()
+    println(s"[joinsample] joinTotal=$total sample(0.5)=$half (expect ~${total/2}, NOT ~${total/4}); single=$single of ${li.count()}")
+    spark.stop()
+  }
+}
