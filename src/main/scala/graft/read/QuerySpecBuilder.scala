@@ -72,9 +72,14 @@ final class QuerySpecBuilder(revision: Revision) {
   }
 
   private object SamplingHash {
+    /** Only murmur3(exactly the revision's indexed columns, seed 42) is
+     * the row weight; a user's own hash() over other columns says
+     * nothing about block weights and must not prune. */
     def unapply(e: Expression): Boolean = e match {
-      case m: Murmur3Hash if m.seed == 42 &&
-        m.children.forall(_.isInstanceOf[Attribute]) => true
+      case m: Murmur3Hash if m.seed == 42 =>
+        val names = m.children.collect { case a: Attribute => a.name.toLowerCase }
+        names.length == m.children.length &&
+          names == revision.columnNames.map(_.toLowerCase)
       case _ => false
     }
   }

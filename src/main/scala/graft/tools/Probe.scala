@@ -371,3 +371,23 @@ object JoinSampleProbe {
     spark.stop()
   }
 }
+
+/** Probe: user hash() filters on non-indexed columns keep full results. */
+object UserHashProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val li = graft.QTables.qbeast(spark, "/root/testdata/sf0.01", "lineitem")
+    val raw = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val cond = hash(col("l_quantity"), col("l_tax")) < lit(0)
+    val a = li.filter(cond).count(); val b = raw.filter(cond).count()
+    val cond2 = hash(col("l_orderkey"), col("l_extendedprice")) < lit(0)  // IS the weight
+    val c = li.filter(cond2).count(); val d = raw.filter(cond2).count()
+    println(s"[userhash] otherCols qbeast=$a raw=$b match=${a==b}; indexedCols qbeast=$c raw=$d match=${c==d}")
+    spark.stop()
+  }
+}

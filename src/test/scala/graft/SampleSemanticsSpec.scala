@@ -32,6 +32,13 @@ class SampleSemanticsSpec extends AnyFunSuite {
     assert(!optimized.contains("Sample"), "Sample node should be rewritten")
   }
 
+  test("a user's own hash() filter on other columns must not mis-prune") {
+    val li = QTables.qbeast(spark, sf, "lineitem")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cond = hash(col("l_quantity"), col("l_tax")) < lit(0)
+    assert(li.filter(cond).count() === raw.filter(cond).count())
+  }
+
   test("sample over an aggregate is NOT pushed (stock semantics)") {
     val li = QTables.qbeast(spark, sf, "lineitem")
     val agg = li.groupBy("l_orderkey").count().sample(0.5)
