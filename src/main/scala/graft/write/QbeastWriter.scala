@@ -295,7 +295,13 @@ object QbeastWriter {
           val weight = row.getInt(n + 1)
           val uuid = row.getUTF8String(n + 2).toString
           val of = open.getOrElseUpdate(uuid, {
-            val path = new Path(tablePath, s"$uuid.parquet")
+            // attempt-unique name: a speculative/retried task never
+            // collides with another attempt's file; only the attempt
+            // whose IndexFile metadata reaches the commit wins, losers
+            // are unreferenced orphans (vacuum cleans them)
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(_.taskAttemptId()).getOrElse(0L)
+            val path = new Path(tablePath, s"$uuid-a$attempt.parquet")
             OpenFile(factory.newInstance(path.toString, dataSchema, context), path,
               mutable.HashMap.empty)
           })
