@@ -191,6 +191,64 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
           dec(col("l_extendedprice")).as("sum_price"))
     }),
+    // ---- more delegated relational surface (§2B) -------------------------
+    "q33_scalar_subquery" -> ((s, dir) => {
+      QTables.qbeast(s, dir, "lineitem").createOrReplaceTempView("li33")
+      s.sql("""SELECT l_returnflag, count(*) AS n FROM li33
+        WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM li33)
+        GROUP BY l_returnflag""")
+    }),
+    "q34_exists_correlated" -> ((s, dir) => {
+      QTables.qbeast(s, dir, "orders").createOrReplaceTempView("o34")
+      QTables.qbeast(s, dir, "lineitem").createOrReplaceTempView("li34")
+      s.sql("""SELECT o_orderpriority, count(*) AS n FROM o34
+        WHERE EXISTS (SELECT 1 FROM li34 WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority""")
+    }),
+    "q35_having" -> ((s, dir) => {
+      QTables.qbeast(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+        .select("l_orderkey", "n", "sum_qty")
+    }),
+    "q36_outer_join" -> ((s, dir) => {
+      val c = QTables.qbeast(s, dir, "customer")
+      val o = QTables.qbeast(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), count(col("o_orderkey")).as("n_orders"))
+    }),
+    "q37_string_funcs" -> ((s, dir) => {
+      QTables.qbeast(s, dir, "part")
+        .filter(col("p_name").like("%ol%") && col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          length(col("p_name")).cast("long").as("name_len"),
+          lower(col("p_brand")).as("brand_lc"),
+          regexp_replace(col("p_type"), "[aeiou]", "").as("type_novowel"),
+          coalesce(nullif(col("p_brand"), lit("Brand#11")), lit("OTHER")).as("brand_or"))
+    }),
+    "q38_date_arith" -> ((s, dir) => {
+      QTables.qbeastVariant(s, dir, "lineitem_3d")
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          year(col("l_shipdate")).cast("long").as("yr"),
+          dayofmonth(col("l_shipdate")).cast("long").as("dom"),
+          datediff(col("l_shipdate"), lit("1995-01-01")).cast("long").as("days_since"))
+    }),
+    "q39_union_all" -> ((s, dir) => {
+      val li = QTables.qbeast(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "A").select(col("l_orderkey"), col("l_quantity"))
+        .unionAll(li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_quantity")))
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("sq"))
+    }),
+    "q40_cross_join" -> ((s, dir) => {
+      val r = QTables.raw(s, dir, "region").select(col("r_regionkey"))
+      val n = QTables.raw(s, dir, "nation").select(col("n_nationkey"))
+      r.crossJoin(n).agg(count(lit(1)).as("n_pairs"),
+        sum(col("r_regionkey") * col("n_nationkey")).as("s"))
+    }),
     // ---- transformer variants --------------------------------------------
     "q30_timestamp_index" -> ((s, dir) => {
       // 3-dim index incl. Timestamp (linear over micros); date-range scan
@@ -437,6 +495,41 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q33_scalar_subquery" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
+    "q34_exists_correlated" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |AND l_quantity > 45) GROUP BY o_orderpriority""".stripMargin,
+    "q35_having" ->
+      """SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150""".stripMargin,
+    "q36_outer_join" ->
+      """SELECT c_mktsegment, count(*) AS n, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q37_string_funcs" ->
+      """SELECT p_partkey, CAST(len(p_name) AS BIGINT) AS name_len,
+        |lower(p_brand) AS brand_lc,
+        |regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel,
+        |coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS brand_or
+        |FROM part WHERE p_name LIKE '%ol%' AND p_partkey < 500""".stripMargin,
+    "q38_date_arith" ->
+      """SELECT l_orderkey, l_linenumber, CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |CAST(dayofmonth(l_shipdate) AS BIGINT) AS dom,
+        |CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS days_since
+        |FROM lineitem WHERE l_orderkey < 300""".stripMargin,
+    "q39_union_all" ->
+      """SELECT l_orderkey, sum(l_quantity) AS sq FROM (
+        |SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag = 'A'
+        |UNION ALL
+        |SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag = 'R') t
+        |GROUP BY 1""".stripMargin,
+    "q40_cross_join" ->
+      """SELECT count(*) AS n_pairs, sum(r_regionkey * n_nationkey) AS s
+        |FROM region CROSS JOIN nation""".stripMargin,
     "q30_timestamp_index" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem
