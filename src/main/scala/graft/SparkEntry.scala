@@ -349,6 +349,15 @@ object SparkEntry {
           ops.Dedup.jaccard(col("a.toks"), col("b.toks")).as("jaccard"))
         .filter(col("jaccard") >= 0.2)
     }),
+    "t09_dedup_keep_first" -> ((s, dir) => {
+      // the actual dedup output: lowest-id row per distinct content
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      QTables.raw(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     // ---- text analysis ---------------------------------------------------
     "t05_token_count" -> ((s, dir) => {
       val d = QTables.raw(s, dir, "documents")
@@ -578,6 +587,11 @@ object SparkEntry {
     "t01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    "t09_dedup_keep_first" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |SELECT doc_id, lang, source, n_chars,
+        |row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |FROM documents) t WHERE rn = 1""".stripMargin,
     "t04_token_jaccard" ->
       """WITH t AS (SELECT doc_id, lang,
         |list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks

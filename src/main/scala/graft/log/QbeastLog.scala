@@ -112,11 +112,24 @@ object QbeastLog {
   }
 
   /** Replay the log into a snapshot, starting from the latest checkpoint
-   * if one exists. Empty/missing log → empty snapshot. */
-  def snapshot(tablePath: String, conf: Configuration): QbeastSnapshot = {
+   * if one exists. Empty/missing log → empty snapshot.
+   * `asOfVersion ≥ 0` reconstructs the table at that commit (time
+   * travel). */
+  def snapshot(
+      tablePath: String,
+      conf: Configuration,
+      asOfVersion: Long = -1L): QbeastSnapshot = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(conf)
-    val (allVersions, checkpoints) = listVersions(fs, dir)
+    val (allVersions0, checkpoints0) = listVersions(fs, dir)
+    val allVersions =
+      if (asOfVersion >= 0) allVersions0.filter(_ <= asOfVersion) else allVersions0
+    if (asOfVersion >= 0 && !allVersions0.contains(asOfVersion))
+      throw new IllegalArgumentException(
+        s"version $asOfVersion does not exist for qbeast table $tablePath " +
+          s"(have ${allVersions0.headOption.getOrElse(-1L)}..${allVersions0.lastOption.getOrElse(-1L)})")
+    val checkpoints =
+      if (asOfVersion >= 0) checkpoints0.filter(_ <= asOfVersion) else checkpoints0
     val fromCheckpoint = checkpoints.lastOption
     val versions = fromCheckpoint match {
       case Some(cv) => allVersions.filter(_ > cv)
@@ -161,7 +174,7 @@ object QbeastLog {
 
     val snap = QbeastSnapshot(tablePath, allVersions.last, schema, configuration,
       revisions.toMap, files.values.toVector, txns.toMap)
-    maybeCheckpoint(fs, snap, fromCheckpoint.getOrElse(-1L))
+    if (asOfVersion < 0) maybeCheckpoint(fs, snap, fromCheckpoint.getOrElse(-1L))
     snap
   }
 

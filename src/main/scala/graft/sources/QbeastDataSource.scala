@@ -46,7 +46,11 @@ class QbeastDataSource
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("'path' is required to read a qbeast table"))
     val spark = sqlContext.sparkSession
-    val snapshot = QbeastLog.snapshot(path, spark.sparkContext.hadoopConfiguration)
+    // time travel: .option("versionAsOf", N)
+    val asOf = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toLong
+    }.getOrElse(-1L)
+    val snapshot = QbeastLog.snapshot(path, spark.sparkContext.hadoopConfiguration, asOf)
     if (snapshot.isEmpty)
       throw new IllegalArgumentException(s"no qbeast table at $path")
     val fileIndex = new QbeastFileIndex(spark, snapshot)

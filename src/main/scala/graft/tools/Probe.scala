@@ -391,3 +391,25 @@ object UserHashProbe {
     spark.stop()
   }
 }
+
+/** Probe: time travel through the public read option. */
+object TimeTravelProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ttprobe").toString
+    (1 to 500).map(i => (i.toLong, i*1.0)).toDF("a","b").write.format("qbeast")
+      .option("columnsToIndex","a,b").save(dir)
+    (501 to 600).map(i => (i.toLong, i*1.0)).toDF("a","b").write.format("qbeast")
+      .mode("append").save(dir)
+    val now = spark.read.format("qbeast").load(dir).count()
+    val v0 = spark.read.format("qbeast").option("versionAsOf","0").load(dir).count()
+    val bad = try { spark.read.format("qbeast").option("versionAsOf","7").load(dir).count(); "NO ERROR" }
+      catch { case e: Exception => e.getMessage.linesIterator.next().take(60) }
+    println(s"[tt] now=$now v0=$v0 badVersion='$bad'")
+    spark.stop()
+  }
+}
