@@ -20,12 +20,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: build the qbeast table caches + JIT/codegen paths
+    // warm-up: build every cached table + JIT/codegen paths so the timed
+    // section measures queries, not one-off indexing
     val t0 = System.nanoTime()
     QTables.indexSpecs.keys.foreach(t => QTables.qbeast(spark, sfDir, t).count())
+    QTables.variantSpecs.keys.foreach(v => QTables.qbeastVariant(spark, sfDir, v).count())
     QTables.qbeastAppended(spark, sfDir).count()
     QTables.qbeastConverted(spark, sfDir).count()
     QTables.qbeastOptimized(spark, sfDir).count()
+    QTables.qbeastQuantilePart(spark, sfDir).count()
+    QTables.qbeastOrdersWithStats(spark, sfDir).count()
+    QTables.catalogTable(spark, sfDir)
     val indexBuild = (System.nanoTime() - t0) / 1e9
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
