@@ -21,7 +21,9 @@ object QTables {
     "part" -> ("p_partkey,p_retailprice", 2000),
     // ts is TIMESTAMP(NANOS) in the fixtures, which Spark's parquet
     // reader can't load as timestamp — index the long ids instead
-    "events" -> ("user_id,event_id", 5000))
+    "events" -> ("user_id,event_id", 5000),
+    // non-indexable array<float> column passes through untouched
+    "embeddings" -> ("vec_id,label", 2000))
 
   /** Variant index layouts (table, variant) → (source, columns, cubeSize):
    * 3-dim with a Timestamp dimension; hash-indexed string dimension. */

@@ -395,6 +395,14 @@ object SparkEntry {
       ops.Similarity.knnLsh(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
         .select(col("vec_id"), round(col("sim"), 4).as("sim_r"))
     }),
+    "e05_array_passthrough" -> ((s, dir) => {
+      // embeddings written through qbeast: array<float> rides along
+      QTables.qbeast(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col("embedding"), 1).cast("double").cast("decimal(18,6)"))
+            .cast("double").as("s1"))
+    }),
     "e04_ann_ivf" -> ((s, dir) => {
       val emb = QTables.raw(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
@@ -640,6 +648,10 @@ object SparkEntry {
         |WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
         |WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
         |ELSE 'de' END AS lang_detected FROM s""".stripMargin,
+    "e05_array_passthrough" ->
+      """SELECT label, count(*) AS n,
+        |CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS s1
+        |FROM embeddings GROUP BY 1""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS media_type,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum
