@@ -201,10 +201,17 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** Bump when the log/layout format changes so stale caches from a
+   * previous build round are never replayed by newer code. */
+  val CacheFormatVersion = 1
+
   private def cachePath(sfDir: String, table: String): String = {
     val sfName = new java.io.File(sfDir).getName
-    s"/tmp/graft_qbeast/$sfName/$table"
+    s"/tmp/graft_qbeast/v$CacheFormatVersion/$sfName/$table"
   }
+
+  /** Public accessor for tooling/queries that need a cached table's path. */
+  def cachePathFor(sfDir: String, table: String): String = cachePath(sfDir, table)
 
   /** Make the Sample→hash-filter rule active even in sessions built
    * without `spark.sql.extensions` (e.g. the driver's Verify/Bench). */

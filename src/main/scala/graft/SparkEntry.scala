@@ -308,7 +308,7 @@ object SparkEntry {
       QTables.qbeast(s, dir, "lineitem") // ensure table exists
       val sfName = new java.io.File(dir).getName
       val m = graft.table.QbeastTable
-        .forPath(s, s"/tmp/graft_qbeast/$sfName/lineitem").indexMetrics()
+        .forPath(s, QTables.cachePathFor(dir, "lineitem")).indexMetrics()
       Seq(m).toDF()
     }),
     // ---- streaming -------------------------------------------------------
@@ -320,7 +320,7 @@ object SparkEntry {
       QTables.ensureExtensions(s)
       val sfName = new java.io.File(dir).getName
       ops.Streaming.ingestToQbeast(s, s"$dir/events.parquet",
-          s"/tmp/graft_qbeast/$sfName/events_streamed")
+          QTables.cachePathFor(dir, "events_streamed"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dec(col("value")).as("sv"))
     }),
