@@ -324,6 +324,8 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dec(col("value")).as("sv"))
     }),
+    "s04_stream_watermark" -> ((s, dir) =>
+      ops.Streaming.windowedAggWatermarked(s, s"$dir/events.parquet")),
     // ---- dedup (documents) ----------------------------------------------
     "t01_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exactDedup(QTables.raw(s, dir, "documents"), "doc_id", "text")),

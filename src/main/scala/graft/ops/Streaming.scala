@@ -59,6 +59,27 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Watermarked, append-mode windowed aggregation: only windows sealed
+   * by the watermark emit (the late-data pattern). On a finite batch the
+   * trailing windows stay open, so results cover the watermarked prefix. */
+  def windowedAggWatermarked(spark: SparkSession, eventsPath: String): DataFrame = {
+    val stream = eventsStream(spark, eventsPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+        col("n"), col("sv"))
+    val name = s"graft_stream_wm_${counter.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   /** Stream the events table into a qbeast-indexed table via the
    * `writeStream.format("qbeast")` sink; returns the indexed table. */
   def ingestToQbeast(spark: SparkSession, eventsPath: String, tableDir: String): DataFrame = {

@@ -413,3 +413,22 @@ object TimeTravelProbe {
     spark.stop()
   }
 }
+
+/** Probe: append schema enforcement. */
+object SchemaProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("schemaprobe").toString
+    Seq((1L, 1.0)).toDF("a","b").write.format("qbeast").option("columnsToIndex","a,b").save(dir)
+    try { Seq((2L, 2.0, "x")).toDF("a","b","c").write.format("qbeast").mode("append").save(dir); println("[schema] NO ERROR (bad)") }
+    catch { case e: Exception => println(s"[schema] extra-col: ${e.getMessage.linesIterator.next().take(80)}") }
+    // reordered columns append fine
+    Seq((3.0, 3L)).toDF("b","a").write.format("qbeast").mode("append").save(dir)
+    println(s"[schema] reorder append rows=${spark.read.format("qbeast").load(dir).count()} (expect 2)")
+    spark.stop()
+  }
+}

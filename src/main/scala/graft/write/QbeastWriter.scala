@@ -97,6 +97,20 @@ object QbeastWriter {
     // load hooks up front so a bad class name fails before any data is
     // written, not after
     val hooks = PreCommitHook.loadHooks(options.extra)
+    // schema enforcement on append (the reference delegates this to
+    // Delta's metadata layer): same column-name set required; order may
+    // differ (parquet resolves by name)
+    if (mode == SaveMode.Append) {
+      snapshot.schema.foreach { existing =>
+        val have = data.schema.fieldNames.map(_.toLowerCase).toSet
+        val want = existing.fieldNames.map(_.toLowerCase).toSet
+        if (have != want) {
+          throw new IllegalArgumentException(
+            s"cannot append schema ${data.schema.fieldNames.mkString(",")} to table " +
+              s"with schema ${existing.fieldNames.mkString(",")}; use overwrite to change schemas")
+        }
+      }
+    }
     val isOverwrite = mode == SaveMode.Overwrite && !snapshot.isEmpty
     // overwrite keeps the table's indexing config (columns/cubeSize are
     // reused unless re-specified); it only replaces the data files
