@@ -326,6 +326,18 @@ object SparkEntry {
     }),
     "s04_stream_watermark" -> ((s, dir) =>
       ops.Streaming.windowedAggWatermarked(s, s"$dir/events.parquet")),
+    "s05_asof_join" -> ((s, dir) => {
+      val ev = QTables.raw(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tsu"), col("value"))
+      val left = ev.filter(col("event_type") === "error")
+        .select("user_id", "event_id", "tsu")
+      val right = ev.filter(col("event_type") === "signup")
+        .select("user_id", "tsu", "value")
+      ops.AsOfJoin.asofJoin(left, right, "user_id", "tsu",
+        Map("value" -> "signup_value"))
+        .select(col("event_id"), col("user_id"), col("asof_ts"), col("signup_value"))
+    }),
     // ---- dedup (documents) ----------------------------------------------
     "t01_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exactDedup(QTables.raw(s, dir, "documents"), "doc_id", "text")),
@@ -597,6 +609,12 @@ object SparkEntry {
     "t01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    "s05_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(r.ts) AS asof_ts,
+        |r.value AS signup_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') l
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "t09_dedup_keep_first" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |SELECT doc_id, lang, source, n_chars,
