@@ -338,6 +338,27 @@ object SparkEntry {
         Map("value" -> "signup_value"))
         .select(col("event_id"), col("user_id"), col("asof_ts"), col("signup_value"))
     }),
+    "s06_session_window" -> ((s, dir) => {
+      // native session windows (30-min gap) over the events stream shape
+      val ev = QTables.raw(s, dir, "events")
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"), col("n"))
+    }),
+    "s07_range_join" -> ((s, dir) => {
+      // points (prices) joined to a fixed band grid via bucketized equi-join
+      val bands = s.range(0, 6).select(
+        col("id").as("band_id"),
+        (col("id") * 20000.0).as("lo"),
+        ((col("id") + 1) * 20000.0).as("hi"))
+      val li = QTables.qbeast(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      ops.RangeJoin.pointInInterval(li, "l_extendedprice", bands, "lo", "hi", 20000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), dec(col("l_extendedprice")).as("sum_price"))
+    }),
     // ---- dedup (documents) ----------------------------------------------
     "t01_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exactDedup(QTables.raw(s, dir, "documents"), "doc_id", "text")),
@@ -609,6 +630,21 @@ object SparkEntry {
     "t01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    "s06_session_window" ->
+      """WITH x AS (SELECT user_id, ts,
+        |CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |>= 1800000000 THEN 1 ELSE 0 END AS brk FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts, sum(brk) OVER
+        |(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, min(epoch_us(ts)) AS session_start, count(*) AS n
+        |FROM y GROUP BY user_id, sid""".stripMargin,
+    "s07_range_join" ->
+      """SELECT b.i AS band_id, count(*) AS n,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN range(0, 6) b(i)
+        |ON l_extendedprice >= b.i * 20000.0 AND l_extendedprice < (b.i + 1) * 20000.0
+        |GROUP BY 1""".stripMargin,
     "s05_asof_join" ->
       """SELECT l.event_id, l.user_id, epoch_us(r.ts) AS asof_ts,
         |r.value AS signup_value
