@@ -103,6 +103,23 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /** Per-depth tree statistics (reference: IndexMetrics SizeStats per
+   * level): cube/element counts and the mean max-weight fraction, which
+   * shows how the sampling thresholds deepen. */
+  def depthMetrics(revisionID: Long = -1L): Seq[DepthStats] = {
+    val s = snapshot
+    val rid = if (revisionID < 0) s.lastRevisionID else revisionID
+    val statuses = s.indexStatus(rid).cubeStatuses.values.toSeq
+    statuses.groupBy(_.cubeId.depth).toSeq.sortBy(_._1).map { case (depth, cubes) =>
+      DepthStats(
+        depth = depth,
+        cubeCount = cubes.size,
+        elementCount = cubes.map(_.elementCount).sum,
+        avgMaxWeightFraction =
+          cubes.map(_.maxWeight.fraction).sum / cubes.size)
+    }
+  }
+
   /** Delete data files that are no longer referenced by the log (orphans
    * from lost commit races, removed files from overwrite/optimize).
    * Keeps anything newer than `retainMillis` to avoid deleting files of
@@ -148,6 +165,12 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   }
 
 }
+
+final case class DepthStats(
+    depth: Int,
+    cubeCount: Int,
+    elementCount: Long,
+    avgMaxWeightFraction: Double)
 
 final case class IndexMetrics(
     revisionID: Long,

@@ -432,3 +432,23 @@ object SchemaProbe {
     spark.stop()
   }
 }
+
+/** Probe: config knobs + per-depth metrics via the public facade. */
+object KnobsProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.qbeast.index.cubeDomainsBufferCapacity", "2000")
+      .config("spark.qbeast.index.numberOfRetries", "5")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("knobs").toString
+    li.write.format("qbeast").option("columnsToIndex","l_orderkey,l_extendedprice")
+      .option("cubeSize","500").save(dir)
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    val ds = t.depthMetrics()
+    println(s"[knobs] rows=${spark.read.format("qbeast").load(dir).count()} depths=${ds.map(d => s"d${d.depth}:${d.cubeCount}c/${d.elementCount}e/${f"${d.avgMaxWeightFraction}%.3f"}w").mkString(" ")}")
+    spark.stop()
+  }
+}

@@ -55,7 +55,9 @@ object QbeastWriter {
       options: QbeastOptions,
       mode: SaveMode): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val retries = 3
+    // reference knob: spark.qbeast.index.numberOfRetries (default 2)
+    val retries = spark.conf.getOption("spark.qbeast.index.numberOfRetries")
+      .map(_.toInt).getOrElse(2)
     var attempt = 0
     var committed = false
     while (!committed) {
@@ -190,11 +192,14 @@ object QbeastWriter {
         // ---- pass 1: per-partition local trees → global cube domains ----
         val prepared = data.select((coordCols :+ weightCol).map(c => c.cast("double")): _*)
         val numPartitions = math.max(1, classic(prepared).rdd.getNumPartitions)
+        // reference knob: spark.qbeast.index.cubeDomainsBufferCapacity
+        val bufferCapacity = spark.conf
+          .getOption("spark.qbeast.index.cubeDomainsBufferCapacity")
+          .map(_.toLong).getOrElse(QbeastOptions.DefaultBufferCapacity)
         val groupSize = OTreeAlgorithm.groupCubeSize(revision.desiredCubeSize,
-          numPartitions, numElements, QbeastOptions.DefaultBufferCapacity)
+          numPartitions, numElements, bufferCapacity)
         val domainsRdd = classic(prepared).queryExecution.toRdd.mapPartitions { rows =>
-          val builder = new LocalOTreeBuilder(dims, groupSize,
-            QbeastOptions.DefaultBufferCapacity.toInt)
+          val builder = new LocalOTreeBuilder(dims, groupSize, bufferCapacity.toInt)
           rows.foreach { row =>
             val point = new Array[Double](dims)
             var d = 0

@@ -49,6 +49,32 @@ class UtilitiesSpec extends AnyFunSuite {
     }
   }
 
+  test("per-depth metrics: weights deepen monotonically, counts reconcile") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dir = TestSpark.tmpDir("depthmetrics")
+    li.write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "500").save(dir)
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    val ds = t.depthMetrics()
+    assert(ds.nonEmpty && ds.map(_.depth) == ds.map(_.depth).sorted)
+    assert(ds.map(_.elementCount).sum == 6000)
+    // deeper levels hold heavier rows: mean max-weight fraction grows
+    ds.sliding(2).foreach {
+      case Seq(a, b) => assert(a.avgMaxWeightFraction <= b.avgMaxWeightFraction + 1e-9)
+      case _ =>
+    }
+    // buffer-capacity knob honored end-to-end
+    spark.conf.set("spark.qbeast.index.cubeDomainsBufferCapacity", "1000")
+    try {
+      val dir2 = TestSpark.tmpDir("bufcap")
+      li.write.format("qbeast")
+        .option("columnsToIndex", "l_orderkey,l_extendedprice")
+        .option("cubeSize", "500").save(dir2)
+      assert(spark.read.format("qbeast").load(dir2).count() == 6000)
+    } finally spark.conf.unset("spark.qbeast.index.cubeDomainsBufferCapacity")
+  }
+
   test("numeric and string quantile computation produce sorted covering arrays") {
     val part = spark.read.parquet(s"$sf/part.parquet")
     val numQ = graft.utils.QbeastUtils.computeQuantilesForColumn(part, "p_retailprice", 10)
