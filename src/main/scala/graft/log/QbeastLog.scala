@@ -193,12 +193,9 @@ object QbeastLog {
         snap.txns.toSeq.map { case (a, v) => TxnAction(a, v) } ++
         snap.files.map(f => AddFileAction(f, dataChange = false))
     val payload = actions.map(QbeastLogSerde.actionToJsonLine).mkString("", "\n", "\n")
-    try {
-      val out = fs.create(target, false)
-      try out.write(payload.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-    } catch {
-      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+    try writeAtomic(fs, logDir(snap.tablePath), target, payload, "checkpoint race")
+    catch {
+      case _: ConcurrentCommitException =>
       // another reader already checkpointed this version
     }
   }
@@ -217,16 +214,57 @@ object QbeastLog {
     val next = expectedVersion + 1
     val target = versionFile(tablePath, next)
     val payload = actions.map(QbeastLogSerde.actionToJsonLine).mkString("", "\n", "\n")
-    try {
-      // overwrite=false → atomic put-if-absent on HDFS-compatible stores
-      val out = fs.create(target, false)
-      try out.write(payload.getBytes(StandardCharsets.UTF_8))
+    writeAtomic(fs, dir, target, payload,
+      s"log version $next already written by a concurrent writer")
+    next
+  }
+
+  /** Readers must never observe a partial file AND exactly one writer
+   * may claim a version. Local filesystems: POSIX rename OVERWRITES an
+   * existing destination, so the atomic put-if-absent primitive is a
+   * hard link (fails with FileAlreadyExists). HDFS-like stores: rename
+   * refuses existing destinations and is atomic. Object stores without
+   * either need a LogStore layer, exactly like Delta. */
+  private def writeAtomic(
+      fs: FileSystem,
+      dir: Path,
+      target: Path,
+      payload: String,
+      conflictMessage: String): Unit = {
+    val bytes = payload.getBytes(StandardCharsets.UTF_8)
+    val isLocal = target.toUri.getScheme match {
+      case null | "file" => true
+      case _ => false
+    }
+    if (isLocal) {
+      val dst = java.nio.file.Paths.get(
+        Option(target.toUri.getPath).getOrElse(target.toString))
+      val tmp = dst.resolveSibling(s".${dst.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.write(tmp, bytes)
+      try {
+        java.nio.file.Files.createLink(dst, tmp)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(conflictMessage)
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
+    } else {
+      val tmp = new Path(dir, s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(bytes)
       finally out.close()
-      next
-    } catch {
-      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-        throw new ConcurrentCommitException(
-          s"log version $next already written by a concurrent writer")
+      val renamed =
+        try fs.rename(tmp, target)
+        catch {
+          case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+            false
+        }
+      if (!renamed) {
+        fs.delete(tmp, false)
+        throw new ConcurrentCommitException(conflictMessage)
+      }
     }
   }
 

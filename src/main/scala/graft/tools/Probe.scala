@@ -452,3 +452,32 @@ object KnobsProbe {
     spark.stop()
   }
 }
+
+/** Probe: high-contention concurrent appends land via commit rebasing. */
+object ContentionProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("contention").toString
+    li.limit(10).write.format("qbeast")
+      .option("columnsToIndex","l_orderkey,l_extendedprice").save(dir)
+    val threads = (0 until 6).map { i =>
+      new Thread(() => {
+        li.filter(col("l_orderkey") % 6 === i).write.format("qbeast")
+          .mode("append").save(dir)
+      })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val dt = (System.nanoTime()-t0)/1e9
+    val n = spark.read.format("qbeast").load(dir).count()
+    val snap = graft.log.QbeastLog.snapshot(dir, spark.sparkContext.hadoopConfiguration)
+    println(f"[contention] 6 concurrent appenders: rows=$n (expect 6010) in $dt%.1fs dir=$dir")
+    println(s"[contention] log: version=${snap.version} revisions=${snap.revisions.keys.toSeq.sorted} files=${snap.files.size} logRows=${snap.files.map(_.elementCount).sum}")
+    spark.stop()
+  }
+}

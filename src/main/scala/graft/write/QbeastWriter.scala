@@ -141,30 +141,60 @@ object QbeastWriter {
       if (!isNewRevision && !isOverwrite) Some(snapshot.indexStatus(revision1.revisionID))
       else None
 
-    val files = index(spark, tablePath, data, revision1, existingStatus, numElements)
+    val files0 = index(spark, tablePath, data, revision1, existingStatus, numElements)
 
     // ---- pre-commit hooks (reference #28) ----
     val hookTags =
       if (hooks.isEmpty) Map.empty[String, String]
-      else PreCommitHook.runHooks(hooks, spark, files)
+      else PreCommitHook.runHooks(hooks, spark, files0)
 
-    // ---- commit ----
-    val actions = mutable.ArrayBuffer.empty[LogAction]
-    val schemaJson = data.schema.json
-    val config = snapshot.configuration ++ hookTags ++
-      Map("qbeast.lastRevisionID" -> revision1.revisionID.toString)
-    actions += MetaDataAction(schemaJson, config)
-    if (isNewRevision) actions += RevisionAction(revision1)
-    (options.txnAppId, options.txnVersion) match {
-      case (Some(app), Some(v)) => actions += TxnAction(app, v)
-      case _ =>
+    // ---- commit (with cheap rebase on benign conflicts) ----
+    var revisionToCommit = revision1
+    var files = files0
+
+    def buildActions(base: QbeastSnapshot): Seq[LogAction] = {
+      val actions = mutable.ArrayBuffer.empty[LogAction]
+      val config = base.configuration ++ hookTags ++
+        Map("qbeast.lastRevisionID" ->
+          math.max(revisionToCommit.revisionID, base.lastRevisionID).toString)
+      actions += MetaDataAction(data.schema.json, config)
+      if (isNewRevision) actions += RevisionAction(revisionToCommit)
+      (options.txnAppId, options.txnVersion) match {
+        case (Some(app), Some(v)) => actions += TxnAction(app, v)
+        case _ =>
+      }
+      files.foreach(f => actions += AddFileAction(f, dataChange = true))
+      if (isOverwrite) {
+        val now = System.currentTimeMillis()
+        snapshot.files.foreach(f => actions += RemoveFileAction(RemoveFile(f.path, now)))
+      }
+      actions.toSeq
     }
-    files.foreach(f => actions += AddFileAction(f, dataChange = true))
-    if (isOverwrite) {
-      val now = System.currentTimeMillis()
-      snapshot.files.foreach(f => actions += RemoveFileAction(RemoveFile(f.path, now)))
+
+    var base = snapshot
+    var committed = false
+    var rebases = 0
+    while (!committed) {
+      try {
+        QbeastLog.commit(tablePath, conf, base.version, buildActions(base))
+        committed = true
+      } catch {
+        case e: ConcurrentCommitException =>
+          rebases += 1
+          if (rebases > 20) throw e
+          val rebased = QbeastLog.snapshot(tablePath, conf)
+          if (isOverwrite) throw e // overwrite conflicts need a full re-run
+          // a revision is self-contained (its own transformations; its
+          // files carry its id), so when a concurrent writer claimed our
+          // revision id we just re-number ours — no re-indexing
+          if (isNewRevision && rebased.lastRevisionID >= revisionToCommit.revisionID) {
+            val newId = rebased.lastRevisionID + 1
+            revisionToCommit = revisionToCommit.copy(revisionID = newId)
+            files = files.map(_.copy(revisionId = newId))
+          }
+          base = rebased
+      }
     }
-    QbeastLog.commit(tablePath, conf, snapshot.version, actions.toSeq)
   }
 
   /** Index `data` into `revision` and write the parquet files (no
