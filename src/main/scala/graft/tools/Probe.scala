@@ -481,3 +481,38 @@ object ContentionProbe {
     spark.stop()
   }
 }
+
+/** Probe: reads stay consistent while a writer churns commits. */
+object ReadWriteProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rwprobe").toString
+    (1 to 100).map(i => (i.toLong, i*1.0)).toDF("a","b").write.format("qbeast")
+      .option("columnsToIndex","a,b").save(dir)
+    @volatile var stop = false
+    @volatile var badReads = 0
+    val reader = new Thread(() => {
+      var last = 0L
+      while (!stop) {
+        try {
+          val n = spark.read.format("qbeast").load(dir).count()
+          if (n < last || (n - 100) % 50 != 0) badReads += 1
+          last = n
+        } catch { case _: Exception => badReads += 1 }
+      }
+    })
+    reader.start()
+    (1 to 15).foreach { k =>
+      (1 to 50).map(i => ((k*1000+i).toLong, i*1.0)).toDF("a","b")
+        .write.format("qbeast").mode("append").save(dir)
+    }
+    stop = true; reader.join()
+    val fin = spark.read.format("qbeast").load(dir).count()
+    println(s"[rw] final=$fin (expect 850) badReads=$badReads")
+    spark.stop()
+  }
+}
