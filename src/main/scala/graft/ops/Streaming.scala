@@ -40,6 +40,16 @@ object Streaming {
     spark.readStream.schema(schema).parquet(dir)
   }
 
+  /** Run `body` with a state-store-friendly shuffle partition count:
+   * micro-batch state ops pay per-partition overhead every batch, and
+   * the event cardinality here is tiny compared to batch shuffles. */
+  private def withStreamingPartitions[T](spark: SparkSession)(body: => T): T = {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   /** Tumbling 1-hour windowed counts/sums over a parquet-backed stream;
    * returns the complete result as a DataFrame. */
   def windowedAgg(spark: SparkSession, eventsPath: String): DataFrame = {
@@ -52,10 +62,12 @@ object Streaming {
       .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
         col("n"), col("sv"))
     val name = s"graft_stream_window_${counter.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -73,10 +85,12 @@ object Streaming {
       .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
         col("n"), col("sv"))
     val name = s"graft_stream_wm_${counter.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -126,10 +140,12 @@ object Streaming {
     val sessions = stream.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
     val name = s"graft_stream_sessions_${counter.incrementAndGet()}"
-    val q = sessions.writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamingPartitions(spark) {
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     // in update mode the memory sink appends each batch's updates; keep
     // the final state per user
     val t = spark.table(name)
