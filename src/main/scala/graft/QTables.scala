@@ -23,7 +23,9 @@ object QTables {
     // reader can't load as timestamp — index the long ids instead
     "events" -> ("user_id,event_id", 5000),
     // non-indexable array<float> column passes through untouched
-    "embeddings" -> ("vec_id,label", 2000))
+    "embeddings" -> ("vec_id,label", 2000),
+    // string-heavy table; long text payloads ride through the index
+    "documents" -> ("doc_id,n_chars", 2000))
 
   /** Variant index layouts (table, variant) → (source, columns, cubeSize):
    * 3-dim with a Timestamp dimension; hash-indexed string dimension. */

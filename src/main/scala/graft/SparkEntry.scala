@@ -393,6 +393,15 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select("doc_id", "lang", "source", "n_chars")
     }),
+    "t10_indexed_documents" -> ((s, dir) => {
+      // text ops over the qbeast-indexed documents table: the full
+      // engine carries long text payloads; range filter prunes on n_chars
+      val d = QTables.qbeast(s, dir, "documents")
+      d.filter(col("n_chars") >= 200)
+        .select(col("doc_id"),
+          ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("lang"))
+    }),
     // ---- text analysis ---------------------------------------------------
     "t05_token_count" -> ((s, dir) => {
       val d = QTables.raw(s, dir, "documents")
@@ -666,6 +675,10 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.2""".stripMargin,
+    "t10_indexed_documents" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |lang FROM documents WHERE n_chars >= 200""".stripMargin,
     "t05_token_count" ->
       """SELECT doc_id,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
