@@ -246,8 +246,9 @@ object SparkEntry {
     "q40_cross_join" -> ((s, dir) => {
       val r = QTables.raw(s, dir, "region").select(col("r_regionkey"))
       val n = QTables.raw(s, dir, "nation").select(col("n_nationkey"))
+      // cast: DuckDB sums ints into HUGEINT; align both sides on BIGINT
       r.crossJoin(n).agg(count(lit(1)).as("n_pairs"),
-        sum(col("r_regionkey") * col("n_nationkey")).as("s"))
+        sum(col("r_regionkey") * col("n_nationkey")).cast("long").as("s"))
     }),
     // ---- transformer variants --------------------------------------------
     "q30_timestamp_index" -> ((s, dir) => {
@@ -589,7 +590,7 @@ object SparkEntry {
         |SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag = 'R') t
         |GROUP BY 1""".stripMargin,
     "q40_cross_join" ->
-      """SELECT count(*) AS n_pairs, sum(r_regionkey * n_nationkey) AS s
+      """SELECT count(*) AS n_pairs, CAST(sum(r_regionkey * n_nationkey) AS BIGINT) AS s
         |FROM region CROSS JOIN nation""".stripMargin,
     "q30_timestamp_index" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty

@@ -32,8 +32,14 @@ final case class QuerySpaceFromTo(from: Array[Double], to: Array[Double])
     var d = 0
     while (d < from.length) {
       // cube region is [cFrom, cTo); query box is closed [from, to];
-      // the top edge of the space belongs to the last cube
-      val overlaps = from(d) < cTo(d) && (to(d) >= cFrom(d))
+      // the top edge of the space belongs to the last cube. A query at
+      // exactly the column max transforms to coordinate 1.0 and only
+      // cubes whose region touches the top edge (cTo == 1.0) hold such
+      // rows — without the special case every file would be pruned and
+      // max-value rows silently lost (reference QuerySpace adds the
+      // same clause).
+      val overlaps =
+        (from(d) < cTo(d) || (from(d) == 1.0 && cTo(d) == 1.0)) && to(d) >= cFrom(d)
       if (!overlaps) return false
       d += 1
     }

@@ -195,8 +195,11 @@ object QbeastLog {
     val payload = actions.map(QbeastLogSerde.actionToJsonLine).mkString("", "\n", "\n")
     try writeAtomic(fs, logDir(snap.tablePath), target, payload, "checkpoint race")
     catch {
-      case _: ConcurrentCommitException =>
-      // another reader already checkpointed this version
+      // Checkpointing is a best-effort read-side optimization: a race
+      // (another reader won the version) or ANY IO failure (e.g. a
+      // read-only reader without write permission on _qbeast_log) must
+      // never break a plain read — log-and-continue.
+      case scala.util.control.NonFatal(_) =>
     }
   }
 

@@ -63,7 +63,11 @@ final class QuerySpecBuilder(revision: Revision) {
     var to = Weight.MaxValue
     filters.flatMap(splitConjuncts).foreach {
       case LessThan(SamplingHash(), Literal(v: Int, _)) => to = to.min(Weight(v))
-      case LessThanOrEqual(SamplingHash(), Literal(v: Int, _)) => to = to.min(Weight(v))
+      // `hash <= v` keeps rows of weight exactly v, but `to` is an
+      // EXCLUSIVE bound (blockMatches needs minWeight < to) — map to
+      // v+1 with overflow guard so such blocks are not under-selected
+      case LessThanOrEqual(SamplingHash(), Literal(v: Int, _)) =>
+        to = to.min(if (v == Int.MaxValue) Weight.MaxValue else Weight(v + 1))
       case GreaterThanOrEqual(SamplingHash(), Literal(v: Int, _)) => from = from.max(Weight(v))
       case GreaterThan(SamplingHash(), Literal(v: Int, _)) => from = from.max(Weight(v))
       case _ =>

@@ -99,6 +99,15 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           attempt += 1
           if (attempt > 3) throw e
           base = QbeastLog.snapshot(tablePath, conf)
+          // Rebase safety: if a concurrent operation (another optimize,
+          // an overwrite) already removed any file we are rewriting,
+          // blindly re-committing would duplicate its rows (our adds
+          // land, the duplicate remove replays as a no-op) or resurrect
+          // overwritten data. Abort instead — the rewrite is purely a
+          // layout change, so dropping it is always safe; our orphaned
+          // parquet files are reclaimed by vacuum.
+          val live = base.files.map(_.path).toSet
+          if (!removes.forall(f => live.contains(f.path))) return
       }
     }
   }
@@ -122,9 +131,17 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 
   /** Delete data files that are no longer referenced by the log (orphans
    * from lost commit races, removed files from overwrite/optimize).
-   * Keeps anything newer than `retainMillis` to avoid deleting files of
-   * in-flight writers. */
-  def vacuum(retainMillis: Long = 0L): Int = {
+   * Keeps anything newer than `retainMillis` so files a concurrent
+   * writer created but has not committed yet survive (default 7 days,
+   * like Delta). Retentions below [[QbeastTable.MinRetentionMillis]]
+   * require `force = true` — a zero-retention vacuum racing an
+   * in-flight writer silently loses that writer's data. */
+  def vacuum(
+      retainMillis: Long = QbeastTable.DefaultRetentionMillis,
+      force: Boolean = false): Int = {
+    require(retainMillis >= QbeastTable.MinRetentionMillis || force,
+      s"retainMillis=$retainMillis is below the safe minimum " +
+        s"${QbeastTable.MinRetentionMillis}; pass force=true to override")
     val s = snapshot
     val live = s.files.map(_.path).toSet
     val dir = new Path(tablePath)
@@ -186,6 +203,12 @@ final case class IndexMetrics(
     maxCubeElementCount: Long)
 
 object QbeastTable {
+
+  /** Default vacuum retention (7 days, mirroring Delta's default). */
+  val DefaultRetentionMillis: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Below this retention `vacuum` demands an explicit `force`. */
+  val MinRetentionMillis: Long = 60L * 60 * 1000
 
   def forPath(spark: SparkSession, tablePath: String): QbeastTable =
     new QbeastTable(spark, tablePath)

@@ -234,7 +234,7 @@ object CkptProbe {
     (1 to 7).map(i => (i.toLong, i*1.0)).toDF("a","b").write.format("qbeast")
       .mode("overwrite").save(dir)
     val t = graft.table.QbeastTable.forPath(spark, dir)
-    val deleted = t.vacuum()
+    val deleted = t.vacuum(retainMillis = 0L, force = true)
     val after = spark.read.format("qbeast").load(dir).count()
     println(s"[ckptprobe] checkpoints=$ckpts rows=$n (expect 170) vacuumed=$deleted afterOverwrite=$after (expect 7)")
     spark.stop()

@@ -39,7 +39,7 @@ class LogCheckpointSpec extends AnyFunSuite {
     df.filter("a <= 10").write.format("qbeast").mode("overwrite").save(dir)
     val t = graft.table.QbeastTable.forPath(spark, dir)
     val before = new java.io.File(dir).list().count(_.endsWith(".parquet"))
-    val deleted = t.vacuum()
+    val deleted = t.vacuum(retainMillis = 0L, force = true)
     val after = new java.io.File(dir).list().count(_.endsWith(".parquet"))
     assert(deleted > 0 && after == before - deleted)
     assert(spark.read.format("qbeast").load(dir).count() == 10)

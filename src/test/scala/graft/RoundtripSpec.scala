@@ -105,6 +105,20 @@ class RoundtripSpec extends AnyFunSuite {
     val expected = li.filter(s"l_orderkey <= $cut").count()
     val got = back.filter(s"l_orderkey <= $cut").count()
     assert(got === expected)
+
+    // regression (ADVICE r1): equality on the column MAX transforms to
+    // coordinate 1.0; only cubes touching the top edge hold those rows —
+    // without the top-edge clause in QuerySpace every file was pruned
+    // and the rows silently vanished
+    val expectedMax = li.filter(s"l_orderkey = $maxKey").count()
+    assert(expectedMax > 0, "test data must have rows at the max key")
+    assert(back.filter(s"l_orderkey = $maxKey").count() === expectedMax)
+    val maxPrice = li.agg(org.apache.spark.sql.functions.max("l_extendedprice"))
+      .head.getDouble(0)
+    assert(back.filter(s"l_extendedprice = $maxPrice").count() ===
+      li.filter(s"l_extendedprice = $maxPrice").count())
+    // and >= max-bound ranges keep working
+    assert(back.filter(s"l_orderkey >= $maxKey").count() === expectedMax)
   }
 
 }
