@@ -307,10 +307,12 @@ object SparkEntry {
     "q25_index_metrics" -> ((s, dir) => {
       import s.implicits._
       QTables.qbeast(s, dir, "lineitem") // ensure table exists
-      val sfName = new java.io.File(dir).getName
+      // structural invariants the oracle can check against the raw data:
+      // the index must account for every row, with the configured shape
       val m = graft.table.QbeastTable
         .forPath(s, QTables.cachePathFor(dir, "lineitem")).indexMetrics()
-      Seq(m).toDF()
+      Seq((m.elementCount, m.dimensionCount, m.desiredCubeSize))
+        .toDF("element_count", "dimension_count", "desired_cube_size")
     }),
     // ---- streaming -------------------------------------------------------
     "s01_stream_window" -> ((s, dir) =>
@@ -437,8 +439,14 @@ object SparkEntry {
       val emb = QTables.raw(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble)
+      // in_exact10 reports per-row recall against the exact top-10 (the
+      // recall@10 of the ANN result is its true-count / 10)
+      val exact10 = ops.Similarity
+        .knnExact(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
       ops.Similarity.knnLsh(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
-        .select(col("vec_id"), round(col("sim"), 4).as("sim_r"))
+        .select(col("vec_id"), round(col("sim"), 4).as("sim_r"),
+          col("vec_id").isin(exact10: _*).as("in_exact10"))
     }),
     "e05_array_passthrough" -> ((s, dir) => {
       // embeddings written through qbeast: array<float> rides along
@@ -450,10 +458,17 @@ object SparkEntry {
     }),
     "e04_ann_ivf" -> ((s, dir) => {
       val emb = QTables.raw(s, dir, "embeddings")
+      val anchors = ops.Similarity.collectAnchors(emb, "vec_id", "embedding")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble)
-      ops.Similarity.knnIvf(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
-        .select(col("vec_id"), round(col("sim"), 4).as("sim_r"))
+      val exact10 = ops.Similarity
+        .knnExact(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val ivf = QTables.qbeastIvfEmbeddings(s, dir).filter(col("vec_id") =!= 0)
+      ops.Similarity
+        .knnIvfIndexed(ivf, "vec_id", "embedding", "cluster", anchors, qv, 10)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim_r"),
+          col("vec_id").isin(exact10: _*).as("in_exact10"))
     }),
     "e03_embedding_near_dup" -> ((s, dir) => {
       // random test embeddings have no true near-dups; emit the top
@@ -475,6 +490,32 @@ object SparkEntry {
         ops.Multimodal.asMediaTable(QTables.raw(s, dir, "documents"), "doc_id", "text"))
     })
   )
+
+  /** Cosine-similarity SQL with the exact sequential fold of
+   * `Dedup.cosine` (bit-identical doubles, not just close). */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), i -> $a[i] * $b[i])), (acc,x) -> acc+x) /
+       | (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), i -> $a[i] * $a[i])), (acc,x) -> acc+x)) *
+       |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), i -> $b[i] * $b[i])), (acc,x) -> acc+x))))""".stripMargin
+
+  /** Shared CTEs for the embedding oracles: doubles, LSH buckets from the
+   * md5-derived hyperplanes, the query vector, and the exact top-10. */
+  private val embBaseSql: String =
+    s"""pl AS (SELECT b.b AS pb, list_transform(range(0,64),
+       |    i -> ('0x' || substr(md5('p_' || b.b || '_' || i), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS p
+       |  FROM range(0,8) b(b)),
+       |be AS (SELECT vec_id, emb, sum(CASE WHEN
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), i -> p[i] * emb[i])), (acc,x) -> acc+x) >= 0
+       |    THEN (1::BIGINT << pb) ELSE 0 END)::BIGINT AS bucket
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), pl GROUP BY 1,2),
+       |qv AS (SELECT bucket AS qbkt, emb AS qe FROM be WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
+       |  FROM be, qv WHERE vec_id != 0) ORDER BY sim DESC, vec_id LIMIT 10)""".stripMargin
+
+  /** Minhash permutation parameters as SQL array literals (same
+   * md5-derived values as `Dedup.minHashParams`). */
+  private val (mhA, mhB) = ops.Dedup.minHashParams(ops.Dedup.DefaultNumHashes)
+  private def sqlArr(xs: Array[Long]): String = xs.mkString("[", ",", "]")
 
   /** DuckDB-runnable oracles over the same raw parquet tables. Keys
    * without an oracle (sampling) get the driver's rows-only check. */
@@ -725,7 +766,100 @@ object SparkEntry {
     "m01_media_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS media_type,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // ---- r2 additions: oracles for previously no_oracle operators -------
+    "q25_index_metrics" ->
+      """SELECT count(*) AS element_count, 2 AS dimension_count,
+        |5000 AS desired_cube_size FROM lineitem""".stripMargin,
+    "s04_stream_watermark" ->
+      // append-mode semantics: only windows sealed by the final watermark
+      // (max event time - delay) are emitted; aggregation itself saw all
+      // rows (single-batch ingest), so counts equal the full-data counts
+      """WITH w AS (SELECT max(ts) AS mx FROM events)
+        |SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |FROM events, w
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
+        |GROUP BY 1, 2""".stripMargin,
+    "t08_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |  list_transform(regexp_split_to_array(trim(text), '\s+'), t ->
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(t, ''), c -> unicode(c)::BIGINT)),
+        |      (a, x) -> (a * 31 + x) % 2147483647))),
+        |  (a, x) -> (a * 131 + x) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+    "m02_media_features" ->
+      """SELECT doc_id,
+        |(64 + (('0x' || substr(md5(text), 1, 2))::INTEGER & 127)) AS width,
+        |(64 + (('0x' || substr(md5(text), 3, 2))::INTEGER & 127)) AS height,
+        |3 AS channels,
+        |('0x' || substr(md5(text), 5, 6))::BIGINT / 16777215.0 AS mean_luma
+        |FROM documents""".stripMargin,
+    "t02_minhash_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |shr AS (SELECT doc_id, ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))::BIGINT AS h
+         |  FROM tk, LATERAL unnest(range(1, greatest(len(toks) - 1, 1))) u(i) WHERE len(toks) >= 3),
+         |mins AS (SELECT doc_id, j, min((${sqlArr(mhA)}[j] * h + ${sqlArr(mhB)}[j]) % 2147483647) AS mn
+         |  FROM shr, range(1, 65) r(j) GROUP BY 1, 2),
+         |sg0 AS (SELECT doc_id, list(mn ORDER BY j) AS sig FROM mins GROUP BY 1),
+         |sg AS (SELECT t.doc_id, coalesce(sg0.sig, list_transform(range(1,65), j -> 2147483647::BIGINT)) AS sig
+         |  FROM tk t LEFT JOIN sg0 ON t.doc_id = sg0.doc_id),
+         |bd AS (SELECT doc_id, sig, b,
+         |  sig[b*4+1]::VARCHAR || '_' || sig[b*4+2]::VARCHAR || '_' || sig[b*4+3]::VARCHAR || '_' || sig[b*4+4]::VARCHAR AS key
+         |  FROM sg, range(0, 16) t(b)),
+         |cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+         |  FROM bd a JOIN bd b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, len(list_filter(range(1, 65), j -> sa[j] = sb[j])) / 64.0 AS est_jaccard
+         |FROM cp WHERE len(list_filter(range(1, 65), j -> sa[j] = sb[j])) / 64.0 >= 0.2
+         |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 200""".stripMargin,
+    "t03_simhash_pairs" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+        |bits AS (SELECT doc_id, b.b AS bit,
+        |  sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, range(0, 60) b(b) GROUP BY 1, 2),
+        |sg AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sh
+        |  FROM bits GROUP BY 1),
+        |ck AS (SELECT doc_id, sh, c, (sh >> (15 * c)::INTEGER) & 32767 AS key FROM sg, range(0, 4) t(c)),
+        |cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+        |  FROM ck a JOIN ck b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM cp WHERE hamming <= 16
+        |ORDER BY hamming, id_a, id_b LIMIT 200""".stripMargin,
+    "e01_knn_exact" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id != 0), q)
+         |SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+         |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "e02_ann_lsh" ->
+      s"""WITH $embBaseSql,
+         |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
+         |  FROM be, qv WHERE vec_id != 0 AND bit_count(xor(bucket, qbkt)) <= 1)
+         |SELECT vec_id, round(sim, 4) AS sim_r, vec_id IN (SELECT vec_id FROM ex) AS in_exact10
+         |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "e03_embedding_near_dup" ->
+      s"""WITH $embBaseSql,
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.emb", "b.emb")} AS cos
+         |  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cos, 4) AS cos_r FROM p
+         |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "e04_ann_ivf" ->
+      s"""WITH an AS (SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS ae FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |asg AS (SELECT vec_id, emb, aid, row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("emb", "ae")} DESC, aid) AS rn
+         |  FROM ev, an),
+         |cl AS (SELECT vec_id, emb, aid AS cluster FROM asg WHERE rn = 1),
+         |q AS (SELECT emb AS qe FROM ev WHERE vec_id = 0),
+         |pr AS (SELECT aid FROM an, q ORDER BY ${cosSql("ae", "qe")} DESC, aid LIMIT 3),
+         |ex AS (SELECT vec_id FROM (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
+         |  FROM ev, q WHERE vec_id != 0) ORDER BY sim DESC, vec_id LIMIT 10),
+         |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim FROM cl, q
+         |  WHERE vec_id != 0 AND cluster IN (SELECT aid FROM pr))
+         |SELECT vec_id, round(sim, 4) AS sim_r, vec_id IN (SELECT vec_id FROM ex) AS in_exact10
+         |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   )
 
 }

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
 
 /**
  * Deduplication operators for large-scale training-data pipelines.
@@ -26,25 +25,36 @@ object Dedup {
   // ---- minhash + LSH ------------------------------------------------------
 
   val DefaultNumHashes = 64
-  val DefaultShingleSize = 5
+  val DefaultShingleTokens = 3
 
-  /** MinHash signature of the character-shingle set: shingles hashed once
-   * with murmur3, then each of the `numHashes` permutations is the
-   * classic (a_i*h + b_i) universal family; min per permutation. */
-  def minHashUdf(numHashes: Int = DefaultNumHashes, shingleSize: Int = DefaultShingleSize) = {
-    val rnd = new scala.util.Random(42)
-    val as = Array.fill(numHashes)(rnd.nextInt() | 1)
-    val bs = Array.fill(numHashes)(rnd.nextInt())
+  /** Modulus of the universal hash family (Mersenne prime 2^31-1); all
+   * intermediate products stay < 2^62, so the identical arithmetic runs
+   * overflow-free as BIGINT math in the SQL oracle. */
+  val MinHashMod: Long = 2147483647L
+
+  /** Permutation parameters, derived from md5 so the oracle can re-derive
+   * them: a_j odd and < 2^30, b_j < 2^31. */
+  def minHashParams(numHashes: Int): (Array[Long], Array[Long]) = (
+    Array.tabulate(numHashes)(j => (HashUtils.h32(s"a_$j") & 0x3fffffffL) | 1L),
+    Array.tabulate(numHashes)(j => HashUtils.h32(s"b_$j") & 0x7fffffffL))
+
+  /** MinHash signature of the word-3-gram shingle set: each shingle is
+   * hashed once (md5 → 32-bit), then each of the `numHashes` permutations
+   * is the classic (a_j*h + b_j) mod p universal family; min per
+   * permutation. Docs with < 3 tokens get the all-MOD sentinel signature. */
+  def minHashUdf(numHashes: Int = DefaultNumHashes) = {
+    val (as, bs) = minHashParams(numHashes)
     udf { (text: String) =>
-      val sig = Array.fill(numHashes)(Int.MaxValue)
-      if (text != null && text.length >= shingleSize) {
+      val sig = Array.fill(numHashes)(MinHashMod)
+      if (text != null) {
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
         var i = 0
-        val n = text.length - shingleSize
+        val n = toks.length - DefaultShingleTokens
         while (i <= n) {
-          val h = MurmurHash3.stringHash(text.substring(i, i + shingleSize), 42)
+          val h = HashUtils.h32(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
           var j = 0
           while (j < numHashes) {
-            val p = as(j) * h + bs(j)
+            val p = (as(j) * h + bs(j)) % MinHashMod
             if (p < sig(j)) sig(j) = p
             j += 1
           }
@@ -55,13 +65,14 @@ object Dedup {
     }
   }
 
-  /** LSH band keys: signature split into `bands` rows-per-band groups,
-   * each hashed to one bucket id. */
+  /** LSH band keys: signature split into `bands` groups of
+   * numHashes/bands values; the key is the joined value string (exactly
+   * reproducible in SQL, unlike a second-level hash). */
   def bandKeysUdf(numHashes: Int = DefaultNumHashes, bands: Int = 16) = {
     val rowsPerBand = numHashes / bands
-    udf { (sig: Seq[Int]) =>
+    udf { (sig: Seq[Long]) =>
       (0 until bands).map { b =>
-        MurmurHash3.orderedHash(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand), b)
+        sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString("_")
       }.toArray
     }
   }
@@ -88,7 +99,7 @@ object Dedup {
     val b = exploded.alias("b")
     val est = aggregate(
       zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / numHashes
+      lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes.toDouble)
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), est.as("est_jaccard"))
@@ -98,18 +109,18 @@ object Dedup {
 
   // ---- simhash ------------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens (murmur3 token hashes). */
+  /** 60-bit SimHash over whitespace tokens (md5-derived token hashes;
+   * 60 bits = 15 hex chars so the same value is a plain BIGINT in the
+   * SQL oracle). */
   def simHashUdf = udf { (text: String) =>
     if (text == null) 0L
     else {
-      val counts = new Array[Int](64)
-      text.split("\\s+").foreach { tok =>
+      val counts = new Array[Int](60)
+      text.trim.split("\\s+").foreach { tok =>
         if (tok.nonEmpty) {
-          val h1 = MurmurHash3.stringHash(tok, 42).toLong & 0xffffffffL
-          val h2 = MurmurHash3.stringHash(tok, 1337).toLong & 0xffffffffL
-          val h = (h1 << 32) | h2
+          val h = HashUtils.h60(tok)
           var bit = 0
-          while (bit < 64) {
+          while (bit < 60) {
             if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
             bit += 1
           }
@@ -117,7 +128,7 @@ object Dedup {
       }
       var res = 0L
       var bit = 0
-      while (bit < 64) {
+      while (bit < 60) {
         if (counts(bit) > 0) res |= (1L << bit)
         bit += 1
       }
@@ -126,17 +137,20 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDistance, blocked by
-   * 16-bit chunks (pigeonhole: any pair within distance 3 shares at least
-   * one of 4 chunks) so the join is an equi-join, not a cross product. */
+   * 15-bit chunks (pigeonhole: any pair within distance 3 shares at least
+   * one of 4 chunks) so the join is an equi-join, not a cross product.
+   * Empty/whitespace-only docs are excluded (no tokens → no signal). */
   def simHashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDistance: Int = 3): DataFrame = {
-    val hashes = df.select(col(idCol).as("id"), simHashUdf(col(textCol)).as("sh"))
+    val hashes = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), simHashUdf(col(textCol)).as("sh"))
     val chunks = hashes.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        shiftrightunsigned(col("sh"), i * 15).bitwiseAND(lit(0x7fffL))): _*))
         .as(Seq("chunk", "ckey")))
     val a = chunks.alias("a")
     val b = chunks.alias("b")

@@ -35,19 +35,27 @@ object Multimodal {
 
   /** STUB — replace with a real decoder (libvips / javacv / ffmpeg).
    * Deterministic fake so the pipeline shape is testable: "dimensions"
-   * derived from payload bytes. */
+   * and "luma" derived from the payload's md5 digest, which makes the
+   * fake exactly reproducible in the SQL oracle (hex-substring math over
+   * `md5(text)`). */
   object DecodeStub {
     final case class Decoded(width: Int, height: Int, channels: Int, meanLuma: Double)
+
+    private val digest =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+
     def decode(payload: Array[Byte]): Decoded = {
       // ??? <- real codec call goes here; deterministic fake below
       if (payload == null || payload.isEmpty) Decoded(0, 0, 0, 0.0)
       else {
-        val w = 64 + (payload(0) & 0x7f)
-        val h = 64 + (payload(payload.length / 2) & 0x7f)
-        var sum = 0L
-        var i = 0
-        while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
-        Decoded(w, h, 3, sum.toDouble / payload.length)
+        val md = digest.get()
+        md.reset()
+        val d = md.digest(payload)
+        val w = 64 + (d(0) & 0x7f)
+        val h = 64 + (d(1) & 0x7f)
+        val luma = (((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)) / 16777215.0
+        Decoded(w, h, 3, luma)
       }
     }
   }

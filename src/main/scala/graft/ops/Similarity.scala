@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplanes (seed 42) for `bits`-bit
-   * sign-projection LSH over `dim`-dimensional embeddings. */
-  def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  /** Deterministic hyperplanes for `bits`-bit sign-projection LSH over
+   * `dim`-dimensional embeddings: components are md5-derived uniforms in
+   * [-1, 1), so the oracle re-derives the identical planes in SQL
+   * (`('0x'||substr(md5('p_b_i'),1,8))::BIGINT / 2^31 - 1`). */
+  def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits)(b =>
+      Array.tabulate(dim)(i => HashUtils.h32(s"p_${b}_$i") / 2147483648.0 - 1.0))
 
   /** LSH bucket id: sign bit per hyperplane. */
   def lshBucketUdf(bits: Int, dim: Int) = {
@@ -90,43 +91,72 @@ object Similarity {
       .limit(k)
   }
 
-  /**
-   * IVF (inverted-file) approximate top-k: k-means centroids partition
-   * the vectors; the query scans only the `nProbe` clusters with the
-   * nearest centroids. At 100 TB the cluster assignment is a write-time
-   * column (data co-located by `repartition(cluster)`), making each
-   * query a partition-pruned scan; here the assignment happens inline.
-   */
-  def knnIvf(
+  /** Driver-side cosine with the same sequential fold as
+   * [[Dedup.cosine]], so probe selection is bit-consistent with the
+   * distributed computation (and the SQL oracle). */
+  def cosineSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length && i < b.length) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Collect the IVF anchor vectors: rows with 1 ≤ id ≤ nAnchors. The
+   * anchors double as cluster centroids — deterministic (no fitted
+   * model), so both the write-time assignment and the oracle reproduce
+   * them exactly. */
+  def collectAnchors(
       embeddings: DataFrame,
       idCol: String,
       embCol: String,
+      nAnchors: Int = 16): Seq[(Int, Array[Double])] =
+    embeddings.filter(col(idCol).between(1, nAnchors))
+      .select(col(idCol).cast("int"), col(embCol))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+      .toSeq
+
+  /** Cluster-assignment column: argmax over anchors of cosine similarity
+   * (ties → lowest anchor id). Pure `functions._` — evaluated map-side
+   * at write time, no shuffle, no model. */
+  def anchorClusterCol(anchors: Seq[(Int, Array[Double])], embCol: Column): Column = {
+    val scored = anchors.map { case (aid, vec) =>
+      struct(Dedup.cosine(embCol, lit(vec)).as("sim"), lit(-aid).as("naid"))
+    }
+    (-greatest(scored: _*).getField("naid")).cast("int")
+  }
+
+  /**
+   * IVF (inverted-file) approximate top-k over a table that carries a
+   * write-time `cluster` column (see `QTables.qbeastIvfEmbeddings`): the
+   * query scores anchors on the driver (tiny), then scans only the
+   * `nProbe` nearest clusters. With the table qbeast-indexed and
+   * co-located on `cluster`, the scan is file-pruned — at 100 TB this is
+   * a pruned read of ~nProbe/nClusters of the data, and no clustering
+   * model is fit anywhere in the query path.
+   */
+  def knnIvfIndexed(
+      ivfTable: DataFrame,
+      idCol: String,
+      embCol: String,
+      clusterCol: String,
+      anchors: Seq[(Int, Array[Double])],
       queryVec: Seq[Double],
       k: Int,
-      nClusters: Int = 16,
       nProbe: Int = 3): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val withVec = embeddings.withColumn("_vec",
-      array_to_vector(col(embCol).cast("array<double>")))
-    val model = new KMeans().setK(nClusters).setSeed(42L)
-      .setFeaturesCol("_vec").setPredictionCol("_cluster")
-      .fit(withVec)
-    val assigned = model.transform(withVec)
-    val centroids = model.clusterCenters
-    val qArr = queryVec.toArray
-    val probes = centroids.zipWithIndex.map { case (c, i) =>
-      val arr = c.toArray
-      var d = 0.0
-      var j = 0
-      while (j < arr.length && j < qArr.length) {
-        val diff = arr(j) - qArr(j); d += diff * diff; j += 1
-      }
-      (i, d)
-    }.sortBy(_._2).take(nProbe).map(_._1)
-    val sim = Dedup.cosine(col(embCol), lit(qArr))
-    assigned
-      .filter(col("_cluster").isin(probes.toSeq: _*))
+    val probes = anchors
+      .map { case (aid, vec) => (aid, cosineSeq(vec.toSeq, queryVec)) }
+      .sortBy { case (aid, c) => (-c, aid) }
+      .take(nProbe)
+      .map(_._1)
+    val sim = Dedup.cosine(col(embCol), lit(queryVec.toArray))
+    ivfTable
+      .filter(col(clusterCol).isin(probes: _*))
       .select(col(idCol), sim.as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)

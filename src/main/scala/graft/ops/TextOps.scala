@@ -60,17 +60,22 @@ object TextOps {
   }
 
   /** Rolling polynomial fingerprint (Karp-Rabin over tokens): order-
-   * sensitive 64-bit content fingerprint, robust to whitespace changes. */
+   * sensitive content fingerprint, robust to whitespace changes. Mod-p
+   * arithmetic (p = 2^31-1) over Unicode code points so the identical
+   * value is computable in overflow-free BIGINT SQL for the oracle;
+   * token hash = poly(31) over code points, rolling combine = poly(131). */
+  val FingerprintMod: Long = 2147483647L
+
   def fingerprintUdf = udf { (text: String) =>
     if (text == null) 0L
     else {
-      var h = 1125899906842597L
-      text.split("\\s+").foreach { tok =>
+      var h = 0L
+      text.trim.split("\\s+").foreach { tok =>
         if (tok.nonEmpty) {
           var th = 0L
-          var i = 0
-          while (i < tok.length) { th = 31 * th + tok.charAt(i); i += 1 }
-          h = h * 6364136223846793005L + th
+          val it = tok.codePoints().iterator()
+          while (it.hasNext) { th = (th * 31 + it.nextInt()) % FingerprintMod }
+          h = (h * 131 + th) % FingerprintMod
         }
       }
       h
