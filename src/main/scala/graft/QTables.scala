@@ -230,7 +230,7 @@ object QTables {
 
   /** Bump when the log/layout format changes so stale caches from a
    * previous build round are never replayed by newer code. */
-  val CacheFormatVersion = 1
+  val CacheFormatVersion = 2
 
   private def cachePath(sfDir: String, table: String): String = {
     val sfName = new java.io.File(sfDir).getName

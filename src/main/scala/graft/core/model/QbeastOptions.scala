@@ -11,6 +11,7 @@ final case class QbeastOptions(
     columnStats: Option[String],
     txnAppId: Option[String],
     txnVersion: Option[Long],
+    rollupSize: Option[Long],
     extra: Map[String, String]) {
 
   /** User-provided stats: `{"col_min":x,"col_max":y,"col_quantiles":[...]}` */
@@ -36,6 +37,12 @@ object QbeastOptions {
   val TxnAppId = "txnAppId"
   val TxnVersion = "txnVersion"
 
+  /** Target rows per output file (defaults to cubeSize). Larger values
+   * cut file counts (fewer tasks/opens at scale); with rows sorted by
+   * cube inside each file, parquet row-group stats recover the
+   * intra-file pruning on 1 GB-class files. */
+  val RollupSize = "rollupSize"
+
   def apply(parameters: Map[String, String], defaultCubeSize: Int = DefaultCubeSize): QbeastOptions = {
     val ci = CaseInsensitiveOpts(parameters)
     QbeastOptions(
@@ -45,6 +52,7 @@ object QbeastOptions {
       columnStats = ci.get(ColumnStats),
       txnAppId = ci.get(TxnAppId),
       txnVersion = ci.get(TxnVersion).map(_.toLong),
+      rollupSize = ci.get(RollupSize).map(_.toLong),
       extra = parameters)
   }
 

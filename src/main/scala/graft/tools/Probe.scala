@@ -516,3 +516,51 @@ object ReadWriteProbe {
     spark.stop()
   }
 }
+
+/** Probe: per-file block composition (depths, weight bands, envelopes) +
+ * range-scan file counts — drives the rollup-packing design. */
+object RollupProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val back = graft.QTables.qbeast(spark, sfDir, "lineitem")
+    val path = graft.QTables.cachePathFor(sfDir, "lineitem")
+    val snap = graft.log.QbeastLog.snapshot(path, spark.sparkContext.hadoopConfiguration)
+    println(s"[rollup] files=${snap.files.size} blocks=${snap.files.map(_.blocks.size).sum}")
+    snap.files.sortBy(_.path).foreach { f =>
+      val depths = f.blocks.map(_.cube.depth)
+      val n = f.blocks.map(_.elementCount).sum
+      val minD = depths.min; val maxD = depths.max
+      println(f"[rollup] file=${f.path.take(12)} blocks=${f.blocks.size}%3d rows=$n%6d depthRange=$minD-$maxD")
+    }
+    val byDepth = snap.files.flatMap(_.blocks).groupBy(_.cube.depth).toSeq.sortBy(_._1)
+    byDepth.foreach { case (d, bs) =>
+      println(f"[rollup] depth=$d%2d blocks=${bs.size}%4d rows=${bs.map(_.elementCount).sum}%7d")
+    }
+    def filesOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    for (range <- Seq((100, 400), (5000, 5300), (100000, 100300))) {
+      val q = back.filter(col("l_orderkey").between(range._1, range._2))
+      println(s"[rollup] range ${range}: files=${filesOf(q)} of ${snap.files.size} rows=${q.count()}")
+    }
+    // variant: 4x rollupSize — fewer, larger files (the 1 GB-file shape
+    // at real scale); compare files-read on the same ranges
+    val vdir = java.nio.file.Files.createTempDirectory("rollup4x").toString
+    graft.QTables.raw(spark, sfDir, "lineitem").write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "5000").option("rollupSize", "20000").save(vdir)
+    val big = spark.read.format("qbeast").load(vdir)
+    val vsnap = graft.log.QbeastLog.snapshot(vdir, spark.sparkContext.hadoopConfiguration)
+    println(s"[rollup] 4x-rollup files=${vsnap.files.size}")
+    for (range <- Seq((100, 400), (5000, 5300), (100000, 100300))) {
+      val q = big.filter(col("l_orderkey").between(range._1, range._2))
+      println(s"[rollup] 4x range ${range}: files=${filesOf(q)} of ${vsnap.files.size} rows=${q.count()}")
+    }
+    spark.stop()
+  }
+}

@@ -141,7 +141,8 @@ object QbeastWriter {
       if (!isNewRevision && !isOverwrite) Some(snapshot.indexStatus(revision1.revisionID))
       else None
 
-    val files0 = index(spark, tablePath, data, revision1, existingStatus, numElements)
+    val files0 = index(spark, tablePath, data, revision1, existingStatus, numElements,
+      rollupSize = options1.rollupSize)
 
     // ---- pre-commit hooks (reference #28) ----
     val hookTags =
@@ -206,7 +207,8 @@ object QbeastWriter {
       revision: Revision,
       existingStatus: Option[IndexStatus],
       numElements: Long,
-      frozenWeights: Option[Map[CubeId, Weight]] = None): Seq[IndexFile] = {
+      frozenWeights: Option[Map[CubeId, Weight]] = None,
+      rollupSize: Option[Long] = None): Seq[IndexFile] = {
 
     val dims = revision.dimensionCount
     val coordCols = revision.columnTransformers.lazyZip(revision.transformations)
@@ -238,10 +240,8 @@ object QbeastWriter {
               if (row.isNullAt(d)) anyNull = true else point(d) = row.getDouble(d)
               d += 1
             }
-            if (!anyNull) {
-              val w = if (row.isNullAt(dims)) 42 else row.getDouble(dims).toInt
-              builder.add(point, w)
-            }
+            // the weight is murmur3 over the indexed columns — never null
+            if (!anyNull) builder.add(point, row.getDouble(dims).toInt)
           }
           builder.result()
         }
@@ -257,7 +257,7 @@ object QbeastWriter {
     val rollup = OTreeAlgorithm.computeRollup(
       if (estCounts.nonEmpty) estCounts
       else Map(CubeId.root(dims) -> math.max(numElements, 1L)),
-      revision.desiredCubeSize.toLong)
+      rollupSize.getOrElse(revision.desiredCubeSize.toLong))
     val uuidByCube: Map[CubeId, String] =
       rollup.values.toSet.map((c: CubeId) => c -> java.util.UUID.randomUUID().toString).toMap
     val fileByCube: Map[CubeId, String] = rollup.map { case (cube, target) =>
@@ -292,6 +292,15 @@ object QbeastWriter {
       .withColumn(QbeastColumns.fileUUIDColumnName, col("_qbeastAssign._2"))
       .drop("_qbeastAssign")
       .repartition(col(QbeastColumns.fileUUIDColumnName))
+      // cluster rows inside each output file by cube (depth-major byte
+      // order ≈ spatial order) then weight: at 1 GB-class file sizes the
+      // parquet row groups become region- and weight-coherent, so Spark's
+      // row-group stats pruning recovers intra-file selectivity that
+      // file-level block pruning alone can't express
+      .sortWithinPartitions(
+        col(QbeastColumns.fileUUIDColumnName),
+        col(QbeastColumns.cubeColumnName),
+        col(QbeastColumns.weightColumnName))
 
     // ---- pass 3: physical write with per-cube block accounting ----
     writeFiles(spark, tablePath, tagged, dataSchema, dims, revision.revisionID)
