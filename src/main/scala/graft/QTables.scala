@@ -164,6 +164,37 @@ object QTables {
     tableName
   }
 
+  /** A table that went through CREATE OR REPLACE TABLE ... AS SELECT
+   * twice (staged, atomic RTAS): the surviving content is the second
+   * (filtered) definition. Returns the catalog table name. */
+  def replacedTable(spark: SparkSession, sfDir: String): String = {
+    ensureExtensions(spark)
+    spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    val sfName = new java.io.File(sfDir).getName
+    val table = s"qbeast_catalog.default.orders_replaced_${sfName.replace(".", "_")}"
+    val path = cachePath(sfDir, "orders_replaced")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, "orders").createOrReplaceTempView("orders_src_rep")
+        spark.sql(s"""CREATE OR REPLACE TABLE $table
+          USING qbeast OPTIONS ('columnsToIndex'='o_orderkey,o_totalprice', 'cubeSize'='5000')
+          LOCATION '$path'
+          AS SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders_src_rep""")
+        spark.sql(s"""CREATE OR REPLACE TABLE $table
+          USING qbeast OPTIONS ('columnsToIndex'='o_orderkey,o_totalprice', 'cubeSize'='5000')
+          LOCATION '$path'
+          AS SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders_src_rep
+          WHERE o_totalprice > 150000""")
+      } else {
+        spark.sql(s"""CREATE TABLE IF NOT EXISTS $table
+          (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+          USING qbeast OPTIONS ('columnsToIndex'='o_orderkey,o_totalprice')
+          LOCATION '$path'""")
+      }
+    }
+    table
+  }
+
   /** part indexed with a CDF-quantile transformer on p_brand (quantiles
    * computed by QbeastUtils) + linear price. */
   def qbeastQuantilePart(spark: SparkSession, sfDir: String): DataFrame = {

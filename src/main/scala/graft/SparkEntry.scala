@@ -279,6 +279,14 @@ object SparkEntry {
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM $table WHERE l_orderkey > 100 GROUP BY l_returnflag""")
     }),
+    "q41_replace_read" -> ((s, dir) => {
+      // reads a table whose content was swapped by an atomic staged
+      // CREATE OR REPLACE ... AS SELECT (StagingTableCatalog)
+      val table = QTables.replacedTable(s, dir)
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM $table GROUP BY o_orderstatus""")
+    }),
     "q28_quantile_index" -> ((s, dir) => {
       QTables.qbeastQuantilePart(s, dir)
         .filter(col("p_brand").isin("Brand#11", "Brand#22", "Brand#33") &&
@@ -649,6 +657,10 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_orderkey > 100 GROUP BY l_returnflag""".stripMargin,
+    "q41_replace_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_totalprice > 150000 GROUP BY o_orderstatus""".stripMargin,
     "q28_quantile_index" ->
       """SELECT p_brand, count(*) AS n,
         |CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

@@ -22,13 +22,20 @@ import scala.jdk.CollectionConverters._
  *    own `_qbeast_log`, so the store is only an identifier → location
  *    mapping; LOCATION-based tables are fully durable).
  */
-class QbeastCatalog extends CatalogExtension {
+class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
 
   private var delegate: Option[TableCatalog] = None
   private var catalogName: String = "qbeast_catalog"
+  private var warehouse: String = QbeastCatalog.DefaultWarehouse
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(QbeastCatalog.DefaultWarehouse)
+    // durable standalone mode: recover the identifier → location map
+    // written by previous processes (table data/metadata live in each
+    // table's own _qbeast_log; this map is the only extra state)
+    QbeastCatalog.loadStore(warehouse)
+  }
 
   override def name(): String = catalogName
 
@@ -83,34 +90,126 @@ class QbeastCatalog extends CatalogExtension {
       case None =>
         val location = stripScheme(props.getOrElse(TableCatalog.PROP_LOCATION,
           props.getOrElse("location",
-            s"/tmp/graft_catalog/${ident.namespace().mkString("/")}/${ident.name()}")))
+            s"$warehouse/${ident.namespace().mkString("/")}/${ident.name()}")))
         val table = QbeastTableImpl(ident.name(), location, schema,
           props + (TableCatalog.PROP_PROVIDER -> "qbeast"))
         QbeastCatalog.standaloneTables.put(key(ident), table)
+        QbeastCatalog.saveStore(warehouse)
         table
     }
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = delegate match {
-    case Some(d) => d.alterTable(ident, changes: _*)
-    case None =>
-      // reference #30: ALTER TABLE SET/UNSET TBLPROPERTIES
-      val table = QbeastCatalog.standaloneTables.getOrElse(key(ident),
-        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-          Seq(catalogName) ++ ident.namespace() :+ ident.name()))
-      val props = changes.foldLeft(table.tableProperties) {
-        case (acc, set: TableChange.SetProperty) => acc + (set.property() -> set.value())
-        case (acc, rm: TableChange.RemoveProperty) => acc - rm.property()
-        case (acc, _) => acc
-      }
-      val updated = table.copy(tableProperties = props)
-      QbeastCatalog.standaloneTables.put(key(ident), updated)
-      updated
+  // ------------------------------------------------- staged create/replace
+
+  /** Atomic CREATE/REPLACE/CREATE OR REPLACE (reference:
+   * `QbeastCatalog.scala:158-241` + `QbeastStagedTableImpl`): the
+   * AS-SELECT write and the catalog entry land together in
+   * `commitStagedChanges`, and a REPLACE swaps data in one log commit. */
+  private def stage(ident: Identifier, info: TableInfo, isReplace: Boolean): StagedTable = {
+    val props = info.properties().asScala.toMap
+    if (!isQbeastProvider(props))
+      throw new UnsupportedOperationException(
+        s"qbeast catalog stages only qbeast tables; got provider ${props.get("provider")}")
+    require(info.partitions().isEmpty,
+      "qbeast tables are self-organizing; PARTITIONED BY unsupported")
+    new QbeastStagedTable(ident, info.schema(), props, isReplace,
+      (id, schema, p, replace) => delegate match {
+        case Some(d) =>
+          if (replace && d.tableExists(id)) d.dropTable(id)
+          toQbeastTable(id, d.createTable(id, schema, Array.empty[Transform],
+            p.asJava))
+        case None =>
+          val location = stripScheme(p.getOrElse(TableCatalog.PROP_LOCATION,
+            p.getOrElse("location",
+              s"$warehouse/${id.namespace().mkString("/")}/${id.name()}")))
+          val table = QbeastTableImpl(id.name(), location, schema,
+            p + (TableCatalog.PROP_PROVIDER -> "qbeast"))
+          QbeastCatalog.standaloneTables.put(key(id), table)
+          QbeastCatalog.saveStore(warehouse)
+          table
+      })
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    stage(ident, info, isReplace = false)
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, isReplace = true)
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, isReplace = tableExists(ident))
+
+  private def tableInfo(
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): TableInfo =
+    new TableInfo.Builder()
+      .withColumns(org.apache.spark.sql.GraftShims.structTypeToV2Columns(schema))
+      .withPartitions(partitions)
+      .withProperties(properties)
+      .build()
+
+  // legacy StructType entry points (their interface defaults throw)
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stageCreate(ident, tableInfo(schema, partitions, properties))
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stageReplace(ident, tableInfo(schema, partitions, properties))
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stageCreateOrReplace(ident, tableInfo(schema, partitions, properties))
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    // reference #30 (AlterQbeastTableCommands): property changes are
+    // persisted through the table's own transaction log in BOTH catalog
+    // modes, so they survive via the table's metadata, not only the
+    // catalog entry
+    def persistToLog(location: String): Unit = {
+      val sets = changes.collect {
+        case s: TableChange.SetProperty => s.property() -> s.value()
+      }.toMap
+      val unsets = changes.collect { case r: TableChange.RemoveProperty => r.property() }
+      if (sets.nonEmpty || unsets.nonEmpty)
+        QbeastCatalog.persistPropertiesToLog(location, sets, unsets)
+    }
+    delegate match {
+      case Some(d) =>
+        val altered = d.alterTable(ident, changes: _*)
+        val props = altered.properties().asScala.toMap
+        if (isQbeastProvider(props))
+          props.get(TableCatalog.PROP_LOCATION).orElse(props.get("location"))
+            .foreach(loc => persistToLog(stripScheme(loc)))
+        altered
+      case None =>
+        val table = QbeastCatalog.standaloneTables.getOrElse(key(ident),
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            Seq(catalogName) ++ ident.namespace() :+ ident.name()))
+        val props = changes.foldLeft(table.tableProperties) {
+          case (acc, set: TableChange.SetProperty) => acc + (set.property() -> set.value())
+          case (acc, rm: TableChange.RemoveProperty) => acc - rm.property()
+          case (acc, _) => acc
+        }
+        val updated = table.copy(tableProperties = props)
+        QbeastCatalog.standaloneTables.put(key(ident), updated)
+        QbeastCatalog.saveStore(warehouse)
+        persistToLog(table.location)
+        updated
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = delegate match {
     case Some(d) => d.dropTable(ident)
-    case None => QbeastCatalog.standaloneTables.remove(key(ident)).nonEmpty
+    case None =>
+      val removed = QbeastCatalog.standaloneTables.remove(key(ident)).nonEmpty
+      if (removed) QbeastCatalog.saveStore(warehouse)
+      removed
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = delegate match {
@@ -118,6 +217,7 @@ class QbeastCatalog extends CatalogExtension {
     case None =>
       QbeastCatalog.standaloneTables.remove(key(from)).foreach { t =>
         QbeastCatalog.standaloneTables.put(key(to), t.copy(identifierName = to.name()))
+        QbeastCatalog.saveStore(warehouse)
       }
   }
 
@@ -202,11 +302,96 @@ class QbeastCatalog extends CatalogExtension {
 }
 
 object QbeastCatalog {
+
+  val DefaultWarehouse = "/tmp/graft_catalog"
+
   /** Identifier → table for standalone-mode catalogs (table data +
-   * metadata live in the table's own log; this is just the name map). */
+   * metadata live in the table's own log; this is just the name map,
+   * write-through persisted to `<warehouse>/_catalog.json`). */
   private[catalog] val standaloneTables = TrieMap.empty[(String, String), QbeastTableImpl]
 
   /** Location of a standalone-catalog table, for tooling. */
   def tableLocation(namespace: String, name: String): Option[String] =
     standaloneTables.get((namespace, name)).map(_.location)
+
+  private def storeFile(warehouse: String) =
+    java.nio.file.Paths.get(warehouse, "_catalog.json")
+
+  /** Write the whole map atomically (tmp + rename). Called under each
+   * mutation; the map is small (one entry per managed table). */
+  private[catalog] def saveStore(warehouse: String): Unit = synchronized {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val entries: org.json4s.JValue = standaloneTables.toSeq.sortBy(_._1).map {
+      case ((ns, name), t) =>
+        ("namespace" -> ns) ~ ("name" -> name) ~ ("location" -> t.location) ~
+          ("schema" -> t.declaredSchema.json) ~ ("properties" -> t.tableProperties)
+    }
+    val file = storeFile(warehouse)
+    java.nio.file.Files.createDirectories(file.getParent)
+    val tmp = file.resolveSibling(s".${file.getFileName}.tmp")
+    java.nio.file.Files.write(tmp,
+      JsonMethods.compact(JsonMethods.render(entries)).getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, file,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Merge persisted entries into the in-memory map (in-memory wins — it
+   * is at least as new in a live process). */
+  private[catalog] def loadStore(warehouse: String): Unit = synchronized {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val file = storeFile(warehouse)
+    if (!java.nio.file.Files.exists(file)) return
+    try {
+      val json = JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(file), "UTF-8"))
+      json match {
+        case JArray(items) => items.foreach { item =>
+          for {
+            JString(ns) <- (item \ "namespace").toOption
+            JString(name) <- (item \ "name").toOption
+            JString(location) <- (item \ "location").toOption
+            JString(schemaJson) <- (item \ "schema").toOption
+          } {
+            val props = (item \ "properties") match {
+              case JObject(fields) => fields.collect {
+                case (k, JString(v)) => k -> v
+              }.toMap
+              case _ => Map.empty[String, String]
+            }
+            val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            standaloneTables.putIfAbsent((ns, name),
+              QbeastTableImpl(name, location, schema, props))
+          }
+        }
+        case _ =>
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => // corrupt store: keep memory
+    }
+  }
+
+  /** Test hook: drop all in-memory state, as a fresh JVM would. */
+  private[graft] def simulateRestart(): Unit = standaloneTables.clear()
+
+  /** Persist ALTER TABLE property changes through the table's log
+   * (reference `AlterQbeastTableCommands`): one commit updating the
+   * metadata configuration. */
+  private[catalog] def persistPropertiesToLog(
+      location: String,
+      sets: Map[String, String],
+      unsets: Seq[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snapshot = graft.log.QbeastLog.snapshot(location, conf)
+    if (snapshot.isEmpty) return // nothing written yet; catalog entry rules
+    val config = (snapshot.configuration ++ sets) -- unsets
+    val schemaJson = snapshot.schema.map(_.json).getOrElse(return)
+    graft.log.QbeastLog.commit(location, conf, snapshot.version,
+      Seq(graft.log.MetaDataAction(schemaJson, config)))
+  }
+
 }

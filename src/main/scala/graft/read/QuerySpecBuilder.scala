@@ -3,7 +3,9 @@ package graft.read
 import graft.core.model._
 import graft.core.transform._
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.{InSubqueryExec, ScalarSubquery}
 
 /** One disjunct of the query: a hyperrectangle in transformed space plus
  * a weight (sampling) range (reference: `core/.../index/query/
@@ -142,22 +144,50 @@ final class QuerySpecBuilder(revision: Revision) {
       }
     }
 
+    /** Literal, or an already-executed scalar subquery. NOTE (measured,
+     * tools/SubqProbe): Spark's FileSourceStrategy strips every filter
+     * containing a subquery from a V1 scan's dataFilters before they
+     * reach any FileIndex — on Spark 3.5 AND 4.1 — so this branch (and
+     * the reference's InSubqueryExec handling it mirrors,
+     * QueryFiltersUtils.scala:197) only fires if Spark ever starts
+     * passing them; defense-in-depth, not a live pruning path. */
+    object ConstVal {
+      def unapply(e: Expression): Option[Any] = e match {
+        case Literal(v, _) => Option(v)
+        case s: ScalarSubquery =>
+          scala.util.Try(s.eval(InternalRow.empty)).toOption.flatMap(Option(_))
+        case _ => None
+      }
+    }
+
+    def constrainInSubquery(in: InSubqueryExec): Unit = in.child match {
+      case a: Attribute =>
+        scala.util.Try(in.values()).toOption.flatten
+          .foreach(vs => constrainIn(a, vs.toSeq.filter(_ != null)))
+      case _ =>
+    }
+
     conjuncts.foreach {
-      case GreaterThan(a: Attribute, Literal(v, _)) => dimOf(a).foreach(constrain(_, v, Some(true)))
-      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => dimOf(a).foreach(constrain(_, v, Some(true)))
-      case LessThan(a: Attribute, Literal(v, _)) => dimOf(a).foreach(constrain(_, v, Some(false)))
-      case LessThanOrEqual(a: Attribute, Literal(v, _)) => dimOf(a).foreach(constrain(_, v, Some(false)))
-      case EqualTo(a: Attribute, Literal(v, _)) if v != null => dimOf(a).foreach(constrain(_, v, None))
-      case EqualTo(Literal(v, _), a: Attribute) if v != null => dimOf(a).foreach(constrain(_, v, None))
+      case GreaterThan(a: Attribute, ConstVal(v)) => dimOf(a).foreach(constrain(_, v, Some(true)))
+      case GreaterThanOrEqual(a: Attribute, ConstVal(v)) => dimOf(a).foreach(constrain(_, v, Some(true)))
+      case LessThan(a: Attribute, ConstVal(v)) => dimOf(a).foreach(constrain(_, v, Some(false)))
+      case LessThanOrEqual(a: Attribute, ConstVal(v)) => dimOf(a).foreach(constrain(_, v, Some(false)))
+      case EqualTo(a: Attribute, ConstVal(v)) => dimOf(a).foreach(constrain(_, v, None))
+      case EqualTo(ConstVal(v), a: Attribute) => dimOf(a).foreach(constrain(_, v, None))
       case EqualNullSafe(a: Attribute, Literal(v, _)) if v != null => dimOf(a).foreach(constrain(_, v, None))
-      case GreaterThan(Literal(v, _), a: Attribute) => dimOf(a).foreach(constrain(_, v, Some(false)))
-      case GreaterThanOrEqual(Literal(v, _), a: Attribute) => dimOf(a).foreach(constrain(_, v, Some(false)))
-      case LessThan(Literal(v, _), a: Attribute) => dimOf(a).foreach(constrain(_, v, Some(true)))
-      case LessThanOrEqual(Literal(v, _), a: Attribute) => dimOf(a).foreach(constrain(_, v, Some(true)))
+      case GreaterThan(ConstVal(v), a: Attribute) => dimOf(a).foreach(constrain(_, v, Some(false)))
+      case GreaterThanOrEqual(ConstVal(v), a: Attribute) => dimOf(a).foreach(constrain(_, v, Some(false)))
+      case LessThan(ConstVal(v), a: Attribute) => dimOf(a).foreach(constrain(_, v, Some(true)))
+      case LessThanOrEqual(ConstVal(v), a: Attribute) => dimOf(a).foreach(constrain(_, v, Some(true)))
       case In(a: Attribute, values) if values.nonEmpty && values.forall(_.isInstanceOf[Literal]) =>
         constrainIn(a, values.map(_.asInstanceOf[Literal].value).filter(_ != null))
       case InSet(a: Attribute, values) if values.nonEmpty =>
         constrainIn(a, values.toSeq.filter(_ != null))
+      // materialized IN-subquery (reference QueryFiltersUtils.scala:197).
+      // On Spark 4 plain `IN (SELECT ...)` rewrites to a semi join, but
+      // DPP-style injected filters still carry InSubqueryExec.
+      case in: InSubqueryExec => constrainInSubquery(in)
+      case DynamicPruningExpression(in: InSubqueryExec) => constrainInSubquery(in)
       case _ => // no constraint
     }
 

@@ -29,6 +29,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     s.revisions.get(rid).map(_.columnNames).getOrElse(Nil)
   }
 
+  /** Table configuration as persisted in the log (includes properties
+   * set via ALTER TABLE ... SET TBLPROPERTIES in either catalog mode). */
+  def properties: Map[String, String] = snapshot.configuration
+
   def cubeSize(revisionID: Long = -1L): Int = {
     val s = snapshot
     val rid = if (revisionID < 0) s.lastRevisionID else revisionID

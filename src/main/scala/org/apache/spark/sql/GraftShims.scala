@@ -18,4 +18,10 @@ object GraftShims {
       classicDf.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** `CatalogV2Util` is `private[sql]`; the staged-table legacy entry
+   * points need the StructType → Column[] conversion. */
+  def structTypeToV2Columns(schema: StructType)
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.structTypeToV2Columns(schema)
+
 }

@@ -14,8 +14,14 @@ class CatalogSpec extends AnyFunSuite {
     s
   }
 
+  /** The standalone catalog is durable across JVMs now — drop leftovers
+   * from previous test runs so creates stay idempotent. */
+  private def fresh(table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS qbeast_catalog.default.$table")
+
   test("CREATE TABLE + INSERT INTO VALUES + SELECT") {
     val loc = TestSpark.tmpDir("cat-create")
+    fresh("students")
     spark.sql(s"""CREATE TABLE qbeast_catalog.default.students
       (id INT, name STRING, age INT) USING qbeast
       OPTIONS ('columnsToIndex'='id,age', 'cubeSize'='100')
@@ -33,6 +39,7 @@ class CatalogSpec extends AnyFunSuite {
 
   test("INSERT INTO ... SELECT and TABLESAMPLE on a catalog table") {
     val loc = TestSpark.tmpDir("cat-insert-select")
+    fresh("li_cat")
     spark.sql(s"""CREATE TABLE qbeast_catalog.default.li_cat
       (l_orderkey BIGINT, l_extendedprice DOUBLE) USING qbeast
       OPTIONS ('columnsToIndex'='l_orderkey,l_extendedprice', 'cubeSize'='1000')
@@ -51,6 +58,7 @@ class CatalogSpec extends AnyFunSuite {
 
   test("CTAS and ALTER TABLE SET TBLPROPERTIES") {
     val loc = TestSpark.tmpDir("cat-ctas")
+    fresh("part_ctas")
     spark.read.parquet("/root/testdata/sf0.001/part.parquet")
       .createOrReplaceTempView("part_src")
     spark.sql(s"""CREATE TABLE qbeast_catalog.default.part_ctas
@@ -67,12 +75,73 @@ class CatalogSpec extends AnyFunSuite {
 
   test("INSERT OVERWRITE replaces content") {
     val loc = TestSpark.tmpDir("cat-overwrite")
+    fresh("ow")
     spark.sql(s"""CREATE TABLE qbeast_catalog.default.ow (a BIGINT, b DOUBLE)
       USING qbeast OPTIONS ('columnsToIndex'='a,b') LOCATION '$loc'""")
     spark.sql("INSERT INTO qbeast_catalog.default.ow VALUES (1, 1.0), (2, 2.0)")
     spark.sql("INSERT OVERWRITE qbeast_catalog.default.ow VALUES (9, 9.0)")
     val rows = spark.sql("SELECT a FROM qbeast_catalog.default.ow").collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("CREATE OR REPLACE TABLE ... AS SELECT (atomic RTAS via staging)") {
+    val loc = TestSpark.tmpDir("cat-rtas")
+    fresh("part_r")
+    spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .createOrReplaceTempView("part_src_r")
+    spark.sql(s"""CREATE OR REPLACE TABLE qbeast_catalog.default.part_r
+      USING qbeast OPTIONS ('columnsToIndex'='p_partkey,p_retailprice')
+      LOCATION '$loc' AS SELECT p_partkey, p_retailprice FROM part_src_r""")
+    val n1 = spark.sql("SELECT count(*) FROM qbeast_catalog.default.part_r").head.getLong(0)
+    assert(n1 == spark.table("part_src_r").count())
+    // replace with a filtered definition: old data fully swapped out
+    spark.sql(s"""CREATE OR REPLACE TABLE qbeast_catalog.default.part_r
+      USING qbeast OPTIONS ('columnsToIndex'='p_partkey,p_retailprice')
+      LOCATION '$loc' AS SELECT p_partkey, p_retailprice FROM part_src_r
+      WHERE p_partkey <= 10""")
+    val keys = spark.sql("SELECT p_partkey FROM qbeast_catalog.default.part_r")
+      .collect().map(_.getLong(0))
+    assert(keys.nonEmpty && keys.forall(_ <= 10), s"got ${keys.length} keys, max ${keys.max}")
+    // REPLACE TABLE without AS SELECT empties the data with new schema
+    spark.sql(s"""REPLACE TABLE qbeast_catalog.default.part_r
+      (p_partkey BIGINT, p_retailprice DOUBLE) USING qbeast
+      OPTIONS ('columnsToIndex'='p_partkey,p_retailprice') LOCATION '$loc'""")
+    assert(spark.sql("SELECT count(*) FROM qbeast_catalog.default.part_r").head.getLong(0) == 0)
+  }
+
+  test("managed standalone tables survive a catalog restart") {
+    val wh = TestSpark.tmpDir("cat-wh")
+    val c = new graft.catalog.QbeastCatalog
+    c.initialize("resto", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("default"), "managed1")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("a BIGINT, b DOUBLE")
+    c.createTable(ident, schema, Array.empty,
+      java.util.Map.of("provider", "qbeast", "columnsToIndex", "a,b"))
+    val loc = c.loadTable(ident).asInstanceOf[graft.catalog.QbeastTableImpl].location
+    // simulated JVM restart: in-memory map gone, fresh catalog instance
+    graft.catalog.QbeastCatalog.simulateRestart()
+    val c2 = new graft.catalog.QbeastCatalog
+    c2.initialize("resto", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val back = c2.loadTable(ident).asInstanceOf[graft.catalog.QbeastTableImpl]
+    assert(back.location == loc)
+    assert(back.schema().fieldNames.toSeq == Seq("a", "b"))
+    assert(c2.tableExists(ident))
+  }
+
+  test("ALTER TABLE properties persist through the table log") {
+    val loc = TestSpark.tmpDir("cat-alterlog")
+    fresh("alt")
+    spark.sql(s"""CREATE TABLE qbeast_catalog.default.alt (a BIGINT, b DOUBLE)
+      USING qbeast OPTIONS ('columnsToIndex'='a,b') LOCATION '$loc'""")
+    spark.sql("INSERT INTO qbeast_catalog.default.alt VALUES (1, 1.0)")
+    spark.sql("ALTER TABLE qbeast_catalog.default.alt SET TBLPROPERTIES ('team'='graft')")
+    // visible via the table's OWN metadata (no catalog in the loop)
+    val t = graft.table.QbeastTable.forPath(spark, loc)
+    assert(t.properties.get("team").contains("graft"))
+    spark.sql("ALTER TABLE qbeast_catalog.default.alt UNSET TBLPROPERTIES ('team')")
+    assert(!graft.table.QbeastTable.forPath(spark, loc).properties.contains("team"))
   }
 
 }
