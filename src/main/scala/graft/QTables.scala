@@ -164,6 +164,32 @@ object QTables {
     tableName
   }
 
+  /** A 2-revision table (second append widens the space → revision bump)
+   * collapsed into the latest revision by compactRevisions(); content
+   * still equals the full raw table. */
+  def qbeastCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "lineitem_compacted")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val li = raw(spark, sfDir, "lineitem")
+        val cut = li.agg(org.apache.spark.sql.functions.expr("percentile(l_orderkey, 0.5)"))
+          .head.getDouble(0).toLong
+        li.filter(s"l_orderkey <= $cut").write.format("qbeast")
+          .option("columnsToIndex", "l_orderkey,l_extendedprice")
+          .option("cubeSize", "2000").save(path)
+        li.filter(s"l_orderkey > $cut").write.format("qbeast")
+          .option("columnsToIndex", "l_orderkey,l_extendedprice")
+          .option("cubeSize", "2000").mode("append").save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        require(t.revisionIDs.count(_ > 0) >= 2,
+          s"expected a revision bump, got ${t.revisionIDs}")
+        t.compactRevisions()
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** A table that went through CREATE OR REPLACE TABLE ... AS SELECT
    * twice (staged, atomic RTAS): the surviving content is the second
    * (filtered) definition. Returns the catalog table name. */

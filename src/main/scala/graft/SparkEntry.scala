@@ -312,6 +312,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
           dec(col("l_extendedprice")).as("sum_price"))
     }),
+    "q43_compact_revisions" -> ((s, dir) => {
+      // 2-revision table collapsed into the latest space; full content
+      // must survive the rewrite bit-for-bit
+      QTables.qbeastCompacted(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          dec(col("l_extendedprice")).as("sum_price"))
+    }),
     "q25_index_metrics" -> ((s, dir) => {
       import s.implicits._
       QTables.qbeast(s, dir, "lineitem") // ensure table exists
@@ -780,6 +788,10 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum
         |FROM documents""".stripMargin,
     // ---- r2 additions: oracles for previously no_oracle operators -------
+    "q43_compact_revisions" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q25_index_metrics" ->
       """SELECT count(*) AS element_count, 2 AS dimension_count,
         |5000 AS desired_cube_size FROM lineitem""".stripMargin,

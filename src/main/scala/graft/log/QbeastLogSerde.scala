@@ -141,35 +141,65 @@ object QbeastLogSerde {
     JsonMethods.compact(JsonMethods.render(j))
   }
 
+  /** Thread-safe for readTree; snapshot replay parses up to millions of
+   * add lines, so the hot path below uses Jackson's tree API directly
+   * instead of json4s reflection (measured 3-4x faster at 1e6 files —
+   * tools/MetaScaleProbe). */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Parse one JSON line. Revisions must be resolvable before files, so
    * callers replay lines in order with a growing revision map. */
   def parseLine(line: String, dimensionsOf: Long => Int): LogAction = {
-    val j = JsonMethods.parse(line)
-    (j \ "metaData") match {
-      case JNothing =>
-      case m =>
-        return MetaDataAction((m \ "schemaString").extract[String],
-          (m \ "configuration").extractOpt[Map[String, String]].getOrElse(Map.empty))
+    val root = mapper.readTree(line)
+    val add = root.get("add")
+    if (add != null) {
+      val revisionId = add.get("revisionId").asLong()
+      val dims = math.max(dimensionsOf(revisionId), 1)
+      val blocks = Vector.newBuilder[Block]
+      val it = add.get("blocks").elements()
+      while (it.hasNext) {
+        val b = it.next()
+        blocks += Block(
+          CubeId.fromString(dims, b.get("cube").asText()),
+          Weight(b.get("minWeight").asInt()),
+          Weight(b.get("maxWeight").asInt()),
+          b.get("elementCount").asLong())
+      }
+      val stats = add.get("stats")
+      return AddFileAction(
+        IndexFile(
+          add.get("path").asText(),
+          add.get("size").asLong(),
+          add.get("modificationTime").asLong(),
+          revisionId,
+          blocks.result(),
+          if (stats == null || stats.isNull) None else Some(stats.asText())),
+        if (add.has("dataChange")) add.get("dataChange").asBoolean() else true)
     }
-    (j \ "revision") match {
+    val rm = root.get("remove")
+    if (rm != null)
+      return RemoveFileAction(RemoveFile(rm.get("path").asText(),
+        rm.get("deletionTimestamp").asLong()))
+    val txn = root.get("txn")
+    if (txn != null)
+      return TxnAction(txn.get("appId").asText(), txn.get("version").asLong())
+    val md = root.get("metaData")
+    if (md != null) {
+      val conf = Map.newBuilder[String, String]
+      val cfg = md.get("configuration")
+      if (cfg != null && !cfg.isNull) {
+        val fields = cfg.properties().iterator()
+        while (fields.hasNext) {
+          val e = fields.next()
+          conf += e.getKey -> e.getValue.asText()
+        }
+      }
+      return MetaDataAction(md.get("schemaString").asText(), conf.result())
+    }
+    // rare, cold actions keep the json4s path
+    (JsonMethods.parse(line) \ "revision") match {
       case JNothing =>
       case r => return RevisionAction(revisionFromJson(r))
-    }
-    (j \ "add") match {
-      case JNothing =>
-      case a =>
-        return AddFileAction(fileFromJson(a, dimensionsOf),
-          (a \ "dataChange").extractOpt[Boolean].getOrElse(true))
-    }
-    (j \ "remove") match {
-      case JNothing =>
-      case r =>
-        return RemoveFileAction(RemoveFile((r \ "path").extract[String],
-          (r \ "deletionTimestamp").extract[Long]))
-    }
-    (j \ "txn") match {
-      case JNothing =>
-      case t => return TxnAction((t \ "appId").extract[String], (t \ "version").extract[Long])
     }
     throw new IllegalArgumentException(s"unknown log action: $line")
   }

@@ -66,6 +66,31 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     commitRewrite(s, newFiles, candidates)
   }
 
+  /**
+   * Collapse all earlier revisions into the latest one: their data is
+   * re-indexed against the latest revision's (superset, by the
+   * supersede/merge rules) space and committed as a layout-only rewrite.
+   * After compaction every query plans against one revision — appends
+   * that bumped the revision no longer cost a per-revision metadata walk
+   * or split the sampling strata across index generations.
+   */
+  def compactRevisions(): Unit = {
+    val s = snapshot
+    val latest = s.lastRevision.filterNot(_.isStaging).getOrElse(return)
+    val oldIds = s.revisions.keySet
+      .filter(id => id != latest.revisionID && id != Revision.StagingID)
+    val candidates = s.files.filter(f => oldIds.contains(f.revisionId))
+    if (candidates.isEmpty) return
+
+    val paths = candidates.map(f => new Path(tablePath, f.path).toString)
+    val data = spark.read.parquet(paths: _*)
+    val numElements = candidates.map(_.elementCount).sum
+    val status = s.indexStatus(latest.revisionID)
+    val newFiles = QbeastWriter.index(spark, tablePath, data, latest,
+      Some(status), numElements)
+    commitRewrite(s, newFiles, candidates)
+  }
+
   /** Index the staging (revision-0) files into the latest revision
    * (reference: `IndexedTable.optimizeUnindexedFiles`). */
   def optimizeUnindexed(): Unit = {

@@ -564,3 +564,71 @@ object RollupProbe {
     spark.stop()
   }
 }
+
+/** Probe (VERDICT r1 item 9): snapshot load + driver memory at large
+ * file counts — measures when the driver-side metadata path needs a
+ * columnar checkpoint / distributed join. Args: [numFiles]. */
+object MetaScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val numFiles = if (args.length > 0) args(0).toInt else 1000000
+    val dir = java.nio.file.Files.createTempDirectory("metascale").toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = graft.core.model.CubeId.root(2)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("a BIGINT, b DOUBLE")
+    val rev = graft.core.model.Revision(1L, 0L, dir, 5000000,
+      Vector(graft.core.transform.LinearTransformer("a", "linear"),
+        graft.core.transform.LinearTransformer("b", "linear")),
+      Vector(graft.core.transform.LinearTransformation(0, 1000000, 42L),
+        graft.core.transform.LinearTransformation(0.0, 1.0, 42L)))
+    // batch the adds into commits of 50k actions
+    val batch = 50000
+    var version = -1L
+    var written = 0
+    val t0 = System.nanoTime()
+    // spread cubes over depth-10 so selectFiles does real intersection work
+    while (written < numFiles) {
+      val n = math.min(batch, numFiles - written)
+      val actions = new scala.collection.mutable.ArrayBuffer[graft.log.LogAction](n + 2)
+      if (written == 0) {
+        actions += graft.log.MetaDataAction(schema.json, Map("qbeast.lastRevisionID" -> "1"))
+        actions += graft.log.RevisionAction(rev)
+      }
+      var i = 0
+      while (i < n) {
+        val k = written + i
+        var cube = root
+        var d = 0
+        while (d < 10) { cube = cube.children.next(); d += 1 } // deep chain
+        actions += graft.log.AddFileAction(graft.core.model.IndexFile(
+          path = s"f$k.parquet", size = 128000000L, modificationTime = 0L,
+          revisionId = 1L,
+          blocks = Vector(graft.core.model.Block(cube,
+            graft.core.model.Weight(k), graft.core.model.Weight(k + 1000), 100000L))),
+          dataChange = true)
+        i += 1
+      }
+      version = graft.log.QbeastLog.commit(dir, conf, version, actions.toSeq)
+      written += n
+    }
+    val writeSec = (System.nanoTime() - t0) / 1e9
+    println(f"[metascale] wrote $numFiles%d AddFiles in ${version + 1}%d commits: $writeSec%.1f s")
+
+    System.gc()
+    val memBefore = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    val t1 = System.nanoTime()
+    val snap = graft.log.QbeastLog.snapshot(dir, conf) // also writes a checkpoint
+    val loadSec = (System.nanoTime() - t1) / 1e9
+    System.gc()
+    val memAfter = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    println(f"[metascale] snapshot: files=${snap.files.size}%d load=$loadSec%.1f s " +
+      f"retainedMB=${(memAfter - memBefore) / 1e6}%.0f")
+    val t2 = System.nanoTime()
+    val snap2 = graft.log.QbeastLog.snapshot(dir, conf) // from checkpoint now
+    println(f"[metascale] snapshot from checkpoint: ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    val t3 = System.nanoTime()
+    val selected = graft.read.QbeastFileIndex.selectFiles(snap2,
+      Seq.empty) // no filters: full listing path
+    println(f"[metascale] selectFiles(all): ${selected.size}%d in ${(System.nanoTime() - t3) / 1e9}%.2f s")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}

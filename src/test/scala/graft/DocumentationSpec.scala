@@ -26,6 +26,8 @@ class DocumentationSpec extends AnyFunSuite {
     val sampled = spark.read.format("qbeast").load(tbl).sample(0.01)
     assert(sampled.count() > 0)
 
+    // the standalone catalog is durable across JVMs; clear prior runs
+    spark.sql("DROP TABLE IF EXISTS qbeast_catalog.default.readme_t")
     spark.sql(s"""CREATE TABLE qbeast_catalog.default.readme_t
       (id BIGINT, v DOUBLE) USING qbeast
       OPTIONS ('columnsToIndex'='id') LOCATION '${TestSpark.tmpDir("readme-t")}'""")

@@ -121,4 +121,35 @@ class RoundtripSpec extends AnyFunSuite {
     assert(back.filter(s"l_orderkey >= $maxKey").count() === expectedMax)
   }
 
+  test("compactRevisions collapses a 2-revision table, content intact") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dir = TestSpark.tmpDir("qbeast-compact")
+    val cut = li.agg(org.apache.spark.sql.functions.expr("percentile(l_orderkey, 0.5)"))
+      .head.getDouble(0).toLong
+    li.filter(s"l_orderkey <= $cut").write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "500").save(dir)
+    li.filter(s"l_orderkey > $cut").write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "500").mode("append").save(dir)
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    val before = t.revisionIDs.filter(_ > 0)
+    assert(before.size >= 2, s"append should have bumped the revision: $before")
+    t.compactRevisions()
+    val s = t.snapshot
+    val latest = s.lastRevisionID
+    // every data file now belongs to the latest revision
+    assert(s.files.forall(f => f.revisionId == latest),
+      s"files left in ${s.files.map(_.revisionId).distinct}")
+    // and the content still matches the source exactly
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === li.count())
+    assert(back.agg(org.apache.spark.sql.functions.sum("l_quantity")).head.getDouble(0)
+      === li.agg(org.apache.spark.sql.functions.sum("l_quantity")).head.getDouble(0))
+    // sampling still accurate after compaction
+    val f = 0.2
+    val n = back.sample(f).count()
+    assert(math.abs(n - f * li.count()) <= 0.01 * li.count() + 50)
+  }
+
 }
