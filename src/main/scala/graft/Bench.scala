@@ -31,6 +31,9 @@ object Bench {
     QTables.qbeastQuantilePart(spark, sfDir).count()
     QTables.qbeastOrdersWithStats(spark, sfDir).count()
     QTables.catalogTable(spark, sfDir)
+    QTables.qbeastIvfEmbeddings(spark, sfDir).count()
+    QTables.replacedTable(spark, sfDir)
+    QTables.qbeastCompacted(spark, sfDir).count()
     val indexBuild = (System.nanoTime() - t0) / 1e9
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
