@@ -142,17 +142,24 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   }
 
   /** Per-depth tree statistics (reference: IndexMetrics SizeStats per
-   * level): cube/element counts and the mean max-weight fraction, which
-   * shows how the sampling thresholds deepen. */
+   * level): cube/block/element counts, cube-size spread and the mean
+   * max-weight fraction, which shows how the sampling thresholds
+   * deepen. */
   def depthMetrics(revisionID: Long = -1L): Seq[DepthStats] = {
     val s = snapshot
     val rid = if (revisionID < 0) s.lastRevisionID else revisionID
     val statuses = s.indexStatus(rid).cubeStatuses.values.toSeq
+    val blocksByDepth = s.filesOfRevision(rid).flatMap(_.blocks)
+      .groupBy(_.cube.depth).view.mapValues(_.size).toMap
     statuses.groupBy(_.cubeId.depth).toSeq.sortBy(_._1).map { case (depth, cubes) =>
+      val counts = cubes.map(_.elementCount)
       DepthStats(
         depth = depth,
         cubeCount = cubes.size,
-        elementCount = cubes.map(_.elementCount).sum,
+        blockCount = blocksByDepth.getOrElse(depth, 0),
+        elementCount = counts.sum,
+        minCubeElementCount = counts.min,
+        maxCubeElementCount = counts.max,
         avgMaxWeightFraction =
           cubes.map(_.maxWeight.fraction).sum / cubes.size)
     }
@@ -188,7 +195,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   }
 
   /** Structural metrics of one revision's index (reference:
-   * `core/.../spark/utils/IndexMetrics.scala`). */
+   * `core/.../spark/utils/IndexMetrics.scala:26-137` — height, fanout,
+   * balance, inner/leaf cube size stats, block/file stats). */
   def indexMetrics(revisionID: Long = -1L): IndexMetrics = {
     val s = snapshot
     val rid = if (revisionID < 0) s.lastRevisionID else revisionID
@@ -196,18 +204,42 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val files = s.filesOfRevision(rid)
     val cubes = status.cubeStatuses
     val counts = cubes.values.map(_.elementCount)
+    val cubeSet = cubes.keySet
+    // inner = has at least one materialized child; leaf = none
+    val (inner, leaf) = cubes.keys.partition(c => c.children.exists(cubeSet.contains))
+    def stats(cs: Iterable[CubeId]): CubeSizeStats = {
+      // iterator: mapping a key SET through elementCount would dedup ties
+      val sizes = cs.iterator.map(c => cubes(c).elementCount).toSeq
+      if (sizes.isEmpty) CubeSizeStats(0, 0L, 0L, 0L)
+      else CubeSizeStats(sizes.size, sizes.min, sizes.sum / sizes.size, sizes.max)
+    }
+    val height = if (cubes.isEmpty) 0 else cubes.keys.map(_.depth).max + 1
+    // average materialized children per inner cube (reference avgFanout)
+    val avgFanout =
+      if (inner.isEmpty) 0.0
+      else inner.iterator.map(c => c.children.count(cubeSet.contains)).sum.toDouble / inner.size
+    // reference depthOnBalance: observed height vs the height a perfectly
+    // balanced tree of this fanout would need for the same element count
+    val balancedHeight =
+      if (counts.sum <= 0 || avgFanout <= 1.0) 1.0
+      else 1 + math.log(math.max(1.0,
+        counts.sum.toDouble / status.revision.desiredCubeSize)) / math.log(avgFanout)
     IndexMetrics(
       revisionID = rid,
       elementCount = counts.sum,
       dimensionCount = status.revision.dimensionCount,
       desiredCubeSize = status.revision.desiredCubeSize,
-      height = if (cubes.isEmpty) 0 else cubes.keys.map(_.depth).max + 1,
+      height = height,
+      avgFanout = avgFanout,
+      depthOnBalance = if (height == 0) 0.0 else height / balancedHeight,
       cubeCount = cubes.size,
       blockCount = files.map(_.blocks.size).sum,
       fileCount = files.size,
       bytes = files.map(_.size).sum,
       avgCubeElementCount = if (cubes.isEmpty) 0L else counts.sum / cubes.size,
-      maxCubeElementCount = if (cubes.isEmpty) 0L else counts.max)
+      maxCubeElementCount = if (cubes.isEmpty) 0L else counts.max,
+      innerCubeStats = stats(inner),
+      leafCubeStats = stats(leaf))
   }
 
 }
@@ -215,8 +247,18 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 final case class DepthStats(
     depth: Int,
     cubeCount: Int,
+    blockCount: Int,
     elementCount: Long,
+    minCubeElementCount: Long,
+    maxCubeElementCount: Long,
     avgMaxWeightFraction: Double)
+
+/** min/avg/max element counts over a class of cubes. */
+final case class CubeSizeStats(
+    cubeCount: Int,
+    minElementCount: Long,
+    avgElementCount: Long,
+    maxElementCount: Long)
 
 final case class IndexMetrics(
     revisionID: Long,
@@ -224,12 +266,16 @@ final case class IndexMetrics(
     dimensionCount: Int,
     desiredCubeSize: Int,
     height: Int,
+    avgFanout: Double,
+    depthOnBalance: Double,
     cubeCount: Int,
     blockCount: Int,
     fileCount: Int,
     bytes: Long,
     avgCubeElementCount: Long,
-    maxCubeElementCount: Long)
+    maxCubeElementCount: Long,
+    innerCubeStats: CubeSizeStats,
+    leafCubeStats: CubeSizeStats)
 
 object QbeastTable {
 

@@ -59,6 +59,18 @@ class UtilitiesSpec extends AnyFunSuite {
     val ds = t.depthMetrics()
     assert(ds.nonEmpty && ds.map(_.depth) == ds.map(_.depth).sorted)
     assert(ds.map(_.elementCount).sum == 6000)
+    assert(ds.forall(d => d.minCubeElementCount <= d.maxCubeElementCount))
+    assert(ds.forall(d => d.blockCount >= d.cubeCount)) // every cube has ≥1 block
+    // richer whole-index metrics (reference IndexMetrics surface)
+    val m = t.indexMetrics()
+    assert(m.elementCount == 6000)
+    assert(m.height == ds.map(_.depth).max + 1)
+    assert(m.avgFanout > 0.0 && m.avgFanout <= math.pow(2, m.dimensionCount) + 1e-9)
+    assert(m.depthOnBalance > 0.0)
+    assert(m.innerCubeStats.cubeCount + m.leafCubeStats.cubeCount == m.cubeCount)
+    assert(m.leafCubeStats.cubeCount > 0)
+    assert(m.innerCubeStats.minElementCount <= m.innerCubeStats.avgElementCount &&
+      m.innerCubeStats.avgElementCount <= m.innerCubeStats.maxElementCount)
     // deeper levels hold heavier rows: mean max-weight fraction grows
     ds.sliding(2).foreach {
       case Seq(a, b) => assert(a.avgMaxWeightFraction <= b.avgMaxWeightFraction + 1e-9)
