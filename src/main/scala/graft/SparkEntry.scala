@@ -279,6 +279,15 @@ object SparkEntry {
         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM $table WHERE l_orderkey > 100 GROUP BY l_returnflag""")
     }),
+    "q44_sample_oracle" -> ((s, dir) => {
+      // deterministic hash-sampling verified bit-exactly: documents is
+      // indexed on two BIGINT columns, so the DuckDB oracle re-derives
+      // Spark's murmur3(doc_id, n_chars; seed 42) in pure integer SQL
+      // and applies the identical `hash < threshold` predicate
+      QTables.qbeast(s, dir, "documents").sample(0.37)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+    }),
     "q41_replace_read" -> ((s, dir) => {
       // reads a table whose content was swapped by an atomic staged
       // CREATE OR REPLACE ... AS SELECT (StagingTableCatalog)
@@ -533,6 +542,33 @@ object SparkEntry {
   private val (mhA, mhB) = ops.Dedup.minHashParams(ops.Dedup.DefaultNumHashes)
   private def sqlArr(xs: Array[Long]): String = xs.mkString("[", ",", "]")
 
+  /** Spark's Murmur3_x86_32.hashLong as DuckDB SQL (unsigned-32 values in
+   * BIGINT, wrap-multiplies through HUGEINT, lateral column aliases for
+   * the mixing pipeline). Bit-exact vs Spark's `hash(col1, col2)`. */
+  private def mixK1Sql(k: String, out: String): String =
+    s"((($k)::HUGEINT * 3432918353) % 4294967296)::BIGINT AS ${out}_m1, " +
+      s"((${out}_m1 << 15) | (${out}_m1 >> 17)) & 4294967295 AS ${out}_r, " +
+      s"((${out}_r)::HUGEINT * 461845907 % 4294967296)::BIGINT AS $out"
+  private def mixH1Sql(h: String, k: String, out: String): String =
+    s"xor($h, $k) AS ${out}_x, " +
+      s"((${out}_x << 13) | (${out}_x >> 19)) & 4294967295 AS ${out}_r, " +
+      s"(((${out}_r)::HUGEINT * 5 + 3864292196) % 4294967296)::BIGINT AS $out"
+  private def fmixSql(h: String, out: String): String =
+    s"xor($h, 8) AS ${out}_a, xor(${out}_a, ${out}_a >> 16) AS ${out}_b, " +
+      s"((${out}_b)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS ${out}_c, " +
+      s"xor(${out}_c, ${out}_c >> 13) AS ${out}_d, " +
+      s"((${out}_d)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS ${out}_e, " +
+      s"xor(${out}_e, ${out}_e >> 16) AS $out"
+  private def hashLongSql(col: String, seed: String, out: String): String =
+    Seq(
+      s"(($col) & 4294967295) AS ${out}_low",
+      s"((($col) >> 32) & 4294967295) AS ${out}_high",
+      mixK1Sql(s"${out}_low", s"${out}_k1"),
+      mixH1Sql(seed, s"${out}_k1", s"${out}_h1"),
+      mixK1Sql(s"${out}_high", s"${out}_k2"),
+      mixH1Sql(s"${out}_h1", s"${out}_k2", s"${out}_h2"),
+      fmixSql(s"${out}_h2", out)).mkString(", ")
+
   /** DuckDB-runnable oracles over the same raw parquet tables. Keys
    * without an oracle (sampling) get the driver's rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -665,6 +701,15 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_orderkey > 100 GROUP BY l_returnflag""".stripMargin,
+    "q44_sample_oracle" ->
+      s"""WITH h AS (SELECT lang, n_chars,
+         |  ${hashLongSql("doc_id", "42", "ha")},
+         |  ${hashLongSql("n_chars", "ha", "hb")},
+         |  CASE WHEN hb >= 2147483648 THEN hb - 4294967296 ELSE hb END AS spark_hash
+         |  FROM documents)
+         |SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars FROM h
+         |WHERE spark_hash < ${graft.core.model.Weight.fromFraction(0.37).value}
+         |GROUP BY lang""".stripMargin,
     "q41_replace_read" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
