@@ -180,9 +180,12 @@ object SparkEntry {
       s.sql("SELECT count(*) AS n FROM li_q TABLESAMPLE (5 PERCENT)")
     }),
     "q26_sample_1pct" -> ((s, dir) => {
-      // 1% sample: benchmark counterpart of q01 (file-pruned scan)
+      // 1% sample: benchmark counterpart of q01 (file-pruned scan).
+      // avg computed as exact-decimal sum / count so the value is
+      // order-independent and bit-matches the oracle
       QTables.qbeast(s, dir, "lineitem").sample(0.01)
-        .agg(count(lit(1)).as("n"), avg("l_extendedprice").as("avg_price"))
+        .agg(count(lit(1)).as("n"),
+          (dec(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
     }),
     // ---- append / revisions ----------------------------------------------
     "q22_append_revisions" -> ((s, dir) => {
@@ -542,32 +545,77 @@ object SparkEntry {
   private val (mhA, mhB) = ops.Dedup.minHashParams(ops.Dedup.DefaultNumHashes)
   private def sqlArr(xs: Array[Long]): String = xs.mkString("[", ",", "]")
 
-  /** Spark's Murmur3_x86_32.hashLong as DuckDB SQL (unsigned-32 values in
-   * BIGINT, wrap-multiplies through HUGEINT, lateral column aliases for
-   * the mixing pipeline). Bit-exact vs Spark's `hash(col1, col2)`. */
-  private def mixK1Sql(k: String, out: String): String =
-    s"((($k)::HUGEINT * 3432918353) % 4294967296)::BIGINT AS ${out}_m1, " +
-      s"((${out}_m1 << 15) | (${out}_m1 >> 17)) & 4294967295 AS ${out}_r, " +
-      s"((${out}_r)::HUGEINT * 461845907 % 4294967296)::BIGINT AS $out"
-  private def mixH1Sql(h: String, k: String, out: String): String =
-    s"xor($h, $k) AS ${out}_x, " +
-      s"((${out}_x << 13) | (${out}_x >> 19)) & 4294967295 AS ${out}_r, " +
-      s"(((${out}_r)::HUGEINT * 5 + 3864292196) % 4294967296)::BIGINT AS $out"
-  private def fmixSql(h: String, out: String): String =
-    s"xor($h, 8) AS ${out}_a, xor(${out}_a, ${out}_a >> 16) AS ${out}_b, " +
-      s"((${out}_b)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS ${out}_c, " +
-      s"xor(${out}_c, ${out}_c >> 13) AS ${out}_d, " +
-      s"((${out}_d)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS ${out}_e, " +
-      s"xor(${out}_e, ${out}_e >> 16) AS $out"
-  private def hashLongSql(col: String, seed: String, out: String): String =
+  /** Spark's Murmur3_x86_32.hashLong as DuckDB SQL (unsigned-32 values
+   * in BIGINT, wrap-multiplies through HUGEINT). Emitted as a chain of
+   * NESTED subqueries — one new column per level — because lateral
+   * column aliases are inlined by DuckDB's binder and a 40-step mixing
+   * pipeline would blow up into an exponentially duplicated expression
+   * tree. Bit-exact vs Spark's `hash(col1, col2)`. */
+  private def mixK1Steps(k: String, out: String): Seq[String] = Seq(
+    s"((($k)::HUGEINT * 3432918353) % 4294967296)::BIGINT AS ${out}_m1",
+    s"((${out}_m1 << 15) | (${out}_m1 >> 17)) & 4294967295 AS ${out}_r",
+    s"((${out}_r)::HUGEINT * 461845907 % 4294967296)::BIGINT AS $out")
+  private def mixH1Steps(h: String, k: String, out: String): Seq[String] = Seq(
+    s"xor($h, $k) AS ${out}_x",
+    s"((${out}_x << 13) | (${out}_x >> 19)) & 4294967295 AS ${out}_r",
+    s"(((${out}_r)::HUGEINT * 5 + 3864292196) % 4294967296)::BIGINT AS $out")
+  private def fmixSteps(h: String, out: String): Seq[String] = Seq(
+    s"xor($h, 8) AS ${out}_a",
+    s"xor(${out}_a, ${out}_a >> 16) AS ${out}_b",
+    s"((${out}_b)::HUGEINT * 2246822507 % 4294967296)::BIGINT AS ${out}_c",
+    s"xor(${out}_c, ${out}_c >> 13) AS ${out}_d",
+    s"((${out}_d)::HUGEINT * 3266489909 % 4294967296)::BIGINT AS ${out}_e",
+    s"xor(${out}_e, ${out}_e >> 16) AS $out")
+  private def hashLongSteps(col: String, seed: String, out: String): Seq[String] =
     Seq(
       s"(($col) & 4294967295) AS ${out}_low",
-      s"((($col) >> 32) & 4294967295) AS ${out}_high",
-      mixK1Sql(s"${out}_low", s"${out}_k1"),
-      mixH1Sql(seed, s"${out}_k1", s"${out}_h1"),
-      mixK1Sql(s"${out}_high", s"${out}_k2"),
-      mixH1Sql(s"${out}_h1", s"${out}_k2", s"${out}_h2"),
-      fmixSql(s"${out}_h2", out)).mkString(", ")
+      s"((($col) >> 32) & 4294967295) AS ${out}_high") ++
+      mixK1Steps(s"${out}_low", s"${out}_k1") ++
+      mixH1Steps(seed, s"${out}_k1", s"${out}_h1") ++
+      mixK1Steps(s"${out}_high", s"${out}_k2") ++
+      mixH1Steps(s"${out}_h1", s"${out}_k2", s"${out}_h2") ++
+      fmixSteps(s"${out}_h2", out)
+
+  /** java.lang.Double.doubleToLongBits as DuckDB SQL: exponent via a
+   * guarded floor(log2), mantissa via power-of-two division (exact in
+   * IEEE arithmetic), -0.0 normalized to 0 like Spark's hash. Validated
+   * bit-exact over every l_extendedprice at sf0.01. */
+  private def doubleBitsSteps(col: String, out: String): Seq[String] = Seq(
+    s"CASE WHEN ($col) = 0 THEN 1 ELSE abs($col) END AS ${out}_a",
+    s"CAST(floor(log2(${out}_a)) AS BIGINT) AS ${out}_e0",
+    s"CASE WHEN ${out}_a < pow(2.0, ${out}_e0) THEN ${out}_e0 - 1 " +
+      s"WHEN ${out}_a >= pow(2.0, ${out}_e0 + 1) THEN ${out}_e0 + 1 ELSE ${out}_e0 END AS ${out}_e",
+    s"CAST((${out}_a / pow(2.0, ${out}_e) - 1.0) * 4503599627370496.0 AS BIGINT) AS ${out}_m",
+    s"CASE WHEN ($col) = 0 THEN 0 ELSE " +
+      s"(CASE WHEN ($col) < 0 THEN -9223372036854775808 ELSE 0 END) + " +
+      s"((${out}_e + 1023) << 52) + ${out}_m END AS $out")
+
+  /** Fold step expressions into a chain of MATERIALIZED CTEs (one new
+   * column per stage). Plain nesting or lateral aliases get flattened by
+   * DuckDB's optimizer back into one exponentially-duplicated expression
+   * tree (each rotl references its input twice → 2^40 nodes);
+   * materialization pins one evaluation per stage (60k rows in ~2.5 s). */
+  private def chainSql(base: String, steps: Seq[String]): String = {
+    val ctes = steps.zipWithIndex.map { case (step, i) =>
+      val src = if (i == 0) s"($base)" else s"mc${i - 1}"
+      s"mc$i AS MATERIALIZED (SELECT *, $step FROM $src)"
+    }
+    s"WITH ${ctes.mkString(", ")} SELECT * FROM mc${steps.size - 1}"
+  }
+
+  /** The full sampling predicate of `lineitem.sample(f)` in DuckDB SQL:
+   * murmur3(l_orderkey BIGINT, doubleToLongBits(l_extendedprice); 42)
+   * compared against the same Weight threshold the SampleRule emits. */
+  private def lineitemSampleSql(fraction: Double): String = {
+    val hashed = chainSql("SELECT * FROM lineitem",
+      doubleBitsSteps("l_extendedprice", "db") ++
+        hashLongSteps("l_orderkey", "42", "sha") ++
+        hashLongSteps("db", "sha", "shb") :+
+        s"CASE WHEN shb >= 2147483648 THEN shb - 4294967296 ELSE shb END AS spark_hash")
+    s"SELECT * FROM ($hashed) WHERE spark_hash < ${Weight.fromFraction(fraction).value}"
+  }
+
+  private def Weight = graft.core.model.Weight
 
   /** DuckDB-runnable oracles over the same raw parquet tables. Keys
    * without an oracle (sampling) get the driver's rows-only check. */
@@ -701,15 +749,25 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_orderkey > 100 GROUP BY l_returnflag""".stripMargin,
-    "q44_sample_oracle" ->
-      s"""WITH h AS (SELECT lang, n_chars,
-         |  ${hashLongSql("doc_id", "42", "ha")},
-         |  ${hashLongSql("n_chars", "ha", "hb")},
-         |  CASE WHEN hb >= 2147483648 THEN hb - 4294967296 ELSE hb END AS spark_hash
-         |  FROM documents)
-         |SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars FROM h
-         |WHERE spark_hash < ${graft.core.model.Weight.fromFraction(0.37).value}
-         |GROUP BY lang""".stripMargin,
+    "q20_sample" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM (${lineitemSampleSql(0.1)}) GROUP BY 1""".stripMargin,
+    "q21_sample_sql" ->
+      s"SELECT count(*) AS n FROM (${lineitemSampleSql(0.05)})",
+    "q26_sample_1pct" ->
+      s"""SELECT count(*) AS n,
+         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
+         |FROM (${lineitemSampleSql(0.01)})""".stripMargin,
+    "q44_sample_oracle" -> {
+      val hashed = chainSql("SELECT lang, n_chars, doc_id FROM documents",
+        hashLongSteps("doc_id", "42", "ha") ++
+          hashLongSteps("n_chars", "ha", "hb") :+
+          s"CASE WHEN hb >= 2147483648 THEN hb - 4294967296 ELSE hb END AS spark_hash")
+      s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars FROM ($hashed)
+         |WHERE spark_hash < ${Weight.fromFraction(0.37).value}
+         |GROUP BY lang""".stripMargin
+    },
     "q41_replace_read" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
