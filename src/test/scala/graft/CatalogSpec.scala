@@ -109,6 +109,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM qbeast_catalog.default.part_r").head.getLong(0) == 0)
   }
 
+  test("failed RTAS aborts cleanly: old table content intact, no entry leak") {
+    val loc = TestSpark.tmpDir("cat-rtas-abort")
+    fresh("part_abort")
+    spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .createOrReplaceTempView("part_src_a")
+    spark.sql(s"""CREATE OR REPLACE TABLE qbeast_catalog.default.part_abort
+      USING qbeast OPTIONS ('columnsToIndex'='p_partkey,p_retailprice')
+      LOCATION '$loc' AS SELECT p_partkey, p_retailprice FROM part_src_a""")
+    val before = spark.sql("SELECT count(*) FROM qbeast_catalog.default.part_abort")
+      .head.getLong(0)
+    // the replacement query fails at execution time -> abortStagedChanges
+    intercept[Exception] {
+      spark.sql(s"""CREATE OR REPLACE TABLE qbeast_catalog.default.part_abort
+        USING qbeast OPTIONS ('columnsToIndex'='p_partkey,p_retailprice')
+        LOCATION '$loc'
+        AS SELECT p_partkey, CAST(raise_error('boom') AS DOUBLE) AS p_retailprice
+        FROM part_src_a""")
+    }
+    val after = spark.sql("SELECT count(*) FROM qbeast_catalog.default.part_abort")
+      .head.getLong(0)
+    assert(after == before, s"failed REPLACE must not touch data ($before -> $after)")
+  }
+
   test("managed standalone tables survive a catalog restart") {
     val wh = TestSpark.tmpDir("cat-wh")
     val c = new graft.catalog.QbeastCatalog
