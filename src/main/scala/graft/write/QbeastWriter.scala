@@ -285,19 +285,23 @@ object QbeastWriter {
 
     val dataSchema = data.schema
     val n = dataSchema.length
-    val tagged = data
+    val shuffled = data
       .withColumn("_qbeastAssign", assignUdf(array(coordCols: _*), weightCol))
       .withColumn(QbeastColumns.cubeColumnName, col("_qbeastAssign._1"))
       .withColumn(QbeastColumns.weightColumnName, weightCol)
       .withColumn(QbeastColumns.fileUUIDColumnName, col("_qbeastAssign._2"))
       .drop("_qbeastAssign")
       .repartition(col(QbeastColumns.fileUUIDColumnName))
-      // cluster rows inside each output file by cube (depth-major byte
-      // order ≈ spatial order) then weight: at 1 GB-class file sizes the
-      // parquet row groups become region- and weight-coherent, so Spark's
-      // row-group stats pruning recovers intra-file selectivity that
-      // file-level block pruning alone can't express
-      .sortWithinPartitions(
+    // cluster rows inside each output file by cube (depth-major byte
+    // order ≈ spatial order) then weight: at 1 GB-class file sizes the
+    // parquet row groups become region- and weight-coherent, so Spark's
+    // row-group stats pruning recovers intra-file selectivity that
+    // file-level block pruning alone can't express. Costs ~20% write
+    // throughput (ScaleProbe: 0.70 → 0.57M rows/s); disable with
+    // spark.qbeast.index.sortOnWrite=false for ingest-bound workloads.
+    val tagged =
+      if (spark.conf.getOption("spark.qbeast.index.sortOnWrite").contains("false")) shuffled
+      else shuffled.sortWithinPartitions(
         col(QbeastColumns.fileUUIDColumnName),
         col(QbeastColumns.cubeColumnName),
         col(QbeastColumns.weightColumnName))
