@@ -390,6 +390,44 @@ object SparkEntry {
         .groupBy("band_id")
         .agg(count(lit(1)).as("n"), dec(col("l_extendedprice")).as("sum_price"))
     }),
+    "s08_stream_dedup" -> ((s, dir) =>
+      ops.Streaming.streamingDedup(s, s"$dir/events.parquet")),
+    "s09_stream_stream_join" -> ((s, dir) =>
+      ops.Streaming.streamStreamJoin(s, s"$dir/events.parquet")),
+    // ---- more delegated SQL surface (§2B widening, r2) -------------------
+    "q45_grouping_sets" -> ((s, dir) => {
+      QTables.qbeast(s, dir, "lineitem").createOrReplaceTempView("li45")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        sum(l_quantity) AS sum_qty FROM li45
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+    }),
+    "q46_pivot_agg" -> ((s, dir) => {
+      // pivot as conditional aggregation (identical formulation both
+      // engines, so the layout-sensitive PIVOT syntax is avoided)
+      QTables.qbeast(s, dir, "lineitem").createOrReplaceTempView("li46")
+      s.sql("""SELECT l_linestatus,
+        count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_a,
+        count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_n,
+        count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_r,
+        sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END) AS qty_a
+        FROM li46 GROUP BY l_linestatus""")
+    }),
+    "q47_percentiles" -> ((s, dir) => {
+      QTables.qbeast(s, dir, "lineitem").createOrReplaceTempView("li47")
+      s.sql("""SELECT l_returnflag,
+        percentile(l_extendedprice, 0.5) AS p50,
+        percentile(l_extendedprice, 0.95) AS p95
+        FROM li47 GROUP BY l_returnflag""")
+    }),
+    "q48_json_funcs" -> ((s, dir) => {
+      // semi-structured props column: JSON extraction in the hot path
+      QTables.raw(s, dir, "events").createOrReplaceTempView("ev48")
+      s.sql("""SELECT event_type,
+        sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+        count(CASE WHEN CAST(get_json_object(props, '$.k') AS BIGINT) > 50
+          THEN 1 END) AS n_high
+        FROM ev48 GROUP BY event_type""")
+    }),
     // ---- dedup (documents) ----------------------------------------------
     "t01_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exactDedup(QTables.raw(s, dir, "documents"), "doc_id", "text")),
@@ -804,6 +842,38 @@ object SparkEntry {
     "t01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    "s08_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1""".stripMargin,
+    "s09_stream_stream_join" ->
+      """SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id
+        |FROM events e JOIN events c
+        |ON e.event_type = 'error' AND c.event_type = 'click'
+        |AND c.user_id = e.user_id
+        |AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts""".stripMargin,
+    "q45_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "q46_pivot_agg" ->
+      """SELECT l_linestatus,
+        |count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_a,
+        |count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_n,
+        |count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_r,
+        |sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END) AS qty_a
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q47_percentiles" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_extendedprice, 0.5) AS p50,
+        |quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q48_json_funcs" ->
+      """SELECT event_type,
+        |sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |THEN 1 END) AS n_high
+        |FROM events GROUP BY event_type""".stripMargin,
     "s06_session_window" ->
       """WITH x AS (SELECT user_id, ts,
         |CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w)

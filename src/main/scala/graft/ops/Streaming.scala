@@ -111,6 +111,61 @@ object Streaming {
     spark.read.format("qbeast").load(tableDir)
   }
 
+  /** Streaming exact dedup during ingest (the at-least-once-delivery
+   * pattern): the source is unioned with itself to simulate redelivered
+   * events, then `dropDuplicates` keeps one copy per event_id in state.
+   * At scale the state shuffles once on the id and is bounded by a
+   * watermark (`withWatermark + dropDuplicatesWithinWatermark`); the
+   * finite fixture keeps full state. */
+  def streamingDedup(spark: SparkSession, eventsPath: String): DataFrame = {
+    val once = eventsStream(spark, eventsPath)
+    val redelivered = eventsStream(spark, eventsPath)
+    val deduped = once.unionAll(redelivered)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"))
+    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+  }
+
+  /** Stream-stream interval join: every 'error' event paired with the
+   * same user's 'click' events in the preceding 30 minutes. Watermarks
+   * on both sides bound the join state; the range condition lets Spark
+   * expire rows once the other side's watermark passes. */
+  def streamStreamJoin(spark: SparkSession, eventsPath: String): DataFrame = {
+    val errors = eventsStream(spark, eventsPath)
+      .withColumn("err_ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val clicks = eventsStream(spark, eventsPath)
+      .withColumn("click_ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("err_ts") - expr("INTERVAL 30 minutes") &&
+        col("click_ts") <= col("err_ts"))
+      .select(col("err_id"), col("click_id"), col("user_id"))
+    val name = s"graft_stream_ssjoin_${counter.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** Per-user session counts (sessions split at gaps > 30 min), computed
    * with `flatMapGroupsWithState` over a streaming read — the canonical
    * custom-state pattern; state persists across micro-batches. */
