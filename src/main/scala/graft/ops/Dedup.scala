@@ -178,16 +178,15 @@ object Dedup {
 
   // ---- embedding cosine near-dup -----------------------------------------
 
-  /** Cosine similarity of two float-array columns, computed in double
-   * with a sequential fold (deterministic, matches the DuckDB oracle). */
+  /** Cosine similarity of two array columns, computed in double with a
+   * sequential fold (deterministic, matches the DuckDB oracle) by the
+   * native codegen expression [[graft.expressions.CosineSimilarity]] —
+   * one fused primitive loop inside whole-stage codegen instead of a
+   * per-element lambda. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
+    val shims = org.apache.spark.sql.GraftShims
+    shims.column(graft.expressions.CosineSimilarity(
+      shims.expression(a), shims.expression(b)))
   }
 
 }

@@ -24,4 +24,12 @@ object GraftShims {
       : Array[org.apache.spark.sql.connector.catalog.Column] =
     org.apache.spark.sql.connector.catalog.CatalogV2Util.structTypeToV2Columns(schema)
 
+  /** Column ↔ Expression bridges (`ExpressionUtils` is `private[sql]`)
+   * for the custom codegen expressions. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
 }
