@@ -428,6 +428,26 @@ object SparkEntry {
           THEN 1 END) AS n_high
         FROM ev48 GROUP BY event_type""")
     }),
+    "q49_array_funcs" -> ((s, dir) => {
+      // array-column function surface over the indexed embeddings table
+      QTables.qbeast(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          array_max(col("embedding")).as("vmax"),
+          array_min(col("embedding")).as("vmin"),
+          element_at(col("embedding"), 1).as("first"),
+          element_at(col("embedding"), -1).as("last"))
+    }),
+    "q50_explode" -> ((s, dir) => {
+      // lateral explode with position + per-position aggregate
+      QTables.qbeast(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .filter(col("pos") < 4)
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("double").cast("decimal(18,6)")).cast("double").as("sv"))
+        .withColumn("pos", col("pos").cast("long"))
+    }),
     // ---- dedup (documents) ----------------------------------------------
     "t01_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exactDedup(QTables.raw(s, dir, "documents"), "doc_id", "text")),
@@ -952,6 +972,17 @@ object SparkEntry {
         |WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
         |WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
         |ELSE 'de' END AS lang_detected FROM s""".stripMargin,
+    "q49_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |list_max(embedding) AS vmax, list_min(embedding) AS vmin,
+        |embedding[1] AS first, embedding[-1] AS last
+        |FROM embeddings""".stripMargin,
+    "q50_explode" ->
+      // DuckDB 1.0 has no WITH ORDINALITY; index the first 4 positions
+      """SELECT CAST(r.i - 1 AS BIGINT) AS pos, count(*) AS n,
+        |CAST(sum(CAST(CAST(embedding[r.i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM embeddings, range(1, 5) r(i)
+        |GROUP BY 1""".stripMargin,
     "e05_array_passthrough" ->
       """SELECT label, count(*) AS n,
         |CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS s1
