@@ -491,6 +491,19 @@ object SparkEntry {
           ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
           col("lang"))
     }),
+    "t11_winnowing" -> ((s, dir) => {
+      // winnowing fingerprint selection (substring-level dedup prep)
+      val fps = ops.Dedup.winnowUdf()(col("text"))
+      QTables.raw(s, dir, "documents")
+        .select(col("doc_id"), fps.as("fps"))
+        .filter(size(col("fps")) > 0)
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
+    }),
+    "t12_quality_filter" -> ((s, dir) => {
+      ops.TextOps.qualityFilter(QTables.raw(s, dir, "documents"), "text")
+        .select("doc_id", "keep", "reason")
+    }),
     // ---- text analysis ---------------------------------------------------
     "t05_token_count" -> ((s, dir) => {
       val d = QTables.raw(s, dir, "documents")
@@ -930,6 +943,52 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.2""".stripMargin,
+    "t11_winnowing" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |shr AS (SELECT doc_id, i,
+        |  ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))::BIGINT AS h
+        |  FROM tk, LATERAL unnest(range(1, greatest(len(toks) - 1, 1))) u(i) WHERE len(toks) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
+        |wmins AS (SELECT doc_id, i AS p,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM shr),
+        |sel AS (SELECT DISTINCT w.doc_id, w.wmin FROM wmins w JOIN cnt c ON w.doc_id = c.doc_id
+        |  WHERE w.p <= greatest(c.n - 3, 1))
+        |SELECT doc_id, count(*) AS n_fp, min(wmin) AS fp_min, max(wmin) AS fp_max
+        |FROM sel GROUP BY 1""".stripMargin,
+    "t12_quality_filter" ->
+      """WITH s AS (SELECT doc_id, text,
+        |len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |(len(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1))::DOUBLE
+        |  / len(regexp_split_to_array(trim(text), '\s+')) AS mtl,
+        |(len(text) - len(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE / len(text) AS pr,
+        |(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / len(text) AS dr,
+        |(len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4 AS s_en,
+        |(len(' '||text||' ') - len(replace(' '||text||' ', ' el ', ''))) // 4
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' la ', ''))) // 4
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' que ', ''))) // 5 AS s_es,
+        |(len(' '||text||' ') - len(replace(' '||text||' ', ' der ', ''))) // 5
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' und ', ''))) // 5
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' die ', ''))) // 5 AS s_de,
+        |(len(' '||text||' ') - len(replace(' '||text||' ', ' le ', ''))) // 4
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' et ', ''))) // 4
+        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' les ', ''))) // 5 AS s_fr,
+        |(len(text) - len(replace(text, '的', ''))) // 1
+        |+ (len(text) - len(replace(text, '是', ''))) // 1
+        |+ (len(text) - len(replace(text, '了', ''))) // 1 AS s_zh
+        |FROM documents),
+        |r AS (SELECT doc_id,
+        |CASE WHEN n_tokens < 10 THEN 'too_short'
+        |WHEN n_tokens > 100000 THEN 'too_long'
+        |WHEN mtl < 2.0 THEN 'tokens_too_short'
+        |WHEN mtl > 14.0 THEN 'tokens_too_long'
+        |WHEN pr > 0.2 THEN 'too_much_punct'
+        |WHEN dr > 0.3 THEN 'too_many_digits'
+        |WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'no_language'
+        |ELSE 'ok' END AS reason FROM s)
+        |SELECT doc_id, reason = 'ok' AS keep, reason FROM r""".stripMargin,
     "t10_indexed_documents" ->
       """SELECT doc_id,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -163,6 +163,41 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  // ---- winnowing fingerprints --------------------------------------------
+
+  /**
+   * Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every k-token
+   * gram, slide a window of `w` consecutive hashes, keep each window's
+   * minimum — the selected set is a robust substring-level fingerprint
+   * (guaranteed to share values with any copy of ≥ w+k-1 tokens). Pure
+   * map-side per row, O(tokens·w); only the compact fingerprint set
+   * leaves the executor. Hashes are the same md5-derived h32 as minhash,
+   * so the oracle re-derives them in SQL.
+   */
+  def winnowUdf(k: Int = DefaultShingleTokens, w: Int = 4) = udf { (text: String) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length - k + 1
+      if (n <= 0) Array.empty[Long]
+      else {
+        val hs = Array.tabulate(n)(i => HashUtils.h32(toks.slice(i, i + k).mkString(" ")))
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        var p = 0
+        val lastStart = math.max(n - w, 0)
+        while (p <= lastStart) {
+          var best = hs(p)
+          var i = p + 1
+          val end = math.min(p + w, n)
+          while (i < end) { if (hs(i) < best) best = hs(i); i += 1 }
+          out += best
+          p += 1
+        }
+        out.toArray
+      }
+    }
+  }
+
   // ---- exact n-gram jaccard ----------------------------------------------
 
   /** Distinct token set of a text column (unigram shingles). */

@@ -59,6 +59,31 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Composite training-data quality filter: every rule is expressible
+   * in both engines, and the reported reason is the FIRST failing rule
+   * (deterministic CASE order). The thresholds are the usual web-corpus
+   * heuristics (length band, token shape, punctuation/digit density,
+   * identifiable language). */
+  def qualityFilter(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val nTokens = tokenCount(c)
+    val meanTokLen = (length(c) - (nTokens - lit(1))).cast("double") / nTokens
+    val punctRatio = (length(c) - length(regexp_replace(c, "[.!?,;:]", "")))
+      .cast("double") / length(c)
+    val digitRatio = (length(c) - length(regexp_replace(c, "[0-9]", "")))
+      .cast("double") / length(c)
+    val reason = when(nTokens < 10, "too_short")
+      .when(nTokens > 100000, "too_long")
+      .when(meanTokLen < 2.0, "tokens_too_short")
+      .when(meanTokLen > 14.0, "tokens_too_long")
+      .when(punctRatio > 0.2, "too_much_punct")
+      .when(digitRatio > 0.3, "too_many_digits")
+      .when(langId(c) === "und", "no_language")
+      .otherwise("ok")
+    df.withColumn("reason", reason)
+      .withColumn("keep", col("reason") === "ok")
+  }
+
   /** Rolling polynomial fingerprint (Karp-Rabin over tokens): order-
    * sensitive content fingerprint, robust to whitespace changes. Mod-p
    * arithmetic (p = 2^31-1) over Unicode code points so the identical
