@@ -60,6 +60,29 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
           Seq(catalogName) ++ ident.namespace() :+ ident.name()))
   }
 
+  /** SQL time travel: `SELECT ... FROM t VERSION AS OF n`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadTable(ident) match {
+      case q: QbeastTableImpl =>
+        q.copy(tableProperties =
+          q.tableProperties + (QbeastTableImpl.VersionAsOfProp -> version.toLong.toString))
+      case other => other
+    }
+
+  /** SQL time travel: `SELECT ... FROM t TIMESTAMP AS OF ts` (micros). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadTable(ident) match {
+      case q: QbeastTableImpl =>
+        val conf = org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration
+        val v = graft.log.QbeastLog.versionAt(q.location, conf, timestamp / 1000L)
+          .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            Seq(catalogName) ++ ident.namespace() :+ ident.name()))
+        q.copy(tableProperties =
+          q.tableProperties + (QbeastTableImpl.VersionAsOfProp -> v.toString))
+      case other => other
+    }
+
   private def toQbeastTable(ident: Identifier, t: Table): QbeastTableImpl = {
     val props = t.properties().asScala.toMap
     val location = props.getOrElse(TableCatalog.PROP_LOCATION,
@@ -88,11 +111,16 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
         val created = d.createTable(ident, schema, partitions, properties)
         toQbeastTable(ident, created)
       case None =>
+        val explicit = props.contains(TableCatalog.PROP_LOCATION) || props.contains("location")
         val location = stripScheme(props.getOrElse(TableCatalog.PROP_LOCATION,
           props.getOrElse("location",
             s"$warehouse/${ident.namespace().mkString("/")}/${ident.name()}")))
+        // managed (no user LOCATION) tables own their data: DROP purges it
+        val managedProp =
+          if (explicit) Map.empty[String, String]
+          else Map(QbeastCatalog.ManagedProp -> "true")
         val table = QbeastTableImpl(ident.name(), location, schema,
-          props + (TableCatalog.PROP_PROVIDER -> "qbeast"))
+          props ++ managedProp + (TableCatalog.PROP_PROVIDER -> "qbeast"))
         QbeastCatalog.standaloneTables.put(key(ident), table)
         QbeastCatalog.saveStore(warehouse)
         table
@@ -119,11 +147,15 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
           toQbeastTable(id, d.createTable(id, schema, Array.empty[Transform],
             p.asJava))
         case None =>
+          val explicit = p.contains(TableCatalog.PROP_LOCATION) || p.contains("location")
           val location = stripScheme(p.getOrElse(TableCatalog.PROP_LOCATION,
             p.getOrElse("location",
               s"$warehouse/${id.namespace().mkString("/")}/${id.name()}")))
+          val managedProp =
+            if (explicit) Map.empty[String, String]
+            else Map(QbeastCatalog.ManagedProp -> "true")
           val table = QbeastTableImpl(id.name(), location, schema,
-            p + (TableCatalog.PROP_PROVIDER -> "qbeast"))
+            p ++ managedProp + (TableCatalog.PROP_PROVIDER -> "qbeast"))
           QbeastCatalog.standaloneTables.put(key(id), table)
           QbeastCatalog.saveStore(warehouse)
           table
@@ -207,9 +239,21 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
   override def dropTable(ident: Identifier): Boolean = delegate match {
     case Some(d) => d.dropTable(ident)
     case None =>
-      val removed = QbeastCatalog.standaloneTables.remove(key(ident)).nonEmpty
-      if (removed) QbeastCatalog.saveStore(warehouse)
-      removed
+      val removed = QbeastCatalog.standaloneTables.remove(key(ident))
+      removed.foreach { t =>
+        QbeastCatalog.saveStore(warehouse)
+        // Spark managed-table semantics: DROP deletes the data the
+        // catalog owns; EXTERNAL (user LOCATION) data is left alone
+        if (t.tableProperties.get(QbeastCatalog.ManagedProp).contains("true")) {
+          try {
+            val dir = new org.apache.hadoop.fs.Path(t.location)
+            val conf = org.apache.spark.sql.SparkSession.active
+              .sparkContext.hadoopConfiguration
+            dir.getFileSystem(conf).delete(dir, true)
+          } catch { case scala.util.control.NonFatal(_) => /* best effort */ }
+        }
+      }
+      removed.nonEmpty
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = delegate match {
@@ -304,6 +348,10 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
 object QbeastCatalog {
 
   val DefaultWarehouse = "/tmp/graft_catalog"
+
+  /** Marks standalone tables whose location the catalog chose (no user
+   * LOCATION clause) — their data is purged on DROP TABLE. */
+  val ManagedProp = "qbeast.internal.managed"
 
   /** Identifier → table for standalone-mode catalogs (table data +
    * metadata live in the table's own log; this is just the name map,

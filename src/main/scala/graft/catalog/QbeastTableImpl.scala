@@ -37,12 +37,17 @@ final case class QbeastTableImpl(
 
   override def name(): String = identifierName
 
+  /** Set via SQL `VERSION AS OF` / `TIMESTAMP AS OF` (catalog loadTable
+   * overloads) — reads resolve against the historical snapshot. */
+  private def asOfVersion: Long =
+    tableProperties.get(QbeastTableImpl.VersionAsOfProp).map(_.toLong).getOrElse(-1L)
+
   override def schema(): StructType = {
-    if (declaredSchema.nonEmpty) declaredSchema
+    if (declaredSchema.nonEmpty && asOfVersion < 0) declaredSchema
     else {
       val spark = SparkSession.active
-      QbeastLog.snapshot(location, spark.sparkContext.hadoopConfiguration)
-        .schema.getOrElse(new StructType())
+      QbeastLog.snapshot(location, spark.sparkContext.hadoopConfiguration, asOfVersion)
+        .schema.getOrElse(declaredSchema)
     }
   }
 
@@ -59,7 +64,8 @@ final case class QbeastTableImpl(
 
   /** V1 relation for the analyzer swap; empty tables read as empty. */
   def toV1Relation(spark: SparkSession): HadoopFsRelation = {
-    val snapshot = QbeastLog.snapshot(location, spark.sparkContext.hadoopConfiguration)
+    val snapshot = QbeastLog.snapshot(location,
+      spark.sparkContext.hadoopConfiguration, asOfVersion)
     val fileIndex = new QbeastFileIndex(spark, snapshot.copy(tablePath = location))
     HadoopFsRelation(
       location = fileIndex,
@@ -96,4 +102,9 @@ final case class QbeastTableImpl(
 
   override def properties(): util.Map[String, String] = tableProperties.asJava
 
+}
+
+object QbeastTableImpl {
+  /** Internal property carrying the SQL time-travel version. */
+  val VersionAsOfProp = "qbeast.internal.versionAsOf"
 }

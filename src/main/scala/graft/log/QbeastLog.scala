@@ -178,6 +178,23 @@ object QbeastLog {
     snap
   }
 
+  /** Latest committed version whose commit file was written at or before
+   * `timestampMillis` (backs SQL `TIMESTAMP AS OF`). */
+  def versionAt(tablePath: String, conf: Configuration, timestampMillis: Long): Option[Long] = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n.endsWith(".json") && !n.endsWith(".checkpoint.json") &&
+          n.stripSuffix(".json").forall(_.isDigit) &&
+          s.getModificationTime <= timestampMillis
+      }
+      .map(_.getPath.getName.stripSuffix(".json").toLong)
+      .maxOption
+  }
+
   /** Write a consolidated checkpoint at the current version if the tail
    * since the last checkpoint grew past the interval. Readers race here
    * harmlessly: CREATE_NEW means one winner, content is deterministic. */

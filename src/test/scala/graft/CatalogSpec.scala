@@ -153,6 +153,48 @@ class CatalogSpec extends AnyFunSuite {
     assert(c2.tableExists(ident))
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    val loc = TestSpark.tmpDir("cat-tt")
+    fresh("tt")
+    spark.sql(s"""CREATE TABLE qbeast_catalog.default.tt (a BIGINT, b DOUBLE)
+      USING qbeast OPTIONS ('columnsToIndex'='a,b') LOCATION '$loc'""")
+    spark.sql("INSERT INTO qbeast_catalog.default.tt VALUES (1, 1.0), (2, 2.0)")
+    Thread.sleep(1100) // distinct mtimes for TIMESTAMP AS OF
+    val tsBetween = java.time.Instant.now().toString.replace("T", " ").takeWhile(_ != 'Z')
+    spark.sql("INSERT INTO qbeast_catalog.default.tt VALUES (3, 3.0)")
+    assert(spark.sql("SELECT count(*) FROM qbeast_catalog.default.tt").head.getLong(0) == 3)
+    // VERSION AS OF: CREATE writes no log commit, so the first INSERT
+    // is version 0 and the second is version 1
+    assert(spark.sql("SELECT count(*) FROM qbeast_catalog.default.tt VERSION AS OF 0")
+      .head.getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) FROM qbeast_catalog.default.tt VERSION AS OF 1")
+      .head.getLong(0) == 3)
+    // TIMESTAMP AS OF a point between the inserts sees only the first
+    assert(spark.sql(
+      s"SELECT count(*) FROM qbeast_catalog.default.tt TIMESTAMP AS OF '$tsBetween'")
+      .head.getLong(0) == 2)
+  }
+
+  test("DROP TABLE purges managed data, keeps external data") {
+    fresh("managed_purge")
+    // managed: no LOCATION clause → warehouse-owned path, purged on drop
+    spark.sql("""CREATE TABLE qbeast_catalog.default.managed_purge (a BIGINT, b DOUBLE)
+      USING qbeast OPTIONS ('columnsToIndex'='a,b')""")
+    spark.sql("INSERT INTO qbeast_catalog.default.managed_purge VALUES (1, 1.0)")
+    val mloc = graft.catalog.QbeastCatalog.tableLocation("default", "managed_purge").get
+    assert(new java.io.File(mloc).exists())
+    spark.sql("DROP TABLE qbeast_catalog.default.managed_purge")
+    assert(!new java.io.File(mloc).exists(), "managed data must be purged")
+    // external: LOCATION given → data survives the drop
+    val xloc = TestSpark.tmpDir("cat-ext")
+    fresh("ext_keep")
+    spark.sql(s"""CREATE TABLE qbeast_catalog.default.ext_keep (a BIGINT, b DOUBLE)
+      USING qbeast OPTIONS ('columnsToIndex'='a,b') LOCATION '$xloc'""")
+    spark.sql("INSERT INTO qbeast_catalog.default.ext_keep VALUES (1, 1.0)")
+    spark.sql("DROP TABLE qbeast_catalog.default.ext_keep")
+    assert(new java.io.File(xloc, "_qbeast_log").exists(), "external data must survive")
+  }
+
   test("ALTER TABLE properties persist through the table log") {
     val loc = TestSpark.tmpDir("cat-alterlog")
     fresh("alt")
