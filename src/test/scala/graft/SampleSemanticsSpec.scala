@@ -39,6 +39,18 @@ class SampleSemanticsSpec extends AnyFunSuite {
     assert(li.filter(cond).count() === raw.filter(cond).count())
   }
 
+  test("qbeast_hash is callable from SQL and equals the sampling predicate") {
+    val li = QTables.qbeast(spark, sf, "lineitem")
+    li.createOrReplaceTempView("li_qh")
+    val t = graft.core.model.Weight.fromFraction(0.2).value
+    val viaSql = spark.sql(
+      s"SELECT count(*) FROM li_qh WHERE qbeast_hash(l_orderkey, l_extendedprice) < $t")
+      .head.getLong(0)
+    val viaSample = li.sample(0.2).count()
+    assert(viaSql === viaSample,
+      s"SQL qbeast_hash filter ($viaSql) must equal sample(0.2) ($viaSample)")
+  }
+
   test("sample over an aggregate is NOT pushed (stock semantics)") {
     val li = QTables.qbeast(spark, sf, "lineitem")
     val agg = li.groupBy("l_orderkey").count().sample(0.5)
