@@ -835,7 +835,7 @@ object SparkEntry {
         hashLongSteps("doc_id", "42", "ha") ++
           hashLongSteps("n_chars", "ha", "hb") :+
           s"CASE WHEN hb >= 2147483648 THEN hb - 4294967296 ELSE hb END AS spark_hash")
-      s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars FROM ($hashed)
+      s"""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM ($hashed)
          |WHERE spark_hash < ${Weight.fromFraction(0.37).value}
          |GROUP BY lang""".stripMargin
     },
@@ -903,7 +903,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q48_json_funcs" ->
       """SELECT event_type,
-        |sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |THEN 1 END) AS n_high
         |FROM events GROUP BY event_type""".stripMargin,

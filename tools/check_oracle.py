@@ -34,7 +34,16 @@ for name, sql in sorted(oracle.items()):
         got = norm(got_rel.fetchall(), [c.lower() for c in got_rel.columns])
         exp_rel = con.sql(sql)
         exp = norm(exp_rel.fetchall(), [c.lower() for c in exp_rel.columns])
-        if got == exp:
+        # the driver's comparator is type-sensitive: a DuckDB HUGEINT (from
+        # sum over integers) hashes differently from Spark's BIGINT even
+        # when the values are equal — enforce exact column-type parity
+        gt = dict(zip([c.lower() for c in got_rel.columns], map(str, got_rel.types)))
+        et = dict(zip([c.lower() for c in exp_rel.columns], map(str, exp_rel.types)))
+        tdiff = {c: (gt.get(c), et.get(c)) for c in set(gt) | set(et) if gt.get(c) != et.get(c)}
+        if tdiff:
+            failed.append(name)
+            print(f"FAIL {name}: column type mismatch {tdiff}")
+        elif got == exp:
             passed.append(name)
         else:
             failed.append(name)
