@@ -64,8 +64,14 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     loadTable(ident) match {
       case q: QbeastTableImpl =>
+        val v = try version.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"Unsupported VERSION AS OF '$version' for qbeast table " +
+                s"${ident.name()}: expected a numeric commit version")
+        }
         q.copy(tableProperties =
-          q.tableProperties + (QbeastTableImpl.VersionAsOfProp -> version.toLong.toString))
+          q.tableProperties + (QbeastTableImpl.VersionAsOfProp -> v.toString))
       case other => other
     }
 
@@ -76,8 +82,10 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
         val conf = org.apache.spark.sql.SparkSession.active
           .sparkContext.hadoopConfiguration
         val v = graft.log.QbeastLog.versionAt(q.location, conf, timestamp / 1000L)
-          .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-            Seq(catalogName) ++ ident.namespace() :+ ident.name()))
+          .getOrElse(throw new IllegalArgumentException(
+            s"Unsupported TIMESTAMP AS OF for qbeast table ${ident.name()}: " +
+              s"the timestamp (${timestamp / 1000L} ms) is earlier than the " +
+              "table's first commit"))
         q.copy(tableProperties =
           q.tableProperties + (QbeastTableImpl.VersionAsOfProp -> v.toString))
       case other => other
@@ -131,8 +139,10 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
 
   /** Atomic CREATE/REPLACE/CREATE OR REPLACE (reference:
    * `QbeastCatalog.scala:158-241` + `QbeastStagedTableImpl`): the
-   * AS-SELECT write and the catalog entry land together in
-   * `commitStagedChanges`, and a REPLACE swaps data in one log commit. */
+   * AS-SELECT write runs first against the resolved location; the
+   * catalog entry lands only after it succeeds (reference order:
+   * update log, then catalog), and a REPLACE swaps data in one log
+   * commit. */
   private def stage(ident: Identifier, info: TableInfo, isReplace: Boolean): StagedTable = {
     val props = info.properties().asScala.toMap
     if (!isQbeastProvider(props))
@@ -140,23 +150,33 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
         s"qbeast catalog stages only qbeast tables; got provider ${props.get("provider")}")
     require(info.partitions().isEmpty,
       "qbeast tables are self-organizing; PARTITIONED BY unsupported")
+    val explicit = props.contains(TableCatalog.PROP_LOCATION) || props.contains("location")
+    // the location the entry WILL get, computed without registering it:
+    // explicit LOCATION wins; otherwise the same default path the
+    // delegate session catalog (or our warehouse layout) would choose
+    def resolvedLocation: String = stripScheme(props.getOrElse(TableCatalog.PROP_LOCATION,
+      props.getOrElse("location", delegate match {
+        case Some(_) =>
+          val db =
+            if (ident.namespace().isEmpty) "default" else ident.namespace().last
+          SparkSession.active.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(ident.name(), Some(db))).toString
+        case None => s"$warehouse/${ident.namespace().mkString("/")}/${ident.name()}"
+      })))
     new QbeastStagedTable(ident, info.schema(), props, isReplace,
-      (id, schema, p, replace) => delegate match {
+      () => resolvedLocation,
+      () => delegate match {
         case Some(d) =>
-          if (replace && d.tableExists(id)) d.dropTable(id)
-          toQbeastTable(id, d.createTable(id, schema, Array.empty[Transform],
-            p.asJava))
+          if (isReplace && d.tableExists(ident)) d.dropTable(ident)
+          toQbeastTable(ident, d.createTable(ident, info.schema(), Array.empty[Transform],
+            props.asJava))
         case None =>
-          val explicit = p.contains(TableCatalog.PROP_LOCATION) || p.contains("location")
-          val location = stripScheme(p.getOrElse(TableCatalog.PROP_LOCATION,
-            p.getOrElse("location",
-              s"$warehouse/${id.namespace().mkString("/")}/${id.name()}")))
           val managedProp =
             if (explicit) Map.empty[String, String]
             else Map(QbeastCatalog.ManagedProp -> "true")
-          val table = QbeastTableImpl(id.name(), location, schema,
-            p ++ managedProp + (TableCatalog.PROP_PROVIDER -> "qbeast"))
-          QbeastCatalog.standaloneTables.put(key(id), table)
+          val table = QbeastTableImpl(ident.name(), resolvedLocation, info.schema(),
+            props ++ managedProp + (TableCatalog.PROP_PROVIDER -> "qbeast"))
+          QbeastCatalog.standaloneTables.put(key(ident), table)
           QbeastCatalog.saveStore(warehouse)
           table
       })
@@ -211,18 +231,21 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
       if (sets.nonEmpty || unsets.nonEmpty)
         QbeastCatalog.persistPropertiesToLog(location, sets, unsets)
     }
+    // log first, catalog second: if the log commit fails the catalog is
+    // untouched, so a half-applied ALTER can't leave the two inconsistent
     delegate match {
       case Some(d) =>
-        val altered = d.alterTable(ident, changes: _*)
-        val props = altered.properties().asScala.toMap
-        if (isQbeastProvider(props))
-          props.get(TableCatalog.PROP_LOCATION).orElse(props.get("location"))
+        val current = d.loadTable(ident)
+        val currentProps = current.properties().asScala.toMap
+        if (isQbeastProvider(currentProps))
+          currentProps.get(TableCatalog.PROP_LOCATION).orElse(currentProps.get("location"))
             .foreach(loc => persistToLog(stripScheme(loc)))
-        altered
+        d.alterTable(ident, changes: _*)
       case None =>
         val table = QbeastCatalog.standaloneTables.getOrElse(key(ident),
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
             Seq(catalogName) ++ ident.namespace() :+ ident.name()))
+        persistToLog(table.location)
         val props = changes.foldLeft(table.tableProperties) {
           case (acc, set: TableChange.SetProperty) => acc + (set.property() -> set.value())
           case (acc, rm: TableChange.RemoveProperty) => acc - rm.property()
@@ -231,7 +254,6 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
         val updated = table.copy(tableProperties = props)
         QbeastCatalog.standaloneTables.put(key(ident), updated)
         QbeastCatalog.saveStore(warehouse)
-        persistToLog(table.location)
         updated
     }
   }
@@ -269,8 +291,8 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
     case Some(d) => d.listTables(namespace)
     case None =>
       QbeastCatalog.standaloneTables.keys
-        .filter(_._1 == namespace.mkString("."))
-        .map(k => Identifier.of(namespace, k._2)).toArray
+        .filter(k => k._1 == warehouse && k._2 == namespace.mkString("."))
+        .map(k => Identifier.of(namespace, k._3)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean = delegate match {
@@ -278,8 +300,10 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
     case None => QbeastCatalog.standaloneTables.contains(key(ident))
   }
 
-  private def key(ident: Identifier): (String, String) =
-    (ident.namespace().mkString("."), ident.name())
+  /** Keys carry the warehouse: two standalone catalogs with different
+   * warehouses in one process must not see each other's tables. */
+  private def key(ident: Identifier): (String, String, String) =
+    (warehouse, ident.namespace().mkString("."), ident.name())
 
   // ------------------------------------------------------------- functions
 
@@ -353,14 +377,19 @@ object QbeastCatalog {
    * LOCATION clause) — their data is purged on DROP TABLE. */
   val ManagedProp = "qbeast.internal.managed"
 
-  /** Identifier → table for standalone-mode catalogs (table data +
-   * metadata live in the table's own log; this is just the name map,
-   * write-through persisted to `<warehouse>/_catalog.json`). */
-  private[catalog] val standaloneTables = TrieMap.empty[(String, String), QbeastTableImpl]
+  /** (warehouse, namespace, name) → table for standalone-mode catalogs
+   * (table data + metadata live in the table's own log; this is just the
+   * name map, write-through persisted to `<warehouse>/_catalog.json`,
+   * scoped per warehouse so two catalogs never cross-contaminate). */
+  private[catalog] val standaloneTables =
+    TrieMap.empty[(String, String, String), QbeastTableImpl]
 
-  /** Location of a standalone-catalog table, for tooling. */
+  /** Location of a standalone-catalog table, for tooling (searches all
+   * registered warehouses). */
   def tableLocation(namespace: String, name: String): Option[String] =
-    standaloneTables.get((namespace, name)).map(_.location)
+    standaloneTables.collectFirst {
+      case ((_, ns, n), t) if ns == namespace && n == name => t.location
+    }
 
   private def storeFile(warehouse: String) =
     java.nio.file.Paths.get(warehouse, "_catalog.json")
@@ -370,11 +399,13 @@ object QbeastCatalog {
   private[catalog] def saveStore(warehouse: String): Unit = synchronized {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val entries: org.json4s.JValue = standaloneTables.toSeq.sortBy(_._1).map {
-      case ((ns, name), t) =>
-        ("namespace" -> ns) ~ ("name" -> name) ~ ("location" -> t.location) ~
-          ("schema" -> t.declaredSchema.json) ~ ("properties" -> t.tableProperties)
-    }
+    // only this warehouse's entries go to its _catalog.json
+    val entries: org.json4s.JValue = standaloneTables.toSeq
+      .filter(_._1._1 == warehouse).sortBy(_._1).map {
+        case ((_, ns, name), t) =>
+          ("namespace" -> ns) ~ ("name" -> name) ~ ("location" -> t.location) ~
+            ("schema" -> t.declaredSchema.json) ~ ("properties" -> t.tableProperties)
+      }
     val file = storeFile(warehouse)
     java.nio.file.Files.createDirectories(file.getParent)
     val tmp = file.resolveSibling(s".${file.getFileName}.tmp")
@@ -411,7 +442,7 @@ object QbeastCatalog {
             }
             val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
               .asInstanceOf[org.apache.spark.sql.types.StructType]
-            standaloneTables.putIfAbsent((ns, name),
+            standaloneTables.putIfAbsent((warehouse, ns, name),
               QbeastTableImpl(name, location, schema, props))
           }
         }
@@ -434,12 +465,25 @@ object QbeastCatalog {
       unsets: Seq[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
-    val snapshot = graft.log.QbeastLog.snapshot(location, conf)
-    if (snapshot.isEmpty) return // nothing written yet; catalog entry rules
-    val config = (snapshot.configuration ++ sets) -- unsets
-    val schemaJson = snapshot.schema.map(_.json).getOrElse(return)
-    graft.log.QbeastLog.commit(location, conf, snapshot.version,
-      Seq(graft.log.MetaDataAction(schemaJson, config)))
+    // metadata-only commit: on a concurrent-writer conflict, re-snapshot
+    // and re-apply the same sets/unsets (they commute with data commits)
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val snapshot = graft.log.QbeastLog.snapshot(location, conf)
+      if (snapshot.isEmpty) return // nothing written yet; catalog entry rules
+      val config = (snapshot.configuration ++ sets) -- unsets
+      val schemaJson = snapshot.schema.map(_.json).getOrElse(return)
+      try {
+        graft.log.QbeastLog.commit(location, conf, snapshot.version,
+          Seq(graft.log.MetaDataAction(schemaJson, config)))
+        committed = true
+      } catch {
+        case e: graft.log.ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > 3) throw e
+      }
+    }
   }
 
 }

@@ -132,6 +132,70 @@ class CatalogSpec extends AnyFunSuite {
     assert(after == before, s"failed REPLACE must not touch data ($before -> $after)")
   }
 
+  test("failed CTAS leaves no catalog entry (entry lands after the write)") {
+    fresh("ctas_abort")
+    spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .createOrReplaceTempView("part_src_c")
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE qbeast_catalog.default.ctas_abort
+        USING qbeast OPTIONS ('columnsToIndex'='p_partkey')
+        AS SELECT p_partkey, CAST(raise_error('boom') AS DOUBLE) AS x
+        FROM part_src_c""")
+    }
+    val cat = spark.sessionState.catalogManager.catalog("qbeast_catalog")
+      .asInstanceOf[graft.catalog.QbeastCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("default"), "ctas_abort")
+    assert(!cat.tableExists(ident), "failed CTAS must not register an entry")
+  }
+
+  test("two standalone catalogs with different warehouses are isolated") {
+    val whA = TestSpark.tmpDir("cat-wh-a")
+    val whB = TestSpark.tmpDir("cat-wh-b")
+    def mk(wh: String): graft.catalog.QbeastCatalog = {
+      val c = new graft.catalog.QbeastCatalog
+      c.initialize("iso", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh)))
+      c
+    }
+    val a = mk(whA)
+    val b = mk(whB)
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("default"), "same_name")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("a BIGINT")
+    a.createTable(ident, schema, Array.empty,
+      java.util.Map.of("provider", "qbeast", "columnsToIndex", "a"))
+    assert(a.tableExists(ident) && !b.tableExists(ident),
+      "a table created in warehouse A must not appear in warehouse B")
+    // B's durable store must not absorb A's entries on save/load
+    b.createTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("default"), "b_only"),
+      schema, Array.empty, java.util.Map.of("provider", "qbeast", "columnsToIndex", "a"))
+    graft.catalog.QbeastCatalog.simulateRestart()
+    val b2 = mk(whB)
+    assert(!b2.tableExists(ident), "restart must not leak A's tables into B")
+    val a2 = mk(whA)
+    assert(a2.tableExists(ident))
+  }
+
+  test("time travel edge cases raise clear errors") {
+    val loc = TestSpark.tmpDir("cat-tt-err")
+    fresh("tterr")
+    spark.sql(s"""CREATE TABLE qbeast_catalog.default.tterr (a BIGINT, b DOUBLE)
+      USING qbeast OPTIONS ('columnsToIndex'='a,b') LOCATION '$loc'""")
+    spark.sql("INSERT INTO qbeast_catalog.default.tterr VALUES (1, 1.0)")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM qbeast_catalog.default.tterr VERSION AS OF 'abc'").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("version"),
+      s"non-numeric version error should mention version: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM qbeast_catalog.default.tterr TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("timestamp"),
+      s"too-early timestamp error should mention timestamp: ${e2.getMessage}")
+  }
+
   test("managed standalone tables survive a catalog restart") {
     val wh = TestSpark.tmpDir("cat-wh")
     val c = new graft.catalog.QbeastCatalog
