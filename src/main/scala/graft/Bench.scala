@@ -16,6 +16,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
       .config("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
       .config("spark.sql.session.timeZone", "UTC")
+      // state cardinality at bench SF is tiny (6 event types, 500
+      // users), so per-batch state-store overhead dominates; measured
+      // sweep in tools/StreamPerfProbe (16→2 partitions ≈ 2× faster,
+      // flat below 2). At production cardinality set ≥ executor cores.
+      .config("spark.qbeast.stream.partitions", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,6 +13,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
       .config("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+      .config("spark.qbeast.stream.partitions", "2") // tiny state at verify SF
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

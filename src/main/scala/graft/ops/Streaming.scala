@@ -45,7 +45,8 @@ object Streaming {
    * the event cardinality here is tiny compared to batch shuffles. */
   private def withStreamingPartitions[T](spark: SparkSession)(body: => T): T = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val p = spark.conf.getOption("spark.qbeast.stream.partitions").getOrElse("8")
+    spark.conf.set("spark.sql.shuffle.partitions", p)
     try body
     finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
