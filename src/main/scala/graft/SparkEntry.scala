@@ -504,6 +504,38 @@ object SparkEntry {
       ops.TextOps.qualityFilter(QTables.raw(s, dir, "documents"), "text")
         .select("doc_id", "keep", "reason")
     }),
+    "t13_dedup_clusters" -> ((s, dir) => {
+      // near-dup clustering: LSH candidate pairs → connected components
+      // → one cluster id (min doc id) per document in any pair
+      val pairs = ops.Dedup.minHashCandidatePairs(QTables.raw(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b")
+      ops.Dedup.connectedComponents(pairs)
+    }),
+    "t14_repetition" -> ((s, dir) => {
+      ops.TextOps.repetitionSignals(QTables.raw(s, dir, "documents"), "text")
+        .select("doc_id", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac")
+    }),
+    "t15_scrub" -> ((s, dir) => {
+      ops.TextOps.redactPatterns(QTables.raw(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_term"),
+          length(col("scrubbed")).cast("long").as("scrub_len"),
+          md5(col("scrubbed")).as("scrub_md5"))
+    }),
+    "t16_normalize" -> ((s, dir) => {
+      val norm = ops.TextOps.normalizeText(col("text"))
+      QTables.raw(s, dir, "documents")
+        .select(col("doc_id"), length(norm).cast("long").as("norm_len"),
+          md5(norm).as("norm_md5"))
+    }),
+    "t17_vocab" -> ((s, dir) =>
+      ops.TextOps.vocabTopK(QTables.raw(s, dir, "documents"), "text", 100)),
+    "t18_stratified_sample" -> ((s, dir) => {
+      ops.TextOps.stratifiedHashSample(QTables.raw(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.1), 0.05)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+    }),
     // ---- text analysis ---------------------------------------------------
     "t05_token_count" -> ((s, dir) => {
       val d = QTables.raw(s, dir, "documents")
@@ -578,6 +610,26 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
         .limit(100)
     }),
+    "e06_quantized_ann" -> ((s, dir) => {
+      // int8-quantized brute-force top-10: 4× less bandwidth than
+      // float32, recall reported against the exact top-10
+      val emb = QTables.raw(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val exact10 = ops.Similarity
+        .knnExact(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val qq = lit(ops.Similarity.int8QuantizeSeq(qv))
+      val q = ops.Similarity.int8Quantize(col("embedding"))
+      val approx = ops.Similarity.int8Cosine(q, qq)
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), ops.Similarity.intDot(q, qq).as("qdot"),
+          approx.as("approx"), round(approx, 4).as("approx_r"),
+          col("vec_id").isin(exact10: _*).as("in_exact10"))
+        .orderBy(col("approx").desc, col("vec_id"))
+        .limit(10)
+        .drop("approx")
+    }),
     // ---- multimodal columns ----------------------------------------------
     "m01_media_meta" -> ((s, dir) => {
       ops.Multimodal.asMediaTable(QTables.raw(s, dir, "documents"), "doc_id", "text")
@@ -615,6 +667,24 @@ object SparkEntry {
    * md5-derived values as `Dedup.minHashParams`). */
   private val (mhA, mhB) = ops.Dedup.minHashParams(ops.Dedup.DefaultNumHashes)
   private def sqlArr(xs: Array[Long]): String = xs.mkString("[", ",", "]")
+
+  /** Shared CTE chain computing minhash signatures, LSH bands and the
+   * candidate-pair set `cp(id_a, id_b, sa, sb)` — the exact SQL replay
+   * of `Dedup.minHashCandidatePairs`; used by the t02 and t13 oracles. */
+  private lazy val minhashCteBody: String =
+    s"""tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |shr AS (SELECT doc_id, ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))::BIGINT AS h
+       |  FROM tk, LATERAL unnest(range(1, greatest(len(toks) - 1, 1))) u(i) WHERE len(toks) >= 3),
+       |mins AS (SELECT doc_id, j, min((${sqlArr(mhA)}[j] * h + ${sqlArr(mhB)}[j]) % 2147483647) AS mn
+       |  FROM shr, range(1, 65) r(j) GROUP BY 1, 2),
+       |sg0 AS (SELECT doc_id, list(mn ORDER BY j) AS sig FROM mins GROUP BY 1),
+       |sg AS (SELECT t.doc_id, coalesce(sg0.sig, list_transform(range(1,65), j -> 2147483647::BIGINT)) AS sig
+       |  FROM tk t LEFT JOIN sg0 ON t.doc_id = sg0.doc_id),
+       |bd AS (SELECT doc_id, sig, b,
+       |  sig[b*4+1]::VARCHAR || '_' || sig[b*4+2]::VARCHAR || '_' || sig[b*4+3]::VARCHAR || '_' || sig[b*4+4]::VARCHAR AS key
+       |  FROM sg, range(0, 16) t(b)),
+       |cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+       |  FROM bd a JOIN bd b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Spark's Murmur3_x86_32.hashLong as DuckDB SQL (unsigned-32 values
    * in BIGINT, wrap-multiplies through HUGEINT). Emitted as a chain of
@@ -1084,22 +1154,21 @@ object SparkEntry {
         |('0x' || substr(md5(text), 5, 6))::BIGINT / 16777215.0 AS mean_luma
         |FROM documents""".stripMargin,
     "t02_minhash_pairs" ->
-      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
-         |shr AS (SELECT doc_id, ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))::BIGINT AS h
-         |  FROM tk, LATERAL unnest(range(1, greatest(len(toks) - 1, 1))) u(i) WHERE len(toks) >= 3),
-         |mins AS (SELECT doc_id, j, min((${sqlArr(mhA)}[j] * h + ${sqlArr(mhB)}[j]) % 2147483647) AS mn
-         |  FROM shr, range(1, 65) r(j) GROUP BY 1, 2),
-         |sg0 AS (SELECT doc_id, list(mn ORDER BY j) AS sig FROM mins GROUP BY 1),
-         |sg AS (SELECT t.doc_id, coalesce(sg0.sig, list_transform(range(1,65), j -> 2147483647::BIGINT)) AS sig
-         |  FROM tk t LEFT JOIN sg0 ON t.doc_id = sg0.doc_id),
-         |bd AS (SELECT doc_id, sig, b,
-         |  sig[b*4+1]::VARCHAR || '_' || sig[b*4+2]::VARCHAR || '_' || sig[b*4+3]::VARCHAR || '_' || sig[b*4+4]::VARCHAR AS key
-         |  FROM sg, range(0, 16) t(b)),
-         |cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-         |  FROM bd a JOIN bd b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+      s"""WITH $minhashCteBody
          |SELECT id_a, id_b, len(list_filter(range(1, 65), j -> sa[j] = sb[j])) / 64.0 AS est_jaccard
          |FROM cp WHERE len(list_filter(range(1, 65), j -> sa[j] = sb[j])) / 64.0 >= 0.2
          |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 200""".stripMargin,
+    "t13_dedup_clusters" ->
+      // connected components by transitive closure: fine for the oracle
+      // (clusters are tiny); the Spark side uses log-round label
+      // propagation instead, which is the 100 TB-safe formulation
+      s"""WITH RECURSIVE $minhashCteBody,
+         |pr AS (SELECT id_a, id_b FROM cp
+         |  WHERE len(list_filter(range(1, 65), j -> sa[j] = sb[j])) / 64.0 >= 0.5),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+         |r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u WHERE e.v <> r.u),
+         |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM r GROUP BY u)
+         |SELECT doc_id, cluster FROM lab""".stripMargin,
     "t03_simhash_pairs" ->
       """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |  FROM documents WHERE len(trim(text)) > 0),
@@ -1115,6 +1184,70 @@ object SparkEntry {
         |  FROM ck a JOIN ck b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM cp WHERE hamming <= 16
         |ORDER BY hamming, id_a, id_b LIMIT 200""".stripMargin,
+    "t14_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS g2,
+        |  CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) > 0 THEN (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks) ELSE 0.0 END AS dup_token_frac,
+        |  CASE WHEN len(g2) > 0 THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2) ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) > 0 THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) ELSE 0.0 END AS dup_3gram_frac
+        |FROM g""".stripMargin,
+    "t15_scrub" -> {
+      val Seq(email, phone, term) = ops.TextOps.defaultRedactions.map(_._2)
+      val scrub = ops.TextOps.defaultRedactions.foldLeft("text") {
+        case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      s"""SELECT doc_id,
+         |len(regexp_extract_all(text, '$email'))::BIGINT AS n_email,
+         |len(regexp_extract_all(text, '$phone'))::BIGINT AS n_phone,
+         |len(regexp_extract_all(text, '$term'))::BIGINT AS n_term,
+         |len($scrub)::BIGINT AS scrub_len, md5($scrub) AS scrub_md5
+         |FROM documents""".stripMargin
+    },
+    "t16_normalize" ->
+      """SELECT doc_id,
+        |len(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g')))::BIGINT AS norm_len,
+        |md5(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g'))) AS norm_md5
+        |FROM documents""".stripMargin,
+    "t17_vocab" ->
+      """WITH v AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM v WHERE len(token) > 0 GROUP BY 1)
+        |SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+        |FROM c ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "t18_stratified_sample" -> {
+      val cases = Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.1).toSeq.sortBy(_._1)
+        .map { case (k, f) => s"WHEN lang = '$k' THEN ${f * 4294967296.0}" }
+        .mkString(" ")
+      s"""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE <
+         |  CASE $cases ELSE ${0.05 * 4294967296.0} END
+         |GROUP BY lang""".stripMargin
+    },
+    "e06_quantized_ann" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |sc AS (SELECT vec_id, emb, CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+         |  THEN 127.0 / list_max(list_transform(emb, x -> abs(x))) ELSE 0.0 END AS s FROM ev),
+         |qz AS (SELECT vec_id, list_transform(emb, x -> floor(x * s + 0.5)::BIGINT) AS q FROM sc),
+         |qq AS (SELECT q AS qv FROM qz WHERE vec_id = 0),
+         |qx AS (SELECT emb AS qe FROM ev WHERE vec_id = 0),
+         |ex AS (SELECT vec_id FROM (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
+         |  FROM ev, qx WHERE vec_id != 0) ORDER BY sim DESC, vec_id LIMIT 10),
+         |d AS (SELECT vec_id,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1,65), i -> q[i] * qv[i])), (a,x) -> a+x) AS qdot,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1,65), i -> q[i] * q[i])), (a,x) -> a+x) AS na,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1,65), i -> qv[i] * qv[i])), (a,x) -> a+x) AS nb
+         |  FROM qz, qq WHERE vec_id != 0)
+         |SELECT vec_id, qdot,
+         |  round(qdot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 4) AS approx_r,
+         |  vec_id IN (SELECT vec_id FROM ex) AS in_exact10
+         |FROM d ORDER BY qdot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) DESC, vec_id
+         |LIMIT 10""".stripMargin,
     "e01_knn_exact" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim

@@ -211,6 +211,69 @@ object Dedup {
     inter / union
   }
 
+  // ---- connected components (near-dup clustering) ------------------------
+
+  /**
+   * Connected components over an undirected candidate-pair edge list
+   * (`id_a`, `id_b`) — the step a real dedup pipeline runs AFTER LSH:
+   * near-dup pairs are transitive in practice, so documents are grouped
+   * into clusters and one representative (the minimum id) is kept per
+   * cluster.
+   *
+   * Algorithm: distributed min-label propagation with pointer doubling.
+   * Every vertex starts labelled with its own id; each round every
+   * vertex takes the minimum of its own and its neighbours' labels
+   * (edge-list equi-join + groupBy), then shortcuts through its label's
+   * label (`l(u) ← l(l(u))`) — so convergence is O(log diameter), not
+   * O(diameter). Per round: two equi-joins + one groupBy, all shuffling
+   * on vertex/edge ids — never the documents themselves. Labels decrease
+   * monotonically, so `sum(label)` is a convergence metric: an unchanged
+   * sum means a fixpoint and the loop stops.
+   *
+   * Returns (doc_id, cluster) for every vertex that appears in an edge;
+   * `cluster` is the minimum doc id of the component.
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist()
+    // each round's labels are localCheckpoint'ed: iterative plans grow a
+    // join per round, and without lineage truncation the optimizer would
+    // re-plan (and a failure re-run) the whole chain — on a cluster with
+    // unreliable executors use Dataset.checkpoint with a checkpoint dir
+    var labels = sym.select(col("u")).distinct()
+      .select(col("u"), col("u").as("label"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = sym
+        .join(labels.withColumnRenamed("u", "w"), col("v") === col("w"))
+        .select(col("u"), col("label"))
+      val prop = labels.select(col("u"), col("label"))
+        .unionAll(viaNeighbor)
+        .groupBy("u")
+        .agg(min("label").as("label"))
+        .localCheckpoint(true)
+      // pointer doubling: follow the label chain one extra hop; every
+      // label is itself a vertex id, so the self-join always matches
+      val next = prop
+        .join(prop.select(col("u").as("lu"), col("label").as("llabel")),
+          col("label") === col("lu"))
+        .select(col("u"), least(col("label"), col("llabel")).as("label"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum("label")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("u").as("doc_id"), col("label").as("cluster"))
+  }
+
   // ---- embedding cosine near-dup -----------------------------------------
 
   /** Cosine similarity of two array columns, computed in double with a

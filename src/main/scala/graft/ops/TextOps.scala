@@ -84,6 +84,123 @@ object TextOps {
       .withColumn("keep", col("reason") === "ok")
   }
 
+  // ---- repetition signals (Gopher-style) ---------------------------------
+
+  /** Fraction of duplicated elements in an array: (n - n_distinct)/n,
+   * 0.0 for empty arrays. Pure codegen arithmetic, identical in SQL. */
+  private def dupFrac(arr: Column): Column =
+    when(size(arr) > 0,
+      (size(arr) - size(array_distinct(arr))).cast("double") / size(arr))
+      .otherwise(lit(0.0))
+
+  /** Word n-grams as an array column (empty when there are fewer than n
+   * tokens — guarded because Spark's `sequence(1, 0)` counts DOWN). */
+  private def wordGrams(toks: Column, n: Int): Column = {
+    val count = size(toks) - lit(n - 1)
+    val gram = (i: Column) =>
+      concat((0 until n).flatMap(j =>
+        if (j == 0) Seq(element_at(toks, i))
+        else Seq(lit(" "), element_at(toks, i + lit(j)))): _*)
+    when(count >= 1, transform(sequence(lit(1), count), gram))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Repetition signals (the Gopher / MassiveText quality heuristics):
+   * fraction of duplicated tokens, 2-grams and 3-grams. High values mean
+   * boilerplate or degenerate generation loops. Pure `functions._` —
+   * map-side, codegen, no shuffle.
+   */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.withColumn("dup_token_frac", dupFrac(toks))
+      .withColumn("dup_2gram_frac", dupFrac(wordGrams(toks, 2)))
+      .withColumn("dup_3gram_frac", dupFrac(wordGrams(toks, 3)))
+  }
+
+  // ---- pattern redaction (PII / contamination scrub) ----------------------
+
+  /** (name, regex, replacement) redaction rules: PII shapes plus a
+   * benchmark-contamination term. The regex subset used (char classes,
+   * bounded repeats, \b, \d) behaves identically in java.util.regex and
+   * RE2, so the oracle replays the exact scrub. */
+  val defaultRedactions: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"),
+    ("term", "\\bspark\\b", "<TERM>"))
+
+  /**
+   * Scrub sensitive / contaminating patterns from a text column: emits
+   * one match-count column per rule (`n_<name>`) plus the scrubbed text
+   * (rules applied in order). Map-side only; at 100 TB this runs inside
+   * the scan with zero shuffle.
+   */
+  def redactPatterns(
+      df: DataFrame,
+      textCol: String,
+      rules: Seq[(String, String, String)] = defaultRedactions): DataFrame = {
+    val withCounts = rules.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    val scrubbed = rules.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    withCounts.withColumn("scrubbed", scrubbed)
+  }
+
+  // ---- normalization ------------------------------------------------------
+
+  /** Unicode NFC normalization (JDK `java.text.Normalizer`; DuckDB's
+   * `nfc_normalize` implements the same standard algorithm). */
+  val nfcUdf = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  /** Canonical text normalization: NFC → trim → collapse whitespace
+   * runs → lowercase. The standard pre-dedup canonicalization so that
+   * near-identical documents hash identically. */
+  def normalizeText(c: Column): Column =
+    lower(regexp_replace(trim(nfcUdf(c)), "\\s+", " "))
+
+  // ---- corpus vocabulary --------------------------------------------------
+
+  /** Top-k corpus vocabulary with counts and rank (ties broken by token
+   * order). Classic word count: tokens shuffle once with map-side
+   * partial aggregation; the top-k is per-partition top-k + driver
+   * merge, then rank is assigned over just k rows. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+  }
+
+  // ---- deterministic stratified sampling ----------------------------------
+
+  /** Per-stratum deterministic hash sampling: keep a row iff
+   * md5(id)'s first 32 bits fall under the stratum's fraction — the
+   * mixture-weighting step of a training-data pipeline, reproducible
+   * across engines and runs (no RNG). Map-side filter, no shuffle. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction * 4294967296.0)) {
+      case (acc, (k, f)) => when(col(strataCol) === k, lit(f * 4294967296.0)).otherwise(acc)
+    }
+    df.filter(h.cast("double") < threshold)
+  }
+
   /** Rolling polynomial fingerprint (Karp-Rabin over tokens): order-
    * sensitive content fingerprint, robust to whitespace changes. Mod-p
    * arithmetic (p = 2^31-1) over Unicode code points so the identical

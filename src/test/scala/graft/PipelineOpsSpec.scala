@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 pipeline operators: connected-components dedup clustering,
+ * repetition signals, pattern redaction, text normalization, corpus
+ * vocabulary, stratified hash sampling, int8 embedding quantization.
+ * (End-to-end value parity vs DuckDB is enforced by the t13-t18/e06
+ * oracles; these specs pin the operator semantics on crafted edges.) */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("connectedComponents labels every vertex with its component minimum") {
+    // two chains and one isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val got = ops.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path (diameter > 1 round)") {
+    val n = 30
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val got = ops.Dedup.connectedComponents(edges).collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 1L))
+  }
+
+  test("repetition signals: distinct text scores 0, repeated text scores high") {
+    val df = Seq(
+      (1L, "a b c d e"),          // all distinct
+      (2L, "x x x x"),            // 1 distinct token of 4; 1 distinct 2-gram of 3
+      (3L, "ab"),                 // single token: no 2/3-grams
+      (4L, "")).toDF("doc_id", "text")
+    val m = ops.TextOps.repetitionSignals(df, "text")
+      .select("doc_id", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L) == ((0.0, 0.0, 0.0)))
+    assert(m(2L) == ((0.75, 2.0 / 3.0, 0.5)))
+    assert(m(3L) == ((0.0, 0.0, 0.0)))
+    assert(m(4L) == ((0.0, 0.0, 0.0))) // split("") -> [""]: 1 distinct token
+  }
+
+  test("redactPatterns counts and replaces all rule matches in order") {
+    val df = Seq(
+      (1L, "mail me at a.b@x.io or c@y.org, call 555-123-4567, use spark"),
+      (2L, "no pii here, sparkle is not the term spark though")).toDF("doc_id", "text")
+    val out = ops.TextOps.redactPatterns(df, "text")
+      .select("doc_id", "n_email", "n_phone", "n_term", "scrubbed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2 && out(1L).getLong(2) == 1 && out(1L).getLong(3) == 1)
+    assert(out(1L).getString(4) ==
+      "mail me at <EMAIL> or <EMAIL>, call <PHONE>, use <TERM>")
+    // \bspark\b must not match inside "sparkle"
+    assert(out(2L).getLong(3) == 1)
+    assert(out(2L).getString(4) == "no pii here, sparkle is not the term <TERM> though")
+  }
+
+  test("normalizeText: NFC composition, whitespace collapse, lowercase") {
+    // "é" as e + combining acute (NFD) must compose to the single NFC char
+    val nfd = "Café   LATTE\t\nfoo"
+    val df = Seq((1L, nfd)).toDF("doc_id", "text")
+    val got = df.select(ops.TextOps.normalizeText(col("text"))).head.getString(0)
+    assert(got == "café latte foo")
+  }
+
+  test("vocabTopK ranks by count then token") {
+    val df = Seq((1L, "b a a c b a")).toDF("doc_id", "text")
+    val got = ops.TextOps.vocabTopK(df, "text", 2)
+      .select("token", "n", "rank").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 3L, 1L), ("b", 2L, 2L)))
+  }
+
+  test("stratified hash sample is deterministic and respects per-key fractions") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "lang")
+    val keep = ops.TextOps.stratifiedHashSample(df, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.1))
+    val counts = keep.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5-uniform: 2000*0.5 ≈ 1000, 2000*0.1 ≈ 200 (±10%)
+    assert(math.abs(counts("en") - 1000L) < 100, s"en=${counts("en")}")
+    assert(math.abs(counts("zh") - 200L) < 60, s"zh=${counts("zh")}")
+    // deterministic: same rows on a second run
+    val again = ops.TextOps.stratifiedHashSample(df, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.1)).agg(sum("doc_id")).head.getLong(0)
+    assert(again == keep.agg(sum("doc_id")).head.getLong(0))
+  }
+
+  test("int8 quantization: max-abs element maps to ±127, dot is exact int math") {
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id"), ops.Similarity.int8Quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(q(1L) == Seq(64L, -127L, 32L)) // floor(0.5*127+0.5)=64, floor(31.75+0.5)=32
+    assert(q(2L) == Seq(0L, 0L, 0L))      // zero vector: scale 0
+    // driver-side quantization matches the column formula
+    assert(ops.Similarity.int8QuantizeSeq(Seq(0.5, -1.0, 0.25)).toSeq == Seq(64L, -127L, 32L))
+    val dot = df.filter(col("vec_id") === 1)
+      .select(ops.Similarity.intDot(
+        ops.Similarity.int8Quantize(col("embedding")),
+        lit(Array(1L, 2L, 3L))).as("d"))
+      .head.getLong(0)
+    assert(dot == 64L - 254L + 96L)
+  }
+
+}
