@@ -448,6 +448,31 @@ object SparkEntry {
           sum(col("v").cast("double").cast("decimal(18,6)")).cast("double").as("sv"))
         .withColumn("pos", col("pos").cast("long"))
     }),
+    "q51_range_frame" -> ((s, dir) => {
+      // RANGE-framed running aggregate: all orders within 5000 of the
+      // current price count toward the frame (value-based, not row-based)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
+        .rangeBetween(-5000L, Window.currentRow)
+      QTables.qbeast(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          count(lit(1)).over(w).as("n_near"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+            .cast("double").as("sum_near"))
+    }),
+    "q52_window_nav" -> ((s, dir) => {
+      // navigation functions over per-order line sequences
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_extendedprice")
+      QTables.qbeast(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          lag("l_quantity", 1).over(w).as("prev_qty"),
+          lead("l_quantity", 1).over(w).as("next_qty"),
+          first("l_extendedprice").over(w).as("first_price"),
+          nth_value(col("l_extendedprice"), 2).over(w).as("second_price"))
+    }),
     // ---- dedup (documents) ----------------------------------------------
     "t01_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exactDedup(QTables.raw(s, dir, "documents"), "doc_id", "text")),
@@ -1184,6 +1209,20 @@ object SparkEntry {
         |  FROM ck a JOIN ck b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM cp WHERE hamming <= 16
         |ORDER BY hamming, id_a, id_b LIMIT 200""".stripMargin,
+    "q51_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority, count(*) OVER w AS n_near,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_near
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q52_window_nav" ->
+      """SELECT l_orderkey, l_linenumber,
+        |lag(l_quantity, 1) OVER w AS prev_qty,
+        |lead(l_quantity, 1) OVER w AS next_qty,
+        |first_value(l_extendedprice) OVER w AS first_price,
+        |nth_value(l_extendedprice, 2) OVER w AS second_price
+        |FROM lineitem WHERE l_orderkey < 1000
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice)""".stripMargin,
     "t14_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, toks,
