@@ -21,6 +21,8 @@ object Bench {
       // sweep in tools/StreamPerfProbe (16→2 partitions ≈ 2× faster,
       // flat below 2). At production cardinality set ≥ executor cores.
       .config("spark.qbeast.stream.partitions", "2")
+      // throwaway streaming checkpoints on tmpfs (see Streaming scaladoc)
+      .config("spark.sql.streaming.checkpointLocation", ops.Streaming.fastCheckpointDir())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -473,6 +473,31 @@ object SparkEntry {
           first("l_extendedprice").over(w).as("first_price"),
           nth_value(col("l_extendedprice"), 2).over(w).as("second_price"))
     }),
+    "q53_salted_join" -> ((s, dir) => {
+      // extreme-skew join (3-value key): salt spreads each hot key over
+      // 32 reducers; results must equal the unsalted join
+      val li = QTables.qbeast(s, dir, "lineitem")
+      val dim = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("flag_n"))
+        .withColumnRenamed("rf", "l_returnflag")
+      ops.SkewOps.saltedJoin(li, dim, "l_returnflag", "l_orderkey", 32)
+        .groupBy("l_returnflag", "flag_n")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+    "q54_salted_agg" -> ((s, dir) => {
+      // two-phase aggregation over the same skewed key; decimal partials
+      // keep the double sum order-independent
+      val li = QTables.qbeast(s, dir, "lineitem")
+      ops.SkewOps.saltedAgg(li, "l_returnflag", "l_orderkey", 64,
+        partials = Seq(
+          (count(lit(1)), "pn"),
+          (sum(col("l_extendedprice").cast("decimal(18,4)")), "ps"),
+          (max(col("l_quantity")), "pm")),
+        finals = Seq(
+          (sum(col("pn")), "n"),
+          (sum(col("ps")).cast("double"), "sum_price"),
+          (max(col("pm")), "max_qty")))
+    }),
     // ---- dedup (documents) ----------------------------------------------
     "t01_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exactDedup(QTables.raw(s, dir, "documents"), "doc_id", "text")),
@@ -1223,6 +1248,16 @@ object SparkEntry {
         |nth_value(l_extendedprice, 2) OVER w AS second_price
         |FROM lineitem WHERE l_orderkey < 1000
         |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice)""".stripMargin,
+    "q53_salted_join" ->
+      """SELECT l_returnflag, flag_n, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN (SELECT l_returnflag AS rf, count(*) AS flag_n
+        |  FROM lineitem GROUP BY 1) d ON l_returnflag = rf
+        |GROUP BY 1, 2""".stripMargin,
+    "q54_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "t14_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, toks,

@@ -17,6 +17,7 @@ object Verify {
       .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
       .config("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
       .config("spark.qbeast.stream.partitions", "2") // tiny state at verify SF
+      .config("spark.sql.streaming.checkpointLocation", ops.Streaming.fastCheckpointDir())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

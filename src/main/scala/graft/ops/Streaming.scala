@@ -20,6 +20,19 @@ object Streaming {
 
   private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Throwaway checkpoint base for bench/verify streaming queries:
+   * tmpfs when available (state-store + offset-log commits fsync every
+   * micro-batch; measured ~0.5 s/query faster than /tmp on disk). A
+   * production deployment points `checkpointLocation` at durable
+   * storage instead. */
+  def fastCheckpointDir(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft-ckpt").toString
+  }
+
   /** The streaming file source wants a directory; stage the single
    * fixture file into a temp dir once per path. */
   private def stageDir(path: String): String =
@@ -99,7 +112,7 @@ object Streaming {
    * `writeStream.format("qbeast")` sink; returns the indexed table. */
   def ingestToQbeast(spark: SparkSession, eventsPath: String, tableDir: String): DataFrame = {
     if (!graft.log.QbeastLog.exists(tableDir, spark.sparkContext.hadoopConfiguration)) {
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+      val ckpt = fastCheckpointDir()
       val q = eventsStream(spark, eventsPath).writeStream.format("qbeast")
         .option("checkpointLocation", ckpt)
         .option("columnsToIndex", "user_id,event_id")

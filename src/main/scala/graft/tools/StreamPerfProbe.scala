@@ -26,13 +26,17 @@ object StreamPerfProbe {
     // warm the JVM/codegen once
     graft.ops.Streaming.windowedAgg(spark, events).count()
 
-    for (p <- Seq("16", "8", "4", "2", "1")) {
-      spark.conf.set("spark.qbeast.stream.partitions", p)
-      time(s"s01 window    p=$p") { graft.ops.Streaming.windowedAgg(spark, events).count() }
-      time(s"s04 watermark p=$p") { graft.ops.Streaming.windowedAggWatermarked(spark, events).count() }
-      time(s"s08 dedup     p=$p") { graft.ops.Streaming.streamingDedup(spark, events).count() }
-      time(s"s09 ss-join   p=$p") { graft.ops.Streaming.streamStreamJoin(spark, events).count() }
-      time(s"s02 sessions  p=$p") { graft.ops.Streaming.sessionize(spark, events).count() }
+    spark.conf.set("spark.qbeast.stream.partitions", "2")
+    for (ckpt <- Seq("disk:/tmp", "shm:/dev/shm")) {
+      val Array(tag, base) = ckpt.split(":")
+      spark.conf.set("spark.sql.streaming.checkpointLocation",
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(base), "graft-ckpt").toString)
+      time(s"s01 window    $tag") { graft.ops.Streaming.windowedAgg(spark, events).count() }
+      time(s"s04 watermark $tag") { graft.ops.Streaming.windowedAggWatermarked(spark, events).count() }
+      time(s"s08 dedup     $tag") { graft.ops.Streaming.streamingDedup(spark, events).count() }
+      time(s"s09 ss-join   $tag") { graft.ops.Streaming.streamStreamJoin(spark, events).count() }
+      time(s"s02 sessions  $tag") { graft.ops.Streaming.sessionize(spark, events).count() }
     }
     spark.stop()
   }
