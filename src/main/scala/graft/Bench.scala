@@ -41,6 +41,7 @@ object Bench {
     QTables.qbeastIvfEmbeddings(spark, sfDir).count()
     QTables.replacedTable(spark, sfDir)
     QTables.qbeastCompacted(spark, sfDir).count()
+    QTables.bucketedTables(spark, sfDir)
     val indexBuild = (System.nanoTime() - t0) / 1e9
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -285,6 +285,36 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** lineitem + orders written as BUCKETED parquet tables (8 buckets on
+   * the join key, sorted within buckets): storage-level co-location so
+   * orderkey joins execute with ZERO shuffle — at 100 TB the expensive
+   * shuffle is paid once at write time and amortized over every
+   * subsequent join. In-memory-catalog table defs don't survive a JVM
+   * restart, so a fresh session rewrites them (cheap at bench SF).
+   * Returns (lineitemTable, ordersTable). */
+  def bucketedTables(spark: SparkSession, sfDir: String): (String, String) = {
+    val sfName = new java.io.File(sfDir).getName.replace(".", "_")
+    val li = s"lineitem_bkt_$sfName"
+    val o = s"orders_bkt_$sfName"
+    lock.synchronized {
+      if (!spark.catalog.tableExists(li)) {
+        raw(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(li)
+      }
+      if (!spark.catalog.tableExists(o)) {
+        raw(spark, sfDir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(o)
+      }
+    }
+    (li, o)
+  }
+
   /** Bump when the log/layout format changes so stale caches from a
    * previous build round are never replayed by newer code. */
   val CacheFormatVersion = 2

@@ -394,6 +394,15 @@ object SparkEntry {
       ops.Streaming.streamingDedup(s, s"$dir/events.parquet")),
     "s09_stream_stream_join" -> ((s, dir) =>
       ops.Streaming.streamStreamJoin(s, s"$dir/events.parquet")),
+    "s10_stream_dedup_bounded" -> ((s, dir) =>
+      ops.Streaming.streamingDedupBounded(s, s"$dir/events.parquet")),
+    "s11_foreach_batch_ingest" -> ((s, dir) => {
+      QTables.ensureExtensions(s)
+      ops.Streaming.foreachBatchIngest(s, s"$dir/events.parquet",
+          QTables.cachePathFor(dir, "events_foreachbatch"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dec(col("value")).as("sv"))
+    }),
     // ---- more delegated SQL surface (§2B widening, r2) -------------------
     "q45_grouping_sets" -> ((s, dir) => {
       QTables.qbeast(s, dir, "lineitem").createOrReplaceTempView("li45")
@@ -472,6 +481,15 @@ object SparkEntry {
           lead("l_quantity", 1).over(w).as("next_qty"),
           first("l_extendedprice").over(w).as("first_price"),
           nth_value(col("l_extendedprice"), 2).over(w).as("second_price"))
+    }),
+    "q55_bucketed_join" -> ((s, dir) => {
+      // co-located join over bucketed storage: zero shuffle before the
+      // final aggregation (BucketedJoinSpec asserts the plan shape)
+      val (li, o) = QTables.bucketedTables(s, dir)
+      s.table(li).join(s.table(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dec(col("l_extendedprice")).as("rev"),
+          sum("l_quantity").as("sum_qty"))
     }),
     "q53_salted_join" -> ((s, dir) => {
       // extreme-skew join (3-value key): salt spreads each hot key over
@@ -999,6 +1017,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1""".stripMargin,
+    "s10_stream_dedup_bounded" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1""".stripMargin,
+    "s11_foreach_batch_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1""".stripMargin,
     "s09_stream_stream_join" ->
       """SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id
         |FROM events e JOIN events c
@@ -1248,6 +1274,12 @@ object SparkEntry {
         |nth_value(l_extendedprice, 2) OVER w AS second_price
         |FROM lineitem WHERE l_orderkey < 1000
         |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice)""".stripMargin,
+    "q55_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+        |sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q53_salted_join" ->
       """SELECT l_returnflag, flag_n, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN (SELECT l_returnflag AS rf, count(*) AS flag_n

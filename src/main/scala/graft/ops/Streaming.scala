@@ -149,6 +149,63 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+   * keeps an event-id only until the watermark passes its event time —
+   * at scale, state is O(events in the watermark window), not O(all
+   * history) like plain dropDuplicates. Emits deduped rows in append
+   * mode; the aggregation over the sink is a batch query. */
+  def streamingDedupBounded(spark: SparkSession, eventsPath: String): DataFrame = {
+    val once = eventsStream(spark, eventsPath)
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tsm", "1 hour")
+    val redelivered = eventsStream(spark, eventsPath)
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tsm", "1 hour")
+    val deduped = once.unionAll(redelivered)
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"graft_stream_dedup_wm_${counter.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"))
+  }
+
+  /** foreachBatch → idempotent qbeast append: the production
+   * exactly-once pattern. Each micro-batch writes with
+   * (txnAppId, txnVersion=batchId); the write is deliberately run TWICE
+   * per batch to simulate a foreachBatch retry — the second commit is
+   * skipped by the transaction key, so the table still holds exactly one
+   * copy of every event. */
+  def foreachBatchIngest(spark: SparkSession, eventsPath: String, tableDir: String): DataFrame = {
+    if (!graft.log.QbeastLog.exists(tableDir, spark.sparkContext.hadoopConfiguration)) {
+      val ckpt = fastCheckpointDir()
+      val q = eventsStream(spark, eventsPath).writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          (1 to 2).foreach { _ =>
+            batch.write.format("qbeast")
+              .option("columnsToIndex", "user_id,event_id")
+              .option("cubeSize", "5000")
+              .option("txnAppId", "s11_ingest")
+              .option("txnVersion", batchId.toString)
+              .mode("append")
+              .save(tableDir)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.format("qbeast").load(tableDir)
+  }
+
   /** Stream-stream interval join: every 'error' event paired with the
    * same user's 'click' events in the preceding 30 minutes. Watermarks
    * on both sides bound the join state; the range condition lets Spark
