@@ -296,8 +296,21 @@ object QTables {
     val sfName = new java.io.File(sfDir).getName.replace(".", "_")
     val li = s"lineitem_bkt_$sfName"
     val o = s"orders_bkt_$sfName"
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist: clear leftovers or saveAsTable
+    // fails with LOCATION_ALREADY_EXISTS
+    def clearStaleLocation(table: String): Unit = {
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val dir = java.nio.file.Paths.get(wh, table)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     lock.synchronized {
       if (!spark.catalog.tableExists(li)) {
+        clearStaleLocation(li)
         raw(spark, sfDir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
           .write.mode("overwrite").format("parquet")
@@ -305,6 +318,7 @@ object QTables {
           .saveAsTable(li)
       }
       if (!spark.catalog.tableExists(o)) {
+        clearStaleLocation(o)
         raw(spark, sfDir, "orders")
           .select("o_orderkey", "o_orderpriority", "o_totalprice")
           .write.mode("overwrite").format("parquet")
