@@ -580,6 +580,29 @@ object SparkEntry {
         .select("id_a", "id_b")
       ops.Dedup.connectedComponents(pairs)
     }),
+    "t19_dedup_apply" -> ((s, dir) => {
+      // full dedup pipeline: LSH pairs → components → drop every doc
+      // that is not its cluster's representative (anti-join, no shuffle
+      // of the documents beyond the final aggregation)
+      val docs = QTables.raw(s, dir, "documents")
+      val pairs = ops.Dedup.minHashCandidatePairs(docs, "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b")
+      val losers = ops.Dedup.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("cluster"))
+        .select("doc_id")
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+    }),
+    "q56_time_travel" -> ((s, dir) => {
+      // VERSION 0 of the appended table = the even-orderkey first write;
+      // the oracle recomputes that slice from the raw data
+      QTables.qbeastAppended(s, dir)
+      s.read.format("qbeast").option("versionAsOf", 0)
+        .load(QTables.cachePathFor(dir, "lineitem_appended"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
     "t14_repetition" -> ((s, dir) => {
       ops.TextOps.repetitionSignals(QTables.raw(s, dir, "documents"), "text")
         .select("doc_id", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac")
@@ -753,6 +776,16 @@ object SparkEntry {
        |  FROM sg, range(0, 16) t(b)),
        |cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
        |  FROM bd a JOIN bd b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** minhash CTEs + connected-components closure ending in
+   * `lab(doc_id, cluster)` — shared by the t13 and t19 oracles. */
+  private lazy val ccCteBody: String =
+    s"""$minhashCteBody,
+       |pr AS (SELECT id_a, id_b FROM cp
+       |  WHERE len(list_filter(range(1, 65), j -> sa[j] = sb[j])) / 64.0 >= 0.5),
+       |e AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+       |r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u WHERE e.v <> r.u),
+       |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM r GROUP BY u)""".stripMargin
 
   /** Spark's Murmur3_x86_32.hashLong as DuckDB SQL (unsigned-32 values
    * in BIGINT, wrap-multiplies through HUGEINT). Emitted as a chain of
@@ -1238,13 +1271,15 @@ object SparkEntry {
       // connected components by transitive closure: fine for the oracle
       // (clusters are tiny); the Spark side uses log-round label
       // propagation instead, which is the 100 TB-safe formulation
-      s"""WITH RECURSIVE $minhashCteBody,
-         |pr AS (SELECT id_a, id_b FROM cp
-         |  WHERE len(list_filter(range(1, 65), j -> sa[j] = sb[j])) / 64.0 >= 0.5),
-         |e AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
-         |r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u WHERE e.v <> r.u),
-         |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM r GROUP BY u)
+      s"""WITH RECURSIVE $ccCteBody
          |SELECT doc_id, cluster FROM lab""".stripMargin,
+    "t19_dedup_apply" ->
+      // the cleaned corpus: one representative per near-dup cluster
+      s"""WITH RECURSIVE $ccCteBody
+         |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE cluster <> doc_id)
+         |GROUP BY lang""".stripMargin,
     "t03_simhash_pairs" ->
       """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |  FROM documents WHERE len(trim(text)) > 0),
@@ -1260,6 +1295,9 @@ object SparkEntry {
         |  FROM ck a JOIN ck b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM cp WHERE hamming <= 16
         |ORDER BY hamming, id_a, id_b LIMIT 200""".stripMargin,
+    "q56_time_travel" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1""".stripMargin,
     "q51_range_frame" ->
       """SELECT o_orderkey, o_orderpriority, count(*) OVER w AS n_near,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_near
