@@ -1401,7 +1401,7 @@ object SparkEntry {
     "e02_ann_lsh" ->
       s"""WITH $embBaseSql,
          |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
-         |  FROM be, qv WHERE vec_id != 0 AND bit_count(xor(bucket, qbkt)) <= 1)
+         |  FROM be, qv WHERE vec_id != 0 AND bit_count(xor(bucket, qbkt)) <= 2)
          |SELECT vec_id, round(sim, 4) AS sim_r, vec_id IN (SELECT vec_id FROM ex) AS in_exact10
          |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "e03_embedding_near_dup" ->
