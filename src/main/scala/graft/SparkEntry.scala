@@ -394,6 +394,10 @@ object SparkEntry {
       ops.Streaming.streamingDedup(s, s"$dir/events.parquet")),
     "s09_stream_stream_join" -> ((s, dir) =>
       ops.Streaming.streamStreamJoin(s, s"$dir/events.parquet")),
+    "s12_stream_static_join" -> ((s, dir) => {
+      val dim = QTables.raw(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      ops.Streaming.streamStaticJoin(s, s"$dir/events.parquet", dim, "c_custkey")
+    }),
     "s10_stream_dedup_bounded" -> ((s, dir) =>
       ops.Streaming.streamingDedupBounded(s, s"$dir/events.parquet")),
     "s11_foreach_batch_ingest" -> ((s, dir) => {
@@ -1050,6 +1054,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1""".stripMargin,
+    "s12_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
     "s10_stream_dedup_bounded" ->
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv

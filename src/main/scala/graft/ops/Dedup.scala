@@ -79,8 +79,12 @@ object Dedup {
 
   /**
    * Candidate near-duplicate pairs with estimated Jaccard ≥ `threshold`.
-   * Pipeline: signature (map) → band explode (rows × bands, compact) →
-   * self equi-join on (band, bucket) → signature agreement estimate.
+   * Pipeline: signature (map) → band explode carrying ONLY (id, band,
+   * bucket) → self equi-join → distinct id pairs → re-join the compact
+   * signature table twice for the agreement estimate. Keeping the
+   * 64-value signatures out of the exploded rows matters at scale: the
+   * band shuffle would otherwise duplicate every signature `bands`
+   * times; re-joining ships each signature once per side instead.
    */
   def minHashCandidatePairs(
       df: DataFrame,
@@ -92,18 +96,22 @@ object Dedup {
     val sig = minHashUdf(numHashes)
     val bkeys = bandKeysUdf(numHashes, bands)
     val sigs = df.select(col(idCol).as("id"), sig(col(textCol)).as("sig"))
-      .withColumn("bands", bkeys(col("sig")))
-    val exploded = sigs.select(col("id"), col("sig"),
-      posexplode(col("bands")).as(Seq("band", "bucket")))
-    val a = exploded.alias("a")
-    val b = exploded.alias("b")
-    val est = aggregate(
-      zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes.toDouble)
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), est.as("est_jaccard"))
+    val bandRows = sigs.select(col("id"),
+      posexplode(bkeys(col("sig"))).as(Seq("band", "bucket")))
+    val a = bandRows.alias("a")
+    val b = bandRows.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val est = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes.toDouble)
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 

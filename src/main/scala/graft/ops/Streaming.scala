@@ -206,6 +206,31 @@ object Streaming {
     spark.read.format("qbeast").load(tableDir)
   }
 
+  /** Stream-static enrichment join: each micro-batch broadcast-joins a
+   * static dimension table (no state, no watermark — the static side is
+   * re-planned per batch). The canonical "enrich events with reference
+   * data" pattern; at scale the dimension broadcast is shared across the
+   * batch's tasks. */
+  def streamStaticJoin(
+      spark: SparkSession,
+      eventsPath: String,
+      dim: DataFrame,
+      dimKey: String): DataFrame = {
+    val stream = eventsStream(spark, eventsPath)
+    val joined = stream.join(broadcast(dim), stream("user_id") === dim(dimKey))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"))
+    val name = s"graft_stream_static_${counter.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** Stream-stream interval join: every 'error' event paired with the
    * same user's 'click' events in the preceding 30 minutes. Watermarks
    * on both sides bound the join state; the range condition lets Spark
