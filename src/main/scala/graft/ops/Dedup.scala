@@ -252,7 +252,10 @@ object Dedup {
     var labels = sym.select(col("u")).distinct()
       .select(col("u"), col("u").as("label"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    // sum over an empty frame is null — treat as converged-at-zero
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum("label")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -271,7 +274,7 @@ object Dedup {
           col("label") === col("lu"))
         .select(col("u"), least(col("label"), col("llabel")).as("label"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum("label")).head().getLong(0)
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum

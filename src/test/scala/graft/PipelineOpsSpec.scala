@@ -23,6 +23,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents on an empty edge list returns an empty mapping") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = ops.Dedup.connectedComponents(empty)
+    assert(got.columns.toSeq == Seq("doc_id", "cluster"))
+    assert(got.count() == 0)
+  }
+
   test("connectedComponents converges on a long path (diameter > 1 round)") {
     val n = 30
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
