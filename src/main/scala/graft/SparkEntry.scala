@@ -598,6 +598,11 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
     }),
+    "t20_chunking" -> ((s, dir) =>
+      ops.TextOps.chunkTokens(QTables.raw(s, dir, "documents"), "doc_id", "text")),
+    "t21_vocab_coverage" -> ((s, dir) =>
+      ops.TextOps.vocabCoverage(QTables.raw(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_tokens", "n_in_vocab", "coverage")),
     "q56_time_travel" -> ((s, dir) => {
       // VERSION 0 of the appended table = the even-orderkey first write;
       // the oracle recomputes that slice from the raw data
@@ -1307,6 +1312,23 @@ object SparkEntry {
     "q56_time_travel" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1""".stripMargin,
+    "t20_chunking" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, u.i AS chunk_idx,
+        |  array_to_string(list_slice(toks, u.i*48 + 1, u.i*48 + 64), ' ') AS chunk
+        |  FROM t, LATERAL unnest(range(0, greatest(len(toks) - 1, 0) // 48 + 1)) u(i))
+        |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_chars,
+        |  md5(chunk) AS chunk_md5 FROM c""".stripMargin,
+    "t21_vocab_coverage" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |f AS (SELECT doc_id, token FROM tk WHERE len(token) > 0),
+        |v AS (SELECT token FROM (SELECT token, count(*) AS n FROM f GROUP BY 1)
+        |  ORDER BY n DESC, token LIMIT 100)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(*) FILTER (token IN (SELECT token FROM v)) AS n_in_vocab,
+        |  (count(*) FILTER (token IN (SELECT token FROM v)))::DOUBLE / count(*) AS coverage
+        |FROM f GROUP BY doc_id""".stripMargin,
     "q51_range_frame" ->
       """SELECT o_orderkey, o_orderpriority, count(*) OVER w AS n_near,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_near

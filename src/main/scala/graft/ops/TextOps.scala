@@ -181,6 +181,57 @@ object TextOps {
         row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
   }
 
+  // ---- chunking (embedding-pipeline prep) ----------------------------------
+
+  /**
+   * Sliding-window token chunking: one output row per (doc, chunk),
+   * `chunkSize` tokens with `stride` offsets (overlap = chunkSize -
+   * stride) — the standard prep step before embedding long documents.
+   * Pure codegen (sequence + slice + explode); the explode multiplies
+   * rows, not bytes-per-token, and runs map-side.
+   */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
+    val chunks = transform(starts,
+      s => array_join(slice(toks, s + lit(1), lit(chunkSize)), " "))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx").cast("long"),
+        length(col("chunk_text")).cast("long").as("chunk_chars"),
+        md5(col("chunk_text")).as("chunk_md5"))
+  }
+
+  // ---- vocabulary coverage (cheap LM-style quality signal) -----------------
+
+  /**
+   * Per-document coverage of the corpus top-k vocabulary: the fraction
+   * of a doc's tokens that are common corpus-wide — a deterministic
+   * stand-in for LM-likelihood quality scoring (no floating-point log,
+   * so the oracle matches bit-for-bit). Two passes: word-count top-k
+   * (one shuffle over tokens), then a broadcast join of the tiny vocab
+   * against the exploded tokens.
+   */
+  def vocabCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 100): DataFrame = {
+    val vocab = vocabTopK(df, textCol, topK).select(col("token"), lit(1).as("in_vocab"))
+    val tokens = df
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    tokens.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), count(col("in_vocab")).as("n_in_vocab"))
+      .withColumn("coverage",
+        col("n_in_vocab").cast("double") / col("n_tokens"))
+  }
+
   // ---- deterministic stratified sampling ----------------------------------
 
   /** Per-stratum deterministic hash sampling: keep a row iff

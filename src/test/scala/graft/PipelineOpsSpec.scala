@@ -98,6 +98,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == keep.agg(sum("doc_id")).head.getLong(0))
   }
 
+  test("chunkTokens: sliding windows with overlap, short docs yield one chunk") {
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens → chunks at 0, 48, 96
+      (2L, "a b c")).toDF("doc_id", "text")
+    val got = ops.TextOps.chunkTokens(df, "doc_id", "text", chunkSize = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    // overlap: chunk 1 of doc 1 starts at token 49 (w49) and has 52 tokens
+    val c1 = ops.TextOps.chunkTokens(df, "doc_id", "text")
+      .filter(col("doc_id") === 1 && col("chunk_idx") === 2)
+    // last chunk: tokens 97..100
+    val txt = df.filter(col("doc_id") === 1)
+      .select(array_join(slice(split(col("text"), " "), 97, 64), " ")).head.getString(0)
+    assert(c1.head.getLong(2) == txt.length)
+  }
+
+  test("vocabCoverage: common tokens counted, rare tokens lower the ratio") {
+    val df = Seq(
+      (1L, "a a a b"), // 'a' dominates the corpus
+      (2L, "a zzz")).toDF("doc_id", "text")
+    val got = ops.TextOps.vocabCoverage(df, "doc_id", "text", topK = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 3L, 0.75)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+  }
+
   test("int8 quantization: max-abs element maps to ±127, dot is exact int math") {
     val df = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
