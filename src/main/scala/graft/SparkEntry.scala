@@ -291,6 +291,16 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
     }),
+    "q42_in_subquery" -> ((s, dir) => {
+      // IN-subquery over the indexed table (executes as a left-semi
+      // join; SubqProbe documents why V1 scans can't prune on it)
+      QTables.qbeast(s, dir, "lineitem").createOrReplaceTempView("li42")
+      QTables.qbeast(s, dir, "orders").createOrReplaceTempView("o42")
+      s.sql("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM li42 WHERE l_orderkey IN
+        (SELECT o_orderkey FROM o42 WHERE o_totalprice > 400000)
+        GROUP BY l_returnflag""")
+    }),
     "q41_replace_read" -> ((s, dir) => {
       // reads a table whose content was swapped by an atomic staged
       // CREATE OR REPLACE ... AS SELECT (StagingTableCatalog)
@@ -1019,6 +1029,11 @@ object SparkEntry {
          |WHERE spark_hash < ${Weight.fromFraction(0.37).value}
          |GROUP BY lang""".stripMargin
     },
+    "q42_in_subquery" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_orderkey IN
+        |(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag""".stripMargin,
     "q41_replace_read" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
