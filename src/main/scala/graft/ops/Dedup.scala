@@ -242,15 +242,20 @@ object Dedup {
    * `cluster` is the minimum doc id of the component.
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+    val sym0 = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("v")))
-      .persist()
+      .localCheckpoint(true)
+    val vertices = sym0.select(col("u")).distinct()
+    // self-loops fold "keep your own label" into the neighbor join, so
+    // each round is ONE join+groupBy (+ the doubling self-join) with no
+    // per-round union. Checkpointed once up front.
+    val sym = sym0.unionAll(vertices.select(col("u"), col("u").as("v")))
+      .localCheckpoint(true)
     // each round's labels are localCheckpoint'ed: iterative plans grow a
     // join per round, and without lineage truncation the optimizer would
     // re-plan (and a failure re-run) the whole chain — on a cluster with
     // unreliable executors use Dataset.checkpoint with a checkpoint dir
-    var labels = sym.select(col("u")).distinct()
-      .select(col("u"), col("u").as("label"))
+    var labels = vertices.select(col("u"), col("u").as("label"))
       .localCheckpoint(true)
     // sum over an empty frame is null — treat as converged-at-zero
     def labelSum(df: DataFrame): Long =
@@ -259,14 +264,10 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val viaNeighbor = sym
+      val prop = sym
         .join(labels.withColumnRenamed("u", "w"), col("v") === col("w"))
-        .select(col("u"), col("label"))
-      val prop = labels.select(col("u"), col("label"))
-        .unionAll(viaNeighbor)
         .groupBy("u")
         .agg(min("label").as("label"))
-        .localCheckpoint(true)
       // pointer doubling: follow the label chain one extra hop; every
       // label is itself a vertex id, so the self-join always matches
       val next = prop
@@ -282,6 +283,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    sym0.unpersist()
     labels.select(col("u").as("doc_id"), col("label").as("cluster"))
   }
 
