@@ -608,6 +608,33 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
     }),
+    "t22_winnow_pairs" -> ((s, dir) => {
+      // substring-dup candidates: equi-join on selected fingerprints
+      // (winnow sets are per-doc distinct, so count == shared distinct
+      // fps). Hot fingerprints behave like LSH hot buckets — bounded by
+      // the same band/bucket discipline at scale.
+      val fps = QTables.raw(s, dir, "documents")
+        .select(col("doc_id"), explode(ops.Dedup.winnowUdf()(col("text"))).as("fp"))
+      val a = fps.alias("a")
+      val b = fps.alias("b")
+      a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("shared_fp"))
+        .filter(col("shared_fp") >= 3)
+    }),
+    "q57_corpus_diff" -> ((s, dir) => {
+      // snapshot diff via time travel: rows present now but not in
+      // version 0 (data-versioning audit: what did the append add?)
+      QTables.qbeastAppended(s, dir)
+      val path = QTables.cachePathFor(dir, "lineitem_appended")
+      val v0 = s.read.format("qbeast").option("versionAsOf", 0).load(path)
+        .select("l_orderkey", "l_linenumber")
+      val cur = s.read.format("qbeast").load(path)
+      cur.join(v0, Seq("l_orderkey", "l_linenumber"), "left_anti")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_added"), sum("l_quantity").as("sum_qty"))
+    }),
     "t20_chunking" -> ((s, dir) =>
       ops.TextOps.chunkTokens(QTables.raw(s, dir, "documents"), "doc_id", "text")),
     "t21_vocab_coverage" -> ((s, dir) =>
@@ -795,6 +822,20 @@ object SparkEntry {
        |  FROM sg, range(0, 16) t(b)),
        |cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
        |  FROM bd a JOIN bd b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Winnowing CTE chain ending in `sel(doc_id, wmin)` — the distinct
+   * selected fingerprints per document; shared by t11 and t22. */
+  private lazy val winnowCteBody: String =
+    """tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |shr AS (SELECT doc_id, i,
+      |  ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))::BIGINT AS h
+      |  FROM tk, LATERAL unnest(range(1, greatest(len(toks) - 1, 1))) u(i) WHERE len(toks) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
+      |wmins AS (SELECT doc_id, i AS p,
+      |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |  FROM shr),
+      |sel AS (SELECT DISTINCT w.doc_id, w.wmin FROM wmins w JOIN cnt c ON w.doc_id = c.doc_id
+      |  WHERE w.p <= greatest(c.n - 3, 1))""".stripMargin
 
   /** minhash CTEs + connected-components closure ending in
    * `lab(doc_id, cluster)` — shared by the t13 and t19 oracles. */
@@ -1152,18 +1193,17 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.2""".stripMargin,
     "t11_winnowing" ->
-      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |shr AS (SELECT doc_id, i,
-        |  ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))::BIGINT AS h
-        |  FROM tk, LATERAL unnest(range(1, greatest(len(toks) - 1, 1))) u(i) WHERE len(toks) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
-        |wmins AS (SELECT doc_id, i AS p,
-        |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-        |  FROM shr),
-        |sel AS (SELECT DISTINCT w.doc_id, w.wmin FROM wmins w JOIN cnt c ON w.doc_id = c.doc_id
-        |  WHERE w.p <= greatest(c.n - 3, 1))
-        |SELECT doc_id, count(*) AS n_fp, min(wmin) AS fp_min, max(wmin) AS fp_max
-        |FROM sel GROUP BY 1""".stripMargin,
+      s"""WITH $winnowCteBody
+         |SELECT doc_id, count(*) AS n_fp, min(wmin) AS fp_min, max(wmin) AS fp_max
+         |FROM sel GROUP BY 1""".stripMargin,
+    "t22_winnow_pairs" ->
+      // substring-level dedup candidates: docs sharing >= 3 winnowing
+      // fingerprints (guaranteed to include any pair sharing a run of
+      // >= w+k-1 tokens at matching window positions)
+      s"""WITH $winnowCteBody
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
+         |FROM sel a JOIN sel b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "t12_quality_filter" ->
       """WITH s AS (SELECT doc_id, text,
         |len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -1327,6 +1367,9 @@ object SparkEntry {
     "q56_time_travel" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1""".stripMargin,
+    "q57_corpus_diff" ->
+      """SELECT l_returnflag, count(*) AS n_added, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1""".stripMargin,
     "t20_chunking" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |c AS (SELECT doc_id, u.i AS chunk_idx,

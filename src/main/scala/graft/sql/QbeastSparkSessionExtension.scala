@@ -24,6 +24,16 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("qbeast_hash"),
       new ExpressionInfo(classOf[Murmur3Hash].getName, "qbeast_hash"),
       (children: Seq[Expression]) => new Murmur3Hash(children)))
+    // SQL surface for the codegen cosine expression, so similarity
+    // search composes in plain SQL:
+    //   ORDER BY graft_cosine(embedding, array(...)) DESC LIMIT 10
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[graft.expressions.CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cosine(a, b) takes two array arguments")
+        graft.expressions.CosineSimilarity(children.head, children(1))
+      }))
   }
 
 }

@@ -38,6 +38,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall(_.getLong(1) == 1L))
   }
 
+  test("connectedComponents matches a local union-find on random graphs") {
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // local union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = inEdges.map(v => v -> {
+        // min vertex of the component, restricted to vertices seen in edges
+        val root = find(v.toInt)
+        inEdges.filter(u => find(u.toInt) == root).min
+      }).toMap
+      val got = ops.Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("graft_cosine is registered as a SQL function and matches the Column API") {
+    val one = spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head.getDouble(0)
+    assert(one == 1.0)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("cos_t")
+    val viaSql = spark.sql("SELECT graft_cosine(a, b) FROM cos_t").head.getDouble(0)
+    val viaCol = df.select(ops.Dedup.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(viaSql == viaCol)
+  }
+
   test("repetition signals: distinct text scores 0, repeated text scores high") {
     val df = Seq(
       (1L, "a b c d e"),          // all distinct
