@@ -608,6 +608,16 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
     }),
+    "t23_corpus_report" -> ((s, dir) => {
+      // per-(source, lang) pipeline dashboard: volume, quality keeps,
+      // exact-distinct count, size — one pass, partial aggs map-side
+      val q = ops.TextOps.qualityFilter(QTables.raw(s, dir, "documents"), "text")
+      q.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_keep"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          sum("n_chars").as("sum_chars"))
+    }),
     "t22_winnow_pairs" -> ((s, dir) => {
       // substring-dup candidates: equi-join on selected fingerprints
       // (winnow sets are per-doc distinct, so count == shared distinct
@@ -776,6 +786,10 @@ object SparkEntry {
     "m02_media_features" -> ((s, dir) => {
       ops.Multimodal.extractFeatures(
         ops.Multimodal.asMediaTable(QTables.raw(s, dir, "documents"), "doc_id", "text"))
+    }),
+    "m03_frame_sample" -> ((s, dir) => {
+      ops.Multimodal.frameSample(
+        ops.Multimodal.asMediaTable(QTables.raw(s, dir, "documents"), "doc_id", "text"))
     })
   )
 
@@ -822,6 +836,41 @@ object SparkEntry {
        |  FROM sg, range(0, 16) t(b)),
        |cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
        |  FROM bd a JOIN bd b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Quality-filter CTE chain ending in `r(doc_id, reason)` — the exact
+   * SQL replay of `TextOps.qualityFilter`; shared by t12 and t23. */
+  private lazy val qualityCteBody: String =
+    """s AS (SELECT doc_id, text,
+      |len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |(len(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1))::DOUBLE
+      |  / len(regexp_split_to_array(trim(text), '\s+')) AS mtl,
+      |(len(text) - len(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE / len(text) AS pr,
+      |(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / len(text) AS dr,
+      |(len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
+      |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
+      |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4 AS s_en,
+      |(len(' '||text||' ') - len(replace(' '||text||' ', ' el ', ''))) // 4
+      |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' la ', ''))) // 4
+      |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' que ', ''))) // 5 AS s_es,
+      |(len(' '||text||' ') - len(replace(' '||text||' ', ' der ', ''))) // 5
+      |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' und ', ''))) // 5
+      |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' die ', ''))) // 5 AS s_de,
+      |(len(' '||text||' ') - len(replace(' '||text||' ', ' le ', ''))) // 4
+      |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' et ', ''))) // 4
+      |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' les ', ''))) // 5 AS s_fr,
+      |(len(text) - len(replace(text, '的', ''))) // 1
+      |+ (len(text) - len(replace(text, '是', ''))) // 1
+      |+ (len(text) - len(replace(text, '了', ''))) // 1 AS s_zh
+      |FROM documents),
+      |r AS (SELECT doc_id,
+      |CASE WHEN n_tokens < 10 THEN 'too_short'
+      |WHEN n_tokens > 100000 THEN 'too_long'
+      |WHEN mtl < 2.0 THEN 'tokens_too_short'
+      |WHEN mtl > 14.0 THEN 'tokens_too_long'
+      |WHEN pr > 0.2 THEN 'too_much_punct'
+      |WHEN dr > 0.3 THEN 'too_many_digits'
+      |WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'no_language'
+      |ELSE 'ok' END AS reason FROM s)""".stripMargin
 
   /** Winnowing CTE chain ending in `sel(doc_id, wmin)` — the distinct
    * selected fingerprints per document; shared by t11 and t22. */
@@ -1205,38 +1254,18 @@ object SparkEntry {
          |FROM sel a JOIN sel b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "t12_quality_filter" ->
-      """WITH s AS (SELECT doc_id, text,
-        |len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        |(len(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1))::DOUBLE
-        |  / len(regexp_split_to_array(trim(text), '\s+')) AS mtl,
-        |(len(text) - len(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE / len(text) AS pr,
-        |(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / len(text) AS dr,
-        |(len(' '||text||' ') - len(replace(' '||text||' ', ' the ', ''))) // 5
-        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' and ', ''))) // 5
-        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' of ', ''))) // 4 AS s_en,
-        |(len(' '||text||' ') - len(replace(' '||text||' ', ' el ', ''))) // 4
-        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' la ', ''))) // 4
-        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' que ', ''))) // 5 AS s_es,
-        |(len(' '||text||' ') - len(replace(' '||text||' ', ' der ', ''))) // 5
-        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' und ', ''))) // 5
-        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' die ', ''))) // 5 AS s_de,
-        |(len(' '||text||' ') - len(replace(' '||text||' ', ' le ', ''))) // 4
-        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' et ', ''))) // 4
-        |+ (len(' '||text||' ') - len(replace(' '||text||' ', ' les ', ''))) // 5 AS s_fr,
-        |(len(text) - len(replace(text, '的', ''))) // 1
-        |+ (len(text) - len(replace(text, '是', ''))) // 1
-        |+ (len(text) - len(replace(text, '了', ''))) // 1 AS s_zh
-        |FROM documents),
-        |r AS (SELECT doc_id,
-        |CASE WHEN n_tokens < 10 THEN 'too_short'
-        |WHEN n_tokens > 100000 THEN 'too_long'
-        |WHEN mtl < 2.0 THEN 'tokens_too_short'
-        |WHEN mtl > 14.0 THEN 'tokens_too_long'
-        |WHEN pr > 0.2 THEN 'too_much_punct'
-        |WHEN dr > 0.3 THEN 'too_many_digits'
-        |WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'no_language'
-        |ELSE 'ok' END AS reason FROM s)
-        |SELECT doc_id, reason = 'ok' AS keep, reason FROM r""".stripMargin,
+      s"""WITH $qualityCteBody
+         |SELECT doc_id, reason = 'ok' AS keep, reason FROM r""".stripMargin,
+    "t23_corpus_report" ->
+      // per-(source, lang) pipeline dashboard: volume, quality keep
+      // count, exact-dup distinct count, size
+      s"""WITH $qualityCteBody
+         |SELECT d.source, d.lang, count(*) AS n_docs,
+         |  count(*) FILTER (r.reason = 'ok') AS n_keep,
+         |  count(DISTINCT md5(d.text)) AS n_distinct,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+         |FROM documents d JOIN r ON d.doc_id = r.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "t10_indexed_documents" ->
       """SELECT doc_id,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -1324,6 +1353,14 @@ object SparkEntry {
         |      (a, x) -> (a * 31 + x) % 2147483647))),
         |  (a, x) -> (a * 131 + x) % 2147483647) AS fp
         |FROM documents""".stripMargin,
+    "m03_frame_sample" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) // 4 AS seg FROM documents),
+        |f AS (SELECT doc_id, u.i AS frame_idx,
+        |  substr(hx, (seg * 2 * u.i + 1)::INTEGER, (seg * 2)::INTEGER) AS fhex
+        |  FROM m, LATERAL unnest(range(0, 4)) u(i))
+        |SELECT doc_id, frame_idx, len(fhex) // 2 AS frame_bytes,
+        |  md5(fhex) AS frame_md5 FROM f""".stripMargin,
     "m02_media_features" ->
       """SELECT doc_id,
         |(64 + (('0x' || substr(md5(text), 1, 2))::INTEGER & 127)) AS width,

@@ -60,6 +60,25 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: split the payload into `frames` equal byte
+   * segments — the plumbing shape of extracting video frames at fixed
+   * timestamps (the seek/decode call is where a real codec goes). Works
+   * over the hex encoding of the bytes so the checksum math is
+   * byte-faithful AND replayable in the SQL oracle (DuckDB has no
+   * md5(BLOB); both engines agree on hex(payload)). Emits one row per
+   * frame with its size and checksum. */
+  def frameSample(media: DataFrame, frames: Int = 4): DataFrame = {
+    val hexs = hex(col("payload"))
+    val segLen = floor(col("meta.n_bytes") / frames).cast("long")
+    val frameArr = array((0 until frames).map { i =>
+      hexs.substr((segLen * 2 * i + 1).cast("int"), (segLen * 2).cast("int"))
+    }: _*)
+    media.select(col("doc_id"), posexplode(frameArr).as(Seq("frame_idx", "fhex")))
+      .select(col("doc_id"), col("frame_idx").cast("long"),
+        (length(col("fhex")) / 2).cast("long").as("frame_bytes"),
+        md5(col("fhex")).as("frame_md5"))
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
