@@ -329,6 +329,44 @@ object QTables {
     (li, o)
   }
 
+  /** lineitem after a copy-on-write row-level DELETE (files holding
+   * matching rows rewritten without them, one atomic commit): content
+   * equals the raw table minus the heavy-quantity rows. */
+  def qbeastDeleted(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "lineitem_deleted")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val (cols, cubeSize) = indexSpecs("lineitem")
+        raw(spark, sfDir, "lineitem").write.format("qbeast")
+          .option("columnsToIndex", cols)
+          .option("cubeSize", cubeSize.toString)
+          .save(path)
+        graft.table.QbeastTable.forPath(spark, path).delete("l_quantity > 45")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
+  /** orders after a copy-on-write row-level UPDATE (matched rows get the
+   * assignment applied and are re-indexed; survivors of affected files
+   * rewritten frozen; one atomic commit). */
+  def qbeastUpdated(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_updated")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, "orders").write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_totalprice")
+          .option("cubeSize", "5000")
+          .save(path)
+        graft.table.QbeastTable.forPath(spark, path)
+          .update("o_orderstatus = 'F'", Map("o_totalprice" -> "o_totalprice + 100000"))
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** Bump when the log/layout format changes so stale caches from a
    * previous build round are never replayed by newer code. */
   val CacheFormatVersion = 2

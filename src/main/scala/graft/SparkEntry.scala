@@ -650,6 +650,20 @@ object SparkEntry {
     "t21_vocab_coverage" -> ((s, dir) =>
       ops.TextOps.vocabCoverage(QTables.raw(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "n_tokens", "n_in_vocab", "coverage")),
+    "q58_delete" -> ((s, dir) => {
+      // copy-on-write row-level DELETE: only files holding matching rows
+      // were rewritten; the read sees the post-delete table
+      QTables.qbeastDeleted(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+    "q59_update" -> ((s, dir) => {
+      // copy-on-write row-level UPDATE: matched rows re-indexed with the
+      // assignment applied, survivors rewritten frozen, one commit
+      QTables.qbeastUpdated(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_price"))
+    }),
     "q56_time_travel" -> ((s, dir) => {
       // VERSION 0 of the appended table = the even-orderkey first write;
       // the oracle recomputes that slice from the raw data
@@ -1404,6 +1418,13 @@ object SparkEntry {
     "q56_time_travel" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1""".stripMargin,
+    "q58_delete" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin,
+    "q59_update" ->
+      """SELECT o_orderstatus, count(*) AS n, sum(CASE WHEN o_orderstatus = 'F'
+        |  THEN o_totalprice + 100000 ELSE o_totalprice END) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "q57_corpus_diff" ->
       """SELECT l_returnflag, count(*) AS n_added, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1""".stripMargin,

@@ -33,7 +33,8 @@ final case class QbeastTableImpl(
     tableProperties: Map[String, String])
     extends Table
     with SupportsRead
-    with SupportsWrite {
+    with SupportsWrite
+    with SupportsDelete {
 
   override def name(): String = identifierName
 
@@ -55,12 +56,23 @@ final case class QbeastTableImpl(
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
-  /** The analyzer rule replaces this relation before scan planning; a
-   * direct V2 scan is unsupported by design (same as the reference). */
+  /** The analyzer rule replaces this relation before scan planning, so
+   * this scan never *executes* for SELECT. It must still *plan*: SQL
+   * `DELETE FROM` keeps the V2 relation and runs scan pushdown on it
+   * before `DeleteFromTableExec` takes over (no rows are ever read).
+   * Executing it (extension not installed) fails with a clear message. */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    throw new UnsupportedOperationException(
-      "qbeast reads go through the V1 relation; is graft.sql.QbeastSparkSessionExtension installed?")
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = schema()
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new UnsupportedOperationException(
+              "qbeast reads go through the V1 relation; is " +
+                "graft.sql.QbeastSparkSessionExtension installed?")
+        }
+    }
 
   /** V1 relation for the analyzer swap; empty tables read as empty. */
   def toV1Relation(spark: SparkSession): HadoopFsRelation = {
@@ -102,9 +114,51 @@ final case class QbeastTableImpl(
 
   override def properties(): util.Map[String, String] = tableProperties.asJava
 
+  /** SQL `DELETE FROM t WHERE ...` (Spark plans it as a metadata-level
+   * `SupportsDelete` call when the condition translates to source
+   * filters) → the copy-on-write [[graft.table.QbeastTable.delete]]. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = true
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = filters.map(QbeastTableImpl.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    graft.table.QbeastTable.forPath(spark, location).deleteWhere(cond)
+  }
+
 }
 
 object QbeastTableImpl {
   /** Internal property carrying the SQL time-travel version. */
   val VersionAsOfProp = "qbeast.internal.versionAsOf"
+
+  /** V1 source filter → Column, for `deleteWhere`. Only filters Spark
+   * itself could translate from the DELETE condition arrive here. */
+  private[catalog] def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case StringStartsWith(a, v) => col(a).startsWith(v)
+      case StringEndsWith(a, v) => col(a).endsWith(v)
+      case StringContains(a, v) => col(a).contains(v)
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(c) => !filterToColumn(c)
+      case _: AlwaysTrue => lit(true)
+      case _: AlwaysFalse => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"DELETE condition not translatable to a qbeast delete: $other")
+    }
+  }
 }

@@ -19,14 +19,19 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
  */
 class QbeastAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
-    case v2 @ DataSourceV2Relation(table: QbeastTableImpl, output, _, _, _, _) =>
-      LogicalRelation(
-        table.toV1Relation(spark),
-        output.map(_.asInstanceOf[AttributeReference]),
-        None,
-        false,
-        None)
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // DELETE FROM must keep the V2 relation: Spark plans it through
+    // `SupportsDelete` on the connector table, not through a scan
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
+    case _ => plan transformUp {
+      case v2 @ DataSourceV2Relation(table: QbeastTableImpl, output, _, _, _, _) =>
+        LogicalRelation(
+          table.toV1Relation(spark),
+          output.map(_.asInstanceOf[AttributeReference]),
+          None,
+          false,
+          None)
+    }
   }
 
 }

@@ -1,12 +1,15 @@
 package graft.table
 
 import graft.core.model._
+import graft.index.RevisionFactory
 import graft.log._
 import graft.write.QbeastWriter
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
 
 /**
  * User-facing table facade (reference: `src/.../table/QbeastTable.scala`
@@ -137,6 +140,165 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           // parquet files are reclaimed by vacuum.
           val live = base.files.map(_.path).toSet
           if (!removes.forall(f => live.contains(f.path))) return
+      }
+    }
+  }
+
+  /**
+   * Copy-on-write row-level DELETE (the Delta-style design; the
+   * reference format is append/overwrite-only): only files that can
+   * contain matching rows are rewritten. Discovery goes through the
+   * index-pruned qbeast read path, so a predicate on indexed columns
+   * touches only the pruned file set — at 100 TB a keyed delete
+   * rewrites a handful of files, not the table. Survivor rows are
+   * re-indexed against the frozen cube weights of their own revision
+   * (the optimize path), so the index shape is preserved. One atomic
+   * commit: adds + removes together.
+   *
+   * @return number of rows deleted
+   */
+  def delete(condition: String): Long = mutate(expr(condition), None)
+
+  /** [[delete]] with a pre-built condition (SQL `DELETE FROM` lands
+   * here via `SupportsDelete.deleteWhere`). */
+  private[graft] def deleteWhere(cond: Column): Long = mutate(cond, None)
+
+  /**
+   * Copy-on-write row-level UPDATE. `assignments` maps column name →
+   * SQL expression; every right-hand side sees the PRE-update row
+   * (standard SQL UPDATE semantics — assignments are simultaneous).
+   * Surviving (unmatched) rows of affected files are rewritten frozen;
+   * the updated rows go through the normal revision logic, because an
+   * assignment to an indexed column can move values outside the frozen
+   * space (then they land in a new, merged-space revision — exactly
+   * what an append of those rows would do).
+   *
+   * @return number of rows updated
+   */
+  def update(condition: String, assignments: Map[String, String]): Long =
+    mutate(expr(condition), Some(assignments))
+
+  private def mutate(cond: Column, assignments: Option[Map[String, String]]): Long = {
+    val s = snapshot
+    if (s.isEmpty || s.files.isEmpty) return 0L
+    // null condition rows are NOT matched (SQL three-valued logic)
+    val matched = coalesce(cond, lit(false))
+
+    // ---- pass 1: affected-file discovery through the index-pruned
+    // read path (file pruning + parquet row-group stats both apply) ----
+    val table = spark.read.format("qbeast").load(tablePath)
+    val affectedNames = table.filter(matched)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    if (affectedNames.isEmpty) return 0L
+    val affected = s.files.filter(f => affectedNames.contains(new Path(f.path).getName))
+
+    val latestRevision = s.lastRevision.filterNot(_.isStaging)
+
+    // ---- pass 2: rewrite survivors of each affected file, grouped by
+    // revision, against that revision's frozen cube weights ----
+    val survivorAdds = affected.groupBy(_.revisionId).toSeq.flatMap { case (rid, files) =>
+      val paths = files.map(f => new Path(tablePath, f.path).toString)
+      val survivors = spark.read.parquet(paths: _*).filter(not(matched))
+      // staging (unindexed) survivors fold into the latest indexed
+      // revision — same move optimizeUnindexed makes
+      val revision =
+        if (rid == Revision.StagingID)
+          latestRevision.getOrElse(throw new UnsupportedOperationException(
+            "DELETE/UPDATE on a staging-only qbeast table: append indexed data " +
+              "or optimize() first so rewritten rows have an index space to land in"))
+        else s.revisions(rid)
+      val status = s.indexStatus(revision.revisionID)
+      val frozen = status.cubeStatuses.map { case (c, st) => c -> st.maxWeight }.toMap
+      QbeastWriter.index(spark, tablePath, survivors, revision, Some(status),
+        files.map(_.elementCount).sum, frozenWeights = Some(frozen))
+    }
+
+    // ---- pass 3 (update only): matched rows, assignments applied,
+    // through the normal revision-aware indexing path ----
+    val (updatedAdds, newRevision) = assignments match {
+      case None => (Nil, None)
+      case Some(asgn) =>
+        val paths = affected.map(f => new Path(tablePath, f.path).toString)
+        val base = spark.read.parquet(paths: _*)
+        asgn.keys.foreach { c =>
+          require(base.columns.contains(c), s"UPDATE of unknown column $c " +
+            s"(table columns: ${base.columns.mkString(", ")})")
+        }
+        val updatedCols = base.columns.map { c =>
+          asgn.get(c) match {
+            case Some(e) => expr(e).cast(base.schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }
+        val updated = base.filter(matched).select(updatedCols.toSeq: _*)
+        val existing = latestRevision.orElse(throw new UnsupportedOperationException(
+          "UPDATE on a staging-only qbeast table: append indexed data first"))
+        val opts = QbeastOptions(Map.empty[String, String],
+          defaultCubeSize = existing.map(_.desiredCubeSize).getOrElse(QbeastOptions.DefaultCubeSize))
+        val (rev, isNew, n) = RevisionFactory.computeRevisionChanges(
+          existing, opts, tablePath, updated)
+        val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
+        val adds = QbeastWriter.index(spark, tablePath, updated, rev, status, n)
+        (adds, if (isNew) Some(rev) else None)
+    }
+
+    commitMutation(s, survivorAdds ++ updatedAdds, newRevision, affected)
+
+    if (assignments.isDefined) updatedAdds.map(_.elementCount).sum
+    else affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
+  }
+
+  /** One atomic commit of a mutation, with the writer's rebase loop:
+   * benign conflicts (unrelated appends) are retried against the new
+   * version; a conflict that touched one of OUR target files aborts —
+   * retrying would resurrect deleted rows or double-apply the update. */
+  private def commitMutation(
+      initial: QbeastSnapshot,
+      adds0: Seq[IndexFile],
+      newRevision0: Option[Revision],
+      removes: Vector[IndexFile]): Unit = {
+    var base = initial
+    var adds = adds0
+    var newRevision = newRevision0
+    var rebases = 0
+    val now = System.currentTimeMillis()
+    var committed = false
+    while (!committed) {
+      val actions = mutable.ArrayBuffer.empty[LogAction]
+      newRevision.foreach { r =>
+        actions += MetaDataAction(
+          base.schema.map(_.json).getOrElse(""),
+          base.configuration +
+            ("qbeast.lastRevisionID" -> math.max(r.revisionID, base.lastRevisionID).toString))
+        actions += RevisionAction(r)
+      }
+      actions ++= adds.map(f => AddFileAction(f, dataChange = true))
+      actions ++= removes.map(f => RemoveFileAction(RemoveFile(f.path, now)))
+      try {
+        QbeastLog.commit(tablePath, conf, base.version, actions.toSeq)
+        committed = true
+      } catch {
+        case e: ConcurrentCommitException =>
+          rebases += 1
+          if (rebases > 5) throw e
+          val rebased = QbeastLog.snapshot(tablePath, conf)
+          val live = rebased.files.map(_.path).toSet
+          if (!removes.forall(f => live.contains(f.path)))
+            throw new java.util.ConcurrentModificationException(
+              "files targeted by DELETE/UPDATE were rewritten concurrently " +
+                "(optimize/overwrite/another DML); re-run the operation")
+          newRevision.foreach { r =>
+            // our freshly cut revision id was claimed: renumber it and
+            // the files written into it (revisions are self-contained)
+            if (rebased.lastRevisionID >= r.revisionID) {
+              val nid = rebased.lastRevisionID + 1
+              adds = adds.map(f =>
+                if (f.revisionId == r.revisionID) f.copy(revisionId = nid) else f)
+              newRevision = Some(r.copy(revisionID = nid))
+            }
+          }
+          base = rebased
       }
     }
   }

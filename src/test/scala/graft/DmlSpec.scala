@@ -1,0 +1,140 @@
+package graft
+
+import graft.log.QbeastLog
+import graft.table.QbeastTable
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Copy-on-write row-level DELETE/UPDATE on indexed tables. */
+class DmlSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def freshLineitem(prefix: String, cubeSize: Int = 1000): String = {
+    val dir = TestSpark.tmpDir(prefix)
+    spark.read.parquet(s"$sf/lineitem.parquet").write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", cubeSize.toString)
+      .save(dir)
+    dir
+  }
+
+  test("delete removes exactly the matching rows and keeps the rest bit-identical") {
+    val dir = freshLineitem("dml-del")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    val expectDeleted = raw.filter("l_quantity > 45").count()
+
+    val t = QbeastTable.forPath(spark, dir)
+    val deleted = t.delete("l_quantity > 45")
+    assert(deleted === expectDeleted)
+
+    val back = spark.read.format("qbeast").load(dir)
+    val expect = raw.filter("NOT (l_quantity > 45)")
+    assert(back.count() === expect.count())
+    assert(back.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(back).count() === 0)
+
+    // second identical delete is a no-op with no extra commit
+    val vBefore = QbeastLog.snapshot(dir, conf).version
+    assert(t.delete("l_quantity > 45") === 0L)
+    assert(QbeastLog.snapshot(dir, conf).version === vBefore)
+  }
+
+  test("delete on an indexed-column predicate rewrites only the pruned file subset") {
+    val dir = freshLineitem("dml-pruned", cubeSize = 500)
+    val s0 = QbeastLog.snapshot(dir, conf)
+    val keyMax = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(max("l_orderkey")).head.getLong(0)
+    // a narrow range on the leading indexed column: pruning must keep
+    // most files out of the rewrite
+    val t = QbeastTable.forPath(spark, dir)
+    val deleted = t.delete(s"l_orderkey <= ${keyMax / 20}")
+    assert(deleted > 0)
+    val s1 = QbeastLog.snapshot(dir, conf)
+    val removed = s0.files.map(_.path).toSet -- s1.files.map(_.path).toSet
+    assert(removed.nonEmpty)
+    assert(removed.size < s0.files.size,
+      s"delete rewrote all ${s0.files.size} files; pruning did not engage")
+    // sampling still behaves after the rewrite (index preserved)
+    val back = spark.read.format("qbeast").load(dir)
+    val n = back.count()
+    val sampled = back.sample(0.2).count()
+    assert(math.abs(sampled - 0.2 * n) <= 0.05 * n)
+  }
+
+  test("update applies simultaneous assignments with pre-update RHS semantics") {
+    val dir = freshLineitem("dml-upd")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    val t = QbeastTable.forPath(spark, dir)
+    // swap-style: both RHS see the OLD row
+    val updated = t.update("l_returnflag = 'R'",
+      Map("l_quantity" -> "l_extendedprice / 100", "l_extendedprice" -> "l_quantity * 100"))
+    assert(updated === raw.filter("l_returnflag = 'R'").count())
+
+    val back = spark.read.format("qbeast").load(dir)
+    val expect = raw.select(raw.columns.map {
+      case "l_quantity" =>
+        when(col("l_returnflag") === "R", col("l_extendedprice") / 100)
+          .otherwise(col("l_quantity")).as("l_quantity")
+      case "l_extendedprice" =>
+        when(col("l_returnflag") === "R", col("l_quantity") * 100)
+          .otherwise(col("l_extendedprice")).as("l_extendedprice")
+      case c => col(c)
+    }.toSeq: _*)
+    assert(back.count() === expect.count())
+    assert(back.select(expect.columns.map(col).toSeq: _*).exceptAll(expect).count() === 0)
+  }
+
+  test("update moving an indexed column outside the space cuts a merged revision") {
+    val dir = freshLineitem("dml-rev")
+    val t = QbeastTable.forPath(spark, dir)
+    val ridBefore = t.latestRevisionID
+    // push l_extendedprice far beyond the indexed linear range
+    val updated = t.update("l_linenumber = 1",
+      Map("l_extendedprice" -> "l_extendedprice + 10000000"))
+    assert(updated > 0)
+    assert(t.latestRevisionID > ridBefore,
+      "out-of-space update must land in a new merged revision")
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.filter("l_extendedprice >= 10000000").count() === updated)
+    // content: full table count unchanged
+    assert(back.count() === spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
+  test("SQL DELETE FROM works through the catalog (SupportsDelete)") {
+    spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    val dir = TestSpark.tmpDir("dml-sql")
+    val table = "qbeast_catalog.default.dml_sql_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("orders_dml_src")
+    spark.sql(s"""CREATE TABLE $table
+      USING qbeast OPTIONS ('columnsToIndex'='o_orderkey,o_totalprice', 'cubeSize'='1000')
+      LOCATION '$dir'
+      AS SELECT * FROM orders_dml_src""")
+    val before = spark.sql(s"SELECT count(*) FROM $table").head.getLong(0)
+    val toGo = spark.sql(
+      s"SELECT count(*) FROM $table WHERE o_orderstatus = 'F' AND o_totalprice < 100000")
+      .head.getLong(0)
+    assert(toGo > 0)
+    spark.sql(s"DELETE FROM $table WHERE o_orderstatus = 'F' AND o_totalprice < 100000")
+    assert(spark.sql(s"SELECT count(*) FROM $table").head.getLong(0) === before - toGo)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $table WHERE o_orderstatus = 'F' AND o_totalprice < 100000")
+      .head.getLong(0) === 0)
+  }
+
+  test("delete everything leaves a readable empty table") {
+    val dir = freshLineitem("dml-all")
+    val t = QbeastTable.forPath(spark, dir)
+    val deleted = t.delete("l_orderkey IS NOT NULL OR l_orderkey IS NULL")
+    assert(deleted > 0)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === 0)
+    assert(QbeastLog.snapshot(dir, conf).files.isEmpty)
+  }
+
+}
