@@ -368,8 +368,9 @@ object QTables {
   }
 
   /** Bump when the log/layout format changes so stale caches from a
-   * previous build round are never replayed by newer code. */
-  val CacheFormatVersion = 2
+   * previous build round are never replayed by newer code.
+   * v3: per-file column stats (data skipping) recorded at write. */
+  val CacheFormatVersion = 3
 
   private def cachePath(sfDir: String, table: String): String = {
     val sfName = new java.io.File(sfDir).getName

@@ -645,11 +645,28 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_added"), sum("l_quantity").as("sum_qty"))
     }),
+    "t24_paragraph_dedup" -> ((s, dir) =>
+      // C4-style global paragraph dedup (fixed 10-token segments):
+      // keep-first by (doc, position), reassemble surviving segments
+      ops.TextOps.paragraphDedup(QTables.raw(s, dir, "documents"), "doc_id", "text")),
+    "t25_decontaminate" -> ((s, dir) =>
+      // flag train docs sharing any 8-gram with the held-out slice
+      ops.TextOps.decontaminate(QTables.raw(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 97 === 0)),
     "t20_chunking" -> ((s, dir) =>
       ops.TextOps.chunkTokens(QTables.raw(s, dir, "documents"), "doc_id", "text")),
     "t21_vocab_coverage" -> ((s, dir) =>
       ops.TextOps.vocabCoverage(QTables.raw(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "n_tokens", "n_in_vocab", "coverage")),
+    "q60_stats_skipping" -> ((s, dir) => {
+      // predicate on a NON-indexed column: the per-file min/max stats
+      // (Delta-style data skipping) are the only file-level pruning
+      // available — the OTree covers l_orderkey/l_extendedprice only
+      QTables.qbeast(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Date.valueOf("1998-06-01")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("sum_price"))
+    }),
     "q58_delete" -> ((s, dir) => {
       // copy-on-write row-level DELETE: only files holding matching rows
       // were rewritten; the read sees the post-delete table
@@ -717,6 +734,13 @@ object SparkEntry {
         .select(col("doc_id"), ops.TextOps.fingerprintUdf(col("text")).as("fp"))
     }),
     // ---- similarity search (embeddings) ----------------------------------
+    "e07_knn_join" -> ((s, dir) => {
+      // batch KNN: one broadcast pass answers the whole query batch
+      val emb = QTables.raw(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").between(1, 5))
+      ops.Similarity.knnJoin(emb, queries, "vec_id", "embedding", 5)
+        .select("query_id", "nbr_id", "rank")
+    }),
     "e01_knn_exact" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val emb = QTables.raw(s, dir, "embeddings")
@@ -1421,6 +1445,28 @@ object SparkEntry {
     "q58_delete" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin,
+    "q60_stats_skipping" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_extendedprice) AS sum_price
+        |FROM lineitem WHERE l_shipdate >= DATE '1998-06-01' GROUP BY 1""".stripMargin,
+    "t24_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, u.i AS seg_idx,
+        |  array_to_string(list_slice(toks, u.i*10 + 1, u.i*10 + 10), ' ') AS seg
+        |  FROM t, LATERAL unnest(range(0, (len(toks) + 9) // 10)) u(i)),
+        |k AS (SELECT doc_id, seg_idx, seg,
+        |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |  FROM s WHERE seg <> '')
+        |SELECT doc_id, count(*) AS n_kept,
+        |  CAST(len(string_agg(seg, ' ' ORDER BY seg_idx)) AS BIGINT) AS clean_chars,
+        |  md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_md5
+        |FROM k WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "t25_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, array_to_string(list_slice(toks, u.i + 1, u.i + 8), ' ') AS ng
+        |  FROM t, LATERAL unnest(range(0, greatest(len(toks) - 7, 0))) u(i)),
+        |e AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.ng) AS n_shared
+        |FROM g JOIN e USING (ng) WHERE g.doc_id % 97 <> 0 GROUP BY 1""".stripMargin,
     "q59_update" ->
       """SELECT o_orderstatus, count(*) AS n, sum(CASE WHEN o_orderstatus = 'F'
         |  THEN o_totalprice + 100000 ELSE o_totalprice END) AS sum_price
@@ -1539,6 +1585,16 @@ object SparkEntry {
          |  vec_id IN (SELECT vec_id FROM ex) AS in_exact10
          |FROM d ORDER BY qdot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) DESC, vec_id
          |LIMIT 10""".stripMargin,
+    "e07_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+         |s AS (SELECT q.query_id, e.vec_id AS nbr_id, ${cosSql("emb", "qe")} AS sim
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) e, q
+         |  WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, nbr_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+         |  FROM s)
+         |SELECT query_id, nbr_id, rank FROM r WHERE rank <= 5""".stripMargin,
     "e01_knn_exact" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim

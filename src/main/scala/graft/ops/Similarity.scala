@@ -198,6 +198,35 @@ object Similarity {
     v.map(x => math.floor(x * scale + 0.5).toLong).toArray
   }
 
+  /**
+   * Batch KNN join: top-k cosine neighbours for EVERY query vector in
+   * one pass — broadcast the (small) query batch, score map-side while
+   * the big side streams through once, then a per-query top-k window.
+   * The window shuffle carries only (query, neighbour, sim) triples.
+   * For query batches too big to broadcast, cut candidates first with
+   * the LSH bucket join ([[nearDupPairs]] shape) and top-k the
+   * candidates instead of all N×Q pairs.
+   */
+  def knnJoin(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = embeddings.select(col(idCol).as("nbr_id"), col(embCol).as("nbr_emb"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val scored = base
+      .join(broadcast(q), col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        Dedup.cosine(col("nbr_emb"), col("q_emb")).as("sim"))
+    val perQuery = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(perQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank", "sim")
+  }
+
   /** All pairs with cosine ≥ threshold, LSH-blocked (equi-join on bucket;
    * near-identical vectors collide with high probability). */
   def nearDupPairs(

@@ -206,6 +206,76 @@ object TextOps {
         md5(col("chunk_text")).as("chunk_md5"))
   }
 
+  // ---- paragraph-level exact dedup (C4-style) ------------------------------
+
+  /**
+   * Global segment-level exact dedup — the C4/RefinedWeb "drop repeated
+   * paragraphs corpus-wide" step, with fixed `segTokens`-token segments
+   * standing in for paragraphs (the fixtures carry no newline
+   * structure). A segment keeps only its first occurrence by
+   * (doc id, position); every doc is then reassembled from its
+   * surviving segments in order. Scale shape: both shuffles (the
+   * keep-first window and the reassembly groupBy) carry SEGMENTS, never
+   * whole documents, and partial aggregation applies on the rebuild.
+   */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(col(textCol)), "\\s+")
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(segTokens))
+    val segs = transform(starts,
+      s => array_join(slice(toks, s + lit(1), lit(segTokens)), " "))
+    val exploded = df
+      .select(col(idCol), posexplode(segs).as(Seq("seg_idx", "seg")))
+      .filter(col("seg") =!= "")
+    val keepFirst = Window.partitionBy("seg").orderBy(col(idCol), col("seg_idx"))
+    exploded
+      .withColumn("rn", row_number().over(keepFirst))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg")),
+          " ").as("clean"))
+      .select(col(idCol), col("n_kept"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        md5(col("clean")).as("clean_md5"))
+  }
+
+  // ---- benchmark decontamination -------------------------------------------
+
+  /**
+   * N-gram decontamination: flag training documents sharing any
+   * `n`-token sliding n-gram with the held-out set selected by
+   * `evalPred` (the standard "remove eval overlap from the training
+   * corpus" step). The eval n-gram set is tiny relative to the corpus,
+   * so it BROADCASTS — the training side streams through map-side, one
+   * aggregation shuffle for the per-doc counts.
+   */
+  def decontaminate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalPred: Column,
+      n: Int = 8): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val ngrams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n), lit(1)),
+        s => array_join(slice(toks, s + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val grams = df.select(col(idCol), explode(ngrams).as("ng"), evalPred.as("is_eval"))
+    val evalGrams = grams.filter(col("is_eval")).select("ng").distinct()
+    grams.filter(not(col("is_eval")))
+      .join(broadcast(evalGrams), "ng")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("ng")).as("n_shared"))
+  }
+
   // ---- vocabulary coverage (cheap LM-style quality signal) -----------------
 
   /**

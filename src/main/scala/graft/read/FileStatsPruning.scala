@@ -1,0 +1,190 @@
+package graft.read
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.util.concurrent.ConcurrentHashMap
+
+/**
+ * File-level data skipping over the per-file column stats written by
+ * [[graft.write.FileStatsCollector]] (Delta-style min/max/nullCount).
+ * Complements the OTree block pruning: the index prunes on INDEXED
+ * columns and sampling weight; this prunes on any other column the
+ * stats cover. Strictly conservative — any expression shape or type it
+ * does not understand keeps the file.
+ */
+object FileStatsPruning {
+
+  final case class Stats(
+      numRecords: Long,
+      mins: Map[String, Any],
+      maxs: Map[String, Any],
+      nulls: Map[String, Long])
+
+  /** Parsed-stats cache keyed by the JSON text (one entry per file;
+   * snapshots reuse the same strings across queries). */
+  private val cache = new ConcurrentHashMap[String, Stats]()
+
+  def mayMatch(statsJson: Option[String], filters: Seq[Expression]): Boolean =
+    statsJson match {
+      case None => true
+      case Some(json) =>
+        parse(json) match {
+          case None => true
+          case Some(stats) => filters.forall(f => eval(stats, f))
+        }
+    }
+
+  def parse(json: String): Option[Stats] = {
+    val hit = cache.get(json)
+    if (hit != null) return Some(hit)
+    try {
+      val j = JsonMethods.parse(json)
+      def section(name: String): Map[String, Any] = j \ name match {
+        case JObject(fields) => fields.collect {
+          case (k, JInt(v)) => k -> BigDecimal(v)
+          case (k, JLong(v)) => k -> BigDecimal(v)
+          case (k, JDouble(v)) => k -> BigDecimal(v)
+          case (k, JDecimal(v)) => k -> v
+          case (k, JString(s)) => k -> s
+          case (k, JBool(b)) => k -> b
+        }.toMap
+        case _ => Map.empty
+      }
+      val numRecords = j \ "numRecords" match {
+        case JInt(v) => v.toLong
+        case JLong(v) => v
+        case _ => return None
+      }
+      val nulls = (j \ "nullCount" match {
+        case JObject(fields) => fields.collect {
+          case (k, JInt(v)) => k -> v.toLong
+          case (k, JLong(v)) => k -> v
+        }.toMap
+        case _ => Map.empty[String, Long]
+      })
+      val s = Stats(numRecords, section("minValues"), section("maxValues"), nulls)
+      cache.put(json, s)
+      Some(s)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  // ---- conservative evaluation: "could any row in this file match?" ----
+
+  private def eval(s: Stats, e: Expression): Boolean = e match {
+    case And(l, r) => eval(s, l) && eval(s, r)
+    case Or(l, r) => eval(s, l) || eval(s, r)
+
+    case EqualTo(a: AttributeReference, Literal(v, _)) => containsValue(s, a.name, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) => containsValue(s, a.name, v)
+
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => maxAbove(s, a.name, v, strict = true)
+    case GreaterThan(Literal(v, _), a: AttributeReference) => minBelow(s, a.name, v, strict = true)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => maxAbove(s, a.name, v, strict = false)
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => minBelow(s, a.name, v, strict = false)
+    case LessThan(a: AttributeReference, Literal(v, _)) => minBelow(s, a.name, v, strict = true)
+    case LessThan(Literal(v, _), a: AttributeReference) => maxAbove(s, a.name, v, strict = true)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => minBelow(s, a.name, v, strict = false)
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => maxAbove(s, a.name, v, strict = false)
+
+    case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists { case Literal(v, _) => containsValue(s, a.name, v) }
+    case InSet(a: AttributeReference, set) =>
+      set.exists(v => containsValue(s, a.name, v))
+
+    case IsNull(a: AttributeReference) =>
+      s.nulls.get(a.name).forall(_ > 0)
+    case IsNotNull(a: AttributeReference) =>
+      s.nulls.get(a.name).forall(_ < s.numRecords)
+
+    case StartsWith(a: AttributeReference, Literal(p: UTF8String, _)) if p != null =>
+      prefixOverlaps(s, a.name, p.toString)
+
+    case _ => true
+  }
+
+  /** Missing min/max is only decisive when the column is tracked and
+   * entirely null (string columns past the length cap drop min/max but
+   * keep nullCount < numRecords, so they stay conservative). */
+  private def allNull(s: Stats, col: String): Boolean =
+    s.nulls.get(col).contains(s.numRecords)
+
+  private def containsValue(s: Stats, col: String, v: Any): Boolean = {
+    if (v == null) return false // EqualTo(col, null) matches nothing
+    if (allNull(s, col)) return false
+    (s.mins.get(col), s.maxs.get(col)) match {
+      case (Some(mn), Some(mx)) =>
+        (cmp(mn, v), cmp(mx, v)) match {
+          case (Some(a), Some(b)) => a <= 0 && b >= 0
+          case _ => true
+        }
+      case _ => true
+    }
+  }
+
+  private def maxAbove(s: Stats, col: String, v: Any, strict: Boolean): Boolean = {
+    if (v == null) return false
+    if (allNull(s, col)) return false
+    s.maxs.get(col) match {
+      case Some(mx) => cmp(mx, v) match {
+        case Some(c) => if (strict) c > 0 else c >= 0
+        case None => true
+      }
+      case None => true
+    }
+  }
+
+  private def minBelow(s: Stats, col: String, v: Any, strict: Boolean): Boolean = {
+    if (v == null) return false
+    if (allNull(s, col)) return false
+    s.mins.get(col) match {
+      case Some(mn) => cmp(mn, v) match {
+        case Some(c) => if (strict) c < 0 else c <= 0
+        case None => true
+      }
+      case None => true
+    }
+  }
+
+  /** Every string with prefix `p` sorts ≥ p, so `max < p` proves no
+   * match. The upper side has no safe bound without Delta-style
+   * truncation markers (non-BMP suffixes can sort above any BMP
+   * sentinel in UTF-8 byte order), so only the lower check prunes. */
+  private def prefixOverlaps(s: Stats, col: String, p: String): Boolean = {
+    if (allNull(s, col)) return false
+    s.maxs.get(col) match {
+      case Some(mx: String) =>
+        UTF8String.fromString(mx).compareTo(UTF8String.fromString(p)) >= 0
+      case _ => true
+    }
+  }
+
+  /** Stats value vs Catalyst literal; None = incomparable (keep file).
+   * Numeric stats are BigDecimal; literals funnel through the same
+   * binary-exact conversions the collector used, so equality on
+   * boundaries is preserved. */
+  private def cmp(stat: Any, lit: Any): Option[Int] = (stat, lit) match {
+    case (a: BigDecimal, b: java.lang.Number) => b match {
+      case v: java.lang.Byte => Some(a.compare(BigDecimal(v.longValue())))
+      case v: java.lang.Short => Some(a.compare(BigDecimal(v.longValue())))
+      case v: java.lang.Integer => Some(a.compare(BigDecimal(v.longValue())))
+      case v: java.lang.Long => Some(a.compare(BigDecimal(v.longValue())))
+      case v: java.lang.Float => Some(a.compare(BigDecimal(v.doubleValue())))
+      case v: java.lang.Double => Some(a.compare(BigDecimal(v.doubleValue())))
+      case _ => None
+    }
+    case (a: BigDecimal, b: org.apache.spark.sql.types.Decimal) =>
+      Some(a.compare(b.toBigDecimal))
+    // UTF8String order is UTF-8 byte order (= code-point order), which
+    // differs from String's UTF-16 order for non-BMP chars — compare in
+    // the same space the collector used
+    case (a: String, b: UTF8String) => Some(UTF8String.fromString(a).compareTo(b))
+    case (a: Boolean, b: java.lang.Boolean) => Some(a.compareTo(b.booleanValue()))
+    case _ => None
+  }
+
+}

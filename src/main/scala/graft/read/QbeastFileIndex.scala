@@ -63,11 +63,13 @@ object QbeastFileIndex {
 
   /** Block-level pruning: a file survives iff any of its blocks may hold
    * a row matching any disjunct. Staging (revision-0) files are always
-   * candidates — they are unindexed, root-only data. */
+   * index-candidates (unindexed, root-only data). A second, independent
+   * layer then applies the per-file column stats (data skipping on
+   * non-indexed columns) to every candidate, staging included. */
   def selectFiles(snapshot: QbeastSnapshot, filters: Seq[Expression]): Vector[IndexFile] = {
     val byRevision = snapshot.files.groupBy(_.revisionId)
     val latestColumns = snapshot.lastRevision.map(_.columnNames)
-    byRevision.iterator.flatMap { case (revisionId, files) =>
+    val indexSelected = byRevision.iterator.flatMap { case (revisionId, files) =>
       snapshot.revisions.get(revisionId).filterNot(_.isStaging) match {
         case None => files // staging or unknown revision: keep everything
         case Some(revision) =>
@@ -83,6 +85,8 @@ object QbeastFileIndex {
           else files.filter(f => f.blocks.exists(b => specs.exists(s => blockMatches(b, s))))
       }
     }.toVector
+    if (filters.isEmpty) indexSelected
+    else indexSelected.filter(f => FileStatsPruning.mayMatch(f.stats, filters))
   }
 
   private def blockMatches(block: Block, spec: QuerySpec): Boolean = {

@@ -1,0 +1,191 @@
+package graft.write
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Per-file column statistics accumulated during the write
+ * (Delta-style data skipping stats: numRecords, minValues, maxValues,
+ * nullCount). Ride in `IndexFile.stats` — the slot the reference
+ * reserved for exactly this (`QbeastFiles.scala:58`) — and feed
+ * file-level pruning for predicates on NON-indexed columns, which the
+ * OTree block metadata cannot see.
+ *
+ * Eligible columns: numeric, boolean, string, date, timestamp — capped
+ * at [[FileStatsCollector.MaxStatsColumns]] (Delta's
+ * dataSkippingNumIndexedCols default). String values longer than
+ * [[FileStatsCollector.MaxStringLen]] invalidate that column's min/max
+ * (a document body would bloat the log for no pruning value);
+ * nullCount stays valid.
+ *
+ * The row loop is allocation-free: numeric extrema live in primitive
+ * arrays (no boxing), string extrema clone only when a row actually
+ * sets a new min/max (UnsafeRow-backed UTF8Strings are reused buffers,
+ * so keeping a reference without cloning would corrupt).
+ */
+final class FileStatsCollector(schema: StructType) {
+
+  import FileStatsCollector._
+
+  // type tags: 0=long-family, 1=double-family, 2=boolean, 3=string
+  private val fieldIdx: Array[Int] = schema.fields.zipWithIndex
+    .collect { case (f, i) if eligible(f.dataType) => i }
+    .take(MaxStatsColumns)
+  private val names: Array[String] = fieldIdx.map(i => schema.fields(i).name)
+  private val tags: Array[Int] = fieldIdx.map(i => tagOf(schema.fields(i).dataType))
+  private val kinds: Array[Int] = fieldIdx.map(i => kindOf(schema.fields(i).dataType))
+
+  private val n = fieldIdx.length
+  private val longMin = Array.fill(n)(Long.MaxValue)
+  private val longMax = Array.fill(n)(Long.MinValue)
+  private val dblMin = Array.fill(n)(Double.PositiveInfinity)
+  private val dblMax = Array.fill(n)(Double.NegativeInfinity)
+  private val strMin = new Array[UTF8String](n)
+  private val strMax = new Array[UTF8String](n)
+  private val nulls = new Array[Long](n)
+  private val seen = new Array[Boolean](n)
+  private val valid = Array.fill(n)(true)
+  private var numRecords = 0L
+
+  def update(row: InternalRow): Unit = {
+    numRecords += 1
+    var j = 0
+    while (j < n) {
+      val i = fieldIdx(j)
+      if (row.isNullAt(i)) nulls(j) += 1
+      else if (valid(j)) {
+        tags(j) match {
+          case 0 =>
+            val v = kinds(j) match {
+              case KByte => row.getByte(i).toLong
+              case KShort => row.getShort(i).toLong
+              case KInt => row.getInt(i).toLong
+              case _ => row.getLong(i)
+            }
+            if (v < longMin(j)) longMin(j) = v
+            if (v > longMax(j)) longMax(j) = v
+          case 1 =>
+            val v = if (kinds(j) == KFloat) row.getFloat(i).toDouble else row.getDouble(i)
+            if (v < dblMin(j)) dblMin(j) = v
+            if (v > dblMax(j)) dblMax(j) = v
+          case 2 =>
+            val v = if (row.getBoolean(i)) 1L else 0L
+            if (v < longMin(j)) longMin(j) = v
+            if (v > longMax(j)) longMax(j) = v
+          case _ =>
+            val s = row.getUTF8String(i)
+            if (s.numChars() > MaxStringLen) valid(j) = false
+            else {
+              if (strMin(j) == null || s.compareTo(strMin(j)) < 0) strMin(j) = s.clone()
+              if (strMax(j) == null || s.compareTo(strMax(j)) > 0) strMax(j) = s.clone()
+            }
+        }
+        seen(j) = true
+      }
+      j += 1
+    }
+  }
+
+  /** Delta-shaped JSON: {"numRecords":N,"minValues":{},"maxValues":{},"nullCount":{}} */
+  def toJson: String = {
+    val sb = new StringBuilder(256)
+    sb.append("{\"numRecords\":").append(numRecords)
+    def section(name: String, isMin: Boolean): Unit = {
+      sb.append(",\"").append(name).append("\":{")
+      var first = true
+      var j = 0
+      while (j < n) {
+        if (valid(j) && seen(j) && !(tags(j) == 3 && (if (isMin) strMin(j) else strMax(j)) == null)) {
+          if (!first) sb.append(',')
+          first = false
+          sb.append('"').append(names(j)).append("\":")
+          tags(j) match {
+            case 0 => sb.append(if (isMin) longMin(j) else longMax(j))
+            case 1 => sb.append((if (isMin) dblMin(j) else dblMax(j)).toString)
+            case 2 => sb.append(if ((if (isMin) longMin(j) else longMax(j)) == 1L) "true" else "false")
+            case _ => appendJsonString(sb, (if (isMin) strMin(j) else strMax(j)).toString)
+          }
+        }
+        j += 1
+      }
+      sb.append('}')
+    }
+    section("minValues", isMin = true)
+    section("maxValues", isMin = false)
+    sb.append(",\"nullCount\":{")
+    var first = true
+    var j = 0
+    while (j < n) {
+      if (!first) sb.append(',')
+      first = false
+      sb.append('"').append(names(j)).append("\":").append(nulls(j))
+      j += 1
+    }
+    sb.append("}}")
+    sb.toString
+  }
+
+}
+
+object FileStatsCollector {
+
+  /** Delta's `dataSkippingNumIndexedCols` default. */
+  val MaxStatsColumns = 32
+
+  /** Longer string values carry no pruning value and bloat the log. */
+  val MaxStringLen = 64
+
+  private val KByte = 0
+  private val KShort = 1
+  private val KInt = 2
+  private val KLong = 3
+  private val KFloat = 4
+  private val KDouble = 5
+
+  def eligible(dt: DataType): Boolean = dt match {
+    // DecimalType is excluded: JSON round-trip through double-precision
+    // parsing could shift a min/max boundary and mis-prune
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+        BooleanType | DateType | TimestampType | TimestampNTZType => true
+    case _: StringType => true
+    case _ => false
+  }
+
+  private def tagOf(dt: DataType): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+        TimestampType | TimestampNTZType => 0
+    case FloatType | DoubleType => 1
+    case BooleanType => 2
+    case _ => 3
+  }
+
+  private def kindOf(dt: DataType): Int = dt match {
+    case ByteType => KByte
+    case ShortType => KShort
+    case IntegerType | DateType => KInt
+    case FloatType => KFloat
+    case DoubleType => KDouble
+    case _ => KLong
+  }
+
+  private def appendJsonString(sb: StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+}

@@ -328,6 +328,11 @@ object QbeastWriter {
     val factory: OutputWriterFactory =
       new ParquetFileFormat().prepareWrite(spark, job, Map.empty, dataSchema)
     val serConf = new SerializableHadoopConf(job.getConfiguration)
+    // Delta-style per-file min/max/nullCount stats for data skipping on
+    // non-indexed columns; ~free next to parquet encoding, but opt-out
+    // for ingest-bound workloads
+    val collectStats =
+      !spark.conf.getOption("spark.qbeast.index.fileStats").contains("false")
 
     val n = dataSchema.length
     val fields = dataSchema.fields
@@ -349,7 +354,8 @@ object QbeastWriter {
         final case class OpenFile(
             writer: org.apache.spark.sql.execution.datasources.OutputWriter,
             path: Path,
-            blocks: mutable.HashMap[CubeId, (Int, Int, Long)])
+            blocks: mutable.HashMap[CubeId, (Int, Int, Long)],
+            stats: FileStatsCollector)
         val open = mutable.HashMap.empty[String, OpenFile]
 
         rows.foreach { row =>
@@ -365,9 +371,11 @@ object QbeastWriter {
               .map(_.taskAttemptId()).getOrElse(0L)
             val path = new Path(tablePath, s"$uuid-a$attempt.parquet")
             OpenFile(factory.newInstance(path.toString, dataSchema, context), path,
-              mutable.HashMap.empty)
+              mutable.HashMap.empty,
+              if (collectStats) new FileStatsCollector(dataSchema) else null)
           })
           of.writer.write(project(row))
+          if (of.stats != null) of.stats.update(row)
           val (mn, mx, cnt) = of.blocks.getOrElse(cube, (Int.MaxValue, Int.MinValue, 0L))
           of.blocks.update(cube, (math.min(mn, weight), math.max(mx, weight), cnt + 1L))
         }
@@ -383,7 +391,8 @@ object QbeastWriter {
             revisionId = revisionId,
             blocks = of.blocks.iterator.map { case (cube, (mn, mx, cnt)) =>
               Block(cube, Weight(mn), Weight(mx), cnt)
-            }.toVector.sortBy(_.cube))
+            }.toVector.sortBy(_.cube),
+            stats = Option(of.stats).map(_.toJson))
         }.toVector.iterator
       }
     }

@@ -162,6 +162,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 1L, 0.5)))
   }
 
+  test("paragraphDedup drops repeated segments globally and is idempotent") {
+    import spark.implicits._
+    // doc 1 and doc 2 share an identical 10-token run; doc 3 is clean
+    val seg = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, seg + " " + (11 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, seg + " " + (11 to 20).map(i => s"b$i").mkString(" ")),
+      (3L, (21 to 40).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (2L, 1L), (3L, 2L)), "doc 2 loses the shared segment")
+
+    // idempotence: dedup of the cleaned corpus drops nothing
+    val cleaned = Seq(
+      (1L, seg + " " + (11 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, (11 to 20).map(i => s"b$i").mkString(" ")),
+      (3L, (21 to 40).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val again = graft.ops.TextOps.paragraphDedup(cleaned, "doc_id", "text")
+    assert(again.agg(sum("n_kept")).head.getLong(0) === 2 + 1 + 2)
+  }
+
+  test("decontaminate flags only train docs overlapping the eval slice") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, shared + " tail0"), // eval doc (id % 2 == 0 pred below picks 0)
+      (1L, shared + " tail1"), // contaminated: shares the 8-gram
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")) // clean
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.decontaminate(docs, "doc_id", "text",
+      col("doc_id") === 0, n = 8).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getLong(1) === 1L)
+  }
+
+  test("knnJoin returns each query's exact top-k, excluding itself") {
+    import spark.implicits._
+    // 1-D-like embeddings on a line: neighbours are obvious
+    val vecs = (0 to 9).map(i => (i.toLong, Array.fill(4)(i.toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    // all vectors are parallel → cosine 1 for every pair; rank ties
+    // break by neighbour id, self excluded
+    val out = graft.ops.Similarity
+      .knnJoin(vecs, vecs.filter(col("vec_id") === 5), "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((5L, 0L), (5L, 1L), (5L, 2L)))
+  }
+
   test("int8 quantization: max-abs element maps to ±127, dot is exact int math") {
     val df = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
