@@ -367,6 +367,31 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders after a MERGE/upsert: an updated slice (same keys, new
+   * totalprice) plus an inserted slice (fresh keys beyond the indexed
+   * space, forcing the merged-revision path) applied in one commit. */
+  def qbeastMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_merged")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        import org.apache.spark.sql.functions._
+        raw(spark, sfDir, "orders").write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_totalprice")
+          .option("cubeSize", "5000")
+          .save(path)
+        val o = raw(spark, sfDir, "orders")
+        val updates = o.filter("o_orderkey % 10 = 3")
+          .withColumn("o_totalprice", col("o_totalprice") + 50000)
+        val inserts = o.filter("o_orderkey % 10 = 7")
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        graft.table.QbeastTable.forPath(spark, path)
+          .upsert(updates.unionByName(inserts), Seq("o_orderkey"))
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** Bump when the log/layout format changes so stale caches from a
    * previous build round are never replayed by newer code.
    * v3: per-file column stats (data skipping) recorded at write. */

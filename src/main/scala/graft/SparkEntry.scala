@@ -665,7 +665,14 @@ object SparkEntry {
       QTables.qbeast(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit(java.sql.Date.valueOf("1998-06-01")))
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("sum_price"))
+        .agg(count(lit(1)).as("n"), dec(col("l_extendedprice")).as("sum_price"))
+    }),
+    "q61_merge" -> ((s, dir) => {
+      // MERGE/upsert: matched keys replaced, new keys inserted, one
+      // atomic commit; inserts land in a merged-space revision
+      QTables.qbeastMerged(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
     "q58_delete" -> ((s, dir) => {
       // copy-on-write row-level DELETE: only files holding matching rows
@@ -679,7 +686,7 @@ object SparkEntry {
       // assignment applied, survivors rewritten frozen, one commit
       QTables.qbeastUpdated(s, dir)
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_price"))
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
     "q56_time_travel" -> ((s, dir) => {
       // VERSION 0 of the appended table = the even-orderkey first write;
@@ -1446,7 +1453,8 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin,
     "q60_stats_skipping" ->
-      """SELECT l_returnflag, count(*) AS n, sum(l_extendedprice) AS sum_price
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_shipdate >= DATE '1998-06-01' GROUP BY 1""".stripMargin,
     "t24_paragraph_dedup" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
@@ -1468,9 +1476,24 @@ object SparkEntry {
         |SELECT g.doc_id, count(DISTINCT g.ng) AS n_shared
         |FROM g JOIN e USING (ng) WHERE g.doc_id % 97 <> 0 GROUP BY 1""".stripMargin,
     "q59_update" ->
-      """SELECT o_orderstatus, count(*) AS n, sum(CASE WHEN o_orderstatus = 'F'
-        |  THEN o_totalprice + 100000 ELSE o_totalprice END) AS sum_price
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'
+        |  THEN o_totalprice + 100000 ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "q61_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 50000 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |merged AS (
+        |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY 1""".stripMargin,
     "q57_corpus_diff" ->
       """SELECT l_returnflag, count(*) AS n_added, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1""".stripMargin,

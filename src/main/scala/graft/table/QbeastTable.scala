@@ -249,6 +249,79 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     else affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
   }
 
+  /**
+   * MERGE / upsert (Delta's `whenMatched updateAll / whenNotMatched
+   * insertAll` form): source rows REPLACE target rows sharing the same
+   * `keys`; source rows with no match are inserted. Copy-on-write like
+   * [[delete]]/[[update]]: only target files holding matched keys are
+   * rewritten (discovered through the index-pruned read path — with the
+   * merge keys indexed, a keyed upsert touches a handful of files);
+   * all source rows go through the normal revision-aware indexing, and
+   * everything lands in ONE atomic commit.
+   *
+   * Multiple source rows with the same key all land (document your
+   * source as deduplicated if you need Delta's one-match semantics).
+   *
+   * @return (target rows replaced, source rows written)
+   */
+  def upsert(source: org.apache.spark.sql.DataFrame, keys: Seq[String]): (Long, Long) = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val s = snapshot
+    require(!s.isEmpty && s.files.nonEmpty,
+      s"upsert into an empty table at $tablePath: use a plain qbeast write")
+    s.schema.foreach { existing =>
+      val have = source.schema.fieldNames.map(_.toLowerCase).toSet
+      val want = existing.fieldNames.map(_.toLowerCase).toSet
+      require(have == want,
+        s"upsert source schema ${source.schema.fieldNames.mkString(",")} does not " +
+          s"match table schema ${existing.fieldNames.mkString(",")}")
+    }
+    val latestRevision = s.lastRevision.filterNot(_.isStaging)
+
+    val srcKeys = source.select(keys.map(col): _*).distinct().persist()
+    try {
+      // ---- pass 1: which target files hold matched keys? ----
+      // (file name projected BELOW the join: input_file_name() is only
+      // defined directly over its single scan)
+      val table = spark.read.format("qbeast").load(tablePath)
+        .select(input_file_name().as("__qbeast_file") +: keys.map(col): _*)
+      val affectedNames = table.join(srcKeys, keys, "left_semi")
+        .select("__qbeast_file").distinct()
+        .collect().map(r => new Path(r.getString(0)).getName).toSet
+      val affected = s.files.filter(f => affectedNames.contains(new Path(f.path).getName))
+
+      // ---- pass 2: rewrite affected files WITHOUT the matched rows ----
+      val survivorAdds = affected.groupBy(_.revisionId).toSeq.flatMap { case (rid, files) =>
+        val paths = files.map(f => new Path(tablePath, f.path).toString)
+        val survivors = spark.read.parquet(paths: _*).join(srcKeys, keys, "left_anti")
+        val revision =
+          if (rid == Revision.StagingID)
+            latestRevision.getOrElse(throw new UnsupportedOperationException(
+              "upsert into a staging-only qbeast table: optimize() first"))
+          else s.revisions(rid)
+        val status = s.indexStatus(revision.revisionID)
+        val frozen = status.cubeStatuses.map { case (c, st) => c -> st.maxWeight }.toMap
+        QbeastWriter.index(spark, tablePath, survivors, revision, Some(status),
+          files.map(_.elementCount).sum, frozenWeights = Some(frozen))
+      }
+
+      // ---- pass 3: ALL source rows through the revision-aware path ----
+      val existing = latestRevision.orElse(throw new UnsupportedOperationException(
+        "upsert into a staging-only qbeast table: optimize() first"))
+      val opts = QbeastOptions(Map.empty[String, String],
+        defaultCubeSize = existing.map(_.desiredCubeSize).getOrElse(QbeastOptions.DefaultCubeSize))
+      val (rev, isNew, nSrc) = RevisionFactory.computeRevisionChanges(
+        existing, opts, tablePath, source)
+      val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
+      val srcAdds = QbeastWriter.index(spark, tablePath, source, rev, status, nSrc)
+
+      commitMutation(s, survivorAdds ++ srcAdds, if (isNew) Some(rev) else None, affected)
+
+      val replaced = affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
+      (replaced, nSrc)
+    } finally srcKeys.unpersist()
+  }
+
   /** One atomic commit of a mutation, with the writer's rebase loop:
    * benign conflicts (unrelated appends) are retried against the new
    * version; a conflict that touched one of OUR target files aborts —

@@ -127,6 +127,53 @@ class DmlSpec extends AnyFunSuite {
       .head.getLong(0) === 0)
   }
 
+  test("upsert replaces matched keys, inserts new keys, one atomic commit") {
+    val dir = TestSpark.tmpDir("dml-upsert")
+    val raw = spark.read.parquet(s"$sf/orders.parquet")
+    raw.write.format("qbeast")
+      .option("columnsToIndex", "o_orderkey,o_totalprice")
+      .option("cubeSize", "1000").save(dir)
+    val vBefore = QbeastLog.snapshot(dir, conf).version
+
+    val updates = raw.filter("o_orderkey % 7 = 0")
+      .withColumn("o_totalprice", lit(-1.0))
+    val maxKey = raw.agg(max("o_orderkey")).head.getLong(0)
+    val inserts = raw.limit(3).withColumn("o_orderkey", col("o_orderkey") + maxKey + 1000)
+    val src = updates.unionByName(inserts)
+
+    val t = QbeastTable.forPath(spark, dir)
+    val (replaced, written) = t.upsert(src, Seq("o_orderkey"))
+    assert(replaced === raw.filter("o_orderkey % 7 = 0").count())
+    assert(written === src.count())
+    // exactly one new log version (atomicity)
+    assert(QbeastLog.snapshot(dir, conf).version === vBefore + 1)
+
+    val back = spark.read.format("qbeast").load(dir)
+    val expect = raw.join(src.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(src)
+    assert(back.count() === expect.count())
+    assert(back.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(back).count() === 0)
+  }
+
+  test("upsert on indexed keys rewrites only the pruned file subset") {
+    val dir = freshLineitem("dml-upsert-pruned", cubeSize = 500)
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    val s0 = QbeastLog.snapshot(dir, conf)
+    assert(s0.files.size > 2)
+    // a tight key range: only files covering it should be rewritten
+    val keyMax = raw.agg(max("l_orderkey")).head.getLong(0)
+    val src = raw.filter(s"l_orderkey <= ${keyMax / 50}")
+      .withColumn("l_quantity", col("l_quantity") * 2)
+    val t = QbeastTable.forPath(spark, dir)
+    val (replaced, _) = t.upsert(src, Seq("l_orderkey"))
+    assert(replaced > 0)
+    val s1 = QbeastLog.snapshot(dir, conf)
+    val removed = s0.files.map(_.path).toSet -- s1.files.map(_.path).toSet
+    assert(removed.nonEmpty && removed.size < s0.files.size,
+      s"upsert rewrote ${removed.size} of ${s0.files.size} files; pruning did not engage")
+  }
+
   test("delete everything leaves a readable empty table") {
     val dir = freshLineitem("dml-all")
     val t = QbeastTable.forPath(spark, dir)
