@@ -410,6 +410,16 @@ object SparkEntry {
     }),
     "s10_stream_dedup_bounded" -> ((s, dir) =>
       ops.Streaming.streamingDedupBounded(s, s"$dir/events.parquet")),
+    "s13_cdc_apply" -> ((s, dir) => {
+      // streaming MERGE: two change waves applied via foreachBatch +
+      // upsert; final state = latest click per user (bumped) over the
+      // latest event per user
+      QTables.ensureExtensions(s)
+      ops.Streaming.cdcApply(s, s"$dir/events.parquet",
+          QTables.cachePathFor(dir, "events_cdc"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dec(col("value")).as("sv"))
+    }),
     "s11_foreach_batch_ingest" -> ((s, dir) => {
       QTables.ensureExtensions(s)
       ops.Streaming.foreachBatchIngest(s, s"$dir/events.parquet",
@@ -1222,6 +1232,19 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1""".stripMargin,
+    "s13_cdc_apply" ->
+      """WITH base AS (SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT user_id, event_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |wave AS (SELECT user_id, event_id, event_type, value + 1000 AS value FROM (
+        |    SELECT user_id, event_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |fin AS (SELECT * FROM wave UNION ALL
+        |        SELECT * FROM base WHERE user_id NOT IN (SELECT user_id FROM wave))
+        |SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |FROM fin GROUP BY 1""".stripMargin,
     "s09_stream_stream_join" ->
       """SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id
         |FROM events e JOIN events c

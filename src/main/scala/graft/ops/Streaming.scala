@@ -206,6 +206,67 @@ object Streaming {
     spark.read.format("qbeast").load(tableDir)
   }
 
+  /**
+   * Streaming CDC apply (streaming MERGE): each change wave streams in
+   * via foreachBatch; the batch reduces to the LATEST change per key
+   * (max ts, tie-break event_id) and merges into the indexed serving
+   * table with `QbeastTable.upsert` — the standard "apply a change
+   * stream to a serving table" shape. Wave 0 seeds the table; wave 1
+   * applies an update slice (clicks, value bumped) through the same
+   * apply function. At scale each wave's upsert rewrites only the files
+   * its keys land in (index-pruned discovery), so steady-state CDC cost
+   * tracks the change volume, not the table size.
+   */
+  def cdcApply(spark: SparkSession, eventsPath: String, tableDir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!graft.log.QbeastLog.exists(tableDir, conf)) {
+      val cols = Seq("user_id", "event_id", "event_type", "value", "ts")
+
+      def applyWave(stream: DataFrame): Unit = {
+        val ckpt = fastCheckpointDir()
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            import org.apache.spark.sql.expressions.Window
+            val latestPerKey = Window.partitionBy("user_id")
+              .orderBy(col("ts").desc, col("event_id").desc)
+            val latest = batch
+              .withColumn("rn", row_number().over(latestPerKey))
+              .filter(col("rn") === 1).drop("rn")
+            if (!graft.log.QbeastLog.exists(tableDir, conf)) {
+              latest.write.format("qbeast")
+                .option("columnsToIndex", "user_id,event_id")
+                .option("cubeSize", "1000")
+                .save(tableDir)
+            } else {
+              graft.table.QbeastTable.forPath(spark, tableDir)
+                .upsert(latest, Seq("user_id"))
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+
+      // wave 0: the full event stream seeds latest-per-user
+      applyWave(eventsStream(spark, eventsPath).select(cols.map(col): _*))
+
+      // wave 1: the click slice with bumped values, staged as its own
+      // change stream
+      val staged = stageDir(eventsPath)
+      val waveDir = java.nio.file.Files.createTempDirectory("graft-cdc-wave").toString
+      val clicks = spark.read.parquet(staged)
+        .filter(col("event_type") === "click")
+        .withColumn("value", col("value") + 1000)
+        .select(cols.map(col): _*)
+      clicks.coalesce(1).write.mode("overwrite").parquet(waveDir)
+      val schema = spark.read.parquet(waveDir).schema
+      applyWave(spark.readStream.schema(schema).parquet(waveDir))
+    }
+    spark.read.format("qbeast").load(tableDir)
+  }
+
   /** Stream-static enrichment join: each micro-batch broadcast-joins a
    * static dimension table (no state, no watermark — the static side is
    * re-planned per batch). The canonical "enrich events with reference
