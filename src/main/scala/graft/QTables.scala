@@ -392,6 +392,29 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** lineitem written, appended, then RESTORED to version 0 — the
+   * time-travel write-back. Content equals the first write (even
+   * orderkeys); the restore is itself a log version, so history keeps
+   * both states. */
+  def qbeastRestored(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "lineitem_restored")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val li = raw(spark, sfDir, "lineitem")
+        val (cols, cubeSize) = indexSpecs("lineitem")
+        li.filter("l_orderkey % 2 = 0").write.format("qbeast")
+          .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
+          .save(path)
+        li.filter("l_orderkey % 2 = 1").write.format("qbeast")
+          .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
+          .mode("append").save(path)
+        graft.table.QbeastTable.forPath(spark, path).restoreToVersion(0)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** Bump when the log/layout format changes so stale caches from a
    * previous build round are never replayed by newer code.
    * v3: per-file column stats (data skipping) recorded at write. */

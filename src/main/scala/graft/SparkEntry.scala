@@ -677,6 +677,13 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), dec(col("l_extendedprice")).as("sum_price"))
     }),
+    "q62_restore" -> ((s, dir) => {
+      // RESTORE: metadata-only rollback to version 0 committed as a new
+      // version — reads now see the pre-append state again
+      QTables.qbeastRestored(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
     "q61_merge" -> ((s, dir) => {
       // MERGE/upsert: matched keys replaced, new keys inserted, one
       // atomic commit; inserts land in a merged-space revision
@@ -1520,6 +1527,9 @@ object SparkEntry {
     "q57_corpus_diff" ->
       """SELECT l_returnflag, count(*) AS n_added, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1""".stripMargin,
+    "q62_restore" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1""".stripMargin,
     "t20_chunking" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |c AS (SELECT doc_id, u.i AS chunk_idx,

@@ -376,6 +376,98 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /**
+   * Restore the table to its state at log `version` as a NEW commit
+   * (time-travel write-back, the Delta RESTORE shape): files added
+   * since then are removed, files removed since then are re-added, and
+   * schema/configuration revert to the target version. Metadata-only —
+   * no data is rewritten — so it requires the resurrected files to
+   * still exist on disk (i.e. not vacuumed past the retention window).
+   * History is preserved: the restore itself is one more log version,
+   * so it can in turn be time-traveled or restored away.
+   */
+  def restoreToVersion(version: Long): Unit = {
+    val current = snapshot
+    require(version >= 0 && version <= current.version,
+      s"cannot restore to version $version: table is at ${current.version}")
+    if (version == current.version) return
+    val target = QbeastLog.snapshot(tablePath, conf, asOfVersion = version)
+    val currentPaths = current.files.map(_.path).toSet
+    val targetPaths = target.files.map(_.path).toSet
+    val resurrect = target.files.filterNot(f => currentPaths.contains(f.path))
+    val fs = new Path(tablePath).getFileSystem(conf)
+    resurrect.foreach { f =>
+      require(fs.exists(new Path(tablePath, f.path)),
+        s"cannot restore to version $version: data file ${f.path} was vacuumed")
+    }
+    val drop = current.files.filterNot(f => targetPaths.contains(f.path))
+    val now = System.currentTimeMillis()
+    val actions: Seq[LogAction] =
+      target.schema.map(sc => MetaDataAction(sc.json, target.configuration)).toSeq ++
+        resurrect.map(f => AddFileAction(f, dataChange = true)) ++
+        drop.map(f => RemoveFileAction(RemoveFile(f.path, now)))
+    var base = current
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      try {
+        QbeastLog.commit(tablePath, conf, base.version, actions)
+        committed = true
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > 3) throw e
+          // a concurrent writer moved the table: restoring on top of a
+          // state we did not diff against would silently drop its
+          // commit — recompute the diff is the safe move, but the
+          // simple, correct behavior is to fail and let the caller
+          // re-run against the new head
+          throw new java.util.ConcurrentModificationException(
+            "table changed while restoring; re-run restoreToVersion against the new head")
+      }
+    }
+  }
+
+  /** The committed log versions (oldest first) with their timestamps
+   * and a coarse operation summary — the DESCRIBE HISTORY surface. */
+  def history(): Seq[HistoryEntry] = {
+    val dir = QbeastLog.logDir(tablePath)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".json") && !n.endsWith(".checkpoint.json") &&
+          n.stripSuffix(".json").forall(_.isDigit)
+      }
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val version = st.getPath.getName.stripSuffix(".json").toLong
+        var adds = 0
+        var removes = 0
+        var newRevision = false
+        val in = fs.open(st.getPath)
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            // each line is one action object with a single top-level key
+            if (line.startsWith("{\"add\":")) adds += 1
+            else if (line.startsWith("{\"remove\":")) removes += 1
+            else if (line.startsWith("{\"revision\":")) newRevision = true
+            line = reader.readLine()
+          }
+        } finally reader.close()
+        val op =
+          if (adds > 0 && removes > 0) "REWRITE"
+          else if (removes > 0) "DELETE"
+          else if (adds > 0) "WRITE"
+          else "METADATA"
+        HistoryEntry(version, st.getModificationTime, op, adds, removes, newRevision)
+      }
+  }
+
   /** Per-depth tree statistics (reference: IndexMetrics SizeStats per
    * level): cube/block/element counts, cube-size spread and the mean
    * max-weight fraction, which shows how the sampling thresholds
@@ -478,6 +570,15 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   }
 
 }
+
+/** One committed log version (DESCRIBE HISTORY row). */
+final case class HistoryEntry(
+    version: Long,
+    timestampMillis: Long,
+    operation: String,
+    addedFiles: Int,
+    removedFiles: Int,
+    newRevision: Boolean)
 
 final case class DepthStats(
     depth: Int,

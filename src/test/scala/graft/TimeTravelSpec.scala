@@ -26,4 +26,31 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("99"))
   }
 
+  test("restoreToVersion rolls data, schema and config back as a new commit") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("restore")
+    (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a,b").save(dir) // v0
+    (101 to 150).map(i => (i.toLong, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").mode("append").save(dir) // v1
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    t.restoreToVersion(0) // v2 = state of v0
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === 100)
+    assert(back.agg(org.apache.spark.sql.functions.max("a")).head.getLong(0) === 100L)
+    // the restore is itself history: v1's state is still reachable
+    assert(spark.read.format("qbeast").option("versionAsOf", 1).load(dir).count() === 150)
+    // and restorable again (roll forward)
+    t.restoreToVersion(1)
+    assert(spark.read.format("qbeast").load(dir).count() === 150)
+
+    val h = t.history()
+    assert(h.map(_.version) === Seq(0L, 1L, 2L, 3L))
+    assert(h(0).operation === "WRITE" && h(0).newRevision)
+    assert(h(2).operation === "REWRITE" && h(2).removedFiles > 0)
+
+    val err = intercept[IllegalArgumentException](t.restoreToVersion(99))
+    assert(err.getMessage.contains("99"))
+  }
+
 }
