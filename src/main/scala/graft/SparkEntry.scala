@@ -629,19 +629,11 @@ object SparkEntry {
           sum("n_chars").as("sum_chars"))
     }),
     "t22_winnow_pairs" -> ((s, dir) => {
-      // substring-dup candidates: equi-join on selected fingerprints
-      // (winnow sets are per-doc distinct, so count == shared distinct
-      // fps). Hot fingerprints behave like LSH hot buckets — bounded by
-      // the same band/bucket discipline at scale.
-      val fps = QTables.raw(s, dir, "documents")
-        .select(col("doc_id"), explode(ops.Dedup.winnowUdf()(col("text"))).as("fp"))
-      val a = fps.alias("a")
-      val b = fps.alias("b")
-      a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("shared_fp"))
-        .filter(col("shared_fp") >= 3)
+      // substring-dup candidates: df-capped equi-join on selected
+      // fingerprints (corpus-hot fps are dropped before the self-join —
+      // the discipline that keeps it from going quadratic at scale)
+      ops.Dedup.winnowPairs(QTables.raw(s, dir, "documents"),
+        "doc_id", "text", minShared = 3, maxDocFreq = 50)
     }),
     "q57_corpus_diff" -> ((s, dir) => {
       // snapshot diff via time travel: rows present now but not in
@@ -891,8 +883,7 @@ object SparkEntry {
        |mins AS (SELECT doc_id, j, min((${sqlArr(mhA)}[j] * h + ${sqlArr(mhB)}[j]) % 2147483647) AS mn
        |  FROM shr, range(1, 65) r(j) GROUP BY 1, 2),
        |sg0 AS (SELECT doc_id, list(mn ORDER BY j) AS sig FROM mins GROUP BY 1),
-       |sg AS (SELECT t.doc_id, coalesce(sg0.sig, list_transform(range(1,65), j -> 2147483647::BIGINT)) AS sig
-       |  FROM tk t LEFT JOIN sg0 ON t.doc_id = sg0.doc_id),
+       |sg AS (SELECT doc_id, sig FROM sg0),
        |bd AS (SELECT doc_id, sig, b,
        |  sig[b*4+1]::VARCHAR || '_' || sig[b*4+2]::VARCHAR || '_' || sig[b*4+3]::VARCHAR || '_' || sig[b*4+4]::VARCHAR AS key
        |  FROM sg, range(0, 16) t(b)),
@@ -1323,10 +1314,13 @@ object SparkEntry {
     "t22_winnow_pairs" ->
       // substring-level dedup candidates: docs sharing >= 3 winnowing
       // fingerprints (guaranteed to include any pair sharing a run of
-      // >= w+k-1 tokens at matching window positions)
-      s"""WITH $winnowCteBody
+      // >= w+k-1 tokens at matching window positions), with the same
+      // document-frequency cap (df <= 50) the Spark side applies
+      s"""WITH $winnowCteBody,
+         |kept AS (SELECT s.doc_id, s.wmin FROM sel s JOIN
+         |  (SELECT wmin FROM sel GROUP BY 1 HAVING count(*) <= 50) f ON s.wmin = f.wmin)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
-         |FROM sel a JOIN sel b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+         |FROM kept a JOIN kept b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "t12_quality_filter" ->
       s"""WITH $qualityCteBody
@@ -1470,7 +1464,9 @@ object SparkEntry {
         |  FROM th, range(0, 60) b(b) GROUP BY 1, 2),
         |sg AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sh
         |  FROM bits GROUP BY 1),
-        |ck AS (SELECT doc_id, sh, c, (sh >> (15 * c)::INTEGER) & 32767 AS key FROM sg, range(0, 4) t(c)),
+        |ck AS (SELECT doc_id, sh, c,
+        |  (sh >> ((c * 60) // 17)::INTEGER) & ((1::BIGINT << (((c + 1) * 60) // 17 - (c * 60) // 17)) - 1) AS key
+        |  FROM sg, range(0, 17) t(c)),
         |cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |  bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
         |  FROM ck a JOIN ck b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)

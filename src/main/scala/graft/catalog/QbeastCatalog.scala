@@ -476,7 +476,8 @@ object QbeastCatalog {
       val schemaJson = snapshot.schema.map(_.json).getOrElse(return)
       try {
         graft.log.QbeastLog.commit(location, conf, snapshot.version,
-          Seq(graft.log.MetaDataAction(schemaJson, config)))
+          Seq(graft.log.MetaDataAction(schemaJson, config)),
+          operation = "SET TBLPROPERTIES")
         committed = true
       } catch {
         case e: graft.log.ConcurrentCommitException =>

@@ -104,7 +104,8 @@ final class QbeastStagedTable(
                 snapshot.configuration ++ stagedOptionConfig) +:
                 snapshot.files.map(f => RemoveFileAction(RemoveFile(f.path, now)))
             try {
-              QbeastLog.commit(location, conf, snapshot.version, actions)
+              QbeastLog.commit(location, conf, snapshot.version, actions,
+                operation = "REPLACE")
               committed = true
             } catch {
               case e: ConcurrentCommitException =>

@@ -163,6 +163,7 @@ object QbeastLog {
             case AddFileAction(f, _) => files.update(f.path, f)
             case RemoveFileAction(r) => files.remove(r.path)
             case TxnAction(appId, version) => txns.update(appId, version)
+            case CommitInfoAction(_, _) => // history-only metadata
           }
           line = reader.readLine()
         }
@@ -221,19 +222,26 @@ object QbeastLog {
   }
 
   /** Atomically commit `actions` as version `expectedVersion + 1`.
-   * Returns the committed version, or throws
-   * [[ConcurrentCommitException]] if another writer won the version. */
+   * `operation` (when non-empty) is recorded as a leading
+   * [[CommitInfoAction]] so DESCRIBE HISTORY reports intent instead of
+   * inferring it from add/remove counts. Returns the committed version,
+   * or throws [[ConcurrentCommitException]] if another writer won the
+   * version. */
   def commit(
       tablePath: String,
       conf: Configuration,
       expectedVersion: Long,
-      actions: Seq[LogAction]): Long = {
+      actions: Seq[LogAction],
+      operation: String = ""): Long = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val next = expectedVersion + 1
     val target = versionFile(tablePath, next)
-    val payload = actions.map(QbeastLogSerde.actionToJsonLine).mkString("", "\n", "\n")
+    val allActions =
+      if (operation.isEmpty) actions
+      else CommitInfoAction(operation, System.currentTimeMillis()) +: actions
+    val payload = allActions.map(QbeastLogSerde.actionToJsonLine).mkString("", "\n", "\n")
     writeAtomic(fs, dir, target, payload,
       s"log version $next already written by a concurrent writer")
     next

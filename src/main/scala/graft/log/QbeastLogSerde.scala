@@ -19,6 +19,12 @@ final case class AddFileAction(file: IndexFile, dataChange: Boolean) extends Log
 final case class RemoveFileAction(remove: RemoveFile) extends LogAction
 final case class TxnAction(appId: String, version: Long) extends LogAction
 
+/** Operation marker for DESCRIBE HISTORY (the Delta `commitInfo` shape):
+ * records WHAT produced a commit (WRITE/OVERWRITE/DELETE/UPDATE/MERGE/
+ * OPTIMIZE/RESTORE/...) so `history()` reports intent, not a guess from
+ * add/remove counts. Pure metadata — snapshot replay ignores it. */
+final case class CommitInfoAction(operation: String, timestamp: Long) extends LogAction
+
 object QbeastLogSerde {
 
   implicit private val formats: Formats = DefaultFormats
@@ -137,6 +143,8 @@ object QbeastLogSerde {
           (("path" -> r.path) ~ ("deletionTimestamp" -> r.deletionTimestamp)))
       case TxnAction(appId, version) =>
         JObject("txn" -> (("appId" -> appId) ~ ("version" -> version)))
+      case CommitInfoAction(op, ts) =>
+        JObject("commitInfo" -> (("operation" -> op) ~ ("timestamp" -> ts)))
     }
     JsonMethods.compact(JsonMethods.render(j))
   }
@@ -183,6 +191,9 @@ object QbeastLogSerde {
     val txn = root.get("txn")
     if (txn != null)
       return TxnAction(txn.get("appId").asText(), txn.get("version").asLong())
+    val ci = root.get("commitInfo")
+    if (ci != null)
+      return CommitInfoAction(ci.get("operation").asText(), ci.get("timestamp").asLong())
     val md = root.get("metaData")
     if (md != null) {
       val conf = Map.newBuilder[String, String]

@@ -62,7 +62,7 @@ object Dedup {
         }
       }
       sig
-    }
+    }.withName("minhash_sig")
   }
 
   /** LSH band keys: signature split into `bands` groups of
@@ -85,6 +85,18 @@ object Dedup {
    * 64-value signatures out of the exploded rows matters at scale: the
    * band shuffle would otherwise duplicate every signature `bands`
    * times; re-joining ships each signature once per side instead.
+   *
+   * Degenerate-bucket guard: docs with fewer than
+   * [[DefaultShingleTokens]] tokens have an EMPTY shingle set — under a
+   * 3-token-shingle model they cannot be near-duplicates of anything,
+   * and keeping them would give every one the identical all-sentinel
+   * signature, i.e. ONE quadratic LSH bucket at corpus scale. They are
+   * excluded before banding (route them to [[exactDedup]] instead).
+   *
+   * The signature frame is localCheckpoint'ed: it feeds the band
+   * explode AND both pair-side re-joins, so without materialization the
+   * O(tokens × numHashes) signature UDF would run three times over the
+   * corpus.
    */
   def minHashCandidatePairs(
       df: DataFrame,
@@ -95,7 +107,10 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     val sig = minHashUdf(numHashes)
     val bkeys = bandKeysUdf(numHashes, bands)
-    val sigs = df.select(col(idCol).as("id"), sig(col(textCol)).as("sig"))
+    val sigs = df
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= DefaultShingleTokens)
+      .select(col(idCol).as("id"), sig(col(textCol)).as("sig"))
+      .localCheckpoint(true)
     val bandRows = sigs.select(col("id"),
       posexplode(bkeys(col("sig"))).as(Seq("band", "bucket")))
     val a = bandRows.alias("a")
@@ -142,24 +157,36 @@ object Dedup {
       }
       res
     }
-  }
+  }.withName("simhash60")
 
-  /** Near-dup pairs by SimHash Hamming distance ≤ maxDistance, blocked by
-   * 15-bit chunks (pigeonhole: any pair within distance 3 shares at least
-   * one of 4 chunks) so the join is an equi-join, not a cross product.
-   * Empty/whitespace-only docs are excluded (no tokens → no signal). */
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDistance, blocked
+   * into `maxDistance + 1` disjoint bit-chunks (pigeonhole: ≤ d
+   * differing bits leave at least one of d+1 chunks identical, so the
+   * equi-join on (chunk, chunkBits) finds EVERY pair within the radius
+   * — the recall contract holds for any requested distance). The
+   * default d=3 gives 4×15-bit chunks. Note the inherent selectivity
+   * trade-off: larger radii mean narrower chunks (d=16 → 17 chunks of
+   * 3-4 bits), so buckets get hotter; beyond d≈8 prefer a tighter
+   * radius plus a verify pass. Empty/whitespace-only docs are excluded
+   * (no tokens → no signal). */
   def simHashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 60,
+      s"maxDistance=$maxDistance outside the 60-bit SimHash range")
+    val nChunks = maxDistance + 1
     val hashes = df
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"), simHashUdf(col(textCol)).as("sh"))
+    val chunkCols = (0 until nChunks).map { i =>
+      val lo = i * 60 / nChunks
+      val width = (i + 1) * 60 / nChunks - lo
+      shiftrightunsigned(col("sh"), lo).bitwiseAND(lit((1L << width) - 1))
+    }
     val chunks = hashes.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sh"), i * 15).bitwiseAND(lit(0x7fffL))): _*))
-        .as(Seq("chunk", "ckey")))
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
     val a = chunks.alias("a")
     val b = chunks.alias("b")
     val hamming = bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
@@ -204,6 +231,40 @@ object Dedup {
         out.toArray
       }
     }
+  }
+
+  /**
+   * Substring-duplication candidate pairs: docs sharing ≥ `minShared`
+   * winnowing fingerprints. The self-join is guarded by a
+   * document-frequency cap — a fingerprint appearing in more than
+   * `maxDocFreq` documents (license headers, boilerplate) is dropped
+   * BEFORE the join, the same discipline LSH applies to hot buckets;
+   * without it one corpus-frequent fingerprint makes the equi-join
+   * quadratic. Standard winnowing practice (index-time df cut): a
+   * fingerprint shared by half the corpus carries no dedup signal.
+   */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 3,
+      maxDocFreq: Int = 1000,
+      k: Int = DefaultShingleTokens,
+      w: Int = 4): DataFrame = {
+    // winnow sets are per-doc distinct, so count(*) per fp IS the df
+    val fps = df.select(col(idCol).as("doc_id"),
+      explode(winnowUdf(k, w)(col(textCol))).as("fp"))
+    val rare = fps.groupBy("fp").count()
+      .filter(col("count") <= maxDocFreq)
+      .select("fp")
+    val kept = fps.join(rare, Seq("fp"), "left_semi")
+    val a = kept.alias("a")
+    val b = kept.alias("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
   }
 
   // ---- exact n-gram jaccard ----------------------------------------------

@@ -124,7 +124,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     var base = s
     while (attempt >= 0) {
       try {
-        QbeastLog.commit(tablePath, conf, base.version, actions)
+        QbeastLog.commit(tablePath, conf, base.version, actions, operation = "OPTIMIZE")
         attempt = -1
       } catch {
         case e: ConcurrentCommitException =>
@@ -243,7 +243,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         (adds, if (isNew) Some(rev) else None)
     }
 
-    commitMutation(s, survivorAdds ++ updatedAdds, newRevision, affected)
+    commitMutation(s, survivorAdds ++ updatedAdds, newRevision, affected,
+      operation = if (assignments.isDefined) "UPDATE" else "DELETE")
 
     if (assignments.isDefined) updatedAdds.map(_.elementCount).sum
     else affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
@@ -315,7 +316,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
       val srcAdds = QbeastWriter.index(spark, tablePath, source, rev, status, nSrc)
 
-      commitMutation(s, survivorAdds ++ srcAdds, if (isNew) Some(rev) else None, affected)
+      commitMutation(s, survivorAdds ++ srcAdds, if (isNew) Some(rev) else None, affected,
+        operation = "MERGE")
 
       val replaced = affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
       (replaced, nSrc)
@@ -330,7 +332,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       initial: QbeastSnapshot,
       adds0: Seq[IndexFile],
       newRevision0: Option[Revision],
-      removes: Vector[IndexFile]): Unit = {
+      removes: Vector[IndexFile],
+      operation: String): Unit = {
     var base = initial
     var adds = adds0
     var newRevision = newRevision0
@@ -349,7 +352,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       actions ++= adds.map(f => AddFileAction(f, dataChange = true))
       actions ++= removes.map(f => RemoveFileAction(RemoveFile(f.path, now)))
       try {
-        QbeastLog.commit(tablePath, conf, base.version, actions.toSeq)
+        QbeastLog.commit(tablePath, conf, base.version, actions.toSeq, operation)
         committed = true
       } catch {
         case e: ConcurrentCommitException =>
@@ -411,7 +414,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     var committed = false
     while (!committed) {
       try {
-        QbeastLog.commit(tablePath, conf, base.version, actions)
+        QbeastLog.commit(tablePath, conf, base.version, actions, operation = "RESTORE")
         committed = true
       } catch {
         case e: ConcurrentCommitException =>
@@ -446,6 +449,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         var adds = 0
         var removes = 0
         var newRevision = false
+        var recordedOp: Option[String] = None
         val in = fs.open(st.getPath)
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
@@ -456,14 +460,22 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
             if (line.startsWith("{\"add\":")) adds += 1
             else if (line.startsWith("{\"remove\":")) removes += 1
             else if (line.startsWith("{\"revision\":")) newRevision = true
+            else if (line.startsWith("{\"commitInfo\":"))
+              QbeastLogSerde.parseLine(line, _ => 1) match {
+                case CommitInfoAction(op, _) => recordedOp = Some(op)
+                case _ =>
+              }
             line = reader.readLine()
           }
         } finally reader.close()
-        val op =
+        // prefer the recorded operation; infer from action counts only
+        // for logs written before commitInfo existed
+        val op = recordedOp.getOrElse {
           if (adds > 0 && removes > 0) "REWRITE"
           else if (removes > 0) "DELETE"
           else if (adds > 0) "WRITE"
           else "METADATA"
+        }
         HistoryEntry(version, st.getModificationTime, op, adds, removes, newRevision)
       }
   }
@@ -662,7 +674,7 @@ object QbeastTable {
       MetaDataAction(df.schema.json, Map("qbeast.lastRevisionID" -> "0")),
       RevisionAction(Revision.staging(path))) ++
       adds.map(a => AddFileAction(a, dataChange = false))
-    QbeastLog.commit(path, conf, existing.version, actions)
+    QbeastLog.commit(path, conf, existing.version, actions, operation = "CONVERT")
     forPath(spark, path)
   }
 

@@ -177,7 +177,8 @@ object QbeastWriter {
     var rebases = 0
     while (!committed) {
       try {
-        QbeastLog.commit(tablePath, conf, base.version, buildActions(base))
+        QbeastLog.commit(tablePath, conf, base.version, buildActions(base),
+          operation = if (isOverwrite) "OVERWRITE" else "WRITE")
         committed = true
       } catch {
         case e: ConcurrentCommitException =>

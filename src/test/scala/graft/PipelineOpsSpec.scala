@@ -231,4 +231,71 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(dot == 64L - 254L + 96L)
   }
 
+  test("minhash LSH: short docs are excluded (no degenerate sentinel bucket)") {
+    // 200 docs with < 3 tokens would all share the all-sentinel
+    // signature — one quadratic bucket. They must produce NO pairs;
+    // the two genuine near-dups must still be found.
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val shorts = (100L until 300L).map(i => (i, s"tok$i"))
+    val docs = (Seq((1L, near), (2L, near + " tail")) ++ shorts).toDF("doc_id", "text")
+    val pairs = ops.Dedup.minHashCandidatePairs(docs, "doc_id", "text", threshold = 0.2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash signature frame is materialized once (no UDF in the pair plan)") {
+    val docs = (0L until 20L)
+      .map(i => (i, s"alpha beta gamma delta epsilon tok$i zeta eta theta"))
+      .toDF("doc_id", "text")
+    val out = ops.Dedup.minHashCandidatePairs(docs, "doc_id", "text", threshold = 0.1)
+    // the signature UDF feeds three consumers (band explode + two
+    // pair-side re-joins); the eager localCheckpoint means the returned
+    // plan reads materialized blocks — the O(tokens×64) UDF is gone
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("minhash_sig"), s"signature UDF re-planned:\n$plan")
+  }
+
+  test("simHashPairs finds every pair within the requested radius (pigeonhole recall)") {
+    import spark.implicits._
+    // perturbed copies of a base document → plenty of pairs with
+    // hamming distances spread well past the old fixed-4-chunk limit
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 30).map { d =>
+      val toks = (0 until 40).map(i => if ((i * 7 + d) % 9 < d % 5) s"x${i}_$d" else s"w$i")
+      (d.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val maxD = 16
+    val got = ops.Dedup.simHashPairs(docs, "doc_id", "text", maxDistance = maxD)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth over the same simhash values
+    val sh = docs.select(col("doc_id"), ops.Dedup.simHashUdf(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (ia, ha) <- sh; (ib, hb) <- sh
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= maxD
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty, "test corpus produced no close pairs — weaken perturbation")
+    assert(got == want)
+    // unsupported radius is rejected, not silently partial
+    intercept[IllegalArgumentException] {
+      ops.Dedup.simHashPairs(docs, "doc_id", "text", maxDistance = 60)
+    }
+  }
+
+  test("winnowPairs df-cap drops corpus-frequent fingerprints (bounded pairs)") {
+    val boiler = "this license header is identical across the whole corpus verbatim"
+    val docs = (0L until 60L).map { i =>
+      val unique = (0 until 12).map(j => s"u${i}_$j").mkString(" ")
+      (i, s"$boiler $unique")
+    } :+ (1000L, "rare shared tail fragment one two three four five six seven eight") :+
+      (1001L, "rare shared tail fragment one two three four five six seven eight nine")
+    val df = docs.toDF("doc_id", "text")
+    // boilerplate fps appear in 60 docs > cap=20 → dropped; without the
+    // cap the 60 boilerplate docs alone give C(60,2)=1770 pairs
+    val out = ops.Dedup.winnowPairs(df, "doc_id", "text",
+      minShared = 3, maxDocFreq = 20).collect()
+    val ids = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids == Set((1000L, 1001L)), s"got ${ids.size} pairs: ${ids.take(5)}")
+  }
+
 }

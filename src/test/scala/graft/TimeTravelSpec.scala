@@ -47,7 +47,11 @@ class TimeTravelSpec extends AnyFunSuite {
     val h = t.history()
     assert(h.map(_.version) === Seq(0L, 1L, 2L, 3L))
     assert(h(0).operation === "WRITE" && h(0).newRevision)
-    assert(h(2).operation === "REWRITE" && h(2).removedFiles > 0)
+    // restores record an explicit commitInfo op marker (an append-only
+    // history restore contains only removes, so a count heuristic
+    // would mislabel it DELETE)
+    assert(h(2).operation === "RESTORE" && h(2).removedFiles > 0)
+    assert(h(3).operation === "RESTORE")
 
     val err = intercept[IllegalArgumentException](t.restoreToVersion(99))
     assert(err.getMessage.contains("99"))
