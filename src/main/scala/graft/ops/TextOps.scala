@@ -214,9 +214,16 @@ object TextOps {
    * standing in for paragraphs (the fixtures carry no newline
    * structure). A segment keeps only its first occurrence by
    * (doc id, position); every doc is then reassembled from its
-   * surviving segments in order. Scale shape: both shuffles (the
-   * keep-first window and the reassembly groupBy) carry SEGMENTS, never
-   * whole documents, and partial aggregation applies on the rebuild.
+   * surviving segments in order.
+   *
+   * Scale shape: the keep-first window and the survivor aggregation
+   * shuffle only (id, seg_idx, xxhash64(seg)) — 64-bit fingerprints,
+   * never segment text. The clean text is rebuilt map-side from each
+   * doc's own `textCol` (re-sliced by the surviving positions) after
+   * ONE id-keyed join of the compact survivor-index arrays, so segment
+   * strings never enter a shuffle at all. The 64-bit fingerprint
+   * stands in for segment identity (the standard production trade:
+   * ~n²/2⁶⁴ collision odds corpus-wide).
    */
   def paragraphDedup(
       df: DataFrame,
@@ -228,20 +235,24 @@ object TextOps {
     val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(segTokens))
     val segs = transform(starts,
       s => array_join(slice(toks, s + lit(1), lit(segTokens)), " "))
-    val exploded = df
+    // explode → project to the hash INSIDE the same stage: only the
+    // 8-byte fingerprint reaches the window shuffle
+    val narrow = df
       .select(col(idCol), posexplode(segs).as(Seq("seg_idx", "seg")))
       .filter(col("seg") =!= "")
-    val keepFirst = Window.partitionBy("seg").orderBy(col(idCol), col("seg_idx"))
-    exploded
+      .select(col(idCol), col("seg_idx"), xxhash64(col("seg")).as("seg_h"))
+    val keepFirst = Window.partitionBy("seg_h").orderBy(col(idCol), col("seg_idx"))
+    val survivors = narrow
       .withColumn("rn", row_number().over(keepFirst))
       .filter(col("rn") === 1)
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
-            s => s.getField("seg")),
-          " ").as("clean"))
+      .agg(sort_array(collect_list(col("seg_idx"))).as("kept_idx"))
+    df.select(col(idCol), segs.as("segs"))
+      .join(survivors, Seq(idCol))
+      .select(col(idCol),
+        size(col("kept_idx")).cast("long").as("n_kept"),
+        array_join(transform(col("kept_idx"),
+          i => element_at(col("segs"), i + lit(1))), " ").as("clean"))
       .select(col(idCol), col("n_kept"),
         length(col("clean")).cast("long").as("clean_chars"),
         md5(col("clean")).as("clean_md5"))
@@ -256,6 +267,11 @@ object TextOps {
    * corpus" step). The eval n-gram set is tiny relative to the corpus,
    * so it BROADCASTS — the training side streams through map-side, one
    * aggregation shuffle for the per-doc counts.
+   *
+   * N-grams are compared by xxhash64 fingerprint, not text: an 8-token
+   * gram averages ~50 bytes, so hashing cuts the broadcast and the
+   * per-doc count shuffle ~6-8× (same ~n²/2⁶⁴ collision trade every
+   * production decontamination pipeline makes).
    */
   def decontaminate(
       df: DataFrame,
@@ -268,12 +284,16 @@ object TextOps {
       transform(sequence(lit(0), size(toks) - lit(n), lit(1)),
         s => array_join(slice(toks, s + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    val grams = df.select(col(idCol), explode(ngrams).as("ng"), evalPred.as("is_eval"))
-    val evalGrams = grams.filter(col("is_eval")).select("ng").distinct()
+    // hash immediately after the explode (same stage): the gram string
+    // dies inside the stage, only (id, 8-byte fingerprint) flows on
+    val grams = df
+      .select(col(idCol), explode(ngrams).as("ng"), evalPred.as("is_eval"))
+      .select(col(idCol), xxhash64(col("ng")).as("ngh"), col("is_eval"))
+    val evalGrams = grams.filter(col("is_eval")).select("ngh").distinct()
     grams.filter(not(col("is_eval")))
-      .join(broadcast(evalGrams), "ng")
+      .join(broadcast(evalGrams), "ngh")
       .groupBy(col(idCol))
-      .agg(countDistinct(col("ng")).as("n_shared"))
+      .agg(countDistinct(col("ngh")).as("n_shared"))
   }
 
   // ---- vocabulary coverage (cheap LM-style quality signal) -----------------
