@@ -550,8 +550,12 @@ object SparkEntry {
         .limit(200)
     }),
     "t03_simhash_pairs" -> ((s, dir) => {
+      // d=3 → 4 chunks of 15 bits: selective buckets (the blocking is
+      // linear, not quadratic). Larger radii shrink the chunks and blow
+      // the buckets up — measured 15× slower at d=16 on sf0.1 — so wide
+      // radii belong to minhash/verify passes, not simhash blocking.
       ops.Dedup.simHashPairs(QTables.raw(s, dir, "documents"), "doc_id", "text",
-          maxDistance = 16)
+          maxDistance = 3)
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(200)
     }),
@@ -1465,12 +1469,12 @@ object SparkEntry {
         |sg AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sh
         |  FROM bits GROUP BY 1),
         |ck AS (SELECT doc_id, sh, c,
-        |  (sh >> ((c * 60) // 17)::INTEGER) & ((1::BIGINT << (((c + 1) * 60) // 17 - (c * 60) // 17)) - 1) AS key
-        |  FROM sg, range(0, 17) t(c)),
+        |  (sh >> ((c * 60) // 4)::INTEGER) & ((1::BIGINT << (((c + 1) * 60) // 4 - (c * 60) // 4)) - 1) AS key
+        |  FROM sg, range(0, 4) t(c)),
         |cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |  bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
         |  FROM ck a JOIN ck b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, hamming FROM cp WHERE hamming <= 16
+        |SELECT id_a, id_b, hamming FROM cp WHERE hamming <= 3
         |ORDER BY hamming, id_a, id_b LIMIT 200""".stripMargin,
     "q56_time_travel" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty

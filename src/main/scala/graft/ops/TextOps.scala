@@ -268,10 +268,16 @@ object TextOps {
    * so it BROADCASTS — the training side streams through map-side, one
    * aggregation shuffle for the per-doc counts.
    *
-   * N-grams are compared by xxhash64 fingerprint, not text: an 8-token
-   * gram averages ~50 bytes, so hashing cuts the broadcast and the
-   * per-doc count shuffle ~6-8× (same ~n²/2⁶⁴ collision trade every
-   * production decontamination pipeline makes).
+   * N-grams are compared by 64-bit fingerprint, not text, and the
+   * fingerprint never materializes the gram string: each token is
+   * hashed ONCE (xxhash64), then every gram hash is a rolling
+   * polynomial over `n` consecutive token hashes (wrapping 64-bit
+   * arithmetic — deterministic on every JVM). Building the ~50-byte
+   * gram strings was the dominant allocation cost of this operator;
+   * the arithmetic combine is pure codegen with zero per-gram
+   * allocation, and only (id, 8-byte fingerprint) ever leaves the
+   * scan stage (same ~n²/2⁶⁴ collision trade every production
+   * decontamination pipeline makes).
    */
   def decontaminate(
       df: DataFrame,
@@ -279,18 +285,29 @@ object TextOps {
       textCol: String,
       evalPred: Column,
       n: Int = 8): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
-    val ngrams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - lit(n), lit(1)),
-        s => array_join(slice(toks, s + lit(1), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    // hash immediately after the explode (same stage): the gram string
-    // dies inside the stage, only (id, 8-byte fingerprint) flows on
-    val grams = df
-      .select(col(idCol), explode(ngrams).as("ng"), evalPred.as("is_eval"))
-      .select(col(idCol), xxhash64(col("ng")).as("ngh"), col("is_eval"))
-    val evalGrams = grams.filter(col("is_eval")).select("ngh").distinct()
-    grams.filter(not(col("is_eval")))
+    // eval/train split BEFORE the explode so the (tiny) eval side scans
+    // only its own partitions' rows — the predicate reaches the source.
+    // The token-hash array is materialized by its own projection: a
+    // lambda body is NOT subexpression-eliminated across invocations,
+    // so referencing the transform() directly inside the per-gram
+    // lambda would recompute every token hash per gram (O(T²) per doc).
+    def gramHashes(side: DataFrame): DataFrame = {
+      val toks = split(trim(col(textCol)), "\\s+")
+      val withTh = side.select(col(idCol), transform(toks, t => xxhash64(t)).as("th"))
+      val th = col("th")
+      // rotate-left(5) ⊕ next-token-hash: order-sensitive 64-bit combine
+      // in pure bit-ops (ANSI mode forbids wrapping multiply/add)
+      val gram = (s: Column) => aggregate(
+        sequence(lit(1), lit(n)), lit(-7046029254386353131L),
+        (acc, j) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+          .bitwiseXOR(element_at(th, s + j)))
+      val ghs = when(size(th) >= n,
+        transform(sequence(lit(0), size(th) - lit(n), lit(1)), gram))
+        .otherwise(array().cast("array<bigint>"))
+      withTh.select(col(idCol), explode(ghs).as("ngh"))
+    }
+    val evalGrams = gramHashes(df.filter(evalPred)).select("ngh").distinct()
+    gramHashes(df.filter(not(evalPred)))
       .join(broadcast(evalGrams), "ngh")
       .groupBy(col(idCol))
       .agg(countDistinct(col("ngh")).as("n_shared"))

@@ -632,3 +632,38 @@ object MetaScaleProbe {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
+
+/** Perf probe for the two slow bench queries (t03, t25) at sf0.1:
+ * stage-level timing to separate real compute from harness noise. */
+object TextPerfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[textperf] $name: rows=$n%8d  ${(System.nanoTime()-t0)/1e9}%6.2f s")
+    }
+    time("t25_decontaminate x1") {
+      graft.ops.TextOps.decontaminate(docs, "doc_id", "text", col("doc_id") % 97 === 0).count()
+    }
+    time("t25_decontaminate x2") {
+      graft.ops.TextOps.decontaminate(docs, "doc_id", "text", col("doc_id") % 97 === 0).count()
+    }
+    time("t24_paragraph_dedup") {
+      graft.ops.TextOps.paragraphDedup(docs, "doc_id", "text").count()
+    }
+    for (d <- Seq(3, 8, 16)) {
+      time(s"t03_simhash d=$d") {
+        graft.ops.Dedup.simHashPairs(docs, "doc_id", "text", maxDistance = d)
+          .orderBy(col("hamming"), col("id_a"), col("id_b")).limit(200).count()
+      }
+    }
+    spark.stop()
+  }
+}
