@@ -42,6 +42,12 @@ object Bench {
     QTables.replacedTable(spark, sfDir)
     QTables.qbeastCompacted(spark, sfDir).count()
     QTables.bucketedTables(spark, sfDir)
+    QTables.qbeastDeleted(spark, sfDir).count()
+    QTables.qbeastUpdated(spark, sfDir).count()
+    QTables.qbeastMerged(spark, sfDir).count()
+    QTables.qbeastRestored(spark, sfDir).count()
+    QTables.qbeastSqlUpdated(spark, sfDir).count()
+    QTables.qbeastSqlMerged(spark, sfDir).count()
     val indexBuild = (System.nanoTime() - t0) / 1e9
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -392,6 +392,74 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** Register a path-backed qbeast table in the session's qbeast
+   * catalog so SQL DML statements can address it. The name is
+   * sf-qualified and any stale registry entry (the catalog registry
+   * write-throughs to `_catalog.json`, so it outlives the JVM) is
+   * dropped first — a leftover entry for the same name could point at
+   * another scale factor's path. */
+  private def sqlTable(spark: SparkSession, path: String, base: String): String = {
+    if (spark.conf.getOption("spark.sql.catalog.qbeast_catalog").isEmpty)
+      spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    val name = (base + "_" + new java.io.File(path).getParentFile.getName)
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS qbeast_catalog.default.$name")
+    spark.sql(s"CREATE TABLE qbeast_catalog.default.$name USING qbeast LOCATION '$path'")
+    s"qbeast_catalog.default.$name"
+  }
+
+  /** orders mutated via the SQL `UPDATE` statement — same end state as
+   * [[qbeastUpdated]], but through the analyzer DML path
+   * ([[graft.rules.QbeastDmlRules]] → copy-on-write updateWhere). */
+  def qbeastSqlUpdated(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_sql_updated")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, "orders").write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_totalprice")
+          .option("cubeSize", "5000")
+          .save(path)
+        val name = sqlTable(spark, path, "orders_sql_updated")
+        spark.sql(
+          s"UPDATE $name SET o_totalprice = o_totalprice + 100000 WHERE o_orderstatus = 'F'")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
+  /** orders mutated via the SQL `MERGE INTO` statement (update-all +
+   * insert-all) — same end state as [[qbeastMerged]], but through the
+   * analyzer DML path ([[QbeastDmlRules]] → copy-on-write upsert). */
+  def qbeastSqlMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_sql_merged")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, "orders").write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_totalprice")
+          .option("cubeSize", "5000")
+          .save(path)
+        val name = sqlTable(spark, path, "orders_sql_merged")
+        raw(spark, sfDir, "orders").createOrReplaceTempView("orders_sql_merge_src")
+        spark.sql(s"""
+          MERGE INTO $name t
+          USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+                        o_totalprice + 50000 AS o_totalprice,
+                        o_orderdate, o_orderpriority
+                 FROM orders_sql_merge_src WHERE o_orderkey % 10 = 3
+                 UNION ALL
+                 SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                        o_totalprice, o_orderdate, o_orderpriority
+                 FROM orders_sql_merge_src WHERE o_orderkey % 10 = 7) s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** lineitem written, appended, then RESTORED to version 0 — the
    * time-travel write-back. Content equals the first write (even
    * orderkeys); the restore is itself a log version, so history keeps

@@ -701,6 +701,20 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q63_sql_update" -> ((s, dir) => {
+      // the SQL `UPDATE` statement (analyzer DML rule → same
+      // copy-on-write machinery as q59's Scala API)
+      QTables.qbeastSqlUpdated(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
+    "q64_sql_merge" -> ((s, dir) => {
+      // the SQL `MERGE INTO ... UPDATE SET * / INSERT *` statement
+      // (analyzer DML rule → same copy-on-write upsert as q61)
+      QTables.qbeastSqlMerged(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q56_time_travel" -> ((s, dir) => {
       // VERSION 0 of the appended table = the even-orderkey first write;
       // the oracle recomputes that slice from the raw data
@@ -1510,6 +1524,27 @@ object SparkEntry {
         |  THEN o_totalprice + 100000 ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
     "q61_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 50000 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |merged AS (
+        |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY 1""".stripMargin,
+    // the SQL-statement DML variants produce the same end state as the
+    // Scala-API mutations — the oracles recompute it from raw parquet
+    "q63_sql_update" ->
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'
+        |  THEN o_totalprice + 100000 ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q64_sql_merge" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 50000 AS o_totalprice,
         |    o_orderdate, o_orderpriority

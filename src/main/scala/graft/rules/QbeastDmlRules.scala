@@ -1,0 +1,205 @@
+package graft.rules
+
+import graft.catalog.QbeastTableImpl
+import graft.read.QbeastFileIndex
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.{Column, GraftShims, Row, SparkSession}
+
+/**
+ * SQL `UPDATE` / `MERGE INTO` over qbeast tables.
+ *
+ * Architecture note: the reference inherits these statements from Delta
+ * Lake, and Delta plans them exactly this way — an analyzer rule that
+ * intercepts the analyzed [[UpdateTable]] / [[MergeIntoTable]] plans and
+ * routes them into the format's own copy-on-write machinery (Delta's
+ * `DeltaAnalysis` → `UpdateCommand`/`MergeIntoCommand`). The alternative
+ * — connector-level `SupportsRowLevelOperations` — would make Spark's
+ * group-based rewrite re-shuffle the WHOLE table through a V2 batch
+ * write unless runtime group filtering is also implemented; the
+ * interception reuses [[graft.table.QbeastTable.updateWhere]] /
+ * [[graft.table.QbeastTable.upsert]], which already rewrite only the
+ * index-pruned affected files and commit atomically.
+ *
+ * Scale shape: affected-file discovery runs through the index-pruned
+ * qbeast read path, so a keyed UPDATE/MERGE on indexed columns rewrites
+ * a handful of files at 100 TB, not the table.
+ */
+class QbeastDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import QbeastDmlRules._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+
+    case u @ UpdateTable(target, assignments, condition) if u.resolved =>
+      targetPath(target) match {
+        case None => plan
+        case Some(path) =>
+          val asgn = assignments.map { a =>
+            columnName(a.key, "UPDATE SET") -> unresolveToColumn(a.value)
+          }.toMap
+          UpdateQbeastTableCommand(path, asgn, condition.map(unresolveToColumn))
+      }
+
+    case m @ MergeIntoTable(target, source, mergeCond,
+        matched, notMatched, notMatchedBySource, _) if m.resolved =>
+      targetPath(target) match {
+        case None => plan
+        case Some(path) =>
+          if (notMatchedBySource.nonEmpty)
+            unsupported("WHEN NOT MATCHED BY SOURCE")
+          val keys = equiJoinKeys(mergeCond, target, source)
+          val updateAsgn = matched match {
+            case Seq(UpdateAction(None, asgn, _)) => asgn
+            case other => unsupported(
+              s"matched clause ${other.mkString(", ")} (exactly one " +
+                "unconditional WHEN MATCHED THEN UPDATE is supported)")
+          }
+          val insertAsgn = notMatched match {
+            case Seq(InsertAction(None, asgn)) => asgn
+            case other => unsupported(
+              s"not-matched clause ${other.mkString(", ")} (exactly one " +
+                "unconditional WHEN NOT MATCHED THEN INSERT is supported)")
+          }
+          // upsert() replaces whole rows, so the UPDATE and INSERT sides
+          // must write the same value into every target column
+          val targetCols = target.output.map(_.name)
+          val row = replacementRow(targetCols, updateAsgn, insertAsgn)
+          MergeQbeastTableCommand(path, source, keys, row)
+      }
+
+    case _ => plan
+  }
+
+  /** Per target column: the (source-side) expression both actions
+   * assign, verified identical between UPDATE and INSERT. */
+  private def replacementRow(
+      targetCols: Seq[String],
+      updateAsgn: Seq[Assignment],
+      insertAsgn: Seq[Assignment]): Seq[(String, Column)] = {
+    def byCol(asgn: Seq[Assignment], what: String): Map[String, Expression] =
+      asgn.map(a => columnName(a.key, what).toLowerCase -> a.value).toMap
+    val up = byCol(updateAsgn, "MERGE UPDATE SET")
+    val ins = byCol(insertAsgn, "MERGE INSERT")
+    targetCols.map { c =>
+      val u = up.getOrElse(c.toLowerCase,
+        unsupported(s"MERGE must assign every target column (missing $c in UPDATE SET — use SET *)"))
+      val i = ins.getOrElse(c.toLowerCase,
+        unsupported(s"MERGE must assign every target column (missing $c in INSERT — use INSERT *)"))
+      if (u.canonicalized != i.canonicalized)
+        unsupported(s"MERGE assigns different values to $c in UPDATE ($u) and INSERT ($i); " +
+          "qbeast MERGE replaces whole rows, so both sides must agree (use SET * / INSERT *)")
+      c -> GraftShims.column(u)
+    }
+  }
+
+  /** ON condition → upsert key column names: a conjunction of
+   * target.col = source.col equalities over same-named columns. */
+  private def equiJoinKeys(
+      cond: Expression,
+      target: LogicalPlan,
+      source: LogicalPlan): Seq[String] = {
+    val targetIds = target.outputSet
+    val sourceIds = source.outputSet
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if (targetIds.contains(a) && sourceIds.contains(b)) ||
+            (targetIds.contains(b) && sourceIds.contains(a)) =>
+        if (!a.name.equalsIgnoreCase(b.name))
+          unsupported(s"MERGE ON ${a.name} = ${b.name}: key columns must have " +
+            "the same name on both sides (alias the source)")
+        a.name
+      case other =>
+        unsupported(s"MERGE ON condition $other (a conjunction of " +
+          "target.key = source.key equalities is supported)")
+    }
+  }
+
+}
+
+object QbeastDmlRules {
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"qbeast MERGE/UPDATE does not support $what")
+
+  /** The qbeast table path behind a DML target, whichever shape the
+   * resolution fixpoint has it in ([[QbeastAnalysis]] may already have
+   * swapped the V2 relation for the V1 read relation). */
+  private def targetPath(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => targetPath(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: QbeastTableImpl => Some(t.location)
+      case _ => None
+    }
+    case l: LogicalRelation => l.relation match {
+      case HadoopFsRelation(fi: QbeastFileIndex, _, _, _, _, _) =>
+        Some(fi.currentSnapshot.tablePath)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Assignment key → plain column name (nested fields unsupported). */
+  private def columnName(key: Expression, what: String): String = key match {
+    case a: AttributeReference => a.name
+    case other => unsupported(s"$what on non-top-level column $other")
+  }
+
+  /** Resolved expression over the DML target → Column that re-resolves
+   * by NAME against the fresh frame the command reads from the path
+   * (the original exprIds die with the analyzed plan). */
+  private def unresolveToColumn(e: Expression): Column =
+    GraftShims.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+}
+
+/** SQL `UPDATE t SET ... WHERE ...` → copy-on-write
+ * [[graft.table.QbeastTable.updateWhere]]. */
+case class UpdateQbeastTableCommand(
+    path: String,
+    assignments: Map[String, Column],
+    condition: Option[Column])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.table.QbeastTable.forPath(spark, path)
+      .updateWhere(condition.getOrElse(org.apache.spark.sql.functions.lit(true)), assignments)
+    Seq.empty
+  }
+
+}
+
+/** SQL `MERGE INTO t USING s ON keys WHEN MATCHED THEN UPDATE SET *
+ * WHEN NOT MATCHED THEN INSERT *` → copy-on-write
+ * [[graft.table.QbeastTable.upsert]]. The source plan is re-wrapped as
+ * a DataFrame and projected to the target's columns. */
+case class MergeQbeastTableCommand(
+    path: String,
+    source: LogicalPlan,
+    keys: Seq[String],
+    replacement: Seq[(String, Column)])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcDf = GraftShims.ofRows(spark, source)
+      .select(replacement.map { case (name, c) => c.as(name) }: _*)
+    graft.table.QbeastTable.forPath(spark, path).upsert(srcDf, keys)
+    Seq.empty
+  }
+
+}

@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.rules.{QbeastAnalysis, SampleRule}
+import graft.rules.{QbeastAnalysis, QbeastDmlRules, SampleRule}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -16,6 +16,8 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectResolutionRule { session => new QbeastAnalysis(session) }
+    // SQL UPDATE / MERGE INTO → the copy-on-write DML machinery
+    extensions.injectResolutionRule { session => new QbeastDmlRules(session) }
     extensions.injectOptimizerRule { session => new SampleRule(session) }
     // SQL surface for the row-weight hash: `WHERE qbeast_hash(a, b) < t`
     // is the deterministic-sampling predicate, and when (a, b) are the

@@ -176,9 +176,14 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * @return number of rows updated
    */
   def update(condition: String, assignments: Map[String, String]): Long =
-    mutate(expr(condition), Some(assignments))
+    mutate(expr(condition), Some(assignments.map { case (k, v) => k -> expr(v) }))
 
-  private def mutate(cond: Column, assignments: Option[Map[String, String]]): Long = {
+  /** [[update]] with pre-built columns (SQL `UPDATE` lands here via
+   * [[graft.rules.QbeastDmlRules]]). */
+  private[graft] def updateWhere(cond: Column, assignments: Map[String, Column]): Long =
+    mutate(cond, Some(assignments))
+
+  private def mutate(cond: Column, assignments: Option[Map[String, Column]]): Long = {
     val s = snapshot
     if (s.isEmpty || s.files.isEmpty) return 0L
     // null condition rows are NOT matched (SQL three-valued logic)
@@ -221,13 +226,16 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       case Some(asgn) =>
         val paths = affected.map(f => new Path(tablePath, f.path).toString)
         val base = spark.read.parquet(paths: _*)
+        // case-insensitive assignment lookup (Spark's default resolution)
+        val asgnLower = asgn.map { case (k, v) => k.toLowerCase -> v }
         asgn.keys.foreach { c =>
-          require(base.columns.contains(c), s"UPDATE of unknown column $c " +
-            s"(table columns: ${base.columns.mkString(", ")})")
+          require(base.columns.exists(_.equalsIgnoreCase(c)),
+            s"UPDATE of unknown column $c " +
+              s"(table columns: ${base.columns.mkString(", ")})")
         }
         val updatedCols = base.columns.map { c =>
-          asgn.get(c) match {
-            case Some(e) => expr(e).cast(base.schema(c).dataType).as(c)
+          asgnLower.get(c.toLowerCase) match {
+            case Some(e) => e.cast(base.schema(c).dataType).as(c)
             case None => col(c)
           }
         }
@@ -395,38 +403,39 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       s"cannot restore to version $version: table is at ${current.version}")
     if (version == current.version) return
     val target = QbeastLog.snapshot(tablePath, conf, asOfVersion = version)
-    val currentPaths = current.files.map(_.path).toSet
     val targetPaths = target.files.map(_.path).toSet
-    val resurrect = target.files.filterNot(f => currentPaths.contains(f.path))
     val fs = new Path(tablePath).getFileSystem(conf)
-    resurrect.foreach { f =>
+    // the resurrected set can only shrink as the head moves, so checking
+    // the target state's files once up front covers every retry
+    target.files.foreach { f =>
       require(fs.exists(new Path(tablePath, f.path)),
         s"cannot restore to version $version: data file ${f.path} was vacuumed")
     }
-    val drop = current.files.filterNot(f => targetPaths.contains(f.path))
-    val now = System.currentTimeMillis()
-    val actions: Seq[LogAction] =
-      target.schema.map(sc => MetaDataAction(sc.json, target.configuration)).toSeq ++
-        resurrect.map(f => AddFileAction(f, dataChange = true)) ++
-        drop.map(f => RemoveFileAction(RemoveFile(f.path, now)))
+    // RESTORE declares "the content is exactly version `version`": the
+    // add/remove diff is recomputed against whatever head the commit
+    // lands on, so a concurrent commit in the retry window is rolled
+    // back by the restore rather than silently corrupting the diff
+    // (Delta's RESTORE resolves the same race the same way)
     var base = current
     var attempts = 0
     var committed = false
     while (!committed) {
+      val basePaths = base.files.map(_.path).toSet
+      val resurrect = target.files.filterNot(f => basePaths.contains(f.path))
+      val drop = base.files.filterNot(f => targetPaths.contains(f.path))
+      val now = System.currentTimeMillis()
+      val actions: Seq[LogAction] =
+        target.schema.map(sc => MetaDataAction(sc.json, target.configuration)).toSeq ++
+          resurrect.map(f => AddFileAction(f, dataChange = true)) ++
+          drop.map(f => RemoveFileAction(RemoveFile(f.path, now)))
       try {
         QbeastLog.commit(tablePath, conf, base.version, actions, operation = "RESTORE")
         committed = true
       } catch {
         case e: ConcurrentCommitException =>
           attempts += 1
-          if (attempts > 3) throw e
-          // a concurrent writer moved the table: restoring on top of a
-          // state we did not diff against would silently drop its
-          // commit — recompute the diff is the safe move, but the
-          // simple, correct behavior is to fail and let the caller
-          // re-run against the new head
-          throw new java.util.ConcurrentModificationException(
-            "table changed while restoring; re-run restoreToVersion against the new head")
+          if (attempts > 5) throw e
+          base = snapshot
       }
     }
   }

@@ -667,3 +667,57 @@ object TextPerfProbe {
     spark.stop()
   }
 }
+
+/** Probe: SQL UPDATE / MERGE INTO statements over catalog qbeast tables. */
+object SqlDmlProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.sql.QbeastSparkSessionExtension")
+      .config("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("sqldml").toString
+    o.write.format("qbeast").option("columnsToIndex","o_orderkey,o_totalprice")
+      .option("cubeSize","2000").save(dir)
+    spark.sql(s"CREATE TABLE qbeast_catalog.default.sqldml USING qbeast LOCATION '$dir'")
+
+    // UPDATE
+    try {
+      spark.sql("UPDATE qbeast_catalog.default.sqldml SET o_totalprice = o_totalprice + 100000 WHERE o_orderstatus = 'F'")
+      val got = spark.sql("SELECT sum(o_totalprice) FROM qbeast_catalog.default.sqldml").head.getDouble(0)
+      val want = o.selectExpr("sum(CASE WHEN o_orderstatus='F' THEN o_totalprice+100000 ELSE o_totalprice END)").head.getDouble(0)
+      println(f"[sqldml] UPDATE: got=$got%.2f want=$want%.2f match=${math.abs(got-want) < 1e-4}")
+    } catch { case e: Exception => println(s"[sqldml] UPDATE FAILED: ${e.getMessage.linesIterator.take(3).mkString(" | ")}") }
+
+    // MERGE (update slice + insert slice)
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .createOrReplaceTempView("o_src")
+      spark.sql("""
+        MERGE INTO qbeast_catalog.default.sqldml t
+        USING (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 50000 AS o_totalprice,
+                      o_orderdate, o_orderpriority
+               FROM o_src WHERE o_orderkey % 10 = 3
+               UNION ALL
+               SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+                      o_orderdate, o_orderpriority
+               FROM o_src WHERE o_orderkey % 10 = 7) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val n = spark.sql("SELECT count(*) FROM qbeast_catalog.default.sqldml").head.getLong(0)
+      val wantN = o.count() + o.filter("o_orderkey % 10 = 7").count()
+      println(s"[sqldml] MERGE: rows=$n want=$wantN match=${n == wantN}")
+    } catch { case e: Exception => println(s"[sqldml] MERGE FAILED: ${e.getMessage.linesIterator.take(3).mkString(" | ")}") }
+
+    // unsupported shapes fail with a clear message, not silently
+    try {
+      spark.sql("MERGE INTO qbeast_catalog.default.sqldml t USING o_src s ON t.o_orderkey = s.o_orderkey WHEN MATCHED THEN DELETE")
+      println("[sqldml] matched-delete: NO ERROR (bad)")
+    } catch { case e: Exception => println(s"[sqldml] matched-delete rejected: ${e.getMessage.linesIterator.next().take(100)}") }
+    spark.sql("DROP TABLE qbeast_catalog.default.sqldml")
+    spark.stop()
+  }
+}

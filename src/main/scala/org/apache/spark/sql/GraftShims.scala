@@ -32,4 +32,11 @@ object GraftShims {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Wrap an analyzed LogicalPlan as a DataFrame (`Dataset.ofRows` is
+   * `private[sql]`) — the MERGE source side arrives as a plan. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
 }

@@ -184,4 +184,64 @@ class DmlSpec extends AnyFunSuite {
     assert(QbeastLog.snapshot(dir, conf).files.isEmpty)
   }
 
+  // ---- SQL-statement DML (QbeastDmlRules) --------------------------------
+
+  private def sqlCatalogTable(prefix: String): (String, String) = {
+    spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    val dir = freshLineitem(prefix)
+    val name = prefix.replace('-', '_')
+    spark.sql(s"DROP TABLE IF EXISTS qbeast_catalog.default.$name")
+    spark.sql(s"CREATE TABLE qbeast_catalog.default.$name USING qbeast LOCATION '$dir'")
+    (s"qbeast_catalog.default.$name", dir)
+  }
+
+  test("SQL UPDATE statement applies assignments with pre-update semantics") {
+    val (name, dir) = sqlCatalogTable("dml-sqlupd")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    // simultaneous assignments: both RHS see the PRE-update row
+    spark.sql(s"UPDATE $name SET l_quantity = l_tax, l_tax = l_quantity " +
+      "WHERE l_quantity > 40")
+    val back = spark.read.format("qbeast").load(dir)
+    val expect = raw.withColumn("swap", col("l_quantity") > 40)
+      .withColumn("q", when(col("swap"), col("l_tax")).otherwise(col("l_quantity")))
+      .withColumn("t", when(col("swap"), col("l_quantity")).otherwise(col("l_tax")))
+    val got = back.agg(sum("l_quantity"), sum("l_tax")).head
+    val want = expect.agg(sum("q"), sum("t")).head
+    // double sums differ in partition order only
+    assert(math.abs(got.getDouble(0) - want.getDouble(0)) < 1e-6)
+    assert(math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-6)
+    assert(back.count() === raw.count())
+  }
+
+  test("SQL MERGE INTO (update-all + insert-all) matches the upsert semantics") {
+    val (name, dir) = sqlCatalogTable("dml-sqlmrg")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    raw.createOrReplaceTempView("dml_sqlmrg_src")
+    val cols = raw.columns.mkString(", ")
+    spark.sql(s"""
+      MERGE INTO $name t
+      USING (SELECT l_orderkey + 90000000 AS l_orderkey, l_linenumber,
+                    ${raw.columns.filterNot(c => c == "l_orderkey" || c == "l_linenumber")
+                        .mkString(", ")}
+             FROM dml_sqlmrg_src WHERE l_orderkey % 100 = 1) s
+      ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val back = spark.read.format("qbeast").load(dir)
+    val inserted = raw.filter("l_orderkey % 100 = 1").count()
+    assert(back.count() === raw.count() + inserted)
+    assert(back.filter("l_orderkey >= 90000000").count() === inserted)
+  }
+
+  test("SQL MERGE with unsupported shapes fails with a clear error") {
+    val (name, _) = sqlCatalogTable("dml-sqlbad")
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("dml_sqlbad_src")
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $name t USING dml_sqlbad_src s
+        ON t.l_orderkey = s.l_orderkey
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.contains("qbeast MERGE/UPDATE does not support"))
+  }
+
 }

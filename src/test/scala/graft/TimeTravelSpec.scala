@@ -57,4 +57,36 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(err.getMessage.contains("99"))
   }
 
+  test("restore racing concurrent appends recomputes its diff and lands") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("restore-race")
+    (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a,b").save(dir) // v0
+    (101 to 150).map(i => (i.toLong, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").mode("append").save(dir) // v1
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    // restore + appender start together: whichever commit order the race
+    // produces, the restore must land without throwing (pre-fix it threw
+    // ConcurrentModificationException on any interleaved commit) and the
+    // table must read consistently: exactly v0, or v0 plus whichever
+    // appends committed AFTER the restore
+    val appender = new Thread(() => {
+      (1 to 3).foreach { k =>
+        (1 to 20).map(i => ((1000 * k + i).toLong, i * 1.0)).toDF("a", "b")
+          .write.format("qbeast").mode("append").save(dir)
+      }
+    })
+    appender.start()
+    t.restoreToVersion(0)
+    appender.join()
+    val back = spark.read.format("qbeast").load(dir)
+    val n = back.count()
+    // v0 rows always present; each surviving append adds 20
+    assert(back.filter("a <= 100").count() === 100)
+    assert((n - 100) % 20 === 0 && n - 100 <= 60, s"unexpected row count $n")
+    // none of v1's rows survive the restore
+    assert(back.filter("a BETWEEN 101 AND 150").count() === 0)
+    assert(t.history().exists(_.operation == "RESTORE"))
+  }
+
 }
