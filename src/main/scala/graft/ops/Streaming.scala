@@ -152,8 +152,11 @@ object Streaming {
   /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
    * keeps an event-id only until the watermark passes its event time —
    * at scale, state is O(events in the watermark window), not O(all
-   * history) like plain dropDuplicates. Emits deduped rows in append
-   * mode; the aggregation over the sink is a batch query. */
+   * history) like plain dropDuplicates. Deduped rows land in a
+   * DISTRIBUTED parquet file sink (append mode) — a memory sink here
+   * would funnel every surviving row through the driver, the one thing
+   * a 100 TB stream must never do — and the aggregation over the sink
+   * is a batch query. */
   def streamingDedupBounded(spark: SparkSession, eventsPath: String): DataFrame = {
     val once = eventsStream(spark, eventsPath)
       .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
@@ -163,14 +166,18 @@ object Streaming {
       .withWatermark("tsm", "1 hour")
     val deduped = once.unionAll(redelivered)
       .dropDuplicatesWithinWatermark("event_id")
-    val name = s"graft_stream_dedup_wm_${counter.incrementAndGet()}"
+      .select(col("event_type"), col("value"))
+    val sink = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(fastCheckpointDir()).getParent, "graft-dedup-sink").toString
     withStreamingPartitions(spark) {
-      val q = deduped.writeStream.format("memory").queryName(name)
+      val q = deduped.writeStream.format("parquet")
+        .option("checkpointLocation", fastCheckpointDir())
+        .option("path", sink)
         .outputMode("append").start()
       try q.processAllAvailable()
       finally q.stop()
     }
-    spark.table(name)
+    spark.read.parquet(sink)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"))

@@ -721,3 +721,39 @@ object SqlDmlProbe {
     spark.stop()
   }
 }
+
+/** Perf probe: streaming dedup variants at a given SF. */
+object StreamDedupPerfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.qbeast.stream.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = graft.ops.Streaming.streamingDedupBounded(spark, s"$sfDir/events.parquet").count()
+      println(f"[sdperf] s10 run$i: rows=$n ${(System.nanoTime()-t0)/1e9}%6.2f s")
+    }
+    spark.stop()
+  }
+}
+
+/** Sweep stream partition counts for the bounded-dedup state size. */
+object StreamDedupSweepProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (p <- Seq("2", "4", "8", "16", "32"); i <- 1 to 2) {
+      spark.conf.set("spark.qbeast.stream.partitions", p)
+      val t0 = System.nanoTime()
+      val n = graft.ops.Streaming.streamingDedupBounded(spark, s"$sfDir/events.parquet").count()
+      println(f"[sdsweep] p=$p%2s run$i: rows=$n ${(System.nanoTime()-t0)/1e9}%6.2f s")
+    }
+    spark.stop()
+  }
+}
