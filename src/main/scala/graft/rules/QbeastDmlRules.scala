@@ -55,23 +55,21 @@ class QbeastDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
           if (notMatchedBySource.nonEmpty)
             unsupported("WHEN NOT MATCHED BY SOURCE")
           val keys = equiJoinKeys(mergeCond, target, source)
-          val updateAsgn = matched match {
-            case Seq(UpdateAction(None, asgn, _)) => asgn
-            case other => unsupported(
-              s"matched clause ${other.mkString(", ")} (exactly one " +
-                "unconditional WHEN MATCHED THEN UPDATE is supported)")
+          (matched, notMatched) match {
+            // upsert shape: UPDATE SET * + INSERT *
+            case (Seq(UpdateAction(None, updateAsgn, _)), Seq(InsertAction(None, insertAsgn))) =>
+              // upsert() replaces whole rows, so the UPDATE and INSERT
+              // sides must write the same value into every target column
+              val targetCols = target.output.map(_.name)
+              val row = replacementRow(targetCols, updateAsgn, insertAsgn)
+              MergeQbeastTableCommand(path, source, keys, row)
+            // anti-join shape: WHEN MATCHED THEN DELETE (no other clause)
+            case (Seq(DeleteAction(None)), Seq()) =>
+              MergeDeleteQbeastTableCommand(path, source, keys)
+            case (m, n) => unsupported(
+              s"MERGE clauses [${(m ++ n).mkString("; ")}] (supported: unconditional " +
+                "UPDATE SET * + INSERT *, or a lone unconditional MATCHED DELETE)")
           }
-          val insertAsgn = notMatched match {
-            case Seq(InsertAction(None, asgn)) => asgn
-            case other => unsupported(
-              s"not-matched clause ${other.mkString(", ")} (exactly one " +
-                "unconditional WHEN NOT MATCHED THEN INSERT is supported)")
-          }
-          // upsert() replaces whole rows, so the UPDATE and INSERT sides
-          // must write the same value into every target column
-          val targetCols = target.output.map(_.name)
-          val row = replacementRow(targetCols, updateAsgn, insertAsgn)
-          MergeQbeastTableCommand(path, source, keys, row)
       }
 
     case _ => plan
@@ -177,6 +175,25 @@ case class UpdateQbeastTableCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     graft.table.QbeastTable.forPath(spark, path)
       .updateWhere(condition.getOrElse(org.apache.spark.sql.functions.lit(true)), assignments)
+    Seq.empty
+  }
+
+}
+
+/** SQL `MERGE INTO t USING s ON keys WHEN MATCHED THEN DELETE` →
+ * copy-on-write [[graft.table.QbeastTable.deleteMatched]] (drop every
+ * target row whose keys appear in the source). */
+case class MergeDeleteQbeastTableCommand(
+    path: String,
+    source: LogicalPlan,
+    keys: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.table.QbeastTable.forPath(spark, path)
+      .deleteMatched(GraftShims.ofRows(spark, source), keys)
     Seq.empty
   }
 

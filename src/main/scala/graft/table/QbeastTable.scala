@@ -273,6 +273,28 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    *
    * @return (target rows replaced, source rows written)
    */
+  /**
+   * MERGE's `WHEN MATCHED THEN DELETE` form: drop every target row
+   * whose `keys` appear in `source`. Same copy-on-write shape as
+   * [[upsert]] minus the insert pass — only target files holding
+   * matched keys are rewritten (without the matched rows), one atomic
+   * commit.
+   *
+   * @return target rows deleted
+   */
+  def deleteMatched(source: org.apache.spark.sql.DataFrame, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "deleteMatched needs at least one key column")
+    val s = snapshot
+    if (s.isEmpty || s.files.isEmpty) return 0L
+    val srcKeys = source.select(keys.map(col): _*).distinct().persist()
+    try {
+      val (affected, survivorAdds) = rewriteWithoutMatches(s, srcKeys, keys)
+      if (affected.isEmpty) return 0L
+      commitMutation(s, survivorAdds, None, affected, operation = "DELETE")
+      affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
+    } finally srcKeys.unpersist()
+  }
+
   def upsert(source: org.apache.spark.sql.DataFrame, keys: Seq[String]): (Long, Long) = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val s = snapshot
@@ -286,33 +308,9 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           s"match table schema ${existing.fieldNames.mkString(",")}")
     }
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
-
     val srcKeys = source.select(keys.map(col): _*).distinct().persist()
     try {
-      // ---- pass 1: which target files hold matched keys? ----
-      // (file name projected BELOW the join: input_file_name() is only
-      // defined directly over its single scan)
-      val table = spark.read.format("qbeast").load(tablePath)
-        .select(input_file_name().as("__qbeast_file") +: keys.map(col): _*)
-      val affectedNames = table.join(srcKeys, keys, "left_semi")
-        .select("__qbeast_file").distinct()
-        .collect().map(r => new Path(r.getString(0)).getName).toSet
-      val affected = s.files.filter(f => affectedNames.contains(new Path(f.path).getName))
-
-      // ---- pass 2: rewrite affected files WITHOUT the matched rows ----
-      val survivorAdds = affected.groupBy(_.revisionId).toSeq.flatMap { case (rid, files) =>
-        val paths = files.map(f => new Path(tablePath, f.path).toString)
-        val survivors = spark.read.parquet(paths: _*).join(srcKeys, keys, "left_anti")
-        val revision =
-          if (rid == Revision.StagingID)
-            latestRevision.getOrElse(throw new UnsupportedOperationException(
-              "upsert into a staging-only qbeast table: optimize() first"))
-          else s.revisions(rid)
-        val status = s.indexStatus(revision.revisionID)
-        val frozen = status.cubeStatuses.map { case (c, st) => c -> st.maxWeight }.toMap
-        QbeastWriter.index(spark, tablePath, survivors, revision, Some(status),
-          files.map(_.elementCount).sum, frozenWeights = Some(frozen))
-      }
+      val (affected, survivorAdds) = rewriteWithoutMatches(s, srcKeys, keys)
 
       // ---- pass 3: ALL source rows through the revision-aware path ----
       val existing = latestRevision.orElse(throw new UnsupportedOperationException(
@@ -330,6 +328,43 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val replaced = affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
       (replaced, nSrc)
     } finally srcKeys.unpersist()
+  }
+
+  /** Shared passes 1–2 of the keyed mutations ([[upsert]],
+   * [[deleteMatched]]): discover the target files holding matched keys
+   * through the index-pruned read path, then rewrite each affected
+   * file WITHOUT the matched rows, frozen against its own revision's
+   * cube weights. */
+  private def rewriteWithoutMatches(
+      s: QbeastSnapshot,
+      srcKeys: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): (Vector[IndexFile], Seq[IndexFile]) = {
+    val latestRevision = s.lastRevision.filterNot(_.isStaging)
+    // ---- pass 1: which target files hold matched keys? ----
+    // (file name projected BELOW the join: input_file_name() is only
+    // defined directly over its single scan)
+    val table = spark.read.format("qbeast").load(tablePath)
+      .select(input_file_name().as("__qbeast_file") +: keys.map(col): _*)
+    val affectedNames = table.join(srcKeys, keys, "left_semi")
+      .select("__qbeast_file").distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    val affected = s.files.filter(f => affectedNames.contains(new Path(f.path).getName))
+
+    // ---- pass 2: rewrite affected files WITHOUT the matched rows ----
+    val survivorAdds = affected.groupBy(_.revisionId).toSeq.flatMap { case (rid, files) =>
+      val paths = files.map(f => new Path(tablePath, f.path).toString)
+      val survivors = spark.read.parquet(paths: _*).join(srcKeys, keys, "left_anti")
+      val revision =
+        if (rid == Revision.StagingID)
+          latestRevision.getOrElse(throw new UnsupportedOperationException(
+            "keyed mutation of a staging-only qbeast table: optimize() first"))
+        else s.revisions(rid)
+      val status = s.indexStatus(revision.revisionID)
+      val frozen = status.cubeStatuses.map { case (c, st) => c -> st.maxWeight }.toMap
+      QbeastWriter.index(spark, tablePath, survivors, revision, Some(status),
+        files.map(_.elementCount).sum, frozenWeights = Some(frozen))
+    }
+    (affected, survivorAdds)
   }
 
   /** One atomic commit of a mutation, with the writer's rebase loop:

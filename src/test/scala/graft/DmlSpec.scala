@@ -233,15 +233,36 @@ class DmlSpec extends AnyFunSuite {
     assert(back.filter("l_orderkey >= 90000000").count() === inserted)
   }
 
+  test("SQL MERGE WHEN MATCHED THEN DELETE drops exactly the matched keys") {
+    val (name, dir) = sqlCatalogTable("dml-sqlmrgdel")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    raw.filter("l_orderkey % 7 = 0").createOrReplaceTempView("dml_sqlmrgdel_src")
+    spark.sql(s"""MERGE INTO $name t USING dml_sqlmrgdel_src s
+      ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+      WHEN MATCHED THEN DELETE""")
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === raw.filter("l_orderkey % 7 <> 0").count())
+    assert(back.filter("l_orderkey % 7 = 0").count() === 0)
+  }
+
   test("SQL MERGE with unsupported shapes fails with a clear error") {
     val (name, _) = sqlCatalogTable("dml-sqlbad")
     spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("dml_sqlbad_src")
+    // conditional matched clause: not expressible as whole-row upsert
     val e = intercept[Exception] {
       spark.sql(s"""MERGE INTO $name t USING dml_sqlbad_src s
         ON t.l_orderkey = s.l_orderkey
-        WHEN MATCHED THEN DELETE""")
+        WHEN MATCHED AND s.l_quantity > 10 THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *""")
     }
     assert(e.getMessage.contains("qbeast MERGE/UPDATE does not support"))
+    // non-equi ON condition
+    val e2 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $name t USING dml_sqlbad_src s
+        ON t.l_orderkey < s.l_orderkey
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e2.getMessage.contains("qbeast MERGE/UPDATE does not support"))
   }
 
 }
