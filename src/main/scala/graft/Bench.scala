@@ -48,6 +48,7 @@ object Bench {
     QTables.qbeastRestored(spark, sfDir).count()
     QTables.qbeastSqlUpdated(spark, sfDir).count()
     QTables.qbeastSqlMerged(spark, sfDir).count()
+    QTables.qbeastCheckpointed(spark, sfDir).count()
     val indexBuild = (System.nanoTime() - t0) / 1e9
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

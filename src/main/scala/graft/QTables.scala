@@ -332,6 +332,32 @@ object QTables {
   /** lineitem after a copy-on-write row-level DELETE (files holding
    * matching rows rewritten without them, one atomic commit): content
    * equals the raw table minus the heavy-quantity rows. */
+  /** lineitem split into a checkpointed bulk (90%, consolidated into a
+   * JSON checkpoint + parquet sidecar) plus a post-checkpoint append
+   * tail (10%) — the read takes the DISTRIBUTED metadata path: light
+   * log replay on the driver, block pruning as a Spark job over the
+   * sidecar, tail overlaid. End state is exactly full lineitem. */
+  def qbeastCheckpointed(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "lineitem_checkpointed")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val (cols, cubeSize) = indexSpecs("lineitem")
+        val li = raw(spark, sfDir, "lineitem")
+        li.filter("l_orderkey % 10 <> 1").write.format("qbeast")
+          .option("columnsToIndex", cols)
+          .option("cubeSize", cubeSize.toString)
+          .save(path)
+        spark.conf.set("spark.qbeast.metadata.sidecar.minFiles", "0")
+        try graft.table.QbeastTable.forPath(spark, path).checkpoint()
+        finally spark.conf.unset("spark.qbeast.metadata.sidecar.minFiles")
+        li.filter("l_orderkey % 10 = 1").write.format("qbeast")
+          .mode("append").save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   def qbeastDeleted(spark: SparkSession, sfDir: String): DataFrame = {
     ensureExtensions(spark)
     val path = cachePath(sfDir, "lineitem_deleted")

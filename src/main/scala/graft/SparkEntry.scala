@@ -715,6 +715,15 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q65_distributed_meta" -> ((s, dir) => {
+      // metadata-scale read: parquet sidecar checkpoint + executor-side
+      // block pruning (light log replay; the post-checkpoint append tail
+      // overlays the sidecar). Result must equal a plain full-table read.
+      QTables.qbeastCheckpointed(s, dir)
+        .filter(col("l_extendedprice") < 20000)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
     "q56_time_travel" -> ((s, dir) => {
       // VERSION 0 of the appended table = the even-orderkey first write;
       // the oracle recomputes that slice from the raw data
@@ -1559,6 +1568,9 @@ object SparkEntry {
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM merged GROUP BY 1""".stripMargin,
+    "q65_distributed_meta" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_extendedprice < 20000 GROUP BY 1""".stripMargin,
     "q57_corpus_diff" ->
       """SELECT l_returnflag, count(*) AS n_added, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1""".stripMargin,

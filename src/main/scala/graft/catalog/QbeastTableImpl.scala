@@ -74,11 +74,19 @@ final case class QbeastTableImpl(
         }
     }
 
-  /** V1 relation for the analyzer swap; empty tables read as empty. */
+  /** V1 relation for the analyzer swap; empty tables read as empty.
+   * Same sidecar-aware branch as `QbeastDataSource.createRelation`. */
   def toV1Relation(spark: SparkSession): HadoopFsRelation = {
-    val snapshot = QbeastLog.snapshot(location,
-      spark.sparkContext.hadoopConfiguration, asOfVersion)
-    val fileIndex = new QbeastFileIndex(spark, snapshot.copy(tablePath = location))
+    val distributedOk = !spark.conf.getOption("spark.qbeast.metadata.distributed")
+      .exists(_.equalsIgnoreCase("false"))
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val snapshot0 =
+      if (distributedOk) QbeastLog.lightSnapshot(location, hadoopConf, asOfVersion)
+      else QbeastLog.snapshot(location, hadoopConf, asOfVersion)
+    val snapshot = snapshot0.copy(tablePath = location)
+    val fileIndex =
+      if (snapshot.filesComplete) new QbeastFileIndex(spark, snapshot)
+      else new graft.read.DistributedQbeastFileIndex(spark, snapshot)
     HadoopFsRelation(
       location = fileIndex,
       partitionSchema = StructType(Nil),

@@ -25,7 +25,18 @@ final case class QbeastSnapshot(
     configuration: Map[String, String],
     revisions: Map[Long, Revision],
     files: Vector[IndexFile],
-    txns: Map[String, Long]) {
+    txns: Map[String, Long],
+    /** When false (light replay, see [[QbeastLog.lightSnapshot]]):
+     * `files` holds ONLY the adds from commits after `checkpointVersion`;
+     * the consolidated bulk lives in the parquet sidecar and is consumed
+     * distributively by `read.DistributedQbeastFileIndex`. Control-plane
+     * consumers (writer, optimize, metrics) always use complete
+     * snapshots. */
+    filesComplete: Boolean = true,
+    checkpointVersion: Long = -1L,
+    /** Paths added or removed by the tail (light replay only): these
+     * override the checkpoint sidecar rows of the same path. */
+    tailTouchedPaths: Set[String] = Set.empty) {
 
   def isEmpty: Boolean = version < 0
 
@@ -118,7 +129,25 @@ object QbeastLog {
   def snapshot(
       tablePath: String,
       conf: Configuration,
-      asOfVersion: Long = -1L): QbeastSnapshot = {
+      asOfVersion: Long = -1L): QbeastSnapshot =
+    replaySnapshot(tablePath, conf, asOfVersion, withFiles = true)
+
+  /** Light replay for the distributed read path: skips materializing the
+   * checkpointed file list on the driver (only the post-checkpoint tail
+   * is parsed), provided a parquet sidecar exists for the checkpoint.
+   * Falls back to a full snapshot when it doesn't — callers check
+   * `filesComplete`. */
+  def lightSnapshot(
+      tablePath: String,
+      conf: Configuration,
+      asOfVersion: Long = -1L): QbeastSnapshot =
+    replaySnapshot(tablePath, conf, asOfVersion, withFiles = false)
+
+  private def replaySnapshot(
+      tablePath: String,
+      conf: Configuration,
+      asOfVersion: Long,
+      withFiles: Boolean): QbeastSnapshot = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(conf)
     val (allVersions0, checkpoints0) = listVersions(fs, dir)
@@ -139,29 +168,43 @@ object QbeastLog {
       return QbeastSnapshot(tablePath, -1L, None, Map.empty, Map.empty, Vector.empty,
         Map.empty)
 
+    // Light replay is only possible when the checkpoint's file bulk is
+    // available as a parquet sidecar for executors to scan.
+    val light = !withFiles &&
+      fromCheckpoint.exists(cv => FileCheckpoint.exists(tablePath, conf, cv))
+
     var schema: Option[StructType] = None
     var configuration = Map.empty[String, String]
     val revisions = mutable.HashMap.empty[Long, Revision]
     val files = mutable.LinkedHashMap.empty[String, IndexFile]
+    val touched = Set.newBuilder[String]
     val txns = mutable.HashMap.empty[String, Long]
 
     val dimensionsOf: Long => Int = { rid =>
       revisions.get(rid).map(r => math.max(r.dimensionCount, 1)).getOrElse(1)
     }
 
-    def replay(path: Path): Unit = {
+    def replay(path: Path, skipAdds: Boolean): Unit = {
       val in = fs.open(path)
       val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
       try {
         var line = reader.readLine()
         while (line != null) {
-          if (line.nonEmpty) QbeastLogSerde.parseLine(line, dimensionsOf) match {
+          // serde writes adds as {"add":{...}} — cheap prefix test lets
+          // light replay skip the (potentially millions of) file lines
+          // without JSON-parsing them
+          val skip = skipAdds && line.startsWith("{\"add\"")
+          if (line.nonEmpty && !skip) QbeastLogSerde.parseLine(line, dimensionsOf) match {
             case MetaDataAction(schemaJson, conf) =>
               schema = Some(DataType.fromJson(schemaJson).asInstanceOf[StructType])
               configuration = conf
             case RevisionAction(r) => revisions.update(r.revisionID, r)
-            case AddFileAction(f, _) => files.update(f.path, f)
-            case RemoveFileAction(r) => files.remove(r.path)
+            case AddFileAction(f, _) =>
+              files.update(f.path, f)
+              if (light) touched += f.path
+            case RemoveFileAction(r) =>
+              files.remove(r.path)
+              if (light) touched += r.path
             case TxnAction(appId, version) => txns.update(appId, version)
             case CommitInfoAction(_, _) => // history-only metadata
           }
@@ -170,12 +213,15 @@ object QbeastLog {
       } finally reader.close()
     }
 
-    fromCheckpoint.foreach(cv => replay(checkpointFile(tablePath, cv)))
-    versions.foreach(v => replay(versionFile(tablePath, v)))
+    fromCheckpoint.foreach(cv => replay(checkpointFile(tablePath, cv), skipAdds = light))
+    versions.foreach(v => replay(versionFile(tablePath, v), skipAdds = false))
 
     val snap = QbeastSnapshot(tablePath, allVersions.last, schema, configuration,
-      revisions.toMap, files.values.toVector, txns.toMap)
-    if (asOfVersion < 0) maybeCheckpoint(fs, snap, fromCheckpoint.getOrElse(-1L))
+      revisions.toMap, files.values.toVector, txns.toMap,
+      filesComplete = !light,
+      checkpointVersion = if (light) fromCheckpoint.get else -1L,
+      tailTouchedPaths = if (light) touched.result() else Set.empty)
+    if (asOfVersion < 0 && !light) maybeCheckpoint(fs, snap, fromCheckpoint.getOrElse(-1L))
     snap
   }
 
@@ -204,6 +250,16 @@ object QbeastLog {
       snap: QbeastSnapshot,
       lastCheckpoint: Long): Unit = {
     if (snap.version - lastCheckpoint < CheckpointInterval) return
+    writeCheckpoint(fs, snap)
+  }
+
+  /** Consolidate the current state into a JSON checkpoint, plus — when a
+   * SparkSession is active and the table is big enough for it to pay —
+   * the parquet sidecar consumed by the distributed read path. Public so
+   * `QbeastTable.checkpoint()` can force one (Delta's `checkpoint()`
+   * equivalent). */
+  def writeCheckpoint(fs: FileSystem, snap: QbeastSnapshot): Unit = {
+    require(snap.filesComplete, "cannot checkpoint a light snapshot")
     val target = checkpointFile(snap.tablePath, snap.version)
     val actions: Seq[LogAction] =
       snap.schema.map(sc => MetaDataAction(sc.json, snap.configuration)).toSeq ++
@@ -218,6 +274,13 @@ object QbeastLog {
       // read-only reader without write permission on _qbeast_log) must
       // never break a plain read — log-and-continue.
       case scala.util.control.NonFatal(_) =>
+    }
+    // parquet sidecar: a Spark job, so gate on table size (default: only
+    // once the driver-side flat scan starts to matter)
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { spark =>
+      val minFiles = spark.conf.getOption("spark.qbeast.metadata.sidecar.minFiles")
+        .map(_.toLong).getOrElse(10000L)
+      if (snap.files.size >= minFiles) FileCheckpoint.write(spark, snap)
     }
   }
 

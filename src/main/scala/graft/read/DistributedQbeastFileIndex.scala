@@ -1,0 +1,148 @@
+package graft.read
+
+import graft.core.model._
+import graft.log.{CheckpointFileRow, FileCheckpoint, QbeastLog, QbeastSnapshot}
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Metadata-scale variant of [[QbeastFileIndex]]: block-level pruning runs
+ * as a Spark job over the parquet file-checkpoint sidecar instead of a
+ * driver-side scan (reference shape: `core/.../query/QueryExecutor.scala:
+ * 44-93`, which prunes a `Dataset[IndexFile]` built from Delta's parquet
+ * checkpoint).
+ *
+ * The snapshot here is a LIGHT replay ([[QbeastLog.lightSnapshot]]): the
+ * driver holds only schema/config/revisions plus the post-checkpoint
+ * commit tail — never the consolidated file list. Executors scan the
+ * sidecar, evaluate the same `QuerySpec` block matching against a
+ * broadcast of the (tiny) per-revision spec map, and ship back only the
+ * surviving `(path, size, modificationTime, stats)` — O(query
+ * selectivity) driver memory, where the flat path is O(table files).
+ * Per-file column stats pruning then runs on the driver over the
+ * survivors only (catalyst `Expression`s stay driver-side; no plan
+ * serialization).
+ *
+ * The post-checkpoint tail (≤ CheckpointInterval commits) is applied
+ * exactly as the log replay would: tail adds join the candidate set
+ * through the flat matcher; any path the tail touched (re-added or
+ * removed) is masked out of the sidecar rows. Unconditional scans
+ * (`filters = Nil`) still enumerate everything — Spark's `FileIndex`
+ * contract requires the full file list for scan planning, same as any
+ * format — but the enumeration is a distributed collect of paths, not a
+ * driver JSON replay.
+ */
+final class DistributedQbeastFileIndex(
+    spark: SparkSession,
+    @volatile private var snapshot: QbeastSnapshot)
+    extends FileIndex with QbeastIndex {
+
+  require(!snapshot.filesComplete,
+    "DistributedQbeastFileIndex expects a light snapshot; use QbeastFileIndex otherwise")
+
+  private val tablePath = new Path(snapshot.tablePath)
+
+  private def summary: (Long, Long) =
+    FileCheckpoint.summary(snapshot.tablePath,
+      spark.sparkContext.hadoopConfiguration, snapshot.checkpointVersion)
+      .getOrElse((0L, 0L))
+
+  override def rootPaths: Seq[Path] = Seq(tablePath)
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  /** Estimate from the checkpoint summary plus tail adds. Removed-by-tail
+   * checkpoint bytes are not subtracted (their sizes are unknown without
+   * a scan) — a slight over-estimate, conservative for join planning. */
+  override def sizeInBytes: Long =
+    math.max(summary._2 + snapshot.files.map(_.size).sum, 1L)
+
+  override def inputFiles: Array[String] = {
+    val touched = snapshot.tailTouchedPaths
+    val cp = checkpointRows(Nil)
+      .filter(r => !touched.contains(r.path)).map(_.path)
+    (cp ++ snapshot.files.map(_.path))
+      .map(p => new Path(tablePath, p).toString).toArray
+  }
+
+  override def refresh(): Unit = {
+    val fresh = QbeastLog.lightSnapshot(snapshot.tablePath,
+      spark.sparkContext.hadoopConfiguration)
+    snapshot =
+      if (fresh.filesComplete) fresh // sidecar vanished: degrade gracefully
+      else fresh
+  }
+
+  def currentSnapshot: QbeastSnapshot = snapshot
+
+  /** Distributed index pruning over the sidecar. Returns survivors as
+   * slim rows (blocks dropped before collect). When no revision has a
+   * constraining spec the `blocks` column is never read at all — parquet
+   * column pruning makes the unconditional enumeration a scan of four
+   * scalar columns. */
+  private def checkpointRows(filters: Seq[Expression]): Seq[CheckpointFileRow] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pruning = QbeastFileIndex.revisionSpecs(snapshot, filters)
+    val touched = snapshot.tailTouchedPaths
+    val touchedB = spark.sparkContext.broadcast(touched)
+    val df = FileCheckpoint
+      .read(spark, snapshot.tablePath, snapshot.checkpointVersion)
+    if (pruning.isEmpty) {
+      val slim = df
+        .select(col("path"), col("size"), col("modificationTime"),
+          col("revisionId"), col("stats"))
+        .as[(String, Long, Long, Long, Option[String])]
+      slim.mapPartitions { it =>
+        val touched = touchedB.value
+        it.filter(r => !touched.contains(r._1))
+      }.collect().toSeq.map { case (p, size, mtime, rid, stats) =>
+        CheckpointFileRow(p, size, mtime, rid, Nil, stats)
+      }
+    } else {
+      val pruningB = spark.sparkContext.broadcast(pruning)
+      df.as[CheckpointFileRow].mapPartitions { it =>
+        val pruning = pruningB.value
+        val touched = touchedB.value
+        it.filter { r =>
+          !touched.contains(r.path) && (pruning.get(r.revisionId) match {
+            case None => true
+            case Some((dims, specs)) =>
+              r.blocks.exists { b =>
+                val block = Block(CubeId.fromString(dims, b.cube),
+                  Weight(b.minWeight), Weight(b.maxWeight), b.elementCount)
+                specs.exists(s => QbeastFileIndex.blockMatches(block, s))
+              }
+          })
+        }.map(r => r.copy(blocks = Nil))
+      }.collect().toSeq
+    }
+  }
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val filters = partitionFilters ++ dataFilters
+    // tail adds: flat matcher over the (small) post-checkpoint commits
+    val tailSelected = QbeastFileIndex
+      .selectFiles(snapshot.copy(filesComplete = true), filters)
+      .map(f => (f.path, f.size, f.modificationTime))
+    // checkpoint bulk: Spark job over the sidecar, then stats pruning on
+    // the survivors only
+    val cpCandidates = checkpointRows(filters)
+    val cpSelected = (
+      if (filters.isEmpty) cpCandidates
+      else cpCandidates.filter(r => FileStatsPruning.mayMatch(r.stats, filters))
+    ).map(r => (r.path, r.size, r.modificationTime))
+    val statuses = (cpSelected ++ tailSelected).map { case (p, size, mtime) =>
+      new FileStatus(size, false, 1, 134217728L, mtime, new Path(tablePath, p))
+    }.toArray
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+  }
+
+}

@@ -10,6 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
 
+/** Common face of the two qbeast FileIndex flavors (flat driver-side
+ * scan vs sidecar-distributed), so plan rewrites ([[graft.rules.SampleRule]],
+ * DML target resolution) work over either. */
+trait QbeastIndex {
+  def currentSnapshot: QbeastSnapshot
+}
+
 /**
  * The physical heart of the read path (reference:
  * `core/.../index/DefaultFileIndex.scala` + `QueryExecutor.scala`):
@@ -26,7 +33,7 @@ import org.apache.spark.sql.types.StructType
 final class QbeastFileIndex(
     spark: SparkSession,
     @volatile private var snapshot: QbeastSnapshot)
-    extends FileIndex {
+    extends FileIndex with QbeastIndex {
 
   private val tablePath = new Path(snapshot.tablePath)
 
@@ -61,35 +68,51 @@ final class QbeastFileIndex(
 
 object QbeastFileIndex {
 
+  /** Pruning specs per revision, derived once from the Catalyst filters.
+   * Only revisions whose specs actually constrain something get an
+   * entry; files of absent revisions (staging, unknown, all-space specs)
+   * are always kept. The value also carries the revision's dimension
+   * count so executors can rebuild `CubeId`s from their string form —
+   * this map is small (revisions, not files) and serializable, which is
+   * what lets [[DistributedQbeastFileIndex]] broadcast it. */
+  private[read] def revisionSpecs(
+      snapshot: QbeastSnapshot,
+      filters: Seq[Expression]): Map[Long, (Int, Seq[QuerySpec])] = {
+    val latestColumns = snapshot.lastRevision.map(_.columnNames)
+    snapshot.revisions.valuesIterator.filterNot(_.isStaging).flatMap { revision =>
+      var specs = new QuerySpecBuilder(revision).build(filters)
+      // the sampling hash filter is over the LATEST revision's
+      // columns; block weights of a revision indexed on different
+      // columns say nothing about it — drop the weight constraint
+      // there (space pruning stays valid)
+      if (!latestColumns.contains(revision.columnNames)) {
+        specs = specs.map(_.copy(weightRange = WeightRange.All))
+      }
+      if (specs.forall(s => s.weightRange.isAll && s.querySpace == AllSpace)) None
+      else Some(revision.revisionID ->
+        (math.max(revision.dimensionCount, 1), specs))
+    }.toMap
+  }
+
   /** Block-level pruning: a file survives iff any of its blocks may hold
    * a row matching any disjunct. Staging (revision-0) files are always
    * index-candidates (unindexed, root-only data). A second, independent
    * layer then applies the per-file column stats (data skipping on
    * non-indexed columns) to every candidate, staging included. */
   def selectFiles(snapshot: QbeastSnapshot, filters: Seq[Expression]): Vector[IndexFile] = {
-    val byRevision = snapshot.files.groupBy(_.revisionId)
-    val latestColumns = snapshot.lastRevision.map(_.columnNames)
-    val indexSelected = byRevision.iterator.flatMap { case (revisionId, files) =>
-      snapshot.revisions.get(revisionId).filterNot(_.isStaging) match {
-        case None => files // staging or unknown revision: keep everything
-        case Some(revision) =>
-          var specs = new QuerySpecBuilder(revision).build(filters)
-          // the sampling hash filter is over the LATEST revision's
-          // columns; block weights of a revision indexed on different
-          // columns say nothing about it — drop the weight constraint
-          // there (space pruning stays valid)
-          if (!latestColumns.contains(revision.columnNames)) {
-            specs = specs.map(_.copy(weightRange = WeightRange.All))
-          }
-          if (specs.forall(s => s.weightRange.isAll && s.querySpace == AllSpace)) files
-          else files.filter(f => f.blocks.exists(b => specs.exists(s => blockMatches(b, s))))
+    val pruning = revisionSpecs(snapshot, filters)
+    val indexSelected = snapshot.files.filter { f =>
+      pruning.get(f.revisionId) match {
+        case None => true
+        case Some((_, specs)) =>
+          f.blocks.exists(b => specs.exists(s => blockMatches(b, s)))
       }
-    }.toVector
+    }
     if (filters.isEmpty) indexSelected
     else indexSelected.filter(f => FileStatsPruning.mayMatch(f.stats, filters))
   }
 
-  private def blockMatches(block: Block, spec: QuerySpec): Boolean = {
+  private[read] def blockMatches(block: Block, spec: QuerySpec): Boolean = {
     val wr = spec.weightRange
     val weightOk =
       (block.minWeight.value < wr.to.value || wr.to == Weight.MaxValue) &&

@@ -1,7 +1,7 @@
 package graft.rules
 
 import graft.catalog.QbeastTableImpl
-import graft.read.QbeastFileIndex
+import graft.read.QbeastIndex
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
@@ -141,7 +141,7 @@ object QbeastDmlRules {
       case _ => None
     }
     case l: LogicalRelation => l.relation match {
-      case HadoopFsRelation(fi: QbeastFileIndex, _, _, _, _, _) =>
+      case HadoopFsRelation(fi: QbeastIndex, _, _, _, _, _) =>
         Some(fi.currentSnapshot.tablePath)
       case _ => None
     }

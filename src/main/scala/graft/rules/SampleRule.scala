@@ -1,7 +1,7 @@
 package graft.rules
 
 import graft.core.model.{Revision, Weight}
-import graft.read.QbeastFileIndex
+import graft.read.QbeastIndex
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
@@ -43,8 +43,8 @@ class SampleRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** The single qbeast relation at the bottom of a Project/Filter-only
    * chain, if that is the plan's shape. */
   private def linearChainRelation(
-      plan: LogicalPlan): Option[(QbeastFileIndex, LogicalRelation)] = plan match {
-    case r @ LogicalRelation(HadoopFsRelation(fi: QbeastFileIndex, _, _, _, _, _), _, _, _, _) =>
+      plan: LogicalPlan): Option[(QbeastIndex, LogicalRelation)] = plan match {
+    case r @ LogicalRelation(HadoopFsRelation(fi: QbeastIndex, _, _, _, _, _), _, _, _, _) =>
       Some((fi, r))
     case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
       linearChainRelation(p.child)
@@ -64,7 +64,7 @@ class SampleRule(spark: SparkSession) extends Rule[LogicalPlan] {
       target: LogicalRelation): LogicalPlan = child transformUp {
     case r: LogicalRelation if r eq target =>
       val fi = r.relation.asInstanceOf[HadoopFsRelation].location
-        .asInstanceOf[QbeastFileIndex]
+        .asInstanceOf[QbeastIndex]
       val cols = revisionColumns(fi, r.output).get
       val hashExpr = new Murmur3Hash(cols)
       val minW = Literal(Weight.fromFraction(lower).value)
@@ -78,7 +78,7 @@ class SampleRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Indexed columns of the latest revision, resolved against the
    * relation output. */
   private def revisionColumns(
-      fi: QbeastFileIndex,
+      fi: QbeastIndex,
       output: Seq[Attribute]): Option[Seq[Attribute]] = {
     val snapshot = fi.currentSnapshot
     snapshot.lastRevision.filterNot(_.isStaging).flatMap { revision: Revision =>

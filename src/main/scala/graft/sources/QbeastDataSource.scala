@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.core.model.QbeastOptions
 import graft.log.QbeastLog
-import graft.read.QbeastFileIndex
+import graft.read.{DistributedQbeastFileIndex, QbeastFileIndex}
 import graft.write.QbeastWriter
 
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
@@ -50,10 +50,23 @@ class QbeastDataSource
     val asOf = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toLong
     }.getOrElse(-1L)
-    val snapshot = QbeastLog.snapshot(path, spark.sparkContext.hadoopConfiguration, asOf)
+    // Metadata-scale path: when a parquet file-checkpoint sidecar exists
+    // (written once the table crosses spark.qbeast.metadata.sidecar
+    // .minFiles), replay only the commit tail on the driver and prune
+    // distributively. "false" opts out; default auto.
+    val distributedOk = !spark.conf.getOption("spark.qbeast.metadata.distributed")
+      .exists(_.equalsIgnoreCase("false"))
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    // lightSnapshot falls back to a complete snapshot when no sidecar
+    // exists, so one replay serves both cases
+    val snapshot =
+      if (distributedOk) QbeastLog.lightSnapshot(path, hadoopConf, asOf)
+      else QbeastLog.snapshot(path, hadoopConf, asOf)
     if (snapshot.isEmpty)
       throw new IllegalArgumentException(s"no qbeast table at $path")
-    val fileIndex = new QbeastFileIndex(spark, snapshot)
+    val fileIndex =
+      if (snapshot.filesComplete) new QbeastFileIndex(spark, snapshot)
+      else new DistributedQbeastFileIndex(spark, snapshot)
     HadoopFsRelation(
       location = fileIndex,
       partitionSchema = StructType(Nil),

@@ -577,6 +577,17 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     deleted
   }
 
+  /** Force a consolidated checkpoint (JSON + parquet sidecar when the
+   * table crosses `spark.qbeast.metadata.sidecar.minFiles`) at the
+   * current version, without waiting for the commit-interval trigger —
+   * Delta's `checkpoint()` equivalent. The sidecar is what enables the
+   * distributed metadata read path ([[graft.read.DistributedQbeastFileIndex]]). */
+  def checkpoint(): Unit = {
+    val s = snapshot
+    if (!s.isEmpty)
+      QbeastLog.writeCheckpoint(new Path(tablePath).getFileSystem(conf), s)
+  }
+
   /** Structural metrics of one revision's index (reference:
    * `core/.../spark/utils/IndexMetrics.scala:26-137` — height, fanout,
    * balance, inner/leaf cube size stats, block/file stats). */

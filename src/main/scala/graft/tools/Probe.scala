@@ -596,9 +596,10 @@ object MetaScaleProbe {
       var i = 0
       while (i < n) {
         val k = written + i
-        var cube = root
-        var d = 0
-        while (d < 10) { cube = cube.children.next(); d += 1 } // deep chain
+        // spread files uniformly over space at depth 10 so selective
+        // predicates actually prune (each file owns a distinct region)
+        val frac = k.toDouble / numFiles
+        val cube = graft.core.model.CubeId.containerAt(Array(frac, frac), 10)
         actions += graft.log.AddFileAction(graft.core.model.IndexFile(
           path = s"f$k.parquet", size = 128000000L, modificationTime = 0L,
           revisionId = 1L,
@@ -629,6 +630,44 @@ object MetaScaleProbe {
     val selected = graft.read.QbeastFileIndex.selectFiles(snap2,
       Seq.empty) // no filters: full listing path
     println(f"[metascale] selectFiles(all): ${selected.size}%d in ${(System.nanoTime() - t3) / 1e9}%.2f s")
+
+    // ---- distributed metadata path at the same scale ----
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.qbeast.metadata.sidecar.minFiles", "0")
+    val t4 = System.nanoTime()
+    graft.log.QbeastLog.writeCheckpoint(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(conf), snap2)
+    println(f"[metascale] sidecar write: ${(System.nanoTime() - t4) / 1e9}%.1f s")
+
+    System.gc()
+    val memL0 = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    val t5 = System.nanoTime()
+    val light = graft.log.QbeastLog.lightSnapshot(dir, conf)
+    val lightSec = (System.nanoTime() - t5) / 1e9
+    System.gc()
+    val memL1 = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    println(f"[metascale] light snapshot: complete=${light.filesComplete}%b " +
+      f"load=$lightSec%.2f s retainedMB=${(memL1 - memL0) / 1e6}%.0f " +
+      f"(vs full: $loadSec%.1f s)")
+
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    // selective predicate on the first indexed column: a <= 20000
+    val pred = LessThanOrEqual(
+      AttributeReference("a", LongType)(), Literal(20000L))
+    val dfi = new graft.read.DistributedQbeastFileIndex(spark, light)
+    val t6 = System.nanoTime()
+    val distSel = dfi.listFiles(Nil, Seq(pred)).head.files.length
+    val distSec = (System.nanoTime() - t6) / 1e9
+    val t7 = System.nanoTime()
+    val flatSel = graft.read.QbeastFileIndex.selectFiles(snap2, Seq(pred)).size
+    val flatSec = (System.nanoTime() - t7) / 1e9
+    println(f"[metascale] pruned select: distributed=$distSel%d in $distSec%.2f s, " +
+      f"flat=$flatSel%d in $flatSec%.2f s")
+    spark.stop()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import graft.log.{FileCheckpoint, QbeastLog}
+import graft.read.{DistributedQbeastFileIndex, QbeastFileIndex}
+import graft.table.QbeastTable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The metadata-scale read path: parquet file-checkpoint sidecar +
+ * executor-side pruning must select exactly the files the flat
+ * driver-side path selects, under appends, deletes and sampling. */
+class DistributedMetadataSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def fileIndexOf(df: DataFrame) =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s.relation.location
+    }.get
+
+  private def withSidecar[T](f: => T): T = {
+    spark.conf.set("spark.qbeast.metadata.sidecar.minFiles", "0")
+    try f
+    finally spark.conf.unset("spark.qbeast.metadata.sidecar.minFiles")
+  }
+
+  private def writeTable(dir: String): Unit = {
+    import spark.implicits._
+    val df = (1 to 30000).map(i => (i.toLong, i * 1.5, s"cat_${i % 7}"))
+      .toDF("id", "value", "category")
+    df.write.format("qbeast")
+      .option("columnsToIndex", "id,value").option("cubeSize", "2000").save(dir)
+    // second commit so the checkpoint consolidates more than one version
+    (30001 to 36000).map(i => (i.toLong, i * 1.5, s"cat_${i % 7}"))
+      .toDF("id", "value", "category")
+      .write.format("qbeast").mode("append").save(dir)
+  }
+
+  test("sidecar read path selects exactly the files of the flat path") {
+    val dir = TestSpark.tmpDir("dist-meta")
+    writeTable(dir)
+    withSidecar { QbeastTable.forPath(spark, dir).checkpoint() }
+    val snapVersion = QbeastLog.snapshot(dir,
+      spark.sparkContext.hadoopConfiguration).version
+    assert(FileCheckpoint.exists(dir,
+      spark.sparkContext.hadoopConfiguration, snapVersion), "sidecar written")
+
+    // tail commit AFTER the checkpoint: distributed path must overlay it
+    import spark.implicits._
+    (36001 to 38000).map(i => (i.toLong, i * 1.5, s"cat_${i % 7}"))
+      .toDF("id", "value", "category")
+      .write.format("qbeast").mode("append").save(dir)
+
+    val distDf = spark.read.format("qbeast").load(dir)
+    assert(fileIndexOf(distDf).isInstanceOf[DistributedQbeastFileIndex],
+      "sidecar present: read should take the distributed path")
+
+    spark.conf.set("spark.qbeast.metadata.distributed", "false")
+    val flatDf =
+      try spark.read.format("qbeast").load(dir)
+      finally spark.conf.unset("spark.qbeast.metadata.distributed")
+    assert(fileIndexOf(flatDf).isInstanceOf[QbeastFileIndex])
+
+    for (pred <- Seq("id <= 1200", "id > 35500", "value >= 3000.0 and value < 9000.0",
+        "category = 'cat_3'", "1=1")) {
+      val d = distDf.filter(pred)
+      val f = flatDf.filter(pred)
+      assert(d.count() === f.count(), s"row parity for $pred")
+      val dFiles = d.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+      val fFiles = f.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+      assert(dFiles === fFiles, s"identical file selection for $pred")
+    }
+
+    // sampling pushdown flows through the same listFiles contract
+    val dSample = distDf.sample(0.1).count()
+    val fSample = flatDf.sample(0.1).count()
+    assert(dSample === fSample, "deterministic sample parity")
+  }
+
+  test("tail deletes mask checkpointed sidecar rows") {
+    val dir = TestSpark.tmpDir("dist-meta-del")
+    writeTable(dir)
+    withSidecar { QbeastTable.forPath(spark, dir).checkpoint() }
+    // copy-on-write delete AFTER the checkpoint: removes checkpointed
+    // files, adds rewritten ones — both must overlay the sidecar
+    QbeastTable.forPath(spark, dir).delete("id <= 15000")
+
+    val distDf = spark.read.format("qbeast").load(dir)
+    assert(fileIndexOf(distDf).isInstanceOf[DistributedQbeastFileIndex])
+    assert(distDf.count() === 21000L)
+    assert(distDf.filter("id <= 15000").count() === 0L)
+    spark.conf.set("spark.qbeast.metadata.distributed", "false")
+    try assert(spark.read.format("qbeast").load(dir).count() === 21000L)
+    finally spark.conf.unset("spark.qbeast.metadata.distributed")
+  }
+
+  test("light snapshot skips file materialization but keeps metadata") {
+    val dir = TestSpark.tmpDir("dist-meta-light")
+    writeTable(dir)
+    withSidecar { QbeastTable.forPath(spark, dir).checkpoint() }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val full = QbeastLog.snapshot(dir, conf)
+    val light = QbeastLog.lightSnapshot(dir, conf)
+    assert(!light.filesComplete)
+    assert(light.checkpointVersion === full.version)
+    assert(light.files.isEmpty, "no tail commits yet: no driver-side files")
+    assert(light.schema === full.schema)
+    assert(light.revisions.keySet === full.revisions.keySet)
+    val (numFiles, totalBytes) =
+      FileCheckpoint.summary(dir, conf, light.checkpointVersion).get
+    assert(numFiles === full.files.size.toLong)
+    assert(totalBytes === full.files.map(_.size).sum)
+  }
+
+  test("time travel to a pre-sidecar version falls back to the flat path") {
+    val dir = TestSpark.tmpDir("dist-meta-tt")
+    writeTable(dir)
+    withSidecar { QbeastTable.forPath(spark, dir).checkpoint() }
+    val v0 = spark.read.format("qbeast").option("versionAsOf", 0).load(dir)
+    assert(fileIndexOf(v0).isInstanceOf[QbeastFileIndex],
+      "no sidecar at version 0: flat path")
+    assert(v0.count() === 30000L)
+  }
+
+}
