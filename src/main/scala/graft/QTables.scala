@@ -241,6 +241,27 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** part indexed with the (reference-compatible, deprecated-upstream)
+   * string HISTOGRAM transformer on p_type: values bin against explicit
+   * sorted bounds; range predicates on p_type prune files. */
+  def qbeastHistogramPart(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "part_histogram")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        // explicit bounds at the observed p_type prefixes
+        val bounds = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+        raw(spark, sfDir, "part").write.format("qbeast")
+          .option("columnsToIndex", "p_type:histogram,p_retailprice")
+          .option("columnStats", s"""{"p_type_histogram": $bounds}""")
+          .option("cubeSize", "2000")
+          .save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** embeddings with a write-time IVF cluster column (argmax cosine to
    * the deterministic anchor vectors), co-located by cluster and
    * qbeast-indexed on it — ANN queries become file-pruned scans of the

@@ -316,6 +316,15 @@ object SparkEntry {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"), dec(col("p_retailprice")).as("sum_price"))
     }),
+    "q66_histogram_index" -> ((s, dir) => {
+      // the deprecated-but-compatible string HISTOGRAM transformer:
+      // p_type bins against explicit sorted bounds; the range predicate
+      // prunes via bin coordinates like any ordered transformation
+      QTables.qbeastHistogramPart(s, dir)
+        .filter(col("p_type") >= "PROMO" && col("p_type") < "STANDARD")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dec(col("p_retailprice")).as("sum_price"))
+    }),
     "q29_column_stats" -> ((s, dir) => {
       QTables.qbeastOrdersWithStats(s, dir)
         .filter(col("o_orderkey") < 5000)
@@ -1213,6 +1222,11 @@ object SparkEntry {
         |CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM part WHERE p_brand IN ('Brand#11','Brand#22','Brand#33')
         |AND p_retailprice > 1000 GROUP BY 1""".stripMargin,
+    "q66_histogram_index" ->
+      """SELECT p_brand, count(*) AS n,
+        |CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM part WHERE p_type >= 'PROMO' AND p_type < 'STANDARD'
+        |GROUP BY 1""".stripMargin,
     "q29_column_stats" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

@@ -220,6 +220,65 @@ private[transform] object CDFQuantiles {
 
 }
 
+/** Bin placement among sorted string bounds (reference:
+ * `core/.../transform/StringHistogramTransformation.scala:55-70` —
+ * deprecated upstream in favor of CDF quantiles, kept for format
+ * compatibility): exact hits map to i/(n-1); misses fall into the bin
+ * LEFT of the insertion point ((ip-1)/(n-1)); below-range 0, above 1.
+ * Nulls rank as the literal string "null", as the reference does (vs
+ * the quantile transformations' null→0.0). */
+final case class StringHistogramTransformation(histogram: IndexedSeq[String])
+    extends Transformation {
+  require(histogram.size > 1, "histogram needs at least 2 bounds")
+
+  def isDefault: Boolean = histogram == StringHistogramTransformation.DefaultHistogram
+
+  override def transform(value: Any): Double = {
+    val v = value match {
+      case null => "null"
+      case s: UTF8String => s.toString
+      case s: String => s
+      case other => other.toString
+    }
+    val n = histogram.length
+    var lo = 0
+    var hi = n - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = v.compareTo(histogram(mid))
+      if (c == 0) return mid.toDouble / (n - 1)
+      else if (c < 0) hi = mid - 1
+      else lo = mid + 1
+    }
+    if (lo == 0) 0.0 else math.min(1.0, (lo - 1).toDouble / (n - 1))
+  }
+
+  /** Reference semantics: the default histogram yields to any custom
+   * one; a custom histogram never falls back to the default. */
+  override def isSupersededBy(other: Transformation): Boolean = other match {
+    case o: StringHistogramTransformation =>
+      if (isDefault) !o.isDefault
+      else if (o.isDefault) false
+      else histogram != o.histogram
+    case EmptyTransformation => false
+    case _ => true
+  }
+
+  override def merge(other: Transformation): Transformation = other match {
+    case EmptyTransformation => this
+    case _ => other
+  }
+
+}
+
+object StringHistogramTransformation {
+
+  /** Reference default: one bin per lowercase ascii letter
+   * (`HistogramTransformer.defaultStringHistogram`). */
+  val DefaultHistogram: IndexedSeq[String] = (97 to 122).map(_.toChar.toString)
+
+}
+
 /** Placeholder for staging (revision 0) columns; always superseded. */
 case object EmptyTransformation extends Transformation {
   override def transform(value: Any): Double = 0.0

@@ -44,8 +44,10 @@ object Transformer {
     kind match {
       case "linear" => LinearTransformer(field.name, field.dataType.simpleString)
       case "hashing" => HashTransformer(field.name, field.dataType.simpleString)
-      case "quantiles" | "histogram" =>
+      case "quantiles" =>
         QuantilesTransformer(field.name, field.dataType.simpleString)
+      case "histogram" =>
+        StringHistogramTransformer(field.name, field.dataType.simpleString)
       case other => throw new IllegalArgumentException(s"unknown transformer: $other")
     }
   }
@@ -61,6 +63,7 @@ object Transformer {
     case "linear" => LinearTransformer(column, dataTypeName)
     case "hashing" => HashTransformer(column, dataTypeName)
     case "quantiles" => QuantilesTransformer(column, dataTypeName)
+    case "histogram" => StringHistogramTransformer(column, dataTypeName)
     case "empty" => EmptyTransformer(column, dataTypeName)
     case other => throw new IllegalArgumentException(s"unknown transformer kind: $other")
   }
@@ -131,6 +134,20 @@ final case class QuantilesTransformer(columnName: String, dataTypeName: String)
     throw new IllegalArgumentException(
       s"quantiles transformer on $columnName requires columnStats " +
         s"""{"${columnName}_quantiles": [...]} in the write options""")
+
+}
+
+/** Histogram-binned strings (reference `StringHistogramTransformer` —
+ * deprecated upstream for CDF quantiles, kept for compatibility). Bounds
+ * come from `columnStats {"col_histogram": [...]}`; absent that, the
+ * reference's default a-z histogram — no stats job either way. */
+final case class StringHistogramTransformer(columnName: String, dataTypeName: String)
+    extends Transformer {
+
+  override def kind: String = "histogram"
+
+  override def makeTransformation(stats: Row, offset: Int): Transformation =
+    StringHistogramTransformation(StringHistogramTransformation.DefaultHistogram)
 
 }
 

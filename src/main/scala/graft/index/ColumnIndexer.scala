@@ -40,12 +40,19 @@ object ColumnIndexer {
       case tr: CDFStringQuantilesTransformation =>
         val f = udf((v: String) => if (v == null) 0.0 else tr.transform(v))
         f(col(t.columnName).cast("string"))
+
+      case tr: StringHistogramTransformation =>
+        // tr.transform handles null itself (ranks as "null", reference
+        // behavior), so no null guard here
+        val f = udf((v: String) => tr.transform(v))
+        f(col(t.columnName).cast("string"))
     }
 
   private def dataTypeName(t: Transformer): String = t match {
     case LinearTransformer(_, dt) => dt
     case HashTransformer(_, dt) => dt
     case QuantilesTransformer(_, dt) => dt
+    case StringHistogramTransformer(_, dt) => dt
     case EmptyTransformer(_, dt) => dt
   }
 

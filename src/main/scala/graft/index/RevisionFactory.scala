@@ -42,6 +42,7 @@ object RevisionFactory {
     val newTransformations: Vector[Transformation] = transformers.map { t =>
       val fromStats = t match {
         case _: QuantilesTransformer => quantilesFromColumnStats(t, options)
+        case _: StringHistogramTransformer => histogramFromColumnStats(t, options)
         case _ if hasUserStats(t, options) => userStatsTransformation(t, options)
         case _ =>
           if (numElements == 0) IdentityTransformation(None)
@@ -131,6 +132,19 @@ object RevisionFactory {
       case _ =>
         throw new IllegalArgumentException(
           s"""quantiles indexing of ${t.columnName} needs columnStats {"$key":[...]}""")
+    }
+  }
+
+  /** Histogram bounds from `columnStats {"col_histogram":[...]}`;
+   * absent, the reference's default a-z histogram (unlike quantiles,
+   * histogram indexing works without user stats). */
+  private def histogramFromColumnStats(t: Transformer, options: QbeastOptions): Transformation = {
+    options.parsedColumnStats.get(s"${t.columnName}_histogram") match {
+      case Some(JArray(values)) if values.nonEmpty =>
+        StringHistogramTransformation(
+          values.collect { case JString(s) => s }.toVector)
+      case _ =>
+        StringHistogramTransformation(StringHistogramTransformation.DefaultHistogram)
     }
   }
 

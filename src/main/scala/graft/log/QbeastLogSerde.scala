@@ -42,6 +42,8 @@ object QbeastLogSerde {
       ("type" -> "quantiles_num") ~ ("quantiles" -> qs)
     case CDFStringQuantilesTransformation(qs) =>
       ("type" -> "quantiles_str") ~ ("quantiles" -> qs)
+    case StringHistogramTransformation(hist) =>
+      ("type" -> "histogram_str") ~ ("histogram" -> hist)
     case EmptyTransformation =>
       JObject("type" -> JString("empty"))
   }
@@ -57,6 +59,8 @@ object QbeastLogSerde {
         CDFNumericQuantilesTransformation((j \ "quantiles").extract[Vector[Double]])
       case "quantiles_str" =>
         CDFStringQuantilesTransformation((j \ "quantiles").extract[Vector[String]])
+      case "histogram_str" =>
+        StringHistogramTransformation((j \ "histogram").extract[Vector[String]])
       case "empty" => EmptyTransformation
       case other => throw new IllegalArgumentException(s"unknown transformation $other")
     }
@@ -77,6 +81,7 @@ object QbeastLogSerde {
     case LinearTransformer(_, dt) => dt
     case HashTransformer(_, dt) => dt
     case QuantilesTransformer(_, dt) => dt
+    case StringHistogramTransformer(_, dt) => dt
     case EmptyTransformer(_, dt) => dt
   }
 

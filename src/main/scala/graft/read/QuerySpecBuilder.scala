@@ -113,7 +113,8 @@ final class QuerySpecBuilder(revision: Revision) {
       val monotonic = t match {
         case _: LinearTransformation | _: IdentityTransformation |
             _: CDFNumericQuantilesTransformation |
-            _: CDFStringQuantilesTransformation => true
+            _: CDFStringQuantilesTransformation |
+            _: StringHistogramTransformation => true
         case _ => false
       }
       if (!monotonic && isLower.nonEmpty) return // hash: ranges can't prune

@@ -62,6 +62,42 @@ class TransformParitySpec extends AnyFunSuite {
     assert(st.transform("h") > st.transform("b"))
   }
 
+  test("string histogram: reference bin semantics incl. null and serde") {
+    // reference StringHistogramTransformation.transform: exact hit
+    // i/(n-1); miss → bin LEFT of the insertion point; edges clamp
+    val tr = StringHistogramTransformation(Vector("b", "g", "p", "x"))
+    assert(tr.transform("b") == 0.0)
+    assert(tr.transform("g") == 1.0 / 3)
+    assert(tr.transform("x") == 1.0)
+    assert(tr.transform("a") == 0.0) // below range
+    assert(tr.transform("z") == 1.0) // above range
+    assert(tr.transform("h") == 1.0 / 3) // falls in bin [g, p)
+    assert(tr.transform("c") == 0.0) // falls in bin [b, g)
+    assert(tr.transform(null) == tr.transform("null")) // reference null handling
+    // default histogram yields to custom, custom never falls back
+    val dflt = StringHistogramTransformation(
+      StringHistogramTransformation.DefaultHistogram)
+    assert(dflt.isSupersededBy(tr))
+    assert(!tr.isSupersededBy(dflt))
+    // revision with a histogram transformation round-trips the log serde
+    val rev = Revision(1L, 0L, "t", 1000,
+      Vector(StringHistogramTransformer("s", "string")), Vector(tr))
+    val back = QbeastLogSerde.revisionFromJson(
+      org.json4s.jackson.JsonMethods.parse(
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(QbeastLogSerde.revisionToJson(rev)))))
+    assert(back.transformations.head == tr)
+    assert(back.columnTransformers.head == StringHistogramTransformer("s", "string"))
+    // write-side Column expr agrees with the literal transform
+    import spark.implicits._
+    val vals = Seq("a", "b", "c", "g", "h", "p", "q", "x", "z")
+    val df = vals.toDF("s")
+    val got = df.select(ColumnIndexer.coordinateColumn(
+      StringHistogramTransformer("s", "string"), tr).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == vals.map(tr.transform))
+  }
+
   test("supersede/merge semantics drive revision changes") {
     val lin = LinearTransformation(0, 100, 0.5)
     assert(!lin.isSupersededBy(LinearTransformation(10, 90, 0.5)))
