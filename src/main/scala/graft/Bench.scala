@@ -50,6 +50,7 @@ object Bench {
     QTables.qbeastSqlMerged(spark, sfDir).count()
     QTables.qbeastCheckpointed(spark, sfDir).count()
     QTables.qbeastHistogramPart(spark, sfDir).count()
+    QTables.qbeastSqlMergedGeneral(spark, sfDir).count()
     val indexBuild = (System.nanoTime() - t0) / 1e9
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -507,6 +507,43 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders after a GENERAL SQL MERGE: ordered conditional WHEN MATCHED
+   * UPDATE/DELETE, a conditional WHEN NOT MATCHED INSERT, and a WHEN
+   * NOT MATCHED BY SOURCE UPDATE — the full Delta clause surface over
+   * the copy-on-write machinery. */
+  def qbeastSqlMergedGeneral(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_sql_merged_gen")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, "orders").write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_totalprice")
+          .option("cubeSize", "5000")
+          .save(path)
+        val name = sqlTable(spark, path, "orders_sql_merged_gen")
+        raw(spark, sfDir, "orders").createOrReplaceTempView("orders_sql_mrggen_src")
+        spark.sql(s"""
+          MERGE INTO $name t
+          USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+                        o_totalprice + 50000 AS o_totalprice,
+                        o_orderdate, o_orderpriority
+                 FROM orders_sql_mrggen_src WHERE o_orderkey % 10 = 3
+                 UNION ALL
+                 SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                        o_totalprice, o_orderdate, o_orderpriority
+                 FROM orders_sql_mrggen_src WHERE o_orderkey % 10 = 7) s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.o_totalprice > 200000 THEN
+            UPDATE SET o_totalprice = s.o_totalprice, o_orderpriority = 'BUMPED'
+          WHEN MATCHED THEN DELETE
+          WHEN NOT MATCHED AND s.o_totalprice < 100000 THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 9 THEN
+            UPDATE SET o_orderpriority = 'DEMOTED'""")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** lineitem written, appended, then RESTORED to version 0 — the
    * time-travel write-back. Content equals the first write (even
    * orderkeys); the restore is itself a log version, so history keeps

@@ -724,6 +724,14 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q67_sql_merge_general" -> ((s, dir) => {
+      // general MERGE: conditional matched UPDATE, matched DELETE
+      // fallthrough, conditional INSERT, NOT MATCHED BY SOURCE UPDATE —
+      // the oracle recomputes the merged end state with CTEs
+      QTables.qbeastSqlMergedGeneral(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q65_distributed_meta" -> ((s, dir) => {
       // metadata-scale read: parquet sidecar checkpoint + executor-side
       // block pruning (light log replay; the post-checkpoint append tail
@@ -1580,6 +1588,26 @@ object SparkEntry {
         |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
         |  UNION ALL SELECT * FROM src)
         |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY 1""".stripMargin,
+    "q67_sql_merge_general" ->
+      """WITH matched AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 50000 AS o_totalprice,
+        |         o_orderdate, 'BUMPED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 3 AND o_totalprice + 50000 > 200000),
+        |unmatched AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |         CASE WHEN o_orderkey % 10 = 9 THEN 'DEMOTED'
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |inserts AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 7 AND o_totalprice < 100000),
+        |merged AS (SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |  UNION ALL SELECT * FROM inserts)
+        |SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM merged GROUP BY 1""".stripMargin,
     "q65_distributed_meta" ->

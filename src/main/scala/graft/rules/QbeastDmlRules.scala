@@ -52,23 +52,51 @@ class QbeastDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
       targetPath(target) match {
         case None => plan
         case Some(path) =>
-          if (notMatchedBySource.nonEmpty)
-            unsupported("WHEN NOT MATCHED BY SOURCE")
           val keys = equiJoinKeys(mergeCond, target, source)
-          (matched, notMatched) match {
-            // upsert shape: UPDATE SET * + INSERT *
-            case (Seq(UpdateAction(None, updateAsgn, _)), Seq(InsertAction(None, insertAsgn))) =>
+          (matched, notMatched, notMatchedBySource) match {
+            // upsert fast path: UPDATE SET * + INSERT * (tolerates
+            // duplicate source keys, skips the join machinery)
+            case (Seq(UpdateAction(None, updateAsgn, _)),
+                Seq(InsertAction(None, insertAsgn)), Seq()) =>
               // upsert() replaces whole rows, so the UPDATE and INSERT
               // sides must write the same value into every target column
               val targetCols = target.output.map(_.name)
               val row = replacementRow(targetCols, updateAsgn, insertAsgn)
               MergeQbeastTableCommand(path, source, keys, row)
-            // anti-join shape: WHEN MATCHED THEN DELETE (no other clause)
-            case (Seq(DeleteAction(None)), Seq()) =>
+            // anti-join fast path: lone unconditional MATCHED DELETE
+            case (Seq(DeleteAction(None)), Seq(), Seq()) =>
               MergeDeleteQbeastTableCommand(path, source, keys)
-            case (m, n) => unsupported(
-              s"MERGE clauses [${(m ++ n).mkString("; ")}] (supported: unconditional " +
-                "UPDATE SET * + INSERT *, or a lone unconditional MATCHED DELETE)")
+            // everything else: the general row-level merge (ordered
+            // conditional clauses, partial SET, NOT MATCHED BY SOURCE)
+            case _ =>
+              val srcPrefix = "__src_"
+              val sourceIds = source.outputSet
+              // joined-frame context: source attrs under the prefix,
+              // target attrs bare
+              def joinedCol(e: Expression): Column = GraftShims.column(e.transform {
+                case a: AttributeReference if sourceIds.contains(a) =>
+                  UnresolvedAttribute.quoted(srcPrefix + a.name)
+                case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+              })
+              def clauses(
+                  actions: Seq[MergeAction],
+                  over: Expression => Column): Seq[(Option[Column], Option[Seq[(String, Column)]])] =
+                actions.map {
+                  case UpdateAction(c, asgn, _) =>
+                    (c.map(over), Some(asgn.map(a =>
+                      columnName(a.key, "MERGE UPDATE SET") -> over(a.value))))
+                  case DeleteAction(c) => (c.map(over), None)
+                  case InsertAction(c, asgn) =>
+                    (c.map(over), Some(asgn.map(a =>
+                      columnName(a.key, "MERGE INSERT") -> over(a.value))))
+                  case other => unsupported(s"MERGE action $other")
+                }
+              GeneralMergeQbeastTableCommand(path, source, keys,
+                clauses(matched, joinedCol),
+                // insert clauses run over the source frame: bare names
+                clauses(notMatched, unresolveToColumn),
+                clauses(notMatchedBySource, joinedCol),
+                srcPrefix)
           }
       }
 
@@ -194,6 +222,34 @@ case class MergeDeleteQbeastTableCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     graft.table.QbeastTable.forPath(spark, path)
       .deleteMatched(GraftShims.ofRows(spark, source), keys)
+    Seq.empty
+  }
+
+}
+
+/** General SQL `MERGE INTO` → row-level
+ * [[graft.table.QbeastTable.merge]]: ordered conditional WHEN MATCHED
+ * UPDATE/DELETE, conditional WHEN NOT MATCHED INSERT, WHEN NOT MATCHED
+ * BY SOURCE UPDATE/DELETE. Clause tuples are (condition, assignments);
+ * assignments None = DELETE. */
+case class GeneralMergeQbeastTableCommand(
+    path: String,
+    source: LogicalPlan,
+    keys: Seq[String],
+    matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
+    notMatched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
+    notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])],
+    srcPrefix: String)
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def mc(t: (Option[Column], Option[Seq[(String, Column)]])) =
+      graft.table.MergeClause(t._1, t._2.map(_.toMap))
+    graft.table.QbeastTable.forPath(spark, path).merge(
+      GraftShims.ofRows(spark, source), keys,
+      matched.map(mc), notMatched.map(mc), notMatchedBySource.map(mc), srcPrefix)
     Seq.empty
   }
 

@@ -330,6 +330,193 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     } finally srcKeys.unpersist()
   }
 
+  /**
+   * General row-level MERGE (Delta's full clause surface): ordered
+   * conditional WHEN MATCHED UPDATE/DELETE clauses, conditional WHEN NOT
+   * MATCHED INSERT clauses, and WHEN NOT MATCHED BY SOURCE
+   * UPDATE/DELETE. First applicable clause wins per row; rows no clause
+   * touches survive unchanged.
+   *
+   * Copy-on-write shape: affected files (those holding key-matched rows;
+   * the WHOLE table when NOT MATCHED BY SOURCE clauses are present,
+   * since those inspect every target row) are joined once against the
+   * prefixed source; untouched rows are rewritten frozen against their
+   * revision's cube weights, changed+inserted rows go through the
+   * normal revision-aware indexing path; one atomic commit.
+   *
+   * Matched/not-matched-by-source clause conditions and assignments are
+   * evaluated over the joined row (source columns under `srcPrefix`);
+   * insert clauses over the source frame alone. With row-modifying
+   * matched clauses, the source must be unique on the merge keys
+   * (Delta's multiple-matches rule).
+   *
+   * @return (target rows removed or replaced, rows newly indexed)
+   */
+  def merge(
+      source: org.apache.spark.sql.DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeClause],
+      notMatched: Seq[MergeClause],
+      notMatchedBySource: Seq[MergeClause],
+      srcPrefix: String = "__src_"): (Long, Long) = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "merge needs at least one WHEN clause")
+    val s = snapshot
+    require(!s.isEmpty && s.files.nonEmpty,
+      s"merge into an empty table at $tablePath: use a plain qbeast write")
+    val latestRevision = s.lastRevision.filterNot(_.isStaging)
+    val existingRev = latestRevision.orElse(throw new UnsupportedOperationException(
+      "merge into a staging-only qbeast table: optimize() first"))
+    val tableSchema = s.schema.getOrElse(
+      spark.read.format("qbeast").load(tablePath).schema)
+    val targetCols = tableSchema.fieldNames.toSeq
+
+    if (matched.nonEmpty) {
+      val dup = source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).count()
+      require(dup == 0L,
+        "MERGE with WHEN MATCHED clauses requires the source to be unique on the " +
+          "merge keys (multiple source rows matched one target row)")
+    }
+
+    val srcKeys = source.select(keys.map(col): _*).distinct().persist()
+    try {
+      // ---- pass 1: affected files ----
+      val affected: Vector[IndexFile] =
+        if (notMatchedBySource.nonEmpty) s.files
+        else {
+          val table = spark.read.format("qbeast").load(tablePath)
+            .select(input_file_name().as("__qbeast_file") +: keys.map(col): _*)
+          val names = table.join(srcKeys, keys, "left_semi")
+            .select("__qbeast_file").distinct()
+            .collect().map(r => new Path(r.getString(0)).getName).toSet
+          s.files.filter(f => names.contains(new Path(f.path).getName))
+        }
+
+      // ---- per-row action resolution: first applicable clause wins.
+      // Matched clause i → action i; NOT MATCHED BY SOURCE clause i →
+      // action 1000+i; untouched rows → -1 ----
+      val present = srcPrefix + "__present"
+      val srcRenamed = source.columns.foldLeft(source) { (d, c) =>
+        d.withColumnRenamed(c, srcPrefix + c)
+      }.withColumn(present, lit(true))
+      val joinCond = keys.map(k => col(k) === col(srcPrefix + k)).reduce(_ && _)
+      val matchedFlag = coalesce(col(present), lit(false))
+      var actionChain: Column = null
+      def addClause(cond: Column, id: Int): Unit = {
+        actionChain =
+          if (actionChain == null) when(cond, lit(id)) else actionChain.when(cond, lit(id))
+      }
+      matched.zipWithIndex.foreach { case (cl, i) =>
+        addClause(matchedFlag && coalesce(cl.condition.getOrElse(lit(true)), lit(false)), i)
+      }
+      notMatchedBySource.zipWithIndex.foreach { case (cl, i) =>
+        addClause(!matchedFlag && coalesce(cl.condition.getOrElse(lit(true)), lit(false)),
+          1000 + i)
+      }
+      val action = if (actionChain == null) lit(-1) else actionChain.otherwise(lit(-1))
+
+      val updateClauses =
+        matched.zipWithIndex.collect { case (cl, i) if cl.assignments.isDefined =>
+          (cl.assignments.get, i)
+        } ++
+          notMatchedBySource.zipWithIndex.collect {
+            case (cl, i) if cl.assignments.isDefined => (cl.assignments.get, 1000 + i)
+          }
+
+      def applyAssignments(asgn: Map[String, Column]): Seq[Column] = {
+        val asgnLower = asgn.map { case (k, v) => k.toLowerCase -> v }
+        asgn.keys.foreach { c =>
+          require(targetCols.exists(_.equalsIgnoreCase(c)),
+            s"MERGE SET of unknown column $c (table columns: ${targetCols.mkString(", ")})")
+        }
+        targetCols.map { c =>
+          asgnLower.get(c.toLowerCase) match {
+            case Some(e) => e.cast(tableSchema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }
+      }
+
+      // ---- pass 2: per revision group, frozen rewrite of untouched
+      // rows; changed rows collected for re-indexing ----
+      val perGroup = affected.groupBy(_.revisionId).toSeq.map { case (rid, files) =>
+        val paths = files.map(f => new Path(tablePath, f.path).toString)
+        val joined = spark.read.parquet(paths: _*)
+          .join(srcRenamed, joinCond, "left")
+          .withColumn("__action", action)
+        val changed = updateClauses.map { case (asgn, id) =>
+          joined.filter(col("__action") === id).select(applyAssignments(asgn): _*)
+        }
+        val survivors = joined.filter(col("__action") === -1)
+          .select(targetCols.map(col): _*)
+        val revision =
+          if (rid == Revision.StagingID)
+            existingRev.getOrElse(throw new UnsupportedOperationException(
+              "merge into a staging-only qbeast table: optimize() first"))
+          else s.revisions(rid)
+        val status = s.indexStatus(revision.revisionID)
+        val frozen = status.cubeStatuses.map { case (c, st) => c -> st.maxWeight }.toMap
+        val adds = QbeastWriter.index(spark, tablePath, survivors, revision, Some(status),
+          files.map(_.elementCount).sum, frozenWeights = Some(frozen))
+        (adds, changed)
+      }
+      val survivorAdds = perGroup.flatMap(_._1)
+      val changedFromTarget = perGroup.flatMap(_._2)
+
+      // ---- inserts: first applicable NOT MATCHED clause per unmatched
+      // source row, evaluated over the source frame ----
+      val insertFrames: Seq[org.apache.spark.sql.DataFrame] =
+        if (notMatched.isEmpty) Nil
+        else {
+          val tKeys = spark.read.format("qbeast").load(tablePath)
+            .select(keys.map(col): _*).distinct()
+          val unmatchedSrc = source.join(tKeys, keys, "left_anti")
+          var ic: Column = null
+          notMatched.zipWithIndex.foreach { case (cl, i) =>
+            val cond = coalesce(cl.condition.getOrElse(lit(true)), lit(false))
+            ic = if (ic == null) when(cond, lit(i)) else ic.when(cond, lit(i))
+          }
+          val withAction = unmatchedSrc.withColumn("__action", ic.otherwise(lit(-1)))
+          notMatched.zipWithIndex.map { case (cl, i) =>
+            val asgn = cl.assignments.getOrElse(throw new UnsupportedOperationException(
+              "MERGE WHEN NOT MATCHED clause must be an INSERT"))
+            val asgnLower = asgn.map { case (k, v) => k.toLowerCase -> v }
+            val cols = targetCols.map { c =>
+              val e = asgnLower.getOrElse(c.toLowerCase,
+                throw new UnsupportedOperationException(
+                  s"MERGE INSERT must assign every target column (missing $c — use INSERT *)"))
+              e.cast(tableSchema(c).dataType).as(c)
+            }
+            withAction.filter(col("__action") === i).select(cols: _*)
+          }
+        }
+
+      // ---- pass 3: changed + inserted rows through revision-aware
+      // indexing; one atomic commit ----
+      val changedAll = (changedFromTarget ++ insertFrames).reduceOption(_ unionByName _)
+      val (changedAdds, newRevision, nChanged) = changedAll match {
+        case None => (Seq.empty[IndexFile], None, 0L)
+        case Some(df) =>
+          val opts = QbeastOptions(Map.empty[String, String],
+            defaultCubeSize = existingRev.map(_.desiredCubeSize)
+              .getOrElse(QbeastOptions.DefaultCubeSize))
+          val (rev, isNew, n) = RevisionFactory.computeRevisionChanges(
+            existingRev, opts, tablePath, df)
+          val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
+          val adds = QbeastWriter.index(spark, tablePath, df, rev, status, n)
+          (adds, if (isNew) Some(rev) else None, n)
+      }
+
+      if (affected.isEmpty && changedAdds.isEmpty) return (0L, 0L)
+      commitMutation(s, survivorAdds ++ changedAdds, newRevision, affected,
+        operation = "MERGE")
+      val replaced = affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
+      (replaced, nChanged)
+    } finally srcKeys.unpersist()
+  }
+
   /** Shared passes 1–2 of the keyed mutations ([[upsert]],
    * [[deleteMatched]]): discover the target files holding matched keys
    * through the index-pruned read path, then rewrite each affected
@@ -639,6 +826,14 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 }
 
 /** One committed log version (DESCRIBE HISTORY row). */
+/** One WHEN clause of a row-level [[QbeastTable.merge]]. `condition`
+ * None = unconditional; `assignments` None = DELETE. Matched /
+ * not-matched-by-source clauses see the joined row (source columns
+ * under the merge's `srcPrefix`); insert clauses see the source frame. */
+final case class MergeClause(
+    condition: Option[Column],
+    assignments: Option[Map[String, Column]])
+
 final case class HistoryEntry(
     version: Long,
     timestampMillis: Long,

@@ -245,17 +245,59 @@ class DmlSpec extends AnyFunSuite {
     assert(back.filter("l_orderkey % 7 = 0").count() === 0)
   }
 
+  test("SQL MERGE with conditional clauses and NOT MATCHED BY SOURCE") {
+    val (name, dir) = sqlCatalogTable("dml-sqlmrggen")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    // the synthetic lineitem repeats (orderkey, linenumber) pairs, so
+    // dedup the source to satisfy the multiple-matches rule
+    val src = raw.filter("l_orderkey % 5 = 0")
+      .dropDuplicates("l_orderkey", "l_linenumber")
+    src.createOrReplaceTempView("dml_gen_src")
+    spark.sql(s"""MERGE INTO $name t USING dml_gen_src s
+      ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+      WHEN MATCHED AND t.l_quantity > 25 THEN UPDATE SET l_returnflag = 'X'
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED BY SOURCE AND t.l_quantity > 45 THEN UPDATE SET l_returnflag = 'Y'""")
+    val back = spark.read.format("qbeast").load(dir)
+    val m = raw.filter("l_orderkey % 5 = 0")
+    // first applicable clause wins: matched & qty>25 flagged X; other
+    // matched rows deleted; unmatched heavy rows flagged Y; rest intact
+    assert(back.count() === raw.count() - m.filter("l_quantity <= 25").count())
+    assert(back.filter("l_returnflag = 'X'").count() ===
+      m.filter("l_quantity > 25").count())
+    assert(back.filter("l_returnflag = 'Y'").count() ===
+      raw.filter("l_orderkey % 5 <> 0 AND l_quantity > 45").count())
+    // untouched rows bit-identical
+    val untouched = raw.filter("l_orderkey % 5 <> 0 AND l_quantity <= 45")
+    assert(back.filter("l_returnflag NOT IN ('X','Y')").exceptAll(untouched).count() === 0)
+  }
+
+  test("SQL MERGE conditional INSERT admits only rows passing the clause") {
+    val (name, dir) = sqlCatalogTable("dml-sqlmrgins")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    raw.createOrReplaceTempView("dml_ins_src")
+    val others = raw.columns.filterNot(_ == "l_orderkey").mkString(", ")
+    spark.sql(s"""MERGE INTO $name t
+      USING (SELECT l_orderkey + 90000000 AS l_orderkey, $others
+             FROM dml_ins_src WHERE l_orderkey % 100 = 1) s
+      ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+      WHEN NOT MATCHED AND s.l_quantity > 30 THEN INSERT *""")
+    val back = spark.read.format("qbeast").load(dir)
+    val want = raw.filter("l_orderkey % 100 = 1 AND l_quantity > 30").count()
+    assert(back.count() === raw.count() + want)
+    assert(back.filter("l_orderkey >= 90000000").count() === want)
+  }
+
   test("SQL MERGE with unsupported shapes fails with a clear error") {
     val (name, _) = sqlCatalogTable("dml-sqlbad")
     spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("dml_sqlbad_src")
-    // conditional matched clause: not expressible as whole-row upsert
+    // duplicate source keys with a row-modifying matched clause
     val e = intercept[Exception] {
       spark.sql(s"""MERGE INTO $name t USING dml_sqlbad_src s
         ON t.l_orderkey = s.l_orderkey
-        WHEN MATCHED AND s.l_quantity > 10 THEN DELETE
-        WHEN NOT MATCHED THEN INSERT *""")
+        WHEN MATCHED AND s.l_quantity > 10 THEN DELETE""")
     }
-    assert(e.getMessage.contains("qbeast MERGE/UPDATE does not support"))
+    assert(e.getMessage.contains("unique on the merge keys"))
     // non-equi ON condition
     val e2 = intercept[Exception] {
       spark.sql(s"""MERGE INTO $name t USING dml_sqlbad_src s
