@@ -60,9 +60,12 @@ final class DistributedQbeastFileIndex(
    * checkpoint bytes are not subtracted (their sizes are unknown without
    * a scan) — a slight over-estimate, conservative for join planning. */
   override def sizeInBytes: Long =
-    math.max(summary._2 + snapshot.files.map(_.size).sum, 1L)
+    if (snapshot.filesComplete) math.max(snapshot.totalBytes, 1L)
+    else math.max(summary._2 + snapshot.files.map(_.size).sum, 1L)
 
   override def inputFiles: Array[String] = {
+    if (snapshot.filesComplete)
+      return snapshot.files.map(f => new Path(tablePath, f.path).toString).toArray
     val touched = snapshot.tailTouchedPaths
     val cp = checkpointRows(Nil)
       .filter(r => !touched.contains(r.path)).map(_.path)
@@ -71,11 +74,10 @@ final class DistributedQbeastFileIndex(
   }
 
   override def refresh(): Unit = {
-    val fresh = QbeastLog.lightSnapshot(snapshot.tablePath,
+    // lightSnapshot degrades to a complete snapshot if the sidecar
+    // vanished; listFiles handles either via the filesComplete branch
+    snapshot = QbeastLog.lightSnapshot(snapshot.tablePath,
       spark.sparkContext.hadoopConfiguration)
-    snapshot =
-      if (fresh.filesComplete) fresh // sidecar vanished: degrade gracefully
-      else fresh
   }
 
   def currentSnapshot: QbeastSnapshot = snapshot
@@ -128,6 +130,15 @@ final class DistributedQbeastFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val filters = partitionFilters ++ dataFilters
+    if (snapshot.filesComplete) {
+      // post-refresh fallback: the sidecar vanished (e.g. vacuumed), so
+      // the snapshot is a complete one — prune flat, like QbeastFileIndex
+      val statuses = QbeastFileIndex.selectFiles(snapshot, filters).map { f =>
+        new FileStatus(f.size, false, 1, 134217728L, f.modificationTime,
+          new Path(tablePath, f.path))
+      }.toArray
+      return Seq(PartitionDirectory(InternalRow.empty, statuses))
+    }
     // tail adds: flat matcher over the (small) post-checkpoint commits
     val tailSelected = QbeastFileIndex
       .selectFiles(snapshot.copy(filesComplete = true), filters)

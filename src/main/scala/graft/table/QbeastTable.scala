@@ -112,6 +112,40 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     commitRewrite(s, newFiles, staging)
   }
 
+  /** Targeted optimize (reference: `QbeastTable.optimize(files)` →
+   * `IndexedTable.optimizeIndexedFiles` / `optimizeUnindexedFiles`):
+   * rewrite ONLY the given files (paths relative to the table root).
+   * Staging files fold into the latest revision; indexed files re-pack
+   * frozen within their own revision. Unknown paths are ignored; a
+   * layout-only commit (dataChange = false). */
+  def optimizeFiles(files: Seq[String]): Unit = {
+    val s = snapshot
+    val wanted = files.toSet
+    val candidates = s.files.filter(f => wanted.contains(f.path))
+    if (candidates.isEmpty) return
+    val latest = s.lastRevision.filterNot(_.isStaging)
+    val adds = candidates.groupBy(_.revisionId).toSeq.flatMap { case (rid, group) =>
+      val paths = group.map(f => new Path(tablePath, f.path).toString)
+      val data = spark.read.parquet(paths: _*)
+      val staging = rid == Revision.StagingID
+      val revision =
+        if (staging)
+          latest.getOrElse(throw new IllegalStateException(
+            "no indexed revision to optimize staging files into; append indexed data first"))
+        else s.revisions(rid)
+      val status = s.indexStatus(revision.revisionID)
+      // indexed files keep their revision's weights (pure re-pack);
+      // staging data gets weighted fresh, like optimizeUnindexed
+      val frozen =
+        if (staging) None
+        else Some(status.cubeStatuses.map { case (c, st) => c -> st.maxWeight }.toMap)
+      val n = if (staging) data.count() else group.map(_.elementCount).sum
+      QbeastWriter.index(spark, tablePath, data, revision, Some(status), n,
+        frozenWeights = frozen)
+    }
+    commitRewrite(s, adds, candidates)
+  }
+
   private def commitRewrite(
       s: QbeastSnapshot,
       adds: Seq[IndexFile],

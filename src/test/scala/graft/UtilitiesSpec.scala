@@ -96,4 +96,32 @@ class UtilitiesSpec extends AnyFunSuite {
     assert(strQ.startsWith("[\"") && strQ.endsWith("\"]"))
   }
 
+  test("optimizeFiles rewrites only the named files, content intact") {
+    val dir = TestSpark.tmpDir("opt-files")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    raw.write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "500")
+      .save(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val s0 = graft.log.QbeastLog.snapshot(dir, conf)
+    assert(s0.files.size > 3, s"need several files, got ${s0.files.size}")
+    val targets = s0.files.take(2).map(_.path)
+    val untouched = s0.files.map(_.path).toSet -- targets
+
+    graft.table.QbeastTable.forPath(spark, dir).optimizeFiles(targets)
+
+    val s1 = graft.log.QbeastLog.snapshot(dir, conf)
+    val s1Paths = s1.files.map(_.path).toSet
+    assert(targets.forall(p => !s1Paths.contains(p)), "targets rewritten away")
+    assert(untouched.subsetOf(s1Paths), "non-targets untouched")
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === raw.count())
+    assert(back.exceptAll(raw).count() === 0)
+    // unknown paths are a no-op, no extra commit
+    val v = s1.version
+    graft.table.QbeastTable.forPath(spark, dir).optimizeFiles(Seq("nope.parquet"))
+    assert(graft.log.QbeastLog.snapshot(dir, conf).version === v)
+  }
+
 }
