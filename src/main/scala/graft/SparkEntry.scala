@@ -668,6 +668,11 @@ object SparkEntry {
       // flag train docs sharing any 8-gram with the held-out slice
       ops.TextOps.decontaminate(QTables.raw(s, dir, "documents"), "doc_id", "text",
         col("doc_id") % 97 === 0)),
+    "t26_sequence_pack" -> ((s, dir) =>
+      // token-budget sequence packing: greedy per-bucket first-fit in
+      // doc-id order; the oracle replays the same greedy fold with a
+      // recursive CTE
+      ops.TextOps.packSequences(QTables.raw(s, dir, "documents"), "doc_id", "text")),
     "t20_chunking" -> ((s, dir) =>
       ops.TextOps.chunkTokens(QTables.raw(s, dir, "documents"), "doc_id", "text")),
     "t21_vocab_coverage" -> ((s, dir) =>
@@ -1619,6 +1624,28 @@ object SparkEntry {
     "q62_restore" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1""".stripMargin,
+    "t26_sequence_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 16 AS INT) AS bucket
+        |  FROM documents),
+        |ord AS (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        |  FROM t),
+        |pack AS (
+        |  SELECT bucket, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+        |    n_tokens AS fill
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+        |    CASE WHEN p.fill + o.n_tokens > 256 THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.fill + o.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+        |    CASE WHEN p.fill + o.n_tokens > 256 THEN o.n_tokens ELSE p.fill + o.n_tokens END
+        |  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+        |SELECT doc_id, n_tokens, bucket, seq_id, seq_offset FROM pack""".stripMargin,
     "t20_chunking" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |c AS (SELECT doc_id, u.i AS chunk_idx,

@@ -206,6 +206,57 @@ object TextOps {
         md5(col("chunk_text")).as("chunk_md5"))
   }
 
+  /**
+   * Token-budget sequence packing — the training-prep step that groups
+   * documents into fixed-budget training sequences. Documents are
+   * assigned to `nBuckets` independent packing streams (`doc_id mod
+   * nBuckets`) and packed greedily in doc-id order: a doc opens a new
+   * sequence when it would overflow `targetTokens` (a doc longer than
+   * the budget gets a sequence of its own). Deterministic: same corpus
+   * → same packing, regardless of parallelism.
+   *
+   * Scale shape: packing is inherently sequential — each placement
+   * depends on the running fill — so the sequential part is confined to
+   * one pass per bucket; buckets run in parallel (set nBuckets ≈ total
+   * cores at 100 TB). Only (doc_id, n_tokens) shuffles, never text.
+   *
+   * Output: doc_id, n_tokens, bucket, seq (per-bucket sequence number),
+   * offset (token start inside the sequence).
+   */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetTokens: Int = 256,
+      nBuckets: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      pmod(col(idCol).cast("long"), lit(nBuckets.toLong)).cast("int").as("bucket"))
+    toks
+      .repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id")
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        // a partition may hold several buckets (hash collisions); rows
+        // arrive sorted by (bucket, doc_id), so per-bucket state resets
+        // on the bucket boundary
+        var bucket = Int.MinValue
+        var seq = -1L
+        var fill = 0L
+        it.map { case (docId, n, b) =>
+          if (b != bucket) { bucket = b; seq = -1L; fill = 0L }
+          if (seq < 0 || fill + n > targetTokens) { seq += 1; fill = 0L }
+          val offset = fill
+          fill += n
+          (docId, n, b, seq, offset)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bucket", "seq_id", "seq_offset")
+  }
+
   // ---- paragraph-level exact dedup (C4-style) ------------------------------
 
   /**

@@ -116,6 +116,25 @@ class DistributedMetadataSpec extends AnyFunSuite {
     assert(totalBytes === full.files.map(_.size).sum)
   }
 
+  test("pushed filters and column pruning survive the distributed index") {
+    val dir = TestSpark.tmpDir("dist-meta-plan")
+    writeTable(dir)
+    withSidecar { QbeastTable.forPath(spark, dir).checkpoint() }
+    val df = spark.read.format("qbeast").load(dir)
+      .filter("id <= 5000 and value < 6000.0").select("id", "value")
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.relation.location.isInstanceOf[DistributedQbeastFileIndex])
+    val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed.contains("LessThanOrEqual(id") && pushed.contains("LessThan(value"),
+      s"filters not pushed: $pushed")
+    val readSchema = scan.metadata.getOrElse("ReadSchema", "")
+    assert(!readSchema.contains("category"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
   test("time travel to a pre-sidecar version falls back to the flat path") {
     val dir = TestSpark.tmpDir("dist-meta-tt")
     writeTable(dir)

@@ -298,4 +298,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids == Set((1000L, 1001L)), s"got ${ids.size} pairs: ${ids.take(5)}")
   }
 
+  test("sequence packing: budget respected, offsets contiguous, parallelism-invariant") {
+    import spark.implicits._
+    val docs = (0L until 400L)
+      .map(i => (i, Seq.fill((i % 37 + 3).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val target = 64
+    val packed = graft.ops.TextOps
+      .packSequences(docs, "doc_id", "text", targetTokens = target, nBuckets = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(packed.length === 400)
+    // per (bucket, seq): total tokens within budget unless a single
+    // over-budget doc owns the sequence; offsets contiguous in id order
+    packed.groupBy(t => (t._3, t._4)).foreach { case ((b, s), rows) =>
+      val sorted = rows.sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      assert(total <= target || sorted.length == 1,
+        s"bucket $b seq $s overflows with ${sorted.length} docs, $total tokens")
+      var expect = 0L
+      sorted.foreach { case (id, n, _, _, off) =>
+        assert(off === expect, s"doc $id at offset $off, expected $expect")
+        expect += n
+      }
+    }
+    // every doc in its id-mod bucket
+    packed.foreach { case (id, _, b, _, _) => assert(b === (id % 8).toInt) }
+    // determinism: a different input partitioning packs identically
+    val repacked = graft.ops.TextOps
+      .packSequences(docs.repartition(13), "doc_id", "text", target, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(packed.sortBy(_._1).toSeq == repacked.sortBy(_._1).toSeq)
+  }
+
 }
