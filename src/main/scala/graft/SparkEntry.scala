@@ -668,6 +668,15 @@ object SparkEntry {
       // flag train docs sharing any 8-gram with the held-out slice
       ops.TextOps.decontaminate(QTables.raw(s, dir, "documents"), "doc_id", "text",
         col("doc_id") % 97 === 0)),
+    "t27_source_cap" -> ((s, dir) =>
+      // mixture balancing: at most 40 docs per source, longest first
+      ops.TextOps.sourceCap(QTables.raw(s, dir, "documents"),
+        "doc_id", "source", "n_chars", cap = 40)),
+    "t28_global_shuffle" -> ((s, dir) =>
+      // deterministic training-shard shuffle: md5-keyed order, 8
+      // range-balanced shards, per-shard positions
+      ops.TextOps.globalShuffle(QTables.raw(s, dir, "documents"),
+        "doc_id", seed = "epoch0", nShards = 8)),
     "t26_sequence_pack" -> ((s, dir) =>
       // token-budget sequence packing: greedy per-bucket first-fit in
       // doc-id order; the oracle replays the same greedy fold with a
@@ -859,6 +868,20 @@ object SparkEntry {
         .orderBy(col("cos").desc, col("id_a"), col("id_b"))
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
         .limit(100)
+    }),
+    "e08_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup-style semantic dedup: LSH-bucketed embedding near-dup
+      // pairs → connected components → keep each cluster's min-id
+      // representative, drop the rest (anti-join; ids only shuffle)
+      val emb = QTables.raw(s, dir, "embeddings")
+      val pairs = ops.Similarity
+        .nearDupPairs(emb, "vec_id", "embedding", threshold = 0.2)
+        .select("id_a", "id_b")
+      val drop = ops.Dedup.connectedComponents(pairs)
+        .filter(col("cluster") =!= col("doc_id"))
+        .select(col("doc_id").as("vec_id"))
+      emb.join(drop, Seq("vec_id"), "left_anti")
+        .select(col("vec_id")).orderBy("vec_id")
     }),
     "e06_quantized_ann" -> ((s, dir) => {
       // int8-quantized brute-force top-10: 4× less bandwidth than
@@ -1624,6 +1647,21 @@ object SparkEntry {
     "q62_restore" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1""".stripMargin,
+    "t27_source_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 40""".stripMargin,
+    "t28_global_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents),
+        |s AS (SELECT doc_id, shuffle_key,
+        |  CAST(CAST('0x' || substr(shuffle_key, 1, 8) AS BIGINT) * 8 // 4294967296 AS INT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shuffle_key, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key) AS BIGINT) AS pos
+        |FROM s""".stripMargin,
     "t26_sequence_pack" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,
@@ -1785,6 +1823,18 @@ object SparkEntry {
          |  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cos, 4) AS cos_r FROM p
          |ORDER BY cos DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "e08_semantic_dedup" ->
+      s"""WITH RECURSIVE $embBaseSql,
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.2),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |r(u, v) AS (SELECT u, v FROM e
+         |  UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u WHERE e.v <> r.u),
+         |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM r GROUP BY u)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT doc_id FROM lab WHERE cluster <> doc_id)
+         |ORDER BY vec_id""".stripMargin,
     "e04_ann_ivf" ->
       s"""WITH an AS (SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS ae FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
          |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -257,6 +257,46 @@ object TextOps {
       .toDF("doc_id", "n_tokens", "bucket", "seq_id", "seq_offset")
   }
 
+  /** Per-source document cap — mixture balancing: keep at most `cap`
+   * docs per source, preferring longer documents (tie-break doc id).
+   * One window over a source-hash shuffle; per-source groups are the
+   * parallel unit (salt a dominating source upstream if needed). */
+  def sourceCap(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      lenCol: String,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col(lenCol).desc, col(idCol))
+    df.select(col(idCol), col(sourceCol), col(lenCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= cap)
+  }
+
+  /** Deterministic global shuffle into training shards — the final prep
+   * step before sharded training reads. Order = md5(seed ‖ doc id):
+   * uniform, reproducible, and independent of input partitioning.
+   * Shard = hash-range bucket of the same key, position = rank within
+   * the shard (one window per shard partition, no global sort). */
+  def globalShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    // first 8 hex chars → 32-bit range-partitioned shard: keeps shard
+    // sizes balanced without a global sort
+    val shard = (conv(substring(key, 1, 8), 16, 10).cast("long") *
+      lit(nShards.toLong) / lit(4294967296L)).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"))
+    df.select(col(idCol), key.as("shuffle_key"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   // ---- paragraph-level exact dedup (C4-style) ------------------------------
 
   /**
