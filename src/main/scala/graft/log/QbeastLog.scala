@@ -108,6 +108,16 @@ object QbeastLog {
     fs.exists(dir) && listVersions(fs, dir)._1.nonEmpty
   }
 
+  /** Newest consolidated-checkpoint version, or -1 (vacuum housekeeping:
+   * parquet sidecars older than this are safe to drop — time travel to
+   * their versions degrades to the flat path). */
+  def latestCheckpointVersion(tablePath: String, conf: Configuration): Long = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return -1L
+    listVersions(fs, dir)._2.lastOption.getOrElse(-1L)
+  }
+
   private def listVersions(fs: FileSystem, dir: Path): (Seq[Long], Seq[Long]) = {
     if (!fs.exists(dir)) return (Nil, Nil)
     val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)

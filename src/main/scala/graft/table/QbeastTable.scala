@@ -795,6 +795,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         if (fs.delete(st.getPath, false)) deleted += 1
       }
     }
+    // sidecar housekeeping: parquet checkpoints older than the newest
+    // one only serve time travel, which degrades safely to the flat path
+    graft.log.FileCheckpoint.pruneOld(fs, tablePath,
+      QbeastLog.latestCheckpointVersion(tablePath, conf), conf)
     deleted
   }
 

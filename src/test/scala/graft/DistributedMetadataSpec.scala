@@ -135,6 +135,27 @@ class DistributedMetadataSpec extends AnyFunSuite {
       s"scan reads unprojected columns: $readSchema")
   }
 
+  test("vacuum prunes superseded sidecars, keeps the newest") {
+    val dir = TestSpark.tmpDir("dist-meta-vac")
+    writeTable(dir)
+    val t = QbeastTable.forPath(spark, dir)
+    withSidecar {
+      t.checkpoint() // sidecar at v1
+      import spark.implicits._
+      (36001 to 36500).map(i => (i.toLong, i * 1.5, "cat_0"))
+        .toDF("id", "value", "category")
+        .write.format("qbeast").mode("append").save(dir)
+      t.checkpoint() // sidecar at v2
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(FileCheckpoint.exists(dir, conf, 1) && FileCheckpoint.exists(dir, conf, 2))
+    t.vacuum(force = true, retainMillis = 0L)
+    assert(!FileCheckpoint.exists(dir, conf, 1), "old sidecar pruned")
+    assert(FileCheckpoint.exists(dir, conf, 2), "newest sidecar kept")
+    // table still reads via the distributed path
+    assert(spark.read.format("qbeast").load(dir).count() === 36500L)
+  }
+
   test("time travel to a pre-sidecar version falls back to the flat path") {
     val dir = TestSpark.tmpDir("dist-meta-tt")
     writeTable(dir)
