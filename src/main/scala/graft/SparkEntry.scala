@@ -419,6 +419,17 @@ object SparkEntry {
     }),
     "s10_stream_dedup_bounded" -> ((s, dir) =>
       ops.Streaming.streamingDedupBounded(s, s"$dir/events.parquet")),
+    "s14_stream_corpus_ingest" -> ((s, dir) => {
+      // the composed pipeline as one continuous query: quality gate →
+      // stateful content-hash dedup → indexed streaming sink. Output
+      // aggregates only text-derived values, so it is invariant to
+      // which duplicate copy survived.
+      QTables.ensureExtensions(s)
+      ops.Streaming.corpusIngestPipeline(s, s"$dir/documents.parquet",
+          QTables.cachePathFor(dir, "documents_stream_pipeline"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"))
+    }),
     "s13_cdc_apply" -> ((s, dir) => {
       // streaming MERGE: two change waves applied via foreachBatch +
       // upsert; final state = latest click per user (bumped) over the
@@ -1402,6 +1413,14 @@ object SparkEntry {
     "t12_quality_filter" ->
       s"""WITH $qualityCteBody
          |SELECT doc_id, reason = 'ok' AS keep, reason FROM r""".stripMargin,
+    "s14_stream_corpus_ingest" ->
+      s"""WITH $qualityCteBody,
+         |keep AS (SELECT d.text FROM documents d
+         |  JOIN r ON d.doc_id = r.doc_id WHERE r.reason = 'ok'),
+         |ded AS (SELECT md5(text) AS h, min(len(text)) AS chars
+         |  FROM keep GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(chars) AS BIGINT) AS sum_chars FROM ded""".stripMargin,
     "t23_corpus_report" ->
       // per-(source, lang) pipeline dashboard: volume, quality keep
       // count, exact-dup distinct count, size

@@ -108,6 +108,41 @@ object Streaming {
     spark.table(name)
   }
 
+  /** End-to-end streaming corpus ingestion — the composed training-data
+   * pipeline as ONE continuous query: quality-gate each document
+   * (TextOps.qualityFilter), exact-dedup by content hash in streaming
+   * state (`dropDuplicates` on md5(text) — at scale bound it with a
+   * watermark), and append survivors to a qbeast-indexed table through
+   * the streaming sink (exactly-once per micro-batch via txn markers).
+   * Returns the indexed table read back. */
+  def corpusIngestPipeline(
+      spark: SparkSession,
+      docsPath: String,
+      tableDir: String): DataFrame = {
+    if (!graft.log.QbeastLog.exists(tableDir, spark.sparkContext.hadoopConfiguration)) {
+      val dir = stageDir(docsPath)
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val gated = graft.ops.TextOps.qualityFilter(stream, "text")
+        .filter(col("keep"))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn("__h", md5(col("text")))
+        .dropDuplicates("__h")
+        .drop("__h")
+      withStreamingPartitions(spark) {
+        val q = gated.writeStream.format("qbeast")
+          .option("checkpointLocation", fastCheckpointDir())
+          .option("columnsToIndex", "doc_id,n_chars")
+          .option("cubeSize", "5000")
+          .option("path", tableDir)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+    }
+    spark.read.format("qbeast").load(tableDir)
+  }
+
   /** Stream the events table into a qbeast-indexed table via the
    * `writeStream.format("qbeast")` sink; returns the indexed table. */
   def ingestToQbeast(spark: SparkSession, eventsPath: String, tableDir: String): DataFrame = {
