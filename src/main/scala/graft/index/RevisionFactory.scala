@@ -141,8 +141,19 @@ object RevisionFactory {
   private def histogramFromColumnStats(t: Transformer, options: QbeastOptions): Transformation = {
     options.parsedColumnStats.get(s"${t.columnName}_histogram") match {
       case Some(JArray(values)) if values.nonEmpty =>
-        StringHistogramTransformation(
-          values.collect { case JString(s) => s }.toVector)
+        val bounds = values.map {
+          case JString(v) => v
+          case other => throw new IllegalArgumentException(
+            s"histogram bounds for ${t.columnName} must all be strings, got $other")
+        }.toVector
+        // the transform binary-searches the bounds and query pruning
+        // treats it as monotonic — unsorted bounds would silently prune
+        // live data, so reject them at write time
+        require(bounds.size > 1,
+          s"histogram for ${t.columnName} needs at least 2 bounds")
+        require(bounds.lazyZip(bounds.tail).forall(_ < _),
+          s"histogram bounds for ${t.columnName} must be strictly ascending")
+        StringHistogramTransformation(bounds)
       case _ =>
         StringHistogramTransformation(StringHistogramTransformation.DefaultHistogram)
     }

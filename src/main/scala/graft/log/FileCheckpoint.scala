@@ -77,10 +77,13 @@ object FileCheckpoint {
     if (!fs.exists(summaryFile(dir))) return None
     val in = fs.open(summaryFile(dir))
     try {
-      val bytes = new Array[Byte](in.available())
-      in.readFully(bytes)
+      // read to EOF: available() is only an estimate on HDFS/object stores
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(new String(bytes, StandardCharsets.UTF_8))
+        .readTree(buf.toString(StandardCharsets.UTF_8.name()))
       Some((root.get("numFiles").asLong(), root.get("totalBytes").asLong()))
     } catch { case scala.util.control.NonFatal(_) => None }
     finally in.close()

@@ -288,8 +288,10 @@ object QbeastLog {
     // parquet sidecar: a Spark job, so gate on table size (default: only
     // once the driver-side flat scan starts to matter)
     org.apache.spark.sql.SparkSession.getActiveSession.foreach { spark =>
+      // same log-and-continue invariant as above: a malformed conf value
+      // must not break the read that triggered this checkpoint
       val minFiles = spark.conf.getOption("spark.qbeast.metadata.sidecar.minFiles")
-        .map(_.toLong).getOrElse(10000L)
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(10000L)
       if (snap.files.size >= minFiles) FileCheckpoint.write(spark, snap)
     }
   }

@@ -95,35 +95,39 @@ final class DistributedQbeastFileIndex(
     val touchedB = spark.sparkContext.broadcast(touched)
     val df = FileCheckpoint
       .read(spark, snapshot.tablePath, snapshot.checkpointVersion)
-    if (pruning.isEmpty) {
-      val slim = df
-        .select(col("path"), col("size"), col("modificationTime"),
-          col("revisionId"), col("stats"))
-        .as[(String, Long, Long, Long, Option[String])]
-      slim.mapPartitions { it =>
-        val touched = touchedB.value
-        it.filter(r => !touched.contains(r._1))
-      }.collect().toSeq.map { case (p, size, mtime, rid, stats) =>
-        CheckpointFileRow(p, size, mtime, rid, Nil, stats)
+    try {
+      if (pruning.isEmpty) {
+        val slim = df
+          .select(col("path"), col("size"), col("modificationTime"),
+            col("revisionId"), col("stats"))
+          .as[(String, Long, Long, Long, Option[String])]
+        slim.mapPartitions { it =>
+          val touched = touchedB.value
+          it.filter(r => !touched.contains(r._1))
+        }.collect().toSeq.map { case (p, size, mtime, rid, stats) =>
+          CheckpointFileRow(p, size, mtime, rid, Nil, stats)
+        }
+      } else {
+        val pruningB = spark.sparkContext.broadcast(pruning)
+        try {
+          df.as[CheckpointFileRow].mapPartitions { it =>
+            val pruning = pruningB.value
+            val touched = touchedB.value
+            it.filter { r =>
+              !touched.contains(r.path) && (pruning.get(r.revisionId) match {
+                case None => true
+                case Some((dims, specs)) =>
+                  r.blocks.exists { b =>
+                    val block = Block(CubeId.fromString(dims, b.cube),
+                      Weight(b.minWeight), Weight(b.maxWeight), b.elementCount)
+                    specs.exists(s => QbeastFileIndex.blockMatches(block, s))
+                  }
+              })
+            }.map(r => r.copy(blocks = Nil))
+          }.collect().toSeq
+        } finally pruningB.destroy()
       }
-    } else {
-      val pruningB = spark.sparkContext.broadcast(pruning)
-      df.as[CheckpointFileRow].mapPartitions { it =>
-        val pruning = pruningB.value
-        val touched = touchedB.value
-        it.filter { r =>
-          !touched.contains(r.path) && (pruning.get(r.revisionId) match {
-            case None => true
-            case Some((dims, specs)) =>
-              r.blocks.exists { b =>
-                val block = Block(CubeId.fromString(dims, b.cube),
-                  Weight(b.minWeight), Weight(b.maxWeight), b.elementCount)
-                specs.exists(s => QbeastFileIndex.blockMatches(block, s))
-              }
-          })
-        }.map(r => r.copy(blocks = Nil))
-      }.collect().toSeq
-    }
+    } finally touchedB.destroy() // one-shot broadcasts: don't leak per query
   }
 
   override def listFiles(

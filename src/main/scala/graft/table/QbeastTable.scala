@@ -406,8 +406,16 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       spark.read.format("qbeast").load(tablePath).schema)
     val targetCols = tableSchema.fieldNames.toSeq
 
+    // only matched / not-matched-by-source clauses can change a target
+    // row; an insert-only merge rewrites nothing
+    val rowModifying = matched.nonEmpty || notMatchedBySource.nonEmpty
+
     if (matched.nonEmpty) {
-      val dup = source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      // null merge keys can never match a target row (SQL equality), so
+      // they are exempt from the uniqueness rule, like Delta
+      val nonNullKeys = keys.map(k => col(k).isNotNull).reduce(_ && _)
+      val dup = source.filter(nonNullKeys)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).limit(1).count()
       require(dup == 0L,
         "MERGE with WHEN MATCHED clauses requires the source to be unique on the " +
@@ -418,7 +426,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     try {
       // ---- pass 1: affected files ----
       val affected: Vector[IndexFile] =
-        if (notMatchedBySource.nonEmpty) s.files
+        if (!rowModifying) Vector.empty
+        else if (notMatchedBySource.nonEmpty) s.files
         else {
           val table = spark.read.format("qbeast").load(tablePath)
             .select(input_file_name().as("__qbeast_file") +: keys.map(col): _*)
@@ -432,7 +441,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       // Matched clause i → action i; NOT MATCHED BY SOURCE clause i →
       // action 1000+i; untouched rows → -1 ----
       val present = srcPrefix + "__present"
-      val srcRenamed = source.columns.foldLeft(source) { (d, c) =>
+      // without matched clauses no source payload is ever referenced —
+      // join only the DISTINCT keys so duplicate source keys cannot fan
+      // matched target rows out into duplicated survivors
+      val srcJoinSide = if (matched.nonEmpty) source else srcKeys
+      val srcRenamed = srcJoinSide.columns.foldLeft(srcJoinSide) { (d, c) =>
         d.withColumnRenamed(c, srcPrefix + c)
       }.withColumn(present, lit(true))
       val joinCond = keys.map(k => col(k) === col(srcPrefix + k)).reduce(_ && _)
@@ -475,11 +488,17 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 
       // ---- pass 2: per revision group, frozen rewrite of untouched
       // rows; changed rows collected for re-indexing ----
+      // each group's joined frame feeds the survivor rewrite now and the
+      // changed frames in pass 3 — persist so a K-clause merge reads and
+      // joins the affected files once, not K+1 times
+      val cachedJoins = mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
       val perGroup = affected.groupBy(_.revisionId).toSeq.map { case (rid, files) =>
         val paths = files.map(f => new Path(tablePath, f.path).toString)
         val joined = spark.read.parquet(paths: _*)
           .join(srcRenamed, joinCond, "left")
           .withColumn("__action", action)
+          .persist()
+        cachedJoins += joined
         val changed = updateClauses.map { case (asgn, id) =>
           joined.filter(col("__action") === id).select(applyAssignments(asgn): _*)
         }
@@ -542,6 +561,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           val adds = QbeastWriter.index(spark, tablePath, df, rev, status, n)
           (adds, if (isNew) Some(rev) else None, n)
       }
+      cachedJoins.foreach(_.unpersist())
 
       if (affected.isEmpty && changedAdds.isEmpty) return (0L, 0L)
       commitMutation(s, survivorAdds ++ changedAdds, newRevision, affected,
@@ -661,9 +681,13 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val target = QbeastLog.snapshot(tablePath, conf, asOfVersion = version)
     val targetPaths = target.files.map(_.path).toSet
     val fs = new Path(tablePath).getFileSystem(conf)
-    // the resurrected set can only shrink as the head moves, so checking
-    // the target state's files once up front covers every retry
-    target.files.foreach { f =>
+    // only files ABSENT from the current head can have been vacuumed
+    // (live files are never deleted), so the existence check is
+    // O(resurrected), not O(table). A retry against a moved head can
+    // only need files from this same set or files the concurrent commit
+    // just wrote — both exist.
+    val currentPaths = current.files.map(_.path).toSet
+    target.files.filterNot(f => currentPaths.contains(f.path)).foreach { f =>
       require(fs.exists(new Path(tablePath, f.path)),
         s"cannot restore to version $version: data file ${f.path} was vacuumed")
     }

@@ -751,11 +751,16 @@ object SqlDmlProbe {
       println(s"[sqldml] MERGE: rows=$n want=$wantN match=${n == wantN}")
     } catch { case e: Exception => println(s"[sqldml] MERGE FAILED: ${e.getMessage.linesIterator.take(3).mkString(" | ")}") }
 
-    // unsupported shapes fail with a clear message, not silently
+    // MERGE ... WHEN MATCHED THEN DELETE is supported (anti-join path):
+    // every original key matches o_src, so only the inserted +1e8 keys
+    // from the upsert above survive
     try {
+      val before = spark.sql("SELECT count(*) FROM qbeast_catalog.default.sqldml").head.getLong(0)
       spark.sql("MERGE INTO qbeast_catalog.default.sqldml t USING o_src s ON t.o_orderkey = s.o_orderkey WHEN MATCHED THEN DELETE")
-      println("[sqldml] matched-delete: NO ERROR (bad)")
-    } catch { case e: Exception => println(s"[sqldml] matched-delete rejected: ${e.getMessage.linesIterator.next().take(100)}") }
+      val after = spark.sql("SELECT count(*) FROM qbeast_catalog.default.sqldml").head.getLong(0)
+      val want = before - o.count()
+      println(s"[sqldml] matched-delete: rows $before -> $after want=$want match=${after == want}")
+    } catch { case e: Exception => println(s"[sqldml] matched-delete FAILED: ${e.getMessage.linesIterator.take(3).mkString(" | ")}") }
     spark.sql("DROP TABLE qbeast_catalog.default.sqldml")
     spark.stop()
   }

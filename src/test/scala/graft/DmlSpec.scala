@@ -288,6 +288,24 @@ class DmlSpec extends AnyFunSuite {
     assert(back.filter("l_orderkey >= 90000000").count() === want)
   }
 
+  test("insert-only MERGE with duplicate source keys never duplicates target rows") {
+    val (name, dir) = sqlCatalogTable("dml-sqlmrgdup")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    // duplicate keys in the source are LEGAL for insert-only merges;
+    // matched target rows must pass through exactly once and no target
+    // file should even be rewritten
+    raw.limit(200).unionAll(raw.limit(200)).createOrReplaceTempView("dml_dup_src")
+    val v0 = QbeastLog.snapshot(dir, conf).version
+    spark.sql(s"""MERGE INTO $name t USING dml_dup_src s
+      ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+      WHEN NOT MATCHED AND s.l_quantity < 0 THEN INSERT *""")
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === raw.count(), "no duplication, no inserts")
+    assert(back.exceptAll(raw).count() === 0)
+    // insert-only with nothing to insert: no commit at all
+    assert(QbeastLog.snapshot(dir, conf).version === v0)
+  }
+
   test("SQL MERGE with unsupported shapes fails with a clear error") {
     val (name, _) = sqlCatalogTable("dml-sqlbad")
     spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("dml_sqlbad_src")
