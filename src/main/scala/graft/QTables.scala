@@ -570,7 +570,7 @@ object QTables {
   /** Bump when the log/layout format changes so stale caches from a
    * previous build round are never replayed by newer code.
    * v3: per-file column stats (data skipping) recorded at write. */
-  val CacheFormatVersion = 3
+  val CacheFormatVersion = 4
 
   private def cachePath(sfDir: String, table: String): String = {
     val sfName = new java.io.File(sfDir).getName
