@@ -36,7 +36,11 @@ final case class QbeastSnapshot(
     checkpointVersion: Long = -1L,
     /** Paths added or removed by the tail (light replay only): these
      * override the checkpoint sidecar rows of the same path. */
-    tailTouchedPaths: Set[String] = Set.empty) {
+    tailTouchedPaths: Set[String] = Set.empty,
+    /** The asOfVersion this snapshot was replayed at (-1 = head). A
+     * refresh of a time-traveled relation must re-pin to this version,
+     * not jump to the new head. */
+    asOf: Long = -1L) {
 
   def isEmpty: Boolean = version < 0
 
@@ -230,7 +234,8 @@ object QbeastLog {
       revisions.toMap, files.values.toVector, txns.toMap,
       filesComplete = !light,
       checkpointVersion = if (light) fromCheckpoint.get else -1L,
-      tailTouchedPaths = if (light) touched.result() else Set.empty)
+      tailTouchedPaths = if (light) touched.result() else Set.empty,
+      asOf = asOfVersion)
     if (asOfVersion < 0 && !light) maybeCheckpoint(fs, snap, fromCheckpoint.getOrElse(-1L))
     snap
   }

@@ -47,10 +47,9 @@ final class DistributedQbeastFileIndex(
 
   private val tablePath = new Path(snapshot.tablePath)
 
-  private def summary: (Long, Long) =
-    FileCheckpoint.summary(snapshot.tablePath,
-      spark.sparkContext.hadoopConfiguration, snapshot.checkpointVersion)
-      .getOrElse((0L, 0L))
+  private def summary(snap: QbeastSnapshot): Option[(Long, Long)] =
+    FileCheckpoint.summary(snap.tablePath,
+      spark.sparkContext.hadoopConfiguration, snap.checkpointVersion)
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
 
@@ -58,26 +57,36 @@ final class DistributedQbeastFileIndex(
 
   /** Estimate from the checkpoint summary plus tail adds. Removed-by-tail
    * checkpoint bytes are not subtracted (their sizes are unknown without
-   * a scan) — a slight over-estimate, conservative for join planning. */
-  override def sizeInBytes: Long =
-    if (snapshot.filesComplete) math.max(snapshot.totalBytes, 1L)
-    else math.max(summary._2 + snapshot.files.map(_.size).sum, 1L)
+   * a scan) — a slight over-estimate, conservative for join planning. A
+   * MISSING summary (sidecar vacuumed under us) must over-estimate too:
+   * under-reporting would make the planner broadcast a huge table. */
+  override def sizeInBytes: Long = {
+    val snap = snapshot
+    if (snap.filesComplete) math.max(snap.totalBytes, 1L)
+    else summary(snap) match {
+      case Some((_, bytes)) => math.max(bytes + snap.files.map(_.size).sum, 1L)
+      case None => Long.MaxValue >> 16
+    }
+  }
 
   override def inputFiles: Array[String] = {
-    if (snapshot.filesComplete)
-      return snapshot.files.map(f => new Path(tablePath, f.path).toString).toArray
-    val touched = snapshot.tailTouchedPaths
-    val cp = checkpointRows(Nil)
+    val snap = snapshot
+    if (snap.filesComplete)
+      return snap.files.map(f => new Path(tablePath, f.path).toString).toArray
+    val touched = snap.tailTouchedPaths
+    val cp = checkpointRows(snap, Nil)
       .filter(r => !touched.contains(r.path)).map(_.path)
-    (cp ++ snapshot.files.map(_.path))
+    (cp ++ snap.files.map(_.path))
       .map(p => new Path(tablePath, p).toString).toArray
   }
 
   override def refresh(): Unit = {
-    // lightSnapshot degrades to a complete snapshot if the sidecar
-    // vanished; listFiles handles either via the filesComplete branch
-    snapshot = QbeastLog.lightSnapshot(snapshot.tablePath,
-      spark.sparkContext.hadoopConfiguration)
+    // re-pin to the same asOf version (never jump a time-traveled
+    // relation to head); lightSnapshot degrades to a complete snapshot
+    // if the sidecar vanished — listFiles handles either
+    val old = snapshot
+    snapshot = QbeastLog.lightSnapshot(old.tablePath,
+      spark.sparkContext.hadoopConfiguration, old.asOf)
   }
 
   def currentSnapshot: QbeastSnapshot = snapshot
@@ -87,14 +96,16 @@ final class DistributedQbeastFileIndex(
    * constraining spec the `blocks` column is never read at all — parquet
    * column pruning makes the unconditional enumeration a scan of four
    * scalar columns. */
-  private def checkpointRows(filters: Seq[Expression]): Seq[CheckpointFileRow] = {
+  private def checkpointRows(
+      snap: QbeastSnapshot,
+      filters: Seq[Expression]): Seq[CheckpointFileRow] = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val pruning = QbeastFileIndex.revisionSpecs(snapshot, filters)
-    val touched = snapshot.tailTouchedPaths
+    val pruning = QbeastFileIndex.revisionSpecs(snap, filters)
+    val touched = snap.tailTouchedPaths
     val touchedB = spark.sparkContext.broadcast(touched)
     val df = FileCheckpoint
-      .read(spark, snapshot.tablePath, snapshot.checkpointVersion)
+      .read(spark, snap.tablePath, snap.checkpointVersion)
     try {
       if (pruning.isEmpty) {
         val slim = df
@@ -134,10 +145,23 @@ final class DistributedQbeastFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val filters = partitionFilters ++ dataFilters
-    if (snapshot.filesComplete) {
-      // post-refresh fallback: the sidecar vanished (e.g. vacuumed), so
-      // the snapshot is a complete one — prune flat, like QbeastFileIndex
-      val statuses = QbeastFileIndex.selectFiles(snapshot, filters).map { f =>
+    // capture ONCE: a concurrent refresh() must not tear this view
+    // across tail, checkpoint version, and touched set
+    var snap = snapshot
+    if (!snap.filesComplete && !FileCheckpoint.exists(snap.tablePath,
+        spark.sparkContext.hadoopConfiguration, snap.checkpointVersion)) {
+      // sidecar vacuumed under us (long-lived or time-traveled
+      // relation pinned to an old checkpoint): degrade to a complete
+      // snapshot at the SAME version and prune flat. Keep the original
+      // asOf so a later refresh() of a head relation still follows head.
+      val pinned = snap.asOf
+      snap = QbeastLog.snapshot(snap.tablePath,
+        spark.sparkContext.hadoopConfiguration, snap.version)
+        .copy(asOf = pinned)
+      snapshot = snap
+    }
+    if (snap.filesComplete) {
+      val statuses = QbeastFileIndex.selectFiles(snap, filters).map { f =>
         new FileStatus(f.size, false, 1, 134217728L, f.modificationTime,
           new Path(tablePath, f.path))
       }.toArray
@@ -145,11 +169,11 @@ final class DistributedQbeastFileIndex(
     }
     // tail adds: flat matcher over the (small) post-checkpoint commits
     val tailSelected = QbeastFileIndex
-      .selectFiles(snapshot.copy(filesComplete = true), filters)
+      .selectFiles(snap.copy(filesComplete = true), filters)
       .map(f => (f.path, f.size, f.modificationTime))
     // checkpoint bulk: Spark job over the sidecar, then stats pruning on
     // the survivors only
-    val cpCandidates = checkpointRows(filters)
+    val cpCandidates = checkpointRows(snap, filters)
     val cpSelected = (
       if (filters.isEmpty) cpCandidates
       else cpCandidates.filter(r => FileStatsPruning.mayMatch(r.stats, filters))

@@ -47,8 +47,10 @@ final class QbeastFileIndex(
     snapshot.files.map(f => new Path(tablePath, f.path).toString).toArray
 
   override def refresh(): Unit = {
-    snapshot = QbeastLog.snapshot(snapshot.tablePath,
-      spark.sparkContext.hadoopConfiguration)
+    // a time-traveled relation re-pins to its version, never to head
+    val old = snapshot
+    snapshot = QbeastLog.snapshot(old.tablePath,
+      spark.sparkContext.hadoopConfiguration, old.asOf)
   }
 
   def currentSnapshot: QbeastSnapshot = snapshot

@@ -217,6 +217,40 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   private[graft] def updateWhere(cond: Column, assignments: Map[String, Column]): Long =
     mutate(cond, Some(assignments))
 
+  /** DataFrame over EXACTLY the files of `s` through the index-pruned
+   * scan path. Every pass of a mutation reads through this so the whole
+   * operation sees ONE snapshot version — a plain
+   * `read.format("qbeast")` would re-resolve the head per pass and a
+   * concurrent commit between passes could silently drop rows from the
+   * mutation's view (commit-time conflict checks then cover the rest). */
+  private def pinnedRead(s: QbeastSnapshot): org.apache.spark.sql.DataFrame = {
+    val fileIndex = new graft.read.QbeastFileIndex(spark, s)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = fileIndex,
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      dataSchema = s.schema.getOrElse(
+        throw new IllegalStateException(s"qbeast table at $tablePath has no schema")),
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      options = Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
+
+  /** Pass 1 of every keyed mutation: the files of `s` holding at least
+   * one key present in `srcKeys`. (The file name is projected BELOW the
+   * join: input_file_name() is only defined directly over its scan.) */
+  private def affectedByKeys(
+      s: QbeastSnapshot,
+      srcKeys: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): Vector[IndexFile] = {
+    val table = pinnedRead(s)
+      .select(input_file_name().as("__qbeast_file") +: keys.map(col): _*)
+    val names = table.join(srcKeys, keys, "left_semi")
+      .select("__qbeast_file").distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    s.files.filter(f => names.contains(new Path(f.path).getName))
+  }
+
   private def mutate(cond: Column, assignments: Option[Map[String, Column]]): Long = {
     val s = snapshot
     if (s.isEmpty || s.files.isEmpty) return 0L
@@ -224,8 +258,9 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val matched = coalesce(cond, lit(false))
 
     // ---- pass 1: affected-file discovery through the index-pruned
-    // read path (file pruning + parquet row-group stats both apply) ----
-    val table = spark.read.format("qbeast").load(tablePath)
+    // read path (file pruning + parquet row-group stats both apply),
+    // PINNED to snapshot s so all passes see one version ----
+    val table = pinnedRead(s)
     val affectedNames = table.filter(matched)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => new Path(r.getString(0)).getName).toSet
@@ -423,24 +458,34 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     }
 
     val srcKeys = source.select(keys.map(col): _*).distinct().persist()
+    // frames persisted during the passes; released in the finally so no
+    // exception path leaks block-manager entries
+    val cachedJoins = mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
     try {
       // ---- pass 1: affected files ----
       val affected: Vector[IndexFile] =
         if (!rowModifying) Vector.empty
         else if (notMatchedBySource.nonEmpty) s.files
-        else {
-          val table = spark.read.format("qbeast").load(tablePath)
-            .select(input_file_name().as("__qbeast_file") +: keys.map(col): _*)
-          val names = table.join(srcKeys, keys, "left_semi")
-            .select("__qbeast_file").distinct()
-            .collect().map(r => new Path(r.getString(0)).getName).toSet
-          s.files.filter(f => names.contains(new Path(f.path).getName))
-        }
+        else affectedByKeys(s, srcKeys, keys)
 
       // ---- per-row action resolution: first applicable clause wins.
       // Matched clause i → action i; NOT MATCHED BY SOURCE clause i →
       // action 1000+i; untouched rows → -1 ----
-      val present = srcPrefix + "__present"
+      // internal marker columns must not clobber a real column of
+      // either side (a target column literally named __action is legal)
+      val takenNames =
+        (targetCols ++ source.columns).map(_.toLowerCase).toSet
+      def freshName(base: String): String = {
+        var n = base
+        var i = 0
+        while (takenNames.contains(n.toLowerCase) ||
+          takenNames.contains((srcPrefix + n).toLowerCase)) {
+          i += 1; n = s"${base}_$i"
+        }
+        n
+      }
+      val actionCol = freshName("__action")
+      val present = srcPrefix + freshName("__present")
       // without matched clauses no source payload is ever referenced —
       // join only the DISTINCT keys so duplicate source keys cannot fan
       // matched target rows out into duplicated survivors
@@ -491,18 +536,17 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       // each group's joined frame feeds the survivor rewrite now and the
       // changed frames in pass 3 — persist so a K-clause merge reads and
       // joins the affected files once, not K+1 times
-      val cachedJoins = mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
       val perGroup = affected.groupBy(_.revisionId).toSeq.map { case (rid, files) =>
         val paths = files.map(f => new Path(tablePath, f.path).toString)
         val joined = spark.read.parquet(paths: _*)
           .join(srcRenamed, joinCond, "left")
-          .withColumn("__action", action)
+          .withColumn(actionCol, action)
           .persist()
         cachedJoins += joined
         val changed = updateClauses.map { case (asgn, id) =>
-          joined.filter(col("__action") === id).select(applyAssignments(asgn): _*)
+          joined.filter(col(actionCol) === id).select(applyAssignments(asgn): _*)
         }
-        val survivors = joined.filter(col("__action") === -1)
+        val survivors = joined.filter(col(actionCol) === -1)
           .select(targetCols.map(col): _*)
         val revision =
           if (rid == Revision.StagingID)
@@ -523,15 +567,16 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val insertFrames: Seq[org.apache.spark.sql.DataFrame] =
         if (notMatched.isEmpty) Nil
         else {
-          val tKeys = spark.read.format("qbeast").load(tablePath)
-            .select(keys.map(col): _*).distinct()
+          val tKeys = pinnedRead(s).select(keys.map(col): _*).distinct()
           val unmatchedSrc = source.join(tKeys, keys, "left_anti")
           var ic: Column = null
           notMatched.zipWithIndex.foreach { case (cl, i) =>
             val cond = coalesce(cl.condition.getOrElse(lit(true)), lit(false))
             ic = if (ic == null) when(cond, lit(i)) else ic.when(cond, lit(i))
           }
-          val withAction = unmatchedSrc.withColumn("__action", ic.otherwise(lit(-1)))
+          val withAction = unmatchedSrc.withColumn(actionCol, ic.otherwise(lit(-1)))
+            .persist()
+          cachedJoins += withAction
           notMatched.zipWithIndex.map { case (cl, i) =>
             val asgn = cl.assignments.getOrElse(throw new UnsupportedOperationException(
               "MERGE WHEN NOT MATCHED clause must be an INSERT"))
@@ -542,7 +587,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
                   s"MERGE INSERT must assign every target column (missing $c — use INSERT *)"))
               e.cast(tableSchema(c).dataType).as(c)
             }
-            withAction.filter(col("__action") === i).select(cols: _*)
+            withAction.filter(col(actionCol) === i).select(cols: _*)
           }
         }
 
@@ -561,14 +606,15 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           val adds = QbeastWriter.index(spark, tablePath, df, rev, status, n)
           (adds, if (isNew) Some(rev) else None, n)
       }
-      cachedJoins.foreach(_.unpersist())
-
       if (affected.isEmpty && changedAdds.isEmpty) return (0L, 0L)
       commitMutation(s, survivorAdds ++ changedAdds, newRevision, affected,
         operation = "MERGE")
       val replaced = affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
       (replaced, nChanged)
-    } finally srcKeys.unpersist()
+    } finally {
+      srcKeys.unpersist()
+      cachedJoins.foreach(_.unpersist())
+    }
   }
 
   /** Shared passes 1–2 of the keyed mutations ([[upsert]],
@@ -581,15 +627,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       srcKeys: org.apache.spark.sql.DataFrame,
       keys: Seq[String]): (Vector[IndexFile], Seq[IndexFile]) = {
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
-    // ---- pass 1: which target files hold matched keys? ----
-    // (file name projected BELOW the join: input_file_name() is only
-    // defined directly over its single scan)
-    val table = spark.read.format("qbeast").load(tablePath)
-      .select(input_file_name().as("__qbeast_file") +: keys.map(col): _*)
-    val affectedNames = table.join(srcKeys, keys, "left_semi")
-      .select("__qbeast_file").distinct()
-      .collect().map(r => new Path(r.getString(0)).getName).toSet
-    val affected = s.files.filter(f => affectedNames.contains(new Path(f.path).getName))
+    val affected = affectedByKeys(s, srcKeys, keys)
 
     // ---- pass 2: rewrite affected files WITHOUT the matched rows ----
     val survivorAdds = affected.groupBy(_.revisionId).toSeq.flatMap { case (rid, files) =>
@@ -681,16 +719,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val target = QbeastLog.snapshot(tablePath, conf, asOfVersion = version)
     val targetPaths = target.files.map(_.path).toSet
     val fs = new Path(tablePath).getFileSystem(conf)
-    // only files ABSENT from the current head can have been vacuumed
-    // (live files are never deleted), so the existence check is
-    // O(resurrected), not O(table). A retry against a moved head can
-    // only need files from this same set or files the concurrent commit
-    // just wrote — both exist.
-    val currentPaths = current.files.map(_.path).toSet
-    target.files.filterNot(f => currentPaths.contains(f.path)).foreach { f =>
-      require(fs.exists(new Path(tablePath, f.path)),
-        s"cannot restore to version $version: data file ${f.path} was vacuumed")
-    }
+
     // RESTORE declares "the content is exactly version `version`": the
     // add/remove diff is recomputed against whatever head the commit
     // lands on, so a concurrent commit in the retry window is rolled
@@ -702,6 +731,15 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     while (!committed) {
       val basePaths = base.files.map(_.path).toSet
       val resurrect = target.files.filterNot(f => basePaths.contains(f.path))
+      // only files ABSENT from the head we commit against can have been
+      // vacuumed (live files are never deleted), so the existence check
+      // is O(resurrected), not O(table) — and it must run per attempt:
+      // a concurrent remove + vacuum inside the retry window could
+      // delete a file that was live at the previous check
+      resurrect.foreach { f =>
+        require(fs.exists(new Path(tablePath, f.path)),
+          s"cannot restore to version $version: data file ${f.path} was vacuumed")
+      }
       val drop = base.files.filterNot(f => targetPaths.contains(f.path))
       val now = System.currentTimeMillis()
       val actions: Seq[LogAction] =
