@@ -26,6 +26,30 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("99"))
   }
 
+  test("refresh keeps a time-traveled relation pinned to its version") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("tt-refresh")
+    (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a,b").save(dir) // v0
+    (101 to 150).map(i => (i.toLong, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").mode("append").save(dir) // v1
+
+    val v0 = spark.read.format("qbeast").option("versionAsOf", 0).load(dir)
+    assert(v0.count() === 100)
+    // table moves on; an explicit refresh of the pinned relation's file
+    // index must NOT jump it to the new head
+    (151 to 160).map(i => (i.toLong, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").mode("append").save(dir) // v2
+    val index = v0.queryExecution.analyzed.collectLeaves().collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location
+    }.get
+    index.refresh()
+    assert(v0.count() === 100, "refresh() must re-pin to versionAsOf, not head")
+    assert(spark.read.format("qbeast").load(dir).count() === 160)
+  }
+
   test("restoreToVersion rolls data, schema and config back as a new commit") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("restore")
