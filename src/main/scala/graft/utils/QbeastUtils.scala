@@ -45,4 +45,30 @@ object QbeastUtils {
       .mkString("[", ",", "]")
   }
 
+  /** Equi-height histogram bounds for a string column (reference:
+   * `utils/QbeastUtils.computeHistogramForColumn` — deprecated upstream
+   * together with the histogram transformer, kept for compatibility):
+   * the min of each of `numBins` ordered partitions of the DISTINCT
+   * values, as a JSON array for `columnStats {"<col>_histogram": ...}`.
+   * Strictly ascending by construction, so it always passes the
+   * write-side bound validation. */
+  def computeHistogramForColumn(
+      df: org.apache.spark.sql.DataFrame,
+      columnName: String,
+      numBins: Int = 50): String = {
+    import org.apache.spark.sql.expressions.Window
+    require(df.columns.exists(_.equalsIgnoreCase(columnName)),
+      s"column $columnName does not exist in the dataframe")
+    val distinct = df.select(col(columnName).cast("string").as("v"))
+      .filter(col("v").isNotNull).distinct()
+    val tiled = distinct
+      .withColumn("t", ntile(numBins).over(Window.orderBy(col("v"))))
+    val bounds = tiled.groupBy("t").agg(min("v").as("b"))
+      .orderBy("t").collect().map(_.getString(1)).toVector
+    require(bounds.size > 1,
+      s"column $columnName needs at least 2 distinct values for a histogram")
+    bounds.map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+  }
+
 }

@@ -96,6 +96,27 @@ class UtilitiesSpec extends AnyFunSuite {
     assert(strQ.startsWith("[\"") && strQ.endsWith("\"]"))
   }
 
+  test("computeHistogramForColumn: ascending bounds, usable as columnStats") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val hist = graft.utils.QbeastUtils.computeHistogramForColumn(part, "p_type", 8)
+    assert(hist.startsWith("[\"") && hist.endsWith("\"]"))
+    // parses and is strictly ascending (the write-side validation relies on it)
+    val bounds = org.json4s.jackson.JsonMethods.parse(hist)
+      .asInstanceOf[org.json4s.JArray].arr.map(_.asInstanceOf[org.json4s.JString].s)
+    assert(bounds.size > 1)
+    assert(bounds.lazyZip(bounds.tail).forall(_ < _))
+    // a write indexed with these bounds round-trips
+    val dir = TestSpark.tmpDir("util-hist")
+    part.write.format("qbeast")
+      .option("columnsToIndex", "p_type:histogram,p_retailprice")
+      .option("columnStats", s"""{"p_type_histogram": $hist}""")
+      .option("cubeSize", "2000").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === part.count())
+    assert(back.filter("p_type >= 'PROMO'").count() ===
+      part.filter("p_type >= 'PROMO'").count())
+  }
+
   test("optimizeFiles rewrites only the named files, content intact") {
     val dir = TestSpark.tmpDir("opt-files")
     val raw = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
