@@ -679,6 +679,11 @@ object SparkEntry {
       // flag train docs sharing any 8-gram with the held-out slice
       ops.TextOps.decontaminate(QTables.raw(s, dir, "documents"), "doc_id", "text",
         col("doc_id") % 97 === 0)),
+    "t29_contamination_score" -> ((s, dir) =>
+      // per-doc eval-overlap fraction — the threshold signal behind
+      // decontamination policies (t25 is the binary verdict)
+      ops.TextOps.contaminationScore(QTables.raw(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 97 === 0)),
     "t27_source_cap" -> ((s, dir) =>
       // mixture balancing: at most 40 docs per source, longest first
       ops.TextOps.sourceCap(QTables.raw(s, dir, "documents"),
@@ -1597,6 +1602,18 @@ object SparkEntry {
         |e AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
         |SELECT g.doc_id, count(DISTINCT g.ng) AS n_shared
         |FROM g JOIN e USING (ng) WHERE g.doc_id % 97 <> 0 GROUP BY 1""".stripMargin,
+    "t29_contamination_score" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, array_to_string(list_slice(toks, u.i + 1, u.i + 8), ' ') AS ng
+        |  FROM t, LATERAL unnest(range(0, greatest(len(toks) - 7, 0))) u(i)),
+        |e AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, count(DISTINCT ng) AS n_grams
+        |  FROM g WHERE doc_id % 97 <> 0 GROUP BY 1),
+        |sh AS (SELECT g.doc_id, count(DISTINCT g.ng) AS n_shared
+        |  FROM g JOIN e USING (ng) WHERE g.doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT tr.doc_id, tr.n_grams, COALESCE(sh.n_shared, 0) AS n_shared,
+        |  CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / tr.n_grams AS contamination
+        |FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id""".stripMargin,
     "q59_update" ->
       """SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'
         |  THEN o_totalprice + 100000 ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

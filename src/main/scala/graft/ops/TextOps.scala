@@ -378,30 +378,65 @@ object TextOps {
       n: Int = 8): DataFrame = {
     // eval/train split BEFORE the explode so the (tiny) eval side scans
     // only its own partitions' rows — the predicate reaches the source.
-    // The token-hash array is materialized by its own projection: a
-    // lambda body is NOT subexpression-eliminated across invocations,
-    // so referencing the transform() directly inside the per-gram
-    // lambda would recompute every token hash per gram (O(T²) per doc).
-    def gramHashes(side: DataFrame): DataFrame = {
-      val toks = split(trim(col(textCol)), "\\s+")
-      val withTh = side.select(col(idCol), transform(toks, t => xxhash64(t)).as("th"))
-      val th = col("th")
-      // rotate-left(5) ⊕ next-token-hash: order-sensitive 64-bit combine
-      // in pure bit-ops (ANSI mode forbids wrapping multiply/add)
-      val gram = (s: Column) => aggregate(
-        sequence(lit(1), lit(n)), lit(-7046029254386353131L),
-        (acc, j) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
-          .bitwiseXOR(element_at(th, s + j)))
-      val ghs = when(size(th) >= n,
-        transform(sequence(lit(0), size(th) - lit(n), lit(1)), gram))
-        .otherwise(array().cast("array<bigint>"))
-      withTh.select(col(idCol), explode(ghs).as("ngh"))
-    }
-    val evalGrams = gramHashes(df.filter(evalPred)).select("ngh").distinct()
-    gramHashes(df.filter(not(evalPred)))
+    val evalGrams = ngramHashes(df.filter(evalPred), idCol, textCol, n)
+      .select("ngh").distinct()
+    ngramHashes(df.filter(not(evalPred)), idCol, textCol, n)
       .join(broadcast(evalGrams), "ngh")
       .groupBy(col(idCol))
       .agg(countDistinct(col("ngh")).as("n_shared"))
+  }
+
+  /** One row per (doc, n-gram-hash). The token-hash array is
+   * materialized by its own projection: a lambda body is NOT
+   * subexpression-eliminated across invocations, so referencing the
+   * transform() directly inside the per-gram lambda would recompute
+   * every token hash per gram (O(T²) per doc). */
+  private def ngramHashes(
+      side: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val withTh = side.select(col(idCol), transform(toks, t => xxhash64(t)).as("th"))
+    val th = col("th")
+    // rotate-left(5) ⊕ next-token-hash: order-sensitive 64-bit combine
+    // in pure bit-ops (ANSI mode forbids wrapping multiply/add)
+    val gram = (s: Column) => aggregate(
+      sequence(lit(1), lit(n)), lit(-7046029254386353131L),
+      (acc, j) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+        .bitwiseXOR(element_at(th, s + j)))
+    val ghs = when(size(th) >= n,
+      transform(sequence(lit(0), size(th) - lit(n), lit(1)), gram))
+      .otherwise(array().cast("array<bigint>"))
+    withTh.select(col(idCol), explode(ghs).as("ngh"))
+  }
+
+  /** Per-document contamination REPORTING (the fraction companion of
+   * [[decontaminate]]'s binary verdict): for every train doc with at
+   * least one n-gram, its distinct-gram count, how many hit the eval
+   * set, and the overlap fraction — the signal threshold-based
+   * decontamination policies act on. Same plan shape as decontaminate
+   * (broadcast eval grams, map-side train stream) plus one map-side
+   * total-count aggregate. */
+  def contaminationScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalPred: Column,
+      n: Int = 8): DataFrame = {
+    val evalGrams = ngramHashes(df.filter(evalPred), idCol, textCol, n)
+      .select("ngh").distinct()
+    val train = ngramHashes(df.filter(not(evalPred)), idCol, textCol, n)
+    val totals = train.groupBy(col(idCol))
+      .agg(countDistinct(col("ngh")).as("n_grams"))
+    val hits = train.join(broadcast(evalGrams), "ngh")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("ngh")).as("n_shared"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contamination"))
   }
 
   // ---- vocabulary coverage (cheap LM-style quality signal) -----------------
