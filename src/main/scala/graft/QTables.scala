@@ -544,6 +544,48 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders merged through SQL MERGE whose ON clause uses a DIFFERENT
+   * source key name (`ON t.o_orderkey = s.key`) — Delta accepts
+   * arbitrary equi-key names and so do we. The source also carries
+   * DUPLICATE keys that match NO target row: legal (Delta's
+   * multiple-matches rule only rejects >1 source rows hitting the same
+   * target row), both copies insert. */
+  def qbeastSqlMergedRenamedKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_sql_merged_rk")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, "orders").write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_totalprice")
+          .option("cubeSize", "5000")
+          .save(path)
+        val name = sqlTable(spark, path, "orders_sql_merged_rk")
+        raw(spark, sfDir, "orders").createOrReplaceTempView("orders_sql_mrgrk_src")
+        spark.sql(s"""
+          MERGE INTO $name t
+          USING (SELECT o_orderkey AS key, o_custkey AS ck, o_orderstatus AS st,
+                        o_totalprice + 50000 AS price, o_orderdate AS dt
+                 FROM orders_sql_mrgrk_src WHERE o_orderkey % 10 = 4
+                 UNION ALL
+                 SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                        o_totalprice, o_orderdate
+                 FROM orders_sql_mrgrk_src WHERE o_orderkey % 10 = 6
+                 UNION ALL
+                 SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                        o_totalprice, o_orderdate
+                 FROM orders_sql_mrgrk_src WHERE o_orderkey % 10 = 6) s
+          ON t.o_orderkey = s.key
+          WHEN MATCHED THEN
+            UPDATE SET o_totalprice = s.price, o_orderpriority = 'RENAMED'
+          WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                    o_orderdate, o_orderpriority)
+            VALUES (s.key, s.ck, s.st, s.price, s.dt, 'INSERTED')""")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** lineitem written, appended, then RESTORED to version 0 — the
    * time-travel write-back. Content equals the first write (even
    * orderkeys); the restore is itself a log version, so history keeps

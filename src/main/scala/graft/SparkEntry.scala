@@ -762,6 +762,14 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q68_sql_merge_renamed_keys" -> ((s, dir) => {
+      // MERGE whose ON clause equates differently-named columns
+      // (t.o_orderkey = s.key) and whose source carries duplicate keys
+      // matching no target row — both Delta-legal; oracle recomputes
+      QTables.qbeastSqlMergedRenamedKeys(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q65_distributed_meta" -> ((s, dir) => {
       // metadata-scale read: parquet sidecar checkpoint + executor-side
       // block pruning (light log replay; the post-checkpoint append tail
@@ -1669,6 +1677,29 @@ object SparkEntry {
         |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus,
         |         o_totalprice, o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 10 = 7 AND o_totalprice < 100000),
+        |merged AS (SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |  UNION ALL SELECT * FROM inserts)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY 1""".stripMargin,
+    "q68_sql_merge_renamed_keys" ->
+      """WITH matched AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 50000 AS o_totalprice,
+        |         o_orderdate, 'RENAMED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 4),
+        |unmatched AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |         o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 4),
+        |inserts AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, 'INSERTED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 6
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, 'INSERTED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 6),
         |merged AS (SELECT * FROM matched UNION ALL SELECT * FROM unmatched
         |  UNION ALL SELECT * FROM inserts)
         |SELECT o_orderpriority, count(*) AS n,

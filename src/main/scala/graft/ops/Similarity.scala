@@ -19,12 +19,19 @@ object Similarity {
    * [-1, 1), so the oracle re-derives the identical planes in SQL
    * (`('0x'||substr(md5('p_b_i'),1,8))::BIGINT / 2^31 - 1`). */
   def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(bits)(b =>
-      Array.tabulate(dim)(i => HashUtils.h32(s"p_${b}_$i") / 2147483648.0 - 1.0))
+    hyperplanesFrom(0, bits, dim)
 
-  /** LSH bucket id: sign bit per hyperplane. */
-  def lshBucketUdf(bits: Int, dim: Int) = {
-    val planes = hyperplanes(bits, dim)
+  /** Deterministic hyperplanes starting at plane index `offset` — used to
+   * draw an independent bank of planes for hot-bucket refinement without
+   * disturbing the base bank the oracle unrolls (`p_0..p_{bits-1}`). */
+  def hyperplanesFrom(offset: Int, bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits)(b =>
+      Array.tabulate(dim)(i => HashUtils.h32(s"p_${offset + b}_$i") / 2147483648.0 - 1.0))
+
+  /** LSH bucket id: sign bit per hyperplane. `planeOffset` selects an
+   * independent plane bank (offset into the deterministic plane stream). */
+  def lshBucketUdf(bits: Int, dim: Int, planeOffset: Int = 0) = {
+    val planes = hyperplanesFrom(planeOffset, bits, dim)
     udf { (emb: Seq[Float]) =>
       var bucket = 0L
       var b = 0
@@ -227,18 +234,82 @@ object Similarity {
       .select("query_id", "nbr_id", "rank", "sim")
   }
 
+  /** Corpus-aware LSH bit count: enough sign bits that the EXPECTED
+   * bucket population `n / 2^bits` is at most `targetBucketSize`,
+   * clamped to [minBits, 30]. Use when the caller knows the corpus
+   * cardinality (e.g. from table stats) and wants the base bucket
+   * space sized for it instead of relying on hot-bucket refinement. */
+  def autoBits(n: Long, targetBucketSize: Int = 4096, minBits: Int = 8): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt
+    math.min(30, math.max(minBits, needed))
+  }
+
+  /**
+   * (id, emb, bucket) with hot buckets re-split: any base bucket holding
+   * more than `maxBucket` rows gets `refineBits` additional sign bits
+   * from an independent plane bank appended above the base bits, so the
+   * in-bucket self-join stays O(maxBucket) per bucket instead of
+   * O((N/2^bits)²) — the same hot-key discipline as `winnowPairs`'
+   * `maxDocFreq` and the minhash banding in [[Dedup]], but re-splitting
+   * (recall-preserving for near-identical vectors, which agree on the
+   * refinement signs w.h.p.) instead of dropping.
+   *
+   * Cost at scale: one extra map-side pass (the refinement signs) plus a
+   * count-per-bucket aggregation whose key space is ≤ 2^bits — map-side
+   * partial agg collapses it to one row per bucket per task. The hot set
+   * (buckets above the cap) is ≤ min(2^bits, N/maxBucket) rows and is
+   * broadcast. When no bucket exceeds the cap this is bit-identical to
+   * plain base bucketing (the oracle's semantics).
+   *
+   * Residual: a bucket of > maxBucket EXACT-duplicate vectors cannot be
+   * split by any projection (identical signs); pair output over such a
+   * clique is inherently quadratic. Run exact dedup (t01) first — the
+   * standard SemDeDup pipeline order.
+   */
+  private[graft] def refinedBuckets(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      bits: Int,
+      dim: Int,
+      maxBucket: Int,
+      refineBits: Int): DataFrame = {
+    val bucketOf = lshBucketUdf(bits, dim)
+    val withBucket = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("bucket", bucketOf(col("emb")))
+    if (refineBits <= 0) withBucket
+    else {
+      val hot = withBucket.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > maxBucket)
+        .select(col("bucket"), lit(true).as("hot"))
+      val refineOf = lshBucketUdf(refineBits, dim, planeOffset = bits)
+      withBucket
+        .join(broadcast(hot), Seq("bucket"), "left")
+        .withColumn("bucket",
+          when(col("hot"),
+            col("bucket") + (refineOf(col("emb")) + lit(1L)) * lit(1L << bits))
+            .otherwise(col("bucket")))
+        .drop("hot")
+    }
+  }
+
   /** All pairs with cosine ≥ threshold, LSH-blocked (equi-join on bucket;
-   * near-identical vectors collide with high probability). */
+   * near-identical vectors collide with high probability). Hot buckets
+   * (> maxBucket rows) are re-split with `refineBits` extra sign bits —
+   * see [[refinedBuckets]] — so the per-bucket self-join is bounded at
+   * any corpus size. Pass `bits = autoBits(n)` to also size the base
+   * bucket space to the corpus. */
   def nearDupPairs(
       embeddings: DataFrame,
       idCol: String,
       embCol: String,
       threshold: Double,
       bits: Int = 8,
-      dim: Int = 64): DataFrame = {
-    val bucketOf = lshBucketUdf(bits, dim)
-    val withBucket = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .withColumn("bucket", bucketOf(col("emb")))
+      dim: Int = 64,
+      maxBucket: Int = 4096,
+      refineBits: Int = 16): DataFrame = {
+    val withBucket = refinedBuckets(embeddings, idCol, embCol, bits, dim, maxBucket, refineBits)
     val a = withBucket.alias("a")
     val b = withBucket.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

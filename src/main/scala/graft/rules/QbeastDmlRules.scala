@@ -53,16 +53,22 @@ class QbeastDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => plan
         case Some(path) =>
           val keys = equiJoinKeys(mergeCond, target, source)
-          (matched, notMatched, notMatchedBySource) match {
-            // upsert fast path: UPDATE SET * + INSERT * (tolerates
-            // duplicate source keys, skips the join machinery)
+          // upsert fast path: unconditional UPDATE + INSERT assigning
+          // every target column the same value on both sides (SET * /
+          // INSERT * shape) — tolerates duplicate source keys, skips
+          // the join machinery. Anything else (partial SET, differing
+          // sides) falls through to the general row-level merge.
+          val fastReplacement = (matched, notMatched, notMatchedBySource) match {
             case (Seq(UpdateAction(None, updateAsgn, _)),
                 Seq(InsertAction(None, insertAsgn)), Seq()) =>
-              // upsert() replaces whole rows, so the UPDATE and INSERT
-              // sides must write the same value into every target column
-              val targetCols = target.output.map(_.name)
-              val row = replacementRow(targetCols, updateAsgn, insertAsgn)
-              MergeQbeastTableCommand(path, source, keys, row)
+              replacementRow(target.output.map(_.name), updateAsgn, insertAsgn)
+            case _ => None
+          }
+          (matched, notMatched, notMatchedBySource) match {
+            case _ if fastReplacement.isDefined =>
+              // the command projects the source to target-named columns
+              // before upsert, so only the target-side key names remain
+              MergeQbeastTableCommand(path, source, keys.map(_._1), fastReplacement.get)
             // anti-join fast path: lone unconditional MATCHED DELETE
             case (Seq(DeleteAction(None)), Seq(), Seq()) =>
               MergeDeleteQbeastTableCommand(path, source, keys)
@@ -104,33 +110,35 @@ class QbeastDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Per target column: the (source-side) expression both actions
-   * assign, verified identical between UPDATE and INSERT. */
+   * assign — Some only when UPDATE and INSERT each assign every target
+   * column and agree on the value (the SET * / INSERT * shape that
+   * qualifies for the whole-row upsert fast path). None = let the
+   * general row-level merge handle it. */
   private def replacementRow(
       targetCols: Seq[String],
       updateAsgn: Seq[Assignment],
-      insertAsgn: Seq[Assignment]): Seq[(String, Column)] = {
+      insertAsgn: Seq[Assignment]): Option[Seq[(String, Column)]] = {
     def byCol(asgn: Seq[Assignment], what: String): Map[String, Expression] =
       asgn.map(a => columnName(a.key, what).toLowerCase -> a.value).toMap
     val up = byCol(updateAsgn, "MERGE UPDATE SET")
     val ins = byCol(insertAsgn, "MERGE INSERT")
-    targetCols.map { c =>
-      val u = up.getOrElse(c.toLowerCase,
-        unsupported(s"MERGE must assign every target column (missing $c in UPDATE SET — use SET *)"))
-      val i = ins.getOrElse(c.toLowerCase,
-        unsupported(s"MERGE must assign every target column (missing $c in INSERT — use INSERT *)"))
-      if (u.canonicalized != i.canonicalized)
-        unsupported(s"MERGE assigns different values to $c in UPDATE ($u) and INSERT ($i); " +
-          "qbeast MERGE replaces whole rows, so both sides must agree (use SET * / INSERT *)")
-      c -> GraftShims.column(u)
+    val row = targetCols.map { c =>
+      (up.get(c.toLowerCase), ins.get(c.toLowerCase)) match {
+        case (Some(u), Some(i)) if u.canonicalized == i.canonicalized =>
+          Some(c -> GraftShims.column(u))
+        case _ => None
+      }
     }
+    if (row.forall(_.isDefined)) Some(row.map(_.get)) else None
   }
 
-  /** ON condition → upsert key column names: a conjunction of
-   * target.col = source.col equalities over same-named columns. */
+  /** ON condition → (targetColumn, sourceColumn) equi-key pairs: a
+   * conjunction of target.col = source.col equalities, names free to
+   * differ between the sides (Delta semantics). */
   private def equiJoinKeys(
       cond: Expression,
       target: LogicalPlan,
-      source: LogicalPlan): Seq[String] = {
+      source: LogicalPlan): Seq[(String, String)] = {
     val targetIds = target.outputSet
     val sourceIds = source.outputSet
     def split(e: Expression): Seq[Expression] = e match {
@@ -139,12 +147,11 @@ class QbeastDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     split(cond).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
-          if (targetIds.contains(a) && sourceIds.contains(b)) ||
-            (targetIds.contains(b) && sourceIds.contains(a)) =>
-        if (!a.name.equalsIgnoreCase(b.name))
-          unsupported(s"MERGE ON ${a.name} = ${b.name}: key columns must have " +
-            "the same name on both sides (alias the source)")
-        a.name
+          if targetIds.contains(a) && sourceIds.contains(b) =>
+        a.name -> b.name
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if targetIds.contains(b) && sourceIds.contains(a) =>
+        b.name -> a.name
       case other =>
         unsupported(s"MERGE ON condition $other (a conjunction of " +
           "target.key = source.key equalities is supported)")
@@ -210,32 +217,37 @@ case class UpdateQbeastTableCommand(
 
 /** SQL `MERGE INTO t USING s ON keys WHEN MATCHED THEN DELETE` →
  * copy-on-write [[graft.table.QbeastTable.deleteMatched]] (drop every
- * target row whose keys appear in the source). */
+ * target row whose keys appear in the source). `keys` are
+ * (targetColumn, sourceColumn) pairs; the source keys are renamed to
+ * the target names before the anti-join. */
 case class MergeDeleteQbeastTableCommand(
     path: String,
     source: LogicalPlan,
-    keys: Seq[String])
+    keys: Seq[(String, String)])
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    val srcKeys = GraftShims.ofRows(spark, source)
+      .select(keys.map { case (t, sn) => org.apache.spark.sql.functions.col(sn).as(t) }: _*)
     graft.table.QbeastTable.forPath(spark, path)
-      .deleteMatched(GraftShims.ofRows(spark, source), keys)
+      .deleteMatched(srcKeys, keys.map(_._1))
     Seq.empty
   }
 
 }
 
 /** General SQL `MERGE INTO` → row-level
- * [[graft.table.QbeastTable.merge]]: ordered conditional WHEN MATCHED
+ * [[graft.table.QbeastTable.mergeOn]]: ordered conditional WHEN MATCHED
  * UPDATE/DELETE, conditional WHEN NOT MATCHED INSERT, WHEN NOT MATCHED
  * BY SOURCE UPDATE/DELETE. Clause tuples are (condition, assignments);
- * assignments None = DELETE. */
+ * assignments None = DELETE. `keys` are (targetColumn, sourceColumn)
+ * equi-key pairs — names may differ between the sides. */
 case class GeneralMergeQbeastTableCommand(
     path: String,
     source: LogicalPlan,
-    keys: Seq[String],
+    keys: Seq[(String, String)],
     matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
     notMatched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
     notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])],
@@ -247,7 +259,7 @@ case class GeneralMergeQbeastTableCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     def mc(t: (Option[Column], Option[Seq[(String, Column)]])) =
       graft.table.MergeClause(t._1, t._2.map(_.toMap))
-    graft.table.QbeastTable.forPath(spark, path).merge(
+    graft.table.QbeastTable.forPath(spark, path).mergeOn(
       GraftShims.ofRows(spark, source), keys,
       matched.map(mc), notMatched.map(mc), notMatchedBySource.map(mc), srcPrefix)
     Seq.empty

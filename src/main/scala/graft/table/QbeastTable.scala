@@ -427,10 +427,24 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       matched: Seq[MergeClause],
       notMatched: Seq[MergeClause],
       notMatchedBySource: Seq[MergeClause],
+      srcPrefix: String = "__src_"): (Long, Long) =
+    mergeOn(source, keys.map(k => k -> k), matched, notMatched, notMatchedBySource, srcPrefix)
+
+  /** [[merge]] with per-key (targetColumn, sourceColumn) name pairs, the
+   * shape SQL `MERGE ... ON t.a = s.b` produces — Delta accepts
+   * arbitrary equi-key names, so the SQL rule routes here. */
+  def mergeOn(
+      source: org.apache.spark.sql.DataFrame,
+      keyPairs: Seq[(String, String)],
+      matched: Seq[MergeClause],
+      notMatched: Seq[MergeClause],
+      notMatchedBySource: Seq[MergeClause],
       srcPrefix: String = "__src_"): (Long, Long) = {
-    require(keys.nonEmpty, "merge needs at least one key column")
+    require(keyPairs.nonEmpty, "merge needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "merge needs at least one WHEN clause")
+    val keys = keyPairs.map(_._1) // target-side names
+    val sourceKeys = keyPairs.map(_._2)
     val s = snapshot
     require(!s.isEmpty && s.files.nonEmpty,
       s"merge into an empty table at $tablePath: use a plain qbeast write")
@@ -445,19 +459,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // row; an insert-only merge rewrites nothing
     val rowModifying = matched.nonEmpty || notMatchedBySource.nonEmpty
 
-    if (matched.nonEmpty) {
-      // null merge keys can never match a target row (SQL equality), so
-      // they are exempt from the uniqueness rule, like Delta
-      val nonNullKeys = keys.map(k => col(k).isNotNull).reduce(_ && _)
-      val dup = source.filter(nonNullKeys)
-        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).limit(1).count()
-      require(dup == 0L,
-        "MERGE with WHEN MATCHED clauses requires the source to be unique on the " +
-          "merge keys (multiple source rows matched one target row)")
-    }
-
-    val srcKeys = source.select(keys.map(col): _*).distinct().persist()
+    // source keys renamed to the target-side names: every downstream
+    // key join (file discovery, survivor anti-join) is target-named
+    val srcKeys = source
+      .select(keyPairs.map { case (t, sn) => col(sn).as(t) }: _*)
+      .distinct().persist()
     // frames persisted during the passes; released in the finally so no
     // exception path leaks block-manager entries
     val cachedJoins = mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
@@ -467,6 +473,27 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         if (!rowModifying) Vector.empty
         else if (notMatchedBySource.nonEmpty) s.files
         else affectedByKeys(s, srcKeys, keys)
+
+      if (matched.nonEmpty && affected.nonEmpty) {
+        // Delta's multiple-matches rule: error only when >1 source rows
+        // would hit the SAME target row — i.e. duplicated non-null
+        // source keys that actually match a target row. Duplicates that
+        // match nothing are legal (they fall through to NOT MATCHED).
+        // Checked against the key columns of the index-pruned affected
+        // files only, before anything is written.
+        val nonNullKeys = sourceKeys.map(k => col(k).isNotNull).reduce(_ && _)
+        val affectedKeys = spark.read
+          .parquet(affected.map(f => new Path(tablePath, f.path).toString): _*)
+          .select(keyPairs.map { case (t, sn) => col(t).as(sn) }: _*)
+          .distinct()
+        val dup = source.filter(nonNullKeys)
+          .join(affectedKeys, sourceKeys, "left_semi")
+          .groupBy(sourceKeys.map(col): _*).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).count()
+        require(dup == 0L,
+          "MERGE with WHEN MATCHED clauses requires the source to be unique on the " +
+            "merge keys (multiple source rows matched one target row)")
+      }
 
       // ---- per-row action resolution: first applicable clause wins.
       // Matched clause i → action i; NOT MATCHED BY SOURCE clause i →
@@ -490,10 +517,14 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       // join only the DISTINCT keys so duplicate source keys cannot fan
       // matched target rows out into duplicated survivors
       val srcJoinSide = if (matched.nonEmpty) source else srcKeys
+      // srcKeys is already target-named; the full source keeps its own
+      // key names, so the join condition maps per pair
+      val joinKeyNames = if (matched.nonEmpty) sourceKeys else keys
       val srcRenamed = srcJoinSide.columns.foldLeft(srcJoinSide) { (d, c) =>
         d.withColumnRenamed(c, srcPrefix + c)
       }.withColumn(present, lit(true))
-      val joinCond = keys.map(k => col(k) === col(srcPrefix + k)).reduce(_ && _)
+      val joinCond = keys.zip(joinKeyNames)
+        .map { case (t, sn) => col(t) === col(srcPrefix + sn) }.reduce(_ && _)
       val matchedFlag = coalesce(col(present), lit(false))
       var actionChain: Column = null
       def addClause(cond: Column, id: Int): Unit = {
@@ -567,8 +598,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val insertFrames: Seq[org.apache.spark.sql.DataFrame] =
         if (notMatched.isEmpty) Nil
         else {
-          val tKeys = pinnedRead(s).select(keys.map(col): _*).distinct()
-          val unmatchedSrc = source.join(tKeys, keys, "left_anti")
+          // target keys renamed to the source-side names so the
+          // anti-join resolves against the source frame
+          val tKeys = pinnedRead(s)
+            .select(keyPairs.map { case (t, sn) => col(t).as(sn) }: _*).distinct()
+          val unmatchedSrc = source.join(tKeys, sourceKeys, "left_anti")
           var ic: Column = null
           notMatched.zipWithIndex.foreach { case (cl, i) =>
             val cond = coalesce(cl.condition.getOrElse(lit(true)), lit(false))

@@ -306,6 +306,66 @@ class DmlSpec extends AnyFunSuite {
     assert(QbeastLog.snapshot(dir, conf).version === v0)
   }
 
+  test("SQL MERGE ON accepts differently-named equi-keys") {
+    val (name, dir) = sqlCatalogTable("dml-sqlmrgrk")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    raw.filter("l_orderkey % 100 = 2")
+      .dropDuplicates("l_orderkey", "l_linenumber")
+      .selectExpr("l_orderkey AS k1", "l_linenumber AS k2")
+      .createOrReplaceTempView("dml_rk_src")
+    // 'Q' is not a TPC-H returnflag value (those are A/N/R), so the
+    // count below sees only rows this merge touched
+    spark.sql(s"""MERGE INTO $name t USING dml_rk_src s
+      ON t.l_orderkey = s.k1 AND t.l_linenumber = s.k2
+      WHEN MATCHED THEN UPDATE SET l_returnflag = 'Q'""")
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === raw.count())
+    assert(back.filter("l_returnflag = 'Q'").count() ===
+      raw.filter("l_orderkey % 100 = 2").count())
+    // untouched rows bit-identical
+    assert(back.filter("l_returnflag <> 'Q'")
+      .exceptAll(raw.filter("l_orderkey % 100 <> 2")).count() === 0)
+  }
+
+  test("SQL MERGE DELETE with a renamed source key drops exactly the matched keys") {
+    val (name, dir) = sqlCatalogTable("dml-sqlmrgrkdel")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    raw.filter("l_orderkey % 9 = 0").selectExpr("l_orderkey AS victim")
+      .distinct().createOrReplaceTempView("dml_rkdel_src")
+    spark.sql(s"""MERGE INTO $name t USING dml_rkdel_src s
+      ON t.l_orderkey = s.victim
+      WHEN MATCHED THEN DELETE""")
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === raw.filter("l_orderkey % 9 <> 0").count())
+    assert(back.filter("l_orderkey % 9 = 0").count() === 0)
+  }
+
+  test("MERGE tolerates duplicate source keys that match no target row") {
+    val (name, dir) = sqlCatalogTable("dml-sqlmrgdupok")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    // matched half: unique on the merge keys; unmatched half: every key
+    // DUPLICATED — Delta only rejects >1 source rows hitting the same
+    // target row, so this merge must succeed and insert both copies
+    val matchedSrc = raw.filter("l_orderkey % 100 = 3")
+      .dropDuplicates("l_orderkey", "l_linenumber")
+    val unmatchedSrc = raw.filter("l_orderkey % 100 = 4 AND l_linenumber = 1")
+      .dropDuplicates("l_orderkey")
+      .withColumn("l_orderkey", col("l_orderkey") + lit(90000000L))
+    val nUn = unmatchedSrc.count()
+    assert(nUn > 0)
+    matchedSrc.unionAll(unmatchedSrc).unionAll(unmatchedSrc)
+      .createOrReplaceTempView("dml_dupok_src")
+    spark.sql(s"""MERGE INTO $name t USING dml_dupok_src s
+      ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+      WHEN MATCHED THEN UPDATE SET l_returnflag = 'Z'
+      WHEN NOT MATCHED THEN INSERT *""")
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.filter("l_returnflag = 'Z'").count() ===
+      raw.filter("l_orderkey % 100 = 3").count())
+    assert(back.filter("l_orderkey >= 90000000").count() === 2 * nUn)
+    assert(back.count() === raw.count() + 2 * nUn)
+  }
+
   test("SQL MERGE with unsupported shapes fails with a clear error") {
     val (name, _) = sqlCatalogTable("dml-sqlbad")
     spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("dml_sqlbad_src")

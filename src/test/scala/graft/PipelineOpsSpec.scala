@@ -332,4 +332,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(packed.sortBy(_._1).toSeq == repacked.sortBy(_._1).toSeq)
   }
 
+  test("nearDupPairs: hot buckets are re-split so per-bucket size is bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8)
+    val dim = 64
+    // 3000 random vectors land ~12 per 8-bit bucket on average — every
+    // base bucket is hot at maxBucket=8 — plus 10 planted exact-dup pairs
+    val base = (1 to 3000).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val dups = base.take(10).map { case (id, v) => (id + 10000L, v.clone()) }
+    val vecs = (base ++ dups).toDF("vec_id", "embedding").repartition(8)
+
+    val refined = ops.Similarity.refinedBuckets(
+      vecs, "vec_id", "embedding", bits = 8, dim = dim, maxBucket = 8, refineBits = 16)
+    val sizes = refined.groupBy("bucket").count().select(max("count")).head.getLong(0)
+    assert(sizes <= 8, s"largest refined bucket has $sizes members (cap 8)")
+
+    // recall: exact duplicates agree on every sign bit, so every planted
+    // pair survives the re-split and is emitted with cos = 1
+    val pairs = ops.Similarity.nearDupPairs(
+        vecs, "vec_id", "embedding", threshold = 0.99,
+        bits = 8, dim = dim, maxBucket = 8, refineBits = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (1 to 10).map(i => (i.toLong, i + 10000L)).toSet
+    assert(planted.subsetOf(pairs), s"missing planted dups: ${planted -- pairs}")
+
+    // the candidate join is bounded: refined candidates are a small
+    // fraction of the unrefined quadratic in-bucket pairing
+    val unrefinedCands = ops.Similarity.nearDupPairs(
+      vecs, "vec_id", "embedding", threshold = -1.0,
+      bits = 8, dim = dim, maxBucket = 8, refineBits = 0).count()
+    val refinedCands = ops.Similarity.nearDupPairs(
+      vecs, "vec_id", "embedding", threshold = -1.0,
+      bits = 8, dim = dim, maxBucket = 8, refineBits = 16).count()
+    assert(refinedCands * 10 < unrefinedCands,
+      s"refined=$refinedCands unrefined=$unrefinedCands")
+  }
+
+  test("nearDupPairs: refinement is a no-op when no bucket exceeds the cap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val vecs = (1 to 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    // cap far above any bucket population → buckets identical to the
+    // plain base bucketing the SQL oracle reproduces
+    val refined = ops.Similarity.refinedBuckets(
+      vecs, "vec_id", "embedding", bits = 8, dim = 64, maxBucket = 4096, refineBits = 16)
+    assert(refined.filter(col("bucket") >= (1L << 8)).count() == 0)
+    val plain = ops.Similarity.refinedBuckets(
+      vecs, "vec_id", "embedding", bits = 8, dim = 64, maxBucket = 4096, refineBits = 0)
+    val a = refined.select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = plain.select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("autoBits sizes the bucket space to the corpus") {
+    assert(ops.Similarity.autoBits(500) == 8)               // small corpus → floor
+    assert(ops.Similarity.autoBits(1L << 40, 4096) == 28)   // 2^40 / 2^12
+    assert(ops.Similarity.autoBits(Long.MaxValue) == 30)    // clamped
+    assert(ops.Similarity.autoBits(100000, 4096) == 8)      // ceil(log2(24.4)) = 5 → floor 8
+  }
+
 }
