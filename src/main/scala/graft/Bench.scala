@@ -5,11 +5,46 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: one JSON line with per-query seconds on
  * SPARK_GRAFT_SF_DIR. Table builds (qbeast writes) happen in a warm-up
  * phase so timings measure query execution, not one-off indexing; the
- * write cost is reported separately as `index_build_sec`. */
+ * write cost is reported separately as `index_build_sec`.
+ *
+ * The timed section runs `SPARK_GRAFT_BENCH_ITERS` (default 2) full
+ * iterations and reports the LAST one, so published numbers are warm
+ * (JIT + codegen + page cache) and comparable run-over-run. Streaming
+ * sink tables are deleted before every iteration so their queries
+ * always perform the ingest they claim to measure instead of reading a
+ * cached table back. Query failures are never swallowed: a failing
+ * query gets an `"errors"` entry and the process exits nonzero. */
 object Bench {
+
+  /** Sink tables produced inside timed streaming queries; cached copies
+   * would turn those queries into no-op reads. */
+  private val streamingSinks =
+    Seq("events_streamed", "documents_stream_pipeline", "events_cdc",
+      "events_foreachbatch")
+
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -51,17 +86,34 @@ object Bench {
     QTables.qbeastCheckpointed(spark, sfDir).count()
     QTables.qbeastHistogramPart(spark, sfDir).count()
     QTables.qbeastSqlMergedGeneral(spark, sfDir).count()
+    QTables.qbeastSqlMergedRenamedKeys(spark, sfDir).count()
     val indexBuild = (System.nanoTime() - t0) / 1e9
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val s0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      name -> (System.nanoTime() - s0) / 1e9
+    var results = Seq.empty[(String, Double)]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    (1 to iters).foreach { _ =>
+      // force streaming-ingest queries to redo their work every iteration
+      streamingSinks.foreach(t =>
+        deleteDir(spark, QTables.cachePathFor(sfDir, t)))
+      results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val s0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch {
+          case e: Throwable =>
+            errors(name) =
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
+        name -> (System.nanoTime() - s0) / 1e9
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build_sec":$indexBuild,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"index_build_sec":$indexBuild,"iterations":$iters,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

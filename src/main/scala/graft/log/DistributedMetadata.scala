@@ -1,0 +1,171 @@
+package graft.log
+
+import graft.core.model._
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.SortedMap
+import scala.collection.mutable
+
+/**
+ * Control-plane metadata jobs over the parquet file-checkpoint sidecar
+ * (the write-side counterpart of [[graft.read.DistributedQbeastFileIndex]];
+ * reference shape: `core/.../query/QueryExecutor.scala:44-93` runs the same
+ * kind of Spark job over Delta's `Dataset[AddFile]`).
+ *
+ * Every method takes a LIGHT snapshot ([[QbeastLog.lightSnapshot]]): the
+ * driver holds only revisions/config plus the post-checkpoint commit tail.
+ * The consolidated file bulk is scanned by executors; only the *requested*
+ * slice comes back — optimize candidates are O(selected), index statuses
+ * are O(cubes), metrics are O(1) aggregates — never O(table files) of
+ * driver memory. The (small, ≤ checkpoint-interval commits) tail is folded
+ * in driver-side, exactly as the light read path does: tail-touched paths
+ * mask their sidecar rows, tail adds contribute directly.
+ */
+object DistributedMetadata {
+
+  /** Can `snap` be served by these jobs right now? (Light replay AND the
+   * sidecar still on disk — vacuum never prunes the newest sidecar, but a
+   * pinned old snapshot can outlive its own.) */
+  def usable(spark: SparkSession, snap: QbeastSnapshot): Boolean =
+    !snap.filesComplete && FileCheckpoint.exists(snap.tablePath,
+      spark.sparkContext.hadoopConfiguration, snap.checkpointVersion)
+
+  /** Live sidecar rows at `snap`'s version (tail-touched paths masked),
+   * optionally restricted to one revision. Pure executor-side filter;
+   * nothing materializes on the driver until the caller aggregates. */
+  private def liveRows(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      rid: Option[Long]): Dataset[CheckpointFileRow] = {
+    import spark.implicits._
+    val touched = snap.tailTouchedPaths
+    val base = FileCheckpoint.read(spark, snap.tablePath, snap.checkpointVersion)
+    val scoped = rid.map(r => base.where(col("revisionId") === r)).getOrElse(base)
+    scoped.as[CheckpointFileRow].filter(r => !touched.contains(r.path))
+  }
+
+  private def tailFiles(snap: QbeastSnapshot, rid: Option[Long]): Vector[IndexFile] =
+    rid.map(r => snap.files.filter(_.revisionId == r)).getOrElse(snap.files)
+
+  private def dimensionsOf(snap: QbeastSnapshot)(rid: Long): Int =
+    snap.revisions.get(rid).map(r => math.max(r.dimensionCount, 1)).getOrElse(1)
+
+  /** Files of `rid` whose minimum weight fraction is ≤ `maxMinWeightFraction`
+   * — the optimize candidate selection, O(selected) driver memory. */
+  def selectFiles(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      rid: Long,
+      maxMinWeightFraction: Double = 1.0): Vector[IndexFile] = {
+    val cap = maxMinWeightFraction
+    val selected = liveRows(spark, snap, Some(rid))
+      .filter { r =>
+        r.blocks.isEmpty ||
+          Weight(r.blocks.iterator.map(_.minWeight).min).fraction <= cap
+      }
+      .collect()
+    val dims = dimensionsOf(snap) _
+    (selected.iterator.map(_.toIndexFile(dims)) ++
+      tailFiles(snap, Some(rid)).iterator.filter(_.minWeight.fraction <= cap))
+      .toVector
+  }
+
+  /** Files whose (table-relative) path is in `wanted` — the targeted
+   * `optimize(files)` selection. */
+  def filesWithPaths(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      wanted: Set[String]): Vector[IndexFile] = {
+    val dims = dimensionsOf(snap) _
+    val selected = liveRows(spark, snap, None)
+      .filter(r => wanted.contains(r.path))
+      .collect()
+    (selected.iterator.map(_.toIndexFile(dims)) ++
+      snap.files.iterator.filter(f => wanted.contains(f.path))).toVector
+  }
+
+  /** Files belonging to any revision in `rids` (compactRevisions). */
+  def filesOfRevisions(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      rids: Set[Long]): Vector[IndexFile] = {
+    val dims = dimensionsOf(snap) _
+    val selected = liveRows(spark, snap, None)
+      .filter(r => rids.contains(r.revisionId))
+      .collect()
+    (selected.iterator.map(_.toIndexFile(dims)) ++
+      snap.files.iterator.filter(f => rids.contains(f.revisionId))).toVector
+  }
+
+  /** Per-cube tree state of one revision (maxWeight = min over block
+   * maxWeights, elementCount = sum) as a groupBy-cube Spark job over the
+   * sidecar blocks; the tail merges in driver-side. O(cubes) driver
+   * memory — the same order as the broadcast the writer ships anyway. */
+  def indexStatus(spark: SparkSession, snap: QbeastSnapshot, rid: Long): IndexStatus = {
+    import spark.implicits._
+    val revision = snap.revisions(rid)
+    val rows = liveRows(spark, snap, Some(rid))
+      .flatMap(_.blocks.iterator.map(b => (b.cube, b.maxWeight, b.elementCount)))
+      .toDF("cube", "w", "n")
+      .groupBy(col("cube"))
+      .agg(min(col("w")).as("w"), sum(col("n")).as("n"))
+      .as[(String, Int, Long)]
+      .collect()
+    val dims = math.max(revision.dimensionCount, 1)
+    val acc = mutable.HashMap.empty[CubeId, (Weight, Long)]
+    rows.foreach { case (cube, w, n) =>
+      acc.update(CubeId.fromString(dims, cube), (Weight(w), n))
+    }
+    tailFiles(snap, Some(rid)).foreach { f =>
+      f.blocks.foreach { b =>
+        val (w, n) = acc.getOrElse(b.cube, (Weight.MaxValue, 0L))
+        acc.update(b.cube, (w.min(b.maxWeight), n + b.elementCount))
+      }
+    }
+    val statuses = SortedMap.newBuilder[CubeId, CubeStatus]
+    acc.foreach { case (cube, (w, n)) => statuses += cube -> CubeStatus(cube, w, n) }
+    IndexStatus(revision, statuses.result())
+  }
+
+  /** (fileCount, blockCount, totalBytes) of one revision — the scalar
+   * aggregates of indexMetrics, computed without listing files. */
+  def revisionFileStats(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      rid: Long): (Long, Long, Long) = {
+    import spark.implicits._
+    val agg = liveRows(spark, snap, Some(rid))
+      .map(r => (1L, r.blocks.size.toLong, r.size))
+      .toDF("f", "b", "s")
+      .agg(sum(col("f")), sum(col("b")), sum(col("s")))
+      .as[(Option[Long], Option[Long], Option[Long])]
+      .head()
+    val tail = tailFiles(snap, Some(rid))
+    (agg._1.getOrElse(0L) + tail.size,
+      agg._2.getOrElse(0L) + tail.map(_.blocks.size.toLong).sum,
+      agg._3.getOrElse(0L) + tail.map(_.size).sum)
+  }
+
+  /** Block counts per cube depth of one revision (depthMetrics). */
+  def blocksPerDepth(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      rid: Long): Map[Int, Long] = {
+    import spark.implicits._
+    val dims = dimensionsOf(snap)(rid)
+    val rows = liveRows(spark, snap, Some(rid))
+      .flatMap(_.blocks.iterator.map(b => CubeId.fromString(dims, b.cube).depth))
+      .toDF("d")
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .as[(Int, Long)]
+      .collect()
+    val acc = mutable.HashMap.empty[Int, Long] ++= rows
+    tailFiles(snap, Some(rid)).foreach(_.blocks.foreach { b =>
+      acc.update(b.cube.depth, acc.getOrElse(b.cube.depth, 0L) + 1L)
+    })
+    acc.toMap
+  }
+
+}

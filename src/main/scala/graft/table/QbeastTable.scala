@@ -22,6 +22,28 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 
   def snapshot: QbeastSnapshot = QbeastLog.snapshot(tablePath, conf)
 
+  /** Snapshot for the control-plane paths that scale past driver memory
+   * (optimize file selection, index metrics): light replay when a
+   * parquet sidecar exists — the file bulk then stays on executors via
+   * [[DistributedMetadata]] jobs — complete otherwise. Mirrors the read
+   * path's gate (`spark.qbeast.metadata.distributed` = "false" opts
+   * out) including the degrade-to-flat fallback when the sidecar was
+   * vacuumed from under a pinned snapshot. */
+  private def controlSnapshot(): QbeastSnapshot = {
+    val distributedOk = !spark.conf.getOption("spark.qbeast.metadata.distributed")
+      .exists(_.equalsIgnoreCase("false"))
+    if (!distributedOk) return snapshot
+    val s = QbeastLog.lightSnapshot(tablePath, conf)
+    if (s.filesComplete || DistributedMetadata.usable(spark, s)) s
+    else QbeastLog.snapshot(tablePath, conf)
+  }
+
+  /** Per-cube state of `rid` under either snapshot kind: driver replay
+   * when the file list is already materialized, sidecar job otherwise. */
+  private def statusOf(s: QbeastSnapshot, rid: Long): IndexStatus =
+    if (s.filesComplete) s.indexStatus(rid)
+    else DistributedMetadata.indexStatus(spark, s, rid)
+
   def revisionIDs: Seq[Long] = snapshot.revisions.keys.toSeq.sorted
 
   def latestRevisionID: Long = snapshot.lastRevisionID
@@ -49,15 +71,16 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * while files get repacked (reference: `IndexedTable.scala:439-460`).
    */
   def optimize(revisionID: Long = -1L, fraction: Double = 1.0): Unit = {
-    val s = snapshot
+    val s = controlSnapshot()
     val rid = if (revisionID < 0) s.lastRevisionID else revisionID
     if (rid == Revision.StagingID) { optimizeUnindexed(); return }
     val revision = s.revisions.getOrElse(rid, return)
-    val candidates = s.filesOfRevision(rid)
-      .filter(f => f.minWeight.fraction <= fraction)
+    val candidates =
+      if (s.filesComplete) s.filesOfRevision(rid).filter(f => f.minWeight.fraction <= fraction)
+      else DistributedMetadata.selectFiles(spark, s, rid, fraction)
     if (candidates.isEmpty) return
 
-    val status = s.indexStatus(rid)
+    val status = statusOf(s, rid)
     val frozen = status.cubeStatuses.map { case (c, st) => c -> st.maxWeight }.toMap
     val paths = candidates.map(f => new Path(tablePath, f.path).toString)
     val data = spark.read.parquet(paths: _*)
@@ -78,17 +101,19 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * or split the sampling strata across index generations.
    */
   def compactRevisions(): Unit = {
-    val s = snapshot
+    val s = controlSnapshot()
     val latest = s.lastRevision.filterNot(_.isStaging).getOrElse(return)
     val oldIds = s.revisions.keySet
       .filter(id => id != latest.revisionID && id != Revision.StagingID)
-    val candidates = s.files.filter(f => oldIds.contains(f.revisionId))
+    val candidates =
+      if (s.filesComplete) s.files.filter(f => oldIds.contains(f.revisionId))
+      else DistributedMetadata.filesOfRevisions(spark, s, oldIds)
     if (candidates.isEmpty) return
 
     val paths = candidates.map(f => new Path(tablePath, f.path).toString)
     val data = spark.read.parquet(paths: _*)
     val numElements = candidates.map(_.elementCount).sum
-    val status = s.indexStatus(latest.revisionID)
+    val status = statusOf(s, latest.revisionID)
     val newFiles = QbeastWriter.index(spark, tablePath, data, latest,
       Some(status), numElements)
     commitRewrite(s, newFiles, candidates)
@@ -97,8 +122,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   /** Index the staging (revision-0) files into the latest revision
    * (reference: `IndexedTable.optimizeUnindexedFiles`). */
   def optimizeUnindexed(): Unit = {
-    val s = snapshot
-    val staging = s.unindexedFiles
+    val s = controlSnapshot()
+    val staging =
+      if (s.filesComplete) s.unindexedFiles
+      else DistributedMetadata.selectFiles(spark, s, Revision.StagingID)
     if (staging.isEmpty) return
     val revision = s.lastRevision.filterNot(_.isStaging).getOrElse(
       throw new IllegalStateException(
@@ -106,7 +133,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val paths = staging.map(f => new Path(tablePath, f.path).toString)
     val data = spark.read.parquet(paths: _*)
     val numElements = data.count()
-    val status = s.indexStatus(revision.revisionID)
+    val status = statusOf(s, revision.revisionID)
     val newFiles = QbeastWriter.index(spark, tablePath, data, revision,
       Some(status), numElements)
     commitRewrite(s, newFiles, staging)
@@ -119,9 +146,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * frozen within their own revision. Unknown paths are ignored; a
    * layout-only commit (dataChange = false). */
   def optimizeFiles(files: Seq[String]): Unit = {
-    val s = snapshot
+    val s = controlSnapshot()
     val wanted = files.toSet
-    val candidates = s.files.filter(f => wanted.contains(f.path))
+    val candidates =
+      if (s.filesComplete) s.files.filter(f => wanted.contains(f.path))
+      else DistributedMetadata.filesWithPaths(spark, s, wanted)
     if (candidates.isEmpty) return
     val latest = s.lastRevision.filterNot(_.isStaging)
     val adds = candidates.groupBy(_.revisionId).toSeq.flatMap { case (rid, group) =>
@@ -133,7 +162,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           latest.getOrElse(throw new IllegalStateException(
             "no indexed revision to optimize staging files into; append indexed data first"))
         else s.revisions(rid)
-      val status = s.indexStatus(revision.revisionID)
+      val status = statusOf(s, revision.revisionID)
       // indexed files keep their revision's weights (pure re-pack);
       // staging data gets weighted fresh, like optimizeUnindexed
       val frozen =
@@ -846,17 +875,20 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * max-weight fraction, which shows how the sampling thresholds
    * deepen. */
   def depthMetrics(revisionID: Long = -1L): Seq[DepthStats] = {
-    val s = snapshot
+    val s = controlSnapshot()
     val rid = if (revisionID < 0) s.lastRevisionID else revisionID
-    val statuses = s.indexStatus(rid).cubeStatuses.values.toSeq
-    val blocksByDepth = s.filesOfRevision(rid).flatMap(_.blocks)
-      .groupBy(_.cube.depth).view.mapValues(_.size).toMap
+    val statuses = statusOf(s, rid).cubeStatuses.values.toSeq
+    val blocksByDepth: Map[Int, Long] =
+      if (s.filesComplete)
+        s.filesOfRevision(rid).flatMap(_.blocks)
+          .groupBy(_.cube.depth).view.mapValues(_.size.toLong).toMap
+      else DistributedMetadata.blocksPerDepth(spark, s, rid)
     statuses.groupBy(_.cubeId.depth).toSeq.sortBy(_._1).map { case (depth, cubes) =>
       val counts = cubes.map(_.elementCount)
       DepthStats(
         depth = depth,
         cubeCount = cubes.size,
-        blockCount = blocksByDepth.getOrElse(depth, 0),
+        blockCount = blocksByDepth.getOrElse(depth, 0L).toInt,
         elementCount = counts.sum,
         minCubeElementCount = counts.min,
         maxCubeElementCount = counts.max,
@@ -913,10 +945,14 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * `core/.../spark/utils/IndexMetrics.scala:26-137` — height, fanout,
    * balance, inner/leaf cube size stats, block/file stats). */
   def indexMetrics(revisionID: Long = -1L): IndexMetrics = {
-    val s = snapshot
+    val s = controlSnapshot()
     val rid = if (revisionID < 0) s.lastRevisionID else revisionID
-    val status = s.indexStatus(rid)
-    val files = s.filesOfRevision(rid)
+    val status = statusOf(s, rid)
+    val (fileCount, blockCount, bytes) =
+      if (s.filesComplete) {
+        val files = s.filesOfRevision(rid)
+        (files.size.toLong, files.map(_.blocks.size.toLong).sum, files.map(_.size).sum)
+      } else DistributedMetadata.revisionFileStats(spark, s, rid)
     val cubes = status.cubeStatuses
     val counts = cubes.values.map(_.elementCount)
     val cubeSet = cubes.keySet
@@ -948,9 +984,9 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       avgFanout = avgFanout,
       depthOnBalance = if (height == 0) 0.0 else height / balancedHeight,
       cubeCount = cubes.size,
-      blockCount = files.map(_.blocks.size).sum,
-      fileCount = files.size,
-      bytes = files.map(_.size).sum,
+      blockCount = blockCount.toInt,
+      fileCount = fileCount.toInt,
+      bytes = bytes,
       avgCubeElementCount = if (cubes.isEmpty) 0L else counts.sum / cubes.size,
       maxCubeElementCount = if (cubes.isEmpty) 0L else counts.max,
       innerCubeStats = stats(inner),

@@ -156,6 +156,67 @@ class DistributedMetadataSpec extends AnyFunSuite {
     assert(spark.read.format("qbeast").load(dir).count() === 36500L)
   }
 
+  test("indexMetrics/depthMetrics via the sidecar match the flat path") {
+    val dir = TestSpark.tmpDir("dist-meta-metrics")
+    writeTable(dir)
+    withSidecar { QbeastTable.forPath(spark, dir).checkpoint() }
+    // tail commit after the checkpoint: the distributed aggregation must
+    // overlay it exactly like the read path does
+    import spark.implicits._
+    (36001 to 38000).map(i => (i.toLong, i * 1.5, s"cat_${i % 7}"))
+      .toDF("id", "value", "category")
+      .write.format("qbeast").mode("append").save(dir)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val light = QbeastLog.lightSnapshot(dir, conf)
+    assert(graft.log.DistributedMetadata.usable(spark, light),
+      "light snapshot + sidecar present: control plane should distribute")
+
+    val t = QbeastTable.forPath(spark, dir)
+    val dist = t.indexMetrics()
+    val distDepths = t.depthMetrics()
+    spark.conf.set("spark.qbeast.metadata.distributed", "false")
+    val (flat, flatDepths) =
+      try (t.indexMetrics(), t.depthMetrics())
+      finally spark.conf.unset("spark.qbeast.metadata.distributed")
+    assert(dist === flat, "indexMetrics parity distributed vs flat")
+    assert(distDepths === flatDepths, "depthMetrics parity distributed vs flat")
+  }
+
+  test("optimize selects candidates through the sidecar") {
+    val dir = TestSpark.tmpDir("dist-meta-opt")
+    writeTable(dir)
+    withSidecar { QbeastTable.forPath(spark, dir).checkpoint() }
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(!QbeastLog.lightSnapshot(dir, conf).filesComplete)
+
+    val before = spark.read.format("qbeast").load(dir)
+    val beforeRows = before.count()
+    val beforeSum = before.agg(org.apache.spark.sql.functions.sum("value"))
+      .head.getDouble(0)
+    val filesBefore = QbeastLog.snapshot(dir, conf).files.size
+
+    // runs with the sidecar present → distributed candidate selection
+    QbeastTable.forPath(spark, dir).optimize()
+
+    val after = spark.read.format("qbeast").load(dir)
+    assert(after.count() === beforeRows, "optimize preserves rows")
+    val afterSum = after.agg(org.apache.spark.sql.functions.sum("value"))
+      .head.getDouble(0)
+    assert(math.abs(afterSum - beforeSum) < 1e-6, "optimize preserves content")
+    val snapAfter = QbeastLog.snapshot(dir, conf)
+    assert(snapAfter.files.size <= filesBefore,
+      s"optimize repacks: ${snapAfter.files.size} files vs $filesBefore before")
+    // index shape preserved: metrics still agree between both paths
+    val t = QbeastTable.forPath(spark, dir)
+    val dist = t.indexMetrics()
+    spark.conf.set("spark.qbeast.metadata.distributed", "false")
+    val flat =
+      try t.indexMetrics()
+      finally spark.conf.unset("spark.qbeast.metadata.distributed")
+    assert(dist === flat)
+  }
+
   test("time travel to a pre-sidecar version falls back to the flat path") {
     val dir = TestSpark.tmpDir("dist-meta-tt")
     writeTable(dir)
