@@ -29,13 +29,15 @@ final case class QbeastSnapshot(
     /** When false (light replay, see [[QbeastLog.lightSnapshot]]):
      * `files` holds ONLY the adds from commits after `checkpointVersion`;
      * the consolidated bulk lives in the parquet sidecar and is consumed
-     * distributively by `read.DistributedQbeastFileIndex`. Control-plane
-     * consumers (writer, optimize, metrics) always use complete
-     * snapshots. */
+     * distributively by `read.DistributedQbeastFileIndex` /
+     * [[DistributedMetadata]]. */
     filesComplete: Boolean = true,
+    /** The JSON checkpoint this replay started from (-1 = none). For a
+     * light snapshot this is also the parquet-sidecar version. */
     checkpointVersion: Long = -1L,
-    /** Paths added or removed by the tail (light replay only): these
-     * override the checkpoint sidecar rows of the same path. */
+    /** Paths added or removed by commits after `checkpointVersion`.
+     * Light reads mask sidecar rows with these; incremental sidecar
+     * writes use them as the exact delta vs the previous checkpoint. */
     tailTouchedPaths: Set[String] = Set.empty,
     /** The asOfVersion this snapshot was replayed at (-1 = head). A
      * refresh of a time-traveled relation must re-pin to this version,
@@ -198,7 +200,7 @@ object QbeastLog {
       revisions.get(rid).map(r => math.max(r.dimensionCount, 1)).getOrElse(1)
     }
 
-    def replay(path: Path, skipAdds: Boolean): Unit = {
+    def replay(path: Path, skipAdds: Boolean, isTail: Boolean): Unit = {
       val in = fs.open(path)
       val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
       try {
@@ -215,10 +217,10 @@ object QbeastLog {
             case RevisionAction(r) => revisions.update(r.revisionID, r)
             case AddFileAction(f, _) =>
               files.update(f.path, f)
-              if (light) touched += f.path
+              if (isTail) touched += f.path
             case RemoveFileAction(r) =>
               files.remove(r.path)
-              if (light) touched += r.path
+              if (isTail) touched += r.path
             case TxnAction(appId, version) => txns.update(appId, version)
             case CommitInfoAction(_, _) => // history-only metadata
           }
@@ -227,14 +229,16 @@ object QbeastLog {
       } finally reader.close()
     }
 
-    fromCheckpoint.foreach(cv => replay(checkpointFile(tablePath, cv), skipAdds = light))
-    versions.foreach(v => replay(versionFile(tablePath, v), skipAdds = false))
+    fromCheckpoint.foreach(cv =>
+      replay(checkpointFile(tablePath, cv), skipAdds = light, isTail = false))
+    versions.foreach(v =>
+      replay(versionFile(tablePath, v), skipAdds = false, isTail = true))
 
     val snap = QbeastSnapshot(tablePath, allVersions.last, schema, configuration,
       revisions.toMap, files.values.toVector, txns.toMap,
       filesComplete = !light,
-      checkpointVersion = if (light) fromCheckpoint.get else -1L,
-      tailTouchedPaths = if (light) touched.result() else Set.empty,
+      checkpointVersion = fromCheckpoint.getOrElse(-1L),
+      tailTouchedPaths = touched.result(),
       asOf = asOfVersion)
     if (asOfVersion < 0 && !light) maybeCheckpoint(fs, snap, fromCheckpoint.getOrElse(-1L))
     snap

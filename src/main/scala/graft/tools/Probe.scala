@@ -667,6 +667,50 @@ object MetaScaleProbe {
     val flatSec = (System.nanoTime() - t7) / 1e9
     println(f"[metascale] pruned select: distributed=$distSel%d in $distSec%.2f s, " +
       f"flat=$flatSel%d in $flatSec%.2f s")
+
+    // ---- distributed control plane (optimize/metrics) at the same scale ----
+    // optimize candidate selection: files whose min weight fraction is
+    // under a selective cap — driver memory must be O(selected)
+    val cap = 0.5 + 1e-5 // weights are Weight(k), k≥0 → fractions start at 0.5
+    System.gc()
+    val memC0 = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    val t8 = System.nanoTime()
+    val cand = graft.log.DistributedMetadata.selectFiles(spark, light, 1L, cap)
+    val candSec = (System.nanoTime() - t8) / 1e9
+    System.gc()
+    val memC1 = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    println(f"[metascale] optimize candidates (cap=$cap%.6f): ${cand.size}%d of " +
+      f"$numFiles%d in $candSec%.2f s retainedMB=${(memC1 - memC0) / 1e6}%.0f")
+    val t9 = System.nanoTime()
+    val (nf, nb, bytes) = graft.log.DistributedMetadata.revisionFileStats(spark, light, 1L)
+    println(f"[metascale] revisionFileStats: files=$nf%d blocks=$nb%d " +
+      f"bytes=${bytes / 1e9}%.0fGB in ${(System.nanoTime() - t9) / 1e9}%.2f s")
+    val t10 = System.nanoTime()
+    val st = graft.log.DistributedMetadata.indexStatus(spark, light, 1L)
+    println(f"[metascale] distributed indexStatus: cubes=${st.cubeStatuses.size}%d " +
+      f"in ${(System.nanoTime() - t10) / 1e9}%.2f s (O(cubes), the writer's broadcast size)")
+
+    // ---- incremental sidecar: checkpoint cost ∝ tail size ----
+    // one small commit after the full sidecar, then re-checkpoint: the
+    // new layer must be a delta (tail rows only), not a full rewrite
+    val tailN = 1000
+    val tailActions = (0 until tailN).map { i =>
+      graft.log.AddFileAction(graft.core.model.IndexFile(
+        path = s"tail$i.parquet", size = 128000000L, modificationTime = 0L,
+        revisionId = 1L,
+        blocks = Vector(graft.core.model.Block(root,
+          graft.core.model.Weight(0), graft.core.model.Weight(1000), 100000L))),
+        dataChange = true)
+    }
+    val v2 = graft.log.QbeastLog.commit(dir, conf, snap2.version, tailActions)
+    val snapInc = graft.log.QbeastLog.snapshot(dir, conf)
+    val t11 = System.nanoTime()
+    graft.log.FileCheckpoint.write(spark, snapInc)
+    val incSec = (System.nanoTime() - t11) / 1e9
+    val resolved = graft.log.FileCheckpoint.read(spark, dir, v2).count()
+    println(f"[metascale] incremental sidecar ($tailN%d-file tail over $numFiles%d): " +
+      f"wrote in $incSec%.2f s (compare the full sidecar write above); " +
+      f"chain-resolved rows=$resolved%d (expect ${numFiles + tailN}%d)")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }

@@ -135,25 +135,78 @@ class DistributedMetadataSpec extends AnyFunSuite {
       s"scan reads unprojected columns: $readSchema")
   }
 
-  test("vacuum prunes superseded sidecars, keeps the newest") {
+  test("vacuum keeps delta-chain ancestors; compaction unchains them") {
     val dir = TestSpark.tmpDir("dist-meta-vac")
     writeTable(dir)
     val t = QbeastTable.forPath(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    import spark.implicits._
+    var expected = 36000L
     withSidecar {
-      t.checkpoint() // sidecar at v1
-      import spark.implicits._
-      (36001 to 36500).map(i => (i.toLong, i * 1.5, "cat_0"))
+      t.checkpoint() // sidecar at v1: full layer
+      (1 to 500).map(i => ((900000 + i).toLong, i * 1.5, "cat_0"))
         .toDF("id", "value", "category")
         .write.format("qbeast").mode("append").save(dir)
-      t.checkpoint() // sidecar at v2
+      expected += 500
+      t.checkpoint() // sidecar at v2: DELTA on v1
     }
-    val conf = spark.sparkContext.hadoopConfiguration
     assert(FileCheckpoint.exists(dir, conf, 1) && FileCheckpoint.exists(dir, conf, 2))
     t.vacuum(force = true, retainMillis = 0L)
-    assert(!FileCheckpoint.exists(dir, conf, 1), "old sidecar pruned")
+    assert(FileCheckpoint.exists(dir, conf, 1),
+      "chain ancestor survives vacuum — the delta at v2 resolves through it")
     assert(FileCheckpoint.exists(dir, conf, 2), "newest sidecar kept")
-    // table still reads via the distributed path
-    assert(spark.read.format("qbeast").load(dir).count() === 36500L)
+    assert(spark.read.format("qbeast").load(dir).count() === expected)
+
+    // grow the chain past MaxChainDepth: the next layer compacts (full)
+    // and a later vacuum can then drop the whole old chain
+    withSidecar {
+      (1 to FileCheckpoint.MaxChainDepth).foreach { k =>
+        (1 to 100).map(i => ((910000 + k * 1000 + i).toLong, i * 1.5, "cat_1"))
+          .toDF("id", "value", "category")
+          .write.format("qbeast").mode("append").save(dir)
+        expected += 100
+        t.checkpoint()
+      }
+    }
+    val newest = QbeastLog.latestCheckpointVersion(dir, conf)
+    t.vacuum(force = true, retainMillis = 0L)
+    assert(FileCheckpoint.exists(dir, conf, newest), "compacted sidecar kept")
+    assert(!FileCheckpoint.exists(dir, conf, 1),
+      "after compaction the old chain is prunable")
+    assert(spark.read.format("qbeast").load(dir).count() === expected)
+    // and the distributed path still selects correctly post-compaction
+    val distDf = spark.read.format("qbeast").load(dir)
+    assert(fileIndexOf(distDf).isInstanceOf[DistributedQbeastFileIndex])
+    assert(distDf.filter("id > 900000").count() === expected - 36000L)
+  }
+
+  test("incremental sidecar layers resolve to the flat file set") {
+    val dir = TestSpark.tmpDir("dist-meta-delta")
+    writeTable(dir)
+    val t = QbeastTable.forPath(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    import spark.implicits._
+    withSidecar {
+      t.checkpoint() // full base layer
+      // a delete (removes + rewrites) and an append: the next layer must
+      // carry adds AND tombstones
+      t.delete("id <= 9000")
+      (50001 to 52000).map(i => (i.toLong, i * 1.5, s"cat_${i % 7}"))
+        .toDF("id", "value", "category")
+        .write.format("qbeast").mode("append").save(dir)
+      t.checkpoint() // delta layer
+    }
+    val v = QbeastLog.latestCheckpointVersion(dir, conf)
+    val resolved = FileCheckpoint.read(spark, dir, v)
+      .select("path").as[String].collect().sorted
+    val flat = QbeastLog.snapshot(dir, conf).files.map(_.path).sorted
+    assert(resolved.toSeq === flat.toSeq,
+      "chain-resolved sidecar = flat snapshot file set")
+    // row parity through the reader
+    assert(spark.read.format("qbeast").load(dir).count() === (36000L - 9000L + 2000L))
+    spark.conf.set("spark.qbeast.metadata.distributed", "false")
+    try assert(spark.read.format("qbeast").load(dir).count() === (36000L - 9000L + 2000L))
+    finally spark.conf.unset("spark.qbeast.metadata.distributed")
   }
 
   test("indexMetrics/depthMetrics via the sidecar match the flat path") {
