@@ -87,6 +87,7 @@ object Bench {
     QTables.qbeastHistogramPart(spark, sfDir).count()
     QTables.qbeastSqlMergedGeneral(spark, sfDir).count()
     QTables.qbeastSqlMergedRenamedKeys(spark, sfDir).count()
+    QTables.qbeastStructUpdated(spark, sfDir).count()
     val indexBuild = (System.nanoTime() - t0) / 1e9
 
     var results = Seq.empty[(String, Double)]

@@ -475,6 +475,31 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders carrying a nested struct column after a SQL `UPDATE` of one
+   * struct FIELD (`SET meta.price = ...`) — exercises the withField
+   * assignment path ([[graft.table.Assignments]]) end-to-end. */
+  def qbeastStructUpdated(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_struct_updated")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        import org.apache.spark.sql.functions.{col, struct}
+        raw(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            struct(col("o_orderstatus").as("status"),
+              col("o_totalprice").as("price")).as("meta"))
+          .write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_custkey")
+          .option("cubeSize", "5000")
+          .save(path)
+        val name = sqlTable(spark, path, "orders_struct_updated")
+        spark.sql(
+          s"UPDATE $name SET meta.price = meta.price + 1000 WHERE o_orderkey % 7 = 0")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** orders mutated via the SQL `MERGE INTO` statement (update-all +
    * insert-all) — same end state as [[qbeastMerged]], but through the
    * analyzer DML path ([[QbeastDmlRules]] → copy-on-write upsert). */

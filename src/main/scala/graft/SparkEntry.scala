@@ -770,6 +770,13 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q69_sql_update_struct" -> ((s, dir) => {
+      // SQL UPDATE of a nested struct FIELD (SET meta.price = ...): the
+      // withField assignment path; oracle recomputes the flattened state
+      QTables.qbeastStructUpdated(s, dir)
+        .select(col("o_orderkey"), col("meta.status").as("status"),
+          col("meta.price").as("price"))
+    }),
     "q65_distributed_meta" -> ((s, dir) => {
       // metadata-scale read: parquet sidecar checkpoint + executor-side
       // block pruning (light log replay; the post-checkpoint append tail
@@ -1705,6 +1712,11 @@ object SparkEntry {
         |SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM merged GROUP BY 1""".stripMargin,
+    "q69_sql_update_struct" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+        |       ELSE o_totalprice END AS price
+        |FROM orders""".stripMargin,
     "q65_distributed_meta" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_extendedprice < 20000 GROUP BY 1""".stripMargin,

@@ -42,7 +42,7 @@ class QbeastDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => plan
         case Some(path) =>
           val asgn = assignments.map { a =>
-            columnName(a.key, "UPDATE SET") -> unresolveToColumn(a.value)
+            columnPath(a.key, "UPDATE SET") -> unresolveToColumn(a.value)
           }.toMap
           UpdateQbeastTableCommand(path, asgn, condition.map(unresolveToColumn))
       }
@@ -90,7 +90,7 @@ class QbeastDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
                 actions.map {
                   case UpdateAction(c, asgn, _) =>
                     (c.map(over), Some(asgn.map(a =>
-                      columnName(a.key, "MERGE UPDATE SET") -> over(a.value))))
+                      columnPath(a.key, "MERGE UPDATE SET") -> over(a.value))))
                   case DeleteAction(c) => (c.map(over), None)
                   case InsertAction(c, asgn) =>
                     (c.map(over), Some(asgn.map(a =>
@@ -145,7 +145,7 @@ class QbeastDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
       case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
-    split(cond).map {
+    val pairs = split(cond).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if targetIds.contains(a) && sourceIds.contains(b) =>
         a.name -> b.name
@@ -156,6 +156,19 @@ class QbeastDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
         unsupported(s"MERGE ON condition $other (a conjunction of " +
           "target.key = source.key equalities is supported)")
     }
+    // one column per side per pair: reusing a column across pairs (ON
+    // t.a = s.k AND t.b = s.k) would later fail as an opaque ambiguous-
+    // reference error from the renamed key frames — reject it up front
+    Seq("target" -> pairs.map(_._1), "source" -> pairs.map(_._2)).foreach {
+      case (side, names) =>
+        val dups = names.groupBy(_.toLowerCase).collect {
+          case (_, g) if g.size > 1 => g.head
+        }
+        if (dups.nonEmpty)
+          unsupported(s"MERGE ON reusing the same $side column in multiple " +
+            s"equalities (${dups.mkString(", ")})")
+    }
+    pairs
   }
 
 }
@@ -183,10 +196,24 @@ object QbeastDmlRules {
     case _ => None
   }
 
-  /** Assignment key → plain column name (nested fields unsupported). */
+  /** Assignment key → plain column name (nested fields unsupported —
+   * INSERT clauses, where Delta is also top-level-only). */
   private def columnName(key: Expression, what: String): String = key match {
     case a: AttributeReference => a.name
     case other => unsupported(s"$what on non-top-level column $other")
+  }
+
+  /** Assignment key → top-level name or dotted struct path (`s.x.y`) —
+   * UPDATE SET / MERGE UPDATE SET support struct-field assignment, the
+   * Delta semantics the reference inherits.
+   * [[graft.table.Assignments]] applies these via `withField`. */
+  private def columnPath(key: Expression, what: String): String = key match {
+    case a: AttributeReference => a.name
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      val fieldName = g.name.getOrElse(
+        g.child.dataType.asInstanceOf[org.apache.spark.sql.types.StructType](g.ordinal).name)
+      columnPath(g.child, what) + "." + fieldName
+    case other => unsupported(s"$what on unsupported column expression $other")
   }
 
   /** Resolved expression over the DML target → Column that re-resolves

@@ -183,6 +183,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val actions =
       adds.map(f => AddFileAction(f, dataChange = false)) ++
         removes.map(f => RemoveFileAction(RemoveFile(f.path, now)))
+    // same public retry knob as the write path — a rebase here is cheap
+    // (re-snapshot + re-commit, no re-indexing), so under heavy append
+    // concurrency the layout rewrite keeps trying instead of aborting
+    val retries = math.max(3, spark.conf
+      .getOption("spark.qbeast.index.numberOfRetries").map(_.toInt).getOrElse(2))
     var attempt = 0
     var base = s
     while (attempt >= 0) {
@@ -192,7 +197,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
-          if (attempt > 3) throw e
+          if (attempt > retries) throw e
           base = QbeastLog.snapshot(tablePath, conf)
           // Rebase safety: if a concurrent operation (another optimize,
           // an overwrite) already removed any file we are rewriting,
@@ -324,20 +329,9 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       case Some(asgn) =>
         val paths = affected.map(f => new Path(tablePath, f.path).toString)
         val base = spark.read.parquet(paths: _*)
-        // case-insensitive assignment lookup (Spark's default resolution)
-        val asgnLower = asgn.map { case (k, v) => k.toLowerCase -> v }
-        asgn.keys.foreach { c =>
-          require(base.columns.exists(_.equalsIgnoreCase(c)),
-            s"UPDATE of unknown column $c " +
-              s"(table columns: ${base.columns.mkString(", ")})")
-        }
-        val updatedCols = base.columns.map { c =>
-          asgnLower.get(c.toLowerCase) match {
-            case Some(e) => e.cast(base.schema(c).dataType).as(c)
-            case None => col(c)
-          }
-        }
-        val updated = base.filter(matched).select(updatedCols.toSeq: _*)
+        // top-level and struct-field assignments, simultaneous semantics
+        val updatedCols = Assignments(base.schema, asgn)
+        val updated = base.filter(matched).select(updatedCols: _*)
         val existing = latestRevision.orElse(throw new UnsupportedOperationException(
           "UPDATE on a staging-only qbeast table: append indexed data first"))
         val opts = QbeastOptions(Map.empty[String, String],
@@ -366,8 +360,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * all source rows go through the normal revision-aware indexing, and
    * everything lands in ONE atomic commit.
    *
-   * Multiple source rows with the same key all land (document your
-   * source as deduplicated if you need Delta's one-match semantics).
+   * Duplicate source keys that MATCH a target row error out (Delta's
+   * multiple-matches rule); duplicates matching nothing insert as-is.
    *
    * @return (target rows replaced, source rows written)
    */
@@ -408,7 +402,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
     val srcKeys = source.select(keys.map(col): _*).distinct().persist()
     try {
-      val (affected, survivorAdds) = rewriteWithoutMatches(s, srcKeys, keys)
+      val (affected, survivorAdds) =
+        rewriteWithoutMatches(s, srcKeys, keys, requireUniqueSource = Some(source))
 
       // ---- pass 3: ALL source rows through the revision-aware path ----
       val existing = latestRevision.orElse(throw new UnsupportedOperationException(
@@ -503,27 +498,6 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         else if (notMatchedBySource.nonEmpty) s.files
         else affectedByKeys(s, srcKeys, keys)
 
-      if (matched.nonEmpty && affected.nonEmpty) {
-        // Delta's multiple-matches rule: error only when >1 source rows
-        // would hit the SAME target row — i.e. duplicated non-null
-        // source keys that actually match a target row. Duplicates that
-        // match nothing are legal (they fall through to NOT MATCHED).
-        // Checked against the key columns of the index-pruned affected
-        // files only, before anything is written.
-        val nonNullKeys = sourceKeys.map(k => col(k).isNotNull).reduce(_ && _)
-        val affectedKeys = spark.read
-          .parquet(affected.map(f => new Path(tablePath, f.path).toString): _*)
-          .select(keyPairs.map { case (t, sn) => col(t).as(sn) }: _*)
-          .distinct()
-        val dup = source.filter(nonNullKeys)
-          .join(affectedKeys, sourceKeys, "left_semi")
-          .groupBy(sourceKeys.map(col): _*).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > 1).limit(1).count()
-        require(dup == 0L,
-          "MERGE with WHEN MATCHED clauses requires the source to be unique on the " +
-            "merge keys (multiple source rows matched one target row)")
-      }
-
       // ---- per-row action resolution: first applicable clause wins.
       // Matched clause i → action i; NOT MATCHED BY SOURCE clause i →
       // action 1000+i; untouched rows → -1 ----
@@ -541,6 +515,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         n
       }
       val actionCol = freshName("__action")
+      val rowIdCol = freshName("__rowid")
       val present = srcPrefix + freshName("__present")
       // without matched clauses no source payload is ever referenced —
       // join only the DISTINCT keys so duplicate source keys cannot fan
@@ -577,32 +552,45 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
             case (cl, i) if cl.assignments.isDefined => (cl.assignments.get, 1000 + i)
           }
 
-      def applyAssignments(asgn: Map[String, Column]): Seq[Column] = {
-        val asgnLower = asgn.map { case (k, v) => k.toLowerCase -> v }
-        asgn.keys.foreach { c =>
-          require(targetCols.exists(_.equalsIgnoreCase(c)),
-            s"MERGE SET of unknown column $c (table columns: ${targetCols.mkString(", ")})")
-        }
-        targetCols.map { c =>
-          asgnLower.get(c.toLowerCase) match {
-            case Some(e) => e.cast(tableSchema(c).dataType).as(c)
-            case None => col(c)
-          }
-        }
-      }
+      def applyAssignments(asgn: Map[String, Column]): Seq[Column] =
+        Assignments(tableSchema, asgn)
 
       // ---- pass 2: per revision group, frozen rewrite of untouched
       // rows; changed rows collected for re-indexing ----
-      // each group's joined frame feeds the survivor rewrite now and the
-      // changed frames in pass 3 — persist so a K-clause merge reads and
-      // joins the affected files once, not K+1 times
-      val perGroup = affected.groupBy(_.revisionId).toSeq.map { case (rid, files) =>
+      // each group's joined frame feeds the duplicate-match check, the
+      // survivor rewrite and the changed frames in pass 3 — persist so a
+      // K-clause merge reads and joins the affected files once, not K+2
+      // times. The row id is minted BELOW the join so the same target
+      // row keeps one id across its (possibly fanned-out) joined rows.
+      val groupJoins = affected.groupBy(_.revisionId).toSeq.map { case (rid, files) =>
         val paths = files.map(f => new Path(tablePath, f.path).toString)
         val joined = spark.read.parquet(paths: _*)
+          .withColumn(rowIdCol, monotonically_increasing_id())
           .join(srcRenamed, joinCond, "left")
           .withColumn(actionCol, action)
           .persist()
         cachedJoins += joined
+        (rid, files, joined)
+      }
+
+      if (matched.nonEmpty) {
+        // Delta's multiple-matches rule: error only when >1 source rows
+        // hit the SAME target row — duplicated non-null source keys that
+        // match nothing are legal (they fall through to NOT MATCHED).
+        // Derived from the merge join itself (a fanned-out row id), so
+        // broad merges pay no extra scan of the affected files; checked
+        // before anything is written.
+        groupJoins.foreach { case (_, _, joined) =>
+          val dup = joined.filter(matchedFlag)
+            .groupBy(col(rowIdCol)).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > 1).limit(1).count()
+          require(dup == 0L,
+            "MERGE with WHEN MATCHED clauses requires the source to be unique on the " +
+              "merge keys (multiple source rows matched one target row)")
+        }
+      }
+
+      val perGroup = groupJoins.map { case (rid, files, joined) =>
         val changed = updateClauses.map { case (asgn, id) =>
           joined.filter(col(actionCol) === id).select(applyAssignments(asgn): _*)
         }
@@ -688,9 +676,32 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   private def rewriteWithoutMatches(
       s: QbeastSnapshot,
       srcKeys: org.apache.spark.sql.DataFrame,
-      keys: Seq[String]): (Vector[IndexFile], Seq[IndexFile]) = {
+      keys: Seq[String],
+      requireUniqueSource: Option[org.apache.spark.sql.DataFrame] = None): (Vector[IndexFile], Seq[IndexFile]) = {
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
     val affected = affectedByKeys(s, srcKeys, keys)
+
+    // Delta's multiple-matches rule for update-style matched clauses:
+    // duplicate non-null source keys that actually MATCH a target row
+    // error out (duplicates matching nothing fall through to the insert
+    // side). The lone-DELETE merge shape passes None — Delta explicitly
+    // allows duplicate matches there, deletion is unambiguous. Checked
+    // against the index-pruned affected files, before anything is written.
+    requireUniqueSource.foreach { source =>
+      if (affected.nonEmpty) {
+        val nonNullKeys = keys.map(k => col(k).isNotNull).reduce(_ && _)
+        val affectedKeys = spark.read
+          .parquet(affected.map(f => new Path(tablePath, f.path).toString): _*)
+          .select(keys.map(col): _*).distinct()
+        val dup = source.filter(nonNullKeys)
+          .join(affectedKeys, keys, "left_semi")
+          .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).count()
+        require(dup == 0L,
+          "MERGE/upsert requires the source to be unique on the merge keys " +
+            "(multiple source rows matched one target row)")
+      }
+    }
 
     // ---- pass 2: rewrite affected files WITHOUT the matched rows ----
     val survivorAdds = affected.groupBy(_.revisionId).toSeq.flatMap { case (rid, files) =>

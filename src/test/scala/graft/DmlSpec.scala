@@ -164,9 +164,10 @@ class DmlSpec extends AnyFunSuite {
     // a tight key range: only files covering it should be rewritten
     val keyMax = raw.agg(max("l_orderkey")).head.getLong(0)
     val src = raw.filter(s"l_orderkey <= ${keyMax / 50}")
+      .dropDuplicates("l_orderkey", "l_linenumber")
       .withColumn("l_quantity", col("l_quantity") * 2)
     val t = QbeastTable.forPath(spark, dir)
-    val (replaced, _) = t.upsert(src, Seq("l_orderkey"))
+    val (replaced, _) = t.upsert(src, Seq("l_orderkey", "l_linenumber"))
     assert(replaced > 0)
     val s1 = QbeastLog.snapshot(dir, conf)
     val removed = s0.files.map(_.path).toSet -- s1.files.map(_.path).toSet
@@ -383,6 +384,106 @@ class DmlSpec extends AnyFunSuite {
         WHEN MATCHED THEN DELETE""")
     }
     assert(e2.getMessage.contains("qbeast MERGE/UPDATE does not support"))
+    // the same source column reused in two ON equalities: rejected up
+    // front instead of dying later as an ambiguous-reference error
+    val e3 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $name t USING dml_sqlbad_src s
+        ON t.l_orderkey = s.l_orderkey AND t.l_partkey = s.l_orderkey
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e3.getMessage.contains("reusing the same source column"))
+  }
+
+  test("upsert rejects duplicate source keys that match a target row") {
+    val dir = freshLineitem("dml-upsdup")
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    val t = QbeastTable.forPath(spark, dir)
+    // duplicates matching a target row: Delta's multiple-matches error
+    val dupMatched = raw.filter("l_orderkey % 100 = 3")
+    val e = intercept[Exception] { t.upsert(dupMatched.unionAll(dupMatched), Seq("l_orderkey", "l_linenumber")) }
+    assert(e.getMessage.contains("unique on the merge keys"))
+    // duplicates matching NOTHING are legal and insert both copies
+    val fresh = raw.filter("l_orderkey % 100 = 4 AND l_linenumber = 1")
+      .dropDuplicates("l_orderkey")
+      .withColumn("l_orderkey", col("l_orderkey") + lit(91000000L))
+    val n = fresh.count()
+    t.upsert(fresh.unionAll(fresh), Seq("l_orderkey", "l_linenumber"))
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.filter("l_orderkey >= 91000000").count() === 2 * n)
+    assert(back.count() === raw.count() + 2 * n)
+  }
+
+  // ---- struct-field assignments (Delta withField semantics) -------------
+
+  private def structTable(prefix: String): (String, String) = {
+    spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    val dir = TestSpark.tmpDir(prefix)
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price")).as("meta"))
+      .write.format("qbeast")
+      .option("columnsToIndex", "o_orderkey,o_custkey")
+      .option("cubeSize", "2000").save(dir)
+    val name = prefix.replace('-', '_')
+    spark.sql(s"DROP TABLE IF EXISTS qbeast_catalog.default.$name")
+    spark.sql(s"CREATE TABLE qbeast_catalog.default.$name USING qbeast LOCATION '$dir'")
+    (s"qbeast_catalog.default.$name", dir)
+  }
+
+  test("SQL UPDATE SET on a struct field rewrites only that field") {
+    val (name, dir) = structTable("dml-structupd")
+    val raw = spark.read.parquet(s"$sf/orders.parquet")
+    spark.sql(s"UPDATE $name SET meta.price = meta.price + 1000 " +
+      "WHERE o_orderkey % 7 = 0")
+    val back = spark.read.format("qbeast").load(dir)
+    val got = back.select(col("o_orderkey"), col("meta.status").as("status"),
+      col("meta.price").as("price"))
+    val want = raw.select(col("o_orderkey"), col("o_orderstatus").as("status"),
+      when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000)
+        .otherwise(col("o_totalprice")).as("price"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("SQL MERGE UPDATE SET on a struct field applies per matched row") {
+    val (name, dir) = structTable("dml-structmrg")
+    val raw = spark.read.parquet(s"$sf/orders.parquet")
+    raw.filter("o_orderkey % 5 = 0")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("dml_structmrg_src")
+    spark.sql(s"""MERGE INTO $name t USING dml_structmrg_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET t.meta.price = s.o_totalprice * 2""")
+    val back = spark.read.format("qbeast").load(dir)
+    val got = back.select(col("o_orderkey"), col("meta.status").as("status"),
+      col("meta.price").as("price"))
+    val want = raw.select(col("o_orderkey"), col("o_orderstatus").as("status"),
+      when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice")).as("price"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("API update supports dotted struct paths and rejects conflicts") {
+    val (_, dir) = structTable("dml-structapi")
+    val t = QbeastTable.forPath(spark, dir)
+    val n = t.update("o_custkey % 2 = 0", Map("meta.status" -> "'X'"))
+    assert(n > 0)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.filter("meta.status = 'X'").count() === n)
+    // whole-column + field assignment of the same column is ambiguous
+    val e = intercept[Exception] {
+      t.update("o_custkey % 2 = 0",
+        Map("meta" -> "named_struct('status','Y','price',0.0)", "meta.price" -> "1.0"))
+    }
+    assert(e.getMessage.contains("conflicting assignments"))
+    // unknown field inside the struct
+    val e2 = intercept[Exception] {
+      t.update("o_custkey % 2 = 0", Map("meta.nope" -> "1"))
+    }
+    assert(e2.getMessage.toLowerCase.contains("unknown field"))
   }
 
 }

@@ -57,6 +57,51 @@ class RobustnessSpec extends AnyFunSuite {
     assert(back.count() == 6000 + 100)
   }
 
+  test("8 concurrent appenders + concurrent optimize: exact union, no lost updates") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = TestSpark.tmpDir("stress8")
+    spark.conf.set("spark.qbeast.index.numberOfRetries", "50")
+    try {
+      // seed: bucket 8 of 9; eight appender threads race buckets 0-7
+      // while another thread runs optimize in a loop
+      li.filter(col("l_orderkey") % 9 === 8).write.format("qbeast")
+        .option("columnsToIndex", "l_orderkey,l_extendedprice")
+        .option("cubeSize", "500").save(dir)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val appenders = (0 until 8).map { i =>
+        new Thread(() => {
+          try {
+            li.filter(col("l_orderkey") % 9 === i).write.format("qbeast")
+              .option("columnsToIndex", "l_orderkey,l_extendedprice")
+              .mode("append").save(dir)
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      val optimizer = new Thread(() => {
+        try {
+          (1 to 3).foreach { _ =>
+            graft.table.QbeastTable.forPath(spark, dir).optimize()
+            Thread.sleep(25)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+      (appenders :+ optimizer).foreach(_.start())
+      (appenders :+ optimizer).foreach(_.join())
+      assert(failures.isEmpty,
+        s"concurrent writers failed: ${failures.toArray.mkString("; ")}")
+      // exact multiset union: every source row exactly once, nothing else
+      val back = spark.read.format("qbeast").load(dir)
+      assert(back.count() === li.count())
+      assert(back.exceptAll(li).count() === 0)
+      assert(li.exceptAll(back).count() === 0)
+      // a final quiescent optimize must preserve the union too
+      graft.table.QbeastTable.forPath(spark, dir).optimize()
+      val after = spark.read.format("qbeast").load(dir)
+      assert(after.count() === li.count())
+      assert(after.exceptAll(li).count() === 0)
+    } finally spark.conf.unset("spark.qbeast.index.numberOfRetries")
+  }
+
   test("empty dataframe write creates a readable empty table") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Double)].toDF("a", "b")
