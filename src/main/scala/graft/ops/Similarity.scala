@@ -238,34 +238,58 @@ object Similarity {
    * bucket population `n / 2^bits` is at most `targetBucketSize`,
    * clamped to [minBits, 30]. Use when the caller knows the corpus
    * cardinality (e.g. from table stats) and wants the base bucket
-   * space sized for it instead of relying on hot-bucket refinement. */
-  def autoBits(n: Long, targetBucketSize: Int = 4096, minBits: Int = 8): Int = {
+   * space sized for it instead of relying on hot-bucket refinement.
+   * The default target sits 4× below [[nearDupPairs]]' default
+   * `maxBucket` (4096) so an average-population bucket has headroom
+   * under the hot cap — only genuinely clustered buckets trip
+   * refinement, keeping the hot set small. */
+  def autoBits(n: Long, targetBucketSize: Int = 1024, minBits: Int = 8): Int = {
     val needed = math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt
     math.min(30, math.max(minBits, needed))
   }
 
+  /** Hot sets larger than this are joined with a shuffle instead of a
+   * broadcast — ~1e6 (bucket, flag) rows is tens of MB, the safe end of
+   * driver/executor broadcast budgets. */
+  private val BroadcastSafeHotBuckets = 1000000L
+
   /**
-   * (id, emb, bucket) with hot buckets re-split: any base bucket holding
-   * more than `maxBucket` rows gets `refineBits` additional sign bits
-   * from an independent plane bank appended above the base bits, so the
+   * (id, emb, bucket) with hot buckets iteratively re-split: any bucket
+   * holding more than `maxBucket` rows gets `refineBits` additional sign
+   * bits from an independent plane bank, and the count-refine step
+   * repeats (a fresh plane bank per level) until every bucket fits the
+   * cap or `maxLevels` refinement levels have been applied — so the
    * in-bucket self-join stays O(maxBucket) per bucket instead of
-   * O((N/2^bits)²) — the same hot-key discipline as `winnowPairs`'
+   * O((N/2^bits)²). Same hot-key discipline as `winnowPairs`'
    * `maxDocFreq` and the minhash banding in [[Dedup]], but re-splitting
    * (recall-preserving for near-identical vectors, which agree on the
    * refinement signs w.h.p.) instead of dropping.
    *
-   * Cost at scale: one extra map-side pass (the refinement signs) plus a
-   * count-per-bucket aggregation whose key space is ≤ 2^bits — map-side
-   * partial agg collapses it to one row per bucket per task. The hot set
-   * (buckets above the cap) is ≤ min(2^bits, N/maxBucket) rows and is
-   * broadcast. When no bucket exceeds the cap this is bit-identical to
-   * plain base bucketing (the oracle's semantics).
+   * Cost at scale: one count-per-bucket aggregation per level (map-side
+   * partial agg collapses it to one row per bucket per task) plus the
+   * refinement signs, and one final aggregation pass to confirm nothing
+   * is hot — levels after convergence cost nothing. The hot set
+   * (buckets above the cap, ≤ N/maxBucket rows) is persisted and
+   * broadcast when small; past [[BroadcastSafeHotBuckets]] it falls back
+   * to a shuffle join so a pathological corpus cannot blow the driver.
+   * When no bucket exceeds the cap the output is bit-identical to plain
+   * base bucketing (the oracle's semantics) and no refinement joins
+   * enter the plan.
+   *
+   * Level-0 refined ids are `bucket + (refine+1)·2^bits` (collision-free
+   * with cold ids, which the SQL oracle can unroll); deeper levels hash
+   * `(bucket, refine)` through xxhash64 — a 64-bit label space, where a
+   * collision merely merges two candidate buckets (pairs are exactly
+   * cosine-scored afterwards, so collisions cost work, never
+   * correctness).
    *
    * Residual: a bucket of > maxBucket EXACT-duplicate vectors cannot be
-   * split by any projection (identical signs); pair output over such a
-   * clique is inherently quadratic. Run exact dedup (t01) first — the
-   * standard SemDeDup pipeline order.
+   * split by any projection (identical signs) and terminates only via
+   * `maxLevels`; pair output over such a clique is inherently quadratic.
+   * Run exact dedup (t01) first — the standard SemDeDup pipeline order.
+   * For merely near-identical clusters the split is probabilistic per
+   * level; extra levels make a still-hot bucket exponentially unlikely.
    */
   private[graft] def refinedBuckets(
       embeddings: DataFrame,
@@ -274,32 +298,56 @@ object Similarity {
       bits: Int,
       dim: Int,
       maxBucket: Int,
-      refineBits: Int): DataFrame = {
+      refineBits: Int,
+      maxLevels: Int = 3,
+      planeBank: Int = 0): DataFrame = {
     val bucketOf = lshBucketUdf(bits, dim)
-    val withBucket = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
+    var cur = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("bucket", bucketOf(col("emb")))
-    if (refineBits <= 0) withBucket
-    else {
-      val hot = withBucket.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    if (refineBits <= 0) return cur
+    var level = 0
+    var converged = false
+    while (!converged && level < maxLevels) {
+      val hot = cur.groupBy("bucket").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > maxBucket)
         .select(col("bucket"), lit(true).as("hot"))
-      val refineOf = lshBucketUdf(refineBits, dim, planeOffset = bits)
-      withBucket
-        .join(broadcast(hot), Seq("bucket"), "left")
-        .withColumn("bucket",
-          when(col("hot"),
-            col("bucket") + (refineOf(col("emb")) + lit(1L)) * lit(1L << bits))
-            .otherwise(col("bucket")))
-        .drop("hot")
+        .persist()
+      val nHot = hot.count()
+      if (nHot == 0) {
+        hot.unpersist()
+        converged = true
+      } else {
+        val refineOf = lshBucketUdf(refineBits, dim,
+          planeOffset = bits + (planeBank * maxLevels + level) * refineBits)
+        val hotSide = if (nHot <= BroadcastSafeHotBuckets) broadcast(hot) else hot
+        val refined =
+          if (level == 0)
+            col("bucket") + (refineOf(col("emb")) + lit(1L)) * lit(1L << bits)
+          else xxhash64(col("bucket"), refineOf(col("emb")))
+        cur = cur.join(hotSide, Seq("bucket"), "left")
+          .withColumn("bucket",
+            when(col("hot"), refined).otherwise(col("bucket")))
+          .drop("hot")
+        level += 1
+      }
     }
+    cur
   }
 
   /** All pairs with cosine ≥ threshold, LSH-blocked (equi-join on bucket;
    * near-identical vectors collide with high probability). Hot buckets
-   * (> maxBucket rows) are re-split with `refineBits` extra sign bits —
-   * see [[refinedBuckets]] — so the per-bucket self-join is bounded at
-   * any corpus size. Pass `bits = autoBits(n)` to also size the base
-   * bucket space to the corpus. */
+   * (> maxBucket rows) are iteratively re-split with `refineBits` extra
+   * sign bits per level — see [[refinedBuckets]] — so the per-bucket
+   * self-join is bounded at any corpus size. Pass `bits = autoBits(n)`
+   * to also size the base bucket space to the corpus.
+   *
+   * Recall hedge for looser thresholds: a true pair split by refinement
+   * must disagree on a refinement sign, which near-identical vectors
+   * (cos ≥ ~0.95) rarely do, but looser pairs (cos ≈ 0.85) miss often.
+   * `refineBanks > 1` refines with that many INDEPENDENT plane-bank
+   * sequences and unions the resulting pairs (exactly re-scored, then
+   * deduplicated) — a pair survives if ANY bank keeps it together, at
+   * ~`refineBanks`× candidate volume. Use 2 banks below ~0.9. */
   def nearDupPairs(
       embeddings: DataFrame,
       idCol: String,
@@ -308,14 +356,24 @@ object Similarity {
       bits: Int = 8,
       dim: Int = 64,
       maxBucket: Int = 4096,
-      refineBits: Int = 16): DataFrame = {
-    val withBucket = refinedBuckets(embeddings, idCol, embCol, bits, dim, maxBucket, refineBits)
-    val a = withBucket.alias("a")
-    val b = withBucket.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Dedup.cosine(col("a.emb"), col("b.emb")).as("cos"))
-      .filter(col("cos") >= threshold)
+      refineBits: Int = 16,
+      refineBanks: Int = 1,
+      maxLevels: Int = 3): DataFrame = {
+    def pairsOf(withBucket: DataFrame): DataFrame = {
+      val a = withBucket.alias("a")
+      val b = withBucket.alias("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          Dedup.cosine(col("a.emb"), col("b.emb")).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
+    val banks = math.max(1, refineBanks)
+    val perBank = (0 until banks).map { bank =>
+      pairsOf(refinedBuckets(
+        embeddings, idCol, embCol, bits, dim, maxBucket, refineBits, maxLevels, bank))
+    }
+    if (banks == 1) perBank.head
+    else perBank.reduce(_.unionAll(_)).dropDuplicates("id_a", "id_b")
   }
 
 }

@@ -391,6 +391,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ops.Similarity.autoBits(1L << 40, 4096) == 28)   // 2^40 / 2^12
     assert(ops.Similarity.autoBits(Long.MaxValue) == 30)    // clamped
     assert(ops.Similarity.autoBits(100000, 4096) == 8)      // ceil(log2(24.4)) = 5 → floor 8
+    // default target (1024) leaves 4x headroom under the maxBucket cap
+    assert(ops.Similarity.autoBits(1L << 40) == 30)         // 2^40 / 2^10, clamped
+    assert(ops.Similarity.autoBits(1L << 30) == 20)
+  }
+
+  test("refinedBuckets iterates until every bucket fits the cap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    // 3000 vectors over 4 base buckets (~750 each); refineBits=3 splits
+    // a bucket 8 ways per level, so one level leaves ~94-row buckets —
+    // convergence below maxBucket=32 takes 2 levels plus a spare for
+    // sign-skewed stragglers
+    val vecs = (1 to 3000).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding").repartition(8)
+    def maxSize(maxLevels: Int): Long = ops.Similarity.refinedBuckets(
+        vecs, "vec_id", "embedding", bits = 2, dim = dim,
+        maxBucket = 32, refineBits = 3, maxLevels = maxLevels)
+      .groupBy("bucket").count().select(max("count")).head.getLong(0)
+    assert(maxSize(1) > 32, "one level should NOT suffice for this shape")
+    assert(maxSize(3) <= 32, "three levels should converge under the cap")
+  }
+
+  test("nearDupPairs: a second refinement bank recovers loose pairs split by the first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 64
+    // one loose cluster (pairwise cos ~0.85-0.95) big enough to trip the
+    // hot cap, plus background noise: single-bank refinement splits many
+    // true pairs (P[16 signs agree] is small at this angle); the 2-bank
+    // union must recover strictly more of them and stay a superset
+    val center = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val cluster = (1 to 60).map { i =>
+      (i.toLong, center.map(x => x + (rnd.nextFloat() * 2f - 1f) * 0.25f))
+    }
+    val noise = (1000 to 1400).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val vecs = (cluster ++ noise).toDF("vec_id", "embedding").repartition(4)
+    def pairs(banks: Int): Set[(Long, Long)] = ops.Similarity.nearDupPairs(
+        vecs, "vec_id", "embedding", threshold = 0.8,
+        bits = 4, dim = dim, maxBucket = 8, refineBits = 16, refineBanks = banks)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(1)
+    val two = pairs(2)
+    assert(one.subsetOf(two), "bank 0 of the 2-bank run is the 1-bank run")
+    assert(two.size > one.size,
+      s"expected the second bank to recover extra pairs (1-bank=${one.size}, 2-bank=${two.size})")
+    // every emitted pair is a true pair (cosine is exactly re-scored)
+    val truth = {
+      val all = (cluster ++ noise)
+      (for {
+        (ia, va) <- all; (ib, vb) <- all if ia < ib
+        c = ops.Similarity.cosineSeq(va.map(_.toDouble).toSeq, vb.map(_.toDouble).toSeq)
+        if c >= 0.8
+      } yield (ia, ib)).toSet
+    }
+    assert(two.subsetOf(truth))
   }
 
 }
