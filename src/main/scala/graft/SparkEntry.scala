@@ -869,6 +869,15 @@ object SparkEntry {
         .select(col("vec_id"), round(col("sim"), 4).as("sim_r"),
           col("vec_id").isin(exact10: _*).as("in_exact10"))
     }),
+    "e09_knn_join_lsh" -> ((s, dir) => {
+      // batch KNN without broadcasting the query side: both sides
+      // LSH-bucketed, queries multi-probe buckets within Hamming
+      // distance 1, candidates scored exactly, top-5 per query
+      val emb = QTables.raw(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").between(1, 5))
+      ops.Similarity.knnJoinLsh(emb, queries, "vec_id", "embedding", k = 5)
+        .select("query_id", "nbr_id", "rank")
+    }),
     "e05_array_passthrough" -> ((s, dir) => {
       // embeddings written through qbeast: array<float> rides along
       QTables.qbeast(s, dir, "embeddings")
@@ -1880,6 +1889,15 @@ object SparkEntry {
          |s AS (SELECT q.query_id, e.vec_id AS nbr_id, ${cosSql("emb", "qe")} AS sim
          |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) e, q
          |  WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, nbr_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+         |  FROM s)
+         |SELECT query_id, nbr_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "e09_knn_join_lsh" ->
+      s"""WITH $embBaseSql,
+         |qs AS (SELECT vec_id AS query_id, bucket AS qb, emb AS qe FROM be WHERE vec_id BETWEEN 1 AND 5),
+         |s AS (SELECT qs.query_id, e.vec_id AS nbr_id, ${cosSql("e.emb", "qe")} AS sim
+         |  FROM be e, qs WHERE e.vec_id <> qs.query_id AND bit_count(xor(e.bucket, qs.qb)) <= 1),
          |r AS (SELECT query_id, nbr_id,
          |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
          |  FROM s)

@@ -234,6 +234,69 @@ object Similarity {
       .select("query_id", "nbr_id", "rank", "sim")
   }
 
+  /**
+   * Batch KNN join for query batches too big to broadcast — the scale
+   * path [[knnJoin]]'s scaladoc points to. Both sides are LSH-bucketed
+   * with the shared deterministic plane bank; queries are exploded to
+   * every bucket within Hamming distance ≤ `probeRadius` (multi-probe,
+   * same trade-off as [[knnLsh]]), and candidates come from a plain
+   * bucket equi-join — a shuffle on bucket ids, NO broadcast, so the
+   * query side can be arbitrarily large. Candidates are scored exactly
+   * and top-k'd per query; recall is approximate (a true neighbour in a
+   * bucket farther than the probe radius is missed). With
+   * `probeRadius >= bits` every bucket is probed and the result equals
+   * [[knnJoin]] exactly.
+   *
+   * Scale: shuffle volume is |base| + |queries|·(1 + bits + C(bits,2))
+   * rows of (id, emb, bucket); per-bucket work is |base_bucket| ×
+   * |probing queries|. For skewed corpora apply the same hot-bucket
+   * discipline as [[refinedBuckets]] upstream (pre-split hot buckets),
+   * or raise `bits`.
+   */
+  def knnJoinLsh(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      bits: Int = 8,
+      dim: Int = 64,
+      probeRadius: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketOf = lshBucketUdf(bits, dim)
+    val radius = math.min(probeRadius, bits)
+    require(radius <= 3 || radius >= bits,
+      s"probeRadius $radius unsupported (use 0-3, or >= bits for exhaustive)")
+    val probesOf = udf { (bucket: Long) =>
+      if (radius >= bits) (0L until (1L << bits)).toSeq
+      else {
+        val out = scala.collection.mutable.ArrayBuffer(bucket)
+        if (radius >= 1)
+          (0 until bits).foreach(b => out += (bucket ^ (1L << b)))
+        if (radius >= 2)
+          for (a <- 0 until bits; b <- a + 1 until bits)
+            out += (bucket ^ (1L << a) ^ (1L << b))
+        if (radius >= 3)
+          for (a <- 0 until bits; b <- a + 1 until bits; c <- b + 1 until bits)
+            out += (bucket ^ (1L << a) ^ (1L << b) ^ (1L << c))
+        out.toSeq
+      }
+    }
+    val base = embeddings.select(col(idCol).as("nbr_id"), col(embCol).as("nbr_emb"))
+      .withColumn("bucket", bucketOf(col("nbr_emb")))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .withColumn("bucket", explode(probesOf(bucketOf(col("q_emb")))))
+    val scored = base.join(q, Seq("bucket"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        Dedup.cosine(col("nbr_emb"), col("q_emb")).as("sim"))
+    val perQuery = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(perQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank", "sim")
+  }
+
   /** Corpus-aware LSH bit count: enough sign bits that the EXPECTED
    * bucket population `n / 2^bits` is at most `targetBucketSize`,
    * clamped to [minBits, 30]. Use when the caller knows the corpus

@@ -386,6 +386,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("knnJoinLsh: exhaustive probe radius equals the broadcast knnJoin exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 64
+    val vecs = (1 to 400).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") <= 5)
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("query_id", "nbr_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // radius >= bits probes every bucket -> identical to the exact join
+    val exact = key(ops.Similarity.knnJoin(vecs, queries, "vec_id", "embedding", 10))
+    val full = key(ops.Similarity.knnJoinLsh(
+      vecs, queries, "vec_id", "embedding", 10, bits = 2, dim = dim, probeRadius = 2))
+    assert(full === exact)
+    // radius 1 over 8 bits prunes the candidate set: at most k rows per
+    // query with contiguous ranks from 1 (fewer when the probed buckets
+    // hold fewer than k neighbours — that is the pruning)
+    val pruned = ops.Similarity.knnJoinLsh(
+      vecs, queries, "vec_id", "embedding", 10, bits = 8, dim = dim, probeRadius = 1)
+      .select("query_id", "rank").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(pruned.nonEmpty && pruned.keySet.subsetOf((1L to 5L).toSet))
+    pruned.values.foreach { ranks =>
+      assert(ranks.size <= 10 && ranks == (1L to ranks.size).toSeq)
+    }
+  }
+
   test("autoBits sizes the bucket space to the corpus") {
     assert(ops.Similarity.autoBits(500) == 8)               // small corpus → floor
     assert(ops.Similarity.autoBits(1L << 40, 4096) == 28)   // 2^40 / 2^12
