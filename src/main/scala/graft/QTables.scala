@@ -103,12 +103,10 @@ object QTables {
     val path = cachePath(sfDir, "lineitem_converted")
     lock.synchronized {
       if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
-        val dir = java.nio.file.Paths.get(path)
-        java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$sfDir/lineitem.parquet"),
-          dir.resolve("lineitem.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // rewrite (not Files.copy) so the fixture works whether the
+        // source is a single parquet file or a spark-written directory
+        // (e.g. the ScaleData-derived scale factors)
+        raw(spark, sfDir, "lineitem").write.mode("overwrite").parquet(path)
         graft.table.QbeastTable.convertFromParquet(spark, path)
       }
     }
