@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
  */
 object ScaleData {
 
-  private val Shift = 100000000L
+  // replica spacing must stay disjoint from the key ranges benchmark
+  // fixtures MINT for not-matched MERGE branches (original_key + 1e8 in
+  // QTables' merge fixtures): with 1e10 spacing, minted keys land inside
+  // their own replica's empty range instead of on the next replica's rows
+  private val Shift = 10000000000L
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleData <srcDir> <dstDir> [factor=10]")
