@@ -34,13 +34,18 @@ object Streaming {
   }
 
   /** The streaming file source wants a directory; stage the single
-   * fixture file into a temp dir once per path. */
+   * fixture file into a temp dir once per path. A fixture that is
+   * already a directory of part files (e.g. a spark-written scale
+   * factor) is used in place. */
   private def stageDir(path: String): String =
     stagedDirs.computeIfAbsent(path, { p =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-stream")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(p),
-        dir.resolve(new java.io.File(p).getName))
-      dir.toString
+      val src = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(src)) p
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+        java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
+        dir.toString
+      }
     })
 
   /** The test events.parquet stores TIMESTAMP(NANOS), which Spark's
