@@ -210,9 +210,8 @@ object Similarity {
    * one pass — broadcast the (small) query batch, score map-side while
    * the big side streams through once, then a per-query top-k window.
    * The window shuffle carries only (query, neighbour, sim) triples.
-   * For query batches too big to broadcast, cut candidates first with
-   * the LSH bucket join ([[nearDupPairs]] shape) and top-k the
-   * candidates instead of all N×Q pairs.
+   * For query batches too big to broadcast use [[knnJoinLsh]], which
+   * cuts candidates with a bucket equi-join instead of all N×Q pairs.
    */
   def knnJoin(
       embeddings: DataFrame,

@@ -689,17 +689,22 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // against the index-pruned affected files, before anything is written.
     requireUniqueSource.foreach { source =>
       if (affected.nonEmpty) {
+        // source-only duplicate-key probe first: when the source is
+        // unique (the common case) the affected files are never scanned
+        // for this check at all
         val nonNullKeys = keys.map(k => col(k).isNotNull).reduce(_ && _)
-        val affectedKeys = spark.read
-          .parquet(affected.map(f => new Path(tablePath, f.path).toString): _*)
-          .select(keys.map(col): _*).distinct()
-        val dup = source.filter(nonNullKeys)
-          .join(affectedKeys, keys, "left_semi")
+        val dupKeys = source.filter(nonNullKeys)
           .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > 1).limit(1).count()
-        require(dup == 0L,
-          "MERGE/upsert requires the source to be unique on the merge keys " +
-            "(multiple source rows matched one target row)")
+          .filter(col("__n") > 1).select(keys.map(col): _*)
+        if (dupKeys.limit(1).count() > 0) {
+          val affectedKeys = spark.read
+            .parquet(affected.map(f => new Path(tablePath, f.path).toString): _*)
+            .select(keys.map(col): _*).distinct()
+          val dup = dupKeys.join(affectedKeys, keys, "left_semi").limit(1).count()
+          require(dup == 0L,
+            "MERGE/upsert requires the source to be unique on the merge keys " +
+              "(multiple source rows matched one target row)")
+        }
       }
     }
 

@@ -466,6 +466,22 @@ class DmlSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("Assignments applies doubly-nested paths with simultaneous semantics") {
+    import org.apache.spark.sql.functions.expr
+    val df = spark.sql(
+      """SELECT 1L AS id,
+        |named_struct('a', named_struct('x', 10.0D, 'y', 2.0D), 'b', 5.0D) AS m
+        |""".stripMargin)
+    // both right-hand sides see the PRE-update row: m.a.x reads the
+    // original m.b, and m.b reads the original m.a.x
+    val cols = graft.table.Assignments(df.schema,
+      Map("m.a.x" -> expr("m.b * 2"), "m.b" -> expr("m.a.x + 1")))
+    val out = df.select(cols: _*).selectExpr("id", "m.a.x", "m.a.y", "m.b").head()
+    assert(out.getDouble(1) === 10.0 * 0 + 5.0 * 2) // m.b(orig)=5 → 10
+    assert(out.getDouble(2) === 2.0)                // untouched sibling
+    assert(out.getDouble(3) === 10.0 + 1)           // m.a.x(orig)=10 → 11
+  }
+
   test("API update supports dotted struct paths and rejects conflicts") {
     val (_, dir) = structTable("dml-structapi")
     val t = QbeastTable.forPath(spark, dir)
