@@ -102,6 +102,32 @@ class RobustnessSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.qbeast.index.numberOfRetries")
   }
 
+  test("racing optimizes: loser drops its rewrite, rows never duplicate") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = TestSpark.tmpDir("optrace")
+    li.write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "500").save(dir)
+    // both optimizes select overlapping files; whichever commits second
+    // must detect its removes are gone on rebase and abort silently
+    // (dropping a pure layout change is always safe) — never double-add
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try graft.table.QbeastTable.forPath(spark, dir).optimize()
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty,
+      s"optimize must not surface races: ${failures.toArray.mkString("; ")}")
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === li.count())
+    assert(back.exceptAll(li).count() === 0)
+    assert(li.exceptAll(back).count() === 0)
+  }
+
   test("empty dataframe write creates a readable empty table") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Double)].toDF("a", "b")
