@@ -179,18 +179,22 @@ object Similarity {
   /** Symmetric int8 quantization of an embedding column: per-vector
    * scale 127/max|v|, values rounded with floor(x+0.5) (identical
    * semantics in Java and SQL — Math.round and C round() disagree on
-   * negative ties). 4× memory/bandwidth reduction for ANN at scale;
-   * pure `functions._`, map-side. */
+   * negative ties). 4× memory/bandwidth reduction for ANN at scale.
+   * Native codegen expression ([[graft.expressions.Int8Quantize]]): one
+   * fused loop instead of three interpreted HOF passes, and the
+   * enclosing projection stays inside whole-stage codegen. */
   def int8Quantize(emb: Column): Column = {
-    val ed = transform(emb, _.cast("double"))
-    val amax = array_max(transform(ed, x => abs(x)))
-    val scale = when(amax > 0, lit(127.0) / amax).otherwise(lit(0.0))
-    transform(ed, x => floor(x * scale + lit(0.5)).cast("long"))
+    val shims = org.apache.spark.sql.GraftShims
+    shims.column(graft.expressions.Int8Quantize(shims.expression(emb)))
   }
 
-  /** Integer dot product of two quantized vectors (exact, order-free). */
-  def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+  /** Integer dot product of two quantized vectors (exact, order-free;
+   * native codegen — [[graft.expressions.IntegerDotProduct]]). */
+  def intDot(a: Column, b: Column): Column = {
+    val shims = org.apache.spark.sql.GraftShims
+    shims.column(graft.expressions.IntegerDotProduct(
+      shims.expression(a), shims.expression(b)))
+  }
 
   /** Approximate cosine from quantized vectors: intDot / (|a|·|b|). */
   def int8Cosine(a: Column, b: Column): Column =
