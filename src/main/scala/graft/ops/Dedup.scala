@@ -120,9 +120,12 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val est = aggregate(
-      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes.toDouble)
+    // native codegen agreement count — this runs once per candidate
+    // PAIR, the hottest scalar in the minhash path
+    val shims = org.apache.spark.sql.GraftShims
+    val est = shims.column(graft.expressions.ArrayAgreement(
+      shims.expression(col("sa")), shims.expression(col("sb"))))
+      .cast("double") / lit(numHashes.toDouble)
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
