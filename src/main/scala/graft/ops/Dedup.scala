@@ -275,12 +275,16 @@ object Dedup {
   /** Distinct token set of a text column (unigram shingles). */
   def tokenSet(c: Column): Column = array_distinct(split(trim(c), "\\s+"))
 
-  /** Exact token-set Jaccard for candidate pairs; `pairs` must provide
-   * text_a / text_b columns. Pure `functions._` — codegen, no UDF. */
+  /** Exact token-set Jaccard for candidate pairs of element-distinct
+   * token arrays (see [[tokenSet]]). Native codegen expression
+   * ([[graft.expressions.TokenSetJaccard]]): one hash-set pass per pair,
+   * vs the `array_intersect` formulation which builds the intersection
+   * array twice — this runs once per candidate PAIR in blocked pairwise
+   * joins, the hottest scalar there. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = (size(a) + size(b)).cast("double") - size(array_intersect(a, b))
-    inter / union
+    val shims = org.apache.spark.sql.GraftShims
+    shims.column(graft.expressions.TokenSetJaccard(
+      shims.expression(a), shims.expression(b)))
   }
 
   // ---- connected components (near-dup clustering) ------------------------

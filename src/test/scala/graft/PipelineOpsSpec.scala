@@ -480,4 +480,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(two.subsetOf(truth))
   }
 
+  test("TokenSetJaccard matches the array_intersect formulation bit-for-bit") {
+    val oldJaccard = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => {
+      val inter = size(array_intersect(a, b)).cast("double")
+      val union = (size(a) + size(b)).cast("double") - size(array_intersect(a, b))
+      inter / union
+    }
+    val rnd = new scala.util.Random(99)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    val crafted = Seq(
+      Seq("a", "b", "c") -> Seq("b", "c", "d"),
+      Seq("a") -> Seq("z"),                       // disjoint
+      Seq("a", "b") -> Seq("a", "b"),             // identical
+      Seq("") -> Seq(""),                         // split("") artifact
+      Seq("x") -> Seq.empty[String])              // one empty side
+    val random = Seq.fill(200) {
+      val na = 1 + rnd.nextInt(12)
+      val nb = 1 + rnd.nextInt(12)
+      (Seq.fill(na)(vocab(rnd.nextInt(vocab.size))).distinct,
+        Seq.fill(nb)(vocab(rnd.nextInt(vocab.size))).distinct)
+    }
+    val df = (crafted ++ random).toDF("ta", "tb")
+    val got = df.select(
+        ops.Dedup.jaccard(col("ta"), col("tb")).as("nw"),
+        oldJaccard(col("ta"), col("tb")).as("od"))
+      .collect()
+    got.foreach { r =>
+      val (nw, od) = (r.getDouble(0), r.getDouble(1))
+      assert(java.lang.Double.compare(nw, od) == 0, s"jaccard $nw != $od")
+    }
+    // empty vs empty is NaN under both formulations (0/0 double division)
+    val nan = Seq((Seq.empty[String], Seq.empty[String])).toDF("ta", "tb")
+      .select(ops.Dedup.jaccard(col("ta"), col("tb"))).collect()(0).getDouble(0)
+    assert(nan.isNaN)
+  }
+
 }
