@@ -29,22 +29,14 @@ object Similarity {
       Array.tabulate(dim)(i => HashUtils.h32(s"p_${offset + b}_$i") / 2147483648.0 - 1.0))
 
   /** LSH bucket id: sign bit per hyperplane. `planeOffset` selects an
-   * independent plane bank (offset into the deterministic plane stream). */
-  def lshBucketUdf(bits: Int, dim: Int, planeOffset: Int = 0) = {
-    val planes = hyperplanesFrom(planeOffset, bits, dim)
-    udf { (emb: Seq[Float]) =>
-      var bucket = 0L
-      var b = 0
-      while (b < bits) {
-        var dot = 0.0
-        val p = planes(b)
-        var i = 0
-        while (i < dim && i < emb.length) { dot += p(i) * emb(i); i += 1 }
-        if (dot >= 0) bucket |= (1L << b)
-        b += 1
-      }
-      bucket
-    }
+   * independent plane bank (offset into the deterministic plane stream).
+   * Native codegen expression ([[graft.expressions.LshBucket]]): runs
+   * once per row on every side of the LSH joins, so keeping it inside
+   * whole-stage codegen (no `Seq[Float]` boxing per row) matters. */
+  def lshBucket(c: Column, bits: Int, dim: Int, planeOffset: Int = 0): Column = {
+    val shims = org.apache.spark.sql.GraftShims
+    shims.column(graft.expressions.LshBucket(
+      shims.expression(c), bits, dim, planeOffset))
   }
 
   /** Exact cosine top-k neighbours of `queryVec`. */
@@ -75,7 +67,6 @@ object Similarity {
       k: Int,
       bits: Int = 8): DataFrame = {
     val dim = queryVec.length
-    val bucketOf = lshBucketUdf(bits, dim)
     val qEmb = queryVec.map(_.toFloat)
     val qBucket = {
       val planes = hyperplanes(bits, dim)
@@ -96,7 +87,7 @@ object Similarity {
           yield qBucket ^ (1L << a) ^ (1L << b)))).toArray
     val sim = Dedup.cosine(col(embCol), lit(queryVec.toArray))
     embeddings
-      .withColumn("bucket", bucketOf(col(embCol)))
+      .withColumn("bucket", lshBucket(col(embCol), bits, dim))
       .filter(col("bucket").isin(probes: _*))
       .select(col(idCol), sim.as("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -266,7 +257,6 @@ object Similarity {
       dim: Int = 64,
       probeRadius: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketOf = lshBucketUdf(bits, dim)
     val radius = math.min(probeRadius, bits)
     require(radius <= 3 || radius >= bits,
       s"probeRadius $radius unsupported (use 0-3, or >= bits for exhaustive)")
@@ -286,9 +276,9 @@ object Similarity {
       }
     }
     val base = embeddings.select(col(idCol).as("nbr_id"), col(embCol).as("nbr_emb"))
-      .withColumn("bucket", bucketOf(col("nbr_emb")))
+      .withColumn("bucket", lshBucket(col("nbr_emb"), bits, dim))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
-      .withColumn("bucket", explode(probesOf(bucketOf(col("q_emb")))))
+      .withColumn("bucket", explode(probesOf(lshBucket(col("q_emb"), bits, dim))))
     val scored = base.join(q, Seq("bucket"))
       .filter(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"),
@@ -367,9 +357,8 @@ object Similarity {
       refineBits: Int,
       maxLevels: Int = 3,
       planeBank: Int = 0): DataFrame = {
-    val bucketOf = lshBucketUdf(bits, dim)
     var cur = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .withColumn("bucket", bucketOf(col("emb")))
+      .withColumn("bucket", lshBucket(col("emb"), bits, dim))
     if (refineBits <= 0) return cur
     var level = 0
     var converged = false
@@ -383,7 +372,7 @@ object Similarity {
         hot.unpersist()
         converged = true
       } else {
-        val refineOf = lshBucketUdf(refineBits, dim,
+        val refineOf = (c: Column) => lshBucket(c, refineBits, dim,
           planeOffset = bits + (planeBank * maxLevels + level) * refineBits)
         val hotSide = if (nHot <= BroadcastSafeHotBuckets) broadcast(hot) else hot
         val refined =

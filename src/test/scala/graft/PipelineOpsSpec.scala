@@ -515,4 +515,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nan.isNaN)
   }
 
+  test("LshBucket expression matches the UDF formulation and the driver fold") {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    // exact-length, shorter-than-dim, and longer-than-dim vectors, plus
+    // an all-zero vector (every dot == 0.0 -> all sign bits set)
+    val vecs: Seq[Seq[Float]] =
+      Seq.fill(50)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)) ++
+        Seq(Seq.fill(17)(rnd.nextFloat() * 2f - 1f),
+          Seq.fill(dim + 13)(rnd.nextFloat() * 2f - 1f),
+          Seq.fill(dim)(0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "emb")
+    for ((bits, off) <- Seq((8, 0), (16, 8), (12, 40))) {
+      val planes = ops.Similarity.hyperplanesFrom(off, bits, dim)
+      val legacyUdf = udf { (emb: Seq[Float]) =>
+        var bucket = 0L
+        var b = 0
+        while (b < bits) {
+          var dot = 0.0
+          val p = planes(b)
+          var i = 0
+          while (i < dim && i < emb.length) { dot += p(i) * emb(i); i += 1 }
+          if (dot >= 0) bucket |= (1L << b)
+          b += 1
+        }
+        bucket
+      }
+      val got = df.select(col("id"),
+          ops.Similarity.lshBucket(col("emb"), bits, dim, off).as("nw"),
+          legacyUdf(col("emb")).as("od"))
+        .collect()
+      got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"bits=$bits off=$off id=${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
+      // driver-side fold (knnLsh's probe selection) agrees for full-length vectors
+      val byId = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      vecs.zipWithIndex.filter(_._1.length == dim).foreach { case (v, i) =>
+        var bucket = 0L
+        var b = 0
+        while (b < bits) {
+          var dot = 0.0
+          var j = 0
+          while (j < dim) { dot += planes(b)(j) * v(j); j += 1 }
+          if (dot >= 0) bucket |= (1L << b)
+          b += 1
+        }
+        assert(byId(i.toLong) == bucket)
+      }
+    }
+    // and the near-dup pair plan is UDF-free end to end (bucketing and
+    // scoring both native codegen expressions)
+    val pairPlan = ops.Similarity
+      .nearDupPairs(df.filter(size(col("emb")) === dim), "id", "emb",
+        threshold = 0.0, dim = dim)
+      .queryExecution.executedPlan.toString
+    assert(!pairPlan.contains("ScalaUDF"), s"unexpected UDF in plan:\n$pairPlan")
+  }
+
 }
