@@ -36,6 +36,35 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_cosine(a, b) takes two array arguments")
         graft.expressions.CosineSimilarity(children.head, children(1))
       }))
+    // the rest of the codegen similarity kit, same pattern:
+    //   WHERE graft_token_jaccard(tokens_a, tokens_b) >= 0.8
+    //   GROUP BY graft_lsh_bucket(embedding, 8, 64)
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_token_jaccard"),
+      new ExpressionInfo(
+        classOf[graft.expressions.TokenSetJaccard].getName, "graft_token_jaccard"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_token_jaccard(a, b) takes two array<string> arguments")
+        graft.expressions.TokenSetJaccard(children.head, children(1))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(
+        classOf[graft.expressions.LshBucket].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 || children.length == 4,
+          "graft_lsh_bucket(emb, bits, dim[, planeOffset]) — bits/dim/offset " +
+            "must be integer literals")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_bucket: $what must be an integer literal, got $other")
+        }
+        graft.expressions.LshBucket(children.head,
+          intLit(children(1), "bits"), intLit(children(2), "dim"),
+          if (children.length == 4) intLit(children(3), "planeOffset") else 0)
+      }))
   }
 
 }

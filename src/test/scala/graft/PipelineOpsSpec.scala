@@ -76,6 +76,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("graft_token_jaccard and graft_lsh_bucket are registered as SQL functions") {
+    val j = spark.sql(
+      "SELECT graft_token_jaccard(array('a','b','c'), array('b','c','d')) AS j")
+      .head.getDouble(0)
+    assert(j == 0.5)
+    val df = Seq((1L, Array.tabulate(64)(i => (i % 7 - 3).toFloat)))
+      .toDF("id", "emb")
+    df.createOrReplaceTempView("lsh_t")
+    val viaSql = spark.sql("SELECT graft_lsh_bucket(emb, 8, 64) FROM lsh_t")
+      .head.getLong(0)
+    val viaCol = df.select(ops.Similarity.lshBucket(col("emb"), 8, 64))
+      .head.getLong(0)
+    assert(viaSql == viaCol)
+    // the plane-offset overload selects a different bank
+    val offSql = spark.sql("SELECT graft_lsh_bucket(emb, 8, 64, 8) FROM lsh_t")
+      .head.getLong(0)
+    val offCol = df.select(ops.Similarity.lshBucket(col("emb"), 8, 64, 8))
+      .head.getLong(0)
+    assert(offSql == offCol)
+    // non-literal bits is rejected with a clear message
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_lsh_bucket(emb, cast(id AS int), 64) FROM lsh_t")
+        .head
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("repetition signals: distinct text scores 0, repeated text scores high") {
     val df = Seq(
       (1L, "a b c d e"),          // all distinct
