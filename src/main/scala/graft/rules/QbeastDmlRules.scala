@@ -55,9 +55,11 @@ class QbeastDmlRules(spark: SparkSession) extends Rule[LogicalPlan] {
           val keys = equiJoinKeys(mergeCond, target, source)
           // upsert fast path: unconditional UPDATE + INSERT assigning
           // every target column the same value on both sides (SET * /
-          // INSERT * shape) — tolerates duplicate source keys, skips
-          // the join machinery. Anything else (partial SET, differing
-          // sides) falls through to the general row-level merge.
+          // INSERT * shape) — skips the join machinery. Duplicate source
+          // keys are checked inside upsert() (Delta's multiple-matches
+          // rule: error only when duplicates hit a target row). Anything
+          // else (partial SET, differing sides) falls through to the
+          // general row-level merge.
           val fastReplacement = (matched, notMatched, notMatchedBySource) match {
             case (Seq(UpdateAction(None, updateAsgn, _)),
                 Seq(InsertAction(None, insertAsgn)), Seq()) =>
