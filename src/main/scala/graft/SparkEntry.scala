@@ -609,7 +609,7 @@ object SparkEntry {
     }),
     "t11_winnowing" -> ((s, dir) => {
       // winnowing fingerprint selection (substring-level dedup prep)
-      val fps = ops.Dedup.winnowUdf()(col("text"))
+      val fps = ops.Dedup.winnow(col("text"))
       QTables.raw(s, dir, "documents")
         .select(col("doc_id"), fps.as("fps"))
         .filter(size(col("fps")) > 0)

@@ -38,10 +38,35 @@ object Dedup {
     Array.tabulate(numHashes)(j => (HashUtils.h32(s"a_$j") & 0x3fffffffL) | 1L),
     Array.tabulate(numHashes)(j => HashUtils.h32(s"b_$j") & 0x7fffffffL))
 
+  private def shims = org.apache.spark.sql.GraftShims
+
+  /** MinHash signature column — native codegen expression
+   * ([[graft.expressions.MinHashSignature]]); [[minHashUdf]] remains as
+   * the tested parity reference. */
+  def minhashSig(c: Column, numHashes: Int = DefaultNumHashes): Column =
+    shims.column(graft.expressions.MinHashSignature(shims.expression(c), numHashes))
+
+  /** LSH band-key column — native codegen
+   * ([[graft.expressions.MinHashBandKeys]]); parity ref [[bandKeysUdf]]. */
+  def bandKeysCol(c: Column, numHashes: Int = DefaultNumHashes, bands: Int = 16): Column =
+    shims.column(graft.expressions.MinHashBandKeys(shims.expression(c), numHashes, bands))
+
+  /** SimHash column — native codegen ([[graft.expressions.SimHash60]]);
+   * parity ref [[simHashUdf]]. */
+  def simhash(c: Column): Column =
+    shims.column(graft.expressions.SimHash60(shims.expression(c)))
+
+  /** Winnowing fingerprint column — native codegen
+   * ([[graft.expressions.WinnowFingerprints]]); parity ref [[winnowUdf]]. */
+  def winnow(c: Column, k: Int = DefaultShingleTokens, w: Int = 4): Column =
+    shims.column(graft.expressions.WinnowFingerprints(shims.expression(c), k, w))
+
   /** MinHash signature of the word-3-gram shingle set: each shingle is
    * hashed once (md5 → 32-bit), then each of the `numHashes` permutations
    * is the classic (a_j*h + b_j) mod p universal family; min per
-   * permutation. Docs with < 3 tokens get the all-MOD sentinel signature. */
+   * permutation. Docs with < 3 tokens get the all-MOD sentinel signature.
+   * Parity reference for [[minhashSig]] (the hot path uses the codegen
+   * expression; ParitySpec asserts bit-identity). */
   def minHashUdf(numHashes: Int = DefaultNumHashes) = {
     val (as, bs) = minHashParams(numHashes)
     udf { (text: String) =>
@@ -105,14 +130,12 @@ object Dedup {
       threshold: Double = 0.5,
       numHashes: Int = DefaultNumHashes,
       bands: Int = 16): DataFrame = {
-    val sig = minHashUdf(numHashes)
-    val bkeys = bandKeysUdf(numHashes, bands)
     val sigs = df
       .filter(size(split(trim(col(textCol)), "\\s+")) >= DefaultShingleTokens)
-      .select(col(idCol).as("id"), sig(col(textCol)).as("sig"))
+      .select(col(idCol).as("id"), minhashSig(col(textCol), numHashes).as("sig"))
       .localCheckpoint(true)
     val bandRows = sigs.select(col("id"),
-      posexplode(bkeys(col("sig"))).as(Seq("band", "bucket")))
+      posexplode(bandKeysCol(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
     val a = bandRows.alias("a")
     val b = bandRows.alias("b")
     val pairs = a.join(b,
@@ -182,7 +205,7 @@ object Dedup {
     val nChunks = maxDistance + 1
     val hashes = df
       .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("id"), simHashUdf(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val chunkCols = (0 until nChunks).map { i =>
       val lo = i * 60 / nChunks
       val width = (i + 1) * 60 / nChunks - lo
@@ -256,7 +279,7 @@ object Dedup {
       w: Int = 4): DataFrame = {
     // winnow sets are per-doc distinct, so count(*) per fp IS the df
     val fps = df.select(col(idCol).as("doc_id"),
-      explode(winnowUdf(k, w)(col(textCol))).as("fp"))
+      explode(winnow(col(textCol), k, w)).as("fp"))
     val rare = fps.groupBy("fp").count()
       .filter(col("count") <= maxDocFreq)
       .select("fp")

@@ -65,6 +65,47 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "bits"), intLit(children(2), "dim"),
           if (children.length == 4) intLit(children(3), "planeOffset") else 0)
       }))
+    // text-signature kit (dedup pipelines in plain SQL):
+    //   SELECT doc_id, graft_minhash(text) ...
+    //   WHERE graft_simhash(a) = graft_simhash(b)
+    //   LATERAL VIEW explode(graft_winnow(text, 3, 4)) f AS fp
+    def intLitArg(fn: String)(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(
+        classOf[graft.expressions.MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          "graft_minhash(text[, numHashes]) — numHashes must be an integer literal")
+        graft.expressions.MinHashSignature(children.head,
+          if (children.length == 2) intLitArg("graft_minhash")(children(1), "numHashes")
+          else graft.ops.Dedup.DefaultNumHashes)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[graft.expressions.SimHash60].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash(text) takes one string argument")
+        graft.expressions.SimHash60(children.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(
+        classOf[graft.expressions.WinnowFingerprints].getName, "graft_winnow"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 3,
+          "graft_winnow(text[, k, w]) — k/w must be integer literals")
+        if (children.length == 3)
+          graft.expressions.WinnowFingerprints(children.head,
+            intLitArg("graft_winnow")(children(1), "k"),
+            intLitArg("graft_winnow")(children(2), "w"))
+        else graft.expressions.WinnowFingerprints(children.head,
+          graft.ops.Dedup.DefaultShingleTokens, 4)
+      }))
   }
 
 }

@@ -103,6 +103,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("graft_minhash / graft_simhash / graft_winnow are registered as SQL functions") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("sig_t")
+    val viaSql = spark.sql(
+      "SELECT graft_minhash(text) AS sig, graft_minhash(text, 16) AS sig16, " +
+        "graft_simhash(text) AS sh, graft_winnow(text) AS fp, " +
+        "graft_winnow(text, 2, 3) AS fp23 FROM sig_t").head
+    val viaCol = df.select(
+      ops.Dedup.minhashSig(col("text")).as("sig"),
+      ops.Dedup.minhashSig(col("text"), 16).as("sig16"),
+      ops.Dedup.simhash(col("text")).as("sh"),
+      ops.Dedup.winnow(col("text")).as("fp"),
+      ops.Dedup.winnow(col("text"), 2, 3).as("fp23")).head
+    assert(viaSql.getSeq[Long](0) == viaCol.getSeq[Long](0))
+    assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
+    assert(viaSql.getSeq[Long](1).length == 16)
+    assert(viaSql.getLong(2) == viaCol.getLong(2))
+    assert(viaSql.getSeq[Long](3) == viaCol.getSeq[Long](3))
+    assert(viaSql.getSeq[Long](4) == viaCol.getSeq[Long](4))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(text, cast(doc_id AS int)) FROM sig_t").head
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("repetition signals: distinct text scores 0, repeated text scores high") {
     val df = Seq(
       (1L, "a b c d e"),          // all distinct
@@ -596,6 +622,61 @@ class PipelineOpsSpec extends AnyFunSuite {
         threshold = 0.0, dim = dim)
       .queryExecution.executedPlan.toString
     assert(!pairPlan.contains("ScalaUDF"), s"unexpected UDF in plan:\n$pairPlan")
+  }
+
+  test("text-signature expressions match their UDF formulations bit-for-bit") {
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 60).map(i => s"w$i") ++ Seq("émoji", "日本語", "a_b", "x-y")
+    val crafted = Seq(
+      "",                          // empty → sentinel sig / 0 simhash / no fps
+      "   ",                       // whitespace-only
+      "one",                       // below shingle size
+      "one two",                   //
+      "one two three",             // exactly one shingle
+      "a a a a a a",               // repeated token (duplicate grams)
+      "  leading and trailing  ",  // trim path
+      "tabs\tand\nnewlines split too")
+    val random = Seq.fill(150)(
+      Seq.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = (crafted ++ random).toDF("text")
+
+    val sigUdf = ops.Dedup.minHashUdf()
+    val bandUdf = ops.Dedup.bandKeysUdf()
+    val winUdf = ops.Dedup.winnowUdf()
+    val got = df.select(
+        ops.Dedup.minhashSig(col("text")).as("sig_nw"),
+        sigUdf(col("text")).as("sig_od"),
+        ops.Dedup.bandKeysCol(ops.Dedup.minhashSig(col("text"))).as("bk_nw"),
+        bandUdf(sigUdf(col("text"))).as("bk_od"),
+        ops.Dedup.simhash(col("text")).as("sh_nw"),
+        ops.Dedup.simHashUdf(col("text")).as("sh_od"),
+        ops.Dedup.winnow(col("text")).as("fp_nw"),
+        winUdf(col("text")).as("fp_od"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash signature")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), "band keys")
+      assert(r.getLong(4) == r.getLong(5), "simhash")
+      assert(r.getSeq[Long](6) == r.getSeq[Long](7), "winnow fingerprints")
+    }
+    // null text: null-out (call sites filter/explode, where null and the
+    // UDFs' empty/sentinel results produce identical frames)
+    val nulls = Seq(Option.empty[String]).toDF("text")
+      .select(ops.Dedup.minhashSig(col("text")), ops.Dedup.simhash(col("text")),
+        ops.Dedup.winnow(col("text")))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+
+    // the three signature pair plans are UDF-free end to end
+    val docs = random.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Seq(
+      ops.Dedup.minHashCandidatePairs(docs, "doc_id", "text"),
+      ops.Dedup.simHashPairs(docs, "doc_id", "text"),
+      ops.Dedup.winnowPairs(docs, "doc_id", "text")).foreach { plan =>
+      val p = plan.queryExecution.executedPlan.toString
+      assert(!p.contains("ScalaUDF"), s"unexpected UDF in plan:\n$p")
+    }
   }
 
 }
