@@ -96,7 +96,15 @@ object Bench {
       // force streaming-ingest queries to redo their work every iteration
       streamingSinks.foreach(t =>
         deleteDir(spark, QTables.cachePathFor(sfDir, t)))
-      results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // optional comma-separated name-prefix filter for focused local
+      // iteration (the driver's full runs leave this unset)
+      val prefixes = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) =>
+          prefixes.isEmpty || prefixes.exists(name.startsWith) }
+        .map { case (name, fn) =>
         val s0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch {
