@@ -628,6 +628,14 @@ object SparkEntry {
         .select("id_a", "id_b")
       ops.Dedup.connectedComponents(pairs)
     }),
+    "t30_bucket_clusters" -> ((s, dir) => {
+      // dup-heavy scale path: union-find over LSH buckets — star edges
+      // (bucket-min → member) are LINEAR in bucket population where
+      // pairwise enumeration is quadratic in duplicate-group depth
+      val edges = ops.Dedup.minHashClusterEdges(
+        QTables.raw(s, dir, "documents"), "doc_id", "text")
+      ops.Dedup.connectedComponents(edges)
+    }),
     "t19_dedup_apply" -> ((s, dir) => {
       // full dedup pipeline: LSH pairs → components → drop every doc
       // that is not its cluster's representative (anti-join, no shuffle
@@ -1057,6 +1065,18 @@ object SparkEntry {
     s"""$minhashCteBody,
        |pr AS (SELECT id_a, id_b FROM cp
        |  WHERE len(list_filter(range(1, 65), j -> sa[j] = sb[j])) / 64.0 >= 0.5),
+       |e AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+       |r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u WHERE e.v <> r.u),
+       |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM r GROUP BY u)""".stripMargin
+
+  /** minhash CTEs + star-edge (bucket-min → member) closure ending in
+   * `lab(doc_id, cluster)` — the t30 oracle: bucket-connectivity
+   * clustering without pairwise enumeration. */
+  private lazy val starCteBody: String =
+    s"""$minhashCteBody,
+       |se AS (SELECT b, key, min(doc_id) AS rep FROM bd GROUP BY 1, 2),
+       |pr AS (SELECT DISTINCT se.rep AS id_a, bd.doc_id AS id_b
+       |  FROM bd JOIN se ON bd.b = se.b AND bd.key = se.key WHERE bd.doc_id <> se.rep),
        |e AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
        |r(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u WHERE e.v <> r.u),
        |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM r GROUP BY u)""".stripMargin
@@ -1572,6 +1592,9 @@ object SparkEntry {
       // (clusters are tiny); the Spark side uses log-round label
       // propagation instead, which is the 100 TB-safe formulation
       s"""WITH RECURSIVE $ccCteBody
+         |SELECT doc_id, cluster FROM lab""".stripMargin,
+    "t30_bucket_clusters" ->
+      s"""WITH RECURSIVE $starCteBody
          |SELECT doc_id, cluster FROM lab""".stripMargin,
     "t19_dedup_apply" ->
       // the cleaned corpus: one representative per near-dup cluster

@@ -156,6 +156,47 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /**
+   * Bucket-connectivity cluster edges — the dup-heavy scale path for
+   * LSH clustering. [[minHashCandidatePairs]] enumerates every
+   * in-bucket pair, which is C(g,2) per g-deep duplicate group —
+   * quadratic in group depth (a 100-way replicated document
+   * contributes 4 950 pair rows PER BAND before the distinct). For
+   * CLUSTERING consumers (connected components, t13/t19) pairwise
+   * edges are redundant: connecting every doc in a bucket to the
+   * bucket's minimum doc id yields the exact same bucket-connectivity
+   * components with O(g) edges per bucket — the union-find-over-LSH-
+   * buckets formulation large corpus dedup pipelines use at the
+   * 100 TB scale this engine targets.
+   *
+   * Semantics are deliberately coarser than threshold-scored pairs:
+   * an edge means "shared at least one LSH band", i.e. the candidate
+   * graph BEFORE jaccard estimation (apply per-cluster scoring
+   * afterwards if the threshold matters). On exact-duplicate groups —
+   * the case that makes pair enumeration quadratic — the two
+   * clusterings are identical, because exact copies agree on every
+   * band.
+   */
+  def minHashClusterEdges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = 16): DataFrame = {
+    val sigs = df
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= DefaultShingleTokens)
+      .select(col(idCol).as("id"), minhashSig(col(textCol), numHashes).as("sig"))
+    val bandRows = sigs.select(col("id"),
+      posexplode(bandKeysCol(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
+    // min id per bucket (partial aggregation map-side), re-joined on the
+    // bucket key: edges are linear in bucket population, never pairwise
+    val reps = bandRows.groupBy("band", "bucket").agg(min(col("id")).as("rep"))
+    bandRows.join(reps, Seq("band", "bucket"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .distinct()
+  }
+
   // ---- simhash ------------------------------------------------------------
 
   /** 60-bit SimHash over whitespace tokens (md5-derived token hashes;

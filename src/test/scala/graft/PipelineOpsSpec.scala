@@ -624,6 +624,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairPlan.contains("ScalaUDF"), s"unexpected UDF in plan:\n$pairPlan")
   }
 
+  test("minHashClusterEdges: linear star edges, same components as pairwise on dup groups") {
+    // three exact-duplicate groups (depths 8, 5, 2) plus unique docs:
+    // the workload shape that makes pairwise enumeration quadratic
+    val texts = Seq(
+      8 -> "the quick brown fox jumps over the lazy dog again and again",
+      5 -> "pack my box with five dozen liquor jugs for the long trip north",
+      2 -> "sphinx of black quartz judge my vow said the old professor twice")
+    val docs = (texts.flatMap { case (depth, t) => Seq.fill(depth)(t) } ++
+      Seq("completely unrelated first singleton document text here",
+        "another entirely different lone document with its own words"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+    val star = ops.Dedup.minHashClusterEdges(docs, "doc_id", "text")
+    // exact copies agree on every band, so distinct star edges are
+    // exactly (depth - 1) per group — linear, vs C(depth, 2) pairwise
+    assert(star.count() == texts.map(_._1 - 1).sum)
+
+    val starClusters = ops.Dedup.connectedComponents(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairClusters = ops.Dedup.connectedComponents(
+        ops.Dedup.minHashCandidatePairs(docs, "doc_id", "text", threshold = 0.5)
+          .select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starClusters == pairClusters)
+
+    // and the star plan is UDF-free like the rest of the signature kit
+    val p = star.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"unexpected UDF in plan:\n$p")
+  }
+
   test("text-signature expressions match their UDF formulations bit-for-bit") {
     val rnd = new scala.util.Random(41)
     val vocab = (0 until 60).map(i => s"w$i") ++ Seq("émoji", "日本語", "a_b", "x-y")
