@@ -293,15 +293,25 @@ object QbeastWriter {
       .withColumn(QbeastColumns.fileUUIDColumnName, col("_qbeastAssign._2"))
       .drop("_qbeastAssign")
       .repartition(col(QbeastColumns.fileUUIDColumnName))
-    // cluster rows inside each output file by cube (depth-major byte
-    // order ≈ spatial order) then weight: at 1 GB-class file sizes the
-    // parquet row groups become region- and weight-coherent, so Spark's
+    // Rows are ALWAYS clustered by target file within each partition:
+    // the physical writer streams ONE open parquet writer per task,
+    // closing each file when its run of rows ends (the same discipline
+    // Spark's FileFormatWriter applies to dynamic partitions). Without
+    // it, a write whose cubeSize is small relative to the data keeps
+    // every target file's row-group buffer open at once — measured at
+    // 100× bench scale: 1 600+ concurrent writers, parquet's
+    // MemoryManager scaling row groups to <5%, then OOM.
+    //
+    // sortOnWrite additionally clusters by cube (depth-major byte order
+    // ≈ spatial order) then weight: at 1 GB-class file sizes the parquet
+    // row groups become region- and weight-coherent, so Spark's
     // row-group stats pruning recovers intra-file selectivity that
     // file-level block pruning alone can't express. Costs ~20% write
     // throughput (ScaleProbe: 0.70 → 0.57M rows/s); disable with
     // spark.qbeast.index.sortOnWrite=false for ingest-bound workloads.
     val tagged =
-      if (spark.conf.getOption("spark.qbeast.index.sortOnWrite").contains("false")) shuffled
+      if (spark.conf.getOption("spark.qbeast.index.sortOnWrite").contains("false"))
+        shuffled.sortWithinPartitions(col(QbeastColumns.fileUUIDColumnName))
       else shuffled.sortWithinPartitions(
         col(QbeastColumns.fileUUIDColumnName),
         col(QbeastColumns.cubeColumnName),
@@ -351,41 +361,26 @@ object QbeastWriter {
             BoundReference(i, f.dataType, f.nullable)
           }.toSeq)
 
-        // one open writer per target file in this partition
+        // ONE open writer at a time: input is sorted by target-file
+        // UUID (see `tagged`), so each file's rows arrive as one
+        // contiguous run — close on run change. Task memory is O(1) in
+        // the number of target files; the pre-fix formulation (a map of
+        // concurrently open writers) OOM'd at 100× bench scale.
         final case class OpenFile(
+            uuid: String,
             writer: org.apache.spark.sql.execution.datasources.OutputWriter,
             path: Path,
             blocks: mutable.HashMap[CubeId, (Int, Int, Long)],
             stats: FileStatsCollector)
-        val open = mutable.HashMap.empty[String, OpenFile]
-
-        rows.foreach { row =>
-          val cube = CubeId.fromBytes(dims, row.getBinary(n))
-          val weight = row.getInt(n + 1)
-          val uuid = row.getUTF8String(n + 2).toString
-          val of = open.getOrElseUpdate(uuid, {
-            // attempt-unique name: a speculative/retried task never
-            // collides with another attempt's file; only the attempt
-            // whose IndexFile metadata reaches the commit wins, losers
-            // are unreferenced orphans (vacuum cleans them)
-            val attempt = Option(org.apache.spark.TaskContext.get())
-              .map(_.taskAttemptId()).getOrElse(0L)
-            val path = new Path(tablePath, s"$uuid-a$attempt.parquet")
-            OpenFile(factory.newInstance(path.toString, dataSchema, context), path,
-              mutable.HashMap.empty,
-              if (collectStats) new FileStatsCollector(dataSchema) else null)
-          })
-          of.writer.write(project(row))
-          if (of.stats != null) of.stats.update(row)
-          val (mn, mx, cnt) = of.blocks.getOrElse(cube, (Int.MaxValue, Int.MinValue, 0L))
-          of.blocks.update(cube, (math.min(mn, weight), math.max(mx, weight), cnt + 1L))
-        }
-
         val fs = new Path(tablePath).getFileSystem(conf)
-        open.valuesIterator.map { of =>
+        val done = Vector.newBuilder[IndexFile]
+        val closed = mutable.HashSet.empty[String]
+        var of: OpenFile = null
+
+        def closeCurrent(): Unit = if (of != null) {
           of.writer.close()
           val status = fs.getFileStatus(of.path)
-          IndexFile(
+          done += IndexFile(
             path = of.path.getName,
             size = status.getLen,
             modificationTime = status.getModificationTime,
@@ -394,7 +389,40 @@ object QbeastWriter {
               Block(cube, Weight(mn), Weight(mx), cnt)
             }.toVector.sortBy(_.cube),
             stats = Option(of.stats).map(_.toJson))
-        }.toVector.iterator
+          closed += of.uuid
+          of = null
+        }
+
+        rows.foreach { row =>
+          val cube = CubeId.fromBytes(dims, row.getBinary(n))
+          val weight = row.getInt(n + 1)
+          val uuid = row.getUTF8String(n + 2).toString
+          if (of == null || of.uuid != uuid) {
+            closeCurrent()
+            // the sort invariant is what bounds memory — fail loudly if
+            // a plan change ever breaks the contiguous-run contract
+            require(!closed.contains(uuid),
+              s"target file $uuid reappeared after its run closed: " +
+                "write input is no longer clustered by file UUID")
+            // attempt-unique name: a speculative/retried task never
+            // collides with another attempt's file; only the attempt
+            // whose IndexFile metadata reaches the commit wins, losers
+            // are unreferenced orphans (vacuum cleans them)
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(_.taskAttemptId()).getOrElse(0L)
+            val path = new Path(tablePath, s"$uuid-a$attempt.parquet")
+            of = OpenFile(uuid,
+              factory.newInstance(path.toString, dataSchema, context), path,
+              mutable.HashMap.empty,
+              if (collectStats) new FileStatsCollector(dataSchema) else null)
+          }
+          of.writer.write(project(row))
+          if (of.stats != null) of.stats.update(row)
+          val (mn, mx, cnt) = of.blocks.getOrElse(cube, (Int.MaxValue, Int.MinValue, 0L))
+          of.blocks.update(cube, (math.min(mn, weight), math.max(mx, weight), cnt + 1L))
+        }
+        closeCurrent()
+        done.result().iterator
       }
     }
     filesRdd.collect().toSeq
