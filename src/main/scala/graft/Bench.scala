@@ -104,15 +104,19 @@ object Bench {
       results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) =>
           prefixes.isEmpty || prefixes.exists(name.startsWith) }
-        .map { case (name, fn) =>
+        .flatMap { case (name, fn) =>
+        // a failing query lands in `errors` ONLY — its elapsed time must
+        // never pollute the published per-query map or the total
         val s0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch {
+        try {
+          fn(spark, sfDir).count()
+          Some(name -> (System.nanoTime() - s0) / 1e9)
+        } catch {
           case e: Throwable =>
             errors(name) =
               s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            None
         }
-        name -> (System.nanoTime() - s0) / 1e9
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -19,8 +19,8 @@ object QTables {
     "orders" -> ("o_orderkey,o_custkey", 5000),
     "customer" -> ("c_custkey,c_acctbal", 2000),
     "part" -> ("p_partkey,p_retailprice", 2000),
-    // ts is TIMESTAMP(NANOS) in the fixtures, which Spark's parquet
-    // reader can't load as timestamp — index the long ids instead
+    // ts encoding varies across fixture generations (see EventTime) —
+    // index the long ids, which are stable under both
     "events" -> ("user_id,event_id", 5000),
     // non-indexable array<float> column passes through untouched
     "embeddings" -> ("vec_id,label", 2000),
@@ -53,7 +53,9 @@ object QTables {
 
   def raw(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     if (table == "events") {
-      // fixture ts is TIMESTAMP(NANOS): only readable as long
+      // legacy fixtures store ts as TIMESTAMP(NANOS), readable only as
+      // long; a no-op for the current timestamp[us] encoding. Consumers
+      // access ts through EventTime, which adapts to either type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$sfDir/$table.parquet")

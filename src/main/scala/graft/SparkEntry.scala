@@ -377,9 +377,10 @@ object SparkEntry {
     "s04_stream_watermark" -> ((s, dir) =>
       ops.Streaming.windowedAggWatermarked(s, s"$dir/events.parquet")),
     "s05_asof_join" -> ((s, dir) => {
-      val ev = QTables.raw(s, dir, "events")
+      val ev0 = QTables.raw(s, dir, "events")
+      val ev = ev0
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts div 1000").as("tsu"), col("value"))
+          EventTime.micros(ev0).as("tsu"), col("value"))
       val left = ev.filter(col("event_type") === "error")
         .select("user_id", "event_id", "tsu")
       val right = ev.filter(col("event_type") === "signup")
@@ -390,8 +391,8 @@ object SparkEntry {
     }),
     "s06_session_window" -> ((s, dir) => {
       // native session windows (30-min gap) over the events stream shape
-      val ev = QTables.raw(s, dir, "events")
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      val ev0 = QTables.raw(s, dir, "events")
+      val ev = ev0.withColumn("tsm", EventTime.timestamp(ev0))
       ev.groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"),

@@ -48,9 +48,11 @@ object Streaming {
       }
     })
 
-  /** The test events.parquet stores TIMESTAMP(NANOS), which Spark's
-   * reader rejects; read nanos as long and convert with integer
-   * division (micros ≈ 1.7e18 would lose precision through a double). */
+  /** Streaming read of the events fixture. The `ts` encoding has varied
+   * across fixture generations (TIMESTAMP(NANOS)-as-long vs
+   * timestamp[us]/NTZ) — the legacy flag makes nanos readable and is a
+   * no-op otherwise; consumers access `ts` only through
+   * [[graft.EventTime]], which adapts to whichever type arrives. */
   private def eventsStream(spark: SparkSession, eventsPath: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = stageDir(eventsPath)
@@ -72,8 +74,8 @@ object Streaming {
   /** Tumbling 1-hour windowed counts/sums over a parquet-backed stream;
    * returns the complete result as a DataFrame. */
   def windowedAgg(spark: SparkSession, eventsPath: String): DataFrame = {
-    val stream = eventsStream(spark, eventsPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream(spark, eventsPath)
+    val stream = raw.withColumn("ts", graft.EventTime.timestamp(raw))
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -94,8 +96,8 @@ object Streaming {
    * by the watermark emit (the late-data pattern). On a finite batch the
    * trailing windows stay open, so results cover the watermarked prefix. */
   def windowedAggWatermarked(spark: SparkSession, eventsPath: String): DataFrame = {
-    val stream = eventsStream(spark, eventsPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream(spark, eventsPath)
+    val stream = raw.withColumn("ts", graft.EventTime.timestamp(raw))
       .withWatermark("ts", "10 minutes")
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -198,11 +200,13 @@ object Streaming {
    * a 100 TB stream must never do — and the aggregation over the sink
    * is a batch query. */
   def streamingDedupBounded(spark: SparkSession, eventsPath: String): DataFrame = {
-    val once = eventsStream(spark, eventsPath)
-      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    val once0 = eventsStream(spark, eventsPath)
+    val once = once0
+      .withColumn("tsm", graft.EventTime.timestamp(once0))
       .withWatermark("tsm", "1 hour")
-    val redelivered = eventsStream(spark, eventsPath)
-      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    val redelivered0 = eventsStream(spark, eventsPath)
+    val redelivered = redelivered0
+      .withColumn("tsm", graft.EventTime.timestamp(redelivered0))
       .withWatermark("tsm", "1 hour")
     val deduped = once.unionAll(redelivered)
       .dropDuplicatesWithinWatermark("event_id")
@@ -344,13 +348,15 @@ object Streaming {
    * on both sides bound the join state; the range condition lets Spark
    * expire rows once the other side's watermark passes. */
   def streamStreamJoin(spark: SparkSession, eventsPath: String): DataFrame = {
-    val errors = eventsStream(spark, eventsPath)
-      .withColumn("err_ts", timestamp_micros(expr("ts div 1000")))
+    val errors0 = eventsStream(spark, eventsPath)
+    val errors = errors0
+      .withColumn("err_ts", graft.EventTime.timestamp(errors0))
       .filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id"), col("err_ts"))
       .withWatermark("err_ts", "1 hour")
-    val clicks = eventsStream(spark, eventsPath)
-      .withColumn("click_ts", timestamp_micros(expr("ts div 1000")))
+    val clicks0 = eventsStream(spark, eventsPath)
+    val clicks = clicks0
+      .withColumn("click_ts", graft.EventTime.timestamp(clicks0))
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
         col("click_ts"))
@@ -375,8 +381,9 @@ object Streaming {
    * custom-state pattern; state persists across micro-batches. */
   def sessionize(spark: SparkSession, eventsPath: String): DataFrame = {
     import spark.implicits._
-    val stream = eventsStream(spark, eventsPath)
-      .select(col("user_id"), expr("ts div 1000").as("ts")).as[Ev]
+    val raw = eventsStream(spark, eventsPath)
+    val stream = raw
+      .select(col("user_id"), graft.EventTime.micros(raw).as("ts")).as[Ev]
 
     val fn: (Long, Iterator[Ev], GroupState[(Long, Long, Long)]) => Iterator[SessionCount] =
       (userId, events, state) => {
