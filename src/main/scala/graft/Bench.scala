@@ -88,6 +88,7 @@ object Bench {
     QTables.qbeastSqlMergedGeneral(spark, sfDir).count()
     QTables.qbeastSqlMergedRenamedKeys(spark, sfDir).count()
     QTables.qbeastStructUpdated(spark, sfDir).count()
+    QTables.qbeastEvolved(spark, sfDir).count()
     val indexBuild = (System.nanoTime() - t0) / 1e9
 
     var results = Seq.empty[(String, Double)]

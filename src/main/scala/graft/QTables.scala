@@ -98,6 +98,32 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** A customer table evolved on append: the first write carries only
+   * the base columns; a second append arrives with `mergeSchema=true`
+   * and an extra column. Old files are never rewritten — the widened
+   * column reads as null from them (metadata-only evolution, the shape
+   * that works on a 100 TB table). */
+  def qbeastEvolved(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "customer_evolved")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val c = raw(spark, sfDir, "customer")
+        c.filter("c_custkey % 2 = 0").select("c_custkey", "c_acctbal")
+          .write.format("qbeast")
+          .option("columnsToIndex", "c_custkey,c_acctbal")
+          .option("cubeSize", "2000")
+          .save(path)
+        c.filter("c_custkey % 2 = 1")
+          .select("c_custkey", "c_acctbal", "c_mktsegment")
+          .write.format("qbeast")
+          .option("mergeSchema", "true")
+          .mode("append").save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** A qbeast table adopted from plain parquet files (staging revision
    * only, no rewrite) — reference ConvertToQbeast semantics. */
   def qbeastConverted(spark: SparkSession, sfDir: String): DataFrame = {

@@ -786,6 +786,13 @@ object SparkEntry {
         .select(col("o_orderkey"), col("meta.status").as("status"),
           col("meta.price").as("price"))
     }),
+    "q70_schema_evolution" -> ((s, dir) => {
+      // mergeSchema append: the widened column reads as NULL from the
+      // pre-evolution files, with values from the post-evolution ones
+      QTables.qbeastEvolved(s, dir)
+        .groupBy(coalesce(col("c_mktsegment"), lit("none")).as("seg"))
+        .agg(count(lit(1)).as("n"), dec(col("c_acctbal")).as("sum_bal"))
+    }),
     "q65_distributed_meta" -> ((s, dir) => {
       // metadata-scale read: parquet sidecar checkpoint + executor-side
       // block pruning (light log replay; the post-checkpoint append tail
@@ -1750,6 +1757,11 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
         |       ELSE o_totalprice END AS price
         |FROM orders""".stripMargin,
+    "q70_schema_evolution" ->
+      """SELECT CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment ELSE 'none' END AS seg,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1""".stripMargin,
     "q65_distributed_meta" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_extendedprice < 20000 GROUP BY 1""".stripMargin,

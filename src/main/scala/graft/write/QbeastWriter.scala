@@ -99,21 +99,23 @@ object QbeastWriter {
     // load hooks up front so a bad class name fails before any data is
     // written, not after
     val hooks = PreCommitHook.loadHooks(options.extra)
-    // schema enforcement on append (the reference delegates this to
-    // Delta's metadata layer): same column-name set required; order may
-    // differ (parquet resolves by name)
-    if (mode == SaveMode.Append) {
-      snapshot.schema.foreach { existing =>
-        val have = data.schema.fieldNames.map(_.toLowerCase).toSet
-        val want = existing.fieldNames.map(_.toLowerCase).toSet
-        if (have != want) {
-          throw new IllegalArgumentException(
-            s"cannot append schema ${data.schema.fieldNames.mkString(",")} to table " +
-              s"with schema ${existing.fieldNames.mkString(",")}; use overwrite to change schemas")
-        }
-      }
-    }
+    // schema enforcement + evolution (reference delegates this to
+    // Delta's metadata layer; see SchemaEvolution): mergeSchema widens
+    // by metadata-only commit, overwriteSchema replaces on overwrite
+    def boolOpt(name: String): Boolean = options.extra
+      .collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+      .exists(_.equalsIgnoreCase("true"))
+    val canMergeSchema = boolOpt("mergeSchema") ||
+      spark.conf.getOption("spark.qbeast.schema.autoMerge.enabled").contains("true")
     val isOverwrite = mode == SaveMode.Overwrite && !snapshot.isEmpty
+    val tableSchema: StructType = snapshot.schema match {
+      case Some(existing) if mode == SaveMode.Append =>
+        SchemaEvolution.mergeForAppend(existing, data.schema, canMergeSchema)
+      case Some(existing) if isOverwrite =>
+        SchemaEvolution.validateOverwrite(existing, data.schema, boolOpt("overwriteSchema"))
+        data.schema
+      case _ => data.schema
+    }
     // overwrite keeps the table's indexing config (columns/cubeSize are
     // reused unless re-specified); it only replaces the data files
     val existingRevision = snapshot.lastRevision.filterNot(_.isStaging)
@@ -158,7 +160,7 @@ object QbeastWriter {
       val config = base.configuration ++ hookTags ++
         Map("qbeast.lastRevisionID" ->
           math.max(revisionToCommit.revisionID, base.lastRevisionID).toString)
-      actions += MetaDataAction(data.schema.json, config)
+      actions += MetaDataAction(tableSchema.json, config)
       if (isNewRevision) actions += RevisionAction(revisionToCommit)
       (options.txnAppId, options.txnVersion) match {
         case (Some(app), Some(v)) => actions += TxnAction(app, v)

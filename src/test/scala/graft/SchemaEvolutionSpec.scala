@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema evolution on append/overwrite (reference:
+ * `delta/.../DeltaMetadataWriter.scala:82-85` — mergeSchema /
+ * overwriteSchema). Evolution is metadata-only: old files are never
+ * rewritten, the widened column reads as null from them. */
+class SchemaEvolutionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = TestSpark.tmpDir("qbeast-evolve")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("a", "b").write.format("qbeast")
+      .option("columnsToIndex", "a,b").option("cubeSize", "100").save(dir)
+    dir
+  }
+
+  test("append with a new column rejects by default, pointing at mergeSchema") {
+    val dir = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      Seq((3L, 3.0, "x")).toDF("a", "b", "c").write.format("qbeast")
+        .mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+  }
+
+  test("append with missing columns rejects by default") {
+    val dir = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      Seq(3L).toDF("a").write.format("qbeast").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+  }
+
+  test("mergeSchema append widens the table; old files read null") {
+    val dir = freshTable()
+    Seq((3L, 3.0, "x"), (4L, 4.0, "y")).toDF("a", "b", "c")
+      .write.format("qbeast").option("mergeSchema", "true")
+      .mode("append").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.schema.fieldNames.toSeq === Seq("a", "b", "c"))
+    assert(back.schema("c").nullable)
+    assert(back.count() === 4)
+    assert(back.filter(col("c").isNull).select("a").as[Long].collect().sorted
+      === Array(1L, 2L))
+    assert(back.filter(col("c").isNotNull).select("c").as[String].collect().sorted
+      === Array("x", "y"))
+    // the indexed read path (sampling pushdown) still works post-evolution
+    assert(back.sample(0.99).count() > 0)
+  }
+
+  test("mergeSchema append may also omit existing columns (nulls in new files)") {
+    val dir = freshTable()
+    Seq((5L, 5.0, "z")).toDF("a", "b", "c").write.format("qbeast")
+      .option("mergeSchema", "true").mode("append").save(dir)
+    // next wave lacks c entirely — allowed under mergeSchema
+    Seq((6L, 6.0)).toDF("a", "b").write.format("qbeast")
+      .option("mergeSchema", "true").mode("append").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === 4)
+    assert(back.filter(col("a") === 6L).select("c").head().isNullAt(0))
+  }
+
+  test("type clash on an overlapping column rejects even with mergeSchema") {
+    val dir = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      Seq(("oops", 7.0)).toDF("a", "b").write.format("qbeast")
+        .option("mergeSchema", "true").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
+  test("overwrite with a different schema requires overwriteSchema") {
+    val dir = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      Seq((1L, "s")).toDF("a", "s").write.format("qbeast")
+        .option("columnsToIndex", "a").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("overwriteSchema"))
+    Seq((1L, "s")).toDF("a", "s").write.format("qbeast")
+      .option("columnsToIndex", "a").option("overwriteSchema", "true")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.schema.fieldNames.toSeq === Seq("a", "s"))
+    assert(back.count() === 1)
+  }
+
+  test("session-level autoMerge flag enables evolution without the option") {
+    val dir = freshTable()
+    spark.conf.set("spark.qbeast.schema.autoMerge.enabled", "true")
+    try {
+      Seq((7L, 7.0, 42L)).toDF("a", "b", "d").write.format("qbeast")
+        .mode("append").save(dir)
+      val back = spark.read.format("qbeast").load(dir)
+      assert(back.schema.fieldNames.toSeq === Seq("a", "b", "d"))
+      assert(back.count() === 3)
+    } finally spark.conf.unset("spark.qbeast.schema.autoMerge.enabled")
+  }
+
+  test("column order on append follows the table, not the incoming frame") {
+    val dir = freshTable()
+    // reordered append keeps the canonical (a, b) schema
+    Seq((8.0, 8L)).toDF("b", "a").write.format("qbeast")
+      .mode("append").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.schema.fieldNames.toSeq === Seq("a", "b"))
+    assert(back.filter(col("a") === 8L).select("b").as[Double].head() === 8.0)
+  }
+
+}
