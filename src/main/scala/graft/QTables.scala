@@ -155,7 +155,10 @@ object QTables {
         li.filter("l_orderkey % 2 = 1").write.format("qbeast")
           .option("columnsToIndex", "l_orderkey,l_extendedprice")
           .option("cubeSize", "2000").mode("append").save(path)
-        graft.table.QbeastTable.forPath(spark, path).optimize()
+        // optimize every indexed revision — an append that bumped the
+        // revision leaves the older revision's files fragmented otherwise
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        t.revisionIDs.filter(_ > 0).foreach(rid => t.optimize(rid))
       }
     }
     spark.read.format("qbeast").load(path)

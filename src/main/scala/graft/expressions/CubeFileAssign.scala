@@ -1,0 +1,105 @@
+package graft.expressions
+
+import graft.core.model.{CubeId, Weight}
+import graft.index.OTreeAlgorithm
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Per-row cube + rollup-file assignment for the indexed-write pipeline —
+ * the codegen replacement for the write path's last Scala UDF
+ * (`QbeastWriter.assignUdf`), which boxed every row's coordinates into a
+ * `Seq[Double]` and round-tripped the result through a Scala tuple
+ * encoder. Same algorithm (reference:
+ * `core/src/main/scala/io/qbeast/spark/index/SparkPointWeightIndexer.scala:31-37`):
+ * descend from the root to the first cube whose estimated max weight
+ * admits the row, then map the cube to its rollup target file (nearest
+ * known ancestor for fresh leaves).
+ *
+ * The cube-weight and file maps ride a Spark broadcast (one copy per
+ * executor, not per task) and the file UUIDs are pre-converted to
+ * UTF8String once per executor, so the per-row work is the tree descent
+ * plus one hash lookup — no boxing, no string re-encoding.
+ */
+final class CubeFileAssigner(
+    bWeights: Broadcast[Map[CubeId, Weight]],
+    bFiles: Broadcast[Map[CubeId, String]],
+    defaultFile: String)
+    extends Serializable {
+
+  @transient private lazy val weights: Map[CubeId, Weight] = bWeights.value
+
+  @transient private lazy val filesUtf8: java.util.HashMap[CubeId, UTF8String] = {
+    val files = bFiles.value
+    val m = new java.util.HashMap[CubeId, UTF8String](math.max(8, files.size * 2))
+    files.foreach { case (c, f) => m.put(c, UTF8String.fromString(f)) }
+    m
+  }
+
+  @transient private lazy val defaultFileUtf8: UTF8String =
+    UTF8String.fromString(defaultFile)
+
+  def assign(coords: ArrayData, weight: Int): InternalRow = {
+    val point = coords.toDoubleArray()
+    val cube = OTreeAlgorithm.findTargetCube(point, weight, weights)
+    var c = cube
+    var file = filesUtf8.get(c)
+    // cube unseen at rollup time (fresh leaf): nearest known ancestor
+    while (file == null && !c.isRoot) {
+      c = c.parent.get
+      file = filesUtf8.get(c)
+    }
+    new GenericInternalRow(
+      Array[Any](cube.bytes, if (file == null) defaultFileUtf8 else file))
+  }
+
+}
+
+final case class CubeFileAssign(
+    coords: Expression,
+    weight: Expression,
+    assigner: CubeFileAssigner)
+    extends BinaryExpression {
+
+  override def left: Expression = coords
+  override def right: Expression = weight
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cube", BinaryType, nullable = false),
+    StructField("file", StringType, nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (coords.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }) && weight.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cube_file_assign expects (array<double>, int), got " +
+        s"${coords.dataType.simpleString}, ${weight.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(c: Any, w: Any): Any =
+    assigner.assign(c.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+
+  // the tree descent stays in a JVM helper; emitting the call via
+  // nullSafeCodeGen keeps the whole write projection inside
+  // whole-stage codegen instead of an interpreted ScalaUDF hop
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("assigner", assigner,
+      classOf[CubeFileAssigner].getName)
+    nullSafeCodeGen(ctx, ev, (c, w) => s"${ev.value} = $ref.assign($c, $w);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CubeFileAssign =
+    copy(coords = newLeft, weight = newRight)
+
+}

@@ -122,7 +122,15 @@ object OTreeAlgorithm {
         else math.min(1.0, parentNw + (1.0 - parentNw) * desiredCubeSize / treeSize)
       nw.update(cube, cubeNw)
       weights += cube -> NormalizedWeight.toWeight(cubeNw)
-      counts += cube -> math.min(treeSize, desiredCubeSize.toLong)
+      // Expected rows CAPTURED at this cube, not subtree size: of the
+      // `treeSize` rows in the cube's region, ancestors already took
+      // weight ≤ parentNw, and this cube admits (parentNw, cubeNw] — so
+      // ~treeSize·(cubeNw − parentNw) rows actually land here. The
+      // earlier min(treeSize, desired) overshot by 1/(1−parentNw),
+      // which made rollup believe deep cubes were full and emit files
+      // ~3× smaller than rollupSize (measured at sf1: 595-row files at
+      // rollupSize 2000; packing now tracks the target).
+      counts += cube -> math.max(1L, math.round(treeSize * (cubeNw - parentNw)))
     }
     (weights.result(), counts.result())
   }

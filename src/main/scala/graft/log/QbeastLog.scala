@@ -100,7 +100,53 @@ object QbeastLog {
    * micro-batch. */
   val CheckpointInterval = 20
 
+  /** A replay that parses more than this many log lines writes a
+   * consolidated checkpoint even if the commit-count interval hasn't
+   * elapsed — replay cost is driven by log LENGTH (add/remove lines),
+   * not commit count: a 3-commit optimize log over thousands of files
+   * is as expensive to replay as dozens of small commits. */
+  val CheckpointMinLines = 4000L
+
   def logDir(tablePath: String) = new Path(tablePath, LogDirName)
+
+  // ---- driver-side snapshot cache -----------------------------------
+  // Replaying the log on EVERY read is O(log length) driver work per
+  // query; at bench scale it dominated small metadata-heavy reads and
+  // at 100 TB it would re-parse 1e5 add entries per query. Delta solves
+  // this with a cached Snapshot per DeltaLog validated by a cheap
+  // listing; same here: one listStatus per access, full replay only
+  // when the log actually changed. Entries are keyed by
+  // (path, asOf, light) and validated against a fingerprint of the
+  // newest commit file (version + size + mtime) and newest checkpoint,
+  // so out-of-band log rewrites (fault-injection tests, manual edits)
+  // invalidate naturally.
+  private final case class CachedSnap(fingerprint: String, snap: QbeastSnapshot)
+  private val snapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedSnap]()
+  private val MaxCachedSnapshots = 64
+
+  private def fingerprintOf(fs: FileSystem, dir: Path): String = {
+    if (!fs.exists(dir)) return "empty"
+    val statuses = fs.listStatus(dir)
+    var lastV = -1L
+    var lastLen = -1L
+    var lastMod = -1L
+    var lastCp = -1L
+    statuses.foreach { s =>
+      val n = s.getPath.getName
+      if (n.endsWith(".checkpoint.json")) {
+        val v = n.stripSuffix(".checkpoint.json")
+        if (v.forall(_.isDigit)) lastCp = math.max(lastCp, v.toLong)
+      } else if (n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit)) {
+        val v = n.stripSuffix(".json").toLong
+        if (v > lastV) { lastV = v; lastLen = s.getLen; lastMod = s.getModificationTime }
+      }
+    }
+    s"$lastV:$lastLen:$lastMod:cp$lastCp"
+  }
+
+  /** Drop all cached snapshots (tests; or after out-of-band surgery). */
+  def invalidateCache(): Unit = snapshotCache.clear()
 
   private def versionFile(tablePath: String, v: Long): Path =
     new Path(logDir(tablePath), f"$v%020d.json")
@@ -166,6 +212,28 @@ object QbeastLog {
       withFiles: Boolean): QbeastSnapshot = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(conf)
+    val cacheKey = s"$tablePath|$asOfVersion|$withFiles"
+    val fingerprint = fingerprintOf(fs, dir)
+    val cached = snapshotCache.get(cacheKey)
+    if (cached != null && cached.fingerprint == fingerprint) return cached.snap
+    val snap = replaySnapshotUncached(tablePath, conf, fs, dir, asOfVersion, withFiles)
+    // cache under the PRE-replay fingerprint: a commit (or our own
+    // maybeCheckpoint) landing during replay must make this entry stale
+    // on the next access, not masquerade as current — a post-replay
+    // fingerprint would claim freshness for a snapshot that never saw
+    // the concurrent commit, wedging writers' optimistic-retry loops
+    if (snapshotCache.size() >= MaxCachedSnapshots) snapshotCache.clear()
+    snapshotCache.put(cacheKey, CachedSnap(fingerprint, snap))
+    snap
+  }
+
+  private def replaySnapshotUncached(
+      tablePath: String,
+      conf: Configuration,
+      fs: FileSystem,
+      dir: Path,
+      asOfVersion: Long,
+      withFiles: Boolean): QbeastSnapshot = {
     val (allVersions0, checkpoints0) = listVersions(fs, dir)
     val allVersions =
       if (asOfVersion >= 0) allVersions0.filter(_ <= asOfVersion) else allVersions0
@@ -189,6 +257,10 @@ object QbeastLog {
     val light = !withFiles &&
       fromCheckpoint.exists(cv => FileCheckpoint.exists(tablePath, conf, cv))
 
+    // lines parsed from the post-checkpoint commit tail only: the
+    // length trigger must not count the checkpoint itself, or every
+    // commit to a big table would rewrite the whole checkpoint
+    var tailLines = 0L
     var schema: Option[StructType] = None
     var configuration = Map.empty[String, String]
     val revisions = mutable.HashMap.empty[Long, Revision]
@@ -206,6 +278,7 @@ object QbeastLog {
       try {
         var line = reader.readLine()
         while (line != null) {
+          if (isTail) tailLines += 1
           // serde writes adds as {"add":{...}} — cheap prefix test lets
           // light replay skip the (potentially millions of) file lines
           // without JSON-parsing them
@@ -240,7 +313,8 @@ object QbeastLog {
       checkpointVersion = fromCheckpoint.getOrElse(-1L),
       tailTouchedPaths = touched.result(),
       asOf = asOfVersion)
-    if (asOfVersion < 0 && !light) maybeCheckpoint(fs, snap, fromCheckpoint.getOrElse(-1L))
+    if (asOfVersion < 0 && !light)
+      maybeCheckpoint(fs, snap, fromCheckpoint.getOrElse(-1L), tailLines)
     snap
   }
 
@@ -262,14 +336,23 @@ object QbeastLog {
   }
 
   /** Write a consolidated checkpoint at the current version if the tail
-   * since the last checkpoint grew past the interval. Readers race here
-   * harmlessly: CREATE_NEW means one winner, content is deterministic. */
+   * since the last checkpoint grew past the commit interval, OR if this
+   * replay parsed more lines than CheckpointMinLines — the log-LENGTH
+   * trigger that closes the mid-size valley where a few huge commits
+   * (optimize/compact rewrites) make every subsequent replay expensive
+   * long before the commit count reaches the interval. A checkpoint at
+   * version v is only useful if it consolidates anything: skip when one
+   * already exists at this version. Readers race here harmlessly:
+   * CREATE_NEW means one winner, content is deterministic. */
   private def maybeCheckpoint(
       fs: FileSystem,
       snap: QbeastSnapshot,
-      lastCheckpoint: Long): Unit = {
-    if (snap.version - lastCheckpoint < CheckpointInterval) return
-    writeCheckpoint(fs, snap)
+      lastCheckpoint: Long,
+      tailLines: Long): Unit = {
+    if (snap.version <= lastCheckpoint) return
+    val byInterval = snap.version - lastCheckpoint >= CheckpointInterval
+    val byLength = tailLines >= CheckpointMinLines
+    if (byInterval || byLength) writeCheckpoint(fs, snap)
   }
 
   /** Consolidate the current state into a JSON checkpoint, plus — when a

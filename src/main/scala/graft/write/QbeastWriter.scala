@@ -271,28 +271,24 @@ object QbeastWriter {
     val bWeights = spark.sparkContext.broadcast(cubeWeights)
     val bFiles = spark.sparkContext.broadcast(fileByCube)
 
-    // one pass per row: target cube + rollup file together
-    val assignUdf = udf { (coords: Seq[Double], w: Int) =>
-      val point = coords.toArray
-      val cube = OTreeAlgorithm.findTargetCube(point, w, bWeights.value)
-      val files = bFiles.value
-      var c = cube
-      var file = files.getOrElse(c, null)
-      // cube unseen at rollup time (fresh leaf): nearest known ancestor
-      while (file == null && !c.isRoot) {
-        c = c.parent.get
-        file = files.getOrElse(c, null)
-      }
-      (cube.bytes, if (file == null) defaultFile else file)
-    }
+    // one pass per row: target cube + rollup file together, as a native
+    // codegen expression (graft.expressions.CubeFileAssign) — the write
+    // projection stays inside whole-stage codegen, no Seq[Double]
+    // boxing or tuple-encoder hop per row
+    val assigner = new graft.expressions.CubeFileAssigner(bWeights, bFiles, defaultFile)
+    val shims = org.apache.spark.sql.GraftShims
+    val assignCol = shims.column(graft.expressions.CubeFileAssign(
+      shims.expression(array(coordCols.map(_.cast("double")): _*)),
+      shims.expression(weightCol),
+      assigner))
 
     val dataSchema = data.schema
     val n = dataSchema.length
     val shuffled = data
-      .withColumn("_qbeastAssign", assignUdf(array(coordCols: _*), weightCol))
-      .withColumn(QbeastColumns.cubeColumnName, col("_qbeastAssign._1"))
+      .withColumn("_qbeastAssign", assignCol)
+      .withColumn(QbeastColumns.cubeColumnName, col("_qbeastAssign.cube"))
       .withColumn(QbeastColumns.weightColumnName, weightCol)
-      .withColumn(QbeastColumns.fileUUIDColumnName, col("_qbeastAssign._2"))
+      .withColumn(QbeastColumns.fileUUIDColumnName, col("_qbeastAssign.file"))
       .drop("_qbeastAssign")
       .repartition(col(QbeastColumns.fileUUIDColumnName))
     // Rows are ALWAYS clustered by target file within each partition:

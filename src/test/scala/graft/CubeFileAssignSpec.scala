@@ -1,0 +1,90 @@
+package graft
+
+import graft.core.model.{CubeId, Weight}
+import graft.expressions.{CubeFileAssign, CubeFileAssigner}
+import graft.index.OTreeAlgorithm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The write path's cube+file assignment as a native codegen expression:
+ * bit-parity with a direct Scala evaluation of the same algorithm, and
+ * the projection must stay inside whole-stage codegen (no ScalaUDF). */
+class CubeFileAssignSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def buildMaps(dims: Int)
+      : (Map[CubeId, Weight], Map[CubeId, String]) = {
+    // a tiny 2-level tree: root at 40%, children at graduated weights
+    val root = CubeId.root(dims)
+    val children = root.children.toSeq
+    val weights = Map(root -> Weight(Int.MaxValue / 5 * 2)) ++
+      children.zipWithIndex.map { case (c, i) =>
+        c -> Weight(Int.MaxValue / 5 * math.min(4, 3 + i))
+      }
+    // only root and the first child got rollup files; other cubes must
+    // fall back to the nearest mapped ancestor (root)
+    val files = Map(root -> "file-root", children.head -> "file-child0")
+    (weights, files)
+  }
+
+  test("expression output matches direct Scala evaluation row-for-row") {
+    import spark.implicits._
+    val dims = 2
+    val (weights, files) = buildMaps(dims)
+    val assigner = new CubeFileAssigner(
+      spark.sparkContext.broadcast(weights),
+      spark.sparkContext.broadcast(files), "file-default")
+
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map { _ =>
+      (Array(rnd.nextDouble(), rnd.nextDouble()), rnd.nextInt())
+    }
+    val df = rows.toDF("coords", "w")
+    val shims = org.apache.spark.sql.GraftShims
+    val out = df.select(
+      shims.column(CubeFileAssign(
+        shims.expression(col("coords").cast("array<double>")),
+        shims.expression(col("w")), assigner)).as("a"))
+      .select(col("a.cube"), col("a.file"))
+      .collect()
+
+    rows.zip(out).foreach { case ((coords, w), row) =>
+      val cube = OTreeAlgorithm.findTargetCube(coords, w, weights)
+      var c = cube
+      var file = files.getOrElse(c, null)
+      while (file == null && !c.isRoot) {
+        c = c.parent.get
+        file = files.getOrElse(c, null)
+      }
+      assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("cube"), cube.bytes))
+      assert(row.getAs[String]("file") === (if (file == null) "file-default" else file))
+    }
+  }
+
+  test("assignment projection runs in whole-stage codegen with no ScalaUDF") {
+    import spark.implicits._
+    val dims = 2
+    val (weights, files) = buildMaps(dims)
+    val assigner = new CubeFileAssigner(
+      spark.sparkContext.broadcast(weights),
+      spark.sparkContext.broadcast(files), "file-default")
+    val shims = org.apache.spark.sql.GraftShims
+    val df = spark.range(100)
+      .select(array((col("id") / 100.0), (col("id") % 10) / 10.0).as("coords"),
+        col("id").cast("int").as("w"))
+      .select(shims.column(CubeFileAssign(
+        shims.expression(col("coords").cast("array<double>")),
+        shims.expression(col("w")), assigner)).as("a"))
+    df.collect()
+    val executed = df.queryExecution.executedPlan
+    val plan = executed.toString
+    assert(!plan.contains("ScalaUDF"), s"write assignment must be UDF-free:\n$plan")
+    val codegenned = executed.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenned.nonEmpty, s"expected a WholeStageCodegen stage:\n$plan")
+  }
+
+}

@@ -136,4 +136,89 @@ class RobustnessSpec extends AnyFunSuite {
     assert(spark.read.format("qbeast").load(dir).count() == 0)
   }
 
+  // ---- commit-log fencing fault injection ----------------------------
+  // The publish protocol is write-tmp → atomic link/rename → delete-tmp.
+  // A crash at ANY point between those steps must never make a torn or
+  // partial commit visible to replay, and must never fence out later
+  // writers from the version.
+
+  test("crash between tmp-write and publish: torn tmp is invisible, version stays claimable") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("fence-torn")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("a", "b").write.format("qbeast")
+      .option("columnsToIndex", "a,b").save(dir)
+    // simulate a writer that died after staging its payload but before
+    // the atomic link: a partial JSON tmp for the NEXT version
+    val logDir = java.nio.file.Paths.get(dir, "_qbeast_log")
+    val torn = logDir.resolve(
+      ".00000000000000000001.json.dead-beef.tmp")
+    java.nio.file.Files.write(torn,
+      "{\"add\":{\"path\":\"torn".getBytes("UTF-8")) // mid-line crash
+    graft.log.QbeastLog.invalidateCache()
+    // replay ignores the tmp entirely
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === 2)
+    // and version 1 is still claimable by a healthy writer
+    Seq((3L, 3.0)).toDF("a", "b").write.format("qbeast")
+      .mode("append").save(dir)
+    assert(spark.read.format("qbeast").load(dir).count() === 3)
+    val snap = graft.log.QbeastLog.snapshot(dir,
+      spark.sparkContext.hadoopConfiguration)
+    assert(snap.version === 1L)
+  }
+
+  test("same-version race: exactly one winner, loser leaves no residue") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("fence-race")
+    Seq((1L, 1.0)).toDF("a", "b").write.format("qbeast")
+      .option("columnsToIndex", "a,b").save(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v0 = graft.log.QbeastLog.snapshot(dir, conf).version
+    graft.log.QbeastLog.commit(dir, conf, v0,
+      Seq(graft.log.TxnAction("winner", 1L)))
+    intercept[graft.log.ConcurrentCommitException] {
+      graft.log.QbeastLog.commit(dir, conf, v0,
+        Seq(graft.log.TxnAction("loser", 2L)))
+    }
+    val snap = graft.log.QbeastLog.snapshot(dir, conf)
+    assert(snap.txns.get("winner").contains(1L))
+    assert(!snap.txns.contains("loser"))
+    // the losing attempt must clean its staging tmp
+    val logDir = new java.io.File(dir, "_qbeast_log")
+    val tmps = logDir.listFiles().filter(_.getName.endsWith(".tmp"))
+    assert(tmps.isEmpty, s"stray tmp files: ${tmps.mkString(", ")}")
+  }
+
+  test("orphan data file from a crashed pre-commit writer is never read") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("fence-orphan")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("a", "b").write.format("qbeast")
+      .option("columnsToIndex", "a,b").save(dir)
+    // a task wrote its parquet, then the job died before commit: copy a
+    // live file under an uncommitted name (valid parquet, no log entry)
+    val table = java.nio.file.Paths.get(dir)
+    val live = java.nio.file.Files.list(table).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.copy(live, table.resolve("deadbeef-orphan.parquet"))
+    graft.log.QbeastLog.invalidateCache()
+    // reads list from the log, never the directory — the orphan is invisible
+    assert(spark.read.format("qbeast").load(dir).count() === 2)
+  }
+
+  test("out-of-band log truncation invalidates the snapshot cache") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("fence-cache")
+    Seq((1L, 1.0)).toDF("a", "b").write.format("qbeast")
+      .option("columnsToIndex", "a,b").save(dir)
+    Seq((2L, 2.0)).toDF("a", "b").write.format("qbeast")
+      .mode("append").save(dir)
+    assert(spark.read.format("qbeast").load(dir).count() === 2)
+    // surgery: drop the newest commit (e.g. manual disaster recovery) —
+    // the cached snapshot must not survive the fingerprint change
+    val logDir = java.nio.file.Paths.get(dir, "_qbeast_log")
+    java.nio.file.Files.delete(
+      logDir.resolve("00000000000000000001.json"))
+    assert(spark.read.format("qbeast").load(dir).count() === 1)
+  }
+
 }
