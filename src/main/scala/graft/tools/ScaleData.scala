@@ -38,9 +38,10 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the events fixture stores ts as TIMESTAMP(NANOS) — readable only as
-    // long (same setting QTables.raw uses); the scaled copy stores the
-    // plain int64, which downstream code already treats as nanos-as-long
+    // legacy events fixtures stored ts as TIMESTAMP(NANOS) — readable
+    // only as long; a no-op for the current timestamp[us] encoding. The
+    // scaled copy keeps whichever type the source read produced;
+    // consumers adapt via graft.EventTime.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try {
       val shifted: Map[String, Seq[String]] = Map(
