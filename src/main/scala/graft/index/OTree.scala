@@ -173,28 +173,43 @@ object OTreeAlgorithm {
    * Pack under-filled cubes into their ancestors until each group holds
    * ~`rollupSize` rows; each resulting group becomes one output file
    * (reference: `core/.../writer/Rollup.scala:56-76`).
+   *
+   * Unlike a close-only-at-level rollup, a parent SEALS its accumulated
+   * group as soon as absorbing a child pushes it past `rollupSize` and
+   * keeps packing the rest into a fresh group. Without sealing, a
+   * parent absorbs up to its whole fanout before its own level closes
+   * it — bounded 2× overshoot at 2 dims but ~2^d× at d dims (a 256 GB
+   * file at a 1 GB target for an 8-column index). With sealing every
+   * group is < 2×rollupSize regardless of dimension count.
+   *
+   * @return (targetCube, memberCubes) groups; each group becomes one
+   *         file, rows of a member cube land in its group's file.
    */
-  def computeRollup(
+  def computeRollupGroups(
       cubeCounts: Map[CubeId, Long],
-      rollupSize: Long): Map[CubeId, CubeId] = {
-    if (cubeCounts.isEmpty) return Map.empty
+      rollupSize: Long): Seq[(CubeId, Seq[CubeId])] = {
+    if (cubeCounts.isEmpty) return Nil
     val sizes = mutable.HashMap.empty[CubeId, Long]
     val members = mutable.HashMap.empty[CubeId, mutable.ArrayBuffer[CubeId]]
     cubeCounts.foreach { case (c, n) =>
       sizes.update(c, n)
       members.update(c, mutable.ArrayBuffer(c))
     }
-    val target = Map.newBuilder[CubeId, CubeId]
+    val out = Seq.newBuilder[(CubeId, Seq[CubeId])]
     // deepest-first by level, so parents created mid-rollup are still
-    // visited when their level comes up
+    // visited when their level comes up; cubes sorted within a level
+    // for deterministic grouping
     val byDepth = mutable.HashMap.empty[Int, mutable.ArrayBuffer[CubeId]]
     sizes.keys.foreach(c => byDepth.getOrElseUpdate(c.depth, mutable.ArrayBuffer.empty) += c)
     val maxDepth = byDepth.keys.max
     (maxDepth to 0 by -1).foreach { depth =>
-      byDepth.getOrElse(depth, mutable.ArrayBuffer.empty).foreach { cube =>
+      byDepth.getOrElse(depth, mutable.ArrayBuffer.empty).sorted.foreach { cube =>
         val size = sizes(cube)
-        if (size >= rollupSize || cube.isRoot) {
-          members(cube).foreach(m => target += m -> cube)
+        val mine = members(cube)
+        if (cube.isRoot) {
+          if (mine.nonEmpty) out += cube -> mine.toSeq
+        } else if (size >= rollupSize) {
+          out += cube -> mine.toSeq
         } else {
           val parent = cube.parent.get
           if (!sizes.contains(parent)) {
@@ -203,13 +218,32 @@ object OTreeAlgorithm {
             members.update(parent, mutable.ArrayBuffer(parent))
             byDepth.getOrElseUpdate(parent.depth, mutable.ArrayBuffer.empty) += parent
           }
-          sizes.update(parent, sizes(parent) + size)
-          members(parent) ++= members(cube)
+          val accumulated = sizes(parent) + size
+          members(parent) ++= mine
           members.remove(cube)
+          if (accumulated >= rollupSize) {
+            // seal the parent's current group; the parent keeps packing
+            // its remaining children into a fresh (initially empty) one
+            out += parent -> members(parent).toSeq
+            members.update(parent, mutable.ArrayBuffer.empty)
+            sizes.update(parent, 0L)
+          } else {
+            sizes.update(parent, accumulated)
+          }
         }
       }
     }
-    target.result()
+    out.result()
   }
+
+  /** Member → target-cube view of [[computeRollupGroups]] (groups that
+   * sealed under the same target collapse — use the groups API when
+   * distinct files per group matter, i.e. in the writer). */
+  def computeRollup(
+      cubeCounts: Map[CubeId, Long],
+      rollupSize: Long): Map[CubeId, CubeId] =
+    computeRollupGroups(cubeCounts, rollupSize).flatMap { case (target, ms) =>
+      ms.map(_ -> target)
+    }.toMap
 
 }

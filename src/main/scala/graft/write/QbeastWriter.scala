@@ -256,17 +256,19 @@ object QbeastWriter {
           revision.desiredCubeSize)
     }
 
-    // ---- pass 2: cube assignment + rollup target file (ONE udf/row) ----
-    val rollup = OTreeAlgorithm.computeRollup(
+    // ---- pass 2: cube assignment + rollup target file (one expr/row) ----
+    val groups = OTreeAlgorithm.computeRollupGroups(
       if (estCounts.nonEmpty) estCounts
       else Map(CubeId.root(dims) -> math.max(numElements, 1L)),
       rollupSize.getOrElse(revision.desiredCubeSize.toLong))
-    val uuidByCube: Map[CubeId, String] =
-      rollup.values.toSet.map((c: CubeId) => c -> java.util.UUID.randomUUID().toString).toMap
-    val fileByCube: Map[CubeId, String] = rollup.map { case (cube, target) =>
-      cube -> uuidByCube(target)
-    }
-    val defaultFile = uuidByCube.getOrElse(CubeId.root(dims),
+    // one file per GROUP (a heavily-subdivided parent may seal several
+    // groups — distinct files keep sizes < 2×rollupSize at any
+    // dimension count)
+    val fileByCube: Map[CubeId, String] = groups.flatMap { case (_, ms) =>
+      val uuid = java.util.UUID.randomUUID().toString
+      ms.map(_ -> uuid)
+    }.toMap
+    val defaultFile = fileByCube.getOrElse(CubeId.root(dims),
       java.util.UUID.randomUUID().toString)
     val bWeights = spark.sparkContext.broadcast(cubeWeights)
     val bFiles = spark.sparkContext.broadcast(fileByCube)

@@ -156,6 +156,25 @@ class OTreeAlgorithmSpec extends AnyFunSuite {
     assert(rollup(root) == root)
   }
 
+  test("rollup seals groups at the target size regardless of fanout") {
+    // 4 children of 600 rows at rollupSize 1000: a close-only-at-level
+    // rollup would emit ONE 2400-row root file; sealing must emit two
+    // groups, each under 2×rollupSize
+    val root = CubeId.root(2)
+    val kids = root.children.toSeq
+    val counts: Map[CubeId, Long] = kids.map(_ -> 600L).toMap
+    val groups = OTreeAlgorithm.computeRollupGroups(counts, 1000L)
+    assert(groups.size == 2, s"expected 2 sealed groups, got $groups")
+    groups.foreach { case (_, ms) =>
+      val rows = ms.map(m => counts.getOrElse(m, 0L)).sum
+      assert(rows < 2000L, s"group exceeds 2×rollupSize: $ms -> $rows")
+    }
+    // every member cube lands in exactly one group
+    val all = groups.flatMap(_._2)
+    assert(all.distinct.size == all.size)
+    assert(kids.forall(all.contains))
+  }
+
   test("groupCubeSize scales down with partitions but never below floor") {
     assert(OTreeAlgorithm.groupCubeSize(5000000, 1, 1000, 100000) == 5000000)
     assert(OTreeAlgorithm.groupCubeSize(5000000, 100, 1000, 100000) == 50000)
