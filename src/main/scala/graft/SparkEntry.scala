@@ -712,6 +712,43 @@ object SparkEntry {
     "t21_vocab_coverage" -> ((s, dir) =>
       ops.TextOps.vocabCoverage(QTables.raw(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "n_tokens", "n_in_vocab", "coverage")),
+    "t31_kmv_distinct" -> ((s, dir) =>
+      // per-source distinct-content estimate via the KMV sketch
+      // aggregate: ≤ k longs per group cross the shuffle regardless of
+      // cardinality (TypedImperativeAggregate with map-side partials)
+      ops.Sketch.kmvDistinct(QTables.raw(s, dir, "documents"), "source",
+        col("text"), k = 64)),
+    "t32_bm25" -> ((s, dir) =>
+      // topical-subset mining: BM25 of every doc vs a query vocabulary
+      ops.TextOps.bm25(QTables.raw(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "hash", "stream", "vector"))),
+    "t33_editdist_pairs" -> ((s, dir) =>
+      // LSH recall + exact verify: minhash candidates confirmed by
+      // Levenshtein over a bounded prefix (DP runs per candidate pair
+      // only, never all-pairs)
+      ops.Dedup.editDistanceVerifiedPairs(QTables.raw(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5, prefixLen = 120, maxDist = 40)),
+    "t34_cross_corpus_dedup" -> ((s, dir) => {
+      // incremental ingest: dedup the incoming slice against the
+      // existing corpus only (exact hash semi-join + LSH band semi-join)
+      val docs = QTables.raw(s, dir, "documents")
+      ops.Dedup.crossCorpusDedup(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")
+    }),
+    "q71_bloom_join" -> ((s, dir) => {
+      // hand-rolled runtime join filter: bloom bitset aggregated from
+      // the small filtered build side, embedded as a literal predicate
+      // that prunes the probe side BEFORE the join shuffle (no false
+      // negatives, so the joined result is exactly the plain join)
+      val o = QTables.qbeast(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      val li = ops.Sketch.bloomPreFilter(
+        QTables.qbeast(s, dir, "lineitem"), col("l_orderkey"), o, col("o_orderkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dec(col("l_extendedprice")).as("rev"))
+    }),
     "q60_stats_skipping" -> ((s, dir) => {
       // predicate on a NON-indexed column: the per-file min/max stats
       // (Delta-style data skipping) are the only file-level pruning
@@ -1604,6 +1641,61 @@ object SparkEntry {
     "t30_bucket_clusters" ->
       s"""WITH RECURSIVE $starCteBody
          |SELECT doc_id, cluster FROM lab""".stripMargin,
+    "t31_kmv_distinct" ->
+      // KMV estimator replay: k smallest distinct 32-bit md5 hashes per
+      // group; exact count below k, (k-1)·2^32/kth beyond (the double
+      // arithmetic is over ≤ 32-bit integers, so it is bit-exact)
+      """WITH h AS (SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+        |             count(*) OVER (PARTITION BY source) AS n FROM h)
+        |SELECT source,
+        |  CASE WHEN n < 64 THEN n::DOUBLE ELSE (63.0 * 4294967296.0) / hv END AS est,
+        |  hv AS kth
+        |FROM r WHERE rn = least(n, 64)""".stripMargin,
+    "t32_bm25" ->
+      // constants mirror the Spark expression tree fold-for-fold
+      // ((1.2 + 1), (1 - 0.75)) so both engines do the same IEEE ops
+      """WITH b2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS dl FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n, sum(dl)::BIGINT AS sumdl FROM b2),
+        |m AS (SELECT doc_id, dl, t.term FROM b2, LATERAL unnest(toks) t(term)
+        |  WHERE t.term IN ('spark', 'window', 'hash', 'stream', 'vector')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM m GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY 1)
+        |SELECT tf.doc_id, tf.term, tf.tf,
+        |  ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * (tf.tf::DOUBLE * (1.2 + 1)) /
+        |  (tf.tf::DOUBLE + 1.2 * ((1 - 0.75) + 0.75 * tf.dl::DOUBLE / (st.sumdl::DOUBLE / st.n))) AS score
+        |FROM tf JOIN dfq USING (term), st""".stripMargin,
+    "t33_editdist_pairs" ->
+      s"""WITH $minhashCteBody,
+         |pr AS (SELECT id_a, id_b,
+         |  len(list_filter(range(1, 65), j -> sa[j] = sb[j])) / 64.0 AS est_jaccard FROM cp),
+         |tx AS (SELECT doc_id, substr(text, 1, 120) AS pfx FROM documents)
+         |SELECT p.id_a, p.id_b, p.est_jaccard,
+         |  levenshtein(a.pfx, b.pfx)::BIGINT AS edit_dist
+         |FROM pr p JOIN tx a ON p.id_a = a.doc_id JOIN tx b ON p.id_b = b.doc_id
+         |WHERE p.est_jaccard >= 0.5 AND levenshtein(a.pfx, b.pfx) <= 40""".stripMargin,
+    "t34_cross_corpus_dedup" ->
+      s"""WITH $minhashCteBody,
+         |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |ex AS (SELECT DISTINCT i.doc_id FROM inc i
+         |  JOIN documents e ON md5(i.text) = md5(e.text) AND e.doc_id % 5 <> 0),
+         |nr AS (SELECT DISTINCT a.doc_id FROM bd a JOIN bd b ON a.b = b.b AND a.key = b.key
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+         |SELECT i.doc_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'kept' END AS status
+         |FROM inc i LEFT JOIN ex ON i.doc_id = ex.doc_id
+         |LEFT JOIN nr ON i.doc_id = nr.doc_id""".stripMargin,
+    "q71_bloom_join" ->
+      // the bloom pre-filter admits false positives only, so the final
+      // join output is exactly the unfiltered join
+      """SELECT o_orderpriority, count(*) AS n,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000 GROUP BY 1""".stripMargin,
     "t19_dedup_apply" ->
       // the cleaned corpus: one representative per near-dup cluster
       s"""WITH RECURSIVE $ccCteBody

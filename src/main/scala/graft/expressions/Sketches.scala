@@ -1,0 +1,286 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Distributed sketch aggregates. Both are `TypedImperativeAggregate`s,
+ * so Spark runs them with map-side partial aggregation: each task folds
+ * its partition into one small buffer, the shuffle carries buffers (not
+ * rows), and the final merge is a tree of buffer unions — the shape
+ * that makes a sketch over 100 TB cost one scan plus a few KB per task.
+ *
+ * Same custom-expression position as the scalar kit (reference
+ * precedent for native expressions:
+ * `core/src/main/scala/io/qbeast/core/internal/expressions/QbeastMurmur3Hash.scala`);
+ * the reference itself has no sketch aggregates — these extend the
+ * engine for corpus-statistics jobs (distinct-count per group, join
+ * pre-filtering) a training-data pipeline needs.
+ */
+object SketchHash {
+
+  /** splitmix64 finalizer — deterministic 64-bit mix, cheap enough for
+   * per-row codegen and self-contained (no engine hash dependency). */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+}
+
+// ---------------------------------------------------------------------------
+// KMV (k-minimum-values) distinct-count sketch
+// ---------------------------------------------------------------------------
+
+/** Bounded buffer of the k smallest DISTINCT hash values seen. */
+final class KmvState(val k: Int) {
+  // TreeSet keeps (size ≤ k) sorted uniques; add/evict are O(log k)
+  val set = new java.util.TreeSet[java.lang.Long]()
+
+  def add(v: Long): Unit = {
+    if (set.size < k) { set.add(v); () }
+    else if (v < set.last) { if (set.add(v)) { set.pollLast(); () } }
+  }
+
+  def mergeIn(o: KmvState): KmvState = {
+    val it = o.set.iterator()
+    while (it.hasNext) add(it.next())
+    this
+  }
+}
+
+/**
+ * KMV distinct-count sketch over a LongType hash column (the caller
+ * supplies the hash — e.g. the first 8 md5 hex chars as an unsigned
+ * 32-bit value — so an external engine can replay the estimate
+ * bit-for-bit). Returns `struct<est: double, kth: bigint>`:
+ *
+ *  - fewer than k distinct hashes seen → `est` is the exact distinct
+ *    count, `kth` the largest kept hash;
+ *  - otherwise `est = (k-1) · 2^32 / kth` where `kth` is the k-th
+ *    smallest distinct hash (Bar-Yossef et al.'s unbiased KMV
+ *    estimator over hashes normalized to [0,1); 32-bit hashes keep
+ *    the double arithmetic exact so the estimate is deterministic).
+ */
+final case class KmvDistinctAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvState] {
+
+  require(k >= 2, s"kmv sketch needs k >= 2, got $k")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kmv sketch expects a bigint hash input, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    StructType(Seq(StructField("est", DoubleType, nullable = false),
+      StructField("kth", LongType, nullable = false)))
+
+  override def createAggregationBuffer(): KmvState = new KmvState(k)
+
+  override def update(buffer: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvState, other: KmvState): KmvState =
+    buffer.mergeIn(other)
+
+  override def eval(buffer: KmvState): Any = {
+    val n = buffer.set.size
+    val kth = if (n == 0) 0L else buffer.set.last.longValue()
+    val est =
+      if (n < k) n.toDouble
+      else ((k - 1).toDouble * 4294967296.0) / kth.toDouble
+    InternalRow(est, kth)
+  }
+
+  override def serialize(buffer: KmvState): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buffer.set.size)
+    bb.putInt(buffer.set.size)
+    val it = buffer.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = new KmvState(k)
+    var i = 0
+    while (i < n) { s.set.add(bb.getLong); i += 1 }
+    s
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvDistinctAgg =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(offset: Int): KmvDistinctAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvDistinctAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_kmv_distinct"
+
+}
+
+// ---------------------------------------------------------------------------
+// Bloom filter: bitset aggregate + codegen membership probe
+// ---------------------------------------------------------------------------
+
+object BloomImpl {
+
+  /** Double hashing (Kirsch–Mitzenmacher): k probe positions derived
+   * from two splitmix64 values — h2 forced odd so the stride cycles
+   * the whole table. */
+  def probe(v: Long, i: Int, numBits: Long): Long = {
+    val h1 = SketchHash.mix64(v)
+    val h2 = SketchHash.mix64(v ^ 0x9e3779b97f4a7c15L) | 1L
+    java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, numBits)
+  }
+
+  def set(words: Array[Long], v: Long, numHashes: Int): Unit = {
+    val numBits = words.length.toLong * 64L
+    var i = 0
+    while (i < numHashes) {
+      val pos = probe(v, i, numBits)
+      words((pos >>> 6).toInt) |= (1L << (pos & 63L).toInt)
+      i += 1
+    }
+  }
+
+  def mightContain(words: ArrayData, v: Long, numHashes: Int): Boolean = {
+    val numBits = words.numElements().toLong * 64L
+    var i = 0
+    while (i < numHashes) {
+      val pos = probe(v, i, numBits)
+      if ((words.getLong((pos >>> 6).toInt) & (1L << (pos & 63L).toInt)) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+
+}
+
+/**
+ * Builds a bloom-filter bitset (`array<bigint>`, `numBits` bits) over a
+ * LongType key column. Partial buffers are plain long arrays merged by
+ * bitwise OR, so the aggregate is one scan + an O(numBits/64) reduce —
+ * the build side of a hand-rolled runtime join filter: aggregate the
+ * small side, embed the bitset as a literal in a [[BloomMightContain]]
+ * predicate on the big side, and the filter prunes BEFORE the join
+ * shuffle.
+ */
+final case class BloomBitsAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(numBits >= 64 && (numBits & 63) == 0,
+    s"numBits must be a positive multiple of 64, got $numBits")
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom agg expects a bigint key input, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) BloomImpl.set(buffer, v.asInstanceOf[Long], numHashes)
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) |= other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomBitsAgg =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(offset: Int): BloomBitsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomBitsAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_bloom_bits"
+
+}
+
+/**
+ * `might_contain(bits, key)` — true iff every probe bit for `key` is
+ * set in the bitset. False positives only (rate set by the builder's
+ * numBits/numHashes); never false negatives, so filtering a join's big
+ * side with it before the exact join preserves the join result. Stays
+ * inside whole-stage codegen (static helper call, same pattern as
+ * [[TokenSetJaccard]]).
+ */
+final case class BloomMightContain(left: Expression, right: Expression, numHashes: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }) && right.dataType == LongType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"might_contain expects (array<bigint>, bigint), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(bits: Any, v: Any): Any =
+    BloomImpl.mightContain(bits.asInstanceOf[ArrayData], v.asInstanceOf[Long], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, v) =>
+      s"${ev.value} = graft.expressions.BloomImpl.mightContain($b, $v, $numHashes);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_might_contain"
+
+}

@@ -351,6 +351,94 @@ object Dedup {
       shims.expression(a), shims.expression(b)))
   }
 
+  // ---- edit-distance verified near-dup ------------------------------------
+
+  /**
+   * Near-duplicate pairs confirmed by edit distance — the verify stage
+   * a production dedup pipeline runs after LSH candidate generation:
+   * minhash/LSH proposes candidates (high recall, estimated jaccard),
+   * then the cheap-but-exact Levenshtein distance over a bounded text
+   * prefix confirms them. The DP is O(prefixLen²) per PAIR, so it runs
+   * only on the LSH-bounded candidate set, never all-pairs; texts are
+   * re-joined onto the compact pair list (each prefix ships once per
+   * side, bounded at `prefixLen` chars regardless of document size).
+   *
+   * Output: (id_a, id_b, est_jaccard, edit_dist) for candidates whose
+   * prefix distance ≤ maxDist. Spark's `levenshtein` counts code
+   * points; on non-ASCII corpora note byte-counting engines (e.g.
+   * DuckDB) differ.
+   */
+  def editDistanceVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      prefixLen: Int = 120,
+      maxDist: Int = 40): DataFrame = {
+    val cands = minHashCandidatePairs(df, idCol, textCol, threshold)
+    val prefixes = df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("pfx"))
+    cands
+      .join(prefixes.select(col("id").as("id_a"), col("pfx").as("pa")), "id_a")
+      .join(prefixes.select(col("id").as("id_b"), col("pfx").as("pb")), "id_b")
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select("id_a", "id_b", "est_jaccard", "edit_dist")
+  }
+
+  // ---- cross-corpus (incremental) dedup ------------------------------------
+
+  /**
+   * Dedup an incoming batch AGAINST an existing corpus — the
+   * incremental-ingest shape: nothing inside `incoming` is compared to
+   * itself, and the existing corpus is never rewritten. Two stages,
+   * both equi-joins:
+   *
+   *  1. exact: content-hash left-semi against the existing corpus
+   *     (`md5` of the text; hash-only shuffle);
+   *  2. near: LSH band-key semi-join — an incoming doc sharing ANY
+   *     minhash band bucket with an existing doc is flagged (same
+   *     candidate semantics as [[minHashClusterEdges]]; apply a verify
+   *     pass downstream if the threshold matters).
+   *
+   * Output: every incoming id with `status` ∈ exact_dup | near_dup |
+   * kept (exact wins when both hit). Only hashes and band keys
+   * shuffle; document text never leaves its scan except as md5 input.
+   * Docs under [[DefaultShingleTokens]] tokens have no shingles and
+   * can only be exact duplicates (same guard as the in-corpus paths).
+   */
+  def crossCorpusDedup(
+      incoming: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = 16): DataFrame = {
+    def hashes(df: DataFrame) =
+      df.select(col(idCol).as("id"), md5(col(textCol)).as("content_hash"))
+    def bandRows(df: DataFrame) = df
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= DefaultShingleTokens)
+      .select(col(idCol).as("id"),
+        posexplode(bandKeysCol(minhashSig(col(textCol), numHashes), numHashes, bands))
+          .as(Seq("band", "bucket")))
+    val exactIds = hashes(incoming)
+      .join(hashes(existing).select("content_hash").distinct(), "content_hash", "left_semi")
+      .select(col("id")).distinct()
+      .withColumn("is_exact", lit(true))
+    val nearIds = bandRows(incoming)
+      .join(bandRows(existing).select("band", "bucket").distinct(),
+        Seq("band", "bucket"), "left_semi")
+      .select(col("id")).distinct()
+      .withColumn("is_near", lit(true))
+    incoming.select(col(idCol).as("id"))
+      .join(exactIds, Seq("id"), "left_outer")
+      .join(nearIds, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        when(col("is_exact"), lit("exact_dup"))
+          .when(col("is_near"), lit("near_dup"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   // ---- connected components (near-dup clustering) ------------------------
 
   /**

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Sketch-based corpus statistics and join pre-filtering, built on the
+ * [[graft.expressions]] aggregate sketches. Both operators follow the
+ * one-scan-plus-tiny-state shape that survives 100 TB: the data is
+ * touched once, partial sketch buffers ride the aggregation tree, and
+ * nothing proportional to the input ever reaches the driver.
+ */
+object Sketch {
+
+  private val shims = org.apache.spark.sql.GraftShims
+
+  /** Engine-portable 32-bit hash of a value: first 8 md5 hex chars as
+   * an unsigned 32-bit integer in a long — the same construction the
+   * signature operators use ([[HashUtils.h32]]), so an external SQL
+   * engine replays it as `('0x' || substr(md5(v), 1, 8))::BIGINT`. */
+  def portableHash32(value: Column): Column =
+    conv(substring(md5(value), 1, 8), 16, 10).cast("long")
+
+  /**
+   * Per-group distinct-count estimate via a KMV (k-minimum-values)
+   * sketch over [[portableHash32]] of `value`. Output:
+   * `(groupCol, est double, kth long)` — exact below k distinct
+   * values, `(k-1)·2^32 / kth` beyond. Unlike exact
+   * `count(DISTINCT v)` the shuffle carries ≤ k longs per group
+   * regardless of cardinality, and unlike HLL the estimate is a pure
+   * deterministic function of the hash set (bit-replayable by the
+   * DuckDB oracle).
+   */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      k: Int = 64): DataFrame = {
+    val agg = shims.column(
+      graft.expressions.KmvDistinctAgg(
+        shims.expression(portableHash32(value)), k).toAggregateExpression())
+    df.groupBy(groupCol)
+      .agg(agg.as("sk"))
+      .select(col(groupCol), col("sk.est").as("est"), col("sk.kth").as("kth"))
+  }
+
+  /** Bloom-filter bitset of `key` over `df` as a driver-side long
+   * array (numBits/8 bytes — metadata-sized, e.g. 128 KiB for 2^20
+   * bits). The aggregation is map-side partial: one bitset per task,
+   * OR-merged. */
+  def bloomBits(
+      df: DataFrame,
+      key: Column,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 3): Array[Long] = {
+    val agg = shims.column(
+      graft.expressions.BloomBitsAgg(
+        shims.expression(key), numBits, numHashes).toAggregateExpression())
+    df.select(agg.as("bits")).head().getSeq[Long](0).toArray
+  }
+
+  /**
+   * Hand-rolled runtime join filter: build a bloom filter from the
+   * (small) build side's key column, embed it as a literal predicate
+   * on the (large) probe side, and return the filtered probe frame.
+   * Rows failing every-bit-set are dropped BEFORE the join's shuffle,
+   * so at scale the exchange carries only (true matches + the false
+   * positive rate) instead of the full fact table — the pattern
+   * Spark's own `InjectRuntimeFilter` applies, made explicit and
+   * deterministic. No false negatives: `probe.join(build)` over the
+   * result equals the unfiltered join exactly.
+   */
+  def bloomPreFilter(
+      probe: DataFrame,
+      probeKey: Column,
+      build: DataFrame,
+      buildKey: Column,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 3): DataFrame = {
+    val bits = bloomBits(build, buildKey, numBits, numHashes)
+    val bitsLit = typedlit(bits.toSeq)
+    probe.filter(shims.column(graft.expressions.BloomMightContain(
+      shims.expression(bitsLit), shims.expression(probeKey), numHashes)))
+  }
+
+}

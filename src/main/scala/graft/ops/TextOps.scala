@@ -181,6 +181,57 @@ object TextOps {
         row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
   }
 
+  // ---- BM25 relevance -------------------------------------------------------
+
+  /**
+   * BM25 relevance of every document against a fixed bag of query
+   * terms (Robertson–Spärck Jones idf with Lucene's +1 floor, k1/b
+   * length normalization) — the standard retrieval score a curation
+   * pipeline uses to mine topical subsets out of a web corpus.
+   *
+   * Output: one row per (doc, matched term): doc_id, term, tf, score.
+   * Per-term rows instead of a per-doc sum keep the doubles
+   * order-independent (IEEE addition is not associative; summing k
+   * scores in shuffle order would be nondeterministic) — consumers
+   * rank on `sum(score)` per doc AFTER fixing an order, or on the
+   * dominant term.
+   *
+   * Scale shape: explode→isin prunes to the query vocabulary map-side
+   * BEFORE any shuffle; one (doc, term) aggregation; document
+   * frequencies (≤ |terms| rows) and the two corpus scalars broadcast.
+   * Nothing driver-side, nothing quadratic.
+   */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val matches = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = matches.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val dfreq = matches.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n"), sum("dl").as("sumdl"))
+    // expression trees mirror the SQL oracle associativity exactly:
+    // double * and / are IEEE-deterministic, so score bits match
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfd = col("tf").cast("double")
+    val score = idf * (tfd * lit(k1 + 1)) /
+      (tfd + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), score.as("score"))
+  }
+
   // ---- chunking (embedding-pipeline prep) ----------------------------------
 
   /**

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch aggregates (KMV distinct-count, bloom pre-filter) and the
+ * round-10 pipeline additions (BM25, edit-distance verify, cross-corpus
+ * dedup). End-to-end value parity vs DuckDB is enforced by the
+ * t31-t34/q71 oracles; these pin the operator semantics on crafted
+ * inputs and the properties the oracles cannot see (pruning actually
+ * happening, no false negatives, determinism under repartition). */
+class SketchSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- KMV ------------------------------------------------------------------
+
+  test("kmvDistinct is exact below k") {
+    val df = (0 until 40).map(i => ("g", s"val_$i")).toDF("g", "v")
+      .union((0 until 7).map(i => ("h", s"x_${i % 3}")).toDF("g", "v"))
+    val got = ops.Sketch.kmvDistinct(df, "g", col("v"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("g" -> 40.0, "h" -> 3.0))
+  }
+
+  test("kmvDistinct estimate is within 25% at 20x k and invariant to partitioning") {
+    val n = 1280 // 20x k
+    val df = (0 until n).map(i => ("g", s"unique_value_$i")).toDF("g", "v")
+    def run(parts: Int) =
+      ops.Sketch.kmvDistinct(df.repartition(parts), "g", col("v"), k = 64)
+        .collect().map(r => (r.getDouble(1), r.getLong(2))).head
+    val (est1, kth1) = run(1)
+    val (est8, kth8) = run(8)
+    // merge path (8 partitions) must agree bit-for-bit with the single
+    // partition fold — the sketch is a pure function of the value set
+    assert(est1 == est8 && kth1 == kth8)
+    assert(math.abs(est1 - n) / n < 0.25, s"est $est1 too far from $n")
+  }
+
+  test("kmvDistinct counts distinct VALUES, not rows") {
+    val df = (0 until 500).map(i => ("g", s"dup_${i % 10}")).toDF("g", "v")
+    val got = ops.Sketch.kmvDistinct(df, "g", col("v"), k = 64).head()
+    assert(got.getDouble(1) == 10.0)
+  }
+
+  // ---- bloom ----------------------------------------------------------------
+
+  test("bloom filter has no false negatives and prunes most non-members") {
+    val build = (0L until 500L).map(i => i * 7919L).toDF("k")
+    val bits = ops.Sketch.bloomBits(build, col("k"), numBits = 1 << 16, numHashes = 3)
+    val probe = (0L until 20000L).toDF("k")
+    val kept = ops.Sketch.bloomPreFilter(
+      probe, col("k"), build, col("k"), numBits = 1 << 16, numHashes = 3)
+      .collect().map(_.getLong(0)).toSet
+    val members = (0L until 500L).map(_ * 7919L).filter(_ < 20000L).toSet
+    assert(members.subsetOf(kept), "bloom dropped a true member")
+    // 2^16 bits / 500 keys → fp rate well under 1%; allow 2%
+    assert(kept.size <= members.size + 400, s"fp too high: ${kept.size}")
+    assert(bits.length == (1 << 16) / 64)
+  }
+
+  test("bloom pre-filtered join equals the plain join") {
+    val fact = (0L until 5000L).map(i => (i % 700L, i)).toDF("k", "payload")
+    val dim = (0L until 50L).map(i => (i * 13L, s"d$i")).toDF("k", "name")
+    val plain = fact.join(dim, "k").agg(count(lit(1)), sum("payload"))
+      .head().toSeq
+    val filtered = ops.Sketch.bloomPreFilter(fact, col("k"), dim, col("k"))
+      .join(dim, "k").agg(count(lit(1)), sum("payload")).head().toSeq
+    assert(plain == filtered)
+  }
+
+  test("bloom pre-filter prunes before the join and stays codegen (no UDF)") {
+    val fact = (0L until 10000L).toDF("k")
+    val dim = Seq(1L, 5L, 9L).toDF("k")
+    val pre = ops.Sketch.bloomPreFilter(fact, col("k"), dim, col("k"))
+    assert(pre.count() < 200, "pre-filter should drop nearly everything")
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"expected UDF-free plan:\n$plan")
+  }
+
+  // ---- BM25 -----------------------------------------------------------------
+
+  test("bm25 matches a hand-computed score on a two-doc corpus") {
+    val df = Seq((1L, "spark spark fast"), (2L, "slow table scan")).toDF("id", "text")
+    val rows = ops.TextOps.bm25(df, "id", "text", Seq("spark", "table"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 2)
+    val n = 2.0; val avgdl = 3.0
+    def score(tf: Long, df0: Long, dl: Long): Double =
+      math.log((n - df0 + 0.5) / (df0 + 0.5) + 1.0) *
+        (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+    val bySpark = rows.find(r => r._2 == "spark").get
+    assert(bySpark._1 == 1L && bySpark._3 == 2L)
+    assert(math.abs(bySpark._4 - score(2, 1, 3)) < 1e-12)
+    val byTable = rows.find(r => r._2 == "table").get
+    assert(math.abs(byTable._4 - score(1, 1, 3)) < 1e-12)
+  }
+
+  test("bm25 rewards rarity: rare term outscores common term at equal tf") {
+    val docs = (1L to 20L).map(i => (i, if (i == 1) "rare common" else "common filler"))
+      .toDF("id", "text")
+    val scores = ops.TextOps.bm25(docs, "id", "text", Seq("rare", "common"))
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(scores("rare") > scores("common"))
+  }
+
+  // ---- edit-distance verify -------------------------------------------------
+
+  test("editDistanceVerifiedPairs confirms near-identical docs and rejects distant ones") {
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok5", "tok5x") // tiny edit, same shingles mostly
+    val distant = (0 until 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, distant), (4L, base))
+      .toDF("doc_id", "text")
+    val got = ops.Dedup.editDistanceVerifiedPairs(df, "doc_id", "text",
+      threshold = 0.3, prefixLen = 200, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair missing")
+    assert(got.find(t => (t._1, t._2) == (1L, 4L)).get._3 == 0L)
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "near dup pair missing")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "distant doc must not pair")
+  }
+
+  // ---- cross-corpus dedup ---------------------------------------------------
+
+  test("crossCorpusDedup: exact wins over near, unique kept, incoming-only dups kept") {
+    val mk = (s: String) => s.split(" ").mkString(" ")
+    val shared = mk("a b c d e f g h i j k l m n o p")
+    val nearShared = shared.replace(" p", " q") // same leading shingles
+    val unique = mk("z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")
+    val existing = Seq((100L, shared), (101L, mk("x1 x2 x3 x4 x5 x6")))
+      .toDF("doc_id", "text")
+    // 3 & 4 duplicate each OTHER but nothing in `existing` → both kept
+    val incoming = Seq((1L, shared), (2L, nearShared), (5L, unique),
+      (3L, mk("m1 m2 m3 m4 m5 m6")), (4L, mk("m1 m2 m3 m4 m5 m6")))
+      .toDF("doc_id", "text")
+    val got = ops.Dedup.crossCorpusDedup(incoming, existing, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "exact_dup")
+    assert(got(2L) == "near_dup")
+    assert(got(5L) == "kept")
+    assert(got(3L) == "kept" && got(4L) == "kept",
+      "within-incoming duplicates are NOT cross-corpus duplicates")
+  }
+
+}
