@@ -20,7 +20,7 @@ object Bench {
    * would turn those queries into no-op reads. */
   private val streamingSinks =
     Seq("events_streamed", "documents_stream_pipeline", "events_cdc",
-      "events_foreachbatch")
+      "events_foreachbatch", "events_stream_source", "events_stream_source_sink")
 
   private def deleteDir(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

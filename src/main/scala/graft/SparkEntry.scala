@@ -374,6 +374,16 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dec(col("value")).as("sv"))
     }),
+    "s15_stream_source" -> ((s, dir) => {
+      // the READ direction: a qbeast table consumed as a stream —
+      // initial snapshot + incremental commit-log batches, exactly once
+      QTables.ensureExtensions(s)
+      ops.Streaming.streamFromQbeast(s, s"$dir/events.parquet",
+          QTables.cachePathFor(dir, "events_stream_source"),
+          QTables.cachePathFor(dir, "events_stream_source_sink"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dec(col("value")).as("sv"))
+    }),
     "s04_stream_watermark" -> ((s, dir) =>
       ops.Streaming.windowedAggWatermarked(s, s"$dir/events.parquet")),
     "s05_asof_join" -> ((s, dir) => {
@@ -1389,6 +1399,12 @@ object SparkEntry {
         |SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
         |AS sessions, count(*) AS n FROM x GROUP BY 1""".stripMargin,
     "s03_stream_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1""".stripMargin,
+    "s15_stream_source" ->
+      // exactly-once contract: the drained sink must equal the full
+      // events table after snapshot + incremental batches
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1""".stripMargin,

@@ -318,6 +318,47 @@ object QbeastLog {
     snap
   }
 
+  /** Parse ONE committed version's actions in line order — the
+   * incremental-consumption primitive behind the streaming source:
+   * per micro-batch cost is O(changed files in the commit), never
+   * O(table). `knownRevisions` seeds block parsing for files of
+   * revisions declared in earlier commits; a revision declared inside
+   * this commit is picked up in order (serde contract: revisions
+   * precede their files). */
+  def commitActions(
+      tablePath: String,
+      conf: Configuration,
+      version: Long,
+      knownRevisions: Map[Long, Revision]): Seq[LogAction] = {
+    val path = versionFile(tablePath, version)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path))
+      throw new IllegalStateException(
+        s"qbeast commit $version missing for $tablePath (vacuumed or corrupted log?)")
+    val revs = mutable.HashMap.empty[Long, Revision]
+    revs ++= knownRevisions
+    val dimensionsOf: Long => Int = rid =>
+      revs.get(rid).map(r => math.max(r.dimensionCount, 1)).getOrElse(1)
+    val out = Seq.newBuilder[LogAction]
+    val reader = new BufferedReader(
+      new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
+    try {
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.nonEmpty) {
+          val action = QbeastLogSerde.parseLine(line, dimensionsOf)
+          action match {
+            case RevisionAction(r) => revs.update(r.revisionID, r)
+            case _ =>
+          }
+          out += action
+        }
+        line = reader.readLine()
+      }
+    } finally reader.close()
+    out.result()
+  }
+
   /** Latest committed version whose commit file was written at or before
    * `timestampMillis` (backs SQL `TIMESTAMP AS OF`). */
   def versionAt(tablePath: String, conf: Configuration, timestampMillis: Long): Option[Long] = {

@@ -418,4 +418,46 @@ object Streaming {
     t.groupBy("user_id").agg(max("sessions").as("sessions"), max("n").as("n"))
   }
 
+  /**
+   * A qbeast table consumed AS a stream — the read direction of the
+   * streaming story (`readStream.format("qbeast")`, see
+   * [[graft.sources.QbeastStreamSource]]): half the events are written
+   * to a qbeast table and drained as the initial snapshot, the other
+   * half is APPENDED and drained incrementally (the second drain parses
+   * only the new commit from the log — never a snapshot replay), both
+   * through one checkpoint. Returns the drained sink, which equals the
+   * full events table iff the source delivered every row exactly once
+   * across snapshot + incremental batches and a restart.
+   */
+  def streamFromQbeast(
+      spark: SparkSession,
+      eventsPath: String,
+      tableDir: String,
+      sinkDir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(conf)
+    if (!fs.exists(sinkPath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+      val ev = spark.read.parquet(eventsPath)
+      val ckpt = fastCheckpointDir()
+      def drain(): Unit = {
+        val q = spark.readStream.format("qbeast").load(tableDir)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", sinkDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+      def write(slice: DataFrame, mode: String): Unit = slice.write.format("qbeast")
+        .option("columnsToIndex", "user_id,event_id").option("cubeSize", "5000")
+        .mode(mode).save(tableDir)
+      write(ev.filter(col("event_id") % 2 === 0), "overwrite")
+      drain() // initial snapshot batch
+      write(ev.filter(col("event_id") % 2 =!= 0), "append")
+      drain() // incremental batch: only the appended commit's files
+    }
+    spark.read.parquet(sinkDir)
+  }
+
 }

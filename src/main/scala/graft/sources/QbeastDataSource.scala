@@ -23,9 +23,37 @@ class QbeastDataSource
     extends RelationProvider
     with CreatableRelationProvider
     with StreamSinkProvider
+    with StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "qbeast"
+
+  /** `readStream.format("qbeast")`: incremental consumption from the
+   * commit log (see [[QbeastStreamSource]]). */
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' is required for a qbeast stream source"))
+    val fromLog = QbeastLog
+      .snapshot(path, sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+      .schema
+    (shortName(), schema.orElse(fromLog).getOrElse(
+      throw new IllegalArgumentException(s"no qbeast table (or schema) at $path")))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' is required for a qbeast stream source"))
+    new QbeastStreamSource(sqlContext, path, schema, parameters)
+  }
 
   /** `writeStream.format("qbeast")`: indexed streaming ingestion with
    * exactly-once batch commits (txn keys). */

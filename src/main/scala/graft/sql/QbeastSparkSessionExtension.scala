@@ -106,6 +106,32 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
         else graft.expressions.WinnowFingerprints(children.head,
           graft.ops.Dedup.DefaultShingleTokens, 4)
       }))
+    // sketch kit:
+    //   SELECT src, graft_kmv_distinct(hash_col, 64).est ... GROUP BY src
+    //   WHERE graft_might_contain(bits_lit, key[, numHashes])
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(
+        classOf[graft.expressions.KmvDistinctAgg].getName, "graft_kmv_distinct"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_kmv_distinct(hash, k) — k must be an integer literal")
+        graft.expressions.KmvDistinctAgg(children.head,
+          intLitArg("graft_kmv_distinct")(children(1), "k"))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[graft.expressions.BloomMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          "graft_might_contain(bits, key[, numHashes]) — numHashes must be " +
+            "an integer literal")
+        graft.expressions.BloomMightContain(children.head, children(1),
+          if (children.length == 3)
+            intLitArg("graft_might_contain")(children(2), "numHashes")
+          else 3)
+      }))
   }
 
 }

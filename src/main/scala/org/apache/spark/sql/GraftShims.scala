@@ -18,6 +18,24 @@ object GraftShims {
       classicDf.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** Inverse of [[asBatchDataFrame]]: tag a batch plan's rows as a
+   * streaming DataFrame — what a V1 `Source.getBatch` must return
+   * (StreamExecution asserts `isStreaming`). */
+  def asStreamingDataFrame(df: DataFrame): DataFrame = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = classicDf.sparkSession
+    spark.internalCreateDataFrame(
+      classicDf.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
+  /** Empty streaming-tagged frame with the given schema (a micro-batch
+   * that admitted no files). */
+  def emptyStreamingDataFrame(spark: SparkSession, schema: StructType): DataFrame = {
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    classicSpark.internalCreateDataFrame(
+      classicSpark.sparkContext.emptyRDD[InternalRow], schema, isStreaming = true)
+  }
+
   /** `CatalogV2Util` is `private[sql]`; the staged-table legacy entry
    * points need the StructType → Column[] conversion. */
   def structTypeToV2Columns(schema: StructType)

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** readStream.format("qbeast"): a qbeast table as a Structured
+ * Streaming source — initial snapshot, incremental append consumption
+ * across restarts, layout-only commit skipping, and the non-append-only
+ * failure contract. */
+class StreamSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeSlice(tbl: String, lo: Long, hi: Long, mode: String): Unit =
+    (lo until hi).map(i => (i, i * 10.0, s"p$i")).toDF("id", "price", "tag")
+      .write.format("qbeast")
+      .option("columnsToIndex", "id,price").option("cubeSize", "100")
+      .mode(mode).save(tbl)
+
+  /** Drain everything currently available into a parquet sink dir. */
+  private def drain(tbl: String, ckpt: String, out: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format("qbeast")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(tbl)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination()
+    finally q.stop()
+  }
+
+  private def ids(out: String): Seq[Long] =
+    // an all-empty-batches sink has no parquet footer to infer from
+    try spark.read.parquet(out).select("id").collect().map(_.getLong(0)).toSeq.sorted
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.contains("Unable to infer schema") => Seq.empty }
+
+  test("initial snapshot + incremental appends across restarts, exactly once") {
+    val tbl = TestSpark.tmpDir("qss-tbl")
+    val ckpt = TestSpark.tmpDir("qss-ckpt")
+    val out = TestSpark.tmpDir("qss-out")
+    writeSlice(tbl, 0, 50, "overwrite")
+    writeSlice(tbl, 50, 80, "append")
+
+    drain(tbl, ckpt, out) // snapshot batch: both committed versions
+    assert(ids(out) == (0L until 80L))
+
+    writeSlice(tbl, 80, 100, "append")
+    writeSlice(tbl, 100, 110, "append")
+    drain(tbl, ckpt, out) // restart from checkpoint: only the new commits
+    assert(ids(out) == (0L until 110L), "appended rows must arrive exactly once")
+
+    drain(tbl, ckpt, out) // nothing new → no duplicates
+    assert(ids(out) == (0L until 110L))
+  }
+
+  test("layout-only commits (optimize) are skipped, not re-delivered") {
+    val tbl = TestSpark.tmpDir("qss-opt-tbl")
+    val ckpt = TestSpark.tmpDir("qss-opt-ckpt")
+    val out = TestSpark.tmpDir("qss-opt-out")
+    writeSlice(tbl, 0, 60, "overwrite")
+    drain(tbl, ckpt, out)
+    assert(ids(out) == (0L until 60L))
+
+    // compaction rewrites files with dataChange = false
+    graft.table.QbeastTable.forPath(spark, tbl).optimize()
+    writeSlice(tbl, 60, 70, "append")
+    drain(tbl, ckpt, out)
+    assert(ids(out) == (0L until 70L),
+      "optimize must contribute nothing; the append must still flow")
+  }
+
+  test("data-rewriting commit fails the stream unless ignoreChanges") {
+    val tbl = TestSpark.tmpDir("qss-del-tbl")
+    writeSlice(tbl, 0, 40, "overwrite")
+    val ckpt1 = TestSpark.tmpDir("qss-del-ckpt1")
+    val out1 = TestSpark.tmpDir("qss-del-out1")
+    drain(tbl, ckpt1, out1)
+    assert(ids(out1) == (0L until 40L))
+
+    // copy-on-write delete: removes + dataChange re-adds
+    graft.table.QbeastTable.forPath(spark, tbl).delete("id < 5")
+
+    val ex = intercept[StreamingQueryException] {
+      drain(tbl, ckpt1, out1)
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("ignoreChanges") || msgs.contains("ignoreDeletes"),
+      s"expected the append-only contract error, got: $msgs")
+
+    // with ignoreChanges the rewrite's re-added files flow (duplicates
+    // allowed by contract); a FRESH sink sees the current table content
+    val ckpt2 = TestSpark.tmpDir("qss-del-ckpt2")
+    val out2 = TestSpark.tmpDir("qss-del-out2")
+    drain(tbl, ckpt2, out2, Map("ignoreChanges" -> "true"))
+    assert(ids(out2) == (5L until 40L))
+  }
+
+  test("startingVersion=latest streams only commits after stream start") {
+    val tbl = TestSpark.tmpDir("qss-lat-tbl")
+    val ckpt = TestSpark.tmpDir("qss-lat-ckpt")
+    val out = TestSpark.tmpDir("qss-lat-out")
+    writeSlice(tbl, 0, 30, "overwrite")
+
+    drain(tbl, ckpt, out, Map("startingVersion" -> "latest"))
+    assert(ids(out).isEmpty, "no commits after stream start yet")
+
+    writeSlice(tbl, 30, 45, "append")
+    drain(tbl, ckpt, out, Map("startingVersion" -> "latest"))
+    assert(ids(out) == (30L until 45L))
+  }
+
+  test("startingVersion=N skips the snapshot and starts at commit N") {
+    val tbl = TestSpark.tmpDir("qss-sv-tbl")
+    val ckpt = TestSpark.tmpDir("qss-sv-ckpt")
+    val out = TestSpark.tmpDir("qss-sv-out")
+    writeSlice(tbl, 0, 20, "overwrite") // version 0
+    writeSlice(tbl, 20, 30, "append") // version 1
+    writeSlice(tbl, 30, 40, "append") // version 2
+    drain(tbl, ckpt, out, Map("startingVersion" -> "1"))
+    assert(ids(out) == (20L until 40L))
+  }
+
+}
