@@ -384,6 +384,11 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dec(col("value")).as("sv"))
     }),
+    "s16_stream_kmv" -> ((s, dir) =>
+      // sketch state in a stream: distinct-user estimate per event type,
+      // ≤ k longs of state per group; batching-independent, so the
+      // streamed sketch equals the batch sketch bit-for-bit
+      ops.Streaming.streamingKmvDistinct(s, s"$dir/events.parquet")),
     "s04_stream_watermark" -> ((s, dir) =>
       ops.Streaming.windowedAggWatermarked(s, s"$dir/events.parquet")),
     "s05_asof_join" -> ((s, dir) => {
@@ -1408,6 +1413,15 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1""".stripMargin,
+    "s16_stream_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |  ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv FROM events),
+        |r AS (SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n FROM h)
+        |SELECT event_type,
+        |  CASE WHEN n < 64 THEN n::DOUBLE ELSE (63.0 * 4294967296.0) / hv END AS est,
+        |  hv AS kth
+        |FROM r WHERE rn = least(n, 64)""".stripMargin,
     "t01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,

@@ -115,6 +115,36 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Streaming KMV distinct-count: estimated distinct users per event
+   * type, maintained as SKETCH STATE across micro-batches (complete
+   * mode; the TypedImperativeAggregate's serialized buffer lives in the
+   * state store, ≤ k longs per group instead of per-user state). The
+   * sketch merge is order- and batching-independent, so the streamed
+   * estimate is bit-identical to the batch estimate over the same rows
+   * — the oracle replays it exactly. At 100 TB/day event volumes this
+   * is the shape that answers "how many distinct users today" without
+   * keeping a distinct-user state set. */
+  def streamingKmvDistinct(
+      spark: SparkSession,
+      eventsPath: String,
+      k: Int = 64): DataFrame = {
+    val raw = eventsStream(spark, eventsPath)
+    val shims = org.apache.spark.sql.GraftShims
+    val hv = Sketch.portableHash32(col("user_id").cast("string"))
+    val sk = shims.column(graft.expressions.KmvDistinctAgg(
+      shims.expression(hv), k).toAggregateExpression())
+    val agg = raw.groupBy("event_type").agg(sk.as("sk"))
+      .select(col("event_type"), col("sk.est").as("est"), col("sk.kth").as("kth"))
+    val name = s"graft_stream_kmv_${counter.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** End-to-end streaming corpus ingestion — the composed training-data
    * pipeline as ONE continuous query: quality-gate each document
    * (TextOps.qualityFilter), exact-dedup by content hash in streaming

@@ -160,7 +160,20 @@ object QbeastWriter {
       val config = base.configuration ++ hookTags ++
         Map("qbeast.lastRevisionID" ->
           math.max(revisionToCommit.revisionID, base.lastRevisionID).toString)
-      actions += MetaDataAction(tableSchema.json, config)
+      // Re-derive the schema against the CURRENT base, not the snapshot
+      // this write started from: a concurrent append may itself have
+      // evolved the schema, and committing the stale merge would
+      // silently drop its columns from table metadata (metadata
+      // lost-update). With mergeSchema off, a concurrent widening makes
+      // the re-merge throw here — failing the append instead of
+      // clobbering — which is the right outcome for an enforced schema.
+      val schemaToCommit =
+        if (mode == SaveMode.Append)
+          base.schema.map(existing =>
+            SchemaEvolution.mergeForAppend(existing, data.schema, canMergeSchema))
+            .getOrElse(tableSchema)
+        else tableSchema
+      actions += MetaDataAction(schemaToCommit.json, config)
       if (isNewRevision) actions += RevisionAction(revisionToCommit)
       (options.txnAppId, options.txnVersion) match {
         case (Some(app), Some(v)) => actions += TxnAction(app, v)

@@ -3,6 +3,27 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Pre-commit hook that lands a schema-widening append (new column d)
+ * between the host write's snapshot read and its commit — the
+ * deterministic way to force a commit conflict against a concurrent
+ * schema evolution. */
+class ConcurrentEvolveHook extends graft.write.PreCommitHook {
+  override def name: String = "race"
+  override def run(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[graft.core.model.IndexFile]): Map[String, String] = {
+    import spark.implicits._
+    Seq((99L, 99.0, 9L)).toDF("a", "b", "d").write.format("qbeast")
+      .option("mergeSchema", "true").mode("append")
+      .save(ConcurrentEvolveHook.tableDir.get())
+    Map.empty
+  }
+}
+
+object ConcurrentEvolveHook {
+  val tableDir = new java.util.concurrent.atomic.AtomicReference[String]()
+}
+
 /** Schema evolution on append/overwrite (reference:
  * `delta/.../DeltaMetadataWriter.scala:82-85` — mergeSchema /
  * overwriteSchema). Evolution is metadata-only: old files are never
@@ -99,6 +120,43 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       assert(back.schema.fieldNames.toSeq === Seq("a", "b", "d"))
       assert(back.count() === 3)
     } finally spark.conf.unset("spark.qbeast.schema.autoMerge.enabled")
+  }
+
+  test("concurrent schema-evolving appends merge BOTH columns (no metadata lost-update)") {
+    // Deterministic race via a pre-commit hook: after the outer append
+    // has read its snapshot and written files, the hook lands ANOTHER
+    // append that widens the schema with col d. The outer commit then
+    // hits the conflict, rebases, and must RE-MERGE its schema against
+    // the new base — committing the stale merge would silently drop d.
+    val dir = freshTable()
+    ConcurrentEvolveHook.tableDir.set(dir)
+    Seq((5L, 5.0, "x")).toDF("a", "b", "c").write.format("qbeast")
+      .option("mergeSchema", "true")
+      .option("hook.race", classOf[ConcurrentEvolveHook].getName)
+      .mode("append").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.schema.fieldNames.toSet === Set("a", "b", "c", "d"),
+      s"lost a concurrently-added column: ${back.schema.fieldNames.mkString(",")}")
+    assert(back.count() === 4) // 2 base + 1 hook append + 1 outer append
+    assert(back.filter(col("c") === "x").count() === 1)
+    assert(back.filter(col("d") === 9L).count() === 1)
+  }
+
+  test("concurrent widening fails an enforced (no-mergeSchema) append instead of clobbering") {
+    val dir = freshTable()
+    ConcurrentEvolveHook.tableDir.set(dir)
+    val e = intercept[IllegalArgumentException] {
+      // same-schema append, schema enforcement on; the hook widens the
+      // table underneath it → the rebase re-merge must reject
+      Seq((6L, 6.0)).toDF("a", "b").write.format("qbeast")
+        .option("hook.race", classOf[ConcurrentEvolveHook].getName)
+        .mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.schema.fieldNames.toSet === Set("a", "b", "d"),
+      "the hook's widening must survive; the enforced append must not commit")
+    assert(back.count() === 3)
   }
 
   test("column order on append follows the table, not the incoming frame") {
