@@ -62,7 +62,10 @@ class QbeastStreamSource(
   private val ignoreChanges = boolOpt("ignoreChanges")
   private val ignoreDeletes = boolOpt("ignoreDeletes") || ignoreChanges
 
-  private val initialSnapshot = QbeastLog.snapshot(tablePath, hadoopConf)
+  // light replay: the source needs schema/version/revisions here, never
+  // the file bulk — on a sidecar-scale table this keeps the per-trigger
+  // driver cost O(commit tail), not O(files)
+  private val initialSnapshot = QbeastLog.lightSnapshot(tablePath, hadoopConf)
   require(!initialSnapshot.isEmpty, s"no qbeast table at $tablePath")
 
   override val schema: StructType =
@@ -79,7 +82,7 @@ class QbeastStreamSource(
   }
 
   override def getOffset: Option[Offset] = {
-    val head = QbeastLog.snapshot(tablePath, hadoopConf).version
+    val head = QbeastLog.lightSnapshot(tablePath, hadoopConf).version
     if (head < 0 && startExclusive < 0) None
     // An anchor ≥ head is still published when nothing is consumable
     // yet: the first (empty) batch checkpoints it, so a restarted
@@ -99,10 +102,12 @@ class QbeastStreamSource(
     val paths: Seq[String] = startV match {
       case -1L =>
         // initial snapshot: every live file at endV, then commits > endV
-        // stream incrementally
+        // stream incrementally. This is the one O(files) driver step; a
+        // stream that must avoid it on a huge table starts from
+        // `startingVersion` instead.
         QbeastLog.snapshot(tablePath, hadoopConf, endV).files.map(_.path)
       case s =>
-        val revisions = QbeastLog.snapshot(tablePath, hadoopConf).revisions
+        val revisions = QbeastLog.lightSnapshot(tablePath, hadoopConf).revisions
         (s + 1 to endV).flatMap { v =>
           val actions = QbeastLog.commitActions(tablePath, hadoopConf, v, revisions)
           val adds = actions.collect { case AddFileAction(f, dc) => (f, dc) }

@@ -152,4 +152,44 @@ class RoundtripSpec extends AnyFunSuite {
     assert(math.abs(n - f * li.count()) <= 0.01 * li.count() + 50)
   }
 
+  test("4-dimension mixed-type index (long, double, timestamp, hashed string)") {
+    val dir = TestSpark.tmpDir("qbeast-4d")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    li.write.format("qbeast")
+      .option("columnsToIndex",
+        "l_orderkey,l_extendedprice,l_shipdate,l_returnflag")
+      .option("cubeSize", "1000").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === li.count())
+
+    // revision carries all four transformers with auto-resolved types
+    val snap = graft.log.QbeastLog.snapshot(dir, spark.sparkContext.hadoopConfiguration)
+    val rev = snap.lastRevision.get
+    assert(rev.dimensionCount === 4)
+    assert(rev.columnNames ===
+      Vector("l_orderkey", "l_extendedprice", "l_shipdate", "l_returnflag"))
+
+    // range predicates over two of the four dims still prune files
+    import org.apache.spark.sql.functions._
+    val pred = col("l_orderkey").between(100, 200) &&
+      col("l_extendedprice") < 20000
+    val filtered = back.filter(pred)
+    val expected = li.filter(pred)
+    assert(filtered.count() === expected.count())
+    // scan metric, not input_file_name(): counts files LISTED for the
+    // scan (pruning evidence), not just files that produced rows
+    filtered.collect()
+    val numFiles = filtered.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case scan: org.apache.spark.sql.execution.FileSourceScanExec =>
+        scan.metrics("numFiles").value
+    }.getOrElse(-1L)
+    val total = snap.files.size.toLong
+    assert(numFiles >= 0 && numFiles < total,
+      s"4-dim range scan should prune (read $numFiles of $total)")
+
+    // sampling pushdown unaffected by dimensionality
+    val c = back.sample(0.1).count()
+    assert(math.abs(c - 600) <= 150, s"10% of 6000 expected ~600, got $c")
+  }
+
 }
