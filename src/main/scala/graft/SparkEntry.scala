@@ -384,6 +384,16 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dec(col("value")).as("sv"))
     }),
+    "s17_stream_source_ratelimit" -> ((s, dir) => {
+      // admission control: the same exactly-once drain, but split into
+      // maxFilesPerTrigger-bounded micro-batches under AvailableNow
+      QTables.ensureExtensions(s)
+      ops.Streaming.streamFromQbeastRateLimited(s, s"$dir/events.parquet",
+          QTables.cachePathFor(dir, "events_stream_ratelimit"),
+          QTables.cachePathFor(dir, "events_stream_ratelimit_sink"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dec(col("value")).as("sv"))
+    }),
     "s16_stream_kmv" -> ((s, dir) =>
       // sketch state in a stream: distinct-user estimate per event type,
       // ≤ k longs of state per group; batching-independent, so the
@@ -1410,6 +1420,11 @@ object SparkEntry {
     "s15_stream_source" ->
       // exactly-once contract: the drained sink must equal the full
       // events table after snapshot + incremental batches
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1""".stripMargin,
+    "s17_stream_source_ratelimit" ->
+      // rate limiting must change batch boundaries, never content
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1""".stripMargin,

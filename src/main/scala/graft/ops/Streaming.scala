@@ -490,4 +490,46 @@ object Streaming {
     spark.read.parquet(sinkDir)
   }
 
+  /**
+   * Rate-limited consumption of a qbeast table stream: the snapshot and
+   * two appended commits are drained under `maxFilesPerTrigger`, so one
+   * `Trigger.AvailableNow` run splits the backlog into many bounded
+   * micro-batches (admission control via
+   * `SupportsAdmissionControl.latestOffset` +
+   * `SupportsTriggerAvailableNow`, the FileStreamSource/Delta
+   * contract) instead of one giant batch. At 100 TB this is the knob
+   * that keeps a catching-up stream from planning a single
+   * cluster-wide mega-batch. Returns the drained sink (= the full
+   * events table iff exactly-once held across every bounded batch);
+   * the observed batch count is asserted in StreamSourceSpec.
+   */
+  def streamFromQbeastRateLimited(
+      spark: SparkSession,
+      eventsPath: String,
+      tableDir: String,
+      sinkDir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(conf)
+    if (!fs.exists(sinkPath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+      val ev = spark.read.parquet(eventsPath)
+      def write(slice: DataFrame, mode: String): Unit = slice.write.format("qbeast")
+        .option("columnsToIndex", "user_id,event_id").option("cubeSize", "5000")
+        .mode(mode).save(tableDir)
+      write(ev.filter(col("event_id") % 3 === 0), "overwrite")
+      write(ev.filter(col("event_id") % 3 === 1), "append")
+      write(ev.filter(col("event_id") % 3 === 2), "append")
+      val q = spark.readStream.format("qbeast")
+        .option("maxFilesPerTrigger", "2")
+        .load(tableDir)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", fastCheckpointDir()).option("path", sinkDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    spark.read.parquet(sinkDir)
+  }
+
 }

@@ -4,14 +4,62 @@ import graft.log.{AddFileAction, QbeastLog, RemoveFileAction}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.internal.Logging
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SQLContext}
 
-/** Log-version offset; `json` is just the version number, so restart
- * recovery parses it back with `toLong`. */
-final case class QbeastSourceOffset(version: Long) extends Offset {
-  override def json: String = version.toString
+import scala.collection.mutable
+
+/**
+ * Stream position in the commit log, file-granular so micro-batches can
+ * be rate-limited below commit granularity (the Delta
+ * `DeltaSourceOffset(reservoirVersion, index, isStartingVersion)`
+ * shape).
+ *
+ *  - `snapshotPhase = true`: the initial table snapshot pinned at
+ *    `version`; `index` files of the path-sorted snapshot file list are
+ *    consumed. The phase ends by normalizing to the commits-phase
+ *    offset `version` (snapshot(V) covers every commit ≤ V).
+ *  - `snapshotPhase = false`: all commits < `version` fully consumed
+ *    plus the first `index` data-adding files of commit `version`.
+ *    `index = Long.MaxValue` means commit `version` fully consumed —
+ *    serialized in the LEGACY form (just the version number) so
+ *    un-rate-limited streams and pre-existing checkpoints keep their
+ *    exact offset json.
+ */
+final case class QbeastSourceOffset(
+    version: Long,
+    index: Long = Long.MaxValue,
+    snapshotPhase: Boolean = false)
+    extends Offset {
+
+  override def json: String =
+    if (!snapshotPhase && index == Long.MaxValue) version.toString
+    else s"""{"version":$version,"index":$index,"snapshot":$snapshotPhase}"""
+
+}
+
+object QbeastSourceOffset {
+
+  def parse(json: String): QbeastSourceOffset = {
+    val s = json.trim
+    if (s.startsWith("{")) {
+      def field(name: String): String = {
+        val i = s.indexOf("\"" + name + "\"")
+        require(i >= 0, s"qbeast source offset missing '$name': $s")
+        s.substring(s.indexOf(':', i) + 1).takeWhile(c => c != ',' && c != '}').trim
+      }
+      QbeastSourceOffset(field("version").toLong, field("index").toLong,
+        field("snapshot").toBoolean)
+    } else QbeastSourceOffset(s.toLong)
+  }
+
+  def of(o: OffsetV2): QbeastSourceOffset = o match {
+    case q: QbeastSourceOffset => q
+    case other => parse(other.json)
+  }
+
 }
 
 /**
@@ -23,14 +71,24 @@ final case class QbeastSourceOffset(version: Long) extends Offset {
  * commit protocol for streaming reads).
  *
  * Semantics:
- *  - offset = committed log version; batch (a, b] = the files ADDED by
- *    commits a+1..b with `dataChange = true`. Layout-only commits
- *    (optimize / compaction / convert: adds with dataChange = false)
- *    are skipped — a stream never re-reads rewritten rows.
- *  - the FIRST batch is the full table snapshot at the stream's start
+ *  - a batch is a contiguous run of files in the deterministic stream
+ *    order: first the initial snapshot's files (path-sorted), then each
+ *    data-changing commit's added files in commit order. Layout-only
+ *    commits (optimize / compaction / convert: adds with
+ *    `dataChange = false`) are skipped — a stream never re-reads
+ *    rewritten rows.
+ *  - the FIRST phase is the full table snapshot at the stream's start
  *    version (Delta's initial-snapshot behavior). `startingVersion`
  *    overrides: a number starts at that commit (no snapshot),
  *    `"latest"` streams only commits after stream start.
+ *  - `maxFilesPerTrigger` / `maxBytesPerTrigger` bound each
+ *    micro-batch (admission control); at least one file is always
+ *    admitted so the stream can't stall. Implemented via
+ *    `SupportsAdmissionControl.latestOffset(start, limit)`, so the
+ *    engine hands us the start position — and via
+ *    `SupportsTriggerAvailableNow`, so `Trigger.AvailableNow` latches
+ *    the head ONCE and then drains it in rate-limited batches instead
+ *    of one giant batch (the FileStreamSource/Delta contract).
  *  - a data-changing commit that REMOVES files (DELETE / UPDATE /
  *    MERGE / RESTORE) breaks append-only semantics → the stream fails
  *    unless `ignoreDeletes` (skip delete-only commits) or
@@ -49,7 +107,7 @@ class QbeastStreamSource(
     tablePath: String,
     userSchema: Option[StructType],
     parameters: Map[String, String])
-    extends Source with Logging {
+    extends Source with SupportsTriggerAvailableNow with Logging {
 
   private val spark = sqlContext.sparkSession
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -61,6 +119,17 @@ class QbeastStreamSource(
 
   private val ignoreChanges = boolOpt("ignoreChanges")
   private val ignoreDeletes = boolOpt("ignoreDeletes") || ignoreChanges
+
+  private val maxFilesPerTrigger: Option[Int] =
+    opt("maxFilesPerTrigger").map(_.toInt).map { n =>
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n"); n
+    }
+  private val maxBytesPerTrigger: Option[Long] =
+    opt("maxBytesPerTrigger").map(_.toLong).map { n =>
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $n"); n
+    }
+  private def rateLimited: Boolean =
+    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
 
   // light replay: the source needs schema/version/revisions here, never
   // the file bulk — on a sidecar-scale table this keeps the per-trigger
@@ -81,56 +150,205 @@ class QbeastStreamSource(
     case None => -1L
   }
 
+  /** Trigger.AvailableNow: commits beyond the version latched here are
+   * left for a later run, no matter how long this one drains. */
+  @volatile private var latchedHead: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    latchedHead = Some(headVersion)
+    logInfo(s"qbeast stream AvailableNow latched at version ${latchedHead.get}")
+  }
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  private def headVersion: Long = {
+    val h = QbeastLog.lightSnapshot(tablePath, hadoopConf).version
+    latchedHead.fold(h)(math.min(h, _))
+  }
+
+  // -------------------------------------------------------------------
+  // deterministic file enumeration (driver-side, metadata only)
+  // -------------------------------------------------------------------
+
+  /** Path-sorted live files of the snapshot at `version` — the initial
+   * snapshot phase's fixed ordering. One O(files) replay per anchor. */
+  private val snapshotFilesCache = mutable.HashMap.empty[Long, Vector[(String, Long)]]
+
+  private def snapshotFiles(version: Long): Vector[(String, Long)] =
+    snapshotFilesCache.getOrElseUpdate(version,
+      QbeastLog.snapshot(tablePath, hadoopConf, version)
+        .files.map(f => (f.path, f.size)).sortBy(_._1))
+
+  private val commitAddsCache = mutable.LinkedHashMap.empty[Long, Vector[(String, Long)]]
+
+  /** The data-adding files of commit `v` in commit-file order, with the
+   * delete / rewrite guards applied. Empty for layout-only or
+   * tolerated delete commits. */
+  private def commitAdds(v: Long): Vector[(String, Long)] =
+    commitAddsCache.getOrElseUpdate(v, {
+      if (commitAddsCache.size > 64) commitAddsCache.remove(commitAddsCache.head._1)
+      val revisions = QbeastLog.lightSnapshot(tablePath, hadoopConf).revisions
+      val actions = QbeastLog.commitActions(tablePath, hadoopConf, v, revisions)
+      val adds = actions.collect { case AddFileAction(f, dc) => (f, dc) }
+      val removes = actions.collect { case r: RemoveFileAction => r }
+      val dataAdds = adds.collect { case (f, true) => (f.path, f.size) }
+      val layoutOnly = removes.nonEmpty && dataAdds.isEmpty && adds.nonEmpty
+      if (removes.nonEmpty && !layoutOnly) {
+        // delete-only commit → tolerated by ignoreDeletes; rewrite
+        // commit (removes + dataChange adds) → needs ignoreChanges
+        if (dataAdds.isEmpty) {
+          if (!ignoreDeletes) throw new UnsupportedOperationException(
+            s"qbeast streaming source: commit $v of $tablePath deletes data. " +
+              "Streaming a non-append-only table requires option " +
+              "'ignoreDeletes' (skip delete-only commits) or 'ignoreChanges'.")
+        } else if (!ignoreChanges) throw new UnsupportedOperationException(
+          s"qbeast streaming source: commit $v of $tablePath rewrites data " +
+            "(UPDATE/MERGE/RESTORE). Set option 'ignoreChanges' to stream " +
+            "re-added files (duplicates possible downstream).")
+      }
+      dataAdds.toVector
+    })
+
+  /** Where an un-started stream begins. */
+  private def initialPosition(head: Long): QbeastSourceOffset =
+    if (startExclusive == -1L) QbeastSourceOffset(head, 0L, snapshotPhase = true)
+    else QbeastSourceOffset(startExclusive)
+
+  /**
+   * Advance from `start` admitting files under the budget; `head` caps
+   * the walk. A batch never crosses the snapshot/commits boundary, so
+   * the snapshot anchor is always recoverable from the offsets alone.
+   * Returns `start` itself when nothing is admissible.
+   */
+  private def admit(start: QbeastSourceOffset, head: Long): QbeastSourceOffset = {
+    var files = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    var bytes = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var admitted = 0L
+    def take(size: Long): Boolean =
+      if (files <= 0 || (bytes <= 0 && admitted > 0)) false
+      else if (bytes < size && admitted > 0) false // at least one file always fits
+      else { files -= 1; bytes -= size; admitted += 1; true }
+
+    if (start.snapshotPhase) {
+      val all = snapshotFiles(start.version)
+      var i = start.index
+      while (i < all.length && take(all(i.toInt)._2)) i += 1
+      if (i >= all.length) QbeastSourceOffset(start.version) // snapshot done
+      else if (i == start.index) start
+      else QbeastSourceOffset(start.version, i, snapshotPhase = true)
+    } else {
+      var v = start.version
+      var i = if (start.index == Long.MaxValue) -1L else start.index
+      // resume a partially consumed commit, then walk forward
+      var done = false
+      var last: QbeastSourceOffset = start
+      while (!done) {
+        val adds = if (i >= 0 || v > start.version) commitAdds(v) else Vector.empty
+        if (i < 0) i = adds.length // legacy start: commit already consumed
+        while (i < adds.length && take(adds(i.toInt)._2)) i += 1
+        if (i < adds.length) { // budget exhausted mid-commit
+          last = QbeastSourceOffset(v, i)
+          done = true
+        } else {
+          last = QbeastSourceOffset(v)
+          if (v >= head) done = true
+          else { v += 1; i = 0 }
+        }
+      }
+      if (admitted == 0 && last.version == start.version) start else last
+    }
+  }
+
+  /** Files strictly after `start` up to and including `end` in stream
+   * order. */
+  private def filesBetween(
+      start: QbeastSourceOffset,
+      end: QbeastSourceOffset): Seq[String] = {
+    if (start.snapshotPhase || end.snapshotPhase) {
+      // both bounds inside the pinned snapshot (a batch never crosses
+      // the boundary; a legacy/done end equals "whole snapshot")
+      val anchor = if (end.snapshotPhase) end.version else start.version
+      val all = snapshotFiles(anchor)
+      val from = if (start.snapshotPhase) start.index else 0L
+      val until =
+        if (end.snapshotPhase) end.index
+        else all.length.toLong // end = commits-phase(anchor) = snapshot done
+      all.slice(from.toInt, until.toInt).map(_._1)
+    } else {
+      val out = Vector.newBuilder[String]
+      var v = start.version
+      if (start.index != Long.MaxValue) { // finish the partial commit
+        val adds = commitAdds(v)
+        val hi = if (v == end.version) math.min(end.indexOr(adds.length), adds.length.toLong)
+          else adds.length.toLong
+        adds.slice(start.index.toInt, hi.toInt).foreach(f => out += f._1)
+      }
+      v += 1
+      while (v <= end.version) {
+        val adds = commitAdds(v)
+        val hi = if (v == end.version) math.min(end.indexOr(adds.length), adds.length.toLong)
+          else adds.length.toLong
+        adds.take(hi.toInt).foreach(f => out += f._1)
+        v += 1
+      }
+      out.result()
+    }
+  }
+
+  private implicit class OffsetOps(o: QbeastSourceOffset) {
+    def indexOr(n: Long): Long = if (o.index == Long.MaxValue) n else o.index
+  }
+
+  // -------------------------------------------------------------------
+  // engine entry points
+  // -------------------------------------------------------------------
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val head = headVersion
+    val start = Option(startOffset).map(QbeastSourceOffset.of)
+      .getOrElse {
+        if (head < 0 && startExclusive < 0) return null
+        initialPosition(head)
+      }
+    if (!rateLimited) {
+      // unlimited: one batch to the head (legacy behavior + offsets)
+      val end =
+        if (start.snapshotPhase) QbeastSourceOffset(start.version)
+        else QbeastSourceOffset(math.max(head, start.version))
+      if (end == start && startOffset != null) startOffset else end
+    } else {
+      val end = admit(start, head)
+      if (end == start && startOffset != null) startOffset else end
+    }
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val head = headVersion
+    if (head < 0 && startExclusive < 0) null else QbeastSourceOffset(math.max(head, startExclusive))
+  }
+
+  /** Legacy V1 entry — only reached if the engine ever treats this as a
+   * plain Source (it doesn't once SupportsAdmissionControl is
+   * implemented); kept correct for direct use in tests. */
   override def getOffset: Option[Offset] = {
-    val head = QbeastLog.lightSnapshot(tablePath, hadoopConf).version
+    val head = headVersion
     if (head < 0 && startExclusive < 0) None
-    // An anchor ≥ head is still published when nothing is consumable
-    // yet: the first (empty) batch checkpoints it, so a restarted
-    // `startingVersion=latest` stream keeps the ORIGINAL anchor instead
-    // of re-resolving "latest" against a head that moved meanwhile.
     else Some(QbeastSourceOffset(math.max(head, startExclusive)))
   }
 
-  private def offsetVersion(o: Offset): Long = o match {
-    case QbeastSourceOffset(v) => v
-    case other => other.json.trim.toLong // SerializedOffset on restart
-  }
-
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = offsetVersion(end)
-    val startV = start.map(offsetVersion).getOrElse(startExclusive)
-    val paths: Seq[String] = startV match {
-      case -1L =>
-        // initial snapshot: every live file at endV, then commits > endV
-        // stream incrementally. This is the one O(files) driver step; a
-        // stream that must avoid it on a huge table starts from
-        // `startingVersion` instead.
-        QbeastLog.snapshot(tablePath, hadoopConf, endV).files.map(_.path)
-      case s =>
-        val revisions = QbeastLog.lightSnapshot(tablePath, hadoopConf).revisions
-        (s + 1 to endV).flatMap { v =>
-          val actions = QbeastLog.commitActions(tablePath, hadoopConf, v, revisions)
-          val adds = actions.collect { case AddFileAction(f, dc) => (f, dc) }
-          val removes = actions.collect { case r: RemoveFileAction => r }
-          val dataAdds = adds.collect { case (f, true) => f.path }
-          val layoutOnly = removes.nonEmpty && dataAdds.isEmpty && adds.nonEmpty
-          if (removes.nonEmpty && !layoutOnly) {
-            // delete-only commit → tolerated by ignoreDeletes; rewrite
-            // commit (removes + dataChange adds) → needs ignoreChanges
-            if (dataAdds.isEmpty) {
-              if (!ignoreDeletes) throw new UnsupportedOperationException(
-                s"qbeast streaming source: commit $v of $tablePath deletes data. " +
-                  "Streaming a non-append-only table requires option " +
-                  "'ignoreDeletes' (skip delete-only commits) or 'ignoreChanges'.")
-            } else if (!ignoreChanges) throw new UnsupportedOperationException(
-              s"qbeast streaming source: commit $v of $tablePath rewrites data " +
-                "(UPDATE/MERGE/RESTORE). Set option 'ignoreChanges' to stream " +
-                "re-added files (duplicates possible downstream).")
-          }
-          dataAdds
-        }
-    }
-    logInfo(s"qbeast stream batch ($startV, $endV]: ${paths.length} files")
+    val endO = QbeastSourceOffset.of(end)
+    val startO = start.map(QbeastSourceOffset.of).getOrElse(initialPosition(endO.version))
+    val paths = filesBetween(startO, endO)
+    logInfo(s"qbeast stream batch (${startO.json} .. ${endO.json}]: ${paths.length} files")
     val shims = org.apache.spark.sql.GraftShims
     if (paths.isEmpty) shims.emptyStreamingDataFrame(spark, schema)
     else {
