@@ -78,6 +78,66 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** Orders after an overwrite + copy-on-write delete + zero-retention
+   * vacuum: the overwrite's dead files and the delete's removed files
+   * are physically gone, and the builder PROVES it — every parquet file
+   * left on disk must be referenced by the live snapshot (at 100 TB,
+   * unreclaimed rewrite garbage doubles storage). Content equals
+   * orders minus the deleted predicate. */
+  def qbeastVacuumed(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_vacuumed")
+    val conf = spark.sparkContext.hadoopConfiguration
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, conf)) {
+        val (cols, cubeSize) = indexSpecs("orders")
+        def write(df: DataFrame, mode: String): Unit = df.write.format("qbeast")
+          .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
+          .mode(mode).save(path)
+        val o = raw(spark, sfDir, "orders")
+        write(o.filter("o_orderkey % 5 = 0"), "errorifexists") // soon-dead files
+        write(o, "overwrite") // replaces everything above
+        graft.table.QbeastTable.forPath(spark, path).delete("o_orderkey % 7 = 3")
+        val removed = graft.table.QbeastTable.forPath(spark, path)
+          .vacuum(retainMillis = 0L, force = true)
+        require(removed > 0, "vacuum should have had dead files to delete")
+        val live = graft.log.QbeastLog.snapshot(path, conf).files.map(_.path).toSet
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName).toSet
+        require(onDisk == live,
+          s"vacuum left non-live files: ${(onDisk -- live).take(5)} / " +
+            s"deleted live files: ${(live -- onDisk).take(5)}")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
+  /** A small orders table taken through a fixed operation sequence so
+   * `QbeastTable.history()` has a deterministic shape: v0 WRITE,
+   * v1 OVERWRITE, v2 WRITE (append), v3 DELETE, v4 OPTIMIZE. */
+  def qbeastHistoried(spark: SparkSession, sfDir: String): String = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_historied")
+    val conf = spark.sparkContext.hadoopConfiguration
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, conf)) {
+        val (cols, cubeSize) = indexSpecs("orders")
+        def write(df: DataFrame, mode: String): Unit = df.write.format("qbeast")
+          .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
+          .mode(mode).save(path)
+        val o = raw(spark, sfDir, "orders")
+        write(o.filter("o_orderkey % 2 = 0"), "errorifexists") // v0 WRITE
+        write(o, "overwrite") // v1 OVERWRITE (covers the full key domain)
+        write(o.filter("o_orderkey % 11 = 5"), "append") // v2 WRITE
+        graft.table.QbeastTable.forPath(spark, path).delete("o_orderkey % 13 = 2") // v3
+        graft.table.QbeastTable.forPath(spark, path).optimize() // v4
+      }
+    }
+    path
+  }
+
   /** A lineitem table built by an initial write plus an append (exercises
    * revision merging); content equals the full raw table. */
   def qbeastAppended(spark: SparkSession, sfDir: String): DataFrame = {

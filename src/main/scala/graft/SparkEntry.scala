@@ -855,6 +855,23 @@ object SparkEntry {
         .groupBy(coalesce(col("c_mktsegment"), lit("none")).as("seg"))
         .agg(count(lit(1)).as("n"), dec(col("c_acctbal")).as("sum_bal"))
     }),
+    "q72_vacuum" -> ((s, dir) => {
+      // overwrite + copy-on-write delete leave dead files; vacuum(0)
+      // physically reclaims them (the builder asserts disk == live set)
+      // and the surviving table still reads exactly right
+      QTables.qbeastVacuumed(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
+    "q73_history" -> ((s, dir) => {
+      import s.implicits._
+      // DESCRIBE HISTORY over the commit log: a fixed operation
+      // sequence must be recorded faithfully (commitInfo actions)
+      val path = QTables.qbeastHistoried(s, dir)
+      table.QbeastTable.forPath(s, path).history()
+        .map(h => (h.version, h.operation, h.addedFiles > 0, h.removedFiles > 0))
+        .toDF("version", "operation", "has_adds", "has_removes")
+    }),
     "q65_distributed_meta" -> ((s, dir) => {
       // metadata-scale read: parquet sidecar checkpoint + executor-side
       // block pruning (light log replay; the post-checkpoint append tail
@@ -1902,6 +1919,21 @@ object SparkEntry {
     "q65_distributed_meta" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_extendedprice < 20000 GROUP BY 1""".stripMargin,
+    "q72_vacuum" ->
+      // final content: full orders minus the deleted predicate — dead
+      // files from the pre-overwrite write and the delete's rewrites
+      // are vacuumed and must not leak into the read
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""".stripMargin,
+    "q73_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'WRITE',     true, false),
+        |  (CAST(1 AS BIGINT), 'OVERWRITE', true, true),
+        |  (CAST(2 AS BIGINT), 'WRITE',     true, false),
+        |  (CAST(3 AS BIGINT), 'DELETE',    true, true),
+        |  (CAST(4 AS BIGINT), 'OPTIMIZE',  true, true))
+        |AS t(version, operation, has_adds, has_removes)""".stripMargin,
     "q57_corpus_diff" ->
       """SELECT l_returnflag, count(*) AS n_added, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1""".stripMargin,
