@@ -743,6 +743,21 @@ object SparkEntry {
       // cardinality (TypedImperativeAggregate with map-side partials)
       ops.Sketch.kmvDistinct(QTables.raw(s, dir, "documents"), "source",
         col("text"), k = 64)),
+    "t35_heavy_hitters" -> ((s, dir) => {
+      // exact bigram heavy hitters with a count-min candidate pass: the
+      // sketch (4×4096 longs, map-side combined) prunes the exact
+      // groupBy to candidate keys only — no false negatives, HAVING
+      // removes the false positives, so the output is exactly the
+      // GROUP BY ... HAVING the oracle computes
+      val d = QTables.raw(s, dir, "documents")
+        .select(split(trim(col("text")), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2)))")).as("bigram"))
+      ops.Sketch.heavyHitters(d, col("bigram"), threshold = 40L)
+        .withColumnRenamed("key", "bigram")
+    }),
     "t32_bm25" -> ((s, dir) =>
       // topical-subset mining: BM25 of every doc vs a query vocabulary
       ops.TextOps.bm25(QTables.raw(s, dir, "documents"), "doc_id", "text",
@@ -1703,6 +1718,14 @@ object SparkEntry {
     "t30_bucket_clusters" ->
       s"""WITH RECURSIVE $starCteBody
          |SELECT doc_id, cluster FROM lab""".stripMargin,
+    "t35_heavy_hitters" ->
+      // the CMS candidate pass is invisible to the result: exact
+      // bigram counts thresholded (no false negatives by construction,
+      // false positives removed by the exact confirm)
+      """WITH v AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram
+        |      FROM v, unnest(range(1, len(toks))) AS t(i) WHERE len(toks) >= 2)
+        |SELECT bigram, count(*) AS n FROM b GROUP BY 1 HAVING count(*) >= 40""".stripMargin,
     "t31_kmv_distinct" ->
       // KMV estimator replay: k smallest distinct 32-bit md5 hashes per
       // group; exact count below k, (k-1)·2^32/kth beyond (the double

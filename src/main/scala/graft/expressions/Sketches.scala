@@ -284,3 +284,147 @@ final case class BloomMightContain(left: Expression, right: Expression, numHashe
   override def prettyName: String = "graft_might_contain"
 
 }
+
+// ---------------------------------------------------------------------------
+// Count-min sketch: counter-matrix aggregate + codegen point estimate
+// ---------------------------------------------------------------------------
+
+object CmsImpl {
+
+  /** Row-r probe column for key hash `v`: splitmix64 re-mix salted by
+   * the row index, reduced mod width. Internal-only (the heavy-hitter
+   * pipeline re-confirms candidates exactly, so the oracle never needs
+   * to replay these probes). */
+  def probe(v: Long, row: Int, width: Int): Int =
+    java.lang.Long.remainderUnsigned(
+      SketchHash.mix64(v + row.toLong * 0xc2b2ae3d27d4eb4fL), width.toLong).toInt
+
+  def update(counters: Array[Long], v: Long, depth: Int, width: Int): Unit = {
+    var r = 0
+    while (r < depth) {
+      counters(r * width + probe(v, r, width)) += 1L
+      r += 1
+    }
+  }
+
+  /** Point estimate = min over rows; an OVERestimate of the true count
+   * (counters only ever collide upward), hence no false negatives when
+   * thresholding. */
+  def estimate(counters: ArrayData, v: Long, depth: Int, width: Int): Long = {
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = counters.getLong(r * width + probe(v, r, width))
+      if (c < min) min = c
+      r += 1
+    }
+    min
+  }
+
+}
+
+/**
+ * Count-min sketch aggregate over a LongType key hash: a depth×width
+ * counter matrix flattened to `array<bigint>`. Partial buffers merge by
+ * elementwise addition (the sketch is a linear projection of the count
+ * vector), so map-side combine applies and the shuffle carries
+ * depth·width longs per task — for the default 4×4096 that is 128 KiB
+ * regardless of input size. The driver-side result is small enough to
+ * re-broadcast as a literal into a [[CmsEstimate]] predicate: the
+ * frequency analogue of the bloom join pre-filter.
+ */
+final case class CmsAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 16, s"cms depth must be in [1,16], got $depth")
+  require(width >= 16, s"cms width must be >= 16, got $width")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cms agg expects a bigint key input, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) CmsImpl.update(buffer, v.asInstanceOf[Long], depth, width)
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsAgg =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(offset: Int): CmsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CmsAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_cms"
+
+}
+
+/**
+ * `cms_estimate(counters, keyHash)` — count-min point estimate of the
+ * key's frequency (always ≥ the true count). Stays inside whole-stage
+ * codegen via a static helper call, like [[BloomMightContain]].
+ */
+final case class CmsEstimate(left: Expression, right: Expression, depth: Int, width: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }) && right.dataType == LongType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cms_estimate expects (array<bigint>, bigint), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(counters: Any, v: Any): Any =
+    CmsImpl.estimate(counters.asInstanceOf[ArrayData], v.asInstanceOf[Long], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, v) =>
+      s"${ev.value} = graft.expressions.CmsImpl.estimate($c, $v, $depth, $width);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cms_estimate"
+
+}

@@ -83,4 +83,39 @@ object Sketch {
       shims.expression(bitsLit), shims.expression(probeKey), numHashes)))
   }
 
+  /**
+   * Exact heavy hitters via a count-min candidate pass: one scan builds
+   * a depth×width CMS over the key hashes (metadata-sized: 128 KiB at
+   * the defaults, via map-side-combining [[graft.expressions.CmsAgg]]);
+   * the sketch rides back into a [[graft.expressions.CmsEstimate]]
+   * predicate that drops every row whose key CANNOT reach `threshold`
+   * (CMS never underestimates → no false negatives); only the
+   * surviving rows pay the exact groupBy, whose HAVING removes the
+   * sketch's false positives. Output `(key, n)` is therefore EXACTLY
+   * `GROUP BY key HAVING count(*) >= threshold` — but at 100 TB the
+   * exact aggregation shuffles only rows of candidate keys instead of
+   * the full keyspace, which is the difference between a bounded
+   * second pass and a terabyte exchange when the key column is
+   * long-tailed (the usual shape: a handful of boilerplate documents /
+   * hot users / stopword n-grams over billions of singletons).
+   */
+  def heavyHitters(
+      df: DataFrame,
+      key: Column,
+      threshold: Long,
+      depth: Int = 4,
+      width: Int = 4096): DataFrame = {
+    val keyed = df.select(key.as("key"), portableHash32(key).as("_h"))
+    val cmsAgg = shims.column(
+      graft.expressions.CmsAgg(
+        shims.expression(col("_h")), depth, width).toAggregateExpression())
+    val counters = keyed.select(cmsAgg.as("c")).head().getSeq[Long](0).toArray
+    val estimate = shims.column(graft.expressions.CmsEstimate(
+      shims.expression(typedlit(counters.toSeq)),
+      shims.expression(col("_h")), depth, width))
+    keyed.filter(estimate >= threshold)
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
+
 }

@@ -132,6 +132,34 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
             intLitArg("graft_might_contain")(children(2), "numHashes")
           else 3)
       }))
+    //   SELECT graft_cms(hash[, depth, width]) ... (counter matrix)
+    //   WHERE graft_cms_estimate(counters_lit, hash[, depth, width]) >= T
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[graft.expressions.CmsAgg].getName, "graft_cms"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 3,
+          "graft_cms(hash[, depth, width]) — depth/width must be integer literals")
+        if (children.length == 3)
+          graft.expressions.CmsAgg(children.head,
+            intLitArg("graft_cms")(children(1), "depth"),
+            intLitArg("graft_cms")(children(2), "width"))
+        else graft.expressions.CmsAgg(children.head, 4, 4096)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(
+        classOf[graft.expressions.CmsEstimate].getName, "graft_cms_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 4,
+          "graft_cms_estimate(counters, hash[, depth, width]) — depth/width " +
+            "must be integer literals")
+        if (children.length == 4)
+          graft.expressions.CmsEstimate(children.head, children(1),
+            intLitArg("graft_cms_estimate")(children(2), "depth"),
+            intLitArg("graft_cms_estimate")(children(3), "width"))
+        else graft.expressions.CmsEstimate(children.head, children(1), 4, 4096)
+      }))
   }
 
 }

@@ -80,6 +80,60 @@ class SketchSpec extends AnyFunSuite {
       s"expected UDF-free plan:\n$plan")
   }
 
+  // ---- count-min heavy hitters ---------------------------------------------
+
+  test("heavyHitters equals exact GROUP BY HAVING on a skewed keyspace") {
+    // zipf-ish: key i appears (1000 / (i+1)) times
+    val rows = (0 until 400).flatMap(i => Seq.fill(1000 / (i + 1))(s"key_$i"))
+    val df = rows.toDF("k").repartition(7)
+    val got = ops.Sketch.heavyHitters(df, col("k"), threshold = 50L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 50L).toMap
+    assert(got == exact)
+  }
+
+  test("heavyHitters survives a tiny sketch (heavy collisions) unchanged") {
+    // width 16 over 300 keys: the sketch is mostly noise → many false
+    // candidates, but the exact confirm must still produce the exact set
+    val rows = (0 until 300).flatMap(i => Seq.fill(if (i < 5) 80 else 3)(s"k$i"))
+    val df = rows.toDF("k")
+    val got = ops.Sketch.heavyHitters(df, col("k"), threshold = 60L, depth = 2, width = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == (0 until 5).map(i => s"k$i" -> 80L).toMap)
+  }
+
+  test("cms estimate never underestimates and the candidate filter is codegen") {
+    val df = (0L until 2000L).map(i => i % 37L).toDF("h")
+    val shims = org.apache.spark.sql.GraftShims
+    val agg = shims.column(graft.expressions.CmsAgg(
+      shims.expression(col("h")), 4, 64).toAggregateExpression())
+    val counters = df.select(agg.as("c")).head().getSeq[Long](0)
+    assert(counters.length == 4 * 64)
+    val est = shims.column(graft.expressions.CmsEstimate(
+      shims.expression(typedlit(counters)), shims.expression(col("h")), 4, 64))
+    val under = df.distinct().select(col("h"), est.as("e"))
+      .collect().count(r => r.getLong(1) < 2000L / 37L) // true count ≥ 54
+    assert(under == 0, "CMS must never underestimate")
+    val filtered = df.filter(est >= lit(100L))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), s"expected codegen plan:\n$plan")
+  }
+
+  test("graft_cms / graft_cms_estimate work from SQL") {
+    QTables.ensureExtensions(spark)
+    (0L until 100L).map(i => i % 3L).toDF("h").createOrReplaceTempView("cms_in")
+    val counters = spark.sql("SELECT graft_cms(h, 4, 64) AS c FROM cms_in")
+      .head().getSeq[Long](0)
+    assert(counters.sum == 400L, "4 rows x 100 increments")
+    spark.sql("SELECT graft_cms(h, 4, 64) AS c FROM cms_in")
+      .createOrReplaceTempView("cms_sk")
+    val est = spark.sql(
+      "SELECT graft_cms_estimate(c, CAST(0 AS BIGINT), 4, 64) FROM cms_sk")
+      .head().getLong(0)
+    assert(est >= 34L, s"key 0 appears 34 times, estimate was $est")
+  }
+
   // ---- BM25 -----------------------------------------------------------------
 
   test("bm25 matches a hand-computed score on a two-doc corpus") {
