@@ -20,7 +20,8 @@ object Bench {
    * would turn those queries into no-op reads. */
   private val streamingSinks =
     Seq("events_streamed", "documents_stream_pipeline", "events_cdc",
-      "events_foreachbatch", "events_stream_source", "events_stream_source_sink")
+      "events_foreachbatch", "events_stream_source", "events_stream_source_sink",
+      "events_stream_ratelimit", "events_stream_ratelimit_sink")
 
   private def deleteDir(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -63,32 +64,44 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up: build every cached table + JIT/codegen paths so the timed
-    // section measures queries, not one-off indexing
+    // section measures queries, not one-off indexing. Per-builder times
+    // are published (index_build_tables) so a scale regression can be
+    // attributed to ONE builder instead of a single opaque total.
+    val buildTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed(name: String)(body: => Any): Unit = {
+      val s = System.nanoTime()
+      body
+      buildTimes(name) = (System.nanoTime() - s) / 1e9
+    }
     val t0 = System.nanoTime()
-    QTables.indexSpecs.keys.foreach(t => QTables.qbeast(spark, sfDir, t).count())
-    QTables.variantSpecs.keys.foreach(v => QTables.qbeastVariant(spark, sfDir, v).count())
-    QTables.qbeastAppended(spark, sfDir).count()
-    QTables.qbeastConverted(spark, sfDir).count()
-    QTables.qbeastOptimized(spark, sfDir).count()
-    QTables.qbeastQuantilePart(spark, sfDir).count()
-    QTables.qbeastOrdersWithStats(spark, sfDir).count()
-    QTables.catalogTable(spark, sfDir)
-    QTables.qbeastIvfEmbeddings(spark, sfDir).count()
-    QTables.replacedTable(spark, sfDir)
-    QTables.qbeastCompacted(spark, sfDir).count()
-    QTables.bucketedTables(spark, sfDir)
-    QTables.qbeastDeleted(spark, sfDir).count()
-    QTables.qbeastUpdated(spark, sfDir).count()
-    QTables.qbeastMerged(spark, sfDir).count()
-    QTables.qbeastRestored(spark, sfDir).count()
-    QTables.qbeastSqlUpdated(spark, sfDir).count()
-    QTables.qbeastSqlMerged(spark, sfDir).count()
-    QTables.qbeastCheckpointed(spark, sfDir).count()
-    QTables.qbeastHistogramPart(spark, sfDir).count()
-    QTables.qbeastSqlMergedGeneral(spark, sfDir).count()
-    QTables.qbeastSqlMergedRenamedKeys(spark, sfDir).count()
-    QTables.qbeastStructUpdated(spark, sfDir).count()
-    QTables.qbeastEvolved(spark, sfDir).count()
+    QTables.indexSpecs.keys.foreach(t =>
+      timed(t)(QTables.qbeast(spark, sfDir, t).count()))
+    QTables.variantSpecs.keys.foreach(v =>
+      timed(v)(QTables.qbeastVariant(spark, sfDir, v).count()))
+    timed("appended")(QTables.qbeastAppended(spark, sfDir).count())
+    timed("converted")(QTables.qbeastConverted(spark, sfDir).count())
+    timed("optimized")(QTables.qbeastOptimized(spark, sfDir).count())
+    timed("quantile_part")(QTables.qbeastQuantilePart(spark, sfDir).count())
+    timed("orders_stats")(QTables.qbeastOrdersWithStats(spark, sfDir).count())
+    timed("catalog")(QTables.catalogTable(spark, sfDir))
+    timed("ivf_embeddings")(QTables.qbeastIvfEmbeddings(spark, sfDir).count())
+    timed("replaced")(QTables.replacedTable(spark, sfDir))
+    timed("compacted")(QTables.qbeastCompacted(spark, sfDir).count())
+    timed("bucketed")(QTables.bucketedTables(spark, sfDir))
+    timed("deleted")(QTables.qbeastDeleted(spark, sfDir).count())
+    timed("updated")(QTables.qbeastUpdated(spark, sfDir).count())
+    timed("merged")(QTables.qbeastMerged(spark, sfDir).count())
+    timed("restored")(QTables.qbeastRestored(spark, sfDir).count())
+    timed("sql_updated")(QTables.qbeastSqlUpdated(spark, sfDir).count())
+    timed("sql_merged")(QTables.qbeastSqlMerged(spark, sfDir).count())
+    timed("checkpointed")(QTables.qbeastCheckpointed(spark, sfDir).count())
+    timed("histogram_part")(QTables.qbeastHistogramPart(spark, sfDir).count())
+    timed("sql_merged_general")(QTables.qbeastSqlMergedGeneral(spark, sfDir).count())
+    timed("sql_merged_renamed")(QTables.qbeastSqlMergedRenamedKeys(spark, sfDir).count())
+    timed("struct_updated")(QTables.qbeastStructUpdated(spark, sfDir).count())
+    timed("evolved")(QTables.qbeastEvolved(spark, sfDir).count())
+    timed("vacuumed")(QTables.qbeastVacuumed(spark, sfDir).count())
+    timed("historied")(QTables.qbeastHistoried(spark, sfDir))
     val indexBuild = (System.nanoTime() - t0) / 1e9
 
     var results = Seq.empty[(String, Double)]
@@ -126,7 +139,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"index_build_sec":$indexBuild,"iterations":$iters,"sf":"$sfDir"}""")
+    val buildJson = buildTimes
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"index_build_sec":$indexBuild,"index_build_tables":$buildJson,"iterations":$iters,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

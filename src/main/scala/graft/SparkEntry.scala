@@ -439,6 +439,10 @@ object SparkEntry {
       ops.Streaming.streamingDedup(s, s"$dir/events.parquet")),
     "s09_stream_stream_join" -> ((s, dir) =>
       ops.Streaming.streamStreamJoin(s, s"$dir/events.parquet")),
+    "s18_stream_stream_left_join" -> ((s, dir) =>
+      // outer variant: null-extended rows for errors the watermark
+      // proved unmatched (stream-stream state-expiry semantics)
+      ops.Streaming.streamStreamLeftJoin(s, s"$dir/events.parquet")),
     "s12_stream_static_join" -> ((s, dir) => {
       val dim = QTables.raw(s, dir, "customer").select("c_custkey", "c_mktsegment")
       ops.Streaming.streamStaticJoin(s, s"$dir/events.parquet", dim, "c_custkey")
@@ -1508,6 +1512,26 @@ object SparkEntry {
         |ON e.event_type = 'error' AND c.event_type = 'click'
         |AND c.user_id = e.user_id
         |AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts""".stripMargin,
+    "s18_stream_stream_left_join" ->
+      // matched rows emit immediately; null-extended rows emit only for
+      // errors the final GLOBAL watermark proved unmatched. Each side's
+      // watermark tracks the max event time of ITS OWN (filtered)
+      // stream, and the global watermark is their minimum — so the
+      // cutoff is least(max error ts, max click ts) − 1 h, not the
+      // table-wide max. Later unmatched errors stay pending, as they
+      // would on an unbounded stream.
+      """WITH e AS (SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |m AS (SELECT e.err_id, c.click_id, e.user_id FROM e JOIN c
+        |      ON c.user_id = e.user_id
+        |      AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts)
+        |SELECT err_id, click_id, user_id FROM m
+        |UNION ALL
+        |SELECT e.err_id, NULL AS click_id, e.user_id FROM e
+        |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = e.user_id
+        |      AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts)
+        |AND e.ts < least((SELECT max(ts) FROM e), (SELECT max(ts) FROM c))
+        |           - INTERVAL 1 HOUR""".stripMargin,
     "q45_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem

@@ -406,6 +406,47 @@ object Streaming {
     spark.table(name)
   }
 
+  /**
+   * LEFT OUTER stream-stream join: errors joined to clicks in the 30
+   * minutes before each error; an error with NO qualifying click emits
+   * a null-extended row once the global watermark proves no matching
+   * click can still arrive (err_ts < min(max err_ts, max click_ts) −
+   * 1 h on this finite input — each side's watermark tracks its own
+   * filtered stream). Matched rows emit immediately; the outer row is the
+   * state-expiry semantic the inner join (s09) cannot show. Trailing
+   * errors inside the final watermark hold-back stay pending, exactly
+   * as they would on an unbounded stream.
+   */
+  def streamStreamLeftJoin(spark: SparkSession, eventsPath: String): DataFrame = {
+    val errors0 = eventsStream(spark, eventsPath)
+    val errors = errors0
+      .withColumn("err_ts", graft.EventTime.timestamp(errors0))
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val clicks0 = eventsStream(spark, eventsPath)
+    val clicks = clicks0
+      .withColumn("click_ts", graft.EventTime.timestamp(clicks0))
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("err_ts") - expr("INTERVAL 30 minutes") &&
+        col("click_ts") <= col("err_ts"),
+      "leftOuter")
+      .select(col("err_id"), col("click_id"), col("user_id"))
+    val name = s"graft_stream_ssljoin_${counter.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** Per-user session counts (sessions split at gaps > 30 min), computed
    * with `flatMapGroupsWithState` over a streaming read — the canonical
    * custom-state pattern; state persists across micro-batches. */
