@@ -891,6 +891,25 @@ object SparkEntry {
         .map(h => (h.version, h.operation, h.addedFiles > 0, h.removedFiles > 0))
         .toDF("version", "operation", "has_adds", "has_removes")
     }),
+    "q74_manifest_read" -> ((s, dir) => {
+      // external-engine escape hatch: a consistent snapshot published
+      // as a symlink manifest; reading ONLY the listed parquet files
+      // (no commit log, as Presto/Trino/DuckDB would) must equal the
+      // table content
+      QTables.qbeast(s, dir, "orders") // ensure table
+      val path = QTables.cachePathFor(dir, "orders")
+      val n = table.QbeastTable.forPath(s, path).generateSymlinkManifest()
+      require(n > 0, "manifest should list files")
+      val manifest = new org.apache.hadoop.fs.Path(path, "_symlink_format_manifest/manifest")
+      val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val in = fs.open(manifest)
+      val files =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      s.read.parquet(files: _*)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q65_distributed_meta" -> ((s, dir) => {
       // metadata-scale read: parquet sidecar checkpoint + executor-side
       // block pruning (light log replay; the post-checkpoint append tail
@@ -1966,6 +1985,10 @@ object SparkEntry {
     "q65_distributed_meta" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_extendedprice < 20000 GROUP BY 1""".stripMargin,
+    "q74_manifest_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "q72_vacuum" ->
       // final content: full orders minus the deleted predicate — dead
       // files from the pre-overwrite write and the delete's rewrites

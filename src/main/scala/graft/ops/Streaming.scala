@@ -561,8 +561,10 @@ object Streaming {
       write(ev.filter(col("event_id") % 3 === 0), "overwrite")
       write(ev.filter(col("event_id") % 3 === 1), "append")
       write(ev.filter(col("event_id") % 3 === 2), "append")
+      // low enough to force several bounded batches at every SF, high
+      // enough that per-micro-batch overhead doesn't dominate the bench
       val q = spark.readStream.format("qbeast")
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", "8")
         .load(tableDir)
         .writeStream.format("parquet")
         .option("checkpointLocation", fastCheckpointDir()).option("path", sinkDir)

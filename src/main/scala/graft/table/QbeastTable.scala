@@ -946,6 +946,34 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     deleted
   }
 
+  /** Write `_symlink_format_manifest/manifest` — one absolute URI per
+   * live data file of the current snapshot — so engines that cannot
+   * read the commit log (Presto/Trino/Hive/DuckDB glob readers)
+   * consume a consistent table snapshot (Delta's
+   * `GENERATE symlink_format_manifest` equivalent). Written atomically
+   * (tmp + rename), so a concurrent reader sees the old complete
+   * manifest or the new one, never a torn file. Returns the number of
+   * files listed. The manifest pins a snapshot: files it references
+   * survive vacuum only while still live, exactly like Delta — rerun
+   * after every commit that should be published. */
+  def generateSymlinkManifest(): Int = {
+    val s = snapshot
+    val dir = new Path(tablePath, "_symlink_format_manifest")
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val tableUri = fs.makeQualified(new Path(tablePath)).toString
+    val body = s.files.map(f => s"$tableUri/${f.path}").sorted.mkString("", "\n", "\n")
+    val tmp = new Path(dir, s".manifest.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(dir, "manifest")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"failed to publish manifest at $dst")
+    s.files.size
+  }
+
   /** Force a consolidated checkpoint (JSON + parquet sidecar when the
    * table crosses `spark.qbeast.metadata.sidecar.minFiles`) at the
    * current version, without waiting for the commit-interval trigger —

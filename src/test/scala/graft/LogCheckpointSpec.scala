@@ -45,4 +45,35 @@ class LogCheckpointSpec extends AnyFunSuite {
     assert(spark.read.format("qbeast").load(dir).count() == 10)
   }
 
+  test("symlink manifest lists exactly the live snapshot, atomically replaced") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("manifest")
+    val df = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+    df.write.format("qbeast").option("columnsToIndex", "a,b")
+      .option("cubeSize", "100").save(dir)
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    val n1 = t.generateSymlinkManifest()
+    def manifestLines(): Seq[String] = {
+      val src = scala.io.Source.fromFile(s"$dir/_symlink_format_manifest/manifest")
+      try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    def liveNames(): Set[String] =
+      QbeastLog.snapshot(dir, conf).files.map(_.path).toSet
+    assert(manifestLines().size == n1)
+    assert(manifestLines().map(_.split('/').last).toSet == liveNames())
+    // reading ONLY the manifest files (no log) equals the table
+    assert(spark.read.parquet(manifestLines(): _*).count() == 500)
+
+    // an overwrite makes the manifest stale until regenerated — the
+    // Delta contract; regeneration republishes the new snapshot
+    df.filter("a <= 20").write.format("qbeast").mode("overwrite").save(dir)
+    val stale = manifestLines()
+    assert(stale.size == n1, "manifest must not change until regenerated")
+    val n2 = t.generateSymlinkManifest()
+    assert(manifestLines().map(_.split('/').last).toSet == liveNames())
+    assert(spark.read.parquet(manifestLines(): _*).count() == 20)
+    assert(n2 == liveNames().size)
+  }
+
 }
