@@ -140,7 +140,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val buildJson = buildTimes
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      // locale-independent formatting: the f interpolator would emit a
+      // decimal comma under comma-decimal locales and corrupt the JSON
+      .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000).toString }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"index_build_sec":$indexBuild,"index_build_tables":$buildJson,"iterations":$iters,"sf":"$sfDir"}""")
     spark.stop()

@@ -105,7 +105,13 @@ object Sketch {
       threshold: Long,
       depth: Int = 4,
       width: Int = 4096): DataFrame = {
-    val keyed = df.select(key.as("key"), portableHash32(key).as("_h"))
+    // NULL is a first-class group (exact GROUP BY semantics): nulls
+    // hash to a fixed sentinel so they flow through the sketch and the
+    // candidate filter instead of being silently dropped by null-safe
+    // expression evaluation; a real key colliding with the sentinel
+    // only inflates an estimate, never loses a group
+    val keyed = df.select(key.as("key"),
+      coalesce(portableHash32(key), lit(0L)).as("_h"))
     val cmsAgg = shims.column(
       graft.expressions.CmsAgg(
         shims.expression(col("_h")), depth, width).toAggregateExpression())

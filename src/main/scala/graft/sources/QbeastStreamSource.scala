@@ -128,9 +128,6 @@ class QbeastStreamSource(
     opt("maxBytesPerTrigger").map(_.toLong).map { n =>
       require(n > 0, s"maxBytesPerTrigger must be positive, got $n"); n
     }
-  private def rateLimited: Boolean =
-    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
-
   // light replay: the source needs schema/version/revisions here, never
   // the file bulk — on a sidecar-scale table this keeps the per-trigger
   // driver cost O(commit tail), not O(files)
@@ -222,15 +219,39 @@ class QbeastStreamSource(
     if (startExclusive == -1L) QbeastSourceOffset(head, 0L, snapshotPhase = true)
     else QbeastSourceOffset(startExclusive)
 
+  /** The (maxFiles, maxBytes) budget the ENGINE asked for. Trigger.Once
+   * passes ReadLimit.allAvailable() even when the source has configured
+   * per-trigger limits — honoring the parameter (not the instance
+   * options) is what makes "Once = drain everything available" hold,
+   * the FileStreamSource/Delta contract. Unrecognized limit shapes fall
+   * back to the configured options. */
+  private def budgetOf(limit: ReadLimit): (Long, Long) = {
+    import org.apache.spark.sql.connector.read.streaming._
+    limit match {
+      case _: ReadAllAvailable => (Long.MaxValue, Long.MaxValue)
+      case f: ReadMaxFiles => (f.maxFiles().toLong, Long.MaxValue)
+      case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(budgetOf).reduce((a, b) =>
+          (math.min(a._1, b._1), math.min(a._2, b._2)))
+      case _ =>
+        (maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue),
+          maxBytesPerTrigger.getOrElse(Long.MaxValue))
+    }
+  }
+
   /**
    * Advance from `start` admitting files under the budget; `head` caps
    * the walk. A batch never crosses the snapshot/commits boundary, so
    * the snapshot anchor is always recoverable from the offsets alone.
    * Returns `start` itself when nothing is admissible.
    */
-  private def admit(start: QbeastSourceOffset, head: Long): QbeastSourceOffset = {
-    var files = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
-    var bytes = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+  private def admit(
+      start: QbeastSourceOffset,
+      head: Long,
+      budget: (Long, Long)): QbeastSourceOffset = {
+    var files = budget._1
+    var bytes = budget._2
     var admitted = 0L
     def take(size: Long): Boolean =
       if (files <= 0 || (bytes <= 0 && admitted > 0)) false
@@ -318,14 +339,15 @@ class QbeastStreamSource(
         if (head < 0 && startExclusive < 0) return null
         initialPosition(head)
       }
-    if (!rateLimited) {
+    val budget = budgetOf(limit)
+    if (budget._1 == Long.MaxValue && budget._2 == Long.MaxValue) {
       // unlimited: one batch to the head (legacy behavior + offsets)
       val end =
         if (start.snapshotPhase) QbeastSourceOffset(start.version)
         else QbeastSourceOffset(math.max(head, start.version))
       if (end == start && startOffset != null) startOffset else end
     } else {
-      val end = admit(start, head)
+      val end = admit(start, head, budget)
       if (end == start && startOffset != null) startOffset else end
     }
   }

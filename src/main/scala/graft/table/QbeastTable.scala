@@ -968,9 +968,19 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(dir, "manifest")
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"failed to publish manifest at $dst")
+    // rename-with-overwrite: no delete-then-rename window where the
+    // manifest doesn't exist (FileContext maps to an atomic
+    // REPLACE_EXISTING move on local/HDFS); fall back to the non-atomic
+    // two-step only on filesystems without a FileContext impl
+    try
+      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: UnsupportedOperationException | _: java.io.FileNotFoundException =>
+        fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"failed to publish manifest at $dst")
+    }
     s.files.size
   }
 

@@ -93,6 +93,16 @@ class SketchSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("heavyHitters keeps NULL as a first-class group") {
+    val rows: Seq[Option[String]] =
+      Seq.fill(80)(None) ++ Seq.fill(70)(Some("a")) ++ Seq.fill(10)(Some("b"))
+    val got = rows.toDF("k")
+      .transform(d => ops.Sketch.heavyHitters(d, col("k"), threshold = 60L))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(None -> 80L, Some("a") -> 70L),
+      "the NULL group must count and threshold exactly like any other key")
+  }
+
   test("heavyHitters survives a tiny sketch (heavy collisions) unchanged") {
     // width 16 over 300 keys: the sketch is mostly noise → many false
     // candidates, but the exact confirm must still produce the exact set

@@ -157,6 +157,28 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(ids(out) == (0L until 130L))
   }
 
+  test("Trigger.Once overrides per-trigger limits and drains everything") {
+    // the engine passes ReadLimit.allAvailable() for Once — honoring the
+    // parameter over the configured options is the FileStreamSource/
+    // Delta contract; otherwise Once would silently under-consume
+    val tbl = TestSpark.tmpDir("qss-once-tbl")
+    val ckpt = TestSpark.tmpDir("qss-once-ckpt")
+    val out = TestSpark.tmpDir("qss-once-out")
+    writeSlice(tbl, 0, 60, "overwrite")
+    writeSlice(tbl, 60, 90, "append")
+    @annotation.nowarn("cat=deprecation")
+    val q = spark.readStream.format("qbeast")
+      .option("maxFilesPerTrigger", "1").load(tbl)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(Trigger.Once()).start()
+    try q.awaitTermination()
+    finally q.stop()
+    assert(ids(out) == (0L until 90L),
+      "Trigger.Once must process ALL available data in its single batch")
+    assert(batchCount(ckpt) == 1)
+  }
+
   test("maxBytesPerTrigger bounds batches; a restart resumes mid-snapshot") {
     val tbl = TestSpark.tmpDir("qss-rb-tbl")
     val out = TestSpark.tmpDir("qss-rb-out")
