@@ -45,18 +45,48 @@ final class CubeFileAssigner(
   @transient private lazy val defaultFileUtf8: UTF8String =
     UTF8String.fromString(defaultFile)
 
+  // one trie per executor (derived lazily from the broadcasts once the
+  // first row reveals the dimension count): the per-row walk becomes
+  // child-pointer hops — no CubeId allocation, no byte-array hashing
+  // per level. Benign build race across executor threads: both threads
+  // build the same structure, last reference wins.
+  @transient @volatile private var trie: graft.index.AssignTrie = null
+  @transient @volatile private var trieDims: Int = -1
+
+  private def trieFor(dims: Int): graft.index.AssignTrie = {
+    if (trieDims != dims) {
+      trie =
+        if (dims <= graft.index.CubeTrie.MaxTrieDims) {
+          val files = new scala.collection.mutable.HashMap[CubeId, UTF8String]
+          filesUtf8.forEach((c, f) => files.put(c, f))
+          new graft.index.AssignTrie(dims, weights, files.toMap, defaultFileUtf8)
+        } else null
+      trieDims = dims
+    }
+    trie
+  }
+
   def assign(coords: ArrayData, weight: Int): InternalRow = {
     val point = coords.toDoubleArray()
-    val cube = OTreeAlgorithm.findTargetCube(point, weight, weights)
-    var c = cube
-    var file = filesUtf8.get(c)
-    // cube unseen at rollup time (fresh leaf): nearest known ancestor
-    while (file == null && !c.isRoot) {
-      c = c.parent.get
-      file = filesUtf8.get(c)
+    val t = trieFor(point.length)
+    if (t != null) {
+      val cubeCoords = new Array[Long](point.length)
+      val (depth, file) = t.walk(point, weight, cubeCoords)
+      new GenericInternalRow(
+        Array[Any](CubeId(point.length, depth, cubeCoords).bytes, file))
+    } else {
+      // high-dimensional fallback: the original map walk
+      val cube = OTreeAlgorithm.findTargetCube(point, weight, weights)
+      var c = cube
+      var file = filesUtf8.get(c)
+      // cube unseen at rollup time (fresh leaf): nearest known ancestor
+      while (file == null && !c.isRoot) {
+        c = c.parent.get
+        file = filesUtf8.get(c)
+      }
+      new GenericInternalRow(
+        Array[Any](cube.bytes, if (file == null) defaultFileUtf8 else file))
     }
-    new GenericInternalRow(
-      Array[Any](cube.bytes, if (file == null) defaultFileUtf8 else file))
   }
 
 }

@@ -25,6 +25,12 @@ object QbeastColumns {
  */
 final class LocalOTreeBuilder(dims: Int, groupCubeSize: Int, bufferCapacity: Int) {
 
+  // hot path: pointer-walk trie (no CubeId allocation / byte-array
+  // hashing per traversed level — the walk cost is what dominates on
+  // deep trees over clustered key spaces); map fallback above the
+  // trie's fanout cap
+  private val trie: CountTrie =
+    if (dims <= CubeTrie.MaxTrieDims) new CountTrie(dims, groupCubeSize) else null
   private val occupancy = mutable.HashMap.empty[CubeId, Int]
   private val domains = mutable.HashMap.empty[CubeId, Long]
   private val bufPoints = new mutable.ArrayBuffer[Array[Double]](math.min(bufferCapacity, 1 << 16))
@@ -36,9 +42,13 @@ final class LocalOTreeBuilder(dims: Int, groupCubeSize: Int, bufferCapacity: Int
     bufPoints += point
     if (bufSize == bufKeys.length)
       bufKeys = java.util.Arrays.copyOf(bufKeys, bufKeys.length * 2)
-    // flip the int sign bit so the packed long sorts by signed weight
-    bufKeys(bufSize) =
-      (((weight ^ Int.MinValue).toLong & 0xffffffffL) << 32) | bufSize.toLong
+    // sign-extended weight in the top 32 bits: the signed long sort IS
+    // the signed weight sort, ties broken by insertion index. (The
+    // previous sign-bit-FLIP packing put the flipped bit at bit 63,
+    // flipping the long's sign back — placement ran non-negative
+    // weights first instead of lightest-first; caught by the trie
+    // parity test against a plain sortBy(weight) reference.)
+    bufKeys(bufSize) = (weight.toLong << 32) | bufSize.toLong
     bufSize += 1
     if (bufSize >= bufferCapacity) flush()
   }
@@ -55,6 +65,7 @@ final class LocalOTreeBuilder(dims: Int, groupCubeSize: Int, bufferCapacity: Int
   }
 
   private def place(point: Array[Double]): Unit = {
+    if (trie != null) { trie.place(point); return }
     var cube = CubeId.root(dims)
     var placed = false
     while (!placed) {
@@ -72,7 +83,8 @@ final class LocalOTreeBuilder(dims: Int, groupCubeSize: Int, bufferCapacity: Int
   /** Flush the remaining buffer and emit (cube, domain) pairs. */
   def result(): Iterator[(String, Long)] = {
     flush()
-    domains.iterator.map { case (cube, domain) => (cube.toString, domain) }
+    if (trie != null) trie.domains
+    else domains.iterator.map { case (cube, domain) => (cube.toString, domain) }
   }
 
 }

@@ -63,6 +63,57 @@ class CubeFileAssignSpec extends AnyFunSuite {
     }
   }
 
+  test("trie walk matches the map walk on a deep clustered tree") {
+    // a depth-22 chimney with sparse branches and PARTIAL file coverage:
+    // exercises absent-cube stops, ancestor file fallback across many
+    // levels, and the depth accumulation of the trie's coords
+    val dims = 2
+    val rnd = new scala.util.Random(23)
+    val clusters = (0 until 10).map(i => Array(i / 10.0 + 1e-7, i / 10.0 + 1e-7))
+    val weightsB = Map.newBuilder[CubeId, Weight]
+    val filesB = Map.newBuilder[CubeId, String]
+    clusters.zipWithIndex.foreach { case (c, ci) =>
+      var cube = CubeId.root(dims)
+      (0 until 22).foreach { lvl =>
+        weightsB += cube -> Weight(Int.MinValue + (lvl + 1) * (Int.MaxValue / 16))
+        if (lvl % 3 == ci % 3) filesB += cube -> s"f-$ci-$lvl"
+        cube = cube.childContaining(c)
+      }
+    }
+    val (weights, files) = (weightsB.result(), filesB.result())
+    val assigner = new CubeFileAssigner(
+      spark.sparkContext.broadcast(weights),
+      spark.sparkContext.broadcast(files), "file-default")
+
+    import spark.implicits._
+    val rows = (1 to 3000).map { _ =>
+      val base = clusters(rnd.nextInt(clusters.size))
+      val p =
+        if (rnd.nextBoolean()) Array(rnd.nextDouble(), rnd.nextDouble())
+        else Array(base(0) + rnd.nextDouble() * 1e-6, base(1) + rnd.nextDouble() * 1e-6)
+      (p, rnd.nextInt())
+    }
+    val shims = org.apache.spark.sql.GraftShims
+    val out = rows.toDF("coords", "w").select(
+      shims.column(CubeFileAssign(
+        shims.expression(col("coords").cast("array<double>")),
+        shims.expression(col("w")), assigner)).as("a"))
+      .select(col("a.cube"), col("a.file")).collect()
+    rows.zip(out).foreach { case ((coords, w), row) =>
+      val cube = OTreeAlgorithm.findTargetCube(coords, w, weights)
+      var c = cube
+      var file = files.getOrElse(c, null)
+      while (file == null && !c.isRoot) {
+        c = c.parent.get
+        file = files.getOrElse(c, null)
+      }
+      assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("cube"), cube.bytes),
+        s"cube mismatch at ${coords.mkString(",")} w=$w: " +
+          s"got ${CubeId.fromBytes(dims, row.getAs[Array[Byte]]("cube"))}, want $cube")
+      assert(row.getAs[String]("file") === (if (file == null) "file-default" else file))
+    }
+  }
+
   test("assignment projection runs in whole-stage codegen with no ScalaUDF") {
     import spark.implicits._
     val dims = 2

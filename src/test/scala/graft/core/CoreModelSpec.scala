@@ -121,6 +121,46 @@ class OTreeAlgorithmSpec extends AnyFunSuite {
     assert(childSum == 1000 - 10) // root keeps groupCubeSize, rest flows down
   }
 
+  test("trie-backed builder emits exactly the map-walk domains (clustered + uniform)") {
+    // reference implementation: the pre-trie map walk, verbatim
+    def mapDomains(points: Seq[(Array[Double], Int)], groupCubeSize: Int)
+        : Map[String, Long] = {
+      val occupancy = scala.collection.mutable.HashMap.empty[CubeId, Int]
+      val domains = scala.collection.mutable.HashMap.empty[CubeId, Long]
+      // place lightest-first like the builder's flush sort
+      points.sortBy(_._2).foreach { case (p, _) =>
+        var cube = CubeId.root(2)
+        var placed = false
+        while (!placed) {
+          domains.update(cube, domains.getOrElse(cube, 0L) + 1L)
+          val used = occupancy.getOrElse(cube, 0)
+          if (used < groupCubeSize || cube.depth >= CubeId.MaxDepth) {
+            occupancy.update(cube, used + 1); placed = true
+          } else cube = cube.childContaining(p)
+        }
+      }
+      domains.map { case (c, d) => c.toString -> d }.toMap
+    }
+    val rnd = new scala.util.Random(13)
+    // 10-cluster comb like the replica-shifted scale fixtures (deep
+    // chimney) mixed with uniform points
+    val points = (1 to 4000).map { i =>
+      val p =
+        if (i % 2 == 0) Array(rnd.nextDouble(), rnd.nextDouble())
+        else {
+          val c = rnd.nextInt(10) / 10.0
+          Array(c + rnd.nextDouble() * 1e-5, c + rnd.nextDouble() * 1e-5)
+        }
+      (p, rnd.nextInt())
+    }
+    val builder = new LocalOTreeBuilder(2, 20, 1 << 20) // single flush
+    points.foreach { case (p, w) => builder.add(p, w) }
+    val got = builder.result().toMap
+    assert(got == mapDomains(points, 20))
+    assert(got.keys.map(CubeId.fromString(2, _).depth).max > 10,
+      "the clustered fixture should force a deep tree")
+  }
+
   test("estimated weights increase with depth and cap at MaxValue") {
     val builder = new LocalOTreeBuilder(2, 50, 10000)
     val rnd = new scala.util.Random(11)
