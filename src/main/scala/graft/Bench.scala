@@ -102,6 +102,7 @@ object Bench {
     timed("evolved")(QTables.qbeastEvolved(spark, sfDir).count())
     timed("vacuumed")(QTables.qbeastVacuumed(spark, sfDir).count())
     timed("historied")(QTables.qbeastHistoried(spark, sfDir))
+    timed("sql_maint")(QTables.qbeastSqlMaintained(spark, sfDir).count())
     val indexBuild = (System.nanoTime() - t0) / 1e9
 
     var results = Seq.empty[(String, Double)]

@@ -114,6 +114,39 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** Orders maintained through the SQL statements (injectParser
+   * surface): split write + append, `OPTIMIZE '<path>'` repack, then
+   * `VACUUM '<path>' RETAIN 0 HOURS FORCE` — the optimize's rewritten
+   * originals must be physically reclaimed and content must equal the
+   * full raw table. */
+  def qbeastSqlMaintained(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_sql_maint")
+    val conf = spark.sparkContext.hadoopConfiguration
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, conf)) {
+        val (cols, cubeSize) = indexSpecs("orders")
+        val o = raw(spark, sfDir, "orders")
+        o.filter("o_orderkey % 3 = 0").write.format("qbeast")
+          .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
+          .save(path)
+        o.filter("o_orderkey % 3 <> 0").write.format("qbeast")
+          .mode("append").save(path)
+        spark.sql(s"OPTIMIZE '$path'").collect()
+        val deleted = spark.sql(s"VACUUM '$path' RETAIN 0 HOURS FORCE")
+          .collect().head.getLong(1)
+        require(deleted > 0, "SQL VACUUM should have reclaimed optimize garbage")
+        val live = graft.log.QbeastLog.snapshot(path, conf).files.map(_.path).toSet
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName).toSet
+        require(onDisk == live, s"SQL VACUUM left non-live files: ${(onDisk -- live).take(5)}")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** A small orders table taken through a fixed operation sequence so
    * `QbeastTable.history()` has a deterministic shape: v0 WRITE,
    * v1 OVERWRITE, v2 WRITE (append), v3 DELETE, v4 OPTIMIZE. */

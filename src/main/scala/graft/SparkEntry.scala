@@ -874,6 +874,15 @@ object SparkEntry {
         .groupBy(coalesce(col("c_mktsegment"), lit("none")).as("seg"))
         .agg(count(lit(1)).as("n"), dec(col("c_acctbal")).as("sum_bal"))
     }),
+    "q75_sql_maintenance" -> ((s, dir) => {
+      // the SQL maintenance surface end-to-end: OPTIMIZE '<path>' then
+      // VACUUM '<path>' RETAIN 0 HOURS FORCE (builder asserts the
+      // rewritten originals are physically reclaimed); content must
+      // survive both untouched
+      QTables.qbeastSqlMaintained(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q72_vacuum" -> ((s, dir) => {
       // overwrite + copy-on-write delete leave dead files; vacuum(0)
       // physically reclaims them (the builder asserts disk == live set)
@@ -1986,6 +1995,10 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_extendedprice < 20000 GROUP BY 1""".stripMargin,
     "q74_manifest_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q75_sql_maintenance" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,

@@ -15,6 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Mu
 class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    // maintenance statements: OPTIMIZE '<path>' / VACUUM '<path>'
+    // [RETAIN n HOURS] [FORCE]; everything else delegates untouched
+    extensions.injectParser { (_, delegate) => new QbeastSqlParser(delegate) }
     extensions.injectResolutionRule { session => new QbeastAnalysis(session) }
     // SQL UPDATE / MERGE INTO → the copy-on-write DML machinery
     extensions.injectResolutionRule { session => new QbeastDmlRules(session) }

@@ -1,0 +1,106 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.{Row, SparkSession}
+
+/**
+ * Maintenance-statement parser for qbeast tables, layered in front of
+ * the session parser via `injectParser` (the Delta SQL surface users
+ * expect from a log-structured table format, re-expressed over the
+ * qlog):
+ *
+ *   OPTIMIZE '<path>'                         -- index-preserving repack
+ *   VACUUM '<path>' [RETAIN <n> HOURS]        -- unreferenced-file GC
+ *   VACUUM '<path>' RETAIN 0 HOURS FORCE      -- below-minimum retention
+ *
+ * Paths are quoted string literals ('…' or "…"), matching Delta's
+ * path-table form (`VACUUM '/data/tbl'`). Everything else delegates to
+ * the underlying parser untouched, so the full Spark SQL surface is
+ * unaffected.
+ */
+class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+(?:'([^']+)'|"([^"]+)")\s*;?\s*""".r
+  private val VacuumRe =
+    ("""(?is)\s*VACUUM\s+(?:'([^']+)'|"([^"]+)")""" +
+      """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?(\s+FORCE)?\s*;?\s*""").r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(p1, p2) =>
+      OptimizeQbeastCommand(Option(p1).getOrElse(p2))
+    case VacuumRe(p1, p2, hours, force) =>
+      VacuumQbeastCommand(Option(p1).getOrElse(p2),
+        Option(hours).map(_.toDouble), force != null)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+
+}
+
+/** SQL `OPTIMIZE '<path>'` → [[graft.table.QbeastTable.optimize]] on
+ * every indexed revision (same work the Scala API does); returns the
+ * table path and post-optimize file count. */
+final case class OptimizeQbeastCommand(path: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = graft.table.QbeastTable.forPath(spark, path)
+    t.revisionIDs.filter(_ > 0).foreach(rid => t.optimize(rid))
+    val files = graft.log.QbeastLog
+      .snapshot(path, spark.sparkContext.hadoopConfiguration).allFilesCount
+    Seq(Row(path, files))
+  }
+
+}
+
+/** SQL `VACUUM '<path>' [RETAIN n HOURS] [FORCE]` →
+ * [[graft.table.QbeastTable.vacuum]]; returns the number of files
+ * deleted. Like the Scala API, retention below the safe minimum is
+ * rejected unless FORCE is given (a zero-retention vacuum racing an
+ * in-flight writer loses that writer's data). */
+final case class VacuumQbeastCommand(
+    path: String,
+    retainHours: Option[Double],
+    force: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("deleted_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val retainMillis = retainHours
+      .map(h => (h * 3600 * 1000).toLong)
+      .getOrElse(graft.table.QbeastTable.DefaultRetentionMillis)
+    val deleted = graft.table.QbeastTable.forPath(spark, path)
+      .vacuum(retainMillis, force)
+    Seq(Row(path, deleted.toLong))
+  }
+
+}
