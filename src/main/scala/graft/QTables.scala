@@ -58,7 +58,24 @@ object QTables {
       // access ts through EventTime, which adapts to either type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    if (table == "embeddings") normalizeEmbeddings(df) else df
+  }
+
+  /** The similarity kit is `array<float>`-typed end to end; a fixture
+   * regeneration that ships `embedding` as list<double> (the same kind
+   * of drift that broke the events `ts` column in round 9) must adapt
+   * HERE, at the single chokepoint every consumer reads through, not
+   * fail at analysis time in ten queries. */
+  private[graft] def normalizeEmbeddings(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema.find(_.name == "embedding").map(_.dataType) match {
+      case Some(ArrayType(FloatType, _)) => df
+      case Some(ArrayType(_, _)) =>
+        df.withColumn("embedding",
+          org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      case _ => df
+    }
   }
 
   /** The qbeast-indexed copy of `table`, writing it on first use. */
