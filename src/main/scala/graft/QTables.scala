@@ -71,10 +71,15 @@ object QTables {
     import org.apache.spark.sql.types._
     df.schema.find(_.name == "embedding").map(_.dataType) match {
       case Some(ArrayType(FloatType, _)) => df
-      case Some(ArrayType(_, _)) =>
+      case Some(ArrayType(e: NumericType, _)) =>
         df.withColumn("embedding",
           org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
-      case _ => df
+      case Some(other) =>
+        // a non-numeric element type is incompatible drift — casting
+        // would produce silent nulls; fail loudly instead
+        throw new IllegalStateException(
+          s"embeddings fixture drifted to an incompatible type: $other")
+      case None => df
     }
   }
 
@@ -118,17 +123,24 @@ object QTables {
         val removed = graft.table.QbeastTable.forPath(spark, path)
           .vacuum(retainMillis = 0L, force = true)
         require(removed > 0, "vacuum should have had dead files to delete")
-        val live = graft.log.QbeastLog.snapshot(path, conf).files.map(_.path).toSet
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-        val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.getName).toSet
-        require(onDisk == live,
-          s"vacuum left non-live files: ${(onDisk -- live).take(5)} / " +
-            s"deleted live files: ${(live -- onDisk).take(5)}")
+        assertNoDeadFiles(spark, path)
       }
     }
     spark.read.format("qbeast").load(path)
+  }
+
+  /** Post-vacuum invariant: every parquet file on disk is referenced by
+   * the live snapshot and vice versa. */
+  private def assertNoDeadFiles(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = graft.log.QbeastLog.snapshot(path, conf).files.map(_.path).toSet
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    require(onDisk == live,
+      s"vacuum left non-live files: ${(onDisk -- live).take(5)} / " +
+        s"deleted live files: ${(live -- onDisk).take(5)}")
   }
 
   /** Orders maintained through the SQL statements (injectParser
@@ -142,23 +154,30 @@ object QTables {
     val conf = spark.sparkContext.hadoopConfiguration
     lock.synchronized {
       if (!graft.log.QbeastLog.exists(path, conf)) {
-        val (cols, cubeSize) = indexSpecs("orders")
-        val o = raw(spark, sfDir, "orders")
-        o.filter("o_orderkey % 3 = 0").write.format("qbeast")
-          .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
-          .save(path)
-        o.filter("o_orderkey % 3 <> 0").write.format("qbeast")
-          .mode("append").save(path)
-        spark.sql(s"OPTIMIZE '$path'").collect()
-        val deleted = spark.sql(s"VACUUM '$path' RETAIN 0 HOURS FORCE")
-          .collect().head.getLong(1)
-        require(deleted > 0, "SQL VACUUM should have reclaimed optimize garbage")
-        val live = graft.log.QbeastLog.snapshot(path, conf).files.map(_.path).toSet
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-        val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.getName).toSet
-        require(onDisk == live, s"SQL VACUUM left non-live files: ${(onDisk -- live).take(5)}")
+        // a half-built table must not poison the existence-keyed cache:
+        // if ANY step fails (e.g. a session built without the parser
+        // extension, where spark.sql("OPTIMIZE ...") can't parse), wipe
+        // the path so the next call re-runs the WHOLE sequence instead
+        // of serving an unmaintained table as if maintained
+        try {
+          val (cols, cubeSize) = indexSpecs("orders")
+          val o = raw(spark, sfDir, "orders")
+          o.filter("o_orderkey % 3 = 0").write.format("qbeast")
+            .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
+            .save(path)
+          o.filter("o_orderkey % 3 <> 0").write.format("qbeast")
+            .mode("append").save(path)
+          spark.sql(s"OPTIMIZE '$path'").collect()
+          val deleted = spark.sql(s"VACUUM '$path' RETAIN 0 HOURS FORCE")
+            .collect().head.getLong(1)
+          require(deleted > 0, "SQL VACUUM should have reclaimed optimize garbage")
+          assertNoDeadFiles(spark, path)
+        } catch {
+          case e: Throwable =>
+            new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+              .delete(new org.apache.hadoop.fs.Path(path), true)
+            throw e
+        }
       }
     }
     spark.read.format("qbeast").load(path)

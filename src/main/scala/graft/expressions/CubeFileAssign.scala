@@ -45,26 +45,22 @@ final class CubeFileAssigner(
   @transient private lazy val defaultFileUtf8: UTF8String =
     UTF8String.fromString(defaultFile)
 
-  // one trie per executor (derived lazily from the broadcasts once the
-  // first row reveals the dimension count): the per-row walk becomes
+  // ONE trie per executor, not per task: the assigner is serialized
+  // into the task binary (addReferenceObj), so every task deserializes
+  // a fresh instance — instance-local caching would rebuild the trie
+  // (O(cubes·depth)) per task. The JVM-global cache keys on the
+  // broadcast ids, which identify the (weights, files) pair across all
+  // deserialized copies within this write. The per-row walk is then
   // child-pointer hops — no CubeId allocation, no byte-array hashing
-  // per level. Benign build race across executor threads: both threads
-  // build the same structure, last reference wins.
-  @transient @volatile private var trie: graft.index.AssignTrie = null
-  @transient @volatile private var trieDims: Int = -1
-
-  private def trieFor(dims: Int): graft.index.AssignTrie = {
-    if (trieDims != dims) {
-      trie =
-        if (dims <= graft.index.CubeTrie.MaxTrieDims) {
-          val files = new scala.collection.mutable.HashMap[CubeId, UTF8String]
-          filesUtf8.forEach((c, f) => files.put(c, f))
-          new graft.index.AssignTrie(dims, weights, files.toMap, defaultFileUtf8)
-        } else null
-      trieDims = dims
-    }
-    trie
-  }
+  // per level.
+  private def trieFor(dims: Int): graft.index.AssignTrie =
+    if (dims > graft.index.CubeTrie.MaxTrieDims) null
+    else CubeFileAssigner.trieCache.computeIfAbsent(
+      (bWeights.id, bFiles.id, dims), { _ =>
+        val files = Map.newBuilder[CubeId, UTF8String]
+        filesUtf8.forEach((c, f) => files += (c -> f))
+        new graft.index.AssignTrie(dims, weights, files.result(), defaultFileUtf8)
+      })
 
   def assign(coords: ArrayData, weight: Int): InternalRow = {
     val point = coords.toDoubleArray()
@@ -88,6 +84,25 @@ final class CubeFileAssigner(
         Array[Any](cube.bytes, if (file == null) defaultFileUtf8 else file))
     }
   }
+
+}
+
+object CubeFileAssigner {
+
+  /** Executor-JVM-wide trie cache keyed by (weightsBroadcastId,
+   * filesBroadcastId, dims). Bounded: concurrent writes are rare
+   * enough that dropping the oldest half on overflow is fine — a
+   * rebuilt trie is only the cost this cache exists to amortize. */
+  private[expressions] val trieCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long, Int), graft.index.AssignTrie] {
+      override def computeIfAbsent(
+          key: (Long, Long, Int),
+          fn: java.util.function.Function[_ >: (Long, Long, Int), _ <: graft.index.AssignTrie])
+          : graft.index.AssignTrie = {
+        if (size() > 16) clear()
+        super.computeIfAbsent(key, fn)
+      }
+    }
 
 }
 

@@ -31,8 +31,9 @@ final class LocalOTreeBuilder(dims: Int, groupCubeSize: Int, bufferCapacity: Int
   // trie's fanout cap
   private val trie: CountTrie =
     if (dims <= CubeTrie.MaxTrieDims) new CountTrie(dims, groupCubeSize) else null
-  private val occupancy = mutable.HashMap.empty[CubeId, Int]
-  private val domains = mutable.HashMap.empty[CubeId, Long]
+  // only materialized on the high-dimensional fallback path
+  private lazy val occupancy = mutable.HashMap.empty[CubeId, Int]
+  private lazy val domains = mutable.HashMap.empty[CubeId, Long]
   private val bufPoints = new mutable.ArrayBuffer[Array[Double]](math.min(bufferCapacity, 1 << 16))
   // (weight << 32 | index) packed for a primitive no-boxing sort
   private var bufKeys = new Array[Long](math.min(bufferCapacity, 1 << 16))

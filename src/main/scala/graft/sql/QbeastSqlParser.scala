@@ -26,12 +26,21 @@ import org.apache.spark.sql.{Row, SparkSession}
 class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+(?:'([^']+)'|"([^"]+)")\s*;?\s*""".r
+    """(?is)OPTIMIZE\s+(?:'([^']+)'|"([^"]+)")""".r
   private val VacuumRe =
-    ("""(?is)\s*VACUUM\s+(?:'([^']+)'|"([^"]+)")""" +
-      """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?(\s+FORCE)?\s*;?\s*""").r
+    ("""(?is)VACUUM\s+(?:'([^']+)'|"([^"]+)")""" +
+      """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?(\s+FORCE)?""").r
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  /** Line comments, bracketed comments and trailing semicolons are
+   * tolerated around the statement (a decorated statement must not
+   * silently demote to the stock parser and die on the keyword). */
+  private def strip(sqlText: String): String = sqlText
+    .replaceAll("(?s)/\\*.*?\\*/", " ")
+    .replaceAll("--[^\n]*", " ")
+    .replaceAll("[;\\s]+$", "")
+    .trim
+
+  override def parsePlan(sqlText: String): LogicalPlan = strip(sqlText) match {
     case OptimizeRe(p1, p2) =>
       OptimizeQbeastCommand(Option(p1).getOrElse(p2))
     case VacuumRe(p1, p2, hours, force) =>

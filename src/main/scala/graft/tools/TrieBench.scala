@@ -19,21 +19,21 @@ object TrieBench {
           Array(c + rnd.nextDouble() * 1e-7, c + rnd.nextDouble() * 1e-7)
         }
       }
-    def time(label: String)(body: => Any): Unit = {
+    def time(label: String, rows: Int)(body: => Any): Unit = {
       (1 to 2).foreach(_ => body) // warm
       val t0 = System.nanoTime()
       body
-      println(f"[triebench] $label: ${(System.nanoTime() - t0) / 1e6}%.0f ms for $n rows")
+      println(f"[triebench] $label: ${(System.nanoTime() - t0) / 1e6}%.0f ms for $rows rows")
     }
     Seq(true, false).foreach { clustered =>
       val pts = mkPoints(clustered)
       val tag = if (clustered) "clustered" else "uniform"
-      time(s"$tag trie place") {
+      time(s"$tag trie place", n) {
         val t = new CountTrie(dims, 30)
         pts.foreach(t.place)
         t.domains.length
       }
-      time(s"$tag map place") {
+      time(s"$tag map place", n) {
         val occupancy = scala.collection.mutable.HashMap.empty[CubeId, Int]
         val domains = scala.collection.mutable.HashMap.empty[CubeId, Long]
         pts.foreach { p =>
@@ -54,12 +54,11 @@ object TrieBench {
       val (weights, _) = OTreeAlgorithm.estimateCubeWeights(domains, Map.empty, 5000)
       println(s"[triebench] $tag tree: ${weights.size} cubes, height ${weights.keys.map(_.depth).max}")
       val files = weights.keys.map(c => c -> s"f${c.depth}").toMap
-      // (labels below say "$n rows"; assigns run over this subset)
       val ws = rnd.shuffle(pts.toSeq.take(100000)).toArray
       import org.apache.spark.unsafe.types.UTF8String
       val filesU = files.map { case (k, v) => k -> UTF8String.fromString(v) }
       val trie = new AssignTrie(dims, weights, filesU, UTF8String.fromString("d"))
-      time(s"$tag trie assign") {
+      time(s"$tag trie assign", ws.length) {
         var i = 0; var acc = 0L
         while (i < ws.length) {
           val coords = new Array[Long](dims)
@@ -68,7 +67,7 @@ object TrieBench {
         }
         acc
       }
-      time(s"$tag map assign") {
+      time(s"$tag map assign", ws.length) {
         var i = 0; var acc = 0L
         while (i < ws.length) {
           acc += OTreeAlgorithm.findTargetCube(ws(i), i, weights).depth; i += 1

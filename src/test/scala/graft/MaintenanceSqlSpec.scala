@@ -55,6 +55,17 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(deleted2 == 0)
   }
 
+  test("decorated statements (comments, trailing semicolons) still match") {
+    val dir = freshTable(200)
+    (1 to 20).map(i => (i.toLong, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").mode("overwrite").save(dir)
+    val out = spark.sql(
+      s"-- nightly maintenance\n/* repack */ VACUUM '$dir' RETAIN 0 HOURS FORCE ;;\n")
+      .collect()
+    assert(out.head.getLong(1) > 0)
+    assert(spark.sql(s"OPTIMIZE '$dir';").collect().head.getString(0) == dir)
+  }
+
   test("every other statement delegates to the stock parser") {
     assert(spark.sql("SELECT 1 + 1 AS x").head.getInt(0) == 2)
     // a statement CONTAINING the keywords but not matching the grammar
