@@ -129,6 +129,64 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** Orders with a deterministic append → delete → update history; the
+   * change data feed over versions 1..3 is the query result. Built
+   * once; the builder pins the expected version numbering so the
+   * oracle's replay stays aligned. */
+  def qbeastChangesFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_cdf")
+    val conf = spark.sparkContext.hadoopConfiguration
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, conf)) {
+        val (cols, cubeSize) = indexSpecs("orders")
+        def write(df: DataFrame, mode: String): Unit = df.write.format("qbeast")
+          .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
+          .mode(mode).save(path)
+        val o = raw(spark, sfDir, "orders")
+        write(o.filter("o_orderkey % 10 < 5"), "errorifexists") // v0
+        write(o.filter("o_orderkey % 10 IN (5, 6)"), "append") // v1
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        val deleted = t.delete("o_orderstatus = 'F' AND o_orderkey % 100 < 50") // v2
+        require(deleted > 0, "cdf fixture: the delete must hit rows")
+        val updated = t.update("o_orderkey % 7 = 0",
+          Map("o_totalprice" -> "o_totalprice + 1")) // v3
+        require(updated > 0, "cdf fixture: the update must hit rows")
+        require(t.snapshot.version == 3,
+          s"cdf fixture: expected version 3, got ${t.snapshot.version}")
+      }
+    }
+    graft.table.QbeastTable.forPath(spark, path).changes(1)
+  }
+
+  /** A shallow clone of the canonical orders table with a
+   * copy-on-write delete applied to the CLONE only; the builder
+   * asserts zero data files were copied and that the source table is
+   * untouched. Content: orders minus the clone-side delete. */
+  def qbeastCloned(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    qbeast(spark, sfDir, "orders") // ensure the source exists
+    val srcPath = cachePath(sfDir, "orders")
+    val path = cachePath(sfDir, "orders_clone")
+    val conf = spark.sparkContext.hadoopConfiguration
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, conf)) {
+        val src = graft.table.QbeastTable.forPath(spark, srcPath)
+        val srcVersion = src.snapshot.version
+        val cloned = src.cloneTo(path)
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        val copied = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        require(copied == 0, s"shallow clone copied $copied data files")
+        val deleted = cloned.delete("o_orderkey % 3 = 0")
+        require(deleted > 0, "clone fixture: the delete must hit rows")
+        require(src.snapshot.version == srcVersion,
+          "clone fixture: the source table moved")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** Post-vacuum invariant: every parquet file on disk is referenced by
    * the live snapshot and vice versa. */
   private def assertNoDeadFiles(spark: SparkSession, path: String): Unit = {
@@ -812,6 +870,11 @@ object QTables {
     val existing = cs.experimental.extraOptimizations
     if (!existing.exists(_.isInstanceOf[SampleRule])) {
       cs.experimental.extraOptimizations = existing :+ new SampleRule(spark)
+    }
+    val withSample = cs.experimental.extraOptimizations
+    if (!withSample.exists(_.isInstanceOf[graft.rules.MetadataCountRule])) {
+      cs.experimental.extraOptimizations =
+        withSample :+ new graft.rules.MetadataCountRule(spark)
     }
   }
 

@@ -883,6 +883,37 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q76_metadata_count" -> ((s, dir) => {
+      // unfiltered count(*) answered from commit-log metadata
+      // (rules/MetadataCountRule.scala): at 100 TB this is the
+      // difference between an O(#files) driver fold and a full scan.
+      // The builder asserts the rewrite actually fired — no relation
+      // survives in the optimized plan.
+      val df = QTables.qbeast(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      require(scans.isEmpty, "count(*) should fold to a metadata LocalRelation")
+      df
+    }),
+    "q77_changes_feed" -> ((s, dir) => {
+      // change data feed replayed from the commit log's file diff:
+      // append → insert rows, copy-on-write delete → delete rows (the
+      // rewrite's survivors cancel in the multiset diff), update → one
+      // delete + one insert per changed row. The oracle replays the
+      // exact version history with EXCEPT-free set algebra.
+      QTables.qbeastChangesFeed(s, dir)
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
+    "q78_shallow_clone" -> ((s, dir) => {
+      // metadata-only shallow clone + clone-side delete: content is
+      // orders minus the deleted predicate, zero data files copied
+      // (builder-asserted), the source table untouched
+      QTables.qbeastCloned(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q72_vacuum" -> ((s, dir) => {
       // overwrite + copy-on-write delete leave dead files; vacuum(0)
       // physically reclaims them (the builder asserts disk == live set)
@@ -2009,6 +2040,31 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""".stripMargin,
+    "q76_metadata_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q77_changes_feed" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
+        |  app AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (5, 6)),
+        |  v1_state AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |  v2_del AS (SELECT * FROM v1_state
+        |             WHERE o_orderstatus = 'F' AND o_orderkey % 100 < 50),
+        |  v2_state AS (SELECT * FROM v1_state
+        |               WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 100 < 50)),
+        |  v3_match AS (SELECT * FROM v2_state WHERE o_orderkey % 7 = 0),
+        |  changes AS (
+        |    SELECT CAST(1 AS BIGINT) AS _commit_version,
+        |           'insert' AS _change_type, o_totalprice FROM app
+        |    UNION ALL SELECT CAST(2 AS BIGINT), 'delete', o_totalprice FROM v2_del
+        |    UNION ALL SELECT CAST(3 AS BIGINT), 'delete', o_totalprice FROM v3_match
+        |    UNION ALL SELECT CAST(3 AS BIGINT), 'insert', o_totalprice + 1
+        |              FROM v3_match)
+        |SELECT _commit_version, _change_type, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM changes GROUP BY 1, 2""".stripMargin,
+    "q78_shallow_clone" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE NOT (o_orderkey % 3 = 0) GROUP BY 1""".stripMargin,
     "q73_history" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), 'WRITE',     true, false),

@@ -375,15 +375,40 @@ object Dedup {
       threshold: Double = 0.5,
       prefixLen: Int = 120,
       maxDist: Int = 40): DataFrame = {
-    val cands = minHashCandidatePairs(df, idCol, textCol, threshold)
-    val prefixes = df.select(col(idCol).as("id"),
-      substring(col(textCol), 1, prefixLen).as("pfx"))
-    cands
-      .join(prefixes.select(col("id").as("id_a"), col("pfx").as("pa")), "id_a")
-      .join(prefixes.select(col("id").as("id_b"), col("pfx").as("pb")), "id_b")
-      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
+    // candidate generation is inlined (vs delegating to
+    // [[minHashCandidatePairs]]) so each side's PREFIX rides the same
+    // join that ships its signature: the pair list — the big frame in a
+    // dup-heavy corpus, C(g,2) per duplicate group — is shuffled through
+    // two joins instead of four. The est-jaccard filter still runs
+    // before the DP: inside one codegen stage the predicate is
+    // evaluated per row before the projection, so sub-threshold
+    // candidates never pay the O(prefixLen²) Levenshtein.
+    val sigs = df
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= DefaultShingleTokens)
+      .select(col(idCol).as("id"),
+        minhashSig(col(textCol), DefaultNumHashes).as("sig"),
+        substring(col(textCol), 1, prefixLen).as("pfx"))
+      .localCheckpoint(true)
+    val bandRows = sigs.select(col("id"),
+      posexplode(bandKeysCol(col("sig"), DefaultNumHashes, 16)).as(Seq("band", "bucket")))
+    val a = bandRows.alias("a")
+    val b = bandRows.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shims = org.apache.spark.sql.GraftShims
+    val est = shims.column(graft.expressions.ArrayAgreement(
+      shims.expression(col("sa")), shims.expression(col("sb"))))
+      .cast("double") / lit(DefaultNumHashes.toDouble)
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa"), col("pfx").as("pa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb"), col("pfx").as("pb")), "id_b")
+      .filter(est >= threshold)
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
       .filter(col("edit_dist") <= maxDist)
-      .select("id_a", "id_b", "est_jaccard", "edit_dist")
   }
 
   // ---- cross-corpus (incremental) dedup ------------------------------------

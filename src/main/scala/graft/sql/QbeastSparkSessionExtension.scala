@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.rules.{QbeastAnalysis, QbeastDmlRules, SampleRule}
+import graft.rules.{MetadataCountRule, QbeastAnalysis, QbeastDmlRules, SampleRule}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -22,6 +22,8 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE / MERGE INTO → the copy-on-write DML machinery
     extensions.injectResolutionRule { session => new QbeastDmlRules(session) }
     extensions.injectOptimizerRule { session => new SampleRule(session) }
+    // unfiltered count(*) over a qbeast scan answered from log metadata
+    extensions.injectOptimizerRule { session => new MetadataCountRule(session) }
     // SQL surface for the row-weight hash: `WHERE qbeast_hash(a, b) < t`
     // is the deterministic-sampling predicate, and when (a, b) are the
     // indexed columns the FileIndex prunes on block weight ranges

@@ -886,6 +886,86 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       }
   }
 
+  /**
+   * Change data feed: the row-level changes each commit in
+   * `[startVersion, endVersion]` made to the table, derived from the
+   * commit log's file diff — no change files are written at DML time
+   * (Delta's CDF requires opting in BEFORE the change; this replay
+   * works retroactively on any qbeast table).
+   *
+   * Per commit the net multiset change is computed from ONLY the files
+   * that commit touched: rows of added files minus rows of removed
+   * files are the inserts, the reverse are the deletes (an update
+   * appears as one delete + one insert of the same key). Copy-on-write
+   * rewrites carry survivor rows into the new files, and the multiset
+   * `EXCEPT ALL` cancels them exactly — so cost is O(rows in touched
+   * files) per commit, never O(table). Commits whose adds are all
+   * `dataChange = false` (optimize / compact / checkpoint
+   * consolidation) rearrange rows without changing content and emit
+   * nothing, exactly like Delta's CDF.
+   *
+   * Output: the table schema (pinned at `endVersion`, so columns added
+   * by schema evolution read as null from pre-evolution files) plus
+   * `_change_type` ('insert' | 'delete') and `_commit_version`.
+   * Removed files must still exist — a version range that reaches
+   * behind `vacuum` fails with the missing file named.
+   */
+  def changes(startVersion: Long, endVersion: Long = -1L): org.apache.spark.sql.DataFrame = {
+    val head = snapshot
+    require(!head.isEmpty, s"no qbeast table at $tablePath")
+    val end = if (endVersion < 0L) head.version else endVersion
+    require(startVersion >= 0L && startVersion <= end && end <= head.version,
+      s"changes($startVersion, $endVersion): table is at version ${head.version}")
+    val endSnap =
+      if (end == head.version) head
+      else QbeastLog.snapshot(tablePath, conf, asOfVersion = end)
+    val schema = endSnap.schema.getOrElse(
+      throw new IllegalStateException(s"qbeast table at $tablePath has no schema"))
+    val fs = new Path(tablePath).getFileSystem(conf)
+
+    def readFiles(paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val absolute = paths.map { p =>
+        val abs = new Path(tablePath, p)
+        require(fs.exists(abs),
+          s"changes($startVersion, $end): data file $p was vacuumed — " +
+            "the requested range reaches behind the retention window")
+        abs.toString
+      }
+      spark.read.schema(schema).parquet(absolute: _*)
+    }
+
+    def tagged(df: org.apache.spark.sql.DataFrame, kind: String, v: Long) =
+      df.withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v))
+
+    val frames = (startVersion to end).flatMap { v =>
+      val actions = QbeastLog.commitActions(tablePath, conf, v, endSnap.revisions)
+      val dataAdds = actions.collect { case AddFileAction(f, true) => f.path }
+      val anyAdds = actions.exists { case _: AddFileAction => true; case _ => false }
+      val removes = actions.collect { case RemoveFileAction(r) => r.path }
+      if (anyAdds && dataAdds.isEmpty) Nil // optimize/compact: content unchanged
+      else if (dataAdds.isEmpty && removes.isEmpty) Nil // metadata-only commit
+      else if (removes.isEmpty) Seq(tagged(readFiles(dataAdds), "insert", v))
+      else if (dataAdds.isEmpty) Seq(tagged(readFiles(removes), "delete", v))
+      else {
+        val before = readFiles(removes)
+        val after = readFiles(dataAdds)
+        Seq(
+          tagged(after.exceptAll(before), "insert", v),
+          tagged(before.exceptAll(after), "delete", v))
+      }
+    }
+    frames.reduceOption(_.union(_)).getOrElse {
+      val full = org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), full)
+    }
+  }
+
   /** Per-depth tree statistics (reference: IndexMetrics SizeStats per
    * level): cube/block/element counts, cube-size spread and the mean
    * max-weight fraction, which shows how the sampling thresholds
@@ -927,7 +1007,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       s"retainMillis=$retainMillis is below the safe minimum " +
         s"${QbeastTable.MinRetentionMillis}; pass force=true to override")
     val s = snapshot
-    val live = s.files.map(_.path).toSet
+    // match on basenames (writer-generated UUIDs, flat layout): an
+    // absolute (cloned) reference that happens to point into this very
+    // directory must still count as live
+    val live = s.files.map(f => new Path(f.path).getName).toSet
     val dir = new Path(tablePath)
     val fs = dir.getFileSystem(conf)
     val cutoff = System.currentTimeMillis() - retainMillis
@@ -946,6 +1029,44 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     deleted
   }
 
+  /**
+   * Shallow clone: create an independent qbeast table at `targetPath`
+   * whose metadata (schema, configuration, revisions) is copied and
+   * whose add actions reference the source's CURRENT data files by
+   * absolute path — zero data copied, O(#files) metadata work, exactly
+   * Delta's `SHALLOW CLONE`. Every path-resolution site already
+   * resolves `new Path(tablePath, f.path)`, and Hadoop resolves an
+   * absolute child against any parent by keeping the child, so clones
+   * read through the normal pruned path untouched.
+   *
+   * The clone is fully independent from the first commit on: appends,
+   * DML and optimize write NEW files under `targetPath` and only drop
+   * absolute references from the clone's log — the source's files are
+   * never rewritten or physically deleted by the clone (its `vacuum`
+   * lists only `targetPath`). Symmetric caveat as Delta: vacuuming the
+   * SOURCE can reclaim files a clone still references; clones are
+   * snapshots for experimentation, not backups.
+   */
+  def cloneTo(targetPath: String): QbeastTable = {
+    val s = snapshot
+    require(!s.isEmpty, s"no qbeast table to clone at $tablePath")
+    require(QbeastLog.snapshot(targetPath, conf).isEmpty,
+      s"cannot clone into $targetPath: a qbeast table already exists there")
+    val srcDir = new Path(tablePath)
+    val fs = srcDir.getFileSystem(conf)
+    val qualifiedSrc = fs.makeQualified(srcDir)
+    val absoluteAdds = s.files.map { f =>
+      val p = new Path(qualifiedSrc, f.path)
+      AddFileAction(f.copy(path = p.toUri.toString), dataChange = true)
+    }
+    val actions: Seq[LogAction] =
+      s.schema.map(sc => MetaDataAction(sc.json, s.configuration)).toSeq ++
+        s.revisions.values.toSeq.sortBy(_.revisionID).map(RevisionAction) ++
+        absoluteAdds
+    QbeastLog.commit(targetPath, conf, -1L, actions, operation = "CLONE")
+    QbeastTable.forPath(spark, targetPath)
+  }
+
   /** Write `_symlink_format_manifest/manifest` — one absolute URI per
    * live data file of the current snapshot — so engines that cannot
    * read the commit log (Presto/Trino/Hive/DuckDB glob readers)
@@ -961,8 +1082,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val dir = new Path(tablePath, "_symlink_format_manifest")
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    val tableUri = fs.makeQualified(new Path(tablePath)).toString
-    val body = s.files.map(f => s"$tableUri/${f.path}").sorted.mkString("", "\n", "\n")
+    // Path(parent, child) keeps an absolute child as-is, so cloned
+    // (absolute) references and plain relative ones both qualify right
+    val tableDir = new Path(tablePath)
+    val body = s.files.map(f => fs.makeQualified(new Path(tableDir, f.path)).toString)
+      .sorted.mkString("", "\n", "\n")
     val tmp = new Path(dir, s".manifest.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

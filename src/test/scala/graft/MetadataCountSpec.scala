@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.execution.LocalTableScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-only count(*) (rules/MetadataCountRule.scala): an
+ * unfiltered global count over a qbeast table must come from log
+ * metadata (no file scan in the plan), stay exact across appends,
+ * copy-on-write DML and convert, and NOT fire for any shape where
+ * metadata can't answer (filters, sampling, grouping, distinct). */
+class MetadataCountSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(n: Int = 500): String = {
+    val dir = TestSpark.tmpDir("qbeast-metacount")
+    spark.range(n).select(col("id").as("a"), (col("id") % 7).cast("double").as("b"))
+      .write.format("qbeast")
+      .option("columnsToIndex", "a,b").option("cubeSize", "100").save(dir)
+    dir
+  }
+
+  /** True iff the executed plan is a pure local scan — no file source. */
+  private def isMetadataOnly(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    var local = false
+    var scan = false
+    plan.foreach {
+      case _: LocalTableScanExec => local = true
+      case f if f.nodeName.contains("Scan") && !f.nodeName.contains("LocalTableScan") =>
+        scan = true
+      case _ =>
+    }
+    local && !scan
+  }
+
+  test("count(*) over a qbeast scan folds to a metadata LocalRelation") {
+    val dir = freshTable()
+    val df = spark.read.format("qbeast").load(dir).agg(count(lit(1)).as("cnt"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(500L))
+    assert(isMetadataOnly(df), df.queryExecution.executedPlan.toString)
+    // Dataset.count() rides the same rewrite
+    assert(spark.read.format("qbeast").load(dir).count() == 500L)
+  }
+
+  test("SQL count(*) and multiple count-star aggregates fold too") {
+    val dir = freshTable()
+    spark.read.format("qbeast").load(dir).createOrReplaceTempView("mc_t")
+    val df = spark.sql("SELECT count(*) AS c1, count(1) AS c2, 7 AS k FROM mc_t")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((500L, 500L, 7)))
+    assert(isMetadataOnly(df), df.queryExecution.executedPlan.toString)
+  }
+
+  test("stays exact across append, delete, update and optimize") {
+    val dir = freshTable()
+    spark.range(500, 600).select(col("id").as("a"), lit(0.0).as("b"))
+      .write.format("qbeast").mode("append").save(dir)
+    def cnt(): Long = spark.read.format("qbeast").load(dir).count()
+    assert(cnt() == 600L)
+    val t = table.QbeastTable.forPath(spark, dir)
+    t.delete("a >= 550")
+    assert(cnt() == 550L)
+    t.update("a < 10", Map("b" -> "b + 1"))
+    assert(cnt() == 550L)
+    t.optimize()
+    assert(cnt() == 550L)
+    val df = spark.read.format("qbeast").load(dir).agg(count(lit(1)).as("cnt"))
+    assert(isMetadataOnly(df))
+  }
+
+  test("converted (staging) tables count from the recorded file counts") {
+    val dir = TestSpark.tmpDir("qbeast-metacount-conv")
+    spark.range(321).select(col("id").as("a")).repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    table.QbeastTable.convertFromParquet(spark, dir)
+    val df = spark.read.format("qbeast").load(dir).agg(count(lit(1)).as("cnt"))
+    assert(df.collect().head.getLong(0) == 321L)
+    assert(isMetadataOnly(df))
+  }
+
+  test("does NOT fire under filters, sampling, grouping or distinct") {
+    val dir = freshTable()
+    val base = spark.read.format("qbeast").load(dir)
+    val filtered = base.filter(col("a") < 100).agg(count(lit(1)).as("cnt"))
+    assert(filtered.collect().head.getLong(0) == 100L)
+    assert(!isMetadataOnly(filtered))
+    val sampled = base.sample(0.5).agg(count(lit(1)).as("cnt"))
+    assert(!isMetadataOnly(sampled))
+    val grouped = base.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    assert(!isMetadataOnly(grouped))
+    val distinct = base.agg(countDistinct(col("a")).as("cnt"))
+    assert(distinct.collect().head.getLong(0) == 500L)
+    assert(!isMetadataOnly(distinct))
+    val nonLit = base.agg(count(col("b")).as("cnt"))
+    assert(!isMetadataOnly(nonLit))
+  }
+
+  test("empty table counts zero without a scan") {
+    val dir = freshTable(1)
+    val t = table.QbeastTable.forPath(spark, dir)
+    t.delete("a >= 0")
+    val df = spark.read.format("qbeast").load(dir).agg(count(lit(1)).as("cnt"))
+    assert(df.collect().head.getLong(0) == 0L)
+    assert(isMetadataOnly(df))
+  }
+}
