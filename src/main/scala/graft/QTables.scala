@@ -241,6 +241,39 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** Orders cloned and then maintained ENTIRELY through SQL:
+   * `CLONE '<src>' TO '<dst>'` (metadata-only, absolute references)
+   * followed by `OPTIMIZE '<dst>'` — the optimize must read through
+   * the absolute references and land clone-local rewrites without the
+   * source table moving. Content equals full orders. */
+  def qbeastSqlCloned(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    qbeast(spark, sfDir, "orders") // ensure the source exists
+    val srcPath = cachePath(sfDir, "orders")
+    val path = cachePath(sfDir, "orders_sql_clone")
+    val conf = spark.sparkContext.hadoopConfiguration
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, conf)) {
+        try {
+          val srcVersion = graft.table.QbeastTable.forPath(spark, srcPath)
+            .snapshot.version
+          val files = spark.sql(s"CLONE '$srcPath' TO '$path'")
+            .collect().head.getLong(1)
+          require(files > 0, "SQL CLONE should reference files")
+          spark.sql(s"OPTIMIZE '$path'").collect()
+          require(graft.table.QbeastTable.forPath(spark, srcPath)
+            .snapshot.version == srcVersion, "SQL clone moved the source")
+        } catch {
+          case e: Throwable =>
+            new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+              .delete(new org.apache.hadoop.fs.Path(path), true)
+            throw e
+        }
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** A small orders table taken through a fixed operation sequence so
    * `QbeastTable.history()` has a deterministic shape: v0 WRITE,
    * v1 OVERWRITE, v2 WRITE (append), v3 DELETE, v4 OPTIMIZE. */

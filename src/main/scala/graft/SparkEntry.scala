@@ -914,6 +914,24 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q79_table_changes_sql" -> ((s, dir) => {
+      // the CDF surfaced in SQL: table_changes('<path>', start) TVF
+      // (injectTableFunction) over the same deterministic history as
+      // q77 — the oracle replays it identically
+      QTables.qbeastChangesFeed(s, dir) // ensure the fixture exists
+      val path = QTables.cachePathFor(dir, "orders_cdf")
+      s.sql(s"""SELECT _commit_version, _change_type, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM table_changes('$path', 1) GROUP BY 1, 2""")
+    }),
+    "q80_sql_clone" -> ((s, dir) => {
+      // CLONE ... TO ... then OPTIMIZE, both through SQL: the optimize
+      // reads through the clone's absolute references and rewrites
+      // clone-locally; content must equal full orders
+      QTables.qbeastSqlCloned(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q72_vacuum" -> ((s, dir) => {
       // overwrite + copy-on-write delete leave dead files; vacuum(0)
       // physically reclaims them (the builder asserts disk == live set)
@@ -2065,6 +2083,29 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE NOT (o_orderkey % 3 = 0) GROUP BY 1""".stripMargin,
+    "q79_table_changes_sql" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
+        |  app AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (5, 6)),
+        |  v1_state AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |  v2_del AS (SELECT * FROM v1_state
+        |             WHERE o_orderstatus = 'F' AND o_orderkey % 100 < 50),
+        |  v2_state AS (SELECT * FROM v1_state
+        |               WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 100 < 50)),
+        |  v3_match AS (SELECT * FROM v2_state WHERE o_orderkey % 7 = 0),
+        |  changes AS (
+        |    SELECT CAST(1 AS BIGINT) AS _commit_version,
+        |           'insert' AS _change_type, o_totalprice FROM app
+        |    UNION ALL SELECT CAST(2 AS BIGINT), 'delete', o_totalprice FROM v2_del
+        |    UNION ALL SELECT CAST(3 AS BIGINT), 'delete', o_totalprice FROM v3_match
+        |    UNION ALL SELECT CAST(3 AS BIGINT), 'insert', o_totalprice + 1
+        |              FROM v3_match)
+        |SELECT _commit_version, _change_type, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM changes GROUP BY 1, 2""".stripMargin,
+    "q80_sql_clone" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "q73_history" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), 'WRITE',     true, false),

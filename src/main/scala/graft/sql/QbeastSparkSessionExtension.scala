@@ -24,6 +24,35 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     extensions.injectOptimizerRule { session => new SampleRule(session) }
     // unfiltered count(*) over a qbeast scan answered from log metadata
     extensions.injectOptimizerRule { session => new MetadataCountRule(session) }
+    // change-data-feed TVF (Delta's table_changes, path-addressed):
+    //   SELECT * FROM table_changes('/path/to/table', 1)        -- 1..head
+    //   SELECT * FROM table_changes('/path/to/table', 1, 3)
+    // resolves to QbeastTable.changes' plan — the per-commit file-diff
+    // replay, O(touched files) per version
+    extensions.injectTableFunction((
+      new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[graft.table.QbeastTable].getName, "table_changes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          "table_changes('<path>', startVersion[, endVersion]) — literal arguments")
+        def lit(e: Expression, what: String): Any = e match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value
+          case other => throw new IllegalArgumentException(
+            s"table_changes: $what must be a literal, got $other")
+        }
+        val path = String.valueOf(lit(children.head, "path"))
+        def ver(e: Expression, what: String): Long = lit(e, what) match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"table_changes: $what must be an integer version, got $other")
+        }
+        val start = ver(children(1), "startVersion")
+        val end = if (children.length == 3) ver(children(2), "endVersion") else -1L
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.table.QbeastTable.forPath(spark, path)
+          .changes(start, end).queryExecution.logical
+      }))
     // SQL surface for the row-weight hash: `WHERE qbeast_hash(a, b) < t`
     // is the deterministic-sampling predicate, and when (a, b) are the
     // indexed columns the FileIndex prunes on block weight ranges

@@ -30,6 +30,10 @@ class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val VacuumRe =
     ("""(?is)VACUUM\s+(?:'([^']+)'|"([^"]+)")""" +
       """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?(\s+FORCE)?""").r
+  private val HistoryRe =
+    """(?is)DESCRIBE\s+HISTORY\s+(?:'([^']+)'|"([^"]+)")""".r
+  private val CloneRe =
+    """(?is)CLONE\s+(?:'([^']+)'|"([^"]+)")\s+TO\s+(?:'([^']+)'|"([^"]+)")""".r
 
   /** Line comments, bracketed comments and trailing semicolons are
    * tolerated around the statement (a decorated statement must not
@@ -46,6 +50,10 @@ class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
     case VacuumRe(p1, p2, hours, force) =>
       VacuumQbeastCommand(Option(p1).getOrElse(p2),
         Option(hours).map(_.toDouble), force != null)
+    case HistoryRe(p1, p2) =>
+      DescribeHistoryQbeastCommand(Option(p1).getOrElse(p2))
+    case CloneRe(s1, s2, t1, t2) =>
+      CloneQbeastCommand(Option(s1).getOrElse(s2), Option(t1).getOrElse(t2))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -84,6 +92,48 @@ final case class OptimizeQbeastCommand(path: String)
     val files = graft.log.QbeastLog
       .snapshot(path, spark.sparkContext.hadoopConfiguration).allFilesCount
     Seq(Row(path, files))
+  }
+
+}
+
+/** SQL `DESCRIBE HISTORY '<path>'` →
+ * [[graft.table.QbeastTable.history]]: one row per committed log
+ * version, oldest first (Delta's DESCRIBE HISTORY shape over the
+ * qlog's commitInfo actions). */
+final case class DescribeHistoryQbeastCommand(path: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp_ms", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("added_files", LongType, nullable = false)(),
+    AttributeReference("removed_files", LongType, nullable = false)(),
+    AttributeReference("new_revision",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.table.QbeastTable.forPath(spark, path).history().map { h =>
+      Row(h.version, h.timestampMillis, h.operation,
+        h.addedFiles.toLong, h.removedFiles.toLong, h.newRevision)
+    }
+
+}
+
+/** SQL `CLONE '<src>' TO '<dst>'` →
+ * [[graft.table.QbeastTable.cloneTo]]: metadata-only shallow clone
+ * (absolute file references, zero data copied); returns the target
+ * path and the number of referenced files. */
+final case class CloneQbeastCommand(source: String, target: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cloned = graft.table.QbeastTable.forPath(spark, source).cloneTo(target)
+    Seq(Row(target, cloned.snapshot.allFilesCount))
   }
 
 }

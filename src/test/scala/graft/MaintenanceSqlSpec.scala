@@ -66,6 +66,41 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"OPTIMIZE '$dir';").collect().head.getString(0) == dir)
   }
 
+  test("DESCRIBE HISTORY returns one row per commit, oldest first") {
+    val dir = freshTable(200)
+    (1 to 20).map(i => ((10000 + i).toLong, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").mode("append").save(dir)
+    table.QbeastTable.forPath(spark, dir).delete("a <= 10")
+    val rows = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_.getString(2)).toSeq == Seq("WRITE", "WRITE", "DELETE"))
+    assert(rows.forall(_.getLong(3) > 0)) // every commit added files
+    assert(rows.last.getLong(4) > 0) // the delete removed files
+  }
+
+  test("SQL CLONE TO creates a metadata-only copy; table_changes reads the feed") {
+    val dir = freshTable(300)
+    val cloneDir = TestSpark.tmpDir("maint-sql-clone")
+    val out = spark.sql(s"CLONE '$dir' TO '$cloneDir'").collect()
+    assert(out.head.getString(0) == cloneDir && out.head.getLong(1) > 0)
+    assert(spark.read.format("qbeast").load(cloneDir).count() == 300)
+    assert(new java.io.File(cloneDir).listFiles()
+      .forall(f => !f.getName.endsWith(".parquet")))
+    // cloning over an existing table is rejected
+    val ex = intercept[Exception](spark.sql(s"CLONE '$dir' TO '$cloneDir'").collect())
+    assert(ex.getMessage.contains("already exists"))
+
+    // CDF through the TVF: v0 = 300 inserts on the source table
+    val feed = spark.sql(s"SELECT _change_type, count(*) AS n " +
+      s"FROM table_changes('$dir', 0) GROUP BY 1").collect()
+    assert(feed.map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("insert" -> 300L))
+    // version range + non-literal args are rejected cleanly
+    val ex2 = intercept[Exception](
+      spark.sql(s"SELECT * FROM table_changes('$dir', 0, 99)").collect())
+    assert(ex2.getMessage.contains("version"))
+  }
+
   test("every other statement delegates to the stock parser") {
     assert(spark.sql("SELECT 1 + 1 AS x").head.getInt(0) == 2)
     // a statement CONTAINING the keywords but not matching the grammar
