@@ -394,6 +394,17 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dec(col("value")).as("sv"))
     }),
+    "s19_stream_change_feed" -> ((s, dir) => {
+      // the change feed as a STREAM: appends arrive as inserts, DML
+      // commits from their persisted _change_data files, exactly once
+      // across a restart; the oracle replays the version history
+      QTables.ensureExtensions(s)
+      ops.Streaming.streamChangeFeed(s, s"$dir/orders.parquet",
+          QTables.cachePathFor(dir, "orders_cdf_stream"),
+          QTables.cachePathFor(dir, "orders_cdf_stream_sink"))
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "s16_stream_kmv" -> ((s, dir) =>
       // sketch state in a stream: distinct-user estimate per event type,
       // ≤ k longs of state per group; batching-independent, so the
@@ -1536,6 +1547,26 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1""".stripMargin,
+    "s19_stream_change_feed" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
+        |  app AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (5, 6)),
+        |  v1_state AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |  v2_del AS (SELECT * FROM v1_state
+        |             WHERE o_orderstatus = 'F' AND o_orderkey % 100 < 50),
+        |  v2_state AS (SELECT * FROM v1_state
+        |               WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 100 < 50)),
+        |  v3_match AS (SELECT * FROM v2_state WHERE o_orderkey % 7 = 0),
+        |  changes AS (
+        |    SELECT CAST(0 AS BIGINT) AS _commit_version,
+        |           'insert' AS _change_type, o_totalprice FROM base
+        |    UNION ALL SELECT CAST(1 AS BIGINT), 'insert', o_totalprice FROM app
+        |    UNION ALL SELECT CAST(2 AS BIGINT), 'delete', o_totalprice FROM v2_del
+        |    UNION ALL SELECT CAST(3 AS BIGINT), 'delete', o_totalprice FROM v3_match
+        |    UNION ALL SELECT CAST(3 AS BIGINT), 'insert', o_totalprice + 1
+        |              FROM v3_match)
+        |SELECT _commit_version, _change_type, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM changes GROUP BY 1, 2""".stripMargin,
     "s17_stream_source_ratelimit" ->
       // rate limiting must change batch boundaries, never content
       """SELECT event_type, count(*) AS n,

@@ -296,6 +296,7 @@ object QbeastLog {
               if (isTail) touched += r.path
             case TxnAction(appId, version) => txns.update(appId, version)
             case CommitInfoAction(_, _) => // history-only metadata
+            case CdcFileAction(_, _) => // change-feed-only metadata
           }
           line = reader.readLine()
         }

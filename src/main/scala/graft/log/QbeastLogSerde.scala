@@ -25,6 +25,16 @@ final case class TxnAction(appId: String, version: Long) extends LogAction
  * add/remove counts. Pure metadata — snapshot replay ignores it. */
 final case class CommitInfoAction(operation: String, timestamp: Long) extends LogAction
 
+/** Change-data file reference (Delta's AddCDCFile shape): a parquet
+ * directory under `_change_data/` holding the commit's net row changes
+ * (table schema + `_change_type`), written by DML commits so CDF
+ * readers — batch `changes()` and the streaming source's
+ * `readChangeFeed` mode — consume a plain file read instead of
+ * re-diffing the rewritten files. NOT part of the table content:
+ * snapshot replay ignores it. `size` = total bytes, for streaming
+ * admission control. */
+final case class CdcFileAction(path: String, size: Long) extends LogAction
+
 object QbeastLogSerde {
 
   implicit private val formats: Formats = DefaultFormats
@@ -150,6 +160,8 @@ object QbeastLogSerde {
         JObject("txn" -> (("appId" -> appId) ~ ("version" -> version)))
       case CommitInfoAction(op, ts) =>
         JObject("commitInfo" -> (("operation" -> op) ~ ("timestamp" -> ts)))
+      case CdcFileAction(path, size) =>
+        JObject("cdc" -> (("path" -> path) ~ ("size" -> size)))
     }
     JsonMethods.compact(JsonMethods.render(j))
   }
@@ -199,6 +211,9 @@ object QbeastLogSerde {
     val ci = root.get("commitInfo")
     if (ci != null)
       return CommitInfoAction(ci.get("operation").asText(), ci.get("timestamp").asLong())
+    val cdc = root.get("cdc")
+    if (cdc != null)
+      return CdcFileAction(cdc.get("path").asText(), cdc.get("size").asLong())
     val md = root.get("metaData")
     if (md != null) {
       val conf = Map.newBuilder[String, String]

@@ -575,4 +575,54 @@ object Streaming {
     spark.read.parquet(sinkDir)
   }
 
+  /**
+   * Streaming consumption of a table's CHANGE FEED
+   * (`readChangeFeed=true` + `startingVersion=0` on the qbeast stream
+   * source): a CDF-enabled orders table goes through write → append →
+   * copy-on-write DELETE → UPDATE, and the stream delivers every
+   * commit's row-level changes — appends as inserts, DML from the
+   * change files persisted at commit time (`_change_data/`, the Delta
+   * AddCDCFile shape) — exactly once across a restart (first drain
+   * consumes v0, the second resumes from the checkpoint for v1..v3).
+   * Returns the drained sink: rows of (orders schema + `_change_type`
+   * + `_commit_version`).
+   */
+  def streamChangeFeed(
+      spark: SparkSession,
+      ordersPath: String,
+      tableDir: String,
+      sinkDir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(conf)
+    if (!fs.exists(sinkPath)) {
+      fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+      val o = spark.read.parquet(ordersPath)
+      val ckpt = fastCheckpointDir()
+      def drain(): Unit = {
+        val q = spark.readStream.format("qbeast")
+          .option("readChangeFeed", "true").option("startingVersion", "0")
+          .load(tableDir)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", sinkDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+      def write(slice: DataFrame, mode: String): Unit = slice.write.format("qbeast")
+        .option("columnsToIndex", "o_orderkey,o_totalprice")
+        .option("cubeSize", "5000")
+        .option("enableChangeDataFeed", "true")
+        .mode(mode).save(tableDir)
+      write(o.filter("o_orderkey % 10 < 5"), "overwrite") // v0
+      drain() // v0 inserts
+      write(o.filter("o_orderkey % 10 IN (5, 6)"), "append") // v1
+      val t = graft.table.QbeastTable.forPath(spark, tableDir)
+      t.delete("o_orderstatus = 'F' AND o_orderkey % 100 < 50") // v2
+      t.update("o_orderkey % 7 = 0", Map("o_totalprice" -> "o_totalprice + 1")) // v3
+      drain() // restart: v1..v3 exactly once
+    }
+    spark.read.parquet(sinkDir)
+  }
+
 }

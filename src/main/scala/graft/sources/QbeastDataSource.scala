@@ -40,8 +40,12 @@ class QbeastDataSource
     val fromLog = QbeastLog
       .snapshot(path, sqlContext.sparkSession.sparkContext.hadoopConfiguration)
       .schema
-    (shortName(), schema.orElse(fromLog).getOrElse(
-      throw new IllegalArgumentException(s"no qbeast table (or schema) at $path")))
+    val base = schema.orElse(fromLog).getOrElse(
+      throw new IllegalArgumentException(s"no qbeast table (or schema) at $path"))
+    val cdf = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v
+    }.exists(_.equalsIgnoreCase("true"))
+    (shortName(), if (cdf) QbeastStreamSource.withCdfColumns(base) else base)
   }
 
   override def createSource(

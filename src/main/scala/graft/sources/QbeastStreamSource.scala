@@ -1,11 +1,12 @@
 package graft.sources
 
-import graft.log.{AddFileAction, QbeastLog, RemoveFileAction}
+import graft.log.{AddFileAction, CdcFileAction, QbeastLog, RemoveFileAction}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SQLContext}
 
@@ -120,6 +121,18 @@ class QbeastStreamSource(
   private val ignoreChanges = boolOpt("ignoreChanges")
   private val ignoreDeletes = boolOpt("ignoreDeletes") || ignoreChanges
 
+  /** `readChangeFeed=true`: stream the CHANGE feed instead of the table
+   * content — every row carries `_change_type` ('insert' | 'delete')
+   * and `_commit_version`. The initial snapshot streams as inserts at
+   * its anchor version; append commits as inserts; DML commits read
+   * their persisted `_change_data` file (requires the table property
+   * `qbeast.enableChangeDataFeed` to have been set BEFORE the DML —
+   * a micro-batch cannot re-diff rewritten files, that needs the
+   * stateful EXCEPT ALL only batch [[graft.table.QbeastTable.changes]]
+   * can run). Delete-only commits without a change file stream the
+   * removed files as deletes. */
+  private val readChangeFeed = boolOpt("readChangeFeed")
+
   private val maxFilesPerTrigger: Option[Int] =
     opt("maxFilesPerTrigger").map(_.toInt).map { n =>
       require(n > 0, s"maxFilesPerTrigger must be positive, got $n"); n
@@ -134,9 +147,23 @@ class QbeastStreamSource(
   private val initialSnapshot = QbeastLog.lightSnapshot(tablePath, hadoopConf)
   require(!initialSnapshot.isEmpty, s"no qbeast table at $tablePath")
 
-  override val schema: StructType =
-    userSchema.orElse(initialSnapshot.schema).getOrElse(
+  /** The TABLE's schema (CDF metadata columns stripped if the engine
+   * handed back the already-widened source schema). */
+  private val tableSchema: StructType = {
+    val given = userSchema.map(s => StructType(
+      s.fields.filterNot(f => QbeastStreamSource.CdfColumns.contains(f.name))))
+    given.filter(_.fields.nonEmpty).orElse(initialSnapshot.schema).getOrElse(
       throw new IllegalStateException(s"qbeast table $tablePath has no schema"))
+  }
+
+  override val schema: StructType =
+    if (readChangeFeed) QbeastStreamSource.withCdfColumns(tableSchema) else tableSchema
+
+  /** Schema persisted inside a `_change_data` parquet (written by
+   * CDF-enabled DML commits): table columns + `_change_type`. */
+  private def cdcFileSchema: StructType = StructType(tableSchema.fields :+
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType, nullable = false))
 
   /** Commits ≤ this version are NOT part of the stream (exclusive lower
    * bound of the first incremental batch). -1 = emit the initial
@@ -146,6 +173,12 @@ class QbeastStreamSource(
     case Some(v) => v.toLong - 1L
     case None => -1L
   }
+
+  /** `startingVersion=0` also yields startExclusive == -1; only the
+   * OPTION'S ABSENCE selects the initial-snapshot phase (for an
+   * append-only table the two coincide, but the change feed
+   * distinguishes "current content as inserts" from "full history"). */
+  private val startingVersionGiven = opt("startingVersion").isDefined
 
   /** Trigger.AvailableNow: commits beyond the version latched here are
    * left for a later run, no matter how long this one drains. */
@@ -198,25 +231,45 @@ class QbeastStreamSource(
       val removes = actions.collect { case r: RemoveFileAction => r }
       val dataAdds = adds.collect { case (f, true) => (f.path, f.size) }
       val layoutOnly = removes.nonEmpty && dataAdds.isEmpty && adds.nonEmpty
-      if (removes.nonEmpty && !layoutOnly) {
-        // delete-only commit → tolerated by ignoreDeletes; rewrite
-        // commit (removes + dataChange adds) → needs ignoreChanges
-        if (dataAdds.isEmpty) {
-          if (!ignoreDeletes) throw new UnsupportedOperationException(
-            s"qbeast streaming source: commit $v of $tablePath deletes data. " +
-              "Streaming a non-append-only table requires option " +
-              "'ignoreDeletes' (skip delete-only commits) or 'ignoreChanges'.")
-        } else if (!ignoreChanges) throw new UnsupportedOperationException(
-          s"qbeast streaming source: commit $v of $tablePath rewrites data " +
-            "(UPDATE/MERGE/RESTORE). Set option 'ignoreChanges' to stream " +
-            "re-added files (duplicates possible downstream).")
+      if (readChangeFeed) {
+        // CDF enumeration: version-tagged units so getBatch can stamp
+        // _commit_version ("v:kind:path"; kind a=insert file, d=removed
+        // file read as deletes, c=persisted change-data directory)
+        val cdcs = actions.collect { case CdcFileAction(p, sz) => (s"$v:c:$p", sz) }
+        if (cdcs.nonEmpty) cdcs.toVector
+        else if (layoutOnly) Vector.empty // optimize: content unchanged
+        else if (removes.isEmpty) dataAdds.map { case (p, sz) => (s"$v:a:$p", sz) }.toVector
+        else if (adds.isEmpty)
+          // delete-only: the removed files' rows ARE the delete feed
+          // (size unknown from the remove action alone — admission
+          // counts these by file, not bytes)
+          removes.map(r => (s"$v:d:${r.remove.path}", 0L)).toVector
+        else throw new UnsupportedOperationException(
+          s"qbeast streaming CDF: commit $v of $tablePath rewrites data without " +
+            "a change file. Set the table property 'enableChangeDataFeed' (write " +
+            "option) BEFORE running DML, or replay this range with the batch " +
+            "QbeastTable.changes API.")
+      } else {
+        if (removes.nonEmpty && !layoutOnly) {
+          // delete-only commit → tolerated by ignoreDeletes; rewrite
+          // commit (removes + dataChange adds) → needs ignoreChanges
+          if (dataAdds.isEmpty) {
+            if (!ignoreDeletes) throw new UnsupportedOperationException(
+              s"qbeast streaming source: commit $v of $tablePath deletes data. " +
+                "Streaming a non-append-only table requires option " +
+                "'ignoreDeletes' (skip delete-only commits) or 'ignoreChanges'.")
+          } else if (!ignoreChanges) throw new UnsupportedOperationException(
+            s"qbeast streaming source: commit $v of $tablePath rewrites data " +
+              "(UPDATE/MERGE/RESTORE). Set option 'ignoreChanges' to stream " +
+              "re-added files (duplicates possible downstream).")
+        }
+        dataAdds.toVector
       }
-      dataAdds.toVector
     })
 
   /** Where an un-started stream begins. */
   private def initialPosition(head: Long): QbeastSourceOffset =
-    if (startExclusive == -1L) QbeastSourceOffset(head, 0L, snapshotPhase = true)
+    if (!startingVersionGiven) QbeastSourceOffset(head, 0L, snapshotPhase = true)
     else QbeastSourceOffset(startExclusive)
 
   /** The (maxFiles, maxBytes) budget the ENGINE asked for. Trigger.Once
@@ -302,7 +355,9 @@ class QbeastStreamSource(
       val until =
         if (end.snapshotPhase) end.index
         else all.length.toLong // end = commits-phase(anchor) = snapshot done
-      all.slice(from.toInt, until.toInt).map(_._1)
+      val slice = all.slice(from.toInt, until.toInt).map(_._1)
+      // CDF: the snapshot streams as inserts stamped with its anchor
+      if (readChangeFeed) slice.map(p => s"$anchor:s:$p") else slice
     } else {
       val out = Vector.newBuilder[String]
       var v = start.version
@@ -373,7 +428,29 @@ class QbeastStreamSource(
     logInfo(s"qbeast stream batch (${startO.json} .. ${endO.json}]: ${paths.length} files")
     val shims = org.apache.spark.sql.GraftShims
     if (paths.isEmpty) shims.emptyStreamingDataFrame(spark, schema)
-    else {
+    else if (readChangeFeed) {
+      // decode "version:kind:path" units into per-(version, kind)
+      // frames; the output column set is fixed (table schema +
+      // _change_type + _commit_version) so the union is by position
+      val units = paths.map { u =>
+        val Array(v, kind, p) = u.split(":", 3)
+        (v.toLong, kind, p)
+      }
+      val outCols = schema.fieldNames.map(col).toSeq
+      val frames = units.groupBy(u => (u._1, u._2)).toSeq.sortBy(_._1).map {
+        case ((v, kind), list) =>
+          val absolute = list.map(u => new Path(tablePath, u._3).toString)
+          val tagged = kind match {
+            case "c" => spark.read.schema(cdcFileSchema).parquet(absolute: _*)
+            case "d" => spark.read.schema(tableSchema).parquet(absolute: _*)
+              .withColumn("_change_type", lit("delete"))
+            case _ => spark.read.schema(tableSchema).parquet(absolute: _*)
+              .withColumn("_change_type", lit("insert"))
+          }
+          tagged.withColumn("_commit_version", lit(v)).select(outCols: _*)
+      }
+      shims.asStreamingDataFrame(frames.reduce(_.union(_)))
+    } else {
       val absolute = paths.map(p => new Path(tablePath, p).toString)
       val batchDf = spark.read.schema(schema).parquet(absolute: _*)
       shims.asStreamingDataFrame(batchDf)
@@ -385,5 +462,18 @@ class QbeastStreamSource(
   override def stop(): Unit = ()
 
   override def toString: String = s"QbeastStreamSource[$tablePath]"
+
+}
+
+object QbeastStreamSource {
+
+  /** Metadata columns appended by `readChangeFeed=true`. */
+  val CdfColumns: Set[String] = Set("_change_type", "_commit_version")
+
+  def withCdfColumns(base: StructType): StructType = StructType(base.fields ++ Seq(
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("_commit_version",
+      org.apache.spark.sql.types.LongType, nullable = false)))
 
 }

@@ -740,6 +740,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     var newRevision = newRevision0
     var rebases = 0
     val now = System.currentTimeMillis()
+    // the row content of the change is fixed before the commit loop —
+    // rebases renumber revisions, never rows — so the change file is
+    // written once and its action rides every attempt
+    val cdcAction = writeCdcData(initial, adds0, removes)
     var committed = false
     while (!committed) {
       val actions = mutable.ArrayBuffer.empty[LogAction]
@@ -752,6 +756,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       }
       actions ++= adds.map(f => AddFileAction(f, dataChange = true))
       actions ++= removes.map(f => RemoveFileAction(RemoveFile(f.path, now)))
+      actions ++= cdcAction
       try {
         QbeastLog.commit(tablePath, conf, base.version, actions.toSeq, operation)
         committed = true
@@ -778,6 +783,42 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           base = rebased
       }
     }
+  }
+
+  /**
+   * When the table opted into the change data feed
+   * (`qbeast.enableChangeDataFeed=true`, set as a write option), every
+   * DML commit persists its net row changes (table schema +
+   * `_change_type`) as a parquet directory under `_change_data/` and
+   * references it with a `cdc` log action — Delta's AddCDCFile shape.
+   * Readers then consume a plain file read: batch [[changes]] skips
+   * the file re-diff, and the STREAMING `readChangeFeed` mode (which
+   * cannot run a stateful EXCEPT ALL inside a micro-batch) becomes
+   * possible for DML commits at all. The content written is exactly
+   * the diff the fallback would compute, so enabling the property
+   * never changes `changes()` results — only who pays for them.
+   */
+  private def writeCdcData(
+      s: QbeastSnapshot,
+      adds: Seq[IndexFile],
+      removes: Seq[IndexFile]): Option[LogAction] = {
+    if (!s.configuration.get("qbeast.enableChangeDataFeed").contains("true")) return None
+    val schema = s.schema.getOrElse(return None)
+    def read(fs: Seq[IndexFile]): org.apache.spark.sql.DataFrame =
+      if (fs.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema)
+        .parquet(fs.map(f => new Path(tablePath, f.path).toString): _*)
+    val before = read(removes)
+    val after = read(adds)
+    val changed = after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .union(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    val dir = s"_change_data/cdc-${java.util.UUID.randomUUID()}"
+    val target = new Path(tablePath, dir)
+    changed.write.mode("overwrite").parquet(target.toString)
+    val fs = target.getFileSystem(conf)
+    val size = fs.listStatus(target).filter(_.isFile).map(_.getLen).sum
+    Some(CdcFileAction(dir, size))
   }
 
   /**
@@ -940,10 +981,26 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 
     val frames = (startVersion to end).flatMap { v =>
       val actions = QbeastLog.commitActions(tablePath, conf, v, endSnap.revisions)
+      val cdcDirs = actions.collect { case CdcFileAction(p, _) => p }
       val dataAdds = actions.collect { case AddFileAction(f, true) => f.path }
       val anyAdds = actions.exists { case _: AddFileAction => true; case _ => false }
       val removes = actions.collect { case RemoveFileAction(r) => r.path }
-      if (anyAdds && dataAdds.isEmpty) Nil // optimize/compact: content unchanged
+      if (cdcDirs.nonEmpty) {
+        // the commit persisted its own change data (CDF-enabled DML):
+        // read it directly — no re-diff of the rewritten files
+        val cdcSchema = org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false))
+        val absolute = cdcDirs.map { p =>
+          val abs = new Path(tablePath, p)
+          require(fs.exists(abs),
+            s"changes($startVersion, $end): change file $p was vacuumed")
+          abs.toString
+        }
+        Seq(spark.read.schema(cdcSchema).parquet(absolute: _*)
+          .withColumn("_commit_version", lit(v)))
+      }
+      else if (anyAdds && dataAdds.isEmpty) Nil // optimize/compact: content unchanged
       else if (dataAdds.isEmpty && removes.isEmpty) Nil // metadata-only commit
       else if (removes.isEmpty) Seq(tagged(readFiles(dataAdds), "insert", v))
       else if (dataAdds.isEmpty) Seq(tagged(readFiles(removes), "delete", v))

@@ -157,7 +157,14 @@ object QbeastWriter {
 
     def buildActions(base: QbeastSnapshot): Seq[LogAction] = {
       val actions = mutable.ArrayBuffer.empty[LogAction]
-      val config = base.configuration ++ hookTags ++
+      // table property opt-in for the change data feed (Delta's
+      // delta.enableChangeDataFeed): once set, DML commits persist
+      // their row changes under _change_data/ (see QbeastTable.changes)
+      val cdfTag =
+        if (boolOpt("enableChangeDataFeed"))
+          Map("qbeast.enableChangeDataFeed" -> "true")
+        else Map.empty[String, String]
+      val config = base.configuration ++ hookTags ++ cdfTag ++
         Map("qbeast.lastRevisionID" ->
           math.max(revisionToCommit.revisionID, base.lastRevisionID).toString)
       // Re-derive the schema against the CURRENT base, not the snapshot
