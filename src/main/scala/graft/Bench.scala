@@ -21,7 +21,8 @@ object Bench {
   private val streamingSinks =
     Seq("events_streamed", "documents_stream_pipeline", "events_cdc",
       "events_foreachbatch", "events_stream_source", "events_stream_source_sink",
-      "events_stream_ratelimit", "events_stream_ratelimit_sink")
+      "events_stream_ratelimit", "events_stream_ratelimit_sink",
+      "orders_cdf_stream", "orders_cdf_stream_sink")
 
   private def deleteDir(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

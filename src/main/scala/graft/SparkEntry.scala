@@ -895,16 +895,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
     "q76_metadata_count" -> ((s, dir) => {
-      // unfiltered count(*) answered from commit-log metadata
-      // (rules/MetadataCountRule.scala): at 100 TB this is the
-      // difference between an O(#files) driver fold and a full scan.
-      // The builder asserts the rewrite actually fired — no relation
-      // survives in the optimized plan.
-      val df = QTables.qbeast(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+      // unfiltered count(*)/min/max answered from commit-log metadata
+      // (rules/MetadataCountRule.scala): block element counts for the
+      // count, per-file Delta-style column stats for the extremes. At
+      // 100 TB this is the difference between an O(#files) driver fold
+      // and a full scan. The builder asserts the rewrite actually
+      // fired — no relation survives in the optimized plan.
+      val df = QTables.qbeast(s, dir, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
       val scans = df.queryExecution.optimizedPlan.collect {
         case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
       }
-      require(scans.isEmpty, "count(*) should fold to a metadata LocalRelation")
+      require(scans.isEmpty, "count/min/max should fold to a metadata LocalRelation")
       df
     }),
     "q77_changes_feed" -> ((s, dir) => {
@@ -2090,7 +2095,10 @@ object SparkEntry {
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""".stripMargin,
     "q76_metadata_count" ->
-      "SELECT count(*) AS cnt FROM lineitem",
+      """SELECT count(*) AS cnt,
+        |min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
     "q77_changes_feed" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
         |  app AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (5, 6)),

@@ -1,56 +1,67 @@
 package graft.rules
 
-import graft.read.QbeastIndex
+import graft.log.QbeastSnapshot
+import graft.read.{FileStatsPruning, QbeastIndex}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
 
 /**
- * Answer an unfiltered `count(*)` over a qbeast table from the commit
- * log instead of scanning data (the Delta
+ * Answer unfiltered `count(*)` / `min(col)` / `max(col)` over a qbeast
+ * table from the commit log instead of scanning data (the Delta
  * `OptimizeMetadataOnlyQuery` idea): every add action carries exact
- * per-block element counts — maintained by the writer, optimize, and
- * every copy-on-write DML rewrite — so the global row count is a sum
- * over file metadata the driver already holds. At 100 TB this turns
- * the most common sanity query a pipeline runs (`SELECT count(*)`)
- * from a full-table scan into an O(#files) driver fold that was
- * already paid for by snapshot replay.
+ * per-block element counts plus Delta-style per-file column stats
+ * ([[graft.write.FileStatsCollector]]), so the most common sanity
+ * query a pipeline runs (`SELECT count(*), min(ts), max(ts)`) becomes
+ * an O(#files) driver fold that was already paid for by snapshot
+ * replay — at 100 TB, that's a full-table scan saved.
  *
  * Strictly scoped: the aggregate must be global (no grouping), every
- * aggregate must be a plain non-distinct, unfiltered `count(<non-null
- * literal>)` (what `count(*)`/`count(1)`/`Dataset.count()` analyze
- * to), and the child must be a Project-only chain over ONE qbeast
- * relation — a Filter, Sample, Limit, join or a light (sidecar)
- * snapshot leaves the plan untouched.
+ * output a plain non-distinct unfiltered `count(<non-null literal>)`,
+ * `min`/`max` of a directly-scanned column, or a literal; the child a
+ * Project-only chain over ONE qbeast relation. min/max additionally
+ * require EVERY file to carry complete stats for the column with an
+ * exactness-safe type (long/double families, boolean, date,
+ * timestamp — strings are excluded: the collector invalidates
+ * oversized values, which is indistinguishable from all-null in the
+ * emitted JSON). A Filter, Sample, Limit, join, light (sidecar)
+ * snapshot, or any stats gap leaves the plan untouched.
  */
 class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
-      rowCountOf(agg.child).flatMap(n => rewrite(agg, n)).getOrElse(agg)
+      snapshotOf(agg.child).flatMap(rewrite(agg, _)).getOrElse(agg)
   }
 
-  /** The exact metadata row count, when the child is a row-preserving
-   * (Project-only) chain over one complete-snapshot qbeast relation. */
-  private def rowCountOf(plan: LogicalPlan): Option[Long] = plan match {
-    case LogicalRelation(HadoopFsRelation(fi: QbeastIndex, _, _, _, _, _), _, _, _, _) =>
-      val snap = fi.currentSnapshot
-      // a light snapshot's `files` is only the post-checkpoint tail;
-      // the bulk lives in the parquet sidecar — don't guess
-      if (snap.filesComplete) Some(snap.files.map(_.elementCount).sum) else None
-    case p: Project => rowCountOf(p.child)
-    case s: SubqueryAlias => rowCountOf(s.child)
-    case _ => None
-  }
+  /** The complete snapshot under a row-preserving (Project-only) chain
+   * over one qbeast relation, with the relation's output (so min/max
+   * attributes can be matched by exprId). */
+  private def snapshotOf(plan: LogicalPlan): Option[(QbeastSnapshot, Seq[Attribute])] =
+    plan match {
+      case r @ LogicalRelation(HadoopFsRelation(fi: QbeastIndex, _, _, _, _, _), _, _, _, _) =>
+        val snap = fi.currentSnapshot
+        // a light snapshot's `files` is only the post-checkpoint tail;
+        // the bulk lives in the parquet sidecar — don't guess
+        if (snap.filesComplete) Some((snap, r.output)) else None
+      case p: Project => snapshotOf(p.child)
+      case s: SubqueryAlias => snapshotOf(s.child)
+      case _ => None
+    }
 
   /** Fold the aggregate into a one-row LocalRelation iff every output
-   * is a plain count-star (→ the metadata count) or a literal. */
-  private def rewrite(agg: Aggregate, n: Long): Option[LogicalPlan] = {
+   * is answerable from metadata. */
+  private def rewrite(
+      agg: Aggregate,
+      rel: (QbeastSnapshot, Seq[Attribute])): Option[LogicalPlan] = {
+    val (snap, output) = rel
+    lazy val n = snap.files.map(_.elementCount).sum
     val values = agg.aggregateExpressions.map {
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
@@ -60,6 +71,10 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
               if children.nonEmpty &&
                 children.forall(c => c.foldable && c.eval() != null) =>
             Some(n)
+          case Min(a: Attribute) if output.exists(_.exprId == a.exprId) =>
+            statsExtreme(snap, a.name, a.dataType, isMin = true)
+          case Max(a: Attribute) if output.exists(_.exprId == a.exprId) =>
+            statsExtreme(snap, a.name, a.dataType, isMin = false)
           case _ => None
         }
       case Alias(l: Literal, _) => Some(l.value)
@@ -69,5 +84,64 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (values.forall(_.isDefined))
       Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get)))))
     else None
+  }
+
+  /** Global min/max of `column` folded over per-file stats. Returns
+   * None ("can't answer") on any file with missing/incomplete stats;
+   * Some(null) is the legal answer for an empty or all-null column. */
+  private def statsExtreme(
+      snap: QbeastSnapshot,
+      column: String,
+      dt: DataType,
+      isMin: Boolean): Option[Any] = {
+    if (!MetadataCountRule.exactStatsType(dt)) return None
+    var acc: Option[BigDecimal] = None
+    var accBool: Option[Boolean] = None
+    snap.files.foreach { f =>
+      if (f.elementCount > 0L) {
+        val stats = f.stats.flatMap(FileStatsPruning.parse).getOrElse(return None)
+        val nulls = stats.nulls.getOrElse(column, return None)
+        if (nulls < stats.numRecords) {
+          val side = if (isMin) stats.mins else stats.maxs
+          side.getOrElse(column, return None) match {
+            case b: Boolean =>
+              accBool = Some(accBool.fold(b)(p => if (isMin) p && b else p || b))
+            case bd: BigDecimal =>
+              acc = Some(acc.fold(bd)(p =>
+                if (isMin) p.min(bd) else p.max(bd)))
+            case _ => return None // string or unexpected shape
+          }
+        }
+      }
+    }
+    dt match {
+      case BooleanType => Some(accBool.orNull)
+      case _ =>
+        // map[Any]: without the ascription Scala unifies the numeric
+        // arms by WEAK CONFORMANCE — every branch silently widens to
+        // Double, putting a boxed Double in a Long column's row slot
+        Some(acc.map[Any] { bd =>
+          dt match {
+            case ByteType => bd.toByteExact
+            case ShortType => bd.toShortExact
+            case IntegerType | DateType => bd.toIntExact
+            case LongType | TimestampType | TimestampNTZType => bd.toLongExact
+            case FloatType => bd.toFloat
+            case DoubleType => bd.toDouble
+          }
+        }.orNull)
+    }
+  }
+}
+
+object MetadataCountRule {
+
+  /** Types whose stats JSON round-trip is exact (see
+   * FileStatsCollector: long family as decimal text, float widened to
+   * double losslessly, doubles printed round-trippably). */
+  def exactStatsType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+        BooleanType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
   }
 }

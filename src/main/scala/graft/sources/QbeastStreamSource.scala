@@ -171,14 +171,25 @@ class QbeastStreamSource(
   private val startExclusive: Long = opt("startingVersion") match {
     case Some(v) if v.equalsIgnoreCase("latest") => initialSnapshot.version
     case Some(v) => v.toLong - 1L
-    case None => -1L
+    case None => opt("startingTimestamp") match {
+      // first commit written AT or AFTER the timestamp starts the
+      // stream (Delta's startingTimestamp): versionAt gives the last
+      // commit ≤ ts, which is exactly the exclusive lower bound
+      case Some(ts) =>
+        // versionAt is "last version ≤ t"; a commit exactly AT the
+        // given timestamp must be INCLUDED, so bound at t-1ms
+        QbeastLog.versionAt(tablePath, hadoopConf,
+          java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime - 1L).getOrElse(-1L)
+      case None => -1L
+    }
   }
 
   /** `startingVersion=0` also yields startExclusive == -1; only the
-   * OPTION'S ABSENCE selects the initial-snapshot phase (for an
+   * OPTIONS' ABSENCE selects the initial-snapshot phase (for an
    * append-only table the two coincide, but the change feed
    * distinguishes "current content as inserts" from "full history"). */
-  private val startingVersionGiven = opt("startingVersion").isDefined
+  private val startingVersionGiven =
+    opt("startingVersion").isDefined || opt("startingTimestamp").isDefined
 
   /** Trigger.AvailableNow: commits beyond the version latched here are
    * left for a later run, no matter how long this one drains. */

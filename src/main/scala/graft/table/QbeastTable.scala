@@ -1079,6 +1079,18 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         if (fs.delete(st.getPath, false)) deleted += 1
       }
     }
+    // change-data files serve only CDF readers and are never "live":
+    // like removed data files they expire with the retention window
+    // (Delta's VACUUM applies the same rule) — a feed older than
+    // retention degrades to the file-diff fallback or errors, exactly
+    // like time travel past retention
+    val cdcRoot = new Path(dir, "_change_data")
+    if (fs.exists(cdcRoot)) {
+      fs.listStatus(cdcRoot).foreach { st =>
+        if (st.getModificationTime < cutoff && fs.delete(st.getPath, true))
+          deleted += 1
+      }
+    }
     // sidecar housekeeping: parquet checkpoints older than the newest
     // one only serve time travel, which degrades safely to the flat path
     graft.log.FileCheckpoint.pruneOld(fs, tablePath,

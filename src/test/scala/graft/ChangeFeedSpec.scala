@@ -44,15 +44,29 @@ class ChangeFeedSpec extends AnyFunSuite {
       (2L, "insert") -> 5L)
     assert(feedCounts(t.changes(1)) == expected)
 
-    // vacuum reclaims the rewritten originals; the persisted change
-    // files keep the feed readable where the file re-diff would die
-    t.vacuum(0L, force = true)
+    // the persisted diff — not a file re-diff — serves the feed: with
+    // the v1-removed originals physically gone (as after a vacuum of
+    // the data files), the fallback would die but the feed still reads
+    val removed = graft.log.QbeastLog
+      .commitActions(tbl, spark.sparkContext.hadoopConfiguration, 1L,
+        t.snapshot.revisions)
+      .collect { case graft.log.RemoveFileAction(r) => r.path }
+    assert(removed.nonEmpty)
+    removed.foreach(p => assert(new java.io.File(tbl, p).delete()))
     assert(feedCounts(t.changes(1)) == expected)
     // the updated rows carry post-image values on insert
     val v2ins = t.changes(2, 2).filter(col("_change_type") === "insert")
       .select("a", "b").as[(Long, Double)].collect().toMap
     assert(v2ins.keySet == Set(0L, 1L, 2L, 3L, 4L))
     assert(v2ins.forall { case (k, v) => v == k % 10 + 100 })
+
+    // vacuum expires change files with the data-file retention: the
+    // feed past the window degrades to an explicit error, and storage
+    // is reclaimed rather than leaking one diff per DML forever
+    t.vacuum(0L, force = true)
+    assert(cdcDir.listFiles() == null || cdcDir.listFiles().isEmpty)
+    val e = intercept[IllegalArgumentException] { t.changes(1, 1).collect() }
+    assert(e.getMessage.contains("vacuumed"))
   }
 
   test("streaming readChangeFeed: full history from startingVersion 0") {

@@ -102,6 +102,45 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(!isMetadataOnly(nonLit))
   }
 
+  test("min/max fold from file stats, stay exact across DML, bail without stats") {
+    val dir = freshTable()
+    val base = spark.read.format("qbeast").load(dir)
+    val df = base.agg(min(col("a")).as("mn"), max(col("a")).as("mx"),
+      min(col("b")).as("mnb"), max(col("b")).as("mxb"), count(lit(1)).as("cnt"))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getLong(4))).toSeq == Seq((0L, 499L, 0.0, 6.0, 500L)))
+    assert(isMetadataOnly(df), df.queryExecution.executedPlan.toString)
+
+    // DML rewrites keep stats exact: delete the current max, update the min
+    val t = table.QbeastTable.forPath(spark, dir)
+    t.delete("a >= 490")
+    t.update("a < 10", Map("b" -> "b + 50"))
+    val df2 = spark.read.format("qbeast").load(dir)
+      .agg(min(col("a")).as("mn"), max(col("a")).as("mx"), max(col("b")).as("mxb"))
+    assert(df2.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == Seq((0L, 489L, 56.0)))
+    assert(isMetadataOnly(df2))
+
+    // string min/max must NOT fold (collector can invalidate oversized
+    // values indistinguishably from all-null)
+    val dir2 = TestSpark.tmpDir("qbeast-metacount-str")
+    spark.range(50).select(col("id").as("a"), concat(lit("v"), col("id")).as("s"))
+      .write.format("qbeast").option("columnsToIndex", "a")
+      .option("cubeSize", "100").save(dir2)
+    val dfs = spark.read.format("qbeast").load(dir2)
+      .agg(min(col("s")).as("mn"))
+    assert(dfs.collect().head.getString(0) == "v0")
+    assert(!isMetadataOnly(dfs))
+
+    // converted tables carry no stats → min/max must scan (count folds)
+    val dir3 = TestSpark.tmpDir("qbeast-metacount-conv2")
+    spark.range(77).select(col("id").as("a")).write.mode("overwrite").parquet(dir3)
+    table.QbeastTable.convertFromParquet(spark, dir3)
+    val dfc = spark.read.format("qbeast").load(dir3).agg(min(col("a")).as("mn"))
+    assert(dfc.collect().head.getLong(0) == 0L)
+    assert(!isMetadataOnly(dfc))
+  }
+
   test("empty table counts zero without a scan") {
     val dir = freshTable(1)
     val t = table.QbeastTable.forPath(spark, dir)

@@ -57,6 +57,27 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(ids(out) == (0L until 110L))
   }
 
+  test("startingTimestamp bounds the stream like startingVersion") {
+    val tbl = TestSpark.tmpDir("qss-ts-tbl")
+    writeSlice(tbl, 0, 30, "overwrite") // v0
+    Thread.sleep(1100) // distinct commit-file mtimes
+    writeSlice(tbl, 30, 50, "append") // v1
+    val hist = table.QbeastTable.forPath(spark, tbl).history()
+    // a timestamp strictly between the two commits → only v1 streams;
+    // a timestamp exactly AT v1 must still include v1
+    for (ts <- Seq(hist(1).timestampMillis - 500, hist(1).timestampMillis)) {
+      val out = TestSpark.tmpDir("qss-ts-out")
+      drain(tbl, TestSpark.tmpDir("qss-ts-ckpt"), out,
+        Map("startingTimestamp" -> new java.sql.Timestamp(ts).toString))
+      assert(ids(out) == (30L until 50L), s"for ts offset ${ts - hist(1).timestampMillis}")
+    }
+    // a timestamp before everything replays the full history
+    val out3 = TestSpark.tmpDir("qss-ts-out3")
+    drain(tbl, TestSpark.tmpDir("qss-ts-ckpt3"), out3,
+      Map("startingTimestamp" -> new java.sql.Timestamp(hist(0).timestampMillis - 1000).toString))
+    assert(ids(out3) == (0L until 50L))
+  }
+
   test("layout-only commits (optimize) are skipped, not re-delivered") {
     val tbl = TestSpark.tmpDir("qss-opt-tbl")
     val ckpt = TestSpark.tmpDir("qss-opt-ckpt")
