@@ -948,6 +948,13 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q81_describe_detail" -> ((s, dir) => {
+      // DESCRIBE DETAIL's row count comes from block metadata, never a
+      // scan — the oracle proves the metadata agrees with the data
+      QTables.qbeast(s, dir, "orders")
+      val path = QTables.cachePathFor(dir, "orders")
+      s.sql(s"DESCRIBE DETAIL '$path'").select(col("num_rows"))
+    }),
     "q72_vacuum" -> ((s, dir) => {
       // overwrite + copy-on-write delete leave dead files; vacuum(0)
       // physically reclaims them (the builder asserts disk == live set)
@@ -2145,6 +2152,8 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "q81_describe_detail" ->
+      "SELECT count(*) AS num_rows FROM orders",
     "q73_history" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), 'WRITE',     true, false),

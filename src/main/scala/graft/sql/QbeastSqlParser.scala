@@ -34,6 +34,10 @@ class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)DESCRIBE\s+HISTORY\s+(?:'([^']+)'|"([^"]+)")""".r
   private val CloneRe =
     """(?is)CLONE\s+(?:'([^']+)'|"([^"]+)")\s+TO\s+(?:'([^']+)'|"([^"]+)")""".r
+  private val DetailRe =
+    """(?is)DESCRIBE\s+DETAIL\s+(?:'([^']+)'|"([^"]+)")""".r
+  private val RestoreRe =
+    """(?is)RESTORE\s+(?:'([^']+)'|"([^"]+)")\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""".r
 
   /** Line comments, bracketed comments and trailing semicolons are
    * tolerated around the statement (a decorated statement must not
@@ -54,6 +58,10 @@ class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
       DescribeHistoryQbeastCommand(Option(p1).getOrElse(p2))
     case CloneRe(s1, s2, t1, t2) =>
       CloneQbeastCommand(Option(s1).getOrElse(s2), Option(t1).getOrElse(t2))
+    case DetailRe(p1, p2) =>
+      DescribeDetailQbeastCommand(Option(p1).getOrElse(p2))
+    case RestoreRe(p1, p2, v) =>
+      RestoreQbeastCommand(Option(p1).getOrElse(p2), v.toLong)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -134,6 +142,62 @@ final case class CloneQbeastCommand(source: String, target: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val cloned = graft.table.QbeastTable.forPath(spark, source).cloneTo(target)
     Seq(Row(target, cloned.snapshot.allFilesCount))
+  }
+
+}
+
+/** SQL `DESCRIBE DETAIL '<path>'` — one row of table-level facts
+ * (Delta's DESCRIBE DETAIL shape over the qlog): format, current
+ * version, file count, total bytes, row count from block metadata,
+ * indexed columns of the latest revision, and table properties. */
+final case class DescribeDetailQbeastCommand(path: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("indexed_columns", StringType, nullable = false)(),
+    AttributeReference("cube_size", LongType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = graft.log.QbeastLog
+      .snapshot(path, spark.sparkContext.hadoopConfiguration)
+    require(!snap.isEmpty, s"no qbeast table at $path")
+    val rev = snap.lastRevision
+    Seq(Row(
+      "qbeast",
+      path,
+      snap.version,
+      snap.allFilesCount,
+      snap.totalBytes,
+      snap.files.map(_.elementCount).sum,
+      rev.map(_.columnNames.mkString(",")).getOrElse(""),
+      rev.map(_.desiredCubeSize.toLong).getOrElse(0L),
+      snap.configuration.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString(";")))
+  }
+
+}
+
+/** SQL `RESTORE '<path>' TO VERSION AS OF <n>` →
+ * [[graft.table.QbeastTable.restoreToVersion]] (metadata-only rollback
+ * as a new commit); returns the version restored to and the new head. */
+final case class RestoreQbeastCommand(path: String, version: Long)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("head_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = graft.table.QbeastTable.forPath(spark, path)
+    t.restoreToVersion(version)
+    Seq(Row(version, t.snapshot.version))
   }
 
 }

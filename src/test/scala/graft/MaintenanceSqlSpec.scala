@@ -101,6 +101,24 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("version"))
   }
 
+  test("DESCRIBE DETAIL and SQL RESTORE round out the maintenance surface") {
+    val dir = freshTable(400)
+    (1 to 50).map(i => ((20000 + i).toLong, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").option("cubeSize", "100").mode("append").save(dir)
+
+    val d = spark.sql(s"DESCRIBE DETAIL '$dir'").collect().head
+    assert(d.getString(0) == "qbeast" && d.getString(1) == dir)
+    assert(d.getLong(2) == 1L) // two commits: v0, v1
+    assert(d.getLong(3) > 0 && d.getLong(4) > 0)
+    assert(d.getLong(5) == 450L) // row count from block metadata
+    assert(d.getString(6) == "a,b" && d.getLong(7) == 100L)
+    assert(d.getString(8).contains("qbeast.lastRevisionID"))
+
+    val r = spark.sql(s"RESTORE '$dir' TO VERSION AS OF 0").collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 2L)
+    assert(spark.read.format("qbeast").load(dir).count() == 400L)
+  }
+
   test("every other statement delegates to the stock parser") {
     assert(spark.sql("SELECT 1 + 1 AS x").head.getInt(0) == 2)
     // a statement CONTAINING the keywords but not matching the grammar
