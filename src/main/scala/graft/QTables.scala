@@ -274,6 +274,51 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** Orders built under a CHECK constraint: half the table written,
+   * `ALTER TABLE ... ADD CONSTRAINT` (validates the existing half),
+   * the other half appended THROUGH the gate, and a violating append
+   * proven to fail without changing the table. Content = full
+   * orders. */
+  def qbeastConstrained(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_constrained")
+    val conf = spark.sparkContext.hadoopConfiguration
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, conf)) {
+        try {
+          val (cols, cubeSize) = indexSpecs("orders")
+          def write(df: DataFrame, mode: String): Unit = df.write.format("qbeast")
+            .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
+            .mode(mode).save(path)
+          val o = raw(spark, sfDir, "orders")
+          write(o.filter("o_orderkey % 2 = 0"), "errorifexists")
+          spark.sql(s"ALTER TABLE '$path' ADD CONSTRAINT price_positive " +
+            "CHECK (o_totalprice > 0)").collect()
+          write(o.filter("o_orderkey % 2 = 1"), "append") // gated, clean
+          val versionBefore = graft.table.QbeastTable.forPath(spark, path)
+            .snapshot.version
+          val failed =
+            try {
+              write(o.limit(5).withColumn("o_totalprice",
+                org.apache.spark.sql.functions.lit(-1.0)), "append")
+              false
+            }
+            catch { case e: Throwable => e.getMessage.contains("price_positive") }
+          require(failed, "violating append must fail naming the constraint")
+          require(graft.table.QbeastTable.forPath(spark, path)
+            .snapshot.version == versionBefore,
+            "failed append must not commit")
+        } catch {
+          case e: Throwable =>
+            new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+              .delete(new org.apache.hadoop.fs.Path(path), true)
+            throw e
+        }
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** A small orders table taken through a fixed operation sequence so
    * `QbeastTable.history()` has a deterministic shape: v0 WRITE,
    * v1 OVERWRITE, v2 WRITE (append), v3 DELETE, v4 OPTIMIZE. */

@@ -948,6 +948,14 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q82_check_constraint" -> ((s, dir) => {
+      // CHECK constraints: ALTER ADD validates existing data, every
+      // append is gated, a violating append fails without committing
+      // (builder-asserted); content must equal full orders
+      QTables.qbeastConstrained(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q81_describe_detail" -> ((s, dir) => {
       // DESCRIBE DETAIL's row count comes from block metadata, never a
       // scan — the oracle proves the metadata agrees with the data
@@ -2154,6 +2162,10 @@ object SparkEntry {
         |FROM orders GROUP BY 1""".stripMargin,
     "q81_describe_detail" ->
       "SELECT count(*) AS num_rows FROM orders",
+    "q82_check_constraint" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "q73_history" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), 'WRITE',     true, false),

@@ -38,6 +38,12 @@ class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)DESCRIBE\s+DETAIL\s+(?:'([^']+)'|"([^"]+)")""".r
   private val RestoreRe =
     """(?is)RESTORE\s+(?:'([^']+)'|"([^"]+)")\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val AddConstraintRe =
+    ("""(?is)ALTER\s+TABLE\s+(?:'([^']+)'|"([^"]+)")""" +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)""").r
+  private val DropConstraintRe =
+    ("""(?is)ALTER\s+TABLE\s+(?:'([^']+)'|"([^"]+)")""" +
+      """\s+DROP\s+CONSTRAINT\s+(\w+)""").r
 
   /** Line comments, bracketed comments and trailing semicolons are
    * tolerated around the statement (a decorated statement must not
@@ -62,6 +68,10 @@ class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
       DescribeDetailQbeastCommand(Option(p1).getOrElse(p2))
     case RestoreRe(p1, p2, v) =>
       RestoreQbeastCommand(Option(p1).getOrElse(p2), v.toLong)
+    case AddConstraintRe(p1, p2, name, check) =>
+      AlterConstraintQbeastCommand(Option(p1).getOrElse(p2), name, Some(check.trim))
+    case DropConstraintRe(p1, p2, name) =>
+      AlterConstraintQbeastCommand(Option(p1).getOrElse(p2), name, None)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -198,6 +208,30 @@ final case class RestoreQbeastCommand(path: String, version: Long)
     val t = graft.table.QbeastTable.forPath(spark, path)
     t.restoreToVersion(version)
     Seq(Row(version, t.snapshot.version))
+  }
+
+}
+
+/** SQL `ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (expr)` /
+ * `ALTER TABLE '<path>' DROP CONSTRAINT name` →
+ * [[graft.table.QbeastTable.addConstraint]] (existing data validated
+ * first) / dropConstraint. */
+final case class AlterConstraintQbeastCommand(
+    path: String,
+    name: String,
+    check: Option[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("constraint", StringType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = graft.table.QbeastTable.forPath(spark, path)
+    check match {
+      case Some(expr) => t.addConstraint(name, expr); Seq(Row(name, "added"))
+      case None => t.dropConstraint(name); Seq(Row(name, "dropped"))
+    }
   }
 
 }

@@ -332,6 +332,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         // top-level and struct-field assignments, simultaneous semantics
         val updatedCols = Assignments(base.schema, asgn)
         val updated = base.filter(matched).select(updatedCols: _*)
+        graft.write.Constraints.validate(updated,
+          graft.write.Constraints.of(s.configuration), "UPDATE-assigned")
         val existing = latestRevision.orElse(throw new UnsupportedOperationException(
           "UPDATE on a staging-only qbeast table: append indexed data first"))
         val opts = QbeastOptions(Map.empty[String, String],
@@ -400,6 +402,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           s"match table schema ${existing.fieldNames.mkString(",")}")
     }
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
+    graft.write.Constraints.validate(source,
+      graft.write.Constraints.of(s.configuration), "upsert source")
     val srcKeys = source.select(keys.map(col): _*).distinct().persist()
     try {
       val (affected, survivorAdds) =
@@ -648,6 +652,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val (changedAdds, newRevision, nChanged) = changedAll match {
         case None => (Seq.empty[IndexFile], None, 0L)
         case Some(df) =>
+          graft.write.Constraints.validate(df,
+            graft.write.Constraints.of(s.configuration), "MERGE-written")
           val opts = QbeastOptions(Map.empty[String, String],
             defaultCubeSize = existingRev.map(_.desiredCubeSize)
               .getOrElse(QbeastOptions.DefaultCubeSize))
@@ -781,6 +787,60 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
             }
           }
           base = rebased
+      }
+    }
+  }
+
+  /**
+   * Register a CHECK constraint (Delta's `ADD CONSTRAINT name CHECK
+   * (expr)`): existing data is validated first — one scan, short-
+   * circuiting on the first violation — then the constraint is
+   * committed as the `qbeast.constraints.<name>` table property.
+   * Every subsequent write (append/overwrite/streaming batch) and
+   * every DML-written row is gated by one validation pass; rows a
+   * rewrite merely carries (survivors) never re-pay. SQL-standard
+   * semantics: TRUE and NULL pass, only FALSE violates.
+   */
+  def addConstraint(name: String, expression: String): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be alphanumeric, got '$name'")
+    val key = graft.write.Constraints.Prefix + name
+    val s = snapshot
+    require(!s.isEmpty, s"no qbeast table at $tablePath")
+    require(!s.configuration.contains(key), s"constraint $name already exists")
+    graft.write.Constraints.validate(
+      pinnedRead(s), Map(name -> expression), "existing table")
+    alterConfiguration(_ + (key -> expression), s"ADD CONSTRAINT")
+  }
+
+  /** Drop a CHECK constraint; writes stop validating it immediately. */
+  def dropConstraint(name: String): Unit = {
+    val key = graft.write.Constraints.Prefix + name
+    require(snapshot.configuration.contains(key), s"no constraint named $name")
+    alterConfiguration(_ - key, "DROP CONSTRAINT")
+  }
+
+  /** The table's CHECK constraints, name → SQL expression. */
+  def constraints: Map[String, String] =
+    graft.write.Constraints.of(snapshot.configuration)
+
+  /** Commit a configuration change (optimistic, rebase on conflict). */
+  private def alterConfiguration(
+      change: Map[String, String] => Map[String, String],
+      operation: String): Unit = {
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val base = snapshot
+      val actions = Seq(MetaDataAction(
+        base.schema.map(_.json).getOrElse(""), change(base.configuration)))
+      try {
+        QbeastLog.commit(tablePath, conf, base.version, actions, operation)
+        committed = true
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > 5) throw e
       }
     }
   }

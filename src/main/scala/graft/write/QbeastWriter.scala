@@ -116,6 +116,11 @@ object QbeastWriter {
         data.schema
       case _ => data.schema
     }
+    // CHECK constraints recorded on the table gate every written row
+    // (appends, overwrites, streaming batches) — one validation pass,
+    // only when constraints exist
+    Constraints.validate(data, Constraints.of(snapshot.configuration), "written")
+
     // overwrite keeps the table's indexing config (columns/cubeSize are
     // reused unless re-specified); it only replaces the data files
     val existingRevision = snapshot.lastRevision.filterNot(_.isStaging)

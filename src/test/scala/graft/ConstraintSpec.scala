@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CHECK constraints (write/Constraints.scala + QbeastTable.add/
+ * dropConstraint + the ALTER TABLE ... CONSTRAINT SQL statements):
+ * SQL-standard semantics (TRUE and NULL pass, FALSE violates),
+ * existing data validated at ADD time, every written/changed row
+ * gated afterwards. */
+class ConstraintSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = TestSpark.tmpDir("qbeast-constraint")
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a,b")
+      .option("cubeSize", "100").save(dir)
+    dir
+  }
+
+  test("ADD validates existing data; appends are gated; DROP releases") {
+    val dir = freshTable()
+    val t = table.QbeastTable.forPath(spark, dir)
+    // existing data violates -> rejected, nothing recorded
+    val bad = intercept[IllegalArgumentException] { t.addConstraint("small", "a < 50") }
+    assert(bad.getMessage.contains("small") && bad.getMessage.contains("a < 50"))
+    assert(t.constraints.isEmpty)
+
+    t.addConstraint("positive", "b >= 0")
+    assert(t.constraints == Map("positive" -> "b >= 0"))
+    assert(intercept[IllegalArgumentException] {
+      t.addConstraint("positive", "b >= 1")
+    }.getMessage.contains("already exists"))
+
+    // clean append passes; violating append fails NAMING the constraint
+    Seq((200L, 5.0)).toDF("a", "b").write.format("qbeast")
+      .option("cubeSize", "100").mode("append").save(dir)
+    val e = intercept[Exception] {
+      Seq((201L, -1.0)).toDF("a", "b").write.format("qbeast")
+        .option("cubeSize", "100").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("positive") && e.getMessage.contains("b >= 0"))
+    assert(spark.read.format("qbeast").load(dir).count() == 101)
+
+    t.dropConstraint("positive")
+    Seq((202L, -1.0)).toDF("a", "b").write.format("qbeast")
+      .option("cubeSize", "100").mode("append").save(dir)
+    assert(spark.read.format("qbeast").load(dir).count() == 102)
+    assert(intercept[IllegalArgumentException] {
+      t.dropConstraint("positive")
+    }.getMessage.contains("no constraint"))
+  }
+
+  test("NULL passes (SQL-standard UNKNOWN); FALSE violates") {
+    val dir = freshTable()
+    val t = table.QbeastTable.forPath(spark, dir)
+    t.addConstraint("positive", "b >= 0")
+    // a null b row is UNKNOWN -> passes
+    Seq((300L, null.asInstanceOf[java.lang.Double])).toDF("a", "b")
+      .write.format("qbeast").option("cubeSize", "100").mode("append").save(dir)
+    assert(spark.read.format("qbeast").load(dir).count() == 101)
+  }
+
+  test("UPDATE and upsert rows are gated; survivors never re-validate") {
+    val dir = freshTable()
+    val t = table.QbeastTable.forPath(spark, dir)
+    t.addConstraint("positive", "b >= 0")
+    // an UPDATE assigning a violating value fails, table unchanged
+    val e = intercept[IllegalArgumentException] {
+      t.update("a <= 3", Map("b" -> "-b"))
+    }
+    assert(e.getMessage.contains("positive"))
+    assert(spark.read.format("qbeast").load(dir)
+      .filter(col("b") < 0).count() == 0)
+    // a clean UPDATE still works
+    t.update("a <= 3", Map("b" -> "b + 1"))
+    // upsert with a violating source row fails before anything commits
+    val v0 = t.snapshot.version
+    val e2 = intercept[IllegalArgumentException] {
+      t.upsert(Seq((1L, -5.0)).toDF("a", "b"), Seq("a"))
+    }
+    assert(e2.getMessage.contains("positive"))
+    assert(t.snapshot.version == v0)
+    // clean upsert passes
+    t.upsert(Seq((1L, 500.0)).toDF("a", "b"), Seq("a"))
+    assert(spark.read.format("qbeast").load(dir)
+      .filter(col("a") === 1).select("b").head.getDouble(0) == 500.0)
+  }
+
+  test("SQL ALTER TABLE ADD/DROP CONSTRAINT; property visible in DESCRIBE DETAIL") {
+    val dir = freshTable()
+    val out = spark.sql(
+      s"ALTER TABLE '$dir' ADD CONSTRAINT price_ok CHECK (b >= 0 AND a > 0)")
+      .collect().head
+    assert(out.getString(0) == "price_ok" && out.getString(1) == "added")
+    val props = spark.sql(s"DESCRIBE DETAIL '$dir'").collect().head.getString(8)
+    assert(props.contains("qbeast.constraints.price_ok=b >= 0 AND a > 0"))
+    val e = intercept[Exception] {
+      Seq((0L, 1.0)).toDF("a", "b").write.format("qbeast")
+        .option("cubeSize", "100").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("price_ok"))
+    assert(spark.sql(s"ALTER TABLE '$dir' DROP CONSTRAINT price_ok")
+      .collect().head.getString(1) == "dropped")
+    assert(table.QbeastTable.forPath(spark, dir).constraints.isEmpty)
+  }
+}
