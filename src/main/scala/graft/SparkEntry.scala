@@ -1166,6 +1166,18 @@ object SparkEntry {
         .drop("approx")
     }),
     // ---- multimodal columns ----------------------------------------------
+    "e10_kmeans_int8" -> ((s, dir) => {
+      // Lloyd's k-means over int8-quantized embeddings (IVF/PQ codebook
+      // training): exact integer distances + floor-div centroid means
+      // make the full trajectory engine-independent — the oracle
+      // replays both iterations bit-for-bit. Broadcast-literal
+      // centroids, map-side assignment, k·d-group partial-sum shuffle.
+      val emb = QTables.raw(s, dir, "embeddings")
+      ops.Similarity.kmeansInt8(emb, "vec_id", "embedding", k = 4, iters = 2)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"),
+          sum(col("vec_id")).as("sum_id"))
+    }),
     "m01_media_meta" -> ((s, dir) => {
       ops.Multimodal.asMediaTable(QTables.raw(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("media_type"),
@@ -1183,6 +1195,47 @@ object SparkEntry {
 
   /** Cosine-similarity SQL with the exact sequential fold of
    * `Dedup.cosine` (bit-identical doubles, not just close). */
+  /** DuckDB replay of [[graft.ops.Similarity.kmeansInt8]]: the same
+   * int8 quantization as e06's oracle, then `iters` Lloyd's rounds in
+   * EXACT integer arithmetic (integer distance sums; floor-division
+   * centroid means; ties broken by cluster id) — so the full
+   * trajectory is deterministic and bit-identical across engines.
+   * Empty clusters keep their previous centroid via the LEFT JOIN. */
+  private def kmeansOracleSql(k: Int, iters: Int, dims: Int): String = {
+    val d1 = dims + 1
+    def distSql(qTbl: String, cTbl: String): String =
+      s"""d$cTbl AS (SELECT p.vec_id, c.cid,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1,$d1),
+         |    i -> (p.q[i]-c.cv[i])*(p.q[i]-c.cv[i]))), (a,x) -> a+x) AS dist
+         |  FROM $qTbl p, $cTbl c),
+         |a$cTbl AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM d$cTbl) WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"c${it - 1}"
+      s"""${distSql("qz", prev)},
+         |s$it AS (SELECT a.cid, t.i AS pos, sum(q[t.i]) AS s, count(*) AS n
+         |  FROM a$prev a JOIN qz USING (vec_id) CROSS JOIN range(1,$d1) t(i)
+         |  GROUP BY 1, 2),
+         |c$it AS (SELECT cid, list(val ORDER BY pos) AS cv FROM (
+         |  SELECT c.cid, t.i AS pos,
+         |    coalesce(CAST(floor(s.s / s.n) AS BIGINT), c.cv[t.i]) AS val
+         |  FROM c${it - 1} c CROSS JOIN range(1,$d1) t(i)
+         |  LEFT JOIN s$it s ON s.cid = c.cid AND s.pos = t.i) GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sc AS (SELECT vec_id, emb, CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+       |  THEN 127.0 / list_max(list_transform(emb, x -> abs(x))) ELSE 0.0 END AS s FROM ev),
+       |qz AS (SELECT vec_id, list_transform(emb, x -> floor(x * s + 0.5)::BIGINT) AS q FROM sc),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cv
+       |  FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT $k)),
+       |$iterCtes,
+       |${distSql("qz", s"c$iters")}
+       |SELECT cid AS cluster, count(*) AS n, min(vec_id) AS min_id,
+       |  CAST(sum(vec_id) AS BIGINT) AS sum_id
+       |FROM ac$iters GROUP BY 1""".stripMargin
+  }
+
   private def cosSql(a: String, b: String): String =
     s"""(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), i -> $a[i] * $b[i])), (acc,x) -> acc+x) /
        | (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), i -> $a[i] * $a[i])), (acc,x) -> acc+x)) *
@@ -2347,6 +2400,7 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
          |  FROM s)
          |SELECT query_id, nbr_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "e10_kmeans_int8" -> kmeansOracleSql(k = 4, iters = 2, dims = 64),
     "e01_knn_exact" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim

@@ -431,4 +431,80 @@ object Similarity {
     else perBank.reduce(_.unionAll(_)).dropDuplicates("id_a", "id_b")
   }
 
+  /**
+   * Lloyd's k-means over int8-quantized embeddings — the codebook /
+   * cluster-assignment primitive behind IVF partitioning and PQ
+   * training, shaped for exact verification: every distance is an
+   * INTEGER sum over the quantized vectors ([[quantize]], same math as
+   * e06) and centroid updates use floor-division — no floating-point
+   * anywhere, so an independent engine replays the whole trajectory
+   * bit-for-bit (DuckDB does, in e10's oracle).
+   *
+   * Distributed shape per iteration: centroids broadcast as a LITERAL
+   * array (k·d longs — tiny), assignment is a map-side codegen
+   * projection (`transform` over centroids + `aggregate(zip_with)`
+   * distance, argmin via `array_min` struct ordering with cluster id
+   * as the deterministic tie-break), and the centroid update shuffles
+   * only (cluster, dim) partial sums — k·d groups with map-side
+   * combine, never the vectors. Driver holds k·d longs. This is the
+   * textbook scale-safe k-means: cost O(N·k·d) compute + O(k·d)
+   * shuffle per iteration. Empty clusters keep their previous
+   * centroid. Initial centroids: the k smallest ids' vectors, cluster
+   * ids 0..k-1 in that id order.
+   *
+   * Returns (id, cluster) assignments AFTER `iters` centroid updates.
+   */
+  def kmeansInt8(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 4,
+      iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, s"kmeansInt8(k=$k, iters=$iters)")
+    val spark = embeddings.sparkSession
+    val q = embeddings
+      .select(col(idCol).as("id"), int8Quantize(col(embCol)).as("q"))
+      .localCheckpoint(true) // quantize once, reuse across iterations
+
+    def assignExpr(centroids: Seq[(Int, Array[Long])]): Column = {
+      val centLit = array(centroids.map { case (cid, vec) =>
+        struct(lit(cid).as("cid"), array(vec.map(lit(_)): _*).as("vec"))
+      }: _*)
+      array_min(transform(centLit, c =>
+        struct(
+          aggregate(
+            zip_with(col("q"), c.getField("vec"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"),
+          c.getField("cid").as("cid")))).getField("cid")
+    }
+
+    // init: the k smallest ids' vectors (k rows to the driver)
+    var centroids: Seq[(Int, Array[Long])] = q.orderBy("id").limit(k)
+      .collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Long](1).toArray
+      }.toSeq
+
+    (1 to iters).foreach { _ =>
+      // partial sums per (cluster, dim): the ONLY shuffle, k·d groups
+      val sums = q.select(assignExpr(centroids).as("cid"), posexplode(col("q")))
+        .groupBy("cid", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, prev) =>
+        byCluster.get(cid) match {
+          case None => cid -> prev // empty cluster keeps its centroid
+          case Some(rows) =>
+            val vec = prev.clone()
+            rows.foreach { r =>
+              vec(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
+            }
+            cid -> vec
+        }
+      }
+    }
+
+    q.select(col("id").as(idCol), assignExpr(centroids).as("cluster"))
+  }
+
 }

@@ -776,6 +776,19 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
             throw new java.util.ConcurrentModificationException(
               "files targeted by DELETE/UPDATE were rewritten concurrently " +
                 "(optimize/overwrite/another DML); re-run the operation")
+          // a CHECK constraint added since this mutation's validation
+          // pass must gate its rows too — re-validate the written adds
+          // (bounded by the mutation's own output) against constraints
+          // the rebased head has that the initial snapshot had not
+          val alreadyChecked = graft.write.Constraints.of(initial.configuration)
+          val newConstraints = graft.write.Constraints.of(rebased.configuration)
+            .filter { case (k, v) => !alreadyChecked.get(k).contains(v) }
+          if (newConstraints.nonEmpty && adds.nonEmpty) {
+            val addPaths = adds.map(f => new Path(tablePath, f.path).toString)
+            graft.write.Constraints.validate(
+              spark.read.parquet(addPaths: _*), newConstraints,
+              s"$operation (rebased)")
+          }
           newRevision.foreach { r =>
             // our freshly cut revision id was claimed: renumber it and
             // the files written into it (revisions are self-contained)

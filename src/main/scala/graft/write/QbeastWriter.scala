@@ -213,6 +213,14 @@ object QbeastWriter {
           if (rebases > 20) throw e
           val rebased = QbeastLog.snapshot(tablePath, conf)
           if (isOverwrite) throw e // overwrite conflicts need a full re-run
+          // a constraint that landed AFTER our validation pass must
+          // gate this data too, or the race lets violating rows slip
+          // past a just-added CHECK (Delta resolves the same conflict
+          // through metadata-change detection)
+          val alreadyChecked = Constraints.of(snapshot.configuration)
+          val newConstraints = Constraints.of(rebased.configuration)
+            .filter { case (k, v) => !alreadyChecked.get(k).contains(v) }
+          Constraints.validate(data, newConstraints, "written (rebased)")
           // a revision is self-contained (its own transformations; its
           // files carry its id), so when a concurrent writer claimed our
           // revision id we just re-number ours — no re-indexing

@@ -3,6 +3,24 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Pre-commit hook that lands an ADD CONSTRAINT between the host
+ * write's validation pass and its commit — the deterministic way to
+ * force the constraint/write race. */
+class ConcurrentConstraintHook extends graft.write.PreCommitHook {
+  override def name: String = "race-constraint"
+  override def run(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[graft.core.model.IndexFile]): Map[String, String] = {
+    graft.table.QbeastTable.forPath(spark, ConcurrentConstraintHook.tableDir.get())
+      .addConstraint("late", "b >= 0")
+    Map.empty
+  }
+}
+
+object ConcurrentConstraintHook {
+  val tableDir = new java.util.concurrent.atomic.AtomicReference[String]()
+}
+
 /** CHECK constraints (write/Constraints.scala + QbeastTable.add/
  * dropConstraint + the ALTER TABLE ... CONSTRAINT SQL statements):
  * SQL-standard semantics (TRUE and NULL pass, FALSE violates),
@@ -88,6 +106,32 @@ class ConstraintSpec extends AnyFunSuite {
     t.upsert(Seq((1L, 500.0)).toDF("a", "b"), Seq("a"))
     assert(spark.read.format("qbeast").load(dir)
       .filter(col("a") === 1).select("b").head.getDouble(0) == 500.0)
+  }
+
+  test("a constraint landing mid-write still gates the racing write") {
+    // violating data: the write validated before the constraint existed,
+    // the hook adds it pre-commit, the conflict rebase must re-validate
+    val dir = freshTable()
+    ConcurrentConstraintHook.tableDir.set(dir)
+    val e = intercept[Exception] {
+      Seq((500L, -9.0)).toDF("a", "b").write.format("qbeast")
+        .option("cubeSize", "100")
+        .option("hook.race", classOf[ConcurrentConstraintHook].getName)
+        .mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("late"), e.getMessage)
+    val t = table.QbeastTable.forPath(spark, dir)
+    assert(t.constraints.keySet == Set("late")) // the hook's add survives
+    assert(spark.read.format("qbeast").load(dir).filter(col("b") < 0).count() == 0)
+
+    // clean data: the same race passes through the re-validation
+    val dir2 = freshTable()
+    ConcurrentConstraintHook.tableDir.set(dir2)
+    Seq((500L, 9.0)).toDF("a", "b").write.format("qbeast")
+      .option("cubeSize", "100")
+      .option("hook.race", classOf[ConcurrentConstraintHook].getName)
+      .mode("append").save(dir2)
+    assert(spark.read.format("qbeast").load(dir2).count() == 101)
   }
 
   test("SQL ALTER TABLE ADD/DROP CONSTRAINT; property visible in DESCRIBE DETAIL") {

@@ -710,4 +710,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 k-means: separates obvious clusters, deterministic, UDF-free") {
+    // two tight blobs (per-vector scaling makes CONSTANT vectors
+    // degenerate — all quantize to ±127 — so vary the dimensions)
+    val pts = ((0 until 20).map(i =>
+      (i.toLong, Array(1.0f, 0.5f + i * 0.002f, -0.25f, 0.1f))) ++
+      (20 until 40).map(i =>
+        (i.toLong, Array(-1.0f, -0.3f, 0.8f, -0.6f + i * 0.002f))))
+      .toDF("vec_id", "embedding")
+    val assigned = ops.Similarity.kmeansInt8(pts, "vec_id", "embedding", k = 2, iters = 3)
+    val byCluster = assigned.collect()
+      .groupBy(_.getInt(1)).map { case (c, rs) => c -> rs.map(_.getLong(0)).toSet }
+    assert(byCluster.values.toSet ==
+      Set((0L until 20L).toSet, (20L until 40L).toSet))
+
+    // deterministic: an identical second run yields identical labels
+    val again = ops.Similarity.kmeansInt8(pts, "vec_id", "embedding", k = 2, iters = 3)
+    assert(assigned.exceptAll(again).count() == 0 && again.exceptAll(assigned).count() == 0)
+
+    // iters=0 assigns against the initial centroids without any update
+    val zero = ops.Similarity.kmeansInt8(pts, "vec_id", "embedding", k = 2, iters = 0)
+    assert(zero.count() == 40)
+    assert(zero.select("cluster").distinct().collect()
+      .map(_.getInt(0)).forall(c => c == 0 || c == 1))
+
+    // empty clusters keep their centroid (3 identical points, k=2:
+    // everything joins cluster 0; cluster 1 never crashes the update)
+    val same = Seq((1L, Array(1.0f, 1.0f)), (2L, Array(1.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val s2 = ops.Similarity.kmeansInt8(same, "vec_id", "embedding", k = 2, iters = 2)
+    assert(s2.filter(col("cluster") === 0).count() == 3)
+
+    // assignment is a codegen projection — no UDF anywhere
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"unexpected UDF in plan:\n$p")
+  }
+
 }
