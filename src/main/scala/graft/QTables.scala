@@ -139,21 +139,30 @@ object QTables {
     val conf = spark.sparkContext.hadoopConfiguration
     lock.synchronized {
       if (!graft.log.QbeastLog.exists(path, conf)) {
-        val (cols, cubeSize) = indexSpecs("orders")
-        def write(df: DataFrame, mode: String): Unit = df.write.format("qbeast")
-          .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
-          .mode(mode).save(path)
-        val o = raw(spark, sfDir, "orders")
-        write(o.filter("o_orderkey % 10 < 5"), "errorifexists") // v0
-        write(o.filter("o_orderkey % 10 IN (5, 6)"), "append") // v1
-        val t = graft.table.QbeastTable.forPath(spark, path)
-        val deleted = t.delete("o_orderstatus = 'F' AND o_orderkey % 100 < 50") // v2
-        require(deleted > 0, "cdf fixture: the delete must hit rows")
-        val updated = t.update("o_orderkey % 7 = 0",
-          Map("o_totalprice" -> "o_totalprice + 1")) // v3
-        require(updated > 0, "cdf fixture: the update must hit rows")
-        require(t.snapshot.version == 3,
-          s"cdf fixture: expected version 3, got ${t.snapshot.version}")
+        // a half-built history must not poison the existence-keyed
+        // cache: wipe on ANY failure so the next run rebuilds fully
+        try {
+          val (cols, cubeSize) = indexSpecs("orders")
+          def write(df: DataFrame, mode: String): Unit = df.write.format("qbeast")
+            .option("columnsToIndex", cols).option("cubeSize", cubeSize.toString)
+            .mode(mode).save(path)
+          val o = raw(spark, sfDir, "orders")
+          write(o.filter("o_orderkey % 10 < 5"), "errorifexists") // v0
+          write(o.filter("o_orderkey % 10 IN (5, 6)"), "append") // v1
+          val t = graft.table.QbeastTable.forPath(spark, path)
+          val deleted = t.delete("o_orderstatus = 'F' AND o_orderkey % 100 < 50") // v2
+          require(deleted > 0, "cdf fixture: the delete must hit rows")
+          val updated = t.update("o_orderkey % 7 = 0",
+            Map("o_totalprice" -> "o_totalprice + 1")) // v3
+          require(updated > 0, "cdf fixture: the update must hit rows")
+          require(t.snapshot.version == 3,
+            s"cdf fixture: expected version 3, got ${t.snapshot.version}")
+        } catch {
+          case e: Throwable =>
+            new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+              .delete(new org.apache.hadoop.fs.Path(path), true)
+            throw e
+        }
       }
     }
     graft.table.QbeastTable.forPath(spark, path).changes(1)
@@ -171,17 +180,24 @@ object QTables {
     val conf = spark.sparkContext.hadoopConfiguration
     lock.synchronized {
       if (!graft.log.QbeastLog.exists(path, conf)) {
-        val src = graft.table.QbeastTable.forPath(spark, srcPath)
-        val srcVersion = src.snapshot.version
-        val cloned = src.cloneTo(path)
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-        val copied = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        require(copied == 0, s"shallow clone copied $copied data files")
-        val deleted = cloned.delete("o_orderkey % 3 = 0")
-        require(deleted > 0, "clone fixture: the delete must hit rows")
-        require(src.snapshot.version == srcVersion,
-          "clone fixture: the source table moved")
+        try {
+          val src = graft.table.QbeastTable.forPath(spark, srcPath)
+          val srcVersion = src.snapshot.version
+          val cloned = src.cloneTo(path)
+          val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+          val copied = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+            .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          require(copied == 0, s"shallow clone copied $copied data files")
+          val deleted = cloned.delete("o_orderkey % 3 = 0")
+          require(deleted > 0, "clone fixture: the delete must hit rows")
+          require(src.snapshot.version == srcVersion,
+            "clone fixture: the source table moved")
+        } catch {
+          case e: Throwable =>
+            new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+              .delete(new org.apache.hadoop.fs.Path(path), true)
+            throw e
+        }
       }
     }
     spark.read.format("qbeast").load(path)

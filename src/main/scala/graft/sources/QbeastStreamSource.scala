@@ -147,11 +147,15 @@ class QbeastStreamSource(
   private val initialSnapshot = QbeastLog.lightSnapshot(tablePath, hadoopConf)
   require(!initialSnapshot.isEmpty, s"no qbeast table at $tablePath")
 
-  /** The TABLE's schema (CDF metadata columns stripped if the engine
-   * handed back the already-widened source schema). */
+  /** The TABLE's schema. In CDF mode the engine hands back the
+   * already-widened source schema — strip the metadata columns there;
+   * a NON-CDF table may legitimately contain columns with those names
+   * (e.g. a materialized feed), so never strip outside CDF mode. */
   private val tableSchema: StructType = {
-    val given = userSchema.map(s => StructType(
-      s.fields.filterNot(f => QbeastStreamSource.CdfColumns.contains(f.name))))
+    val given =
+      if (readChangeFeed) userSchema.map(s => StructType(
+        s.fields.filterNot(f => QbeastStreamSource.CdfColumns.contains(f.name))))
+      else userSchema
     given.filter(_.fields.nonEmpty).orElse(initialSnapshot.schema).getOrElse(
       throw new IllegalStateException(s"qbeast table $tablePath has no schema"))
   }
@@ -176,10 +180,16 @@ class QbeastStreamSource(
       // stream (Delta's startingTimestamp): versionAt gives the last
       // commit ≤ ts, which is exactly the exclusive lower bound
       case Some(ts) =>
+        // accept the Delta-compatible shapes: date-only, space- or
+        // 'T'-separated datetime, optional trailing 'Z'
+        val normalized = ts.trim.stripSuffix("Z").replace('T', ' ') match {
+          case d if d.matches("""\d{4}-\d{2}-\d{2}""") => d + " 00:00:00"
+          case other => other
+        }
         // versionAt is "last version ≤ t"; a commit exactly AT the
         // given timestamp must be INCLUDED, so bound at t-1ms
         QbeastLog.versionAt(tablePath, hadoopConf,
-          java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime - 1L).getOrElse(-1L)
+          java.sql.Timestamp.valueOf(normalized).getTime - 1L).getOrElse(-1L)
       case None => -1L
     }
   }
@@ -187,7 +197,12 @@ class QbeastStreamSource(
   /** `startingVersion=0` also yields startExclusive == -1; only the
    * OPTIONS' ABSENCE selects the initial-snapshot phase (for an
    * append-only table the two coincide, but the change feed
-   * distinguishes "current content as inserts" from "full history"). */
+   * distinguishes "current content as inserts" from "full history").
+   * Deliberate Delta-parity consequence for non-CDF streams too:
+   * `startingVersion=0` REPLAYS history commit-by-commit — delete /
+   * rewrite commits need ignoreDeletes/ignoreChanges, and commits
+   * whose files were vacuumed cannot be replayed. Omit the option to
+   * stream the clean current snapshot instead. */
   private val startingVersionGiven =
     opt("startingVersion").isDefined || opt("startingTimestamp").isDefined
 

@@ -748,10 +748,18 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val now = System.currentTimeMillis()
     // the row content of the change is fixed before the commit loop —
     // rebases renumber revisions, never rows — so the change file is
-    // written once and its action rides every attempt
+    // written once and its action rides every attempt; an ABORTED
+    // mutation must reclaim it (no commit will ever reference it)
     val cdcAction = writeCdcData(initial, adds0, removes)
+    def dropOrphanCdc(): Unit = cdcAction.foreach {
+      case CdcFileAction(p, _) =>
+        try new Path(tablePath).getFileSystem(conf)
+          .delete(new Path(tablePath, p), true)
+        catch { case scala.util.control.NonFatal(_) => }
+      case _ =>
+    }
     var committed = false
-    while (!committed) {
+    def commitMutationLoop(): Unit = while (!committed) {
       val actions = mutable.ArrayBuffer.empty[LogAction]
       newRevision.foreach { r =>
         actions += MetaDataAction(
@@ -802,6 +810,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           base = rebased
       }
     }
+    try commitMutationLoop()
+    catch { case e: Throwable => dropOrphanCdc(); throw e }
   }
 
   /**
@@ -818,12 +828,36 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"constraint name must be alphanumeric, got '$name'")
     val key = graft.write.Constraints.Prefix + name
-    val s = snapshot
-    require(!s.isEmpty, s"no qbeast table at $tablePath")
-    require(!s.configuration.contains(key), s"constraint $name already exists")
-    graft.write.Constraints.validate(
-      pinnedRead(s), Map(name -> expression), "existing table")
-    alterConfiguration(_ + (key -> expression), s"ADD CONSTRAINT")
+    // the "existing data satisfies the constraint" guarantee must hold
+    // at the version the constraint COMMITS against, not merely at some
+    // earlier read: a writer landing rows between our validation scan
+    // and our commit slips in unvalidated otherwise. Re-validate
+    // whenever the head moved past the last validated version (the
+    // common no-concurrency case pays exactly one scan).
+    var validatedVersion = -2L
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      val base = snapshot
+      require(!base.isEmpty, s"no qbeast table at $tablePath")
+      require(!base.configuration.contains(key), s"constraint $name already exists")
+      if (base.version != validatedVersion) {
+        graft.write.Constraints.validate(
+          pinnedRead(base), Map(name -> expression), "existing table")
+        validatedVersion = base.version
+      }
+      val actions = Seq(MetaDataAction(
+        base.schema.map(_.json).getOrElse(""),
+        base.configuration + (key -> expression)))
+      try {
+        QbeastLog.commit(tablePath, conf, base.version, actions, "ADD CONSTRAINT")
+        committed = true
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
   }
 
   /** Drop a CHECK constraint; writes stop validating it immediately. */

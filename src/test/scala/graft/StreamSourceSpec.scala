@@ -65,11 +65,16 @@ class StreamSourceSpec extends AnyFunSuite {
     val hist = table.QbeastTable.forPath(spark, tbl).history()
     // a timestamp strictly between the two commits → only v1 streams;
     // a timestamp exactly AT v1 must still include v1
-    for (ts <- Seq(hist(1).timestampMillis - 500, hist(1).timestampMillis)) {
+    val isoT = new java.sql.Timestamp(hist(1).timestampMillis - 500).toString
+      .replace(' ', 'T') + "Z" // ISO 'T' + zone suffix must parse too
+    for (ts <- Seq(
+        new java.sql.Timestamp(hist(1).timestampMillis - 500).toString,
+        new java.sql.Timestamp(hist(1).timestampMillis).toString,
+        isoT)) {
       val out = TestSpark.tmpDir("qss-ts-out")
       drain(tbl, TestSpark.tmpDir("qss-ts-ckpt"), out,
-        Map("startingTimestamp" -> new java.sql.Timestamp(ts).toString))
-      assert(ids(out) == (30L until 50L), s"for ts offset ${ts - hist(1).timestampMillis}")
+        Map("startingTimestamp" -> ts))
+      assert(ids(out) == (30L until 50L), s"for startingTimestamp=$ts")
     }
     // a timestamp before everything replays the full history
     val out3 = TestSpark.tmpDir("qss-ts-out3")
