@@ -146,3 +146,100 @@ final case class IntegerDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
 }
+
+/**
+ * Nearest-centroid assignment for [[graft.ops.Similarity.kmeansInt8]]:
+ * argmin over `centroids` of the exact integer squared distance to the
+ * input `array<bigint>` vector, ties broken by the smaller centroid
+ * index — identical semantics to the
+ * `array_min(transform(..., struct(dist, cid)))` HOF formulation, but
+ * compiled to one fused primitive loop (HOF lambdas evaluate
+ * interpreted per row and block whole-stage codegen; measured ~10× on
+ * the sf0.1 assignment pass). The centroid matrix rides into generated
+ * code as a referenced `long[][]` — k·d longs, broadcast with the
+ * plan.
+ */
+final case class KMeansAssign(child: Expression, centroids: Array[Array[Long]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "kmeans_assign needs at least one centroid")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kmeans_assign expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestDist = Long.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val n = math.min(x.numElements(), cv.length)
+      var dist = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - cv(i)
+        dist += d * d
+        i += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best")
+      val bestDist = ctx.freshName("bestDist")
+      val cv = ctx.freshName("cv")
+      val d = ctx.freshName("d")
+      s"""
+         |int $best = 0;
+         |long $bestDist = java.lang.Long.MAX_VALUE;
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  long[] $cv = $cents[$c];
+         |  int $n = java.lang.Math.min($x.numElements(), $cv.length);
+         |  long $dist = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $x.getLong($i) - $cv[$i];
+         |    $dist += $d * $d;
+         |  }
+         |  if ($dist < $bestDist) { $bestDist = $dist; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KMeansAssign =
+    copy(child = newChild)
+
+  // Array[Array[Long]] has identity equals; the semantic identity for
+  // plan equality is the centroid CONTENT
+  override def equals(other: Any): Boolean = other match {
+    case k: KMeansAssign =>
+      child == k.child &&
+        centroids.length == k.centroids.length &&
+        centroids.zip(k.centroids).forall { case (a, b) => a.sameElements(b) }
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+}

