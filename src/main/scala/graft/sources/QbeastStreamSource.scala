@@ -160,6 +160,15 @@ class QbeastStreamSource(
       throw new IllegalStateException(s"qbeast table $tablePath has no schema"))
   }
 
+  if (readChangeFeed) {
+    val clash = tableSchema.fieldNames.toSet
+      .intersect(QbeastStreamSource.CdfColumns)
+    require(clash.isEmpty,
+      s"readChangeFeed reserves column names ${QbeastStreamSource.CdfColumns
+        .mkString(", ")} but the table at $tablePath already has " +
+        s"${clash.mkString(", ")}; stream it without readChangeFeed")
+  }
+
   override val schema: StructType =
     if (readChangeFeed) QbeastStreamSource.withCdfColumns(tableSchema) else tableSchema
 
@@ -181,15 +190,25 @@ class QbeastStreamSource(
       // commit ≤ ts, which is exactly the exclusive lower bound
       case Some(ts) =>
         // accept the Delta-compatible shapes: date-only, space- or
-        // 'T'-separated datetime, optional trailing 'Z'
-        val normalized = ts.trim.stripSuffix("Z").replace('T', ' ') match {
-          case d if d.matches("""\d{4}-\d{2}-\d{2}""") => d + " 00:00:00"
+        // 'T'-separated datetime, optional fraction, optional trailing
+        // 'Z'. A zoneless literal resolves in the SESSION timezone
+        // (Delta casts through the session zone, not the JVM default);
+        // 'Z' pins UTC explicitly.
+        val trimmed = ts.trim
+        val utc = trimmed.endsWith("Z")
+        val normalized = trimmed.stripSuffix("Z").replace(' ', 'T') match {
+          case d if d.matches("""\d{4}-\d{2}-\d{2}""") => d + "T00:00:00"
           case other => other
         }
+        val zone = java.time.ZoneId.of(
+          if (utc) "UTC"
+          else spark.conf.get("spark.sql.session.timeZone",
+            java.util.TimeZone.getDefault.getID))
+        val epochMillis = java.time.LocalDateTime.parse(normalized)
+          .atZone(zone).toInstant.toEpochMilli
         // versionAt is "last version ≤ t"; a commit exactly AT the
         // given timestamp must be INCLUDED, so bound at t-1ms
-        QbeastLog.versionAt(tablePath, hadoopConf,
-          java.sql.Timestamp.valueOf(normalized).getTime - 1L).getOrElse(-1L)
+        QbeastLog.versionAt(tablePath, hadoopConf, epochMillis - 1L).getOrElse(-1L)
       case None => -1L
     }
   }
@@ -225,9 +244,17 @@ class QbeastStreamSource(
     }
   }
 
+  /** The latest light snapshot observed (one per headVersion probe) —
+   * its revisions map covers every commit ≤ its version, so the
+   * per-commit enumeration reuses it instead of re-listing the log
+   * directory per commit (K extra LISTs per catching-up trigger on an
+   * object store otherwise). */
+  @volatile private var lastLight: graft.log.QbeastSnapshot = initialSnapshot
+
   private def headVersion: Long = {
-    val h = QbeastLog.lightSnapshot(tablePath, hadoopConf).version
-    latchedHead.fold(h)(math.min(h, _))
+    val snap = QbeastLog.lightSnapshot(tablePath, hadoopConf)
+    lastLight = snap
+    latchedHead.fold(snap.version)(math.min(snap.version, _))
   }
 
   // -------------------------------------------------------------------
@@ -235,13 +262,19 @@ class QbeastStreamSource(
   // -------------------------------------------------------------------
 
   /** Path-sorted live files of the snapshot at `version` — the initial
-   * snapshot phase's fixed ordering. One O(files) replay per anchor. */
-  private val snapshotFilesCache = mutable.HashMap.empty[Long, Vector[(String, Long)]]
+   * snapshot phase's fixed ordering. One O(files) replay per anchor;
+   * bounded at 2 anchors so the O(files) path list does not stay
+   * pinned in driver heap for the stream's lifetime once the snapshot
+   * phase is over. */
+  private val snapshotFilesCache = mutable.LinkedHashMap.empty[Long, Vector[(String, Long)]]
 
   private def snapshotFiles(version: Long): Vector[(String, Long)] =
-    snapshotFilesCache.getOrElseUpdate(version,
+    snapshotFilesCache.getOrElseUpdate(version, {
+      if (snapshotFilesCache.size >= 2)
+        snapshotFilesCache.remove(snapshotFilesCache.head._1)
       QbeastLog.snapshot(tablePath, hadoopConf, version)
-        .files.map(f => (f.path, f.size)).sortBy(_._1))
+        .files.map(f => (f.path, f.size)).sortBy(_._1)
+    })
 
   private val commitAddsCache = mutable.LinkedHashMap.empty[Long, Vector[(String, Long)]]
 
@@ -251,8 +284,28 @@ class QbeastStreamSource(
   private def commitAdds(v: Long): Vector[(String, Long)] =
     commitAddsCache.getOrElseUpdate(v, {
       if (commitAddsCache.size > 64) commitAddsCache.remove(commitAddsCache.head._1)
-      val revisions = QbeastLog.lightSnapshot(tablePath, hadoopConf).revisions
+      // lastLight covers every commit ≤ the head this trigger observed;
+      // a revision cut INSIDE commit v is picked up by commitActions
+      // itself (serde contract: revisions precede their files)
+      val revisions =
+        if (lastLight.version >= v) lastLight.revisions
+        else QbeastLog.lightSnapshot(tablePath, hadoopConf).revisions
       val actions = QbeastLog.commitActions(tablePath, hadoopConf, v, revisions)
+      // a schema CHANGE mid-stream must stop the stream (Delta's
+      // contract): delivering new-schema files through the pinned
+      // schema silently drops or nulls the changed columns
+      actions.collectFirst {
+        case graft.log.MetaDataAction(schemaJson, _) if schemaJson.nonEmpty =>
+          org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+            .asInstanceOf[StructType]
+      }.foreach { committed =>
+        val same = committed.fields.map(f => (f.name, f.dataType)).toSeq ==
+          tableSchema.fields.map(f => (f.name, f.dataType)).toSeq
+        if (!same) throw new UnsupportedOperationException(
+          s"qbeast streaming source: commit $v of $tablePath changed the table " +
+            s"schema (${tableSchema.simpleString} -> ${committed.simpleString}). " +
+            "Restart the streaming query to pick up the new schema.")
+      }
       val adds = actions.collect { case AddFileAction(f, dc) => (f, dc) }
       val removes = actions.collect { case r: RemoveFileAction => r }
       val dataAdds = adds.collect { case (f, true) => (f.path, f.size) }
@@ -359,7 +412,11 @@ class QbeastStreamSource(
           done = true
         } else {
           last = QbeastSourceOffset(v)
-          if (v >= head) done = true
+          // stop at the commit boundary when the budget is already
+          // spent: walking into the next commit would evaluate ITS
+          // guards (delete/rewrite/schema-change) and could fail the
+          // trigger before the fully-admitted batch is ever delivered
+          if (v >= head || files <= 0 || (bytes <= 0 && admitted > 0)) done = true
           else { v += 1; i = 0 }
         }
       }
@@ -421,16 +478,18 @@ class QbeastStreamSource(
         initialPosition(head)
       }
     val budget = budgetOf(limit)
-    if (budget._1 == Long.MaxValue && budget._2 == Long.MaxValue) {
-      // unlimited: one batch to the head (legacy behavior + offsets)
-      val end =
+    val end =
+      if (budget._1 == Long.MaxValue && budget._2 == Long.MaxValue) {
+        // unlimited: one batch to the head (legacy behavior + offsets)
         if (start.snapshotPhase) QbeastSourceOffset(start.version)
         else QbeastSourceOffset(math.max(head, start.version))
-      if (end == start && startOffset != null) startOffset else end
-    } else {
-      val end = admit(start, head, budget)
-      if (end == start && startOffset != null) startOffset else end
-    }
+      } else admit(start, head, budget)
+    // an un-started stream with nothing admissible still returns its
+    // START position (one empty batch 0): that checkpointed offset is
+    // what makes the `startingVersion=latest` anchor DURABLE across
+    // restarts — returning null here would re-anchor at the new head
+    // on every restart and drop the commits in between
+    if (end == start && startOffset != null) startOffset else end
   }
 
   override def reportLatestOffset(): OffsetV2 = {

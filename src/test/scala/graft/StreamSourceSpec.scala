@@ -126,6 +126,72 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(ids(out2) == (5L until 40L))
   }
 
+  test("a mid-stream schema change stops the LIVE source; a restart picks it up") {
+    val tbl = TestSpark.tmpDir("qss-schema-tbl")
+    writeSlice(tbl, 0, 30, "overwrite")
+    // a source instance pinned to the pre-evolution schema...
+    val src = new graft.sources.QbeastStreamSource(
+      spark.sqlContext, tbl, None, Map("startingVersion" -> "0"))
+    // ...then the table evolves and receives evolved data
+    (30 until 40).map(i => (i.toLong, i * 10.0, s"p$i", i))
+      .toDF("id", "price", "tag", "extra")
+      .write.format("qbeast").option("mergeSchema", "true")
+      .mode("append").save(tbl)
+    val head = graft.log.QbeastLog
+      .snapshot(tbl, spark.sparkContext.hadoopConfiguration).version
+    val e = intercept[UnsupportedOperationException] {
+      src.getBatch(None, graft.sources.QbeastSourceOffset(head))
+    }
+    assert(e.getMessage.contains("changed the table schema") &&
+      e.getMessage.contains("Restart"))
+    // a fresh drain (= restarted query, new source) reads the evolved
+    // schema cleanly
+    val ckpt = TestSpark.tmpDir("qss-schema-ckpt")
+    val out = TestSpark.tmpDir("qss-schema-out")
+    drain(tbl, ckpt, out)
+    assert(ids(out) == (0L until 40L))
+  }
+
+  test("a fully-admitted batch delivers even when the NEXT commit's guard throws") {
+    val tbl = TestSpark.tmpDir("qss-guard-tbl")
+    val ckpt = TestSpark.tmpDir("qss-guard-ckpt")
+    val out = TestSpark.tmpDir("qss-guard-out")
+    writeSlice(tbl, 0, 10, "overwrite") // v0
+    drain(tbl, ckpt, out)
+    writeSlice(tbl, 10, 20, "append") // v1: clean append
+    graft.table.QbeastTable.forPath(spark, tbl).delete("id >= 0") // v2: delete-only
+    // v1's file count fits exactly in one trigger; admission must stop
+    // at the v1 boundary instead of peeking into v2 and dying there
+    val files1 = graft.log.QbeastLog
+      .snapshot(tbl, spark.sparkContext.hadoopConfiguration).version
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(tbl, ckpt, out, Map("maxFilesPerTrigger" -> "1"))
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("ignoreDeletes"), s"unexpected failure: $msg")
+    assert(ids(out) == (0L until 20L),
+      "every v1 row must have been delivered in bounded batches before the v2 guard fired")
+    assert(files1 == 2L)
+  }
+
+  test("readChangeFeed rejects tables that already use the reserved column names") {
+    val tbl = TestSpark.tmpDir("qss-reserved-tbl")
+    (1 to 5).map(i => (i.toLong, s"t$i")).toDF("_commit_version", "_change_type")
+      .write.format("qbeast").option("columnsToIndex", "_commit_version")
+      .option("cubeSize", "100").save(tbl)
+    val e = intercept[Exception] {
+      spark.readStream.format("qbeast").option("readChangeFeed", "true")
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", TestSpark.tmpDir("qss-res-ckpt"))
+        .option("path", TestSpark.tmpDir("qss-res-out"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    assert(e.getMessage.contains("reserves column names") ||
+      Option(e.getCause).exists(_.getMessage.contains("reserves column names")))
+  }
+
   test("startingVersion=latest streams only commits after stream start") {
     val tbl = TestSpark.tmpDir("qss-lat-tbl")
     val ckpt = TestSpark.tmpDir("qss-lat-ckpt")
