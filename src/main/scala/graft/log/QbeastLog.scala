@@ -360,6 +360,19 @@ object QbeastLog {
     out.result()
   }
 
+  /** Committed log versions, oldest first (no checkpoints). */
+  def commitVersions(tablePath: String, conf: Configuration): Seq[Long] = {
+    val dir = logDir(tablePath)
+    listVersions(dir.getFileSystem(conf), dir)._1
+  }
+
+  /** The commit file's write time (backs vacuum's change-data
+   * retention accounting). */
+  def commitTimestamp(tablePath: String, conf: Configuration, version: Long): Long = {
+    val p = versionFile(tablePath, version)
+    p.getFileSystem(conf).getFileStatus(p).getModificationTime
+  }
+
   /** Latest committed version whose commit file was written at or before
    * `timestampMillis` (backs SQL `TIMESTAMP AS OF`). */
   def versionAt(tablePath: String, conf: Configuration, timestampMillis: Long): Option[Long] = {

@@ -40,6 +40,24 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 
   /** Per-cube state of `rid` under either snapshot kind: driver replay
    * when the file list is already materialized, sidecar job otherwise. */
+  /** Read specific table data files with the TABLE's schema pinned.
+   * A plain `spark.read.parquet` infers the schema from one sampled
+   * footer — on a schema-evolved table a rewrite (DELETE/UPDATE/MERGE/
+   * optimize) that sampled a pre-evolution file would silently DROP
+   * the widened column from the files it writes and remove the
+   * originals in the same commit, losing that column's data forever.
+   * Pinning resolves by name: pre-evolution files read the column as
+   * null, exactly like the table scan. */
+  private def readTableFiles(
+      s: QbeastSnapshot,
+      files: Seq[IndexFile]): org.apache.spark.sql.DataFrame = {
+    val paths = files.map(f => new Path(tablePath, f.path).toString)
+    s.schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
   private def statusOf(s: QbeastSnapshot, rid: Long): IndexStatus =
     if (s.filesComplete) s.indexStatus(rid)
     else DistributedMetadata.indexStatus(spark, s, rid)
@@ -82,8 +100,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 
     val status = statusOf(s, rid)
     val frozen = status.cubeStatuses.map { case (c, st) => c -> st.maxWeight }.toMap
-    val paths = candidates.map(f => new Path(tablePath, f.path).toString)
-    val data = spark.read.parquet(paths: _*)
+    val data = readTableFiles(s, candidates)
     val numElements = candidates.map(_.elementCount).sum
 
     val newFiles = QbeastWriter.index(spark, tablePath, data, revision,
@@ -110,8 +127,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       else DistributedMetadata.filesOfRevisions(spark, s, oldIds)
     if (candidates.isEmpty) return
 
-    val paths = candidates.map(f => new Path(tablePath, f.path).toString)
-    val data = spark.read.parquet(paths: _*)
+    val data = readTableFiles(s, candidates)
     val numElements = candidates.map(_.elementCount).sum
     val status = statusOf(s, latest.revisionID)
     val newFiles = QbeastWriter.index(spark, tablePath, data, latest,
@@ -130,8 +146,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val revision = s.lastRevision.filterNot(_.isStaging).getOrElse(
       throw new IllegalStateException(
         "no indexed revision to optimize staging files into; append indexed data first"))
-    val paths = staging.map(f => new Path(tablePath, f.path).toString)
-    val data = spark.read.parquet(paths: _*)
+    val data = readTableFiles(s, staging)
     val numElements = data.count()
     val status = statusOf(s, revision.revisionID)
     val newFiles = QbeastWriter.index(spark, tablePath, data, revision,
@@ -154,8 +169,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     if (candidates.isEmpty) return
     val latest = s.lastRevision.filterNot(_.isStaging)
     val adds = candidates.groupBy(_.revisionId).toSeq.flatMap { case (rid, group) =>
-      val paths = group.map(f => new Path(tablePath, f.path).toString)
-      val data = spark.read.parquet(paths: _*)
+      val data = readTableFiles(s, group)
       val staging = rid == Revision.StagingID
       val revision =
         if (staging)
@@ -295,6 +309,26 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // read path (file pruning + parquet row-group stats both apply),
     // PINNED to snapshot s so all passes see one version ----
     val table = pinnedRead(s)
+
+    // the condition is re-evaluated in independent jobs (discovery,
+    // survivor rewrite, changed rows) — a nondeterministic predicate
+    // would delete different rows than it keeps (rows lost AND
+    // duplicated). Delta rejects these up front; so do we. Determinism
+    // is only knowable AFTER resolution (an unresolved rand() call
+    // reports deterministic), so inspect the analyzed plans.
+    val analyzedFilter = table.filter(matched).queryExecution.analyzed
+    val nondetCond = analyzedFilter.expressions.exists(!_.deterministic)
+    require(!nondetCond,
+      "DELETE/UPDATE conditions must be deterministic (e.g. no rand()): " +
+        "the condition is evaluated once to find affected files and again " +
+        "to rewrite them, and the two runs must agree")
+    assignments.foreach { asgn =>
+      val analyzedAssign =
+        table.select(Assignments(table.schema, asgn): _*).queryExecution.analyzed
+      require(analyzedAssign.expressions.forall(_.deterministic),
+        "UPDATE assignments must be deterministic: assigned values are " +
+          "recomputed per pass and must agree")
+    }
     val affectedNames = table.filter(matched)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => new Path(r.getString(0)).getName).toSet
@@ -306,8 +340,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // ---- pass 2: rewrite survivors of each affected file, grouped by
     // revision, against that revision's frozen cube weights ----
     val survivorAdds = affected.groupBy(_.revisionId).toSeq.flatMap { case (rid, files) =>
-      val paths = files.map(f => new Path(tablePath, f.path).toString)
-      val survivors = spark.read.parquet(paths: _*).filter(not(matched))
+      val survivors = readTableFiles(s, files).filter(not(matched))
       // staging (unindexed) survivors fold into the latest indexed
       // revision — same move optimizeUnindexed makes
       val revision =
@@ -327,8 +360,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val (updatedAdds, newRevision) = assignments match {
       case None => (Nil, None)
       case Some(asgn) =>
-        val paths = affected.map(f => new Path(tablePath, f.path).toString)
-        val base = spark.read.parquet(paths: _*)
+        val base = readTableFiles(s, affected)
         // top-level and struct-field assignments, simultaneous semantics
         val updatedCols = Assignments(base.schema, asgn)
         val updated = base.filter(matched).select(updatedCols: _*)
@@ -389,18 +421,24 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     } finally srcKeys.unpersist()
   }
 
-  def upsert(source: org.apache.spark.sql.DataFrame, keys: Seq[String]): (Long, Long) = {
+  def upsert(source0: org.apache.spark.sql.DataFrame, keys: Seq[String]): (Long, Long) = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val s = snapshot
     require(!s.isEmpty && s.files.nonEmpty,
       s"upsert into an empty table at $tablePath: use a plain qbeast write")
-    s.schema.foreach { existing =>
-      val have = source.schema.fieldNames.map(_.toLowerCase).toSet
+    // align by NAME and cast to the table's TYPES (the same resolution
+    // merge's insert path applies): writing a name-matched but
+    // type-clashing source as-is would poison the shared parquet scan
+    // schema for every future read
+    val source = s.schema.map { existing =>
+      val have = source0.schema.fieldNames.map(_.toLowerCase).toSet
       val want = existing.fieldNames.map(_.toLowerCase).toSet
       require(have == want,
-        s"upsert source schema ${source.schema.fieldNames.mkString(",")} does not " +
+        s"upsert source schema ${source0.schema.fieldNames.mkString(",")} does not " +
           s"match table schema ${existing.fieldNames.mkString(",")}")
-    }
+      source0.select(existing.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    }.getOrElse(source0)
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
     graft.write.Constraints.validate(source,
       graft.write.Constraints.of(s.configuration), "upsert source")
@@ -567,8 +605,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       // times. The row id is minted BELOW the join so the same target
       // row keeps one id across its (possibly fanned-out) joined rows.
       val groupJoins = affected.groupBy(_.revisionId).toSeq.map { case (rid, files) =>
-        val paths = files.map(f => new Path(tablePath, f.path).toString)
-        val joined = spark.read.parquet(paths: _*)
+        val joined = readTableFiles(s, files)
           .withColumn(rowIdCol, monotonically_increasing_id())
           .join(srcRenamed, joinCond, "left")
           .withColumn(actionCol, action)
@@ -620,8 +657,17 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         if (notMatched.isEmpty) Nil
         else {
           // target keys renamed to the source-side names so the
-          // anti-join resolves against the source frame
-          val tKeys = pinnedRead(s)
+          // anti-join resolves against the source frame. When pass 1
+          // ran the keyed semi-join (rowModifying, no NMBS clauses),
+          // every target row matching a source key provably lives in
+          // `affected` — anti-joining against just their keys equals
+          // anti-joining against the whole table, without the second
+          // full scan. Insert-only merges (affected deliberately
+          // empty) still need the full key scan.
+          val keySource =
+            if (rowModifying && notMatchedBySource.isEmpty) readTableFiles(s, affected)
+            else pinnedRead(s)
+          val tKeys = keySource
             .select(keyPairs.map { case (t, sn) => col(t).as(sn) }: _*).distinct()
           val unmatchedSrc = source.join(tKeys, sourceKeys, "left_anti")
           var ic: Column = null
@@ -703,8 +749,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
           .filter(col("__n") > 1).select(keys.map(col): _*)
         if (dupKeys.limit(1).count() > 0) {
-          val affectedKeys = spark.read
-            .parquet(affected.map(f => new Path(tablePath, f.path).toString): _*)
+          val affectedKeys = readTableFiles(s, affected)
             .select(keys.map(col): _*).distinct()
           val dup = dupKeys.join(affectedKeys, keys, "left_semi").limit(1).count()
           require(dup == 0L,
@@ -716,8 +761,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 
     // ---- pass 2: rewrite affected files WITHOUT the matched rows ----
     val survivorAdds = affected.groupBy(_.revisionId).toSeq.flatMap { case (rid, files) =>
-      val paths = files.map(f => new Path(tablePath, f.path).toString)
-      val survivors = spark.read.parquet(paths: _*).join(srcKeys, keys, "left_anti")
+      val survivors = readTableFiles(s, files).join(srcKeys, keys, "left_anti")
       val revision =
         if (rid == Revision.StagingID)
           latestRevision.getOrElse(throw new UnsupportedOperationException(
@@ -792,9 +836,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           val newConstraints = graft.write.Constraints.of(rebased.configuration)
             .filter { case (k, v) => !alreadyChecked.get(k).contains(v) }
           if (newConstraints.nonEmpty && adds.nonEmpty) {
-            val addPaths = adds.map(f => new Path(tablePath, f.path).toString)
             graft.write.Constraints.validate(
-              spark.read.parquet(addPaths: _*), newConstraints,
+              readTableFiles(initial, adds), newConstraints,
               s"$operation (rebased)")
           }
           newRevision.foreach { r =>
@@ -1178,24 +1221,42 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val dir = new Path(tablePath)
     val fs = dir.getFileSystem(conf)
     val cutoff = System.currentTimeMillis() - retainMillis
+    // Retention must key on WHEN a file became dead (its remove
+    // action's deletionTimestamp — Delta vacuums by tombstone time),
+    // not on when it was written: an old file deleted a minute ago is
+    // still inside every reader's retention window. One pass over the
+    // commit log collects removal times; files the log never removed
+    // (orphans from crashed writes) fall back to modification time.
+    // The same pass maps each change-data directory to its commit's
+    // timestamp so the feed expires with the data files it describes.
+    val removedAt = mutable.HashMap.empty[String, Long]
+    val cdcCommittedAt = mutable.HashMap.empty[String, Long]
+    QbeastLog.commitVersions(tablePath, conf).foreach { v =>
+      QbeastLog.commitActions(tablePath, conf, v, s.revisions).foreach {
+        case RemoveFileAction(r) =>
+          removedAt.update(new Path(r.path).getName, r.deletionTimestamp)
+        case CdcFileAction(p, _) =>
+          cdcCommittedAt.update(new Path(p).getName,
+            QbeastLog.commitTimestamp(tablePath, conf, v))
+        case _ =>
+      }
+    }
     var deleted = 0
     fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
       if (st.isFile && name.endsWith(".parquet") && !live.contains(name) &&
-        st.getModificationTime < cutoff) {
+        removedAt.getOrElse(name, st.getModificationTime) < cutoff) {
         if (fs.delete(st.getPath, false)) deleted += 1
       }
     }
     // change-data files serve only CDF readers and are never "live":
-    // like removed data files they expire with the retention window
-    // (Delta's VACUUM applies the same rule) — a feed older than
-    // retention degrades to the file-diff fallback or errors, exactly
-    // like time travel past retention
+    // they expire with the retention window measured from their
+    // commit, like the removed files whose diff they describe
     val cdcRoot = new Path(dir, "_change_data")
     if (fs.exists(cdcRoot)) {
       fs.listStatus(cdcRoot).foreach { st =>
-        if (st.getModificationTime < cutoff && fs.delete(st.getPath, true))
-          deleted += 1
+        val at = cdcCommittedAt.getOrElse(st.getPath.getName, st.getModificationTime)
+        if (at < cutoff && fs.delete(st.getPath, true)) deleted += 1
       }
     }
     // sidecar housekeeping: parquet checkpoints older than the newest
@@ -1434,7 +1495,9 @@ object QbeastTable {
     val root = CubeId.root(1)
     val adds = statuses.map { st =>
       val uri = st.getPath.toUri.toString
-      val n = countsByFile.find { case (k, _) => k.endsWith(st.getPath.getName) }
+      // match on "/name": a bare-name suffix match would let
+      // "11.parquet" claim "1.parquet"'s count
+      val n = countsByFile.find { case (k, _) => k.endsWith("/" + st.getPath.getName) }
         .map(_._2).getOrElse(0L)
       IndexFile(
         path = st.getPath.getName,

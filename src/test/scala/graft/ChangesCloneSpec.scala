@@ -79,6 +79,38 @@ class ChangesCloneSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("vacuum retention keys on removal time, not file age") {
+    val dir = freshTable()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // age every data file far beyond the default 7-day retention
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach(st => fs.setTimes(st.getPath, old, -1))
+    val t = table.QbeastTable.forPath(spark, dir)
+    t.delete("a < 50") // v1: removes/rewrites 10-day-old files NOW
+    // an orphan file (never committed) with an old mtime
+    val orphan = new org.apache.hadoop.fs.Path(dir, "orphan-test.parquet")
+    val out = fs.create(orphan, true); out.write(1); out.close()
+    fs.setTimes(orphan, old, -1)
+
+    // default retention: the files removed a second ago are INSIDE the
+    // window (their removal timestamp is now) even though their mtime
+    // is 10 days old — only the orphan is reclaimed by mtime fallback
+    val deleted = t.vacuum()
+    assert(!fs.exists(orphan), "old orphan must be reclaimed")
+    assert(deleted == 1, s"only the orphan should go, got $deleted")
+    // readers pinned before the delete still work
+    assert(spark.read.format("qbeast").option("versionAsOf", "0").load(dir)
+      .count() == 100)
+
+    // zero retention reclaims the tombstoned files too
+    val deleted2 = t.vacuum(0L, force = true)
+    assert(deleted2 > 0)
+    assert(spark.read.format("qbeast").load(dir).count() == 50)
+  }
+
   test("shallow clone reads identically and diverges independently") {
     val dir = freshTable()
     val cloneDir = TestSpark.tmpDir("qbeast-clone")

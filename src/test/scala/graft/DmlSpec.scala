@@ -23,6 +23,43 @@ class DmlSpec extends AnyFunSuite {
     dir
   }
 
+  test("nondeterministic DELETE/UPDATE conditions and assignments are rejected") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("dml-nondet")
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a,b")
+      .option("cubeSize", "100").save(dir)
+    val t = table.QbeastTable.forPath(spark, dir)
+    // the condition is evaluated in independent jobs per pass — a
+    // nondeterministic one would lose AND duplicate rows
+    val e = intercept[IllegalArgumentException] { t.delete("rand() < 0.5") }
+    assert(e.getMessage.contains("deterministic"))
+    val e2 = intercept[IllegalArgumentException] {
+      t.update("a < 10", Map("b" -> "rand()"))
+    }
+    assert(e2.getMessage.contains("deterministic"))
+    assert(spark.read.format("qbeast").load(dir).count() == 100)
+  }
+
+  test("upsert aligns source types to the table schema by name") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("dml-upsert-types")
+    (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a,b")
+      .option("cubeSize", "100").save(dir)
+    val t = table.QbeastTable.forPath(spark, dir)
+    // int-typed key and string-typed value: written as-is they would
+    // poison the shared parquet scan schema for every future read
+    val src = Seq((1, "999.5"), (60, "60.5")).toDF("a", "b")
+    t.upsert(src, Seq("a"))
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.schema("a").dataType.typeName == "long" &&
+      back.schema("b").dataType.typeName == "double")
+    assert(back.filter(col("a") === 1).select("b").head.getDouble(0) == 999.5)
+    assert(back.filter(col("a") === 60).select("b").head.getDouble(0) == 60.5)
+    assert(back.count() == 51)
+  }
+
   test("delete removes exactly the matching rows and keeps the rest bit-identical") {
     val dir = freshLineitem("dml-del")
     val raw = spark.read.parquet(s"$sf/lineitem.parquet")

@@ -159,6 +159,37 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(back.count() === 3)
   }
 
+  test("DML rewrites on an evolved table preserve the widened column's data") {
+    // DELETE/UPDATE/optimize read affected files with spark.read over a
+    // MIX of pre- and post-evolution files; without the pinned table
+    // schema a sampled old footer would drop the widened column from
+    // the rewritten survivors — silent data loss. Regression for that.
+    val dir = freshTable() // (a, b): rows 1, 2
+    Seq((3L, 3.0, "x3"), (4L, 4.0, "x4"), (5L, 5.0, "x5")).toDF("a", "b", "c")
+      .write.format("qbeast").option("mergeSchema", "true")
+      .mode("append").save(dir)
+    val t = table.QbeastTable.forPath(spark, dir)
+
+    // delete touches old AND new files; survivors must keep column c
+    t.delete("a = 1 OR a = 4")
+    val afterDelete = spark.read.format("qbeast").load(dir)
+      .orderBy("a").collect().map(r => (r.getLong(0), Option(r.getString(2))))
+    assert(afterDelete.toSeq ==
+      Seq((2L, None), (3L, Some("x3")), (5L, Some("x5"))))
+
+    // update across the mix keeps c too (and assigns through it)
+    t.update("a = 3", Map("c" -> "concat(c, '!')"))
+    assert(spark.read.format("qbeast").load(dir)
+      .filter(col("a") === 3).select("c").head.getString(0) == "x3!")
+
+    // optimize rewrites everything; the evolved column survives
+    t.optimize()
+    val afterOpt = spark.read.format("qbeast").load(dir)
+      .orderBy("a").collect().map(r => (r.getLong(0), Option(r.getString(2))))
+    assert(afterOpt.toSeq ==
+      Seq((2L, None), (3L, Some("x3!")), (5L, Some("x5"))))
+  }
+
   test("column order on append follows the table, not the incoming frame") {
     val dir = freshTable()
     // reordered append keeps the canonical (a, b) schema
