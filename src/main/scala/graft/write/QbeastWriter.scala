@@ -108,6 +108,29 @@ object QbeastWriter {
     val canMergeSchema = boolOpt("mergeSchema") ||
       spark.conf.getOption("spark.qbeast.schema.autoMerge.enabled").contains("true")
     val isOverwrite = mode == SaveMode.Overwrite && !snapshot.isEmpty
+    // the tagged-row layout appends the index columns positionally —
+    // a user column with a reserved name would be REPLACED in place
+    // and shift the physical writer's index math (reference rejects
+    // reserved names the same way)
+    val reserved = data.schema.fieldNames.filter(f =>
+      f.equalsIgnoreCase(QbeastColumns.cubeColumnName) ||
+        f.equalsIgnoreCase(QbeastColumns.weightColumnName) ||
+        f.equalsIgnoreCase(QbeastColumns.fileUUIDColumnName) ||
+        f.equalsIgnoreCase("_qbeastAssign"))
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} are reserved by the qbeast " +
+        "writer; rename them before writing")
+    // appending WITHOUT an indexed column fails here with the column
+    // named, instead of deep in the stats job after a full scan
+    snapshot.lastRevision.filterNot(_.isStaging).foreach { rev =>
+      if (mode == SaveMode.Append) {
+        val have = data.schema.fieldNames.map(_.toLowerCase).toSet
+        val missing = rev.columnNames.filterNot(c => have.contains(c.toLowerCase))
+        require(missing.isEmpty,
+          s"append is missing indexed column(s) ${missing.mkString(", ")}: " +
+            "rows must carry every indexed column so they can be placed")
+      }
+    }
     val tableSchema: StructType = snapshot.schema match {
       case Some(existing) if mode == SaveMode.Append =>
         SchemaEvolution.mergeForAppend(existing, data.schema, canMergeSchema)
@@ -202,6 +225,10 @@ object QbeastWriter {
     var base = snapshot
     var committed = false
     var rebases = 0
+    // constraints validated so far — grows as rebases discover new
+    // ones, so a constraint landing mid-write is validated exactly
+    // once, not on every subsequent rebase
+    var checkedConstraints = Constraints.of(snapshot.configuration)
     while (!committed) {
       try {
         QbeastLog.commit(tablePath, conf, base.version, buildActions(base),
@@ -213,14 +240,36 @@ object QbeastWriter {
           if (rebases > 20) throw e
           val rebased = QbeastLog.snapshot(tablePath, conf)
           if (isOverwrite) throw e // overwrite conflicts need a full re-run
+          // ErrorIfExists/Ignore/Overwrite semantics were resolved
+          // against the INITIAL (empty) snapshot; a concurrent writer
+          // creating the table invalidates that resolution — only a
+          // plain append can rebase safely. ErrorIfExists must now
+          // fail, Ignore must now no-op, empty-table Overwrite would
+          // otherwise UNION with the winner's data.
+          if (mode != SaveMode.Append) mode match {
+            case SaveMode.Ignore => return // table exists now: no-op
+            case _ => throw new IllegalStateException(
+              s"qbeast table was created concurrently at $tablePath " +
+                s"(SaveMode.$mode resolved against an empty table); " +
+                "re-run the write", e)
+          }
+          // idempotency re-check: the same (txnAppId, txnVersion) may
+          // have been committed by a concurrent attempt of this very
+          // batch — committing again would double-write it (the
+          // streaming sink's exactly-once contract)
+          (options.txnAppId, options.txnVersion) match {
+            case (Some(app), Some(v)) if rebased.txns.get(app).exists(_ >= v) =>
+              return // rows already committed; our files are orphans
+            case _ =>
+          }
           // a constraint that landed AFTER our validation pass must
           // gate this data too, or the race lets violating rows slip
           // past a just-added CHECK (Delta resolves the same conflict
           // through metadata-change detection)
-          val alreadyChecked = Constraints.of(snapshot.configuration)
           val newConstraints = Constraints.of(rebased.configuration)
-            .filter { case (k, v) => !alreadyChecked.get(k).contains(v) }
+            .filter { case (k, v) => !checkedConstraints.get(k).contains(v) }
           Constraints.validate(data, newConstraints, "written (rebased)")
+          checkedConstraints ++= newConstraints
           // a revision is self-contained (its own transformations; its
           // files carry its id), so when a concurrent writer claimed our
           // revision id we just re-number ours — no re-indexing
@@ -318,7 +367,6 @@ object QbeastWriter {
       assigner))
 
     val dataSchema = data.schema
-    val n = dataSchema.length
     val shuffled = data
       .withColumn("_qbeastAssign", assignCol)
       .withColumn(QbeastColumns.cubeColumnName, col("_qbeastAssign.cube"))
@@ -426,35 +474,54 @@ object QbeastWriter {
           of = null
         }
 
-        rows.foreach { row =>
-          val cube = CubeId.fromBytes(dims, row.getBinary(n))
-          val weight = row.getInt(n + 1)
-          val uuid = row.getUTF8String(n + 2).toString
-          if (of == null || of.uuid != uuid) {
-            closeCurrent()
-            // the sort invariant is what bounds memory — fail loudly if
-            // a plan change ever breaks the contiguous-run contract
-            require(!closed.contains(uuid),
-              s"target file $uuid reappeared after its run closed: " +
-                "write input is no longer clustered by file UUID")
-            // attempt-unique name: a speculative/retried task never
-            // collides with another attempt's file; only the attempt
-            // whose IndexFile metadata reaches the commit wins, losers
-            // are unreferenced orphans (vacuum cleans them)
-            val attempt = Option(org.apache.spark.TaskContext.get())
-              .map(_.taskAttemptId()).getOrElse(0L)
-            val path = new Path(tablePath, s"$uuid-a$attempt.parquet")
-            of = OpenFile(uuid,
-              factory.newInstance(path.toString, dataSchema, context), path,
-              mutable.HashMap.empty,
-              if (collectStats) new FileStatsCollector(dataSchema) else null)
+        // the run-change comparison keeps the UTF8String (a reused
+        // UnsafeRow buffer, so the retained copy must be cloned) and
+        // materializes a String only once per FILE, not once per row
+        var currentUuid: org.apache.spark.unsafe.types.UTF8String = null
+        try {
+          rows.foreach { row =>
+            val cube = CubeId.fromBytes(dims, row.getBinary(n))
+            val weight = row.getInt(n + 1)
+            val uuidRaw = row.getUTF8String(n + 2)
+            if (of == null || currentUuid == null || !currentUuid.equals(uuidRaw)) {
+              closeCurrent()
+              val uuid = uuidRaw.toString
+              currentUuid = uuidRaw.clone()
+              // the sort invariant is what bounds memory — fail loudly if
+              // a plan change ever breaks the contiguous-run contract
+              require(!closed.contains(uuid),
+                s"target file $uuid reappeared after its run closed: " +
+                  "write input is no longer clustered by file UUID")
+              // attempt-unique name: a speculative/retried task never
+              // collides with another attempt's file; only the attempt
+              // whose IndexFile metadata reaches the commit wins, losers
+              // are unreferenced orphans (vacuum cleans them)
+              val attempt = Option(org.apache.spark.TaskContext.get())
+                .map(_.taskAttemptId()).getOrElse(0L)
+              val path = new Path(tablePath, s"$uuid-a$attempt.parquet")
+              of = OpenFile(uuid,
+                factory.newInstance(path.toString, dataSchema, context), path,
+                mutable.HashMap.empty,
+                if (collectStats) new FileStatsCollector(dataSchema) else null)
+            }
+            of.writer.write(project(row))
+            if (of.stats != null) of.stats.update(row)
+            val (mn, mx, cnt) = of.blocks.getOrElse(cube, (Int.MaxValue, Int.MinValue, 0L))
+            of.blocks.update(cube, (math.min(mn, weight), math.max(mx, weight), cnt + 1L))
           }
-          of.writer.write(project(row))
-          if (of.stats != null) of.stats.update(row)
-          val (mn, mx, cnt) = of.blocks.getOrElse(cube, (Int.MaxValue, Int.MinValue, 0L))
-          of.blocks.update(cube, (math.min(mn, weight), math.max(mx, weight), cnt + 1L))
+          closeCurrent()
+        } catch {
+          case t: Throwable =>
+            // release the open parquet writer's stream + row-group
+            // buffers on task failure; the partly-written file is an
+            // unreferenced orphan (never committed), vacuum reclaims it
+            if (of != null) {
+              try of.writer.close()
+              catch { case scala.util.control.NonFatal(_) => }
+              of = null
+            }
+            throw t
         }
-        closeCurrent()
         done.result().iterator
       }
     }

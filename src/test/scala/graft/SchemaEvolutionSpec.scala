@@ -50,11 +50,22 @@ class SchemaEvolutionSpec extends AnyFunSuite {
   }
 
   test("append with missing columns rejects by default") {
+    // a missing INDEXED column is unplaceable — mergeSchema cannot
+    // help, so the error names the indexed column instead
     val dir = freshTable()
     val e = intercept[IllegalArgumentException] {
       Seq(3L).toDF("a").write.format("qbeast").mode("append").save(dir)
     }
-    assert(e.getMessage.contains("mergeSchema"))
+    assert(e.getMessage.contains("indexed column"))
+    // a missing NON-indexed column points at mergeSchema
+    val dir2 = TestSpark.tmpDir("qbeast-evolve3")
+    Seq((1L, 1.0, "x")).toDF("a", "b", "c").write.format("qbeast")
+      .option("columnsToIndex", "a,b").option("cubeSize", "100").save(dir2)
+    val e2 = intercept[IllegalArgumentException] {
+      Seq((2L, 2.0)).toDF("a", "b").write.format("qbeast")
+        .mode("append").save(dir2)
+    }
+    assert(e2.getMessage.contains("mergeSchema"))
   }
 
   test("mergeSchema append widens the table; old files read null") {
