@@ -62,7 +62,10 @@ final case class QbeastSnapshot(
    * `IndexStatusBuilder.indexCubeStatuses`): maxWeight = min over block
    * maxWeights, elementCount = sum. */
   def indexStatus(revisionId: Long): IndexStatus = {
-    val revision = revisions(revisionId)
+    val revision = revisions.getOrElse(revisionId,
+      throw new IllegalArgumentException(
+        s"revision $revisionId does not exist for qbeast table $tablePath " +
+          s"(have ${revisions.keys.toSeq.sorted.mkString(", ")})"))
     val acc = mutable.HashMap.empty[CubeId, (Weight, Long)]
     filesOfRevision(revisionId).foreach { f =>
       f.blocks.foreach { b =>
@@ -90,7 +93,7 @@ final case class QbeastSnapshot(
  * checkpoint (written every CheckpointInterval commits), so driver work
  * is O(live files + commit tail), not O(table history).
  */
-object QbeastLog {
+object QbeastLog extends org.apache.spark.internal.Logging {
 
   val LogDirName = "_qbeast_log"
 
@@ -132,17 +135,24 @@ object QbeastLog {
     var lastLen = -1L
     var lastMod = -1L
     var lastCp = -1L
+    var cpLen = -1L
+    var cpMod = -1L
     statuses.foreach { s =>
       val n = s.getPath.getName
       if (n.endsWith(".checkpoint.json")) {
         val v = n.stripSuffix(".checkpoint.json")
-        if (v.forall(_.isDigit)) lastCp = math.max(lastCp, v.toLong)
+        if (v.forall(_.isDigit) && v.toLong > lastCp) {
+          lastCp = v.toLong; cpLen = s.getLen; cpMod = s.getModificationTime
+        }
       } else if (n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit)) {
         val v = n.stripSuffix(".json").toLong
         if (v > lastV) { lastV = v; lastLen = s.getLen; lastMod = s.getModificationTime }
       }
     }
-    s"$lastV:$lastLen:$lastMod:cp$lastCp"
+    // the checkpoint carries len+mtime too: an out-of-band rewrite of
+    // the checkpoint FILE (fault injection, manual surgery) must
+    // invalidate just like a commit rewrite — version alone can't see it
+    s"$lastV:$lastLen:$lastMod:cp$lastCp:$cpLen:$cpMod"
   }
 
   /** Drop all cached snapshots (tests; or after out-of-band surgery). */
@@ -217,13 +227,19 @@ object QbeastLog {
     val cached = snapshotCache.get(cacheKey)
     if (cached != null && cached.fingerprint == fingerprint) return cached.snap
     val snap = replaySnapshotUncached(tablePath, conf, fs, dir, asOfVersion, withFiles)
-    // cache under the PRE-replay fingerprint: a commit (or our own
-    // maybeCheckpoint) landing during replay must make this entry stale
-    // on the next access, not masquerade as current — a post-replay
-    // fingerprint would claim freshness for a snapshot that never saw
-    // the concurrent commit, wedging writers' optimistic-retry loops
-    if (snapshotCache.size() >= MaxCachedSnapshots) snapshotCache.clear()
-    snapshotCache.put(cacheKey, CachedSnap(fingerprint, snap))
+    // time-traveled snapshots are unbounded in key space (one per
+    // asOf) and rarely re-read — caching them would evict the hot
+    // head-snapshot entries every table depends on
+    if (asOfVersion < 0) {
+      // cache under the PRE-replay fingerprint: a commit (or our own
+      // maybeCheckpoint) landing during replay must make this entry
+      // stale on the next access, not masquerade as current — a
+      // post-replay fingerprint would claim freshness for a snapshot
+      // that never saw the concurrent commit, wedging writers'
+      // optimistic-retry loops
+      if (snapshotCache.size() >= MaxCachedSnapshots) snapshotCache.clear()
+      snapshotCache.put(cacheKey, CachedSnap(fingerprint, snap))
+    }
     snap
   }
 
@@ -418,19 +434,27 @@ object QbeastLog {
   def writeCheckpoint(fs: FileSystem, snap: QbeastSnapshot): Unit = {
     require(snap.filesComplete, "cannot checkpoint a light snapshot")
     val target = checkpointFile(snap.tablePath, snap.version)
-    val actions: Seq[LogAction] =
-      snap.schema.map(sc => MetaDataAction(sc.json, snap.configuration)).toSeq ++
-        snap.revisions.values.toSeq.sortBy(_.revisionID).map(RevisionAction) ++
-        snap.txns.toSeq.map { case (a, v) => TxnAction(a, v) } ++
-        snap.files.map(f => AddFileAction(f, dataChange = false))
-    val payload = actions.map(QbeastLogSerde.actionToJsonLine).mkString("", "\n", "\n")
-    try writeAtomic(fs, logDir(snap.tablePath), target, payload, "checkpoint race")
+    // lazily evaluated: the add lines (one per live file — hundreds of
+    // MB at 1e6 files) stream straight to the tmp file; materializing
+    // the whole payload as one String (plus the getBytes copy) was a
+    // driver-OOM risk triggered from an ordinary READ's maybeCheckpoint
+    def actionLines: Iterator[String] =
+      (snap.schema.map(sc => MetaDataAction(sc.json, snap.configuration)).iterator ++
+        snap.revisions.values.toSeq.sortBy(_.revisionID).iterator.map(RevisionAction) ++
+        snap.txns.iterator.map { case (a, v) => TxnAction(a, v) } ++
+        snap.files.iterator.map(f => AddFileAction(f, dataChange = false)))
+        .map(QbeastLogSerde.actionToJsonLine)
+    try writeAtomicLines(fs, logDir(snap.tablePath), target, actionLines, "checkpoint race")
     catch {
       // Checkpointing is a best-effort read-side optimization: a race
       // (another reader won the version) or ANY IO failure (e.g. a
       // read-only reader without write permission on _qbeast_log) must
-      // never break a plain read — log-and-continue.
-      case scala.util.control.NonFatal(_) =>
+      // never break a plain read — log-and-continue. The log line is
+      // the only signal when checkpointing persistently fails (every
+      // replay then pays the full O(tail) cost forever).
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"qbeast checkpoint write failed for ${snap.tablePath} " +
+          s"at version ${snap.version} (reads continue uncheckpointed): $e")
     }
     // parquet sidecar: a Spark job, so gate on table size (default: only
     // once the driver-side flat scan starts to matter)
@@ -469,6 +493,52 @@ object QbeastLog {
     next
   }
 
+  /** Streaming variant of [[writeAtomic]]: `lines` are written one by
+   * one to the tmp file (O(1) driver memory), then published with the
+   * same atomic put-if-absent primitive. Used by checkpoints, whose
+   * payload is one line per live file. */
+  private def writeAtomicLines(
+      fs: FileSystem,
+      dir: Path,
+      target: Path,
+      lines: Iterator[String],
+      conflictMessage: String): Unit = {
+    val isLocal = fs.getScheme == "file"
+    if (isLocal) {
+      val dst = java.nio.file.Paths.get(
+        Option(target.toUri.getPath).getOrElse(target.toString))
+      val tmp = dst.resolveSibling(s".${dst.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      val w = java.nio.file.Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+      try lines.foreach { l => w.write(l); w.write('\n') }
+      finally w.close()
+      try java.nio.file.Files.createLink(dst, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(conflictMessage)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val tmp = new Path(dir, s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
+      try lines.foreach { l => w.write(l); w.write('\n') }
+      finally w.close()
+      val renamed =
+        try fs.rename(tmp, target)
+        catch {
+          case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+            false
+        }
+      if (!renamed) {
+        fs.delete(tmp, false)
+        if (fs.exists(target)) throw new ConcurrentCommitException(conflictMessage)
+        else throw new java.io.IOException(
+          s"failed to rename $tmp to $target (no conflicting file present)")
+      }
+    }
+  }
+
   /** Readers must never observe a partial file AND exactly one writer
    * may claim a version. Local filesystems: POSIX rename OVERWRITES an
    * existing destination, so the atomic put-if-absent primitive is a
@@ -482,10 +552,11 @@ object QbeastLog {
       payload: String,
       conflictMessage: String): Unit = {
     val bytes = payload.getBytes(StandardCharsets.UTF_8)
-    val isLocal = target.toUri.getScheme match {
-      case null | "file" => true
-      case _ => false
-    }
+    // decide from the RESOLVED filesystem, never the raw path: a
+    // scheme-less path on a cluster with fs.defaultFS=hdfs:// must go
+    // through that filesystem — routing it to java.nio would write the
+    // commit to the driver's LOCAL disk where no reader ever sees it
+    val isLocal = fs.getScheme == "file"
     if (isLocal) {
       val dst = java.nio.file.Paths.get(
         Option(target.toUri.getPath).getOrElse(target.toString))
@@ -513,7 +584,13 @@ object QbeastLog {
         }
       if (!renamed) {
         fs.delete(tmp, false)
-        throw new ConcurrentCommitException(conflictMessage)
+        // rename returns false for IO reasons too; only an existing
+        // destination is a genuine writer conflict — everything else
+        // must surface as the IO failure it is, or the caller retries
+        // 20 times against a broken filesystem
+        if (fs.exists(target)) throw new ConcurrentCommitException(conflictMessage)
+        else throw new java.io.IOException(
+          s"failed to rename $tmp to $target (no conflicting file present)")
       }
     }
   }
