@@ -30,7 +30,26 @@ object Streaming {
     val base =
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(base, "graft-ckpt").toString
+    trackTemp(java.nio.file.Files.createTempDirectory(base, "graft-ckpt")).toString
+  }
+
+  /** Throwaway dirs created by the op helpers, reclaimed at JVM exit —
+   * without this, repeated bench/verify runs accumulate checkpoint
+   * state in /dev/shm (RAM-backed, survives until reboot) until the
+   * tmpfs fills and every checkpointed query starts failing. */
+  private val tempDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => }
+      }))
+  }
+  private def trackTemp(p: java.nio.file.Path): java.nio.file.Path = {
+    tempDirs.add(p); p
   }
 
   /** The streaming file source wants a directory; stage the single
@@ -42,7 +61,7 @@ object Streaming {
       val src = java.nio.file.Paths.get(p)
       if (java.nio.file.Files.isDirectory(src)) p
       else {
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+        val dir = trackTemp(java.nio.file.Files.createTempDirectory("graft-stream"))
         java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
         dir.toString
       }
@@ -241,8 +260,12 @@ object Streaming {
     val deduped = once.unionAll(redelivered)
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_type"), col("value"))
-    val sink = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(fastCheckpointDir()).getParent, "graft-dedup-sink").toString
+    // DATA goes to disk-backed tmp, never /dev/shm: the deduped row
+    // set is table-sized, and filling the RAM-backed tmpfs would fail
+    // every query whose CHECKPOINT (tiny state) legitimately lives there
+    val sink = trackTemp(java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+      "graft-dedup-sink")).toString
     withStreamingPartitions(spark) {
       val q = deduped.writeStream.format("parquet")
         .option("checkpointLocation", fastCheckpointDir())
@@ -297,6 +320,13 @@ object Streaming {
    * apply function. At scale each wave's upsert rewrites only the files
    * its keys land in (index-pruned discovery), so steady-state CDC cost
    * tracks the change volume, not the table size.
+   *
+   * Ordering contract: "latest per key" is resolved WITHIN each
+   * micro-batch and the upsert replaces unconditionally — correct when
+   * the source delivers a key's changes in commit order across batches
+   * (the CDC-log shape, and this fixture's waves). A source that can
+   * deliver older changes in LATER batches needs a ts-guarded merge
+   * (`WHEN MATCHED AND s.ts >= t.ts THEN UPDATE`) instead.
    */
   def cdcApply(spark: SparkSession, eventsPath: String, tableDir: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -336,7 +366,8 @@ object Streaming {
       // wave 1: the click slice with bumped values, staged as its own
       // change stream
       val staged = stageDir(eventsPath)
-      val waveDir = java.nio.file.Files.createTempDirectory("graft-cdc-wave").toString
+      val waveDir = trackTemp(
+        java.nio.file.Files.createTempDirectory("graft-cdc-wave")).toString
       val clicks = spark.read.parquet(staged)
         .filter(col("event_type") === "click")
         .withColumn("value", col("value") + 1000)
@@ -466,7 +497,11 @@ object Streaming {
           sorted.foreach { e =>
             val t = e.ts
             if (lastTs == Long.MinValue || t - lastTs > 1800000000L) sessions += 1
-            lastTs = t
+            // never rewind across micro-batches: a late event folds into
+            // the current session (negative gap), but moving the frontier
+            // BACKWARD would make the next in-order event spuriously open
+            // a new session
+            lastTs = math.max(lastTs, t)
             total += 1
           }
           state.update((sessions, lastTs, total))
@@ -508,7 +543,12 @@ object Streaming {
     val conf = spark.sparkContext.hadoopConfiguration
     val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
     val fs = sinkPath.getFileSystem(conf)
-    if (!fs.exists(sinkPath)) {
+    // completion marker, not dir-existence: the parquet sink creates
+    // the dir at query start, so a killed run would otherwise be
+    // mistaken for a finished build and served half-empty forever
+    val marker = new org.apache.hadoop.fs.Path(sinkDir, "_graft_complete")
+    if (!fs.exists(marker)) {
+      fs.delete(sinkPath, true)
       fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
       val ev = spark.read.parquet(eventsPath)
       val ckpt = fastCheckpointDir()
@@ -527,6 +567,7 @@ object Streaming {
       drain() // initial snapshot batch
       write(ev.filter(col("event_id") % 2 =!= 0), "append")
       drain() // incremental batch: only the appended commit's files
+      fs.create(marker, true).close() // publish: build is complete
     }
     spark.read.parquet(sinkDir)
   }
@@ -552,7 +593,12 @@ object Streaming {
     val conf = spark.sparkContext.hadoopConfiguration
     val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
     val fs = sinkPath.getFileSystem(conf)
-    if (!fs.exists(sinkPath)) {
+    // completion marker, not dir-existence: the parquet sink creates
+    // the dir at query start, so a killed run would otherwise be
+    // mistaken for a finished build and served half-empty forever
+    val marker = new org.apache.hadoop.fs.Path(sinkDir, "_graft_complete")
+    if (!fs.exists(marker)) {
+      fs.delete(sinkPath, true)
       fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
       val ev = spark.read.parquet(eventsPath)
       def write(slice: DataFrame, mode: String): Unit = slice.write.format("qbeast")
@@ -571,6 +617,7 @@ object Streaming {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       try q.awaitTermination()
       finally q.stop()
+      fs.create(marker, true).close() // publish: build is complete
     }
     spark.read.parquet(sinkDir)
   }
@@ -595,7 +642,12 @@ object Streaming {
     val conf = spark.sparkContext.hadoopConfiguration
     val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
     val fs = sinkPath.getFileSystem(conf)
-    if (!fs.exists(sinkPath)) {
+    // completion marker, not dir-existence: the parquet sink creates
+    // the dir at query start, so a killed run would otherwise be
+    // mistaken for a finished build and served half-empty forever
+    val marker = new org.apache.hadoop.fs.Path(sinkDir, "_graft_complete")
+    if (!fs.exists(marker)) {
+      fs.delete(sinkPath, true)
       fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
       val o = spark.read.parquet(ordersPath)
       val ckpt = fastCheckpointDir()
@@ -621,6 +673,7 @@ object Streaming {
       t.delete("o_orderstatus = 'F' AND o_orderkey % 100 < 50") // v2
       t.update("o_orderkey % 7 = 0", Map("o_totalprice" -> "o_totalprice + 1")) // v3
       drain() // restart: v1..v3 exactly once
+      fs.create(marker, true).close() // publish: build is complete
     }
     spark.read.parquet(sinkDir)
   }

@@ -65,6 +65,15 @@ object TextOps {
    * heuristics (length band, token shape, punctuation/digit density,
    * identifiable language). */
   def qualityFilter(df: DataFrame, textCol: String): DataFrame = {
+    // `reason`/`keep` are this op's OUTPUT contract; silently
+    // overwriting a source column of the same name would replace real
+    // data with gate values downstream (the corpus-ingest pipeline
+    // writes the gated frame back out)
+    val clash = df.columns.filter(n =>
+      n.equalsIgnoreCase("reason") || n.equalsIgnoreCase("keep"))
+    require(clash.isEmpty,
+      s"qualityFilter appends columns ${clash.mkString(", ")} but the input " +
+        "already has them; rename the source column(s) first")
     val c = col(textCol)
     val nTokens = tokenCount(c)
     val meanTokLen = (length(c) - (nTokens - lit(1))).cast("double") / nTokens
