@@ -17,9 +17,14 @@ object Dedup {
 
   // ---- exact --------------------------------------------------------------
 
-  /** Exact dedup: one representative (min id) per distinct content. */
+  /** Exact dedup: one representative (min id) per distinct content.
+   * NULL content is NOT content: md5(null) is null and groupBy keeps
+   * null as one key, so without the coalesce every missing-text row in
+   * the corpus would collapse into a single million-way "duplicate"
+   * group; a per-id sentinel keeps each null row its own group. */
   def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    df.groupBy(md5(col(contentCol)).as("content_hash"))
+    df.groupBy(coalesce(md5(col(contentCol)),
+        concat(lit("__null__"), col(idCol).cast("string"))).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
   // ---- minhash + LSH ------------------------------------------------------
@@ -48,8 +53,19 @@ object Dedup {
 
   /** LSH band-key column — native codegen
    * ([[graft.expressions.MinHashBandKeys]]); parity ref [[bandKeysUdf]]. */
-  def bandKeysCol(c: Column, numHashes: Int = DefaultNumHashes, bands: Int = 16): Column =
+  def bandKeysCol(c: Column, numHashes: Int = DefaultNumHashes, bands: Int = 16): Column = {
+    requireBands(numHashes, bands)
     shims.column(graft.expressions.MinHashBandKeys(shims.expression(c), numHashes, bands))
+  }
+
+  /** bands must evenly divide numHashes: a non-divisor silently drops
+   * trailing signature values (recall loss), and bands > numHashes
+   * makes EVERY band key empty — every doc shares every bucket and the
+   * candidate self-join degenerates to the O(N^2) cross product this
+   * design exists to avoid. */
+  private def requireBands(numHashes: Int, bands: Int): Unit =
+    require(bands > 0 && bands <= numHashes && numHashes % bands == 0,
+      s"bands=$bands must be a positive divisor of numHashes=$numHashes")
 
   /** SimHash column — native codegen ([[graft.expressions.SimHash60]]);
    * parity ref [[simHashUdf]]. */
@@ -94,6 +110,7 @@ object Dedup {
    * numHashes/bands values; the key is the joined value string (exactly
    * reproducible in SQL, unlike a second-level hash). */
   def bandKeysUdf(numHashes: Int = DefaultNumHashes, bands: Int = 16) = {
+    requireBands(numHashes, bands)
     val rowsPerBand = numHashes / bands
     udf { (sig: Seq[Long]) =>
       (0 until bands).map { b =>
@@ -186,8 +203,12 @@ object Dedup {
     val sigs = df
       .filter(size(split(trim(col(textCol)), "\\s+")) >= DefaultShingleTokens)
       .select(col(idCol).as("id"), minhashSig(col(textCol), numHashes).as("sig"))
+    // materialized: bandRows feeds BOTH the reps aggregation and the
+    // join side, and their differing subplans defeat exchange reuse —
+    // without this the O(tokens x numHashes) signature pass runs twice
     val bandRows = sigs.select(col("id"),
       posexplode(bandKeysCol(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
+      .localCheckpoint(true)
     // min id per bucket (partial aggregation map-side), re-joined on the
     // bucket key: edges are linear in bucket population, never pairwise
     val reps = bandRows.groupBy("band", "bucket").agg(min(col("id")).as("rep"))
@@ -261,8 +282,11 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming.cast("int").as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: hamming is deterministic per pair,
+      // and most in-bucket candidates fail the radius — dropping them
+      // first keeps them out of the distinct's shuffle entirely
       .filter(col("hamming") <= maxDistance)
+      .distinct()
   }
 
   // ---- winnowing fingerprints --------------------------------------------
@@ -318,9 +342,13 @@ object Dedup {
       maxDocFreq: Int = 1000,
       k: Int = DefaultShingleTokens,
       w: Int = 4): DataFrame = {
-    // winnow sets are per-doc distinct, so count(*) per fp IS the df
+    // winnow sets are per-doc distinct, so count(*) per fp IS the df.
+    // Materialized: fps feeds the doc-frequency aggregation AND the
+    // semi-join probe side — without this the O(tokens*w) fingerprint
+    // expression runs over the corpus twice
     val fps = df.select(col(idCol).as("doc_id"),
       explode(winnow(col(textCol), k, w)).as("fp"))
+      .localCheckpoint(true)
     val rare = fps.groupBy("fp").count()
       .filter(col("count") <= maxDocFreq)
       .select("fp")
@@ -336,8 +364,11 @@ object Dedup {
 
   // ---- exact n-gram jaccard ----------------------------------------------
 
-  /** Distinct token set of a text column (unigram shingles). */
-  def tokenSet(c: Column): Column = array_distinct(split(trim(c), "\\s+"))
+  /** Distinct token set of a text column (unigram shingles). Empty /
+   * whitespace-only text yields the EMPTY set — split(trim(''), ..)
+   * returns [""], which would make two content-free docs Jaccard 1.0. */
+  def tokenSet(c: Column): Column =
+    array_remove(array_distinct(split(trim(c), "\\s+")), "")
 
   /** Exact token-set Jaccard for candidate pairs of element-distinct
    * token arrays (see [[tokenSet]]). Native codegen expression
@@ -487,6 +518,22 @@ object Dedup {
    * `cluster` is the minimum doc id of the component.
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // the monotone-decreasing label-sum convergence check is only sound
+    // over integral ids (a string id would sum to null → instant false
+    // convergence with multi-label components); reject others clearly
+    Seq("id_a", "id_b").foreach { c =>
+      val ok = edges.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"connectedComponents needs integral vertex ids; $c is " +
+          s"${edges.schema(c).dataType.simpleString} " +
+          "(hash or dense-rank non-numeric ids first)")
+    }
     val sym0 = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)
@@ -502,17 +549,24 @@ object Dedup {
     // unreliable executors use Dataset.checkpoint with a checkpoint dir
     var labels = vertices.select(col("u"), col("u").as("label"))
       .localCheckpoint(true)
-    // sum over an empty frame is null — treat as converged-at-zero
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum("label")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    // sum over an empty frame is null — treat as converged-at-zero.
+    // decimal(38,0): a Long sum over ~1e11 labels of ~1e11 overflows
+    // (ANSI mode would throw mid-loop); the decimal sum is exact
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // materialized: prop feeds BOTH sides of the doubling self-join
+      // with different keys, so without this the neighbor join+groupBy
+      // runs twice per round over the full edge list
       val prop = sym
         .join(labels.withColumnRenamed("u", "w"), col("v") === col("w"))
         .groupBy("u")
         .agg(min("label").as("label"))
+        .localCheckpoint(true)
       // pointer doubling: follow the label chain one extra hop; every
       // label is itself a vertex id, so the self-join always matches
       val next = prop
@@ -520,10 +574,11 @@ object Dedup {
           col("label") === col("lu"))
         .select(col("u"), least(col("label"), col("llabel")).as("label"))
         .localCheckpoint(true)
+      prop.unpersist()
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
