@@ -163,11 +163,45 @@ object FileStatsPruning {
     }
   }
 
+  /** Non-finite double stats can't be JSON numbers; the collector
+   * writes these sentinels instead (FileStatsCollector.toJson). Only
+   * consulted when the literal side is Float/Double, so a STRING
+   * column whose data happens to contain "NaN" is never misread. */
+  private def nonFinite(s: String): Option[Double] = s match {
+    case "NaN" => Some(Double.NaN)
+    case "Infinity" => Some(Double.PositiveInfinity)
+    case "-Infinity" => Some(Double.NegativeInfinity)
+    case _ => None
+  }
+
+  private def isFloating(v: Any): Boolean =
+    v.isInstanceOf[java.lang.Float] || v.isInstanceOf[java.lang.Double]
+
+  /** Spark's total order for doubles: -Inf < finite < +Inf < NaN,
+   * NaN == NaN, -0.0 == 0.0 (the semantics of Spark's
+   * nanSafeCompareDoubles, re-stated here because that helper is not
+   * public API). */
+  def nanCmp(a: Double, b: Double): Int =
+    if (java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b)) 0
+    else if (java.lang.Double.isNaN(a)) 1
+    else if (java.lang.Double.isNaN(b)) -1
+    else if (a < b) -1
+    else if (a > b) 1
+    else 0
+
   /** Stats value vs Catalyst literal; None = incomparable (keep file).
    * Numeric stats are BigDecimal; literals funnel through the same
    * binary-exact conversions the collector used, so equality on
-   * boundaries is preserved. */
+   * boundaries is preserved. Non-finite values (either side) compare in
+   * Spark's double total order — the sign alone decides, so the finite
+   * side's BigDecimal→Double rounding can't flip an outcome. */
   private def cmp(stat: Any, lit: Any): Option[Int] = (stat, lit) match {
+    case (a: String, b) if isFloating(b) =>
+      nonFinite(a).map(d => nanCmp(d, b.asInstanceOf[java.lang.Number].doubleValue()))
+    case (a: BigDecimal, b) if isFloating(b) &&
+        !java.lang.Double.isFinite(b.asInstanceOf[java.lang.Number].doubleValue()) =>
+      // finite stat vs NaN/±Inf literal: position decided by the literal
+      Some(nanCmp(0.0, b.asInstanceOf[java.lang.Number].doubleValue()))
     case (a: BigDecimal, b: java.lang.Number) => b match {
       case v: java.lang.Byte => Some(a.compare(BigDecimal(v.longValue())))
       case v: java.lang.Short => Some(a.compare(BigDecimal(v.longValue())))

@@ -88,15 +88,29 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Global min/max of `column` folded over per-file stats. Returns
    * None ("can't answer") on any file with missing/incomplete stats;
-   * Some(null) is the legal answer for an empty or all-null column. */
+   * Some(null) is the legal answer for an empty or all-null column.
+   * Float/double fold in Spark's total order (-Inf < finite < +Inf <
+   * NaN): the collector records NaN/±Inf as sentinel strings, so a
+   * table containing NaN answers max() = NaN exactly like the scan
+   * would — folding only the numeric stats would silently return the
+   * largest non-NaN instead. */
   private def statsExtreme(
       snap: QbeastSnapshot,
       column: String,
       dt: DataType,
       isMin: Boolean): Option[Any] = {
     if (!MetadataCountRule.exactStatsType(dt)) return None
+    val floating = dt == FloatType || dt == DoubleType
     var acc: Option[BigDecimal] = None
     var accBool: Option[Boolean] = None
+    var accD: Option[Double] = None
+    def foldD(d: Double): Unit = {
+      val keep = accD.forall { p =>
+        val c = FileStatsPruning.nanCmp(d, p)
+        if (isMin) c < 0 else c > 0
+      }
+      if (keep) accD = Some(d)
+    }
     snap.files.foreach { f =>
       if (f.elementCount > 0L) {
         val stats = f.stats.flatMap(FileStatsPruning.parse).getOrElse(return None)
@@ -107,8 +121,11 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case b: Boolean =>
               accBool = Some(accBool.fold(b)(p => if (isMin) p && b else p || b))
             case bd: BigDecimal =>
-              acc = Some(acc.fold(bd)(p =>
-                if (isMin) p.min(bd) else p.max(bd)))
+              if (floating) foldD(bd.toDouble)
+              else acc = Some(acc.fold(bd)(p => if (isMin) p.min(bd) else p.max(bd)))
+            case "NaN" if floating => foldD(Double.NaN)
+            case "Infinity" if floating => foldD(Double.PositiveInfinity)
+            case "-Infinity" if floating => foldD(Double.NegativeInfinity)
             case _ => return None // string or unexpected shape
           }
         }
@@ -116,6 +133,8 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     dt match {
       case BooleanType => Some(accBool.orNull)
+      case FloatType => Some(accD.map[Any](_.toFloat).orNull)
+      case DoubleType => Some(accD.map[Any](d => d).orNull)
       case _ =>
         // map[Any]: without the ascription Scala unifies the numeric
         // arms by WEAK CONFORMANCE — every branch silently widens to
@@ -126,8 +145,6 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case ShortType => bd.toShortExact
             case IntegerType | DateType => bd.toIntExact
             case LongType | TimestampType | TimestampNTZType => bd.toLongExact
-            case FloatType => bd.toFloat
-            case DoubleType => bd.toDouble
           }
         }.orNull)
     }

@@ -41,6 +41,13 @@ final class FileStatsCollector(schema: StructType) {
   private val longMax = Array.fill(n)(Long.MinValue)
   private val dblMin = Array.fill(n)(Double.PositiveInfinity)
   private val dblMax = Array.fill(n)(Double.NegativeInfinity)
+  // NaN sorts ABOVE +Infinity in Spark's total order (nanSafeCompare*),
+  // but primitive </> never registers it — track it separately so a
+  // file containing NaN reports max=NaN instead of the largest non-NaN
+  // (which would let `col > huge` wrongly prune the file and would make
+  // a metadata-answered max() silently drop the NaN)
+  private val hasNaN = new Array[Boolean](n)
+  private val dblSeen = new Array[Boolean](n)
   private val strMin = new Array[UTF8String](n)
   private val strMax = new Array[UTF8String](n)
   private val nulls = new Array[Long](n)
@@ -67,8 +74,12 @@ final class FileStatsCollector(schema: StructType) {
             if (v > longMax(j)) longMax(j) = v
           case 1 =>
             val v = if (kinds(j) == KFloat) row.getFloat(i).toDouble else row.getDouble(i)
-            if (v < dblMin(j)) dblMin(j) = v
-            if (v > dblMax(j)) dblMax(j) = v
+            if (java.lang.Double.isNaN(v)) hasNaN(j) = true
+            else {
+              dblSeen(j) = true
+              if (v < dblMin(j)) dblMin(j) = v
+              if (v > dblMax(j)) dblMax(j) = v
+            }
           case 2 =>
             val v = if (row.getBoolean(i)) 1L else 0L
             if (v < longMin(j)) longMin(j) = v
@@ -102,7 +113,19 @@ final class FileStatsCollector(schema: StructType) {
           sb.append('"').append(names(j)).append("\":")
           tags(j) match {
             case 0 => sb.append(if (isMin) longMin(j) else longMax(j))
-            case 1 => sb.append((if (isMin) dblMin(j) else dblMax(j)).toString)
+            case 1 =>
+              // Spark total order: min is the smallest non-NaN (NaN only
+              // when the column is all-NaN); max is NaN whenever any row
+              // was NaN. Non-finite doubles are not legal JSON numbers —
+              // emit the sentinel strings the reader maps back
+              // (FileStatsPruning.nonFinite / MetadataCountRule)
+              val v =
+                if (isMin) { if (dblSeen(j)) dblMin(j) else Double.NaN }
+                else { if (hasNaN(j)) Double.NaN else dblMax(j) }
+              if (java.lang.Double.isFinite(v)) sb.append(v.toString)
+              else sb.append('"').append(
+                if (java.lang.Double.isNaN(v)) "NaN"
+                else if (v > 0) "Infinity" else "-Infinity").append('"')
             case 2 => sb.append(if ((if (isMin) longMin(j) else longMax(j)) == 1L) "true" else "false")
             case _ => appendJsonString(sb, (if (isMin) strMin(j) else strMax(j)).toString)
           }

@@ -95,6 +95,53 @@ class FileStatsSpec extends AnyFunSuite {
     assert(read < all, s"IS NULL skipping read $read of $all files")
   }
 
+  test("NaN rows are never pruned away (NaN sorts above every value in Spark)") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("fstats-nan")
+    // NaN lives only in the low-id slice; every file's finite values
+    // stay small, so a NaN-blind max would prune ALL files for v > 1e9
+    val df = (1 to 20000).map { i =>
+      (i.toLong, if (i <= 100) Double.NaN else i * 1.0)
+    }.toDF("id", "v")
+    df.write.format("qbeast")
+      .option("columnsToIndex", "id").option("cubeSize", "1000").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    // Spark: NaN > any value, NaN = NaN
+    assert(back.filter("v > 1e9").count() === 100L)
+    assert(back.filter("v = double('NaN')").count() === 100L)
+    assert(back.filter("v >= cast(19000 as double)").count() ===
+      df.filter(r => r.getDouble(1) >= 19000.0 || r.getDouble(1).isNaN).count().toLong)
+    // the NaN-carrying slice is localized: pruning must still drop
+    // files for this query, just not the NaN ones
+    val all = back.inputFiles.length
+    val read = filesRead(back.filter("v > 1e9"))
+    assert(read < all, s"NaN-aware skipping read $read of $all files")
+  }
+
+  test("Infinity values serialize as legal JSON and prune correctly") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("fstats-inf")
+    val df = (1 to 5000).map { i =>
+      (i.toLong,
+        if (i == 1) Double.PositiveInfinity
+        else if (i == 2) Double.NegativeInfinity
+        else i * 1.0)
+    }.toDF("id", "v")
+    df.write.format("qbeast")
+      .option("columnsToIndex", "id").option("cubeSize", "500").save(dir)
+    // every file's stats JSON must stay parseable (Infinity is not a
+    // legal JSON number — the collector writes sentinel strings)
+    val snap = graft.log.QbeastLog.snapshot(dir, spark.sparkContext.hadoopConfiguration)
+    snap.files.foreach { f =>
+      assert(f.stats.isDefined && graft.read.FileStatsPruning.parse(f.stats.get).isDefined,
+        s"unparseable stats: ${f.stats}")
+    }
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.filter("v > 1e18").count() === 1L) // the +Inf row
+    assert(back.filter("v < -1e18").count() === 1L) // the -Inf row
+    assert(back.filter("v = double('Infinity')").count() === 1L)
+  }
+
   test("stats survive the log round-trip and optimize keeps them") {
     val dir = TestSpark.tmpDir("fstats-opt")
     writeSynthetic(dir)

@@ -141,6 +141,38 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(!isMetadataOnly(dfc))
   }
 
+  test("NaN and Infinity fold in Spark's total order (max = NaN, not largest finite)") {
+    val dir = TestSpark.tmpDir("qbeast-metacount-nan")
+    // NaN only in one slice; +Inf/-Inf elsewhere; plenty of finite rows
+    spark.range(400).select(col("id").as("a"),
+      when(col("id") === 7, lit(Double.NaN))
+        .when(col("id") === 13, lit(Double.PositiveInfinity))
+        .when(col("id") === 21, lit(Double.NegativeInfinity))
+        .otherwise(col("id").cast("double")).as("b"))
+      .write.format("qbeast")
+      .option("columnsToIndex", "a").option("cubeSize", "100").save(dir)
+    val base = spark.read.format("qbeast").load(dir)
+    val df = base.agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+    // the scan's answer is the spec: Spark's Max returns NaN, Min -Inf
+    val expected = base.groupBy().agg(min(col("b")), max(col("b"))).collect().head
+    val got = df.collect().head
+    assert(got.getDouble(0) == expected.getDouble(0)) // -Infinity
+    assert(got.getDouble(1).isNaN && expected.getDouble(1).isNaN,
+      s"metadata max must be NaN, got ${got.getDouble(1)}")
+    assert(isMetadataOnly(df), df.queryExecution.executedPlan.toString)
+
+    // all-NaN column: both extremes are NaN
+    val dir2 = TestSpark.tmpDir("qbeast-metacount-allnan")
+    spark.range(50).select(col("id").as("a"), lit(Double.NaN).as("b"))
+      .write.format("qbeast").option("columnsToIndex", "a")
+      .option("cubeSize", "100").save(dir2)
+    val df2 = spark.read.format("qbeast").load(dir2)
+      .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+    val r2 = df2.collect().head
+    assert(r2.getDouble(0).isNaN && r2.getDouble(1).isNaN)
+    assert(isMetadataOnly(df2))
+  }
+
   test("empty table counts zero without a scan") {
     val dir = freshTable(1)
     val t = table.QbeastTable.forPath(spark, dir)
