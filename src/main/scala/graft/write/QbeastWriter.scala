@@ -116,7 +116,8 @@ object QbeastWriter {
       f.equalsIgnoreCase(QbeastColumns.cubeColumnName) ||
         f.equalsIgnoreCase(QbeastColumns.weightColumnName) ||
         f.equalsIgnoreCase(QbeastColumns.fileUUIDColumnName) ||
-        f.equalsIgnoreCase("_qbeastAssign"))
+        f.equalsIgnoreCase("_qbeastAssign") ||
+        f.equalsIgnoreCase("_qbeastCheck"))
     require(reserved.isEmpty,
       s"column name(s) ${reserved.mkString(", ")} are reserved by the qbeast " +
         "writer; rename them before writing")
@@ -140,9 +141,13 @@ object QbeastWriter {
       case _ => data.schema
     }
     // CHECK constraints recorded on the table gate every written row
-    // (appends, overwrites, streaming batches) — one validation pass,
-    // only when constraints exist
-    Constraints.validate(data, Constraints.of(snapshot.configuration), "written")
+    // (appends, overwrites, streaming batches). Enforced PER ROW inside
+    // the write task (Delta's invariant-check discipline, see index()):
+    // a separate validation job would execute the input plan twice, and
+    // a nondeterministic input (rand(), a source re-read between jobs)
+    // could pass the validation run yet write violating rows — the rows
+    // checked must BE the rows written.
+    val tableConstraints = Constraints.of(snapshot.configuration).toSeq.sortBy(_._1)
 
     // overwrite keeps the table's indexing config (columns/cubeSize are
     // reused unless re-specified); it only replaces the data files
@@ -172,7 +177,7 @@ object QbeastWriter {
       else None
 
     val files0 = index(spark, tablePath, data, revision1, existingStatus, numElements,
-      rollupSize = options1.rollupSize)
+      rollupSize = options1.rollupSize, constraints = tableConstraints)
 
     // ---- pre-commit hooks (reference #28) ----
     val hookTags =
@@ -268,8 +273,21 @@ object QbeastWriter {
           // through metadata-change detection)
           val newConstraints = Constraints.of(rebased.configuration)
             .filter { case (k, v) => !checkedConstraints.get(k).contains(v) }
-          Constraints.validate(data, newConstraints, "written (rebased)")
-          checkedConstraints ++= newConstraints
+          if (newConstraints.nonEmpty) {
+            // our files are already written, so this late constraint can
+            // only be checked by RE-EXECUTING the input — sound only for
+            // a deterministic plan (the written rows ARE the re-read
+            // rows); otherwise fail the write rather than risk admitting
+            // rows the re-validation never saw
+            val analyzed = classic(data).queryExecution.analyzed
+            require(!analyzed.exists(p => p.expressions.exists(!_.deterministic)),
+              s"CHECK constraint(s) ${newConstraints.keys.mkString(", ")} were " +
+                "added concurrently with this write and the input plan is " +
+                "nondeterministic, so the written rows cannot be re-validated; " +
+                "re-run the write")
+            Constraints.validate(data, newConstraints, "written (rebased)")
+            checkedConstraints ++= newConstraints
+          }
           // a revision is self-contained (its own transformations; its
           // files carry its id), so when a concurrent writer claimed our
           // revision id we just re-number ours — no re-indexing
@@ -293,7 +311,8 @@ object QbeastWriter {
       existingStatus: Option[IndexStatus],
       numElements: Long,
       frozenWeights: Option[Map[CubeId, Weight]] = None,
-      rollupSize: Option[Long] = None): Seq[IndexFile] = {
+      rollupSize: Option[Long] = None,
+      constraints: Seq[(String, String)] = Nil): Seq[IndexFile] = {
 
     val dims = revision.dimensionCount
     val coordCols = revision.columnTransformers.lazyZip(revision.transformations)
@@ -367,13 +386,27 @@ object QbeastWriter {
       assigner))
 
     val dataSchema = data.schema
-    val shuffled = data
+    val tagged0 = data
       .withColumn("_qbeastAssign", assignCol)
       .withColumn(QbeastColumns.cubeColumnName, col("_qbeastAssign.cube"))
       .withColumn(QbeastColumns.weightColumnName, weightCol)
       .withColumn(QbeastColumns.fileUUIDColumnName, col("_qbeastAssign.file"))
       .drop("_qbeastAssign")
-      .repartition(col(QbeastColumns.fileUUIDColumnName))
+    // CHECK-constraint enforcement column: index of the first violated
+    // constraint, -1 when the row passes (TRUE or NULL = pass, SQL
+    // semantics). Evaluated map-side in the SAME execution as the
+    // write, so the rows checked are exactly the rows written — a
+    // separate validation job would let a nondeterministic input pass
+    // validation yet write violating rows. The write task throws on the
+    // first >= 0 it sees (see writeFiles); the column itself is never
+    // written to parquet (the writer projects only dataSchema columns).
+    val checked =
+      if (constraints.isEmpty) tagged0
+      else tagged0.withColumn("_qbeastCheck",
+        constraints.zipWithIndex.foldRight(lit(-1)) { case (((_, sql), i), acc) =>
+          when(not(coalesce(expr(sql), lit(true))), lit(i)).otherwise(acc)
+        })
+    val shuffled = checked.repartition(col(QbeastColumns.fileUUIDColumnName))
     // Rows are ALWAYS clustered by target file within each partition:
     // the physical writer streams ONE open parquet writer per task,
     // closing each file when its run of rows ends (the same discipline
@@ -399,7 +432,8 @@ object QbeastWriter {
         col(QbeastColumns.weightColumnName))
 
     // ---- pass 3: physical write with per-cube block accounting ----
-    writeFiles(spark, tablePath, tagged, dataSchema, dims, revision.revisionID)
+    writeFiles(spark, tablePath, tagged, dataSchema, dims, revision.revisionID,
+      constraints)
   }
 
   private[graft] def classic(df: DataFrame): org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row] =
@@ -414,7 +448,8 @@ object QbeastWriter {
       tagged: DataFrame,
       dataSchema: StructType,
       dims: Int,
-      revisionId: Long): Seq[IndexFile] = {
+      revisionId: Long,
+      constraints: Seq[(String, String)] = Nil): Seq[IndexFile] = {
 
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     val factory: OutputWriterFactory =
@@ -478,8 +513,20 @@ object QbeastWriter {
         // UnsafeRow buffer, so the retained copy must be cloned) and
         // materializes a String only once per FILE, not once per row
         var currentUuid: org.apache.spark.unsafe.types.UTF8String = null
+        val hasCheck = constraints.nonEmpty
         try {
           rows.foreach { row =>
+            if (hasCheck) {
+              // per-row CHECK enforcement (Delta's invariant checks):
+              // the tagging stage stamped the first violated
+              // constraint's index at n+3, -1 for a passing row
+              val ci = row.getInt(n + 3)
+              if (ci >= 0) {
+                val (name, sql) = constraints(ci)
+                throw new IllegalArgumentException(
+                  s"CHECK constraint $name ($sql) violated by written data")
+              }
+            }
             val cube = CubeId.fromBytes(dims, row.getBinary(n))
             val weight = row.getInt(n + 1)
             val uuidRaw = row.getUTF8String(n + 2)

@@ -108,6 +108,33 @@ class ConstraintSpec extends AnyFunSuite {
       .filter(col("a") === 1).select("b").head.getDouble(0) == 500.0)
   }
 
+  test("nondeterministic inputs are gated per-row inside the write itself") {
+    // rand() re-draws on every execution: a separate validation job
+    // could pass while the write job draws violating rows. Enforcement
+    // rides the write task (index()'s _qbeastCheck column), so the rows
+    // gated are exactly the rows written.
+    val dir = freshTable()
+    val t = table.QbeastTable.forPath(spark, dir)
+    t.addConstraint("positive", "b >= 0")
+    val e = intercept[Exception] {
+      spark.range(500).select((col("id") % 100 + 1).as("a"),
+        (rand(7) * 2 - 1).as("b")) // ~half the draws violate
+        .write.format("qbeast").option("cubeSize", "100").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("positive") && e.getMessage.contains("b >= 0"),
+      e.getMessage)
+    assert(spark.read.format("qbeast").load(dir).filter(col("b") < 0).count() == 0)
+    assert(spark.read.format("qbeast").load(dir).count() == 100)
+
+    // a clean nondeterministic input passes, and the enforcement column
+    // never leaks into the written schema
+    spark.range(100).select((col("id") + 1000).as("a"), rand(7).as("b"))
+      .write.format("qbeast").option("cubeSize", "100").mode("append").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.schema.fieldNames.toSet == Set("a", "b"))
+    assert(back.filter(col("a") >= 1000).count() == 100)
+  }
+
   test("a constraint landing mid-write still gates the racing write") {
     // violating data: the write validated before the constraint existed,
     // the hook adds it pre-commit, the conflict rebase must re-validate
