@@ -196,7 +196,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val now = System.currentTimeMillis()
     val actions =
       adds.map(f => AddFileAction(f, dataChange = false)) ++
-        removes.map(f => RemoveFileAction(RemoveFile(f.path, now)))
+        removes.map(f => RemoveFileAction(RemoveFile(f.path, now, f.size)))
     // same public retry knob as the write path — a rebase here is cheap
     // (re-snapshot + re-commit, no re-indexing), so under heavy append
     // concurrency the layout rewrite keeps trying instead of aborting
@@ -421,6 +421,21 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     } finally srcKeys.unpersist()
   }
 
+  /** ANSI store-assignment cast (Delta's insert-path resolution): cast
+   * `src` to the table column's type, but FAIL on any row where a
+   * non-null source value comes out null — a plain cast() would
+   * silently write NULL for e.g. string 'abc' → int, corrupting data
+   * instead of rejecting it. Implemented as try_cast + raise_error so
+   * the check rides the write's own execution (no extra job). */
+  private def storeAssignCast(src: Column, name: String, to: org.apache.spark.sql.types.DataType): Column = {
+    val casted = src.try_cast(to)
+    when(src.isNotNull && casted.isNull,
+      raise_error(concat(
+        lit("cannot write value '"), src.cast("string"),
+        lit(s"' to column $name: not castable to ${to.sql}"))))
+      .otherwise(casted).as(name)
+  }
+
   def upsert(source0: org.apache.spark.sql.DataFrame, keys: Seq[String]): (Long, Long) = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val s = snapshot
@@ -429,15 +444,20 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // align by NAME and cast to the table's TYPES (the same resolution
     // merge's insert path applies): writing a name-matched but
     // type-clashing source as-is would poison the shared parquet scan
-    // schema for every future read
+    // schema for every future read. Store-assignment semantics: a
+    // non-null value the cast can't represent FAILS the upsert instead
+    // of silently becoming NULL.
     val source = s.schema.map { existing =>
       val have = source0.schema.fieldNames.map(_.toLowerCase).toSet
       val want = existing.fieldNames.map(_.toLowerCase).toSet
       require(have == want,
         s"upsert source schema ${source0.schema.fieldNames.mkString(",")} does not " +
           s"match table schema ${existing.fieldNames.mkString(",")}")
-      source0.select(existing.fields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      val srcTypes = source0.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      source0.select(existing.fields.map { f =>
+        if (srcTypes(f.name.toLowerCase) == f.dataType) col(f.name).as(f.name)
+        else storeAssignCast(col(f.name), f.name, f.dataType)
+      }.toSeq: _*)
     }.getOrElse(source0)
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
     graft.write.Constraints.validate(source,
@@ -686,7 +706,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
               val e = asgnLower.getOrElse(c.toLowerCase,
                 throw new UnsupportedOperationException(
                   s"MERGE INSERT must assign every target column (missing $c — use INSERT *)"))
-              e.cast(tableSchema(c).dataType).as(c)
+              storeAssignCast(e, c, tableSchema(c).dataType)
             }
             withAction.filter(col(actionCol) === i).select(cols: _*)
           }
@@ -813,7 +833,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         actions += RevisionAction(r)
       }
       actions ++= adds.map(f => AddFileAction(f, dataChange = true))
-      actions ++= removes.map(f => RemoveFileAction(RemoveFile(f.path, now)))
+      actions ++= removes.map(f => RemoveFileAction(RemoveFile(f.path, now, f.size)))
       actions ++= cdcAction
       try {
         QbeastLog.commit(tablePath, conf, base.version, actions.toSeq, operation)
@@ -1015,7 +1035,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val actions: Seq[LogAction] =
         target.schema.map(sc => MetaDataAction(sc.json, target.configuration)).toSeq ++
           resurrect.map(f => AddFileAction(f, dataChange = true)) ++
-          drop.map(f => RemoveFileAction(RemoveFile(f.path, now)))
+          drop.map(f => RemoveFileAction(RemoveFile(f.path, now, f.size)))
       try {
         QbeastLog.commit(tablePath, conf, base.version, actions, operation = "RESTORE")
         committed = true

@@ -60,6 +60,40 @@ class DmlSpec extends AnyFunSuite {
     assert(back.count() == 51)
   }
 
+  test("upsert and MERGE INSERT fail on non-castable values instead of writing NULL") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("dml-upsert-storecast")
+    (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a,b")
+      .option("cubeSize", "100").save(dir)
+    val t = table.QbeastTable.forPath(spark, dir)
+    // store-assignment semantics: 'abc' → double must FAIL the upsert,
+    // not silently write NULL for a non-null source value
+    val v0 = t.snapshot.version
+    val e = intercept[Exception] {
+      t.upsert(Seq((1, "abc"), (60, "60.5")).toDF("a", "b"), Seq("a"))
+    }
+    assert(e.getMessage.contains("abc"), e.getMessage)
+    assert(t.snapshot.version == v0, "failed upsert must not commit")
+    assert(spark.read.format("qbeast").load(dir).filter(col("b").isNull).count() == 0)
+    // castable strings still work (regression guard on the happy path)
+    t.upsert(Seq((60, "60.5")).toDF("a", "b"), Seq("a"))
+    assert(spark.read.format("qbeast").load(dir).count() == 51)
+
+    // MERGE INSERT assigning a non-castable literal fails the same way
+    spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    spark.sql("DROP TABLE IF EXISTS qbeast_catalog.default.sc_target")
+    spark.sql(s"CREATE TABLE qbeast_catalog.default.sc_target USING qbeast LOCATION '$dir'")
+    Seq((70L, "oops")).toDF("k", "v").createOrReplaceTempView("sc_src")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO qbeast_catalog.default.sc_target AS t USING sc_src AS s ON t.a = s.k
+           |WHEN NOT MATCHED THEN INSERT (a, b) VALUES (s.k, s.v)""".stripMargin)
+    }
+    assert(e2.getMessage.contains("oops"), e2.getMessage)
+    assert(spark.read.format("qbeast").load(dir).filter(col("b").isNull).count() == 0)
+  }
+
   test("delete removes exactly the matching rows and keeps the rest bit-identical") {
     val dir = freshLineitem("dml-del")
     val raw = spark.read.parquet(s"$sf/lineitem.parquet")
