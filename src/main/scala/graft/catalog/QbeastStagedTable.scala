@@ -102,7 +102,7 @@ final class QbeastStagedTable(
             val actions =
               MetaDataAction(declaredSchema.json,
                 snapshot.configuration ++ stagedOptionConfig) +:
-                snapshot.files.map(f => RemoveFileAction(RemoveFile(f.path, now)))
+                snapshot.files.map(f => RemoveFileAction(RemoveFile(f.path, now, f.size)))
             try {
               QbeastLog.commit(location, conf, snapshot.version, actions,
                 operation = "REPLACE")

@@ -32,5 +32,8 @@ final case class IndexFile(
 
 }
 
-/** A removed file recorded in the log. */
-final case class RemoveFile(path: String, deletionTimestamp: Long) extends Serializable
+/** A removed file recorded in the log. `size` (bytes, best-effort — 0
+ * when unknown, e.g. old log lines) lets the streaming CDF source
+ * admission-control delete-only commits by byte budget. */
+final case class RemoveFile(path: String, deletionTimestamp: Long, size: Long = 0L)
+  extends Serializable

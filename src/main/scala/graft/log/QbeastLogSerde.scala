@@ -155,7 +155,8 @@ object QbeastLogSerde {
       case AddFileAction(f, dc) => JObject("add" -> fileToJson(f, dc))
       case RemoveFileAction(r) =>
         JObject("remove" ->
-          (("path" -> r.path) ~ ("deletionTimestamp" -> r.deletionTimestamp)))
+          (("path" -> r.path) ~ ("deletionTimestamp" -> r.deletionTimestamp) ~
+            ("size" -> r.size)))
       case TxnAction(appId, version) =>
         JObject("txn" -> (("appId" -> appId) ~ ("version" -> version)))
       case CommitInfoAction(op, ts) =>
@@ -204,7 +205,8 @@ object QbeastLogSerde {
     val rm = root.get("remove")
     if (rm != null)
       return RemoveFileAction(RemoveFile(rm.get("path").asText(),
-        rm.get("deletionTimestamp").asLong()))
+        rm.get("deletionTimestamp").asLong(),
+        if (rm.has("size")) rm.get("size").asLong() else 0L))
     val txn = root.get("txn")
     if (txn != null)
       return TxnAction(txn.get("appId").asText(), txn.get("version").asLong())

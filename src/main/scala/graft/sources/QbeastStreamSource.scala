@@ -319,10 +319,11 @@ class QbeastStreamSource(
         else if (layoutOnly) Vector.empty // optimize: content unchanged
         else if (removes.isEmpty) dataAdds.map { case (p, sz) => (s"$v:a:$p", sz) }.toVector
         else if (adds.isEmpty)
-          // delete-only: the removed files' rows ARE the delete feed
-          // (size unknown from the remove action alone — admission
-          // counts these by file, not bytes)
-          removes.map(r => (s"$v:d:${r.remove.path}", 0L)).toVector
+          // delete-only: the removed files' rows ARE the delete feed;
+          // the remove action carries the file's size (0 on pre-size
+          // log lines → admitted for free, still file-counted), so
+          // maxBytesPerTrigger budgets these like any other unit
+          removes.map(r => (s"$v:d:${r.remove.path}", r.remove.size)).toVector
         else throw new UnsupportedOperationException(
           s"qbeast streaming CDF: commit $v of $tablePath rewrites data without " +
             "a change file. Set the table property 'enableChangeDataFeed' (write " +
@@ -527,8 +528,20 @@ class QbeastStreamSource(
           val absolute = list.map(u => new Path(tablePath, u._3).toString)
           val tagged = kind match {
             case "c" => spark.read.schema(cdcFileSchema).parquet(absolute: _*)
-            case "d" => spark.read.schema(tableSchema).parquet(absolute: _*)
-              .withColumn("_change_type", lit("delete"))
+            case "d" =>
+              // a 'd' path is tombstoned AT this commit, so vacuum can
+              // reclaim it after retention; a range reaching behind
+              // vacuum must fail NAMED (the batch changes() contract),
+              // not with a raw FileNotFoundException mid-task
+              val fs = new Path(tablePath).getFileSystem(hadoopConf)
+              absolute.find(p => !fs.exists(new Path(p))).foreach { p =>
+                throw new IllegalStateException(
+                  s"qbeast streaming CDF: data file $p of delete-only commit $v " +
+                    "was vacuumed — this range cannot be replayed; restart the " +
+                    "stream from a later startingVersion")
+              }
+              spark.read.schema(tableSchema).parquet(absolute: _*)
+                .withColumn("_change_type", lit("delete"))
             case _ => spark.read.schema(tableSchema).parquet(absolute: _*)
               .withColumn("_change_type", lit("insert"))
           }

@@ -222,7 +222,7 @@ object QbeastWriter {
       files.foreach(f => actions += AddFileAction(f, dataChange = true))
       if (isOverwrite) {
         val now = System.currentTimeMillis()
-        snapshot.files.foreach(f => actions += RemoveFileAction(RemoveFile(f.path, now)))
+        snapshot.files.foreach(f => actions += RemoveFileAction(RemoveFile(f.path, now, f.size)))
       }
       actions.toSeq
     }

@@ -206,6 +206,47 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(ids(out) == (30L until 45L))
   }
 
+  test("CDF delete-only commits carry sizes and fail NAMED after vacuum") {
+    val tbl = TestSpark.tmpDir("qss-cdfvac-tbl")
+    writeSlice(tbl, 0, 50, "overwrite") // version 0
+    val t = table.QbeastTable.forPath(spark, tbl)
+    t.delete("id >= 0") // every file's rows go: delete-only commit (no adds)
+
+    // the remove actions carry the files' byte sizes so
+    // maxBytesPerTrigger can budget delete-only units
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = graft.log.QbeastLog.lightSnapshot(tbl, conf)
+    val removes = graft.log.QbeastLog
+      .commitActions(tbl, conf, snap.version, snap.revisions)
+      .collect { case graft.log.RemoveFileAction(r) => r }
+    assert(removes.nonEmpty && removes.forall(_.size > 0L),
+      s"remove actions must carry sizes: $removes")
+
+    // pre-vacuum: the delete-only commit replays as delete rows
+    def drainCdf(): org.apache.spark.sql.DataFrame = {
+      val ckpt = TestSpark.tmpDir("qss-cdfvac-ckpt")
+      val out = TestSpark.tmpDir("qss-cdfvac-out")
+      val q = spark.readStream.format("qbeast")
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      spark.read.parquet(out)
+    }
+    val res = drainCdf()
+    assert(res.filter(col("_change_type") === "delete").count() == 50)
+
+    // vacuum reclaims the tombstoned files; replaying the range must
+    // fail with the vacuumed file NAMED, not a raw FileNotFoundException
+    assert(t.vacuum(retainMillis = 0L, force = true) > 0)
+    val e = intercept[StreamingQueryException] { drainCdf() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("vacuumed"), msgs)
+  }
+
   test("startingVersion=N skips the snapshot and starts at commit N") {
     val tbl = TestSpark.tmpDir("qss-sv-tbl")
     val ckpt = TestSpark.tmpDir("qss-sv-ckpt")
