@@ -440,12 +440,13 @@ object Similarity {
    * anywhere, so an independent engine replays the whole trajectory
    * bit-for-bit (DuckDB does, in e10's oracle).
    *
-   * Distributed shape per iteration: centroids broadcast as a LITERAL
-   * array (k·d longs — tiny), assignment is a map-side codegen
-   * projection (`transform` over centroids + `aggregate(zip_with)`
-   * distance, argmin via `array_min` struct ordering with cluster id
-   * as the deterministic tie-break), and the centroid update shuffles
-   * only (cluster, dim) partial sums — k·d groups with map-side
+   * Distributed shape per iteration: centroids ride into every task as
+   * a referenced k·d long[][] matrix inside the
+   * [[graft.expressions.KMeansAssign]] codegen expression (tiny —
+   * serialized with the task closure), assignment is a fused
+   * distance+argmin loop in whole-stage codegen (cluster id is the
+   * deterministic tie-break), and the centroid update shuffles only
+   * (cluster, dim) partial sums — k·d groups with map-side
    * combine, never the vectors. Driver holds k·d longs. This is the
    * textbook scale-safe k-means: cost O(N·k·d) compute + O(k·d)
    * shuffle per iteration. Empty clusters keep their previous
