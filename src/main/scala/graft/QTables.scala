@@ -597,6 +597,40 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** embeddings with a write-time LSH bucket column (6-bit
+   * sign-projection over the deterministic hyperplanes), co-located by
+   * bucket and qbeast-indexed on it — the LSH twin of
+   * [[qbeastIvfEmbeddings]]: multi-probe ANN queries become file-pruned
+   * scans of the probed buckets (VERDICT r10 item 1). columnStats pin
+   * the bucket space to [0, 2^bits) so every bucket equality transforms
+   * to the same coordinate on every write. */
+  def qbeastLshEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "embeddings_lsh")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val emb = raw(spark, sfDir, "embeddings")
+        val dim = emb.select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+        emb.withColumn("bucket",
+            ops.Similarity.lshBucket(
+              org.apache.spark.sql.functions.col("embedding"), bits = 6, dim = dim))
+          .repartition(org.apache.spark.sql.functions.col("bucket"))
+          .write.format("qbeast")
+          // single-dim index: every tree level HALVES the bucket range,
+          // so bucket resolution reaches 1 value at depth log2(64) with
+          // 2^d cubes — a 2-dim (bucket, vec_id) tree would spend 4^d
+          // cubes for the same resolution, and the multi-probe point
+          // queries never constrain vec_id anyway
+          .option("columnsToIndex", "bucket")
+          .option("columnStats", """{"bucket_min": 0, "bucket_max": 64}""")
+          .option("cubeSize", "2000")
+          .save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** orders written with user-provided columnStats (wider linear space
    * than the data, so later appends skip revision bumps). */
   def qbeastOrdersWithStats(spark: SparkSession, sfDir: String): DataFrame = {

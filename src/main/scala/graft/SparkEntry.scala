@@ -1122,6 +1122,23 @@ object SparkEntry {
         .select(col("vec_id"), round(col("sim"), 4).as("sim_r"),
           col("vec_id").isin(exact10: _*).as("in_exact10"))
     }),
+    "e11_ann_lsh_indexed" -> ((s, dir) => {
+      // the LSH twin of e04: write-time bucket column, qbeast-indexed —
+      // the 22 multi-probe bucket equalities become per-disjunct query
+      // spaces, so the scan is file-pruned (plan-asserted in
+      // AnnIndexedSpec), not a full scan + filter like e02
+      val emb = QTables.raw(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val exact10 = ops.Similarity
+        .knnExact(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val lsh = QTables.qbeastLshEmbeddings(s, dir).filter(col("vec_id") =!= 0)
+      ops.Similarity
+        .knnLshIndexed(lsh, "vec_id", "embedding", "bucket", qv, 10)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim_r"),
+          col("vec_id").isin(exact10: _*).as("in_exact10"))
+    }),
     "e03_embedding_near_dup" -> ((s, dir) => {
       // random test embeddings have no true near-dups; emit the top
       // in-bucket pairs so the operator's output is observable
@@ -2409,6 +2426,24 @@ object SparkEntry {
          |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "e02_ann_lsh" ->
       s"""WITH $embBaseSql,
+         |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
+         |  FROM be, qv WHERE vec_id != 0 AND bit_count(xor(bucket, qbkt)) <= 2)
+         |SELECT vec_id, round(sim, 4) AS sim_r, vec_id IN (SELECT vec_id FROM ex) AS in_exact10
+         |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // e11: same semantics as e02 but with SIX-bit buckets (the indexed
+    // table's write-time column) — the planes are the first 6 of the
+    // same deterministic stream, so only the range bound changes
+    "e11_ann_lsh_indexed" ->
+      s"""WITH pl AS (SELECT b.b AS pb, list_transform(range(0,64),
+         |    i -> ('0x' || substr(md5('p_' || b.b || '_' || i), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS p
+         |  FROM range(0,6) b(b)),
+         |be AS (SELECT vec_id, emb, sum(CASE WHEN
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), i -> p[i] * emb[i])), (acc,x) -> acc+x) >= 0
+         |    THEN (1::BIGINT << pb) ELSE 0 END)::BIGINT AS bucket
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), pl GROUP BY 1,2),
+         |qv AS (SELECT bucket AS qbkt, emb AS qe FROM be WHERE vec_id = 0),
+         |ex AS (SELECT vec_id FROM (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
+         |  FROM be, qv WHERE vec_id != 0) ORDER BY sim DESC, vec_id LIMIT 10),
          |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
          |  FROM be, qv WHERE vec_id != 0 AND bit_count(xor(bucket, qbkt)) <= 2)
          |SELECT vec_id, round(sim, 4) AS sim_r, vec_id IN (SELECT vec_id FROM ex) AS in_exact10

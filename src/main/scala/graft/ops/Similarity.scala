@@ -67,28 +67,77 @@ object Similarity {
       k: Int,
       bits: Int = 8): DataFrame = {
     val dim = queryVec.length
-    val qEmb = queryVec.map(_.toFloat)
-    val qBucket = {
-      val planes = hyperplanes(bits, dim)
-      var bucket = 0L
-      var b = 0
-      while (b < bits) {
-        var dot = 0.0
-        var i = 0
-        while (i < dim) { dot += planes(b)(i) * qEmb(i); i += 1 }
-        if (dot >= 0) bucket |= (1L << b)
-        b += 1
-      }
-      bucket
-    }
-    val probes = (qBucket +:
-      ((0 until bits).map(b => qBucket ^ (1L << b)) ++
-        (for (a <- 0 until bits; b <- a + 1 until bits)
-          yield qBucket ^ (1L << a) ^ (1L << b)))).toArray
+    val qBucket = bucketOfVec(queryVec, bits)
+    val probes = probeBuckets(qBucket, bits, radius = 2)
     val sim = Dedup.cosine(col(embCol), lit(queryVec.toArray))
     embeddings
       .withColumn("bucket", lshBucket(col(embCol), bits, dim))
       .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol), sim.as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side LSH bucket of a query vector — float-rounds the
+   * components first so it is bit-consistent with the executor-side
+   * [[lshBucket]] over `array<float>` columns. */
+  def bucketOfVec(queryVec: Seq[Double], bits: Int): Long = {
+    val dim = queryVec.length
+    val qEmb = queryVec.map(_.toFloat)
+    val planes = hyperplanes(bits, dim)
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += planes(b)(i) * qEmb(i); i += 1 }
+      if (dot >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** Multi-probe bucket set: every bucket within Hamming distance ≤
+   * `radius` (∈ {0,1,2}) of `qBucket`, the query bucket first. */
+  def probeBuckets(qBucket: Long, bits: Int, radius: Int): Array[Long] = {
+    require(radius >= 0 && radius <= 2, s"probe radius $radius not in [0,2]")
+    val r1 = if (radius >= 1) (0 until bits).map(b => qBucket ^ (1L << b)) else Nil
+    val r2 =
+      if (radius >= 2)
+        for (a <- 0 until bits; b <- a + 1 until bits)
+          yield qBucket ^ (1L << a) ^ (1L << b)
+      else Nil
+    (qBucket +: (r1 ++ r2)).toArray
+  }
+
+  /**
+   * ANN over a table that carries a WRITE-TIME LSH bucket column (see
+   * `QTables.qbeastLshEmbeddings`), qbeast-indexed and co-located on
+   * it: the multi-probe predicate is an OR of bucket EQUALITIES — each
+   * disjunct becomes its own query space in the file index
+   * (QuerySpecBuilder expands up to 32 disjuncts), so the scan reads
+   * only the files holding probed buckets. An IN-list would instead
+   * collapse to one covering range over scattered probe values and
+   * prune nothing. Defaults bits=6, radius=2 → 22 probes ≤ the
+   * 32-disjunct expansion cap, scanning ~22/64 of the table; at 100 TB
+   * this is the same indexed shape as IVF (e04) with no anchor model —
+   * the bucket function is deterministic hyperplane signs.
+   */
+  def knnLshIndexed(
+      lshTable: DataFrame,
+      idCol: String,
+      embCol: String,
+      bucketCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      bits: Int = 6,
+      radius: Int = 2): DataFrame = {
+    val qBucket = bucketOfVec(queryVec, bits)
+    val probes = probeBuckets(qBucket, bits, radius)
+    val pred = probes.map(p => col(bucketCol) === lit(p)).reduce(_ || _)
+    val sim = Dedup.cosine(col(embCol), lit(queryVec.toArray))
+    lshTable
+      .filter(pred)
       .select(col(idCol), sim.as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)

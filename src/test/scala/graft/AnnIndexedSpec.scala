@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-pruned LSH ANN (ops/Similarity.knnLshIndexed over
+ * QTables.qbeastLshEmbeddings): the multi-probe predicate must reach
+ * the qbeast file index as per-disjunct query spaces and prune files —
+ * the indexed shape that makes the embedding surface scale like the
+ * IVF path (e04). */
+class AnnIndexedSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def filesRead(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("knnLshIndexed prunes files and matches the unindexed LSH result") {
+    import spark.implicits._
+    // synthetic embeddings big enough to cut MANY files (the sf0.001
+    // fixture fits one file): same write recipe as
+    // QTables.qbeastLshEmbeddings, smaller cubeSize
+    val dim = 16
+    val rnd = new scala.util.Random(97)
+    val emb = (0 until 20000)
+      .map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val dir = TestSpark.tmpDir("ann-lsh-idx")
+    emb.withColumn("bucket", ops.Similarity.lshBucket(col("embedding"), 6, dim))
+      .repartition(col("bucket"))
+      .write.format("qbeast")
+      .option("columnsToIndex", "bucket")
+      .option("columnStats", """{"bucket_min": 0, "bucket_max": 64}""")
+      .option("cubeSize", "500")
+      .save(dir)
+    val lshTable = spark.read.format("qbeast").load(dir)
+    val total = lshTable.inputFiles.length
+    assert(total > 4, s"fixture too small to observe pruning: $total files")
+
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val lsh = lshTable.filter(col("vec_id") =!= 0)
+    val ann = ops.Similarity.knnLshIndexed(
+      lsh, "vec_id", "embedding", "bucket", qv, k = 10)
+    val read = filesRead(ann)
+    assert(read < total, s"indexed LSH scan must prune: read $read of $total")
+
+    // ground truth: same probes computed the direct way (bucket column
+    // recomputed at read time, filter-only — the e02 shape at 6 bits)
+    val qb = ops.Similarity.bucketOfVec(qv, bits = 6)
+    val probes = ops.Similarity.probeBuckets(qb, bits = 6, radius = 2)
+    assert(probes.length == 22) // 1 + 6 + C(6,2)
+    val direct = emb.filter(col("vec_id") =!= 0)
+      .withColumn("bucket", ops.Similarity.lshBucket(col("embedding"), 6, dim))
+      .filter(col("bucket").isin(probes.toSeq: _*))
+      .select(col("vec_id"), ops.Dedup.cosine(col("embedding"),
+        lit(qv.toArray)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+
+    val got = ann.collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    val want = direct.collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    assert(got.toSeq == want.toSeq,
+      s"indexed result diverged from direct LSH: ${got.toSeq} vs ${want.toSeq}")
+
+    // the e11 query itself runs end-to-end on the shipped fixture dir
+    val e11 = SparkEntry.queries("e11_ann_lsh_indexed")(spark, sf)
+    assert(e11.count() == 10)
+  }
+
+  test("probe radius bounds the bucket set correctly") {
+    val qb = 0b101010L
+    assert(ops.Similarity.probeBuckets(qb, 6, 0).toSeq == Seq(qb))
+    val r1 = ops.Similarity.probeBuckets(qb, 6, 1)
+    assert(r1.length == 7 && r1.forall(p =>
+      java.lang.Long.bitCount(p ^ qb) <= 1))
+    val r2 = ops.Similarity.probeBuckets(qb, 6, 2)
+    assert(r2.length == 22 && r2.distinct.length == 22 &&
+      r2.forall(p => java.lang.Long.bitCount(p ^ qb) <= 2))
+  }
+}
