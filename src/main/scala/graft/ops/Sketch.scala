@@ -116,12 +116,38 @@ object Sketch {
       graft.expressions.CmsAgg(
         shims.expression(col("_h")), depth, width).toAggregateExpression())
     val counters = keyed.select(cmsAgg.as("c")).head().getSeq[Long](0).toArray
-    val estimate = shims.column(graft.expressions.CmsEstimate(
-      shims.expression(typedlit(counters.toSeq)),
-      shims.expression(col("_h")), depth, width))
-    keyed.filter(estimate >= threshold)
-      .groupBy("key").agg(count(lit(1)).as("n"))
+    // The sketch itself tells us whether the pre-filter can pay: a row
+    // survives only if EVERY depth's cell reaches the threshold, so the
+    // kept-row fraction is at most, per depth row, (sum of cells >=
+    // threshold) / N — take the min over rows. When even that bound
+    // can't halve the shuffle (threshold at or below most keys'
+    // counts — a low-threshold query over a flat keyspace), the filter
+    // is pure overhead: skip straight to the exact aggregation instead
+    // of paying a per-row sketch probe that admits everything.
+    val n = math.max(counters.iterator.take(width).sum, 1L)
+    val keptBound = (0 until depth).map { d =>
+      var s = 0L
+      var i = d * width
+      val end = i + width
+      while (i < end) { if (counters(i) >= threshold) s += counters(i); i += 1 }
+      s.toDouble / n
+    }.min
+    val exact = keyed.groupBy("key").agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
+    if (keptBound >= HeavyHitterSkipFraction) exact
+    else {
+      val estimate = shims.column(graft.expressions.CmsEstimate(
+        shims.expression(typedlit(counters.toSeq)),
+        shims.expression(col("_h")), depth, width))
+      keyed.filter(estimate >= threshold)
+        .groupBy("key").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= threshold)
+    }
   }
+
+  /** Above this sketch-derived kept-row bound the CMS pre-filter cannot
+   * meaningfully shrink the exact pass's shuffle, so [[heavyHitters]]
+   * skips it. */
+  val HeavyHitterSkipFraction = 0.5
 
 }

@@ -103,6 +103,32 @@ class SketchSpec extends AnyFunSuite {
       "the NULL group must count and threshold exactly like any other key")
   }
 
+  test("heavyHitters skips the sketch filter when it cannot prune (single-pass plan)") {
+    // every key's count clears the threshold → the CMS admits everything
+    // and the pre-filter would be pure overhead: the returned plan must
+    // be the plain aggregation, with no CmsEstimate filter node
+    // (assert on the ANALYZED plan: over a LocalRelation Catalyst's
+    // ConvertToLocalRelation folds any filter away in the physical
+    // plan, hiding which branch heavyHitters took)
+    def usesCms(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.toLowerCase.contains("cms")
+    val flat = (0 until 50).flatMap(i => Seq.fill(40)(s"key_$i")).toDF("k")
+    val hh = ops.Sketch.heavyHitters(flat, col("k"), threshold = 10L)
+    assert(!usesCms(hh),
+      s"no-pruning shape must skip the sketch probe:\n${hh.queryExecution.analyzed}")
+    val got = hh.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == (0 until 50).map(i => s"key_$i" -> 40L).toMap)
+
+    // a genuinely skewed keyspace keeps the filter (the scale path)
+    val skewed = ((0 until 20000).map(i => s"tail_$i") ++
+      Seq.fill(5000)("hot")).toDF("k")
+    val hh2 = ops.Sketch.heavyHitters(skewed, col("k"), threshold = 1000L)
+    assert(usesCms(hh2),
+      s"skewed shape must keep the candidate filter:\n${hh2.queryExecution.analyzed}")
+    assert(hh2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("hot" -> 5000L))
+  }
+
   test("heavyHitters survives a tiny sketch (heavy collisions) unchanged") {
     // width 16 over 300 keys: the sketch is mostly noise → many false
     // candidates, but the exact confirm must still produce the exact set
