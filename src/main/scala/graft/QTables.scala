@@ -631,6 +631,28 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders written as two appends split on o_totalprice (< 100000
+   * first, the rest appended): every file's o_totalprice range lies
+   * entirely on one side of the split, so a filtered count(*) at the
+   * boundary is decidable per-file from stats alone — the ingest-batch
+   * shape behind metadata-only filtered counts (q83). */
+  def qbeastOrdersSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_split")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val o = raw(spark, sfDir, "orders")
+        val cut = org.apache.spark.sql.functions.col("o_totalprice") < 100000.0
+        o.filter(cut).write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_totalprice")
+          .option("cubeSize", "5000").save(path)
+        o.filter(!cut).write.format("qbeast")
+          .option("cubeSize", "5000").mode("append").save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** orders written with user-provided columnStats (wider linear space
    * than the data, so later appends skip revision bumps). */
   def qbeastOrdersWithStats(spark: SparkSession, sfDir: String): DataFrame = {

@@ -912,6 +912,23 @@ object SparkEntry {
       require(scans.isEmpty, "count/min/max should fold to a metadata LocalRelation")
       df
     }),
+    "q83_metadata_count_filtered" -> ((s, dir) => {
+      // FILTERED count(*) answered from per-file stats: the fixture's
+      // two ingest batches split cleanly on o_totalprice, so every
+      // file proves the predicate all-rows or no-rows
+      // (FileStatsPruning.proveAll) and the aggregate folds to a
+      // LocalRelation — the builder asserts no relation survives. A
+      // predicate cutting through a file's range bails to the scan
+      // (spec-asserted in MetadataCountSpec).
+      val df = QTables.qbeastOrdersSplit(s, dir)
+        .filter(col("o_totalprice") >= 100000.0)
+        .agg(count(lit(1)).as("cnt"))
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      require(scans.isEmpty, "boundary-aligned filtered count should fold to metadata")
+      df
+    }),
     "q77_changes_feed" -> ((s, dir) => {
       // change data feed replayed from the commit log's file diff:
       // append → insert rows, copy-on-write delete → delete rows (the
@@ -2184,6 +2201,8 @@ object SparkEntry {
         |min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
         |min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
         |FROM lineitem""".stripMargin,
+    "q83_metadata_count_filtered" ->
+      "SELECT count(*) AS cnt FROM orders WHERE o_totalprice >= 100000",
     "q77_changes_feed" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
         |  app AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (5, 6)),

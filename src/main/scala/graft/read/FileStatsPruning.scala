@@ -107,6 +107,108 @@ object FileStatsPruning {
     case _ => true
   }
 
+  // ---- tri-state proofs (metadata-only filtered counts) --------------------
+
+  /**
+   * Prove a predicate over EVERY row of a file from its stats:
+   * Some(true) = every row evaluates TRUE; Some(false) = no row
+   * evaluates TRUE (FALSE or UNKNOWN); None = cannot decide. The
+   * TRUE-proof of any comparison requires a zero null count (a NULL
+   * row evaluates UNKNOWN, which a filter drops), so
+   * `MetadataCountRule` can answer `count(*)` under a predicate by
+   * summing element counts of proven-true files — iff every file
+   * proves one way or the other (a single undecidable file bails the
+   * whole rewrite back to the scan).
+   */
+  def proveAll(s: Stats, e: Expression): Option[Boolean] = e match {
+    case Literal(b: Boolean, _) => Some(b)
+    case And(l, r) =>
+      (proveAll(s, l), proveAll(s, r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+    case Or(l, r) =>
+      (proveAll(s, l), proveAll(s, r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    case EqualTo(a: AttributeReference, Literal(v, _)) => proveEq(s, a.name, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) => proveEq(s, a.name, v)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => proveCmp(s, a.name, v, 1, strict = true)
+    case GreaterThan(Literal(v, _), a: AttributeReference) => proveCmp(s, a.name, v, -1, strict = true)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => proveCmp(s, a.name, v, 1, strict = false)
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => proveCmp(s, a.name, v, -1, strict = false)
+    case LessThan(a: AttributeReference, Literal(v, _)) => proveCmp(s, a.name, v, -1, strict = true)
+    case LessThan(Literal(v, _), a: AttributeReference) => proveCmp(s, a.name, v, 1, strict = true)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => proveCmp(s, a.name, v, -1, strict = false)
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => proveCmp(s, a.name, v, 1, strict = false)
+    case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+      val vs = list.collect { case Literal(v, _) if v != null => v }
+      val eqs = vs.map(v => proveEq(s, a.name, v))
+      if (eqs.exists(_.contains(true))) Some(true)
+      else if (eqs.nonEmpty && eqs.forall(_.contains(false))) Some(false)
+      else if (vs.isEmpty) Some(false) // only-null IN list matches nothing
+      else None
+    case IsNull(a: AttributeReference) =>
+      (s.nulls.get(a.name), Some(s.numRecords)) match {
+        case (Some(n), Some(total)) if n == total => Some(true)
+        case (Some(0L), _) => Some(false)
+        case _ => None
+      }
+    case IsNotNull(a: AttributeReference) =>
+      s.nulls.get(a.name) match {
+        case Some(0L) => Some(true)
+        case Some(n) if n == s.numRecords => Some(false)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** All-rows / no-rows proof for `col <cmp> v`, where `dir` = 1 means
+   * the column must be ABOVE the literal. TRUE-proofs additionally need
+   * a zero null count (NULL compares UNKNOWN). NaN rides [[cmp]]'s
+   * total-order handling: a NaN max proves `col > v` can still match,
+   * and NaN rows themselves compare above every literal, exactly like
+   * Spark's comparison operators. */
+  private def proveCmp(
+      s: Stats,
+      colName: String,
+      v: Any,
+      dir: Int,
+      strict: Boolean): Option[Boolean] = {
+    if (v == null) return Some(false) // comparison with NULL is UNKNOWN for all rows
+    val nulls = s.nulls.get(colName).getOrElse(return None)
+    if (nulls == s.numRecords) return Some(false)
+    val mn = s.mins.get(colName).getOrElse(return None)
+    val mx = s.maxs.get(colName).getOrElse(return None)
+    val (inner, outer) = if (dir > 0) (mn, mx) else (mx, mn)
+    // inner = the extreme CLOSEST to failing (min for >, max for <)
+    (cmp(inner, v), cmp(outer, v)) match {
+      case (Some(ci), Some(co)) =>
+        val allMatch = (if (strict) ci * dir > 0 else ci * dir >= 0) && nulls == 0L
+        val noneMatch = if (strict) co * dir <= 0 else co * dir < 0
+        if (allMatch) Some(true) else if (noneMatch) Some(false) else None
+      case _ => None
+    }
+  }
+
+  private def proveEq(s: Stats, colName: String, v: Any): Option[Boolean] = {
+    if (v == null) return Some(false)
+    val nulls = s.nulls.get(colName).getOrElse(return None)
+    if (nulls == s.numRecords) return Some(false)
+    val mn = s.mins.get(colName).getOrElse(return None)
+    val mx = s.maxs.get(colName).getOrElse(return None)
+    (cmp(mn, v), cmp(mx, v)) match {
+      case (Some(a), Some(b)) =>
+        if (a == 0 && b == 0 && nulls == 0L) Some(true)
+        else if (a > 0 || b < 0) Some(false)
+        else None
+      case _ => None
+    }
+  }
+
   /** Missing min/max is only decisive when the column is tracked and
    * entirely null (string columns past the length cap drop min/max but
    * keep nullCount < numRecords, so they stay conservative). */

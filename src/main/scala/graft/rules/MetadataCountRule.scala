@@ -37,23 +37,91 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
-      snapshotOf(agg.child).flatMap(rewrite(agg, _)).getOrElse(agg)
+      snapshotOf(agg.child).flatMap { case (snap, output, conds) =>
+        if (conds.isEmpty) rewrite(agg, (snap, output))
+        else rewriteFiltered(agg, snap, output, conds)
+      }.getOrElse(agg)
   }
 
   /** The complete snapshot under a row-preserving (Project-only) chain
    * over one qbeast relation, with the relation's output (so min/max
-   * attributes can be matched by exprId). */
-  private def snapshotOf(plan: LogicalPlan): Option[(QbeastSnapshot, Seq[Attribute])] =
+   * attributes can be matched by exprId) and any Filter conditions met
+   * on the way down (split into conjuncts). */
+  private def snapshotOf(
+      plan: LogicalPlan): Option[(QbeastSnapshot, Seq[Attribute], Seq[Expression])] =
     plan match {
       case r @ LogicalRelation(HadoopFsRelation(fi: QbeastIndex, _, _, _, _, _), _, _, _, _) =>
         val snap = fi.currentSnapshot
         // a light snapshot's `files` is only the post-checkpoint tail;
         // the bulk lives in the parquet sidecar — don't guess
-        if (snap.filesComplete) Some((snap, r.output)) else None
+        if (snap.filesComplete) Some((snap, r.output, Nil)) else None
       case p: Project => snapshotOf(p.child)
       case s: SubqueryAlias => snapshotOf(s.child)
+      case f: Filter =>
+        snapshotOf(f.child).map { case (s, o, cs) =>
+          (s, o, splitConjuncts(f.condition) ++ cs)
+        }
       case _ => None
     }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /**
+   * `count(*)` under a predicate, answered from per-file stats alone:
+   * every file must PROVE the conjunction true for all rows or true
+   * for none ([[FileStatsPruning.proveAll]] — exact value-space
+   * min/max/nullCount, so no transformation inverse or null-coordinate
+   * subtleties); one undecidable file bails the whole rewrite to the
+   * scan. On a qbeast table the write clusters files by cube, so
+   * indexed-column ranges are tight per file and range predicates
+   * decide most files — at 100 TB this turns the most common dashboard
+   * query (`count(*) WHERE day = X`) into a driver fold.
+   */
+  private def rewriteFiltered(
+      agg: Aggregate,
+      snap: QbeastSnapshot,
+      output: Seq[Attribute],
+      conds: Seq[Expression]): Option[LogicalPlan] = {
+    // only count(*)-shaped outputs (min/max of a filtered scan are not
+    // derivable from whole-file stats)
+    val countsOnly = agg.aggregateExpressions.forall {
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(children) =>
+            children.nonEmpty && children.forall(c => c.foldable && c.eval() != null)
+          case _ => false
+        }
+      case Alias(_: Literal, _) | _: Literal => true
+      case _ => false
+    }
+    if (!countsOnly) return None
+    // every referenced attribute must be a RAW relation column (a
+    // filter above a Project alias would resolve names to computed
+    // values the stats know nothing about)
+    val outIds = output.map(_.exprId).toSet
+    if (!conds.forall(_.references.forall(a => outIds.contains(a.exprId)))) return None
+
+    var n = 0L
+    snap.files.foreach { f =>
+      if (f.elementCount > 0L) {
+        val stats = f.stats.flatMap(FileStatsPruning.parse).getOrElse(return None)
+        if (stats.numRecords != f.elementCount) return None // stale/odd stats
+        val proofs = conds.map(c => FileStatsPruning.proveAll(stats, c))
+        if (proofs.exists(_.contains(false))) () // no row matches: adds 0
+        else if (proofs.forall(_.contains(true))) n += f.elementCount
+        else return None // partial overlap: bail to the scan
+      }
+    }
+    val values = agg.aggregateExpressions.map {
+      case Alias(ae: AggregateExpression, _) => n
+      case Alias(l: Literal, _) => l.value
+      case l: Literal => l.value
+    }
+    Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
+  }
 
   /** Fold the aggregate into a one-row LocalRelation iff every output
    * is answerable from metadata. */

@@ -173,6 +173,59 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(isMetadataOnly(df2))
   }
 
+  test("filtered count(*) folds when every file decides; bails on partial overlap") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("qbeast-metacount-filt")
+    // body nulls every 50th row; category flips mid-range (so an
+    // equality on it cuts through the boundary file)
+    val df = (1 to 20000).map { i =>
+      (i.toLong, if (i <= 10000) "alpha" else "beta",
+        if (i % 50 == 0) null else s"v$i", i * 1.5)
+    }.toDF("id", "category", "maybe", "value")
+    df.write.format("qbeast")
+      .option("columnsToIndex", "id,value").option("cubeSize", "1000").save(dir)
+    val base = spark.read.format("qbeast").load(dir)
+
+    // every-file-decides shapes fold to metadata
+    val all = base.filter(col("id") >= 1).agg(count(lit(1)).as("cnt"))
+    assert(all.collect().head.getLong(0) == 20000L)
+    assert(isMetadataOnly(all), all.queryExecution.executedPlan.toString)
+    val none = base.filter(col("id") < 0).agg(count(lit(1)).as("cnt"))
+    assert(none.collect().head.getLong(0) == 0L)
+    assert(isMetadataOnly(none))
+    val noNulls = base.filter(col("value").isNotNull).agg(count(lit(1)).as("cnt"))
+    assert(noNulls.collect().head.getLong(0) == 20000L)
+    assert(isMetadataOnly(noNulls))
+
+    // partial overlap bails to the scan but stays correct
+    val partial = base.filter(col("id") <= 10000).agg(count(lit(1)).as("cnt"))
+    assert(partial.collect().head.getLong(0) == 10000L)
+    assert(!isMetadataOnly(partial))
+    val catEq = base.filter(col("category") === "alpha").agg(count(lit(1)).as("cnt"))
+    assert(catEq.collect().head.getLong(0) == 10000L)
+    assert(!isMetadataOnly(catEq)) // boundary file holds both categories
+    // nulls scattered through every file: IS NULL is undecidable per file
+    val nullable = base.filter(col("maybe").isNull).agg(count(lit(1)).as("cnt"))
+    assert(nullable.collect().head.getLong(0) == 400L)
+    assert(!isMetadataOnly(nullable))
+    // sampling must never fold (the weight predicate is opaque to stats)
+    val sampled = base.filter(col("id") >= 1).sample(0.5).agg(count(lit(1)).as("cnt"))
+    assert(!isMetadataOnly(sampled))
+
+    // append-boundary shape: second batch on the other side of a cut —
+    // the ingest pattern the rewrite exists for
+    val dir2 = TestSpark.tmpDir("qbeast-metacount-batches")
+    (1 to 5000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .write.format("qbeast").option("columnsToIndex", "id")
+      .option("cubeSize", "1000").save(dir2)
+    (5001 to 8000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .write.format("qbeast").option("cubeSize", "1000").mode("append").save(dir2)
+    val batch2 = spark.read.format("qbeast").load(dir2)
+      .filter(col("id") > 5000).agg(count(lit(1)).as("cnt"))
+    assert(batch2.collect().head.getLong(0) == 3000L)
+    assert(isMetadataOnly(batch2), batch2.queryExecution.executedPlan.toString)
+  }
+
   test("empty table counts zero without a scan") {
     val dir = freshTable(1)
     val t = table.QbeastTable.forPath(spark, dir)
