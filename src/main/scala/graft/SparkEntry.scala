@@ -1156,6 +1156,18 @@ object SparkEntry {
         .select(col("vec_id"), round(col("sim"), 4).as("sim_r"),
           col("vec_id").isin(exact10: _*).as("in_exact10"))
     }),
+    "e12_pq_adc" -> ((s, dir) => {
+      // product quantization on top of e10's integer k-means: train 4
+      // per-subspace codebooks, encode the corpus as 4 codes/vector,
+      // ADC-score the query via a driver-side distance table — every
+      // step integer-exact, so DuckDB replays train→encode→score
+      // bit-for-bit
+      val emb = QTables.raw(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      ops.Similarity.pqTopK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", qv, k = 10)
+    }),
     "e03_embedding_near_dup" -> ((s, dir) => {
       // random test embeddings have no true near-dups; emit the top
       // in-bucket pairs so the operator's output is observable
@@ -1268,6 +1280,64 @@ object SparkEntry {
        |SELECT cid AS cluster, count(*) AS n, min(vec_id) AS min_id,
        |  CAST(sum(vec_id) AS BIGINT) AS sum_id
        |FROM ac$iters GROUP BY 1""".stripMargin
+  }
+
+  /** e12's oracle: per-subspace k-means (the e10 CTE chain over list
+   * slices), PQ encoding via the final assignments, ADC scoring from a
+   * per-subspace (codeword → integer squared-L2 to the query
+   * subvector) table. All-integer, replayed bit-for-bit. */
+  private def pqOracleSql(m: Int, k: Int, iters: Int, dims: Int): String = {
+    val sub = dims / m
+    val d1 = sub + 1
+    def chain(s: Int): String = {
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      def distSql(cPrev: String): String =
+        s"""d$cPrev AS (SELECT p.vec_id, c.cid,
+           |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1,$d1),
+           |    i -> (p.q[i]-c.cv[i])*(p.q[i]-c.cv[i]))), (a,x) -> a+x) AS dist
+           |  FROM sq_$s p, $cPrev c),
+           |a$cPrev AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |  FROM d$cPrev) WHERE rn = 1)""".stripMargin
+      val iterCtes = (1 to iters).map { it =>
+        val prev = s"c${it - 1}_$s"
+        s"""${distSql(prev)},
+           |s${it}_$s AS (SELECT a.cid, t.i AS pos, sum(q[t.i]) AS s, count(*) AS n
+           |  FROM a$prev a JOIN sq_$s USING (vec_id) CROSS JOIN range(1,$d1) t(i)
+           |  GROUP BY 1, 2),
+           |c${it}_$s AS (SELECT cid, list(val ORDER BY pos) AS cv FROM (
+           |  SELECT c.cid, t.i AS pos,
+           |    coalesce(CAST(floor(s.s / s.n) AS BIGINT), c.cv[t.i]) AS val
+           |  FROM c${it - 1}_$s c CROSS JOIN range(1,$d1) t(i)
+           |  LEFT JOIN s${it}_$s s ON s.cid = c.cid AND s.pos = t.i) GROUP BY cid)""".stripMargin
+      }.mkString(",\n")
+      s"""sq_$s AS (SELECT vec_id, q[$lo:$hi] AS q FROM qc),
+         |c0_$s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cv
+         |  FROM (SELECT vec_id, q FROM sq_$s ORDER BY vec_id LIMIT $k)),
+         |$iterCtes,
+         |${distSql(s"c${iters}_$s")},
+         |t_$s AS (SELECT c.cid, list_reduce(list_prepend(0::BIGINT, list_transform(range(1,$d1),
+         |  i -> (qq[${lo - 1} + i] - c.cv[i])*(qq[${lo - 1} + i] - c.cv[i]))), (a,x) -> a+x) AS td
+         |  FROM c${iters}_$s c, qry)""".stripMargin
+    }
+    val joins = (0 until m).map { s =>
+      val a = s"ac${iters}_$s"
+      if (s == 0) s"$a a_0" else s"JOIN ac${iters}_$s a_$s USING (vec_id)"
+    }.mkString("\n  ")
+    val tJoins = (0 until m).map(s => s"JOIN t_$s ON t_$s.cid = a_$s.cid").mkString("\n  ")
+    val distSum = (0 until m).map(s => s"t_$s.td").mkString(" + ")
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sc AS (SELECT vec_id, emb, CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+       |  THEN 127.0 / list_max(list_transform(emb, x -> abs(x))) ELSE 0.0 END AS s FROM ev),
+       |qz AS (SELECT vec_id, list_transform(emb, x -> floor(x * s + 0.5)::BIGINT) AS q FROM sc),
+       |qc AS (SELECT vec_id, q FROM qz WHERE vec_id != 0),
+       |qry AS (SELECT q AS qq FROM qz WHERE vec_id = 0),
+       |${(0 until m).map(chain).mkString(",\n")},
+       |sco AS (SELECT a_0.vec_id, $distSum AS dist
+       |  FROM $joins
+       |  $tJoins)
+       |SELECT vec_id, dist FROM sco ORDER BY dist, vec_id LIMIT 10""".stripMargin
   }
 
   private def cosSql(a: String, b: String): String =
@@ -2437,6 +2507,7 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, nbr_id, rank FROM r WHERE rank <= 5""".stripMargin,
     "e10_kmeans_int8" -> kmeansOracleSql(k = 4, iters = 2, dims = 64),
+    "e12_pq_adc" -> pqOracleSql(m = 4, k = 4, iters = 2, dims = 64),
     "e01_knn_exact" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim

@@ -511,32 +511,44 @@ object Similarity {
       k: Int = 4,
       iters: Int = 2): DataFrame = {
     require(k > 0 && iters >= 0, s"kmeansInt8(k=$k, iters=$iters)")
-    val spark = embeddings.sparkSession
     val q = embeddings
       .select(col(idCol).as("id"), int8Quantize(col(embCol)).as("q"))
       .localCheckpoint(true) // quantize once, reuse across iterations
+    val centroids = trainQuantized(q, col("q"), k, iters)
+    q.select(col("id").as(idCol), assignQuantized(col("q"), centroids).as("cluster"))
+  }
 
-    // native codegen argmin (expressions/Int8Ops.scala KMeansAssign):
-    // the HOF formulation (array_min over transform+aggregate/zip_with
-    // structs) evaluates interpreted lambdas per row; the fused loop is
-    // ~10× faster and keeps the stage in whole-stage codegen.
-    // Centroids are ordered by cluster id so the matrix index IS the id.
-    def assignExpr(centroids: Seq[(Int, Array[Long])]): Column = {
-      val matrix = centroids.sortBy(_._1).map(_._2).toArray
-      val shims = org.apache.spark.sql.GraftShims
-      shims.column(graft.expressions.KMeansAssign(
-        shims.expression(col("q")), matrix))
-    }
+  /** Native codegen argmin over a centroid matrix
+   * (expressions/Int8Ops.scala KMeansAssign): the HOF formulation
+   * (array_min over transform+aggregate/zip_with structs) evaluates
+   * interpreted lambdas per row; the fused loop is ~10× faster and
+   * keeps the stage in whole-stage codegen. Centroids are ordered by
+   * cluster id so the matrix index IS the id. */
+  private def assignQuantized(qc: Column, centroids: Seq[(Int, Array[Long])]): Column = {
+    val matrix = centroids.sortBy(_._1).map(_._2).toArray
+    val shims = org.apache.spark.sql.GraftShims
+    shims.column(graft.expressions.KMeansAssign(shims.expression(qc), matrix))
+  }
 
+  /** Lloyd's iterations over an already-quantized column `qc` of
+   * `q(id, …)` — the integer-exact trajectory shared by [[kmeansInt8]]
+   * and the per-subspace PQ training. Per iteration: assignment is a
+   * map-side codegen projection, the centroid update shuffles only
+   * (cluster, dim) partial sums; the driver holds k·d longs. */
+  private def trainQuantized(
+      q: DataFrame,
+      qc: Column,
+      k: Int,
+      iters: Int): Seq[(Int, Array[Long])] = {
     // init: the k smallest ids' vectors (k rows to the driver)
-    var centroids: Seq[(Int, Array[Long])] = q.orderBy("id").limit(k)
+    var centroids: Seq[(Int, Array[Long])] = q.select(col("id"), qc.as("_qv"))
+      .orderBy("id").limit(k)
       .collect().zipWithIndex.map { case (r, i) =>
         i -> r.getSeq[Long](1).toArray
       }.toSeq
-
     (1 to iters).foreach { _ =>
       // partial sums per (cluster, dim): the ONLY shuffle, k·d groups
-      val sums = q.select(assignExpr(centroids).as("cid"), posexplode(col("q")))
+      val sums = q.select(assignQuantized(qc, centroids).as("cid"), posexplode(qc))
         .groupBy("cid", "pos")
         .agg(sum("col").as("s"), count(lit(1)).as("n"))
         .collect()
@@ -553,8 +565,96 @@ object Similarity {
         }
       }
     }
+    centroids
+  }
 
-    q.select(col("id").as(idCol), assignExpr(centroids).as("cluster"))
+  // ---- product quantization ------------------------------------------------
+
+  /**
+   * Train per-subspace PQ codebooks over int8-quantized embeddings:
+   * the vector splits into `m` contiguous subvectors of dim/m
+   * components, each subspace runs its own [[trainQuantized]] Lloyd's
+   * loop (k centroids, integer distances, floor-division updates — the
+   * e10 math, so DuckDB replays every codebook bit-for-bit). Returns
+   * `m` codebooks of k×(dim/m) longs — driver/broadcast-sized
+   * (m·k·dim/m = k·dim longs total, independent of N).
+   *
+   * Scale shape: training touches the data m·iters times but each pass
+   * is a map-side assignment + a (k·dim/m)-group shuffle; nothing
+   * row-proportional reaches the driver.
+   */
+  def pqTrain(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int = 4,
+      k: Int = 4,
+      iters: Int = 2): Seq[Seq[(Int, Array[Long])]] = {
+    val q = embeddings
+      .select(col(idCol).as("id"), int8Quantize(col(embCol)).as("q"))
+      .localCheckpoint(true)
+    val dim = q.select(size(col("q"))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map { s =>
+      trainQuantized(q, slice(col("q"), s * sub + 1, sub), k, iters)
+    }
+  }
+
+  /** Encode every vector as its `m` per-subspace nearest-codeword ids
+   * (one map-side codegen pass, no shuffle): `(id, codes array<int>)`. */
+  def pqEncode(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      codebooks: Seq[Seq[(Int, Array[Long])]]): DataFrame = {
+    val m = codebooks.length
+    val q = embeddings.select(col(idCol).as("id"), int8Quantize(col(embCol)).as("q"))
+    val dim = codebooks.map(_.head._2.length).sum
+    val sub = dim / m
+    val codeCols = (0 until m).map(s =>
+      assignQuantized(slice(col("q"), s * sub + 1, sub), codebooks(s)))
+    q.select(col("id").as(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /**
+   * ADC (asymmetric distance computation) top-k: the query quantizes
+   * with its own scale, a driver-side m×k distance table holds the
+   * integer squared-L2 between each query subvector and each codeword,
+   * and every encoded row's score is `m` table lookups — at 100 TB the
+   * scan reads only the (id, codes) sidecar (m bytes a vector instead
+   * of 4·dim), which is the whole point of PQ. Returns
+   * `(idCol, dist)` ascending, ties by id; exact over the CODES, so an
+   * independent engine reproduces it bit-for-bit.
+   */
+  def pqTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      m: Int = 4,
+      kCodes: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val codebooks = pqTrain(embeddings, idCol, embCol, m, kCodes, iters)
+    val encoded = pqEncode(embeddings, idCol, embCol, codebooks)
+    val dim = codebooks.map(_.head._2.length).sum
+    val sub = dim / m
+    val qq = int8QuantizeSeq(queryVec)
+    require(qq.length == dim, s"query dim ${qq.length} != table dim $dim")
+    val table: Seq[Seq[Long]] = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.sortBy(_._1).map { case (_, cv) =>
+        var acc = 0L
+        var i = 0
+        while (i < sub) { val d = qq(s * sub + i) - cv(i); acc += d * d; i += 1 }
+        acc
+      }
+    }
+    val dist = (0 until m).map(s =>
+      element_at(typedlit(table(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
+    encoded.select(col(idCol), dist.as("dist"))
+      .orderBy(col("dist").asc, col(idCol))
+      .limit(k)
   }
 
 }

@@ -710,6 +710,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: codebooks/encode/ADC are deterministic and rank the true neighbour first") {
+    // two separable blobs in 8 dims (m=2 subspaces of 4): a query near
+    // blob A must rank blob-A points above blob-B points by ADC distance
+    val mkA = (i: Int) => Array(1.0f, 0.8f, -0.2f + i * 0.001f, 0.5f,
+      0.9f, -0.4f, 0.3f, 0.7f + i * 0.001f)
+    val mkB = (i: Int) => Array(-0.9f, -0.7f, 0.4f, -0.5f + i * 0.001f,
+      -0.8f, 0.6f, -0.2f - i * 0.001f, -0.9f)
+    val pts = ((1 to 20).map(i => (i.toLong, mkA(i))) ++
+      (21 to 40).map(i => (i.toLong, mkB(i)))).toDF("vec_id", "embedding")
+    val qv = mkA(10).map(_.toDouble).toSeq
+
+    val top = ops.Similarity.pqTopK(pts, "vec_id", "embedding", qv,
+      k = 40, m = 2, kCodes = 2, iters = 2)
+    val rows = top.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 40)
+    // every blob-A point scores strictly below (closer than) blob-B
+    val aDists = rows.filter(_._1 <= 20).map(_._2)
+    val bDists = rows.filter(_._1 > 20).map(_._2)
+    assert(aDists.nonEmpty && bDists.nonEmpty && aDists.max < bDists.min,
+      s"ADC must separate the blobs: $rows")
+
+    // deterministic end-to-end
+    val again = ops.Similarity.pqTopK(pts, "vec_id", "embedding", qv,
+      k = 40, m = 2, kCodes = 2, iters = 2)
+    assert(top.collect().toSeq == again.collect().toSeq)
+
+    // encode emits m codes per vector, all < kCodes
+    val books = ops.Similarity.pqTrain(pts, "vec_id", "embedding", m = 2, k = 2, iters = 2)
+    assert(books.length == 2 && books.forall(_.length == 2) &&
+      books.forall(_.forall(_._2.length == 4)))
+    val codes = ops.Similarity.pqEncode(pts, "vec_id", "embedding", books)
+      .collect().map(_.getSeq[Int](1))
+    assert(codes.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 2)))
+
+    // scoring is lookups + sum over the codes — no UDF in the plan
+    val p = top.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"unexpected UDF in plan:\n$p")
+  }
+
   test("int8 k-means: separates obvious clusters, deterministic, UDF-free") {
     // two tight blobs (per-vector scaling makes CONSTANT vectors
     // degenerate — all quantize to ±127 — so vary the dimensions)
