@@ -88,7 +88,15 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * against the *frozen* cube weights so the index shape is preserved
    * while files get repacked (reference: `IndexedTable.scala:439-460`).
    */
-  def optimize(revisionID: Long = -1L, fraction: Double = 1.0): Unit = {
+  def optimize(
+      revisionID: Long = -1L,
+      fraction: Double = 1.0,
+      options: Map[String, String] = Map.empty): Unit = {
+    // the reference's optimize also accepts options, which carry
+    // pre-commit hooks (reference: IndexedTable.scala:122); hook output
+    // tags are discarded here — a layout-only commit has no metadata
+    // action to attach them to
+    val hooks = graft.write.PreCommitHook.loadHooks(options)
     val s = controlSnapshot()
     val rid = if (revisionID < 0) s.lastRevisionID else revisionID
     if (rid == Revision.StagingID) { optimizeUnindexed(); return }
@@ -106,6 +114,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val newFiles = QbeastWriter.index(spark, tablePath, data, revision,
       Some(status), numElements, frozenWeights = Some(frozen))
 
+    if (hooks.nonEmpty) graft.write.PreCommitHook.runHooks(hooks, spark, newFiles)
     commitRewrite(s, newFiles, candidates)
   }
 

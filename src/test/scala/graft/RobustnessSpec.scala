@@ -3,9 +3,93 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Pre-commit hook landing an APPEND between an optimize's rewrite and
+ * its commit — the deterministic optimize-vs-append race, optimize
+ * rebasing. */
+class MidOptimizeAppendHook extends graft.write.PreCommitHook {
+  override def name: String = "race-append"
+  override def run(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[graft.core.model.IndexFile]): Map[String, String] = {
+    import spark.implicits._
+    (10000L until 10100L).map(i => (i, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("cubeSize", "200")
+      .mode("append").save(MidOptimizeAppendHook.tableDir.get())
+    Map.empty
+  }
+}
+
+object MidOptimizeAppendHook {
+  val tableDir = new java.util.concurrent.atomic.AtomicReference[String]()
+}
+
+/** Pre-commit hook running an OPTIMIZE between an append's file write
+ * and its commit — the same race with the append rebasing. */
+class MidAppendOptimizeHook extends graft.write.PreCommitHook {
+  override def name: String = "race-optimize"
+  override def run(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[graft.core.model.IndexFile]): Map[String, String] = {
+    graft.table.QbeastTable.forPath(spark, MidAppendOptimizeHook.tableDir.get()).optimize()
+    Map.empty
+  }
+}
+
+object MidAppendOptimizeHook {
+  val tableDir = new java.util.concurrent.atomic.AtomicReference[String]()
+}
+
 class RobustnessSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
+
+  test("optimize racing an append: deterministic, both orders, exact rows") {
+    import spark.implicits._
+    def seed(dir: String): Unit =
+      (0L until 1000L).map(i => (i, i * 2.0)).toDF("a", "b")
+        .write.format("qbeast").option("columnsToIndex", "a,b")
+        .option("cubeSize", "200").save(dir)
+
+    // order 1: the APPEND lands mid-optimize; optimize (dataChange =
+    // false) must rebase and commit without losing the appended rows or
+    // duplicating the rewritten ones
+    val dir1 = TestSpark.tmpDir("optrace-det1")
+    seed(dir1)
+    MidOptimizeAppendHook.tableDir.set(dir1)
+    graft.table.QbeastTable.forPath(spark, dir1).optimize(
+      options = Map("hook.race" -> classOf[MidOptimizeAppendHook].getName))
+    val back1 = spark.read.format("qbeast").load(dir1)
+    assert(back1.count() === 1100L)
+    assert(back1.select("a").distinct().count() === 1100L, "no duplicated rows")
+    // history: the append committed BETWEEN the optimize's snapshot and
+    // its commit (the race actually happened)
+    val ops1 = graft.table.QbeastTable.forPath(spark, dir1).history().map(_.operation)
+    assert(ops1 == Seq("WRITE", "WRITE", "OPTIMIZE"), ops1.toString)
+
+    // order 2: the OPTIMIZE lands mid-append; the append must rebase,
+    // keep the optimize's rewrite (no resurrected pre-optimize files)
+    // and land its own rows exactly once
+    val dir2 = TestSpark.tmpDir("optrace-det2")
+    seed(dir2)
+    val preOpt = graft.log.QbeastLog
+      .snapshot(dir2, spark.sparkContext.hadoopConfiguration).files.map(_.path).toSet
+    MidAppendOptimizeHook.tableDir.set(dir2)
+    (10000L until 10100L).map(i => (i, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("cubeSize", "200")
+      .option("hook.race", classOf[MidAppendOptimizeHook].getName)
+      .mode("append").save(dir2)
+    val back2 = spark.read.format("qbeast").load(dir2)
+    assert(back2.count() === 1100L)
+    assert(back2.select("a").distinct().count() === 1100L, "no duplicated rows")
+    // the optimize's removals stay removed: none of the seed files the
+    // optimize rewrote may be live again
+    val snap2 = graft.log.QbeastLog
+      .snapshot(dir2, spark.sparkContext.hadoopConfiguration)
+    val resurrected = snap2.files.map(_.path).toSet.intersect(preOpt)
+    assert(resurrected.isEmpty, s"rewritten files resurrected: $resurrected")
+    val ops2 = graft.table.QbeastTable.forPath(spark, dir2).history().map(_.operation)
+    assert(ops2 == Seq("WRITE", "OPTIMIZE", "WRITE"), ops2.toString)
+  }
 
   test("null values in indexed columns round-trip and stay sampleable") {
     import spark.implicits._
