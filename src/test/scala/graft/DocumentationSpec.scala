@@ -83,4 +83,48 @@ class DocumentationSpec extends AnyFunSuite {
     spark.sql(s"VACUUM '$tbl' RETAIN 0 HOURS FORCE").collect()
   }
 
+  test("SQL-only dedup pipeline (registered graft_* functions) matches the Column API") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("dedup_docs")
+
+    // exact dedup entirely in SQL (one representative per content hash)
+    val sqlExact = spark.sql(
+      """SELECT coalesce(md5(text), concat('__null__', cast(doc_id AS string))) AS content_hash,
+        |  min(doc_id) AS doc_id, count(1) AS dup_count
+        |FROM dedup_docs GROUP BY 1""".stripMargin)
+    val apiExact = ops.Dedup.exactDedup(docs, "doc_id", "text")
+    assert(sqlExact.count() == apiExact.count())
+    assert(sqlExact.select("doc_id").exceptAll(apiExact.select("doc_id")).count() == 0)
+
+    // MinHash near-dup candidates entirely in SQL: graft_minhash
+    // signatures → 16 four-value bands → bucket equi-join → agreement
+    // estimate — the same pipeline minHashCandidatePairs builds
+    val sqlPairs = spark.sql(
+      """WITH sig AS (
+        |  SELECT doc_id, graft_minhash(text) AS s
+        |  FROM dedup_docs WHERE size(split(trim(text), '\\s+')) >= 3),
+        |bands AS (
+        |  SELECT doc_id, s, b, slice(s, b * 4 + 1, 4) AS key
+        |  FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)
+        |      / 64.0D AS est_jaccard
+        |  FROM cand)
+        |SELECT id_a, id_b, est_jaccard FROM scored WHERE est_jaccard >= 0.5""".stripMargin)
+    val apiPairs = ops.Dedup.minHashCandidatePairs(docs, "doc_id", "text", threshold = 0.5)
+    val sqlSet = sqlPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    val apiSet = apiPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(sqlSet.nonEmpty, "fixture should contain near-duplicates")
+    assert(sqlSet == apiSet,
+      s"SQL dedup diverged: only-sql=${sqlSet -- apiSet}, only-api=${apiSet -- sqlSet}")
+  }
+
 }
