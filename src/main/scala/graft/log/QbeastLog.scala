@@ -460,9 +460,19 @@ object QbeastLog extends org.apache.spark.internal.Logging {
     // once the driver-side flat scan starts to matter)
     org.apache.spark.sql.SparkSession.getActiveSession.foreach { spark =>
       // same log-and-continue invariant as above: a malformed conf value
-      // must not break the read that triggered this checkpoint
+      // must not break the read that triggered this checkpoint.
+      // Crossover measured by tools/SelectBench (flat replay+selection
+      // vs sidecar Spark job, same 10%-selectivity filter):
+      //   1e5 files: flat ~188 ms total vs distributed ~278 ms
+      //   3e5 files: flat ~618 ms vs ~313 ms
+      //   1e6 files: flat ~3.3 s vs ~0.6 s
+      //   4e6 files: flat ~8.4 s vs ~1.9 s
+      // — the flat path wins until ~2e5 files (its JSON replay is the
+      // floor; selection itself stays under 0.5 s even at 4e6, and the
+      // in-memory list is only ~100 MB at 3e5), so the sidecar starts
+      // there, not at the old 10k default where it tripled read latency
       val minFiles = spark.conf.getOption("spark.qbeast.metadata.sidecar.minFiles")
-        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(10000L)
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(200000L)
       if (snap.files.size >= minFiles) FileCheckpoint.write(spark, snap)
     }
   }
