@@ -105,37 +105,68 @@ object Sketch {
       threshold: Long,
       depth: Int = 4,
       width: Int = 4096): DataFrame = {
-    // NULL is a first-class group (exact GROUP BY semantics): nulls
-    // hash to a fixed sentinel so they flow through the sketch and the
-    // candidate filter instead of being silently dropped by null-safe
-    // expression evaluation; a real key colliding with the sentinel
-    // only inflates an estimate, never loses a group
-    val keyed = df.select(key.as("key"),
-      coalesce(portableHash32(key), lit(0L)).as("_h"))
-    val cmsAgg = shims.column(
-      graft.expressions.CmsAgg(
-        shims.expression(col("_h")), depth, width).toAggregateExpression())
-    val counters = keyed.select(cmsAgg.as("c")).head().getSeq[Long](0).toArray
-    // The sketch itself tells us whether the pre-filter can pay: a row
-    // survives only if EVERY depth's cell reaches the threshold, so the
-    // kept-row fraction is at most, per depth row, (sum of cells >=
-    // threshold) / N — take the min over rows. When even that bound
-    // can't halve the shuffle (threshold at or below most keys'
-    // counts — a low-threshold query over a flat keyspace), the filter
-    // is pure overhead: skip straight to the exact aggregation instead
-    // of paying a per-row sketch probe that admits everything.
-    val n = math.max(counters.iterator.take(width).sum, 1L)
+    // NULL is a first-class group (exact GROUP BY semantics): xxhash64
+    // of a null evaluates to the seed, so null rows flow through the
+    // sketch and the candidate filter like any other key; a real key
+    // colliding with that value only inflates an estimate, never loses
+    // a group. xxhash64 (codegen, non-cryptographic), NOT the md5-based
+    // portableHash32: the sketch is invisible to the result (exact
+    // groupBy + HAVING decide it), so nothing here needs oracle
+    // replayability, and md5 per row was the sketch pass's dominant
+    // cost at bench scale.
+    val keyed = df.select(key.as("key"), xxhash64(key).as("_h"))
+
+    // DECIDE whether the pre-filter can pay BEFORE scanning everything:
+    // build a CMS over a 1-in-K partition subsample (unconsumed
+    // partitions never pull rows from the source, so this reads ~1/K of
+    // the input) and upper-bound the kept-row fraction — a row survives
+    // the filter only if EVERY depth's cell reaches the threshold, so
+    // the fraction is at most, per depth row, (mass in cells >=
+    // threshold/K-scaled) / N. When even that bound can't halve the
+    // shuffle (threshold at or below most keys' counts — a
+    // low-threshold query over a flat keyspace), skip straight to the
+    // exact aggregation: the degenerate case then costs ~1.06 scans
+    // instead of 2. The decision is a heuristic (partition sampling),
+    // the RESULT is not: both branches end in the exact groupBy+HAVING.
+    val classic = keyed.select(col("_h"))
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val nParts = math.max(1, classic.rdd.getNumPartitions)
+    val every = math.max(1, nParts / 16)
+    val sampleCounters = classic.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (pid % every != 0) Iterator.empty
+        else {
+          val c = new Array[Long](depth * width)
+          it.foreach(r => graft.expressions.CmsImpl.update(c, r.getLong(0), depth, width))
+          Iterator.single(c)
+        }
+      }
+      .fold(new Array[Long](depth * width)) { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    val n = math.max(sampleCounters.iterator.take(width).sum, 1L)
+    val scaledThreshold = math.max(1L, threshold / every)
     val keptBound = (0 until depth).map { d =>
       var s = 0L
       var i = d * width
       val end = i + width
-      while (i < end) { if (counters(i) >= threshold) s += counters(i); i += 1 }
+      while (i < end) { if (sampleCounters(i) >= scaledThreshold) s += sampleCounters(i); i += 1 }
       s.toDouble / n
     }.min
+
     val exact = keyed.groupBy("key").agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
     if (keptBound >= HeavyHitterSkipFraction) exact
     else {
+      // the filter pays: now build the FULL sketch (the sampled one
+      // could miss rows → false negatives, which the filter must never
+      // have) and prune the exact pass to candidate keys
+      val cmsAgg = shims.column(
+        graft.expressions.CmsAgg(
+          shims.expression(col("_h")), depth, width).toAggregateExpression())
+      val counters = keyed.select(cmsAgg.as("c")).head().getSeq[Long](0).toArray
       val estimate = shims.column(graft.expressions.CmsEstimate(
         shims.expression(typedlit(counters.toSeq)),
         shims.expression(col("_h")), depth, width))
