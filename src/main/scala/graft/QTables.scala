@@ -624,7 +624,12 @@ object QTables {
           // queries never constrain vec_id anyway
           .option("columnsToIndex", "bucket")
           .option("columnStats", """{"bucket_min": 0, "bucket_max": 64}""")
-          .option("cubeSize", "2000")
+          // small cubes on purpose: bucket resolution is 2^treeDepth,
+          // and the embeddings fixtures are small — cubeSize 2000 left
+          // the whole table in 1-5 files each spanning many buckets
+          // (zero pruning, AnnProbe-measured); 250 cuts enough depth
+          // that the 22-probe scan skips files even at sf0.1
+          .option("cubeSize", "250")
           .save(path)
       }
     }
