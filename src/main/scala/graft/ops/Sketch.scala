@@ -128,31 +128,62 @@ object Sketch {
     // exact aggregation: the degenerate case then costs ~1.06 scans
     // instead of 2. The decision is a heuristic (partition sampling),
     // the RESULT is not: both branches end in the exact groupBy+HAVING.
+    // Caveats that bound when the sampling helps: skipping partitions
+    // only skips SOURCE reads for scan-rooted plans (a shuffle-backed
+    // input still runs its upstream stages in full for this job), and a
+    // plan with fewer than 2·SamplePartitions partitions would sample
+    // every partition — a full extra pass. Both cases fall back to the
+    // build-the-full-sketch-first shape: decide from the full CMS (two
+    // scans worst case, exactly the pre-sampling behavior) and REUSE it
+    // as the candidate filter when pruning pays.
     val classic = keyed.select(col("_h"))
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val nParts = math.max(1, classic.rdd.getNumPartitions)
-    val every = math.max(1, nParts / 16)
-    val sampleCounters = classic.queryExecution.toRdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        if (pid % every != 0) Iterator.empty
-        else {
-          val c = new Array[Long](depth * width)
-          it.foreach(r => graft.expressions.CmsImpl.update(c, r.getLong(0), depth, width))
-          Iterator.single(c)
-        }
+    // fixed 1-in-SampleStride stride → the decision reads ~1/16 of the
+    // input regardless of plan width; plans too narrow for the stride
+    // to leave most partitions unsampled take the full-sketch decision
+    val every = if (nParts >= 2 * SampleStride) SampleStride else 1
+
+    def fullCounters(): Array[Long] = {
+      val cmsAgg = shims.column(
+        graft.expressions.CmsAgg(
+          shims.expression(col("_h")), depth, width).toAggregateExpression())
+      keyed.select(cmsAgg.as("c")).head().getSeq[Long](0).toArray
+    }
+
+    // (counters for the DECISION, their count scale, full CMS if built)
+    val (decisionCounters, scale, full) =
+      if (every == 1) {
+        val c = fullCounters()
+        (c, 1L, Some(c))
+      } else {
+        val sampled = classic.queryExecution.toRdd
+          .mapPartitionsWithIndex { (pid, it) =>
+            if (pid % every != 0) Iterator.empty
+            else {
+              val c = new Array[Long](depth * width)
+              it.foreach(r =>
+                graft.expressions.CmsImpl.update(c, r.getLong(0), depth, width))
+              Iterator.single(c)
+            }
+          }
+          .fold(new Array[Long](depth * width)) { (a, b) =>
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          }
+        (sampled, every.toLong, None)
       }
-      .fold(new Array[Long](depth * width)) { (a, b) =>
-        var i = 0
-        while (i < a.length) { a(i) += b(i); i += 1 }
-        a
-      }
-    val n = math.max(sampleCounters.iterator.take(width).sum, 1L)
-    val scaledThreshold = math.max(1L, threshold / every)
+    val n = math.max(decisionCounters.iterator.take(width).sum, 1L)
+    val scaledThreshold = math.max(1L, threshold / scale)
     val keptBound = (0 until depth).map { d =>
       var s = 0L
       var i = d * width
       val end = i + width
-      while (i < end) { if (sampleCounters(i) >= scaledThreshold) s += sampleCounters(i); i += 1 }
+      while (i < end) {
+        if (decisionCounters(i) >= scaledThreshold) s += decisionCounters(i)
+        i += 1
+      }
       s.toDouble / n
     }.min
 
@@ -160,13 +191,10 @@ object Sketch {
       .filter(col("n") >= threshold)
     if (keptBound >= HeavyHitterSkipFraction) exact
     else {
-      // the filter pays: now build the FULL sketch (the sampled one
-      // could miss rows → false negatives, which the filter must never
-      // have) and prune the exact pass to candidate keys
-      val cmsAgg = shims.column(
-        graft.expressions.CmsAgg(
-          shims.expression(col("_h")), depth, width).toAggregateExpression())
-      val counters = keyed.select(cmsAgg.as("c")).head().getSeq[Long](0).toArray
+      // the filter pays: use the full sketch (a SAMPLED one could miss
+      // rows → false negatives, which the filter must never have),
+      // built now if the decision came from the sample
+      val counters = full.getOrElse(fullCounters())
       val estimate = shims.column(graft.expressions.CmsEstimate(
         shims.expression(typedlit(counters.toSeq)),
         shims.expression(col("_h")), depth, width))
@@ -175,6 +203,11 @@ object Sketch {
         .filter(col("n") >= threshold)
     }
   }
+
+  /** The decision pass samples every SampleStride-th partition; plans
+   * with fewer than 2·SampleStride partitions use the full sketch for
+   * the decision instead (striding them would sample everything). */
+  val SampleStride = 16
 
   /** Above this sketch-derived kept-row bound the CMS pre-filter cannot
    * meaningfully shrink the exact pass's shuffle, so [[heavyHitters]]

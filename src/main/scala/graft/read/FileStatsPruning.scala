@@ -266,10 +266,13 @@ object FileStatsPruning {
   }
 
   /** Non-finite double stats can't be JSON numbers; the collector
-   * writes these sentinels instead (FileStatsCollector.toJson). Only
-   * consulted when the literal side is Float/Double, so a STRING
-   * column whose data happens to contain "NaN" is never misread. */
-  private def nonFinite(s: String): Option[Double] = s match {
+   * writes these sentinels instead (FileStatsCollector.toJson — the
+   * single other site that must agree on the spellings; MetadataCountRule
+   * decodes through here). Only consulted when the context proves the
+   * column is floating (a Float/Double literal, or a known-floating
+   * column type), so a STRING column whose data happens to contain
+   * "NaN" is never misread. */
+  def nonFinite(s: String): Option[Double] = s match {
     case "NaN" => Some(Double.NaN)
     case "Infinity" => Some(Double.PositiveInfinity)
     case "-Infinity" => Some(Double.NegativeInfinity)

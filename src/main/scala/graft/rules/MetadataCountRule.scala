@@ -191,9 +191,13 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case bd: BigDecimal =>
               if (floating) foldD(bd.toDouble)
               else acc = Some(acc.fold(bd)(p => if (isMin) p.min(bd) else p.max(bd)))
-            case "NaN" if floating => foldD(Double.NaN)
-            case "Infinity" if floating => foldD(Double.PositiveInfinity)
-            case "-Infinity" if floating => foldD(Double.NegativeInfinity)
+            case s: String if floating =>
+              // collector's non-finite sentinels, decoded by the single
+              // shared definition
+              FileStatsPruning.nonFinite(s) match {
+                case Some(d) => foldD(d)
+                case None => return None
+              }
             case _ => return None // string or unexpected shape
           }
         }

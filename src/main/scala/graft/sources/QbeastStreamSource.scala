@@ -526,22 +526,26 @@ class QbeastStreamSource(
       val frames = units.groupBy(u => (u._1, u._2)).toSeq.sortBy(_._1).map {
         case ((v, kind), list) =>
           val absolute = list.map(u => new Path(tablePath, u._3).toString)
+          // EVERY CDF kind can land behind vacuum: 'd' files are
+          // tombstoned at this very commit, 'c' change files expire
+          // with the data-file retention, and an 'a' file a LATER
+          // commit removed is reclaimable while a lagging stream still
+          // needs it. A replay reaching such a range must fail NAMED
+          // (the batch changes() contract), not with a raw
+          // FileNotFoundException mid-task. The CDF path is a replay
+          // surface, not the hot append path, so the per-file
+          // existence probe is acceptable here.
+          val fs = new Path(tablePath).getFileSystem(hadoopConf)
+          absolute.find(p => !fs.exists(new Path(p))).foreach { p =>
+            throw new IllegalStateException(
+              s"qbeast streaming CDF: file $p of commit $v was vacuumed — " +
+                "this range cannot be replayed; restart the stream from a " +
+                "later startingVersion")
+          }
           val tagged = kind match {
             case "c" => spark.read.schema(cdcFileSchema).parquet(absolute: _*)
-            case "d" =>
-              // a 'd' path is tombstoned AT this commit, so vacuum can
-              // reclaim it after retention; a range reaching behind
-              // vacuum must fail NAMED (the batch changes() contract),
-              // not with a raw FileNotFoundException mid-task
-              val fs = new Path(tablePath).getFileSystem(hadoopConf)
-              absolute.find(p => !fs.exists(new Path(p))).foreach { p =>
-                throw new IllegalStateException(
-                  s"qbeast streaming CDF: data file $p of delete-only commit $v " +
-                    "was vacuumed — this range cannot be replayed; restart the " +
-                    "stream from a later startingVersion")
-              }
-              spark.read.schema(tableSchema).parquet(absolute: _*)
-                .withColumn("_change_type", lit("delete"))
+            case "d" => spark.read.schema(tableSchema).parquet(absolute: _*)
+              .withColumn("_change_type", lit("delete"))
             case _ => spark.read.schema(tableSchema).parquet(absolute: _*)
               .withColumn("_change_type", lit("insert"))
           }

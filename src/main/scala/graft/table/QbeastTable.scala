@@ -99,7 +99,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val hooks = graft.write.PreCommitHook.loadHooks(options)
     val s = controlSnapshot()
     val rid = if (revisionID < 0) s.lastRevisionID else revisionID
-    if (rid == Revision.StagingID) { optimizeUnindexed(); return }
+    // staging tables route to optimizeUnindexed WITH the options, so
+    // hooks fire there too (dropping them silently would break the
+    // reference-parity contract); no-op returns below commit nothing,
+    // so there is nothing for a pre-commit hook to see
+    if (rid == Revision.StagingID) { optimizeUnindexed(options); return }
     val revision = s.revisions.getOrElse(rid, return)
     val candidates =
       if (s.filesComplete) s.filesOfRevision(rid).filter(f => f.minWeight.fraction <= fraction)
@@ -145,8 +149,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   }
 
   /** Index the staging (revision-0) files into the latest revision
-   * (reference: `IndexedTable.optimizeUnindexedFiles`). */
-  def optimizeUnindexed(): Unit = {
+   * (reference: `IndexedTable.optimizeUnindexedFiles`). `options` may
+   * carry hook.* pre-commit hooks, run against the rewrite's files
+   * before the commit. */
+  def optimizeUnindexed(options: Map[String, String] = Map.empty): Unit = {
+    val hooks = graft.write.PreCommitHook.loadHooks(options)
     val s = controlSnapshot()
     val staging =
       if (s.filesComplete) s.unindexedFiles
@@ -160,6 +167,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val status = statusOf(s, revision.revisionID)
     val newFiles = QbeastWriter.index(spark, tablePath, data, revision,
       Some(status), numElements)
+    if (hooks.nonEmpty) graft.write.PreCommitHook.runHooks(hooks, spark, newFiles)
     commitRewrite(s, newFiles, staging)
   }
 
@@ -382,7 +390,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         val (rev, isNew, n) = RevisionFactory.computeRevisionChanges(
           existing, opts, tablePath, updated)
         val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
-        val adds = QbeastWriter.index(spark, tablePath, updated, rev, status, n)
+        // per-row backstop: the validate above ran as a SEPARATE job,
+        // so these rows are re-checked inside the write itself
+        val adds = QbeastWriter.index(spark, tablePath, updated, rev, status, n,
+          constraints = constraintsFor(s))
         (adds, if (isNew) Some(rev) else None)
     }
 
@@ -429,6 +440,13 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
     } finally srcKeys.unpersist()
   }
+
+  /** Table CHECK constraints in the ordered shape QbeastWriter.index
+   * expects for PER-ROW enforcement inside the write task — the
+   * backstop that makes changed-row writes safe even when the driver-side
+   * pre-validation ran against a different execution of the plan. */
+  private def constraintsFor(s: QbeastSnapshot): Seq[(String, String)] =
+    graft.write.Constraints.of(s.configuration).toSeq.sortBy(_._1)
 
   /** ANSI store-assignment cast (Delta's insert-path resolution): cast
    * `src` to the table column's type, but FAIL on any row where a
@@ -484,7 +502,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val (rev, isNew, nSrc) = RevisionFactory.computeRevisionChanges(
         existing, opts, tablePath, source)
       val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
-      val srcAdds = QbeastWriter.index(spark, tablePath, source, rev, status, nSrc)
+      // per-row backstop: a nondeterministic source could pass the
+      // driver-side validation yet draw violating rows here
+      val srcAdds = QbeastWriter.index(spark, tablePath, source, rev, status, nSrc,
+        constraints = constraintsFor(s))
 
       commitMutation(s, survivorAdds ++ srcAdds, if (isNew) Some(rev) else None, affected,
         operation = "MERGE")
@@ -735,7 +756,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           val (rev, isNew, n) = RevisionFactory.computeRevisionChanges(
             existingRev, opts, tablePath, df)
           val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
-          val adds = QbeastWriter.index(spark, tablePath, df, rev, status, n)
+          // per-row backstop (see upsert): the rows written must be the
+          // rows the constraint gate saw
+          val adds = QbeastWriter.index(spark, tablePath, df, rev, status, n,
+            constraints = constraintsFor(s))
           (adds, if (isNew) Some(rev) else None, n)
       }
       if (affected.isEmpty && changedAdds.isEmpty) return (0L, 0L)

@@ -21,6 +21,13 @@ object ConcurrentConstraintHook {
   val tableDir = new java.util.concurrent.atomic.AtomicReference[String]()
 }
 
+/** A value that flips from valid to violating after its first
+ * evaluation — the deterministic stand-in for a nondeterministic
+ * source whose validation draw differs from its write draw. */
+object FlipValue {
+  val calls = new java.util.concurrent.atomic.AtomicInteger()
+}
+
 /** CHECK constraints (write/Constraints.scala + QbeastTable.add/
  * dropConstraint + the ALTER TABLE ... CONSTRAINT SQL statements):
  * SQL-standard semantics (TRUE and NULL pass, FALSE violates),
@@ -133,6 +140,25 @@ class ConstraintSpec extends AnyFunSuite {
     val back = spark.read.format("qbeast").load(dir)
     assert(back.schema.fieldNames.toSet == Set("a", "b"))
     assert(back.filter(col("a") >= 1000).count() == 100)
+  }
+
+  test("upsert's per-row backstop catches rows the driver-side validation never saw") {
+    // the source value PASSES its first evaluation (the separate
+    // validation job) and VIOLATES every later one (stats job + the
+    // write itself) — the exact execution drift a nondeterministic
+    // source exhibits; only per-row enforcement inside the write task
+    // (QbeastWriter.index constraints backstop) can catch it
+    val dir = freshTable()
+    val t = table.QbeastTable.forPath(spark, dir)
+    t.addConstraint("positive", "b >= 0")
+    FlipValue.calls.set(0)
+    val flip = udf((i: Long) =>
+      if (FlipValue.calls.getAndIncrement() == 0) 1.0 else -1.0).asNondeterministic()
+    val src = Seq(1L).toDF("a").select(col("a"), flip(col("a")).as("b"))
+    val e = intercept[Exception] { t.upsert(src, Seq("a")) }
+    assert(e.getMessage.contains("positive"), e.getMessage)
+    assert(spark.read.format("qbeast").load(dir).filter(col("b") < 0).count() == 0,
+      "violating redraw must never commit")
   }
 
   test("a constraint landing mid-write still gates the racing write") {

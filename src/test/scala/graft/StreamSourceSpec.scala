@@ -247,6 +247,33 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(msgs.contains("vacuumed"), msgs)
   }
 
+  test("CDF change-file ('c') units behind vacuum also fail NAMED") {
+    import org.apache.spark.sql.functions.expr
+    val tbl = TestSpark.tmpDir("qss-cdfvac-c-tbl")
+    (0L until 50L).map(i => (i, i * 10.0, s"p$i")).toDF("id", "price", "tag")
+      .write.format("qbeast")
+      .option("columnsToIndex", "id,price").option("cubeSize", "100")
+      .option("enableChangeDataFeed", "true").save(tbl)
+    val t = table.QbeastTable.forPath(spark, tbl)
+    t.update("id < 10", Map("price" -> "price + 1")) // commit 1: 'c' change files
+    // vacuum expires the _change_data files with the data retention
+    t.vacuum(retainMillis = 0L, force = true)
+    val e = intercept[StreamingQueryException] {
+      val ckpt = TestSpark.tmpDir("qss-cdfvac-c-ckpt")
+      val out = TestSpark.tmpDir("qss-cdfvac-c-out")
+      val q = spark.readStream.format("qbeast")
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("vacuumed"), msgs)
+  }
+
   test("startingVersion=N skips the snapshot and starts at commit N") {
     val tbl = TestSpark.tmpDir("qss-sv-tbl")
     val ckpt = TestSpark.tmpDir("qss-sv-ckpt")

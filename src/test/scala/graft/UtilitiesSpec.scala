@@ -5,6 +5,19 @@ import graft.write.PreCommitHook
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Records that it ran (top-level for reflection). */
+class OptHookProbe extends PreCommitHook {
+  override def name: String = "optprobe"
+  override def run(spark: SparkSession, files: Seq[IndexFile]): Map[String, String] = {
+    OptHookProbe.ran.incrementAndGet()
+    Map.empty
+  }
+}
+
+object OptHookProbe {
+  val ran = new java.util.concurrent.atomic.AtomicInteger()
+}
+
 /** A hook for the spec below (must be a top-level class for reflection). */
 class CountingHook extends PreCommitHook {
   override def name: String = "counter"
@@ -28,6 +41,27 @@ class UtilitiesSpec extends AnyFunSuite {
     val snap = graft.log.QbeastLog.snapshot(dir, spark.sparkContext.hadoopConfiguration)
     assert(snap.configuration("qbeast.hook.counter.rows") == "6000")
     assert(snap.configuration.contains("qbeast.hook.counter.fileCount"))
+  }
+
+  test("optimize(options) runs hooks on the staging path too") {
+    // a converted (staging-only) table routes optimize() through
+    // optimizeUnindexed — the options-borne hooks must fire there as
+    // well, not only on the indexed path
+    OptHookProbe.ran.set(0)
+    val dir = TestSpark.tmpDir("hooked-staging")
+    spark.read.parquet(s"$sf/lineitem.parquet").limit(500)
+      .write.mode("overwrite").parquet(dir)
+    graft.table.QbeastTable.convertFromParquet(spark, dir)
+    // indexed revision to optimize the staging files INTO
+    spark.read.parquet(s"$sf/lineitem.parquet").limit(300)
+      .write.format("qbeast")
+      .option("columnsToIndex", "l_orderkey,l_extendedprice")
+      .option("cubeSize", "2000").mode("append").save(dir)
+    graft.table.QbeastTable.forPath(spark, dir).optimize(
+      revisionID = graft.core.model.Revision.StagingID,
+      options = Map("hook.optprobe" -> classOf[OptHookProbe].getName))
+    assert(OptHookProbe.ran.get() == 1, "staging optimize must run the hook")
+    assert(spark.read.format("qbeast").load(dir).count() == 800)
   }
 
   test("auto column selection picks weakly correlated numeric columns") {
