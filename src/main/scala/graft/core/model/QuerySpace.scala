@@ -53,6 +53,20 @@ final case class QuerySpaceFromTo(from: Array[Double], to: Array[Double])
     case _ => false
   }
 
+  // value equality over the bound arrays: the case-class default
+  // compares Array references, which made QuerySpecBuilder's
+  // `.distinct` over expanded disjuncts a no-op — duplicate branches
+  // like `(a > 1 AND b) OR (a > 1 AND c)` then pay blockMatches twice
+  // per block across the whole metadata scan
+  override def equals(obj: Any): Boolean = obj match {
+    case QuerySpaceFromTo(of, ot) =>
+      java.util.Arrays.equals(from, of) && java.util.Arrays.equals(to, ot)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * java.util.Arrays.hashCode(from) + java.util.Arrays.hashCode(to)
+
 }
 
 object QuerySpace {

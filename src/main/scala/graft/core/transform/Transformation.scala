@@ -65,7 +65,14 @@ final case class LinearTransformation(min: Double, max: Double, nullCoordinate: 
   override def transform(value: Any): Double = {
     if (value == null) return nullCoordinate
     val v = Transformation.toCanonicalDouble(value)
-    if (v <= min) 0.0
+    // NaN sorts ABOVE every value in Spark's total order; the
+    // write-side Column clamps it to the TOP border the same way
+    // (greatest(NaN, 0) = NaN, least(NaN, 1) = 1). Without this a NaN
+    // comparison literal would produce a NaN coordinate, and a NaN
+    // query-space bound intersects NOTHING — every file pruned, NaN
+    // rows silently missing from `c = double('NaN')` and IN-lists.
+    if (java.lang.Double.isNaN(v)) 1.0
+    else if (v <= min) 0.0
     else if (v >= max) 1.0
     // same op shape as the write-side Column ((v-min)/(max-min)) so both
     // sides agree to the last bit

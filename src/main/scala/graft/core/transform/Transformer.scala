@@ -92,7 +92,14 @@ final case class LinearTransformer(columnName: String, dataTypeName: String)
 
   override def statsColumns: Seq[Column] = {
     val c = Transformer.canonicalColumn(columnName, dataTypeName)
-    Seq(min(c), max(c))
+    // NaN must not define the revision range: Spark's max() returns NaN
+    // as the largest value, and a NaN range bound poisons EVERY
+    // coordinate ((v-min)/(NaN-min) = NaN). nanvl maps NaN to null,
+    // which min/max skip; NaN rows then clamp to the TOP border on both
+    // the write side (greatest/least) and the read side
+    // (LinearTransformation.transform), consistent with Spark ordering.
+    val nn = nanvl(c, lit(null).cast(DoubleType))
+    Seq(min(nn), max(nn))
   }
 
   override def makeTransformation(stats: Row, offset: Int): Transformation = {

@@ -56,7 +56,7 @@ final class CubeFileAssigner(
   private def trieFor(dims: Int): graft.index.AssignTrie =
     if (dims > graft.index.CubeTrie.MaxTrieDims) null
     else CubeFileAssigner.trieCache.computeIfAbsent(
-      (bWeights.id, bFiles.id, dims), { _ =>
+      (CubeFileAssigner.appDiscriminator, bWeights.id, bFiles.id, dims), { _ =>
         val files = Map.newBuilder[CubeId, UTF8String]
         filesUtf8.forEach((c, f) => files += (c -> f))
         new graft.index.AssignTrie(dims, weights, files.result(), defaultFileUtf8)
@@ -89,15 +89,23 @@ final class CubeFileAssigner(
 
 object CubeFileAssigner {
 
-  /** Executor-JVM-wide trie cache keyed by (weightsBroadcastId,
+  /** Broadcast ids restart at 0 in every new SparkContext, so a JVM
+   * that stops and recreates its session (tests, notebooks) could hit
+   * a stale trie built from a PREVIOUS context's weights/files under
+   * the same ids — silently wrong cube/file assignment. The
+   * application id disambiguates contexts. */
+  private[expressions] def appDiscriminator: String =
+    Option(org.apache.spark.SparkEnv.get).map(_.conf.getAppId).getOrElse("")
+
+  /** Executor-JVM-wide trie cache keyed by (appId, weightsBroadcastId,
    * filesBroadcastId, dims). Bounded: concurrent writes are rare
    * enough that dropping the oldest half on overflow is fine — a
    * rebuilt trie is only the cost this cache exists to amortize. */
   private[expressions] val trieCache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Long, Int), graft.index.AssignTrie] {
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Int), graft.index.AssignTrie] {
       override def computeIfAbsent(
-          key: (Long, Long, Int),
-          fn: java.util.function.Function[_ >: (Long, Long, Int), _ <: graft.index.AssignTrie])
+          key: (String, Long, Long, Int),
+          fn: java.util.function.Function[_ >: (String, Long, Long, Int), _ <: graft.index.AssignTrie])
           : graft.index.AssignTrie = {
         if (size() > 16) clear()
         super.computeIfAbsent(key, fn)

@@ -107,6 +107,10 @@ final case class SimHash60(child: Expression) extends UnaryExpression {
 final case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
+  // analysis-time guard: a non-positive window/shingle would otherwise
+  // surface as a per-row ArrayIndexOutOfBoundsException at task runtime
+  require(k >= 1 && w >= 1, s"winnow needs k >= 1 and w >= 1, got k=$k w=$w")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

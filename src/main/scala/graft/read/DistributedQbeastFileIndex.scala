@@ -47,9 +47,39 @@ final class DistributedQbeastFileIndex(
 
   private val tablePath = new Path(snapshot.tablePath)
 
-  private def summary(snap: QbeastSnapshot): Option[(Long, Long)] =
-    FileCheckpoint.summary(snap.tablePath,
-      spark.sparkContext.hadoopConfiguration, snap.checkpointVersion)
+  // memoized per checkpoint version: the summary is immutable for a
+  // given sidecar, and sizeInBytes is consulted during PLANNING —
+  // re-reading _summary.json from object storage per plan would add
+  // driver round-trips for a constant
+  @volatile private var summaryCache: (Long, Option[(Long, Long)]) = (Long.MinValue, None)
+
+  private def summary(snap: QbeastSnapshot): Option[(Long, Long)] = {
+    val cached = summaryCache
+    if (cached._1 == snap.checkpointVersion) cached._2
+    else {
+      val fresh = FileCheckpoint.summary(snap.tablePath,
+        spark.sparkContext.hadoopConfiguration, snap.checkpointVersion)
+      summaryCache = (snap.checkpointVersion, fresh)
+      fresh
+    }
+  }
+
+  /** Degrade to a complete snapshot at the SAME version when the
+   * sidecar was vacuumed under this (long-lived or time-traveled)
+   * relation; keeps the original asOf so a later refresh() of a head
+   * relation still follows head. */
+  private def degradeIfSidecarGone(snap0: QbeastSnapshot): QbeastSnapshot = {
+    var snap = snap0
+    if (!snap.filesComplete && !FileCheckpoint.exists(snap.tablePath,
+        spark.sparkContext.hadoopConfiguration, snap.checkpointVersion)) {
+      val pinned = snap.asOf
+      snap = QbeastLog.snapshot(snap.tablePath,
+        spark.sparkContext.hadoopConfiguration, snap.version)
+        .copy(asOf = pinned)
+      snapshot = snap
+    }
+    snap
+  }
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
 
@@ -70,12 +100,13 @@ final class DistributedQbeastFileIndex(
   }
 
   override def inputFiles: Array[String] = {
-    val snap = snapshot
+    // same vacuumed-sidecar degrade as listFiles — without it a pinned
+    // relation crashes here with PATH_NOT_FOUND instead of falling back
+    val snap = degradeIfSidecarGone(snapshot)
     if (snap.filesComplete)
       return snap.files.map(f => new Path(tablePath, f.path).toString).toArray
-    val touched = snap.tailTouchedPaths
-    val cp = checkpointRows(snap, Nil)
-      .filter(r => !touched.contains(r.path)).map(_.path)
+    // checkpointRows already masks tailTouchedPaths on the executors
+    val cp = checkpointRows(snap, Nil).map(_.path)
     (cp ++ snap.files.map(_.path))
       .map(p => new Path(tablePath, p).toString).toArray
   }
@@ -147,19 +178,7 @@ final class DistributedQbeastFileIndex(
     val filters = partitionFilters ++ dataFilters
     // capture ONCE: a concurrent refresh() must not tear this view
     // across tail, checkpoint version, and touched set
-    var snap = snapshot
-    if (!snap.filesComplete && !FileCheckpoint.exists(snap.tablePath,
-        spark.sparkContext.hadoopConfiguration, snap.checkpointVersion)) {
-      // sidecar vacuumed under us (long-lived or time-traveled
-      // relation pinned to an old checkpoint): degrade to a complete
-      // snapshot at the SAME version and prune flat. Keep the original
-      // asOf so a later refresh() of a head relation still follows head.
-      val pinned = snap.asOf
-      snap = QbeastLog.snapshot(snap.tablePath,
-        spark.sparkContext.hadoopConfiguration, snap.version)
-        .copy(asOf = pinned)
-      snapshot = snap
-    }
+    val snap = degradeIfSidecarGone(snapshot)
     if (snap.filesComplete) {
       val statuses = QbeastFileIndex.selectFiles(snap, filters).map { f =>
         new FileStatus(f.size, false, 1, 134217728L, f.modificationTime,

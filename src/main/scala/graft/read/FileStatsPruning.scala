@@ -24,7 +24,12 @@ object FileStatsPruning {
       nulls: Map[String, Long])
 
   /** Parsed-stats cache keyed by the JSON text (one entry per file;
-   * snapshots reuse the same strings across queries). */
+   * snapshots reuse the same strings across queries). Bounded: every
+   * write/compaction mints NEW stats strings, so an uncapped
+   * JVM-lifetime map grows monotonically on a long-lived driver —
+   * clearing on overflow only costs re-parsing, which is what the
+   * cache amortizes in the first place. */
+  private val MaxCacheEntries = 200000
   private val cache = new ConcurrentHashMap[String, Stats]()
 
   def mayMatch(statsJson: Option[String], filters: Seq[Expression]): Boolean =
@@ -66,6 +71,7 @@ object FileStatsPruning {
         case _ => Map.empty[String, Long]
       })
       val s = Stats(numRecords, section("minValues"), section("maxValues"), nulls)
+      if (cache.size() > MaxCacheEntries) cache.clear()
       cache.put(json, s)
       Some(s)
     } catch {

@@ -118,6 +118,34 @@ class FileStatsSpec extends AnyFunSuite {
     assert(read < all, s"NaN-aware skipping read $read of $all files")
   }
 
+  test("NaN in an INDEXED column: range sane, query space finds the NaN rows") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("fstats-nan-idx")
+    // NaN rows in the indexed column itself: the revision range must
+    // come from the finite values only (a NaN max would poison every
+    // coordinate), NaN rows clamp to the top border on both sides, and
+    // NaN comparison literals must constrain the query space instead of
+    // producing NaN bounds that intersect nothing
+    val df = (1 to 20000).map { i =>
+      (i.toLong, if (i <= 100) Double.NaN else i * 1.0)
+    }.toDF("id", "v")
+    df.write.format("qbeast")
+      .option("columnsToIndex", "id,v").option("cubeSize", "1000").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === 20000L)
+    // Spark: NaN = NaN is true, NaN > any value
+    assert(back.filter("v = double('NaN')").count() === 100L)
+    assert(back.filter("v > 1e9").count() === 100L)
+    assert(back.filter("v IN (double('NaN'), 105.0)").count() === 101L)
+    assert(back.filter("v = 105.0").count() === 1L)
+    assert(back.filter("v < 0").count() === 0L)
+    // the finite range still prunes: a thin finite slice reads fewer files
+    val all = back.inputFiles.length
+    assert(all > 3)
+    val read = filesRead(back.filter("v >= 500.0 AND v < 700.0"))
+    assert(read < all, s"finite-range pruning broken: $read of $all")
+  }
+
   test("Infinity values serialize as legal JSON and prune correctly") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("fstats-inf")
