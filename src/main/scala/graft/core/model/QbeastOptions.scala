@@ -14,6 +14,12 @@ final case class QbeastOptions(
     rollupSize: Option[Long],
     extra: Map[String, String]) {
 
+  /** True iff the caller explicitly passed cubeSize (vs the filled-in
+   * default): appends without it inherit the existing revision's
+   * configured size instead of resetting it (see RevisionFactory). */
+  lazy val cubeSizeExplicit: Boolean =
+    extra.keys.exists(_.equalsIgnoreCase(QbeastOptions.CubeSize))
+
   /** User-provided stats: `{"col_min":x,"col_max":y,"col_quantiles":[...]}` */
   lazy val parsedColumnStats: Map[String, JValue] = columnStats match {
     case None => Map.empty

@@ -27,10 +27,16 @@ final case class QuerySpaceFromTo(from: Array[Double], to: Array[Double])
     extends QuerySpace {
 
   override def intersectsWith(cube: CubeId): Boolean = {
-    val cFrom = cube.from
-    val cTo = cube.to
+    // per-dimension bounds computed inline (coords(d)·scale), not via
+    // cube.from/cube.to: those allocate a fresh array each, and this
+    // runs once per block per query disjunct across the whole metadata
+    // scan — the pruning hot path
+    val scale = 1.0 / (1L << cube.depth)
+    val coords = cube.coords
     var d = 0
     while (d < from.length) {
+      val cFrom = coords(d) * scale
+      val cTo = (coords(d) + 1) * scale
       // cube region is [cFrom, cTo); query box is closed [from, to];
       // the top edge of the space belongs to the last cube. A query at
       // exactly the column max transforms to coordinate 1.0 and only
@@ -39,7 +45,7 @@ final case class QuerySpaceFromTo(from: Array[Double], to: Array[Double])
       // max-value rows silently lost (reference QuerySpace adds the
       // same clause).
       val overlaps =
-        (from(d) < cTo(d) || (from(d) == 1.0 && cTo(d) == 1.0)) && to(d) >= cFrom(d)
+        (from(d) < cTo || (from(d) == 1.0 && cTo == 1.0)) && to(d) >= cFrom
       if (!overlaps) return false
       d += 1
     }

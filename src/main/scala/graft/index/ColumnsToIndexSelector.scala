@@ -1,5 +1,7 @@
 package graft.index
 
+import graft.core.transform.Transformer
+
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.linalg.Matrix
 import org.apache.spark.ml.stat.Correlation
@@ -17,16 +19,27 @@ import org.apache.spark.sql.types._
 object ColumnsToIndexSelector {
 
   def selectColumnsToIndex(df: DataFrame, maxColumns: Int = 3): Seq[String] = {
-    val numericCols = df.schema.fields.collect {
-      case StructField(name, _: NumericType, _, _) => name
-      case StructField(name, TimestampType | DateType, _, _) => name
+    val numericFields = df.schema.fields.collect {
+      case f @ StructField(_, _: NumericType, _, _) => f
+      case f @ StructField(_, TimestampType | DateType, _, _) => f
     }.toSeq
+    val numericCols = numericFields.map(_.name)
     require(numericCols.nonEmpty, "no indexable (numeric/temporal) columns found")
     if (numericCols.size <= maxColumns) return numericCols
 
-    val sample = df.select(numericCols.map(c => col(c).cast(DoubleType).as(c)): _*)
-      .na.drop()
+    // canonicalColumn, not a bare cast: Spark rejects date→double (the
+    // same mapping the transformers use — dates to days, timestamps to
+    // micros). Nulls coalesce to 0 instead of dropping the ROW: one
+    // all-null column would otherwise empty the whole sample and crash
+    // the correlation (and a 90%-null column would bias it to the
+    // sparse minority).
+    val sample = df.select(numericFields.map(f =>
+        coalesce(
+          Transformer.canonicalColumn(f.name, f.dataType.simpleString)
+            .cast(DoubleType),
+          lit(0.0)).as(f.name)): _*)
       .limit(10000)
+    if (sample.isEmpty) return numericCols.take(maxColumns)
     val assembler = new VectorAssembler()
       .setInputCols(numericCols.toArray).setOutputCol("features")
     val vectors = assembler.transform(sample).select("features")
@@ -35,7 +48,11 @@ object ColumnsToIndexSelector {
     val avgAbs = numericCols.indices.map { i =>
       val others = numericCols.indices.filter(_ != i)
       val s = others.map(j => math.abs(corr(i, j))).filterNot(_.isNaN)
-      numericCols(i) -> (if (s.isEmpty) 0.0 else s.sum / s.size)
+      // all-NaN correlations mean ZERO VARIANCE (a constant column):
+      // every row would land on one coordinate — rank it LAST, not
+      // first (an average of 0.0 would make useless constants the
+      // "best" candidates)
+      numericCols(i) -> (if (s.isEmpty) Double.MaxValue else s.sum / s.size)
     }
     avgAbs.sortBy(_._2).take(maxColumns).map(_._1)
   }

@@ -25,6 +25,14 @@ object QbeastColumns {
  */
 final class LocalOTreeBuilder(dims: Int, groupCubeSize: Int, bufferCapacity: Int) {
 
+  // a zero capacity would make the doubling buffer (0*2=0) never grow
+  // (per-row ArrayIndexOutOfBounds), and a Long conf value past Int
+  // range truncates NEGATIVE at the caller's .toInt — fail with the
+  // config named instead of a cryptic executor crash
+  require(bufferCapacity > 0,
+    s"cubeDomainsBufferCapacity must be a positive Int, got $bufferCapacity " +
+      "(spark.qbeast.index.cubeDomainsBufferCapacity)")
+
   // hot path: pointer-walk trie (no CubeId allocation / byte-array
   // hashing per traversed level — the walk cost is what dominates on
   // deep trees over clustered key spaces); map fallback above the

@@ -23,6 +23,16 @@ object RevisionFactory {
       data: DataFrame): (Revision, Boolean, Long) = {
 
     val schema = data.schema
+    // cubeSize: an append that does NOT explicitly set it inherits the
+    // table's configured size — filling in the global default here
+    // would fail the revision-reuse checks below and silently reset the
+    // index config with a fresh revision on every plain append / SQL
+    // INSERT INTO
+    val cubeSize = existing match {
+      case Some(rev) if !rev.isStaging && !options.cubeSizeExplicit =>
+        rev.desiredCubeSize
+      case _ => options.cubeSize
+    }
     val transformers: Vector[Transformer] =
       if (options.columnsToIndex.nonEmpty)
         options.columnsToIndex.map(spec => Transformer(spec, schema)).toVector
@@ -43,7 +53,12 @@ object RevisionFactory {
       val fromStats = t match {
         case _: QuantilesTransformer => quantilesFromColumnStats(t, options)
         case _: StringHistogramTransformer => histogramFromColumnStats(t, options)
-        case _ if hasUserStats(t, options) => userStatsTransformation(t, options)
+        // min/max columnStats define a LINEAR space — applying them to
+        // a hashing/histogram transformer would build a Linear
+        // transformation over (possibly string) values and bump a new
+        // revision on every subsequent write
+        case _: LinearTransformer if hasUserStats(t, options) =>
+          userStatsTransformation(t, options)
         case _ =>
           if (numElements == 0) IdentityTransformation(None)
           else t.makeTransformation(statsRow, offset)
@@ -57,13 +72,13 @@ object RevisionFactory {
       case Some(rev) if !rev.isStaging &&
           rev.columnTransformers.map(t => (t.columnName, t.kind)) ==
             transformers.map(t => (t.columnName, t.kind)) &&
-          rev.desiredCubeSize == options.cubeSize &&
+          rev.desiredCubeSize == cubeSize &&
           !rev.isSupersededBy(newTransformations) =>
         (rev, false, numElements)
       case Some(rev) if !rev.isStaging &&
           rev.columnTransformers.map(t => (t.columnName, t.kind)) ==
             transformers.map(t => (t.columnName, t.kind)) &&
-          rev.desiredCubeSize == options.cubeSize =>
+          rev.desiredCubeSize == cubeSize =>
         // same space definition, wider domain → merge ranges, bump ID
         val merged = rev.transformations.lazyZip(newTransformations)
           .map((old, nu) => if (old.isSupersededBy(nu)) old.merge(nu) else old)
@@ -72,9 +87,9 @@ object RevisionFactory {
       case Some(rev) if !rev.isStaging =>
         // different columns / kinds / cube size → fresh space, next ID
         (Revision(rev.revisionID + 1, System.currentTimeMillis(), tableID,
-          options.cubeSize, transformers, newTransformations), true, numElements)
+          cubeSize, transformers, newTransformations), true, numElements)
       case _ =>
-        (Revision.firstRevision(tableID, options.cubeSize, transformers,
+        (Revision.firstRevision(tableID, cubeSize, transformers,
           newTransformations), true, numElements)
     }
   }
@@ -89,7 +104,15 @@ object RevisionFactory {
       case JLong(v) => v.toDouble
       case JDouble(v) => v
       case JDecimal(v) => v.toDouble
-      case JString(s) => parseTemporal(s)
+      case JString(s) => s.toDoubleOption.getOrElse {
+        // quoted numbers parse as JString in json4s — accept them
+        // before trying temporal forms, and fail with the VALUE named
+        try parseTemporal(s)
+        catch {
+          case _: Exception => throw new IllegalArgumentException(
+            s"bad columnStats value '$s': expected a number or an ISO timestamp/date")
+        }
+      }
       case other => throw new IllegalArgumentException(s"bad columnStats value: $other")
     }
     val lo = num(options.parsedColumnStats(s"${t.columnName}_min"))

@@ -332,6 +332,12 @@ object QbeastWriter {
         val bufferCapacity = spark.conf
           .getOption("spark.qbeast.index.cubeDomainsBufferCapacity")
           .map(_.toLong).getOrElse(QbeastOptions.DefaultBufferCapacity)
+        // validated on the DRIVER: a bad value (≤ 0, or past Int range
+        // where .toInt truncates negative) must fail the write here
+        // with the config named, not as a per-task executor crash
+        require(bufferCapacity > 0 && bufferCapacity <= Int.MaxValue,
+          "spark.qbeast.index.cubeDomainsBufferCapacity must be in " +
+            s"(0, ${Int.MaxValue}], got $bufferCapacity")
         val groupSize = OTreeAlgorithm.groupCubeSize(revision.desiredCubeSize,
           numPartitions, numElements, bufferCapacity)
         val domainsRdd = classic(prepared).queryExecution.toRdd.mapPartitions { rows =>

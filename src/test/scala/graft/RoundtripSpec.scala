@@ -121,6 +121,30 @@ class RoundtripSpec extends AnyFunSuite {
     assert(back.filter(s"l_orderkey >= $maxKey").count() === expectedMax)
   }
 
+  test("append without cubeSize inherits the table's configured size (no revision churn)") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("rt-inherit-cubesize")
+    (1 to 2000).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast")
+      .option("columnsToIndex", "a,b").option("cubeSize", "500").save(dir)
+    val t = table.QbeastTable.forPath(spark, dir)
+    val revs0 = t.revisionIDs
+    assert(t.cubeSize() == 500)
+    // in-space append WITHOUT any cubeSize option: must reuse the
+    // revision — filling in the global default would fail the reuse
+    // check and silently reset the index config on every plain append
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").mode("append").save(dir)
+    assert(t.revisionIDs == revs0, "plain append must not cut a new revision")
+    assert(t.cubeSize() == 500, "configured cubeSize must survive plain appends")
+    assert(spark.read.format("qbeast").load(dir).count() == 2100)
+    // an EXPLICIT different cubeSize still cuts a new revision
+    (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("cubeSize", "900").mode("append").save(dir)
+    assert(t.revisionIDs.size == revs0.size + 1)
+    assert(t.cubeSize() == 900)
+  }
+
   test("compactRevisions collapses a 2-revision table, content intact") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val dir = TestSpark.tmpDir("qbeast-compact")
