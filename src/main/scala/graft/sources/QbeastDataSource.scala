@@ -37,8 +37,10 @@ class QbeastDataSource
       parameters: Map[String, String]): (String, StructType) = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("'path' is required for a qbeast stream source"))
+    // lightSnapshot: this only needs the SCHEMA — a full snapshot would
+    // replay the entire file list on the driver at every stream start
     val fromLog = QbeastLog
-      .snapshot(path, sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+      .lightSnapshot(path, sqlContext.sparkSession.sparkContext.hadoopConfiguration)
       .schema
     val base = schema.orElse(fromLog).getOrElse(
       throw new IllegalArgumentException(s"no qbeast table (or schema) at $path"))
@@ -68,8 +70,30 @@ class QbeastDataSource
       outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("'path' is required for a qbeast stream sink"))
-    val appId = parameters.getOrElse("checkpointLocation", path)
-    new QbeastStreamSink(path, appId, parameters)
+    // Update mode has no sound mapping onto an append-only indexed
+    // write (each trigger would append the updated aggregate rows as
+    // duplicates); Complete overwrites the table per trigger (the
+    // aggregate state IS the table). partitionBy is meaningless for a
+    // self-organizing layout — reject rather than silently ignore.
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update(),
+      "qbeast sink supports Append and Complete output modes; Update " +
+        "would append duplicated aggregate rows on every trigger")
+    require(partitionColumns.isEmpty,
+      "qbeast tables are self-organizing; partitionBy on writeStream is unsupported")
+    val appId = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
+    }.getOrElse {
+      // no checkpoint key in the sink options (the query uses the
+      // session-default checkpoint conf): the TABLE PATH is NOT a safe
+      // fallback — two distinct queries writing the same table would
+      // share an idempotency key and silently drop each other's
+      // batches (batch ids restart at 0 per query). A per-sink random
+      // id keeps retries of THIS sink exactly-once and degrades
+      // restarts to at-least-once, the safe direction.
+      s"uncheckpointed-${java.util.UUID.randomUUID()}"
+    }
+    new QbeastStreamSink(path, appId, parameters,
+      overwrite = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
   }
 
   override def createRelation(

@@ -17,7 +17,8 @@ import org.apache.spark.sql.execution.streaming.Sink
 private[sources] class QbeastStreamSink(
     path: String,
     appId: String,
-    parameters: Map[String, String])
+    parameters: Map[String, String],
+    overwrite: Boolean = false)
     extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -30,7 +31,10 @@ private[sources] class QbeastStreamSink(
         QbeastOptions.TxnAppId -> s"qbeast-stream-$appId",
         QbeastOptions.TxnVersion -> batchId.toString),
       defaultCubeSize)
-    QbeastWriter.save(spark, path, batch, options, SaveMode.Append)
+    // Complete mode: each trigger's FULL result replaces the table —
+    // appending it would accumulate every trigger's snapshot
+    QbeastWriter.save(spark, path, batch, options,
+      if (overwrite) SaveMode.Overwrite else SaveMode.Append)
   }
 
   override def toString: String = s"QbeastStreamSink[$path]"

@@ -39,4 +39,51 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(snap.txns.keys.exists(_.startsWith("qbeast-stream-")))
   }
 
+  test("Complete mode overwrites the table per trigger instead of accumulating") {
+    import spark.implicits._
+    val tblDir = TestSpark.tmpDir("stream-complete-tbl")
+    val ckpt = TestSpark.tmpDir("stream-complete-ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    mem.addData((1L, 10.0), (2L, 20.0))
+    val agg = mem.toDS().toDF("k", "v").groupBy($"k").agg(sum($"v").as("total"))
+    val q = agg.writeStream.format("qbeast")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .option("columnsToIndex", "k")
+      .option("path", tblDir)
+      .start()
+    try {
+      q.processAllAvailable()
+      mem.addData((1L, 5.0), (3L, 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // table holds the LATEST full aggregate, not the union of both triggers
+    val back = spark.read.format("qbeast").load(tblDir)
+      .as[(Long, Double)].collect().toMap
+    assert(back == Map(1L -> 15.0, 2L -> 20.0, 3L -> 7.0), back.toString)
+  }
+
+  test("Update mode and partitionBy are rejected with clear errors") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val agg = mem.toDS().toDF("k", "v").groupBy($"k").agg(sum($"v").as("total"))
+    val e1 = intercept[Exception] {
+      agg.writeStream.format("qbeast").outputMode("update")
+        .option("checkpointLocation", TestSpark.tmpDir("upd-ckpt"))
+        .option("columnsToIndex", "k")
+        .option("path", TestSpark.tmpDir("upd-tbl")).start()
+    }
+    assert(e1.getMessage.contains("Update") || e1.getMessage.contains("update"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      mem.toDS().toDF("k", "v").writeStream.format("qbeast")
+        .partitionBy("k")
+        .option("checkpointLocation", TestSpark.tmpDir("pb-ckpt"))
+        .option("columnsToIndex", "k")
+        .option("path", TestSpark.tmpDir("pb-tbl")).start()
+    }
+    assert(e2.getMessage.toLowerCase.contains("partition"), e2.getMessage)
+  }
+
 }
