@@ -636,6 +636,71 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** embeddings as a write-time IVF-PQ index (the e04 cluster column +
+   * the e12 PQ codes in ONE map-side pass, no vectors stored): qbeast
+   * single-dim indexed on `cluster` so a query's probed clusters become
+   * file-pruned scans of the (id, cluster, codes) sidecar — m bytes a
+   * vector. Codebooks persist as a JSON sidecar inside the table dir
+   * (`_pq/codebooks.json`, the index's model artifact); the second
+   * element of the result is the loaded codebooks. */
+  def qbeastIvfPqEmbeddings(
+      spark: SparkSession,
+      sfDir: String): (DataFrame, Seq[Seq[(Int, Array[Long])]]) = {
+    import org.apache.spark.sql.functions.col
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "embeddings_ivfpq")
+    val conf = spark.sparkContext.hadoopConfiguration
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, conf)) {
+        val emb = raw(spark, sfDir, "embeddings")
+        // vec_id 0 is the conventional query vector in the e-fixtures —
+        // the index holds the CORPUS only (and the codebooks train on
+        // exactly what they encode, which is what the oracle replays)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val anchors = ops.Similarity.collectAnchors(emb, "vec_id", "embedding")
+        val codebooks = ops.Similarity.pqTrain(corpus, "vec_id", "embedding")
+        corpus.select(
+            col("vec_id"),
+            ops.Similarity.anchorClusterCol(anchors, col("embedding")).as("cluster"),
+            ops.Similarity.pqCodesCol(col("embedding"), codebooks).as("codes"))
+          .repartition(col("cluster"))
+          .write.format("qbeast")
+          // single-dim index (the e11 finding): every level halves the
+          // cluster range, so 16 anchor ids resolve at depth 4 with 2^d
+          // cubes; columnStats pin the space so every write transforms
+          // cluster equalities to the same coordinates
+          .option("columnsToIndex", "cluster")
+          .option("columnStats", """{"cluster_min": 1, "cluster_max": 17}""")
+          .option("cubeSize", "250")
+          .save(path)
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        val cbPath = new org.apache.hadoop.fs.Path(path, "_pq/codebooks.json")
+        val out = fs.create(cbPath, true)
+        try out.write(ops.Similarity.pqCodebooksJson(codebooks)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+    (spark.read.format("qbeast").load(path), loadPqCodebooks(path, conf))
+  }
+
+  /** Read the PQ codebook sidecar written by [[qbeastIvfPqEmbeddings]]. */
+  def loadPqCodebooks(
+      tablePath: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[Seq[(Int, Array[Long])]] = {
+    val p = new org.apache.hadoop.fs.Path(tablePath, "_pq/codebooks.json")
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      ops.Similarity.pqCodebooksFromJson(
+        new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
   /** orders written as two appends split on o_totalprice (< 100000
    * first, the rest appended): every file's o_totalprice range lies
    * entirely on one side of the split, so a filtered count(*) at the

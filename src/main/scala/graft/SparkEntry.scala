@@ -1168,6 +1168,25 @@ object SparkEntry {
       ops.Similarity.pqTopK(emb.filter(col("vec_id") =!= 0),
         "vec_id", "embedding", qv, k = 10)
     }),
+    "e13_ann_ivf_pq" -> ((s, dir) => {
+      // IVF-PQ: the e04 cluster column and the e12 PQ codes written
+      // together as ONE qbeast-indexed table (QTables
+      // .qbeastIvfPqEmbeddings); the query scans only the 3 probed
+      // clusters (OR of equalities → file-pruned, plan-asserted in
+      // AnnIndexedSpec) and ADC-scores codes — no raw vectors read
+      val emb = QTables.raw(s, dir, "embeddings")
+      val anchors = ops.Similarity.collectAnchors(emb, "vec_id", "embedding")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val exact10 = ops.Similarity
+        .knnExact(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val (tbl, codebooks) = QTables.qbeastIvfPqEmbeddings(s, dir)
+      ops.Similarity.pqTopKIndexed(
+          tbl, "vec_id", "cluster", "codes", codebooks, anchors, qv, k = 10)
+        .select(col("vec_id"), col("dist"),
+          col("vec_id").isin(exact10: _*).as("in_exact10"))
+    }),
     "e03_embedding_near_dup" -> ((s, dir) => {
       // random test embeddings have no true near-dups; emit the top
       // in-bucket pairs so the operator's output is observable
@@ -1286,7 +1305,8 @@ object SparkEntry {
    * slices), PQ encoding via the final assignments, ADC scoring from a
    * per-subspace (codeword → integer squared-L2 to the query
    * subvector) table. All-integer, replayed bit-for-bit. */
-  private def pqOracleSql(m: Int, k: Int, iters: Int, dims: Int): String = {
+  private def pqOracleSql(
+      m: Int, k: Int, iters: Int, dims: Int, ivfProbe: Boolean = false): String = {
     val sub = dims / m
     val d1 = sub + 1
     def chain(s: Int): String = {
@@ -1327,17 +1347,34 @@ object SparkEntry {
     }.mkString("\n  ")
     val tJoins = (0 until m).map(s => s"JOIN t_$s ON t_$s.cid = a_$s.cid").mkString("\n  ")
     val distSum = (0 until m).map(s => s"t_$s.td").mkString(" + ")
+    // IVF probe restriction (e13): anchor/cluster assignment and probe
+    // selection over DOUBLES (the e04 CTEs), the exact top-10 for the
+    // in_exact10 recall flag, and a WHERE keeping only probed clusters
+    val probeCtes = if (!ivfProbe) "" else
+      s"""an AS (SELECT vec_id AS aid, emb AS ae FROM ev WHERE vec_id BETWEEN 1 AND 16),
+         |qrv AS (SELECT emb AS qe FROM ev WHERE vec_id = 0),
+         |asgc AS (SELECT vec_id, aid, row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("emb", "ae")} DESC, aid) AS rn
+         |  FROM ev, an WHERE vec_id != 0),
+         |clu AS (SELECT vec_id, aid AS cluster FROM asgc WHERE rn = 1),
+         |pr AS (SELECT aid FROM an, qrv ORDER BY ${cosSql("ae", "qe")} DESC, aid LIMIT 3),
+         |exq AS (SELECT vec_id FROM (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
+         |  FROM ev, qrv WHERE vec_id != 0) ORDER BY sim DESC, vec_id LIMIT 10),
+         |""".stripMargin
+    val probeWhere = if (!ivfProbe) "" else
+      "\n  WHERE a_0.vec_id IN (SELECT vec_id FROM clu WHERE cluster IN (SELECT aid FROM pr))"
+    val probeSel = if (!ivfProbe) "" else
+      ", vec_id IN (SELECT vec_id FROM exq) AS in_exact10"
     s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |sc AS (SELECT vec_id, emb, CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
        |  THEN 127.0 / list_max(list_transform(emb, x -> abs(x))) ELSE 0.0 END AS s FROM ev),
        |qz AS (SELECT vec_id, list_transform(emb, x -> floor(x * s + 0.5)::BIGINT) AS q FROM sc),
        |qc AS (SELECT vec_id, q FROM qz WHERE vec_id != 0),
        |qry AS (SELECT q AS qq FROM qz WHERE vec_id = 0),
-       |${(0 until m).map(chain).mkString(",\n")},
+       |$probeCtes${(0 until m).map(chain).mkString(",\n")},
        |sco AS (SELECT a_0.vec_id, $distSum AS dist
        |  FROM $joins
-       |  $tJoins)
-       |SELECT vec_id, dist FROM sco ORDER BY dist, vec_id LIMIT 10""".stripMargin
+       |  $tJoins$probeWhere)
+       |SELECT vec_id, dist$probeSel FROM sco ORDER BY dist, vec_id LIMIT 10""".stripMargin
   }
 
   private def cosSql(a: String, b: String): String =
@@ -2508,6 +2545,9 @@ object SparkEntry {
          |SELECT query_id, nbr_id, rank FROM r WHERE rank <= 5""".stripMargin,
     "e10_kmeans_int8" -> kmeansOracleSql(k = 4, iters = 2, dims = 64),
     "e12_pq_adc" -> pqOracleSql(m = 4, k = 4, iters = 2, dims = 64),
+    // e13: the e12 chain restricted to the 3 probed IVF clusters (the
+    // e04 anchor CTEs) + the recall flag against the exact top-10
+    "e13_ann_ivf_pq" -> pqOracleSql(m = 4, k = 4, iters = 2, dims = 64, ivfProbe = true),
     "e01_knn_exact" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim

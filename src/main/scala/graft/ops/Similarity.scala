@@ -638,10 +638,25 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     val codebooks = pqTrain(embeddings, idCol, embCol, m, kCodes, iters)
     val encoded = pqEncode(embeddings, idCol, embCol, codebooks)
+    encoded.select(col(idCol), adcDistCol(codebooks, queryVec, col("codes")).as("dist"))
+      .orderBy(col("dist").asc, col(idCol))
+      .limit(k)
+  }
+
+  /** ADC distance column over an already-encoded `codes` array: the
+   * driver computes the m×k integer table of squared-L2 distances
+   * between each query subvector (quantized with the query's own
+   * scale) and each codeword; every row's score is then m literal
+   * array lookups — no vectors touched at scan time. */
+  def adcDistCol(
+      codebooks: Seq[Seq[(Int, Array[Long])]],
+      queryVec: Seq[Double],
+      codesCol: Column): Column = {
+    val m = codebooks.length
     val dim = codebooks.map(_.head._2.length).sum
     val sub = dim / m
     val qq = int8QuantizeSeq(queryVec)
-    require(qq.length == dim, s"query dim ${qq.length} != table dim $dim")
+    require(qq.length == dim, s"query dim ${qq.length} != codebook dim $dim")
     val table: Seq[Seq[Long]] = codebooks.zipWithIndex.map { case (cb, s) =>
       cb.sortBy(_._1).map { case (_, cv) =>
         var acc = 0L
@@ -650,9 +665,92 @@ object Similarity {
         acc
       }
     }
-    val dist = (0 until m).map(s =>
-      element_at(typedlit(table(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
-    encoded.select(col(idCol), dist.as("dist"))
+    (0 until m).map(s =>
+      element_at(typedlit(table(s)), codesCol.getItem(s) + 1)).reduce(_ + _)
+  }
+
+  /** The PQ `codes` column alone (array<int>, one code per subspace) so
+   * an index build can encode alongside other write-time columns in a
+   * single map-side pass — no second scan, no join-back. */
+  def pqCodesCol(embCol: Column, codebooks: Seq[Seq[(Int, Array[Long])]]): Column = {
+    val m = codebooks.length
+    val dim = codebooks.map(_.head._2.length).sum
+    val sub = dim / m
+    val q = int8Quantize(embCol)
+    array((0 until m).map(s =>
+      assignQuantized(slice(q, s * sub + 1, sub), codebooks(s))): _*)
+  }
+
+  /** Codebooks → JSON (`[[cid, [v, ...]], ...]` per subspace) for
+   * persisting next to the indexed table — the PQ model artifact, the
+   * moral equivalent of a FAISS index file's codebook section. */
+  def pqCodebooksJson(codebooks: Seq[Seq[(Int, Array[Long])]]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j: JValue = JArray(codebooks.map(cb => JArray(cb.map { case (cid, v) =>
+      JArray(List(JInt(cid), JArray(v.map(x => JInt(BigInt(x))).toList)))
+    }.toList)).toList)
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  def pqCodebooksFromJson(s: String): Seq[Seq[(Int, Array[Long])]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val JArray(subs) = JsonMethods.parse(s): @unchecked
+    subs.map {
+      case JArray(cb) => cb.map {
+        case JArray(List(cid, JArray(vs))) =>
+          val id = cid match { case JInt(i) => i.toInt; case JLong(l) => l.toInt
+            case other => sys.error(s"bad codebook id $other") }
+          id -> vs.map {
+            case JInt(i) => i.toLong; case JLong(l) => l
+            case other => sys.error(s"bad codeword value $other")
+          }.toArray
+        case other => sys.error(s"bad codebook entry $other")
+      }
+      case other => sys.error(s"bad codebook $other")
+    }
+  }
+
+  /**
+   * IVF-PQ composition — the 100 TB ANN shape (IVFADC, Jégou et al.
+   * 2011, sans residual encoding — distances are over raw-vector PQ
+   * codes so the integer-exact oracle replay of e10/e12 carries over):
+   * the corpus is written ONCE as a qbeast table carrying
+   * `(id, cluster, codes)` where `cluster` is the write-time IVF anchor
+   * assignment (e04's [[anchorClusterCol]]) and `codes` the PQ encoding
+   * ([[pqCodesCol]]) — the table IS the index, the codebooks persist as
+   * a JSON sidecar. A query (a) scores the anchors on the driver (tiny),
+   * (b) scans only the `nProbe` probed clusters, issued as an OR of
+   * cluster EQUALITIES so each disjunct becomes its own query space in
+   * the file index (an IN-list would collapse to one covering range and
+   * prune nothing — the e11 finding), and (c) ADC-scores the surviving
+   * codes through a driver-side m×k integer distance table
+   * ([[adcDistCol]]). The scan therefore reads m bytes per vector of
+   * ~nProbe/nClusters of the corpus: neither raw vectors nor unprobed
+   * clusters are touched — at 100 TB that is the difference between an
+   * index lookup and a full-corpus pass.
+   */
+  def pqTopKIndexed(
+      ivfPqTable: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      codesCol: String,
+      codebooks: Seq[Seq[(Int, Array[Long])]],
+      anchors: Seq[(Int, Array[Double])],
+      queryVec: Seq[Double],
+      k: Int,
+      nProbe: Int = 3): DataFrame = {
+    val probes = anchors
+      .map { case (aid, vec) => (aid, cosineSeq(vec.toSeq, queryVec)) }
+      .sortBy { case (aid, c) => (-c, aid) }
+      .take(nProbe)
+      .map(_._1)
+    val pred = probes.map(p => col(clusterCol) === lit(p)).reduce(_ || _)
+    ivfPqTable
+      .filter(pred)
+      .select(col(idCol), adcDistCol(codebooks, queryVec, col(codesCol)).as("dist"))
       .orderBy(col("dist").asc, col(idCol))
       .limit(k)
   }

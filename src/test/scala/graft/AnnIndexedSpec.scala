@@ -76,6 +76,65 @@ class AnnIndexedSpec extends AnyFunSuite {
     assert(e11.count() == 10)
   }
 
+  test("pqTopKIndexed prunes files and matches the unindexed ADC scoring") {
+    import spark.implicits._
+    // synthetic corpus across 16 anchor clusters, many files
+    val dim = 16
+    val rnd = new scala.util.Random(41)
+    val emb = (0 until 20000)
+      .map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val anchors = ops.Similarity.collectAnchors(emb, "vec_id", "embedding")
+    val codebooks = ops.Similarity.pqTrain(corpus, "vec_id", "embedding", m = 4, k = 4, iters = 1)
+    val dir = TestSpark.tmpDir("ann-ivfpq-idx")
+    corpus.select(col("vec_id"),
+        ops.Similarity.anchorClusterCol(anchors, col("embedding")).as("cluster"),
+        ops.Similarity.pqCodesCol(col("embedding"), codebooks).as("codes"))
+      .repartition(col("cluster"))
+      .write.format("qbeast")
+      .option("columnsToIndex", "cluster")
+      .option("columnStats", """{"cluster_min": 1, "cluster_max": 17}""")
+      .option("cubeSize", "500")
+      .save(dir)
+    val tbl = spark.read.format("qbeast").load(dir)
+    val total = tbl.inputFiles.length
+    assert(total > 4, s"fixture too small to observe pruning: $total files")
+
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val ann = ops.Similarity.pqTopKIndexed(
+      tbl, "vec_id", "cluster", "codes", codebooks, anchors, qv, k = 10)
+    val read = filesRead(ann)
+    assert(read < total, s"indexed IVF-PQ scan must prune: read $read of $total")
+
+    // ground truth: same probe set + ADC scoring computed the direct
+    // way over recomputed cluster/codes columns (filter-only)
+    val probes = anchors
+      .map { case (aid, v) => (aid, ops.Similarity.cosineSeq(v.toSeq, qv)) }
+      .sortBy { case (aid, c) => (-c, aid) }.take(3).map(_._1)
+    val direct = corpus
+      .withColumn("cluster", ops.Similarity.anchorClusterCol(anchors, col("embedding")))
+      .filter(col("cluster").isin(probes: _*))
+      .select(col("vec_id"),
+        ops.Similarity.adcDistCol(codebooks, qv,
+          ops.Similarity.pqCodesCol(col("embedding"), codebooks)).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id")).limit(10)
+    val got = ann.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"indexed IVF-PQ diverged from direct ADC: $got vs $want")
+
+    // codebook JSON sidecar round-trips exactly
+    val json = ops.Similarity.pqCodebooksJson(codebooks)
+    val back = ops.Similarity.pqCodebooksFromJson(json)
+    assert(back.map(_.map { case (c, v) => (c, v.toSeq) }) ==
+      codebooks.map(_.map { case (c, v) => (c, v.toSeq) }))
+
+    // the e13 query itself runs end-to-end on the shipped fixture dir
+    val e13 = SparkEntry.queries("e13_ann_ivf_pq")(spark, sf)
+    assert(e13.count() == 10)
+  }
+
   test("probe radius bounds the bucket set correctly") {
     val qb = 0b101010L
     assert(ops.Similarity.probeBuckets(qb, 6, 0).toSeq == Seq(qb))
