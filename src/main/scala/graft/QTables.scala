@@ -636,6 +636,26 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders with per-file bloom filters on o_custkey — a
+   * high-cardinality column UNCORRELATED with the (o_orderkey,
+   * o_totalprice) index order, so every file's [min, max] spans any
+   * custkey probe and ONLY the bloom can skip files on an equality
+   * lookup (the q84 shape). */
+  def qbeastBloomOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_bloom")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, "orders").write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_totalprice")
+          .option("cubeSize", "2000")
+          .option("bloomFilterColumns", "o_custkey")
+          .save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** embeddings as a write-time IVF-PQ index (the e04 cluster column +
    * the e12 PQ codes in ONE map-side pass, no vectors stored): qbeast
    * single-dim indexed on `cluster` so a query's probed clusters become

@@ -929,6 +929,21 @@ object SparkEntry {
       require(scans.isEmpty, "boundary-aligned filtered count should fold to metadata")
       df
     }),
+    "q84_bloom_lookup" -> ((s, dir) => {
+      // equality lookups on a bloom-filtered non-indexed column
+      // (QTables.qbeastBloomOrders): o_custkey is uncorrelated with the
+      // index order, so every file's [min, max] spans the probe and
+      // ONLY the per-file bloom filter skips files — the point-lookup
+      // shape min/max stats cannot prune (file skipping plan-asserted
+      // in BloomSkippingSpec)
+      val t = QTables.qbeastBloomOrders(s, dir)
+      val k1 = t.agg(min(col("o_custkey"))).head().getLong(0)
+      def probe(name: String, k: Long) = t.filter(col("o_custkey") === k)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("o_orderkey")), lit(0L)).as("s"))
+        .select(lit(name).as("probe"), col("n"), col("s"))
+      probe("hit", k1).unionAll(probe("nbr", k1 + 1))
+    }),
     "q77_changes_feed" -> ((s, dir) => {
       // change data feed replayed from the commit log's file diff:
       // append → insert rows, copy-on-write delete → delete rows (the
@@ -2310,6 +2325,14 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     "q83_metadata_count_filtered" ->
       "SELECT count(*) AS cnt FROM orders WHERE o_totalprice >= 100000",
+    "q84_bloom_lookup" ->
+      """WITH k AS (SELECT min(o_custkey) AS k1 FROM orders)
+        |SELECT 'hit' AS probe, count(*) AS n,
+        |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS s
+        |FROM orders, k WHERE o_custkey = k1
+        |UNION ALL
+        |SELECT 'nbr', count(*), CAST(coalesce(sum(o_orderkey), 0) AS BIGINT)
+        |FROM orders, k WHERE o_custkey = k1 + 1""".stripMargin,
     "q77_changes_feed" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
         |  app AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (5, 6)),

@@ -14,6 +14,21 @@ final case class QbeastOptions(
     rollupSize: Option[Long],
     extra: Map[String, String]) {
 
+  /** `bloomFilterColumns`: per-file bloom filters for equality skipping
+   * on the named (non-indexed, high-cardinality) columns. None = not
+   * specified (inherit the table's persisted config); Some(Nil) = the
+   * explicit empty string, which TURNS OFF filters persisted earlier. */
+  lazy val bloomFilterColumns: Option[Seq[String]] =
+    extra.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(QbeastOptions.BloomFilterColumns) =>
+        v.split(",").map(_.trim).toSeq.filter(_.nonEmpty)
+    }
+
+  lazy val bloomFilterBits: Option[Int] =
+    extra.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(QbeastOptions.BloomFilterBits) => v.toInt
+    }
+
   /** True iff the caller explicitly passed cubeSize (vs the filled-in
    * default): appends without it inherit the existing revision's
    * configured size instead of resetting it (see RevisionFactory). */
@@ -42,6 +57,14 @@ object QbeastOptions {
   val ColumnStats = "columnStats"
   val TxnAppId = "txnAppId"
   val TxnVersion = "txnVersion"
+
+  /** Comma-separated columns to build per-file bloom filters over at
+   * write time (equality/IN file skipping on non-indexed columns). */
+  val BloomFilterColumns = "bloomFilterColumns"
+
+  /** Bits per expected row for the per-file bloom filters (default
+   * [[graft.write.BloomCollector.DefaultBitsPerKey]]-style sizing). */
+  val BloomFilterBits = "bloomFilterBits"
 
   /** Target rows per output file (defaults to cubeSize). Larger values
    * cut file counts (fewer tasks/opens at scale); with rows sorted by

@@ -174,6 +174,19 @@ object BloomImpl {
     true
   }
 
+  /** Driver-side probe over a plain word array (file-skipping path). */
+  def mightContain(words: Array[Long], v: Long, numHashes: Int): Boolean = {
+    val numBits = words.length.toLong * 64L
+    var i = 0
+    while (i < numHashes) {
+      val pos = probe(v, i, numBits)
+      if ((words((pos >>> 6).toInt) & (1L << (pos & 63L).toInt)) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+
 }
 
 /**

@@ -17,11 +17,17 @@ import java.util.concurrent.ConcurrentHashMap
  */
 object FileStatsPruning {
 
+  /** One column's per-file bloom filter (see
+   * [[graft.write.BloomCollector]]): decoded bitset words + probe
+   * count. */
+  final case class BloomStat(words: Array[Long], k: Int)
+
   final case class Stats(
       numRecords: Long,
       mins: Map[String, Any],
       maxs: Map[String, Any],
-      nulls: Map[String, Long])
+      nulls: Map[String, Long],
+      blooms: Map[String, BloomStat] = Map.empty)
 
   /** Parsed-stats cache keyed by the JSON text (one entry per file;
    * snapshots reuse the same strings across queries). Bounded: every
@@ -70,7 +76,35 @@ object FileStatsPruning {
         }.toMap
         case _ => Map.empty[String, Long]
       })
-      val s = Stats(numRecords, section("minValues"), section("maxValues"), nulls)
+      // per-column bloom filters (absent in pre-bloom stats): a
+      // malformed entry drops ONLY that column's filter, never the
+      // min/max sections
+      val blooms = j \ "bloomFilters" match {
+        case JObject(fields) => fields.flatMap { case (col, o) =>
+          try {
+            val k = o \ "k" match {
+              case JInt(v) => v.toInt
+              case JLong(v) => v.toInt
+              case _ => 0
+            }
+            val b64 = o \ "b64" match {
+              case JString(s) => s
+              case _ => ""
+            }
+            if (b64.isEmpty || k <= 0) None
+            else {
+              val bytes = java.util.Base64.getDecoder.decode(b64)
+              val lb = java.nio.ByteBuffer.wrap(bytes)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+              val words = new Array[Long](lb.remaining())
+              lb.get(words)
+              Some(col -> BloomStat(words, k))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.toMap
+        case _ => Map.empty[String, BloomStat]
+      }
+      val s = Stats(numRecords, section("minValues"), section("maxValues"), nulls, blooms)
       if (cache.size() > MaxCacheEntries) cache.clear()
       cache.put(json, s)
       Some(s)
@@ -85,8 +119,8 @@ object FileStatsPruning {
     case And(l, r) => eval(s, l) && eval(s, r)
     case Or(l, r) => eval(s, l) || eval(s, r)
 
-    case EqualTo(a: AttributeReference, Literal(v, _)) => containsValue(s, a.name, v)
-    case EqualTo(Literal(v, _), a: AttributeReference) => containsValue(s, a.name, v)
+    case EqualTo(a: AttributeReference, Literal(v, dt)) => containsValue(s, a.name, v, dt)
+    case EqualTo(Literal(v, dt), a: AttributeReference) => containsValue(s, a.name, v, dt)
 
     case GreaterThan(a: AttributeReference, Literal(v, _)) => maxAbove(s, a.name, v, strict = true)
     case GreaterThan(Literal(v, _), a: AttributeReference) => minBelow(s, a.name, v, strict = true)
@@ -98,9 +132,9 @@ object FileStatsPruning {
     case LessThanOrEqual(Literal(v, _), a: AttributeReference) => maxAbove(s, a.name, v, strict = false)
 
     case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
-      list.exists { case Literal(v, _) => containsValue(s, a.name, v) }
+      list.exists { case Literal(v, dt) => containsValue(s, a.name, v, dt) }
     case InSet(a: AttributeReference, set) =>
-      set.exists(v => containsValue(s, a.name, v))
+      set.exists(v => containsValue(s, a.name, v, a.dataType))
 
     case IsNull(a: AttributeReference) =>
       s.nulls.get(a.name).forall(_ > 0)
@@ -140,8 +174,8 @@ object FileStatsPruning {
         case (Some(false), Some(false)) => Some(false)
         case _ => None
       }
-    case EqualTo(a: AttributeReference, Literal(v, _)) => proveEq(s, a.name, v)
-    case EqualTo(Literal(v, _), a: AttributeReference) => proveEq(s, a.name, v)
+    case EqualTo(a: AttributeReference, Literal(v, dt)) => proveEq(s, a.name, v, dt)
+    case EqualTo(Literal(v, dt), a: AttributeReference) => proveEq(s, a.name, v, dt)
     case GreaterThan(a: AttributeReference, Literal(v, _)) => proveCmp(s, a.name, v, 1, strict = true)
     case GreaterThan(Literal(v, _), a: AttributeReference) => proveCmp(s, a.name, v, -1, strict = true)
     case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => proveCmp(s, a.name, v, 1, strict = false)
@@ -151,8 +185,8 @@ object FileStatsPruning {
     case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => proveCmp(s, a.name, v, -1, strict = false)
     case LessThanOrEqual(Literal(v, _), a: AttributeReference) => proveCmp(s, a.name, v, 1, strict = false)
     case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
-      val vs = list.collect { case Literal(v, _) if v != null => v }
-      val eqs = vs.map(v => proveEq(s, a.name, v))
+      val vs = list.collect { case Literal(v, dt) if v != null => (v, dt) }
+      val eqs = vs.map { case (v, dt) => proveEq(s, a.name, v, dt) }
       if (eqs.exists(_.contains(true))) Some(true)
       else if (eqs.nonEmpty && eqs.forall(_.contains(false))) Some(false)
       else if (vs.isEmpty) Some(false) // only-null IN list matches nothing
@@ -200,8 +234,13 @@ object FileStatsPruning {
     }
   }
 
-  private def proveEq(s: Stats, colName: String, v: Any): Option[Boolean] = {
+  private def proveEq(
+      s: Stats, colName: String, v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Boolean] = {
     if (v == null) return Some(false)
+    // bloom says definitely-absent → no row matches, even when min/max
+    // can't decide (the high-cardinality case blooms exist for)
+    if (bloomAbsent(s, colName, v, dt)) return Some(false)
     val nulls = s.nulls.get(colName).getOrElse(return None)
     if (nulls == s.numRecords) return Some(false)
     val mn = s.mins.get(colName).getOrElse(return None)
@@ -221,9 +260,11 @@ object FileStatsPruning {
   private def allNull(s: Stats, col: String): Boolean =
     s.nulls.get(col).contains(s.numRecords)
 
-  private def containsValue(s: Stats, col: String, v: Any): Boolean = {
+  private def containsValue(
+      s: Stats, col: String, v: Any, dt: org.apache.spark.sql.types.DataType): Boolean = {
     if (v == null) return false // EqualTo(col, null) matches nothing
     if (allNull(s, col)) return false
+    if (bloomAbsent(s, col, v, dt)) return false
     (s.mins.get(col), s.maxs.get(col)) match {
       case (Some(mn), Some(mx)) =>
         (cmp(mn, v), cmp(mx, v)) match {
@@ -233,6 +274,46 @@ object FileStatsPruning {
       case _ => true
     }
   }
+
+  /** True iff the file HAS a bloom filter for `col` and it proves the
+   * value absent (no false negatives: every non-null value written was
+   * inserted under the same xxhash64 key). Missing filter, unhashable
+   * literal, or any error keeps the file. */
+  private def bloomAbsent(
+      s: Stats, col: String, v: Any, dt: org.apache.spark.sql.types.DataType): Boolean =
+    s.blooms.get(col) match {
+      case Some(b) =>
+        bloomKey(v, dt) match {
+          case Some(h) => !graft.expressions.BloomImpl.mightContain(b.words, h, b.k)
+          case None => false
+        }
+      case None => false
+    }
+
+  /** The write side inserts `xxhash64(col)` (seed 42, Catalyst
+   * semantics); hash the probe literal through the same expression so
+   * write and read agree bit-for-bit on every type. -0.0 and float NaN
+   * payloads normalize to the canonical forms Spark's UnsafeRow writers
+   * store, so an odd literal spelling can never cause a false skip. */
+  private def bloomKey(
+      v: Any, dt: org.apache.spark.sql.types.DataType): Option[Long] =
+    try {
+      val norm: Any = v match {
+        case d: java.lang.Double =>
+          if (java.lang.Double.isNaN(d)) java.lang.Double.valueOf(Double.NaN)
+          else if (d.doubleValue() == 0.0) java.lang.Double.valueOf(0.0)
+          else d
+        case f: java.lang.Float =>
+          if (java.lang.Float.isNaN(f)) java.lang.Float.valueOf(Float.NaN)
+          else if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f)
+          else f
+        case other => other
+      }
+      new XxHash64(Seq(Literal(norm, dt))).eval(null) match {
+        case l: java.lang.Long => Some(l.longValue())
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def maxAbove(s: Stats, col: String, v: Any, strict: Boolean): Boolean = {
     if (v == null) return false

@@ -99,7 +99,13 @@ final class FileStatsCollector(schema: StructType) {
   }
 
   /** Delta-shaped JSON: {"numRecords":N,"minValues":{},"maxValues":{},"nullCount":{}} */
-  def toJson: String = {
+  def toJson: String = toJson(None)
+
+  /** Same, with an optional extra `"bloomFilters": <section>` object
+   * (see [[BloomCollector.toJsonSection]]) appended — readers that
+   * don't know the key ([[graft.read.FileStatsPruning.parse]] pre-bloom,
+   * any external Delta-stats consumer) skip it untouched. */
+  def toJson(bloomSection: Option[String]): String = {
     val sb = new StringBuilder(256)
     sb.append("{\"numRecords\":").append(numRecords)
     def section(name: String, isMin: Boolean): Unit = {
@@ -145,7 +151,9 @@ final class FileStatsCollector(schema: StructType) {
       sb.append('"').append(names(j)).append("\":").append(nulls(j))
       j += 1
     }
-    sb.append("}}")
+    sb.append('}')
+    bloomSection.foreach(b => sb.append(",\"bloomFilters\":").append(b))
+    sb.append('}')
     sb.toString
   }
 

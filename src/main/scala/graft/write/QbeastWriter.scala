@@ -117,7 +117,8 @@ object QbeastWriter {
         f.equalsIgnoreCase(QbeastColumns.weightColumnName) ||
         f.equalsIgnoreCase(QbeastColumns.fileUUIDColumnName) ||
         f.equalsIgnoreCase("_qbeastAssign") ||
-        f.equalsIgnoreCase("_qbeastCheck"))
+        f.equalsIgnoreCase("_qbeastCheck") ||
+        f.toLowerCase.startsWith("_qbeastbloom"))
     require(reserved.isEmpty,
       s"column name(s) ${reserved.mkString(", ")} are reserved by the qbeast " +
         "writer; rename them before writing")
@@ -149,6 +150,30 @@ object QbeastWriter {
     // checked must BE the rows written.
     val tableConstraints = Constraints.of(snapshot.configuration).toSeq.sortBy(_._1)
 
+    // per-file bloom filters (equality skipping on non-indexed
+    // columns): the explicit option wins — an empty string TURNS OFF
+    // filters persisted earlier — otherwise the table's persisted
+    // config applies, so appends and streaming batches keep building
+    // filters without re-specifying the option (Delta's
+    // table-property discipline)
+    val configuredBloomCols = snapshot.configuration
+      .get("qbeast.bloomFilterColumns")
+      .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val bloomCols = options.bloomFilterColumns.getOrElse(configuredBloomCols)
+    options.bloomFilterColumns.foreach(_.foreach { c =>
+      val f = data.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloomFilterColumns: column $c not found in the written schema"))
+      require(bloomEligible(f.dataType),
+        s"bloomFilterColumns: column $c has unsupported type " +
+          s"${f.dataType.simpleString} (atomic types only)")
+    })
+    val bloomBits = options.bloomFilterBits
+      .orElse(snapshot.configuration.get("qbeast.bloomFilterBits").map(_.toInt))
+      .getOrElse(BloomCollector.DefaultBitsPerKey)
+    require(bloomBits > 0 && bloomBits <= 64,
+      s"bloomFilterBits must be in [1, 64] bits per row, got $bloomBits")
+
     // overwrite keeps the table's indexing config (columns/cubeSize are
     // reused unless re-specified); it only replaces the data files
     val existingRevision = snapshot.lastRevision.filterNot(_.isStaging)
@@ -177,7 +202,8 @@ object QbeastWriter {
       else None
 
     val files0 = index(spark, tablePath, data, revision1, existingStatus, numElements,
-      rollupSize = options1.rollupSize, constraints = tableConstraints)
+      rollupSize = options1.rollupSize, constraints = tableConstraints,
+      bloomSpec = Some(BloomWriteSpec(bloomCols, bloomBits)))
 
     // ---- pre-commit hooks (reference #28) ----
     val hookTags =
@@ -197,9 +223,20 @@ object QbeastWriter {
         if (boolOpt("enableChangeDataFeed"))
           Map("qbeast.enableChangeDataFeed" -> "true")
         else Map.empty[String, String]
-      val config = base.configuration ++ hookTags ++ cdfTag ++
+      // bloom config persists like a table property; the explicit empty
+      // option drops it (turn-off)
+      val bloomTag =
+        if (bloomCols.nonEmpty)
+          Map("qbeast.bloomFilterColumns" -> bloomCols.mkString(","),
+            "qbeast.bloomFilterBits" -> bloomBits.toString)
+        else Map.empty[String, String]
+      val bloomDrop: Set[String] =
+        if (options.bloomFilterColumns.exists(_.isEmpty))
+          Set("qbeast.bloomFilterColumns", "qbeast.bloomFilterBits")
+        else Set.empty
+      val config = base.configuration ++ hookTags ++ cdfTag ++ bloomTag ++
         Map("qbeast.lastRevisionID" ->
-          math.max(revisionToCommit.revisionID, base.lastRevisionID).toString)
+          math.max(revisionToCommit.revisionID, base.lastRevisionID).toString) -- bloomDrop
       // Re-derive the schema against the CURRENT base, not the snapshot
       // this write started from: a concurrent append may itself have
       // evolved the schema, and committing the stale merge would
@@ -301,8 +338,25 @@ object QbeastWriter {
     }
   }
 
+  /** Types a per-file bloom filter can cover: anything with a stable
+   * xxhash64 of an equality literal (atomic, non-nested). */
+  def bloomEligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ArrayType |
+        _: org.apache.spark.sql.types.MapType |
+        _: org.apache.spark.sql.types.StructType |
+        org.apache.spark.sql.types.NullType => false
+    case _ => true
+  }
+
+  /** Bloom build request for one write: columns (unresolved names) +
+   * bits per expected row. */
+  final case class BloomWriteSpec(cols: Seq[String], bitsPerKey: Int)
+
   /** Index `data` into `revision` and write the parquet files (no
-   * commit). Shared by write and optimize. */
+   * commit). Shared by write and optimize. `bloomSpec` None = derive
+   * from the table's persisted config (the DML/optimize paths, which
+   * must keep rebuilding filters the table was configured with);
+   * Some(BloomWriteSpec(Nil, _)) = explicitly none. */
   def index(
       spark: SparkSession,
       tablePath: String,
@@ -312,7 +366,25 @@ object QbeastWriter {
       numElements: Long,
       frozenWeights: Option[Map[CubeId, Weight]] = None,
       rollupSize: Option[Long] = None,
-      constraints: Seq[(String, String)] = Nil): Seq[IndexFile] = {
+      constraints: Seq[(String, String)] = Nil,
+      bloomSpec: Option[BloomWriteSpec] = None): Seq[IndexFile] = {
+
+    val bloom = bloomSpec.getOrElse {
+      val cfg = QbeastLog
+        .lightSnapshot(tablePath, spark.sparkContext.hadoopConfiguration)
+        .configuration
+      BloomWriteSpec(
+        cfg.get("qbeast.bloomFilterColumns")
+          .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        cfg.get("qbeast.bloomFilterBits").map(_.toInt)
+          .getOrElse(BloomCollector.DefaultBitsPerKey))
+    }
+    // resolve case-insensitively against the written schema; a column
+    // this batch doesn't carry (schema evolution) or an ineligible
+    // type is skipped — readers treat a missing filter conservatively
+    val bloomCols: Seq[String] = bloom.cols.flatMap(c =>
+      data.schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
+        bloomEligible(f.dataType)).map(_.name)).distinct
 
     val dims = revision.dimensionCount
     val coordCols = revision.columnTransformers.lazyZip(revision.transformations)
@@ -437,9 +509,21 @@ object QbeastWriter {
         col(QbeastColumns.cubeColumnName),
         col(QbeastColumns.weightColumnName))
 
+    // bloom keys as extra codegen columns AFTER the shuffle+sort (a
+    // projection preserves both), so the 8-byte hashes never ride the
+    // exchange and the writer's per-row cost is one getLong
+    val taggedB = bloomCols.zipWithIndex.foldLeft(tagged) { case (df, (c, j)) =>
+      df.withColumn(s"_qbeastBloomH$j", xxhash64(col(c)))
+    }
+
     // ---- pass 3: physical write with per-cube block accounting ----
-    writeFiles(spark, tablePath, tagged, dataSchema, dims, revision.revisionID,
-      constraints)
+    // rollup groups seal at up to ~2x the target rows — size the
+    // filters for that worst case, or the real bits/key halves and the
+    // fp rate blows up
+    writeFiles(spark, tablePath, taggedB, dataSchema, dims, revision.revisionID,
+      constraints, bloomCols,
+      BloomCollector.numBitsFor(
+        2L * rollupSize.getOrElse(revision.desiredCubeSize.toLong), bloom.bitsPerKey))
   }
 
   private[graft] def classic(df: DataFrame): org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row] =
@@ -455,7 +539,9 @@ object QbeastWriter {
       dataSchema: StructType,
       dims: Int,
       revisionId: Long,
-      constraints: Seq[(String, String)] = Nil): Seq[IndexFile] = {
+      constraints: Seq[(String, String)] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomNumBits: Long = 0L): Seq[IndexFile] = {
 
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     val factory: OutputWriterFactory =
@@ -465,10 +551,17 @@ object QbeastWriter {
     // non-indexed columns; ~free next to parquet encoding, but opt-out
     // for ingest-bound workloads
     val collectStats =
-      !spark.conf.getOption("spark.qbeast.index.fileStats").contains("false")
+      !spark.conf.getOption("spark.qbeast.index.fileStats").contains("false") ||
+        bloomCols.nonEmpty // blooms ride the stats JSON, which needs numRecords
 
     val n = dataSchema.length
     val fields = dataSchema.fields
+    // bloom layout: names + source positions (null check) + hash-column
+    // positions (appended after cube/weight/uuid[/check] by index())
+    val bloomNames = bloomCols.toArray
+    val bloomSrcIdx = bloomNames.map(dataSchema.fieldIndex)
+    val bloomBase = n + 3 + (if (constraints.nonEmpty) 1 else 0)
+    val bloomHashIdx = Array.tabulate(bloomNames.length)(bloomBase + _)
     val plan = classic(tagged).queryExecution.executedPlan
 
     val filesRdd = plan.execute().mapPartitionsWithIndex { (pid, rows) =>
@@ -493,7 +586,8 @@ object QbeastWriter {
             writer: org.apache.spark.sql.execution.datasources.OutputWriter,
             path: Path,
             blocks: mutable.HashMap[CubeId, (Int, Int, Long)],
-            stats: FileStatsCollector)
+            stats: FileStatsCollector,
+            bloom: BloomCollector)
         val fs = new Path(tablePath).getFileSystem(conf)
         val done = Vector.newBuilder[IndexFile]
         val closed = mutable.HashSet.empty[String]
@@ -510,7 +604,8 @@ object QbeastWriter {
             blocks = of.blocks.iterator.map { case (cube, (mn, mx, cnt)) =>
               Block(cube, Weight(mn), Weight(mx), cnt)
             }.toVector.sortBy(_.cube),
-            stats = Option(of.stats).map(_.toJson))
+            stats = Option(of.stats)
+              .map(_.toJson(Option(of.bloom).map(_.toJsonSection))))
           closed += of.uuid
           of = null
         }
@@ -555,10 +650,15 @@ object QbeastWriter {
               of = OpenFile(uuid,
                 factory.newInstance(path.toString, dataSchema, context), path,
                 mutable.HashMap.empty,
-                if (collectStats) new FileStatsCollector(dataSchema) else null)
+                if (collectStats) new FileStatsCollector(dataSchema) else null,
+                if (bloomNames.nonEmpty)
+                  new BloomCollector(bloomNames, bloomSrcIdx, bloomHashIdx,
+                    bloomNumBits, BloomCollector.NumHashes)
+                else null)
             }
             of.writer.write(project(row))
             if (of.stats != null) of.stats.update(row)
+            if (of.bloom != null) of.bloom.update(row)
             val (mn, mx, cnt) = of.blocks.getOrElse(cube, (Int.MaxValue, Int.MinValue, 0L))
             of.blocks.update(cube, (math.min(mn, weight), math.max(mx, weight), cnt + 1L))
           }
