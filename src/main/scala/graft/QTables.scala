@@ -1116,6 +1116,11 @@ object QTables {
       cs.experimental.extraOptimizations =
         withSample :+ new graft.rules.MetadataCountRule(spark)
     }
+    val withMeta = cs.experimental.extraOptimizations
+    if (!withMeta.exists(_.isInstanceOf[graft.rules.ScanSizeRule])) {
+      cs.experimental.extraOptimizations =
+        withMeta :+ new graft.rules.ScanSizeRule(spark)
+    }
   }
 
 }

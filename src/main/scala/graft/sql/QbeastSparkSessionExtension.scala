@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.rules.{MetadataCountRule, QbeastAnalysis, QbeastDmlRules, SampleRule}
+import graft.rules.{MetadataCountRule, QbeastAnalysis, QbeastDmlRules, SampleRule, ScanSizeRule}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -24,6 +24,9 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     extensions.injectOptimizerRule { session => new SampleRule(session) }
     // unfiltered count(*) over a qbeast scan answered from log metadata
     extensions.injectOptimizerRule { session => new MetadataCountRule(session) }
+    // filter-aware scan sizing: pruned slices report pruned bytes so
+    // joins against them broadcast without hints
+    extensions.injectOptimizerRule { session => new ScanSizeRule(session) }
     // change-data-feed TVF (Delta's table_changes, path-addressed):
     //   SELECT * FROM table_changes('/path/to/table', 1)        -- 1..head
     //   SELECT * FROM table_changes('/path/to/table', 1, 3)
