@@ -86,6 +86,20 @@ object DistributedMetadata {
       snap.files.iterator.filter(f => wanted.contains(f.path))).toVector
   }
 
+  /** Live files smaller than `maxSize` bytes (auto-compaction trigger).
+   * Driver memory is O(small files) — the set about to be rewritten. */
+  def filesSmallerThan(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      maxSize: Long): Vector[IndexFile] = {
+    val dims = dimensionsOf(snap) _
+    val selected = liveRows(spark, snap, None)
+      .filter(r => r.size < maxSize)
+      .collect()
+    (selected.iterator.map(_.toIndexFile(dims)) ++
+      snap.files.iterator.filter(_.size < maxSize)).toVector
+  }
+
   /** Files belonging to any revision in `rids` (compactRevisions). */
   def filesOfRevisions(
       spark: SparkSession,

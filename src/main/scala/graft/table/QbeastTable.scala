@@ -206,6 +206,33 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     commitRewrite(s, adds, candidates)
   }
 
+  /**
+   * Fold every live file smaller than `smallFileSize` into the LATEST
+   * revision in one index pass (the auto-compaction rewrite — see
+   * [[AutoCompact]]). Unlike [[optimizeFiles]], which repacks each
+   * file within its own revision, this collapses the per-micro-batch
+   * revision fragmentation streaming ingest produces: the latest
+   * revision's space supersedes the earlier ones (the
+   * [[compactRevisions]] argument), so re-indexing the smalls against
+   * it merges them into shared rollup files AND reduces the revision
+   * walk. No-op below `minNumFiles` smalls or with no indexed
+   * revision; layout-only commit (dataChange = false).
+   */
+  def compactSmallFiles(smallFileSize: Long, minNumFiles: Int): Unit = {
+    val s = controlSnapshot()
+    val latest = s.lastRevision.filterNot(_.isStaging).getOrElse(return)
+    val small =
+      if (s.filesComplete) s.files.filter(_.size < smallFileSize)
+      else DistributedMetadata.filesSmallerThan(spark, s, smallFileSize)
+    if (small.length < minNumFiles) return
+    val data = readTableFiles(s, small)
+    val numElements = small.map(_.elementCount).sum
+    val status = statusOf(s, latest.revisionID)
+    val newFiles = QbeastWriter.index(spark, tablePath, data, latest,
+      Some(status), numElements)
+    commitRewrite(s, newFiles, small)
+  }
+
   private def commitRewrite(
       s: QbeastSnapshot,
       adds: Seq[IndexFile],

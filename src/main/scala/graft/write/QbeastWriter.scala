@@ -60,8 +60,10 @@ object QbeastWriter {
       .map(_.toInt).getOrElse(2)
     var attempt = 0
     var committed = false
+    var preConfig: Map[String, String] = Map.empty
     while (!committed) {
       val snapshot = QbeastLog.snapshot(tablePath, conf)
+      preConfig = snapshot.configuration
       if (!snapshot.isEmpty) {
         mode match {
           case SaveMode.ErrorIfExists =>
@@ -85,6 +87,20 @@ object QbeastWriter {
           if (attempt > retries) throw e
       }
     }
+    // post-commit auto-compaction (Delta's autoCompact discipline):
+    // when enough small files have accumulated — the streaming-ingest
+    // failure mode: thousands of per-trigger files erode scan and
+    // metadata performance — fold them with a targeted layout-only
+    // optimize, synchronously after the commit like Delta. The option
+    // decides when given; otherwise the persisted table property.
+    val autoOpt = options.extra.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("autoCompact") => v.equalsIgnoreCase("true")
+    }
+    // pre-commit snapshot config: a property added by a concurrent
+    // writer mid-flight is picked up by the next write
+    val autoOn =
+      autoOpt.getOrElse(preConfig.get("qbeast.autoCompact").contains("true"))
+    if (autoOn) graft.table.AutoCompact.compactSmallFiles(spark, tablePath)
   }
 
   private def writeOnce(
@@ -234,9 +250,20 @@ object QbeastWriter {
         if (options.bloomFilterColumns.exists(_.isEmpty))
           Set("qbeast.bloomFilterColumns", "qbeast.bloomFilterBits")
         else Set.empty
-      val config = base.configuration ++ hookTags ++ cdfTag ++ bloomTag ++
+      // autoCompact persists as a table property; `autoCompact=false`
+      // explicitly drops it
+      val autoCompactOpt = options.extra.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("autoCompact") => v.equalsIgnoreCase("true")
+      }
+      val autoTag =
+        if (autoCompactOpt.contains(true)) Map("qbeast.autoCompact" -> "true")
+        else Map.empty[String, String]
+      val autoDrop: Set[String] =
+        if (autoCompactOpt.contains(false)) Set("qbeast.autoCompact") else Set.empty
+      val config = base.configuration ++ hookTags ++ cdfTag ++ bloomTag ++ autoTag ++
         Map("qbeast.lastRevisionID" ->
-          math.max(revisionToCommit.revisionID, base.lastRevisionID).toString) -- bloomDrop
+          math.max(revisionToCommit.revisionID, base.lastRevisionID).toString) --
+        bloomDrop -- autoDrop
       // Re-derive the schema against the CURRENT base, not the snapshot
       // this write started from: a concurrent append may itself have
       // evolved the schema, and committing the stale merge would
