@@ -86,6 +86,9 @@ object Bench {
     timed("orders_stats")(QTables.qbeastOrdersWithStats(spark, sfDir).count())
     timed("catalog")(QTables.catalogTable(spark, sfDir))
     timed("ivf_embeddings")(QTables.qbeastIvfEmbeddings(spark, sfDir).count())
+    timed("lsh_embeddings")(QTables.qbeastLshEmbeddings(spark, sfDir).count())
+    timed("ivfpq_embeddings")(QTables.qbeastIvfPqEmbeddings(spark, sfDir)._1.count())
+    timed("orders_bloom")(QTables.qbeastBloomOrders(spark, sfDir).count())
     timed("replaced")(QTables.replacedTable(spark, sfDir))
     timed("compacted")(QTables.qbeastCompacted(spark, sfDir).count())
     timed("bucketed")(QTables.bucketedTables(spark, sfDir))
