@@ -679,6 +679,16 @@ object QTables {
         val corpus = emb.filter(col("vec_id") =!= 0)
         val anchors = ops.Similarity.collectAnchors(emb, "vec_id", "embedding")
         val codebooks = ops.Similarity.pqTrain(corpus, "vec_id", "embedding")
+        // sidecar FIRST: the table's existence (its commit log) is the
+        // build's commit point — a crash between the two steps then
+        // leaves no log and the build re-runs, instead of a committed
+        // table whose codebooks are permanently missing
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        val cbPath = new org.apache.hadoop.fs.Path(path, "_pq/codebooks.json")
+        val out = fs.create(cbPath, true)
+        try out.write(ops.Similarity.pqCodebooksJson(codebooks)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
         corpus.select(
             col("vec_id"),
             ops.Similarity.anchorClusterCol(anchors, col("embedding")).as("cluster"),
@@ -693,12 +703,6 @@ object QTables {
           .option("columnStats", """{"cluster_min": 1, "cluster_max": 17}""")
           .option("cubeSize", "250")
           .save(path)
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-        val cbPath = new org.apache.hadoop.fs.Path(path, "_pq/codebooks.json")
-        val out = fs.create(cbPath, true)
-        try out.write(ops.Similarity.pqCodebooksJson(codebooks)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
       }
     }
     (spark.read.format("qbeast").load(path), loadPqCodebooks(path, conf))

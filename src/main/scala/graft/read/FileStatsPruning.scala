@@ -98,7 +98,9 @@ object FileStatsPruning {
                 .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer()
               val words = new Array[Long](lb.remaining())
               lb.get(words)
-              Some(col -> BloomStat(words, k))
+              // a truncated bitset (< 1 word) would make the probe's
+              // modulus 0 — drop the filter, keep the file
+              if (words.isEmpty) None else Some(col -> BloomStat(words, k))
             }
           } catch { case scala.util.control.NonFatal(_) => None }
         }.toMap
@@ -281,14 +283,14 @@ object FileStatsPruning {
    * literal, or any error keeps the file. */
   private def bloomAbsent(
       s: Stats, col: String, v: Any, dt: org.apache.spark.sql.types.DataType): Boolean =
-    s.blooms.get(col) match {
+    try s.blooms.get(col) match {
       case Some(b) =>
         bloomKey(v, dt) match {
           case Some(h) => !graft.expressions.BloomImpl.mightContain(b.words, h, b.k)
           case None => false
         }
       case None => false
-    }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** The write side inserts `xxhash64(col)` (seed 42, Catalyst
    * semantics); hash the probe literal through the same expression so

@@ -37,14 +37,26 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
  */
 class ScanSizeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** Memoized pruned-size results keyed by (table, snapshot version,
+   * canonicalized condition): the optimizer's fixed-point batches (and
+   * a double-registered rule in `ensureExtensions` sessions) re-run
+   * apply() several times per query; the unselective no-rewrite case
+   * would otherwise pay the O(#files) stats pass on every iteration.
+   * Bounded: mints one entry per distinct (version, filter). */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), Long]()
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case f @ Filter(cond, l @ LogicalRelation(
           hfs @ HadoopFsRelation(fi: QbeastFileIndex, _, _, _, _, _), _, _, _, _))
         if cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
       val snapshot = fi.currentSnapshot
       val total = snapshot.totalBytes
-      val pruned = QbeastFileIndex
-        .selectFiles(snapshot, splitConjuncts(cond)).map(_.size).sum
+      val key = (snapshot.tablePath, snapshot.version, cond.semanticHash())
+      val pruned = memo.computeIfAbsent(key, { _ =>
+        if (memo.size() > 1024) memo.clear()
+        QbeastFileIndex.selectFiles(snapshot, splitConjuncts(cond)).map(_.size).sum
+      })
       if (pruned < total) {
         val sized = new SizedFileIndex(fi, math.max(pruned, 1L))
         Filter(cond, l.copy(relation = hfs.copy(location = sized)(hfs.sparkSession)))

@@ -82,14 +82,29 @@ class QbeastDataSource
       "qbeast tables are self-organizing; partitionBy on writeStream is unsupported")
     val appId = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
+    }.orElse {
+      // queryName + the session-default checkpoint root: Spark resolves
+      // this query's checkpoint to <root>/<queryName> — stable across
+      // restarts, so the derived appId keeps crash-replay dedup
+      // (exactly-once) working for this configuration too
+      val root = sqlContext.sparkSession.conf
+        .getOption("spark.sql.streaming.checkpointLocation")
+      val qn = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("queryName") => v
+      }
+      (root, qn) match {
+        case (Some(r), Some(n)) => Some(s"$r/$n")
+        case _ => None
+      }
     }.getOrElse {
-      // no checkpoint key in the sink options (the query uses the
-      // session-default checkpoint conf): the TABLE PATH is NOT a safe
-      // fallback — two distinct queries writing the same table would
-      // share an idempotency key and silently drop each other's
-      // batches (batch ids restart at 0 per query). A per-sink random
-      // id keeps retries of THIS sink exactly-once and degrades
-      // restarts to at-least-once, the safe direction.
+      // no stable checkpoint identity at all (session-conf root without
+      // a queryName gets a RANDOM subdir per start, so Spark itself
+      // cannot resume it): the TABLE PATH is NOT a safe fallback — two
+      // distinct queries writing the same table would share an
+      // idempotency key and silently drop each other's batches (batch
+      // ids restart at 0 per query). A per-sink random id keeps retries
+      // of THIS sink exactly-once and degrades restarts to
+      // at-least-once, the safe direction.
       s"uncheckpointed-${java.util.UUID.randomUUID()}"
     }
     new QbeastStreamSink(path, appId, parameters,

@@ -23,12 +23,14 @@ import org.apache.spark.sql.SparkSession
  *    at or above this size are left alone.
  *
  * Scale shape: the trigger check is a driver fold over file metadata
- * already in the snapshot; the rewrite reads ONLY the small files
- * (bounded: ≤ minNumFiles·smallFileSize bytes per trigger unless a
- * backlog accumulated, and then it's the backlog being paid down).
- * Concurrent appends are safe — the rewrite commits through the
- * rebase loop, and a lost race just leaves the smalls for the next
- * trigger.
+ * already in the snapshot; the rewrite reads only the small files, and
+ * a PROGRESS GUARD in [[QbeastTable.compactSmallFiles]] skips any
+ * trigger that would not at least halve the file count — files already
+ * at their natural rollup size are never re-rewritten, so steady state
+ * is one bounded compaction per ~minNumFiles commits, not a quadratic
+ * rewrite of an ever-growing "small" set. Concurrent appends are safe
+ * — the rewrite commits through the rebase loop, and a lost race just
+ * leaves the smalls for the next trigger.
  */
 object AutoCompact {
 

@@ -225,12 +225,43 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       if (s.filesComplete) s.files.filter(_.size < smallFileSize)
       else DistributedMetadata.filesSmallerThan(spark, s, smallFileSize)
     if (small.length < minNumFiles) return
-    val data = readTableFiles(s, small)
-    val numElements = small.map(_.elementCount).sum
+    // PROGRESS GUARD: folding must actually reduce the file count.
+    // Files already at their natural rollup size stay "small" forever
+    // when cubeSize×row-width < smallFileSize — without this check
+    // every later commit would rewrite the same files, quadratic write
+    // amplification with no benefit. Staging files (no block counts)
+    // are estimated at a full rollup each — over-estimating output
+    // only ever SKIPS a compaction, never churns one.
+    val rollupTarget = math.max(1L, latest.desiredCubeSize.toLong)
+    val estRows = small.map(f =>
+      if (f.elementCount > 0) f.elementCount else rollupTarget).sum
+    val estOut = math.max(1L, (estRows + rollupTarget - 1) / rollupTarget)
+    if (estOut * 2 > small.length) return
+
+    // Latest-revision smalls repack FROZEN (their rows are already in
+    // the revision's subtree counts — re-estimating would double-count
+    // them and wrongly subdivide, the optimize() argument); smalls of
+    // other revisions and staging fold INTO latest with fresh
+    // estimation (their rows are new to it, the compactRevisions
+    // argument).
+    val (inLatest, others) = small.partition(_.revisionId == latest.revisionID)
     val status = statusOf(s, latest.revisionID)
-    val newFiles = QbeastWriter.index(spark, tablePath, data, latest,
-      Some(status), numElements)
-    commitRewrite(s, newFiles, small)
+    val adds = Seq.newBuilder[IndexFile]
+    if (others.nonEmpty) {
+      val data = readTableFiles(s, others)
+      val known = others.map(_.elementCount)
+      val n = if (known.forall(_ > 0)) known.sum else data.count()
+      adds ++= QbeastWriter.index(spark, tablePath, data, latest,
+        Some(status), n)
+    }
+    if (inLatest.nonEmpty) {
+      val data = readTableFiles(s, inLatest)
+      val frozen = status.cubeStatuses.map { case (c, st) => c -> st.maxWeight }.toMap
+      adds ++= QbeastWriter.index(spark, tablePath, data, latest,
+        Some(status), inLatest.map(_.elementCount).sum,
+        frozenWeights = Some(frozen))
+    }
+    commitRewrite(s, adds.result(), small)
   }
 
   private def commitRewrite(

@@ -536,21 +536,29 @@ object QbeastWriter {
         col(QbeastColumns.cubeColumnName),
         col(QbeastColumns.weightColumnName))
 
+    // rollup groups seal at up to ~2x the target rows — size the
+    // filters for that worst case, or the real bits/key halves and the
+    // fp rate blows up. VIABILITY gate: when the per-file byte cap
+    // clamps the filter below ~3 bits per expected key, the fp rate is
+    // so high it prunes nothing while still bloating every log entry —
+    // skip building filters for this write (readers treat missing
+    // filters conservatively). Hit with the default 5M cubeSize: set a
+    // smaller rollupSize or lower bloomFilterBits to re-enable.
+    val bloomExpectedRows = 2L * rollupSize.getOrElse(revision.desiredCubeSize.toLong)
+    val bloomNumBits = BloomCollector.numBitsFor(bloomExpectedRows, bloom.bitsPerKey)
+    val bloomCols1 =
+      if (bloomNumBits < 3L * bloomExpectedRows) Nil else bloomCols
+
     // bloom keys as extra codegen columns AFTER the shuffle+sort (a
     // projection preserves both), so the 8-byte hashes never ride the
     // exchange and the writer's per-row cost is one getLong
-    val taggedB = bloomCols.zipWithIndex.foldLeft(tagged) { case (df, (c, j)) =>
+    val taggedB = bloomCols1.zipWithIndex.foldLeft(tagged) { case (df, (c, j)) =>
       df.withColumn(s"_qbeastBloomH$j", xxhash64(col(c)))
     }
 
     // ---- pass 3: physical write with per-cube block accounting ----
-    // rollup groups seal at up to ~2x the target rows — size the
-    // filters for that worst case, or the real bits/key halves and the
-    // fp rate blows up
     writeFiles(spark, tablePath, taggedB, dataSchema, dims, revision.revisionID,
-      constraints, bloomCols,
-      BloomCollector.numBitsFor(
-        2L * rollupSize.getOrElse(revision.desiredCubeSize.toLong), bloom.bitsPerKey))
+      constraints, bloomCols1, bloomNumBits)
   }
 
   private[graft] def classic(df: DataFrame): org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row] =

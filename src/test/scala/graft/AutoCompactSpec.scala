@@ -73,6 +73,34 @@ class AutoCompactSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.qbeast.autoCompact.minNumFiles")
   }
 
+  test("progress guard: files at their natural rollup size never re-compact") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("autocompact-guard")
+    spark.conf.set("spark.qbeast.autoCompact.minNumFiles", "4")
+    try {
+      // cubeSize 1000 over 20k rows → ~20 files of ~1000-2000 rows,
+      // all permanently under the 32 MiB size threshold: a size-only
+      // trigger would rewrite the whole table on EVERY commit, forever
+      (1 to 20000).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+        .write.format("qbeast")
+        .option("columnsToIndex", "id")
+        .option("cubeSize", "1000")
+        .option("autoCompact", "true")
+        .save(dir)
+      val before = fileCount(dir)
+      (1 to 3).foreach { b =>
+        (1 to 1000).map(i => ((100000 + b * 2000 + i).toLong, 1.0)).toDF("id", "v")
+          .write.format("qbeast").mode("append").option("cubeSize", "1000").save(dir)
+      }
+      // appends may compact THEIR OWN small batch files, but must not
+      // keep rewriting the settled base: at most one OPTIMIZE per
+      // append-wave, and the base file count cannot balloon
+      val opts = QTablesTestAccess.operations(dir, spark).count(_ == "OPTIMIZE")
+      assert(opts <= 1, s"settled files must not churn: $opts OPTIMIZE commits")
+      assert(spark.read.format("qbeast").load(dir).count() == 23000)
+    } finally spark.conf.unset("spark.qbeast.autoCompact.minNumFiles")
+  }
+
   test("streaming sink ingestion stays compacted") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("autocompact-stream")

@@ -153,6 +153,39 @@ class BloomSkippingSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unsupported type"))
   }
 
+  test("viability gate: an unsizeable filter is skipped, not saturated") {
+    import spark.implicits._
+    // default cubeSize (5M expected rows/file) would clamp the bitset
+    // to < 1 bit/key — a ~100% fp filter that prunes nothing while
+    // bloating every log entry. The write must skip building it.
+    val dir = TestSpark.tmpDir("bloom-viability")
+    (1 to 1000).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
+      .write.format("qbeast")
+      .option("columnsToIndex", "id") // default cubeSize: 5,000,000
+      .option("bloomFilterColumns", "tag")
+      .save(dir)
+    val snap = graft.log.QbeastLog.snapshot(dir, spark.sparkContext.hadoopConfiguration)
+    assert(snap.files.forall(_.stats.exists(!_.contains("bloomFilters"))),
+      "clamped-to-useless filters must not be written")
+    // property still persists: a later write with a sane rollupSize
+    // builds filters again
+    (1001 to 2000).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
+      .write.format("qbeast").mode("append")
+      .option("rollupSize", "1000").save(dir)
+    val snap2 = graft.log.QbeastLog.snapshot(dir, spark.sparkContext.hadoopConfiguration)
+    assert(snap2.files.exists(_.stats.exists(_.contains("bloomFilters"))))
+    assert(spark.read.format("qbeast").load(dir)
+      .filter(col("tag") === "t1500").count() == 1)
+  }
+
+  test("a truncated bloom bitset is dropped at parse, never throws") {
+    val json = """{"numRecords":5,"minValues":{"tag":"a"},"maxValues":{"tag":"z"},""" +
+      """"nullCount":{"tag":0},"bloomFilters":{"tag":{"k":7,"b64":"AA=="}}}"""
+    val st = graft.read.FileStatsPruning.parse(json)
+    assert(st.isDefined && st.get.blooms.isEmpty,
+      "a <8-byte bitset must be dropped (probe modulus would be 0)")
+  }
+
   test("nulls and numeric columns: filter on a nullable long column") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("bloom-long")

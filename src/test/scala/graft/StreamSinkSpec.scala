@@ -64,6 +64,37 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(back == Map(1L -> 15.0, 2L -> 20.0, 3L -> 7.0), back.toString)
   }
 
+  test("queryName + session checkpoint conf yields a stable txn appId") {
+    import spark.implicits._
+    val tblDir = TestSpark.tmpDir("stream-qn-tbl")
+    val root = TestSpark.tmpDir("stream-qn-root")
+    val prev = spark.conf.getOption("spark.sql.streaming.checkpointLocation")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", root)
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      mem.addData((1L, 1.0))
+      val q = mem.toDS().toDF("k", "v").writeStream.format("qbeast")
+        .queryName("stable-ingest")
+        .option("columnsToIndex", "k")
+        .option("path", tblDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val snap = graft.log.QbeastLog.snapshot(tblDir, spark.sparkContext.hadoopConfiguration)
+      // Spark resolves this query's checkpoint to <root>/stable-ingest
+      // — the appId must be derived from that stable identity, not a
+      // per-start random id, so crash replays dedup across restarts
+      assert(snap.txns.keys.exists(_ == s"qbeast-stream-$root/stable-ingest"),
+        s"expected stable appId, got ${snap.txns.keys}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.checkpointLocation", v)
+        case None => spark.conf.unset("spark.sql.streaming.checkpointLocation")
+      }
+    }
+  }
+
   test("Update mode and partitionBy are rejected with clear errors") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
