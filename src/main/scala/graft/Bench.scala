@@ -89,6 +89,7 @@ object Bench {
     timed("lsh_embeddings")(QTables.qbeastLshEmbeddings(spark, sfDir).count())
     timed("ivfpq_embeddings")(QTables.qbeastIvfPqEmbeddings(spark, sfDir)._1.count())
     timed("orders_bloom")(QTables.qbeastBloomOrders(spark, sfDir).count())
+    timed("orders_autocompact")(QTables.qbeastAutoCompacted(spark, sfDir).count())
     timed("replaced")(QTables.replacedTable(spark, sfDir))
     timed("compacted")(QTables.qbeastCompacted(spark, sfDir).count())
     timed("bucketed")(QTables.bucketedTables(spark, sfDir))

@@ -636,6 +636,47 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders ingested as FIVE autoCompact appends (minNumFiles forced
+   * low so the folding actually fires at fixture scale): the table the
+   * q85 oracle reads must be byte-identical in CONTENT to raw orders
+   * while its file count and commit history prove the background
+   * compaction ran — the builder asserts both. */
+  def qbeastAutoCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_autocompact")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val prev = spark.conf.getOption("spark.qbeast.autoCompact.minNumFiles")
+        spark.conf.set("spark.qbeast.autoCompact.minNumFiles", "6")
+        try {
+          val orders = raw(spark, sfDir, "orders")
+          // 10 slivers against a 5000-row rollup target: the smalls are
+          // genuinely sub-rollup, so the progress guard lets the fold
+          // run (10 files → ~data/5000 outputs)
+          (0 until 10).foreach { i =>
+            val w = orders.filter(col("o_orderkey") % 10 === i)
+              .write.format("qbeast").option("cubeSize", "5000")
+            (if (i == 0)
+              w.option("columnsToIndex", "o_orderkey,o_totalprice")
+                .option("autoCompact", "true")
+            else w.mode("append")).save(path)
+          }
+          val ops = graft.table.QbeastTable.forPath(spark, path)
+            .history().map(_.operation)
+          require(ops.contains("OPTIMIZE"),
+            "auto-compaction must have fired during the 10-append ingest")
+        } finally {
+          prev match {
+            case Some(v) => spark.conf.set("spark.qbeast.autoCompact.minNumFiles", v)
+            case None => spark.conf.unset("spark.qbeast.autoCompact.minNumFiles")
+          }
+        }
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** orders with per-file bloom filters on o_custkey — a
    * high-cardinality column UNCORRELATED with the (o_orderkey,
    * o_totalprice) index order, so every file's [min, max] spans any

@@ -944,6 +944,15 @@ object SparkEntry {
         .select(lit(name).as("probe"), col("n"), col("s"))
       probe("hit", k1).unionAll(probe("nbr", k1 + 1))
     }),
+    "q85_auto_compacted" -> ((s, dir) => {
+      // content of a 5-append autoCompact ingest == raw orders (the
+      // builder asserts an OPTIMIZE commit actually fired); the oracle
+      // proves the background folding never loses or duplicates a row
+      QTables.qbeastAutoCompacted(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
+    }),
     "q77_changes_feed" -> ((s, dir) => {
       // change data feed replayed from the commit log's file diff:
       // append → insert rows, copy-on-write delete → delete rows (the
@@ -1202,6 +1211,25 @@ object SparkEntry {
         .select(col("vec_id"), col("dist"),
           col("vec_id").isin(exact10: _*).as("in_exact10"))
     }),
+    "e14_ann_ivf_pq_rerank" -> ((s, dir) => {
+      // two-stage serving: 50 ADC candidates from the pruned codes
+      // scan, exact-cosine re-rank of just those rows fetched as point
+      // lookups on the vec_id-indexed embeddings table — the recall
+      // PQ's 4-bit codes lose comes back for candK raw-vector reads
+      val emb = QTables.raw(s, dir, "embeddings")
+      val anchors = ops.Similarity.collectAnchors(emb, "vec_id", "embedding")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val exact10 = ops.Similarity
+        .knnExact(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val (tbl, codebooks) = QTables.qbeastIvfPqEmbeddings(s, dir)
+      val indexed = QTables.qbeast(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      ops.Similarity.pqTopKReranked(tbl, indexed, "vec_id", "embedding",
+          "cluster", "codes", codebooks, anchors, qv, k = 10)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim_r"),
+          col("vec_id").isin(exact10: _*).as("in_exact10"))
+    }),
     "e03_embedding_near_dup" -> ((s, dir) => {
       // random test embeddings have no true near-dups; emit the top
       // in-bucket pairs so the operator's output is observable
@@ -1321,7 +1349,8 @@ object SparkEntry {
    * per-subspace (codeword → integer squared-L2 to the query
    * subvector) table. All-integer, replayed bit-for-bit. */
   private def pqOracleSql(
-      m: Int, k: Int, iters: Int, dims: Int, ivfProbe: Boolean = false): String = {
+      m: Int, k: Int, iters: Int, dims: Int, ivfProbe: Boolean = false,
+      rerank: Int = 0): String = {
     val sub = dims / m
     val d1 = sub + 1
     def chain(s: Int): String = {
@@ -1379,6 +1408,19 @@ object SparkEntry {
       "\n  WHERE a_0.vec_id IN (SELECT vec_id FROM clu WHERE cluster IN (SELECT aid FROM pr))"
     val probeSel = if (!ivfProbe) "" else
       ", vec_id IN (SELECT vec_id FROM exq) AS in_exact10"
+    // e14 tail: top-`rerank` ADC candidates re-ranked by exact cosine
+    // over the raw doubles (requires ivfProbe for the qrv/exq CTEs)
+    val finalSel =
+      if (rerank > 0)
+        s""",
+           |cand AS (SELECT vec_id FROM sco ORDER BY dist, vec_id LIMIT $rerank),
+           |rr AS (SELECT ev.vec_id, ${cosSql("emb", "qe")} AS sim
+           |  FROM cand JOIN ev USING (vec_id), qrv)
+           |SELECT vec_id, round(sim, 4) AS sim_r,
+           |  vec_id IN (SELECT vec_id FROM exq) AS in_exact10
+           |FROM rr ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+      else
+        s"\nSELECT vec_id, dist$probeSel FROM sco ORDER BY dist, vec_id LIMIT 10"
     s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |sc AS (SELECT vec_id, emb, CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
        |  THEN 127.0 / list_max(list_transform(emb, x -> abs(x))) ELSE 0.0 END AS s FROM ev),
@@ -1388,8 +1430,7 @@ object SparkEntry {
        |$probeCtes${(0 until m).map(chain).mkString(",\n")},
        |sco AS (SELECT a_0.vec_id, $distSum AS dist
        |  FROM $joins
-       |  $tJoins$probeWhere)
-       |SELECT vec_id, dist$probeSel FROM sco ORDER BY dist, vec_id LIMIT 10""".stripMargin
+       |  $tJoins$probeWhere)$finalSel""".stripMargin
   }
 
   private def cosSql(a: String, b: String): String =
@@ -2333,6 +2374,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'nbr', count(*), CAST(coalesce(sum(o_orderkey), 0) AS BIGINT)
         |FROM orders, k WHERE o_custkey = k1 + 1""".stripMargin,
+    "q85_auto_compacted" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "q77_changes_feed" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
         |  app AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (5, 6)),
@@ -2571,6 +2616,9 @@ object SparkEntry {
     // e13: the e12 chain restricted to the 3 probed IVF clusters (the
     // e04 anchor CTEs) + the recall flag against the exact top-10
     "e13_ann_ivf_pq" -> pqOracleSql(m = 4, k = 4, iters = 2, dims = 64, ivfProbe = true),
+    // e14: the e13 chain's top-50 candidates re-ranked by exact cosine
+    "e14_ann_ivf_pq_rerank" ->
+      pqOracleSql(m = 4, k = 4, iters = 2, dims = 64, ivfProbe = true, rerank = 50),
     "e01_knn_exact" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim

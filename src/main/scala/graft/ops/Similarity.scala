@@ -755,4 +755,41 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Two-stage ANN serving (the standard IVF-PQ + refine shape): stage 1
+   * takes `candK` ADC candidates from the PRUNED codes scan
+   * ([[pqTopKIndexed]] — m bytes/vector of nProbe clusters), stage 2
+   * re-ranks ONLY those candidates by exact cosine against the raw
+   * vectors — recovering the recall the coarse PQ codes lose while
+   * touching raw embeddings for just `candK` rows. The candidate ids
+   * are driver-sized (candK), so the fetch is an IN-filter on
+   * `embeddings` — point lookups that prune files when the table is
+   * qbeast-indexed on `idCol` (the e14 fixture shape). Fully
+   * deterministic: candidate selection orders by (dist, id), the
+   * re-rank by (cosine desc, id).
+   */
+  def pqTopKReranked(
+      ivfPqTable: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      clusterCol: String,
+      codesCol: String,
+      codebooks: Seq[Seq[(Int, Array[Long])]],
+      anchors: Seq[(Int, Array[Double])],
+      queryVec: Seq[Double],
+      k: Int,
+      candK: Int = 50,
+      nProbe: Int = 3): DataFrame = {
+    val ids = pqTopKIndexed(ivfPqTable, idCol, clusterCol, codesCol,
+        codebooks, anchors, queryVec, candK, nProbe)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    val sim = Dedup.cosine(col(embCol), lit(queryVec.toArray))
+    embeddings
+      .filter(col(idCol).isin(ids: _*))
+      .select(col(idCol), sim.as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
 }
