@@ -953,6 +953,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
     }),
+    "q86_dynamic_prune" -> ((s, dir) => {
+      // dynamic file pruning: the customer filter's matching keys are
+      // collected (bounded like a broadcast build side) and pushed into
+      // the orders scan as a literal predicate BEFORE the join, so the
+      // o_custkey-indexed fact table reads only files containing a
+      // matching key — Delta's dynamic file pruning made explicit
+      // (Spark's InjectRuntimeFilter stops at row level). Every branch
+      // (OR-of-equalities / IN / bloom fallback) is exactly the inner
+      // join; file skipping is plan-asserted in DynamicPruneSpec.
+      val dim = QTables.qbeast(s, dir, "customer")
+        .filter(col("c_acctbal") < -900.0)
+      val fact = QTables.qbeast(s, dir, "orders")
+      ops.DynamicPrune.dynamicPrunedJoin(fact, "o_custkey", dim, "c_custkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q77_changes_feed" -> ((s, dir) => {
       // change data feed replayed from the commit log's file diff:
       // append → insert rows, copy-on-write delete → delete rows (the
@@ -2378,6 +2394,12 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "q86_dynamic_prune" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal < -900.0
+        |GROUP BY 1""".stripMargin,
     "q77_changes_feed" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
         |  app AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (5, 6)),
