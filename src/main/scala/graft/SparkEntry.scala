@@ -758,6 +758,14 @@ object SparkEntry {
       // cardinality (TypedImperativeAggregate with map-side partials)
       ops.Sketch.kmvDistinct(QTables.raw(s, dir, "documents"), "source",
         col("text"), k = 64)),
+    "t36_hll_distinct" -> ((s, dir) =>
+      // per-source distinct-content estimate via a 256-register
+      // HyperLogLog: a FIXED 256 bytes per group through the shuffle,
+      // merged by elementwise max — the sketch for when the group count
+      // itself is huge. The integer register state (scaled, zeros) is
+      // bit-replayable; est applies the standard corrections.
+      ops.Sketch.hllDistinct(QTables.raw(s, dir, "documents"), "source",
+        col("text"))),
     "t35_heavy_hitters" -> ((s, dir) => {
       // exact bigram heavy hitters with a count-min candidate pass: the
       // sketch (4×4096 longs, map-side combined) prunes the exact
@@ -2156,6 +2164,35 @@ object SparkEntry {
         |  CASE WHEN n < 64 THEN n::DOUBLE ELSE (63.0 * 4294967296.0) / hv END AS est,
         |  hv AS kth
         |FROM r WHERE rn = least(n, 64)""".stripMargin,
+    "t36_hll_distinct" ->
+      // HLL register replay: bucket = low 8 hash bits, rho = 25 minus
+      // the remaining 24 bits' bit length; scaled/zeros are exact
+      // integers; est = corrected alpha*m^2*2^25/scaled (the alpha
+      // numerator literal matches HllDistinctAgg.AlphaNum exactly, so
+      // the raw path is one identical IEEE division; the ln() paths
+      // agree to ulps, far inside the comparator's 1e-6 rounding)
+      """WITH h AS (SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT source, hv % 256 AS bucket,
+        |        max(CASE WHEN hv // 256 = 0 THEN 25
+        |                 ELSE 25 - length(bin(hv // 256)) END) AS rho
+        |      FROM h GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT source FROM documents),
+        |regs AS (SELECT g.source, s.i AS i, coalesce(r.rho, 0) AS rho
+        |         FROM g CROSS JOIN (SELECT unnest(range(256)) AS i) s
+        |         LEFT JOIN r ON r.source = g.source AND r.bucket = s.i),
+        |agg AS (SELECT source,
+        |          CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS scaled,
+        |          CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |        FROM regs GROUP BY 1)
+        |SELECT source,
+        |  CASE WHEN zeros > 0 AND (CAST('1579498136381.3938' AS DOUBLE) / scaled) <= 640.0
+        |         THEN 256.0 * ln(256.0 / zeros)
+        |       WHEN (CAST('1579498136381.3938' AS DOUBLE) / scaled) > 4294967296.0 / 30.0
+        |         THEN -4294967296.0 * ln(1.0 - (CAST('1579498136381.3938' AS DOUBLE) / scaled) / 4294967296.0)
+        |       ELSE CAST('1579498136381.3938' AS DOUBLE) / scaled END AS est,
+        |  scaled, zeros
+        |FROM agg""".stripMargin,
     "t32_bm25" ->
       // constants mirror the Spark expression tree fold-for-fold
       // ((1.2 + 1), (1 - 0.75)) so both engines do the same IEEE ops

@@ -138,6 +138,125 @@ final case class KmvDistinctAgg(
 }
 
 // ---------------------------------------------------------------------------
+// HyperLogLog distinct-count sketch (fixed 256 registers)
+// ---------------------------------------------------------------------------
+
+/**
+ * HyperLogLog over a LongType 32-bit hash column (same caller-supplied
+ * hash contract as [[KmvDistinctAgg]], so an external engine replays the
+ * register state bit-for-bit). Fixed p = 8 → 256 byte registers: the
+ * buffer is 256 bytes per group REGARDLESS of cardinality — where KMV
+ * carries k longs, HLL carries a quarter of that and merges by
+ * elementwise max, the textbook sketch for billions of groups at 100 TB.
+ *
+ * Register update: bucket = low 8 hash bits, rho = position of the
+ * highest set bit in the remaining 24 (`25 - bitLength(h >>> 8)`, 25
+ * for a zero remainder). Returns `struct<est: double, scaled: bigint,
+ * zeros: bigint>`:
+ *
+ *  - `scaled = Σ_b 2^(25 - reg[b])` — the harmonic denominator as an
+ *    EXACT integer (≤ 2^33), and `zeros` the empty-register count;
+ *    both replay in integer SQL with no floating-point at all;
+ *  - `est` applies Flajolet's standard corrections to the raw estimate
+ *    `alpha·m²·2^25 / scaled`: linear counting below 2.5·m when any
+ *    register is empty, the 32-bit hash-collision correction above
+ *    2^32/30. The raw path is one IEEE division (bit-exact across
+ *    engines); the correction paths go through ln(), where engines may
+ *    differ in the last ulp — 8 orders of magnitude below the
+ *    comparator's 1e-6 rounding.
+ */
+final case class HllDistinctAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  import HllDistinctAgg._
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hll sketch expects a bigint hash input, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    StructType(Seq(StructField("est", DoubleType, nullable = false),
+      StructField("scaled", LongType, nullable = false),
+      StructField("zeros", LongType, nullable = false)))
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h & (M - 1)).toInt
+      val w = h >>> 8
+      val rho = if (w == 0L) 25 else 25 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > buffer(bucket)) buffer(bucket) = rho.toByte
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) {
+      if (other(i) > buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = {
+    var scaled = 0L
+    var zeros = 0L
+    var i = 0
+    while (i < M) {
+      scaled += 1L << (25 - buffer(i))
+      if (buffer(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = AlphaNum / scaled.toDouble
+    val est =
+      if (zeros > 0 && raw <= 2.5 * M) M.toDouble * StrictMath.log(M.toDouble / zeros)
+      else if (raw > HashSpace / 30.0) -HashSpace * StrictMath.log(1.0 - raw / HashSpace)
+      else raw
+    InternalRow(est, scaled, zeros)
+  }
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllDistinctAgg =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(offset: Int): HllDistinctAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllDistinctAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_hll_distinct"
+
+}
+
+object HllDistinctAgg {
+
+  /** Register count (p = 8). */
+  val M = 256
+
+  /** alpha_256 · 256² · 2^25 — the raw-estimate numerator, precomputed
+   * so eval is a single division. The SAME decimal literal appears in
+   * the t36 oracle SQL; both engines parse it to the identical double. */
+  val AlphaNum: Double = 1579498136381.3938
+
+  /** 2^32 — the hash value space (portableHash32 is 32-bit). */
+  val HashSpace: Double = 4294967296.0
+
+}
+
+// ---------------------------------------------------------------------------
 // Bloom filter: bitset aggregate + codegen membership probe
 // ---------------------------------------------------------------------------
 

@@ -44,6 +44,27 @@ object Sketch {
       .select(col(groupCol), col("sk.est").as("est"), col("sk.kth").as("kth"))
   }
 
+  /**
+   * Per-group distinct-count estimate via a fixed 256-register
+   * HyperLogLog over [[portableHash32]] of `value`. Output:
+   * `(groupCol, est double, scaled long, zeros long)` — `scaled` is
+   * the exact integer harmonic denominator and `zeros` the empty
+   * register count (both bit-replayable by an external engine); `est`
+   * is the corrected HLL estimate (linear counting in the small range,
+   * raw `alpha·m²·2^25/scaled` otherwise). Unlike KMV's k longs, the
+   * shuffle carries a FIXED 256 bytes per group, merged by elementwise
+   * max — the sketch to reach for when the group count itself is large.
+   */
+  def hllDistinct(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val agg = shims.column(
+      graft.expressions.HllDistinctAgg(
+        shims.expression(portableHash32(value))).toAggregateExpression())
+    df.groupBy(groupCol)
+      .agg(agg.as("sk"))
+      .select(col(groupCol), col("sk.est").as("est"),
+        col("sk.scaled").as("scaled"), col("sk.zeros").as("zeros"))
+  }
+
   /** Bloom-filter bitset of `key` over `df` as a driver-side long
    * array (numBits/8 bytes — metadata-sized, e.g. 128 KiB for 2^20
    * bits). The aggregation is map-side partial: one bitset per task,

@@ -156,6 +156,16 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
         graft.expressions.KmvDistinctAgg(children.head,
           intLitArg("graft_kmv_distinct")(children(1), "k"))
       }))
+    //   SELECT src, graft_hll_distinct(hash_col).est ... GROUP BY src
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_hll_distinct"),
+      new ExpressionInfo(
+        classOf[graft.expressions.HllDistinctAgg].getName, "graft_hll_distinct"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_hll_distinct(hash) takes one bigint hash argument")
+        graft.expressions.HllDistinctAgg(children.head)
+      }))
     extensions.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(

@@ -44,6 +44,55 @@ class SketchSpec extends AnyFunSuite {
     assert(got.getDouble(1) == 10.0)
   }
 
+  // ---- HLL ------------------------------------------------------------------
+
+  test("hllDistinct estimate within 10% at high cardinality and invariant to partitioning") {
+    val n = 20000 // >> 2.5*m = 640: the raw-estimate branch
+    val df = (0 until n).map(i => ("g", s"unique_value_$i")).toDF("g", "v")
+    def run(parts: Int) =
+      ops.Sketch.hllDistinct(df.repartition(parts), "g", col("v"))
+        .collect().map(r => (r.getDouble(1), r.getLong(2), r.getLong(3))).head
+    val (est1, scaled1, zeros1) = run(1)
+    val (est8, scaled8, zeros8) = run(8)
+    // the merged register state is a pure function of the value set
+    assert(est1 == est8 && scaled1 == scaled8 && zeros1 == zeros8)
+    assert(math.abs(est1 - n) / n < 0.10, s"est $est1 too far from $n")
+    // standard error for m=256 is ~6.5%; 10% is ~1.5 sigma
+  }
+
+  test("hllDistinct small range takes linear counting and stays accurate") {
+    val df = (0 until 2000).map(i => ("g", s"dup_${i % 50}")).toDF("g", "v")
+    val r = ops.Sketch.hllDistinct(df, "g", col("v")).head()
+    val (est, zeros) = (r.getDouble(1), r.getLong(3))
+    assert(zeros > 0L)
+    // linear counting: m * ln(m / zeros), exactly
+    assert(est == 256.0 * StrictMath.log(256.0 / zeros))
+    assert(math.abs(est - 50.0) / 50.0 < 0.15, s"est $est too far from 50")
+  }
+
+  test("hllDistinct counts distinct VALUES, ignores nulls, fixed buffer size") {
+    val df = ((0 until 500).map(i => ("g", Some(s"dup_${i % 10}"))) ++
+      Seq(("g", Option.empty[String]))).toDF("g", "v")
+    val r = ops.Sketch.hllDistinct(df, "g", col("v")).head()
+    // 10 distinct values fill <= 10 registers; nulls never touch one
+    assert(r.getLong(3) >= 246L)
+    assert(math.abs(r.getDouble(1) - 10.0) < 1.5)
+  }
+
+  test("graft_hll_distinct works from SQL") {
+    val df = (0 until 3000).map(i => (s"s${i % 3}", s"val_${i % (100 * (1 + i % 3))}"))
+      .toDF("src", "v")
+    df.createOrReplaceTempView("hll_in")
+    val viaSql = spark.sql(
+      """SELECT src, graft_hll_distinct(
+        |  CAST(conv(substring(md5(v), 1, 8), 16, 10) AS BIGINT)).est AS est
+        |FROM hll_in GROUP BY src""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaApi = ops.Sketch.hllDistinct(df, "src", col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaApi)
+  }
+
   // ---- bloom ----------------------------------------------------------------
 
   test("bloom filter has no false negatives and prunes most non-members") {
