@@ -1519,7 +1519,78 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       leafCubeStats = stats(leaf))
   }
 
+  /**
+   * Audit the live snapshot against the physical table (Delta's FSCK
+   * shape): every referenced file must exist on disk with the
+   * committed size, per-file stats row counts must agree with the
+   * index's block element counts, block weight ranges must be ordered,
+   * every file's revision must exist, and no file may be referenced
+   * twice. Returns every problem found — empty means healthy.
+   *
+   * Metadata checks are driver-side folds over the snapshot (O(#files)
+   * driver work it already holds); the existence/size checks run as a
+   * Spark job over the file list, so the physical audit is O(#files)
+   * EXECUTOR work and O(#issues) driver memory — runnable at millions
+   * of files, where a driver-side `fs.exists` loop would take hours.
+   */
+  def verifyIntegrity(): Seq[IntegrityIssue] = {
+    val s = snapshot
+    val issues = mutable.Buffer.empty[IntegrityIssue]
+    s.files.groupBy(_.path).filter(_._2.size > 1).foreach { case (p, refs) =>
+      issues += IntegrityIssue(p, "duplicate-reference",
+        s"${refs.size} live add actions for one physical file")
+    }
+    s.files.foreach { f =>
+      if (!s.revisions.contains(f.revisionId))
+        issues += IntegrityIssue(f.path, "unknown-revision",
+          s"revisionId=${f.revisionId} is not in the snapshot")
+      if (f.blocks.exists(b => b.minWeight > b.maxWeight))
+        issues += IntegrityIssue(f.path, "inverted-weight-range",
+          "a block's minWeight exceeds its maxWeight")
+      if (f.blocks.exists(_.elementCount < 0))
+        issues += IntegrityIssue(f.path, "negative-element-count",
+          "a block reports a negative elementCount")
+      f.stats.flatMap(graft.read.FileStatsPruning.parse).foreach { st =>
+        if (st.numRecords != f.elementCount)
+          issues += IntegrityIssue(f.path, "stats-mismatch",
+            s"stats numRecords=${st.numRecords} but block elements=${f.elementCount}")
+      }
+    }
+    val entries = s.files.map(f => (new Path(tablePath, f.path).toString, f.size))
+    if (entries.nonEmpty) {
+      val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val parts = math.max(1, math.min(entries.size / 1000 + 1, 64))
+      val physical = spark.sparkContext.parallelize(entries, parts)
+        .mapPartitions { it =>
+          val c = sconf.value
+          it.flatMap { case (p, size) =>
+            val path = new Path(p)
+            val fs = path.getFileSystem(c)
+            try {
+              val st = fs.getFileStatus(path)
+              if (st.getLen != size)
+                Iterator((p, "size-mismatch",
+                  s"log size=$size but disk size=${st.getLen}"))
+              else Iterator.empty
+            } catch {
+              case _: java.io.FileNotFoundException =>
+                Iterator((p, "missing-file",
+                  "referenced by the live snapshot but not on disk"))
+            }
+          }
+        }
+        .collect()
+      physical.foreach { case (p, kind, detail) =>
+        issues += IntegrityIssue(p, kind, detail)
+      }
+    }
+    issues.toVector
+  }
+
 }
+
+/** One file-level problem found by [[QbeastTable.verifyIntegrity]]. */
+final case class IntegrityIssue(path: String, issue: String, detail: String)
 
 /** One committed log version (DESCRIBE HISTORY row). */
 /** One WHEN clause of a row-level [[QbeastTable.merge]]. `condition`
