@@ -677,6 +677,39 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders ingested as two boundary-split batches, then compacted with
+   * `OPTIMIZE ... WHERE o_totalprice < 100000` through SQL: only the
+   * low-price batch's files may match, so the high batch's files must
+   * survive UNTOUCHED (path-asserted) while content stays exactly
+   * orders — the predicate scopes the REPACK, it never filters rows. */
+  def qbeastOptimizedWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_optwhere")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val o = raw(spark, sfDir, "orders")
+        val cut = col("o_totalprice") < 100000.0
+        o.filter(cut).write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_totalprice")
+          .option("cubeSize", "2000").save(path)
+        o.filter(!cut).write.format("qbeast")
+          .option("cubeSize", "2000").mode("append").save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        val before = t.snapshot.files.map(_.path).toSet
+        spark.sql(s"OPTIMIZE '$path' WHERE o_totalprice < 100000.0")
+        val after = t.snapshot.files
+        val untouched = after.map(_.path).toSet.intersect(before)
+        require(untouched.nonEmpty && untouched.size < before.size,
+          s"scoped optimize must rewrite a strict subset: before=${before.size} " +
+            s"untouched=${untouched.size}")
+        require(t.history().map(_.operation).contains("OPTIMIZE"),
+          "scoped optimize must have committed")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** orders with per-file bloom filters on o_custkey — a
    * high-cardinality column UNCORRELATED with the (o_orderkey,
    * o_totalprice) index order, so every file's [min, max] spans any

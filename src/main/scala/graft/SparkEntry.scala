@@ -961,6 +961,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
     }),
+    "q87_optimize_where" -> ((s, dir) => {
+      // predicate-scoped OPTIMIZE ... WHERE through SQL: only files
+      // that may match the predicate are repacked (builder asserts the
+      // non-matching batch's files survive untouched); rows are never
+      // filtered, so content must equal full orders
+      QTables.qbeastOptimizedWhere(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q86_dynamic_prune" -> ((s, dir) => {
       // dynamic file pruning: the customer filter's matching keys are
       // collected (bounded like a broadcast build side) and pushed into
@@ -2428,6 +2437,10 @@ object SparkEntry {
         |SELECT 'nbr', count(*), CAST(coalesce(sum(o_orderkey), 0) AS BIGINT)
         |FROM orders, k WHERE o_custkey = k1 + 1""".stripMargin,
     "q85_auto_compacted" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q87_optimize_where" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,

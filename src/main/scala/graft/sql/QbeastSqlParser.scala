@@ -14,7 +14,9 @@ import org.apache.spark.sql.{Row, SparkSession}
  * expect from a log-structured table format, re-expressed over the
  * qlog):
  *
- *   OPTIMIZE '<path>'                         -- index-preserving repack
+ *   OPTIMIZE '<path>' [WHERE <predicate>]     -- index-preserving repack
+ *                                             -- (WHERE scopes to files
+ *                                             --  that may match)
  *   VACUUM '<path>' [RETAIN <n> HOURS]        -- unreferenced-file GC
  *   VACUUM '<path>' RETAIN 0 HOURS FORCE      -- below-minimum retention
  *
@@ -26,7 +28,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val OptimizeRe =
-    """(?is)OPTIMIZE\s+(?:'([^']+)'|"([^"]+)")""".r
+    """(?is)OPTIMIZE\s+(?:'([^']+)'|"([^"]+)")(?:\s+WHERE\s+(.+))?""".r
   private val VacuumRe =
     ("""(?is)VACUUM\s+(?:'([^']+)'|"([^"]+)")""" +
       """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?(\s+FORCE)?""").r
@@ -55,8 +57,9 @@ class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
     .trim
 
   override def parsePlan(sqlText: String): LogicalPlan = strip(sqlText) match {
-    case OptimizeRe(p1, p2) =>
-      OptimizeQbeastCommand(Option(p1).getOrElse(p2))
+    case OptimizeRe(p1, p2, where) =>
+      OptimizeQbeastCommand(Option(p1).getOrElse(p2),
+        Option(where).map(_.trim).filter(_.nonEmpty))
     case VacuumRe(p1, p2, hours, force) =>
       VacuumQbeastCommand(Option(p1).getOrElse(p2),
         Option(hours).map(_.toDouble), force != null)
@@ -94,10 +97,13 @@ class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 }
 
-/** SQL `OPTIMIZE '<path>'` → [[graft.table.QbeastTable.optimize]] on
- * every indexed revision (same work the Scala API does); returns the
- * table path and post-optimize file count. */
-final case class OptimizeQbeastCommand(path: String)
+/** SQL `OPTIMIZE '<path>' [WHERE <predicate>]` →
+ * [[graft.table.QbeastTable.optimize]] on every indexed revision, or
+ * the predicate-scoped [[graft.table.QbeastTable.optimizeWhere]] when a
+ * WHERE clause is given (only files that may hold matching rows are
+ * repacked; rows are never filtered). Returns the table path and
+ * post-optimize file count. */
+final case class OptimizeQbeastCommand(path: String, where: Option[String] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -106,7 +112,13 @@ final case class OptimizeQbeastCommand(path: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = graft.table.QbeastTable.forPath(spark, path)
-    t.revisionIDs.filter(_ > 0).foreach(rid => t.optimize(rid))
+    where match {
+      case Some(cond) =>
+        val expr = spark.sessionState.sqlParser.parseExpression(cond)
+        t.optimizeWhere(org.apache.spark.sql.GraftShims.column(expr))
+      case None =>
+        t.revisionIDs.filter(_ > 0).foreach(rid => t.optimize(rid))
+    }
     val files = graft.log.QbeastLog
       .snapshot(path, spark.sparkContext.hadoopConfiguration).allFilesCount
     Seq(Row(path, files))

@@ -207,6 +207,49 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   }
 
   /**
+   * Predicate-scoped optimize (Delta's `OPTIMIZE ... WHERE`): repack
+   * ONLY the files that may contain rows matching `condition`, selected
+   * through the SAME two-layer pruning the read path uses (OTree block
+   * pruning on indexed columns + per-file min/max/bloom stats) — so the
+   * maintenance job touches exactly the files a query with this
+   * predicate would read. Rows are never filtered: matching files are
+   * rewritten whole, content is invariant. Returns the number of files
+   * rewritten.
+   *
+   * The scoped form is what keeps optimize affordable at 100 TB: after
+   * an ingest lands a day of small files, `optimizeWhere(ingest_day =
+   * ...)` compacts that slice without re-reading the other 99.9% of the
+   * table.
+   */
+  def optimizeWhere(condition: Column): Int = {
+    // resolve the user predicate against the table schema by running a
+    // read+filter plan through the OPTIMIZER (not just the analyzer:
+    // the analyzer wraps literals in casts — `a <= cast(1000 as
+    // bigint)` — which the pruning layers' Literal patterns don't
+    // match; constant folding restores the shape the read path sees)
+    val filtered = spark.read.format("qbeast").load(tablePath).filter(condition)
+    val filters = filtered.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    val conjuncts = filters.flatMap(splitAnd)
+    require(conjuncts.nonEmpty,
+      "optimizeWhere requires a filtering condition (a trivially-true " +
+        "predicate folds away — use optimize() for a full repack)")
+    val s = snapshot
+    val candidates = graft.read.QbeastFileIndex.selectFiles(s, conjuncts)
+    if (candidates.nonEmpty) optimizeFiles(candidates.map(_.path))
+    candidates.size
+  }
+
+  private def splitAnd(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /**
    * Fold every live file smaller than `smallFileSize` into the LATEST
    * revision in one index pass (the auto-compaction rewrite — see
    * [[AutoCompact]]). Unlike [[optimizeFiles]], which repacks each

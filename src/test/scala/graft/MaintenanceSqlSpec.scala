@@ -35,6 +35,31 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(after == before, "OPTIMIZE must not change table content")
   }
 
+  test("SQL OPTIMIZE WHERE repacks only files that may match") {
+    val dir = TestSpark.tmpDir("maint-optwhere")
+    def batch(lo: Int, hi: Int) = (lo to hi).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+    // two boundary-split ingest batches: a <= 1000 and a > 1000
+    batch(1, 1000).write.format("qbeast").option("columnsToIndex", "a,b")
+      .option("cubeSize", "100").save(dir)
+    batch(1001, 2000).write.format("qbeast").mode("append").save(dir)
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    val before = t.snapshot.files.map(_.path).toSet
+    spark.sql(s"OPTIMIZE '$dir' WHERE a <= 1000").collect()
+    val after = t.snapshot.files.map(_.path).toSet
+    val untouched = after.intersect(before)
+    assert(untouched.nonEmpty, "non-matching files must survive untouched")
+    assert(untouched.size < before.size, "matching files must be repacked")
+    // content invariant: the predicate scopes the repack, never the rows
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === 2000L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("a")).head.getLong(0) ===
+      (1L to 2000L).sum)
+    // an unselective predicate is a full repack; a non-matching one is a no-op
+    val files0 = t.snapshot.files.map(_.path).toSet
+    assert(t.optimizeWhere(org.apache.spark.sql.functions.col("a") > 999999L) === 0)
+    assert(t.snapshot.files.map(_.path).toSet === files0)
+  }
+
   test("SQL VACUUM reclaims dead files; retention guard needs FORCE") {
     val dir = freshTable()
     // overwrite leaves the first write's files dead
