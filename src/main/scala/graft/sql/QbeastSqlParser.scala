@@ -19,6 +19,7 @@ import org.apache.spark.sql.{Row, SparkSession}
  *                                             --  that may match)
  *   VACUUM '<path>' [RETAIN <n> HOURS]        -- unreferenced-file GC
  *   VACUUM '<path>' RETAIN 0 HOURS FORCE      -- below-minimum retention
+ *   VERIFY '<path>'                           -- FSCK-shaped audit
  *
  * Paths are quoted string literals ('…' or "…"), matching Delta's
  * path-table form (`VACUUM '/data/tbl'`). Everything else delegates to
@@ -46,6 +47,8 @@ class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DropConstraintRe =
     ("""(?is)ALTER\s+TABLE\s+(?:'([^']+)'|"([^"]+)")""" +
       """\s+DROP\s+CONSTRAINT\s+(\w+)""").r
+  private val VerifyRe =
+    """(?is)VERIFY\s+(?:'([^']+)'|"([^"]+)")""".r
 
   /** Line comments, bracketed comments and trailing semicolons are
    * tolerated around the statement (a decorated statement must not
@@ -75,6 +78,8 @@ class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterConstraintQbeastCommand(Option(p1).getOrElse(p2), name, Some(check.trim))
     case DropConstraintRe(p1, p2, name) =>
       AlterConstraintQbeastCommand(Option(p1).getOrElse(p2), name, None)
+    case VerifyRe(p1, p2) =>
+      VerifyQbeastCommand(Option(p1).getOrElse(p2))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -123,6 +128,23 @@ final case class OptimizeQbeastCommand(path: String, where: Option[String] = Non
       .snapshot(path, spark.sparkContext.hadoopConfiguration).allFilesCount
     Seq(Row(path, files))
   }
+
+}
+
+/** SQL `VERIFY '<path>'` → [[graft.table.QbeastTable.verifyIntegrity]]:
+ * one row per problem found (empty result = healthy table). The
+ * FSCK-shaped audit of log vs disk, reachable from pure SQL. */
+final case class VerifyQbeastCommand(path: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("file", StringType, nullable = false)(),
+    AttributeReference("issue", StringType, nullable = false)(),
+    AttributeReference("detail", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.table.QbeastTable.forPath(spark, path).verifyIntegrity()
+      .map(i => Row(i.path, i.issue, i.detail))
 
 }
 

@@ -49,6 +49,17 @@ class IntegritySpec extends AnyFunSuite {
     assert(issues.map(_.issue) === Seq("size-mismatch"))
   }
 
+  test("SQL VERIFY surfaces the audit: empty when healthy, rows when broken") {
+    val dir = TestSpark.tmpDir("integrity-sql")
+    writeTable(dir)
+    assert(spark.sql(s"VERIFY '$dir'").collect().isEmpty)
+    val victim = QbeastTable.forPath(spark, dir).snapshot.files.head.path
+    val full = new org.apache.hadoop.fs.Path(dir, victim)
+    full.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(full, false)
+    val rows = spark.sql(s"VERIFY '$dir'").collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("missing-file"))
+  }
+
   test("a vacuumed maintained table stays healthy") {
     val dir = TestSpark.tmpDir("integrity-maint")
     writeTable(dir)
