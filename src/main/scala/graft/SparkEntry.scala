@@ -766,6 +766,16 @@ object SparkEntry {
       // bit-replayable; est applies the standard corrections.
       ops.Sketch.hllDistinct(QTables.raw(s, dir, "documents"), "source",
         col("text"))),
+    "t37_hll_rollup" -> ((s, dir) => {
+      // the pre-aggregated sketch cube: persistable per-(source, lang)
+      // register states merged up to per-source — merging states equals
+      // sketching the raw union (elementwise max is associative and
+      // idempotent), so the oracle is EXACTLY t36's. At 100 TB this is
+      // a dashboard reading 365 daily states instead of a year of rows.
+      val docs = QTables.raw(s, dir, "documents")
+      val states = ops.Sketch.hllState(docs, Seq("source", "lang"), col("text"))
+      ops.Sketch.hllMergeDistinct(states, "source", col("hll_state"))
+    }),
     "t35_heavy_hitters" -> ((s, dir) => {
       // exact bigram heavy hitters with a count-min candidate pass: the
       // sketch (4×4096 longs, map-side combined) prunes the exact
@@ -2180,6 +2190,31 @@ object SparkEntry {
       // numerator literal matches HllDistinctAgg.AlphaNum exactly, so
       // the raw path is one identical IEEE division; the ln() paths
       // agree to ulps, far inside the comparator's 1e-6 rounding)
+      """WITH h AS (SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT source, hv % 256 AS bucket,
+        |        max(CASE WHEN hv // 256 = 0 THEN 25
+        |                 ELSE 25 - length(bin(hv // 256)) END) AS rho
+        |      FROM h GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT source FROM documents),
+        |regs AS (SELECT g.source, s.i AS i, coalesce(r.rho, 0) AS rho
+        |         FROM g CROSS JOIN (SELECT unnest(range(256)) AS i) s
+        |         LEFT JOIN r ON r.source = g.source AND r.bucket = s.i),
+        |agg AS (SELECT source,
+        |          CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS scaled,
+        |          CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |        FROM regs GROUP BY 1)
+        |SELECT source,
+        |  CASE WHEN zeros > 0 AND (CAST('1579498136381.3938' AS DOUBLE) / scaled) <= 640.0
+        |         THEN 256.0 * ln(256.0 / zeros)
+        |       WHEN (CAST('1579498136381.3938' AS DOUBLE) / scaled) > 4294967296.0 / 30.0
+        |         THEN -4294967296.0 * ln(1.0 - (CAST('1579498136381.3938' AS DOUBLE) / scaled) / 4294967296.0)
+        |       ELSE CAST('1579498136381.3938' AS DOUBLE) / scaled END AS est,
+        |  scaled, zeros
+        |FROM agg""".stripMargin,
+    "t37_hll_rollup" ->
+      // identical to t36: merging per-(source,lang) register states is
+      // exactly sketching the per-source union
       """WITH h AS (SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
         |  FROM documents),
         |r AS (SELECT source, hv % 256 AS bucket,

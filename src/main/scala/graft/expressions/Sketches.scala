@@ -180,50 +180,22 @@ final case class HllDistinctAgg(
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"hll sketch expects a bigint hash input, got ${child.dataType.simpleString}")
   override def nullable: Boolean = false
-  override def dataType: DataType =
-    StructType(Seq(StructField("est", DoubleType, nullable = false),
-      StructField("scaled", LongType, nullable = false),
-      StructField("zeros", LongType, nullable = false)))
+  override def dataType: DataType = HllDistinctAgg.OutputType
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      val bucket = (h & (M - 1)).toInt
-      val w = h >>> 8
-      val rho = if (w == 0L) 25 else 25 - (64 - java.lang.Long.numberOfLeadingZeros(w))
-      if (rho > buffer(bucket)) buffer(bucket) = rho.toByte
-    }
+    if (v != null) updateRegisters(buffer, v.asInstanceOf[Long])
     buffer
   }
 
   override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < M) {
-      if (other(i) > buffer(i)) buffer(i) = other(i)
-      i += 1
-    }
+    mergeRegisters(buffer, other)
     buffer
   }
 
-  override def eval(buffer: Array[Byte]): Any = {
-    var scaled = 0L
-    var zeros = 0L
-    var i = 0
-    while (i < M) {
-      scaled += 1L << (25 - buffer(i))
-      if (buffer(i) == 0) zeros += 1
-      i += 1
-    }
-    val raw = AlphaNum / scaled.toDouble
-    val est =
-      if (zeros > 0 && raw <= 2.5 * M) M.toDouble * StrictMath.log(M.toDouble / zeros)
-      else if (raw > HashSpace / 30.0) -HashSpace * StrictMath.log(1.0 - raw / HashSpace)
-      else raw
-    InternalRow(est, scaled, zeros)
-  }
+  override def eval(buffer: Array[Byte]): Any = evalRegisters(buffer)
 
   override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
 
@@ -253,6 +225,166 @@ object HllDistinctAgg {
 
   /** 2^32 — the hash value space (portableHash32 is 32-bit). */
   val HashSpace: Double = 4294967296.0
+
+  /** Fold a 32-bit hash into the register array (shared by the direct
+   * and state-producing aggregates). */
+  def updateRegisters(buffer: Array[Byte], h: Long): Unit = {
+    val bucket = (h & (M - 1)).toInt
+    val w = h >>> 8
+    val rho = if (w == 0L) 25 else 25 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    if (rho > buffer(bucket)) buffer(bucket) = rho.toByte
+  }
+
+  /** Elementwise-max merge of two register arrays (into `buffer`). */
+  def mergeRegisters(buffer: Array[Byte], other: Array[Byte]): Unit = {
+    var i = 0
+    while (i < M) {
+      if (other(i) > buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+  }
+
+  /** The corrected estimate + exact integer state from a register
+   * array (the single definition both finishing aggregates share). */
+  def evalRegisters(buffer: Array[Byte]): InternalRow = {
+    var scaled = 0L
+    var zeros = 0L
+    var i = 0
+    while (i < M) {
+      scaled += 1L << (25 - buffer(i))
+      if (buffer(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = AlphaNum / scaled.toDouble
+    val est =
+      if (zeros > 0 && raw <= 2.5 * M) M.toDouble * StrictMath.log(M.toDouble / zeros)
+      else if (raw > HashSpace / 30.0) -HashSpace * StrictMath.log(1.0 - raw / HashSpace)
+      else raw
+    InternalRow(est, scaled, zeros)
+  }
+
+  val OutputType: DataType =
+    StructType(Seq(StructField("est", DoubleType, nullable = false),
+      StructField("scaled", LongType, nullable = false),
+      StructField("zeros", LongType, nullable = false)))
+
+}
+
+/**
+ * The state-producing half of a mergeable HLL rollup: same register
+ * fold as [[HllDistinctAgg]], but eval returns the RAW 256-byte
+ * register array (BinaryType) instead of an estimate. Persist it per
+ * fine-grained group (per day, per shard); [[HllMergeAgg]] later
+ * combines states into any coarser rollup WITHOUT rescanning the data —
+ * the pre-aggregated cube pattern that makes distinct-count dashboards
+ * affordable at 100 TB (a year = 365 tiny states, not a year of rows).
+ */
+final case class HllStateAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  import HllDistinctAgg._
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hll state expects a bigint hash input, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) updateRegisters(buffer, v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    mergeRegisters(buffer, other)
+    buffer
+  }
+
+  // the buffer is also the result — clone on eval so the returned value
+  // cannot alias a buffer Spark may keep mutating
+  override def eval(buffer: Array[Byte]): Any = buffer.clone()
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllStateAgg =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(offset: Int): HllStateAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllStateAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_hll_state"
+
+}
+
+/**
+ * The finishing half of the rollup: merges [[HllStateAgg]] register
+ * arrays (elementwise max — associative, commutative, idempotent, so
+ * re-merging overlapping states never double-counts) and returns the
+ * same `struct<est, scaled, zeros>` as [[HllDistinctAgg]]. Merging the
+ * per-fine-group states equals running the sketch over the raw union:
+ * the t37 oracle pins that equivalence end-to-end.
+ */
+final case class HllMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  import HllDistinctAgg._
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hll merge expects binary register states, got ${child.dataType.simpleString}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = HllDistinctAgg.OutputType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val state = v.asInstanceOf[Array[Byte]]
+      require(state.length == M,
+        s"hll state must be $M bytes, got ${state.length}")
+      mergeRegisters(buffer, state)
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    mergeRegisters(buffer, other)
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = evalRegisters(buffer)
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllMergeAgg =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(offset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_hll_merge"
 
 }
 

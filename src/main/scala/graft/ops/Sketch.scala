@@ -65,6 +65,34 @@ object Sketch {
         col("sk.scaled").as("scaled"), col("sk.zeros").as("zeros"))
   }
 
+  /**
+   * The state-producing half of a mergeable HLL rollup: one 256-byte
+   * binary register state per fine-grained group. Persist the result
+   * (a parquet table of `groupCols... , hll_state binary`) and combine
+   * with [[hllMergeDistinct]] into ANY coarser grouping later without
+   * rescanning the data — the pre-aggregated distinct-count cube.
+   */
+  def hllState(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
+    val agg = shims.column(
+      graft.expressions.HllStateAgg(
+        shims.expression(portableHash32(value))).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*).agg(agg.as("hll_state"))
+  }
+
+  /** The finishing half: merge [[hllState]] register arrays per
+   * `groupCol` (elementwise max — associative, commutative, idempotent)
+   * and return the same `(est, scaled, zeros)` as [[hllDistinct]].
+   * Merging the fine-grained states equals sketching the raw union. */
+  def hllMergeDistinct(df: DataFrame, groupCol: String, state: Column): DataFrame = {
+    val agg = shims.column(
+      graft.expressions.HllMergeAgg(
+        shims.expression(state)).toAggregateExpression())
+    df.groupBy(groupCol)
+      .agg(agg.as("sk"))
+      .select(col(groupCol), col("sk.est").as("est"),
+        col("sk.scaled").as("scaled"), col("sk.zeros").as("zeros"))
+  }
+
   /** Bloom-filter bitset of `key` over `df` as a driver-side long
    * array (numBits/8 bytes — metadata-sized, e.g. 128 KiB for 2^20
    * bits). The aggregation is map-side partial: one bitset per task,

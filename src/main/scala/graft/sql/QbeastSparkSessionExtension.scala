@@ -166,6 +166,26 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
           "graft_hll_distinct(hash) takes one bigint hash argument")
         graft.expressions.HllDistinctAgg(children.head)
       }))
+    //   mergeable rollup: graft_hll_state(hash) per fine group, then
+    //   graft_hll_merge(state).est per coarse group — no rescan
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_hll_state"),
+      new ExpressionInfo(
+        classOf[graft.expressions.HllStateAgg].getName, "graft_hll_state"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_hll_state(hash) takes one bigint hash argument")
+        graft.expressions.HllStateAgg(children.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(
+        classOf[graft.expressions.HllMergeAgg].getName, "graft_hll_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_hll_merge(state) takes one binary state argument")
+        graft.expressions.HllMergeAgg(children.head)
+      }))
     extensions.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(

@@ -79,6 +79,51 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 10.0) < 1.5)
   }
 
+  test("hllState + hllMergeDistinct equals the direct sketch, survives persistence") {
+    val df = (0 until 5000)
+      .map(i => (s"s${i % 4}", s"d${i % 13}", s"val_${i % (700 + i % 4)}"))
+      .toDF("src", "day", "v")
+    val direct = ops.Sketch.hllDistinct(df, "src", col("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // states per (src, day), persisted to parquet, merged per src
+    val dir = TestSpark.tmpDir("hll-rollup")
+    ops.Sketch.hllState(df, Seq("src", "day"), col("v"))
+      .write.parquet(s"$dir/states")
+    val rolled = ops.Sketch.hllMergeDistinct(
+      spark.read.parquet(s"$dir/states"), "src", col("hll_state"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(rolled === direct)
+  }
+
+  test("hll merge is idempotent: overlapping states never double-count") {
+    val df = (0 until 1000).map(i => ("g", s"val_${i % 200}")).toDF("g", "v")
+    val state = ops.Sketch.hllState(df, Seq("g"), col("v"))
+    // the same state contributed twice must estimate exactly once
+    val doubled = ops.Sketch.hllMergeDistinct(
+      state.unionAll(state), "g", col("hll_state")).head()
+    val once = ops.Sketch.hllMergeDistinct(state, "g", col("hll_state")).head()
+    assert(doubled.getDouble(1) == once.getDouble(1) &&
+      doubled.getLong(2) == once.getLong(2))
+  }
+
+  test("graft_hll_state / graft_hll_merge work from SQL") {
+    val df = (0 until 2000).map(i => (s"s${i % 2}", s"d${i % 5}", s"v_${i % 300}"))
+      .toDF("src", "day", "v")
+    df.createOrReplaceTempView("hll_roll_in")
+    val viaSql = spark.sql(
+      """WITH states AS (
+        |  SELECT src, day, graft_hll_state(
+        |    CAST(conv(substring(md5(v), 1, 8), 16, 10) AS BIGINT)) AS st
+        |  FROM hll_roll_in GROUP BY src, day)
+        |SELECT src, graft_hll_merge(st).est AS est FROM states GROUP BY src""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaApi = ops.Sketch.hllDistinct(df, "src", col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaApi)
+  }
+
   test("graft_hll_distinct works from SQL") {
     val df = (0 until 3000).map(i => (s"s${i % 3}", s"val_${i % (100 * (1 + i % 3))}"))
       .toDF("src", "v")
