@@ -710,6 +710,34 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders with `deletionVectors=true` and two merge-on-read DELETEs:
+   * the builder PROVES no data file was rewritten (same path set
+   * before/after) and that vectors are attached — the masked scan must
+   * then match the oracle's filtered content exactly. */
+  def qbeastDvOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_dv")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, "orders").write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_custkey")
+          .option("cubeSize", "2000")
+          .option("deletionVectors", "true")
+          .save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        val before = t.snapshot.files.map(_.path).toSet
+        require(t.delete("o_orderkey % 10 = 3") > 0L)
+        require(t.delete("o_orderkey % 10 = 7") > 0L)
+        val s = t.snapshot
+        require(s.files.map(_.path).toSet == before,
+          "merge-on-read DELETE must not rewrite data files")
+        require(s.dvs.nonEmpty, "deletion vectors must be attached")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** orders with per-file bloom filters on o_custkey — a
    * high-cardinality column UNCORRELATED with the (o_orderkey,
    * o_totalprice) index order, so every file's [min, max] spans any
@@ -1198,6 +1226,11 @@ object QTables {
     if (!withMeta.exists(_.isInstanceOf[graft.rules.ScanSizeRule])) {
       cs.experimental.extraOptimizations =
         withMeta :+ new graft.rules.ScanSizeRule(spark)
+    }
+    val withSize = cs.experimental.extraOptimizations
+    if (!withSize.exists(_.isInstanceOf[graft.rules.DvMaskRule])) {
+      cs.experimental.extraOptimizations =
+        withSize :+ new graft.rules.DvMaskRule(spark)
     }
   }
 

@@ -971,6 +971,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
     }),
+    "q88_deletion_vectors" -> ((s, dir) => {
+      // merge-on-read DELETE: two deletes wrote row-index vectors
+      // instead of rewriting files (builder asserts the path set is
+      // unchanged and vectors are attached); the scan's mask filter
+      // must reproduce the filtered content exactly
+      QTables.qbeastDvOrders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q87_optimize_where" -> ((s, dir) => {
       // predicate-scoped OPTIMIZE ... WHERE through SQL: only files
       // that may match the predicate are repacked (builder asserts the
@@ -2475,6 +2484,10 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "q88_deletion_vectors" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 NOT IN (3, 7) GROUP BY 1""".stripMargin,
     "q87_optimize_where" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

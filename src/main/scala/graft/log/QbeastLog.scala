@@ -42,7 +42,12 @@ final case class QbeastSnapshot(
     /** The asOfVersion this snapshot was replayed at (-1 = head). A
      * refresh of a time-traveled relation must re-pin to this version,
      * not jump to the new head. */
-    asOf: Long = -1L) {
+    asOf: Long = -1L,
+    /** Deletion vectors: data-file path → (vector file, masked-row
+     * count). O(#masked files), never O(#files) — carried in full by
+     * light snapshots too (dv actions live in the JSON checkpoint and
+     * the tail, never only the parquet sidecar). */
+    dvs: Map[String, DvInfo] = Map.empty) {
 
   def isEmpty: Boolean = version < 0
 
@@ -80,7 +85,13 @@ final case class QbeastSnapshot(
 
   def allFilesCount: Long = files.size.toLong
   def totalBytes: Long = files.map(_.size).sum
+
+  /** Rows logically deleted by deletion vectors (0 for most tables). */
+  def dvMaskedRows: Long = dvs.valuesIterator.map(_.cardinality).sum
 }
+
+/** One deletion-vector attachment (see [[graft.log.DvFileAction]]). */
+final case class DvInfo(dvPath: String, cardinality: Long) extends Serializable
 
 /**
  * Versioned JSON-lines commit log under `<table>/_qbeast_log/`:
@@ -283,6 +294,7 @@ object QbeastLog extends org.apache.spark.internal.Logging {
     val files = mutable.LinkedHashMap.empty[String, IndexFile]
     val touched = Set.newBuilder[String]
     val txns = mutable.HashMap.empty[String, Long]
+    val dvs = mutable.HashMap.empty[String, DvInfo]
 
     val dimensionsOf: Long => Int = { rid =>
       revisions.get(rid).map(r => math.max(r.dimensionCount, 1)).getOrElse(1)
@@ -306,10 +318,18 @@ object QbeastLog extends org.apache.spark.internal.Logging {
             case RevisionAction(r) => revisions.update(r.revisionID, r)
             case AddFileAction(f, _) =>
               files.update(f.path, f)
+              // an added (re-added/rewritten) file starts unmasked.
+              // Light replay skips only the CHECKPOINT's add lines,
+              // whose dvs map is already post-clearing; tail adds
+              // always replay fully, so no stale mask can survive.
+              dvs.remove(f.path)
               if (isTail) touched += f.path
             case RemoveFileAction(r) =>
               files.remove(r.path)
+              dvs.remove(r.path)
               if (isTail) touched += r.path
+            case DvFileAction(p, dvPath, card) =>
+              dvs.update(p, DvInfo(dvPath, card))
             case TxnAction(appId, version) => txns.update(appId, version)
             case CommitInfoAction(_, _) => // history-only metadata
             case CdcFileAction(_, _) => // change-feed-only metadata
@@ -329,7 +349,8 @@ object QbeastLog extends org.apache.spark.internal.Logging {
       filesComplete = !light,
       checkpointVersion = fromCheckpoint.getOrElse(-1L),
       tailTouchedPaths = touched.result(),
-      asOf = asOfVersion)
+      asOf = asOfVersion,
+      dvs = dvs.toMap)
     if (asOfVersion < 0 && !light)
       maybeCheckpoint(fs, snap, fromCheckpoint.getOrElse(-1L), tailLines)
     snap
@@ -442,7 +463,9 @@ object QbeastLog extends org.apache.spark.internal.Logging {
       (snap.schema.map(sc => MetaDataAction(sc.json, snap.configuration)).iterator ++
         snap.revisions.values.toSeq.sortBy(_.revisionID).iterator.map(RevisionAction) ++
         snap.txns.iterator.map { case (a, v) => TxnAction(a, v) } ++
-        snap.files.iterator.map(f => AddFileAction(f, dataChange = false)))
+        snap.files.iterator.map(f => AddFileAction(f, dataChange = false)) ++
+        // dv lines AFTER the adds (replay clears a dv on add)
+        snap.dvs.iterator.map { case (p, i) => DvFileAction(p, i.dvPath, i.cardinality) })
         .map(QbeastLogSerde.actionToJsonLine)
     try writeAtomicLines(fs, logDir(snap.tablePath), target, actionLines, "checkpoint race")
     catch {

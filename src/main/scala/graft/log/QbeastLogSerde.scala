@@ -35,6 +35,16 @@ final case class CommitInfoAction(operation: String, timestamp: Long) extends Lo
  * admission control. */
 final case class CdcFileAction(path: String, size: Long) extends LogAction
 
+/** Attach (or replace) a deletion vector on a live data file: rows at
+ * the DV's indexes are logically deleted without rewriting the file
+ * (merge-on-read DELETE). `path` keys the data file (same relative
+ * form as its add action), `dvPath` the vector file under
+ * `_deletion_vectors/`, `cardinality` the masked row count (drives
+ * metadata counts and rewrite decisions). An add or remove for `path`
+ * clears the attachment — a rewritten file starts unmasked. */
+final case class DvFileAction(path: String, dvPath: String, cardinality: Long)
+  extends LogAction
+
 object QbeastLogSerde {
 
   implicit private val formats: Formats = DefaultFormats
@@ -163,6 +173,9 @@ object QbeastLogSerde {
         JObject("commitInfo" -> (("operation" -> op) ~ ("timestamp" -> ts)))
       case CdcFileAction(path, size) =>
         JObject("cdc" -> (("path" -> path) ~ ("size" -> size)))
+      case DvFileAction(path, dvPath, card) =>
+        JObject("dv" ->
+          (("path" -> path) ~ ("dvPath" -> dvPath) ~ ("card" -> card)))
     }
     JsonMethods.compact(JsonMethods.render(j))
   }
@@ -216,6 +229,10 @@ object QbeastLogSerde {
     val cdc = root.get("cdc")
     if (cdc != null)
       return CdcFileAction(cdc.get("path").asText(), cdc.get("size").asLong())
+    val dv = root.get("dv")
+    if (dv != null)
+      return DvFileAction(dv.get("path").asText(), dv.get("dvPath").asText(),
+        dv.get("card").asLong())
     val md = root.get("metaData")
     if (md != null) {
       val conf = Map.newBuilder[String, String]

@@ -53,8 +53,13 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case r @ LogicalRelation(HadoopFsRelation(fi: QbeastIndex, _, _, _, _, _), _, _, _, _) =>
         val snap = fi.currentSnapshot
         // a light snapshot's `files` is only the post-checkpoint tail;
-        // the bulk lives in the parquet sidecar — don't guess
-        if (snap.filesComplete) Some((snap, r.output, Nil)) else None
+        // the bulk lives in the parquet sidecar — don't guess.
+        // Deletion vectors bail the whole rewrite: block element counts
+        // include masked rows and a min/max extreme may be a masked row
+        // (count(*) could subtract dv cardinalities — a future
+        // refinement — but min/max cannot be fixed from metadata).
+        if (snap.filesComplete && snap.dvs.isEmpty) Some((snap, r.output, Nil))
+        else None
       case p: Project => snapshotOf(p.child)
       case s: SubqueryAlias => snapshotOf(s.child)
       case f: Filter =>

@@ -147,6 +147,17 @@ class QbeastStreamSource(
   private val initialSnapshot = QbeastLog.lightSnapshot(tablePath, hadoopConf)
   require(!initialSnapshot.isEmpty, s"no qbeast table at $tablePath")
 
+  /** Deletion vectors pinned at stream start: snapshot-phase files read
+   * through this mask (their deleted rows must not stream); appended
+   * files are never in the map. A DV landing mid-stream is a row-level
+   * delete the commit guards handle like any delete commit. */
+  private val initialDvByName: Map[String, String] =
+    initialSnapshot.dvs.map { case (p, i) =>
+      new Path(p).getName -> i.dvPath
+    }
+  private def maskInitial(df: DataFrame): DataFrame =
+    graft.write.DeletionVectors.maskWith(tablePath, initialDvByName, hadoopConf, df)
+
   /** The TABLE's schema. In CDF mode the engine hands back the
    * already-widened source schema — strip the metadata columns there;
    * a NON-CDF table may legitimately contain columns with those names
@@ -310,6 +321,26 @@ class QbeastStreamSource(
       val removes = actions.collect { case r: RemoveFileAction => r }
       val dataAdds = adds.collect { case (f, true) => (f.path, f.size) }
       val layoutOnly = removes.nonEmpty && dataAdds.isEmpty && adds.nonEmpty
+      // a deletion-vector commit is a row-level delete of already-
+      // emitted files: with a change file the CDF branch streams it;
+      // otherwise it needs the same tolerance as a delete commit
+      val dvOnly = actions.exists {
+        case _: graft.log.DvFileAction => true
+        case _ => false
+      } && dataAdds.isEmpty && removes.isEmpty
+      if (dvOnly) {
+        val cdcs0 = actions.collect { case CdcFileAction(p, sz) => (p, sz) }
+        if (readChangeFeed) {
+          if (cdcs0.isEmpty) throw new UnsupportedOperationException(
+            s"qbeast streaming CDF: commit $v of $tablePath masks rows with a " +
+              "deletion vector but persisted no change file. Set the table " +
+              "property 'enableChangeDataFeed' BEFORE running DELETE, or " +
+              "replay with the batch QbeastTable.changes API.")
+        } else if (!ignoreDeletes) throw new UnsupportedOperationException(
+          s"qbeast streaming source: commit $v of $tablePath deletes rows via " +
+            "a deletion vector. Streaming a non-append-only table requires " +
+            "option 'ignoreDeletes' or 'ignoreChanges'.")
+      }
       if (readChangeFeed) {
         // CDF enumeration: version-tagged units so getBatch can stamp
         // _commit_version ("v:kind:path"; kind a=insert file, d=removed
@@ -544,9 +575,9 @@ class QbeastStreamSource(
           }
           val tagged = kind match {
             case "c" => spark.read.schema(cdcFileSchema).parquet(absolute: _*)
-            case "d" => spark.read.schema(tableSchema).parquet(absolute: _*)
+            case "d" => maskInitial(spark.read.schema(tableSchema).parquet(absolute: _*))
               .withColumn("_change_type", lit("delete"))
-            case _ => spark.read.schema(tableSchema).parquet(absolute: _*)
+            case _ => maskInitial(spark.read.schema(tableSchema).parquet(absolute: _*))
               .withColumn("_change_type", lit("insert"))
           }
           tagged.withColumn("_commit_version", lit(v)).select(outCols: _*)
@@ -554,7 +585,7 @@ class QbeastStreamSource(
       shims.asStreamingDataFrame(frames.reduce(_.union(_)))
     } else {
       val absolute = paths.map(p => new Path(tablePath, p).toString)
-      val batchDf = spark.read.schema(schema).parquet(absolute: _*)
+      val batchDf = maskInitial(spark.read.schema(schema).parquet(absolute: _*))
       shims.asStreamingDataFrame(batchDf)
     }
   }

@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.rules.{MetadataCountRule, QbeastAnalysis, QbeastDmlRules, SampleRule, ScanSizeRule}
+import graft.rules.{DvMaskRule, MetadataCountRule, QbeastAnalysis, QbeastDmlRules, SampleRule, ScanSizeRule}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -27,6 +27,8 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     // filter-aware scan sizing: pruned slices report pruned bytes so
     // joins against them broadcast without hints
     extensions.injectOptimizerRule { session => new ScanSizeRule(session) }
+    // deletion-vector masking: scans of DV tables get the row mask
+    extensions.injectOptimizerRule { session => new DvMaskRule(session) }
     // change-data-feed TVF (Delta's table_changes, path-addressed):
     //   SELECT * FROM table_changes('/path/to/table', 1)        -- 1..head
     //   SELECT * FROM table_changes('/path/to/table', 1, 3)

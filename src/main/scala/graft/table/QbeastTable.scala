@@ -52,10 +52,14 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       s: QbeastSnapshot,
       files: Seq[IndexFile]): org.apache.spark.sql.DataFrame = {
     val paths = files.map(f => new Path(tablePath, f.path).toString)
-    s.schema match {
+    val raw = s.schema match {
       case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
+    // deletion-vector mask: a rewrite (optimize/compact/DML survivors)
+    // reading a masked file must NOT resurrect its deleted rows — the
+    // rewrite materializes the deletes and the new file starts unmasked
+    graft.write.DeletionVectors.mask(s, conf, raw)
   }
 
   private def statusOf(s: QbeastSnapshot, rid: Long): IndexStatus =
@@ -399,7 +403,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       options = Map.empty[String, String])(spark)
-    spark.baseRelationToDataFrame(relation)
+    // explicit mask (not just DvMaskRule): DML correctness must not
+    // depend on which rules the session happens to have registered
+    graft.write.DeletionVectors.mask(s, conf,
+      spark.baseRelationToDataFrame(relation))
   }
 
   /** Pass 1 of every keyed mutation: the files of `s` holding at least
@@ -453,6 +460,14 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     if (affectedNames.isEmpty) return 0L
     val affected = s.files.filter(f => affectedNames.contains(new Path(f.path).getName))
 
+    // ---- merge-on-read DELETE (opt-in): write deletion vectors
+    // instead of rewriting files; falls back to copy-on-write when any
+    // file's post-delete masked fraction would exceed the threshold ----
+    if (assignments.isEmpty && graft.write.DeletionVectors.enabled(s.configuration)) {
+      val deleted = dvDelete(s, table, matched, affected)
+      if (deleted >= 0) return deleted
+    }
+
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
 
     // ---- pass 2: rewrite survivors of each affected file, grouped by
@@ -502,7 +517,14 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       operation = if (assignments.isDefined) "UPDATE" else "DELETE")
 
     if (assignments.isDefined) updatedAdds.map(_.elementCount).sum
-    else affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
+    else {
+      // block element counts are PRE-mask: rows a deletion vector had
+      // already removed must not be re-counted by this delete
+      val alreadyMasked =
+        affected.iterator.flatMap(f => s.dvs.get(f.path)).map(_.cardinality).sum
+      affected.map(_.elementCount).sum - alreadyMasked -
+        survivorAdds.map(_.elementCount).sum
+    }
   }
 
   /**
@@ -933,6 +955,131 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * benign conflicts (unrelated appends) are retried against the new
    * version; a conflict that touched one of OUR target files aborts —
    * retrying would resurrect deleted rows or double-apply the update. */
+  /**
+   * Merge-on-read DELETE: one pass computes each affected file's newly
+   * matched row indexes (on the MASKED pinned read, so already-deleted
+   * rows never re-match), unions them with the file's existing vector
+   * and writes the replacement vector ON THE EXECUTOR — the driver sees
+   * only (file, vectorPath, counts), never row indexes. Commits one
+   * `dv` action per file (no adds, no removes: O(masked files) log
+   * growth for a DELETE that would otherwise rewrite gigabytes).
+   *
+   * Returns the deleted row count, or -1 when any file's post-delete
+   * masked fraction would exceed the threshold — the caller then takes
+   * the copy-on-write path, which materializes ALL masks of the files
+   * it rewrites (a mostly-deleted file is cheaper to rewrite than to
+   * keep masking). Written vectors are cleaned up on fallback or abort;
+   * replaced vectors are reclaimed by vacuum like removed data files.
+   */
+  private def dvDelete(
+      s: QbeastSnapshot,
+      table: org.apache.spark.sql.DataFrame,
+      matched: Column,
+      affected: Vector[IndexFile]): Long = {
+    import graft.write.DeletionVectors
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val tp = tablePath
+    val existingDvByName: Map[String, String] =
+      s.dvs.map { case (p, i) => new Path(p).getName -> i.dvPath }
+    val maxFraction = spark.conf
+      .getOption("spark.qbeast.dv.maxDeletedFraction").map(_.toDouble)
+      .getOrElse(DeletionVectors.MaxMaskedFraction)
+
+    import spark.implicits._
+    val written: Array[(String, String, Long, Long)] = table.filter(matched)
+      .select(col("_metadata.file_path").as("_f"),
+        col("_metadata.row_index").as("_i"))
+      .groupBy("_f").agg(sort_array(collect_list(col("_i"))).as("_idx"))
+      .as[(String, Array[Long])]
+      .mapPartitions { it =>
+        it.map { case (fullPath, newIdx) =>
+          val name = fullPath.substring(fullPath.lastIndexOf('/') + 1)
+          val merged = existingDvByName.get(name) match {
+            case Some(old) =>
+              DeletionVectors.union(
+                DeletionVectors.read(tp, sconf.value, old), newIdx)
+            case None => newIdx
+          }
+          val rel = DeletionVectors.write(tp, sconf.value, merged)
+          (name, rel, newIdx.length.toLong, merged.length.toLong)
+        }
+      }.collect()
+    if (written.isEmpty) return 0L
+
+    def dropWritten(extra: Option[LogAction] = None): Unit = {
+      val fs = new Path(tp).getFileSystem(conf)
+      written.foreach { case (_, rel, _, _) =>
+        try fs.delete(new Path(tp, rel), false)
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+      extra.foreach {
+        case CdcFileAction(p, _) =>
+          try fs.delete(new Path(tp, p), true)
+          catch { case scala.util.control.NonFatal(_) => }
+        case _ =>
+      }
+    }
+
+    val byName = affected.map(f => new Path(f.path).getName -> f).toMap
+    val overBudget = written.exists { case (name, _, _, total) =>
+      byName.get(name).exists(f =>
+        f.elementCount > 0 && total.toDouble / f.elementCount > maxFraction)
+    }
+    if (overBudget) { dropWritten(); return -1L }
+
+    // CDF: persist the deleted rows as this commit's change data (the
+    // file-diff fallback cannot see a dv-only commit)
+    val cdcAction: Option[LogAction] =
+      if (s.configuration.get("qbeast.enableChangeDataFeed").contains("true") &&
+        s.schema.nonEmpty) {
+        val dir = s"_change_data/cdc-${java.util.UUID.randomUUID()}"
+        val target = new Path(tp, dir)
+        table.filter(matched).withColumn("_change_type", lit("delete"))
+          .write.mode("overwrite").parquet(target.toString)
+        val fs = target.getFileSystem(conf)
+        val size = fs.listStatus(target).filter(_.isFile).map(_.getLen).sum
+        Some(CdcFileAction(dir, size))
+      } else None
+
+    val dvActions: Seq[LogAction] = written.toSeq.map { case (name, rel, _, total) =>
+      DvFileAction(byName(name).path, rel, total)
+    }
+    var base = s
+    var rebases = 0
+    var committed = false
+    try {
+      while (!committed) {
+        try {
+          QbeastLog.commit(tablePath, conf, base.version,
+            dvActions ++ cdcAction, operation = "DELETE")
+          committed = true
+        } catch {
+          case e: ConcurrentCommitException =>
+            rebases += 1
+            if (rebases > 5) throw e
+            val rebased = QbeastLog.snapshot(tablePath, conf)
+            val live = rebased.files.map(f => f.path).toSet
+            // conflict: a targeted file was rewritten/removed, or its
+            // vector changed under us (another DV delete) — our vector
+            // was computed against a stale mask; committing would lose
+            // that delete's rows or resurrect ours
+            val clean = dvActions.forall {
+              case DvFileAction(p, _, _) =>
+                live.contains(p) &&
+                  rebased.dvs.get(p).map(_.dvPath) == s.dvs.get(p).map(_.dvPath)
+              case _ => true
+            }
+            if (!clean)
+              throw new java.util.ConcurrentModificationException(
+                "files targeted by DELETE were rewritten or re-masked " +
+                  "concurrently; re-run the operation")
+            base = rebased
+        }
+      }
+    } catch { case e: Throwable => dropWritten(cdcAction); throw e }
+    written.map(_._3).sum
+  }
+
   private def commitMutation(
       initial: QbeastSnapshot,
       adds0: Seq[IndexFile],
@@ -1111,8 +1258,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     def read(fs: Seq[IndexFile]): org.apache.spark.sql.DataFrame =
       if (fs.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema)
-        .parquet(fs.map(f => new Path(tablePath, f.path).toString): _*)
+      else graft.write.DeletionVectors.mask(s, conf, spark.read.schema(schema)
+        .parquet(fs.map(f => new Path(tablePath, f.path).toString): _*))
     val before = read(removes)
     val after = read(adds)
     val changed = after.exceptAll(before).withColumn("_change_type", lit("insert"))
@@ -1283,12 +1430,45 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       df.withColumn("_change_type", lit(kind))
         .withColumn("_commit_version", lit(v))
 
+    // deletion-vector state BEFORE each replayed commit: a dv commit's
+    // delete rows are (masked by new vector) AND NOT (masked by old),
+    // and a copy-on-write commit's before-image must exclude rows its
+    // files' vectors had already deleted
+    val running = mutable.HashMap.empty[String, graft.log.DvInfo]
+    if (startVersion > 0)
+      running ++= QbeastLog.snapshot(tablePath, conf, asOfVersion = startVersion - 1).dvs
+    def dvNamesFor(paths: Seq[String]): Map[String, String] = {
+      val wanted = paths.map(p => new Path(p).getName).toSet
+      running.collect {
+        case (p, i) if wanted.contains(new Path(p).getName) =>
+          new Path(p).getName -> i.dvPath
+      }.toMap
+    }
+    def requireDv(dvPath: String, v: Long): String = {
+      val abs = new Path(tablePath, dvPath)
+      require(fs.exists(abs),
+        s"changes($startVersion, $end): deletion vector $dvPath of commit $v " +
+          "was vacuumed — this range cannot be replayed")
+      dvPath
+    }
+
     val frames = (startVersion to end).flatMap { v =>
       val actions = QbeastLog.commitActions(tablePath, conf, v, endSnap.revisions)
       val cdcDirs = actions.collect { case CdcFileAction(p, _) => p }
       val dataAdds = actions.collect { case AddFileAction(f, true) => f.path }
       val anyAdds = actions.exists { case _: AddFileAction => true; case _ => false }
       val removes = actions.collect { case RemoveFileAction(r) => r.path }
+      val dvActs = actions.collect { case d: graft.log.DvFileAction => d }
+      def advanceDvState(): Unit = {
+        actions.foreach {
+          case AddFileAction(f, _) => running.remove(f.path)
+          case RemoveFileAction(r) => running.remove(r.path)
+          case graft.log.DvFileAction(p, dvPath, card) =>
+            running.update(p, graft.log.DvInfo(dvPath, card))
+          case _ =>
+        }
+      }
+      def emit(fs0: Seq[org.apache.spark.sql.DataFrame]) = { advanceDvState(); fs0 }
       if (cdcDirs.nonEmpty) {
         // the commit persisted its own change data (CDF-enabled DML):
         // read it directly — no re-diff of the rewritten files
@@ -1301,19 +1481,43 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
             s"changes($startVersion, $end): change file $p was vacuumed")
           abs.toString
         }
-        Seq(spark.read.schema(cdcSchema).parquet(absolute: _*)
-          .withColumn("_commit_version", lit(v)))
+        emit(Seq(spark.read.schema(cdcSchema).parquet(absolute: _*)
+          .withColumn("_commit_version", lit(v))))
       }
-      else if (anyAdds && dataAdds.isEmpty) Nil // optimize/compact: content unchanged
-      else if (dataAdds.isEmpty && removes.isEmpty) Nil // metadata-only commit
-      else if (removes.isEmpty) Seq(tagged(readFiles(dataAdds), "insert", v))
-      else if (dataAdds.isEmpty) Seq(tagged(readFiles(removes), "delete", v))
+      else if (dvActs.nonEmpty && dataAdds.isEmpty && removes.isEmpty) {
+        // dv-only commit without a change file: the newly masked rows
+        // are the delete feed — (new vector) minus (old vector)
+        val dvs = graft.write.DeletionVectors
+        val newByName = dvActs.map(d =>
+          new Path(d.path).getName -> requireDv(d.dvPath, v)).toMap
+        val oldByName = dvNamesFor(dvActs.map(_.path))
+        oldByName.values.foreach(requireDv(_, v))
+        val df = readFiles(dvActs.map(_.path))
+        val newProbe = dvs.probeCol(tablePath, newByName, conf)
+        val newlyMasked =
+          if (oldByName.isEmpty) df.filter(newProbe)
+          else df.filter(newProbe &&
+            !dvs.probeCol(tablePath, oldByName, conf))
+        emit(Seq(tagged(newlyMasked.select(schema.fieldNames.map(col): _*),
+          "delete", v)))
+      }
+      else if (anyAdds && dataAdds.isEmpty) emit(Nil) // optimize/compact: content unchanged
+      else if (dataAdds.isEmpty && removes.isEmpty) emit(Nil) // metadata-only commit
+      else if (removes.isEmpty) emit(Seq(tagged(readFiles(dataAdds), "insert", v)))
       else {
-        val before = readFiles(removes)
-        val after = readFiles(dataAdds)
-        Seq(
-          tagged(after.exceptAll(before), "insert", v),
-          tagged(before.exceptAll(after), "delete", v))
+        // the before-image excludes rows the removed files' vectors had
+        // already deleted (they changed in an EARLIER commit)
+        val maskNames = dvNamesFor(removes)
+        maskNames.values.foreach(requireDv(_, v))
+        val before = graft.write.DeletionVectors
+          .maskWith(tablePath, maskNames, conf, readFiles(removes))
+        if (dataAdds.isEmpty) emit(Seq(tagged(before, "delete", v)))
+        else {
+          val after = readFiles(dataAdds)
+          emit(Seq(
+            tagged(after.exceptAll(before), "insert", v),
+            tagged(before.exceptAll(after), "delete", v)))
+        }
       }
     }
     frames.reduceOption(_.union(_)).getOrElse {
@@ -1413,6 +1617,19 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         if (at < cutoff && fs.delete(st.getPath, true)) deleted += 1
       }
     }
+    // deletion vectors: live = referenced by the current snapshot;
+    // replaced vectors (a later DELETE re-masked the file) and vectors
+    // of since-rewritten files expire with the retention window
+    val dvRoot = new Path(dir, graft.write.DeletionVectors.DirName)
+    if (fs.exists(dvRoot)) {
+      val liveDvs = s.dvs.values.map(i => new Path(i.dvPath).getName).toSet
+      fs.listStatus(dvRoot).foreach { st =>
+        if (st.isFile && !liveDvs.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff && fs.delete(st.getPath, false)) {
+          deleted += 1
+        }
+      }
+    }
     // sidecar housekeeping: parquet checkpoints older than the newest
     // one only serve time travel, which degrades safely to the flat path
     graft.log.FileCheckpoint.pruneOld(fs, tablePath,
@@ -1450,10 +1667,19 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val p = new Path(qualifiedSrc, f.path)
       AddFileAction(f.copy(path = p.toUri.toString), dataChange = true)
     }
+    // deletion vectors clone by absolute reference exactly like data
+    // files: the dv action's key must match the cloned add's path, and
+    // the vector path resolves absolutely from the clone's root
+    val absoluteDvs = s.dvs.toSeq.map { case (p, i) =>
+      DvFileAction(
+        new Path(qualifiedSrc, p).toUri.toString,
+        new Path(qualifiedSrc, i.dvPath).toUri.toString,
+        i.cardinality)
+    }
     val actions: Seq[LogAction] =
       s.schema.map(sc => MetaDataAction(sc.json, s.configuration)).toSeq ++
         s.revisions.values.toSeq.sortBy(_.revisionID).map(RevisionAction) ++
-        absoluteAdds
+        absoluteAdds ++ absoluteDvs
     QbeastLog.commit(targetPath, conf, -1L, actions, operation = "CLONE")
     QbeastTable.forPath(spark, targetPath)
   }

@@ -260,10 +260,25 @@ object QbeastWriter {
         else Map.empty[String, String]
       val autoDrop: Set[String] =
         if (autoCompactOpt.contains(false)) Set("qbeast.autoCompact") else Set.empty
+      // deletionVectors persists as a table property (merge-on-read
+      // DELETE opt-in); `deletionVectors=false` drops it — future
+      // deletes copy-on-write again, existing masks stay until a
+      // rewrite materializes them
+      val dvOpt = options.extra.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("deletionVectors") => v.equalsIgnoreCase("true")
+      }
+      val dvTag =
+        if (dvOpt.contains(true))
+          Map(graft.write.DeletionVectors.PropertyKey -> "true")
+        else Map.empty[String, String]
+      val dvDrop: Set[String] =
+        if (dvOpt.contains(false)) Set(graft.write.DeletionVectors.PropertyKey)
+        else Set.empty
       val config = base.configuration ++ hookTags ++ cdfTag ++ bloomTag ++ autoTag ++
+        dvTag ++
         Map("qbeast.lastRevisionID" ->
           math.max(revisionToCommit.revisionID, base.lastRevisionID).toString) --
-        bloomDrop -- autoDrop
+        bloomDrop -- autoDrop -- dvDrop
       // Re-derive the schema against the CURRENT base, not the snapshot
       // this write started from: a concurrent append may itself have
       // evolved the schema, and committing the stale merge would
