@@ -1671,6 +1671,34 @@ object SparkEntry {
 
   /** DuckDB-runnable oracles over the same raw parquet tables. Keys
    * without an oracle (sampling) get the driver's rows-only check. */
+  /** Shared by t36 (direct sketch) and t37 (state rollup): merging
+   * per-(source, lang) register states IS sketching the per-source
+   * union, so both replay identically — one binding keeps any future
+   * tweak (alpha literal, correction thresholds) from diverging. */
+  private val HllOracleSql: String =
+    """WITH h AS (SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT source, hv % 256 AS bucket,
+        |        max(CASE WHEN hv // 256 = 0 THEN 25
+        |                 ELSE 25 - length(bin(hv // 256)) END) AS rho
+        |      FROM h GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT source FROM documents),
+        |regs AS (SELECT g.source, s.i AS i, coalesce(r.rho, 0) AS rho
+        |         FROM g CROSS JOIN (SELECT unnest(range(256)) AS i) s
+        |         LEFT JOIN r ON r.source = g.source AND r.bucket = s.i),
+        |agg AS (SELECT source,
+        |          CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS scaled,
+        |          CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |        FROM regs GROUP BY 1)
+        |SELECT source,
+        |  CASE WHEN zeros > 0 AND (CAST('1579498136381.3938' AS DOUBLE) / scaled) <= 640.0
+        |         THEN 256.0 * ln(256.0 / zeros)
+        |       WHEN (CAST('1579498136381.3938' AS DOUBLE) / scaled) > 4294967296.0 / 30.0
+        |         THEN -4294967296.0 * ln(1.0 - (CAST('1579498136381.3938' AS DOUBLE) / scaled) / 4294967296.0)
+        |       ELSE CAST('1579498136381.3938' AS DOUBLE) / scaled END AS est,
+        |  scaled, zeros
+        |FROM agg""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_roundtrip_agg" ->
       """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
@@ -2199,53 +2227,11 @@ object SparkEntry {
       // numerator literal matches HllDistinctAgg.AlphaNum exactly, so
       // the raw path is one identical IEEE division; the ln() paths
       // agree to ulps, far inside the comparator's 1e-6 rounding)
-      """WITH h AS (SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
-        |  FROM documents),
-        |r AS (SELECT source, hv % 256 AS bucket,
-        |        max(CASE WHEN hv // 256 = 0 THEN 25
-        |                 ELSE 25 - length(bin(hv // 256)) END) AS rho
-        |      FROM h GROUP BY 1, 2),
-        |g AS (SELECT DISTINCT source FROM documents),
-        |regs AS (SELECT g.source, s.i AS i, coalesce(r.rho, 0) AS rho
-        |         FROM g CROSS JOIN (SELECT unnest(range(256)) AS i) s
-        |         LEFT JOIN r ON r.source = g.source AND r.bucket = s.i),
-        |agg AS (SELECT source,
-        |          CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS scaled,
-        |          CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
-        |        FROM regs GROUP BY 1)
-        |SELECT source,
-        |  CASE WHEN zeros > 0 AND (CAST('1579498136381.3938' AS DOUBLE) / scaled) <= 640.0
-        |         THEN 256.0 * ln(256.0 / zeros)
-        |       WHEN (CAST('1579498136381.3938' AS DOUBLE) / scaled) > 4294967296.0 / 30.0
-        |         THEN -4294967296.0 * ln(1.0 - (CAST('1579498136381.3938' AS DOUBLE) / scaled) / 4294967296.0)
-        |       ELSE CAST('1579498136381.3938' AS DOUBLE) / scaled END AS est,
-        |  scaled, zeros
-        |FROM agg""".stripMargin,
+      HllOracleSql,
     "t37_hll_rollup" ->
       // identical to t36: merging per-(source,lang) register states is
       // exactly sketching the per-source union
-      """WITH h AS (SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
-        |  FROM documents),
-        |r AS (SELECT source, hv % 256 AS bucket,
-        |        max(CASE WHEN hv // 256 = 0 THEN 25
-        |                 ELSE 25 - length(bin(hv // 256)) END) AS rho
-        |      FROM h GROUP BY 1, 2),
-        |g AS (SELECT DISTINCT source FROM documents),
-        |regs AS (SELECT g.source, s.i AS i, coalesce(r.rho, 0) AS rho
-        |         FROM g CROSS JOIN (SELECT unnest(range(256)) AS i) s
-        |         LEFT JOIN r ON r.source = g.source AND r.bucket = s.i),
-        |agg AS (SELECT source,
-        |          CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS scaled,
-        |          CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
-        |        FROM regs GROUP BY 1)
-        |SELECT source,
-        |  CASE WHEN zeros > 0 AND (CAST('1579498136381.3938' AS DOUBLE) / scaled) <= 640.0
-        |         THEN 256.0 * ln(256.0 / zeros)
-        |       WHEN (CAST('1579498136381.3938' AS DOUBLE) / scaled) > 4294967296.0 / 30.0
-        |         THEN -4294967296.0 * ln(1.0 - (CAST('1579498136381.3938' AS DOUBLE) / scaled) / 4294967296.0)
-        |       ELSE CAST('1579498136381.3938' AS DOUBLE) / scaled END AS est,
-        |  scaled, zeros
-        |FROM agg""".stripMargin,
+      HllOracleSql,
     "t32_bm25" ->
       // constants mirror the Spark expression tree fold-for-fold
       // ((1.2 + 1), (1 - 0.75)) so both engines do the same IEEE ops

@@ -33,7 +33,24 @@ class DvMaskRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   import DvMaskRule._
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // internal readers (DML passes, rewrites, CDC diffs) mask
+    // explicitly at DataFrame level — their relation already sits under
+    // a dv_row_deleted filter; wrapping it again would make every row
+    // pay the probe twice. Tag those before transforming.
+    plan.foreach {
+      case f: Filter
+          if f.condition.exists(_.isInstanceOf[graft.expressions.DvRowDeleted]) =>
+        f.child.foreach {
+          case lr: LogicalRelation => lr.setTagValue(MaskedTag, ())
+          case _ =>
+        }
+      case _ =>
+    }
+    maskScans(plan)
+  }
+
+  private def maskScans(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case lr @ LogicalRelation(HadoopFsRelation(fi: QbeastIndex, _, _, _, _, _), _, _, _, _)
         if lr.getTagValue(MaskedTag).isEmpty && fi.currentSnapshot.dvs.nonEmpty =>
       val snap = fi.currentSnapshot

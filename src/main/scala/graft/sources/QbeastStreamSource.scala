@@ -158,6 +158,21 @@ class QbeastStreamSource(
   private def maskInitial(df: DataFrame): DataFrame =
     graft.write.DeletionVectors.maskWith(tablePath, initialDvByName, hadoopConf, df)
 
+  /** dv state as of `v` — for the CDF 'd' branch, whose removed files
+   * must be read with the mask that applied just BEFORE their removal
+   * (a dv commit that landed mid-stream already emitted its rows as
+   * deletes via its change file; re-emitting them here would double
+   * count). One full replay per probed version, cached; the 'd' branch
+   * is a replay surface, never the hot append path. */
+  private val dvAtCache = scala.collection.mutable.HashMap.empty[Long, Map[String, String]]
+  private def dvByNameAt(v: Long): Map[String, String] =
+    dvAtCache.getOrElseUpdate(v, {
+      if (dvAtCache.size > 32) dvAtCache.clear()
+      if (v < 0) Map.empty
+      else QbeastLog.snapshot(tablePath, hadoopConf, asOfVersion = v).dvs
+        .map { case (p, i) => new Path(p).getName -> i.dvPath }
+    })
+
   /** The TABLE's schema. In CDF mode the engine hands back the
    * already-widened source schema — strip the metadata columns there;
    * a NON-CDF table may legitimately contain columns with those names
@@ -575,7 +590,9 @@ class QbeastStreamSource(
           }
           val tagged = kind match {
             case "c" => spark.read.schema(cdcFileSchema).parquet(absolute: _*)
-            case "d" => maskInitial(spark.read.schema(tableSchema).parquet(absolute: _*))
+            case "d" => graft.write.DeletionVectors.maskWith(tablePath,
+              dvByNameAt(v - 1), hadoopConf,
+              spark.read.schema(tableSchema).parquet(absolute: _*))
               .withColumn("_change_type", lit("delete"))
             case _ => maskInitial(spark.read.schema(tableSchema).parquet(absolute: _*))
               .withColumn("_change_type", lit("insert"))

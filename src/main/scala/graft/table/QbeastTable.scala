@@ -235,7 +235,12 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val filters = filtered.queryExecution.optimizedPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
-    val conjuncts = filters.flatMap(splitAnd)
+    // on a masked table DvMaskRule plants its own NOT dv_row_deleted
+    // filter — that is read-path machinery, not the user's predicate:
+    // it must neither satisfy the triviality guard nor ride into
+    // selectFiles
+    val conjuncts = filters.flatMap(splitAnd).filterNot(_.exists(
+      _.isInstanceOf[graft.expressions.DvRowDeleted]))
     require(conjuncts.nonEmpty,
       "optimizeWhere requires a filtering condition (a trivially-true " +
         "predicate folds away — use optimize() for a full repack)")
@@ -339,11 +344,18 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           // an overwrite) already removed any file we are rewriting,
           // blindly re-committing would duplicate its rows (our adds
           // land, the duplicate remove replays as a no-op) or resurrect
-          // overwritten data. Abort instead — the rewrite is purely a
-          // layout change, so dropping it is always safe; our orphaned
-          // parquet files are reclaimed by vacuum.
+          // overwritten data. A concurrent merge-on-read DELETE that
+          // re-masked a file is the same hazard in row form: our adds
+          // were materialized with the OLD mask, so committing would
+          // resurrect the concurrently deleted rows (and the remove
+          // would drop the new vector). Abort in both cases — the
+          // rewrite is purely a layout change, so dropping it is always
+          // safe; our orphaned parquet files are reclaimed by vacuum.
           val live = base.files.map(_.path).toSet
           if (!removes.forall(f => live.contains(f.path))) return
+          if (!removes.forall(f =>
+            base.dvs.get(f.path).map(_.dvPath) == s.dvs.get(f.path).map(_.dvPath)))
+            return
       }
     }
   }
@@ -976,7 +988,28 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       table: org.apache.spark.sql.DataFrame,
       matched: Column,
       affected: Vector[IndexFile]): Long = {
+    // cache the matched rows WITH their file identity: the vector job
+    // and the CDF change-data write both consume them — without the
+    // cache a CDF-enabled delete would scan the affected files twice
+    val cdfEnabled =
+      s.configuration.get("qbeast.enableChangeDataFeed").contains("true") &&
+        s.schema.nonEmpty
+    val matchedRows = table.filter(matched)
+      .withColumn("_f", col("_metadata.file_path"))
+      .withColumn("_i", col("_metadata.row_index"))
+    if (cdfEnabled) matchedRows.persist()
+    try {
+      dvDeleteInner(s, matchedRows, affected, cdfEnabled)
+    } finally if (cdfEnabled) { matchedRows.unpersist(); () }
+  }
+
+  private def dvDeleteInner(
+      s: QbeastSnapshot,
+      matchedRows: org.apache.spark.sql.DataFrame,
+      affected: Vector[IndexFile],
+      cdfEnabled: Boolean): Long = {
     import graft.write.DeletionVectors
+    import spark.implicits._
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val tp = tablePath
     val existingDvByName: Map[String, String] =
@@ -984,11 +1017,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val maxFraction = spark.conf
       .getOption("spark.qbeast.dv.maxDeletedFraction").map(_.toDouble)
       .getOrElse(DeletionVectors.MaxMaskedFraction)
-
-    import spark.implicits._
-    val written: Array[(String, String, Long, Long)] = table.filter(matched)
-      .select(col("_metadata.file_path").as("_f"),
-        col("_metadata.row_index").as("_i"))
+    val written: Array[(String, String, Long, Long)] = matchedRows
+      .select(col("_f"), col("_i"))
       .groupBy("_f").agg(sort_array(collect_list(col("_i"))).as("_idx"))
       .as[(String, Array[Long])]
       .mapPartitions { it =>
@@ -1028,13 +1058,14 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     if (overBudget) { dropWritten(); return -1L }
 
     // CDF: persist the deleted rows as this commit's change data (the
-    // file-diff fallback cannot see a dv-only commit)
+    // file-diff fallback cannot see a dv-only commit); reuses the
+    // cached matched frame — no second scan
     val cdcAction: Option[LogAction] =
-      if (s.configuration.get("qbeast.enableChangeDataFeed").contains("true") &&
-        s.schema.nonEmpty) {
+      if (cdfEnabled) {
         val dir = s"_change_data/cdc-${java.util.UUID.randomUUID()}"
         val target = new Path(tp, dir)
-        table.filter(matched).withColumn("_change_type", lit("delete"))
+        matchedRows.drop("_f", "_i")
+          .withColumn("_change_type", lit("delete"))
           .write.mode("overwrite").parquet(target.toString)
         val fs = target.getFileSystem(conf)
         val size = fs.listStatus(target).filter(_.isFile).map(_.getLen).sum
@@ -1124,11 +1155,20 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           rebases += 1
           if (rebases > 5) throw e
           val rebased = QbeastLog.snapshot(tablePath, conf)
-          val live = rebased.files.map(_.path).toSet
+          val live = rebased.files.map(f => f.path).toSet
           if (!removes.forall(f => live.contains(f.path)))
             throw new java.util.ConcurrentModificationException(
               "files targeted by DELETE/UPDATE were rewritten concurrently " +
                 "(optimize/overwrite/another DML); re-run the operation")
+          // a concurrent merge-on-read DELETE re-masked one of our
+          // targets: our survivors/updates were computed with the old
+          // mask — committing would resurrect its deleted rows
+          if (!removes.forall(f =>
+            rebased.dvs.get(f.path).map(_.dvPath) ==
+              initial.dvs.get(f.path).map(_.dvPath)))
+            throw new java.util.ConcurrentModificationException(
+              "files targeted by DELETE/UPDATE were re-masked concurrently " +
+                "(a deletion-vector DELETE); re-run the operation")
           // a CHECK constraint added since this mutation's validation
           // pass must gate its rows too — re-validate the written adds
           // (bounded by the mutation's own output) against constraints
@@ -1312,11 +1352,31 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           s"cannot restore to version $version: data file ${f.path} was vacuumed")
       }
       val drop = base.files.filterNot(f => targetPaths.contains(f.path))
+      // deletion-vector reconciliation: the restored content includes
+      // the TARGET's masks, not the head's. A file whose mask must be
+      // (re)set gets a dv action (vector file existence checked — a
+      // replaced vector is vacuumable); a file that must LOSE its head
+      // mask is re-added (replay clears a dv on add). Removed and
+      // resurrected files clear/set through the same replay rules.
+      val setDvs = target.dvs.toSeq.filter { case (p, info) =>
+        targetPaths.contains(p) && !base.dvs.get(p).contains(info)
+      }
+      setDvs.foreach { case (_, info) =>
+        require(fs.exists(new Path(tablePath, info.dvPath)),
+          s"cannot restore to version $version: deletion vector " +
+            s"${info.dvPath} was vacuumed")
+      }
+      val clearDvs = base.files.filter(f =>
+        targetPaths.contains(f.path) && base.dvs.contains(f.path) &&
+          !target.dvs.contains(f.path))
+      val targetByPath = target.files.map(f => f.path -> f).toMap
       val now = System.currentTimeMillis()
       val actions: Seq[LogAction] =
         target.schema.map(sc => MetaDataAction(sc.json, target.configuration)).toSeq ++
           resurrect.map(f => AddFileAction(f, dataChange = true)) ++
-          drop.map(f => RemoveFileAction(RemoveFile(f.path, now, f.size)))
+          clearDvs.map(f => AddFileAction(targetByPath(f.path), dataChange = true)) ++
+          drop.map(f => RemoveFileAction(RemoveFile(f.path, now, f.size))) ++
+          setDvs.map { case (p, i) => DvFileAction(p, i.dvPath, i.cardinality) }
       try {
         QbeastLog.commit(tablePath, conf, base.version, actions, operation = "RESTORE")
         committed = true
@@ -1805,10 +1865,9 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   def verifyIntegrity(): Seq[IntegrityIssue] = {
     val s = snapshot
     val issues = mutable.Buffer.empty[IntegrityIssue]
-    s.files.groupBy(_.path).filter(_._2.size > 1).foreach { case (p, refs) =>
-      issues += IntegrityIssue(p, "duplicate-reference",
-        s"${refs.size} live add actions for one physical file")
-    }
+    // (no duplicate-reference check: snapshot replay is path-keyed, so
+    // a double-add collapses to the last action by construction — the
+    // log cannot surface two live entries for one path)
     s.files.foreach { f =>
       if (!s.revisions.contains(f.revisionId))
         issues += IntegrityIssue(f.path, "unknown-revision",

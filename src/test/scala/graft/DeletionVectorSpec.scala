@@ -6,6 +6,24 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Injected between an optimize's rewrite and its commit: a dv delete
+ * lands on the files being rewritten — the optimize must then abort
+ * its layout commit (its rewrite was materialized with the old mask). */
+class MidOptimizeDvDeleteHook extends graft.write.PreCommitHook {
+  override def name: String = "race-dv-delete"
+  override def run(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[graft.core.model.IndexFile]): Map[String, String] = {
+    QbeastTable.forPath(spark, MidOptimizeDvDeleteHook.tableDir.get())
+      .delete("k = 47")
+    Map.empty
+  }
+}
+
+object MidOptimizeDvDeleteHook {
+  val tableDir = new java.util.concurrent.atomic.AtomicReference[String]()
+}
+
 /** Merge-on-read DELETE via deletion vectors (`deletionVectors=true`):
  * small deletes write row-index vectors instead of rewriting files;
  * every read path masks; rewrites materialize; vacuum reclaims. */
@@ -188,6 +206,40 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(spark.read.parquet(out2).count() ===
       (1 to 2000).count(_ % 97 != 41).toLong,
       "fresh stream's snapshot phase masks; the dv commit itself adds nothing")
+  }
+
+  test("restore reconciles vectors: back past a delete, and forward onto one") {
+    val dir = TestSpark.tmpDir("dv-restore")
+    writeTable(dir, rows = 3000)                  // v0
+    val t = QbeastTable.forPath(spark, dir)
+    assert(t.delete("k = 43") > 0L)               // v1: dv commit
+    val maskedCount = (1 to 3000).count(_ % 97 != 43).toLong
+    val maskedVersion = t.snapshot.version
+    t.restoreToVersion(0)                         // back past the delete
+    assert(QbeastTable.forPath(spark, dir).snapshot.dvs.isEmpty,
+      "restore to v0 must clear the later mask")
+    assert(back(dir).count() === 3000L)
+    t.restoreToVersion(maskedVersion)             // forward onto the mask
+    assert(QbeastTable.forPath(spark, dir).snapshot.dvs.nonEmpty,
+      "restore to the masked version must re-attach its vector")
+    assert(back(dir).count() === maskedCount)
+  }
+
+  test("an optimize racing a dv delete drops its rewrite instead of resurrecting") {
+    val dir = TestSpark.tmpDir("dv-race")
+    writeTable(dir, rows = 4000)
+    val t = QbeastTable.forPath(spark, dir)
+    // pre-commit hook fires after optimize has indexed its rewrite but
+    // before its commit: land a dv delete in that window
+    val expect = (1 to 4000).count(_ % 97 != 47).toLong
+    MidOptimizeDvDeleteHook.tableDir.set(dir)
+    t.optimize(options =
+      Map("hook.race" -> classOf[MidOptimizeDvDeleteHook].getName))
+    // the delete won; the optimize either rebased safely or dropped its
+    // layout commit — under NO outcome do the deleted rows come back
+    assert(back(dir).count() === expect)
+    assert(spark.read.format("qbeast").load(dir)
+      .filter(col("k") === 47).count() === 0L)
   }
 
   test("shallow clone carries the masks; streaming guards fire") {
