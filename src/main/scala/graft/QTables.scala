@@ -849,6 +849,41 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders ingested as two batches split on o_totalprice, then
+   * `DELETE WHERE o_totalprice < 100000` — the boundary-aligned shape
+   * where every file's stats PROVE the predicate all-rows or no-rows,
+   * so the whole DELETE is one metadata-only commit: the builder
+   * asserts files were DROPPED (not rewritten — zero add actions land)
+   * and the untouched batch's files survive byte-identical. The
+   * retention-delete shape (`ts < cutoff`) at 100 TB (q89). */
+  def qbeastStatsDeleted(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_statsdel")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val o = raw(spark, sfDir, "orders")
+        val cut = org.apache.spark.sql.functions.col("o_totalprice") < 100000.0
+        o.filter(cut).write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_totalprice")
+          .option("cubeSize", "5000").save(path)
+        o.filter(!cut).write.format("qbeast")
+          .option("cubeSize", "5000").mode("append").save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        val before = t.snapshot.files.map(_.path).toSet
+        val expected = o.filter(cut).count()
+        val deleted = t.delete("o_totalprice < 100000.0")
+        require(deleted == expected,
+          s"stats-proved delete count: got $deleted, expected $expected")
+        val after = t.snapshot.files.map(_.path).toSet
+        require(after.subsetOf(before) && after.size < before.size,
+          "stats-proved DELETE must DROP files, never write new ones: " +
+            s"before=${before.size} after=${after.size} " +
+            s"new=${(after -- before).size}")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** orders written with user-provided columnStats (wider linear space
    * than the data, so later appends skip revision bumps). */
   def qbeastOrdersWithStats(spark: SparkSession, sfDir: String): DataFrame = {

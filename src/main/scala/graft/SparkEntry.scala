@@ -980,6 +980,16 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q89_stats_delete" -> ((s, dir) => {
+      // metadata-only DELETE: per-file stats proofs (the q83 tri-state
+      // machinery) classified every file all-rows/no-rows at the ingest
+      // boundary, so the delete dropped whole files in one driver-side
+      // commit — zero data read, zero rewrite (builder asserts no new
+      // files landed). The scan must show exactly the surviving half.
+      QTables.qbeastStatsDeleted(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q87_optimize_where" -> ((s, dir) => {
       // predicate-scoped OPTIMIZE ... WHERE through SQL: only files
       // that may match the predicate are repacked (builder asserts the
@@ -2474,6 +2484,10 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 10 NOT IN (3, 7) GROUP BY 1""".stripMargin,
+    "q89_stats_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_totalprice >= 100000.0 GROUP BY 1""".stripMargin,
     "q87_optimize_where" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

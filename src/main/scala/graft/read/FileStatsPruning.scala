@@ -164,6 +164,12 @@ object FileStatsPruning {
    */
   def proveAll(s: Stats, e: Expression): Option[Boolean] = e match {
     case Literal(b: Boolean, _) => Some(b)
+    // the DML path's SQL three-valued-logic wrapper (`coalesce(cond,
+    // false)`): all-rows-TRUE iff cond is (comparison TRUE-proofs
+    // already require null-free inputs), and "no row TRUE" already
+    // means FALSE-or-UNKNOWN — both proofs pass through unchanged
+    case Coalesce(Seq(inner, Literal(false, org.apache.spark.sql.types.BooleanType))) =>
+      proveAll(s, inner)
     case And(l, r) =>
       (proveAll(s, l), proveAll(s, r)) match {
         case (Some(false), _) | (_, Some(false)) => Some(false)

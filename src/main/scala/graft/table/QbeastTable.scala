@@ -250,6 +250,68 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     candidates.size
   }
 
+  /**
+   * Classify every live file of `s` for a DELETE with the given
+   * filtered plan, from per-file stats alone (no data read):
+   * `Some((provedTrue, undecided))` where provedTrue files are PROVEN
+   * to match on every row (drop whole — [[FileStatsPruning.proveAll]]
+   * TRUE-proofs require zero nulls, so SQL three-valued logic is
+   * preserved) and FALSE-proved files are omitted from both lists.
+   * `None` = the plan shape is unusable (e.g. the condition folded the
+   * scan away) — caller takes the normal scan path, which is always
+   * correct.
+   *
+   * Conjuncts come from the OPTIMIZED plan (the q87 lesson: analyzer
+   * literal casts break the Literal patterns; constant folding restores
+   * them), minus the DvMaskRule conjunct, which is read-path machinery,
+   * not the user's predicate. An empty conjunct list WITH the scan
+   * still present is the trivially-true DELETE — every file drops.
+   * Proofs are evaluated against PHYSICAL rows (stats ignore deletion
+   * vectors): all-physical-rows-match implies all-live-rows-match, so
+   * a TRUE-proof on a masked file is still a valid drop.
+   */
+  private def classifyDeleteByStats(
+      s: QbeastSnapshot,
+      filtered: org.apache.spark.sql.DataFrame)
+      : Option[(Vector[IndexFile], Vector[IndexFile])] = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = filtered.queryExecution.optimizedPlan
+    val hasScan = plan.collectFirst { case _: LogicalRelation => () }.isDefined
+    if (!hasScan) return None
+    val conjuncts = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.flatMap(splitAnd).filterNot(_.exists(
+      _.isInstanceOf[graft.expressions.DvRowDeleted]))
+    val provedTrue = Vector.newBuilder[IndexFile]
+    val undecided = Vector.newBuilder[IndexFile]
+    s.files.foreach { f =>
+      val stats = f.stats.flatMap(graft.read.FileStatsPruning.parse)
+      val proof: Option[Boolean] = stats match {
+        case Some(st) =>
+          val per = conjuncts.map(c => graft.read.FileStatsPruning.proveAll(st, c))
+          if (per.exists(_.contains(false))) Some(false)
+          else if (per.forall(_.contains(true))) Some(true)
+          else None
+        case None =>
+          // no stats: only the trivially-true DELETE can still decide
+          if (conjuncts.isEmpty) Some(true) else None
+      }
+      // a TRUE-proof is only a safe DROP when the live-row count is
+      // exact: block element counts must agree with the stats row count
+      // (and be known at all — converted/staging files can carry 0)
+      val countExact = stats match {
+        case Some(st) => f.elementCount == st.numRecords
+        case None => f.elementCount > 0
+      }
+      proof match {
+        case Some(true) if countExact => provedTrue += f
+        case Some(false) => ()
+        case _ => undecided += f
+      }
+    }
+    Some((provedTrue.result(), undecided.result()))
+  }
+
   private def splitAnd(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
@@ -466,25 +528,67 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         "UPDATE assignments must be deterministic: assigned values are " +
           "recomputed per pass and must agree")
     }
-    val affectedNames = table.filter(matched)
+    // ---- pass 0 (DELETE only): tri-state per-file stats proofs (the
+    // q83 machinery) classify files WITHOUT reading them. TRUE-proved
+    // files drop whole — a metadata-only remove, no rewrite, no data
+    // I/O; FALSE-proved files are untouched; only undecided files pay
+    // a scan. At 100 TB this is the retention delete `ts < cutoff`:
+    // with file boundaries aligned to the predicate, the whole DELETE
+    // is one driver-side log commit (Delta's metadata-only DELETE).
+    val proved: Option[(Vector[IndexFile], Vector[IndexFile])] =
+      if (assignments.isEmpty) classifyDeleteByStats(s, table.filter(matched)) else None
+    proved match {
+      case Some((drop, undecided)) if undecided.isEmpty =>
+        if (drop.isEmpty) return 0L
+        commitMutation(s, Nil, None, drop, operation = "DELETE")
+        // element counts are PRE-mask; rows a deletion vector already
+        // removed are not deleted again by this drop
+        val alreadyMasked =
+          drop.iterator.flatMap(f => s.dvs.get(f.path)).map(_.cardinality).sum
+        return drop.map(_.elementCount).sum - alreadyMasked
+      case _ => ()
+    }
+
+    val dvMode =
+      assignments.isEmpty && graft.write.DeletionVectors.enabled(s.configuration)
+    // Narrowed discovery only when proofs actually dropped something
+    // (otherwise the pinned full-table path is better: its index+stats
+    // pruning already skips every FALSE-proved file) and only for the
+    // copy-on-write path — the dv path masks rows, it never drops
+    // files, so its discovery stays on the pruned full scan.
+    val narrowed = proved.filter { case (drop, _) => drop.nonEmpty && !dvMode }
+    val (dropProved, scanDomain) = narrowed match {
+      case Some((drop, und)) => (drop, und)
+      case None => (Vector.empty[IndexFile], s.files)
+    }
+    val discoverDf = narrowed match {
+      case Some((_, und)) => readTableFiles(s, und).filter(matched)
+      case None => table.filter(matched)
+    }
+    val affectedNames = discoverDf
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => new Path(r.getString(0)).getName).toSet
-    if (affectedNames.isEmpty) return 0L
-    val affected = s.files.filter(f => affectedNames.contains(new Path(f.path).getName))
+    // `scanned` = files whose matched rows were DISCOVERED by reading —
+    // these rewrite survivors below; TRUE-proved drops skip that read
+    // entirely (they have no survivors by proof)
+    val scanned = scanDomain.filter(f => affectedNames.contains(new Path(f.path).getName))
+    val affected = dropProved ++ scanned
+    if (affected.isEmpty) return 0L
 
     // ---- merge-on-read DELETE (opt-in): write deletion vectors
     // instead of rewriting files; falls back to copy-on-write when any
     // file's post-delete masked fraction would exceed the threshold ----
-    if (assignments.isEmpty && graft.write.DeletionVectors.enabled(s.configuration)) {
+    if (dvMode) {
       val deleted = dvDelete(s, table, matched, affected)
       if (deleted >= 0) return deleted
     }
 
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
 
-    // ---- pass 2: rewrite survivors of each affected file, grouped by
-    // revision, against that revision's frozen cube weights ----
-    val survivorAdds = affected.groupBy(_.revisionId).toSeq.flatMap { case (rid, files) =>
+    // ---- pass 2: rewrite survivors of each scanned affected file,
+    // grouped by revision, against that revision's frozen cube weights
+    // (TRUE-proved drops have no survivors and are never read) ----
+    val survivorAdds = scanned.groupBy(_.revisionId).toSeq.flatMap { case (rid, files) =>
       val survivors = readTableFiles(s, files).filter(not(matched))
       // staging (unindexed) survivors fold into the latest indexed
       // revision — same move optimizeUnindexed makes
