@@ -738,6 +738,36 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders with `deletionVectors=true` and two merge-on-read UPDATEs:
+   * the builder PROVES no pre-update file was rewritten (the old path
+   * set survives intact — matched rows were masked, their updated
+   * images appended) and that vectors are attached. The sparse-UPDATE
+   * shape at 100 TB: survivors are never read (q90). */
+  def qbeastDvUpdated(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_dvupd")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, "orders").write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_custkey")
+          .option("cubeSize", "2000")
+          .option("deletionVectors", "true")
+          .save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        val before = t.snapshot.files.map(_.path).toSet
+        require(t.update("o_orderkey % 10 = 3",
+          Map("o_totalprice" -> "o_totalprice + 1.0")) > 0L)
+        require(t.update("o_orderkey % 10 = 7",
+          Map("o_orderpriority" -> "'9-UPDATED'")) > 0L)
+        val s = t.snapshot
+        require(before.subsetOf(s.files.map(_.path).toSet),
+          "merge-on-read UPDATE must keep every pre-update file")
+        require(s.dvs.nonEmpty, "update vectors must be attached")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** orders with per-file bloom filters on o_custkey — a
    * high-cardinality column UNCORRELATED with the (o_orderkey,
    * o_totalprice) index order, so every file's [min, max] spans any

@@ -980,6 +980,15 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q90_dv_update" -> ((s, dir) => {
+      // merge-on-read UPDATE: two updates masked their matched rows
+      // and appended updated images — no pre-update file rewritten
+      // (builder-asserted); the masked scan plus the new images must
+      // reproduce standard UPDATE semantics exactly
+      QTables.qbeastDvUpdated(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q89_stats_delete" -> ((s, dir) => {
       // metadata-only DELETE: per-file stats proofs (the q83 tri-state
       // machinery) classified every file all-rows/no-rows at the ingest
@@ -2484,6 +2493,14 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 10 NOT IN (3, 7) GROUP BY 1""".stripMargin,
+    "q90_dv_update" ->
+      """SELECT CASE WHEN o_orderkey % 10 = 7 THEN '9-UPDATED'
+        |            ELSE o_orderpriority END AS o_orderpriority,
+        |count(*) AS n,
+        |CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1.0
+        |               ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "q89_stats_delete" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

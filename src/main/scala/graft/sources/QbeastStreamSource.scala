@@ -339,10 +339,11 @@ class QbeastStreamSource(
       // a deletion-vector commit is a row-level delete of already-
       // emitted files: with a change file the CDF branch streams it;
       // otherwise it needs the same tolerance as a delete commit
-      val dvOnly = actions.exists {
+      val hasDv = actions.exists {
         case _: graft.log.DvFileAction => true
         case _ => false
-      } && dataAdds.isEmpty && removes.isEmpty
+      }
+      val dvOnly = hasDv && dataAdds.isEmpty && removes.isEmpty
       if (dvOnly) {
         val cdcs0 = actions.collect { case CdcFileAction(p, sz) => (p, sz) }
         if (readChangeFeed) {
@@ -363,6 +364,11 @@ class QbeastStreamSource(
         val cdcs = actions.collect { case CdcFileAction(p, sz) => (s"$v:c:$p", sz) }
         if (cdcs.nonEmpty) cdcs.toVector
         else if (layoutOnly) Vector.empty // optimize: content unchanged
+        else if (hasDv && dataAdds.nonEmpty) throw new UnsupportedOperationException(
+          s"qbeast streaming CDF: commit $v of $tablePath masks rows with a " +
+            "deletion vector (merge-on-read UPDATE) but persisted no change " +
+            "file. Set the table property 'enableChangeDataFeed' BEFORE " +
+            "running UPDATE, or replay with the batch QbeastTable.changes API.")
         else if (removes.isEmpty) dataAdds.map { case (p, sz) => (s"$v:a:$p", sz) }.toVector
         else if (adds.isEmpty)
           // delete-only: the removed files' rows ARE the delete feed;
@@ -376,6 +382,15 @@ class QbeastStreamSource(
             "option) BEFORE running DML, or replay this range with the batch " +
             "QbeastTable.changes API.")
       } else {
+        // a dv+adds commit is a row-level rewrite (merge-on-read
+        // UPDATE): the updated images stream as appends only under the
+        // same tolerance a copy-on-write rewrite needs
+        if (hasDv && dataAdds.nonEmpty && !ignoreChanges)
+          throw new UnsupportedOperationException(
+            s"qbeast streaming source: commit $v of $tablePath rewrites rows " +
+              "via deletion vectors (merge-on-read UPDATE). Set option " +
+              "'ignoreChanges' to stream the updated images (duplicates " +
+              "possible downstream).")
         if (removes.nonEmpty && !layoutOnly) {
           // delete-only commit → tolerated by ignoreDeletes; rewrite
           // commit (removes + dataChange adds) → needs ignoreChanges

@@ -442,14 +442,18 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   private[graft] def deleteWhere(cond: Column): Long = mutate(cond, None)
 
   /**
-   * Copy-on-write row-level UPDATE. `assignments` maps column name →
-   * SQL expression; every right-hand side sees the PRE-update row
-   * (standard SQL UPDATE semantics — assignments are simultaneous).
-   * Surviving (unmatched) rows of affected files are rewritten frozen;
-   * the updated rows go through the normal revision logic, because an
-   * assignment to an indexed column can move values outside the frozen
-   * space (then they land in a new, merged-space revision — exactly
-   * what an append of those rows would do).
+   * Row-level UPDATE. `assignments` maps column name → SQL expression;
+   * every right-hand side sees the PRE-update row (standard SQL UPDATE
+   * semantics — assignments are simultaneous). With
+   * `deletionVectors=true` the update is merge-on-read: matched rows
+   * are masked and their updated images appended, survivors are never
+   * read ([[dvUpdate]]; falls back past the masked-fraction budget).
+   * Otherwise copy-on-write: surviving (unmatched) rows of affected
+   * files are rewritten frozen. Either way the updated rows go through
+   * the normal revision logic, because an assignment to an indexed
+   * column can move values outside the frozen space (then they land in
+   * a new, merged-space revision — exactly what an append of those
+   * rows would do).
    *
    * @return number of rows updated
    */
@@ -581,6 +585,14 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     if (dvMode) {
       val deleted = dvDelete(s, table, matched, affected)
       if (deleted >= 0) return deleted
+    }
+
+    // ---- merge-on-read UPDATE (opt-in): mask the matched rows and
+    // append their updated images — survivors are never read ----
+    if (assignments.isDefined &&
+        graft.write.DeletionVectors.enabled(s.configuration)) {
+      val updatedCount = dvUpdate(s, table, matched, affected, assignments.get)
+      if (updatedCount >= 0) return updatedCount
     }
 
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
@@ -1107,21 +1119,21 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     } finally if (cdfEnabled) { matchedRows.unpersist(); () }
   }
 
-  private def dvDeleteInner(
+  /** Executor-side per-file deletion-vector build for `matchedRows`
+   * (which must carry `_f` = file path, `_i` = row index): one pass —
+   * groupBy file → sorted indexes → union with the file's existing
+   * vector → write the replacement vector. The driver sees only
+   * metadata: (fileName, relVectorPath, newlyMasked, mergedTotal). */
+  private def writeDvVectors(
       s: QbeastSnapshot,
-      matchedRows: org.apache.spark.sql.DataFrame,
-      affected: Vector[IndexFile],
-      cdfEnabled: Boolean): Long = {
+      matchedRows: org.apache.spark.sql.DataFrame): Array[(String, String, Long, Long)] = {
     import graft.write.DeletionVectors
     import spark.implicits._
     val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val tp = tablePath
     val existingDvByName: Map[String, String] =
       s.dvs.map { case (p, i) => new Path(p).getName -> i.dvPath }
-    val maxFraction = spark.conf
-      .getOption("spark.qbeast.dv.maxDeletedFraction").map(_.toDouble)
-      .getOrElse(DeletionVectors.MaxMaskedFraction)
-    val written: Array[(String, String, Long, Long)] = matchedRows
+    matchedRows
       .select(col("_f"), col("_i"))
       .groupBy("_f").agg(sort_array(collect_list(col("_i"))).as("_idx"))
       .as[(String, Array[Long])]
@@ -1138,28 +1150,56 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           (name, rel, newIdx.length.toLong, merged.length.toLong)
         }
       }.collect()
-    if (written.isEmpty) return 0L
+  }
 
-    def dropWritten(extra: Option[LogAction] = None): Unit = {
-      val fs = new Path(tp).getFileSystem(conf)
-      written.foreach { case (_, rel, _, _) =>
-        try fs.delete(new Path(tp, rel), false)
-        catch { case scala.util.control.NonFatal(_) => }
-      }
-      extra.foreach {
-        case CdcFileAction(p, _) =>
-          try fs.delete(new Path(tp, p), true)
-          catch { case scala.util.control.NonFatal(_) => }
-        case _ =>
-      }
+  /** Best-effort reclamation of an aborted dv commit's artifacts: the
+   * replacement vectors and (if any) the orphaned change-data dir. */
+  private def dropDvArtifacts(
+      written: Array[(String, String, Long, Long)],
+      extra: Option[LogAction]): Unit = {
+    val fs = new Path(tablePath).getFileSystem(conf)
+    written.foreach { case (_, rel, _, _) =>
+      try fs.delete(new Path(tablePath, rel), false)
+      catch { case scala.util.control.NonFatal(_) => }
     }
+    extra.foreach {
+      case CdcFileAction(p, _) =>
+        try fs.delete(new Path(tablePath, p), true)
+        catch { case scala.util.control.NonFatal(_) => }
+      case _ =>
+    }
+  }
 
+  /** True when any touched file's post-operation masked fraction would
+   * exceed the configured threshold — the merge-on-read budget gate
+   * (past it, read amplification beats the skipped rewrite and the
+   * caller falls back to copy-on-write). */
+  private def dvOverBudget(
+      written: Array[(String, String, Long, Long)],
+      affected: Vector[IndexFile]): Boolean = {
+    val maxFraction = spark.conf
+      .getOption("spark.qbeast.dv.maxDeletedFraction").map(_.toDouble)
+      .getOrElse(graft.write.DeletionVectors.MaxMaskedFraction)
     val byName = affected.map(f => new Path(f.path).getName -> f).toMap
-    val overBudget = written.exists { case (name, _, _, total) =>
+    written.exists { case (name, _, _, total) =>
       byName.get(name).exists(f =>
         f.elementCount > 0 && total.toDouble / f.elementCount > maxFraction)
     }
-    if (overBudget) { dropWritten(); return -1L }
+  }
+
+  private def dvDeleteInner(
+      s: QbeastSnapshot,
+      matchedRows: org.apache.spark.sql.DataFrame,
+      affected: Vector[IndexFile],
+      cdfEnabled: Boolean): Long = {
+    val tp = tablePath
+    val written = writeDvVectors(s, matchedRows)
+    if (written.isEmpty) return 0L
+
+    def dropWritten(extra: Option[LogAction] = None): Unit =
+      dropDvArtifacts(written, extra)
+
+    if (dvOverBudget(written, affected)) { dropWritten(); return -1L }
 
     // CDF: persist the deleted rows as this commit's change data (the
     // file-diff fallback cannot see a dv-only commit); reuses the
@@ -1176,6 +1216,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         Some(CdcFileAction(dir, size))
       } else None
 
+    val byName = affected.map(f => new Path(f.path).getName -> f).toMap
     val dvActions: Seq[LogAction] = written.toSeq.map { case (name, rel, _, total) =>
       DvFileAction(byName(name).path, rel, total)
     }
@@ -1213,6 +1254,164 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       }
     } catch { case e: Throwable => dropWritten(cdcAction); throw e }
     written.map(_._3).sum
+  }
+
+  /**
+   * Merge-on-read UPDATE (opt-in via `deletionVectors=true`): instead
+   * of rewriting every affected file's survivors, the matched rows are
+   * masked with replacement deletion vectors and their UPDATED images
+   * are appended through the normal revision-aware indexing — one
+   * atomic commit carrying the dv actions and the adds. The survivors
+   * (the overwhelming bulk of every touched file at 100 TB) are never
+   * read or rewritten. Falls back to copy-on-write (returns -1) when
+   * any file's post-update masked fraction would exceed the threshold,
+   * mirroring [[dvDelete]].
+   */
+  private def dvUpdate(
+      s: QbeastSnapshot,
+      table: org.apache.spark.sql.DataFrame,
+      matched: Column,
+      affected: Vector[IndexFile],
+      asgn: Map[String, Column]): Long = {
+    val cdfEnabled =
+      s.configuration.get("qbeast.enableChangeDataFeed").contains("true") &&
+        s.schema.nonEmpty
+    // the matched frame feeds the vector job AND the updated-image
+    // write (and the CDF pre-images): persist so the affected files
+    // are scanned once
+    val matchedRows = table.filter(matched)
+      .withColumn("_f", col("_metadata.file_path"))
+      .withColumn("_i", col("_metadata.row_index"))
+      .persist()
+    try dvUpdateInner(s, matchedRows, affected, asgn, cdfEnabled)
+    finally { matchedRows.unpersist(); () }
+  }
+
+  private def dvUpdateInner(
+      s: QbeastSnapshot,
+      matchedRows: org.apache.spark.sql.DataFrame,
+      affected: Vector[IndexFile],
+      asgn: Map[String, Column],
+      cdfEnabled: Boolean): Long = {
+    val written = writeDvVectors(s, matchedRows)
+    if (written.isEmpty) return 0L
+    if (dvOverBudget(written, affected)) { dropDvArtifacts(written, None); return -1L }
+    // any failure from here to the commit (constraint violation,
+    // staging-only table, write error) must reclaim the replacement
+    // vectors — nothing will ever reference them
+    try dvUpdateCommit(s, matchedRows, affected, asgn, cdfEnabled, written)
+    catch { case e: Throwable => dropDvArtifacts(written, None); throw e }
+  }
+
+  private def dvUpdateCommit(
+      s: QbeastSnapshot,
+      matchedRows: org.apache.spark.sql.DataFrame,
+      affected: Vector[IndexFile],
+      asgn: Map[String, Column],
+      cdfEnabled: Boolean,
+      written: Array[(String, String, Long, Long)]): Long = {
+    // updated images through the normal revision-aware indexing path
+    // (the copy-on-write pass-3 logic: an assignment to an indexed
+    // column can move values outside the frozen space — then they land
+    // in a new, merged-space revision, exactly like an append)
+    val base0 = matchedRows.drop("_f", "_i")
+    val updatedCols = Assignments(base0.schema, asgn)
+    val updated = base0.select(updatedCols: _*)
+    graft.write.Constraints.validate(updated,
+      graft.write.Constraints.of(s.configuration), "UPDATE-assigned")
+    val existing = s.lastRevision.filterNot(_.isStaging)
+      .orElse(throw new UnsupportedOperationException(
+        "UPDATE on a staging-only qbeast table: append indexed data first"))
+    val opts = QbeastOptions(Map.empty[String, String],
+      defaultCubeSize = existing.map(_.desiredCubeSize).getOrElse(QbeastOptions.DefaultCubeSize))
+    val (rev, isNew, n) = RevisionFactory.computeRevisionChanges(
+      existing, opts, tablePath, updated)
+    val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
+    // per-row backstop inside the write task (driver-side validate ran
+    // as a separate job — DML sources can change between executions)
+    var adds = QbeastWriter.index(spark, tablePath, updated, rev, status, n,
+      constraints = constraintsFor(s))
+    var newRevision: Option[Revision] = if (isNew) Some(rev) else None
+
+    // CDF: pre-images as deletes, post-images as inserts — one change
+    // file, reusing the cached matched frame (no second scan)
+    val cdcAction: Option[LogAction] =
+      if (cdfEnabled) {
+        val dir = s"_change_data/cdc-${java.util.UUID.randomUUID()}"
+        val target = new Path(tablePath, dir)
+        base0.withColumn("_change_type", lit("delete"))
+          .union(updated.withColumn("_change_type", lit("insert")))
+          .write.mode("overwrite").parquet(target.toString)
+        val fsx = target.getFileSystem(conf)
+        val size = fsx.listStatus(target).filter(_.isFile).map(_.getLen).sum
+        Some(CdcFileAction(dir, size))
+      } else None
+
+    val byName = affected.map(f => new Path(f.path).getName -> f).toMap
+    val dvActions: Seq[LogAction] = written.toSeq.map { case (name, rel, _, total) =>
+      DvFileAction(byName(name).path, rel, total)
+    }
+    var base = s
+    var rebases = 0
+    var committed = false
+    try {
+      while (!committed) {
+        val actions = mutable.ArrayBuffer.empty[LogAction]
+        newRevision.foreach { r =>
+          actions += MetaDataAction(
+            base.schema.map(_.json).getOrElse(""),
+            base.configuration +
+              ("qbeast.lastRevisionID" -> math.max(r.revisionID, base.lastRevisionID).toString))
+          actions += RevisionAction(r)
+        }
+        actions ++= adds.map(f => AddFileAction(f, dataChange = true))
+        actions ++= dvActions
+        actions ++= cdcAction
+        try {
+          QbeastLog.commit(tablePath, conf, base.version, actions.toSeq,
+            operation = "UPDATE")
+          committed = true
+        } catch {
+          case e: ConcurrentCommitException =>
+            rebases += 1
+            if (rebases > 5) throw e
+            val rebased = QbeastLog.snapshot(tablePath, conf)
+            val live = rebased.files.map(f => f.path).toSet
+            // a targeted file rewritten/removed, or re-masked by a
+            // concurrent dv commit: our vector was computed against a
+            // stale mask — committing would lose rows or resurrect them
+            val clean = dvActions.forall {
+              case DvFileAction(p, _, _) =>
+                live.contains(p) &&
+                  rebased.dvs.get(p).map(_.dvPath) == s.dvs.get(p).map(_.dvPath)
+              case _ => true
+            }
+            if (!clean)
+              throw new java.util.ConcurrentModificationException(
+                "files targeted by UPDATE were rewritten or re-masked " +
+                  "concurrently; re-run the operation")
+            // constraints added since this update's validation pass
+            // must gate its rows too (bounded by the update's output)
+            val alreadyChecked = graft.write.Constraints.of(s.configuration)
+            val newConstraints = graft.write.Constraints.of(rebased.configuration)
+              .filter { case (k, v) => !alreadyChecked.get(k).contains(v) }
+            if (newConstraints.nonEmpty && adds.nonEmpty) {
+              graft.write.Constraints.validate(
+                readTableFiles(s, adds), newConstraints, "UPDATE (rebased)")
+            }
+            newRevision.foreach { r =>
+              if (rebased.lastRevisionID >= r.revisionID) {
+                val nid = rebased.lastRevisionID + 1
+                adds = adds.map(f =>
+                  if (f.revisionId == r.revisionID) f.copy(revisionId = nid) else f)
+                newRevision = Some(r.copy(revisionID = nid))
+              }
+            }
+            base = rebased
+        }
+      }
+    } catch { case e: Throwable => dropDvArtifacts(written, cdcAction); throw e }
+    adds.map(_.elementCount).sum
   }
 
   private def commitMutation(
@@ -1615,6 +1814,24 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           "was vacuumed — this range cannot be replayed")
       dvPath
     }
+    // rows a commit's dv actions newly mask: (new vector) minus the
+    // PRE-commit vector state — shared by the dv-only and dv+adds
+    // (merge-on-read UPDATE) replay branches
+    def dvDeltaRows(
+        dvActs: Seq[graft.log.DvFileAction],
+        v: Long): org.apache.spark.sql.DataFrame = {
+      val dvs = graft.write.DeletionVectors
+      val newByName = dvActs.map(d =>
+        new Path(d.path).getName -> requireDv(d.dvPath, v)).toMap
+      val oldByName = dvNamesFor(dvActs.map(_.path))
+      oldByName.values.foreach(requireDv(_, v))
+      val df = readFiles(dvActs.map(_.path))
+      val newProbe = dvs.probeCol(tablePath, newByName, conf)
+      val newlyMasked =
+        if (oldByName.isEmpty) df.filter(newProbe)
+        else df.filter(newProbe && !dvs.probeCol(tablePath, oldByName, conf))
+      newlyMasked.select(schema.fieldNames.map(col): _*)
+    }
 
     val frames = (startVersion to end).flatMap { v =>
       val actions = QbeastLog.commitActions(tablePath, conf, v, endSnap.revisions)
@@ -1651,23 +1868,18 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       else if (dvActs.nonEmpty && dataAdds.isEmpty && removes.isEmpty) {
         // dv-only commit without a change file: the newly masked rows
         // are the delete feed — (new vector) minus (old vector)
-        val dvs = graft.write.DeletionVectors
-        val newByName = dvActs.map(d =>
-          new Path(d.path).getName -> requireDv(d.dvPath, v)).toMap
-        val oldByName = dvNamesFor(dvActs.map(_.path))
-        oldByName.values.foreach(requireDv(_, v))
-        val df = readFiles(dvActs.map(_.path))
-        val newProbe = dvs.probeCol(tablePath, newByName, conf)
-        val newlyMasked =
-          if (oldByName.isEmpty) df.filter(newProbe)
-          else df.filter(newProbe &&
-            !dvs.probeCol(tablePath, oldByName, conf))
-        emit(Seq(tagged(newlyMasked.select(schema.fieldNames.map(col): _*),
-          "delete", v)))
+        emit(Seq(tagged(dvDeltaRows(dvActs, v), "delete", v)))
       }
       else if (anyAdds && dataAdds.isEmpty) emit(Nil) // optimize/compact: content unchanged
       else if (dataAdds.isEmpty && removes.isEmpty) emit(Nil) // metadata-only commit
-      else if (removes.isEmpty) emit(Seq(tagged(readFiles(dataAdds), "insert", v)))
+      else if (removes.isEmpty) {
+        // adds — possibly WITH dv actions in the same commit (a
+        // merge-on-read UPDATE run without CDF): the new images are
+        // the insert feed, the freshly masked rows the delete feed
+        val inserts = tagged(readFiles(dataAdds), "insert", v)
+        if (dvActs.isEmpty) emit(Seq(inserts))
+        else emit(Seq(inserts, tagged(dvDeltaRows(dvActs, v), "delete", v)))
+      }
       else {
         // the before-image excludes rows the removed files' vectors had
         // already deleted (they changed in an EARLIER commit)

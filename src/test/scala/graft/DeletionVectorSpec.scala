@@ -114,7 +114,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.verifyIntegrity().isEmpty)
   }
 
-  test("UPDATE on a masked table stays copy-on-write and never resurrects") {
+  test("UPDATE on a masked table preserves the earlier masks and never resurrects") {
     val dir = TestSpark.tmpDir("dv-update")
     writeTable(dir)
     val t = QbeastTable.forPath(spark, dir)
