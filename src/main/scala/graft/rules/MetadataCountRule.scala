@@ -54,17 +54,22 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val snap = fi.currentSnapshot
         // a light snapshot's `files` is only the post-checkpoint tail;
         // the bulk lives in the parquet sidecar — don't guess.
-        // Deletion vectors bail the whole rewrite: block element counts
-        // include masked rows and a min/max extreme may be a masked row
-        // (count(*) could subtract dv cardinalities — a future
-        // refinement — but min/max cannot be fixed from metadata).
-        if (snap.filesComplete && snap.dvs.isEmpty) Some((snap, r.output, Nil))
+        // Deletion vectors do NOT bail counts: every vector's
+        // cardinality is exact log metadata, so live rows = block
+        // element counts minus masked rows (min/max still bail — the
+        // extreme row may be a masked one, see statsExtreme).
+        if (snap.filesComplete) Some((snap, r.output, Nil))
         else None
       case p: Project => snapshotOf(p.child)
       case s: SubqueryAlias => snapshotOf(s.child)
       case f: Filter =>
         snapshotOf(f.child).map { case (s, o, cs) =>
-          (s, o, splitConjuncts(f.condition) ++ cs)
+          // DvMaskRule's planted NOT dv_row_deleted conjunct is the
+          // mask itself — already accounted for by the cardinality
+          // subtraction, never a user predicate to prove
+          val user = splitConjuncts(f.condition).filterNot(
+            _.exists(_.isInstanceOf[graft.expressions.DvRowDeleted]))
+          (s, o, user ++ cs)
         }
       case _ => None
     }
@@ -116,7 +121,10 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (stats.numRecords != f.elementCount) return None // stale/odd stats
         val proofs = conds.map(c => FileStatsPruning.proveAll(stats, c))
         if (proofs.exists(_.contains(false))) () // no row matches: adds 0
-        else if (proofs.forall(_.contains(true))) n += f.elementCount
+        else if (proofs.forall(_.contains(true)))
+          // proofs hold for every PHYSICAL row, hence for every live
+          // one: the file contributes its unmasked rows exactly
+          n += f.elementCount - snap.dvs.get(f.path).map(_.cardinality).getOrElse(0L)
         else return None // partial overlap: bail to the scan
       }
     }
@@ -134,7 +142,9 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       agg: Aggregate,
       rel: (QbeastSnapshot, Seq[Attribute])): Option[LogicalPlan] = {
     val (snap, output) = rel
-    lazy val n = snap.files.map(_.elementCount).sum
+    // live rows = physical block counts minus deletion-vector masks
+    // (vector cardinalities are exact log metadata)
+    lazy val n = snap.files.map(_.elementCount).sum - snap.dvMaskedRows
     val values = agg.aggregateExpressions.map {
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
@@ -173,6 +183,8 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       dt: DataType,
       isMin: Boolean): Option[Any] = {
     if (!MetadataCountRule.exactStatsType(dt)) return None
+    // a masked table's extreme might BE a masked row — stats can't tell
+    if (snap.dvs.nonEmpty) return None
     val floating = dt == FloatType || dt == DoubleType
     var acc: Option[BigDecimal] = None
     var accBool: Option[Boolean] = None

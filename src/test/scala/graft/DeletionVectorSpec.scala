@@ -157,17 +157,26 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(back(dir).count() === expect)
   }
 
-  test("metadata-only count bails on a masked table (scan stays correct)") {
+  test("metadata-only count subtracts vector cardinalities; min/max bail") {
     val dir = TestSpark.tmpDir("dv-metacount")
     writeTable(dir, rows = 3000)
     val t = QbeastTable.forPath(spark, dir)
     assert(t.delete("k = 37") > 0L)
+    val expect = (1 to 3000).count(_ % 97 != 37).toLong
+    // count(*) still folds to metadata: vector cardinalities are exact
     val df = back(dir).agg(count(lit(1)).as("cnt"))
     val folded = df.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
     }.isEmpty
-    assert(!folded, "metadata fold must bail when vectors exist")
-    assert(df.head().getLong(0) === (1 to 3000).count(_ % 97 != 37).toLong)
+    assert(folded, "masked count(*) must fold: live = blocks - masks")
+    assert(df.head().getLong(0) === expect)
+    // min/max cannot: the extreme row might be a masked one
+    val mm = back(dir).agg(max("id").as("m"))
+    val mmFolded = mm.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.isEmpty
+    assert(!mmFolded, "masked min/max must bail to the scan")
+    assert(mm.head().getLong(0) === 3000L)
   }
 
   test("a running stream refuses a dv commit without ignoreDeletes, skips with it") {

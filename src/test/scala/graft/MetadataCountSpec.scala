@@ -234,4 +234,29 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 0L)
     assert(isMetadataOnly(df))
   }
+
+  test("filtered count subtracts deletion-vector masks on proved files") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("qbeast-metacount-dv")
+    // two boundary-aligned batches; the dv delete masks rows INSIDE
+    // batch 1's files without rewriting them
+    (1 to 5000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .write.format("qbeast").option("columnsToIndex", "id")
+      .option("cubeSize", "1000").option("deletionVectors", "true").save(dir)
+    (5001 to 8000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .write.format("qbeast").option("cubeSize", "1000").mode("append").save(dir)
+    val t = table.QbeastTable.forPath(spark, dir)
+    assert(t.delete("id % 100 = 7 AND id <= 5000") == 50L)
+    assert(t.snapshot.dvs.nonEmpty, "fixture: the sparse delete must mask")
+    val base = spark.read.format("qbeast").load(dir)
+    // batch-1 slice: every file TRUE-proves, each contributes its LIVE
+    // rows (element count minus its vector's cardinality)
+    val b1 = base.filter(col("id") <= 5000).agg(count(lit(1)).as("cnt"))
+    assert(b1.collect().head.getLong(0) == 4950L)
+    assert(isMetadataOnly(b1), b1.queryExecution.executedPlan.toString)
+    // unfiltered count folds too
+    val all = base.agg(count(lit(1)).as("cnt"))
+    assert(all.collect().head.getLong(0) == 7950L)
+    assert(isMetadataOnly(all))
+  }
 }
