@@ -1975,12 +1975,15 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         case _ =>
       }
     }
-    var deleted = 0
+    // candidate collection is metadata-bound (one directory listing);
+    // the DELETES are the scale problem — object-store deletes cost
+    // tens of ms each, so past a threshold they run as a Spark job
+    val candidates = Vector.newBuilder[(String, Boolean)]
     fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
       if (st.isFile && name.endsWith(".parquet") && !live.contains(name) &&
         removedAt.getOrElse(name, st.getModificationTime) < cutoff) {
-        if (fs.delete(st.getPath, false)) deleted += 1
+        candidates += ((st.getPath.toString, false))
       }
     }
     // change-data files serve only CDF readers and are never "live":
@@ -1990,7 +1993,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     if (fs.exists(cdcRoot)) {
       fs.listStatus(cdcRoot).foreach { st =>
         val at = cdcCommittedAt.getOrElse(st.getPath.getName, st.getModificationTime)
-        if (at < cutoff && fs.delete(st.getPath, true)) deleted += 1
+        if (at < cutoff) candidates += ((st.getPath.toString, true))
       }
     }
     // deletion vectors: live = referenced by the current snapshot;
@@ -2001,16 +2004,55 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val liveDvs = s.dvs.values.map(i => new Path(i.dvPath).getName).toSet
       fs.listStatus(dvRoot).foreach { st =>
         if (st.isFile && !liveDvs.contains(st.getPath.getName) &&
-          st.getModificationTime < cutoff && fs.delete(st.getPath, false)) {
-          deleted += 1
+          st.getModificationTime < cutoff) {
+          candidates += ((st.getPath.toString, false))
         }
       }
     }
+    val deleted = deleteBatch(candidates.result())
     // sidecar housekeeping: parquet checkpoints older than the newest
     // one only serve time travel, which degrades safely to the flat path
     graft.log.FileCheckpoint.pruneOld(fs, tablePath,
       QbeastLog.latestCheckpointVersion(tablePath, conf), conf)
     deleted
+  }
+
+  /** Delete `paths` ((absolute path, recursive) pairs): a driver loop
+   * for small batches, an executor-parallel Spark job past
+   * `spark.qbeast.vacuum.distributedThreshold` (default 1000) — at
+   * 100 TB a vacuum reclaims millions of dead files and sequential
+   * driver-side deletes against an object store take hours where the
+   * distributed pass takes minutes (Delta's vacuum makes the same
+   * move). Returns how many paths were actually deleted. */
+  private def deleteBatch(paths: Vector[(String, Boolean)]): Int = {
+    if (paths.isEmpty) return 0
+    val threshold = spark.conf
+      .getOption("spark.qbeast.vacuum.distributedThreshold")
+      .map(_.toInt).getOrElse(1000)
+    if (paths.size < threshold) {
+      val fs = new Path(tablePath).getFileSystem(conf)
+      paths.count { case (p, rec) =>
+        try fs.delete(new Path(p), rec)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    } else {
+      val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+      // ~1000 deletes per task amortizes task overhead; capped so tiny
+      // clusters don't see thousands of single-file tasks
+      val parts = math.max(1, math.min(paths.size / 1000 + 1,
+        spark.sparkContext.defaultParallelism * 4))
+      spark.sparkContext.parallelize(paths, parts).mapPartitions { it =>
+        var n = 0
+        var fsx: org.apache.hadoop.fs.FileSystem = null
+        it.foreach { case (p, rec) =>
+          val path = new Path(p)
+          if (fsx == null) fsx = path.getFileSystem(sconf.value)
+          try { if (fsx.delete(path, rec)) n += 1 }
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+        Iterator.single(n)
+      }.sum().toInt
+    }
   }
 
   /**

@@ -280,4 +280,29 @@ class DistributedMetadataSpec extends AnyFunSuite {
     assert(v0.count() === 30000L)
   }
 
+  test("distributed vacuum deletes the same set the driver loop would") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("dist-vacuum")
+    def write(mode: String): Unit =
+      (1 to 2000).map(i => (i.toLong, i * 1.0)).toDF("a", "b")
+        .write.format("qbeast").option("columnsToIndex", "a")
+        .option("cubeSize", "500").mode(mode).save(dir)
+    write("error"); write("overwrite") // first batch's files all dead
+    val t = QbeastTable.forPath(spark, dir)
+    val live = t.snapshot.files.map(f =>
+      new org.apache.hadoop.fs.Path(f.path).getName).toSet
+    def deadOnDisk(): Int = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !live.contains(f.getName))
+    assert(deadOnDisk() > 0, "fixture: the overwrite must leave dead files")
+    // threshold 1 forces the executor-parallel delete job (the 100 TB
+    // path); result must be indistinguishable from the driver loop
+    spark.conf.set("spark.qbeast.vacuum.distributedThreshold", "1")
+    try {
+      val n = t.vacuum(retainMillis = 0L, force = true)
+      assert(n > 0)
+      assert(deadOnDisk() === 0, "every dead file reclaimed")
+      assert(spark.read.format("qbeast").load(dir).count() === 2000L)
+    } finally spark.conf.unset("spark.qbeast.vacuum.distributedThreshold")
+  }
+
 }
