@@ -768,6 +768,38 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders with `deletionVectors=true` and a merge-on-read UPSERT:
+   * every source row replaces its key-matched target row (price reset
+   * to 0.5) via masks + appended images — the builder PROVES no
+   * pre-upsert file was rewritten and vectors are attached (q91). */
+  def qbeastDvUpserted(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_dvups")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val o = raw(spark, sfDir, "orders")
+        o.write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_custkey")
+          .option("cubeSize", "2000")
+          .option("deletionVectors", "true")
+          .save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        val before = t.snapshot.files.map(_.path).toSet
+        val source = o.filter(col("o_orderkey") % 1000 === 1)
+          .withColumn("o_totalprice", lit(0.5))
+        val (replaced, inserted) = t.upsert(source, Seq("o_orderkey"))
+        require(replaced > 0L && replaced == inserted,
+          s"all-matched upsert: replaced=$replaced inserted=$inserted")
+        val s = t.snapshot
+        require(before.subsetOf(s.files.map(_.path).toSet),
+          "merge-on-read upsert must keep every pre-upsert file")
+        require(s.dvs.nonEmpty, "upsert vectors must be attached")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** orders with per-file bloom filters on o_custkey — a
    * high-cardinality column UNCORRELATED with the (o_orderkey,
    * o_totalprice) index order, so every file's [min, max] spans any

@@ -980,6 +980,15 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q91_dv_upsert" -> ((s, dir) => {
+      // merge-on-read upsert: every source row replaced its key-matched
+      // target row via a mask + appended image (builder asserts no
+      // pre-upsert file rewritten); the result must equal standard
+      // upsert-replace semantics
+      QTables.qbeastDvUpserted(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q90_dv_update" -> ((s, dir) => {
       // merge-on-read UPDATE: two updates masked their matched rows
       // and appended updated images — no pre-update file rewritten
@@ -2493,6 +2502,12 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 10 NOT IN (3, 7) GROUP BY 1""".stripMargin,
+    "q91_dv_upsert" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(CASE WHEN o_orderkey % 1000 = 1 THEN 0.5
+        |               ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "q90_dv_update" ->
       """SELECT CASE WHEN o_orderkey % 10 = 7 THEN '9-UPDATED'
         |            ELSE o_orderpriority END AS o_orderpriority,

@@ -685,6 +685,26 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     if (s.isEmpty || s.files.isEmpty) return 0L
     val srcKeys = source.select(keys.map(col): _*).distinct().persist()
     try {
+      // merge-on-read (opt-in): mask the matched rows, rewrite nothing
+      // — the keyed delete rides the same dv commit as the predicate
+      // DELETE (duplicate source keys are fine: deletion is unambiguous)
+      if (graft.write.DeletionVectors.enabled(s.configuration)) {
+        val dvAffected = affectedByKeys(s, srcKeys, keys)
+        if (dvAffected.isEmpty) return 0L
+        val cdfEnabled =
+          s.configuration.get("qbeast.enableChangeDataFeed").contains("true") &&
+            s.schema.nonEmpty
+        val matchedRows = readTableFiles(s, dvAffected)
+          .withColumn("_f", col("_metadata.file_path"))
+          .withColumn("_i", col("_metadata.row_index"))
+          .join(srcKeys, keys, "left_semi")
+        if (cdfEnabled) matchedRows.persist()
+        try {
+          val deleted = dvDeleteInner(s, matchedRows, dvAffected, cdfEnabled)
+          if (deleted >= 0) return deleted
+        } finally if (cdfEnabled) { matchedRows.unpersist(); () }
+      }
+
       val (affected, survivorAdds) = rewriteWithoutMatches(s, srcKeys, keys)
       if (affected.isEmpty) return 0L
       commitMutation(s, survivorAdds, None, affected, operation = "DELETE")
@@ -742,6 +762,13 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       graft.write.Constraints.of(s.configuration), "upsert source")
     val srcKeys = source.select(keys.map(col): _*).distinct().persist()
     try {
+      // ---- merge-on-read upsert (opt-in): mask matched target rows,
+      // append ALL source rows — survivors never read ----
+      if (graft.write.DeletionVectors.enabled(s.configuration)) {
+        val mor = dvUpsert(s, source, srcKeys, keys)
+        if (mor.isDefined) return mor.get
+      }
+
       val (affected, survivorAdds) =
         rewriteWithoutMatches(s, srcKeys, keys, requireUniqueSource = Some(source))
 
@@ -1029,6 +1056,34 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * through the index-pruned read path, then rewrite each affected
    * file WITHOUT the matched rows, frozen against its own revision's
    * cube weights. */
+  /** Delta's multiple-matches rule for update-style matched clauses:
+   * duplicate non-null source keys that actually MATCH a target row
+   * error out (duplicates matching nothing fall through to the insert
+   * side); the lone-DELETE merge shape skips the check — Delta
+   * explicitly allows duplicate matches there, deletion is unambiguous.
+   * Checked against the index-pruned affected files, before anything
+   * is written; the source-only duplicate probe runs first, so a
+   * unique source (the common case) never scans the affected files. */
+  private def requireUniqueMatches(
+      s: QbeastSnapshot,
+      source: org.apache.spark.sql.DataFrame,
+      keys: Seq[String],
+      affected: Vector[IndexFile]): Unit = {
+    if (affected.isEmpty) return
+    val nonNullKeys = keys.map(k => col(k).isNotNull).reduce(_ && _)
+    val dupKeys = source.filter(nonNullKeys)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(keys.map(col): _*)
+    if (dupKeys.limit(1).count() > 0) {
+      val affectedKeys = readTableFiles(s, affected)
+        .select(keys.map(col): _*).distinct()
+      val dup = dupKeys.join(affectedKeys, keys, "left_semi").limit(1).count()
+      require(dup == 0L,
+        "MERGE/upsert requires the source to be unique on the merge keys " +
+          "(multiple source rows matched one target row)")
+    }
+  }
+
   private def rewriteWithoutMatches(
       s: QbeastSnapshot,
       srcKeys: org.apache.spark.sql.DataFrame,
@@ -1037,31 +1092,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
     val affected = affectedByKeys(s, srcKeys, keys)
 
-    // Delta's multiple-matches rule for update-style matched clauses:
-    // duplicate non-null source keys that actually MATCH a target row
-    // error out (duplicates matching nothing fall through to the insert
-    // side). The lone-DELETE merge shape passes None — Delta explicitly
-    // allows duplicate matches there, deletion is unambiguous. Checked
-    // against the index-pruned affected files, before anything is written.
-    requireUniqueSource.foreach { source =>
-      if (affected.nonEmpty) {
-        // source-only duplicate-key probe first: when the source is
-        // unique (the common case) the affected files are never scanned
-        // for this check at all
-        val nonNullKeys = keys.map(k => col(k).isNotNull).reduce(_ && _)
-        val dupKeys = source.filter(nonNullKeys)
-          .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > 1).select(keys.map(col): _*)
-        if (dupKeys.limit(1).count() > 0) {
-          val affectedKeys = readTableFiles(s, affected)
-            .select(keys.map(col): _*).distinct()
-          val dup = dupKeys.join(affectedKeys, keys, "left_semi").limit(1).count()
-          require(dup == 0L,
-            "MERGE/upsert requires the source to be unique on the merge keys " +
-              "(multiple source rows matched one target row)")
-        }
-      }
-    }
+    requireUniqueSource.foreach(requireUniqueMatches(s, _, keys, affected))
 
     // ---- pass 2: rewrite affected files WITHOUT the matched rows ----
     val survivorAdds = affected.groupBy(_.revisionId).toSeq.flatMap { case (rid, files) =>
@@ -1319,33 +1350,97 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val updated = base0.select(updatedCols: _*)
     graft.write.Constraints.validate(updated,
       graft.write.Constraints.of(s.configuration), "UPDATE-assigned")
+    dvCommitWithAdds(s, updated,
+      cdfPre = if (cdfEnabled) Some(base0) else None,
+      written, affected, operation = "UPDATE")
+  }
+
+  /**
+   * Merge-on-read upsert (the keyed MERGE fast path): matched target
+   * rows are masked with replacement vectors, ALL source rows appended
+   * through the revision-aware path, one atomic commit — the affected
+   * files' survivors (at 100 TB, virtually all of every touched file)
+   * are never read. Returns Some((replaced, inserted)) when committed,
+   * None when any file's masked fraction would exceed the budget (the
+   * caller then takes the copy-on-write path).
+   */
+  private def dvUpsert(
+      s: QbeastSnapshot,
+      source: org.apache.spark.sql.DataFrame,
+      srcKeys: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): Option[(Long, Long)] = {
+    val affected = affectedByKeys(s, srcKeys, keys)
+    requireUniqueMatches(s, source, keys, affected)
+    val cdfEnabled =
+      s.configuration.get("qbeast.enableChangeDataFeed").contains("true") &&
+        s.schema.nonEmpty
+    // no matches → nothing to mask: pure insert through the same commit
+    val matchedRows =
+      if (affected.isEmpty) None
+      else Some(readTableFiles(s, affected)
+        .withColumn("_f", col("_metadata.file_path"))
+        .withColumn("_i", col("_metadata.row_index"))
+        .join(srcKeys, keys, "left_semi").persist())
+    try {
+      val written = matchedRows
+        .map(writeDvVectors(s, _))
+        .getOrElse(Array.empty[(String, String, Long, Long)])
+      if (dvOverBudget(written, affected)) {
+        dropDvArtifacts(written, None); return None
+      }
+      val cdfPre =
+        if (cdfEnabled) matchedRows.map(_.drop("_f", "_i")) else None
+      try {
+        val nSrc = dvCommitWithAdds(s, source, cdfPre, written, affected,
+          operation = "MERGE")
+        Some((written.map(_._3).sum, nSrc))
+      } catch { case e: Throwable => dropDvArtifacts(written, None); throw e }
+    } finally matchedRows.foreach { m => m.unpersist(); () }
+  }
+
+  /**
+   * Shared tail of every merge-on-read row-replacing mutation (UPDATE,
+   * upsert): index `toIndex` through the normal revision-aware path,
+   * optionally persist a CDF change file (`cdfPre` rows as deletes +
+   * `toIndex` as inserts), and commit the adds TOGETHER with the
+   * already-written replacement vectors in one atomic commit with the
+   * full rebase discipline (dv staleness check, late-constraint
+   * revalidation, revision renumbering). Returns the indexed row count.
+   */
+  private def dvCommitWithAdds(
+      s: QbeastSnapshot,
+      toIndex: org.apache.spark.sql.DataFrame,
+      cdfPre: Option[org.apache.spark.sql.DataFrame],
+      written: Array[(String, String, Long, Long)],
+      affected: Vector[IndexFile],
+      operation: String): Long = {
     val existing = s.lastRevision.filterNot(_.isStaging)
       .orElse(throw new UnsupportedOperationException(
-        "UPDATE on a staging-only qbeast table: append indexed data first"))
+        s"$operation on a staging-only qbeast table: append indexed data first"))
     val opts = QbeastOptions(Map.empty[String, String],
       defaultCubeSize = existing.map(_.desiredCubeSize).getOrElse(QbeastOptions.DefaultCubeSize))
     val (rev, isNew, n) = RevisionFactory.computeRevisionChanges(
-      existing, opts, tablePath, updated)
+      existing, opts, tablePath, toIndex)
     val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
     // per-row backstop inside the write task (driver-side validate ran
     // as a separate job — DML sources can change between executions)
-    var adds = QbeastWriter.index(spark, tablePath, updated, rev, status, n,
+    var adds = QbeastWriter.index(spark, tablePath, toIndex, rev, status, n,
       constraints = constraintsFor(s))
     var newRevision: Option[Revision] = if (isNew) Some(rev) else None
 
-    // CDF: pre-images as deletes, post-images as inserts — one change
+    // CDF: pre-images as deletes, new images as inserts — one change
     // file, reusing the cached matched frame (no second scan)
     val cdcAction: Option[LogAction] =
-      if (cdfEnabled) {
+      cdfPre.map { pre =>
         val dir = s"_change_data/cdc-${java.util.UUID.randomUUID()}"
         val target = new Path(tablePath, dir)
-        base0.withColumn("_change_type", lit("delete"))
-          .union(updated.withColumn("_change_type", lit("insert")))
+        pre.withColumn("_change_type", lit("delete"))
+          .union(toIndex.withColumn("_change_type", lit("insert")))
           .write.mode("overwrite").parquet(target.toString)
         val fsx = target.getFileSystem(conf)
         val size = fsx.listStatus(target).filter(_.isFile).map(_.getLen).sum
-        Some(CdcFileAction(dir, size))
-      } else None
+        CdcFileAction(dir, size)
+      }
 
     val byName = affected.map(f => new Path(f.path).getName -> f).toMap
     val dvActions: Seq[LogAction] = written.toSeq.map { case (name, rel, _, total) =>
@@ -1368,8 +1463,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         actions ++= dvActions
         actions ++= cdcAction
         try {
-          QbeastLog.commit(tablePath, conf, base.version, actions.toSeq,
-            operation = "UPDATE")
+          QbeastLog.commit(tablePath, conf, base.version, actions.toSeq, operation)
           committed = true
         } catch {
           case e: ConcurrentCommitException =>
@@ -1388,16 +1482,16 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
             }
             if (!clean)
               throw new java.util.ConcurrentModificationException(
-                "files targeted by UPDATE were rewritten or re-masked " +
+                s"files targeted by $operation were rewritten or re-masked " +
                   "concurrently; re-run the operation")
-            // constraints added since this update's validation pass
-            // must gate its rows too (bounded by the update's output)
+            // constraints added since this mutation's validation pass
+            // must gate its rows too (bounded by the mutation's output)
             val alreadyChecked = graft.write.Constraints.of(s.configuration)
             val newConstraints = graft.write.Constraints.of(rebased.configuration)
               .filter { case (k, v) => !alreadyChecked.get(k).contains(v) }
             if (newConstraints.nonEmpty && adds.nonEmpty) {
               graft.write.Constraints.validate(
-                readTableFiles(s, adds), newConstraints, "UPDATE (rebased)")
+                readTableFiles(s, adds), newConstraints, s"$operation (rebased)")
             }
             newRevision.foreach { r =>
               if (rebased.lastRevisionID >= r.revisionID) {

@@ -130,6 +130,54 @@ class DvUpdateSpec extends AnyFunSuite {
     assert(ins.filter(col("v") =!= -1.0).count() === 0L)
   }
 
+  test("merge-on-read upsert masks matched keys and appends all source rows") {
+    val dir = TestSpark.tmpDir("dvu-upsert")
+    writeTable(dir, rows = 3000)
+    val t = QbeastTable.forPath(spark, dir)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    // ids 10, 20 exist (replaced); 99999 is new (inserted)
+    val src = Seq((10L, 10 % 97, -1.0), (20L, 20 % 97, -2.0),
+      (99999L, 0, -3.0)).toDF("id", "k", "v")
+    val (replaced, inserted) = t.upsert(src, Seq("id"))
+    assert(replaced === 2L && inserted === 3L)
+    val s = t.snapshot
+    assert(filesBefore.subsetOf(s.files.map(_.path).toSet),
+      "merge-on-read upsert must keep every pre-upsert file")
+    assert(s.dvs.nonEmpty && s.dvMaskedRows === 2L)
+    assert(back(dir).count() === 3001L)
+    assert(back(dir).filter(col("id") === 10L).select("v").head().getDouble(0) === -1.0)
+    assert(back(dir).filter(col("id") === 99999L).count() === 1L)
+  }
+
+  test("merge-on-read upsert still rejects duplicate matching source keys") {
+    val dir = TestSpark.tmpDir("dvu-upsert-dup")
+    writeTable(dir, rows = 1000)
+    val t = QbeastTable.forPath(spark, dir)
+    val v0 = t.snapshot.version
+    val dup = Seq((10L, 1, -1.0), (10L, 2, -2.0)).toDF("id", "k", "v")
+    val e = intercept[IllegalArgumentException] { t.upsert(dup, Seq("id")) }
+    assert(e.getMessage.contains("unique"))
+    assert(t.snapshot.version === v0, "failed upsert must not commit")
+    assert(t.snapshot.dvs.isEmpty, "no vector may leak from the failed upsert")
+  }
+
+  test("deleteMatched masks the matched keys without rewriting") {
+    val dir = TestSpark.tmpDir("dvu-delmatch")
+    writeTable(dir, rows = 3000)
+    val t = QbeastTable.forPath(spark, dir)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    // duplicate source keys are legal for the delete shape
+    val src = Seq(5L, 15L, 25L, 25L).toDF("id")
+    val deleted = t.deleteMatched(src, Seq("id"))
+    assert(deleted === 3L)
+    val s = t.snapshot
+    assert(s.files.map(_.path).toSet === filesBefore,
+      "merge-on-read deleteMatched must not rewrite files")
+    assert(s.dvMaskedRows === 3L)
+    assert(back(dir).count() === 2997L)
+    assert(back(dir).filter(col("id").isin(5L, 15L, 25L)).count() === 0L)
+  }
+
   test("a running stream refuses a dv UPDATE without ignoreChanges, streams adds with it") {
     val dir = TestSpark.tmpDir("dvu-stream")
     writeTable(dir, rows = 2000)
