@@ -20,6 +20,7 @@ import org.apache.spark.sql.{Row, SparkSession}
  *   VACUUM '<path>' [RETAIN <n> HOURS]        -- unreferenced-file GC
  *   VACUUM '<path>' RETAIN 0 HOURS FORCE      -- below-minimum retention
  *   VERIFY '<path>'                           -- FSCK-shaped audit
+ *   REORG ['TABLE'] '<path>' APPLY (PURGE)    -- materialize deletion vectors
  *
  * Paths are quoted string literals ('…' or "…"), matching Delta's
  * path-table form (`VACUUM '/data/tbl'`). Everything else delegates to
@@ -49,6 +50,8 @@ class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
       """\s+DROP\s+CONSTRAINT\s+(\w+)""").r
   private val VerifyRe =
     """(?is)VERIFY\s+(?:'([^']+)'|"([^"]+)")""".r
+  private val ReorgRe =
+    """(?is)REORG\s+(?:TABLE\s+)?(?:'([^']+)'|"([^"]+)")\s+APPLY\s*\(\s*PURGE\s*\)""".r
 
   /** Line comments, bracketed comments and trailing semicolons are
    * tolerated around the statement (a decorated statement must not
@@ -80,6 +83,8 @@ class QbeastSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterConstraintQbeastCommand(Option(p1).getOrElse(p2), name, None)
     case VerifyRe(p1, p2) =>
       VerifyQbeastCommand(Option(p1).getOrElse(p2))
+    case ReorgRe(p1, p2) =>
+      ReorgQbeastCommand(Option(p1).getOrElse(p2))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -145,6 +150,24 @@ final case class VerifyQbeastCommand(path: String)
   override def run(spark: SparkSession): Seq[Row] =
     graft.table.QbeastTable.forPath(spark, path).verifyIntegrity()
       .map(i => Row(i.path, i.issue, i.detail))
+
+}
+
+/** SQL `REORG ['TABLE'] '<path>' APPLY (PURGE)` →
+ * [[graft.table.QbeastTable.purgeDeletionVectors]]: materialize every
+ * deletion vector by rewriting ONLY the masked files (Delta's REORG
+ * PURGE shape) — content invariant, replaced vectors vacuumable. */
+final case class ReorgQbeastCommand(path: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("purged_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = graft.table.QbeastTable.forPath(spark, path).purgeDeletionVectors()
+    Seq(Row(path, n.toLong))
+  }
 
 }
 

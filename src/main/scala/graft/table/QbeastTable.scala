@@ -175,6 +175,18 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     commitRewrite(s, newFiles, staging)
   }
 
+  /** Materialize every deletion vector without a full repack (Delta's
+   * `REORG TABLE ... APPLY (PURGE)`): ONLY the masked files are
+   * rewritten — their survivors land clean and replay clears the dv on
+   * add — while the rest of the table (at 100 TB, virtually all of it)
+   * is untouched. The replaced vectors become vacuumable. Returns the
+   * number of masked files purged. */
+  def purgeDeletionVectors(): Int = {
+    val masked = snapshot.dvs.keys.toSeq
+    if (masked.nonEmpty) optimizeFiles(masked)
+    masked.size
+  }
+
   /** Targeted optimize (reference: `QbeastTable.optimize(files)` →
    * `IndexedTable.optimizeIndexedFiles` / `optimizeUnindexedFiles`):
    * rewrite ONLY the given files (paths relative to the table root).

@@ -178,6 +178,26 @@ class DvUpdateSpec extends AnyFunSuite {
     assert(back(dir).filter(col("id").isin(5L, 15L, 25L)).count() === 0L)
   }
 
+  test("SQL REORG APPLY (PURGE) materializes vectors, rewrites only masked files") {
+    val dir = TestSpark.tmpDir("dvu-reorg")
+    writeTable(dir, rows = 3000)
+    val t = QbeastTable.forPath(spark, dir)
+    assert(t.update("k = 13", Map("v" -> "0.5")) > 0L)
+    val s0 = t.snapshot
+    assert(s0.dvs.nonEmpty)
+    val unmaskedBefore = s0.files.map(_.path).toSet -- s0.dvs.keySet
+    val res = spark.sql(s"REORG TABLE '$dir' APPLY (PURGE)").collect()
+    assert(res.head.getLong(1) === s0.dvs.size.toLong)
+    val s1 = t.snapshot
+    assert(s1.dvs.isEmpty, "every vector materialized")
+    assert(unmaskedBefore.subsetOf(s1.files.map(_.path).toSet),
+      "unmasked files must survive the purge untouched")
+    assert(back(dir).count() === 3000L)
+    assert(back(dir).filter(col("k") === 13 && col("v") =!= 0.5).count() === 0L)
+    // idempotent: a second purge is a no-op
+    assert(spark.sql(s"REORG '$dir' APPLY (PURGE)").collect().head.getLong(1) === 0L)
+  }
+
   test("a running stream refuses a dv UPDATE without ignoreChanges, streams adds with it") {
     val dir = TestSpark.tmpDir("dvu-stream")
     writeTable(dir, rows = 2000)
