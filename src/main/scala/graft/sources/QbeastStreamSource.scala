@@ -364,11 +364,11 @@ class QbeastStreamSource(
         val cdcs = actions.collect { case CdcFileAction(p, sz) => (s"$v:c:$p", sz) }
         if (cdcs.nonEmpty) cdcs.toVector
         else if (layoutOnly) Vector.empty // optimize: content unchanged
-        else if (hasDv && dataAdds.nonEmpty) throw new UnsupportedOperationException(
+        else if (hasDv) throw new UnsupportedOperationException(
           s"qbeast streaming CDF: commit $v of $tablePath masks rows with a " +
-            "deletion vector (merge-on-read UPDATE) but persisted no change " +
+            "deletion vector (merge-on-read DML) but persisted no change " +
             "file. Set the table property 'enableChangeDataFeed' BEFORE " +
-            "running UPDATE, or replay with the batch QbeastTable.changes API.")
+            "running DML, or replay with the batch QbeastTable.changes API.")
         else if (removes.isEmpty) dataAdds.map { case (p, sz) => (s"$v:a:$p", sz) }.toVector
         else if (adds.isEmpty)
           // delete-only: the removed files' rows ARE the delete feed;

@@ -182,9 +182,13 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * is untouched. The replaced vectors become vacuumable. Returns the
    * number of masked files purged. */
   def purgeDeletionVectors(): Int = {
-    val masked = snapshot.dvs.keys.toSeq
-    if (masked.nonEmpty) optimizeFiles(masked)
-    masked.size
+    val before = snapshot.dvs.keySet
+    if (before.nonEmpty) optimizeFiles(before.toSeq)
+    // report what was ACTUALLY purged: a file rewritten or re-masked
+    // by a concurrent commit between the two snapshots is not counted
+    // (callers re-run on a non-empty dvs, like any maintenance op)
+    val after = snapshot.dvs.keySet
+    (before -- after).size
   }
 
   /** Targeted optimize (reference: `QbeastTable.optimize(files)` →
@@ -238,21 +242,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * table.
    */
   def optimizeWhere(condition: Column): Int = {
-    // resolve the user predicate against the table schema by running a
-    // read+filter plan through the OPTIMIZER (not just the analyzer:
-    // the analyzer wraps literals in casts — `a <= cast(1000 as
-    // bigint)` — which the pruning layers' Literal patterns don't
-    // match; constant folding restores the shape the read path sees)
     val filtered = spark.read.format("qbeast").load(tablePath).filter(condition)
-    val filters = filtered.queryExecution.optimizedPlan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }
-    // on a masked table DvMaskRule plants its own NOT dv_row_deleted
-    // filter — that is read-path machinery, not the user's predicate:
-    // it must neither satisfy the triviality guard nor ride into
-    // selectFiles
-    val conjuncts = filters.flatMap(splitAnd).filterNot(_.exists(
-      _.isInstanceOf[graft.expressions.DvRowDeleted]))
+    val (_, conjuncts) = optimizedUserConjuncts(filtered)
     require(conjuncts.nonEmpty,
       "optimizeWhere requires a filtering condition (a trivially-true " +
         "predicate folds away — use optimize() for a full repack)")
@@ -286,14 +277,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       s: QbeastSnapshot,
       filtered: org.apache.spark.sql.DataFrame)
       : Option[(Vector[IndexFile], Vector[IndexFile])] = {
-    import org.apache.spark.sql.execution.datasources.LogicalRelation
-    val plan = filtered.queryExecution.optimizedPlan
-    val hasScan = plan.collectFirst { case _: LogicalRelation => () }.isDefined
+    val (hasScan, conjuncts) = optimizedUserConjuncts(filtered)
     if (!hasScan) return None
-    val conjuncts = plan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.flatMap(splitAnd).filterNot(_.exists(
-      _.isInstanceOf[graft.expressions.DvRowDeleted]))
     val provedTrue = Vector.newBuilder[IndexFile]
     val undecided = Vector.newBuilder[IndexFile]
     s.files.foreach { f =>
@@ -330,6 +315,29 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       splitAnd(l) ++ splitAnd(r)
     case other => Seq(other)
+  }
+
+  /** The user-predicate conjuncts of a read+filter plan, extracted from
+   * the OPTIMIZED plan (the q87 lesson: the analyzer wraps literals in
+   * casts — `a <= cast(1000 as bigint)` — that the pruning layers'
+   * Literal patterns don't match; constant folding restores the shape
+   * the read path sees), minus the DvMaskRule-planted `NOT
+   * dv_row_deleted` probe — read-path machinery, never the user's
+   * predicate. Also reports whether the SCAN survived optimization: a
+   * condition folding to false replaces the relation with an empty
+   * LocalRelation, which a caller must not confuse with trivially-true
+   * (no Filter left, scan intact). */
+  private def optimizedUserConjuncts(
+      filtered: org.apache.spark.sql.DataFrame)
+      : (Boolean, Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = filtered.queryExecution.optimizedPlan
+    val hasScan = plan.collectFirst { case _: LogicalRelation => () }.isDefined
+    val conjuncts = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.flatMap(splitAnd).filterNot(_.exists(
+      _.isInstanceOf[graft.expressions.DvRowDeleted]))
+    (hasScan, conjuncts)
   }
 
   /**
@@ -566,43 +574,50 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     }
 
     val dvMode =
-      assignments.isEmpty && graft.write.DeletionVectors.enabled(s.configuration)
+      assignments.isEmpty && graft.write.DeletionVectors.enabled(s.configuration) &&
+        dvIdentitySafe(s)
     // Narrowed discovery only when proofs actually dropped something
     // (otherwise the pinned full-table path is better: its index+stats
-    // pruning already skips every FALSE-proved file) and only for the
-    // copy-on-write path — the dv path masks rows, it never drops
-    // files, so its discovery stays on the pruned full scan.
-    val narrowed = proved.filter { case (drop, _) => drop.nonEmpty && !dvMode }
+    // pruning already skips every FALSE-proved file). Both delete
+    // modes benefit: copy-on-write never reads the proved drops, and
+    // merge-on-read drops them whole instead of masking 100% of their
+    // rows (which would blow the masked-fraction budget and force the
+    // worst-case full rewrite).
+    val narrowed = proved.filter { case (drop, _) => drop.nonEmpty }
     val (dropProved, scanDomain) = narrowed match {
       case Some((drop, und)) => (drop, und)
       case None => (Vector.empty[IndexFile], s.files)
     }
-    val discoverDf = narrowed match {
-      case Some((_, und)) => readTableFiles(s, und).filter(matched)
-      case None => table.filter(matched)
+    // the frame holding rows that still need row-level treatment:
+    // narrowed to the undecided files when proofs fired
+    val residual = narrowed match {
+      case Some((_, und)) => readTableFiles(s, und)
+      case None => table
     }
-    val affectedNames = discoverDf
+    val affectedNames = residual.filter(matched)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => new Path(r.getString(0)).getName).toSet
     // `scanned` = files whose matched rows were DISCOVERED by reading —
-    // these rewrite survivors below; TRUE-proved drops skip that read
+    // these mask/rewrite below; TRUE-proved drops skip that read
     // entirely (they have no survivors by proof)
     val scanned = scanDomain.filter(f => affectedNames.contains(new Path(f.path).getName))
     val affected = dropProved ++ scanned
     if (affected.isEmpty) return 0L
 
-    // ---- merge-on-read DELETE (opt-in): write deletion vectors
-    // instead of rewriting files; falls back to copy-on-write when any
-    // file's post-delete masked fraction would exceed the threshold ----
+    // ---- merge-on-read DELETE (opt-in): write deletion vectors for
+    // the straddling files and plain removes for the proved drops —
+    // one commit; falls back to copy-on-write when any file's
+    // post-delete masked fraction would exceed the threshold ----
     if (dvMode) {
-      val deleted = dvDelete(s, table, matched, affected)
+      val deleted = dvDelete(s, residual, matched, scanned, dropProved)
       if (deleted >= 0) return deleted
     }
 
     // ---- merge-on-read UPDATE (opt-in): mask the matched rows and
     // append their updated images — survivors are never read ----
     if (assignments.isDefined &&
-        graft.write.DeletionVectors.enabled(s.configuration)) {
+        graft.write.DeletionVectors.enabled(s.configuration) &&
+        dvIdentitySafe(s)) {
       val updatedCount = dvUpdate(s, table, matched, affected, assignments.get)
       if (updatedCount >= 0) return updatedCount
     }
@@ -700,15 +715,16 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       // merge-on-read (opt-in): mask the matched rows, rewrite nothing
       // — the keyed delete rides the same dv commit as the predicate
       // DELETE (duplicate source keys are fine: deletion is unambiguous)
-      if (graft.write.DeletionVectors.enabled(s.configuration)) {
+      var knownAffected: Option[Vector[IndexFile]] = None
+      if (graft.write.DeletionVectors.enabled(s.configuration) &&
+          dvIdentitySafe(s)) {
         val dvAffected = affectedByKeys(s, srcKeys, keys)
         if (dvAffected.isEmpty) return 0L
-        val cdfEnabled =
-          s.configuration.get("qbeast.enableChangeDataFeed").contains("true") &&
-            s.schema.nonEmpty
+        knownAffected = Some(dvAffected) // over-budget fallback reuses it
+        val cdfEnabled = cdfOn(s)
         val matchedRows = readTableFiles(s, dvAffected)
-          .withColumn("_f", col("_metadata.file_path"))
-          .withColumn("_i", col("_metadata.row_index"))
+          .withColumn(DvFileCol, col("_metadata.file_path"))
+          .withColumn(DvIdxCol, col("_metadata.row_index"))
           .join(srcKeys, keys, "left_semi")
         if (cdfEnabled) matchedRows.persist()
         try {
@@ -717,7 +733,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         } finally if (cdfEnabled) { matchedRows.unpersist(); () }
       }
 
-      val (affected, survivorAdds) = rewriteWithoutMatches(s, srcKeys, keys)
+      val (affected, survivorAdds) =
+        rewriteWithoutMatches(s, srcKeys, keys, knownAffected = knownAffected)
       if (affected.isEmpty) return 0L
       commitMutation(s, survivorAdds, None, affected, operation = "DELETE")
       affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
@@ -730,6 +747,26 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * pre-validation ran against a different execution of the plan. */
   private def constraintsFor(s: QbeastSnapshot): Seq[(String, String)] =
     graft.write.Constraints.of(s.configuration).toSeq.sortBy(_._1)
+
+  /** Change data feed enabled for this snapshot (and writable — a
+   * schema exists to shape the change file). */
+  private def cdfOn(s: QbeastSnapshot): Boolean =
+    s.configuration.get("qbeast.enableChangeDataFeed").contains("true") &&
+      s.schema.nonEmpty
+
+  /** Reserved names under which the dv machinery stamps file identity
+   * onto matched rows. A plain `_f` would silently REPLACE a real user
+   * column of that name (withColumn semantics) and the later drop
+   * would erase it from every appended image — so the names are
+   * namespaced, and [[dvIdentitySafe]] gates every merge-on-read path:
+   * a (pathological) table whose schema uses one of them simply keeps
+   * the always-correct copy-on-write path. */
+  private val DvFileCol = "__qbeast_dv_file"
+  private val DvIdxCol = "__qbeast_dv_idx"
+
+  private def dvIdentitySafe(s: QbeastSnapshot): Boolean =
+    !s.schema.exists(_.fieldNames.exists(n =>
+      n.equalsIgnoreCase(DvFileCol) || n.equalsIgnoreCase(DvIdxCol)))
 
   /** ANSI store-assignment cast (Delta's insert-path resolution): cast
    * `src` to the table column's type, but FAIL on any row where a
@@ -776,13 +813,21 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     try {
       // ---- merge-on-read upsert (opt-in): mask matched target rows,
       // append ALL source rows — survivors never read ----
-      if (graft.write.DeletionVectors.enabled(s.configuration)) {
-        val mor = dvUpsert(s, source, srcKeys, keys)
-        if (mor.isDefined) return mor.get
+      var knownAffected: Option[Vector[IndexFile]] = None
+      var uniqueChecked = false
+      if (graft.write.DeletionVectors.enabled(s.configuration) &&
+          dvIdentitySafe(s)) {
+        dvUpsert(s, source, srcKeys, keys) match {
+          case Right(result) => return result
+          case Left(affected) => // over budget: fall back to copy-on-
+            // write, reusing the discovery and the uniqueness check
+            knownAffected = Some(affected); uniqueChecked = true
+        }
       }
 
-      val (affected, survivorAdds) =
-        rewriteWithoutMatches(s, srcKeys, keys, requireUniqueSource = Some(source))
+      val (affected, survivorAdds) = rewriteWithoutMatches(s, srcKeys, keys,
+        requireUniqueSource = if (uniqueChecked) None else Some(source),
+        knownAffected = knownAffected)
 
       // ---- pass 3: ALL source rows through the revision-aware path ----
       val existing = latestRevision.orElse(throw new UnsupportedOperationException(
@@ -1063,11 +1108,6 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
-  /** Shared passes 1–2 of the keyed mutations ([[upsert]],
-   * [[deleteMatched]]): discover the target files holding matched keys
-   * through the index-pruned read path, then rewrite each affected
-   * file WITHOUT the matched rows, frozen against its own revision's
-   * cube weights. */
   /** Delta's multiple-matches rule for update-style matched clauses:
    * duplicate non-null source keys that actually MATCH a target row
    * error out (duplicates matching nothing fall through to the insert
@@ -1096,13 +1136,20 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /** Shared passes 1–2 of the keyed mutations ([[upsert]],
+   * [[deleteMatched]]): discover the target files holding matched keys
+   * through the index-pruned read path (or reuse `knownAffected` when a
+   * merge-on-read attempt already discovered them), then rewrite each
+   * affected file WITHOUT the matched rows, frozen against its own
+   * revision's cube weights. */
   private def rewriteWithoutMatches(
       s: QbeastSnapshot,
       srcKeys: org.apache.spark.sql.DataFrame,
       keys: Seq[String],
-      requireUniqueSource: Option[org.apache.spark.sql.DataFrame] = None): (Vector[IndexFile], Seq[IndexFile]) = {
+      requireUniqueSource: Option[org.apache.spark.sql.DataFrame] = None,
+      knownAffected: Option[Vector[IndexFile]] = None): (Vector[IndexFile], Seq[IndexFile]) = {
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
-    val affected = affectedByKeys(s, srcKeys, keys)
+    val affected = knownAffected.getOrElse(affectedByKeys(s, srcKeys, keys))
 
     requireUniqueSource.foreach(requireUniqueMatches(s, _, keys, affected))
 
@@ -1122,18 +1169,16 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     (affected, survivorAdds)
   }
 
-  /** One atomic commit of a mutation, with the writer's rebase loop:
-   * benign conflicts (unrelated appends) are retried against the new
-   * version; a conflict that touched one of OUR target files aborts —
-   * retrying would resurrect deleted rows or double-apply the update. */
   /**
    * Merge-on-read DELETE: one pass computes each affected file's newly
    * matched row indexes (on the MASKED pinned read, so already-deleted
    * rows never re-match), unions them with the file's existing vector
    * and writes the replacement vector ON THE EXECUTOR — the driver sees
    * only (file, vectorPath, counts), never row indexes. Commits one
-   * `dv` action per file (no adds, no removes: O(masked files) log
-   * growth for a DELETE that would otherwise rewrite gigabytes).
+   * `dv` action per file, plus a plain remove for every stats-PROVED
+   * whole-file drop the caller discovered (`drops`) — the retention
+   * delete on a dv table drops its boundary-aligned files metadata-only
+   * and masks just the straddlers, in ONE commit.
    *
    * Returns the deleted row count, or -1 when any file's post-delete
    * masked fraction would exceed the threshold — the caller then takes
@@ -1146,19 +1191,18 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       s: QbeastSnapshot,
       table: org.apache.spark.sql.DataFrame,
       matched: Column,
-      affected: Vector[IndexFile]): Long = {
+      affected: Vector[IndexFile],
+      drops: Vector[IndexFile] = Vector.empty): Long = {
     // cache the matched rows WITH their file identity: the vector job
     // and the CDF change-data write both consume them — without the
     // cache a CDF-enabled delete would scan the affected files twice
-    val cdfEnabled =
-      s.configuration.get("qbeast.enableChangeDataFeed").contains("true") &&
-        s.schema.nonEmpty
+    val cdfEnabled = cdfOn(s)
     val matchedRows = table.filter(matched)
-      .withColumn("_f", col("_metadata.file_path"))
-      .withColumn("_i", col("_metadata.row_index"))
+      .withColumn(DvFileCol, col("_metadata.file_path"))
+      .withColumn(DvIdxCol, col("_metadata.row_index"))
     if (cdfEnabled) matchedRows.persist()
     try {
-      dvDeleteInner(s, matchedRows, affected, cdfEnabled)
+      dvDeleteInner(s, matchedRows, affected, cdfEnabled, drops)
     } finally if (cdfEnabled) { matchedRows.unpersist(); () }
   }
 
@@ -1177,8 +1221,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val existingDvByName: Map[String, String] =
       s.dvs.map { case (p, i) => new Path(p).getName -> i.dvPath }
     matchedRows
-      .select(col("_f"), col("_i"))
-      .groupBy("_f").agg(sort_array(collect_list(col("_i"))).as("_idx"))
+      .select(col(DvFileCol), col(DvIdxCol))
+      .groupBy(DvFileCol).agg(sort_array(collect_list(col(DvIdxCol))).as("_idx"))
       .as[(String, Array[Long])]
       .mapPartitions { it =>
         it.map { case (fullPath, newIdx) =>
@@ -1234,24 +1278,30 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       s: QbeastSnapshot,
       matchedRows: org.apache.spark.sql.DataFrame,
       affected: Vector[IndexFile],
-      cdfEnabled: Boolean): Long = {
+      cdfEnabled: Boolean,
+      drops: Vector[IndexFile] = Vector.empty): Long = {
     val tp = tablePath
     val written = writeDvVectors(s, matchedRows)
-    if (written.isEmpty) return 0L
+    if (written.isEmpty && drops.isEmpty) return 0L
 
-    def dropWritten(extra: Option[LogAction] = None): Unit =
-      dropDvArtifacts(written, extra)
-
-    if (dvOverBudget(written, affected)) { dropWritten(); return -1L }
+    if (dvOverBudget(written, affected)) {
+      dropDvArtifacts(written, None); return -1L
+    }
 
     // CDF: persist the deleted rows as this commit's change data (the
-    // file-diff fallback cannot see a dv-only commit); reuses the
-    // cached matched frame — no second scan
+    // file-diff fallback cannot see a dv-only commit): the masked rows
+    // from the cached matched frame — no second scan — plus the live
+    // rows of every proved whole-file drop (those were never scanned;
+    // the feed is the one consumer that must read them)
     val cdcAction: Option[LogAction] =
       if (cdfEnabled) {
         val dir = s"_change_data/cdc-${java.util.UUID.randomUUID()}"
         val target = new Path(tp, dir)
-        matchedRows.drop("_f", "_i")
+        val masked = matchedRows.drop(DvFileCol, DvIdxCol)
+        val deleteRows =
+          if (drops.isEmpty) masked
+          else masked.unionByName(readTableFiles(s, drops))
+        deleteRows
           .withColumn("_change_type", lit("delete"))
           .write.mode("overwrite").parquet(target.toString)
         val fs = target.getFileSystem(conf)
@@ -1263,40 +1313,13 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val dvActions: Seq[LogAction] = written.toSeq.map { case (name, rel, _, total) =>
       DvFileAction(byName(name).path, rel, total)
     }
-    var base = s
-    var rebases = 0
-    var committed = false
     try {
-      while (!committed) {
-        try {
-          QbeastLog.commit(tablePath, conf, base.version,
-            dvActions ++ cdcAction, operation = "DELETE")
-          committed = true
-        } catch {
-          case e: ConcurrentCommitException =>
-            rebases += 1
-            if (rebases > 5) throw e
-            val rebased = QbeastLog.snapshot(tablePath, conf)
-            val live = rebased.files.map(f => f.path).toSet
-            // conflict: a targeted file was rewritten/removed, or its
-            // vector changed under us (another DV delete) — our vector
-            // was computed against a stale mask; committing would lose
-            // that delete's rows or resurrect ours
-            val clean = dvActions.forall {
-              case DvFileAction(p, _, _) =>
-                live.contains(p) &&
-                  rebased.dvs.get(p).map(_.dvPath) == s.dvs.get(p).map(_.dvPath)
-              case _ => true
-            }
-            if (!clean)
-              throw new java.util.ConcurrentModificationException(
-                "files targeted by DELETE were rewritten or re-masked " +
-                  "concurrently; re-run the operation")
-            base = rebased
-        }
-      }
-    } catch { case e: Throwable => dropWritten(cdcAction); throw e }
-    written.map(_._3).sum
+      commitMutation(s, Nil, None, drops, operation = "DELETE",
+        dvActions = dvActions, cdc = Some(cdcAction))
+    } catch { case e: Throwable => dropDvArtifacts(written, cdcAction); throw e }
+    val droppedMasked =
+      drops.iterator.flatMap(f => s.dvs.get(f.path)).map(_.cardinality).sum
+    written.map(_._3).sum + drops.map(_.elementCount).sum - droppedMasked
   }
 
   /**
@@ -1316,15 +1339,13 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       matched: Column,
       affected: Vector[IndexFile],
       asgn: Map[String, Column]): Long = {
-    val cdfEnabled =
-      s.configuration.get("qbeast.enableChangeDataFeed").contains("true") &&
-        s.schema.nonEmpty
+    val cdfEnabled = cdfOn(s)
     // the matched frame feeds the vector job AND the updated-image
     // write (and the CDF pre-images): persist so the affected files
     // are scanned once
     val matchedRows = table.filter(matched)
-      .withColumn("_f", col("_metadata.file_path"))
-      .withColumn("_i", col("_metadata.row_index"))
+      .withColumn(DvFileCol, col("_metadata.file_path"))
+      .withColumn(DvIdxCol, col("_metadata.row_index"))
       .persist()
     try dvUpdateInner(s, matchedRows, affected, asgn, cdfEnabled)
     finally { matchedRows.unpersist(); () }
@@ -1357,7 +1378,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // (the copy-on-write pass-3 logic: an assignment to an indexed
     // column can move values outside the frozen space — then they land
     // in a new, merged-space revision, exactly like an append)
-    val base0 = matchedRows.drop("_f", "_i")
+    val base0 = matchedRows.drop(DvFileCol, DvIdxCol)
     val updatedCols = Assignments(base0.schema, asgn)
     val updated = base0.select(updatedCols: _*)
     graft.write.Constraints.validate(updated,
@@ -1372,40 +1393,40 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * rows are masked with replacement vectors, ALL source rows appended
    * through the revision-aware path, one atomic commit — the affected
    * files' survivors (at 100 TB, virtually all of every touched file)
-   * are never read. Returns Some((replaced, inserted)) when committed,
-   * None when any file's masked fraction would exceed the budget (the
-   * caller then takes the copy-on-write path).
+   * are never read. Returns Right((replaced, inserted)) when
+   * committed; Left(affected) when any file's masked fraction would
+   * exceed the budget — the caller then takes the copy-on-write path,
+   * reusing the discovered files and the already-passed uniqueness
+   * check instead of re-scanning.
    */
   private def dvUpsert(
       s: QbeastSnapshot,
       source: org.apache.spark.sql.DataFrame,
       srcKeys: org.apache.spark.sql.DataFrame,
-      keys: Seq[String]): Option[(Long, Long)] = {
+      keys: Seq[String]): Either[Vector[IndexFile], (Long, Long)] = {
     val affected = affectedByKeys(s, srcKeys, keys)
     requireUniqueMatches(s, source, keys, affected)
-    val cdfEnabled =
-      s.configuration.get("qbeast.enableChangeDataFeed").contains("true") &&
-        s.schema.nonEmpty
+    val cdfEnabled = cdfOn(s)
     // no matches → nothing to mask: pure insert through the same commit
     val matchedRows =
       if (affected.isEmpty) None
       else Some(readTableFiles(s, affected)
-        .withColumn("_f", col("_metadata.file_path"))
-        .withColumn("_i", col("_metadata.row_index"))
+        .withColumn(DvFileCol, col("_metadata.file_path"))
+        .withColumn(DvIdxCol, col("_metadata.row_index"))
         .join(srcKeys, keys, "left_semi").persist())
     try {
       val written = matchedRows
         .map(writeDvVectors(s, _))
         .getOrElse(Array.empty[(String, String, Long, Long)])
       if (dvOverBudget(written, affected)) {
-        dropDvArtifacts(written, None); return None
+        dropDvArtifacts(written, None); return Left(affected)
       }
       val cdfPre =
-        if (cdfEnabled) matchedRows.map(_.drop("_f", "_i")) else None
+        if (cdfEnabled) matchedRows.map(_.drop(DvFileCol, DvIdxCol)) else None
       try {
         val nSrc = dvCommitWithAdds(s, source, cdfPre, written, affected,
           operation = "MERGE")
-        Some((written.map(_._3).sum, nSrc))
+        Right((written.map(_._3).sum, nSrc))
       } catch { case e: Throwable => dropDvArtifacts(written, None); throw e }
     } finally matchedRows.foreach { m => m.unpersist(); () }
   }
@@ -1436,9 +1457,9 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
     // per-row backstop inside the write task (driver-side validate ran
     // as a separate job — DML sources can change between executions)
-    var adds = QbeastWriter.index(spark, tablePath, toIndex, rev, status, n,
+    val adds = QbeastWriter.index(spark, tablePath, toIndex, rev, status, n,
       constraints = constraintsFor(s))
-    var newRevision: Option[Revision] = if (isNew) Some(rev) else None
+    val newRevision: Option[Revision] = if (isNew) Some(rev) else None
 
     // CDF: pre-images as deletes, new images as inserts — one change
     // file, reusing the cached matched frame (no second scan)
@@ -1458,74 +1479,38 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val dvActions: Seq[LogAction] = written.toSeq.map { case (name, rel, _, total) =>
       DvFileAction(byName(name).path, rel, total)
     }
-    var base = s
-    var rebases = 0
-    var committed = false
     try {
-      while (!committed) {
-        val actions = mutable.ArrayBuffer.empty[LogAction]
-        newRevision.foreach { r =>
-          actions += MetaDataAction(
-            base.schema.map(_.json).getOrElse(""),
-            base.configuration +
-              ("qbeast.lastRevisionID" -> math.max(r.revisionID, base.lastRevisionID).toString))
-          actions += RevisionAction(r)
-        }
-        actions ++= adds.map(f => AddFileAction(f, dataChange = true))
-        actions ++= dvActions
-        actions ++= cdcAction
-        try {
-          QbeastLog.commit(tablePath, conf, base.version, actions.toSeq, operation)
-          committed = true
-        } catch {
-          case e: ConcurrentCommitException =>
-            rebases += 1
-            if (rebases > 5) throw e
-            val rebased = QbeastLog.snapshot(tablePath, conf)
-            val live = rebased.files.map(f => f.path).toSet
-            // a targeted file rewritten/removed, or re-masked by a
-            // concurrent dv commit: our vector was computed against a
-            // stale mask — committing would lose rows or resurrect them
-            val clean = dvActions.forall {
-              case DvFileAction(p, _, _) =>
-                live.contains(p) &&
-                  rebased.dvs.get(p).map(_.dvPath) == s.dvs.get(p).map(_.dvPath)
-              case _ => true
-            }
-            if (!clean)
-              throw new java.util.ConcurrentModificationException(
-                s"files targeted by $operation were rewritten or re-masked " +
-                  "concurrently; re-run the operation")
-            // constraints added since this mutation's validation pass
-            // must gate its rows too (bounded by the mutation's output)
-            val alreadyChecked = graft.write.Constraints.of(s.configuration)
-            val newConstraints = graft.write.Constraints.of(rebased.configuration)
-              .filter { case (k, v) => !alreadyChecked.get(k).contains(v) }
-            if (newConstraints.nonEmpty && adds.nonEmpty) {
-              graft.write.Constraints.validate(
-                readTableFiles(s, adds), newConstraints, s"$operation (rebased)")
-            }
-            newRevision.foreach { r =>
-              if (rebased.lastRevisionID >= r.revisionID) {
-                val nid = rebased.lastRevisionID + 1
-                adds = adds.map(f =>
-                  if (f.revisionId == r.revisionID) f.copy(revisionId = nid) else f)
-                newRevision = Some(r.copy(revisionID = nid))
-              }
-            }
-            base = rebased
-        }
-      }
+      commitMutation(s, adds, newRevision, Vector.empty, operation,
+        dvActions = dvActions, cdc = Some(cdcAction))
     } catch { case e: Throwable => dropDvArtifacts(written, cdcAction); throw e }
     adds.map(_.elementCount).sum
   }
 
+  /**
+   * THE commit loop for every row-level mutation — copy-on-write
+   * (adds + removes) and merge-on-read (dv actions, optionally with
+   * adds and removes) alike. Benign conflicts (unrelated appends)
+   * retry against the new version; a conflict that touched one of OUR
+   * target files — a remove/dv target rewritten or re-masked, so our
+   * survivors/vectors were computed against stale state — aborts
+   * (retrying would resurrect deleted rows or double-apply changes).
+   * Constraints added concurrently re-validate the adds; a
+   * concurrently claimed revision id renumbers ours.
+   *
+   * `cdc`: None (default) derives change data from the file diff
+   * ([[writeCdcData]]); `Some(action)` means the caller already
+   * persisted its change file (the merge-on-read paths, whose deletes
+   * are vector deltas no file diff can see) — the action rides every
+   * attempt and is reclaimed on abort either way.
+   */
   private def commitMutation(
       initial: QbeastSnapshot,
       adds0: Seq[IndexFile],
       newRevision0: Option[Revision],
       removes: Vector[IndexFile],
-      operation: String): Unit = {
+      operation: String,
+      dvActions: Seq[LogAction] = Nil,
+      cdc: Option[Option[LogAction]] = None): Unit = {
     var base = initial
     var adds = adds0
     var newRevision = newRevision0
@@ -1535,7 +1520,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // rebases renumber revisions, never rows — so the change file is
     // written once and its action rides every attempt; an ABORTED
     // mutation must reclaim it (no commit will ever reference it)
-    val cdcAction = writeCdcData(initial, adds0, removes)
+    val cdcAction = cdc.getOrElse(writeCdcData(initial, adds0, removes))
     def dropOrphanCdc(): Unit = cdcAction.foreach {
       case CdcFileAction(p, _) =>
         try new Path(tablePath).getFileSystem(conf)
@@ -1555,6 +1540,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       }
       actions ++= adds.map(f => AddFileAction(f, dataChange = true))
       actions ++= removes.map(f => RemoveFileAction(RemoveFile(f.path, now, f.size)))
+      actions ++= dvActions
       actions ++= cdcAction
       try {
         QbeastLog.commit(tablePath, conf, base.version, actions.toSeq, operation)
@@ -1565,19 +1551,22 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           if (rebases > 5) throw e
           val rebased = QbeastLog.snapshot(tablePath, conf)
           val live = rebased.files.map(f => f.path).toSet
-          if (!removes.forall(f => live.contains(f.path)))
+          // every file WE remove or re-mask must be untouched since
+          // `initial`: still live, and its mask unchanged (a concurrent
+          // merge-on-read DELETE re-masking a target means our
+          // survivors/vectors were computed with the old mask —
+          // committing would resurrect its deleted rows or lose ours)
+          def untouched(path: String): Boolean =
+            live.contains(path) &&
+              rebased.dvs.get(path).map(_.dvPath) ==
+                initial.dvs.get(path).map(_.dvPath)
+          val targets = removes.iterator.map(_.path) ++
+            dvActions.iterator.collect { case DvFileAction(p, _, _) => p }
+          if (!targets.forall(untouched))
             throw new java.util.ConcurrentModificationException(
-              "files targeted by DELETE/UPDATE were rewritten concurrently " +
-                "(optimize/overwrite/another DML); re-run the operation")
-          // a concurrent merge-on-read DELETE re-masked one of our
-          // targets: our survivors/updates were computed with the old
-          // mask — committing would resurrect its deleted rows
-          if (!removes.forall(f =>
-            rebased.dvs.get(f.path).map(_.dvPath) ==
-              initial.dvs.get(f.path).map(_.dvPath)))
-            throw new java.util.ConcurrentModificationException(
-              "files targeted by DELETE/UPDATE were re-masked concurrently " +
-                "(a deletion-vector DELETE); re-run the operation")
+              s"files targeted by $operation were rewritten, removed or " +
+                "re-masked concurrently (optimize/overwrite/another DML); " +
+                "re-run the operation")
           // a CHECK constraint added since this mutation's validation
           // pass must gate its rows too — re-validate the written adds
           // (bounded by the mutation's own output) against constraints
@@ -1988,17 +1977,23 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       }
       else {
         // the before-image excludes rows the removed files' vectors had
-        // already deleted (they changed in an EARLIER commit)
+        // already deleted (they changed in an EARLIER commit); a
+        // stats-proved dv DELETE additionally masks OTHER (straddling)
+        // files in the same commit — their newly masked rows join the
+        // delete feed via the vector delta
         val maskNames = dvNamesFor(removes)
         maskNames.values.foreach(requireDv(_, v))
         val before = graft.write.DeletionVectors
           .maskWith(tablePath, maskNames, conf, readFiles(removes))
-        if (dataAdds.isEmpty) emit(Seq(tagged(before, "delete", v)))
+        val dvDeletes =
+          if (dvActs.isEmpty) Nil
+          else Seq(tagged(dvDeltaRows(dvActs, v), "delete", v))
+        if (dataAdds.isEmpty) emit(tagged(before, "delete", v) +: dvDeletes)
         else {
           val after = readFiles(dataAdds)
           emit(Seq(
             tagged(after.exceptAll(before), "insert", v),
-            tagged(before.exceptAll(after), "delete", v)))
+            tagged(before.exceptAll(after), "delete", v)) ++ dvDeletes)
         }
       }
     }

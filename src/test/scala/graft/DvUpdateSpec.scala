@@ -178,6 +178,41 @@ class DvUpdateSpec extends AnyFunSuite {
     assert(back(dir).filter(col("id").isin(5L, 15L, 25L)).count() === 0L)
   }
 
+  test("user columns named _f/_i survive merge-on-read DML (reserved identity names)") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("dvu-colclash")
+    // "_f" and "_i" are real data columns here — the dv machinery's
+    // identity stamps must not clobber them (they once did: withColumn
+    // replaced the user column and the later drop erased it from every
+    // appended image)
+    (1 to 500).map(i => (i.toLong, s"f$i", i * 3L)).toDF("id", "_f", "_i")
+      .write.format("qbeast").option("columnsToIndex", "id")
+      .option("cubeSize", "200").option("deletionVectors", "true").save(dir)
+    val t = QbeastTable.forPath(spark, dir)
+    assert(t.update("id % 50 = 7", Map("_i" -> "_i + 1")) === 10L)
+    assert(t.snapshot.dvs.nonEmpty, "the update must still be merge-on-read")
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === 500L)
+    assert(back.filter(col("_f").isNull || col("_i").isNull).count() === 0L,
+      "user _f/_i columns must survive the masked update intact")
+    assert(back.filter(col("id") === 7L).select("_i").head().getLong(0) === 22L)
+  }
+
+  test("a table using the reserved identity names falls back to copy-on-write") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("dvu-reserved")
+    (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("id", "__qbeast_dv_file")
+      .write.format("qbeast").option("columnsToIndex", "id")
+      .option("cubeSize", "100").option("deletionVectors", "true").save(dir)
+    val t = QbeastTable.forPath(spark, dir)
+    assert(t.delete("id <= 10 OR id % 100 = 55") === 12L)
+    assert(t.snapshot.dvs.isEmpty,
+      "reserved-name schema must take the always-correct copy-on-write path")
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() === 188L)
+    assert(back.filter(col("__qbeast_dv_file").isNull).count() === 0L)
+  }
+
   test("SQL REORG APPLY (PURGE) materializes vectors, rewrites only masked files") {
     val dir = TestSpark.tmpDir("dvu-reorg")
     writeTable(dir, rows = 3000)

@@ -129,6 +129,35 @@ class StatsDeleteSpec extends AnyFunSuite {
     assert(spark.read.format("qbeast").load(dir).count() == 100L)
   }
 
+  test("dv mode drops proved files and masks only the straddlers in one commit") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("statsdel-dvmixed")
+    (0 until 4).foreach { b =>
+      (b * 100 + 1 to b * 100 + 100).map(i => (i.toLong, i * 2.0))
+        .toDF("a", "b")
+        .write.format("qbeast").option("columnsToIndex", "a,b")
+        .option("cubeSize", "50").option("deletionVectors", "true")
+        .mode(if (b == 0) "error" else "append").save(dir)
+    }
+    val t = QbeastTable.forPath(spark, dir)
+    val before = t.snapshot.files.map(_.path).toSet
+    val v0 = t.snapshot.version
+    // a <= 220: batches 1–2 TRUE-prove (drop whole files, metadata
+    // only); batch 3's straddler masks its ~20% matched rows instead
+    // of forcing the whole delete back to a copy-on-write rewrite
+    val deleted = t.delete("a <= 220")
+    assert(deleted == 220L)
+    val s = t.snapshot
+    assert(s.version == v0 + 1, "drops + masks must land in ONE commit")
+    assert(s.files.map(_.path).toSet.subsetOf(before),
+      "merge-on-read mixed delete must never write new files")
+    assert(s.files.size < before.size, "proved files must be DROPPED")
+    assert(s.dvs.nonEmpty, "the straddling file must be MASKED, not rewritten")
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() == 180L)
+    assert(back.agg(min("a")).head().getLong(0) == 221L)
+  }
+
   test("stats-proved drop of an already-masked file counts only live rows") {
     val dir = splitTable("statsdel-dvcount", Map("deletionVectors" -> "true"))
     val t = QbeastTable.forPath(spark, dir)
