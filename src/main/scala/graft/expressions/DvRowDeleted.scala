@@ -2,6 +2,7 @@ package graft.expressions
 
 import graft.write.DeletionVectors
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructField}
@@ -14,14 +15,27 @@ import org.apache.spark.util.SerializableConfiguration
  * as `Filter(NOT DvRowDeleted(_metadata.file_path, _metadata.row_index))`
  * directly above a masked table's scan.
  *
- * `dvByName` maps data-file BASENAMES (writer-generated UUIDs — the
- * same basename convention vacuum relies on) to vector paths; it is
- * O(#masked files), serialized into the task. Vectors themselves load
- * lazily ON THE EXECUTOR through [[DeletionVectors.cached]] — the
- * driver never funnels row indexes — and the probe is a binary search
- * over the sorted indexes, memoized per file (file_path is constant
- * within a partition, so the lookup-per-row collapses to one map hit
- * per file plus an O(log deletes) search per row).
+ * `dvMap` maps data-file BASENAMES (writer-generated UUIDs — the same
+ * basename convention vacuum relies on) to vector paths. It rides a
+ * BROADCAST, not the serialized expression: the map is O(#masked
+ * files), and an expression-embedded copy would ship with every stage's
+ * task binary and deserialize once per task — a dv-heavy table (1e5+
+ * masked files) would pay megabytes per task. The broadcast is fetched
+ * once per executor and shared (Delta ships DV descriptors per scan
+ * file for the same reason; the broadcast is the per-query equivalent).
+ * Driver-side, [[DeletionVectors.broadcastFor]] caches one broadcast
+ * per (table, dv state) so repeated queries reuse it.
+ *
+ * Vectors themselves load lazily ON THE EXECUTOR through
+ * [[DeletionVectors.cached]] — the driver never funnels row indexes —
+ * and the probe is a binary search over the sorted indexes, memoized
+ * per file (file_path is constant within a partition, so the
+ * lookup-per-row collapses to one map hit per file plus an
+ * O(log deletes) search per row). The memo compares the incoming
+ * `UTF8String` against a CLONED copy of the last one (bytes, no
+ * per-row `toString`); the clone matters because scan rows can reuse
+ * their backing buffers — holding the original reference would let the
+ * memo key mutate under us.
  *
  * Codegen: a reference object + instance call, same pattern as
  * [[KMeansAssign]] — the filter stays inside whole-stage codegen.
@@ -30,7 +44,7 @@ final case class DvRowDeleted(
     left: Expression,
     right: Expression,
     tablePath: String,
-    dvByName: Map[String, String],
+    dvMap: Broadcast[Map[String, String]],
     sconf: SerializableConfiguration)
     extends BinaryExpression {
 
@@ -46,17 +60,18 @@ final case class DvRowDeleted(
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   // per-task memo of the last probed file's vector (file_path is
-  // constant within a partition)
-  @transient private var lastName: String = _
+  // constant within a partition); lastFile is a defensive clone — see
+  // the class doc
+  @transient private var lastFile: UTF8String = _
   @transient private var lastVec: Array[Long] = _
 
   def isDeleted(file: UTF8String, rowIndex: Long): Boolean = {
-    val path = file.toString
-    val slash = path.lastIndexOf('/')
-    val name = if (slash < 0) path else path.substring(slash + 1)
-    if (name != lastName) {
-      lastName = name
-      lastVec = dvByName.get(name) match {
+    if (lastFile == null || !file.equals(lastFile)) {
+      lastFile = file.clone()
+      val path = file.toString
+      val slash = path.lastIndexOf('/')
+      val name = if (slash < 0) path else path.substring(slash + 1)
+      lastVec = dvMap.value.get(name) match {
         case Some(dvPath) => DeletionVectors.cached(tablePath, sconf.value, dvPath)
         case None => null
       }

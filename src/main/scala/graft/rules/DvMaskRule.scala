@@ -63,7 +63,8 @@ class DvMaskRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val fp = GetStructField(metaAttr, st.fieldIndex("file_path"), Some("file_path"))
       val ri = GetStructField(metaAttr, st.fieldIndex("row_index"), Some("row_index"))
       val byName = snap.dvs.map { case (p, i) => new Path(p).getName -> i.dvPath }
-      val probe = DvRowDeleted(fp, ri, snap.tablePath, byName,
+      val probe = DvRowDeleted(fp, ri, snap.tablePath,
+        graft.write.DeletionVectors.broadcastFor(spark, snap.tablePath, byName),
         new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
       withMeta.setTagValue(MaskedTag, ())
       Project(lr.output, Filter(Not(probe), withMeta))

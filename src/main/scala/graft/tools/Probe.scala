@@ -711,6 +711,70 @@ object MetaScaleProbe {
     println(f"[metascale] incremental sidecar ($tailN%d-file tail over $numFiles%d): " +
       f"wrote in $incSec%.2f s (compare the full sidecar write above); " +
       f"chain-resolved rows=$resolved%d (expect ${numFiles + tailN}%d)")
+
+    // ---- deletion vectors at metadata scale (VERDICT r11 item 1c) ----
+    // a dv-heavy table: 1e5+ masked files. Measures (a) log replay with
+    // the dv actions in the tail, (b) the basename→vector mask-map
+    // build, (c) the broadcast the mask expression rides (the map no
+    // longer ships inside the serialized plan), and (d) the per-row
+    // probe cost through one real vector.
+    val dvN = math.min(numFiles, 200000)
+    val dvBatch = 50000
+    var dvWritten = 0
+    var dvVer = snapInc.version
+    // ONE real vector shared by every action: the probe loads vectors
+    // lazily per file, so metadata scale is what's under test here, not
+    // 1e5 sidecar files
+    val realDv = graft.write.DeletionVectors.write(dir, conf, Array(3L, 7L, 11L))
+    val tDv0 = System.nanoTime()
+    while (dvWritten < dvN) {
+      val n = math.min(dvBatch, dvN - dvWritten)
+      val acts = (0 until n).map { i =>
+        graft.log.DvFileAction(s"f${dvWritten + i}.parquet", realDv, 3L)
+      }
+      dvVer = graft.log.QbeastLog.commit(dir, conf, dvVer, acts)
+      dvWritten += n
+    }
+    println(f"[metascale] dv: committed $dvN%d DvFileActions in " +
+      f"${(System.nanoTime() - tDv0) / 1e9}%.1f s")
+    System.gc()
+    val memDv0 = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    val tDv1 = System.nanoTime()
+    val dvSnap = graft.log.QbeastLog.snapshot(dir, conf)
+    val dvReplay = (System.nanoTime() - tDv1) / 1e9
+    System.gc()
+    val memDv1 = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    val tDv2 = System.nanoTime()
+    val byName = dvSnap.dvs.map { case (p, i) =>
+      new org.apache.hadoop.fs.Path(p).getName -> i.dvPath
+    }
+    val mapBuild = (System.nanoTime() - tDv2) / 1e9
+    val tDv3 = System.nanoTime()
+    val bc = graft.write.DeletionVectors.broadcastFor(spark, dir, byName)
+    val bcSec = (System.nanoTime() - tDv3) / 1e9
+    val tDv3b = System.nanoTime()
+    graft.write.DeletionVectors.broadcastFor(spark, dir, byName) // cached hit
+    val bcHit = (System.nanoTime() - tDv3b) / 1e9
+    println(f"[metascale] dv: replay(${dvSnap.dvs.size}%d masks)=$dvReplay%.2f s " +
+      f"retainedMB=${(memDv1 - memDv0) / 1e6}%.0f maskMapBuild=$mapBuild%.3f s " +
+      f"broadcast=$bcSec%.3f s cachedHit=${bcHit * 1000}%.2f ms")
+    // per-row probe: 10M probes against one memoized file (the scan
+    // shape — file_path constant within a partition)
+    val probe = graft.expressions.DvRowDeleted(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      dir, bc, new org.apache.spark.util.SerializableConfiguration(conf))
+    val fname = org.apache.spark.unsafe.types.UTF8String.fromString(s"$dir/f17.parquet")
+    var hits = 0L
+    val tDv4 = System.nanoTime()
+    var r = 0L
+    while (r < 10000000L) {
+      if (probe.isDeleted(fname, r % 20)) hits += 1
+      r += 1
+    }
+    val probeSec = (System.nanoTime() - tDv4) / 1e9
+    println(f"[metascale] dv: 10M probes=$probeSec%.2f s " +
+      f"(${probeSec * 100}%.1f ns/row) hits=$hits%d (expect 1500000)")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }

@@ -133,18 +133,43 @@ object DeletionVectors {
   /** The raw is-this-row-masked probe as a Column (TRUE = covered by a
    * vector in `dvByName`). [[maskWith]] filters on its negation; the
    * change-feed replay combines new/old probes to isolate the rows one
-   * dv commit newly masked. */
+   * dv commit newly masked. Driver-only (builds a broadcast). */
   def probeCol(
       tablePath: String,
       dvByName: Map[String, String],
       conf: Configuration): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.col
     val shims = org.apache.spark.sql.GraftShims
+    val spark = org.apache.spark.sql.SparkSession.active
     shims.column(graft.expressions.DvRowDeleted(
       shims.expression(col("_metadata.file_path")),
       shims.expression(col("_metadata.row_index")),
-      tablePath, dvByName,
+      tablePath, broadcastFor(spark, tablePath, dvByName),
       new org.apache.spark.util.SerializableConfiguration(conf)))
+  }
+
+  // ---- driver-side broadcast cache -----------------------------------
+  // The mask map is O(#masked files); embedding it in the expression
+  // would ship it with every stage and deserialize it per task. One
+  // broadcast per (table, dv state) instead: fetched once per executor,
+  // reused across the queries that run against that state. Entries
+  // evicted here stay alive as long as some plan references the
+  // broadcast (ContextCleaner reclaims them once unreferenced).
+  private val bcCache =
+    new ConcurrentHashMap[String, (Map[String, String], org.apache.spark.broadcast.Broadcast[Map[String, String]])]()
+  private val MaxBcEntries = 64
+
+  def broadcastFor(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      dvByName: Map[String, String])
+      : org.apache.spark.broadcast.Broadcast[Map[String, String]] = {
+    val hit = bcCache.get(tablePath)
+    if (hit != null && hit._1 == dvByName) return hit._2
+    val bc = spark.sparkContext.broadcast(dvByName)
+    if (bcCache.size() > MaxBcEntries) bcCache.clear()
+    bcCache.put(tablePath, (dvByName, bc))
+    bc
   }
 
   // ---- executor-side vector cache ------------------------------------
