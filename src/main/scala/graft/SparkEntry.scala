@@ -1008,6 +1008,29 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q92_metadata_minmax_filtered" -> ((s, dir) => {
+      // FILTERED min/max answered from per-file stats (the q83
+      // tri-state proofs extended to extremes): every surviving file
+      // TRUE-proves the predicate, so its stats extreme is achieved by
+      // a qualifying row and the whole aggregate — count + min/max —
+      // folds to a LocalRelation (builder asserts no relation
+      // survives). A partial-overlap file or a masked candidate whose
+      // stats could beat the unmasked witness bails to the scan
+      // (spec-asserted in MetadataCountSpec).
+      val df = QTables.qbeastOrdersSplit(s, dir)
+        .filter(col("o_totalprice") >= 100000.0)
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      require(scans.isEmpty,
+        "boundary-aligned filtered min/max should fold to metadata")
+      df
+    }),
     "q87_optimize_where" -> ((s, dir) => {
       // predicate-scoped OPTIMIZE ... WHERE through SQL: only files
       // that may match the predicate are repacked (builder asserts the
@@ -2520,6 +2543,11 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_totalprice >= 100000.0 GROUP BY 1""".stripMargin,
+    "q92_metadata_minmax_filtered" ->
+      """SELECT count(*) AS cnt,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders WHERE o_totalprice >= 100000.0""".stripMargin,
     "q87_optimize_where" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

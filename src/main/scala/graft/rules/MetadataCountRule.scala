@@ -25,13 +25,15 @@ import org.apache.spark.sql.types._
  * Strictly scoped: the aggregate must be global (no grouping), every
  * output a plain non-distinct unfiltered `count(<non-null literal>)`,
  * `min`/`max` of a directly-scanned column, or a literal; the child a
- * Project-only chain over ONE qbeast relation. min/max additionally
- * require EVERY file to carry complete stats for the column with an
+ * Project/Filter-only chain over ONE qbeast relation (a Filter routes
+ * through the stats-proof path: every file must decide the predicate
+ * wholly true or wholly false). min/max additionally require EVERY
+ * candidate file to carry complete stats for the column with an
  * exactness-safe type (long/double families, boolean, date,
  * timestamp — strings are excluded: the collector invalidates
  * oversized values, which is indistinguishable from all-null in the
- * emitted JSON). A Filter, Sample, Limit, join, light (sidecar)
- * snapshot, or any stats gap leaves the plan untouched.
+ * emitted JSON). A Sample, Limit, join, light (sidecar) snapshot, any
+ * stats gap, or an undecidable file leaves the plan untouched.
  */
 class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -56,8 +58,9 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // the bulk lives in the parquet sidecar — don't guess.
         // Deletion vectors do NOT bail counts: every vector's
         // cardinality is exact log metadata, so live rows = block
-        // element counts minus masked rows (min/max still bail — the
-        // extreme row may be a masked one, see statsExtreme).
+        // element counts minus masked rows (min/max fold when the
+        // unmasked witness dominates every masked file's stats bound —
+        // see statsExtreme).
         if (snap.filesComplete) Some((snap, r.output, Nil))
         else None
       case p: Project => snapshotOf(p.child)
@@ -80,60 +83,78 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /**
-   * `count(*)` under a predicate, answered from per-file stats alone:
-   * every file must PROVE the conjunction true for all rows or true
-   * for none ([[FileStatsPruning.proveAll]] — exact value-space
-   * min/max/nullCount, so no transformation inverse or null-coordinate
-   * subtleties); one undecidable file bails the whole rewrite to the
-   * scan. On a qbeast table the write clusters files by cube, so
-   * indexed-column ranges are tight per file and range predicates
-   * decide most files — at 100 TB this turns the most common dashboard
-   * query (`count(*) WHERE day = X`) into a driver fold.
+   * `count(*)` / `min(col)` / `max(col)` under a predicate, answered
+   * from per-file stats alone: every file must PROVE the conjunction
+   * true for all rows or true for none ([[FileStatsPruning.proveAll]] —
+   * exact value-space min/max/nullCount, so no transformation inverse
+   * or null-coordinate subtleties); one undecidable file bails the
+   * whole rewrite to the scan. A TRUE-proved file's rows ALL satisfy
+   * the predicate, so its stats extreme is achieved by a qualifying
+   * row — min/max fold over exactly the surviving files (the same
+   * witness/bound mask discipline as the unfiltered path). On a qbeast
+   * table the write clusters files by cube, so indexed-column ranges
+   * are tight per file and range predicates decide most files — at
+   * 100 TB this turns the most common dashboard query
+   * (`count(*), min(ts), max(ts) WHERE day = X`) into a driver fold.
    */
   private def rewriteFiltered(
       agg: Aggregate,
       snap: QbeastSnapshot,
       output: Seq[Attribute],
       conds: Seq[Expression]): Option[LogicalPlan] = {
-    // only count(*)-shaped outputs (min/max of a filtered scan are not
-    // derivable from whole-file stats)
-    val countsOnly = agg.aggregateExpressions.forall {
+    val outIds = output.map(_.exprId).toSet
+    // only count(*)/min/max-shaped outputs the stats can answer
+    val answerable = agg.aggregateExpressions.forall {
       case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Count(children) =>
             children.nonEmpty && children.forall(c => c.foldable && c.eval() != null)
+          case Min(a: Attribute) =>
+            outIds.contains(a.exprId) && MetadataCountRule.exactStatsType(a.dataType)
+          case Max(a: Attribute) =>
+            outIds.contains(a.exprId) && MetadataCountRule.exactStatsType(a.dataType)
           case _ => false
         }
       case Alias(_: Literal, _) | _: Literal => true
       case _ => false
     }
-    if (!countsOnly) return None
+    if (!answerable) return None
     // every referenced attribute must be a RAW relation column (a
     // filter above a Project alias would resolve names to computed
     // values the stats know nothing about)
-    val outIds = output.map(_.exprId).toSet
     if (!conds.forall(_.references.forall(a => outIds.contains(a.exprId)))) return None
 
     var n = 0L
+    val surviving = scala.collection.mutable.HashSet.empty[String]
     snap.files.foreach { f =>
       if (f.elementCount > 0L) {
         val stats = f.stats.flatMap(FileStatsPruning.parse).getOrElse(return None)
         if (stats.numRecords != f.elementCount) return None // stale/odd stats
         val proofs = conds.map(c => FileStatsPruning.proveAll(stats, c))
         if (proofs.exists(_.contains(false))) () // no row matches: adds 0
-        else if (proofs.forall(_.contains(true)))
+        else if (proofs.forall(_.contains(true))) {
           // proofs hold for every PHYSICAL row, hence for every live
           // one: the file contributes its unmasked rows exactly
           n += f.elementCount - snap.dvs.get(f.path).map(_.cardinality).getOrElse(0L)
-        else return None // partial overlap: bail to the scan
+          surviving += f.path
+        } else return None // partial overlap: bail to the scan
       }
     }
     val values = agg.aggregateExpressions.map {
-      case Alias(ae: AggregateExpression, _) => n
-      case Alias(l: Literal, _) => l.value
-      case l: Literal => l.value
+      case Alias(ae: AggregateExpression, _) =>
+        ae.aggregateFunction match {
+          case _: Count => Some(n)
+          case Min(a: Attribute) =>
+            statsExtreme(snap, a.name, a.dataType, isMin = true, surviving.contains)
+          case Max(a: Attribute) =>
+            statsExtreme(snap, a.name, a.dataType, isMin = false, surviving.contains)
+        }
+      case Alias(l: Literal, _) => Some(l.value)
+      case l: Literal => Some(l.value)
     }
-    Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
+    if (values.forall(_.isDefined))
+      Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get)))))
+    else None
   }
 
   /** Fold the aggregate into a one-row LocalRelation iff every output
@@ -169,74 +190,130 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else None
   }
 
-  /** Global min/max of `column` folded over per-file stats. Returns
-   * None ("can't answer") on any file with missing/incomplete stats;
-   * Some(null) is the legal answer for an empty or all-null column.
-   * Float/double fold in Spark's total order (-Inf < finite < +Inf <
-   * NaN): the collector records NaN/±Inf as sentinel strings, so a
-   * table containing NaN answers max() = NaN exactly like the scan
-   * would — folding only the numeric stats would silently return the
-   * largest non-NaN instead. */
-  private def statsExtreme(
-      snap: QbeastSnapshot,
-      column: String,
-      dt: DataType,
-      isMin: Boolean): Option[Any] = {
-    if (!MetadataCountRule.exactStatsType(dt)) return None
-    // a masked table's extreme might BE a masked row — stats can't tell
-    if (snap.dvs.nonEmpty) return None
-    val floating = dt == FloatType || dt == DoubleType
-    var acc: Option[BigDecimal] = None
-    var accBool: Option[Boolean] = None
-    var accD: Option[Double] = None
-    def foldD(d: Double): Unit = {
+  /** One side of the min/max fold. Float/double fold in Spark's total
+   * order (-Inf < finite < +Inf < NaN): the collector records NaN/±Inf
+   * as sentinel strings, so a table containing NaN answers max() = NaN
+   * exactly like the scan would — folding only the numeric stats would
+   * silently return the largest non-NaN instead. */
+  private final class ExtremeAcc(isMin: Boolean, floating: Boolean) {
+    private var acc: Option[BigDecimal] = None
+    private var accBool: Option[Boolean] = None
+    private var accD: Option[Double] = None
+
+    def isEmpty: Boolean = acc.isEmpty && accBool.isEmpty && accD.isEmpty
+
+    private def foldD(d: Double): Unit = {
       val keep = accD.forall { p =>
         val c = FileStatsPruning.nanCmp(d, p)
         if (isMin) c < 0 else c > 0
       }
       if (keep) accD = Some(d)
     }
-    snap.files.foreach { f =>
-      if (f.elementCount > 0L) {
-        val stats = f.stats.flatMap(FileStatsPruning.parse).getOrElse(return None)
-        val nulls = stats.nulls.getOrElse(column, return None)
-        if (nulls < stats.numRecords) {
-          val side = if (isMin) stats.mins else stats.maxs
-          side.getOrElse(column, return None) match {
-            case b: Boolean =>
-              accBool = Some(accBool.fold(b)(p => if (isMin) p && b else p || b))
-            case bd: BigDecimal =>
-              if (floating) foldD(bd.toDouble)
-              else acc = Some(acc.fold(bd)(p => if (isMin) p.min(bd) else p.max(bd)))
-            case s: String if floating =>
-              // collector's non-finite sentinels, decoded by the single
-              // shared definition
-              FileStatsPruning.nonFinite(s) match {
-                case Some(d) => foldD(d)
-                case None => return None
-              }
-            case _ => return None // string or unexpected shape
-          }
+
+    /** Fold one file's stats value; FALSE = unfoldable shape (caller
+     * bails the whole rewrite). */
+    def fold(value: Any): Boolean = value match {
+      case b: Boolean =>
+        accBool = Some(accBool.fold(b)(p => if (isMin) p && b else p || b))
+        true
+      case bd: BigDecimal =>
+        if (floating) foldD(bd.toDouble)
+        else acc = Some(acc.fold(bd)(p => if (isMin) p.min(bd) else p.max(bd)))
+        true
+      case s: String if floating =>
+        // collector's non-finite sentinels, decoded by the single
+        // shared definition
+        FileStatsPruning.nonFinite(s) match {
+          case Some(d) => foldD(d); true
+          case None => false
         }
+      case _ => false // string or unexpected shape
+    }
+
+    /** TRUE iff this (witness) extreme is at least as extreme as
+     * `bound` — i.e. no row hidden behind `bound`'s stats can beat it.
+     * Both sides are the same column, so exactly one accumulator kind
+     * is populated on each. */
+    def dominates(bound: ExtremeAcc): Boolean = {
+      def cmpOk(c: Int): Boolean = if (isMin) c <= 0 else c >= 0
+      (accBool, bound.accBool) match {
+        case (Some(w), Some(b)) =>
+          return cmpOk(java.lang.Boolean.compare(w, b))
+        case _ =>
+      }
+      (accD, bound.accD) match {
+        case (Some(w), Some(b)) => return cmpOk(FileStatsPruning.nanCmp(w, b))
+        case _ =>
+      }
+      (acc, bound.acc) match {
+        case (Some(w), Some(b)) => cmpOk(w.compare(b))
+        case _ => false // mixed shapes between files: don't guess
       }
     }
-    dt match {
-      case BooleanType => Some(accBool.orNull)
-      case FloatType => Some(accD.map[Any](_.toFloat).orNull)
-      case DoubleType => Some(accD.map[Any](d => d).orNull)
+
+    def result(dt: DataType): Any = dt match {
+      case BooleanType => accBool.orNull
+      case FloatType => accD.map[Any](_.toFloat).orNull
+      case DoubleType => accD.map[Any](d => d).orNull
       case _ =>
         // map[Any]: without the ascription Scala unifies the numeric
         // arms by WEAK CONFORMANCE — every branch silently widens to
         // Double, putting a boxed Double in a Long column's row slot
-        Some(acc.map[Any] { bd =>
+        acc.map[Any] { bd =>
           dt match {
             case ByteType => bd.toByteExact
             case ShortType => bd.toShortExact
             case IntegerType | DateType => bd.toIntExact
             case LongType | TimestampType | TimestampNTZType => bd.toLongExact
           }
-        }.orNull)
+        }.orNull
     }
+  }
+
+  /** Global min/max of `column` folded over per-file stats, restricted
+   * to files `surviving` admits (the filtered path passes its
+   * TRUE-proved set; the unfiltered path admits everything). Returns
+   * None ("can't answer") on any admitted file with missing/incomplete
+   * stats; Some(null) is the legal answer for an empty or all-null
+   * column.
+   *
+   * Deletion vectors don't automatically bail: an UNMASKED file's
+   * stats extreme is achieved by a live row (the witness), while a
+   * masked file's live extreme can only be ≤ its stats extreme (the
+   * bound). When the witness dominates every masked file's bound, the
+   * witness IS the live extreme; a fully-masked file (cardinality ==
+   * elementCount) has no live rows and is skipped outright. Only a
+   * masked file whose stats range could beat every witness forces the
+   * scan — the extreme row there might be a deleted one. */
+  private def statsExtreme(
+      snap: QbeastSnapshot,
+      column: String,
+      dt: DataType,
+      isMin: Boolean,
+      surviving: String => Boolean = _ => true): Option[Any] = {
+    if (!MetadataCountRule.exactStatsType(dt)) return None
+    val floating = dt == FloatType || dt == DoubleType
+    val witness = new ExtremeAcc(isMin, floating)
+    val bound = new ExtremeAcc(isMin, floating)
+    snap.files.foreach { f =>
+      if (f.elementCount > 0L && surviving(f.path)) {
+        val dvCard = snap.dvs.get(f.path).map(_.cardinality).getOrElse(0L)
+        if (dvCard < f.elementCount) { // fully-masked: no live rows
+          val stats = f.stats.flatMap(FileStatsPruning.parse).getOrElse(return None)
+          val nulls = stats.nulls.getOrElse(column, return None)
+          if (nulls < stats.numRecords) {
+            val side = if (isMin) stats.mins else stats.maxs
+            val v = side.getOrElse(column, return None)
+            val target = if (dvCard == 0L) witness else bound
+            if (!target.fold(v)) return None
+          }
+        }
+      }
+    }
+    if (bound.isEmpty) Some(witness.result(dt))
+    else if (witness.isEmpty) None // every candidate is masked: can't prove
+    else if (witness.dominates(bound)) Some(witness.result(dt))
+    else None // a masked file's range could beat the witness: scan
   }
 }
 

@@ -226,6 +226,122 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(isMetadataOnly(batch2), batch2.queryExecution.executedPlan.toString)
   }
 
+  test("filtered min/max fold over TRUE-proved files; partial overlap bails") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("qbeast-metacount-filtmm")
+    (1 to 5000).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+      .write.format("qbeast").option("columnsToIndex", "id")
+      .option("cubeSize", "1000").save(dir)
+    (5001 to 8000).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+      .write.format("qbeast").option("cubeSize", "1000").mode("append").save(dir)
+    val base = spark.read.format("qbeast").load(dir)
+
+    // batch-2 slice: every file decides, min/max fold from the
+    // surviving files' stats alongside the count
+    val df = base.filter(col("id") > 5000)
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"),
+        min(col("v")).as("mnv"), max(col("v")).as("mxv"), count(lit(1)).as("cnt"))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getLong(4))).toSeq ==
+      Seq((5001L, 8000L, 5001 * 1.5, 8000 * 1.5, 3000L)))
+    assert(isMetadataOnly(df), df.queryExecution.executedPlan.toString)
+
+    // zero surviving files: min/max of nothing is null, still folded
+    val none = base.filter(col("id") < 0)
+      .agg(min(col("id")).as("mn"), count(lit(1)).as("cnt"))
+    val r0 = none.collect().head
+    assert(r0.isNullAt(0) && r0.getLong(1) == 0L)
+    assert(isMetadataOnly(none))
+
+    // a file straddling the cut is undecidable: bail to the scan
+    val partial = base.filter(col("id") > 4500)
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assert(partial.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((4501L, 8000L)))
+    assert(!isMetadataOnly(partial))
+
+    // string min/max under a decidable filter still must not fold
+    val dirS = TestSpark.tmpDir("qbeast-metacount-filtstr")
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .write.format("qbeast").option("columnsToIndex", "id")
+      .option("cubeSize", "5000").save(dirS)
+    val dfs = spark.read.format("qbeast").load(dirS)
+      .filter(col("id") >= 1).agg(min(col("s")).as("mn"))
+    assert(dfs.collect().head.getString(0) == "v1")
+    assert(!isMetadataOnly(dfs))
+  }
+
+  test("min/max over masked tables: unmasked witness must dominate the masked bound") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("qbeast-metacount-dvmm")
+    (1 to 5000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .write.format("qbeast").option("columnsToIndex", "id")
+      .option("cubeSize", "1000").option("deletionVectors", "true").save(dir)
+    (5001 to 8000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .write.format("qbeast").option("cubeSize", "1000").mode("append").save(dir)
+    val t = table.QbeastTable.forPath(spark, dir)
+    // sparse masks inside batch 1 only (id % 100 is opaque to stats, so
+    // these rows mask instead of dropping whole files)
+    assert(t.delete("id % 100 = 7 AND id <= 5000") == 50L)
+    assert(t.snapshot.dvs.nonEmpty, "fixture: the sparse delete must mask")
+    val base = spark.read.format("qbeast").load(dir)
+
+    // max(id): the witness (unmasked batch 2, max 8000) dominates every
+    // masked file's stats bound (≤5000) → folds without a scan
+    val mx = base.agg(max(col("id")).as("mx"))
+    assert(mx.collect().head.getLong(0) == 8000L)
+    assert(isMetadataOnly(mx), mx.queryExecution.executedPlan.toString)
+
+    // min(id): the global minimum lives in a MASKED file (bound 1 beats
+    // the unmasked witness 5001) — the extreme row might be deleted, so
+    // the rule must leave the scan alone; id=1 survives (1 % 100 != 7)
+    val mn = base.agg(min(col("id")).as("mn"))
+    assert(mn.collect().head.getLong(0) == 1L)
+    assert(!isMetadataOnly(mn))
+
+    // filtered variant: surviving set is batch 2 only → no masked file
+    // among the candidates, folds as usual
+    val fmx = base.filter(col("id") > 5000)
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"), count(lit(1)).as("cnt"))
+    assert(fmx.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((5001L, 8000L, 3000L)))
+    assert(isMetadataOnly(fmx))
+
+    // filtered slice whose candidates include the masked files, probing
+    // the masked side's own extreme: must scan
+    val fmn = base.filter(col("id") <= 5000).agg(min(col("id")).as("mn"))
+    assert(fmn.collect().head.getLong(0) == 1L)
+    assert(!isMetadataOnly(fmn))
+  }
+
+  test("a fully-masked file is skipped: its stats no longer gate min/max") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("qbeast-metacount-dvfull")
+    (1 to 1000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .write.format("qbeast").option("columnsToIndex", "id")
+      .option("cubeSize", "5000").option("deletionVectors", "true").save(dir)
+    (1001 to 3000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .write.format("qbeast").option("cubeSize", "5000").mode("append").save(dir)
+    spark.conf.set("spark.qbeast.dv.maxDeletedFraction", "1.0")
+    try {
+      val t = table.QbeastTable.forPath(spark, dir)
+      // id % 2 IN (0, 1) is opaque to stats (never file-proved), so the
+      // whole first batch masks rather than dropping as a remove
+      assert(t.delete("(id % 2 = 0 OR id % 2 = 1) AND id <= 1000") == 1000L)
+      val s = t.snapshot
+      assert(s.dvs.exists { case (p, i) =>
+        s.files.find(_.path == p).exists(_.elementCount == i.cardinality)
+      }, "fixture: some file must be fully masked")
+      val base = spark.read.format("qbeast").load(dir)
+      // the fully-masked file has NO live rows: it neither witnesses nor
+      // bounds, so min folds to the unmasked batch's 1001
+      val mn = base.agg(min(col("id")).as("mn"), count(lit(1)).as("cnt"))
+      assert(mn.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((1001L, 2000L)))
+      assert(isMetadataOnly(mn), mn.queryExecution.executedPlan.toString)
+    } finally spark.conf.unset("spark.qbeast.dv.maxDeletedFraction")
+  }
+
   test("empty table counts zero without a scan") {
     val dir = freshTable(1)
     val t = table.QbeastTable.forPath(spark, dir)
