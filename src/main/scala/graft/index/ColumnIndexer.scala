@@ -8,9 +8,11 @@ import org.apache.spark.sql.types.DoubleType
 
 /**
  * Write-side [0,1] coordinate expressions, one per indexed column —
- * plain `functions._` so they run inside whole-stage codegen (UDFs only
- * for the rare quantile transformer). Each must agree numerically with
- * the read-side [[Transformation.transform]] on non-null values.
+ * plain `functions._` (and the codegen [[graft.expressions.CdfRank]]
+ * binary search for quantile/histogram transformers) so the whole
+ * ingest projection runs inside whole-stage codegen, UDF-free. Each
+ * must agree numerically with the read-side
+ * [[Transformation.transform]] on non-null values.
  */
 object ColumnIndexer {
 
@@ -33,20 +35,33 @@ object ColumnIndexer {
               lit(Int.MaxValue.toDouble))
 
       case tr: CDFNumericQuantilesTransformation =>
-        val f = udf((v: java.lang.Double) =>
-          if (v == null) 0.0 else tr.transform(v.doubleValue()))
-        f(Transformer.canonicalColumn(t.columnName, dataTypeName(t)))
+        cdfRank(graft.expressions.CdfRank.NumericQuantiles,
+          Transformer.canonicalColumn(t.columnName, dataTypeName(t)),
+          numBounds = tr.quantiles)
 
       case tr: CDFStringQuantilesTransformation =>
-        val f = udf((v: String) => if (v == null) 0.0 else tr.transform(v))
-        f(col(t.columnName).cast("string"))
+        cdfRank(graft.expressions.CdfRank.StringQuantiles,
+          col(t.columnName).cast("string"), strBounds = tr.quantiles)
 
       case tr: StringHistogramTransformation =>
-        // tr.transform handles null itself (ranks as "null", reference
+        // CdfRank.rankH handles null itself (ranks as "null", reference
         // behavior), so no null guard here
-        val f = udf((v: String) => tr.transform(v))
-        f(col(t.columnName).cast("string"))
+        cdfRank(graft.expressions.CdfRank.StringHistogram,
+          col(t.columnName).cast("string"), strBounds = tr.histogram)
     }
+
+  /** The quantile/histogram [0,1] projection as a codegen binary-search
+   * expression ([[graft.expressions.CdfRank]]) — the former boxed UDFs
+   * here were the last non-codegen step in the ingest projection. */
+  private def cdfRank(
+      mode: Int,
+      input: Column,
+      numBounds: IndexedSeq[Double] = Vector.empty,
+      strBounds: IndexedSeq[String] = Vector.empty): Column = {
+    val shims = org.apache.spark.sql.GraftShims
+    shims.column(graft.expressions.CdfRank(
+      shims.expression(input), mode, numBounds, strBounds))
+  }
 
   private def dataTypeName(t: Transformer): String = t match {
     case LinearTransformer(_, dt) => dt

@@ -98,6 +98,85 @@ class TransformParitySpec extends AnyFunSuite {
     assert(got == vals.map(tr.transform))
   }
 
+  test("CdfRank expression: parity with literal transforms, UDF-free plan") {
+    import spark.implicits._
+    // numeric quantiles: hits, misses, clamps, nulls, NaN ordering
+    val nq = CDFNumericQuantilesTransformation(Vector(0.0, 10.0, 20.0, 40.0, 100.0))
+    val nVals: Seq[java.lang.Double] = Seq[java.lang.Double](
+      0.0, 10.0, 20.0, 40.0, 100.0, -5.0, 500.0, 5.0, 15.0, 39.999, 40.001,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, null)
+    val nDf = nVals.toDF("v")
+    val nCol = ColumnIndexer.coordinateColumn(
+      QuantilesTransformer("v", "double"), nq).as("c")
+    val nGot = nDf.select(nCol).collect().map(_.getDouble(0)).toSeq
+    val nExp = nVals.map(v => if (v == null) 0.0 else nq.transform(v.doubleValue()))
+    nGot.zip(nExp).zip(nVals).foreach { case ((g, e), v) =>
+      assert(g == e, s"numeric $v: $g != $e")
+    }
+
+    // string quantiles: hits, misses, clamps, nulls, non-ascii
+    val sq = CDFStringQuantilesTransformation(Vector("a", "g", "p", "z"))
+    val sVals = Seq("a", "g", "p", "z", "", "b", "h", "zz", "ünïcødé", null)
+    val sDf = sVals.toDF("s")
+    val sCol = ColumnIndexer.coordinateColumn(
+      QuantilesTransformer("s", "string"), sq).as("c")
+    val sGot = sDf.select(sCol).collect().map(_.getDouble(0)).toSeq
+    val sExp = sVals.map(v => if (v == null) 0.0 else sq.transform(v))
+    sGot.zip(sExp).zip(sVals).foreach { case ((g, e), v) =>
+      assert(g == e, s"string $v: $g != $e")
+    }
+
+    // histogram: bin-left semantics incl. the null->"null" rank
+    val h = StringHistogramTransformation(Vector("b", "g", "p", "x"))
+    val hVals = Seq("b", "g", "x", "a", "z", "h", "c", "null", null)
+    val hDf = hVals.toDF("s")
+    val hCol = ColumnIndexer.coordinateColumn(
+      StringHistogramTransformer("s", "string"), h).as("c")
+    val hGot = hDf.select(hCol).collect().map(_.getDouble(0)).toSeq
+    hGot.zip(hVals.map(h.transform)).zip(hVals).foreach { case ((g, e), v) =>
+      assert(g == e, s"histogram $v: $g != $e")
+    }
+
+    // the ingest projection must be UDF-free: no ScalaUDF anywhere in
+    // the analyzed expression tree (the whole point of CdfRank)
+    Seq(nDf.select(nCol), sDf.select(sCol), hDf.select(hCol)).foreach { df =>
+      val udfs = df.queryExecution.analyzed.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+      assert(udfs.isEmpty, s"quantile projection must not box through a UDF: $udfs")
+    }
+    // and it runs inside whole-stage codegen (no interpreted fallback;
+    // a range source, because a local Seq folds to LocalTableScan
+    // before codegen is even considered)
+    val ranged = spark.range(100)
+      .select(org.apache.spark.sql.functions.col("id").cast("double").as("v"))
+      .select(nCol)
+    val planStr = ranged.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a WholeStageCodegen span in simpleString;
+    // the Project carrying cdf_rank must sit inside one
+    assert(planStr.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("cdf_rank")), planStr)
+    assert(ranged.collect().map(_.getDouble(0)).forall(d => d >= 0.0 && d <= 1.0))
+  }
+
+  test("a quantile-indexed write round-trips and samples correctly (CdfRank ingest)") {
+    import spark.implicits._
+    val dir = graft.TestSpark.tmpDir("qbeast-cdfrank-write")
+    val df = (1 to 4000).map(i => (math.pow(i.toDouble, 2), s"k${i % 97}")).toDF("v", "s")
+    val q = graft.utils.QbeastUtils.computeQuantilesForColumn(df, "v", 20)
+    df.write.format("qbeast")
+      .option("columnsToIndex", s"v:quantiles,s")
+      .option("columnStats", s"""{"v_quantiles":$q}""")
+      .option("cubeSize", "500").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() == 4000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head.getDouble(0) ==
+      df.agg(org.apache.spark.sql.functions.sum("v")).head.getDouble(0))
+    // sampling still honors the pushed weight filter on the CDF index
+    val frac = back.sample(0.3).count().toDouble / 4000
+    assert(math.abs(frac - 0.3) < 0.1, s"sample fraction drifted: $frac")
+  }
+
   test("supersede/merge semantics drive revision changes") {
     val lin = LinearTransformation(0, 100, 0.5)
     assert(!lin.isSupersededBy(LinearTransformation(10, 90, 0.5)))
