@@ -636,6 +636,49 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** [[qbeastLshEmbeddings]] with merge-on-read DELETE masks on top:
+   * `DELETE WHERE vec_id % 17 = 3` is opaque to per-file stats on a
+   * bucket-indexed table, so every affected file keeps its bytes and
+   * gains a deletion vector — the e15 shape proving the rule-planted
+   * dv mask COMPOSES with the multi-probe pruned scan (the builder
+   * asserts masks exist AND the probe scan still skips files). */
+  def qbeastLshEmbeddingsMasked(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "embeddings_lsh_masked")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val emb = raw(spark, sfDir, "embeddings")
+        val dim = emb.select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+        emb.withColumn("bucket",
+            ops.Similarity.lshBucket(col("embedding"), bits = 6, dim = dim))
+          .repartition(col("bucket"))
+          .write.format("qbeast")
+          .option("columnsToIndex", "bucket")
+          .option("columnStats", """{"bucket_min": 0, "bucket_max": 64}""")
+          .option("cubeSize", "250")
+          .option("deletionVectors", "true")
+          .save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        val deleted = t.delete("vec_id % 17 = 3")
+        require(deleted > 0, "masked LSH fixture: the delete matched nothing")
+        val snap = t.snapshot
+        require(snap.dvs.nonEmpty,
+          "masked LSH fixture: the delete must mask, not rewrite")
+        // the pruning invariant the fixture exists for: a single-bucket
+        // probe over the MASKED table must still skip files
+        val one = spark.read.format("qbeast").load(path).filter(col("bucket") === 0)
+        val read = one.select(org.apache.spark.sql.functions
+          .input_file_name()).distinct().count()
+        val total = snap.files.size
+        require(read < total,
+          s"masked LSH fixture: bucket probe read $read of $total files — mask broke pruning")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** orders ingested as FIVE autoCompact appends (minNumFiles forced
    * low so the folding actually fires at fixture scale): the table the
    * q85 oracle reads must be byte-identical in CONTENT to raw orders

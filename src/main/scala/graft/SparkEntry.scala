@@ -1283,6 +1283,24 @@ object SparkEntry {
         .select(col("vec_id"), round(col("sim"), 4).as("sim_r"),
           col("vec_id").isin(exact10: _*).as("in_exact10"))
     }),
+    "e15_ann_lsh_masked" -> ((s, dir) => {
+      // e11 over a MASKED embeddings table: a merge-on-read DELETE
+      // (vec_id % 17 = 3, opaque to stats on the bucket index) left
+      // deletion vectors on the probe files. The rule-planted
+      // NOT dv_row_deleted filter must compose with the multi-probe
+      // pruned scan — deleted vectors never rank, surviving ranks match
+      // the oracle, and the scan still skips files (builder-asserted in
+      // QTables.qbeastLshEmbeddingsMasked; DML interplay spec-asserted
+      // in AnnIndexedSpec).
+      val emb = QTables.raw(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val lsh = QTables.qbeastLshEmbeddingsMasked(s, dir)
+        .filter(col("vec_id") =!= 0)
+      ops.Similarity
+        .knnLshIndexed(lsh, "vec_id", "embedding", "bucket", qv, 10)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim_r"))
+    }),
     "e12_pq_adc" -> ((s, dir) => {
       // product quantization on top of e10's integer k-means: train 4
       // per-subspace codebooks, encode the corpus as 4 codes/vector,
@@ -2828,6 +2846,20 @@ object SparkEntry {
          |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
          |  FROM be, qv WHERE vec_id != 0 AND bit_count(xor(bucket, qbkt)) <= 2)
          |SELECT vec_id, round(sim, 4) AS sim_r, vec_id IN (SELECT vec_id FROM ex) AS in_exact10
+         |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "e15_ann_lsh_masked" ->
+      s"""WITH pl AS (SELECT b.b AS pb, list_transform(range(0,64),
+         |    i -> ('0x' || substr(md5('p_' || b.b || '_' || i), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS p
+         |  FROM range(0,6) b(b)),
+         |be AS (SELECT vec_id, emb, sum(CASE WHEN
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), i -> p[i] * emb[i])), (acc,x) -> acc+x) >= 0
+         |    THEN (1::BIGINT << pb) ELSE 0 END)::BIGINT AS bucket
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), pl GROUP BY 1,2),
+         |qv AS (SELECT bucket AS qbkt, emb AS qe FROM be WHERE vec_id = 0),
+         |s AS (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
+         |  FROM be, qv WHERE vec_id != 0 AND vec_id % 17 != 3
+         |    AND bit_count(xor(bucket, qbkt)) <= 2)
+         |SELECT vec_id, round(sim, 4) AS sim_r
          |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "e03_embedding_near_dup" ->
       s"""WITH $embBaseSql,

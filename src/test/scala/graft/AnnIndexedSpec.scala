@@ -135,6 +135,89 @@ class AnnIndexedSpec extends AnyFunSuite {
     assert(e13.count() == 10)
   }
 
+  test("indexed ANN stays correct AND pruned across dv DELETE, dv UPDATE and REORG PURGE") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(131)
+    val emb = (0 until 20000)
+      .map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val dir = TestSpark.tmpDir("ann-lsh-dml")
+    emb.withColumn("bucket", ops.Similarity.lshBucket(col("embedding"), 6, dim))
+      .repartition(col("bucket"))
+      .write.format("qbeast")
+      .option("columnsToIndex", "bucket")
+      .option("columnStats", """{"bucket_min": 0, "bucket_max": 64}""")
+      .option("cubeSize", "500")
+      .option("deletionVectors", "true")
+      .save(dir)
+    val t = table.QbeastTable.forPath(spark, dir)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+
+    def tbl = spark.read.format("qbeast").load(dir).filter(col("vec_id") =!= 0)
+    def ann() = ops.Similarity.knnLshIndexed(
+      tbl, "vec_id", "embedding", "bucket", qv, k = 10)
+    // direct ground truth over `expected` content (bucket recomputed,
+    // filter-only — independent of the qbeast read path)
+    val qb = ops.Similarity.bucketOfVec(qv, bits = 6)
+    val probes = ops.Similarity.probeBuckets(qb, bits = 6, radius = 2)
+    def direct(expected: DataFrame) = expected.filter(col("vec_id") =!= 0)
+      .withColumn("bucket", ops.Similarity.lshBucket(col("embedding"), 6, dim))
+      .filter(col("bucket").isin(probes.toSeq: _*))
+      .select(col("vec_id"), ops.Dedup.cosine(col("embedding"),
+        lit(qv.toArray)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    def got() = ann().collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    def assertPruned(tag: String): Unit = {
+      val total = t.snapshot.files.size
+      val read = filesRead(ann())
+      assert(read < total, s"$tag: indexed scan must still prune ($read of $total)")
+    }
+
+    val base = got()
+    assert(base == direct(emb), "baseline parity")
+    assertPruned("baseline")
+
+    // dv DELETE of the current top-3: rows must vanish from the ranking
+    // while their files keep their bytes (mask, not rewrite)
+    val victims = base.take(3).map(_._1)
+    assert(t.delete(s"vec_id IN (${victims.mkString(",")})") == 3L)
+    assert(t.snapshot.dvs.nonEmpty, "IN-delete on a bucket index must mask")
+    val afterDel = got()
+    assert(victims.forall(v => !afterDel.exists(_._1 == v)),
+      s"masked rows resurfaced in ANN: $afterDel")
+    val expDel = emb.filter(!col("vec_id").isin(victims: _*))
+    assert(afterDel == direct(expDel), "post-delete parity")
+    assertPruned("post-delete")
+
+    // dv UPDATE (merge-on-read): re-key two of the new top-10; the
+    // rewritten images land in fresh files, masks cover the originals
+    val moved = afterDel.take(2).map(_._1)
+    t.update(s"vec_id IN (${moved.mkString(",")})",
+      Map("vec_id" -> "vec_id + 1000000"))
+    val expUpd = expDel.withColumn("vec_id",
+      when(col("vec_id").isin(moved: _*), col("vec_id") + 1000000L)
+        .otherwise(col("vec_id")))
+    val afterUpd = got()
+    assert(afterUpd == direct(expUpd), "post-update parity")
+    assert(moved.forall(m => afterUpd.exists(_._1 == m + 1000000L)),
+      s"updated images missing from ANN: $afterUpd")
+    assertPruned("post-update")
+
+    // REORG APPLY (PURGE): masks materialize into rewritten files;
+    // content and ranking must not move, vectors must clear
+    val masked = t.snapshot.dvs.size
+    assert(masked > 0)
+    val purged = t.purgeDeletionVectors()
+    assert(purged == masked, s"purged $purged of $masked masked files")
+    assert(t.snapshot.dvs.isEmpty, "purge must clear every vector")
+    assert(got() == afterUpd, "purge changed ANN content")
+    assertPruned("post-purge")
+  }
+
   test("probe radius bounds the bucket set correctly") {
     val qb = 0b101010L
     assert(ops.Similarity.probeBuckets(qb, 6, 0).toSeq == Seq(qb))
