@@ -405,6 +405,19 @@ object SparkEntry {
         .groupBy("_commit_version", "_change_type")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "s20_stream_dv_change_feed" -> ((s, dir) => {
+      // the change feed as a stream over a MERGE-ON-READ table: the
+      // DELETE and UPDATE commits persist no change files, only
+      // deletion vectors (builder-asserted), so the source replays each
+      // commit's vector delta as delete rows ('v' units) — same change
+      // multiset as s19's copy-on-write feed, hence the same oracle
+      QTables.ensureExtensions(s)
+      ops.Streaming.streamDvChangeFeed(s, s"$dir/orders.parquet",
+          QTables.cachePathFor(dir, "orders_dvcdf_stream"),
+          QTables.cachePathFor(dir, "orders_dvcdf_stream_sink"))
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "s16_stream_kmv" -> ((s, dir) =>
       // sketch state in a stream: distinct-user estimate per event type,
       // ≤ k longs of state per group; batching-independent, so the
@@ -1967,6 +1980,28 @@ object SparkEntry {
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1""".stripMargin,
     "s19_stream_change_feed" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
+        |  app AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (5, 6)),
+        |  v1_state AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |  v2_del AS (SELECT * FROM v1_state
+        |             WHERE o_orderstatus = 'F' AND o_orderkey % 100 < 50),
+        |  v2_state AS (SELECT * FROM v1_state
+        |               WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 100 < 50)),
+        |  v3_match AS (SELECT * FROM v2_state WHERE o_orderkey % 7 = 0),
+        |  changes AS (
+        |    SELECT CAST(0 AS BIGINT) AS _commit_version,
+        |           'insert' AS _change_type, o_totalprice FROM base
+        |    UNION ALL SELECT CAST(1 AS BIGINT), 'insert', o_totalprice FROM app
+        |    UNION ALL SELECT CAST(2 AS BIGINT), 'delete', o_totalprice FROM v2_del
+        |    UNION ALL SELECT CAST(3 AS BIGINT), 'delete', o_totalprice FROM v3_match
+        |    UNION ALL SELECT CAST(3 AS BIGINT), 'insert', o_totalprice + 1
+        |              FROM v3_match)
+        |SELECT _commit_version, _change_type, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM changes GROUP BY 1, 2""".stripMargin,
+    "s20_stream_dv_change_feed" ->
+      // identical change multiset to s19: merge-on-read DML changes the
+      // MECHANISM (vector deltas instead of change files), not the feed
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
         |  app AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (5, 6)),
         |  v1_state AS (SELECT * FROM base UNION ALL SELECT * FROM app),

@@ -678,4 +678,71 @@ object Streaming {
     spark.read.parquet(sinkDir)
   }
 
+  /**
+   * [[streamChangeFeed]]'s merge-on-read twin: the SAME version history
+   * (overwrite, append, DELETE, UPDATE) on a table with deletion
+   * vectors enabled and NO persisted change files — the DML commits
+   * land as dv actions (plus the update's new images), and the stream
+   * source must replay each commit's vector DELTA as delete rows (the
+   * 'v' unit kind) instead of demanding `enableChangeDataFeed`. The
+   * builder asserts the DML commits really persisted no change file
+   * and really masked (dv actions present), so the oracle-matched
+   * result proves the delta replay, not the 'c' path. Same change-type
+   * multiset as the copy-on-write feed, so the s19 oracle applies
+   * verbatim.
+   */
+  def streamDvChangeFeed(
+      spark: SparkSession,
+      ordersPath: String,
+      tableDir: String,
+      sinkDir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(sinkDir, "_graft_complete")
+    if (!fs.exists(marker)) {
+      fs.delete(sinkPath, true)
+      fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+      val o = spark.read.parquet(ordersPath)
+      val ckpt = fastCheckpointDir()
+      def drain(): Unit = {
+        val q = spark.readStream.format("qbeast")
+          .option("readChangeFeed", "true").option("startingVersion", "0")
+          .load(tableDir)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", sinkDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+      def write(slice: DataFrame, mode: String): Unit = slice.write.format("qbeast")
+        .option("columnsToIndex", "o_orderkey,o_totalprice")
+        .option("cubeSize", "5000")
+        .option("deletionVectors", "true") // merge-on-read, NO change feed
+        .mode(mode).save(tableDir)
+      write(o.filter("o_orderkey % 10 < 5"), "overwrite") // v0
+      drain() // v0 inserts
+      write(o.filter("o_orderkey % 10 IN (5, 6)"), "append") // v1
+      val t = graft.table.QbeastTable.forPath(spark, tableDir)
+      t.delete("o_orderstatus = 'F' AND o_orderkey % 100 < 50") // v2: dv masks
+      t.update("o_orderkey % 7 = 0", Map("o_totalprice" -> "o_totalprice + 1")) // v3
+      // the fixture must exercise the vector-delta replay: DML commits
+      // carry dv actions and NO change files
+      val snap = t.snapshot
+      require(snap.dvs.nonEmpty, "dv CDF fixture: the DML must mask")
+      (2L to snap.version).foreach { v =>
+        val acts = graft.log.QbeastLog.commitActions(
+          tableDir, conf, v, snap.revisions)
+        require(!acts.exists(_.isInstanceOf[graft.log.CdcFileAction]),
+          s"dv CDF fixture: commit $v persisted a change file — " +
+            "the 'v' replay path would go untested")
+        require(acts.exists(_.isInstanceOf[graft.log.DvFileAction]),
+          s"dv CDF fixture: commit $v carries no dv action")
+      }
+      drain() // restart: v1..v3 exactly once via 'a' + 'v' units
+      fs.create(marker, true).close() // publish: build is complete
+    }
+    spark.read.parquet(sinkDir)
+  }
+
 }

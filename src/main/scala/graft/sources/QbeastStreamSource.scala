@@ -130,7 +130,10 @@ class QbeastStreamSource(
    * a micro-batch cannot re-diff rewritten files, that needs the
    * stateful EXCEPT ALL only batch [[graft.table.QbeastTable.changes]]
    * can run). Delete-only commits without a change file stream the
-   * removed files as deletes. */
+   * removed files as deletes; deletion-vector commits without one
+   * replay their vector DELTA — the rows masked at v but not at v-1 —
+   * as deletes (merge-on-read UPDATE/upsert adds stream as inserts
+   * alongside), mirroring the batch replay. */
   private val readChangeFeed = boolOpt("readChangeFeed")
 
   private val maxFilesPerTrigger: Option[Int] =
@@ -161,9 +164,11 @@ class QbeastStreamSource(
   /** dv state as of `v` — for the CDF 'd' branch, whose removed files
    * must be read with the mask that applied just BEFORE their removal
    * (a dv commit that landed mid-stream already emitted its rows as
-   * deletes via its change file; re-emitting them here would double
-   * count). One full replay per probed version, cached; the 'd' branch
-   * is a replay surface, never the hot append path. */
+   * deletes via its change file or vector delta; re-emitting them here
+   * would double count), and for the 'v' branch, whose delete feed is
+   * exactly (state at v) minus (state at v-1). One full replay per
+   * probed version, cached; both branches are replay surfaces, never
+   * the hot append path. */
   private val dvAtCache = scala.collection.mutable.HashMap.empty[Long, Map[String, String]]
   private def dvByNameAt(v: Long): Map[String, String] =
     dvAtCache.getOrElseUpdate(v, {
@@ -302,6 +307,24 @@ class QbeastStreamSource(
         .files.map(f => (f.path, f.size)).sortBy(_._1)
     })
 
+  private val commitDvCache = mutable.LinkedHashMap.empty[Long, Map[String, String]]
+
+  /** The dv actions OF commit `v`, keyed by data-file basename — the
+   * only masks that can apply to a file ADDED in that same commit (a
+   * RESTORE re-attaching vectors; empty for ordinary appends). O(one
+   * commit file), never a snapshot replay — this sits on the hot
+   * append path of the CDF stream. */
+  private def commitDvByName(v: Long): Map[String, String] =
+    commitDvCache.getOrElseUpdate(v, {
+      if (commitDvCache.size > 64) commitDvCache.remove(commitDvCache.head._1)
+      val revisions =
+        if (lastLight.version >= v) lastLight.revisions
+        else QbeastLog.lightSnapshot(tablePath, hadoopConf).revisions
+      QbeastLog.commitActions(tablePath, hadoopConf, v, revisions).collect {
+        case graft.log.DvFileAction(p, dvPath, _) => new Path(p).getName -> dvPath
+      }.toMap
+    })
+
   private val commitAddsCache = mutable.LinkedHashMap.empty[Long, Vector[(String, Long)]]
 
   /** The data-adding files of commit `v` in commit-file order, with the
@@ -337,45 +360,45 @@ class QbeastStreamSource(
       val dataAdds = adds.collect { case (f, true) => (f.path, f.size) }
       val layoutOnly = removes.nonEmpty && dataAdds.isEmpty && adds.nonEmpty
       // a deletion-vector commit is a row-level delete of already-
-      // emitted files: with a change file the CDF branch streams it;
-      // otherwise it needs the same tolerance as a delete commit
-      val hasDv = actions.exists {
-        case _: graft.log.DvFileAction => true
-        case _ => false
-      }
+      // emitted files: the CDF branch replays it as vector-delta rows
+      // (with or without a persisted change file); a plain stream needs
+      // the same tolerance as a delete commit
+      val dvActs = actions.collect { case d: graft.log.DvFileAction => d }
+      val hasDv = dvActs.nonEmpty
       val dvOnly = hasDv && dataAdds.isEmpty && removes.isEmpty
-      if (dvOnly) {
-        val cdcs0 = actions.collect { case CdcFileAction(p, sz) => (p, sz) }
-        if (readChangeFeed) {
-          if (cdcs0.isEmpty) throw new UnsupportedOperationException(
-            s"qbeast streaming CDF: commit $v of $tablePath masks rows with a " +
-              "deletion vector but persisted no change file. Set the table " +
-              "property 'enableChangeDataFeed' BEFORE running DELETE, or " +
-              "replay with the batch QbeastTable.changes API.")
-        } else if (!ignoreDeletes) throw new UnsupportedOperationException(
+      if (dvOnly && !readChangeFeed && !ignoreDeletes)
+        throw new UnsupportedOperationException(
           s"qbeast streaming source: commit $v of $tablePath deletes rows via " +
             "a deletion vector. Streaming a non-append-only table requires " +
             "option 'ignoreDeletes' or 'ignoreChanges'.")
-      }
       if (readChangeFeed) {
         // CDF enumeration: version-tagged units so getBatch can stamp
         // _commit_version ("v:kind:path"; kind a=insert file, d=removed
-        // file read as deletes, c=persisted change-data directory)
+        // file read as deletes, c=persisted change-data directory,
+        // v=deletion-vector delta of a data file — its newly masked
+        // rows read as deletes). dv units carry size 0 (the action has
+        // no file size — admitted for free, still file-counted), the
+        // same budget shape as pre-size removes.
         val cdcs = actions.collect { case CdcFileAction(p, sz) => (s"$v:c:$p", sz) }
+        lazy val dvUnits = dvActs.map(d => (s"$v:v:${d.path}", 0L))
         if (cdcs.nonEmpty) cdcs.toVector
         else if (layoutOnly) Vector.empty // optimize: content unchanged
-        else if (hasDv) throw new UnsupportedOperationException(
-          s"qbeast streaming CDF: commit $v of $tablePath masks rows with a " +
-            "deletion vector (merge-on-read DML) but persisted no change " +
-            "file. Set the table property 'enableChangeDataFeed' BEFORE " +
-            "running DML, or replay with the batch QbeastTable.changes API.")
-        else if (removes.isEmpty) dataAdds.map { case (p, sz) => (s"$v:a:$p", sz) }.toVector
-        else if (adds.isEmpty)
+        else if (removes.isEmpty && dataAdds.isEmpty) dvUnits.toVector // dv-only DELETE
+        else if (removes.isEmpty)
+          // adds, possibly with dv actions (merge-on-read UPDATE/upsert
+          // without CDF): new images insert, newly masked rows delete
+          (dataAdds.map { case (p, sz) => (s"$v:a:$p", sz) } ++ dvUnits).toVector
+        else if (adds.isEmpty && !hasDv)
           // delete-only: the removed files' rows ARE the delete feed;
           // the remove action carries the file's size (0 on pre-size
           // log lines → admitted for free, still file-counted), so
           // maxBytesPerTrigger budgets these like any other unit
           removes.map(r => (s"$v:d:${r.remove.path}", r.remove.size)).toVector
+        else if (adds.isEmpty)
+          // stats-proved dv DELETE: boundary files drop whole ('d'),
+          // straddlers mask ('v') — same decomposition as the batch
+          // changes() replay
+          (removes.map(r => (s"$v:d:${r.remove.path}", r.remove.size)) ++ dvUnits).toVector
         else throw new UnsupportedOperationException(
           s"qbeast streaming CDF: commit $v of $tablePath rewrites data without " +
             "a change file. Set the table property 'enableChangeDataFeed' (write " +
@@ -609,8 +632,49 @@ class QbeastStreamSource(
               dvByNameAt(v - 1), hadoopConf,
               spark.read.schema(tableSchema).parquet(absolute: _*))
               .withColumn("_change_type", lit("delete"))
-            case _ => maskInitial(spark.read.schema(tableSchema).parquet(absolute: _*))
-              .withColumn("_change_type", lit("insert"))
+            case "v" =>
+              // deletion-vector delta: the rows this commit newly
+              // masked — (vector state at v) minus (state at v-1), the
+              // same pre-commit asOf discipline as the batch changes()
+              // replay. Vectors load lazily on executors, so probe
+              // their existence here (vacuum check) like the data files
+              // above — a reclaimed vector must fail NAMED, not with a
+              // mid-task FileNotFoundException.
+              val dvs = graft.write.DeletionVectors
+              val newM = dvByNameAt(v)
+              val oldM = dvByNameAt(v - 1)
+              val names = list.map(u => new Path(u._3).getName).toSet
+              (newM ++ oldM).foreach { case (n, dvp) =>
+                if (names.contains(n) && !fs.exists(new Path(tablePath, dvp)))
+                  throw new IllegalStateException(
+                    s"qbeast streaming CDF: deletion vector $dvp of commit $v " +
+                      "was vacuumed — this range cannot be replayed; restart " +
+                      "the stream from a later startingVersion")
+              }
+              val df = spark.read.schema(tableSchema).parquet(absolute: _*)
+              val newProbe = dvs.probeCol(tablePath, newM, hadoopConf)
+              val newly =
+                if (oldM.isEmpty) df.filter(newProbe)
+                else df.filter(newProbe && !dvs.probeCol(tablePath, oldM, hadoopConf))
+              newly.withColumn("_change_type", lit("delete"))
+            case "s" =>
+              // snapshot-phase files: inserts as of the ANCHOR, masked
+              // by the stream-start vectors (their deleted rows never
+              // existed for this stream)
+              maskInitial(spark.read.schema(tableSchema).parquet(absolute: _*))
+                .withColumn("_change_type", lit("insert"))
+            case _ =>
+              // commit adds ('a'): the insert feed is the file AS
+              // COMMITTED — an added file's only possible mask at v is
+              // a dv action in the SAME commit (a RESTORE re-attaching
+              // a vector; fresh appends have none, so this is a no-op).
+              // A LATER mask streams as its own commit's vector delta —
+              // masking with any later state (the old maskInitial bug)
+              // double-drops those rows from the insert feed.
+              graft.write.DeletionVectors.maskWith(tablePath,
+                commitDvByName(v), hadoopConf,
+                spark.read.schema(tableSchema).parquet(absolute: _*))
+                .withColumn("_change_type", lit("insert"))
           }
           tagged.withColumn("_commit_version", lit(v)).select(outCols: _*)
       }

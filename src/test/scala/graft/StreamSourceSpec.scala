@@ -247,6 +247,73 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(msgs.contains("vacuumed"), msgs)
   }
 
+  test("CDF replays dv commits as vector deltas; adds stream unmasked by later DML") {
+    val tbl = TestSpark.tmpDir("qss-dvcdf-tbl")
+    (0L until 50L).map(i => (i, i * 10.0, s"p$i")).toDF("id", "price", "tag")
+      .write.format("qbeast").option("columnsToIndex", "id,price")
+      .option("cubeSize", "100").option("deletionVectors", "true")
+      .mode("overwrite").save(tbl) // v0
+    writeSlice(tbl, 50, 80, "append") // v1
+    val t = table.QbeastTable.forPath(spark, tbl)
+    assert(t.delete("id % 10 = 3") == 8L) // v2: dv masks (opaque predicate)
+    t.update("id % 25 = 1", Map("price" -> "price + 0.5")) // v3: dv + adds
+    // fixture guard: the DML commits persisted vectors, NOT change files
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = graft.log.QbeastLog.lightSnapshot(tbl, conf)
+    (2L to 3L).foreach { v =>
+      val acts = graft.log.QbeastLog.commitActions(tbl, conf, v, snap.revisions)
+      assert(acts.exists(_.isInstanceOf[graft.log.DvFileAction]), s"commit $v: no dv")
+      assert(!acts.exists(_.isInstanceOf[graft.log.CdcFileAction]), s"commit $v: cdc")
+    }
+
+    val ckpt = TestSpark.tmpDir("qss-dvcdf-ckpt")
+    val out = TestSpark.tmpDir("qss-dvcdf-out")
+    val q = spark.readStream.format("qbeast")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(tbl)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val res = spark.read.parquet(out)
+
+    def idsOf(v: Long, kind: String): Seq[Long] = res
+      .filter(col("_commit_version") === v && col("_change_type") === kind)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    // insert feeds are the files AS COMMITTED — a later mask must not
+    // thin them (the rows it kills arrive as that commit's deletes)
+    assert(idsOf(0, "insert") == (0L until 50L), "v0 insert feed was masked")
+    assert(idsOf(1, "insert") == (50L until 80L), "v1 insert feed was masked")
+    // the dv DELETE streams exactly its newly masked rows
+    assert(idsOf(2, "delete") == (0L until 80L).filter(_ % 10 == 3))
+    // the merge-on-read UPDATE streams pre-images as deletes (vector
+    // delta) and new images as inserts (its adds)
+    val updated = (0L until 80L).filter(_ % 25 == 1)
+    assert(idsOf(3, "delete") == updated && idsOf(3, "insert") == updated)
+    val post = res.filter(col("_commit_version") === 3)
+      .groupBy("_change_type").agg(sum("price").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(post("insert") - post("delete") - 0.5 * updated.size) < 1e-9)
+
+    // a purged+vacuumed range must fail NAMED, not raw FileNotFound
+    assert(t.purgeDeletionVectors() > 0)
+    assert(t.vacuum(retainMillis = 0L, force = true) > 0)
+    val e = intercept[StreamingQueryException] {
+      val ck2 = TestSpark.tmpDir("qss-dvcdf-ckpt2")
+      val out2 = TestSpark.tmpDir("qss-dvcdf-out2")
+      val q2 = spark.readStream.format("qbeast")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck2).option("path", out2)
+        .trigger(Trigger.AvailableNow()).start()
+      try q2.awaitTermination() finally q2.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("vacuumed"), msgs)
+  }
+
   test("CDF change-file ('c') units behind vacuum also fail NAMED") {
     import org.apache.spark.sql.functions.expr
     val tbl = TestSpark.tmpDir("qss-cdfvac-c-tbl")
