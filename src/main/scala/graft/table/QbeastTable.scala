@@ -1511,6 +1511,20 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       operation: String,
       dvActions: Seq[LogAction] = Nil,
       cdc: Option[Option[LogAction]] = None): Unit = {
+    // DML pre-commit hooks: the same contract as the write/optimize
+    // hooks (options-borne there), configured through the session conf
+    // because the DML entry points (delete/update/merge) take no write
+    // options. Run ONCE — after the mutation was computed against
+    // `initial`, before any commit attempt — so a hook observes the
+    // pre-commit state and can deterministically land concurrent
+    // commits (the RobustnessSpec three-way race matrix rides this
+    // seam). Hook TAGS are discarded on DML commits (no metadata action
+    // to carry them); hooks run for their effects and validations.
+    spark.conf.getOption(QbeastTable.DmlPreCommitHookKey).foreach { cls =>
+      graft.write.PreCommitHook.runHooks(
+        graft.write.PreCommitHook.loadHooks(Map("hook.dml" -> cls)),
+        spark, adds0.toVector)
+    }
     var base = initial
     var adds = adds0
     var newRevision = newRevision0
@@ -2430,6 +2444,11 @@ final case class IndexMetrics(
     leafCubeStats: CubeSizeStats)
 
 object QbeastTable {
+
+  /** Session conf naming a [[graft.write.PreCommitHook]] class to run
+   * before every DML commit (delete/update/merge/upsert) — the
+   * options-borne `hook.*` mechanism's DML twin; tags are discarded. */
+  val DmlPreCommitHookKey = "spark.qbeast.dml.preCommitHook"
 
   /** Default vacuum retention (7 days, mirroring Delta's default). */
   val DefaultRetentionMillis: Long = 7L * 24 * 60 * 60 * 1000

@@ -39,6 +39,83 @@ object MidAppendOptimizeHook {
   val tableDir = new java.util.concurrent.atomic.AtomicReference[String]()
 }
 
+/** Pre-commit hook landing an APPEND and then a dv DELETE between an
+ * optimize's rewrite and its commit — the three-way interleaving with
+ * the optimize rebasing over two different commit kinds at once. */
+class MidOptimizeAppendDvHook extends graft.write.PreCommitHook {
+  override def name: String = "race-append-dv"
+  override def run(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[graft.core.model.IndexFile]): Map[String, String] = {
+    import spark.implicits._
+    val dir = MidOptimizeAppendDvHook.tableDir.get()
+    (10000L until 10100L).map(i => (i, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("cubeSize", "200")
+      .mode("append").save(dir)
+    graft.table.QbeastTable.forPath(spark, dir).delete("a % 100 = 7")
+    Map.empty
+  }
+}
+
+object MidOptimizeAppendDvHook {
+  val tableDir = new java.util.concurrent.atomic.AtomicReference[String]()
+}
+
+/** Pre-commit hook landing a dv DELETE and then an OPTIMIZE between an
+ * append's file write and its commit. */
+class MidAppendDvOptimizeHook extends graft.write.PreCommitHook {
+  override def name: String = "race-dv-optimize"
+  override def run(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[graft.core.model.IndexFile]): Map[String, String] = {
+    val t = graft.table.QbeastTable.forPath(
+      spark, MidAppendDvOptimizeHook.tableDir.get())
+    t.delete("a % 100 = 7")
+    t.optimize()
+    Map.empty
+  }
+}
+
+object MidAppendDvOptimizeHook {
+  val tableDir = new java.util.concurrent.atomic.AtomicReference[String]()
+}
+
+/** DML pre-commit hook (session-conf seam) landing an APPEND between a
+ * dv DELETE's vector computation and its commit — the delete rebases. */
+class MidDmlAppendHook extends graft.write.PreCommitHook {
+  override def name: String = "dml-race-append"
+  override def run(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[graft.core.model.IndexFile]): Map[String, String] = {
+    import spark.implicits._
+    (10000L until 10100L).map(i => (i, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("cubeSize", "200")
+      .mode("append").save(MidDmlAppendHook.tableDir.get())
+    Map.empty
+  }
+}
+
+object MidDmlAppendHook {
+  val tableDir = new java.util.concurrent.atomic.AtomicReference[String]()
+}
+
+/** DML pre-commit hook landing an OPTIMIZE mid-delete: the optimize
+ * rewrites the delete's target files, so the rebase guard must refuse
+ * the stale vectors instead of resurrecting or double-deleting. */
+class MidDmlOptimizeHook extends graft.write.PreCommitHook {
+  override def name: String = "dml-race-optimize"
+  override def run(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[graft.core.model.IndexFile]): Map[String, String] = {
+    graft.table.QbeastTable.forPath(spark, MidDmlOptimizeHook.tableDir.get()).optimize()
+    Map.empty
+  }
+}
+
+object MidDmlOptimizeHook {
+  val tableDir = new java.util.concurrent.atomic.AtomicReference[String]()
+}
+
 class RobustnessSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -89,6 +166,168 @@ class RobustnessSpec extends AnyFunSuite {
     assert(resurrected.isEmpty, s"rewritten files resurrected: $resurrected")
     val ops2 = graft.table.QbeastTable.forPath(spark, dir2).history().map(_.operation)
     assert(ops2 == Seq("WRITE", "OPTIMIZE", "WRITE"), ops2.toString)
+  }
+
+  test("three-way races: append vs optimize vs dv DELETE, each op in flight") {
+    import spark.implicits._
+    def seedDv(dir: String): Unit =
+      (0L until 1000L).map(i => (i, i * 2.0)).toDF("a", "b")
+        .write.format("qbeast").option("columnsToIndex", "a,b")
+        .option("cubeSize", "200").option("deletionVectors", "true").save(dir)
+    def content(dir: String) = spark.read.format("qbeast").load(dir)
+    def checkClean(dir: String): Unit = {
+      val t = graft.table.QbeastTable.forPath(spark, dir)
+      assert(t.verifyIntegrity().isEmpty, t.verifyIntegrity().toString)
+      val df = content(dir)
+      assert(df.count() == df.select("a").distinct().count(), "duplicated rows")
+    }
+
+    // OPTIMIZE in flight; an append AND a dv delete land mid-rewrite:
+    // the optimize must rebase (or drop its rewrite) without losing the
+    // appended rows or resurrecting the masked ones
+    val dirA = TestSpark.tmpDir("race3-opt")
+    seedDv(dirA)
+    MidOptimizeAppendDvHook.tableDir.set(dirA)
+    graft.table.QbeastTable.forPath(spark, dirA).optimize(
+      options = Map("hook.race" -> classOf[MidOptimizeAppendDvHook].getName))
+    // delete hit 10 seed rows (7..907) and the appended 10007
+    assert(content(dirA).count() == 1000L + 100L - 11L)
+    assert(content(dirA).filter(col("a") % 100 === 7).count() == 0L,
+      "masked rows resurrected by the rebasing optimize")
+    checkClean(dirA)
+    val opsA = graft.table.QbeastTable.forPath(spark, dirA).history().map(_.operation)
+    assert(opsA.count(_ == "WRITE") == 2 && opsA.contains("DELETE"), opsA.toString)
+
+    // APPEND in flight; a dv delete and a mask-materializing optimize
+    // land before its commit: the append must rebase over both, keep
+    // the optimize's removals removed and the deleted rows deleted
+    val dirB = TestSpark.tmpDir("race3-app")
+    seedDv(dirB)
+    val preB = graft.log.QbeastLog
+      .snapshot(dirB, spark.sparkContext.hadoopConfiguration).files.map(_.path).toSet
+    MidAppendDvOptimizeHook.tableDir.set(dirB)
+    (10000L until 10100L).map(i => (i, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("cubeSize", "200")
+      .option("hook.race", classOf[MidAppendDvOptimizeHook].getName)
+      .mode("append").save(dirB)
+    assert(content(dirB).count() == 1000L - 10L + 100L)
+    // the delete ran BEFORE the append existed: only the appended
+    // a%100=7 row (10007) survives
+    assert(content(dirB).filter(col("a") % 100 === 7)
+      .collect().map(_.getLong(0)).toSeq == Seq(10007L))
+    val snapB = graft.log.QbeastLog
+      .snapshot(dirB, spark.sparkContext.hadoopConfiguration)
+    assert(snapB.files.map(_.path).toSet.intersect(preB).isEmpty,
+      "optimize-rewritten files resurrected by the rebasing append")
+    checkClean(dirB)
+
+    // dv DELETE in flight; an APPEND lands between its vector write and
+    // its commit: the delete rebases (targets untouched) and commits
+    // with strict snapshot semantics — the appended a%100=7 row was
+    // never in its snapshot, so it survives
+    val dirC = TestSpark.tmpDir("race3-del-app")
+    seedDv(dirC)
+    MidDmlAppendHook.tableDir.set(dirC)
+    spark.conf.set(graft.table.QbeastTable.DmlPreCommitHookKey,
+      classOf[MidDmlAppendHook].getName)
+    try {
+      val n = graft.table.QbeastTable.forPath(spark, dirC).delete("a % 100 = 7")
+      assert(n == 10L, s"delete saw the seed snapshot only, got $n")
+    } finally spark.conf.unset(graft.table.QbeastTable.DmlPreCommitHookKey)
+    assert(content(dirC).count() == 1000L - 10L + 100L)
+    assert(content(dirC).filter(col("a") % 100 === 7)
+      .collect().map(_.getLong(0)).toSeq == Seq(10007L))
+    checkClean(dirC)
+    val opsC = graft.table.QbeastTable.forPath(spark, dirC).history().map(_.operation)
+    assert(opsC == Seq("WRITE", "WRITE", "DELETE"), opsC.toString)
+
+    // dv DELETE in flight; an OPTIMIZE rewrites its target files before
+    // the commit: stale vectors must be REFUSED (named error), content
+    // untouched, and a re-run against the fresh state must succeed
+    val dirD = TestSpark.tmpDir("race3-del-opt")
+    seedDv(dirD)
+    MidDmlOptimizeHook.tableDir.set(dirD)
+    spark.conf.set(graft.table.QbeastTable.DmlPreCommitHookKey,
+      classOf[MidDmlOptimizeHook].getName)
+    val e = try intercept[java.util.ConcurrentModificationException] {
+      graft.table.QbeastTable.forPath(spark, dirD).delete("a % 100 = 7")
+    } finally spark.conf.unset(graft.table.QbeastTable.DmlPreCommitHookKey)
+    assert(e.getMessage.contains("re-run"), e.getMessage)
+    assert(content(dirD).count() == 1000L, "refused delete must not change content")
+    checkClean(dirD)
+    assert(graft.table.QbeastTable.forPath(spark, dirD).delete("a % 100 = 7") == 10L)
+    assert(content(dirD).count() == 990L)
+    checkClean(dirD)
+  }
+
+  test("seeded commit-loop stress: appends + dv deletes + optimizes, exact multiset") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("race3-stress")
+    (0L until 1000L).map(i => (i, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a,b")
+      .option("cubeSize", "200").option("deletionVectors", "true").save(dir)
+    val rnd = new scala.util.Random(42)
+    val deleteBatches: Seq[Seq[Long]] =
+      rnd.shuffle((0L until 1000L).toVector).take(120).grouped(24).toSeq
+    val appendRanges: Seq[(Long, Long)] =
+      (0 until 5).map(i => (2000000L + i * 1000L, 2000000L + i * 1000L + 500L))
+
+    def retrying[T](tag: String)(op: => T): T = {
+      var attempts = 0
+      while (true) {
+        try return op
+        catch {
+          case _: java.util.ConcurrentModificationException |
+              _: graft.log.ConcurrentCommitException if attempts < 20 =>
+            attempts += 1
+            Thread.sleep(rnd.synchronized(rnd.nextInt(40)).toLong)
+        }
+      }
+      sys.error(s"$tag: unreachable")
+    }
+
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def thread(name: String)(body: => Unit): Thread = {
+      val th = new Thread(() =>
+        try body catch { case t: Throwable => errs.add(t) }, name)
+      th.start(); th
+    }
+    val appender = thread("appender") {
+      appendRanges.foreach { case (lo, hi) =>
+        (lo until hi).map(i => (i, i * 2.0)).toDF("a", "b")
+          .write.format("qbeast").option("cubeSize", "200")
+          .mode("append").save(dir)
+      }
+    }
+    val deleter = thread("deleter") {
+      deleteBatches.foreach { keys =>
+        retrying("delete") {
+          graft.table.QbeastTable.forPath(spark, dir)
+            .delete(s"a IN (${keys.mkString(",")})")
+        }
+      }
+    }
+    val optimizer = thread("optimizer") {
+      (0 until 3).foreach { _ =>
+        Thread.sleep(300)
+        retrying("optimize") {
+          graft.table.QbeastTable.forPath(spark, dir).optimize()
+        }
+      }
+    }
+    Seq(appender, deleter, optimizer).foreach(_.join(600000))
+    assert(errs.isEmpty, errs.toArray.mkString("\n"))
+
+    val deleted = deleteBatches.flatten.toSet
+    val expected = ((0L until 1000L).filterNot(deleted) ++
+      appendRanges.flatMap { case (lo, hi) => lo until hi }).sorted
+    val got = spark.read.format("qbeast").load(dir)
+      .select("a").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == expected,
+      s"multiset drift: got ${got.size} rows, expected ${expected.size}; " +
+        s"missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    assert(t.verifyIntegrity().isEmpty, t.verifyIntegrity().toString)
   }
 
   test("null values in indexed columns round-trip and stay sampleable") {
