@@ -83,6 +83,42 @@ class DocumentationSpec extends AnyFunSuite {
     spark.sql(s"VACUUM '$tbl' RETAIN 0 HOURS FORCE").collect()
   }
 
+  test("README maintenance SQL (OPTIMIZE WHERE / VERIFY / REORG PURGE) works as written") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val tbl = TestSpark.tmpDir("readme-maint")
+    df.write.format("qbeast")
+      .option("columnsToIndex", "o_orderkey,o_totalprice")
+      .option("deletionVectors", "true").save(tbl)
+    val t = graft.table.QbeastTable.forPath(spark, tbl)
+    // merge-on-read delete leaves masks for REORG to materialize
+    assert(t.delete("o_orderkey % 100 = 7") > 0)
+    assert(t.snapshot.dvs.nonEmpty)
+    val liveRows = spark.read.format("qbeast").load(tbl).count()
+
+    // VERIFY: FSCK-shaped audit, one row per issue — a healthy table
+    // returns zero rows (masks and all)
+    val issues = spark.sql(s"VERIFY '$tbl'")
+    assert(issues.collect().isEmpty, issues.collect().mkString("\n"))
+
+    // REORG ... APPLY (PURGE): rewrites ONLY the masked files; vectors
+    // clear, content doesn't move
+    val purged = spark.sql(s"REORG '$tbl' APPLY (PURGE)").collect()
+    assert(purged.head.getLong(1) > 0, purged.mkString)
+    assert(t.snapshot.dvs.isEmpty, "REORG PURGE must clear every vector")
+    assert(spark.read.format("qbeast").load(tbl).count() == liveRows)
+
+    // OPTIMIZE ... WHERE: repacks only matching files, content invariant
+    spark.sql(s"OPTIMIZE '$tbl' WHERE o_totalprice >= 100000").collect()
+    assert(spark.read.format("qbeast").load(tbl).count() == liveRows)
+
+    // the purged vectors and rewritten files are now reclaimable
+    assert(spark.sql(s"VACUUM '$tbl' RETAIN 0 HOURS FORCE").collect()
+      .head.getLong(1) > 0)
+    assert(spark.sql(s"VERIFY '$tbl'").collect().isEmpty)
+    assert(spark.read.format("qbeast").load(tbl).count() == liveRows)
+  }
+
   test("SQL-only dedup pipeline (registered graft_* functions) matches the Column API") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
