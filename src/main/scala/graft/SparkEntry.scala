@@ -789,6 +789,26 @@ object SparkEntry {
       val states = ops.Sketch.hllState(docs, Seq("source", "lang"), col("text"))
       ops.Sketch.hllMergeDistinct(states, "source", col("hll_state"))
     }),
+    "t38_kll_quantiles" -> ((s, dir) =>
+      // per-source length percentiles via the mergeable KLL sketch:
+      // O(k·log(n/k)) doubles per group cross the shuffle (map-side
+      // partial states), never the rows. Exact — and identical to the
+      // oracle's quantile_disc — while groups stay within capacity
+      // (8192 here; t38 groups are far smaller at every test SF), so
+      // the oracle is the plain exact quantile
+      ops.Sketch.kllQuantiles(QTables.raw(s, dir, "documents"), "source",
+        col("n_chars"), Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
+    "t39_kll_rollup" -> ((s, dir) => {
+      // the pre-aggregated percentile cube: persistable per-(source,
+      // lang) sketch states merged up to per-source — within capacity
+      // the merge is exactly the union sketch, so the oracle is
+      // EXACTLY t38's. At 100 TB this is a dashboard reading 365
+      // daily states instead of a year of rows
+      val docs = QTables.raw(s, dir, "documents")
+      val states = ops.Sketch.kllState(docs, Seq("source", "lang"), col("n_chars"))
+      ops.Sketch.kllMergeQuantiles(states, "source", col("kll_state"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    }),
     "t35_heavy_hitters" -> ((s, dir) => {
       // exact bigram heavy hitters with a count-min candidate pass: the
       // sketch (4×4096 longs, map-side combined) prunes the exact
@@ -1781,6 +1801,13 @@ object SparkEntry {
         |  scaled, zeros
         |FROM agg""".stripMargin
 
+  private val KllOracleSql: String =
+    """SELECT source,
+        |  quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+        |  quantile_disc(CAST(n_chars AS DOUBLE), 0.9) AS p90,
+        |  quantile_disc(CAST(n_chars AS DOUBLE), 0.99) AS p99
+        |FROM documents GROUP BY source""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_roundtrip_agg" ->
       """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
@@ -2336,6 +2363,15 @@ object SparkEntry {
       // identical to t36: merging per-(source,lang) register states is
       // exactly sketching the per-source union
       HllOracleSql,
+    "t38_kll_quantiles" ->
+      // exact replay: within sketch capacity every row sits at level 0
+      // with weight 1 and extraction is the sorted-rank rule
+      // max(1, ceil(q*n)) — exactly DuckDB's quantile_disc
+      KllOracleSql,
+    "t39_kll_rollup" ->
+      // identical to t38: merging within-capacity per-(source,lang)
+      // states is exactly sketching the per-source union
+      KllOracleSql,
     "t32_bm25" ->
       // constants mirror the Spark expression tree fold-for-fold
       // ((1.2 + 1), (1 - 0.75)) so both engines do the same IEEE ops

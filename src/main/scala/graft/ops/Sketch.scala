@@ -93,6 +93,70 @@ object Sketch {
         col("sk.scaled").as("scaled"), col("sk.zeros").as("zeros"))
   }
 
+  /**
+   * Per-group quantiles via a mergeable KLL-style sketch over `value`
+   * cast to double. `qs` maps output column name → quantile in [0,1];
+   * output is `(groupCol, qs...)`. Exact (and equal to DuckDB's
+   * `quantile_disc`) while a group holds ≤ k rows; beyond that the
+   * shuffle still carries only O(k·log(n/k)) doubles per group and the
+   * rank error grows as O(log(n/k)·n/k) — see
+   * [[graft.expressions.KllState]].
+   */
+  def kllQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      qs: Seq[(String, Double)],
+      k: Int = graft.expressions.KllState.DefaultK): DataFrame = {
+    val agg = shims.column(
+      graft.expressions.KllQuantilesAgg(
+        shims.expression(value.cast("double")), qs.map(_._2), k)
+        .toAggregateExpression())
+    df.groupBy(groupCol)
+      .agg(agg.as("sk"))
+      .select(col(groupCol) +: qs.zipWithIndex.map { case ((name, _), i) =>
+        col("sk").getItem(i).as(name)
+      }: _*)
+  }
+
+  /**
+   * The state-producing half of a mergeable quantile rollup: one
+   * serialized KLL sketch per fine-grained group. Persist the result
+   * (a parquet table of `groupCols..., kll_state binary`) and combine
+   * with [[kllMergeQuantiles]] into ANY coarser grouping later without
+   * rescanning the data — the pre-aggregated percentile cube.
+   */
+  def kllState(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      k: Int = graft.expressions.KllState.DefaultK): DataFrame = {
+    val agg = shims.column(
+      graft.expressions.KllStateAgg(
+        shims.expression(value.cast("double")), k).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*).agg(agg.as("kll_state"))
+  }
+
+  /** The finishing half: merge [[kllState]] sketches per `groupCol`
+   * (level-wise concatenation + deterministic compaction) and return
+   * the same quantile columns as [[kllQuantiles]]. While the merged
+   * row count stays within capacity, merging the fine-grained states
+   * equals sketching the raw union. */
+  def kllMergeQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      state: Column,
+      qs: Seq[(String, Double)]): DataFrame = {
+    val agg = shims.column(
+      graft.expressions.KllMergeAgg(
+        shims.expression(state), qs.map(_._2)).toAggregateExpression())
+    df.groupBy(groupCol)
+      .agg(agg.as("sk"))
+      .select(col(groupCol) +: qs.zipWithIndex.map { case ((name, _), i) =>
+        col("sk").getItem(i).as(name)
+      }: _*)
+  }
+
   /** Bloom-filter bitset of `key` over `df` as a driver-side long
    * array (numBits/8 bytes — metadata-sized, e.g. 128 KiB for 2^20
    * bits). The aggregation is map-side partial: one bitset per task,

@@ -188,6 +188,51 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
           "graft_hll_merge(state) takes one binary state argument")
         graft.expressions.HllMergeAgg(children.head)
       }))
+    // mergeable quantile rollup:
+    //   SELECT src, graft_kll_quantiles(CAST(n AS DOUBLE), 0.5, 0.99)[1]
+    //   ... GROUP BY src — or graft_kll_state per fine group, then
+    //   graft_kll_merge(state, qs...) per coarse group with no rescan
+    def doubleLitArg(fn: String)(e: Expression, what: String): Double = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
+        v.doubleValue()
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+        v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a numeric literal, got $other")
+    }
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(
+        classOf[graft.expressions.KllQuantilesAgg].getName, "graft_kll_quantiles"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2,
+          "graft_kll_quantiles(value, q...) — quantiles must be numeric literals")
+        graft.expressions.KllQuantilesAgg(children.head,
+          children.tail.map(doubleLitArg("graft_kll_quantiles")(_, "q")))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_kll_state"),
+      new ExpressionInfo(
+        classOf[graft.expressions.KllStateAgg].getName, "graft_kll_state"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          "graft_kll_state(value[, k]) — k must be an integer literal")
+        if (children.length == 2)
+          graft.expressions.KllStateAgg(children.head,
+            intLitArg("graft_kll_state")(children(1), "k"))
+        else graft.expressions.KllStateAgg(children.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(
+        classOf[graft.expressions.KllMergeAgg].getName, "graft_kll_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2,
+          "graft_kll_merge(state, q...) — quantiles must be numeric literals")
+        graft.expressions.KllMergeAgg(children.head,
+          children.tail.map(doubleLitArg("graft_kll_merge")(_, "q")))
+      }))
     extensions.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
