@@ -42,7 +42,13 @@ import org.apache.spark.sql.types._
  * `core/src/main/scala/io/qbeast/core/internal/expressions/QbeastMurmur3Hash.scala`);
  * the reference itself has no sketch aggregates.
  */
-final class KllState(val k: Int) {
+final class KllState(private var k0: Int) {
+
+  /** Capacity. Mutable only through [[mergeIn]], which adopts the
+   * larger side's capacity so merging states built with a bigger k
+   * keeps their exactness guarantee (a k=DefaultK merge buffer must
+   * not silently compact k=100000 exact states). */
+  def k: Int = k0
 
   import scala.collection.mutable.ArrayBuffer
 
@@ -81,6 +87,7 @@ final class KllState(val k: Int) {
   }
 
   def mergeIn(o: KllState): KllState = {
+    if (o.k > k0) k0 = o.k
     var i = 0
     while (i < o.levels.length) {
       if (levels.length == i) levels += scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -298,10 +305,11 @@ final case class KllMergeAgg(
   require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
     s"quantiles must lie in [0,1], got $qs")
 
-  // the merge buffer uses the default (largest) capacity regardless of
-  // the incoming states' k: a roomier merge buffer only defers
-  // compaction (never loses precision), and memory stays bounded at
-  // DefaultK doubles per level
+  // the merge buffer starts at the default capacity and ADOPTS the
+  // largest incoming state's k on merge (KllState.mergeIn), so states
+  // built with a bigger k keep their exactness guarantee; a roomier
+  // buffer only defers compaction, and memory stays bounded at
+  // max(k) doubles per level
   override def k: Int = KllState.DefaultK
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -150,10 +150,15 @@ class QbeastStreamSource(
   private val initialSnapshot = QbeastLog.lightSnapshot(tablePath, hadoopConf)
   require(!initialSnapshot.isEmpty, s"no qbeast table at $tablePath")
 
-  /** Deletion vectors pinned at stream start: snapshot-phase files read
-   * through this mask (their deleted rows must not stream); appended
-   * files are never in the map. A DV landing mid-stream is a row-level
-   * delete the commit guards handle like any delete commit. */
+  /** Deletion vectors pinned at stream start — the NON-CDF mask only
+   * (plain streams read snapshot and append files through it; their
+   * deleted rows must not stream, and the ignoreDeletes/ignoreChanges
+   * contract those streams run under is explicitly at-least-once, so
+   * start-time state is an acceptable approximation of the anchor).
+   * The CDF path masks exactly instead: 's' units by the dv state AT
+   * the anchor, 'a' units by their own commit's dv actions. A DV
+   * landing mid-stream is a row-level delete the commit guards handle
+   * like any delete commit. */
   private val initialDvByName: Map[String, String] =
     initialSnapshot.dvs.map { case (p, i) =>
       new Path(p).getName -> i.dvPath
@@ -174,7 +179,12 @@ class QbeastStreamSource(
     dvAtCache.getOrElseUpdate(v, {
       if (dvAtCache.size > 32) dvAtCache.clear()
       if (v < 0) Map.empty
-      else QbeastLog.snapshot(tablePath, hadoopConf, asOfVersion = v).dvs
+      // LIGHT replay: dv actions are never add lines (and the JSON
+      // checkpoint's dv map is post-clearing), so the dvs map is
+      // complete without materializing the checkpointed file bulk —
+      // O(tail) on a sidecar-scale table, and this now sits on the
+      // CDF stream-start path (the 's' anchor mask)
+      else QbeastLog.lightSnapshot(tablePath, hadoopConf, asOfVersion = v).dvs
         .map { case (p, i) => new Path(p).getName -> i.dvPath }
     })
 
@@ -644,7 +654,10 @@ class QbeastStreamSource(
               val newM = dvByNameAt(v)
               val oldM = dvByNameAt(v - 1)
               val names = list.map(u => new Path(u._3).getName).toSet
-              (newM ++ oldM).foreach { case (n, dvp) =>
+              // probe BOTH maps' entries (not their merged map: a file
+              // re-masked at v has a different vector path in each, and
+              // the merge would hide one of them from the check)
+              (newM.iterator ++ oldM.iterator).foreach { case (n, dvp) =>
                 if (names.contains(n) && !fs.exists(new Path(tablePath, dvp)))
                   throw new IllegalStateException(
                     s"qbeast streaming CDF: deletion vector $dvp of commit $v " +
@@ -659,9 +672,18 @@ class QbeastStreamSource(
               newly.withColumn("_change_type", lit("delete"))
             case "s" =>
               // snapshot-phase files: inserts as of the ANCHOR, masked
-              // by the stream-start vectors (their deleted rows never
-              // existed for this stream)
-              maskInitial(spark.read.schema(tableSchema).parquet(absolute: _*))
+              // by the vectors AT the anchor version (v IS the anchor —
+              // the unit is stamped "$anchor:s:$path"). The
+              // construction-time state is wrong in both directions: a
+              // dv DELETE landing between construction and the first
+              // trigger is <= anchor (never replayed as a 'v' delta, so
+              // its rows must not stream as inserts), and on restart
+              // the construction state is LATER than the anchor (mid-
+              // stream deletes already streamed as 'v' deltas would be
+              // double-dropped from the insert feed).
+              graft.write.DeletionVectors.maskWith(tablePath,
+                dvByNameAt(v), hadoopConf,
+                spark.read.schema(tableSchema).parquet(absolute: _*))
                 .withColumn("_change_type", lit("insert"))
             case _ =>
               // commit adds ('a'): the insert feed is the file AS

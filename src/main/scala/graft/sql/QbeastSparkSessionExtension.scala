@@ -194,6 +194,10 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     //   graft_kll_merge(state, qs...) per coarse group with no rescan
     def doubleLitArg(fn: String)(e: Expression, what: String): Double = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Float, _) => v.toDouble
+      // SQL `1` / `0` parse as integer literals — both are valid quantiles
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toDouble
       case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
         v.doubleValue()
       case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>

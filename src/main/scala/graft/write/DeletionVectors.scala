@@ -152,11 +152,19 @@ object DeletionVectors {
   // The mask map is O(#masked files); embedding it in the expression
   // would ship it with every stage and deserialize it per task. One
   // broadcast per (table, dv state) instead: fetched once per executor,
-  // reused across the queries that run against that state. Entries
-  // evicted here stay alive as long as some plan references the
-  // broadcast (ContextCleaner reclaims them once unreferenced).
-  private val bcCache =
-    new ConcurrentHashMap[String, (Map[String, String], org.apache.spark.broadcast.Broadcast[Map[String, String]])]()
+  // reused across the queries that run against that state. Keyed by
+  // (table, state hash) so replay surfaces that alternate between two
+  // states of the same table (the CDF 'v' branch probes state-at-v and
+  // state-at-(v-1) per commit) hold both hot instead of thrashing one
+  // slot. Each entry pins the SparkContext that built it: a broadcast
+  // outliving its (stopped) context would fail at execution, so a
+  // context change is a cache miss, never an error. Entries evicted
+  // here stay alive as long as some plan references the broadcast
+  // (ContextCleaner reclaims them once unreferenced).
+  private val bcCache = new ConcurrentHashMap[
+    String,
+    (org.apache.spark.SparkContext, Map[String, String],
+      org.apache.spark.broadcast.Broadcast[Map[String, String]])]()
   private val MaxBcEntries = 64
 
   def broadcastFor(
@@ -164,11 +172,14 @@ object DeletionVectors {
       tablePath: String,
       dvByName: Map[String, String])
       : org.apache.spark.broadcast.Broadcast[Map[String, String]] = {
-    val hit = bcCache.get(tablePath)
-    if (hit != null && hit._1 == dvByName) return hit._2
-    val bc = spark.sparkContext.broadcast(dvByName)
+    val sc = spark.sparkContext
+    val key = s"$tablePath#${dvByName.hashCode}"
+    val hit = bcCache.get(key)
+    if (hit != null && (hit._1 eq sc) && !sc.isStopped && hit._2 == dvByName)
+      return hit._3
+    val bc = sc.broadcast(dvByName)
     if (bcCache.size() > MaxBcEntries) bcCache.clear()
-    bcCache.put(tablePath, (dvByName, bc))
+    bcCache.put(key, (sc, dvByName, bc))
     bc
   }
 

@@ -273,4 +273,17 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() === expect)
   }
 
+  test("broadcastFor caches per (table, state): alternating states both stay hot") {
+    val dvs = graft.write.DeletionVectors
+    val a = Map("f1.parquet" -> "dv/a1.bin", "f2.parquet" -> "dv/a2.bin")
+    val b = Map("f1.parquet" -> "dv/b1.bin") // the CDF 'v' branch probes
+    val tbl = "/tmp/bc-cache-probe" //          state-at-v AND state-at-(v-1)
+    val bcA = dvs.broadcastFor(spark, tbl, a)
+    val bcB = dvs.broadcastFor(spark, tbl, b)
+    // a single-slot-per-table cache would re-broadcast on every flip
+    assert(dvs.broadcastFor(spark, tbl, a) eq bcA)
+    assert(dvs.broadcastFor(spark, tbl, b) eq bcB)
+    assert(bcA.value == a && bcB.value == b)
+  }
+
 }

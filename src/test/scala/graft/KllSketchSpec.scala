@@ -137,6 +137,28 @@ class KllSketchSpec extends AnyFunSuite {
     assert(rolled === direct)
   }
 
+  test("merge adopts the larger capacity: big-k exact states stay exact through a default-k merge") {
+    val n = 60000 // far past DefaultK (8192): a default-capacity merge
+    val k = 100000 // buffer would compact; adopting k=100000 must not
+    val rnd = new scala.util.Random(37)
+    val vals = rnd.shuffle((0 until n).toVector).toArray
+    val parts = vals.grouped(n / 4 + 1).toVector
+    val serialized = parts.map { p =>
+      val s = new KllState(k); p.foreach(v => s.add(v.toDouble)); s.serialize()
+    }
+    val buffer = new KllState(KllState.DefaultK) // KllMergeAgg's buffer
+    serialized.foreach(b => buffer.mergeIn(KllState.deserialize(b)))
+    assert(buffer.k == k, "merge buffer must adopt the states' capacity")
+    assert(buffer.totalWeight == n.toLong)
+    val qs = Array(0.25, 0.5, 0.75)
+    val got = buffer.quantiles(qs)
+    qs.zipWithIndex.foreach { case (q, i) =>
+      // within the ADOPTED capacity nothing compacts: exact rank rule
+      val expect = math.max(0, math.ceil(q * n).toInt - 1)
+      assert(got(i) == expect.toDouble, s"q=$q: got ${got(i)}, want $expect")
+    }
+  }
+
   test("nulls are skipped, empty groups answer NaN") {
     val df = Seq(("g", Some(1.0)), ("g", None), ("g", Some(3.0)),
       ("e", None)).toDF("g", "v")
@@ -170,6 +192,12 @@ class KllSketchSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getSeq[Double](1)(0),
         r.getSeq[Double](1)(1))).toSet
     assert(rolled == expected)
+    // SQL `0` and `1` parse as INTEGER literals — still valid quantiles
+    val edges = spark.sql(
+      """SELECT graft_kll_quantiles(CAST(v AS DOUBLE), 0, 1) AS qs
+        |FROM kll_sql_in""".stripMargin).head().getSeq[Double](0)
+    val all = rows.map(_._3.toDouble).sorted
+    assert(edges == Seq(all.head, all.last))
   }
 
   // ---- plan shape -----------------------------------------------------------

@@ -314,6 +314,60 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(msgs.contains("vacuumed"), msgs)
   }
 
+  test("CDF snapshot inserts are masked at the ANCHOR, not at (re)start time") {
+    // a dv DELETE that lands while a CDF stream is stopped mid-snapshot
+    // must NOT thin the remaining snapshot insert feed (the delete
+    // streams separately as that commit's 'v' vector delta); masking
+    // with the restart-time dv state would double-drop those rows
+    val tbl = TestSpark.tmpDir("qss-anchor-tbl")
+    (0L until 600L).map(i => (i, i * 10.0, s"p$i")).toDF("id", "price", "tag")
+      .write.format("qbeast").option("columnsToIndex", "id,price")
+      .option("cubeSize", "50").option("deletionVectors", "true")
+      .mode("overwrite").save(tbl) // v0: several snapshot files
+    assert(graft.log.QbeastLog
+      .snapshot(tbl, spark.sparkContext.hadoopConfiguration).files.size >= 3)
+
+    val ckpt = TestSpark.tmpDir("qss-anchor-ckpt")
+    val out = TestSpark.tmpDir("qss-anchor-out")
+    // one file per batch on a slow trigger: stopping after the first
+    // committed batch deterministically leaves the checkpoint
+    // mid-snapshot (the second trigger is 60 s away)
+    val q = spark.readStream.format("qbeast")
+      .option("readChangeFeed", "true").option("maxFilesPerTrigger", "1")
+      .load(tbl)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(Trigger.ProcessingTime("60 seconds")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (batchCount(ckpt) < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(batchCount(ckpt) >= 1, "no batch committed within timeout")
+    } finally q.stop()
+
+    // while stopped: a dv DELETE over rows spread across every file
+    val t = table.QbeastTable.forPath(spark, tbl)
+    assert(t.delete("id % 10 = 3") == 60L) // v1: masks, opaque predicate
+
+    // resume: the rest of the snapshot + the v1 vector delta
+    val q2 = spark.readStream.format("qbeast")
+      .option("readChangeFeed", "true").load(tbl)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination() finally q2.stop()
+
+    val res = spark.read.parquet(out)
+    val inserts = res.filter(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    val deletes = res.filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(inserts == (0L until 600L),
+      "snapshot insert feed was thinned by a post-anchor dv state")
+    assert(deletes == (0L until 600L).filter(_ % 10 == 3),
+      "the dv DELETE must stream exactly once as its own vector delta")
+  }
+
   test("CDF change-file ('c') units behind vacuum also fail NAMED") {
     import org.apache.spark.sql.functions.expr
     val tbl = TestSpark.tmpDir("qss-cdfvac-c-tbl")
