@@ -809,6 +809,26 @@ object SparkEntry {
       ops.Sketch.kllMergeQuantiles(states, "source", col("kll_state"),
         Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
     }),
+    "t40_kmv_overlap" -> ((s, dir) => {
+      // cross-corpus overlap from persisted sketch states: per-source
+      // bigram-vocabulary KMV hash sets (k=2048, O(k) longs per group
+      // through the shuffle), then every pairwise
+      // intersection/union/Jaccard computed from STATES alone — at
+      // 100 TB this answers "how much do two crawls share" without a
+      // raw self-join. Exact (and oracle-replayable) while every
+      // source's distinct-bigram count is under k, as it is at every
+      // test SF the correctness gate runs
+      val bigrams = QTables.raw(s, dir, "documents")
+        .select(col("source"), split(trim(col("text")), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2)))"))
+          .as("bigram"))
+      val states = ops.Sketch.kmvSetState(bigrams, Seq("source"),
+        col("bigram"), k = 2048)
+      ops.Sketch.kmvOverlap(states, "source", col("kmv_state"))
+    }),
     "t35_heavy_hitters" -> ((s, dir) => {
       // exact bigram heavy hitters with a count-min candidate pass: the
       // sketch (4×4096 longs, map-side combined) prunes the exact
@@ -2372,6 +2392,30 @@ object SparkEntry {
       // identical to t38: merging within-capacity per-(source,lang)
       // states is exactly sketching the per-source union
       KllOracleSql,
+    "t40_kmv_overlap" ->
+      // exact replay: under capacity both states are complete hash
+      // sets, so inter/uni are integer counts over the same md5-derived
+      // 32-bit hashes and jaccard is one identical IEEE division.
+      // Dedup happens at HASH level (DISTINCT source, hv) on both
+      // engines, so even a hash collision matches bit-for-bit
+      """WITH toks AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |tb AS (SELECT DISTINCT source,
+        |    ('0x' || substr(md5(a[i] || ' ' || a[i+1]), 1, 8))::BIGINT AS hv
+        |  FROM toks, unnest(range(1, len(a))) t(i)),
+        |c AS (SELECT source, count(*) AS n FROM tb GROUP BY 1),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |  FROM tb a JOIN tb b ON a.hv = b.hv AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |p AS (SELECT ca.source AS src_a, cb.source AS src_b,
+        |    coalesce(i.inter, 0) AS inter,
+        |    ca.n + cb.n - coalesce(i.inter, 0) AS uni
+        |  FROM c ca JOIN c cb ON ca.source < cb.source
+        |  LEFT JOIN i ON i.src_a = ca.source AND i.src_b = cb.source)
+        |SELECT src_a, src_b, CAST(inter AS DOUBLE) AS inter,
+        |  CAST(uni AS DOUBLE) AS uni,
+        |  CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM p""".stripMargin,
     "t32_bm25" ->
       // constants mirror the Spark expression tree fold-for-fold
       // ((1.2 + 1), (1 - 0.75)) so both engines do the same IEEE ops

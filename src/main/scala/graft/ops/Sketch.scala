@@ -94,6 +94,49 @@ object Sketch {
   }
 
   /**
+   * The state-producing half of corpus-overlap analysis: one serialized
+   * KMV hash-set state (the k smallest distinct [[portableHash32]]
+   * values, `[k][size][sorted longs]`) per fine-grained group. Persist
+   * the result and answer ANY pairwise overlap question later with
+   * [[kmvOverlap]] — no rescan, no O(rows) join. Exact while a group
+   * holds < k distinct values; a coordinated-sample estimate beyond.
+   */
+  def kmvSetState(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      k: Int = 64): DataFrame = {
+    val agg = shims.column(
+      graft.expressions.KmvSetStateAgg(
+        shims.expression(portableHash32(value)), k).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*).agg(agg.as("kmv_state"))
+  }
+
+  /**
+   * Pairwise overlap between every two groups of a [[kmvSetState]]
+   * table: `(src_a, src_b, inter, uni, jaccard)` for each unordered
+   * pair (`src_a < src_b`). Exact integer counts (and an oracle-
+   * replayable division) while both states are under capacity; the
+   * standard KMV coordinated-sample estimate beyond. The pair space is
+   * inherently O(groups²) — but over k-long STATES, not rows: 365
+   * daily states compare in milliseconds where the raw self-join
+   * would rescan the corpus.
+   */
+  def kmvOverlap(
+      states: DataFrame,
+      keyCol: String,
+      state: Column): DataFrame = {
+    val a = states.select(col(keyCol).as("src_a"), state.as("_sa"))
+    val b = states.select(col(keyCol).as("src_b"), state.as("_sb"))
+    val ov = shims.column(graft.expressions.KmvOverlapExpr(
+      shims.expression(col("_sa")), shims.expression(col("_sb"))))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), ov.as("ov"))
+      .select(col("src_a"), col("src_b"), col("ov.inter").as("inter"),
+        col("ov.uni").as("uni"), col("ov.jaccard").as("jaccard"))
+  }
+
+  /**
    * Per-group quantiles via a mergeable KLL-style sketch over `value`
    * cast to double. `qs` maps output column name → quantile in [0,1];
    * output is `(groupCol, qs...)`. Exact (and equal to DuckDB's

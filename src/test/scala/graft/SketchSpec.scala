@@ -333,4 +333,54 @@ class SketchSpec extends AnyFunSuite {
       "within-incoming duplicates are NOT cross-corpus duplicates")
   }
 
+  // ---- KMV overlap ----------------------------------------------------------
+
+  test("kmvOverlap is exact under capacity: known intersections, all pairs") {
+    // g0 = {v0..v29}, g1 = {v20..v49}, g2 = {v100..v109}: overlaps
+    // 10 (g0,g1), 0 (g0,g2), 0 (g1,g2)
+    val rows = (0 until 30).map(i => ("g0", s"v$i")) ++
+      (20 until 50).map(i => ("g1", s"v$i")) ++
+      (100 until 110).map(i => ("g2", s"v$i"))
+    val df = rows.toDF("g", "v")
+    val states = ops.Sketch.kmvSetState(df, Seq("g"), col("v"), k = 64)
+    val got = ops.Sketch.kmvOverlap(states, "g", col("kmv_state"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(("g0", "g1"), ("g0", "g2"), ("g1", "g2")))
+    assert(got(("g0", "g1")) == ((10.0, 50.0, 10.0 / 50.0)))
+    assert(got(("g0", "g2")) == ((0.0, 40.0, 0.0)))
+    assert(got(("g1", "g2")) == ((0.0, 40.0, 0.0)))
+  }
+
+  test("kmvOverlap states survive persistence and duplicate rows do not inflate") {
+    val dir = TestSpark.tmpDir("kmv-overlap")
+    val rows = (0 until 500).map(i => ("a", s"x${i % 25}")) ++ // 25 distinct
+      (0 until 500).map(i => ("b", s"x${i % 40}")) //             40 distinct
+    ops.Sketch.kmvSetState(rows.toDF("g", "v"), Seq("g"), col("v"), k = 64)
+      .write.parquet(s"$dir/states")
+    val got = ops.Sketch.kmvOverlap(
+      spark.read.parquet(s"$dir/states"), "g", col("kmv_state")).head()
+    assert(got.getDouble(2) == 25.0 && got.getDouble(3) == 40.0)
+    assert(got.getDouble(4) == 25.0 / 40.0)
+  }
+
+  test("kmvOverlap estimates past capacity within 30% and handles mixed k") {
+    val n = 4000
+    val shared = 2000
+    // a = {0..3999}, b = {2000..5999}: jaccard = 2000/6000, union 6000
+    val rows = (0 until n).map(i => ("a", s"u$i")) ++
+      (shared until shared + n).map(i => ("b", s"u$i"))
+    val df = rows.toDF("g", "v")
+    val sa = ops.Sketch.kmvSetState(df.filter(col("g") === "a"), Seq("g"),
+      col("v"), k = 256)
+    val sb = ops.Sketch.kmvSetState(df.filter(col("g") === "b"), Seq("g"),
+      col("v"), k = 512) // mixed capacity: pair math uses min(k)
+    val got = ops.Sketch.kmvOverlap(sa.unionByName(sb), "g", col("kmv_state"))
+      .head()
+    val (inter, uni, jac) = (got.getDouble(2), got.getDouble(3), got.getDouble(4))
+    assert(math.abs(uni - 6000.0) / 6000.0 < 0.3, s"union est $uni")
+    assert(math.abs(jac - shared / 6000.0) / (shared / 6000.0) < 0.3, s"jaccard $jac")
+    assert(math.abs(inter - shared) / shared < 0.45, s"inter est $inter")
+  }
+
 }
