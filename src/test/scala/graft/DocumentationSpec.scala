@@ -163,4 +163,34 @@ class DocumentationSpec extends AnyFunSuite {
       s"SQL dedup diverged: only-sql=${sqlSet -- apiSet}, only-api=${apiSet -- sqlSet}")
   }
 
+  test("README sketch-rollup SQL (graft_kll_* / graft_hll_*) works as written") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("sketch_docs")
+
+    // the README's percentile-rollup shape: states per fine group,
+    // merged to a coarser rollup with no rescan
+    val rolled = spark.sql(
+      """WITH states AS (
+        |  SELECT source, lang, graft_kll_state(CAST(n_chars AS DOUBLE)) AS st
+        |  FROM sketch_docs GROUP BY source, lang)
+        |SELECT source, graft_kll_merge(st, 0.5, 0.99) AS qs
+        |FROM states GROUP BY source""".stripMargin)
+    val direct = spark.sql(
+      """SELECT source, graft_kll_quantiles(CAST(n_chars AS DOUBLE), 0.5, 0.99) AS qs
+        |FROM sketch_docs GROUP BY source""".stripMargin)
+    val a = rolled.select("source", "qs").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val b = direct.collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b, "state rollup must equal the direct sketch within capacity")
+
+    // distinct-count twin (same rollup discipline, HLL registers)
+    val hll = spark.sql(
+      """WITH states AS (
+        |  SELECT source, graft_hll_state(
+        |    CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)) AS st
+        |  FROM sketch_docs GROUP BY source)
+        |SELECT source, graft_hll_merge(st).est AS est FROM states""".stripMargin)
+    assert(hll.collect().forall(_.getDouble(1) > 0))
+  }
+
 }
