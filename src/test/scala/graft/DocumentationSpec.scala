@@ -189,7 +189,7 @@ class DocumentationSpec extends AnyFunSuite {
         |  SELECT source, graft_hll_state(
         |    CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)) AS st
         |  FROM sketch_docs GROUP BY source)
-        |SELECT source, graft_hll_merge(st).est AS est FROM states""".stripMargin)
+        |SELECT source, graft_hll_merge(st).est AS est FROM states GROUP BY source""".stripMargin)
     assert(hll.collect().forall(_.getDouble(1) > 0))
   }
 
