@@ -1341,6 +1341,30 @@ object QTables {
    * v3: per-file column stats (data skipping) recorded at write. */
   val CacheFormatVersion = 4
 
+  /** Documents indexed with per-file HLL register stats on text/source
+   * — the metadata-only approx-distinct fixture (q93). Small cubes so
+   * the fold actually unions registers across MANY files. */
+  def qbeastHllDocumentsPath(spark: SparkSession, sfDir: String): String = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "documents_hll")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, "documents").write.format("qbeast")
+          .option("columnsToIndex", "doc_id,n_chars")
+          .option("cubeSize", "200")
+          .option("hllColumns", "text,source")
+          .mode("overwrite")
+          .save(path)
+        // fixture guard: the fold must be answerable (every file carries
+        // registers) — q93 is meaningless otherwise
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        require(t.approxCountDistinct("text").isDefined,
+          "documents_hll fixture: register fold unexpectedly bailed")
+      }
+    }
+    path
+  }
+
   private def cachePath(sfDir: String, table: String): String = {
     val sfName = new java.io.File(sfDir).getName
     s"/tmp/graft_qbeast/v$CacheFormatVersion/$sfName/$table"

@@ -1084,6 +1084,25 @@ object SparkEntry {
         "boundary-aligned filtered min/max should fold to metadata")
       df
     }),
+    "q93_metadata_hll_distinct" -> ((s, dir) => {
+      // metadata-only APPROX COUNT DISTINCT: per-file HLL registers
+      // written under the hllColumns option fold on the driver —
+      // elementwise max across files is bit-identical to one sketch
+      // over all rows, so this equals the full-scan estimate while
+      // reading ZERO data files (the 100 TB NDV-dashboard shape;
+      // Snowflake's per-micro-partition NDV). Integer register state
+      // (scaled, zeros) replayed exactly by the oracle
+      val path = QTables.qbeastHllDocumentsPath(s, dir)
+      val t = graft.table.QbeastTable.forPath(s, path)
+      val text = t.approxCountDistinct("text").getOrElse(
+        throw new IllegalStateException("hll fold bailed on text"))
+      val src = t.approxCountDistinct("source").getOrElse(
+        throw new IllegalStateException("hll fold bailed on source"))
+      import s.implicits._
+      Seq(("text", text.est, text.scaled, text.zeros),
+        ("source", src.est, src.scaled, src.zeros))
+        .toDF("column_name", "est", "scaled", "zeros")
+    }),
     "q87_optimize_where" -> ((s, dir) => {
       // predicate-scoped OPTIMIZE ... WHERE through SQL: only files
       // that may match the predicate are repacked (builder asserts the
@@ -1828,7 +1847,38 @@ object SparkEntry {
         |  quantile_disc(CAST(n_chars AS DOUBLE), 0.99) AS p99
         |FROM documents GROUP BY source""".stripMargin
 
+  /** Global (ungrouped) HLL register replay over one documents column —
+   * the q93 oracle building block. Same register math and correction
+   * literals as [[HllOracleSql]] (t36); the per-FILE registers the
+   * write collected union to exactly this whole-table state. */
+  private def hllGlobalReplay(column: String): String =
+    s"""SELECT '$column' AS column_name,
+        |  CASE WHEN zeros > 0 AND (CAST('1579498136381.3938' AS DOUBLE) / scaled) <= 640.0
+        |         THEN 256.0 * ln(256.0 / zeros)
+        |       WHEN (CAST('1579498136381.3938' AS DOUBLE) / scaled) > 4294967296.0 / 30.0
+        |         THEN -4294967296.0 * ln(1.0 - (CAST('1579498136381.3938' AS DOUBLE) / scaled) / 4294967296.0)
+        |       ELSE CAST('1579498136381.3938' AS DOUBLE) / scaled END AS est,
+        |  scaled, zeros
+        |FROM (
+        |  SELECT CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS scaled,
+        |         CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM (
+        |    SELECT s.i AS i, coalesce(r.rho, 0) AS rho
+        |    FROM (SELECT unnest(range(256)) AS i) s
+        |    LEFT JOIN (
+        |      SELECT hv % 256 AS bucket,
+        |             max(CASE WHEN hv // 256 = 0 THEN 25
+        |                      ELSE 25 - length(bin(hv // 256)) END) AS rho
+        |      FROM (SELECT DISTINCT ('0x' || substr(md5($column), 1, 8))::BIGINT AS hv
+        |            FROM documents WHERE $column IS NOT NULL) h
+        |      GROUP BY 1) r ON r.bucket = s.i))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q93_metadata_hll_distinct" ->
+      // the per-file register UNION the metadata fold computes equals
+      // the whole-table register state this replays — exact integers
+      // (scaled, zeros) plus the same IEEE correction arithmetic
+      (hllGlobalReplay("text") + "\nUNION ALL\n" + hllGlobalReplay("source")),
     "q01_roundtrip_agg" ->
       """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

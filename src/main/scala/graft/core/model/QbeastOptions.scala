@@ -29,6 +29,16 @@ final case class QbeastOptions(
       case (k, v) if k.equalsIgnoreCase(QbeastOptions.BloomFilterBits) => v.toInt
     }
 
+  /** `hllColumns`: per-file HyperLogLog register stats for metadata-only
+   * approximate distinct counts. Same tri-state discipline as
+   * [[bloomFilterColumns]]: None = inherit the table's persisted
+   * config; Some(Nil) = the explicit empty string, turn-off. */
+  lazy val hllColumns: Option[Seq[String]] =
+    extra.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(QbeastOptions.HllColumns) =>
+        v.split(",").map(_.trim).toSeq.filter(_.nonEmpty)
+    }
+
   /** True iff the caller explicitly passed cubeSize (vs the filled-in
    * default): appends without it inherit the existing revision's
    * configured size instead of resetting it (see RevisionFactory). */
@@ -61,6 +71,10 @@ object QbeastOptions {
   /** Comma-separated columns to build per-file bloom filters over at
    * write time (equality/IN file skipping on non-indexed columns). */
   val BloomFilterColumns = "bloomFilterColumns"
+
+  /** Comma-separated columns to build per-file HLL register stats over
+   * at write time (metadata-only approx distinct counts). */
+  val HllColumns = "hllColumns"
 
   /** Bits per expected row for the per-file bloom filters (default
    * [[graft.write.BloomCollector.DefaultBitsPerKey]]-style sizing). */

@@ -117,6 +117,39 @@ object DistributedMetadata {
    * maxWeights, elementCount = sum) as a groupBy-cube Spark job over the
    * sidecar blocks; the tail merges in driver-side. O(cubes) driver
    * memory — the same order as the broadcast the writer ships anyway. */
+  /** Union of the checkpointed files' per-column HLL registers — the
+   * sidecar-scale half of [[graft.table.QbeastTable.approxCountDistinct]].
+   * One Spark job over the parquet sidecar; only per-partition 256-byte
+   * partials reach the driver. None if any live file lacks registers
+   * for `column`. */
+  def hllRegisters(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      column: String): Option[Array[Byte]] = {
+    import spark.implicits._
+    import graft.expressions.HllDistinctAgg
+    val partials = liveRows(spark, snap, None).mapPartitions { it =>
+      var ok = true
+      val acc = new Array[Byte](HllDistinctAgg.M)
+      it.foreach { r =>
+        if (ok) {
+          r.stats.flatMap(graft.read.FileStatsPruning.parse)
+            .flatMap(_.hll.get(column)) match {
+            case Some(b) => HllDistinctAgg.mergeRegisters(acc, b)
+            case None => ok = false
+          }
+        }
+      }
+      Iterator.single((ok, acc))
+    }.collect()
+    if (partials.exists(!_._1)) None
+    else {
+      val acc = new Array[Byte](HllDistinctAgg.M)
+      partials.foreach(p => HllDistinctAgg.mergeRegisters(acc, p._2))
+      Some(acc)
+    }
+  }
+
   def indexStatus(spark: SparkSession, snap: QbeastSnapshot, rid: Long): IndexStatus = {
     import spark.implicits._
     val revision = snap.revisions(rid)

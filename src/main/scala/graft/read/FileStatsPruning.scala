@@ -27,7 +27,8 @@ object FileStatsPruning {
       mins: Map[String, Any],
       maxs: Map[String, Any],
       nulls: Map[String, Long],
-      blooms: Map[String, BloomStat] = Map.empty)
+      blooms: Map[String, BloomStat] = Map.empty,
+      hll: Map[String, Array[Byte]] = Map.empty)
 
   /** Parsed-stats cache keyed by the JSON text (one entry per file;
    * snapshots reuse the same strings across queries). Bounded: every
@@ -106,7 +107,24 @@ object FileStatsPruning {
         }.toMap
         case _ => Map.empty[String, BloomStat]
       }
-      val s = Stats(numRecords, section("minValues"), section("maxValues"), nulls, blooms)
+      // per-column HLL register states (absent unless the table was
+      // written with hllColumns): a malformed entry drops only that
+      // column's registers
+      val hll = j \ "hll" match {
+        case JObject(fields) => fields.flatMap {
+          case (col, JString(b64)) =>
+            try {
+              val bytes = java.util.Base64.getDecoder.decode(b64)
+              if (bytes.length == graft.expressions.HllDistinctAgg.M)
+                Some(col -> bytes)
+              else None
+            } catch { case scala.util.control.NonFatal(_) => None }
+          case _ => None
+        }.toMap
+        case _ => Map.empty[String, Array[Byte]]
+      }
+      val s = Stats(numRecords, section("minValues"), section("maxValues"),
+        nulls, blooms, hll)
       if (cache.size() > MaxCacheEntries) cache.clear()
       cache.put(json, s)
       Some(s)

@@ -215,6 +215,27 @@ class QbeastSparkSessionExtension extends (SparkSessionExtensions => Unit) {
         graft.expressions.KllQuantilesAgg(children.head,
           children.tail.map(doubleLitArg("graft_kll_quantiles")(_, "q")))
       }))
+    //   corpus overlap from persisted states: graft_kmv_state(hash, k)
+    //   per group, then graft_kmv_overlap(a.st, b.st).jaccard per pair
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_kmv_state"),
+      new ExpressionInfo(
+        classOf[graft.expressions.KmvSetStateAgg].getName, "graft_kmv_state"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_kmv_state(hash, k) — k must be an integer literal")
+        graft.expressions.KmvSetStateAgg(children.head,
+          intLitArg("graft_kmv_state")(children(1), "k"))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("graft_kmv_overlap"),
+      new ExpressionInfo(
+        classOf[graft.expressions.KmvOverlapExpr].getName, "graft_kmv_overlap"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_kmv_overlap(stateA, stateB) takes two binary states")
+        graft.expressions.KmvOverlapExpr(children.head, children(1))
+      }))
     extensions.injectFunction((
       new FunctionIdentifier("graft_kll_state"),
       new ExpressionInfo(

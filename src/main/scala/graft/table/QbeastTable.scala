@@ -87,6 +87,56 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   }
 
   /**
+   * Metadata-only approximate distinct count of `column`, folded from
+   * the per-file HLL register stats written under the `hllColumns`
+   * option — ZERO data files are read. The register union across files
+   * is bit-identical to one sketch over all the table's rows
+   * (elementwise max is associative over any row partition), so the
+   * answer equals what `ops.Sketch.hllDistinct` would compute with a
+   * full scan — standard HLL accuracy, ~6.5% standard error at
+   * m=256 — and the (est, scaled, zeros) state is integer-exact and
+   * externally replayable (the q93 oracle pins it against DuckDB).
+   *
+   * None ("can't answer — scan instead") when any live file lacks
+   * registers for the column (table not configured, post-turn-off
+   * files, pre-feature files) or the table carries deletion-vector
+   * masks (deleted rows still sit in the written registers — an
+   * OPTIMIZE/REORG that materializes the masks re-enables the fold).
+   * Sidecar-scale tables fold through a Spark job over the parquet
+   * checkpoint ([[graft.log.DistributedMetadata.hllRegisters]]); only
+   * 256-byte partials reach the driver.
+   */
+  def approxCountDistinct(column: String): Option[QbeastTable.HllEstimate] = {
+    import graft.expressions.HllDistinctAgg
+    val s = QbeastLog.lightSnapshot(tablePath, conf)
+    if (s.dvs.nonEmpty) return None
+    val acc = new Array[Byte](HllDistinctAgg.M)
+    def fold(files: Iterable[graft.core.model.IndexFile]): Boolean =
+      files.forall { f =>
+        f.stats.flatMap(graft.read.FileStatsPruning.parse)
+          .flatMap(_.hll.get(column)) match {
+          case Some(b) => HllDistinctAgg.mergeRegisters(acc, b); true
+          case None => false
+        }
+      }
+    val ok =
+      if (s.filesComplete) fold(s.files)
+      else if (DistributedMetadata.usable(spark, s))
+        // light snapshot: `s.files` holds only the post-checkpoint tail
+        // adds; the checkpointed bulk folds distributively
+        DistributedMetadata.hllRegisters(spark, s, column) match {
+          case Some(regs) => HllDistinctAgg.mergeRegisters(acc, regs); fold(s.files)
+          case None => false
+        }
+      else fold(snapshot.files)
+    if (!ok) None
+    else {
+      val row = HllDistinctAgg.evalRegisters(acc)
+      Some(QbeastTable.HllEstimate(row.getDouble(0), row.getLong(1), row.getLong(2)))
+    }
+  }
+
+  /**
    * Rewrite the files of `revisionID` whose minimum weight fraction is ≤
    * `fraction` (the sampling-hot head of the table), re-assigning rows
    * against the *frozen* cube weights so the index shape is preserved
@@ -2449,6 +2499,11 @@ object QbeastTable {
    * before every DML commit (delete/update/merge/upsert) — the
    * options-borne `hook.*` mechanism's DML twin; tags are discarded. */
   val DmlPreCommitHookKey = "spark.qbeast.dml.preCommitHook"
+
+  /** The metadata-only distinct estimate: standard HLL correction of
+   * the folded registers plus the integer-exact (scaled, zeros) state
+   * an external engine replays bit-for-bit. */
+  final case class HllEstimate(est: Double, scaled: Long, zeros: Long)
 
   /** Default vacuum retention (7 days, mirroring Delta's default). */
   val DefaultRetentionMillis: Long = 7L * 24 * 60 * 60 * 1000

@@ -101,11 +101,14 @@ final class FileStatsCollector(schema: StructType) {
   /** Delta-shaped JSON: {"numRecords":N,"minValues":{},"maxValues":{},"nullCount":{}} */
   def toJson: String = toJson(None)
 
-  /** Same, with an optional extra `"bloomFilters": <section>` object
-   * (see [[BloomCollector.toJsonSection]]) appended — readers that
-   * don't know the key ([[graft.read.FileStatsPruning.parse]] pre-bloom,
-   * any external Delta-stats consumer) skip it untouched. */
-  def toJson(bloomSection: Option[String]): String = {
+  def toJson(bloomSection: Option[String]): String = toJson(bloomSection, None)
+
+  /** Same, with optional extra `"bloomFilters"` / `"hll"` sections
+   * (see [[BloomCollector.toJsonSection]] /
+   * [[HllCollector.toJsonSection]]) appended — readers that don't know
+   * a key ([[graft.read.FileStatsPruning.parse]] pre-bloom, any
+   * external Delta-stats consumer) skip it untouched. */
+  def toJson(bloomSection: Option[String], hllSection: Option[String]): String = {
     val sb = new StringBuilder(256)
     sb.append("{\"numRecords\":").append(numRecords)
     def section(name: String, isMin: Boolean): Unit = {
@@ -153,6 +156,7 @@ final class FileStatsCollector(schema: StructType) {
     }
     sb.append('}')
     bloomSection.foreach(b => sb.append(",\"bloomFilters\":").append(b))
+    hllSection.foreach(h => sb.append(",\"hll\":").append(h))
     sb.append('}')
     sb.toString
   }

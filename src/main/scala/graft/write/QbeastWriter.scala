@@ -190,6 +190,23 @@ object QbeastWriter {
     require(bloomBits > 0 && bloomBits <= 64,
       s"bloomFilterBits must be in [1, 64] bits per row, got $bloomBits")
 
+    // per-file HLL registers: same table-property discipline as the
+    // bloom filters (explicit option wins, empty turns off, appends
+    // inherit the persisted config)
+    val configuredHllCols = snapshot.configuration
+      .get("qbeast.hllColumns")
+      .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val hllCols = options.hllColumns.getOrElse(configuredHllCols)
+    options.hllColumns.foreach(_.foreach { c =>
+      val f = data.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"hllColumns: column $c not found in the written schema"))
+      require(hllEligible(f.dataType),
+        s"hllColumns: column $c has unsupported type ${f.dataType.simpleString} " +
+          "(string/integral/boolean/date only — the register hash renders the " +
+          "value as a string, which must be engine-independent)")
+    })
+
     // overwrite keeps the table's indexing config (columns/cubeSize are
     // reused unless re-specified); it only replaces the data files
     val existingRevision = snapshot.lastRevision.filterNot(_.isStaging)
@@ -219,7 +236,8 @@ object QbeastWriter {
 
     val files0 = index(spark, tablePath, data, revision1, existingStatus, numElements,
       rollupSize = options1.rollupSize, constraints = tableConstraints,
-      bloomSpec = Some(BloomWriteSpec(bloomCols, bloomBits)))
+      bloomSpec = Some(BloomWriteSpec(bloomCols, bloomBits)),
+      hllSpec = Some(HllWriteSpec(hllCols)))
 
     // ---- pre-commit hooks (reference #28) ----
     val hookTags =
@@ -250,6 +268,12 @@ object QbeastWriter {
         if (options.bloomFilterColumns.exists(_.isEmpty))
           Set("qbeast.bloomFilterColumns", "qbeast.bloomFilterBits")
         else Set.empty
+      val hllTag =
+        if (hllCols.nonEmpty) Map("qbeast.hllColumns" -> hllCols.mkString(","))
+        else Map.empty[String, String]
+      val hllDrop: Set[String] =
+        if (options.hllColumns.exists(_.isEmpty)) Set("qbeast.hllColumns")
+        else Set.empty
       // autoCompact persists as a table property; `autoCompact=false`
       // explicitly drops it
       val autoCompactOpt = options.extra.collectFirst {
@@ -274,11 +298,11 @@ object QbeastWriter {
       val dvDrop: Set[String] =
         if (dvOpt.contains(false)) Set(graft.write.DeletionVectors.PropertyKey)
         else Set.empty
-      val config = base.configuration ++ hookTags ++ cdfTag ++ bloomTag ++ autoTag ++
-        dvTag ++
+      val config = base.configuration ++ hookTags ++ cdfTag ++ bloomTag ++ hllTag ++
+        autoTag ++ dvTag ++
         Map("qbeast.lastRevisionID" ->
           math.max(revisionToCommit.revisionID, base.lastRevisionID).toString) --
-        bloomDrop -- autoDrop -- dvDrop
+        bloomDrop -- hllDrop -- autoDrop -- dvDrop
       // Re-derive the schema against the CURRENT base, not the snapshot
       // this write started from: a concurrent append may itself have
       // evolved the schema, and committing the stale merge would
@@ -390,9 +414,29 @@ object QbeastWriter {
     case _ => true
   }
 
+  /** HLL register stats hash through `md5(CAST(col AS STRING))` so an
+   * external engine replays them — restricted to types whose string
+   * rendering is engine-independent (strings, integral types, dates).
+   * Floating-point/decimal/binary formatting differs across engines;
+   * nested types have no canonical rendering at all. */
+  def hllEligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType |
+        org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.BooleanType |
+        org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
   /** Bloom build request for one write: columns (unresolved names) +
    * bits per expected row. */
   final case class BloomWriteSpec(cols: Seq[String], bitsPerKey: Int)
+
+  /** HLL register-stats build request for one write — same None /
+   * Some(Nil) semantics as `bloomSpec`. */
+  final case class HllWriteSpec(cols: Seq[String])
 
   /** Index `data` into `revision` and write the parquet files (no
    * commit). Shared by write and optimize. `bloomSpec` None = derive
@@ -409,17 +453,22 @@ object QbeastWriter {
       frozenWeights: Option[Map[CubeId, Weight]] = None,
       rollupSize: Option[Long] = None,
       constraints: Seq[(String, String)] = Nil,
-      bloomSpec: Option[BloomWriteSpec] = None): Seq[IndexFile] = {
+      bloomSpec: Option[BloomWriteSpec] = None,
+      hllSpec: Option[HllWriteSpec] = None): Seq[IndexFile] = {
 
+    lazy val tableCfg = QbeastLog
+      .lightSnapshot(tablePath, spark.sparkContext.hadoopConfiguration)
+      .configuration
     val bloom = bloomSpec.getOrElse {
-      val cfg = QbeastLog
-        .lightSnapshot(tablePath, spark.sparkContext.hadoopConfiguration)
-        .configuration
       BloomWriteSpec(
-        cfg.get("qbeast.bloomFilterColumns")
+        tableCfg.get("qbeast.bloomFilterColumns")
           .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil),
-        cfg.get("qbeast.bloomFilterBits").map(_.toInt)
+        tableCfg.get("qbeast.bloomFilterBits").map(_.toInt)
           .getOrElse(BloomCollector.DefaultBitsPerKey))
+    }
+    val hll = hllSpec.getOrElse {
+      HllWriteSpec(tableCfg.get("qbeast.hllColumns")
+        .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil))
     }
     // resolve case-insensitively against the written schema; a column
     // this batch doesn't carry (schema evolution) or an ineligible
@@ -427,6 +476,9 @@ object QbeastWriter {
     val bloomCols: Seq[String] = bloom.cols.flatMap(c =>
       data.schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
         bloomEligible(f.dataType)).map(_.name)).distinct
+    val hllCols: Seq[String] = hll.cols.flatMap(c =>
+      data.schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
+        hllEligible(f.dataType)).map(_.name)).distinct
 
     val dims = revision.dimensionCount
     val coordCols = revision.columnTransformers.lazyZip(revision.transformations)
@@ -571,9 +623,17 @@ object QbeastWriter {
       df.withColumn(s"_qbeastBloomH$j", xxhash64(col(c)))
     }
 
+    // HLL keys: the sketch kit's engine-portable md5-derived 32-bit
+    // hash over the STRING rendering (hllEligible restricts types to
+    // engine-independent renderings), appended after the bloom hashes
+    val taggedH = hllCols.zipWithIndex.foldLeft(taggedB) { case (df, (c, j)) =>
+      df.withColumn(s"_qbeastHllH$j",
+        conv(substring(md5(col(c).cast("string")), 1, 8), 16, 10).cast("long"))
+    }
+
     // ---- pass 3: physical write with per-cube block accounting ----
-    writeFiles(spark, tablePath, taggedB, dataSchema, dims, revision.revisionID,
-      constraints, bloomCols1, bloomNumBits)
+    writeFiles(spark, tablePath, taggedH, dataSchema, dims, revision.revisionID,
+      constraints, bloomCols1, bloomNumBits, hllCols)
   }
 
   private[graft] def classic(df: DataFrame): org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row] =
@@ -591,7 +651,8 @@ object QbeastWriter {
       revisionId: Long,
       constraints: Seq[(String, String)] = Nil,
       bloomCols: Seq[String] = Nil,
-      bloomNumBits: Long = 0L): Seq[IndexFile] = {
+      bloomNumBits: Long = 0L,
+      hllCols: Seq[String] = Nil): Seq[IndexFile] = {
 
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     val factory: OutputWriterFactory =
@@ -602,7 +663,8 @@ object QbeastWriter {
     // for ingest-bound workloads
     val collectStats =
       !spark.conf.getOption("spark.qbeast.index.fileStats").contains("false") ||
-        bloomCols.nonEmpty // blooms ride the stats JSON, which needs numRecords
+        bloomCols.nonEmpty || // blooms/hll ride the stats JSON, which
+        hllCols.nonEmpty //      needs numRecords
 
     val n = dataSchema.length
     val fields = dataSchema.fields
@@ -612,6 +674,11 @@ object QbeastWriter {
     val bloomSrcIdx = bloomNames.map(dataSchema.fieldIndex)
     val bloomBase = n + 3 + (if (constraints.nonEmpty) 1 else 0)
     val bloomHashIdx = Array.tabulate(bloomNames.length)(bloomBase + _)
+    // hll hash columns follow the bloom hashes in the tagged row
+    val hllNames = hllCols.toArray
+    val hllSrcIdx = hllNames.map(dataSchema.fieldIndex)
+    val hllBase = bloomBase + bloomNames.length
+    val hllHashIdx = Array.tabulate(hllNames.length)(hllBase + _)
     val plan = classic(tagged).queryExecution.executedPlan
 
     val filesRdd = plan.execute().mapPartitionsWithIndex { (pid, rows) =>
@@ -637,7 +704,8 @@ object QbeastWriter {
             path: Path,
             blocks: mutable.HashMap[CubeId, (Int, Int, Long)],
             stats: FileStatsCollector,
-            bloom: BloomCollector)
+            bloom: BloomCollector,
+            hll: HllCollector)
         val fs = new Path(tablePath).getFileSystem(conf)
         val done = Vector.newBuilder[IndexFile]
         val closed = mutable.HashSet.empty[String]
@@ -655,7 +723,8 @@ object QbeastWriter {
               Block(cube, Weight(mn), Weight(mx), cnt)
             }.toVector.sortBy(_.cube),
             stats = Option(of.stats)
-              .map(_.toJson(Option(of.bloom).map(_.toJsonSection))))
+              .map(_.toJson(Option(of.bloom).map(_.toJsonSection),
+                Option(of.hll).map(_.toJsonSection))))
           closed += of.uuid
           of = null
         }
@@ -704,11 +773,15 @@ object QbeastWriter {
                 if (bloomNames.nonEmpty)
                   new BloomCollector(bloomNames, bloomSrcIdx, bloomHashIdx,
                     bloomNumBits, BloomCollector.NumHashes)
+                else null,
+                if (hllNames.nonEmpty)
+                  new HllCollector(hllNames, hllSrcIdx, hllHashIdx)
                 else null)
             }
             of.writer.write(project(row))
             if (of.stats != null) of.stats.update(row)
             if (of.bloom != null) of.bloom.update(row)
+            if (of.hll != null) of.hll.update(row)
             val (mn, mx, cnt) = of.blocks.getOrElse(cube, (Int.MaxValue, Int.MinValue, 0L))
             of.blocks.update(cube, (math.min(mn, weight), math.max(mx, weight), cnt + 1L))
           }

@@ -364,6 +364,21 @@ class SketchSpec extends AnyFunSuite {
     assert(got.getDouble(4) == 25.0 / 40.0)
   }
 
+  test("graft_kmv_state / graft_kmv_overlap work from SQL") {
+    val rows = (0 until 30).map(i => ("g0", s"v$i")) ++
+      (20 until 50).map(i => ("g1", s"v$i"))
+    rows.toDF("g", "v").createOrReplaceTempView("kmv_sql_in")
+    val got = spark.sql(
+      """WITH states AS (
+        |  SELECT g, graft_kmv_state(
+        |    CAST(conv(substr(md5(v), 1, 8), 16, 10) AS BIGINT), 64) AS st
+        |  FROM kmv_sql_in GROUP BY g)
+        |SELECT a.g, b.g, graft_kmv_overlap(a.st, b.st).inter AS inter,
+        |  graft_kmv_overlap(a.st, b.st).jaccard AS jac
+        |FROM states a JOIN states b ON a.g < b.g""".stripMargin).head()
+    assert(got.getDouble(2) == 10.0 && got.getDouble(3) == 10.0 / 50.0)
+  }
+
   test("kmvOverlap estimates past capacity within 30% and handles mixed k") {
     val n = 4000
     val shared = 2000
