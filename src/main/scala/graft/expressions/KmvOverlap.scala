@@ -109,7 +109,10 @@ final case class KmvOverlapExpr(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"kmv overlap expects two binary states, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-  override def nullable: Boolean = false
+  // BinaryExpression's default (left.nullable || right.nullable): a
+  // null state (outer-joined pair) must answer null, and codegen must
+  // keep the null guards — forcing false here would NPE in generated
+  // code while the interpreted path returned null
   override def dataType: DataType = KmvOverlapExpr.OutputType
 
   private def parse(bytes: Array[Byte]): (Int, Array[Long]) = {
@@ -126,34 +129,41 @@ final case class KmvOverlapExpr(left: Expression, right: Expression)
     val (ka, a) = parse(aBytes)
     val (kb, b) = parse(bBytes)
     val k = math.min(ka, kb)
-    // merged distinct size m and, within the first min(m, k) smallest
-    // union values, the count present in BOTH sets — one two-pointer
-    // pass over the sorted arrays
+    // one two-pointer pass over the sorted arrays: merged distinct
+    // size m, the both-present count over ALL of it (the exact
+    // branch), and the both-present count within the k smallest union
+    // values (the coordinated-sample branch)
     var i = 0
     var j = 0
     var m = 0
-    var rho = 0
-    var considered = 0
+    var fullRho = 0
+    var rhoK = 0
     while (i < a.length || j < b.length) {
       val both = i < a.length && j < b.length && a(i) == b(j)
-      if (m < k) { considered += 1; if (both) rho += 1 }
+      if (both) {
+        fullRho += 1
+        if (m < k) rhoK += 1
+      }
       if (both) { i += 1; j += 1 }
       else if (j >= b.length || (i < a.length && a(i) < b(j))) i += 1
       else j += 1
       m += 1
     }
-    if (considered == 0)
+    if (m == 0)
       return InternalRow(0.0, 0.0, Double.NaN)
-    if (m < k) {
-      // both states are complete hash sets: exact integer counts, and
-      // one IEEE division the oracle replays bit-for-bit
-      InternalRow(rho.toDouble, m.toDouble, rho.toDouble / m.toDouble)
+    if (a.length < ka && b.length < kb) {
+      // BOTH states are complete hash sets (neither ever evicted), so
+      // the exact answer is computable regardless of the union's size:
+      // exact integer counts, and one IEEE division the oracle replays
+      // bit-for-bit
+      InternalRow(fullRho.toDouble, m.toDouble, fullRho.toDouble / m.toDouble)
     } else {
-      // coordinated k-min sample: jaccard from the shared fraction,
-      // union from the Bar-Yossef estimator over the combined sample
-      val jac = rho.toDouble / k.toDouble
-      // kth smallest of the union: walk the merge again is avoidable —
-      // it is max of the k-th prefix; recompute via a bounded merge
+      // at least one side evicted: coordinated k-min sample — jaccard
+      // from the shared fraction of the k smallest union values, union
+      // from the Bar-Yossef estimator over that sample. The sample has
+      // full size k here (a saturated side alone contributes >= k >=
+      // min(k) values), so rhoK/k is the unbiased shared fraction.
+      val jac = rhoK.toDouble / k.toDouble
       val kth = KmvOverlapExpr.kthOfUnion(a, b, k)
       val uniEst = ((k - 1).toDouble * 4294967296.0) / kth.toDouble
       InternalRow(jac * uniEst, uniEst, jac)

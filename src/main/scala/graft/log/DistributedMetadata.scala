@@ -113,10 +113,6 @@ object DistributedMetadata {
       snap.files.iterator.filter(f => rids.contains(f.revisionId))).toVector
   }
 
-  /** Per-cube tree state of one revision (maxWeight = min over block
-   * maxWeights, elementCount = sum) as a groupBy-cube Spark job over the
-   * sidecar blocks; the tail merges in driver-side. O(cubes) driver
-   * memory — the same order as the broadcast the writer ships anyway. */
   /** Union of the checkpointed files' per-column HLL registers — the
    * sidecar-scale half of [[graft.table.QbeastTable.approxCountDistinct]].
    * One Spark job over the parquet sidecar; only per-partition 256-byte
@@ -150,6 +146,10 @@ object DistributedMetadata {
     }
   }
 
+  /** Per-cube tree state of one revision (maxWeight = min over block
+   * maxWeights, elementCount = sum) as a groupBy-cube Spark job over the
+   * sidecar blocks; the tail merges in driver-side. O(cubes) driver
+   * memory — the same order as the broadcast the writer ships anyway. */
   def indexStatus(spark: SparkSession, snap: QbeastSnapshot, rid: Long): IndexStatus = {
     import spark.implicits._
     val revision = snap.revisions(rid)

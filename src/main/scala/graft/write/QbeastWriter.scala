@@ -627,8 +627,11 @@ object QbeastWriter {
     // hash over the STRING rendering (hllEligible restricts types to
     // engine-independent renderings), appended after the bloom hashes
     val taggedH = hllCols.zipWithIndex.foldLeft(taggedB) { case (df, (c, j)) =>
+      // the ONE portable-hash definition — per-file registers are
+      // bit-identical to the sketch kit (and the q93/t36 oracles)
+      // because this is literally the same expression
       df.withColumn(s"_qbeastHllH$j",
-        conv(substring(md5(col(c).cast("string")), 1, 8), 16, 10).cast("long"))
+        graft.ops.Sketch.portableHash32(col(c).cast("string")))
     }
 
     // ---- pass 3: physical write with per-cube block accounting ----

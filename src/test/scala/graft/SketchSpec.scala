@@ -379,6 +379,31 @@ class SketchSpec extends AnyFunSuite {
     assert(got.getDouble(2) == 10.0 && got.getDouble(3) == 10.0 / 50.0)
   }
 
+  test("kmvOverlap stays exact when both sets are complete but their union exceeds k") {
+    // 60 + 60 distinct with overlap 20: each set is under k=64 (so
+    // both are complete hash sets), but the union (100) exceeds k — the
+    // exact answer must still come back, not the coordinated-sample
+    // estimate (this is the regime the t40 oracle exercises at larger
+    // SFs: every source under capacity, pairwise unions over it)
+    val rows = (0 until 60).map(i => ("a", s"w$i")) ++
+      (40 until 100).map(i => ("b", s"w$i"))
+    val states = ops.Sketch.kmvSetState(rows.toDF("g", "v"), Seq("g"), col("v"), k = 64)
+    val got = ops.Sketch.kmvOverlap(states, "g", col("kmv_state")).head()
+    assert(got.getDouble(2) == 20.0 && got.getDouble(3) == 100.0)
+    assert(got.getDouble(4) == 20.0 / 100.0)
+  }
+
+  test("kmvOverlap answers null for a null state (outer-joined pair), in codegen") {
+    val rows = (0 until 10).map(i => ("a", s"v$i"))
+    val states = ops.Sketch.kmvSetState(rows.toDF("g", "v"), Seq("g"), col("v"), k = 64)
+      .withColumn("null_state", lit(null).cast("binary"))
+    val shims = org.apache.spark.sql.GraftShims
+    val ov = shims.column(graft.expressions.KmvOverlapExpr(
+      shims.expression(col("kmv_state")), shims.expression(col("null_state"))))
+    assert(states.select(ov.as("ov")).head().isNullAt(0),
+      "null state must answer null, not NPE")
+  }
+
   test("kmvOverlap estimates past capacity within 30% and handles mixed k") {
     val n = 4000
     val shared = 2000
