@@ -175,7 +175,10 @@ final class DistributedQbeastFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val filters = partitionFilters ++ dataFilters
+    // expand monotone date-function predicates once here so the
+    // checkpoint-side stats pruning below sees them too (selectFiles
+    // re-expands its own input — a no-op on already-expanded trees)
+    val filters = DerivedPredicates.expand(partitionFilters ++ dataFilters)
     // capture ONCE: a concurrent refresh() must not tear this view
     // across tail, checkpoint version, and touched set
     val snap = degradeIfSidecarGone(snapshot)

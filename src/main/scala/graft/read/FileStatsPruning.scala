@@ -139,6 +139,15 @@ object FileStatsPruning {
     case And(l, r) => eval(s, l) && eval(s, r)
     case Or(l, r) => eval(s, l) || eval(s, r)
 
+    // a constant condition decides outright (DerivedPredicates folds
+    // unattainable equalities to FALSE); a NULL literal passes no rows
+    case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
+    case Literal(null, org.apache.spark.sql.types.BooleanType) => false
+    // the DML path's three-valued wrapper: coalesce(x, false) is true
+    // iff x is true
+    case Coalesce(Seq(inner, Literal(false, org.apache.spark.sql.types.BooleanType))) =>
+      eval(s, inner)
+
     case EqualTo(a: AttributeReference, Literal(v, dt)) => containsValue(s, a.name, v, dt)
     case EqualTo(Literal(v, dt), a: AttributeReference) => containsValue(s, a.name, v, dt)
 

@@ -102,7 +102,12 @@ object QbeastFileIndex {
    * layer then applies the per-file column stats (data skipping on
    * non-indexed columns) to every candidate, staging included. */
   def selectFiles(snapshot: QbeastSnapshot, filters: Seq[Expression]): Vector[IndexFile] = {
-    val pruning = revisionSpecs(snapshot, filters)
+    // monotone date-function predicates (year(ts)=…, cast-to-date,
+    // trunc/date_trunc) rewrite to equivalent raw-column ranges both
+    // layers below understand; idempotent, so re-expanded filters from
+    // the distributed index pass through unchanged
+    val expanded = if (filters.isEmpty) filters else DerivedPredicates.expand(filters)
+    val pruning = revisionSpecs(snapshot, expanded)
     val indexSelected = snapshot.files.filter { f =>
       pruning.get(f.revisionId) match {
         case None => true
@@ -110,8 +115,8 @@ object QbeastFileIndex {
           f.blocks.exists(b => specs.exists(s => blockMatches(b, s)))
       }
     }
-    if (filters.isEmpty) indexSelected
-    else indexSelected.filter(f => FileStatsPruning.mayMatch(f.stats, filters))
+    if (expanded.isEmpty) indexSelected
+    else indexSelected.filter(f => FileStatsPruning.mayMatch(f.stats, expanded))
   }
 
   private[read] def blockMatches(block: Block, spec: QuerySpec): Boolean = {

@@ -124,13 +124,18 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // values the stats know nothing about)
     if (!conds.forall(_.references.forall(a => outIds.contains(a.exprId)))) return None
 
+    // monotone date-function predicates (year(ts)=…, cast-to-date,
+    // trunc) rewrite to EQUIVALENT raw-column ranges, so their
+    // TRUE/FALSE proofs below are exactly the original predicate's
+    val provable = graft.read.DerivedPredicates.expand(conds)
+
     var n = 0L
     val surviving = scala.collection.mutable.HashSet.empty[String]
     snap.files.foreach { f =>
       if (f.elementCount > 0L) {
         val stats = f.stats.flatMap(FileStatsPruning.parse).getOrElse(return None)
         if (stats.numRecords != f.elementCount) return None // stale/odd stats
-        val proofs = conds.map(c => FileStatsPruning.proveAll(stats, c))
+        val proofs = provable.map(c => FileStatsPruning.proveAll(stats, c))
         if (proofs.exists(_.contains(false))) () // no row matches: adds 0
         else if (proofs.forall(_.contains(true))) {
           // proofs hold for every PHYSICAL row, hence for every live

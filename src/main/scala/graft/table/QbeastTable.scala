@@ -327,8 +327,12 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       s: QbeastSnapshot,
       filtered: org.apache.spark.sql.DataFrame)
       : Option[(Vector[IndexFile], Vector[IndexFile])] = {
-    val (hasScan, conjuncts) = optimizedUserConjuncts(filtered)
+    val (hasScan, rawConjuncts) = optimizedUserConjuncts(filtered)
     if (!hasScan) return None
+    // date-function predicates (year(ts)=…, trunc, cast-to-date)
+    // rewrite to equivalent raw-column ranges the stats can prove, so
+    // `DELETE WHERE year(ts) < 2020` still drops whole files
+    val conjuncts = graft.read.DerivedPredicates.expand(rawConjuncts)
     val provedTrue = Vector.newBuilder[IndexFile]
     val undecided = Vector.newBuilder[IndexFile]
     s.files.foreach { f =>
