@@ -1365,6 +1365,33 @@ object QTables {
     path
   }
 
+  /** Documents indexed with per-file KLL quantile states on n_chars —
+   * the metadata-only approx-quantile fixture (q95). Small cubes so
+   * the fold merges states across MANY files; kllK=8192 keeps the
+   * merged state within capacity (hence exactly `quantile_disc`) at
+   * the oracle SF. */
+  def qbeastKllDocumentsPath(spark: SparkSession, sfDir: String): String = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "documents_kll")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        raw(spark, sfDir, "documents").write.format("qbeast")
+          .option("columnsToIndex", "doc_id,n_chars")
+          .option("cubeSize", "200")
+          .option("kllColumns", "n_chars")
+          .option("kllK", "8192")
+          .mode("overwrite")
+          .save(path)
+        // fixture guard: the fold must be answerable (every file
+        // carries a state) — q95 is meaningless otherwise
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        require(t.approxQuantile("n_chars", Seq(0.5)).isDefined,
+          "documents_kll fixture: state fold unexpectedly bailed")
+      }
+    }
+    path
+  }
+
   private def cachePath(sfDir: String, table: String): String = {
     val sfName = new java.io.File(sfDir).getName
     s"/tmp/graft_qbeast/v$CacheFormatVersion/$sfName/$table"

@@ -39,6 +39,21 @@ final case class QbeastOptions(
         v.split(",").map(_.trim).toSeq.filter(_.nonEmpty)
     }
 
+  /** `kllColumns`: per-file KLL quantile-sketch states for
+   * metadata-only approximate quantiles. Same tri-state discipline as
+   * [[bloomFilterColumns]]: None = inherit the table's persisted
+   * config; Some(Nil) = the explicit empty string, turn-off. */
+  lazy val kllColumns: Option[Seq[String]] =
+    extra.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(QbeastOptions.KllColumns) =>
+        v.split(",").map(_.trim).toSeq.filter(_.nonEmpty)
+    }
+
+  lazy val kllK: Option[Int] =
+    extra.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(QbeastOptions.KllK) => v.toInt
+    }
+
   /** True iff the caller explicitly passed cubeSize (vs the filled-in
    * default): appends without it inherit the existing revision's
    * configured size instead of resetting it (see RevisionFactory). */
@@ -79,6 +94,16 @@ object QbeastOptions {
   /** Bits per expected row for the per-file bloom filters (default
    * [[graft.write.BloomCollector.DefaultBitsPerKey]]-style sizing). */
   val BloomFilterBits = "bloomFilterBits"
+
+  /** Comma-separated numeric/date/timestamp columns to build per-file
+   * KLL quantile-sketch states over at write time (metadata-only
+   * approximate quantiles). */
+  val KllColumns = "kllColumns"
+
+  /** Per-file KLL capacity: larger k = exact quantiles up to k rows per
+   * file and lower merged rank error, at ~8·k bytes of log metadata per
+   * file per column. */
+  val KllK = "kllK"
 
   /** Target rows per output file (defaults to cubeSize). Larger values
    * cut file counts (fewer tasks/opens at scale); with rows sorted by

@@ -28,7 +28,8 @@ object FileStatsPruning {
       maxs: Map[String, Any],
       nulls: Map[String, Long],
       blooms: Map[String, BloomStat] = Map.empty,
-      hll: Map[String, Array[Byte]] = Map.empty)
+      hll: Map[String, Array[Byte]] = Map.empty,
+      kll: Map[String, Array[Byte]] = Map.empty)
 
   /** Parsed-stats cache keyed by the JSON text (one entry per file;
    * snapshots reuse the same strings across queries). Bounded: every
@@ -123,8 +124,20 @@ object FileStatsPruning {
         }.toMap
         case _ => Map.empty[String, Array[Byte]]
       }
+      // per-column serialized KLL quantile states (absent unless the
+      // table was written with kllColumns); a malformed entry drops
+      // only that column's state
+      val kll = j \ "kll" match {
+        case JObject(fields) => fields.flatMap {
+          case (col, JString(b64)) =>
+            try Some(col -> java.util.Base64.getDecoder.decode(b64))
+            catch { case scala.util.control.NonFatal(_) => None }
+          case _ => None
+        }.toMap
+        case _ => Map.empty[String, Array[Byte]]
+      }
       val s = Stats(numRecords, section("minValues"), section("maxValues"),
-        nulls, blooms, hll)
+        nulls, blooms, hll, kll)
       if (cache.size() > MaxCacheEntries) cache.clear()
       cache.put(json, s)
       Some(s)

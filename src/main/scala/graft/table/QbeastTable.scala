@@ -137,6 +137,46 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   }
 
   /**
+   * Metadata-only approximate quantiles of `column`, folded from the
+   * per-file KLL sketch states written under the `kllColumns` option —
+   * ZERO data files are read. Merging the per-file states with the
+   * same deterministic compaction the aggregate kit uses is exactly
+   * sketching the union of the files' rows, so while the table holds
+   * ≤ kllK non-null rows the answer equals DuckDB `quantile_disc`
+   * bit-for-bit (the q95 oracle regime); beyond, the standard KLL
+   * rank-error bound applies (MetadataKllSpec measures it). The p99 /
+   * median dashboard over 100 TB as a driver-side byte fold.
+   *
+   * None ("can't answer — scan instead") when any live non-empty file
+   * lacks a state for the column, the table carries deletion-vector
+   * masks (masked rows can't be removed from a sketch), or every state
+   * is empty of the column's values entirely — Some(NaN…) is the legal
+   * answer for a table whose column is all-null.
+   */
+  def approxQuantile(column: String, qs: Seq[Double]): Option[Seq[Double]] = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0,1], got $qs")
+    val s0 = QbeastLog.lightSnapshot(tablePath, conf)
+    if (s0.dvs.nonEmpty) return None
+    val s = if (s0.filesComplete) s0 else snapshot
+    var acc: graft.expressions.KllState = null
+    val ok = s.files.forall { f =>
+      f.elementCount == 0L || {
+        f.stats.flatMap(graft.read.FileStatsPruning.parse)
+          .flatMap(_.kll.get(column)) match {
+          case Some(b) =>
+            val st = graft.expressions.KllState.deserialize(b)
+            if (acc == null) acc = st else acc.mergeIn(st)
+            true
+          case None => false
+        }
+      }
+    }
+    if (!ok || acc == null) None
+    else Some(acc.quantiles(qs.toArray).toSeq)
+  }
+
+  /**
    * Rewrite the files of `revisionID` whose minimum weight fraction is ≤
    * `fraction` (the sampling-hot head of the table), re-assigning rows
    * against the *frozen* cube weights so the index shape is preserved

@@ -103,12 +103,19 @@ final class FileStatsCollector(schema: StructType) {
 
   def toJson(bloomSection: Option[String]): String = toJson(bloomSection, None)
 
-  /** Same, with optional extra `"bloomFilters"` / `"hll"` sections
-   * (see [[BloomCollector.toJsonSection]] /
-   * [[HllCollector.toJsonSection]]) appended — readers that don't know
-   * a key ([[graft.read.FileStatsPruning.parse]] pre-bloom, any
-   * external Delta-stats consumer) skip it untouched. */
-  def toJson(bloomSection: Option[String], hllSection: Option[String]): String = {
+  def toJson(bloomSection: Option[String], hllSection: Option[String]): String =
+    toJson(bloomSection, hllSection, None)
+
+  /** Same, with optional extra `"bloomFilters"` / `"hll"` / `"kll"`
+   * sections (see [[BloomCollector.toJsonSection]] /
+   * [[HllCollector.toJsonSection]] / [[KllCollector.toJsonSection]])
+   * appended — readers that don't know a key
+   * ([[graft.read.FileStatsPruning.parse]] pre-bloom, any external
+   * Delta-stats consumer) skip it untouched. */
+  def toJson(
+      bloomSection: Option[String],
+      hllSection: Option[String],
+      kllSection: Option[String]): String = {
     val sb = new StringBuilder(256)
     sb.append("{\"numRecords\":").append(numRecords)
     def section(name: String, isMin: Boolean): Unit = {
@@ -157,6 +164,7 @@ final class FileStatsCollector(schema: StructType) {
     sb.append('}')
     bloomSection.foreach(b => sb.append(",\"bloomFilters\":").append(b))
     hllSection.foreach(h => sb.append(",\"hll\":").append(h))
+    kllSection.foreach(k => sb.append(",\"kll\":").append(k))
     sb.append('}')
     sb.toString
   }

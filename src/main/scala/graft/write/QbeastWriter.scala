@@ -207,6 +207,25 @@ object QbeastWriter {
           "value as a string, which must be engine-independent)")
     })
 
+    // per-file KLL quantile states: same table-property discipline
+    val configuredKllCols = snapshot.configuration
+      .get("qbeast.kllColumns")
+      .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val kllCols = options.kllColumns.getOrElse(configuredKllCols)
+    options.kllColumns.foreach(_.foreach { c =>
+      val f = data.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"kllColumns: column $c not found in the written schema"))
+      require(KllCollector.eligible(f.dataType),
+        s"kllColumns: column $c has unsupported type ${f.dataType.simpleString} " +
+          "(numeric/date/timestamp only — the sketch stores double coordinates)")
+    })
+    val kllK = options.kllK
+      .orElse(snapshot.configuration.get("qbeast.kllK").map(_.toInt))
+      .getOrElse(KllCollector.DefaultK)
+    require(kllK >= 8 && kllK <= (1 << 20),
+      s"kllK must be in [8, ${1 << 20}], got $kllK")
+
     // overwrite keeps the table's indexing config (columns/cubeSize are
     // reused unless re-specified); it only replaces the data files
     val existingRevision = snapshot.lastRevision.filterNot(_.isStaging)
@@ -237,7 +256,8 @@ object QbeastWriter {
     val files0 = index(spark, tablePath, data, revision1, existingStatus, numElements,
       rollupSize = options1.rollupSize, constraints = tableConstraints,
       bloomSpec = Some(BloomWriteSpec(bloomCols, bloomBits)),
-      hllSpec = Some(HllWriteSpec(hllCols)))
+      hllSpec = Some(HllWriteSpec(hllCols)),
+      kllSpec = Some(KllWriteSpec(kllCols, kllK)))
 
     // ---- pre-commit hooks (reference #28) ----
     val hookTags =
@@ -274,6 +294,15 @@ object QbeastWriter {
       val hllDrop: Set[String] =
         if (options.hllColumns.exists(_.isEmpty)) Set("qbeast.hllColumns")
         else Set.empty
+      val kllTag =
+        if (kllCols.nonEmpty)
+          Map("qbeast.kllColumns" -> kllCols.mkString(","),
+            "qbeast.kllK" -> kllK.toString)
+        else Map.empty[String, String]
+      val kllDrop: Set[String] =
+        if (options.kllColumns.exists(_.isEmpty))
+          Set("qbeast.kllColumns", "qbeast.kllK")
+        else Set.empty
       // autoCompact persists as a table property; `autoCompact=false`
       // explicitly drops it
       val autoCompactOpt = options.extra.collectFirst {
@@ -299,10 +328,10 @@ object QbeastWriter {
         if (dvOpt.contains(false)) Set(graft.write.DeletionVectors.PropertyKey)
         else Set.empty
       val config = base.configuration ++ hookTags ++ cdfTag ++ bloomTag ++ hllTag ++
-        autoTag ++ dvTag ++
+        kllTag ++ autoTag ++ dvTag ++
         Map("qbeast.lastRevisionID" ->
           math.max(revisionToCommit.revisionID, base.lastRevisionID).toString) --
-        bloomDrop -- hllDrop -- autoDrop -- dvDrop
+        bloomDrop -- hllDrop -- kllDrop -- autoDrop -- dvDrop
       // Re-derive the schema against the CURRENT base, not the snapshot
       // this write started from: a concurrent append may itself have
       // evolved the schema, and committing the stale merge would
@@ -438,6 +467,8 @@ object QbeastWriter {
    * Some(Nil) semantics as `bloomSpec`. */
   final case class HllWriteSpec(cols: Seq[String])
 
+  final case class KllWriteSpec(cols: Seq[String], k: Int)
+
   /** Index `data` into `revision` and write the parquet files (no
    * commit). Shared by write and optimize. `bloomSpec` None = derive
    * from the table's persisted config (the DML/optimize paths, which
@@ -454,7 +485,8 @@ object QbeastWriter {
       rollupSize: Option[Long] = None,
       constraints: Seq[(String, String)] = Nil,
       bloomSpec: Option[BloomWriteSpec] = None,
-      hllSpec: Option[HllWriteSpec] = None): Seq[IndexFile] = {
+      hllSpec: Option[HllWriteSpec] = None,
+      kllSpec: Option[KllWriteSpec] = None): Seq[IndexFile] = {
 
     lazy val tableCfg = QbeastLog
       .lightSnapshot(tablePath, spark.sparkContext.hadoopConfiguration)
@@ -470,6 +502,12 @@ object QbeastWriter {
       HllWriteSpec(tableCfg.get("qbeast.hllColumns")
         .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil))
     }
+    val kll = kllSpec.getOrElse {
+      KllWriteSpec(
+        tableCfg.get("qbeast.kllColumns")
+          .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        tableCfg.get("qbeast.kllK").map(_.toInt).getOrElse(KllCollector.DefaultK))
+    }
     // resolve case-insensitively against the written schema; a column
     // this batch doesn't carry (schema evolution) or an ineligible
     // type is skipped — readers treat a missing filter conservatively
@@ -479,6 +517,9 @@ object QbeastWriter {
     val hllCols: Seq[String] = hll.cols.flatMap(c =>
       data.schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
         hllEligible(f.dataType)).map(_.name)).distinct
+    val kllCols: Seq[String] = kll.cols.flatMap(c =>
+      data.schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
+        KllCollector.eligible(f.dataType)).map(_.name)).distinct
 
     val dims = revision.dimensionCount
     val coordCols = revision.columnTransformers.lazyZip(revision.transformations)
@@ -636,7 +677,7 @@ object QbeastWriter {
 
     // ---- pass 3: physical write with per-cube block accounting ----
     writeFiles(spark, tablePath, taggedH, dataSchema, dims, revision.revisionID,
-      constraints, bloomCols1, bloomNumBits, hllCols)
+      constraints, bloomCols1, bloomNumBits, hllCols, kllCols, kll.k)
   }
 
   private[graft] def classic(df: DataFrame): org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row] =
@@ -655,7 +696,9 @@ object QbeastWriter {
       constraints: Seq[(String, String)] = Nil,
       bloomCols: Seq[String] = Nil,
       bloomNumBits: Long = 0L,
-      hllCols: Seq[String] = Nil): Seq[IndexFile] = {
+      hllCols: Seq[String] = Nil,
+      kllCols: Seq[String] = Nil,
+      kllK: Int = KllCollector.DefaultK): Seq[IndexFile] = {
 
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     val factory: OutputWriterFactory =
@@ -666,8 +709,9 @@ object QbeastWriter {
     // for ingest-bound workloads
     val collectStats =
       !spark.conf.getOption("spark.qbeast.index.fileStats").contains("false") ||
-        bloomCols.nonEmpty || // blooms/hll ride the stats JSON, which
-        hllCols.nonEmpty //      needs numRecords
+        bloomCols.nonEmpty || // blooms/hll/kll ride the stats JSON,
+        hllCols.nonEmpty || //   which needs numRecords
+        kllCols.nonEmpty
 
     val n = dataSchema.length
     val fields = dataSchema.fields
@@ -682,6 +726,11 @@ object QbeastWriter {
     val hllSrcIdx = hllNames.map(dataSchema.fieldIndex)
     val hllBase = bloomBase + bloomNames.length
     val hllHashIdx = Array.tabulate(hllNames.length)(hllBase + _)
+    // kll reads the source columns directly (double coordinates need
+    // no hash column)
+    val kllNames = kllCols.toArray
+    val kllSrcIdx = kllNames.map(dataSchema.fieldIndex)
+    val kllKinds = kllSrcIdx.map(i => KllCollector.kindOf(fields(i).dataType))
     val plan = classic(tagged).queryExecution.executedPlan
 
     val filesRdd = plan.execute().mapPartitionsWithIndex { (pid, rows) =>
@@ -708,7 +757,8 @@ object QbeastWriter {
             blocks: mutable.HashMap[CubeId, (Int, Int, Long)],
             stats: FileStatsCollector,
             bloom: BloomCollector,
-            hll: HllCollector)
+            hll: HllCollector,
+            kll: KllCollector)
         val fs = new Path(tablePath).getFileSystem(conf)
         val done = Vector.newBuilder[IndexFile]
         val closed = mutable.HashSet.empty[String]
@@ -727,7 +777,8 @@ object QbeastWriter {
             }.toVector.sortBy(_.cube),
             stats = Option(of.stats)
               .map(_.toJson(Option(of.bloom).map(_.toJsonSection),
-                Option(of.hll).map(_.toJsonSection))))
+                Option(of.hll).map(_.toJsonSection),
+                Option(of.kll).map(_.toJsonSection))))
           closed += of.uuid
           of = null
         }
@@ -779,12 +830,16 @@ object QbeastWriter {
                 else null,
                 if (hllNames.nonEmpty)
                   new HllCollector(hllNames, hllSrcIdx, hllHashIdx)
+                else null,
+                if (kllNames.nonEmpty)
+                  new KllCollector(kllNames, kllSrcIdx, kllKinds, kllK)
                 else null)
             }
             of.writer.write(project(row))
             if (of.stats != null) of.stats.update(row)
             if (of.bloom != null) of.bloom.update(row)
             if (of.hll != null) of.hll.update(row)
+            if (of.kll != null) of.kll.update(row)
             val (mn, mx, cnt) = of.blocks.getOrElse(cube, (Int.MaxValue, Int.MinValue, 0L))
             of.blocks.update(cube, (math.min(mn, weight), math.max(mx, weight), cnt + 1L))
           }
