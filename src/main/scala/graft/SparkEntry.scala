@@ -423,6 +423,12 @@ object SparkEntry {
       // ≤ k longs of state per group; batching-independent, so the
       // streamed sketch equals the batch sketch bit-for-bit
       ops.Streaming.streamingKmvDistinct(s, s"$dir/events.parquet")),
+    "s21_stream_window_hll" -> ((s, dir) =>
+      // windowed sketch state: distinct users per 6-hour event-time
+      // window per type, 256 bytes of HLL registers per open group in
+      // the state store; register merge is order/batching-independent,
+      // so the streamed integer state (scaled, zeros) replays exactly
+      ops.Streaming.streamingWindowedHll(s, s"$dir/events.parquet")),
     "s04_stream_watermark" -> ((s, dir) =>
       ops.Streaming.windowedAggWatermarked(s, s"$dir/events.parquet")),
     "s05_asof_join" -> ((s, dir) => {
@@ -1102,6 +1108,36 @@ object SparkEntry {
       Seq(("text", text.est, text.scaled, text.zeros),
         ("source", src.est, src.scaled, src.zeros))
         .toDF("column_name", "est", "scaled", "zeros")
+    }),
+    "q95_metadata_kll_quantiles" -> ((s, dir) => {
+      // metadata-only APPROX QUANTILES: per-file KLL sketch states
+      // written under the kllColumns option fold on the driver —
+      // merging the per-file states is exactly sketching the union of
+      // their rows, and within capacity (8192 here ≥ every oracle-SF
+      // row count) extraction is the exact sorted-rank rule, i.e.
+      // DuckDB quantile_disc bit-for-bit. ZERO data files read — the
+      // p99/median dashboard at 100 TB as a driver byte fold (the
+      // percentile analogue of q93's HLL NDV fold)
+      val path = QTables.qbeastKllDocumentsPath(s, dir)
+      val t = graft.table.QbeastTable.forPath(s, path)
+      val quants = t.approxQuantile("n_chars", Seq(0.5, 0.9, 0.99)).getOrElse(
+        throw new IllegalStateException("kll fold bailed on n_chars"))
+      import s.implicits._
+      Seq((quants(0), quants(1), quants(2))).toDF("p50", "p90", "p99")
+    }),
+    "q94_derived_date_prune" -> ((s, dir) => {
+      // date-FUNCTION predicates prune files: `year(ts)=…` /
+      // `date_trunc` rewrite to exact raw-column ranges inside
+      // selectFiles (read/DerivedPredicates.scala), so the most common
+      // human date filter keeps OTree + stats skipping instead of
+      // silently full-scanning (Spark itself never pushes these
+      // shapes). File skipping is plan-asserted in
+      // DerivedPredicatesSpec; this pins result parity on real data
+      QTables.qbeast(s, dir, "orders")
+        .filter(expr("year(o_orderdate) = 1996") &&
+          expr("date_trunc('quarter', o_orderdate) >= timestamp'1996-04-01 00:00:00'"))
+        .groupBy(month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("rev"))
     }),
     "q87_optimize_where" -> ((s, dir) => {
       // predicate-scoped OPTIMIZE ... WHERE through SQL: only files
@@ -1879,6 +1915,21 @@ object SparkEntry {
       // the whole-table register state this replays — exact integers
       // (scaled, zeros) plus the same IEEE correction arithmetic
       (hllGlobalReplay("text") + "\nUNION ALL\n" + hllGlobalReplay("source")),
+    "q95_metadata_kll_quantiles" ->
+      // the folded per-file states stay within capacity at the oracle
+      // SF, so extraction is the exact sorted-rank rule — DuckDB's
+      // quantile_disc definition (same regime as t38/t39)
+      """SELECT quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+        |quantile_disc(CAST(n_chars AS DOUBLE), 0.9) AS p90,
+        |quantile_disc(CAST(n_chars AS DOUBLE), 0.99) AS p99
+        |FROM documents""".stripMargin,
+    "q94_derived_date_prune" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS mo, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996
+        |AND date_trunc('quarter', o_orderdate) >= TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "q01_roundtrip_agg" ->
       """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
@@ -2123,6 +2174,36 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1""".stripMargin,
+    "s21_stream_window_hll" ->
+      // per-(window, type) HLL register replay — same bucket/rho/alpha
+      // arithmetic as t36's oracle, keyed by the epoch-aligned 6-hour
+      // bucket Spark's window() produces; the group cross-join with
+      // range(256) rebuilds zero registers exactly
+      """WITH ev AS (SELECT CAST(floor(epoch_us(ts) / 21600000000) * 21600000000 AS BIGINT) AS ws,
+        |    event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT DISTINCT ws, event_type, hv FROM ev),
+        |r AS (SELECT ws, event_type, hv % 256 AS bucket,
+        |    max(CASE WHEN hv // 256 = 0 THEN 25
+        |             ELSE 25 - length(bin(hv // 256)) END) AS rho
+        |  FROM h GROUP BY 1, 2, 3),
+        |g AS (SELECT DISTINCT ws, event_type FROM ev),
+        |reg AS (SELECT g.ws, g.event_type, s.i AS i, coalesce(r.rho, 0) AS rho
+        |  FROM g CROSS JOIN (SELECT unnest(range(256)) AS i) s
+        |  LEFT JOIN r ON r.ws = g.ws AND r.event_type = g.event_type AND r.bucket = s.i),
+        |st AS (SELECT ws, event_type,
+        |    CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS scaled,
+        |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM reg GROUP BY 1, 2)
+        |SELECT ws, event_type,
+        |  CASE WHEN zeros > 0 AND (CAST('1579498136381.3938' AS DOUBLE) / scaled) <= 640.0
+        |         THEN 256.0 * ln(256.0 / zeros)
+        |       WHEN (CAST('1579498136381.3938' AS DOUBLE) / scaled) > 4294967296.0 / 30.0
+        |         THEN -4294967296.0 * ln(1.0 - (CAST('1579498136381.3938' AS DOUBLE) / scaled) / 4294967296.0)
+        |       ELSE CAST('1579498136381.3938' AS DOUBLE) / scaled END AS est,
+        |  scaled, zeros
+        |FROM st""".stripMargin,
     "s16_stream_kmv" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |  ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv FROM events),

@@ -164,6 +164,40 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Streaming distinct-count per event-time window via the mergeable
+   * 256-register HyperLogLog ([[graft.expressions.HllDistinctAgg]]):
+   * "distinct users per 6-hour window per event type" with a FIXED
+   * 256 bytes of state per open group, not a distinct-user set. The
+   * register merge is associative, commutative and idempotent, so the
+   * streamed estimate is bit-identical to the batch sketch over the
+   * same rows regardless of micro-batch boundaries — the oracle
+   * replays it exactly. The windowed variant of [[streamingKmvDistinct]]
+   * and the streaming face of the t36/t37 sketch kit: at 100 TB/day the
+   * state store holds #windows × #types × 256 bytes, while the
+   * exact-count formulation would hold every distinct user id. */
+  def streamingWindowedHll(spark: SparkSession, eventsPath: String): DataFrame = {
+    val raw = eventsStream(spark, eventsPath)
+    val stream = raw.withColumn("ts", graft.EventTime.timestamp(raw))
+    val shims = org.apache.spark.sql.GraftShims
+    val hv = Sketch.portableHash32(col("user_id").cast("string"))
+    val sk = shims.column(graft.expressions.HllDistinctAgg(
+      shims.expression(hv)).toAggregateExpression())
+    val agg = stream
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(sk.as("sk"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+        col("sk.est").as("est"), col("sk.scaled").as("scaled"),
+        col("sk.zeros").as("zeros"))
+    val name = s"graft_stream_whll_${counter.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** End-to-end streaming corpus ingestion — the composed training-data
    * pipeline as ONE continuous query: quality-gate each document
    * (TextOps.qualityFilter), exact-dedup by content hash in streaming

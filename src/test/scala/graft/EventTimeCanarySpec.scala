@@ -88,6 +88,28 @@ class EventTimeCanarySpec extends AnyFunSuite {
     assertInvariant("sessionize")(d => ops.Streaming.sessionize(spark, d))
   }
 
+  test("streaming windowed HLL is encoding-invariant and equals the batch sketch") {
+    assertInvariant("streamingWindowedHll")(d =>
+      ops.Streaming.streamingWindowedHll(spark, d))
+    // micro-batch boundaries must not change the registers: the
+    // streamed state equals one batch sketch over the same rows
+    val dir = encodedDirs("tz_micros")
+    val streamed = canon(ops.Streaming.streamingWindowedHll(spark, dir))
+    val df = spark.read.parquet(dir)
+    val keyed = df.select(
+      unix_micros(window(col("ts"), "6 hours")("start")).as("ws"),
+      col("event_type"), col("user_id"))
+    val states = ops.Sketch.hllState(keyed, Seq("ws", "event_type"),
+      col("user_id").cast("string"))
+    val shims = org.apache.spark.sql.GraftShims
+    val agg = shims.column(graft.expressions.HllMergeAgg(
+      shims.expression(col("hll_state"))).toAggregateExpression())
+    val batch = states.groupBy("ws", "event_type").agg(agg.as("sk"))
+      .select(col("ws"), col("event_type"), col("sk.est").as("est"),
+        col("sk.scaled").as("scaled"), col("sk.zeros").as("zeros"))
+    assert(streamed == canon(batch), "streamed HLL != batch HLL")
+  }
+
   test("stream-stream interval join is encoding-invariant") {
     assertInvariant("streamStreamJoin")(d =>
       ops.Streaming.streamStreamJoin(spark, d))
