@@ -146,6 +146,49 @@ object DistributedMetadata {
     }
   }
 
+  /** Whole-table KLL sketch state of `column` folded distributively
+   * over the checkpoint sidecar (the percentile twin of
+   * [[hllRegisters]]): each partition merges its files' states into one
+   * partial, so only O(partitions) serialized sketches reach the
+   * driver. None when any live non-empty file lacks a state. Partition
+   * and row order are deterministic (checkpoint file order), so the
+   * fold is reproducible; within capacity it is exactly the union
+   * sketch regardless of order. */
+  def kllState(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      column: String): Option[Array[Byte]] = {
+    import spark.implicits._
+    import graft.expressions.KllState
+    val partials = liveRows(spark, snap, None).mapPartitions { it =>
+      var ok = true
+      var acc: KllState = null
+      it.foreach { r =>
+        if (ok && r.blocks.iterator.map(_.elementCount).sum > 0L) {
+          r.stats.flatMap(graft.read.FileStatsPruning.parse)
+            .flatMap(_.kll.get(column)) match {
+            case Some(b) =>
+              val st = KllState.deserialize(b)
+              if (acc == null) acc = st else acc.mergeIn(st)
+            case None => ok = false
+          }
+        }
+      }
+      Iterator.single((ok, if (acc == null) Array.empty[Byte] else acc.serialize()))
+    }.collect()
+    if (partials.exists(!_._1)) None
+    else {
+      var acc: KllState = null
+      partials.foreach { case (_, bytes) =>
+        if (bytes.nonEmpty) {
+          val st = KllState.deserialize(bytes)
+          if (acc == null) acc = st else acc.mergeIn(st)
+        }
+      }
+      Option(acc).map(_.serialize())
+    }
+  }
+
   /** Per-cube tree state of one revision (maxWeight = min over block
    * maxWeights, elementCount = sum) as a groupBy-cube Spark job over the
    * sidecar blocks; the tail merges in driver-side. O(cubes) driver

@@ -158,20 +158,32 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       s"quantiles must lie in [0,1], got $qs")
     val s0 = QbeastLog.lightSnapshot(tablePath, conf)
     if (s0.dvs.nonEmpty) return None
-    val s = if (s0.filesComplete) s0 else snapshot
     var acc: graft.expressions.KllState = null
-    val ok = s.files.forall { f =>
-      f.elementCount == 0L || {
-        f.stats.flatMap(graft.read.FileStatsPruning.parse)
-          .flatMap(_.kll.get(column)) match {
-          case Some(b) =>
-            val st = graft.expressions.KllState.deserialize(b)
-            if (acc == null) acc = st else acc.mergeIn(st)
-            true
-          case None => false
+    def fold(files: Iterable[graft.core.model.IndexFile]): Boolean =
+      files.forall { f =>
+        f.elementCount == 0L || {
+          f.stats.flatMap(graft.read.FileStatsPruning.parse)
+            .flatMap(_.kll.get(column)) match {
+            case Some(b) =>
+              val st = graft.expressions.KllState.deserialize(b)
+              if (acc == null) acc = st else acc.mergeIn(st)
+              true
+            case None => false
+          }
         }
       }
-    }
+    val ok =
+      if (s0.filesComplete) fold(s0.files)
+      else if (DistributedMetadata.usable(spark, s0))
+        // light snapshot: the checkpointed bulk folds distributively
+        // (partition partials only reach the driver); tail adds overlay
+        DistributedMetadata.kllState(spark, s0, column) match {
+          case Some(bytes) =>
+            acc = graft.expressions.KllState.deserialize(bytes)
+            fold(s0.files)
+          case None => false
+        }
+      else fold(snapshot.files)
     if (!ok || acc == null) None
     else Some(acc.quantiles(qs.toArray).toSeq)
   }

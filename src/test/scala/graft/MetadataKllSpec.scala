@@ -91,6 +91,33 @@ class MetadataKllSpec extends AnyFunSuite {
     assert(table.QbeastTable.forPath(spark, tbl2).approxQuantile("n_chars", Qs).isEmpty)
   }
 
+  test("distributed state fold through the checkpoint sidecar equals the flat fold") {
+    val tbl = TestSpark.tmpDir("kll-meta-dist")
+    write(tbl)
+    val t = table.QbeastTable.forPath(spark, tbl)
+    val flat = t.approxQuantile("n_chars", Qs).get
+    // force a parquet sidecar so the fold routes through
+    // DistributedMetadata.kllState, then append a tail commit the fold
+    // must overlay from the log (within capacity both folds are the
+    // exact union sketch, so extraction must agree exactly)
+    spark.conf.set("spark.qbeast.metadata.sidecar.minFiles", "0")
+    try {
+      t.checkpoint()
+      assert(graft.log.DistributedMetadata.usable(spark,
+        graft.log.QbeastLog.lightSnapshot(tbl, spark.sparkContext.hadoopConfiguration)),
+        "fixture must exercise the sidecar path")
+      assert(t.approxQuantile("n_chars", Qs).get == flat,
+        "sidecar fold must equal the flat fold")
+      spark.read.parquet(s"$sf/documents.parquet")
+        .withColumn("doc_id", col("doc_id") + 900000L)
+        .withColumn("n_chars", col("n_chars") + lit(2))
+        .write.format("qbeast").mode("append").save(tbl)
+      val want = exactQuantiles(nChars(spark.read.format("qbeast").load(tbl)), Qs)
+      assert(t.approxQuantile("n_chars", Qs).get == want,
+        "sidecar + tail overlay must equal the exact quantile")
+    } finally spark.conf.unset("spark.qbeast.metadata.sidecar.minFiles")
+  }
+
   test("non-numeric kllColumns are rejected at write") {
     val tbl = TestSpark.tmpDir("kll-meta-reject")
     val ex = intercept[IllegalArgumentException] {
