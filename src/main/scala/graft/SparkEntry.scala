@@ -429,6 +429,12 @@ object SparkEntry {
       // the state store; register merge is order/batching-independent,
       // so the streamed integer state (scaled, zeros) replays exactly
       ops.Streaming.streamingWindowedHll(s, s"$dir/events.parquet")),
+    "s22_stream_window_quantiles" -> ((s, dir) =>
+      // windowed percentile state: p50/p90/p99 of value per 6-hour
+      // window per type via the mergeable KLL sketch; groups stay
+      // within capacity at oracle SF, so the streamed extraction is
+      // the exact sorted-rank rule — DuckDB quantile_disc
+      ops.Streaming.streamingWindowedQuantiles(s, s"$dir/events.parquet")),
     "s04_stream_watermark" -> ((s, dir) =>
       ops.Streaming.windowedAggWatermarked(s, s"$dir/events.parquet")),
     "s05_asof_join" -> ((s, dir) => {
@@ -2174,6 +2180,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1""".stripMargin,
+    "s22_stream_window_quantiles" ->
+      """SELECT CAST(floor(epoch_us(ts) / 21600000000) * 21600000000 AS BIGINT) AS ws,
+        |  event_type,
+        |  quantile_disc(CAST(value AS DOUBLE), 0.5) AS p50,
+        |  quantile_disc(CAST(value AS DOUBLE), 0.9) AS p90,
+        |  quantile_disc(CAST(value AS DOUBLE), 0.99) AS p99
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "s21_stream_window_hll" ->
       // per-(window, type) HLL register replay — same bucket/rho/alpha
       // arithmetic as t36's oracle, keyed by the epoch-aligned 6-hour

@@ -198,6 +198,38 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Streaming percentiles per event-time window via the mergeable KLL
+   * sketch ([[graft.expressions.KllQuantilesAgg]]): p50/p90/p99 of
+   * `value` per 6-hour window per event type with O(k) doubles of
+   * state per open group. The compaction trajectory is deterministic
+   * and within capacity nothing ever compacts, so on bounded test data
+   * the streamed answer is the exact sorted-rank quantile — DuckDB
+   * `quantile_disc` bit-for-bit (the s22 oracle) — regardless of
+   * micro-batch boundaries. The percentile twin of
+   * [[streamingWindowedHll]]: at 100 TB/day this is the live p99
+   * dashboard without keeping per-row state. */
+  def streamingWindowedQuantiles(spark: SparkSession, eventsPath: String): DataFrame = {
+    val raw = eventsStream(spark, eventsPath)
+    val stream = raw.withColumn("ts", graft.EventTime.timestamp(raw))
+    val shims = org.apache.spark.sql.GraftShims
+    val sk = shims.column(graft.expressions.KllQuantilesAgg(
+      shims.expression(col("value").cast("double")),
+      Seq(0.5, 0.9, 0.99)).toAggregateExpression())
+    val agg = stream
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(sk.as("qv"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+        col("qv")(0).as("p50"), col("qv")(1).as("p90"), col("qv")(2).as("p99"))
+    val name = s"graft_stream_wkll_${counter.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** End-to-end streaming corpus ingestion — the composed training-data
    * pipeline as ONE continuous query: quality-gate each document
    * (TextOps.qualityFilter), exact-dedup by content hash in streaming

@@ -110,6 +110,28 @@ class EventTimeCanarySpec extends AnyFunSuite {
     assert(streamed == canon(batch), "streamed HLL != batch HLL")
   }
 
+  test("streaming windowed quantiles are encoding-invariant and exact within capacity") {
+    assertInvariant("streamingWindowedQuantiles")(d =>
+      ops.Streaming.streamingWindowedQuantiles(spark, d))
+    // within capacity the streamed sketch is the exact sorted-rank
+    // quantile over each group's values, batching notwithstanding
+    val dir = encodedDirs("tz_micros")
+    val streamed = ops.Streaming.streamingWindowedQuantiles(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val df = spark.read.parquet(dir)
+    val grouped = df.select(
+        unix_micros(window(col("ts"), "6 hours")("start")).as("ws"),
+        col("event_type"), col("value").cast("double").as("v"))
+      .collect().groupBy(r => (r.getLong(0), r.getString(1)))
+    grouped.foreach { case (key, rows) =>
+      val sorted = rows.map(_.getDouble(2)).sorted
+      def q(p: Double): Double =
+        sorted((math.max(1L, math.ceil(p * sorted.length).toLong) - 1).toInt)
+      assert(streamed(key) == ((q(0.5), q(0.9), q(0.99))), s"group $key diverged")
+    }
+  }
+
   test("stream-stream interval join is encoding-invariant") {
     assertInvariant("streamStreamJoin")(d =>
       ops.Streaming.streamStreamJoin(spark, d))
