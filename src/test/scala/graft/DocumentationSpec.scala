@@ -193,4 +193,28 @@ class DocumentationSpec extends AnyFunSuite {
     assert(hll.collect().forall(_.getDouble(1) > 0))
   }
 
+  test("README per-file sketch stats + date-function pruning work as written") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey").as("id"), col("o_custkey").as("user_id"),
+        col("o_totalprice").as("latency_ms"), col("o_orderdate").as("ts"))
+    val path2 = TestSpark.tmpDir("readme-sketchstats")
+    df.write.format("qbeast")
+      .option("columnsToIndex", "id")
+      .option("hllColumns", "user_id")
+      .option("kllColumns", "latency_ms")
+      .save(path2)
+    val t2 = graft.table.QbeastTable.forPath(spark, path2)
+    assert(t2.approxCountDistinct("user_id").exists(_.est > 0))
+    val qs = t2.approxQuantile("latency_ms", Seq(0.5, 0.99))
+      .getOrElse(fail("kll fold bailed"))
+    assert(qs.length == 2 && qs(0) <= qs(1))
+
+    // date-function filter: same rows as the raw frame, through the
+    // derived-range rewrite
+    val filt = "year(ts) = 1996 AND date_trunc('month', ts) >= timestamp'1996-06-01 00:00:00'"
+    assert(spark.read.format("qbeast").load(path2).filter(filt).count() ==
+      df.filter(filt).count())
+  }
+
 }
