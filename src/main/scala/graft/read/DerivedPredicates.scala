@@ -83,6 +83,11 @@ object DerivedPredicates {
     case GreaterThan(Literal(v, _), g) if v != null => lt(g, v)
     case LessThanOrEqual(Literal(v, _), g) if v != null => ge(g, v)
     case LessThan(Literal(v, _), g) if v != null => gt(g, v)
+    // g != L ⟺ a outside the bucket [lo, hi) — exact, incl. the
+    // unattainable-literal case (the union is then "a IS NOT NULL",
+    // which is what g != L evaluates to there)
+    case Not(EqualTo(g, Literal(v, _))) if v != null => neq(g, v)
+    case Not(EqualTo(Literal(v, _), g)) if v != null => neq(g, v)
     case In(g, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
       val vs = list.collect { case Literal(v, _) if v != null => v }
       if (vs.isEmpty) None
@@ -121,6 +126,11 @@ object DerivedPredicates {
         else And(GreaterThanOrEqual(a, l), LessThan(a, h))
       }
     }
+  private def neq(g: Expression, v: Any): Option[Expression] =
+    buckets(g, v).flatMap { case (a, (lo, hi)) =>
+      for (l <- lo; h <- hi) yield Or(LessThan(a, l), GreaterThanOrEqual(a, h))
+    }
+
   private def ge(g: Expression, v: Any): Option[Expression] =
     buckets(g, v).flatMap { case (a, (lo, _)) => lo.map(GreaterThanOrEqual(a, _)) }
   private def gt(g: Expression, v: Any): Option[Expression] =

@@ -117,10 +117,32 @@ class QbeastDataSource
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("'path' is required to read a qbeast table"))
     val spark = sqlContext.sparkSession
-    // time travel: .option("versionAsOf", N)
-    val asOf = parameters.collectFirst {
+    // time travel: .option("versionAsOf", N) or
+    // .option("timestampAsOf", "yyyy-MM-dd[ HH:mm:ss]") — the latest
+    // version committed at or before the instant (session-zone parse,
+    // same resolution as SQL `TIMESTAMP AS OF`)
+    val versionOpt = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toLong
-    }.getOrElse(-1L)
+    }
+    val tsOpt = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("timestampAsOf") => v
+    }
+    require(versionOpt.isEmpty || tsOpt.isEmpty,
+      "versionAsOf and timestampAsOf cannot both be set")
+    val asOf = versionOpt.orElse(tsOpt.map { s =>
+      val zone = java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+      val millis = scala.util.Try {
+        val norm = if (s.trim.length == 10) s.trim + " 00:00:00" else s.trim
+        java.time.LocalDateTime
+          .parse(norm.replace(' ', 'T'))
+          .atZone(zone).toInstant.toEpochMilli
+      }.getOrElse(throw new IllegalArgumentException(
+        s"timestampAsOf: cannot parse '$s' (expected yyyy-MM-dd[ HH:mm:ss])"))
+      QbeastLog.versionAt(path, spark.sparkContext.hadoopConfiguration, millis)
+        .getOrElse(throw new IllegalArgumentException(
+          s"timestampAsOf: no version committed at or before $s"))
+    }).getOrElse(-1L)
     // Metadata-scale path: when a parquet file-checkpoint sidecar exists
     // (written once the table crosses spark.qbeast.metadata.sidecar
     // .minFiles), replay only the commit tail on the driver and prune

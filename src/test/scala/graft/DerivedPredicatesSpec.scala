@@ -86,8 +86,14 @@ class DerivedPredicatesSpec extends AnyFunSuite {
       case Or(And(_: GreaterThanOrEqual, _: LessThan), `other`) =>
       case x => fail(s"unexpected: $x")
     }
-    val notE = Not(leaf)
-    assert(DerivedPredicates.expand(Seq(notE)) == Seq(notE))
+    // NOT(g = L) rewrites to the complement union (exact); other
+    // shapes under Not stay untouched
+    val Seq(ne) = DerivedPredicates.expand(Seq(Not(leaf)))
+    assert(ne == Or(
+      LessThan(d, Literal(days(1995, 1, 1), DateType)),
+      GreaterThanOrEqual(d, Literal(days(1996, 1, 1), DateType))))
+    val notRange = Not(GreaterThan(Year(d), Literal(1995)))
+    assert(DerivedPredicates.expand(Seq(notRange)) == Seq(notRange))
     val monthE = EqualTo(Month(d), Literal(3)) // non-monotonic: no rewrite
     assert(DerivedPredicates.expand(Seq(monthE)) == Seq(monthE))
     // idempotent: a second pass leaves the expansion unchanged
@@ -168,11 +174,13 @@ class DerivedPredicatesSpec extends AnyFunSuite {
       "trunc(dt, 'year') < date'1995-01-01'",
       // date column vs timestamp literal analyzes as cast(dt AS timestamp)
       "dt = timestamp'1995-03-07 00:00:00'",
-      "dt > timestamp'1996-03-07 12:00:00'")
+      "dt > timestamp'1996-03-07 12:00:00'",
+      // != / NOT(=) derive the complement union of the bucket
+      "NOT (year(ts) = 1995)",
+      "year(ts) != 1996")
     val unselectiveButExact = Seq(
       "year(ts) IN (1995, 1996)",
-      "year(ts) = 1995 OR year(ts) = 1994",
-      "NOT (year(ts) = 1995)") // untouched shape: full scan, same rows
+      "year(ts) = 1995 OR year(ts) = 1994")
 
     (selective ++ unselectiveButExact).foreach { p =>
       val got = spark.sql(s"SELECT id, ts, dt FROM dp_t WHERE $p").collect()

@@ -26,6 +26,47 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("99"))
   }
 
+  test("timestampAsOf resolves the latest version at or before the instant") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("tt-tsasof")
+    (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a,b").save(dir) // v0
+    Thread.sleep(1100) // commit mtimes are second-granular on some FS
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    (101 to 150).map(i => (i.toLong, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").mode("append").save(dir) // v1
+
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val between = java.time.LocalDateTime
+      .ofInstant(java.time.Instant.ofEpochMilli(betweenMs), zone)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(spark.read.format("qbeast")
+      .option("timestampAsOf", between).load(dir).count() == 100)
+    // after both commits: head
+    val after = java.time.LocalDateTime.now(zone).plusMinutes(1)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(spark.read.format("qbeast")
+      .option("timestampAsOf", after).load(dir).count() == 150)
+    // before the first commit: error names the timestamp
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("qbeast")
+        .option("timestampAsOf", "1990-01-01 00:00:00").load(dir)
+    }
+    assert(e1.getMessage.contains("1990-01-01"))
+    // both options together are rejected
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("qbeast").option("versionAsOf", 0)
+        .option("timestampAsOf", after).load(dir)
+    }
+    assert(e2.getMessage.contains("both"))
+    // unparseable timestamp names itself
+    val e3 = intercept[IllegalArgumentException] {
+      spark.read.format("qbeast").option("timestampAsOf", "not-a-time").load(dir)
+    }
+    assert(e3.getMessage.contains("not-a-time"))
+  }
+
   test("refresh keeps a time-traveled relation pinned to its version") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("tt-refresh")
