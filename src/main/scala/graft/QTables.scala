@@ -1392,6 +1392,38 @@ object QTables {
     path
   }
 
+  /** Orders split into per-year appends with per-file KLL + HLL sketch
+   * stats — the FILTERED metadata-fold fixture (q96/q97): every file
+   * is year-pure, so `year(o_orderdate) = Y` proves each file wholly
+   * true or wholly false and the sketch folds answer under the
+   * predicate with zero data files read. */
+  def qbeastSketchOrdersPath(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.{col, year}
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_sketch_years")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val o = raw(spark, sfDir, "orders")
+        val years = o.select(year(col("o_orderdate")).as("y")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        years.zipWithIndex.foreach { case (y, i) =>
+          o.filter(year(col("o_orderdate")) === y)
+            .write.format("qbeast")
+            .option("columnsToIndex", "o_orderkey,o_totalprice")
+            .option("cubeSize", "2000")
+            .option("kllColumns", "o_totalprice").option("kllK", "8192")
+            .option("hllColumns", "o_custkey")
+            .mode(if (i == 0) "overwrite" else "append").save(path)
+        }
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        require(t.approxQuantile("o_totalprice", Seq(0.5),
+          s"year(o_orderdate) = ${years.head}").isDefined,
+          "orders_sketch_years fixture: filtered fold unexpectedly bailed")
+      }
+    }
+    path
+  }
+
   private def cachePath(sfDir: String, table: String): String = {
     val sfName = new java.io.File(sfDir).getName
     s"/tmp/graft_qbeast/v$CacheFormatVersion/$sfName/$table"

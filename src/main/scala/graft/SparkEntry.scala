@@ -1131,6 +1131,32 @@ object SparkEntry {
       import s.implicits._
       Seq((quants(0), quants(1), quants(2))).toDF("p50", "p90", "p99")
     }),
+    "q96_metadata_kll_filtered" -> ((s, dir) => {
+      // metadata-only quantiles UNDER A PREDICATE: tri-state stats
+      // proofs (through the derived year() ranges) decide every
+      // year-pure file, TRUE files' KLL states fold — "p99 WHERE
+      // year = 1996" with zero data files read; within capacity the
+      // answer is the exact quantile_disc over the matching rows
+      val path = QTables.qbeastSketchOrdersPath(s, dir)
+      val t = graft.table.QbeastTable.forPath(s, path)
+      val quants = t.approxQuantile("o_totalprice", Seq(0.5, 0.9, 0.99),
+        "year(o_orderdate) = 1996").getOrElse(
+        throw new IllegalStateException("filtered kll fold bailed"))
+      import s.implicits._
+      Seq((quants(0), quants(1), quants(2))).toDF("p50", "p90", "p99")
+    }),
+    "q97_metadata_hll_filtered" -> ((s, dir) => {
+      // filtered twin for distinct counts: registers of TRUE-proved
+      // files union to exactly the sketch over the matching rows —
+      // integer state replayed by the oracle bit-for-bit
+      val path = QTables.qbeastSketchOrdersPath(s, dir)
+      val t = graft.table.QbeastTable.forPath(s, path)
+      val est = t.approxCountDistinct("o_custkey",
+        "year(o_orderdate) = 1996").getOrElse(
+        throw new IllegalStateException("filtered hll fold bailed"))
+      import s.implicits._
+      Seq((est.est, est.scaled, est.zeros)).toDF("est", "scaled", "zeros")
+    }),
     "q94_derived_date_prune" -> ((s, dir) => {
       // date-FUNCTION predicates prune files: `year(ts)=…` /
       // `date_trunc` rewrite to exact raw-column ranges inside
@@ -1921,6 +1947,37 @@ object SparkEntry {
       // the whole-table register state this replays — exact integers
       // (scaled, zeros) plus the same IEEE correction arithmetic
       (hllGlobalReplay("text") + "\nUNION ALL\n" + hllGlobalReplay("source")),
+    "q96_metadata_kll_filtered" ->
+      // TRUE-proved (year-pure) files' states fold to exactly the
+      // sketch over the matching rows; within capacity that is the
+      // exact sorted-rank quantile over the filtered subset
+      """SELECT quantile_disc(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+        |quantile_disc(CAST(o_totalprice AS DOUBLE), 0.9) AS p90,
+        |quantile_disc(CAST(o_totalprice AS DOUBLE), 0.99) AS p99
+        |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q97_metadata_hll_filtered" ->
+      // same register replay as t36/q93, restricted to the proved rows
+      """SELECT
+        |  CASE WHEN zeros > 0 AND (CAST('1579498136381.3938' AS DOUBLE) / scaled) <= 640.0
+        |         THEN 256.0 * ln(256.0 / zeros)
+        |       WHEN (CAST('1579498136381.3938' AS DOUBLE) / scaled) > 4294967296.0 / 30.0
+        |         THEN -4294967296.0 * ln(1.0 - (CAST('1579498136381.3938' AS DOUBLE) / scaled) / 4294967296.0)
+        |       ELSE CAST('1579498136381.3938' AS DOUBLE) / scaled END AS est,
+        |  scaled, zeros
+        |FROM (
+        |  SELECT CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS scaled,
+        |         CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM (
+        |    SELECT s.i AS i, coalesce(r.rho, 0) AS rho
+        |    FROM (SELECT unnest(range(256)) AS i) s
+        |    LEFT JOIN (
+        |      SELECT hv % 256 AS bucket,
+        |             max(CASE WHEN hv // 256 = 0 THEN 25
+        |                      ELSE 25 - length(bin(hv // 256)) END) AS rho
+        |      FROM (SELECT DISTINCT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT AS hv
+        |            FROM orders
+        |            WHERE year(o_orderdate) = 1996 AND o_custkey IS NOT NULL) h
+        |      GROUP BY 1) r ON r.bucket = s.i))""".stripMargin,
     "q95_metadata_kll_quantiles" ->
       // the folded per-file states stay within capacity at the oracle
       // SF, so extraction is the exact sorted-rank rule — DuckDB's

@@ -189,6 +189,84 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   }
 
   /**
+   * Metadata-only approximate quantiles UNDER A PREDICATE: the same
+   * tri-state per-file stats proofs the metadata counts use
+   * ([[graft.read.FileStatsPruning.proveAll]], derived date-function
+   * ranges included) classify every file; TRUE-proved files contribute
+   * their whole per-file KLL state, FALSE-proved files contribute
+   * nothing, and a single undecidable file bails to None ("scan
+   * instead"). On ingest-aligned predicates (`year(ts) = …` over
+   * time-batched appends) this answers "p99 of latency WHERE day = X"
+   * with zero data files read.
+   */
+  def approxQuantile(
+      column: String, qs: Seq[Double], where: String): Option[Seq[Double]] = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0,1], got $qs")
+    val s = snapshot
+    if (s.dvs.nonEmpty) return None
+    statsProvedFiles(s, where).flatMap { files =>
+      var acc: graft.expressions.KllState = null
+      val ok = files.forall { f =>
+        f.elementCount == 0L || {
+          f.stats.flatMap(graft.read.FileStatsPruning.parse)
+            .flatMap(_.kll.get(column)) match {
+            case Some(b) =>
+              val st = graft.expressions.KllState.deserialize(b)
+              if (acc == null) acc = st else acc.mergeIn(st)
+              true
+            case None => false
+          }
+        }
+      }
+      if (!ok || acc == null) None
+      else Some(acc.quantiles(qs.toArray).toSeq)
+    }
+  }
+
+  /** Filtered twin of [[approxCountDistinct]]: registers folded over
+   * only the TRUE-proved files (see the filtered [[approxQuantile]]);
+   * None when any file is undecidable, lacks registers, or the table
+   * carries deletion-vector masks. */
+  def approxCountDistinct(
+      column: String, where: String): Option[QbeastTable.HllEstimate] = {
+    import graft.expressions.HllDistinctAgg
+    val s = snapshot
+    if (s.dvs.nonEmpty) return None
+    statsProvedFiles(s, where).flatMap { files =>
+      val acc = new Array[Byte](HllDistinctAgg.M)
+      var any = false
+      val ok = files.forall { f =>
+        f.elementCount == 0L || {
+          f.stats.flatMap(graft.read.FileStatsPruning.parse)
+            .flatMap(_.hll.get(column)) match {
+            case Some(b) => HllDistinctAgg.mergeRegisters(acc, b); any = true; true
+            case None => false
+          }
+        }
+      }
+      if (!ok || !any) None
+      else {
+        val row = HllDistinctAgg.evalRegisters(acc)
+        Some(QbeastTable.HllEstimate(row.getDouble(0), row.getLong(1), row.getLong(2)))
+      }
+    }
+  }
+
+  /** The files PROVEN to match `where` on every row, iff every
+   * non-empty file decides one way or the other (the filtered-fold
+   * precondition). Routed through the same optimizer-constant-folded
+   * conjunct extraction and classification the metadata-only DELETE
+   * uses. */
+  private def statsProvedFiles(
+      s: QbeastSnapshot, where: String): Option[Vector[IndexFile]] =
+    scala.util.Try(
+      classifyDeleteByStats(s, pinnedRead(s).filter(expr(where)))).toOption.flatten match {
+      case Some((provedTrue, undecided)) if undecided.isEmpty => Some(provedTrue)
+      case _ => None
+    }
+
+  /**
    * Rewrite the files of `revisionID` whose minimum weight fraction is ≤
    * `fraction` (the sampling-hot head of the table), re-assigning rows
    * against the *frozen* cube weights so the index shape is preserved

@@ -118,6 +118,36 @@ class MetadataKllSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.qbeast.metadata.sidecar.minFiles")
   }
 
+  test("filtered folds answer on proof-aligned predicates, bail on straddlers") {
+    import spark.implicits._
+    val tbl = TestSpark.tmpDir("kll-meta-filtered")
+    // two boundary-aligned appends: a in [1,100] then [101,200]
+    def write(lo: Int, hi: Int, mode: String): Unit =
+      (lo to hi).map(i => (i.toLong, i * 2.0)).toDF("a", "v")
+        .write.format("qbeast").option("columnsToIndex", "a")
+        .option("cubeSize", "50")
+        .option("kllColumns", "v").option("kllK", "1024")
+        .option("hllColumns", "a").mode(mode).save(tbl)
+    write(1, 100, "error")
+    write(101, 200, "append")
+    val t = table.QbeastTable.forPath(spark, tbl)
+
+    // aligned predicate: every file proves — exact quantiles of the half
+    val got = t.approxQuantile("v", Qs, "a <= 100").getOrElse(fail("bailed"))
+    assert(got == exactQuantiles((1 to 100).map(_ * 2.0), Qs))
+    // HLL twin: the folded registers equal the full-scan sketch of the half
+    val est = t.approxCountDistinct("a", "a <= 100").getOrElse(fail("bailed"))
+    val want = ops.Sketch.hllDistinct(
+      spark.range(1, 101).select(lit(1).as("g"), col("id").cast("long").as("a")),
+      "g", col("a").cast("string")).head()
+    assert(est.scaled == want.getLong(2) && est.zeros == want.getLong(3))
+    // straddling predicate: some file can't decide — bail, never guess
+    assert(t.approxQuantile("v", Qs, "a <= 50").isEmpty)
+    assert(t.approxCountDistinct("a", "a <= 50").isEmpty)
+    // FALSE-everywhere predicate: no surviving state — None, not NaN
+    assert(t.approxQuantile("v", Qs, "a > 1000").isEmpty)
+  }
+
   test("non-numeric kllColumns are rejected at write") {
     val tbl = TestSpark.tmpDir("kll-meta-reject")
     val ex = intercept[IllegalArgumentException] {
