@@ -2240,6 +2240,48 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * like Delta). Retentions below [[QbeastTable.MinRetentionMillis]]
    * require `force = true` — a zero-retention vacuum racing an
    * in-flight writer silently loses that writer's data. */
+  /**
+   * Delta-style `GENERATE symlink_format_manifest`: writes
+   * `_symlink_format_manifest/manifest` under the table root with one
+   * absolute data-file URI per line for the CURRENT snapshot, so
+   * manifest-based external readers (Hive's SymlinkTextInputFormat
+   * lineage: Presto/Trino/Athena) can scan the table's live files
+   * without understanding the qbeast log. Written to a temp file and
+   * renamed, so readers never observe a torn manifest; regenerate
+   * after each write you want externally visible (same contract as
+   * Delta's). REFUSED while deletion-vector masks exist — a manifest
+   * reader would resurrect masked rows (Delta refuses identically);
+   * REORG APPLY (PURGE) first. Returns the number of listed files.
+   */
+  def generate(mode: String): Int = {
+    require(mode.equalsIgnoreCase("symlink_format_manifest"),
+      s"unsupported generate mode '$mode' (only symlink_format_manifest)")
+    val s = snapshot
+    require(s.dvs.isEmpty,
+      "cannot generate a symlink manifest while deletion vectors mask rows " +
+        "(external readers would resurrect deleted rows); run " +
+        "REORG ... APPLY (PURGE) first")
+    val dir = new Path(tablePath)
+    val fs = dir.getFileSystem(conf)
+    val manifestDir = new Path(dir, "_symlink_format_manifest")
+    fs.mkdirs(manifestDir)
+    val lines = s.files.map { f =>
+      val p = new Path(f.path)
+      val abs = if (p.isAbsolute) p else new Path(dir, p)
+      fs.makeQualified(abs).toUri.toString
+    }.sorted
+    val tmp = new Path(manifestDir, s".manifest.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(manifestDir, "manifest")
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"could not publish manifest at $target")
+    lines.size
+  }
+
   def vacuum(
       retainMillis: Long = QbeastTable.DefaultRetentionMillis,
       force: Boolean = false): Int = {
