@@ -1131,23 +1131,6 @@ object SparkEntry {
       import s.implicits._
       Seq((quants(0), quants(1), quants(2))).toDF("p50", "p90", "p99")
     }),
-    "q98_symlink_manifest" -> ((s, dir) => {
-      // Delta-style GENERATE symlink_format_manifest: external readers
-      // scan the live files from one newline-separated URI list, no
-      // qbeast log required. The query reads the table AS an external
-      // reader would (plain parquet over the manifest's URIs) — the
-      // oracle proves that view equals the table's content exactly
-      QTables.qbeast(s, dir, "orders") // ensure the fixture exists
-      val path = QTables.cachePathFor(dir, "orders")
-      val t = graft.table.QbeastTable.forPath(s, path)
-      val n = t.generate("symlink_format_manifest")
-      val uris = s.read.textFile(s"$path/_symlink_format_manifest/manifest")
-        .collect().toSeq
-      require(uris.size == n, s"manifest listed ${uris.size} of $n files")
-      s.read.parquet(uris: _*)
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
-    }),
     "q96_metadata_kll_filtered" -> ((s, dir) => {
       // metadata-only quantiles UNDER A PREDICATE: tri-state stats
       // proofs (through the derived year() ranges) decide every
@@ -1964,10 +1947,6 @@ object SparkEntry {
       // the whole-table register state this replays — exact integers
       // (scaled, zeros) plus the same IEEE correction arithmetic
       (hllGlobalReplay("text") + "\nUNION ALL\n" + hllGlobalReplay("source")),
-    "q98_symlink_manifest" ->
-      """SELECT o_orderstatus, count(*) AS n,
-        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY 1""".stripMargin,
     "q96_metadata_kll_filtered" ->
       // TRUE-proved (year-pure) files' states fold to exactly the
       // sketch over the matching rows; within capacity that is the

@@ -56,6 +56,10 @@ object DerivedPredicates {
   def expand(filters: Seq[Expression]): Seq[Expression] = filters.map(rewrite)
 
   private def rewrite(e: Expression): Expression = e match {
+    // the shape the In branch itself emits — And(original IN, covering
+    // range): leave it alone so expand() is idempotent (the distributed
+    // index expands once, selectFiles expands again)
+    case a @ And(_: In, And(_: GreaterThanOrEqual, _: LessThan)) => a
     case And(l, r) => And(rewrite(l), rewrite(r))
     case Or(l, r) => Or(rewrite(l), rewrite(r))
     // the DML path's three-valued-logic wrapper (`coalesce(cond,
@@ -147,6 +151,15 @@ object DerivedPredicates {
   private final case class Zoned(zone: ZoneId) extends TsKind
   private case object Ntz extends TsKind
 
+  /** Resolve a Catalyst timeZoneId string the way the engine does
+   * (Spark accepts SHORT_IDS like "PST" and unpadded offsets like
+   * "GMT+8:00" that plain ZoneId.of rejects); None — never a throw —
+   * for anything unresolvable, so an exotic zone skips the derivation
+   * instead of failing the query. */
+  private def zoneOf(z: String): Option[ZoneId] =
+    scala.util.Try(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(z)).toOption
+
   /** (raw attribute, (lo, hi)) — the two bucket-anchor literals in the
    * attribute's own type, None where the arithmetic over/underflows. */
   private def buckets(
@@ -178,7 +191,7 @@ object DerivedPredicates {
             c.child.isInstanceOf[Attribute] && c.child.dataType == DateType =>
         val a = c.child.asInstanceOf[Attribute]
         val tk = if (c.dataType == TimestampNTZType) Ntz
-          else c.timeZoneId.map(z => Zoned(ZoneId.of(z))).getOrElse(return None)
+          else c.timeZoneId.flatMap(zoneOf).map(Zoned(_)).getOrElse(return None)
         microsOf(v).map { l =>
           // lo = first date whose start-of-day >= L; hi = first > L
           val ld = localDateOf(l, tk)
@@ -206,7 +219,7 @@ object DerivedPredicates {
       case TruncTimestamp(Literal(fmt: UTF8String, _), a: Attribute, tz)
           if a.dataType == TimestampType || a.dataType == TimestampNTZType =>
         val tk = if (a.dataType == TimestampNTZType) Ntz
-          else tz.map(z => Zoned(ZoneId.of(z))).getOrElse(return None)
+          else tz.flatMap(zoneOf).map(Zoned(_)).getOrElse(return None)
         for (u <- unitOf(fmt.toString, subWeekOk = true); l <- microsOf(v)) yield {
           val anchors = scala.util.Try {
             val ld = localDateOf(l, tk)
@@ -228,7 +241,7 @@ object DerivedPredicates {
   private def tsCastTarget(c: Cast): Option[(Attribute, TsKind)] = c.child match {
     case a: Attribute if a.dataType == TimestampNTZType => Some((a, Ntz))
     case a: Attribute if a.dataType == TimestampType =>
-      c.timeZoneId.flatMap(z => scala.util.Try(ZoneId.of(z)).toOption).map(z => (a, Zoned(z)))
+      c.timeZoneId.flatMap(zoneOf).map(z => (a, Zoned(z)))
     case _ => None
   }
 

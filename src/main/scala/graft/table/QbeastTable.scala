@@ -111,29 +111,71 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val s = QbeastLog.lightSnapshot(tablePath, conf)
     if (s.dvs.nonEmpty) return None
     val acc = new Array[Byte](HllDistinctAgg.M)
-    def fold(files: Iterable[graft.core.model.IndexFile]): Boolean =
-      files.forall { f =>
-        f.stats.flatMap(graft.read.FileStatsPruning.parse)
-          .flatMap(_.hll.get(column)) match {
-          case Some(b) => HllDistinctAgg.mergeRegisters(acc, b); true
-          case None => false
-        }
-      }
     val ok =
-      if (s.filesComplete) fold(s.files)
+      if (s.filesComplete) foldHllRegisters(s.files, column, acc)
       else if (DistributedMetadata.usable(spark, s))
         // light snapshot: `s.files` holds only the post-checkpoint tail
         // adds; the checkpointed bulk folds distributively
         DistributedMetadata.hllRegisters(spark, s, column) match {
-          case Some(regs) => HllDistinctAgg.mergeRegisters(acc, regs); fold(s.files)
+          case Some(regs) =>
+            HllDistinctAgg.mergeRegisters(acc, regs)
+            foldHllRegisters(s.files, column, acc)
           case None => false
         }
-      else fold(snapshot.files)
-    if (!ok) None
-    else {
-      val row = HllDistinctAgg.evalRegisters(acc)
-      Some(QbeastTable.HllEstimate(row.getDouble(0), row.getLong(1), row.getLong(2)))
+      else {
+        // no usable sidecar: a fresh full replay — re-check masks on
+        // the SAME snapshot being folded (a dv commit landing between
+        // the two replays must bail, not silently count deleted rows)
+        val sf = snapshot
+        sf.dvs.isEmpty && foldHllRegisters(sf.files, column, acc)
+      }
+    if (!ok) None else Some(hllEstimate(acc))
+  }
+
+  private def hllEstimate(acc: Array[Byte]): QbeastTable.HllEstimate = {
+    val row = graft.expressions.HllDistinctAgg.evalRegisters(acc)
+    QbeastTable.HllEstimate(row.getDouble(0), row.getLong(1), row.getLong(2))
+  }
+
+  /** Shared per-file HLL register fold into `acc`; false = a non-empty
+   * file lacked registers for `column` (bail to the scan). */
+  private def foldHllRegisters(
+      files: Iterable[graft.core.model.IndexFile],
+      column: String,
+      acc: Array[Byte]): Boolean =
+    files.forall { f =>
+      f.elementCount == 0L || {
+        f.stats.flatMap(graft.read.FileStatsPruning.parse)
+          .flatMap(_.hll.get(column)) match {
+          case Some(b) => graft.expressions.HllDistinctAgg.mergeRegisters(acc, b); true
+          case None => false
+        }
+      }
     }
+
+  /** Shared per-file KLL state fold; `acc` stays null until the first
+   * non-empty state so callers can tell "nothing folded" from a folded
+   * empty column. */
+  private final class KllFold {
+    var acc: graft.expressions.KllState = _
+    def seed(bytes: Array[Byte]): Unit = {
+      acc = graft.expressions.KllState.deserialize(bytes)
+    }
+    def fold(files: Iterable[graft.core.model.IndexFile], column: String): Boolean =
+      files.forall { f =>
+        f.elementCount == 0L || {
+          f.stats.flatMap(graft.read.FileStatsPruning.parse)
+            .flatMap(_.kll.get(column)) match {
+            case Some(b) =>
+              val st = graft.expressions.KllState.deserialize(b)
+              if (acc == null) acc = st else acc.mergeIn(st)
+              true
+            case None => false
+          }
+        }
+      }
+    def quantiles(qs: Seq[Double]): Option[Seq[Double]] =
+      Option(acc).map(_.quantiles(qs.toArray).toSeq)
   }
 
   /**
@@ -158,34 +200,22 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       s"quantiles must lie in [0,1], got $qs")
     val s0 = QbeastLog.lightSnapshot(tablePath, conf)
     if (s0.dvs.nonEmpty) return None
-    var acc: graft.expressions.KllState = null
-    def fold(files: Iterable[graft.core.model.IndexFile]): Boolean =
-      files.forall { f =>
-        f.elementCount == 0L || {
-          f.stats.flatMap(graft.read.FileStatsPruning.parse)
-            .flatMap(_.kll.get(column)) match {
-            case Some(b) =>
-              val st = graft.expressions.KllState.deserialize(b)
-              if (acc == null) acc = st else acc.mergeIn(st)
-              true
-            case None => false
-          }
-        }
-      }
+    val f = new KllFold
     val ok =
-      if (s0.filesComplete) fold(s0.files)
+      if (s0.filesComplete) f.fold(s0.files, column)
       else if (DistributedMetadata.usable(spark, s0))
         // light snapshot: the checkpointed bulk folds distributively
         // (partition partials only reach the driver); tail adds overlay
         DistributedMetadata.kllState(spark, s0, column) match {
-          case Some(bytes) =>
-            acc = graft.expressions.KllState.deserialize(bytes)
-            fold(s0.files)
+          case Some(bytes) => f.seed(bytes); f.fold(s0.files, column)
           case None => false
         }
-      else fold(snapshot.files)
-    if (!ok || acc == null) None
-    else Some(acc.quantiles(qs.toArray).toSeq)
+      else {
+        // same-snapshot mask check as approxCountDistinct's fallback
+        val sf = snapshot
+        sf.dvs.isEmpty && f.fold(sf.files, column)
+      }
+    if (!ok) None else f.quantiles(qs)
   }
 
   /**
@@ -203,53 +233,27 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       column: String, qs: Seq[Double], where: String): Option[Seq[Double]] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must lie in [0,1], got $qs")
-    val s = snapshot
+    val s = snapshot // one snapshot: dv check, proofs and fold agree
     if (s.dvs.nonEmpty) return None
     statsProvedFiles(s, where).flatMap { files =>
-      var acc: graft.expressions.KllState = null
-      val ok = files.forall { f =>
-        f.elementCount == 0L || {
-          f.stats.flatMap(graft.read.FileStatsPruning.parse)
-            .flatMap(_.kll.get(column)) match {
-            case Some(b) =>
-              val st = graft.expressions.KllState.deserialize(b)
-              if (acc == null) acc = st else acc.mergeIn(st)
-              true
-            case None => false
-          }
-        }
-      }
-      if (!ok || acc == null) None
-      else Some(acc.quantiles(qs.toArray).toSeq)
+      val f = new KllFold
+      if (!f.fold(files, column)) None else f.quantiles(qs)
     }
   }
 
   /** Filtered twin of [[approxCountDistinct]]: registers folded over
    * only the TRUE-proved files (see the filtered [[approxQuantile]]);
-   * None when any file is undecidable, lacks registers, or the table
-   * carries deletion-vector masks. */
+   * None when any file is undecidable, lacks registers, matches
+   * nothing, or the table carries deletion-vector masks. */
   def approxCountDistinct(
       column: String, where: String): Option[QbeastTable.HllEstimate] = {
-    import graft.expressions.HllDistinctAgg
-    val s = snapshot
+    val s = snapshot // one snapshot: dv check, proofs and fold agree
     if (s.dvs.nonEmpty) return None
     statsProvedFiles(s, where).flatMap { files =>
-      val acc = new Array[Byte](HllDistinctAgg.M)
-      var any = false
-      val ok = files.forall { f =>
-        f.elementCount == 0L || {
-          f.stats.flatMap(graft.read.FileStatsPruning.parse)
-            .flatMap(_.hll.get(column)) match {
-            case Some(b) => HllDistinctAgg.mergeRegisters(acc, b); any = true; true
-            case None => false
-          }
-        }
-      }
-      if (!ok || !any) None
-      else {
-        val row = HllDistinctAgg.evalRegisters(acc)
-        Some(QbeastTable.HllEstimate(row.getDouble(0), row.getLong(1), row.getLong(2)))
-      }
+      val acc = new Array[Byte](graft.expressions.HllDistinctAgg.M)
+      if (!foldHllRegisters(files, column, acc) ||
+        files.forall(_.elementCount == 0L)) None
+      else Some(hllEstimate(acc))
     }
   }
 
@@ -2240,46 +2244,12 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * like Delta). Retentions below [[QbeastTable.MinRetentionMillis]]
    * require `force = true` — a zero-retention vacuum racing an
    * in-flight writer silently loses that writer's data. */
-  /**
-   * Delta-style `GENERATE symlink_format_manifest`: writes
-   * `_symlink_format_manifest/manifest` under the table root with one
-   * absolute data-file URI per line for the CURRENT snapshot, so
-   * manifest-based external readers (Hive's SymlinkTextInputFormat
-   * lineage: Presto/Trino/Athena) can scan the table's live files
-   * without understanding the qbeast log. Written to a temp file and
-   * renamed, so readers never observe a torn manifest; regenerate
-   * after each write you want externally visible (same contract as
-   * Delta's). REFUSED while deletion-vector masks exist — a manifest
-   * reader would resurrect masked rows (Delta refuses identically);
-   * REORG APPLY (PURGE) first. Returns the number of listed files.
-   */
+  /** Delta's `DeltaTable.generate(mode)` spelling: validates the mode
+   * and delegates to [[generateSymlinkManifest]]. */
   def generate(mode: String): Int = {
     require(mode.equalsIgnoreCase("symlink_format_manifest"),
       s"unsupported generate mode '$mode' (only symlink_format_manifest)")
-    val s = snapshot
-    require(s.dvs.isEmpty,
-      "cannot generate a symlink manifest while deletion vectors mask rows " +
-        "(external readers would resurrect deleted rows); run " +
-        "REORG ... APPLY (PURGE) first")
-    val dir = new Path(tablePath)
-    val fs = dir.getFileSystem(conf)
-    val manifestDir = new Path(dir, "_symlink_format_manifest")
-    fs.mkdirs(manifestDir)
-    val lines = s.files.map { f =>
-      val p = new Path(f.path)
-      val abs = if (p.isAbsolute) p else new Path(dir, p)
-      fs.makeQualified(abs).toUri.toString
-    }.sorted
-    val tmp = new Path(manifestDir, s".manifest.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write((lines.mkString("\n") + "\n").getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val target = new Path(manifestDir, "manifest")
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"could not publish manifest at $target")
-    lines.size
+    generateSymlinkManifest()
   }
 
   def vacuum(
@@ -2455,14 +2425,23 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * after every commit that should be published. */
   def generateSymlinkManifest(): Int = {
     val s = snapshot
+    // a manifest reader applies no deletion vectors — publishing one
+    // for a masked table would resurrect deleted rows for every
+    // external engine (Delta refuses identically); purge first
+    require(s.dvs.isEmpty,
+      "cannot generate a symlink manifest while deletion vectors mask rows " +
+        "(external readers would resurrect deleted rows); run " +
+        "REORG ... APPLY (PURGE) first")
     val dir = new Path(tablePath, "_symlink_format_manifest")
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     // Path(parent, child) keeps an absolute child as-is, so cloned
-    // (absolute) references and plain relative ones both qualify right
+    // (absolute) references and plain relative ones both qualify right.
+    // An empty snapshot publishes a zero-byte manifest (Delta's shape),
+    // not a single blank line an external reader would choke on
     val tableDir = new Path(tablePath)
-    val body = s.files.map(f => fs.makeQualified(new Path(tableDir, f.path)).toString)
-      .sorted.mkString("", "\n", "\n")
+    val lines = s.files.map(f => fs.makeQualified(new Path(tableDir, f.path)).toString)
+    val body = if (lines.isEmpty) "" else lines.sorted.mkString("", "\n", "\n")
     val tmp = new Path(dir, s".manifest.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -116,6 +116,31 @@ class DerivedPredicatesSpec extends AnyFunSuite {
     // an unresolved zone derives nothing (never guess a zone)
     val bare = EqualTo(Cast(ts, DateType), Literal(days(1995, 3, 7), DateType))
     assert(DerivedPredicates.expand(Seq(bare)) == Seq(bare))
+    // Spark-legal short ids ("PST" rides ZoneId.SHORT_IDS) must resolve
+    // like the engine resolves them — not throw, not skip
+    val pst = EqualTo(Cast(ts, DateType, Some("PST")),
+      Literal(days(1995, 3, 7), DateType))
+    DerivedPredicates.expand(Seq(pst)) match {
+      case Seq(And(GreaterThanOrEqual(`ts`, Literal(lo: java.lang.Long, TimestampType)), _)) =>
+        val la = java.time.ZoneId.of("America/Los_Angeles")
+        val want = LocalDate.of(1995, 3, 7).atStartOfDay(la).toInstant
+        assert(lo == want.getEpochSecond * 1000000L)
+      case x => fail(s"PST zone should derive: $x")
+    }
+    // a nonsense zone skips the derivation instead of failing the query
+    val bad = EqualTo(Cast(ts, DateType, Some("Not/AZone")),
+      Literal(days(1995, 3, 7), DateType))
+    assert(DerivedPredicates.expand(Seq(bad)) == Seq(bad))
+  }
+
+  test("expansion is idempotent for IN (the double-expansion call sites rely on it)") {
+    val in = In(Year(d), Seq(Literal(1994), Literal(1996)))
+    val once = DerivedPredicates.expand(Seq(in))
+    assert(DerivedPredicates.expand(once) == once)
+    once match {
+      case Seq(And(`in`, And(_: GreaterThanOrEqual, _: LessThan))) =>
+      case x => fail(s"unexpected IN expansion: $x")
+    }
   }
 
   // ---- end-to-end: correctness + file skipping ----------------------------
