@@ -130,7 +130,9 @@ class QbeastDataSource
     require(versionOpt.isEmpty || tsOpt.isEmpty,
       "versionAsOf and timestampAsOf cannot both be set")
     val asOf = versionOpt.orElse(tsOpt.map { s =>
-      val zone = java.time.ZoneId.of(
+      // DateTimeUtils.getZoneId, not ZoneId.of: Spark-legal session
+      // zones include SHORT_IDS ("PST") and unpadded offsets
+      val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
         spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
       val millis = scala.util.Try {
         val norm = if (s.trim.length == 10) s.trim + " 00:00:00" else s.trim

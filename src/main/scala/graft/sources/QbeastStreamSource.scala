@@ -241,7 +241,9 @@ class QbeastStreamSource(
           case d if d.matches("""\d{4}-\d{2}-\d{2}""") => d + "T00:00:00"
           case other => other
         }
-        val zone = java.time.ZoneId.of(
+        // DateTimeUtils.getZoneId, not ZoneId.of: Spark-legal session
+        // zones include SHORT_IDS ("PST") and unpadded offsets
+        val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
           if (utc) "UTC"
           else spark.conf.get("spark.sql.session.timeZone",
             java.util.TimeZone.getDefault.getID))

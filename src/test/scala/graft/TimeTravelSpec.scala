@@ -65,6 +65,14 @@ class TimeTravelSpec extends AnyFunSuite {
       spark.read.format("qbeast").option("timestampAsOf", "not-a-time").load(dir)
     }
     assert(e3.getMessage.contains("not-a-time"))
+    // Spark-legal short-id session zones ("PST" rides ZoneId.SHORT_IDS,
+    // which plain ZoneId.of rejects) must resolve, not throw
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "PST")
+    try assert(spark.read.format("qbeast")
+      .option("timestampAsOf", after).load(dir).count() == 150)
+    finally spark.conf.set(tzKey, prev)
   }
 
   test("refresh keeps a time-traveled relation pinned to its version") {
