@@ -1915,12 +1915,20 @@ object SparkEntry {
         |  quantile_disc(CAST(n_chars AS DOUBLE), 0.99) AS p99
         |FROM documents GROUP BY source""".stripMargin
 
-  /** Global (ungrouped) HLL register replay over one documents column —
-   * the q93 oracle building block. Same register math and correction
-   * literals as [[HllOracleSql]] (t36); the per-FILE registers the
-   * write collected union to exactly this whole-table state. */
-  private def hllGlobalReplay(column: String): String =
-    s"""SELECT '$column' AS column_name,
+  /** Global (ungrouped) HLL register replay — the q93/q97 oracle
+   * building block. Same register math and correction literals as
+   * [[HllOracleSql]] (t36); the per-FILE registers the write collected
+   * union to exactly this whole-table state. `selectPrefix` prepends
+   * extra output columns (q93's column_name tag); `where` restricts
+   * the replayed rows (q97's proved predicate). ONE copy of the alpha
+   * constant and rho arithmetic serves every register oracle. */
+  private def hllReplay(
+      column: String,
+      table: String = "documents",
+      where: String = "",
+      selectPrefix: String = ""): String = {
+    val cond = if (where.isEmpty) "" else s" AND ($where)"
+    s"""SELECT $selectPrefix
         |  CASE WHEN zeros > 0 AND (CAST('1579498136381.3938' AS DOUBLE) / scaled) <= 640.0
         |         THEN 256.0 * ln(256.0 / zeros)
         |       WHEN (CAST('1579498136381.3938' AS DOUBLE) / scaled) > 4294967296.0 / 30.0
@@ -1938,8 +1946,12 @@ object SparkEntry {
         |             max(CASE WHEN hv // 256 = 0 THEN 25
         |                      ELSE 25 - length(bin(hv // 256)) END) AS rho
         |      FROM (SELECT DISTINCT ('0x' || substr(md5($column), 1, 8))::BIGINT AS hv
-        |            FROM documents WHERE $column IS NOT NULL) h
+        |            FROM $table WHERE $column IS NOT NULL$cond) h
         |      GROUP BY 1) r ON r.bucket = s.i))""".stripMargin
+  }
+
+  private def hllGlobalReplay(column: String): String =
+    hllReplay(column, selectPrefix = s"'$column' AS column_name,")
 
   def oracleSql: Map[String, String] = Map(
     "q93_metadata_hll_distinct" ->
@@ -1956,28 +1968,10 @@ object SparkEntry {
         |quantile_disc(CAST(o_totalprice AS DOUBLE), 0.99) AS p99
         |FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
     "q97_metadata_hll_filtered" ->
-      // same register replay as t36/q93, restricted to the proved rows
-      """SELECT
-        |  CASE WHEN zeros > 0 AND (CAST('1579498136381.3938' AS DOUBLE) / scaled) <= 640.0
-        |         THEN 256.0 * ln(256.0 / zeros)
-        |       WHEN (CAST('1579498136381.3938' AS DOUBLE) / scaled) > 4294967296.0 / 30.0
-        |         THEN -4294967296.0 * ln(1.0 - (CAST('1579498136381.3938' AS DOUBLE) / scaled) / 4294967296.0)
-        |       ELSE CAST('1579498136381.3938' AS DOUBLE) / scaled END AS est,
-        |  scaled, zeros
-        |FROM (
-        |  SELECT CAST(sum(1::BIGINT << (25 - rho)) AS BIGINT) AS scaled,
-        |         CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
-        |  FROM (
-        |    SELECT s.i AS i, coalesce(r.rho, 0) AS rho
-        |    FROM (SELECT unnest(range(256)) AS i) s
-        |    LEFT JOIN (
-        |      SELECT hv % 256 AS bucket,
-        |             max(CASE WHEN hv // 256 = 0 THEN 25
-        |                      ELSE 25 - length(bin(hv // 256)) END) AS rho
-        |      FROM (SELECT DISTINCT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT AS hv
-        |            FROM orders
-        |            WHERE year(o_orderdate) = 1996 AND o_custkey IS NOT NULL) h
-        |      GROUP BY 1) r ON r.bucket = s.i))""".stripMargin,
+      // same register replay as t36/q93 (one shared SQL builder),
+      // restricted to the proved rows
+      hllReplay("o_custkey::VARCHAR", table = "orders",
+        where = "year(o_orderdate) = 1996"),
     "q95_metadata_kll_quantiles" ->
       // the folded per-file states stay within capacity at the oracle
       // SF, so extraction is the exact sorted-rank rule — DuckDB's

@@ -56,10 +56,13 @@ object DerivedPredicates {
   def expand(filters: Seq[Expression]): Seq[Expression] = filters.map(rewrite)
 
   private def rewrite(e: Expression): Expression = e match {
-    // the shape the In branch itself emits — And(original IN, covering
-    // range): leave it alone so expand() is idempotent (the distributed
-    // index expands once, selectFiles expands again)
-    case a @ And(_: In, And(_: GreaterThanOrEqual, _: LessThan)) => a
+    // the exact tree the In branch itself emits — And(original IN, its
+    // own covering range): leave it alone so expand() is idempotent
+    // (the distributed index expands once, selectFiles expands again).
+    // Requires literal equality with what we'd derive, so a USER-written
+    // And(In, And(ge, lt)) that merely resembles it still expands
+    case a @ And(in: In, And(_: GreaterThanOrEqual, _: LessThan))
+        if deriveLeaf(in).contains(a) => a
     case And(l, r) => And(rewrite(l), rewrite(r))
     case Or(l, r) => Or(rewrite(l), rewrite(r))
     // the DML path's three-valued-logic wrapper (`coalesce(cond,

@@ -228,6 +228,12 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * instead"). On ingest-aligned predicates (`year(ts) = …` over
    * time-batched appends) this answers "p99 of latency WHERE day = X"
    * with zero data files read.
+   *
+   * Scale note: classification runs driver-side over the materialized
+   * file list (the same shape the DML classifier uses), so unlike the
+   * unfiltered fold there is no sidecar-distributed path — at 1e5
+   * files that is ~0.5 s of driver work (KllScaleProbe); far beyond
+   * that, prefer the unfiltered fold or the scan.
    */
   def approxQuantile(
       column: String, qs: Seq[Double], where: String): Option[Seq[Double]] = {
@@ -261,14 +267,21 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * non-empty file decides one way or the other (the filtered-fold
    * precondition). Routed through the same optimizer-constant-folded
    * conjunct extraction and classification the metadata-only DELETE
-   * uses. */
+   * uses, including its `coalesce(cond, false)` null-semantics
+   * wrapper; subquery predicates rewrite to joins, which the
+   * purity check in [[optimizedUserConjuncts]] reports as
+   * unclassifiable → None. An unresolvable predicate (typo'd column,
+   * bad syntax) throws its AnalysisException to the caller — None
+   * means "metadata can't answer", never "the question was
+   * malformed". */
   private def statsProvedFiles(
-      s: QbeastSnapshot, where: String): Option[Vector[IndexFile]] =
-    scala.util.Try(
-      classifyDeleteByStats(s, pinnedRead(s).filter(expr(where)))).toOption.flatten match {
+      s: QbeastSnapshot, where: String): Option[Vector[IndexFile]] = {
+    val matched = coalesce(expr(where), lit(false))
+    classifyDeleteByStats(s, pinnedRead(s).filter(matched)) match {
       case Some((provedTrue, undecided)) if undecided.isEmpty => Some(provedTrue)
       case _ => None
     }
+  }
 
   /**
    * Rewrite the files of `revisionID` whose minimum weight fraction is ≤
@@ -518,13 +531,32 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   private def optimizedUserConjuncts(
       filtered: org.apache.spark.sql.DataFrame)
       : (Boolean, Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val plan = filtered.queryExecution.optimizedPlan
-    val hasScan = plan.collectFirst { case _: LogicalRelation => () }.isDefined
-    val conjuncts = plan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.flatMap(splitAnd).filterNot(_.exists(
-      _.isInstanceOf[graft.expressions.DvRowDeleted]))
+    // The classification contract needs the predicate to still BE a
+    // Filter chain over the scan. A SUBQUERY predicate does not stay
+    // one: the optimizer strips `coalesce(cond, false)`
+    // (ReplaceNullWithFalseInPredicate) and rewrites IN/EXISTS to a
+    // semi join (RewritePredicateSubquery) — the scan survives with
+    // ZERO Filter conjuncts, indistinguishable from a trivially-true
+    // condition, and plan.collect would even harvest the SUBQUERY's
+    // internal Filters as if they constrained the outer table. Any
+    // node other than the pure chain ⇒ report "no scan": every caller
+    // then takes the real execution path (which runs the join
+    // correctly) instead of proving files against the wrong predicate.
+    val pure = plan.collectFirst {
+      case p if !(p.isInstanceOf[Filter] || p.isInstanceOf[Project] ||
+        p.isInstanceOf[SubqueryAlias] || p.isInstanceOf[LogicalRelation]) => p
+    }.isEmpty
+    val hasScan = pure &&
+      plan.collectFirst { case _: LogicalRelation => () }.isDefined
+    val conjuncts =
+      if (!pure) Nil
+      else plan.collect {
+        case f: Filter => f.condition
+      }.flatMap(splitAnd).filterNot(_.exists(
+        _.isInstanceOf[graft.expressions.DvRowDeleted]))
     (hasScan, conjuncts)
   }
 
@@ -2237,13 +2269,6 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
-  /** Delete data files that are no longer referenced by the log (orphans
-   * from lost commit races, removed files from overwrite/optimize).
-   * Keeps anything newer than `retainMillis` so files a concurrent
-   * writer created but has not committed yet survive (default 7 days,
-   * like Delta). Retentions below [[QbeastTable.MinRetentionMillis]]
-   * require `force = true` — a zero-retention vacuum racing an
-   * in-flight writer silently loses that writer's data. */
   /** Delta's `DeltaTable.generate(mode)` spelling: validates the mode
    * and delegates to [[generateSymlinkManifest]]. */
   def generate(mode: String): Int = {
@@ -2252,6 +2277,13 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     generateSymlinkManifest()
   }
 
+  /** Delete data files that are no longer referenced by the log (orphans
+   * from lost commit races, removed files from overwrite/optimize).
+   * Keeps anything newer than `retainMillis` so files a concurrent
+   * writer created but has not committed yet survive (default 7 days,
+   * like Delta). Retentions below [[QbeastTable.MinRetentionMillis]]
+   * require `force = true` — a zero-retention vacuum racing an
+   * in-flight writer silently loses that writer's data. */
   def vacuum(
       retainMillis: Long = QbeastTable.DefaultRetentionMillis,
       force: Boolean = false): Int = {

@@ -553,6 +553,36 @@ class DmlSpec extends AnyFunSuite {
     assert(out.getDouble(3) === 10.0 + 1)           // m.a.x(orig)=10 → 11
   }
 
+  test("DELETE with subquery predicates deletes exactly the matching rows") {
+    import spark.implicits._
+    // THE round-12 regression case: an IN-subquery condition rewrites
+    // to a semi join, leaving the optimized plan with the scan intact
+    // and ZERO Filter conjuncts — indistinguishable from a
+    // trivially-true DELETE unless classification checks the plan
+    // shape. Before the purity check in optimizedUserConjuncts this
+    // deleted the ENTIRE table (every file "proved" vacuously TRUE).
+    val dir = TestSpark.tmpDir("dml-subq-del")
+    (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("a", "v")
+      .write.format("qbeast").option("columnsToIndex", "a")
+      .option("cubeSize", "50").save(dir)
+    spark.range(1, 11).toDF("id").createOrReplaceTempView("dml_subq_keys")
+    val t = QbeastTable.forPath(spark, dir)
+    assert(t.delete("a IN (SELECT id FROM dml_subq_keys)") == 10L)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() == 190L)
+    assert(back.agg(min("a")).head().getLong(0) == 11L)
+    // correlated EXISTS takes the same join rewrite
+    (1 to 5).map(i => (i * 20L, "k")).toDF("kid", "tag")
+      .createOrReplaceTempView("dml_subq_exists")
+    assert(t.delete(
+      "EXISTS (SELECT 1 FROM dml_subq_exists WHERE kid = a)") == 5L)
+    assert(spark.read.format("qbeast").load(dir).count() == 185L)
+    // NOT IN (null-aware anti join) — nothing matches an empty set
+    spark.emptyDataset[Long].toDF("id").createOrReplaceTempView("dml_subq_empty")
+    assert(t.delete("a IN (SELECT id FROM dml_subq_empty)") == 0L)
+    assert(spark.read.format("qbeast").load(dir).count() == 185L)
+  }
+
   test("API update supports dotted struct paths and rejects conflicts") {
     val (_, dir) = structTable("dml-structapi")
     val t = QbeastTable.forPath(spark, dir)

@@ -146,6 +146,15 @@ class MetadataKllSpec extends AnyFunSuite {
     assert(t.approxCountDistinct("a", "a <= 50").isEmpty)
     // FALSE-everywhere predicate: no surviving state — None, not NaN
     assert(t.approxQuantile("v", Qs, "a > 1000").isEmpty)
+    // subquery predicates can't be proved from stats: must BAIL, never
+    // silently answer for the whole table (the semi-join-rewrite trap)
+    spark.range(1, 51).toDF("id").createOrReplaceTempView("kll_keys")
+    assert(t.approxQuantile("v", Qs, "a IN (SELECT id FROM kll_keys)").isEmpty)
+    assert(t.approxCountDistinct("a", "a IN (SELECT id FROM kll_keys)").isEmpty)
+    // a malformed predicate throws (None is reserved for "can't answer")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      t.approxQuantile("v", Qs, "no_such_column > 5")
+    }
   }
 
   test("non-numeric kllColumns are rejected at write") {
