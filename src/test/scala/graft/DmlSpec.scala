@@ -581,6 +581,23 @@ class DmlSpec extends AnyFunSuite {
     spark.emptyDataset[Long].toDF("id").createOrReplaceTempView("dml_subq_empty")
     assert(t.delete("a IN (SELECT id FROM dml_subq_empty)") == 0L)
     assert(spark.read.format("qbeast").load(dir).count() == 185L)
+    // the SQL spelling routes through SupportsDelete, where Spark
+    // itself refuses subquery conditions up front ("Delete by
+    // condition with subquery is not supported") — an ERROR, never a
+    // silent mass delete; the Scala API above is the supported path
+    spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    spark.sql("DROP TABLE IF EXISTS qbeast_catalog.default.dml_subq_t")
+    spark.sql(s"""CREATE TABLE qbeast_catalog.default.dml_subq_t
+      (a BIGINT, v DOUBLE) USING qbeast
+      OPTIONS ('columnsToIndex'='a') LOCATION '${TestSpark.tmpDir("dml-subq-sql")}'""")
+    spark.sql("INSERT INTO qbeast_catalog.default.dml_subq_t VALUES (1, 1.0), (2, 2.0)")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM qbeast_catalog.default.dml_subq_t " +
+        "WHERE a IN (SELECT id FROM dml_subq_keys)")
+    }
+    assert(e.getMessage.contains("subquery"))
+    assert(spark.sql("SELECT count(*) FROM qbeast_catalog.default.dml_subq_t")
+      .head().getLong(0) == 2L)
   }
 
   test("API update supports dotted struct paths and rejects conflicts") {
