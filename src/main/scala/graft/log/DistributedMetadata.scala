@@ -128,7 +128,10 @@ object DistributedMetadata {
       var ok = true
       val acc = new Array[Byte](HllDistinctAgg.M)
       it.foreach { r =>
-        if (ok) {
+        // empty files contribute nothing and may legitimately lack an
+        // hll stats section — same tolerance the driver-side fold
+        // (QbeastTable.foldHllRegisters) and the sibling kllState apply
+        if (ok && r.blocks.iterator.map(_.elementCount).sum > 0L) {
           r.stats.flatMap(graft.read.FileStatsPruning.parse)
             .flatMap(_.hll.get(column)) match {
             case Some(b) => HllDistinctAgg.mergeRegisters(acc, b)

@@ -440,7 +440,23 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    */
   def optimizeWhere(condition: Column): Int = {
     val filtered = spark.read.format("qbeast").load(tablePath).filter(condition)
-    val (_, conjuncts) = optimizedUserConjuncts(filtered)
+    // a condition folding to FALSE replaces the scan with an empty
+    // LocalRelation: zero files can match, so there is nothing to
+    // repack — answer 0 instead of erroring
+    val foldedEmpty = filtered.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+    if (foldedEmpty) return 0
+    val (hasScan, conjuncts) = optimizedUserConjuncts(filtered)
+    // an impure plan (subquery condition rewritten to a join) yields
+    // zero conjuncts too — distinguish it so the refusal doesn't claim
+    // the user supplied no condition when they did
+    require(hasScan || conjuncts.nonEmpty,
+      "optimizeWhere does not support subquery conditions (IN/EXISTS " +
+        "rewrite to joins the file-selection layer can't prune by) — " +
+        "materialize the keys and use a literal predicate, or optimizeFiles()")
     require(conjuncts.nonEmpty,
       "optimizeWhere requires a filtering condition (a trivially-true " +
         "predicate folds away — use optimize() for a full repack)")

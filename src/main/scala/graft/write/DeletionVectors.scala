@@ -3,7 +3,6 @@ package graft.write
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
-import java.util.concurrent.ConcurrentHashMap
 
 /**
  * Deletion-vector storage: merge-on-read row-level DELETE (Delta's
@@ -158,46 +157,79 @@ object DeletionVectors {
   // state-at-(v-1) per commit) hold both hot instead of thrashing one
   // slot. Each entry pins the SparkContext that built it: a broadcast
   // outliving its (stopped) context would fail at execution, so a
-  // context change is a cache miss, never an error. Entries evicted
-  // here stay alive as long as some plan references the broadcast
-  // (ContextCleaner reclaims them once unreferenced).
-  private val bcCache = new ConcurrentHashMap[
+  // context change is a cache miss, never an error. LRU eviction (a
+  // workload cycling through >MaxBcEntries dv states keeps its hot
+  // entries instead of wiping everything at once), and the evicted or
+  // replaced broadcast is unpersisted non-blocking — safe because a
+  // plan still holding it just re-fetches the blocks on demand — so
+  // executor memory is not left to ContextCleaner GC timing alone.
+  private val bcCache = new java.util.LinkedHashMap[
     String,
     (org.apache.spark.SparkContext, Map[String, String],
-      org.apache.spark.broadcast.Broadcast[Map[String, String]])]()
+      org.apache.spark.broadcast.Broadcast[Map[String, String]])](
+    16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        String,
+        (org.apache.spark.SparkContext, Map[String, String],
+          org.apache.spark.broadcast.Broadcast[Map[String, String]])]): Boolean = {
+      val evict = size() > MaxBcEntries
+      if (evict) unpersistQuietly(e.getValue._1, e.getValue._3)
+      evict
+    }
+  }
   private val MaxBcEntries = 64
+
+  /** Release the broadcast's executor blocks if its context is still
+   * alive; never lets a teardown race fail the caller's query. */
+  private def unpersistQuietly(
+      sc: org.apache.spark.SparkContext,
+      bc: org.apache.spark.broadcast.Broadcast[_]): Unit =
+    try { if (!sc.isStopped) bc.unpersist(blocking = false) }
+    catch { case _: Exception => () }
 
   def broadcastFor(
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
       dvByName: Map[String, String])
-      : org.apache.spark.broadcast.Broadcast[Map[String, String]] = {
-    val sc = spark.sparkContext
-    val key = s"$tablePath#${dvByName.hashCode}"
-    val hit = bcCache.get(key)
-    if (hit != null && (hit._1 eq sc) && !sc.isStopped && hit._2 == dvByName)
-      return hit._3
-    val bc = sc.broadcast(dvByName)
-    if (bcCache.size() > MaxBcEntries) bcCache.clear()
-    bcCache.put(key, (sc, dvByName, bc))
-    bc
-  }
+      : org.apache.spark.broadcast.Broadcast[Map[String, String]] =
+    bcCache.synchronized {
+      val sc = spark.sparkContext
+      val key = s"$tablePath#${dvByName.hashCode}"
+      val hit = bcCache.get(key)
+      if (hit != null && (hit._1 eq sc) && !sc.isStopped && hit._2 == dvByName)
+        return hit._3
+      val bc = sc.broadcast(dvByName)
+      val prev = bcCache.put(key, (sc, dvByName, bc))
+      // a replaced entry (hash collision / restarted context) is dead
+      // weight on the executors the moment the new broadcast exists
+      if (prev != null) unpersistQuietly(prev._1, prev._3)
+      bc
+    }
 
   // ---- executor-side vector cache ------------------------------------
   // The mask expression probes per ROW; vectors are loaded once per
-  // (table, dvPath) per JVM and shared across tasks. Bounded the same
-  // way as the stats cache: new DELETEs mint NEW dv paths, so the map
-  // would otherwise grow for the life of a long executor.
+  // (table, dvPath) per JVM and shared across tasks — so this lookup
+  // runs once per (file, partition), never per row, and a synchronized
+  // LRU is cheap. Bounded because new DELETEs mint NEW dv paths: the
+  // map would otherwise grow for the life of a long executor; LRU keeps
+  // the vectors of the tables currently being scanned hot instead of
+  // wiping all of them on overflow.
   private val MaxCacheEntries = 10000
-  private val cache = new ConcurrentHashMap[String, Array[Long]]()
+  private val cache = new java.util.LinkedHashMap[String, Array[Long]](
+    16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Array[Long]]): Boolean =
+      size() > MaxCacheEntries
+  }
 
   def cached(tablePath: String, conf: Configuration, dvPath: String): Array[Long] = {
     val key = s"$tablePath#$dvPath"
-    val hit = cache.get(key)
-    if (hit != null) return hit
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
     val loaded = read(tablePath, conf, dvPath)
-    if (cache.size() > MaxCacheEntries) cache.clear()
-    cache.put(key, loaded)
+    cache.synchronized { cache.put(key, loaded) }
     loaded
   }
 

@@ -286,4 +286,21 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(bcA.value == a && bcB.value == b)
   }
 
+  test("broadcastFor eviction is LRU: the hot entry survives cache churn") {
+    val dvs = graft.write.DeletionVectors
+    val hot = Map("hot.parquet" -> "dv/hot.bin")
+    val tbl = "/tmp/bc-lru-probe"
+    val bcHot = dvs.broadcastFor(spark, tbl, hot)
+    // cycle 100 distinct (table, state) pairs — well past the 64-entry
+    // bound — touching the hot entry between inserts. A clear()-on-
+    // overflow cache would wipe it; LRU must keep it resident.
+    (1 to 100).foreach { i =>
+      dvs.broadcastFor(spark, s"$tbl-churn-$i", Map(s"f$i.parquet" -> s"dv/$i.bin"))
+      assert(dvs.broadcastFor(spark, tbl, hot) eq bcHot,
+        s"hot entry was evicted after $i churn inserts")
+    }
+    // the hot broadcast is still fully usable after all the evictions
+    assert(bcHot.value == hot)
+  }
+
 }

@@ -58,6 +58,19 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     val files0 = t.snapshot.files.map(_.path).toSet
     assert(t.optimizeWhere(org.apache.spark.sql.functions.col("a") > 999999L) === 0)
     assert(t.snapshot.files.map(_.path).toSet === files0)
+    // a condition folding to FALSE matches zero files: a no-op answer,
+    // not an error claiming the user supplied no condition
+    assert(t.optimizeWhere(org.apache.spark.sql.functions.lit(false)) === 0)
+    assert(t.snapshot.files.map(_.path).toSet === files0)
+    // a SUBQUERY condition rewrites to a join the file-selection layer
+    // can't prune by: refused with an HONEST message (it must not claim
+    // "requires a filtering condition" when the user supplied one)
+    spark.range(1, 5).toDF("id").createOrReplaceTempView("optwhere_keys")
+    val e = intercept[IllegalArgumentException] {
+      t.optimizeWhere(org.apache.spark.sql.functions.expr(
+        "a IN (SELECT id FROM optwhere_keys)"))
+    }
+    assert(e.getMessage.contains("subquery"), s"got: ${e.getMessage}")
   }
 
   test("SQL VACUUM reclaims dead files; retention guard needs FORCE") {
