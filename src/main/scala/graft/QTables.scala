@@ -843,6 +843,157 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** orders driven through the subquery-predicate DML matrix (the
+   * round-12 mass-delete bug class: shapes whose conditions rewrite to
+   * joins): IN-subquery DELETE, EXISTS-driven UPDATE, a NOT IN over a
+   * NULL-bearing subquery (three-valued logic: never true, must delete
+   * ZERO rows), and a user-written coalesce-wrapped condition. Every
+   * step's row count is required exact, so a silent mass-delete OR a
+   * silent no-op both fail the build, and the q98 oracle recomputes
+   * the final content from raw parquet. */
+  def qbeastSubqDmlOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_subqdml")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val o = raw(spark, sfDir, "orders")
+        o.write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_custkey")
+          .option("cubeSize", "2000")
+          .save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        // view names keyed by the sf dir: parallel fixtures of two
+        // scale factors must not read each other's keys
+        val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+        o.filter("o_orderkey % 13 = 0").selectExpr("o_orderkey AS k")
+          .createOrReplaceTempView(s"subq_del_keys_$tag")
+        val expectDel = o.filter("o_orderkey % 13 = 0").count()
+        require(t.delete(s"o_orderkey IN (SELECT k FROM subq_del_keys_$tag)")
+          == expectDel, "IN-subquery DELETE must delete exactly the keyed rows")
+        o.filter("o_orderkey % 17 = 5").selectExpr("o_orderkey AS k")
+          .createOrReplaceTempView(s"subq_upd_keys_$tag")
+        val expectUpd = o.filter("o_orderkey % 17 = 5 AND o_orderkey % 13 <> 0").count()
+        require(t.update(
+          s"EXISTS (SELECT 1 FROM subq_upd_keys_$tag WHERE k = o_orderkey)",
+          Map("o_totalprice" -> "o_totalprice + 11111.0")) == expectUpd,
+          "EXISTS-subquery UPDATE must touch exactly the keyed survivors")
+        // NOT IN with a NULL in the subquery result: SQL three-valued
+        // logic makes the predicate UNKNOWN for every non-member row —
+        // the DELETE must be a no-op, not a mass delete
+        o.selectExpr(
+          "CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_orderkey END AS k")
+          .createOrReplaceTempView(s"subq_null_keys_$tag")
+        require(t.delete(s"o_orderkey NOT IN (SELECT k FROM subq_null_keys_$tag)")
+          == 0L, "NOT IN over a NULL-bearing subquery must delete nothing")
+        // user-written coalesce wrapper == bare predicate (the
+        // optimizer strips it; classification must stay correct)
+        val expectCoal = o.filter("o_orderkey % 13 <> 0 AND o_orderkey % 19 = 7").count()
+        require(t.delete("coalesce(o_orderkey % 19 = 7, false)") == expectCoal,
+          "coalesce-wrapped DELETE must equal its bare spelling")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
+  /** dv-masked orders indexed ON the date column, then a derived-date
+   * DELETE (`year(o_orderdate) < 1998`): files wholly below the cutoff
+   * TRUE-prove on PHYSICAL rows and drop whole even though masked —
+   * the returned count must subtract their already-masked rows. The
+   * builder requires the exact row count and that the proof layer
+   * actually dropped files (the date index aligns file boundaries). */
+  def qbeastDvDerivedDeleted(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_dvderived")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val o = raw(spark, sfDir, "orders")
+        o.write.format("qbeast")
+          .option("columnsToIndex", "o_orderdate,o_orderkey")
+          .option("cubeSize", "2000")
+          .option("deletionVectors", "true")
+          .save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        require(t.delete("o_custkey % 10 = 3") > 0L)
+        require(t.snapshot.dvs.nonEmpty, "masks must be attached before the date delete")
+        val filesBefore = t.snapshot.files.map(_.path).toSet
+        val expect = o.filter("o_custkey % 10 <> 3 AND year(o_orderdate) < 1998").count()
+        require(t.delete("year(o_orderdate) < 1998") == expect,
+          "derived-date DELETE over a masked table must count exactly " +
+            "(proved drops subtract their already-masked rows)")
+        val filesAfter = t.snapshot.files.map(_.path).toSet
+        require((filesBefore -- filesAfter).nonEmpty,
+          "the date-aligned index should let whole files drop")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
+  /** DML over a MIXED table: half converted-in-place (staging files,
+   * NO per-file stats) + half appended indexed. The stats classifier
+   * must treat stats-less files as undecided (scan them), never
+   * proved; staging survivors fold into the indexed revision. Exact
+   * counts required on both the DELETE and the UPDATE. */
+  def qbeastMixedStatsDml(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_mixeddml")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val o = raw(spark, sfDir, "orders")
+        o.filter("o_orderkey % 2 = 0").write.mode("overwrite").parquet(path)
+        graft.table.QbeastTable.convertFromParquet(spark, path)
+        o.filter("o_orderkey % 2 = 1").write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_custkey")
+          .option("cubeSize", "2000")
+          .mode("append").save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        require(t.snapshot.unindexedFiles.nonEmpty, "staging files must exist")
+        val expectDel = o.filter("o_totalprice < 50000.0").count()
+        require(t.delete("o_totalprice < 50000.0") == expectDel,
+          "DELETE straddling stats-less and indexed files must count exactly")
+        val expectUpd = o.filter("o_totalprice >= 50000.0 AND o_custkey % 7 = 1").count()
+        require(t.update("o_custkey % 7 = 1", Map("o_orderpriority" -> "'MIXED'"))
+          == expectUpd, "UPDATE over the mixed table must count exactly")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
+  /** MERGE whose SOURCE is a qbeast table carrying its own dv masks:
+   * the upsert must see the source through the masked scan — a masked
+   * source row must neither replace its target row nor resurrect.
+   * Target price is bumped for exactly the live source keys (q101). */
+  def qbeastMaskedSourceMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureExtensions(spark)
+    val target = cachePath(sfDir, "orders_msrc_target")
+    val source = cachePath(sfDir, "orders_msrc_source")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(target, spark.sparkContext.hadoopConfiguration)) {
+        val o = raw(spark, sfDir, "orders")
+        o.write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_custkey")
+          .option("cubeSize", "2000")
+          .save(target)
+        o.filter("o_orderkey % 4 = 1").write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_custkey")
+          .option("cubeSize", "2000")
+          .option("deletionVectors", "true")
+          .save(source)
+        val st = graft.table.QbeastTable.forPath(spark, source)
+        require(st.delete("o_custkey % 3 = 0") > 0L)
+        require(st.snapshot.dvs.nonEmpty, "source masks must be attached")
+        val live = o.filter("o_orderkey % 4 = 1 AND o_custkey % 3 <> 0").count()
+        val srcDf = spark.read.format("qbeast").load(source)
+          .withColumn("o_totalprice", col("o_totalprice") + 77777.0)
+        val t = graft.table.QbeastTable.forPath(spark, target)
+        val (replaced, inserted) = t.upsert(srcDf, Seq("o_orderkey"))
+        require(replaced == live && inserted == live,
+          s"masked source rows must not merge: replaced=$replaced live=$live")
+      }
+    }
+    spark.read.format("qbeast").load(target)
+  }
+
   /** orders with per-file bloom filters on o_custkey — a
    * high-cardinality column UNCORRELATED with the (o_orderkey,
    * o_totalprice) index order, so every file's [min, max] spans any

@@ -1073,6 +1073,40 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q98_dml_subquery_matrix" -> ((s, dir) => {
+      // the subquery-predicate DML matrix (the round-12 bug class):
+      // IN-subquery DELETE, EXISTS UPDATE, NOT-IN-with-NULLs no-op,
+      // coalesce-wrapped DELETE — every step's row count is required
+      // exact inside the fixture; the oracle recomputes the end state
+      QTables.qbeastSubqDmlOrders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
+    "q99_dv_derived_date_delete" -> ((s, dir) => {
+      // derived-date DELETE (`year(ts) < …`) over a dv-MASKED table
+      // indexed on the date: whole files TRUE-prove on physical rows
+      // and drop despite carrying masks (builder asserts files dropped
+      // and the count subtracts already-masked rows)
+      QTables.qbeastDvDerivedDeleted(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
+    "q100_dml_mixed_stats_files" -> ((s, dir) => {
+      // DELETE + UPDATE over a table mixing converted stats-LESS
+      // staging files with indexed files: stats-less files must be
+      // scanned (never proved), staging survivors fold into the
+      // indexed revision
+      QTables.qbeastMixedStatsDml(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
+    "q101_merge_masked_source" -> ((s, dir) => {
+      // MERGE/upsert whose SOURCE is a qbeast table with its own dv
+      // masks: masked source rows must not replace their target rows
+      QTables.qbeastMaskedSourceMerged(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q92_metadata_minmax_filtered" -> ((s, dir) => {
       // FILTERED min/max answered from per-file stats (the q83
       // tri-state proofs extended to extremes): every surviving file
@@ -2871,6 +2905,36 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_totalprice >= 100000.0 GROUP BY 1""".stripMargin,
+    "q98_dml_subquery_matrix" ->
+      // end state: %13 keys deleted (IN subquery), then survivors with
+      // %17=5 bumped +11111 (EXISTS update), the NOT-IN-with-NULLs
+      // delete a no-op, then %19=7 deleted (coalesce-wrapped)
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(CASE WHEN o_orderkey % 17 = 5
+        |  THEN o_totalprice + 11111.0 ELSE o_totalprice END
+        |  AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 13 <> 0 AND o_orderkey % 19 <> 7
+        |GROUP BY 1""".stripMargin,
+    "q99_dv_derived_date_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey % 10 <> 3 AND year(o_orderdate) >= 1998
+        |GROUP BY 1""".stripMargin,
+    "q100_dml_mixed_stats_files" ->
+      """SELECT CASE WHEN o_custkey % 7 = 1 THEN 'MIXED'
+        |            ELSE o_orderpriority END AS o_orderpriority,
+        |count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_totalprice >= 50000.0
+        |GROUP BY 1""".stripMargin,
+    "q101_merge_masked_source" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(CASE WHEN o_orderkey % 4 = 1 AND o_custkey % 3 <> 0
+        |  THEN o_totalprice + 77777.0 ELSE o_totalprice END
+        |  AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "q92_metadata_minmax_filtered" ->
       """SELECT count(*) AS cnt,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,

@@ -830,8 +830,13 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       case Some((_, und)) => readTableFiles(s, und)
       case None => table
     }
+    // file identity rides _metadata.file_path, materialized at the
+    // scan, NOT input_file_name(): a subquery condition rewrites to a
+    // join, and under a shuffled (non-broadcast) join input_file_name
+    // evaluates post-shuffle to "" — every file would look unaffected
+    // and the DELETE would silently no-op (spec-pinned in DmlSpec)
     val affectedNames = residual.filter(matched)
-      .select(input_file_name().as("f")).distinct()
+      .select(col("_metadata.file_path").as("f")).distinct()
       .collect().map(r => new Path(r.getString(0)).getName).toSet
     // `scanned` = files whose matched rows were DISCOVERED by reading —
     // these mask/rewrite below; TRUE-proved drops skip that read

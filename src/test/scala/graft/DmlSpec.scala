@@ -600,6 +600,52 @@ class DmlSpec extends AnyFunSuite {
       .head().getLong(0) == 2L)
   }
 
+  test("subquery DELETE/UPDATE survive a forced shuffle join (no broadcast)") {
+    import spark.implicits._
+    // input_file_name() is "" after a shuffle: if affected-file
+    // discovery projected it ABOVE the subquery's rewritten join, a
+    // sort-merge-joined DELETE would match zero files and silently
+    // no-op (the inverse failure mode of the round-12 mass delete).
+    // Discovery must ride _metadata.file_path, stamped at the scan.
+    val dir = TestSpark.tmpDir("dml-subq-smj")
+    (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("a", "v")
+      .write.format("qbeast").option("columnsToIndex", "a")
+      .option("cubeSize", "50").save(dir)
+    spark.range(1, 11).toDF("id").createOrReplaceTempView("dml_smj_keys")
+    val t = QbeastTable.forPath(spark, dir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(t.delete("a IN (SELECT id FROM dml_smj_keys)") == 10L)
+      assert(spark.read.format("qbeast").load(dir).count() == 190L)
+      // UPDATE through the same shuffled-join discovery
+      assert(t.update("a IN (SELECT id + 20 FROM dml_smj_keys)",
+        Map("v" -> "v + 1000")) == 10L)
+      val back = spark.read.format("qbeast").load(dir)
+      assert(back.filter("v >= 1000").count() == 10L)
+      assert(back.filter("a BETWEEN 21 AND 30 AND v = a * 2 + 1000").count() == 10L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("SQL UPDATE with a subquery condition updates exactly the matching rows") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("dml-subq-sqlupd")
+    spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    spark.sql("DROP TABLE IF EXISTS qbeast_catalog.default.dml_squpd_t")
+    spark.sql(s"""CREATE TABLE qbeast_catalog.default.dml_squpd_t
+      (a BIGINT, v DOUBLE) USING qbeast
+      OPTIONS ('columnsToIndex'='a') LOCATION '$dir'""")
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("a", "v")
+      .writeTo("qbeast_catalog.default.dml_squpd_t").append()
+    spark.range(1, 11).toDF("id").createOrReplaceTempView("dml_squpd_keys")
+    spark.sql("UPDATE qbeast_catalog.default.dml_squpd_t SET v = v + 1000 " +
+      "WHERE a IN (SELECT id FROM dml_squpd_keys)")
+    val back = spark.sql("SELECT * FROM qbeast_catalog.default.dml_squpd_t")
+    assert(back.filter("v >= 1000").count() == 10L)
+    assert(back.filter("a <= 10 AND v = a * 2 + 1000").count() == 10L)
+    assert(back.count() == 100L)
+  }
+
   test("API update supports dotted struct paths and rejects conflicts") {
     val (_, dir) = structTable("dml-structapi")
     val t = QbeastTable.forPath(spark, dir)
