@@ -1073,6 +1073,26 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q102_metadata_minmax_string" -> ((s, dir) => {
+      // STRING min/max answered from per-file stats (the dashboard
+      // `min/max(status)` shape): bounds are exact for values within
+      // the truncation cap, so the whole aggregate folds to a
+      // LocalRelation — zero data files read (builder asserts no
+      // relation survives). Oversized values contribute truncated
+      // bounds marked inexact, and an inexact winner bails to the scan
+      // (spec-asserted in MetadataCountSpec/FileStatsSpec).
+      val df = QTables.qbeast(s, dir, "orders").agg(
+        count(lit(1)).as("cnt"),
+        min(col("o_orderstatus")).as("min_status"),
+        max(col("o_orderstatus")).as("max_status"),
+        min(col("o_orderpriority")).as("min_prio"),
+        max(col("o_orderpriority")).as("max_prio"))
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      require(scans.isEmpty, "string min/max should fold to a metadata LocalRelation")
+      df
+    }),
     "q98_dml_subquery_matrix" -> ((s, dir) => {
       // the subquery-predicate DML matrix (the round-12 bug class):
       // IN-subquery DELETE, EXISTS UPDATE, NOT-IN-with-NULLs no-op,
@@ -2905,6 +2925,11 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_totalprice >= 100000.0 GROUP BY 1""".stripMargin,
+    "q102_metadata_minmax_string" ->
+      """SELECT count(*) AS cnt,
+        |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio
+        |FROM orders""".stripMargin,
     "q98_dml_subquery_matrix" ->
       // end state: %13 keys deleted (IN subquery), then survivors with
       // %17=5 bumped +11111 (EXISTS update), the NOT-IN-with-NULLs

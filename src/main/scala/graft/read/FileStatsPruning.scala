@@ -29,7 +29,17 @@ object FileStatsPruning {
       nulls: Map[String, Long],
       blooms: Map[String, BloomStat] = Map.empty,
       hll: Map[String, Array[Byte]] = Map.empty,
-      kll: Map[String, Array[Byte]] = Map.empty)
+      kll: Map[String, Array[Byte]] = Map.empty,
+      // truncated-string bound markers ("min" | "max" | "minmax"):
+      // the marked side is a valid BOUND but not an actual row value —
+      // pruning/proofs stay sound, the metadata min/max fold must bail
+      inexact: Map[String, String] = Map.empty) {
+
+    /** True when the column's `isMin` side is a truncated bound. */
+    def isInexact(col: String, isMin: Boolean): Boolean =
+      inexact.get(col).exists(m =>
+        m == "minmax" || m == (if (isMin) "min" else "max"))
+  }
 
   /** Parsed-stats cache keyed by the JSON text (one entry per file;
    * snapshots reuse the same strings across queries). Bounded: every
@@ -136,8 +146,14 @@ object FileStatsPruning {
         }.toMap
         case _ => Map.empty[String, Array[Byte]]
       }
+      val inexact = j \ "inexact" match {
+        case JObject(fields) => fields.collect {
+          case (k, JString(v)) => k -> v
+        }.toMap
+        case _ => Map.empty[String, String]
+      }
       val s = Stats(numRecords, section("minValues"), section("maxValues"),
-        nulls, blooms, hll, kll)
+        nulls, blooms, hll, kll, inexact)
       if (cache.size() > MaxCacheEntries) cache.clear()
       cache.put(json, s)
       Some(s)
@@ -295,7 +311,13 @@ object FileStatsPruning {
     val mx = s.maxs.get(colName).getOrElse(return None)
     (cmp(mn, v), cmp(mx, v)) match {
       case (Some(a), Some(b)) =>
-        if (a == 0 && b == 0 && nulls == 0L) Some(true)
+        // all-rows-equal needs both sides EXACT: a truncated bound
+        // equal to v cannot witness that v is an actual row value
+        // (unreachable with this collector's bounds — a truncated min
+        // forces max > min — but cheap insurance against drift)
+        if (a == 0 && b == 0 && nulls == 0L &&
+          !s.isInexact(colName, isMin = true) &&
+          !s.isInexact(colName, isMin = false)) Some(true)
         else if (a > 0 || b < 0) Some(false)
         else None
       case _ => None
@@ -303,8 +325,9 @@ object FileStatsPruning {
   }
 
   /** Missing min/max is only decisive when the column is tracked and
-   * entirely null (string columns past the length cap drop min/max but
-   * keep nullCount < numRecords, so they stay conservative). */
+   * entirely null (string columns with invalid UTF-8 drop min/max but
+   * keep nullCount < numRecords, so they stay conservative; truncated
+   * oversized values keep bounds, marked in `inexact`). */
   private def allNull(s: Stats, col: String): Boolean =
     s.nulls.get(col).contains(s.numRecords)
 

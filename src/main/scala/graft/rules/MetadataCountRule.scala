@@ -29,11 +29,14 @@ import org.apache.spark.sql.types._
  * through the stats-proof path: every file must decide the predicate
  * wholly true or wholly false). min/max additionally require EVERY
  * candidate file to carry complete stats for the column with an
- * exactness-safe type (long/double families, boolean, date,
- * timestamp — strings are excluded: the collector invalidates
- * oversized values, which is indistinguishable from all-null in the
- * emitted JSON). A Sample, Limit, join, light (sidecar) snapshot, any
- * stats gap, or an undecidable file leaves the plan untouched.
+ * exactness-safe type (long/double families, boolean, date, timestamp,
+ * string). A string file whose winning bound is TRUNCATED (the
+ * collector's `inexact` marker — an oversized value contributed a
+ * prefix/bumped bound, not a row value) folds as a BOUND, exactly like
+ * a dv-masked file: the fold still answers when an exact witness
+ * dominates it, and bails to the scan otherwise. A Sample, Limit,
+ * join, light (sidecar) snapshot, any stats gap, or an undecidable
+ * file leaves the plan untouched.
  */
 class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -200,12 +203,17 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
    * as sentinel strings, so a table containing NaN answers max() = NaN
    * exactly like the scan would — folding only the numeric stats would
    * silently return the largest non-NaN instead. */
-  private final class ExtremeAcc(isMin: Boolean, floating: Boolean) {
+  private final class ExtremeAcc(isMin: Boolean, floating: Boolean, string: Boolean = false) {
     private var acc: Option[BigDecimal] = None
     private var accBool: Option[Boolean] = None
     private var accD: Option[Double] = None
+    // strings fold in UTF8String (UTF-8 byte = code-point) order, the
+    // order the collector's bounds were computed in — NOT Java String
+    // UTF-16 order, which disagrees for non-BMP chars
+    private var accS: Option[org.apache.spark.unsafe.types.UTF8String] = None
 
-    def isEmpty: Boolean = acc.isEmpty && accBool.isEmpty && accD.isEmpty
+    def isEmpty: Boolean =
+      acc.isEmpty && accBool.isEmpty && accD.isEmpty && accS.isEmpty
 
     private def foldD(d: Double): Unit = {
       val keep = accD.forall { p =>
@@ -232,7 +240,15 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case Some(d) => foldD(d); true
           case None => false
         }
-      case _ => false // string or unexpected shape
+      case s: String if string =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        val keep = accS.forall { p =>
+          val c = u.compareTo(p)
+          if (isMin) c < 0 else c > 0
+        }
+        if (keep) accS = Some(u)
+        true
+      case _ => false // unexpected shape for the column's type
     }
 
     /** TRUE iff this (witness) extreme is at least as extreme as
@@ -250,6 +266,10 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case (Some(w), Some(b)) => return cmpOk(FileStatsPruning.nanCmp(w, b))
         case _ =>
       }
+      (accS, bound.accS) match {
+        case (Some(w), Some(b)) => return cmpOk(w.compareTo(b))
+        case _ =>
+      }
       (acc, bound.acc) match {
         case (Some(w), Some(b)) => cmpOk(w.compare(b))
         case _ => false // mixed shapes between files: don't guess
@@ -260,6 +280,7 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case BooleanType => accBool.orNull
       case FloatType => accD.map[Any](_.toFloat).orNull
       case DoubleType => accD.map[Any](d => d).orNull
+      case _: StringType => accS.orNull // UTF8String IS the internal value
       case _ =>
         // map[Any]: without the ascription Scala unifies the numeric
         // arms by WEAK CONFORMANCE — every branch silently widens to
@@ -289,7 +310,12 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
    * witness IS the live extreme; a fully-masked file (cardinality ==
    * elementCount) has no live rows and is skipped outright. Only a
    * masked file whose stats range could beat every witness forces the
-   * scan — the extreme row there might be a deleted one. */
+   * scan — the extreme row there might be a deleted one.
+   *
+   * A TRUNCATED string side (the collector's `inexact` marker) is the
+   * same situation by a different cause: the stats value bounds the
+   * file's rows but no row achieves it — it folds into `bound`, never
+   * `witness`. */
   private def statsExtreme(
       snap: QbeastSnapshot,
       column: String,
@@ -298,8 +324,9 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       surviving: String => Boolean = _ => true): Option[Any] = {
     if (!MetadataCountRule.exactStatsType(dt)) return None
     val floating = dt == FloatType || dt == DoubleType
-    val witness = new ExtremeAcc(isMin, floating)
-    val bound = new ExtremeAcc(isMin, floating)
+    val string = dt.isInstanceOf[StringType]
+    val witness = new ExtremeAcc(isMin, floating, string)
+    val bound = new ExtremeAcc(isMin, floating, string)
     snap.files.foreach { f =>
       if (f.elementCount > 0L && surviving(f.path)) {
         val dvCard = snap.dvs.get(f.path).map(_.cardinality).getOrElse(0L)
@@ -309,7 +336,9 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (nulls < stats.numRecords) {
             val side = if (isMin) stats.mins else stats.maxs
             val v = side.getOrElse(column, return None)
-            val target = if (dvCard == 0L) witness else bound
+            val target =
+              if (dvCard == 0L && !stats.isInexact(column, isMin)) witness
+              else bound
             if (!target.fold(v)) return None
           }
         }
@@ -326,10 +355,13 @@ object MetadataCountRule {
 
   /** Types whose stats JSON round-trip is exact (see
    * FileStatsCollector: long family as decimal text, float widened to
-   * double losslessly, doubles printed round-trippably). */
+   * double losslessly, doubles printed round-trippably, valid-UTF-8
+   * strings escaped losslessly — the collector drops bounds for
+   * invalid UTF-8, whose String round-trip is not order-preserving). */
   def exactStatsType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
         BooleanType | DateType | TimestampType | TimestampNTZType => true
+    case _: StringType => true
     case _ => false
   }
 }

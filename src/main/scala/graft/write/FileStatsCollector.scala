@@ -15,9 +15,17 @@ import org.apache.spark.unsafe.types.UTF8String
  * Eligible columns: numeric, boolean, string, date, timestamp — capped
  * at [[FileStatsCollector.MaxStatsColumns]] (Delta's
  * dataSkippingNumIndexedCols default). String values longer than
- * [[FileStatsCollector.MaxStringLen]] invalidate that column's min/max
- * (a document body would bloat the log for no pruning value);
- * nullCount stays valid.
+ * [[FileStatsCollector.MaxStringLen]] contribute TRUNCATED bounds
+ * (Delta's trick) instead of invalidating the column: the code-point
+ * prefix is a valid lower bound as-is, and [[FileStatsCollector.bumpUpper]]
+ * increments the prefix's last bumpable code point into a valid upper
+ * bound — so a document body still prunes range/prefix predicates at
+ * 64 chars of log weight. Sides whose winning bound came from a
+ * truncated value are marked in an `"inexact"` JSON section: pruning
+ * ignores it (a bound is a bound), but the metadata min/max fold
+ * ([[graft.rules.MetadataCountRule]]) must not return a string that
+ * exists in no row. Invalid UTF-8 drops the column's bounds outright —
+ * its JSON round-trip through String is not order-preserving.
  *
  * The row loop is allocation-free: numeric extrema live in primitive
  * arrays (no boxing), string extrema clone only when a row actually
@@ -50,8 +58,14 @@ final class FileStatsCollector(schema: StructType) {
   private val dblSeen = new Array[Boolean](n)
   private val strMin = new Array[UTF8String](n)
   private val strMax = new Array[UTF8String](n)
+  // per-side exactness: false when the current winner is a truncated
+  // lower bound / bumped upper bound rather than an actual row value
+  private val minExact = Array.fill(n)(true)
+  private val maxExact = Array.fill(n)(true)
   private val nulls = new Array[Long](n)
   private val seen = new Array[Boolean](n)
+  // cleared only for strings: invalid UTF-8 (round-trip not
+  // order-preserving) or an unbumpable prefix (all U+10FFFF)
   private val valid = Array.fill(n)(true)
   private var numRecords = 0L
 
@@ -86,10 +100,27 @@ final class FileStatsCollector(schema: StructType) {
             if (v > longMax(j)) longMax(j) = v
           case _ =>
             val s = row.getUTF8String(i)
-            if (s.numChars() > MaxStringLen) valid(j) = false
-            else {
-              if (strMin(j) == null || s.compareTo(strMin(j)) < 0) strMin(j) = s.clone()
-              if (strMax(j) == null || s.compareTo(strMax(j)) > 0) strMax(j) = s.clone()
+            if (!s.isValid) { valid(j) = false; strMin(j) = null; strMax(j) = null }
+            else if (s.numChars() > MaxStringLen) {
+              // truncated bounds: the prefix is ≤ the value (lower
+              // bound); the bumped prefix is > any extension of it
+              // (upper bound). Either winning marks its side inexact.
+              val pfx = s.substring(0, MaxStringLen).clone()
+              if (strMin(j) == null || pfx.compareTo(strMin(j)) < 0) {
+                strMin(j) = pfx; minExact(j) = false
+              }
+              val ub = bumpUpper(pfx)
+              if (ub == null) { valid(j) = false; strMin(j) = null; strMax(j) = null }
+              else if (strMax(j) == null || ub.compareTo(strMax(j)) > 0) {
+                strMax(j) = ub; maxExact(j) = false
+              }
+            } else {
+              if (strMin(j) == null || s.compareTo(strMin(j)) < 0) {
+                strMin(j) = s.clone(); minExact(j) = true
+              }
+              if (strMax(j) == null || s.compareTo(strMax(j)) > 0) {
+                strMax(j) = s.clone(); maxExact(j) = true
+              }
             }
         }
         seen(j) = true
@@ -162,6 +193,36 @@ final class FileStatsCollector(schema: StructType) {
       j += 1
     }
     sb.append('}')
+    // inexact-bound markers (truncated strings only): which side(s) of
+    // a column's min/max are bounds rather than actual row values —
+    // pruning ignores this section, the metadata min/max fold bails on it
+    var anyInexact = false
+    j = 0
+    while (j < n && !anyInexact) {
+      anyInexact = valid(j) && tags(j) == 3 &&
+        ((strMin(j) != null && !minExact(j)) || (strMax(j) != null && !maxExact(j)))
+      j += 1
+    }
+    if (anyInexact) {
+      sb.append(",\"inexact\":{")
+      first = true
+      j = 0
+      while (j < n) {
+        if (valid(j) && tags(j) == 3) {
+          val im = strMin(j) != null && !minExact(j)
+          val ix = strMax(j) != null && !maxExact(j)
+          if (im || ix) {
+            if (!first) sb.append(',')
+            first = false
+            sb.append('"').append(names(j)).append("\":\"")
+              .append(if (im && ix) "minmax" else if (im) "min" else "max")
+              .append('"')
+          }
+        }
+        j += 1
+      }
+      sb.append('}')
+    }
     bloomSection.foreach(b => sb.append(",\"bloomFilters\":").append(b))
     hllSection.foreach(h => sb.append(",\"hll\":").append(h))
     kllSection.foreach(k => sb.append(",\"kll\":").append(k))
@@ -176,8 +237,33 @@ object FileStatsCollector {
   /** Delta's `dataSkippingNumIndexedCols` default. */
   val MaxStatsColumns = 32
 
-  /** Longer string values carry no pruning value and bloat the log. */
+  /** Bound-truncation length for string values (longer values
+   * contribute truncated bounds instead of exact extremes). */
   val MaxStringLen = 64
+
+  /** The smallest-effort string STRICTLY GREATER than every extension
+   * of `pfx` in UTF-8 byte order (= code-point order): increment the
+   * last bumpable code point (skipping the surrogate gap) and drop the
+   * tail. Null only when every code point is U+10FFFF (no upper bound
+   * exists at this length — the caller invalidates the column). */
+  private[graft] def bumpUpper(pfx: UTF8String): UTF8String = {
+    val cps = pfx.toString.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        var next = cps(i) + 1
+        // the surrogate range is not encodable as a code point
+        if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+        val sb = new java.lang.StringBuilder
+        var k = 0
+        while (k < i) { sb.appendCodePoint(cps(k)); k += 1 }
+        sb.appendCodePoint(next)
+        return UTF8String.fromString(sb.toString)
+      }
+      i -= 1
+    }
+    null
+  }
 
   private val KByte = 0
   private val KShort = 1

@@ -67,15 +67,77 @@ class FileStatsSpec extends AnyFunSuite {
       df.filter("category = 'alpha'").count())
   }
 
-  test("long string columns drop min/max but stay correct (no wrong pruning)") {
+  test("long string columns keep truncated bounds and stay correct (no wrong pruning)") {
     val dir = TestSpark.tmpDir("fstats-long")
     val df = writeSynthetic(dir)
     val back = spark.read.format("qbeast").load(dir)
-    // body values exceed the stats length cap: filters on body must
-    // still return every match (conservative keep)
+    // body values exceed the truncation length and share one 64-char
+    // prefix (bounds are identical across files — no pruning possible):
+    // filters on body must still return every match (conservative keep)
     assert(back.filter(col("body").startsWith("body_")).count() ===
       df.filter(col("body").isNotNull).count())
     assert(back.filter("body IS NULL").count() === df.filter("body IS NULL").count())
+  }
+
+  test("oversized string values contribute truncated bounds that still prune") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("fstats-trunc")
+    // > 64-char values whose FIRST chars sort with the index: the
+    // truncated bounds separate files, so the old invalidate-on-oversize
+    // behavior (zero pruning) is observable as a regression here
+    val df = (1 to 20000).map { i =>
+      (i.toLong, f"k$i%08d" + ("z" * 100), i * 2.0)
+    }.toDF("id", "payload", "value")
+    df.write.format("qbeast")
+      .option("columnsToIndex", "id,value")
+      .option("cubeSize", "1000").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    val all = back.inputFiles.length
+    assert(all > 3, s"need multiple files, got $all")
+    // range predicate on the oversized column: pruned AND exact
+    val q = back.filter(col("payload") < "k00000500")
+    assert(q.count() === 499L)
+    assert(filesRead(back.filter(col("payload") < "k00000500")) < all,
+      "truncated bounds should skip files")
+    // prefix predicate prunes through the same bounds
+    assert(filesRead(back.filter(col("payload").startsWith("k0001999"))) < all)
+    assert(back.filter(col("payload").startsWith("k0001999")).count() === 10L)
+    // equality on a full oversized value: exact through bounds-only stats
+    assert(back.filter(col("payload") === ("k00010000" + "z" * 100)).count() === 1L)
+    // min/max over the truncated column must NOT fold to metadata (the
+    // winning bounds are inexact) and must equal the true extremes
+    val agg = back.agg(min("payload").as("mn"), max("payload").as("mx"))
+    val scansSurvive = agg.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.nonEmpty
+    assert(scansSurvive, "inexact string bounds must bail the metadata fold")
+    val r = agg.head()
+    assert(r.getString(0) === "k00000001" + "z" * 100)
+    assert(r.getString(1) === "k00020000" + "z" * 100)
+  }
+
+  test("bumpUpper produces a strict upper bound for every extension; surrogate gap skipped") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bump = (s: UTF8String) => graft.write.FileStatsCollector.bumpUpper(s)
+    // property: bump(prefix(v)) > v in UTF8 order, for tricky shapes
+    val values = Seq(
+      "plain ascii tail", "ends high ퟿", "non-bmp 😀 emoji",
+      "max cp " + new String(Character.toChars(0x10FFFF)),
+      "éè accented", "tab\tand newline\n")
+    values.foreach { tail =>
+      val v = UTF8String.fromString("pfx_" + tail + ("x" * 100))
+      val pfx = v.substring(0, 64)
+      val ub = bump(pfx)
+      assert(ub != null, s"bump failed for $tail")
+      assert(ub.compareTo(v) > 0, s"bound not above value for $tail")
+      assert(ub.compareTo(pfx) > 0, s"bound not above prefix for $tail")
+    }
+    // all-U+10FFFF prefix: no bound exists at this length
+    val maxCp = new String(Character.toChars(0x10FFFF))
+    assert(bump(UTF8String.fromString(maxCp * 3)) == null)
+    // a U+D7FF last char bumps OVER the surrogate gap to U+E000
+    val bumped = bump(UTF8String.fromString("a퟿"))
+    assert(bumped != null && bumped.toString === "a")
   }
 
   test("null-count stats prune IS NULL scans") {
@@ -181,7 +243,13 @@ class FileStatsSpec extends AnyFunSuite {
     val s = graft.read.FileStatsPruning.parse(snap.files.head.stats.get).get
     assert(s.numRecords > 0)
     assert(s.mins.contains("ts") && s.maxs.contains("ts"))
-    assert(!s.mins.contains("body"), "long strings must not keep min/max")
+    // oversized strings keep TRUNCATED bounds, marked inexact, ≤ the cap
+    // (+1 on the bumped max, whose last code point may extend)
+    assert(s.mins.contains("body"), "long strings keep truncated bounds")
+    assert(s.mins("body").asInstanceOf[String].length <=
+      graft.write.FileStatsCollector.MaxStringLen)
+    assert(s.isInexact("body", isMin = true) || s.isInexact("body", isMin = false),
+      "a truncated winner must be marked inexact")
     assert(s.nulls.contains("body"))
   }
 

@@ -121,16 +121,16 @@ class MetadataCountSpec extends AnyFunSuite {
       .toSeq == Seq((0L, 489L, 56.0)))
     assert(isMetadataOnly(df2))
 
-    // string min/max must NOT fold (collector can invalidate oversized
-    // values indistinguishably from all-null)
+    // string min/max folds from metadata when every bound is exact
     val dir2 = TestSpark.tmpDir("qbeast-metacount-str")
     spark.range(50).select(col("id").as("a"), concat(lit("v"), col("id")).as("s"))
       .write.format("qbeast").option("columnsToIndex", "a")
       .option("cubeSize", "100").save(dir2)
     val dfs = spark.read.format("qbeast").load(dir2)
-      .agg(min(col("s")).as("mn"))
-    assert(dfs.collect().head.getString(0) == "v0")
-    assert(!isMetadataOnly(dfs))
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    assert(dfs.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("v0", "v9")))
+    assert(isMetadataOnly(dfs), dfs.queryExecution.executedPlan.toString)
 
     // converted tables carry no stats → min/max must scan (count folds)
     val dir3 = TestSpark.tmpDir("qbeast-metacount-conv2")
@@ -139,6 +139,29 @@ class MetadataCountSpec extends AnyFunSuite {
     val dfc = spark.read.format("qbeast").load(dir3).agg(min(col("a")).as("mn"))
     assert(dfc.collect().head.getLong(0) == 0L)
     assert(!isMetadataOnly(dfc))
+  }
+
+  test("string min/max: truncated bounds fold only when an exact witness dominates") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("qbeast-metacount-trunc")
+    // two ingest batches → disjoint files: one all-short (exact
+    // bounds), one all-oversized (truncated bounds, marked inexact)
+    (1 to 300).map(i => (i.toLong, s"a_short_$i")).toDF("a", "s")
+      .write.format("qbeast").option("columnsToIndex", "a")
+      .option("cubeSize", "200").save(dir)
+    (301 to 600).map(i => (i.toLong, "m_long_" + ("q" * 80) + i)).toDF("a", "s")
+      .write.format("qbeast").mode("append").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    // min: the exact witness "a_short_1" dominates the truncated
+    // lower bound "m_long_q…" → folds to metadata, answer exact
+    val mn = back.agg(min(col("s")).as("mn"))
+    assert(mn.head().getString(0) == "a_short_1")
+    assert(isMetadataOnly(mn), mn.queryExecution.executedPlan.toString)
+    // max: the winner is a BUMPED truncated bound (no exact witness
+    // above it) → must bail to the scan, answer still exact
+    val mx = back.agg(max(col("s")).as("mx"))
+    assert(mx.head().getString(0) == "m_long_" + ("q" * 80) + "600")
+    assert(!isMetadataOnly(mx))
   }
 
   test("NaN and Infinity fold in Spark's total order (max = NaN, not largest finite)") {
@@ -260,7 +283,7 @@ class MetadataCountSpec extends AnyFunSuite {
       Seq((4501L, 8000L)))
     assert(!isMetadataOnly(partial))
 
-    // string min/max under a decidable filter still must not fold
+    // string min/max under a decidable filter folds too (exact bounds)
     val dirS = TestSpark.tmpDir("qbeast-metacount-filtstr")
     (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
       .write.format("qbeast").option("columnsToIndex", "id")
@@ -268,7 +291,7 @@ class MetadataCountSpec extends AnyFunSuite {
     val dfs = spark.read.format("qbeast").load(dirS)
       .filter(col("id") >= 1).agg(min(col("s")).as("mn"))
     assert(dfs.collect().head.getString(0) == "v1")
-    assert(!isMetadataOnly(dfs))
+    assert(isMetadataOnly(dfs), dfs.queryExecution.executedPlan.toString)
   }
 
   test("min/max over masked tables: unmasked witness must dominate the masked bound") {
