@@ -81,15 +81,15 @@ object DerivedPredicates {
     // <=> with a non-null literal filters exactly like = (NULL rows fail both)
     case EqualNullSafe(g, Literal(v, _)) if v != null => eq(g, v)
     case EqualNullSafe(Literal(v, _), g) if v != null => eq(g, v)
-    case GreaterThanOrEqual(g, Literal(v, _)) if v != null => ge(g, v)
-    case GreaterThan(g, Literal(v, _)) if v != null => gt(g, v)
-    case LessThanOrEqual(g, Literal(v, _)) if v != null => le(g, v)
-    case LessThan(g, Literal(v, _)) if v != null => lt(g, v)
+    case GreaterThanOrEqual(g, Literal(v, _)) if v != null && rangeDerivable(g) => ge(g, v)
+    case GreaterThan(g, Literal(v, _)) if v != null && rangeDerivable(g) => gt(g, v)
+    case LessThanOrEqual(g, Literal(v, _)) if v != null && rangeDerivable(g) => le(g, v)
+    case LessThan(g, Literal(v, _)) if v != null && rangeDerivable(g) => lt(g, v)
     // literal-first spellings mirror
-    case GreaterThanOrEqual(Literal(v, _), g) if v != null => le(g, v)
-    case GreaterThan(Literal(v, _), g) if v != null => lt(g, v)
-    case LessThanOrEqual(Literal(v, _), g) if v != null => ge(g, v)
-    case LessThan(Literal(v, _), g) if v != null => gt(g, v)
+    case GreaterThanOrEqual(Literal(v, _), g) if v != null && rangeDerivable(g) => le(g, v)
+    case GreaterThan(Literal(v, _), g) if v != null && rangeDerivable(g) => lt(g, v)
+    case LessThanOrEqual(Literal(v, _), g) if v != null && rangeDerivable(g) => ge(g, v)
+    case LessThan(Literal(v, _), g) if v != null && rangeDerivable(g) => gt(g, v)
     // g != L ⟺ a outside the bucket [lo, hi) — exact, incl. the
     // unattainable-literal case (the union is then "a IS NOT NULL",
     // which is what g != L evaluates to there)
@@ -114,6 +114,19 @@ object DerivedPredicates {
 
   private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.flatten) else None
+
+  /** False for bucketings whose OUTPUT order diverges from the raw
+   * order somewhere in the domain — range comparisons must not derive
+   * there. date_format strings sort chronologically only within
+   * non-negative 4-digit years: a year ≥ 10000 prints "+10000-…",
+   * which sorts BELOW every digit-led string while sitting above them
+   * chronologically, so `date_format(ts,…) >= '1990-01-01'` is NOT
+   * equivalent to a raw range (equality/IN stay exact — they are pure
+   * bucket preimages). */
+  private def rangeDerivable(g: Expression): Boolean = g match {
+    case _: DateFormatClass => false
+    case _ => true
+  }
 
   private def litLong(l: Literal): Long = l.value match {
     case i: java.lang.Integer => i.toLong
@@ -235,8 +248,129 @@ object DerivedPredicates {
           }.getOrElse((None, None))
           (a, anchors)
         }
+      // date_trunc('fmt', date_col) — analyzes as date_trunc over
+      // cast(date AS timestamp); every unit's dates share one output
+      // (start-of-day of the unit start), so the anchors are plain
+      // DATE literals — no zone arithmetic on the raw side at all
+      case TruncTimestamp(Literal(fmt: UTF8String, _), c: Cast, tz)
+          if (c.dataType == TimestampType || c.dataType == TimestampNTZType) &&
+            c.child.isInstanceOf[Attribute] && c.child.dataType == DateType =>
+        val a = c.child.asInstanceOf[Attribute]
+        val tk = if (c.dataType == TimestampNTZType) Ntz
+          else c.timeZoneId.orElse(tz).flatMap(zoneOf).map(Zoned(_))
+            .getOrElse(return None)
+        for (u <- unitOf(fmt.toString, subWeekOk = true); l <- microsOf(v)) yield {
+          val anchors = scala.util.Try {
+            val ld = localDateOf(l, tk)
+            val fl = floorUnit(ld, u)
+            val next = plusUnit(fl, u)
+            // the unit containing l's local date outputs gf ≤ l; it is
+            // the first unit with output ≥ l iff gf == l exactly
+            val gf = startOfDayMicros(fl.toEpochDay, tk)
+            val lo = gf.map(g => if (g == l) fl else next)
+            (lo.flatMap(d => dateLit(d.toEpochDay)), dateLit(next.toEpochDay))
+          }.getOrElse((None, None))
+          (a, anchors)
+        }
+      // unix_timestamp(ts_col) / to_unix_timestamp(ts_col): epoch
+      // seconds = floorDiv(micros, 1e6) — one-second buckets
+      case UnixEpochSeconds(a) if a.dataType == TimestampType ||
+          a.dataType == TimestampNTZType =>
+        longOf(v).map { sec =>
+          val tk = if (a.dataType == TimestampNTZType) Ntz else Zoned(ZoneOffset.UTC)
+          def anchor(s: Long): Option[Literal] =
+            scala.util.Try(Math.multiplyExact(s, 1000000L)).toOption.map(tsLit(_, tk))
+          (a, (anchor(sec), anchor(sec + 1)))
+        }
+      // unix_timestamp(date_col): start-of-day epoch seconds in the
+      // function's zone — one-day buckets, date-literal anchors
+      case ue @ UnixEpochSeconds(a) if a.dataType == DateType =>
+        val zone = (ue match {
+          case u: UnixTimestamp => u.timeZoneId
+          case u: ToUnixTimestamp => u.timeZoneId
+          case _ => None
+        }).flatMap(zoneOf).getOrElse(return None)
+        longOf(v).map { sec =>
+          val anchors = scala.util.Try {
+            val ld = Instant.ofEpochSecond(sec).atZone(zone).toLocalDate
+            val gf = startOfDayMicros(ld.toEpochDay, Zoned(zone)).map(_ / 1000000L)
+            val lo = gf.map(g =>
+              if (g >= sec) ld.toEpochDay else ld.toEpochDay + 1)
+            val hi = gf.map(g =>
+              if (g > sec) ld.toEpochDay else ld.toEpochDay + 1)
+            (lo.flatMap(dateLit), hi.flatMap(dateLit))
+          }.getOrElse((None, None))
+          (a, anchors)
+        }
+      // date_format(col, 'yyyy-MM-dd' | 'yyyy-MM' | 'yyyy') compared
+      // to a string literal: each output string is one unit's bucket.
+      // Range comparisons are gated off by rangeDerivable (output
+      // order diverges from raw order outside 4-digit years);
+      // equality/IN/!= are pure bucket preimages, hence exact. A
+      // literal that parses to no unit start (or not at all) yields an
+      // empty/complement range through the normal anchor algebra.
+      case DateFormatClass(inner, Literal(fmt: UTF8String, _), tz) =>
+        val u = fmt.toString match {
+          case "yyyy-MM-dd" => UDay
+          case "yyyy-MM" => UMonth
+          case "yyyy" => UYear
+          case _ => return None
+        }
+        val s = v match {
+          case us: UTF8String => us.toString
+          case _ => return None
+        }
+        // unparseable literal: stay conservative (no derivation) — the
+        // engine still evaluates the original predicate per row
+        val unitStart: LocalDate = scala.util.Try(u match {
+          case UDay => LocalDate.parse(s)
+          case UMonth => java.time.YearMonth.parse(s).atDay(1)
+          case _ => java.time.Year.parse(s).atDay(1)
+        }).getOrElse(return None)
+        // years outside [0, 9999] print signed/5-digit forms the
+        // parse above never produces; [0,9999] prints exactly these
+        if (unitStart.getYear < 0 || unitStart.getYear > 9999) return None
+        val next = plusUnit(unitStart, u)
+        inner match {
+          case a: Attribute if a.dataType == DateType =>
+            Some((a, (dateLit(unitStart.toEpochDay), dateLit(next.toEpochDay))))
+          // ts column (possibly via the implicit date→ts cast the
+          // analyzer inserts is the OTHER direction; ts needs zone)
+          case a: Attribute
+              if a.dataType == TimestampType || a.dataType == TimestampNTZType =>
+            val tk = if (a.dataType == TimestampNTZType) Ntz
+              else tz.flatMap(zoneOf).map(Zoned(_)).getOrElse(return None)
+            Some((a, (
+              startOfDayMicros(unitStart.toEpochDay, tk).map(tsLit(_, tk)),
+              startOfDayMicros(next.toEpochDay, tk).map(tsLit(_, tk)))))
+          // date column behind the analyzer's date→timestamp cast:
+          // the cast's zone and the format's zone must agree (both are
+          // the session zone in analyzed plans) or the local date of
+          // start-of-day could shift; NTZ is zoneless and always safe
+          case c: Cast if c.child.isInstanceOf[Attribute] &&
+              c.child.dataType == DateType &&
+              (c.dataType == TimestampNTZType || c.timeZoneId == tz) =>
+            Some((c.child.asInstanceOf[Attribute],
+              (dateLit(unitStart.toEpochDay), dateLit(next.toEpochDay))))
+          case _ => None
+        }
       case _ => None
     }
+
+  /** Matches unix_timestamp / to_unix_timestamp over a bare column
+   * with the DEFAULT format (any format evaluates identically for
+   * date/timestamp inputs — it only matters for string parsing). */
+  private object UnixEpochSeconds {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case u: UnixTimestamp => attrOf(u.timeExp)
+      case u: ToUnixTimestamp => attrOf(u.timeExp)
+      case _ => None
+    }
+    private def attrOf(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case _ => None
+    }
+  }
 
   /** The cast's source attribute and wall-clock kind, when the cast is
    * over a raw timestamp column (zoned casts must carry their resolved
@@ -260,6 +394,11 @@ object DerivedPredicates {
   }
   private def microsOf(v: Any): Option[Long] = v match {
     case l: java.lang.Long => Some(l.longValue()) // Timestamp(NTZ) internal
+    case _ => None
+  }
+  private def longOf(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue())
+    case i: java.lang.Integer => Some(i.longValue())
     case _ => None
   }
 

@@ -202,7 +202,10 @@ object FileStatsPruning {
     case StartsWith(a: AttributeReference, Literal(p: UTF8String, _)) if p != null =>
       prefixOverlaps(s, a.name, p.toString)
 
-    case _ => true
+    // non-contiguous calendar functions (month/quarter/dayofweek/…):
+    // no single raw range is equivalent, but the file's min/max bound
+    // the function's IMAGE exactly — a definite miss skips the file
+    case other => proveCalendar(s, other) != Some(false)
   }
 
   // ---- tri-state proofs (metadata-only filtered counts) --------------------
@@ -267,7 +270,179 @@ object FileStatsPruning {
         case Some(n) if n == s.numRecords => Some(false)
         case _ => None
       }
-    case _ => None
+    case other => proveCalendar(s, other)
+  }
+
+  // ---- calendar-function image proofs ---------------------------------
+
+  /** Tri-state all-rows proof for comparisons over NON-CONTIGUOUS
+   * calendar bucketings (`month(d) = 5`, `dayofweek(ts) IN (1,7)`,
+   * `quarter(d) >= 3`) — the shapes [[DerivedPredicates]] cannot
+   * rewrite to one raw range. The raw column's min/max bound the set
+   * of dates in the file, whose function IMAGE is enumerated exactly
+   * (with full-period short-circuits, ≤ a few dozen steps): the image
+   * is a superset of the outputs actually achieved, so `image ⊆ {v}`
+   * proves all rows TRUE (given zero nulls) and `v ∉ image` proves no
+   * row matches — both conservative under the superset. Same contract
+   * as [[proveAll]]: Some(true) / Some(false) / None. */
+  private def proveCalendar(s: Stats, e: Expression): Option[Boolean] = {
+    def intLit(v: Any): Option[Int] = v match {
+      case i: java.lang.Integer => Some(i.intValue())
+      case l: java.lang.Long if l.longValue() == l.intValue() => Some(l.intValue())
+      case _ => None
+    }
+    def withImage(g: Expression)(f: (Set[Int], Long) => Option[Boolean]): Option[Boolean] =
+      calendarImage(s, g).flatMap { case (colName, image) =>
+        s.nulls.get(colName).flatMap(n => f(image, n))
+      }
+    e match {
+      case EqualTo(g, Literal(v, _)) if v != null =>
+        intLit(v).flatMap(m => withImage(g) { (img, nulls) =>
+          if (!img.contains(m)) Some(false)
+          else if (img == Set(m) && nulls == 0L) Some(true)
+          else None
+        })
+      case EqualTo(Literal(v, _), g) if v != null => proveCalendar(s, EqualTo(g, Literal(v)))
+      case Not(EqualTo(g, Literal(v, _))) if v != null =>
+        intLit(v).flatMap(m => withImage(g) { (img, nulls) =>
+          if (img == Set(m)) Some(false) // every non-null row IS m; nulls fail too
+          else if (!img.contains(m) && nulls == 0L) Some(true)
+          else None
+        })
+      case Not(EqualTo(Literal(v, _), g)) if v != null =>
+        proveCalendar(s, Not(EqualTo(g, Literal(v))))
+      case In(g, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.collect { case Literal(v, _) if v != null => intLit(v) }
+        if (vs.isEmpty) return Some(false) // only-null IN list matches nothing
+        if (vs.exists(_.isEmpty)) return None
+        val set = vs.flatten.toSet
+        withImage(g) { (img, nulls) =>
+          if ((img & set).isEmpty) Some(false)
+          else if (img.subsetOf(set) && nulls == 0L) Some(true)
+          else None
+        }
+      case GreaterThan(g, Literal(v, _)) if v != null => calCmp(s, g, v, 1, strict = true)
+      case GreaterThan(Literal(v, _), g) if v != null => calCmp(s, g, v, -1, strict = true)
+      case GreaterThanOrEqual(g, Literal(v, _)) if v != null => calCmp(s, g, v, 1, strict = false)
+      case GreaterThanOrEqual(Literal(v, _), g) if v != null => calCmp(s, g, v, -1, strict = false)
+      case LessThan(g, Literal(v, _)) if v != null => calCmp(s, g, v, -1, strict = true)
+      case LessThan(Literal(v, _), g) if v != null => calCmp(s, g, v, 1, strict = true)
+      case LessThanOrEqual(g, Literal(v, _)) if v != null => calCmp(s, g, v, -1, strict = false)
+      case LessThanOrEqual(Literal(v, _), g) if v != null => calCmp(s, g, v, 1, strict = false)
+      case _ => None
+    }
+  }
+
+  /** `g <cmp> v` with dir = 1 meaning g must be ABOVE v (mirrors
+   * [[proveCmp]]), proved from the calendar image's extremes. */
+  private def calCmp(
+      s: Stats, g: Expression, v: Any, dir: Int, strict: Boolean): Option[Boolean] = {
+    val lit: Int = v match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long if l.longValue() == l.intValue() => l.intValue()
+      case _ => return None
+    }
+    calendarImage(s, g).flatMap { case (colName, img) =>
+      s.nulls.get(colName).flatMap { nulls =>
+        if (img.isEmpty) return Some(false)
+        val inner = if (dir > 0) img.min else img.max // closest to failing
+        val outer = if (dir > 0) img.max else img.min
+        val ci = Integer.compare(inner, lit)
+        val co = Integer.compare(outer, lit)
+        val allMatch = (if (strict) ci * dir > 0 else ci * dir >= 0) && nulls == 0L
+        val noneMatch = if (strict) co * dir <= 0 else co * dir < 0
+        if (allMatch) Some(true) else if (noneMatch) Some(false) else None
+      }
+    }
+  }
+
+  /** (underlying column name, exact image of the calendar function over
+   * the file's [min, max] date range). The range covers every date a
+   * row could hold, so the image is a superset of the achieved outputs
+   * — sound for both proof directions. None for unrecognized shapes,
+   * missing stats, or unresolvable zones. */
+  private def calendarImage(s: Stats, g: Expression): Option[(String, Set[Int])] = {
+    import java.time.LocalDate
+    // the date-valued child: a DATE attribute, or the analyzer's
+    // cast(ts AS date) over a timestamp attribute (zone-resolved)
+    def dateRange(child: Expression): Option[(String, LocalDate, LocalDate)] = {
+      def bigDec(m: Map[String, Any], col: String): Option[BigDecimal] =
+        m.get(col).collect { case b: BigDecimal => b }
+      child match {
+        case a: AttributeReference if a.dataType == org.apache.spark.sql.types.DateType =>
+          for {
+            mn <- bigDec(s.mins, a.name); mx <- bigDec(s.maxs, a.name)
+            lo <- scala.util.Try(LocalDate.ofEpochDay(mn.toLongExact)).toOption
+            hi <- scala.util.Try(LocalDate.ofEpochDay(mx.toLongExact)).toOption
+          } yield (a.name, lo, hi)
+        case c: Cast if c.dataType == org.apache.spark.sql.types.DateType =>
+          c.child match {
+            case a: AttributeReference
+                if a.dataType == org.apache.spark.sql.types.TimestampType ||
+                  a.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+              val toLocal: Long => LocalDate =
+                if (a.dataType == org.apache.spark.sql.types.TimestampNTZType) { micros =>
+                  java.time.LocalDateTime.ofEpochSecond(
+                    Math.floorDiv(micros, 1000000L),
+                    (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+                    java.time.ZoneOffset.UTC).toLocalDate
+                } else {
+                  val zone = c.timeZoneId.flatMap(z => scala.util.Try(
+                    org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(z))
+                    .toOption).getOrElse(return None)
+                  micros => java.time.Instant.ofEpochSecond(
+                    Math.floorDiv(micros, 1000000L),
+                    Math.floorMod(micros, 1000000L) * 1000L).atZone(zone).toLocalDate
+                }
+              for {
+                mn <- bigDec(s.mins, a.name); mx <- bigDec(s.maxs, a.name)
+                lo <- scala.util.Try(toLocal(mn.toLongExact)).toOption
+                hi <- scala.util.Try(toLocal(mx.toLongExact)).toOption
+              } yield (a.name, lo, hi)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    // step the range unit-wise with a full-period short-circuit; spans
+    // are a few steps for date-clustered files, bounded always
+    def enumerate(
+        lo: LocalDate, hi: LocalDate,
+        step: LocalDate => LocalDate, f: LocalDate => Int,
+        full: => Set[Int], fullAfterDays: Long): Set[Int] = {
+      if (hi.toEpochDay - lo.toEpochDay >= fullAfterDays) full
+      else {
+        val out = Set.newBuilder[Int]
+        var d = lo
+        while (!d.isAfter(hi)) { out += f(d); d = step(d) }
+        out += f(hi) // the last partial step still covers hi
+        out.result()
+      }
+    }
+    g match {
+      case Month(child) => dateRange(child).map { case (n, lo, hi) =>
+        (n, enumerate(lo, hi, _.plusMonths(1).withDayOfMonth(1), _.getMonthValue,
+          (1 to 12).toSet, 366L))
+      }
+      case Quarter(child) => dateRange(child).map { case (n, lo, hi) =>
+        (n, enumerate(lo, hi, _.plusMonths(3).withDayOfMonth(1),
+          d => (d.getMonthValue - 1) / 3 + 1, (1 to 4).toSet, 366L))
+      }
+      case DayOfMonth(child) => dateRange(child).map { case (n, lo, hi) =>
+        (n, enumerate(lo, hi, _.plusDays(1), _.getDayOfMonth, (1 to 31).toSet, 31L))
+      }
+      // Spark: dayofweek is 1 = Sunday … 7 = Saturday
+      case DayOfWeek(child) => dateRange(child).map { case (n, lo, hi) =>
+        (n, enumerate(lo, hi, _.plusDays(1),
+          d => d.getDayOfWeek.getValue % 7 + 1, (1 to 7).toSet, 7L))
+      }
+      // Spark: weekday is 0 = Monday … 6 = Sunday
+      case WeekDay(child) => dateRange(child).map { case (n, lo, hi) =>
+        (n, enumerate(lo, hi, _.plusDays(1),
+          d => d.getDayOfWeek.getValue - 1, (0 to 6).toSet, 7L))
+      }
+      case _ => None
+    }
   }
 
   /** All-rows / no-rows proof for `col <cmp> v`, where `dir` = 1 means

@@ -202,10 +202,36 @@ class DerivedPredicatesSpec extends AnyFunSuite {
       "dt > timestamp'1996-03-07 12:00:00'",
       // != / NOT(=) derive the complement union of the bucket
       "NOT (year(ts) = 1995)",
-      "year(ts) != 1996")
+      "year(ts) != 1996",
+      // date_trunc over a DATE column (analyzes as date_trunc over
+      // cast(dt AS timestamp)): anchors are plain date literals
+      "date_trunc('month', dt) = timestamp'1995-07-01 00:00:00'",
+      "date_trunc('quarter', dt) >= timestamp'1996-04-01 00:00:00'",
+      // unix_timestamp: one-second buckets over ts, one-day over dates
+      s"unix_timestamp(ts) < ${LocalDate.of(1995, 1, 1).toEpochDay * 86400L}",
+      s"to_unix_timestamp(ts) >= ${LocalDate.of(1996, 1, 1).toEpochDay * 86400L}",
+      s"unix_timestamp(dt) = ${LocalDate.of(1995, 3, 7).toEpochDay * 86400L}",
+      // date_format equality (pure bucket preimage; ranges are gated off)
+      "date_format(ts, 'yyyy-MM-dd') = '1995-03-07'",
+      "date_format(ts, 'yyyy-MM') = '1996-06'",
+      "date_format(dt, 'yyyy') = '1994'",
+      "date_format(ts, 'yyyy-MM-dd') IN ('1995-03-07', '1996-06-01')")
     val unselectiveButExact = Seq(
       "year(ts) IN (1995, 1996)",
-      "year(ts) = 1995 OR year(ts) = 1994")
+      "year(ts) = 1995 OR year(ts) = 1994",
+      // correctness-only: calendar-image and day-grain shapes rarely
+      // decide the year-span files here (pruning is asserted on the
+      // quarter-aligned fixture below instead)
+      "date_format(ts, 'yyyy-MM-dd') != '1995-03-07'",
+      "dayofweek(dt) = 1",
+      "weekday(ts) <= 1",
+      "dayofmonth(ts) = 31",
+      "month(ts) != 7",
+      "month(ts) = 7",
+      "quarter(dt) = 2",
+      "month(ts) IN (1, 12)",
+      "month(dt) >= 11",
+      "unix_timestamp(ts) = unix_timestamp(timestamp'1995-03-07 06:00:00')")
 
     (selective ++ unselectiveButExact).foreach { p =>
       val got = spark.sql(s"SELECT id, ts, dt FROM dp_t WHERE $p").collect()
@@ -231,6 +257,36 @@ class DerivedPredicatesSpec extends AnyFunSuite {
     val none = filesRead(
       spark.sql("SELECT id FROM dp_t WHERE date_trunc('month', ts) = timestamp'1995-07-02 00:00:00'"))
     assert(none == 0L)
+  }
+
+  test("calendar image proofs prune when file spans stay within the bucket grain") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("derived-calimg")
+    // four QUARTER-aligned ingests of 1995: each file's ts span stays
+    // inside one quarter, so a month/quarter predicate decides files
+    (0 until 4).foreach { q =>
+      val start = LocalDate.of(1995, q * 3 + 1, 1).toEpochDay
+      val end = LocalDate.of(1995, q * 3 + 3, 1).plusMonths(1).toEpochDay
+      (start until end).map { day =>
+        (day, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400L)))
+      }.toDF("id", "ts")
+        .write.format("qbeast").mode("append")
+        .option("columnsToIndex", "id").option("cubeSize", "50").save(dir)
+    }
+    val back = spark.read.format("qbeast").load(dir)
+    val total = filesRead(back.select("id"))
+    assert(total >= 4, s"need one file per quarter at least, got $total")
+    back.createOrReplaceTempView("derived_calimg")
+    Seq(
+      "month(ts) = 7" -> 31L,
+      "quarter(ts) = 2" -> 91L,
+      "month(ts) IN (1, 2)" -> 59L,
+      "month(ts) >= 11" -> 61L).foreach { case (p, want) =>
+      val got = spark.sql(s"SELECT count(*) FROM derived_calimg WHERE $p").head().getLong(0)
+      assert(got == want, s"$p: got $got want $want")
+      val n = filesRead(spark.sql(s"SELECT id FROM derived_calimg WHERE $p"))
+      assert(n < total, s"no files skipped for: $p ($n of $total)")
+    }
   }
 
   test("non-UTC session zone: boundaries follow the zone, DST included") {
