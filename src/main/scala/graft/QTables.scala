@@ -1023,10 +1023,29 @@ object QTables {
    * element of the result is the loaded codebooks. */
   def qbeastIvfPqEmbeddings(
       spark: SparkSession,
-      sfDir: String): (DataFrame, Seq[Seq[(Int, Array[Long])]]) = {
+      sfDir: String): (DataFrame, Seq[Seq[(Int, Array[Long])]]) =
+    buildIvfPq(spark, sfDir, "embeddings_ivfpq", dv = false)
+
+  /** The IVF-PQ table with `deletionVectors=true` and a merge-on-read
+   * DELETE (`vec_id % 17 = 3`, opaque to the cluster index → masks,
+   * never drops): codebooks stay trained on the FULL corpus (the index
+   * predates the delete — the realistic serving shape), while the
+   * coarse codes scan must never emit a masked candidate and the
+   * re-rank stage must therefore never resurrect one (e16). The
+   * builder proves the masks attached without any file rewrite. */
+  def qbeastIvfPqEmbeddingsMasked(
+      spark: SparkSession,
+      sfDir: String): (DataFrame, Seq[Seq[(Int, Array[Long])]]) =
+    buildIvfPq(spark, sfDir, "embeddings_ivfpq_dv", dv = true)
+
+  private def buildIvfPq(
+      spark: SparkSession,
+      sfDir: String,
+      cacheName: String,
+      dv: Boolean): (DataFrame, Seq[Seq[(Int, Array[Long])]]) = {
     import org.apache.spark.sql.functions.col
     ensureExtensions(spark)
-    val path = cachePath(sfDir, "embeddings_ivfpq")
+    val path = cachePath(sfDir, cacheName)
     val conf = spark.sparkContext.hadoopConfiguration
     lock.synchronized {
       if (!graft.log.QbeastLog.exists(path, conf)) {
@@ -1047,7 +1066,7 @@ object QTables {
         try out.write(ops.Similarity.pqCodebooksJson(codebooks)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        corpus.select(
+        val writer = corpus.select(
             col("vec_id"),
             ops.Similarity.anchorClusterCol(anchors, col("embedding")).as("cluster"),
             ops.Similarity.pqCodesCol(col("embedding"), codebooks).as("codes"))
@@ -1060,7 +1079,16 @@ object QTables {
           .option("columnsToIndex", "cluster")
           .option("columnStats", """{"cluster_min": 1, "cluster_max": 17}""")
           .option("cubeSize", "250")
-          .save(path)
+        (if (dv) writer.option("deletionVectors", "true") else writer).save(path)
+        if (dv) {
+          val t = graft.table.QbeastTable.forPath(spark, path)
+          val before = t.snapshot.files.map(_.path).toSet
+          require(t.delete("vec_id % 17 = 3") > 0L)
+          val s = t.snapshot
+          require(s.files.map(_.path).toSet == before,
+            "merge-on-read DELETE on the codes table must mask, not rewrite")
+          require(s.dvs.nonEmpty, "masks must be attached")
+        }
       }
     }
     (spark.read.format("qbeast").load(path), loadPqCodebooks(path, conf))

@@ -1545,6 +1545,29 @@ object SparkEntry {
         .select(col("vec_id"), round(col("sim"), 4).as("sim_r"),
           col("vec_id").isin(exact10: _*).as("in_exact10"))
     }),
+    "e16_ann_ivf_pq_masked" -> ((s, dir) => {
+      // e14 over a MASKED codes table: the merge-on-read DELETE
+      // (vec_id % 17 = 3) left dv masks on the IVF-PQ sidecar, while
+      // the codebooks stay trained on the full corpus (index predates
+      // the delete). The masked coarse scan must never emit a deleted
+      // candidate, so the exact-cosine re-rank can never resurrect one
+      // — candidates are masked BETWEEN the coarse scan and the
+      // re-rank, the interplay the spec pins (AnnIndexedSpec)
+      val emb = QTables.raw(s, dir, "embeddings")
+      val anchors = ops.Similarity.collectAnchors(emb, "vec_id", "embedding")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val live = emb.filter(col("vec_id") =!= 0 && col("vec_id") % 17 =!= 3)
+      val exact10 = ops.Similarity
+        .knnExact(live, "vec_id", "embedding", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val (tbl, codebooks) = QTables.qbeastIvfPqEmbeddingsMasked(s, dir)
+      val indexed = QTables.qbeast(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      ops.Similarity.pqTopKReranked(tbl, indexed, "vec_id", "embedding",
+          "cluster", "codes", codebooks, anchors, qv, k = 10)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim_r"),
+          col("vec_id").isin(exact10: _*).as("in_exact10"))
+    }),
     "e03_embedding_near_dup" -> ((s, dir) => {
       // random test embeddings have no true near-dups; emit the top
       // in-bucket pairs so the operator's output is observable
@@ -1665,9 +1688,15 @@ object SparkEntry {
    * subvector) table. All-integer, replayed bit-for-bit. */
   private def pqOracleSql(
       m: Int, k: Int, iters: Int, dims: Int, ivfProbe: Boolean = false,
-      rerank: Int = 0): String = {
+      rerank: Int = 0, mask: Option[(Int, Int)] = None): String = {
     val sub = dims / m
     val d1 = sub + 1
+    // dv-masked rows (vec_id % mod = rem) are excluded from the
+    // CANDIDATE scan and the exact-recall reference, but NOT from
+    // codebook training / cluster assignment — the index predates the
+    // delete, which is exactly what the masked fixture builds
+    def maskSql(col: String): String =
+      mask.map { case (mod, rem) => s" AND NOT ($col % $mod = $rem)" }.getOrElse("")
     def chain(s: Int): String = {
       val lo = s * sub + 1
       val hi = (s + 1) * sub
@@ -1717,10 +1746,11 @@ object SparkEntry {
          |clu AS (SELECT vec_id, aid AS cluster FROM asgc WHERE rn = 1),
          |pr AS (SELECT aid FROM an, qrv ORDER BY ${cosSql("ae", "qe")} DESC, aid LIMIT 3),
          |exq AS (SELECT vec_id FROM (SELECT vec_id, ${cosSql("emb", "qe")} AS sim
-         |  FROM ev, qrv WHERE vec_id != 0) ORDER BY sim DESC, vec_id LIMIT 10),
+         |  FROM ev, qrv WHERE vec_id != 0${maskSql("vec_id")}) ORDER BY sim DESC, vec_id LIMIT 10),
          |""".stripMargin
     val probeWhere = if (!ivfProbe) "" else
-      "\n  WHERE a_0.vec_id IN (SELECT vec_id FROM clu WHERE cluster IN (SELECT aid FROM pr))"
+      "\n  WHERE a_0.vec_id IN (SELECT vec_id FROM clu WHERE cluster IN (SELECT aid FROM pr))" +
+        maskSql("a_0.vec_id")
     val probeSel = if (!ivfProbe) "" else
       ", vec_id IN (SELECT vec_id FROM exq) AS in_exact10"
     // e14 tail: top-`rerank` ADC candidates re-ranked by exact cosine
@@ -3213,6 +3243,12 @@ object SparkEntry {
     // e13: the e12 chain restricted to the 3 probed IVF clusters (the
     // e04 anchor CTEs) + the recall flag against the exact top-10
     "e13_ann_ivf_pq" -> pqOracleSql(m = 4, k = 4, iters = 2, dims = 64, ivfProbe = true),
+    // e16: e14 over the dv-masked codes table — masked ids excluded
+    // from candidates and the exact-recall reference, codebooks still
+    // trained on the full corpus
+    "e16_ann_ivf_pq_masked" ->
+      pqOracleSql(m = 4, k = 4, iters = 2, dims = 64, ivfProbe = true,
+        rerank = 50, mask = Some((17, 3))),
     // e14: the e13 chain's top-50 candidates re-ranked by exact cosine
     "e14_ann_ivf_pq_rerank" ->
       pqOracleSql(m = 4, k = 4, iters = 2, dims = 64, ivfProbe = true, rerank = 50),

@@ -96,6 +96,7 @@ class AnnIndexedSpec extends AnyFunSuite {
       .option("columnsToIndex", "cluster")
       .option("columnStats", """{"cluster_min": 1, "cluster_max": 17}""")
       .option("cubeSize", "500")
+      .option("deletionVectors", "true") // for the masked section below
       .save(dir)
     val tbl = spark.read.format("qbeast").load(dir)
     val total = tbl.inputFiles.length
@@ -133,6 +134,48 @@ class AnnIndexedSpec extends AnyFunSuite {
     // the e13 query itself runs end-to-end on the shipped fixture dir
     val e13 = SparkEntry.queries("e13_ann_ivf_pq")(spark, sf)
     assert(e13.count() == 10)
+
+    // ---- masked IVF-PQ + re-rank: dv masks between coarse scan and
+    // re-rank; REORG PURGE parity (the e16 shape) -------------------
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    assert(t.delete("vec_id % 17 = 3") > 0L)
+    val s2 = t.snapshot
+    assert(s2.dvs.nonEmpty, "the modulo delete must mask (opaque to stats)")
+    val masked = spark.read.format("qbeast").load(dir)
+    val annMasked = ops.Similarity.pqTopKIndexed(
+      masked, "vec_id", "cluster", "codes", codebooks, anchors, qv, k = 10)
+    // the pruned scan composes with the mask: still skips files
+    assert(filesRead(annMasked) < total, "mask must not defeat cluster pruning")
+    val gotMasked = annMasked.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // ground truth: direct ADC over the live (undeleted) corpus
+    val directMasked = corpus
+      .filter(col("vec_id") % 17 =!= 3)
+      .withColumn("cluster", ops.Similarity.anchorClusterCol(anchors, col("embedding")))
+      .filter(col("cluster").isin(probes: _*))
+      .select(col("vec_id"),
+        ops.Similarity.adcDistCol(codebooks, qv,
+          ops.Similarity.pqCodesCol(col("embedding"), codebooks)).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotMasked == directMasked, "masked candidates leaked into the coarse scan")
+    assert(gotMasked.forall(_._1 % 17 != 3), "a deleted id ranked")
+    // re-rank through raw vectors must not resurrect a masked candidate
+    val rawTbl = TestSpark.tmpDir("ann-ivfpq-raw")
+    corpus.write.format("qbeast").option("columnsToIndex", "vec_id")
+      .option("cubeSize", "2000").save(rawTbl)
+    val reranked = ops.Similarity.pqTopKReranked(masked,
+      spark.read.format("qbeast").load(rawTbl), "vec_id", "embedding",
+      "cluster", "codes", codebooks, anchors, qv, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(reranked.forall(_ % 17 != 3), "re-rank resurrected a masked candidate")
+    // REORG PURGE: vectors materialized, content identical
+    val purged = t.purgeDeletionVectors()
+    assert(purged > 0 && t.snapshot.dvs.isEmpty)
+    val annPurged = ops.Similarity.pqTopKIndexed(
+      spark.read.format("qbeast").load(dir),
+      "vec_id", "cluster", "codes", codebooks, anchors, qv, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(annPurged == gotMasked, "PURGE changed the masked ANN answer")
   }
 
   test("indexed ANN stays correct AND pruned across dv DELETE, dv UPDATE and REORG PURGE") {
