@@ -135,8 +135,15 @@ object QbeastLog extends org.apache.spark.internal.Logging {
   // so out-of-band log rewrites (fault-injection tests, manual edits)
   // invalidate naturally.
   private final case class CachedSnap(fingerprint: String, snap: QbeastSnapshot)
-  private val snapshotCache =
-    new java.util.concurrent.ConcurrentHashMap[String, CachedSnap]()
+  // LRU, not clear-on-overflow: a session touching >64 (table, mode)
+  // keys keeps its hot heads resident instead of re-replaying all of
+  // them at once after an eviction storm
+  private val snapshotCache = new java.util.LinkedHashMap[String, CachedSnap](
+    16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, CachedSnap]): Boolean =
+      size() > MaxCachedSnapshots
+  }
   private val MaxCachedSnapshots = 64
 
   private def fingerprintOf(fs: FileSystem, dir: Path): String = {
@@ -167,7 +174,7 @@ object QbeastLog extends org.apache.spark.internal.Logging {
   }
 
   /** Drop all cached snapshots (tests; or after out-of-band surgery). */
-  def invalidateCache(): Unit = snapshotCache.clear()
+  def invalidateCache(): Unit = snapshotCache.synchronized { snapshotCache.clear() }
 
   private def versionFile(tablePath: String, v: Long): Path =
     new Path(logDir(tablePath), f"$v%020d.json")
@@ -235,7 +242,7 @@ object QbeastLog extends org.apache.spark.internal.Logging {
     val fs = dir.getFileSystem(conf)
     val cacheKey = s"$tablePath|$asOfVersion|$withFiles"
     val fingerprint = fingerprintOf(fs, dir)
-    val cached = snapshotCache.get(cacheKey)
+    val cached = snapshotCache.synchronized { snapshotCache.get(cacheKey) }
     if (cached != null && cached.fingerprint == fingerprint) return cached.snap
     val snap = replaySnapshotUncached(tablePath, conf, fs, dir, asOfVersion, withFiles)
     // time-traveled snapshots are unbounded in key space (one per
@@ -248,8 +255,9 @@ object QbeastLog extends org.apache.spark.internal.Logging {
       // post-replay fingerprint would claim freshness for a snapshot
       // that never saw the concurrent commit, wedging writers'
       // optimistic-retry loops
-      if (snapshotCache.size() >= MaxCachedSnapshots) snapshotCache.clear()
-      snapshotCache.put(cacheKey, CachedSnap(fingerprint, snap))
+      snapshotCache.synchronized {
+        snapshotCache.put(cacheKey, CachedSnap(fingerprint, snap)); ()
+      }
     }
     snap
   }

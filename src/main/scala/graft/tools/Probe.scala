@@ -626,6 +626,14 @@ object MetaScaleProbe {
     val t2 = System.nanoTime()
     val snap2 = graft.log.QbeastLog.snapshot(dir, conf) // from checkpoint now
     println(f"[metascale] snapshot from checkpoint: ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    // warm path: the session snapshot cache answers from the validated
+    // fingerprint (one listStatus), no replay — the steady-state cost
+    // every interactive query after the first actually pays
+    val t2w = System.nanoTime()
+    val snapWarm = graft.log.QbeastLog.snapshot(dir, conf)
+    val warmMs = (System.nanoTime() - t2w) / 1e6
+    println(f"[metascale] snapshot warm (cached): $warmMs%.2f ms " +
+      f"sameInstance=${snapWarm eq snap2}%b")
     val t3 = System.nanoTime()
     val selected = graft.read.QbeastFileIndex.selectFiles(snap2,
       Seq.empty) // no filters: full listing path

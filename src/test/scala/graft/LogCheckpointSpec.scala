@@ -76,4 +76,49 @@ class LogCheckpointSpec extends AnyFunSuite {
     assert(n2 == liveNames().size)
   }
 
+  test("snapshot cache: warm hits reuse the instance, any commit invalidates") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("snapcache")
+    val conf = spark.sparkContext.hadoopConfiguration
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a")
+      .option("cubeSize", "100").save(dir)
+    // warm access returns the SAME assembled snapshot (no replay)
+    val s1 = QbeastLog.snapshot(dir, conf)
+    val s2 = QbeastLog.snapshot(dir, conf)
+    assert(s1 eq s2, "warm access must reuse the cached snapshot instance")
+    // a concurrent commit (append) invalidates through the fingerprint
+    (101 to 120).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").mode("append").save(dir)
+    val s3 = QbeastLog.snapshot(dir, conf)
+    assert(!(s3 eq s1), "a commit must invalidate the cached snapshot")
+    assert(s3.version > s1.version)
+    assert(s3.files.map(_.elementCount).sum == 120L)
+    // an OUT-OF-BAND rewrite of the newest commit file (same version,
+    // different bytes) invalidates too: the fingerprint carries
+    // length+mtime, not just the version number
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_qbeast_log")
+    val fs = logDir.getFileSystem(conf)
+    val newest = fs.listStatus(logDir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".json") && !p.getName.contains("checkpoint"))
+      .maxBy(_.getName)
+    val bytes = {
+      val in = fs.open(newest)
+      try { val b = new Array[Byte](fs.getFileStatus(newest).getLen.toInt)
+        in.readFully(b); b } finally in.close()
+    }
+    val out = fs.create(newest, true)
+    try { out.write(bytes); out.write('\n') } finally out.close()
+    val s4 = QbeastLog.snapshot(dir, conf)
+    assert(!(s4 eq s3), "an out-of-band log rewrite must invalidate")
+    // LRU: a REPEATEDLY-ACCESSED table survives churn from 100 other
+    // keys (a clear-on-overflow cache would drop it mid-loop)
+    val hot = QbeastLog.snapshot(dir, conf)
+    (1 to 100).foreach { i =>
+      QbeastLog.snapshot(s"$dir-miss-$i", conf) // distinct churn keys
+      assert(QbeastLog.snapshot(dir, conf) eq hot,
+        s"hot snapshot evicted after $i churn keys")
+    }
+  }
+
 }
