@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pre-commit hook landing an APPEND between an optimize's rewrite and
@@ -526,6 +527,91 @@ class RobustnessSpec extends AnyFunSuite {
     graft.log.QbeastLog.invalidateCache()
     // reads list from the log, never the directory — the orphan is invisible
     assert(spark.read.format("qbeast").load(dir).count() === 2)
+  }
+
+  test("crash mid-checkpoint: torn tmps invisible, checkpointing still completes") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("fence-ckpt")
+    (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a,b")
+      .option("cubeSize", "100").save(dir)
+    (501 to 600).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").mode("append").save(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = java.nio.file.Paths.get(dir, "_qbeast_log")
+    // a checkpoint writer that died mid-stream: partial checkpoint tmp
+    java.nio.file.Files.write(
+      logDir.resolve(".00000000000000000001.checkpoint.json.dead.tmp"),
+      "{\"add\":{\"path\":\"torn".getBytes("UTF-8"))
+    // and a sidecar writer that died before publishing its parquet
+    val sidecarDir = java.nio.file.Paths.get(dir, "_qbeast_meta")
+    java.nio.file.Files.createDirectories(sidecarDir)
+    java.nio.file.Files.write(sidecarDir.resolve(".crashed.parquet.tmp"),
+      Array[Byte](1, 2, 3))
+    graft.log.QbeastLog.invalidateCache()
+    // replay is unaffected by either torn artifact
+    val snap = graft.log.QbeastLog.snapshot(dir, conf)
+    assert(snap.files.map(_.elementCount).sum == 600L)
+    assert(spark.read.format("qbeast").load(dir).count() === 600)
+    // a healthy checkpoint still lands at the same version afterwards
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    graft.log.QbeastLog.writeCheckpoint(fs, snap)
+    graft.log.QbeastLog.invalidateCache()
+    val replayed = graft.log.QbeastLog.snapshot(dir, conf)
+    assert(replayed.files.map(_.elementCount).sum == 600L)
+    assert(replayed.version == snap.version)
+  }
+
+  test("crash mid-vacuum: partial deletion is harmless and the re-run completes") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("fence-vac")
+    (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a,b")
+      .option("cubeSize", "50").save(dir)
+    // overwrite → every first-write file becomes a tombstoned dead file
+    (1 to 100).map(i => (i.toLong, i * 3.0)).toDF("a", "b")
+      .write.format("qbeast").mode("overwrite").save(dir)
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    val live = t.snapshot.files.map(f =>
+      new org.apache.hadoop.fs.Path(f.path).getName).toSet
+    val table = java.nio.file.Paths.get(dir)
+    val dead = java.nio.file.Files.list(table).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !live.contains(p.getFileName.toString)).toVector
+    assert(dead.size > 1, "fixture needs several dead files")
+    // simulate a vacuum that crashed after deleting HALF the dead set
+    dead.take(dead.size / 2).foreach(java.nio.file.Files.delete(_))
+    graft.log.QbeastLog.invalidateCache()
+    // reads never touch dead files — content is unaffected
+    assert(spark.read.format("qbeast").load(dir).count() === 100)
+    // the re-run completes, skipping the already-deleted names without
+    // erroring, and reclaims the rest
+    val reclaimed = t.vacuum(retainMillis = 0L, force = true)
+    assert(reclaimed >= dead.size - dead.size / 2,
+      s"re-run reclaimed $reclaimed of ${dead.size - dead.size / 2} remaining")
+    val left = java.nio.file.Files.list(table).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).map(_.getFileName.toString).toSet
+    assert(left == live, "post-vacuum directory must hold exactly the live files")
+    assert(spark.read.format("qbeast").load(dir).count() === 100)
+  }
+
+  test("vacuum never deletes files a retention-window asOf reader can still name") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("fence-vac-asof")
+    (1 to 60).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a,b")
+      .option("cubeSize", "50").save(dir)
+    (1 to 30).map(i => (i.toLong, i * 3.0)).toDF("a", "b")
+      .write.format("qbeast").mode("overwrite").save(dir)
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    // tombstones are seconds old: a vacuum at the minimum legal
+    // retention must delete NOTHING — version 0's files are all still
+    // inside every reader's window
+    assert(t.vacuum(retainMillis = graft.table.QbeastTable.MinRetentionMillis) == 0)
+    val v0 = spark.read.format("qbeast").option("versionAsOf", "0").load(dir)
+    assert(v0.count() === 60, "asOf reader inside the retention window broke")
+    assert(v0.agg(org.apache.spark.sql.functions.sum("b")).head.getDouble(0) ==
+      (1 to 60).map(_ * 2.0).sum)
   }
 
   test("out-of-band log truncation invalidates the snapshot cache") {
