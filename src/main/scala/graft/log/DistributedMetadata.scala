@@ -113,6 +113,66 @@ object DistributedMetadata {
       snap.files.iterator.filter(f => rids.contains(f.revisionId))).toVector
   }
 
+  /** Total physical row count (block element counts) of the live files
+   * — the sidecar half of the metadata-only `count(*)`
+   * ([[graft.rules.MetadataCountRule]]): one job, O(partitions) longs
+   * to the driver, plus the post-checkpoint tail folded here. The
+   * caller subtracts dv-masked rows (exact log metadata). */
+  def liveRowCount(spark: SparkSession, snap: QbeastSnapshot): Long = {
+    val bulk = liveRows(spark, snap, None).rdd
+      .mapPartitions { it =>
+        var n = 0L
+        it.foreach(r => n += r.blocks.iterator.map(_.elementCount).sum)
+        Iterator.single(n)
+      }.fold(0L)(_ + _)
+    bulk + snap.files.iterator.map(_.elementCount).sum
+  }
+
+  /** Witness/bound extreme partials for `column` over the sidecar bulk
+   * — the sidecar half of the metadata-only min/max fold. Each
+   * partition folds its files through the SAME per-file rule the
+   * driver loop uses ([[graft.rules.MetadataCountRule.foldFileExtreme]]:
+   * unmasked+exact sides are witnesses, masked files and truncated
+   * string sides are dominance bounds) and ships two accumulators;
+   * the driver merges them and folds the tail. None = some file was
+   * undecidable (missing stats) — the caller bails to the scan. The
+   * dv map rides the closure: it is O(masked files) metadata, the
+   * same size class the mask rule broadcasts. */
+  def extremePartials(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      column: String,
+      isMin: Boolean,
+      floating: Boolean,
+      string: Boolean): Option[(graft.rules.MetadataCountRule.ExtremeAcc,
+      graft.rules.MetadataCountRule.ExtremeAcc)] = {
+    import graft.rules.MetadataCountRule.{ExtremeAcc, foldFileExtreme}
+    val dvCards: Map[String, Long] =
+      snap.dvs.map { case (p, i) => p -> i.cardinality }
+    val partials = liveRows(spark, snap, None).rdd.mapPartitions { it =>
+      var ok = true
+      val witness = new ExtremeAcc(isMin, floating, string)
+      val bound = new ExtremeAcc(isMin, floating, string)
+      it.foreach { r =>
+        if (ok) {
+          val ec = r.blocks.iterator.map(_.elementCount).sum
+          ok = foldFileExtreme(r.stats, ec, dvCards.getOrElse(r.path, 0L),
+            column, isMin, witness, bound)
+        }
+      }
+      Iterator.single((ok, witness, bound))
+    }.collect()
+    if (partials.exists(!_._1)) None
+    else {
+      val witness = new ExtremeAcc(isMin, floating, string)
+      val bound = new ExtremeAcc(isMin, floating, string)
+      partials.foreach { case (_, w, b) =>
+        witness.mergeFrom(w); bound.mergeFrom(b)
+      }
+      Some((witness, bound))
+    }
+  }
+
   /** Union of the checkpointed files' per-column HLL registers — the
    * sidecar-scale half of [[graft.table.QbeastTable.approxCountDistinct]].
    * One Spark job over the parquet sidecar; only per-partition 256-byte

@@ -34,9 +34,13 @@ import org.apache.spark.sql.types._
  * collector's `inexact` marker — an oversized value contributed a
  * prefix/bumped bound, not a row value) folds as a BOUND, exactly like
  * a dv-masked file: the fold still answers when an exact witness
- * dominates it, and bails to the scan otherwise. A Sample, Limit,
- * join, light (sidecar) snapshot, any stats gap, or an undecidable
- * file leaves the plan untouched.
+ * dominates it, and bails to the scan otherwise. Sidecar-scale tables
+ * (light snapshots, ≥200k files) run the UNFILTERED count/min/max
+ * folds as ONE Spark job over the parquet sidecar
+ * ([[graft.log.DistributedMetadata]]) — O(partitions) partials to the
+ * driver, never the file list — while the filtered path stays
+ * complete-snapshot-only. A Sample, Limit, join, any stats gap, or an
+ * undecidable file leaves the plan untouched.
  */
 class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -44,7 +48,10 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
       snapshotOf(agg.child).flatMap { case (snap, output, conds) =>
         if (conds.isEmpty) rewrite(agg, (snap, output))
-        else rewriteFiltered(agg, snap, output, conds)
+        // the filtered path proves per-file predicates; it stays
+        // driver-side and needs the complete file list
+        else if (snap.filesComplete) rewriteFiltered(agg, snap, output, conds)
+        else None
       }.getOrElse(agg)
   }
 
@@ -58,13 +65,16 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case r @ LogicalRelation(HadoopFsRelation(fi: QbeastIndex, _, _, _, _, _), _, _, _, _) =>
         val snap = fi.currentSnapshot
         // a light snapshot's `files` is only the post-checkpoint tail;
-        // the bulk lives in the parquet sidecar — don't guess.
-        // Deletion vectors do NOT bail counts: every vector's
-        // cardinality is exact log metadata, so live rows = block
-        // element counts minus masked rows (min/max fold when the
-        // unmasked witness dominates every masked file's stats bound —
-        // see statsExtreme).
-        if (snap.filesComplete) Some((snap, r.output, Nil))
+        // the bulk lives in the parquet sidecar — served by ONE Spark
+        // job over the sidecar (DistributedMetadata) instead of a data
+        // scan, provided the sidecar is still on disk. Deletion
+        // vectors do NOT bail counts: every vector's cardinality is
+        // exact log metadata, so live rows = block element counts
+        // minus masked rows (min/max fold when the unmasked witness
+        // dominates every masked file's stats bound — see statsExtreme).
+        if (snap.filesComplete ||
+          graft.log.DistributedMetadata.usable(spark, snap))
+          Some((snap, r.output, Nil))
         else None
       case p: Project => snapshotOf(p.child)
       case s: SubqueryAlias => snapshotOf(s.child)
@@ -172,8 +182,13 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       rel: (QbeastSnapshot, Seq[Attribute])): Option[LogicalPlan] = {
     val (snap, output) = rel
     // live rows = physical block counts minus deletion-vector masks
-    // (vector cardinalities are exact log metadata)
-    lazy val n = snap.files.map(_.elementCount).sum - snap.dvMaskedRows
+    // (vector cardinalities are exact log metadata). Sidecar-scale
+    // tables sum their block counts in one Spark job over the parquet
+    // sidecar — O(partitions) longs reach the driver, never the file
+    // list.
+    lazy val n = (if (snap.filesComplete) snap.files.map(_.elementCount).sum
+      else graft.log.DistributedMetadata.liveRowCount(spark, snap)) -
+      snap.dvMaskedRows
     val values = agg.aggregateExpressions.map {
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
@@ -198,12 +213,84 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else None
   }
 
+  import MetadataCountRule.ExtremeAcc
+
+  /** Global min/max of `column` folded over per-file stats, restricted
+   * to files `surviving` admits (the filtered path passes its
+   * TRUE-proved set; the unfiltered path admits everything). Returns
+   * None ("can't answer") on any admitted file with missing/incomplete
+   * stats; Some(null) is the legal answer for an empty or all-null
+   * column.
+   *
+   * Deletion vectors don't automatically bail: an UNMASKED file's
+   * stats extreme is achieved by a live row (the witness), while a
+   * masked file's live extreme can only be ≤ its stats extreme (the
+   * bound). When the witness dominates every masked file's bound, the
+   * witness IS the live extreme; a fully-masked file (cardinality ==
+   * elementCount) has no live rows and is skipped outright. Only a
+   * masked file whose stats range could beat every witness forces the
+   * scan — the extreme row there might be a deleted one.
+   *
+   * A TRUNCATED string side (the collector's `inexact` marker) is the
+   * same situation by a different cause: the stats value bounds the
+   * file's rows but no row achieves it — it folds into `bound`, never
+   * `witness`.
+   *
+   * Sidecar-scale tables (light snapshot) run the per-file fold as ONE
+   * Spark job over the parquet sidecar
+   * ([[graft.log.DistributedMetadata.extremePartials]]) and merge the
+   * O(partitions) partials here, then fold the post-checkpoint tail
+   * driver-side — the same answer, never O(table files) of driver
+   * work. The filtered path (`surviving`) stays complete-snapshot-only. */
+  private def statsExtreme(
+      snap: QbeastSnapshot,
+      column: String,
+      dt: DataType,
+      isMin: Boolean,
+      surviving: String => Boolean = _ => true): Option[Any] = {
+    if (!MetadataCountRule.exactStatsType(dt)) return None
+    val floating = dt == FloatType || dt == DoubleType
+    val string = dt.isInstanceOf[StringType]
+    val witness = new ExtremeAcc(isMin, floating, string)
+    val bound = new ExtremeAcc(isMin, floating, string)
+    if (!snap.filesComplete) {
+      // executor-side fold over the sidecar bulk (tail-touched paths
+      // already masked out by DistributedMetadata.liveRows)
+      graft.log.DistributedMetadata.extremePartials(
+          spark, snap, column, isMin, floating, string) match {
+        case None => return None // some file was undecidable
+        case Some((w, b)) => witness.mergeFrom(w); bound.mergeFrom(b)
+      }
+    }
+    // complete snapshots fold everything here; light snapshots fold
+    // only their post-checkpoint tail adds
+    snap.files.foreach { f =>
+      if (surviving(f.path)) {
+        val dvCard = snap.dvs.get(f.path).map(_.cardinality).getOrElse(0L)
+        if (!MetadataCountRule.foldFileExtreme(f.stats, f.elementCount, dvCard,
+          column, isMin, witness, bound)) return None
+      }
+    }
+    if (bound.isEmpty && witness.isEmpty) Some(witness.result(dt)) // empty/all-null
+    else if (bound.isEmpty) Some(witness.result(dt))
+    else if (witness.isEmpty) None // every candidate is masked: can't prove
+    else if (witness.dominates(bound)) Some(witness.result(dt))
+    else None // a masked file's range could beat the witness: scan
+  }
+}
+
+object MetadataCountRule {
+
   /** One side of the min/max fold. Float/double fold in Spark's total
    * order (-Inf < finite < +Inf < NaN): the collector records NaN/±Inf
    * as sentinel strings, so a table containing NaN answers max() = NaN
    * exactly like the scan would — folding only the numeric stats would
-   * silently return the largest non-NaN instead. */
-  private final class ExtremeAcc(isMin: Boolean, floating: Boolean, string: Boolean = false) {
+   * silently return the largest non-NaN instead. Serializable so the
+   * sidecar-scale path can run it per executor partition and merge the
+   * partials on the driver ([[graft.log.DistributedMetadata.extremePartials]]). */
+  private[graft] final class ExtremeAcc(
+      isMin: Boolean, floating: Boolean, string: Boolean = false)
+      extends Serializable {
     private var acc: Option[BigDecimal] = None
     private var accBool: Option[Boolean] = None
     private var accD: Option[Double] = None
@@ -251,6 +338,23 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false // unexpected shape for the column's type
     }
 
+    /** Fold another accumulator of the SAME (isMin, kind) in — the
+     * driver-side merge of executor partials. */
+    def mergeFrom(o: ExtremeAcc): Unit = {
+      o.accBool.foreach(b =>
+        accBool = Some(accBool.fold(b)(p => if (isMin) p && b else p || b)))
+      o.accD.foreach(foldD)
+      o.accS.foreach { u =>
+        val keep = accS.forall { p =>
+          val c = u.compareTo(p)
+          if (isMin) c < 0 else c > 0
+        }
+        if (keep) accS = Some(u)
+      }
+      o.acc.foreach(bd =>
+        acc = Some(acc.fold(bd)(p => if (isMin) p.min(bd) else p.max(bd))))
+    }
+
     /** TRUE iff this (witness) extreme is at least as extreme as
      * `bound` — i.e. no row hidden behind `bound`'s stats can beat it.
      * Both sides are the same column, so exactly one accumulator kind
@@ -296,62 +400,32 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Global min/max of `column` folded over per-file stats, restricted
-   * to files `surviving` admits (the filtered path passes its
-   * TRUE-proved set; the unfiltered path admits everything). Returns
-   * None ("can't answer") on any admitted file with missing/incomplete
-   * stats; Some(null) is the legal answer for an empty or all-null
-   * column.
-   *
-   * Deletion vectors don't automatically bail: an UNMASKED file's
-   * stats extreme is achieved by a live row (the witness), while a
-   * masked file's live extreme can only be ≤ its stats extreme (the
-   * bound). When the witness dominates every masked file's bound, the
-   * witness IS the live extreme; a fully-masked file (cardinality ==
-   * elementCount) has no live rows and is skipped outright. Only a
-   * masked file whose stats range could beat every witness forces the
-   * scan — the extreme row there might be a deleted one.
-   *
-   * A TRUNCATED string side (the collector's `inexact` marker) is the
-   * same situation by a different cause: the stats value bounds the
-   * file's rows but no row achieves it — it folds into `bound`, never
-   * `witness`. */
-  private def statsExtreme(
-      snap: QbeastSnapshot,
+  /** Fold ONE file's stats contribution for `column` into the
+   * witness/bound accumulators (the single definition the driver loop
+   * and the executor partials both run): an unmasked file with an
+   * exact side contributes a WITNESS (its extreme is achieved by a
+   * live row); a dv-masked file or a truncated (inexact) side
+   * contributes only a BOUND. All-null files contribute nothing.
+   * FALSE = undecidable (missing stats / nulls entry / column value,
+   * or an unfoldable shape) — the caller bails the whole rewrite. */
+  private[graft] def foldFileExtreme(
+      statsJson: Option[String],
+      elementCount: Long,
+      dvCard: Long,
       column: String,
-      dt: DataType,
       isMin: Boolean,
-      surviving: String => Boolean = _ => true): Option[Any] = {
-    if (!MetadataCountRule.exactStatsType(dt)) return None
-    val floating = dt == FloatType || dt == DoubleType
-    val string = dt.isInstanceOf[StringType]
-    val witness = new ExtremeAcc(isMin, floating, string)
-    val bound = new ExtremeAcc(isMin, floating, string)
-    snap.files.foreach { f =>
-      if (f.elementCount > 0L && surviving(f.path)) {
-        val dvCard = snap.dvs.get(f.path).map(_.cardinality).getOrElse(0L)
-        if (dvCard < f.elementCount) { // fully-masked: no live rows
-          val stats = f.stats.flatMap(FileStatsPruning.parse).getOrElse(return None)
-          val nulls = stats.nulls.getOrElse(column, return None)
-          if (nulls < stats.numRecords) {
-            val side = if (isMin) stats.mins else stats.maxs
-            val v = side.getOrElse(column, return None)
-            val target =
-              if (dvCard == 0L && !stats.isInexact(column, isMin)) witness
-              else bound
-            if (!target.fold(v)) return None
-          }
-        }
-      }
-    }
-    if (bound.isEmpty) Some(witness.result(dt))
-    else if (witness.isEmpty) None // every candidate is masked: can't prove
-    else if (witness.dominates(bound)) Some(witness.result(dt))
-    else None // a masked file's range could beat the witness: scan
+      witness: ExtremeAcc,
+      bound: ExtremeAcc): Boolean = {
+    if (elementCount <= 0L || dvCard >= elementCount) return true // no live rows
+    val stats = statsJson.flatMap(FileStatsPruning.parse).getOrElse(return false)
+    val nulls = stats.nulls.getOrElse(column, return false)
+    if (nulls >= stats.numRecords) return true // all-null: contributes nothing
+    val side = if (isMin) stats.mins else stats.maxs
+    val v = side.getOrElse(column, return false)
+    val target =
+      if (dvCard == 0L && !stats.isInexact(column, isMin)) witness else bound
+    target.fold(v)
   }
-}
-
-object MetadataCountRule {
 
   /** Types whose stats JSON round-trip is exact (see
    * FileStatsCollector: long family as decimal text, float widened to

@@ -676,6 +676,14 @@ object MetaScaleProbe {
     println(f"[metascale] pruned select: distributed=$distSel%d in $distSec%.2f s, " +
       f"flat=$flatSel%d in $flatSec%.2f s")
 
+    // metadata-only count(*) at sidecar scale: one job over the
+    // sidecar, O(partitions) longs to the driver
+    val tCnt = System.nanoTime()
+    val liveCnt = graft.log.DistributedMetadata.liveRowCount(spark, light)
+    println(f"[metascale] sidecar count fold: rows=$liveCnt%d in " +
+      f"${(System.nanoTime() - tCnt) / 1e9}%.2f s " +
+      f"(expect ${numFiles.toLong * 100000L}%d)")
+
     // ---- distributed control plane (optimize/metrics) at the same scale ----
     // optimize candidate selection: files whose min weight fraction is
     // under a selective cap — driver memory must be O(selected)

@@ -116,6 +116,46 @@ class DistributedMetadataSpec extends AnyFunSuite {
     assert(totalBytes === full.files.map(_.size).sum)
   }
 
+  test("metadata count/min/max fold at sidecar scale via one job over the sidecar") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("dist-meta-fold")
+    writeTable(dir)
+    withSidecar { QbeastTable.forPath(spark, dir).checkpoint() }
+    // tail append AFTER the checkpoint: the fold must overlay it
+    (36001 to 38000).map(i => (i.toLong, i * 1.5, s"cat_${i % 7}"))
+      .toDF("id", "value", "category")
+      .write.format("qbeast").mode("append").save(dir)
+
+    val df = spark.read.format("qbeast").load(dir)
+    assert(fileIndexOf(df.filter("1=1")).isInstanceOf[DistributedQbeastFileIndex],
+      "fixture must take the distributed (light-snapshot) path")
+    val agg = df.agg(count(lit(1)).as("cnt"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"),
+      min(col("category")).as("mnc"), max(col("category")).as("mxc"),
+      min(col("value")).as("mnv"), max(col("value")).as("mxv"))
+    // the whole aggregate folds: no relation survives optimization
+    val scans = agg.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scans.isEmpty, "sidecar-scale count/min/max should fold to metadata")
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((38000L, 1L, 38000L)))
+    assert((r.getString(3), r.getString(4)) == (("cat_0", "cat_6")))
+    assert((r.getDouble(5), r.getDouble(6)) == ((1.5, 57000.0)))
+
+    // a copy-on-write DELETE lands tail removes (masking sidecar rows)
+    // + rewritten adds: the fold must track the overlay exactly
+    QbeastTable.forPath(spark, dir).delete("id <= 15000")
+    val agg2 = spark.read.format("qbeast").load(dir)
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("mn"))
+    val scans2 = agg2.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scans2.isEmpty, "post-delete sidecar fold should still fire")
+    assert(agg2.head() == org.apache.spark.sql.Row(23000L, 15001L))
+  }
+
   test("pushed filters and column pruning survive the distributed index") {
     val dir = TestSpark.tmpDir("dist-meta-plan")
     writeTable(dir)
