@@ -128,48 +128,61 @@ object DistributedMetadata {
     bulk + snap.files.iterator.map(_.elementCount).sum
   }
 
-  /** Witness/bound extreme partials for `column` over the sidecar bulk
-   * — the sidecar half of the metadata-only min/max fold. Each
-   * partition folds its files through the SAME per-file rule the
-   * driver loop uses ([[graft.rules.MetadataCountRule.foldFileExtreme]]:
-   * unmasked+exact sides are witnesses, masked files and truncated
-   * string sides are dominance bounds) and ships two accumulators;
-   * the driver merges them and folds the tail. None = some file was
-   * undecidable (missing stats) — the caller bails to the scan. The
-   * dv map rides the closure: it is O(masked files) metadata, the
-   * same size class the mask rule broadcasts. */
+  /** Witness/bound extreme partials for BOTH sides of `column` over
+   * the sidecar bulk — the sidecar half of the metadata-only min/max
+   * fold, one job serving min AND max (the common `min(c), max(c)`
+   * aggregate, memoized per snapshot by the caller so optimizer
+   * fixpoint re-runs never re-launch it). Each partition folds its
+   * files through the SAME per-file rule the driver loop uses
+   * ([[graft.rules.MetadataCountRule.foldFileExtreme]]: unmasked+exact
+   * sides are witnesses, masked files and truncated string sides are
+   * dominance bounds) and ships four accumulators; the driver merges
+   * them and folds the tail. None = some file was undecidable
+   * (missing stats) — the caller bails to the scan. The dv map rides
+   * the closure: it is O(masked files) metadata, the same size class
+   * the mask rule broadcasts. Returns (minWitness, minBound,
+   * maxWitness, maxBound). */
   def extremePartials(
       spark: SparkSession,
       snap: QbeastSnapshot,
       column: String,
-      isMin: Boolean,
       floating: Boolean,
       string: Boolean): Option[(graft.rules.MetadataCountRule.ExtremeAcc,
+      graft.rules.MetadataCountRule.ExtremeAcc,
+      graft.rules.MetadataCountRule.ExtremeAcc,
       graft.rules.MetadataCountRule.ExtremeAcc)] = {
     import graft.rules.MetadataCountRule.{ExtremeAcc, foldFileExtreme}
     val dvCards: Map[String, Long] =
       snap.dvs.map { case (p, i) => p -> i.cardinality }
     val partials = liveRows(spark, snap, None).rdd.mapPartitions { it =>
       var ok = true
-      val witness = new ExtremeAcc(isMin, floating, string)
-      val bound = new ExtremeAcc(isMin, floating, string)
+      val minW = new ExtremeAcc(isMin = true, floating, string)
+      val minB = new ExtremeAcc(isMin = true, floating, string)
+      val maxW = new ExtremeAcc(isMin = false, floating, string)
+      val maxB = new ExtremeAcc(isMin = false, floating, string)
       it.foreach { r =>
         if (ok) {
           val ec = r.blocks.iterator.map(_.elementCount).sum
-          ok = foldFileExtreme(r.stats, ec, dvCards.getOrElse(r.path, 0L),
-            column, isMin, witness, bound)
+          val dvc = dvCards.getOrElse(r.path, 0L)
+          // the second call re-parses from the bounded JSON-keyed
+          // cache (FileStatsPruning.parse), not the raw string
+          ok = foldFileExtreme(r.stats, ec, dvc, column, isMin = true, minW, minB) &&
+            foldFileExtreme(r.stats, ec, dvc, column, isMin = false, maxW, maxB)
         }
       }
-      Iterator.single((ok, witness, bound))
+      Iterator.single((ok, minW, minB, maxW, maxB))
     }.collect()
     if (partials.exists(!_._1)) None
     else {
-      val witness = new ExtremeAcc(isMin, floating, string)
-      val bound = new ExtremeAcc(isMin, floating, string)
-      partials.foreach { case (_, w, b) =>
-        witness.mergeFrom(w); bound.mergeFrom(b)
+      val minW = new ExtremeAcc(isMin = true, floating, string)
+      val minB = new ExtremeAcc(isMin = true, floating, string)
+      val maxW = new ExtremeAcc(isMin = false, floating, string)
+      val maxB = new ExtremeAcc(isMin = false, floating, string)
+      partials.foreach { case (_, w1, b1, w2, b2) =>
+        minW.mergeFrom(w1); minB.mergeFrom(b1)
+        maxW.mergeFrom(w2); maxB.mergeFrom(b2)
       }
-      Some((witness, bound))
+      Some((minW, minB, maxW, maxB))
     }
   }
 

@@ -138,13 +138,9 @@ object QbeastLog extends org.apache.spark.internal.Logging {
   // LRU, not clear-on-overflow: a session touching >64 (table, mode)
   // keys keeps its hot heads resident instead of re-replaying all of
   // them at once after an eviction storm
-  private val snapshotCache = new java.util.LinkedHashMap[String, CachedSnap](
-    16, 0.75f, /* accessOrder = */ true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[String, CachedSnap]): Boolean =
-      size() > MaxCachedSnapshots
-  }
-  private val MaxCachedSnapshots = 64
+  private val snapshotCache =
+    new graft.core.LruCache[String, CachedSnap](MaxCachedSnapshots)
+  private def MaxCachedSnapshots = 64
 
   private def fingerprintOf(fs: FileSystem, dir: Path): String = {
     if (!fs.exists(dir)) return "empty"
@@ -173,8 +169,13 @@ object QbeastLog extends org.apache.spark.internal.Logging {
     s"$lastV:$lastLen:$lastMod:cp$lastCp:$cpLen:$cpMod"
   }
 
-  /** Drop all cached snapshots (tests; or after out-of-band surgery). */
-  def invalidateCache(): Unit = snapshotCache.synchronized { snapshotCache.clear() }
+  /** Drop all cached snapshots (tests; or after out-of-band surgery).
+   * Also clears the metadata-fold memo, which keys on snapshot
+   * identity and must not outlive surgically rewritten logs. */
+  def invalidateCache(): Unit = {
+    snapshotCache.clear()
+    graft.rules.MetadataCountRule.invalidateFoldMemo()
+  }
 
   private def versionFile(tablePath: String, v: Long): Path =
     new Path(logDir(tablePath), f"$v%020d.json")
@@ -242,8 +243,10 @@ object QbeastLog extends org.apache.spark.internal.Logging {
     val fs = dir.getFileSystem(conf)
     val cacheKey = s"$tablePath|$asOfVersion|$withFiles"
     val fingerprint = fingerprintOf(fs, dir)
-    val cached = snapshotCache.synchronized { snapshotCache.get(cacheKey) }
-    if (cached != null && cached.fingerprint == fingerprint) return cached.snap
+    snapshotCache.get(cacheKey) match {
+      case Some(cached) if cached.fingerprint == fingerprint => return cached.snap
+      case _ =>
+    }
     val snap = replaySnapshotUncached(tablePath, conf, fs, dir, asOfVersion, withFiles)
     // time-traveled snapshots are unbounded in key space (one per
     // asOf) and rarely re-read — caching them would evict the hot
@@ -255,9 +258,8 @@ object QbeastLog extends org.apache.spark.internal.Logging {
       // post-replay fingerprint would claim freshness for a snapshot
       // that never saw the concurrent commit, wedging writers'
       // optimistic-retry loops
-      snapshotCache.synchronized {
-        snapshotCache.put(cacheKey, CachedSnap(fingerprint, snap)); ()
-      }
+      snapshotCache.put(cacheKey, CachedSnap(fingerprint, snap))
+      ()
     }
     snap
   }

@@ -252,13 +252,17 @@ object DerivedPredicates {
       // cast(date AS timestamp); every unit's dates share one output
       // (start-of-day of the unit start), so the anchors are plain
       // DATE literals — no zone arithmetic on the raw side at all
+      // the cast's zone and the truncation's zone must AGREE (both are
+      // the session zone in analyzed plans) — with different zones the
+      // local date of start-of-day can shift a day and the anchors
+      // would misprune; NTZ is zoneless and always safe
       case TruncTimestamp(Literal(fmt: UTF8String, _), c: Cast, tz)
           if (c.dataType == TimestampType || c.dataType == TimestampNTZType) &&
-            c.child.isInstanceOf[Attribute] && c.child.dataType == DateType =>
+            c.child.isInstanceOf[Attribute] && c.child.dataType == DateType &&
+            (c.dataType == TimestampNTZType || c.timeZoneId == tz) =>
         val a = c.child.asInstanceOf[Attribute]
         val tk = if (c.dataType == TimestampNTZType) Ntz
-          else c.timeZoneId.orElse(tz).flatMap(zoneOf).map(Zoned(_))
-            .getOrElse(return None)
+          else tz.flatMap(zoneOf).map(Zoned(_)).getOrElse(return None)
         for (u <- unitOf(fmt.toString, subWeekOk = true); l <- microsOf(v)) yield {
           val anchors = scala.util.Try {
             val ld = localDateOf(l, tk)
@@ -273,14 +277,24 @@ object DerivedPredicates {
           (a, anchors)
         }
       // unix_timestamp(ts_col) / to_unix_timestamp(ts_col): epoch
-      // seconds = floorDiv(micros, 1e6) — one-second buckets
+      // seconds = micros / 1e6 with TRUNCATING division (toward zero —
+      // Spark's ToTimestamp uses plain long division, probed:
+      // unix_timestamp('1969-12-31 23:59:59.5') = 0, not -1), so the
+      // second-0 bucket is [-999999, 999999] and every sec <= 0 bucket
+      // starts 999999 micros EARLIER than sec*1e6 — a floorDiv anchor
+      // would silently drop pre-epoch rows from scans, metadata counts
+      // and DML classification
       case UnixEpochSeconds(a) if a.dataType == TimestampType ||
           a.dataType == TimestampNTZType =>
         longOf(v).map { sec =>
           val tk = if (a.dataType == TimestampNTZType) Ntz else Zoned(ZoneOffset.UTC)
-          def anchor(s: Long): Option[Literal] =
-            scala.util.Try(Math.multiplyExact(s, 1000000L)).toOption.map(tsLit(_, tk))
-          (a, (anchor(sec), anchor(sec + 1)))
+          // first micros of bucket `s` under truncating division
+          def bucketStart(s: Long): Option[Literal] =
+            scala.util.Try {
+              val base = Math.multiplyExact(s, 1000000L)
+              if (s <= 0) Math.subtractExact(base, 999999L) else base
+            }.toOption.map(tsLit(_, tk))
+          (a, (bucketStart(sec), bucketStart(sec + 1)))
         }
       // unix_timestamp(date_col): start-of-day epoch seconds in the
       // function's zone — one-day buckets, date-literal anchors

@@ -181,36 +181,62 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       agg: Aggregate,
       rel: (QbeastSnapshot, Seq[Attribute])): Option[LogicalPlan] = {
     val (snap, output) = rel
+    // SHAPE pre-check before any work: every output must be an
+    // answerable count/min/max/literal — otherwise a sidecar-scale
+    // table would launch fold jobs for the early outputs only to bail
+    // on a later one
+    val outIds = output.map(_.exprId).toSet
+    val answerable = agg.aggregateExpressions.forall {
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(children) =>
+            children.nonEmpty && children.forall(c => c.foldable && c.eval() != null)
+          case Min(a: Attribute) =>
+            outIds.contains(a.exprId) && MetadataCountRule.exactStatsType(a.dataType)
+          case Max(a: Attribute) =>
+            outIds.contains(a.exprId) && MetadataCountRule.exactStatsType(a.dataType)
+          case _ => false
+        }
+      case Alias(_: Literal, _) | _: Literal => true
+      case _ => false
+    }
+    if (!answerable) return None
     // live rows = physical block counts minus deletion-vector masks
     // (vector cardinalities are exact log metadata). Sidecar-scale
     // tables sum their block counts in one Spark job over the parquet
     // sidecar — O(partitions) longs reach the driver, never the file
-    // list.
+    // list — memoized per snapshot instance like the extreme folds.
     lazy val n = (if (snap.filesComplete) snap.files.map(_.elementCount).sum
-      else graft.log.DistributedMetadata.liveRowCount(spark, snap)) -
-      snap.dvMaskedRows
-    val values = agg.aggregateExpressions.map {
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          // count(*) / count(1): every argument a non-null literal
-          case Count(children)
-              if children.nonEmpty &&
-                children.forall(c => c.foldable && c.eval() != null) =>
-            Some(n)
-          case Min(a: Attribute) if output.exists(_.exprId == a.exprId) =>
-            statsExtreme(snap, a.name, a.dataType, isMin = true)
-          case Max(a: Attribute) if output.exists(_.exprId == a.exprId) =>
-            statsExtreme(snap, a.name, a.dataType, isMin = false)
-          case _ => None
+      else {
+        val key = (System.identityHashCode(snap), snap.tablePath, snap.version)
+        MetadataCountRule.countMemo.get(key).getOrElse {
+          val c = graft.log.DistributedMetadata.liveRowCount(spark, snap)
+          MetadataCountRule.countMemo.put(key, c)
+          c
         }
-      case Alias(l: Literal, _) => Some(l.value)
-      case l: Literal => Some(l.value)
-      case _ => None
+      }) - snap.dvMaskedRows
+    // short-circuit on the first unanswerable VALUE (e.g. a stats gap
+    // discovered mid-fold): later fold jobs never launch
+    val values = Vector.newBuilder[Any]
+    agg.aggregateExpressions.foreach { e =>
+      val v: Option[Any] = e match {
+        case Alias(ae: AggregateExpression, _) =>
+          ae.aggregateFunction match {
+            case _: Count => Some(n)
+            case Min(a: Attribute) =>
+              statsExtreme(snap, a.name, a.dataType, isMin = true)
+            case Max(a: Attribute) =>
+              statsExtreme(snap, a.name, a.dataType, isMin = false)
+          }
+        case Alias(l: Literal, _) => Some(l.value)
+        case l: Literal => Some(l.value)
+      }
+      v match {
+        case Some(x) => values += x
+        case None => return None
+      }
     }
-    if (values.forall(_.isDefined))
-      Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get)))))
-    else None
+    Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.result()))))
   }
 
   import MetadataCountRule.ExtremeAcc
@@ -255,11 +281,25 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val bound = new ExtremeAcc(isMin, floating, string)
     if (!snap.filesComplete) {
       // executor-side fold over the sidecar bulk (tail-touched paths
-      // already masked out by DistributedMetadata.liveRows)
-      graft.log.DistributedMetadata.extremePartials(
-          spark, snap, column, isMin, floating, string) match {
+      // already masked out by DistributedMetadata.liveRows), one job
+      // covering BOTH sides, memoized per snapshot INSTANCE — the
+      // instance comes from the fingerprint-validated snapshot cache,
+      // so identity expiring is exactly log-change detection, and
+      // optimizer fixpoint iterations / min+max of the same column /
+      // a bailed rewrite re-optimized later all reuse the partials
+      // instead of re-launching the job
+      val key = (System.identityHashCode(snap), snap.tablePath, snap.version, column)
+      val partials = MetadataCountRule.foldMemo.get(key).getOrElse {
+        val r = graft.log.DistributedMetadata.extremePartials(
+          spark, snap, column, floating, string)
+        MetadataCountRule.foldMemo.put(key, r)
+        r
+      }
+      partials match {
         case None => return None // some file was undecidable
-        case Some((w, b)) => witness.mergeFrom(w); bound.mergeFrom(b)
+        case Some((minW, minB, maxW, maxB)) =>
+          if (isMin) { witness.mergeFrom(minW); bound.mergeFrom(minB) }
+          else { witness.mergeFrom(maxW); bound.mergeFrom(maxB) }
       }
     }
     // complete snapshots fold everything here; light snapshots fold
@@ -271,8 +311,7 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           column, isMin, witness, bound)) return None
       }
     }
-    if (bound.isEmpty && witness.isEmpty) Some(witness.result(dt)) // empty/all-null
-    else if (bound.isEmpty) Some(witness.result(dt))
+    if (bound.isEmpty) Some(witness.result(dt)) // incl. empty/all-null: null
     else if (witness.isEmpty) None // every candidate is masked: can't prove
     else if (witness.dominates(bound)) Some(witness.result(dt))
     else None // a masked file's range could beat the witness: scan
@@ -280,6 +319,23 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object MetadataCountRule {
+
+  /** Memo for the sidecar-scale fold jobs, keyed by snapshot IDENTITY
+   * (plus path/version against identityHashCode collisions): the
+   * snapshot instance is served by QbeastLog's fingerprint-validated
+   * cache, so a log change mints a new instance and retires the memo
+   * entry naturally. Cleared alongside the snapshot cache
+   * ([[graft.log.QbeastLog.invalidateCache]]) for out-of-band surgery. */
+  private[rules] val foldMemo = new graft.core.LruCache[
+    (Int, String, Long, String),
+    Option[(ExtremeAcc, ExtremeAcc, ExtremeAcc, ExtremeAcc)]](256)
+  private[rules] val countMemo =
+    new graft.core.LruCache[(Int, String, Long), Long](64)
+
+  private[graft] def invalidateFoldMemo(): Unit = {
+    foldMemo.clear()
+    countMemo.clear()
+  }
 
   /** One side of the min/max fold. Float/double fold in Spark's total
    * order (-Inf < finite < +Inf < NaN): the collector records NaN/±Inf
@@ -435,7 +491,10 @@ object MetadataCountRule {
   def exactStatsType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
         BooleanType | DateType | TimestampType | TimestampNTZType => true
-    case _: StringType => true
+    // collated strings order by their collator, NOT UTF8 byte order —
+    // a binary-folded min('B','a') under UTF8_LCASE would answer 'B'
+    // where the scan answers 'a'; only binary-ordered strings fold
+    case st: StringType => st == StringType // default UTF8_BINARY only
     case _ => false
   }
 }

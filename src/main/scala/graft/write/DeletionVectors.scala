@@ -163,21 +163,12 @@ object DeletionVectors {
   // replaced broadcast is unpersisted non-blocking — safe because a
   // plan still holding it just re-fetches the blocks on demand — so
   // executor memory is not left to ContextCleaner GC timing alone.
-  private val bcCache = new java.util.LinkedHashMap[
+  private val bcCache = new graft.core.LruCache[
     String,
     (org.apache.spark.SparkContext, Map[String, String],
       org.apache.spark.broadcast.Broadcast[Map[String, String]])](
-    16, 0.75f, /* accessOrder = */ true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        String,
-        (org.apache.spark.SparkContext, Map[String, String],
-          org.apache.spark.broadcast.Broadcast[Map[String, String]])]): Boolean = {
-      val evict = size() > MaxBcEntries
-      if (evict) unpersistQuietly(e.getValue._1, e.getValue._3)
-      evict
-    }
-  }
-  private val MaxBcEntries = 64
+    MaxBcEntries, onEvict = (_, v) => unpersistQuietly(v._1, v._3))
+  private def MaxBcEntries = 64
 
   /** Release the broadcast's executor blocks if its context is still
    * alive; never lets a teardown race fail the caller's query. */
@@ -191,20 +182,26 @@ object DeletionVectors {
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
       dvByName: Map[String, String])
-      : org.apache.spark.broadcast.Broadcast[Map[String, String]] =
-    bcCache.synchronized {
-      val sc = spark.sparkContext
-      val key = s"$tablePath#${dvByName.hashCode}"
-      val hit = bcCache.get(key)
-      if (hit != null && (hit._1 eq sc) && !sc.isStopped && hit._2 == dvByName)
+      : org.apache.spark.broadcast.Broadcast[Map[String, String]] = {
+    val sc = spark.sparkContext
+    val key = s"$tablePath#${dvByName.hashCode}"
+    bcCache.get(key) match {
+      case Some(hit) if (hit._1 eq sc) && !sc.isStopped && hit._2 == dvByName =>
         return hit._3
-      val bc = sc.broadcast(dvByName)
-      val prev = bcCache.put(key, (sc, dvByName, bc))
-      // a replaced entry (hash collision / restarted context) is dead
-      // weight on the executors the moment the new broadcast exists
-      if (prev != null) unpersistQuietly(prev._1, prev._3)
-      bc
+      case _ =>
     }
+    // create OUTSIDE the cache lock: sc.broadcast does BlockManager
+    // I/O, and holding the shared monitor across it would serialize
+    // every concurrent planner's unrelated cache hit behind it
+    val bc = sc.broadcast(dvByName)
+    // a replaced entry (lost race / hash collision / restarted
+    // context) is dead weight on the executors the moment the new
+    // broadcast exists; unpersist is non-blocking and re-fetchable, so
+    // a racer that already handed the loser out stays correct
+    bcCache.put(key, (sc, dvByName, bc))
+      .foreach(prev => if (!(prev._3 eq bc)) unpersistQuietly(prev._1, prev._3))
+    bc
+  }
 
   // ---- executor-side vector cache ------------------------------------
   // The mask expression probes per ROW; vectors are loaded once per
@@ -214,23 +211,17 @@ object DeletionVectors {
   // map would otherwise grow for the life of a long executor; LRU keeps
   // the vectors of the tables currently being scanned hot instead of
   // wiping all of them on overflow.
-  private val MaxCacheEntries = 10000
-  private val cache = new java.util.LinkedHashMap[String, Array[Long]](
-    16, 0.75f, /* accessOrder = */ true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[String, Array[Long]]): Boolean =
-      size() > MaxCacheEntries
-  }
+  private val cache = new graft.core.LruCache[String, Array[Long]](10000)
 
   def cached(tablePath: String, conf: Configuration, dvPath: String): Array[Long] = {
     val key = s"$tablePath#$dvPath"
-    cache.synchronized {
-      val hit = cache.get(key)
-      if (hit != null) return hit
+    cache.get(key) match {
+      case Some(hit) => hit
+      case None =>
+        val loaded = read(tablePath, conf, dvPath) // I/O outside the lock
+        cache.put(key, loaded)
+        loaded
     }
-    val loaded = read(tablePath, conf, dvPath)
-    cache.synchronized { cache.put(key, loaded) }
-    loaded
   }
 
 }

@@ -105,14 +105,28 @@ final class FileStatsCollector(schema: StructType) {
               // truncated bounds: the prefix is ≤ the value (lower
               // bound); the bumped prefix is > any extension of it
               // (upper bound). Either winning marks its side inexact.
-              val pfx = s.substring(0, MaxStringLen).clone()
-              if (strMin(j) == null || pfx.compareTo(strMin(j)) < 0) {
-                strMin(j) = pfx; minExact(j) = false
-              }
-              val ub = bumpUpper(pfx)
-              if (ub == null) { valid(j) = false; strMin(j) = null; strMax(j) = null }
-              else if (strMax(j) == null || ub.compareTo(strMax(j)) > 0) {
-                strMax(j) = ub; maxExact(j) = false
+              // ALLOCATION GUARD, so document-body columns stay cheap
+              // per row: stored bounds are ≤ MaxStringLen code points,
+              // so s ≥ strMin implies prefix(s) ≥ strMin (the prefix
+              // can't dive below an existing ≤-cap bound the full
+              // value beats), and s < strMax implies bump(prefix(s))
+              // can never strictly exceed strMax (the bump position is
+              // at or after the first differing code point) — both
+              // sides then skip without allocating.
+              val minLoses = strMin(j) != null && s.compareTo(strMin(j)) >= 0
+              val maxLoses = strMax(j) != null && s.compareTo(strMax(j)) < 0
+              if (!minLoses || !maxLoses) {
+                val pfx = s.substring(0, MaxStringLen).clone()
+                if (!minLoses && (strMin(j) == null || pfx.compareTo(strMin(j)) < 0)) {
+                  strMin(j) = pfx; minExact(j) = false
+                }
+                if (!maxLoses) {
+                  val ub = bumpUpper(pfx)
+                  if (ub == null) { valid(j) = false; strMin(j) = null; strMax(j) = null }
+                  else if (strMax(j) == null || ub.compareTo(strMax(j)) > 0) {
+                    strMax(j) = ub; maxExact(j) = false
+                  }
+                }
               }
             } else {
               if (strMin(j) == null || s.compareTo(strMin(j)) < 0) {
@@ -277,7 +291,10 @@ object FileStatsCollector {
     // parsing could shift a min/max boundary and mis-prune
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
         BooleanType | DateType | TimestampType | TimestampNTZType => true
-    case _: StringType => true
+    // collated strings compare by their collator: binary min/max would
+    // both MIS-PRUNE (predicates evaluate under the collation) and
+    // mis-fold — only binary-ordered strings carry bounds
+    case st: StringType => st == StringType // default UTF8_BINARY only
     case _ => false
   }
 

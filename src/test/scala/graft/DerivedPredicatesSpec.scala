@@ -289,6 +289,45 @@ class DerivedPredicatesSpec extends AnyFunSuite {
     }
   }
 
+  test("unix_timestamp buckets honor truncating division around the epoch") {
+    import spark.implicits._
+    // Spark's unix_timestamp truncates toward ZERO (probed:
+    // unix_timestamp('1969-12-31 23:59:59.5') = 0, not -1), so the
+    // second-0 bucket is [-0.999999s, +0.999999s] and every sec <= 0
+    // bucket starts early — a floorDiv anchor would silently DROP
+    // pre-epoch rows from scans, metadata counts and DML
+    val dir = TestSpark.tmpDir("derived-unix-epoch")
+    // sub-second timestamps straddling the epoch: micros at 0.1s steps
+    // over [-3s, +3s]
+    val rows = (-30 to 30).map(t => (t.toLong, new java.sql.Timestamp(t * 100L)))
+    rows.toDF("id", "ts").write.format("qbeast")
+      .option("columnsToIndex", "id").option("cubeSize", "20").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    back.createOrReplaceTempView("dp_unix_epoch")
+    val localRows = rows.toDF("id", "ts")
+    Seq(
+      "unix_timestamp(ts) = 0",
+      "unix_timestamp(ts) = -1",
+      "unix_timestamp(ts) = 1",
+      "unix_timestamp(ts) = -2",
+      "unix_timestamp(ts) >= 0",
+      "unix_timestamp(ts) < 0",
+      "unix_timestamp(ts) <= -1",
+      "unix_timestamp(ts) > -2",
+      "unix_timestamp(ts) != 0").foreach { p =>
+      val got = spark.sql(s"SELECT id FROM dp_unix_epoch WHERE $p")
+        .collect().map(_.getLong(0)).toSet
+      val want = localRows.where(p).collect().map(_.getLong(0)).toSet
+      assert(got == want, s"row mismatch for: $p (got ${got.toSeq.sorted}, " +
+        s"want ${want.toSeq.sorted})")
+    }
+    // the truncating bucket is observable: second 0 spans 19 of the
+    // 0.1s steps (-0.9s .. +0.9s inclusive)
+    assert(spark.sql(
+      "SELECT count(*) FROM dp_unix_epoch WHERE unix_timestamp(ts) = 0")
+      .head().getLong(0) == 19L)
+  }
+
   test("non-UTC session zone: boundaries follow the zone, DST included") {
     val tzKey = "spark.sql.session.timeZone"
     val prev = spark.conf.get(tzKey)

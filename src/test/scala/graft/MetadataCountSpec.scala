@@ -164,6 +164,31 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(!isMetadataOnly(mx))
   }
 
+  test("collated string columns never fold or carry stats bounds (binary order lies)") {
+    val dir = TestSpark.tmpDir("qbeast-metacount-collate")
+    // UTF8_LCASE orders 'a' < 'B'; binary orders 'B' < 'a' — a
+    // binary-folded min would answer 'B' where the scan answers 'a'
+    spark.range(1, 101).selectExpr("id AS a",
+      "collate(CASE WHEN id % 2 = 0 THEN 'B' ELSE 'a' END, 'UTF8_LCASE') AS s")
+      .write.format("qbeast").option("columnsToIndex", "a")
+      .option("cubeSize", "50").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    val agg = back.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    assert(!isMetadataOnly(agg), "collated min/max must scan")
+    assert(agg.head().getString(0) == "a", "collation min is 'a', not binary 'B'")
+    // the collector writes NO bounds for the collated column (binary
+    // bounds would also mis-prune collation-aware predicates)...
+    val snap = graft.log.QbeastLog.snapshot(dir, spark.sparkContext.hadoopConfiguration)
+    snap.files.flatMap(_.stats).map(graft.read.FileStatsPruning.parse(_).get)
+      .foreach { st =>
+        assert(!st.mins.contains("s") && !st.maxs.contains("s"),
+          "collated column must carry no binary bounds")
+      }
+    // ...so collation-aware filters stay exact (conservative keep)
+    assert(back.filter("s = 'b'").count() === 50L)
+    assert(back.filter("s = 'A'").count() === 50L)
+  }
+
   test("NaN and Infinity fold in Spark's total order (max = NaN, not largest finite)") {
     val dir = TestSpark.tmpDir("qbeast-metacount-nan")
     // NaN only in one slice; +Inf/-Inf elsewhere; plenty of finite rows
