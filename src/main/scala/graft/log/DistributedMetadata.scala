@@ -186,6 +186,64 @@ object DistributedMetadata {
     }
   }
 
+  /** FILTERED count + per-column extreme partials over the sidecar
+   * bulk — the sidecar half of the metadata-only
+   * `count(*)/min/max WHERE pred` fold. Each partition runs the SAME
+   * tri-state per-file proof + fold the driver loop uses
+   * ([[graft.rules.MetadataCountRule.foldFileFiltered]]); the expanded
+   * conjuncts ship in the closure (Catalyst expressions are
+   * serializable). None = some file was undecidable or straddles the
+   * predicate — the caller bails to the scan. `cols` =
+   * (name, floating, string) per requested min/max column; returns
+   * (live matching rows, per-column (minW, minB, maxW, maxB)). */
+  def filteredFoldPartials(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      provable: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      cols: Array[(String, Boolean, Boolean)])
+      : Option[(Long, Array[(graft.rules.MetadataCountRule.ExtremeAcc,
+      graft.rules.MetadataCountRule.ExtremeAcc,
+      graft.rules.MetadataCountRule.ExtremeAcc,
+      graft.rules.MetadataCountRule.ExtremeAcc)])] = {
+    import graft.rules.MetadataCountRule.{ExtremeAcc, foldFileFiltered}
+    val dvCards: Map[String, Long] =
+      snap.dvs.map { case (p, i) => p -> i.cardinality }
+    def freshAccs() = cols.map { case (_, floating, string) =>
+      (new ExtremeAcc(isMin = true, floating, string),
+        new ExtremeAcc(isMin = true, floating, string),
+        new ExtremeAcc(isMin = false, floating, string),
+        new ExtremeAcc(isMin = false, floating, string))
+    }
+    val partials = liveRows(spark, snap, None).rdd.mapPartitions { it =>
+      var ok = true
+      var n = 0L
+      val accs = freshAccs()
+      it.foreach { r =>
+        if (ok) {
+          val ec = r.blocks.iterator.map(_.elementCount).sum
+          ok = foldFileFiltered(r.stats, ec, dvCards.getOrElse(r.path, 0L),
+            provable, cols, accs, n += _)
+        }
+      }
+      Iterator.single((ok, n, accs))
+    }.collect()
+    if (partials.exists(!_._1)) None
+    else {
+      var n = 0L
+      val accs = freshAccs()
+      partials.foreach { case (_, pn, pa) =>
+        n += pn
+        var i = 0
+        while (i < accs.length) {
+          accs(i)._1.mergeFrom(pa(i)._1); accs(i)._2.mergeFrom(pa(i)._2)
+          accs(i)._3.mergeFrom(pa(i)._3); accs(i)._4.mergeFrom(pa(i)._4)
+          i += 1
+        }
+      }
+      Some((n, accs))
+    }
+  }
+
   /** Union of the checkpointed files' per-column HLL registers — the
    * sidecar-scale half of [[graft.table.QbeastTable.approxCountDistinct]].
    * One Spark job over the parquet sidecar; only per-partition 256-byte

@@ -35,12 +35,12 @@ import org.apache.spark.sql.types._
  * prefix/bumped bound, not a row value) folds as a BOUND, exactly like
  * a dv-masked file: the fold still answers when an exact witness
  * dominates it, and bails to the scan otherwise. Sidecar-scale tables
- * (light snapshots, ≥200k files) run the UNFILTERED count/min/max
- * folds as ONE Spark job over the parquet sidecar
+ * (light snapshots, ≥200k files) run the count/min/max folds —
+ * filtered AND unfiltered — as ONE Spark job over the parquet sidecar
  * ([[graft.log.DistributedMetadata]]) — O(partitions) partials to the
- * driver, never the file list — while the filtered path stays
- * complete-snapshot-only. A Sample, Limit, join, any stats gap, or an
- * undecidable file leaves the plan untouched.
+ * driver, never the file list — memoized per snapshot instance. A
+ * Sample, Limit, join, any stats gap, or an undecidable file leaves
+ * the plan untouched.
  */
 class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -48,10 +48,7 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
       snapshotOf(agg.child).flatMap { case (snap, output, conds) =>
         if (conds.isEmpty) rewrite(agg, (snap, output))
-        // the filtered path proves per-file predicates; it stays
-        // driver-side and needs the complete file list
-        else if (snap.filesComplete) rewriteFiltered(agg, snap, output, conds)
-        else None
+        else rewriteFiltered(agg, snap, output, conds)
       }.getOrElse(agg)
   }
 
@@ -142,6 +139,8 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // TRUE/FALSE proofs below are exactly the original predicate's
     val provable = graft.read.DerivedPredicates.expand(conds)
 
+    if (!snap.filesComplete) return rewriteFilteredLight(agg, snap, provable)
+
     var n = 0L
     val surviving = scala.collection.mutable.HashSet.empty[String]
     snap.files.foreach { f =>
@@ -173,6 +172,83 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (values.forall(_.isDefined))
       Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get)))))
     else None
+  }
+
+  /** The sidecar-scale half of [[rewriteFiltered]]: ONE Spark job runs
+   * the tri-state proofs + count + extreme folds over the sidecar bulk
+   * ([[graft.log.DistributedMetadata.filteredFoldPartials]]), the
+   * post-checkpoint tail folds driver-side, and the result is memoized
+   * per (snapshot instance, conjunct text, columns) so optimizer
+   * fixpoint iterations never re-launch the job. The shape pre-checks
+   * already passed in the caller. */
+  private def rewriteFilteredLight(
+      agg: Aggregate,
+      snap: QbeastSnapshot,
+      provable: Seq[Expression]): Option[LogicalPlan] = {
+    import MetadataCountRule.{foldFileFiltered, resolveExtreme}
+    // the distinct min/max columns, in a stable order the accumulator
+    // array indexes by
+    val colAttrs = agg.aggregateExpressions.flatMap {
+      case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+        case Min(a: Attribute) => Seq(a)
+        case Max(a: Attribute) => Seq(a)
+        case _ => Nil
+      }
+      case _ => Nil
+    }.distinctBy(_.name)
+    val cols = colAttrs.map(a => (a.name,
+      a.dataType == FloatType || a.dataType == DoubleType,
+      a.dataType.isInstanceOf[StringType])).toArray
+    val key = (System.identityHashCode(snap), snap.tablePath, snap.version,
+      provable.map(_.toString).mkString("&"), cols.map(_._1).mkString(","))
+    val folded = MetadataCountRule.filteredMemo.get(key).getOrElse {
+      val r = graft.log.DistributedMetadata.filteredFoldPartials(
+        spark, snap, provable, cols)
+      MetadataCountRule.filteredMemo.put(key, r)
+      r
+    }
+    folded match {
+      case None => None
+      case Some((bulkN, bulkAccs)) =>
+        // post-checkpoint tail adds fold driver-side — the memoized
+        // bulk accumulators are never mutated (fresh ones merge them)
+        var n = bulkN
+        val accs = cols.map { case (_, floating, string) =>
+          (new MetadataCountRule.ExtremeAcc(isMin = true, floating, string),
+            new MetadataCountRule.ExtremeAcc(isMin = true, floating, string),
+            new MetadataCountRule.ExtremeAcc(isMin = false, floating, string),
+            new MetadataCountRule.ExtremeAcc(isMin = false, floating, string))
+        }
+        var i = 0
+        while (i < accs.length) {
+          accs(i)._1.mergeFrom(bulkAccs(i)._1); accs(i)._2.mergeFrom(bulkAccs(i)._2)
+          accs(i)._3.mergeFrom(bulkAccs(i)._3); accs(i)._4.mergeFrom(bulkAccs(i)._4)
+          i += 1
+        }
+        snap.files.foreach { f =>
+          val dvCard = snap.dvs.get(f.path).map(_.cardinality).getOrElse(0L)
+          if (!foldFileFiltered(f.stats, f.elementCount, dvCard, provable,
+            cols, accs, n += _)) return None
+        }
+        val byName = cols.map(_._1).zipWithIndex.toMap
+        val values = agg.aggregateExpressions.map {
+          case Alias(ae: AggregateExpression, _) =>
+            ae.aggregateFunction match {
+              case _: Count => Some(n)
+              case Min(a: Attribute) =>
+                val (w, b, _, _) = accs(byName(a.name))
+                resolveExtreme(w, b, a.dataType)
+              case Max(a: Attribute) =>
+                val (_, _, w, b) = accs(byName(a.name))
+                resolveExtreme(w, b, a.dataType)
+            }
+          case Alias(l: Literal, _) => Some(l.value)
+          case l: Literal => Some(l.value)
+        }
+        if (values.forall(_.isDefined))
+          Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get)))))
+        else None
+    }
   }
 
   /** Fold the aggregate into a one-row LocalRelation iff every output
@@ -311,10 +387,7 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           column, isMin, witness, bound)) return None
       }
     }
-    if (bound.isEmpty) Some(witness.result(dt)) // incl. empty/all-null: null
-    else if (witness.isEmpty) None // every candidate is masked: can't prove
-    else if (witness.dominates(bound)) Some(witness.result(dt))
-    else None // a masked file's range could beat the witness: scan
+    MetadataCountRule.resolveExtreme(witness, bound, dt)
   }
 }
 
@@ -331,10 +404,17 @@ object MetadataCountRule {
     Option[(ExtremeAcc, ExtremeAcc, ExtremeAcc, ExtremeAcc)]](256)
   private[rules] val countMemo =
     new graft.core.LruCache[(Int, String, Long), Long](64)
+  // filtered-fold memo: key carries the EXPANDED conjuncts' full text
+  // and the column list (never a hash alone — a collision would serve
+  // a different predicate's fold)
+  private[rules] val filteredMemo = new graft.core.LruCache[
+    (Int, String, Long, String, String),
+    Option[(Long, Array[(ExtremeAcc, ExtremeAcc, ExtremeAcc, ExtremeAcc)])]](64)
 
   private[graft] def invalidateFoldMemo(): Unit = {
     foldMemo.clear()
     countMemo.clear()
+    filteredMemo.clear()
   }
 
   /** One side of the min/max fold. Float/double fold in Spark's total
@@ -482,6 +562,53 @@ object MetadataCountRule {
       if (dvCard == 0L && !stats.isInexact(column, isMin)) witness else bound
     target.fold(v)
   }
+
+  /** One file through the FILTERED fold (the single definition the
+   * driver tail loop and the executor partials both run): prove the
+   * conjunction from stats; FALSE-proved files contribute nothing,
+   * TRUE-proved files add their live rows and fold every requested
+   * column's extremes through [[foldFileExtreme]]; an undecidable
+   * file, stale stats, or a partial overlap returns FALSE (caller
+   * bails the whole rewrite to the scan). */
+  private[graft] def foldFileFiltered(
+      statsJson: Option[String],
+      elementCount: Long,
+      dvCard: Long,
+      provable: Seq[Expression],
+      cols: Array[(String, Boolean, Boolean)],
+      accs: Array[(ExtremeAcc, ExtremeAcc, ExtremeAcc, ExtremeAcc)],
+      addCount: Long => Unit): Boolean = {
+    if (elementCount <= 0L) return true
+    val stats = statsJson.flatMap(FileStatsPruning.parse).getOrElse(return false)
+    if (stats.numRecords != elementCount) return false // stale/odd stats
+    val proofs = provable.map(c => FileStatsPruning.proveAll(stats, c))
+    if (proofs.exists(_.contains(false))) return true // no row matches: adds 0
+    if (!proofs.forall(_.contains(true))) return false // partial overlap
+    // proofs hold for every PHYSICAL row, hence for every live one
+    addCount(elementCount - dvCard)
+    var i = 0
+    while (i < cols.length) {
+      val (name, _, _) = cols(i)
+      val (minW, minB, maxW, maxB) = accs(i)
+      if (!foldFileExtreme(statsJson, elementCount, dvCard, name,
+        isMin = true, minW, minB)) return false
+      if (!foldFileExtreme(statsJson, elementCount, dvCard, name,
+        isMin = false, maxW, maxB)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** The witness/bound dominance resolution shared by every fold site:
+   * no bounds → the witness is the answer (null for empty/all-null);
+   * only bounds → can't prove; otherwise the witness answers iff it
+   * dominates every bound. */
+  private[rules] def resolveExtreme(
+      witness: ExtremeAcc, bound: ExtremeAcc, dt: DataType): Option[Any] =
+    if (bound.isEmpty) Some(witness.result(dt))
+    else if (witness.isEmpty) None
+    else if (witness.dominates(bound)) Some(witness.result(dt))
+    else None
 
   /** Types whose stats JSON round-trip is exact (see
    * FileStatsCollector: long family as decimal text, float widened to

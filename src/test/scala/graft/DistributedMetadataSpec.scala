@@ -144,6 +144,28 @@ class DistributedMetadataSpec extends AnyFunSuite {
     assert((r.getString(3), r.getString(4)) == (("cat_0", "cat_6")))
     assert((r.getDouble(5), r.getDouble(6)) == ((1.5, 57000.0)))
 
+    // FILTERED folds run the tri-state proofs executor-side: the
+    // ingest boundary (id <= 36000 vs the tail append) decides every
+    // file, so count+min+max under the predicate fold too
+    val fagg = df.filter(col("id") > 36000)
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("mn"),
+        max(col("value")).as("mxv"))
+    val fscans = fagg.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(fscans.isEmpty, "sidecar-scale FILTERED fold should fire")
+    val fr = fagg.head()
+    assert((fr.getLong(0), fr.getLong(1), fr.getDouble(2)) ==
+      ((2000L, 36001L, 57000.0)))
+    // a predicate cutting through a file bails to the scan, exactly
+    // like the driver-side path
+    val partial = df.filter(col("id") > 36100).agg(count(lit(1)).as("cnt"))
+    val pscans = partial.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(pscans.nonEmpty, "straddling predicate must bail to the scan")
+    assert(partial.head().getLong(0) == 1900L)
+
     // a copy-on-write DELETE lands tail removes (masking sidecar rows)
     // + rewritten adds: the fold must track the overlay exactly
     QbeastTable.forPath(spark, dir).delete("id <= 15000")
