@@ -646,6 +646,34 @@ class DmlSpec extends AnyFunSuite {
     assert(back.count() == 100L)
   }
 
+  test("UPDATE assignments accept scalar subqueries (API and SQL)") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("dml-scalar-subq")
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("a", "v")
+      .write.format("qbeast").option("columnsToIndex", "a")
+      .option("cubeSize", "50").save(dir)
+    spark.range(1, 8).toDF("id").createOrReplaceTempView("dml_scalar_src")
+    val t = QbeastTable.forPath(spark, dir)
+    // the assignment's scalar subquery is re-evaluated per pass like
+    // the condition — deterministic, so every pass agrees
+    assert(t.update("a <= 10",
+      Map("v" -> "(SELECT max(id) FROM dml_scalar_src) * 1.0")) == 10L)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.filter("a <= 10 AND v = 7.0").count() == 10L)
+    assert(back.filter("a > 10 AND v = a * 2").count() == 90L)
+    // SQL spelling through the analyzer rule
+    spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    spark.sql("DROP TABLE IF EXISTS qbeast_catalog.default.dml_scalar_t")
+    spark.sql(s"""CREATE TABLE qbeast_catalog.default.dml_scalar_t
+      (a BIGINT, v DOUBLE) USING qbeast
+      OPTIONS ('columnsToIndex'='a') LOCATION '${TestSpark.tmpDir("dml-scalar-sql")}'""")
+    spark.sql("INSERT INTO qbeast_catalog.default.dml_scalar_t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("UPDATE qbeast_catalog.default.dml_scalar_t " +
+      "SET v = (SELECT count(*) FROM dml_scalar_src) WHERE a = 1")
+    assert(spark.sql("SELECT v FROM qbeast_catalog.default.dml_scalar_t WHERE a = 1")
+      .head().getDouble(0) == 7.0)
+  }
+
   test("API update supports dotted struct paths and rejects conflicts") {
     val (_, dir) = structTable("dml-structapi")
     val t = QbeastTable.forPath(spark, dir)
