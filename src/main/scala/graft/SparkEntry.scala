@@ -1337,6 +1337,26 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "q103_metadata_fold_sidecar" -> ((s, dir) => {
+      // metadata-only count/min/max at SIDECAR scale: the light
+      // snapshot's file bulk lives in the parquet checkpoint, so the
+      // fold runs as ONE Spark job over it (DistributedMetadata),
+      // with the post-checkpoint append tail folded driver-side —
+      // builder asserts the plan still collapses to a LocalRelation
+      // (no relation survives, zero data files read)
+      val df = QTables.qbeastCheckpointed(s, dir).agg(
+        count(lit(1)).as("cnt"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_returnflag")).as("min_flag"),
+        max(col("l_returnflag")).as("max_flag"))
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      require(scans.isEmpty, "sidecar-scale fold should collapse to metadata")
+      df
+    }),
     "q65_distributed_meta" -> ((s, dir) => {
       // metadata-scale read: parquet sidecar checkpoint + executor-side
       // block pruning (light log replay; the post-checkpoint append tail
@@ -2899,6 +2919,12 @@ object SparkEntry {
     "q65_distributed_meta" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_extendedprice < 20000 GROUP BY 1""".stripMargin,
+    "q103_metadata_fold_sidecar" ->
+      """SELECT count(*) AS cnt,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag
+        |FROM lineitem""".stripMargin,
     "q74_manifest_read" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
