@@ -160,15 +160,15 @@ object DistributedMetadata {
       val minB = new ExtremeAcc(isMin = true, floating, string)
       val maxW = new ExtremeAcc(isMin = false, floating, string)
       val maxB = new ExtremeAcc(isMin = false, floating, string)
-      it.foreach { r =>
-        if (ok) {
-          val ec = r.blocks.iterator.map(_.elementCount).sum
-          val dvc = dvCards.getOrElse(r.path, 0L)
-          // the second call re-parses from the bounded JSON-keyed
-          // cache (FileStatsPruning.parse), not the raw string
-          ok = foldFileExtreme(r.stats, ec, dvc, column, isMin = true, minW, minB) &&
-            foldFileExtreme(r.stats, ec, dvc, column, isMin = false, maxW, maxB)
-        }
+      // stop consuming the partition once a file is undecidable
+      while (ok && it.hasNext) {
+        val r = it.next()
+        val ec = r.blocks.iterator.map(_.elementCount).sum
+        val dvc = dvCards.getOrElse(r.path, 0L)
+        // the second call re-parses from the bounded JSON-keyed
+        // cache (FileStatsPruning.parse), not the raw string
+        ok = foldFileExtreme(r.stats, ec, dvc, column, isMin = true, minW, minB) &&
+          foldFileExtreme(r.stats, ec, dvc, column, isMin = false, maxW, maxB)
       }
       Iterator.single((ok, minW, minB, maxW, maxB))
     }.collect()
@@ -205,41 +205,28 @@ object DistributedMetadata {
       graft.rules.MetadataCountRule.ExtremeAcc,
       graft.rules.MetadataCountRule.ExtremeAcc,
       graft.rules.MetadataCountRule.ExtremeAcc)])] = {
-    import graft.rules.MetadataCountRule.{ExtremeAcc, foldFileFiltered}
+    import graft.rules.MetadataCountRule.{foldFileFiltered, freshQuads, mergeQuads}
     val dvCards: Map[String, Long] =
       snap.dvs.map { case (p, i) => p -> i.cardinality }
-    def freshAccs() = cols.map { case (_, floating, string) =>
-      (new ExtremeAcc(isMin = true, floating, string),
-        new ExtremeAcc(isMin = true, floating, string),
-        new ExtremeAcc(isMin = false, floating, string),
-        new ExtremeAcc(isMin = false, floating, string))
-    }
     val partials = liveRows(spark, snap, None).rdd.mapPartitions { it =>
       var ok = true
       var n = 0L
-      val accs = freshAccs()
-      it.foreach { r =>
-        if (ok) {
-          val ec = r.blocks.iterator.map(_.elementCount).sum
-          ok = foldFileFiltered(r.stats, ec, dvCards.getOrElse(r.path, 0L),
-            provable, cols, accs, n += _)
-        }
+      val accs = freshQuads(cols)
+      // stop consuming the partition the moment a file is undecidable
+      // — the remaining rows can no longer change the (failed) result
+      while (ok && it.hasNext) {
+        val r = it.next()
+        val ec = r.blocks.iterator.map(_.elementCount).sum
+        ok = foldFileFiltered(r.stats, ec, dvCards.getOrElse(r.path, 0L),
+          provable, cols, accs, n += _)
       }
       Iterator.single((ok, n, accs))
     }.collect()
     if (partials.exists(!_._1)) None
     else {
       var n = 0L
-      val accs = freshAccs()
-      partials.foreach { case (_, pn, pa) =>
-        n += pn
-        var i = 0
-        while (i < accs.length) {
-          accs(i)._1.mergeFrom(pa(i)._1); accs(i)._2.mergeFrom(pa(i)._2)
-          accs(i)._3.mergeFrom(pa(i)._3); accs(i)._4.mergeFrom(pa(i)._4)
-          i += 1
-        }
-      }
+      val accs = freshQuads(cols)
+      partials.foreach { case (_, pn, pa) => n += pn; mergeQuads(accs, pa) }
       Some((n, accs))
     }
   }

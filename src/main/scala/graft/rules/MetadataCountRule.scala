@@ -185,7 +185,14 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       agg: Aggregate,
       snap: QbeastSnapshot,
       provable: Seq[Expression]): Option[LogicalPlan] = {
-    import MetadataCountRule.{foldFileFiltered, resolveExtreme}
+    import MetadataCountRule.{foldFileFiltered, freshQuads, mergeQuads, resolveExtreme}
+    // SAFETY screen before anything ships to executors: a subquery
+    // conjunct (ScalarSubquery/Exists/In — the rule runs before the
+    // predicate-subquery rewrite) embeds a whole LogicalPlan whose
+    // relations are NOT serializable — capturing it in the fold
+    // closure would fail the query at plan time instead of bailing to
+    // the scan (proveAll answers None for these shapes anyway)
+    if (provable.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))) return None
     // the distinct min/max columns, in a stable order the accumulator
     // array indexes by
     val colAttrs = agg.aggregateExpressions.flatMap {
@@ -199,8 +206,23 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val cols = colAttrs.map(a => (a.name,
       a.dataType == FloatType || a.dataType == DoubleType,
       a.dataType.isInstanceOf[StringType])).toArray
+    // fold the (small, driver-local) post-checkpoint tail FIRST: a
+    // predicate straddling a tail file, or an unprovable shape over
+    // the tail's stats, bails before the sidecar job ever launches
+    var n = 0L
+    val accs = freshQuads(cols)
+    snap.files.foreach { f =>
+      val dvCard = snap.dvs.get(f.path).map(_.cardinality).getOrElse(0L)
+      if (!foldFileFiltered(f.stats, f.elementCount, dvCard, provable,
+        cols, accs, n += _)) return None
+    }
+    // exprId-free key rendering (Expression.sql): re-running the same
+    // dashboard query mints fresh exprIds, and a toString key would
+    // miss the memo and re-launch the job every time
+    val condKey = provable.map(c =>
+      scala.util.Try(c.sql).getOrElse(c.toString)).mkString("&")
     val key = (System.identityHashCode(snap), snap.tablePath, snap.version,
-      provable.map(_.toString).mkString("&"), cols.map(_._1).mkString(","))
+      condKey, cols.map(_._1).mkString(","))
     val folded = MetadataCountRule.filteredMemo.get(key).getOrElse {
       val r = graft.log.DistributedMetadata.filteredFoldPartials(
         spark, snap, provable, cols)
@@ -210,26 +232,10 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     folded match {
       case None => None
       case Some((bulkN, bulkAccs)) =>
-        // post-checkpoint tail adds fold driver-side — the memoized
-        // bulk accumulators are never mutated (fresh ones merge them)
-        var n = bulkN
-        val accs = cols.map { case (_, floating, string) =>
-          (new MetadataCountRule.ExtremeAcc(isMin = true, floating, string),
-            new MetadataCountRule.ExtremeAcc(isMin = true, floating, string),
-            new MetadataCountRule.ExtremeAcc(isMin = false, floating, string),
-            new MetadataCountRule.ExtremeAcc(isMin = false, floating, string))
-        }
-        var i = 0
-        while (i < accs.length) {
-          accs(i)._1.mergeFrom(bulkAccs(i)._1); accs(i)._2.mergeFrom(bulkAccs(i)._2)
-          accs(i)._3.mergeFrom(bulkAccs(i)._3); accs(i)._4.mergeFrom(bulkAccs(i)._4)
-          i += 1
-        }
-        snap.files.foreach { f =>
-          val dvCard = snap.dvs.get(f.path).map(_.cardinality).getOrElse(0L)
-          if (!foldFileFiltered(f.stats, f.elementCount, dvCard, provable,
-            cols, accs, n += _)) return None
-        }
+        // the memoized bulk accumulators are never mutated (the tail
+        // accumulators merge them in)
+        n += bulkN
+        mergeQuads(accs, bulkAccs)
         val byName = cols.map(_._1).zipWithIndex.toMap
         val values = agg.aggregateExpressions.map {
           case Alias(ae: AggregateExpression, _) =>
@@ -597,6 +603,27 @@ object MetadataCountRule {
       i += 1
     }
     true
+  }
+
+  private[graft] type Quad = (ExtremeAcc, ExtremeAcc, ExtremeAcc, ExtremeAcc)
+
+  /** One (minWitness, minBound, maxWitness, maxBound) per requested
+   * column — the executor partial and driver merge shape. */
+  private[graft] def freshQuads(cols: Array[(String, Boolean, Boolean)]): Array[Quad] =
+    cols.map { case (_, floating, string) =>
+      (new ExtremeAcc(isMin = true, floating, string),
+        new ExtremeAcc(isMin = true, floating, string),
+        new ExtremeAcc(isMin = false, floating, string),
+        new ExtremeAcc(isMin = false, floating, string))
+    }
+
+  private[graft] def mergeQuads(into: Array[Quad], from: Array[Quad]): Unit = {
+    var i = 0
+    while (i < into.length) {
+      into(i)._1.mergeFrom(from(i)._1); into(i)._2.mergeFrom(from(i)._2)
+      into(i)._3.mergeFrom(from(i)._3); into(i)._4.mergeFrom(from(i)._4)
+      i += 1
+    }
   }
 
   /** The witness/bound dominance resolution shared by every fold site:

@@ -166,6 +166,15 @@ class DistributedMetadataSpec extends AnyFunSuite {
     assert(pscans.nonEmpty, "straddling predicate must bail to the scan")
     assert(partial.head().getLong(0) == 1900L)
 
+    // a SUBQUERY predicate (still a Filter expression at optimization
+    // time) embeds a LogicalPlan the fold closure could never
+    // serialize: it must bail to the scan — correct answer, no
+    // Task-not-serializable crash at plan time
+    spark.range(36000, 36500).toDF("cut").createOrReplaceTempView("dm_fold_cut")
+    val subq = df.filter("id > (SELECT max(cut) FROM dm_fold_cut)")
+      .agg(count(lit(1)).as("cnt"))
+    assert(subq.head().getLong(0) == 1501L, "subquery predicate answer")
+
     // a copy-on-write DELETE lands tail removes (masking sidecar rows)
     // + rewritten adds: the fold must track the overlay exactly
     QbeastTable.forPath(spark, dir).delete("id <= 15000")
