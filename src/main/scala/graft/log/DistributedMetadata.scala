@@ -25,12 +25,43 @@ import scala.collection.mutable
  */
 object DistributedMetadata {
 
+  // usable() is probed by the optimizer on EVERY global aggregate over
+  // a light-snapshot table, once per fixpoint iteration — memoize the
+  // sidecar exists() RPC per snapshot instance (same identity+path+
+  // version key discipline as the fold memos in MetadataCountRule) so
+  // plan-time cost is one filesystem round-trip per snapshot, not per
+  // optimizer pass. A pinned snapshot whose sidecar is vacuumed mid-
+  // lifetime would read a stale `true`, but every downstream job fails
+  // loudly on the missing file rather than mis-answering.
+  private val usableMemo = new graft.core.LruCache[(Int, String, Long), Boolean](256)
+
+  /** Cleared alongside the snapshot cache and fold memos
+   * ([[QbeastLog.invalidateCache]]) after out-of-band surgery. */
+  private[graft] def invalidateUsableMemo(): Unit = usableMemo.clear()
+
   /** Can `snap` be served by these jobs right now? (Light replay AND the
    * sidecar still on disk — vacuum never prunes the newest sidecar, but a
    * pinned old snapshot can outlive its own.) */
-  def usable(spark: SparkSession, snap: QbeastSnapshot): Boolean =
-    !snap.filesComplete && FileCheckpoint.exists(snap.tablePath,
-      spark.sparkContext.hadoopConfiguration, snap.checkpointVersion)
+  def usable(spark: SparkSession, snap: QbeastSnapshot): Boolean = {
+    if (snap.filesComplete) return false
+    val key = (System.identityHashCode(snap), snap.tablePath, snap.checkpointVersion)
+    usableMemo.get(key).getOrElse {
+      val v = FileCheckpoint.exists(snap.tablePath,
+        spark.sparkContext.hadoopConfiguration, snap.checkpointVersion)
+      usableMemo.put(key, v)
+      v
+    }
+  }
+
+  /** One broadcast of the dv-cardinality map per fold job — O(masked
+   * files) bytes fetched once per executor instead of re-serialized
+   * into every task's closure. Callers unpersist (non-blocking) after
+   * collecting; the fold results themselves are memoized per snapshot,
+   * so re-broadcast on a memo miss is the rare path. */
+  private def broadcastDvCards(
+      spark: SparkSession,
+      snap: QbeastSnapshot): org.apache.spark.broadcast.Broadcast[Map[String, Long]] =
+    spark.sparkContext.broadcast(snap.dvs.map { case (p, i) => p -> i.cardinality })
 
   /** Live sidecar rows at `snap`'s version (tail-touched paths masked),
    * optionally restricted to one revision. Pure executor-side filter;
@@ -138,10 +169,11 @@ object DistributedMetadata {
    * sides are witnesses, masked files and truncated string sides are
    * dominance bounds) and ships four accumulators; the driver merges
    * them and folds the tail. None = some file was undecidable
-   * (missing stats) — the caller bails to the scan. The dv map rides
-   * the closure: it is O(masked files) metadata, the same size class
-   * the mask rule broadcasts. Returns (minWitness, minBound,
-   * maxWitness, maxBound). */
+   * (missing stats) — the caller bails to the scan. The dv map is
+   * BROADCAST (fetched once per executor), not closure-captured: for a
+   * heavily dv-masked table it is O(masked files) bytes, which closure
+   * capture would re-serialize into every task. Returns (minWitness,
+   * minBound, maxWitness, maxBound). */
   def extremePartials(
       spark: SparkSession,
       snap: QbeastSnapshot,
@@ -152,26 +184,28 @@ object DistributedMetadata {
       graft.rules.MetadataCountRule.ExtremeAcc,
       graft.rules.MetadataCountRule.ExtremeAcc)] = {
     import graft.rules.MetadataCountRule.{ExtremeAcc, foldFileExtreme}
-    val dvCards: Map[String, Long] =
-      snap.dvs.map { case (p, i) => p -> i.cardinality }
-    val partials = liveRows(spark, snap, None).rdd.mapPartitions { it =>
-      var ok = true
-      val minW = new ExtremeAcc(isMin = true, floating, string)
-      val minB = new ExtremeAcc(isMin = true, floating, string)
-      val maxW = new ExtremeAcc(isMin = false, floating, string)
-      val maxB = new ExtremeAcc(isMin = false, floating, string)
-      // stop consuming the partition once a file is undecidable
-      while (ok && it.hasNext) {
-        val r = it.next()
-        val ec = r.blocks.iterator.map(_.elementCount).sum
-        val dvc = dvCards.getOrElse(r.path, 0L)
-        // the second call re-parses from the bounded JSON-keyed
-        // cache (FileStatsPruning.parse), not the raw string
-        ok = foldFileExtreme(r.stats, ec, dvc, column, isMin = true, minW, minB) &&
-          foldFileExtreme(r.stats, ec, dvc, column, isMin = false, maxW, maxB)
-      }
-      Iterator.single((ok, minW, minB, maxW, maxB))
-    }.collect()
+    val dvCardsBc = broadcastDvCards(spark, snap)
+    val partials = try {
+      liveRows(spark, snap, None).rdd.mapPartitions { it =>
+        var ok = true
+        val dvCards = dvCardsBc.value
+        val minW = new ExtremeAcc(isMin = true, floating, string)
+        val minB = new ExtremeAcc(isMin = true, floating, string)
+        val maxW = new ExtremeAcc(isMin = false, floating, string)
+        val maxB = new ExtremeAcc(isMin = false, floating, string)
+        // stop consuming the partition once a file is undecidable
+        while (ok && it.hasNext) {
+          val r = it.next()
+          val ec = r.blocks.iterator.map(_.elementCount).sum
+          val dvc = dvCards.getOrElse(r.path, 0L)
+          // the second call re-parses from the bounded JSON-keyed
+          // cache (FileStatsPruning.parse), not the raw string
+          ok = foldFileExtreme(r.stats, ec, dvc, column, isMin = true, minW, minB) &&
+            foldFileExtreme(r.stats, ec, dvc, column, isMin = false, maxW, maxB)
+        }
+        Iterator.single((ok, minW, minB, maxW, maxB))
+      }.collect()
+    } finally dvCardsBc.unpersist(blocking = false)
     if (partials.exists(!_._1)) None
     else {
       val minW = new ExtremeAcc(isMin = true, floating, string)
@@ -206,22 +240,24 @@ object DistributedMetadata {
       graft.rules.MetadataCountRule.ExtremeAcc,
       graft.rules.MetadataCountRule.ExtremeAcc)])] = {
     import graft.rules.MetadataCountRule.{foldFileFiltered, freshQuads, mergeQuads}
-    val dvCards: Map[String, Long] =
-      snap.dvs.map { case (p, i) => p -> i.cardinality }
-    val partials = liveRows(spark, snap, None).rdd.mapPartitions { it =>
-      var ok = true
-      var n = 0L
-      val accs = freshQuads(cols)
-      // stop consuming the partition the moment a file is undecidable
-      // — the remaining rows can no longer change the (failed) result
-      while (ok && it.hasNext) {
-        val r = it.next()
-        val ec = r.blocks.iterator.map(_.elementCount).sum
-        ok = foldFileFiltered(r.stats, ec, dvCards.getOrElse(r.path, 0L),
-          provable, cols, accs, n += _)
-      }
-      Iterator.single((ok, n, accs))
-    }.collect()
+    val dvCardsBc = broadcastDvCards(spark, snap)
+    val partials = try {
+      liveRows(spark, snap, None).rdd.mapPartitions { it =>
+        var ok = true
+        var n = 0L
+        val dvCards = dvCardsBc.value
+        val accs = freshQuads(cols)
+        // stop consuming the partition the moment a file is undecidable
+        // — the remaining rows can no longer change the (failed) result
+        while (ok && it.hasNext) {
+          val r = it.next()
+          val ec = r.blocks.iterator.map(_.elementCount).sum
+          ok = foldFileFiltered(r.stats, ec, dvCards.getOrElse(r.path, 0L),
+            provable, cols, accs, n += _)
+        }
+        Iterator.single((ok, n, accs))
+      }.collect()
+    } finally dvCardsBc.unpersist(blocking = false)
     if (partials.exists(!_._1)) None
     else {
       var n = 0L
@@ -264,6 +300,113 @@ object DistributedMetadata {
       val acc = new Array[Byte](HllDistinctAgg.M)
       partials.foreach(p => HllDistinctAgg.mergeRegisters(acc, p._2))
       Some(acc)
+    }
+  }
+
+  /** FILTERED twin of [[hllRegisters]] — the sidecar half of
+   * [[graft.table.QbeastTable.approxCountDistinct(column:String,where:String)*]].
+   * Each partition runs the tri-state per-file stats proof the
+   * filtered count/min/max fold uses
+   * ([[graft.rules.MetadataCountRule.proveFileForFold]]): TRUE-proved
+   * files contribute their whole register set, FALSE-proved files
+   * contribute nothing, and a single undecidable file (straddling
+   * predicate, missing/stale stats, missing registers) fails the whole
+   * fold. Callers pre-screen subquery conjuncts (PlanExpression is not
+   * serializable) and dv masks. Returns (registers,
+   * included-non-empty-file count) — the count lets the caller keep
+   * the "matched nothing ⇒ scan" contract; None = bail to the scan. */
+  def filteredHllRegisters(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      provable: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      column: String): Option[(Array[Byte], Long)] = {
+    import spark.implicits._
+    import graft.expressions.HllDistinctAgg
+    import graft.rules.MetadataCountRule.proveFileForFold
+    val partials = liveRows(spark, snap, None).mapPartitions { it =>
+      var ok = true
+      var included = 0L
+      val acc = new Array[Byte](HllDistinctAgg.M)
+      // stop consuming the partition once a file is undecidable
+      while (ok && it.hasNext) {
+        val r = it.next()
+        val ec = r.blocks.iterator.map(_.elementCount).sum
+        proveFileForFold(r.stats, ec, provable) match {
+          case 1 =>
+            r.stats.flatMap(graft.read.FileStatsPruning.parse)
+              .flatMap(_.hll.get(column)) match {
+              case Some(b) => HllDistinctAgg.mergeRegisters(acc, b); included += 1
+              case None => ok = false
+            }
+          case 0 => ()
+          case _ => ok = false
+        }
+      }
+      Iterator.single((ok, included, acc))
+    }.collect()
+    if (partials.exists(!_._1)) None
+    else {
+      val acc = new Array[Byte](HllDistinctAgg.M)
+      var included = 0L
+      partials.foreach { p =>
+        included += p._2
+        HllDistinctAgg.mergeRegisters(acc, p._3)
+      }
+      Some((acc, included))
+    }
+  }
+
+  /** FILTERED twin of [[kllState]] — the sidecar half of
+   * [[graft.table.QbeastTable.approxQuantile(column:String,qs:Seq[Double],where:String)*]].
+   * Same tri-state proof discipline as [[filteredHllRegisters]].
+   * Returns (serialized merged state — EMPTY when no TRUE-proved file
+   * held one, e.g. a predicate selecting only the tail —, included
+   * file count); None = bail to the scan (undecidable file or a
+   * TRUE-proved file missing its state). */
+  def filteredKllState(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      provable: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      column: String): Option[(Array[Byte], Long)] = {
+    import spark.implicits._
+    import graft.expressions.KllState
+    import graft.rules.MetadataCountRule.proveFileForFold
+    val partials = liveRows(spark, snap, None).mapPartitions { it =>
+      var ok = true
+      var included = 0L
+      var acc: KllState = null
+      while (ok && it.hasNext) {
+        val r = it.next()
+        val ec = r.blocks.iterator.map(_.elementCount).sum
+        proveFileForFold(r.stats, ec, provable) match {
+          case 1 =>
+            r.stats.flatMap(graft.read.FileStatsPruning.parse)
+              .flatMap(_.kll.get(column)) match {
+              case Some(b) =>
+                val st = KllState.deserialize(b)
+                if (acc == null) acc = st else acc.mergeIn(st)
+                included += 1
+              case None => ok = false
+            }
+          case 0 => ()
+          case _ => ok = false
+        }
+      }
+      Iterator.single(
+        (ok, included, if (acc == null) Array.empty[Byte] else acc.serialize()))
+    }.collect()
+    if (partials.exists(!_._1)) None
+    else {
+      var included = 0L
+      var acc: KllState = null
+      partials.foreach { case (_, inc, bytes) =>
+        included += inc
+        if (bytes.nonEmpty) {
+          val st = KllState.deserialize(bytes)
+          if (acc == null) acc = st else acc.mergeIn(st)
+        }
+      }
+      Some((if (acc == null) Array.empty[Byte] else acc.serialize(), included))
     }
   }
 

@@ -170,11 +170,17 @@ object QbeastLog extends org.apache.spark.internal.Logging {
   }
 
   /** Drop all cached snapshots (tests; or after out-of-band surgery).
-   * Also clears the metadata-fold memo, which keys on snapshot
-   * identity and must not outlive surgically rewritten logs. */
+   * Also clears the metadata-fold and sidecar-usable memos, which key
+   * on snapshot IDENTITY (plus path/version) and must not outlive
+   * surgically rewritten logs: an out-of-band rewrite that keeps the
+   * same version (e.g. editing a commit file in place) would otherwise
+   * keep serving the pre-surgery fold through the still-live snapshot
+   * instance — any same-version surgery path MUST route through here
+   * (spec-pinned in LogCheckpointSpec). */
   def invalidateCache(): Unit = {
     snapshotCache.clear()
     graft.rules.MetadataCountRule.invalidateFoldMemo()
+    DistributedMetadata.invalidateUsableMemo()
   }
 
   private def versionFile(tablePath: String, v: Long): Path =

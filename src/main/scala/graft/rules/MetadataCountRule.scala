@@ -569,6 +569,28 @@ object MetadataCountRule {
     target.fold(v)
   }
 
+  /** Tri-state per-file proof for the FILTERED SKETCH folds
+   * (approxQuantile/approxCountDistinct WHERE …), shared by the driver
+   * tail loop and the sidecar executor partials: 1 = every physical
+   * row matches (the file's whole HLL/KLL state belongs in the fold),
+   * 0 = no row matches (the state contributes nothing), -1 =
+   * undecidable (missing/stale stats or a straddling predicate — the
+   * caller bails the whole fold to the scan). Mirrors
+   * [[foldFileFiltered]]'s proof discipline, including the
+   * stats-vs-block-count exactness gate. */
+  private[graft] def proveFileForFold(
+      statsJson: Option[String],
+      elementCount: Long,
+      provable: Seq[Expression]): Int = {
+    if (elementCount <= 0L) return 0
+    val stats = statsJson.flatMap(FileStatsPruning.parse).getOrElse(return -1)
+    if (stats.numRecords != elementCount) return -1 // stale/odd stats
+    val proofs = provable.map(c => FileStatsPruning.proveAll(stats, c))
+    if (proofs.exists(_.contains(false))) 0
+    else if (proofs.forall(_.contains(true))) 1
+    else -1
+  }
+
   /** One file through the FILTERED fold (the single definition the
    * driver tail loop and the executor partials both run): prove the
    * conjunction from stats; FALSE-proved files contribute nothing,

@@ -229,58 +229,135 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * time-batched appends) this answers "p99 of latency WHERE day = X"
    * with zero data files read.
    *
-   * Scale note: classification runs driver-side over the materialized
-   * file list (the same shape the DML classifier uses), so unlike the
-   * unfiltered fold there is no sidecar-distributed path — at 1e5
-   * files that is ~0.5 s of driver work (KllScaleProbe); far beyond
-   * that, prefer the unfiltered fold or the scan.
+   * Scale note: sidecar-scale tables run the tri-state proofs AND the
+   * state fold in ONE Spark job over the parquet checkpoint
+   * ([[graft.log.DistributedMetadata.filteredKllState]]) — only
+   * per-partition state partials reach the driver, the same cliff
+   * removal the filtered count/min/max folds got; the (small)
+   * post-checkpoint tail folds driver-side first so an unprovable
+   * tail bails before the job launches.
    */
   def approxQuantile(
       column: String, qs: Seq[Double], where: String): Option[Seq[Double]] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must lie in [0,1], got $qs")
-    val s = snapshot // one snapshot: dv check, proofs and fold agree
+    val s0 = QbeastLog.lightSnapshot(tablePath, conf)
+    if (s0.dvs.nonEmpty) return None
+    val light = !s0.filesComplete && DistributedMetadata.usable(spark, s0)
+    // no usable sidecar on a light table: full replay, flat driver
+    // fold — re-checking masks on the SAME snapshot being folded
+    val s = if (s0.filesComplete || light) s0 else snapshot
     if (s.dvs.nonEmpty) return None
-    statsProvedFiles(s, where).flatMap { files =>
+    provableConjuncts(s, where).flatMap { provable =>
       val f = new KllFold
-      if (!f.fold(files, column)) None else f.quantiles(qs)
+      // the tail (or, when complete, the whole table) folds driver-side
+      val tailOk = foldFilesFiltered(s.files, provable, fl =>
+        fl.stats.flatMap(graft.read.FileStatsPruning.parse)
+          .flatMap(_.kll.get(column)) match {
+          case Some(b) =>
+            val st = graft.expressions.KllState.deserialize(b)
+            if (f.acc == null) f.acc = st else f.acc.mergeIn(st)
+            true
+          case None => false
+        }) >= 0L
+      if (!tailOk) None
+      else if (!light) f.quantiles(qs)
+      else DistributedMetadata.filteredKllState(spark, s, provable, column) match {
+        case Some((bytes, _)) =>
+          if (bytes.nonEmpty) {
+            val st = graft.expressions.KllState.deserialize(bytes)
+            if (f.acc == null) f.acc = st else f.acc.mergeIn(st)
+          }
+          f.quantiles(qs)
+        case None => None
+      }
     }
   }
 
   /** Filtered twin of [[approxCountDistinct]]: registers folded over
-   * only the TRUE-proved files (see the filtered [[approxQuantile]]);
-   * None when any file is undecidable, lacks registers, matches
-   * nothing, or the table carries deletion-vector masks. */
+   * only the TRUE-proved files (see the filtered [[approxQuantile]],
+   * including its sidecar-scale one-job path); None when any file is
+   * undecidable, lacks registers, matches nothing, or the table
+   * carries deletion-vector masks. */
   def approxCountDistinct(
       column: String, where: String): Option[QbeastTable.HllEstimate] = {
-    val s = snapshot // one snapshot: dv check, proofs and fold agree
+    val s0 = QbeastLog.lightSnapshot(tablePath, conf)
+    if (s0.dvs.nonEmpty) return None
+    val light = !s0.filesComplete && DistributedMetadata.usable(spark, s0)
+    val s = if (s0.filesComplete || light) s0 else snapshot
     if (s.dvs.nonEmpty) return None
-    statsProvedFiles(s, where).flatMap { files =>
+    provableConjuncts(s, where).flatMap { provable =>
       val acc = new Array[Byte](graft.expressions.HllDistinctAgg.M)
-      if (!foldHllRegisters(files, column, acc) ||
-        files.forall(_.elementCount == 0L)) None
-      else Some(hllEstimate(acc))
+      val tailInc = foldFilesFiltered(s.files, provable, fl =>
+        fl.stats.flatMap(graft.read.FileStatsPruning.parse)
+          .flatMap(_.hll.get(column)) match {
+          case Some(b) =>
+            graft.expressions.HllDistinctAgg.mergeRegisters(acc, b); true
+          case None => false
+        })
+      if (tailInc < 0L) None
+      else {
+        val bulkInc: Option[Long] =
+          if (!light) Some(0L)
+          else DistributedMetadata.filteredHllRegisters(spark, s, provable, column)
+            .map { case (regs, inc) =>
+              graft.expressions.HllDistinctAgg.mergeRegisters(acc, regs); inc
+            }
+        bulkInc match {
+          // "matched nothing" keeps answering None (scan instead) —
+          // the scan prunes every file and returns the true zero
+          case Some(b) if tailInc + b > 0L => Some(hllEstimate(acc))
+          case _ => None
+        }
+      }
     }
   }
 
-  /** The files PROVEN to match `where` on every row, iff every
-   * non-empty file decides one way or the other (the filtered-fold
-   * precondition). Routed through the same optimizer-constant-folded
-   * conjunct extraction and classification the metadata-only DELETE
-   * uses, including its `coalesce(cond, false)` null-semantics
-   * wrapper; subquery predicates rewrite to joins, which the
-   * purity check in [[optimizedUserConjuncts]] reports as
-   * unclassifiable → None. An unresolvable predicate (typo'd column,
-   * bad syntax) throws its AnalysisException to the caller — None
-   * means "metadata can't answer", never "the question was
-   * malformed". */
-  private def statsProvedFiles(
-      s: QbeastSnapshot, where: String): Option[Vector[IndexFile]] = {
+  /** The expanded provable conjuncts of `where` over `s`'s scan —
+   * the same optimizer-constant-folded extraction the metadata-only
+   * DELETE uses, including its `coalesce(cond, false)` null-semantics
+   * wrapper. None when the optimized predicate doesn't stay a pure
+   * Filter chain (subqueries rewrite to joins — see
+   * [[optimizedUserConjuncts]]) or still carries a plan-bearing
+   * expression (scalar subquery) the executor fold closures can't
+   * serialize. An unresolvable predicate (typo'd column, bad syntax)
+   * throws its AnalysisException to the caller — None means "metadata
+   * can't answer", never "the question was malformed". Plan-only: the
+   * relation is never executed, so a LIGHT snapshot (tail-only file
+   * list) extracts the same conjuncts a complete one would. */
+  private def provableConjuncts(s: QbeastSnapshot, where: String)
+      : Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = {
     val matched = coalesce(expr(where), lit(false))
-    classifyDeleteByStats(s, pinnedRead(s).filter(matched)) match {
-      case Some((provedTrue, undecided)) if undecided.isEmpty => Some(provedTrue)
-      case _ => None
+    val (hasScan, raw) = optimizedUserConjuncts(pinnedRead(s).filter(matched))
+    if (!hasScan) return None
+    val expanded = graft.read.DerivedPredicates.expand(raw)
+    if (expanded.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+      None
+    else Some(expanded)
+  }
+
+  /** Driver-side tri-state fold for the filtered sketch APIs
+   * ([[graft.rules.MetadataCountRule.proveFileForFold]] per file):
+   * TRUE-proved files hand their state to `take` (false = missing
+   * state → bail); FALSE-proved files are skipped. Returns the number
+   * of included files, or -1 to bail. */
+  private def foldFilesFiltered(
+      files: Iterable[graft.core.model.IndexFile],
+      provable: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      take: graft.core.model.IndexFile => Boolean): Long = {
+    var included = 0L
+    val it = files.iterator
+    while (it.hasNext) {
+      val f = it.next()
+      graft.rules.MetadataCountRule.proveFileForFold(
+        f.stats, f.elementCount, provable) match {
+        case 1 => if (take(f)) included += 1 else return -1L
+        case 0 => ()
+        case _ => return -1L
+      }
     }
+    included
   }
 
   /**
@@ -744,14 +821,18 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   }
 
   /** Pass 1 of every keyed mutation: the files of `s` holding at least
-   * one key present in `srcKeys`. (The file name is projected BELOW the
-   * join: input_file_name() is only defined directly over its scan.) */
+   * one key present in `srcKeys`. File identity rides
+   * `_metadata.file_path`, materialized at the scan — NOT
+   * input_file_name(), which evaluates to "" after any shuffle, so a
+   * sort-merge semi-join (large source, or broadcast disabled) would
+   * silently report zero affected files (spec-pinned in DmlSpec under
+   * autoBroadcastJoinThreshold=-1). */
   private def affectedByKeys(
       s: QbeastSnapshot,
       srcKeys: org.apache.spark.sql.DataFrame,
       keys: Seq[String]): Vector[IndexFile] = {
     val table = pinnedRead(s)
-      .select(input_file_name().as("__qbeast_file") +: keys.map(col): _*)
+      .select(col("_metadata.file_path").as("__qbeast_file") +: keys.map(col): _*)
     val names = table.join(srcKeys, keys, "left_semi")
       .select("__qbeast_file").distinct()
       .collect().map(r => new Path(r.getString(0)).getName).toSet
@@ -2740,7 +2821,9 @@ object QbeastTable {
     require(statuses.nonEmpty, s"no parquet files to convert at $path")
 
     val df = spark.read.parquet(path)
-    val countsByFile = df.groupBy(input_file_name().as("f")).count()
+    // _metadata.file_path, not input_file_name(): same value over a
+    // direct scan, but immune to ever being moved above a shuffle
+    val countsByFile = df.groupBy(col("_metadata.file_path").as("f")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     val root = CubeId.root(1)

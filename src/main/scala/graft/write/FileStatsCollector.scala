@@ -100,6 +100,9 @@ final class FileStatsCollector(schema: StructType) {
             if (v > longMax(j)) longMax(j) = v
           case _ =>
             val s = row.getUTF8String(i)
+            // once invalidated, the `else if (valid(j))` gate above
+            // skips this column entirely on every subsequent row — the
+            // nulled bounds can never be repopulated
             if (!s.isValid) { valid(j) = false; strMin(j) = null; strMax(j) = null }
             else if (s.numChars() > MaxStringLen) {
               // truncated bounds: the prefix is ≤ the value (lower

@@ -121,4 +121,57 @@ class LogCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("same-version surgery: invalidateCache retires the memoized folds") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("surgery-memo")
+    val conf = spark.sparkContext.hadoopConfiguration
+    (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a")
+      .option("cubeSize", "1000").save(dir)
+    spark.conf.set("spark.qbeast.metadata.sidecar.minFiles", "0")
+    try {
+      graft.table.QbeastTable.forPath(spark, dir).checkpoint()
+      // a post-checkpoint tail commit of exactly 10 rows in one file
+      (1 to 10).map(i => ((1000 + i).toLong, i * 1.0)).toDF("a", "b")
+        .write.format("qbeast").mode("append").save(dir)
+      def cnt(): Long = spark.read.format("qbeast").load(dir).count()
+      assert(cnt() == 60L) // populates the light snapshot + fold memos
+      // SURGERY the fingerprint cannot see: rewrite the newest commit
+      // in place, SAME byte length and SAME mtime, inflating the tail
+      // file's element count 10 → 90. This is exactly the out-of-band
+      // shape the identityHashCode-keyed fold memos cannot detect on
+      // their own — the contract (documented on invalidateCache) is
+      // that any same-version surgery path must route through it.
+      val logDir = new org.apache.hadoop.fs.Path(dir, "_qbeast_log")
+      val fs = logDir.getFileSystem(conf)
+      val newest = fs.listStatus(logDir).map(_.getPath)
+        .filter(p => p.getName.endsWith(".json") && !p.getName.contains("checkpoint"))
+        .maxBy(_.getName)
+      val st0 = fs.getFileStatus(newest)
+      val text = {
+        val in = fs.open(newest)
+        try {
+          val b = new Array[Byte](st0.getLen.toInt); in.readFully(b)
+          new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      }
+      assert(text.contains("\"elementCount\":10"), "fixture: tail commit holds 10 rows")
+      val out = fs.create(newest, true)
+      try out.write(text.replace("\"elementCount\":10", "\"elementCount\":90")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      new java.io.File(newest.toUri.getPath).setLastModified(st0.getModificationTime)
+      assert(fs.getFileStatus(newest).getLen == st0.getLen,
+        "fixture: surgery must preserve the byte length")
+      // undetectable by design: the cached snapshot instance (same
+      // fingerprint) keeps serving the memoized pre-surgery fold
+      assert(cnt() == 60L, "same-fingerprint surgery must hit the memo (by design)")
+      // ... until the mandated invalidateCache, which clears snapshot
+      // cache AND fold memos AND the sidecar-usable memo together
+      QbeastLog.invalidateCache()
+      assert(cnt() == 140L, "post-invalidate fold must see the surgically " +
+        "rewritten element counts (50 bulk + 90 tail)")
+    } finally spark.conf.unset("spark.qbeast.metadata.sidecar.minFiles")
+  }
+
 }

@@ -157,6 +157,53 @@ class MetadataKllSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered folds run through the checkpoint sidecar and overlay the tail") {
+    import spark.implicits._
+    val tbl = TestSpark.tmpDir("kll-meta-filtered-dist")
+    def write(lo: Int, hi: Int, mode: String): Unit =
+      (lo to hi).map(i => (i.toLong, i * 2.0)).toDF("a", "v")
+        .write.format("qbeast").option("columnsToIndex", "a")
+        .option("cubeSize", "50")
+        .option("kllColumns", "v").option("kllK", "1024")
+        .option("hllColumns", "a").mode(mode).save(tbl)
+    write(1, 100, "error")
+    write(101, 200, "append")
+    val t = table.QbeastTable.forPath(spark, tbl)
+    val flatQ = t.approxQuantile("v", Qs, "a <= 100").getOrElse(fail("flat bailed"))
+    val flatH = t.approxCountDistinct("a", "a <= 100").getOrElse(fail("flat bailed"))
+    // force a parquet sidecar so the filtered folds route the proofs +
+    // state merge through ONE Spark job over the checkpoint
+    // (DistributedMetadata.filteredKllState / filteredHllRegisters)
+    spark.conf.set("spark.qbeast.metadata.sidecar.minFiles", "0")
+    try {
+      t.checkpoint()
+      val light = graft.log.QbeastLog.lightSnapshot(
+        tbl, spark.sparkContext.hadoopConfiguration)
+      assert(!light.filesComplete &&
+        graft.log.DistributedMetadata.usable(spark, light),
+        "fixture must exercise the sidecar path")
+      assert(t.approxQuantile("v", Qs, "a <= 100").contains(flatQ),
+        "sidecar filtered fold must equal the flat fold")
+      val est = t.approxCountDistinct("a", "a <= 100").getOrElse(fail("bailed"))
+      assert(est == flatH, "sidecar filtered HLL fold must equal the flat fold")
+      // straddling predicate still bails at sidecar scale — the proofs
+      // run executor-side but keep the same tri-state discipline
+      assert(t.approxQuantile("v", Qs, "a <= 50").isEmpty)
+      assert(t.approxCountDistinct("a", "a <= 50").isEmpty)
+      // tail-only selection: every BULK file is FALSE-proved (zero
+      // states come back from the job) and the post-checkpoint tail
+      // supplies the whole answer driver-side
+      write(201, 300, "append")
+      assert(t.approxQuantile("v", Qs, "a > 200")
+        .contains(exactQuantiles((201 to 300).map(_ * 2.0), Qs)),
+        "tail-only filtered fold must answer from the tail states")
+      // spanning predicate: bulk job + tail overlay together
+      assert(t.approxQuantile("v", Qs, "a >= 1")
+        .contains(exactQuantiles((1 to 300).map(_ * 2.0), Qs)),
+        "bulk + tail filtered fold must equal the exact quantile")
+    } finally spark.conf.unset("spark.qbeast.metadata.sidecar.minFiles")
+  }
+
   test("non-numeric kllColumns are rejected at write") {
     val tbl = TestSpark.tmpDir("kll-meta-reject")
     val ex = intercept[IllegalArgumentException] {
