@@ -627,6 +627,47 @@ class DmlSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("keyed upsert and SQL MERGE survive a forced shuffle join (no broadcast)") {
+    import spark.implicits._
+    // affected-file discovery for keyed mutations is a left-semi join
+    // of the table against the source keys; with broadcast disabled it
+    // plans as a sort-merge join, where input_file_name() would be ""
+    // and discovery would silently match zero files. Pins that
+    // affectedByKeys rides _metadata.file_path (QbeastTable.scala:835).
+    val dir = TestSpark.tmpDir("dml-upsert-smj")
+    (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("a", "v")
+      .write.format("qbeast").option("columnsToIndex", "a")
+      .option("cubeSize", "50").save(dir)
+    val t = QbeastTable.forPath(spark, dir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val src = (1 to 10).map(i => (i.toLong, -1.0 * i)).toDF("a", "v")
+      val (replaced, written) = t.upsert(src, Seq("a"))
+      assert(replaced == 10L && written == 10L,
+        s"forced-SMJ upsert matched $replaced (want 10) — discovery no-opped")
+      val back = spark.read.format("qbeast").load(dir)
+      assert(back.count() == 200L)
+      assert(back.filter("v < 0").count() == 10L)
+      // SQL MERGE through the same shuffled-join discovery
+      spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+      spark.sql("DROP TABLE IF EXISTS qbeast_catalog.default.dml_smj_merge")
+      spark.sql(s"""CREATE TABLE qbeast_catalog.default.dml_smj_merge
+        (a BIGINT, v DOUBLE) USING qbeast
+        OPTIONS ('columnsToIndex'='a') LOCATION '$dir'""")
+      (11 to 20).map(i => (i.toLong, -2.0 * i)).toDF("a", "v")
+        .createOrReplaceTempView("dml_smj_merge_src")
+      spark.sql("""MERGE INTO qbeast_catalog.default.dml_smj_merge AS t
+        USING dml_smj_merge_src AS s ON t.a = s.a
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (a, v) VALUES (s.a, s.v)""")
+      val after = spark.read.format("qbeast").load(dir)
+      assert(after.count() == 200L)
+      assert(after.filter("a BETWEEN 11 AND 20 AND v = -2.0 * a").count() == 10L,
+        "forced-SMJ MERGE updated the wrong rows — discovery no-opped")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("SQL UPDATE with a subquery condition updates exactly the matching rows") {
     import spark.implicits._
     val dir = TestSpark.tmpDir("dml-subq-sqlupd")
