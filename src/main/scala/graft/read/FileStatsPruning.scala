@@ -334,12 +334,14 @@ object FileStatsPruning {
   }
 
   /** `g <cmp> v` with dir = 1 meaning g must be ABOVE v (mirrors
-   * [[proveCmp]]), proved from the calendar image's extremes. */
+   * [[proveCmp]]), proved from the calendar image's extremes. String
+   * literals dispatch to the date_format bound proof. */
   private def calCmp(
       s: Stats, g: Expression, v: Any, dir: Int, strict: Boolean): Option[Boolean] = {
     val lit: Int = v match {
       case i: java.lang.Integer => i.intValue()
       case l: java.lang.Long if l.longValue() == l.intValue() => l.intValue()
+      case us: UTF8String => return dateFormatCmp(s, g, us, dir, strict)
       case _ => return None
     }
     calendarImage(s, g).flatMap { case (colName, img) =>
@@ -353,6 +355,103 @@ object FileStatsPruning {
         val noneMatch = if (strict) co * dir <= 0 else co * dir < 0
         if (allMatch) Some(true) else if (noneMatch) Some(false) else None
       }
+    }
+  }
+
+  /** Tri-state proof for `date_format(col, fmt) <cmp> 'literal'` with
+   * dir = 1 meaning the output must be ABOVE the literal.
+   * [[DerivedPredicates]] gates these ranges off GLOBALLY because
+   * formatted strings sort chronologically only within 4-digit
+   * non-negative years (year ≥ 10000 prints "+10000-…", which sorts
+   * below every digit-led string; year ≤ 0 prints year-of-era forms) —
+   * but per FILE the min/max prove whether the hazard is reachable:
+   * when both bound dates sit in years [1, 9999], every output this
+   * file can produce is a fixed-width digit string whose UTF-8 order
+   * equals chronological order, so [fmt(min), fmt(max)] bounds the
+   * outputs and the usual inner/outer-extreme argument applies. Any
+   * file that CAN reach the unordered years yields None (kept /
+   * undecided), preserving the global gate's conservatism. */
+  private def dateFormatCmp(
+      s: Stats, g: Expression, lit: UTF8String, dir: Int, strict: Boolean): Option[Boolean] =
+    dateFormatBounds(s, g).flatMap { case (colName, loS, hiS) =>
+      s.nulls.get(colName).flatMap { nulls =>
+        val (inner, outer) = if (dir > 0) (loS, hiS) else (hiS, loS)
+        val ci = Integer.signum(UTF8String.fromString(inner).compareTo(lit))
+        val co = Integer.signum(UTF8String.fromString(outer).compareTo(lit))
+        val allMatch = (if (strict) ci * dir > 0 else ci * dir >= 0) && nulls == 0L
+        val noneMatch = if (strict) co * dir <= 0 else co * dir < 0
+        if (allMatch) Some(true) else if (noneMatch) Some(false) else None
+      }
+    }
+
+  /** (column name, fmt(min), fmt(max)) for the recognized date_format
+   * shapes over a DATE/TIMESTAMP column, valid ONLY when both bound
+   * dates land in years [1, 9999] (see [[dateFormatCmp]]); the three
+   * patterns are prefixes of the ISO date, built digit-exact without
+   * the formatter. None for unrecognized shapes, missing stats,
+   * unresolvable zones, or out-of-window years. */
+  private def dateFormatBounds(s: Stats, g: Expression): Option[(String, String, String)] = {
+    import java.time.LocalDate
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    g match {
+      case DateFormatClass(inner, Literal(fmt: UTF8String, _), tz) =>
+        val cut = fmt.toString match {
+          case "yyyy-MM-dd" => 10
+          case "yyyy-MM" => 7
+          case "yyyy" => 4
+          case _ => return None
+        }
+        def bigDec(m: Map[String, Any], col: String): Option[BigDecimal] =
+          m.get(col).collect { case b: BigDecimal => b }
+        def dateBounds(a: AttributeReference): Option[(String, LocalDate, LocalDate)] =
+          for {
+            mn <- bigDec(s.mins, a.name); mx <- bigDec(s.maxs, a.name)
+            lo <- scala.util.Try(LocalDate.ofEpochDay(mn.toLongExact)).toOption
+            hi <- scala.util.Try(LocalDate.ofEpochDay(mx.toLongExact)).toOption
+          } yield (a.name, lo, hi)
+        val range: Option[(String, LocalDate, LocalDate)] = inner match {
+          case a: AttributeReference if a.dataType == DateType => dateBounds(a)
+          // ts column: micros → local date in the format's zone
+          // (monotone), NTZ reads its wall clock directly
+          case a: AttributeReference
+              if a.dataType == TimestampType || a.dataType == TimestampNTZType =>
+            val toLocal: Long => LocalDate =
+              if (a.dataType == TimestampNTZType) { micros =>
+                java.time.LocalDateTime.ofEpochSecond(
+                  Math.floorDiv(micros, 1000000L),
+                  (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+                  java.time.ZoneOffset.UTC).toLocalDate
+              } else {
+                val zone = tz.flatMap(z => scala.util.Try(
+                  org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(z))
+                  .toOption).getOrElse(return None)
+                micros => java.time.Instant.ofEpochSecond(
+                  Math.floorDiv(micros, 1000000L),
+                  Math.floorMod(micros, 1000000L) * 1000L).atZone(zone).toLocalDate
+              }
+            for {
+              mn <- bigDec(s.mins, a.name); mx <- bigDec(s.maxs, a.name)
+              lo <- scala.util.Try(toLocal(mn.toLongExact)).toOption
+              hi <- scala.util.Try(toLocal(mx.toLongExact)).toOption
+            } yield (a.name, lo, hi)
+          // date column behind the analyzer's date→timestamp cast: cast
+          // zone and format zone must agree (both the session zone in
+          // analyzed plans) or start-of-day could shift the local date
+          case c: Cast if c.child.isInstanceOf[AttributeReference] &&
+              c.child.dataType == DateType &&
+              (c.dataType == TimestampNTZType || c.timeZoneId == tz) =>
+            dateBounds(c.child.asInstanceOf[AttributeReference])
+          case _ => None
+        }
+        range.flatMap { case (n, lo, hi) =>
+          if (lo.getYear < 1 || hi.getYear > 9999) None
+          else {
+            def iso(d: LocalDate): String =
+              f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
+            Some((n, iso(lo).substring(0, cut), iso(hi).substring(0, cut)))
+          }
+        }
+      case _ => None
     }
   }
 

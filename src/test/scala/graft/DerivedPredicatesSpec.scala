@@ -211,11 +211,20 @@ class DerivedPredicatesSpec extends AnyFunSuite {
       s"unix_timestamp(ts) < ${LocalDate.of(1995, 1, 1).toEpochDay * 86400L}",
       s"to_unix_timestamp(ts) >= ${LocalDate.of(1996, 1, 1).toEpochDay * 86400L}",
       s"unix_timestamp(dt) = ${LocalDate.of(1995, 3, 7).toEpochDay * 86400L}",
-      // date_format equality (pure bucket preimage; ranges are gated off)
+      // date_format equality (pure bucket preimage)
       "date_format(ts, 'yyyy-MM-dd') = '1995-03-07'",
       "date_format(ts, 'yyyy-MM') = '1996-06'",
       "date_format(dt, 'yyyy') = '1994'",
-      "date_format(ts, 'yyyy-MM-dd') IN ('1995-03-07', '1996-06-01')")
+      "date_format(ts, 'yyyy-MM-dd') IN ('1995-03-07', '1996-06-01')",
+      // date_format ranges: gated off in the global rewrite (output
+      // order diverges outside 4-digit years) but proved per FILE when
+      // its min/max dates sit in years [1, 9999] (FileStatsPruning
+      // .dateFormatCmp) — these year-clustered files all qualify
+      "date_format(ts, 'yyyy-MM-dd') >= '1996-01-01'",
+      "date_format(ts, 'yyyy-MM') <= '1994-06'",
+      "date_format(dt, 'yyyy') < '1995'",
+      "'1996' <= date_format(ts, 'yyyy')",
+      "date_format(dt, 'yyyy-MM-dd') > '1996-06-15'")
     val unselectiveButExact = Seq(
       "year(ts) IN (1995, 1996)",
       "year(ts) = 1995 OR year(ts) = 1994",
@@ -257,6 +266,48 @@ class DerivedPredicatesSpec extends AnyFunSuite {
     val none = filesRead(
       spark.sql("SELECT id FROM dp_t WHERE date_trunc('month', ts) = timestamp'1995-07-02 00:00:00'"))
     assert(none == 0L)
+  }
+
+  test("date_format ranges: year-10000 files stay unpruned, clean files still skip") {
+    // "+10000-01-01" sorts BELOW every digit-led string while sitting
+    // above them chronologically — a raw-range derivation would skip
+    // the year-10000 file for predicates its rows actually match. The
+    // per-file proof must bail (None) there and still prune the files
+    // whose min/max years sit inside [1, 9999].
+    val dir = TestSpark.tmpDir("derived-df-y10k")
+    writeYears(dir, Seq(1995, 10000), nulls = false)
+    val back = spark.read.format("qbeast").load(dir)
+    back.createOrReplaceTempView("dp_y10k")
+    val raw = back.select("id", "ts", "dt").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    val total = filesRead(back.select("id"))
+
+    val parity = Seq(
+      // matches ONLY the sign-prefixed year-10000 rows
+      "date_format(ts, 'yyyy-MM-dd') < '1000-01-01'",
+      // matches ONLY 1995 ("+10000" < "1995" as strings)
+      "date_format(ts, 'yyyy') >= '1995'",
+      "date_format(dt, 'yyyy-MM') <= '1995-12'")
+    parity.foreach { p =>
+      val got = spark.sql(s"SELECT id, ts, dt FROM dp_y10k WHERE $p").collect()
+        .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+      val want = {
+        import spark.implicits._
+        raw.toSeq.map { case (i, t, dd) =>
+          (i.asInstanceOf[Long],
+            t.asInstanceOf[java.sql.Timestamp], dd.asInstanceOf[java.sql.Date])
+        }.toDF("id", "ts", "dt").where(p).collect()
+          .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+      }
+      assert(got == want, s"row mismatch for: $p")
+      assert(got.nonEmpty, s"fixture bug — no rows matched: $p")
+    }
+
+    // the 1995 files prove none-match and skip; the year-10000 files
+    // cannot prove either way and are kept
+    val n = filesRead(
+      spark.sql("SELECT id FROM dp_y10k WHERE date_format(ts, 'yyyy-MM-dd') >= '9999-01-01'"))
+    assert(n > 0L && n < total, s"want partial pruning, read $n of $total files")
   }
 
   test("calendar image proofs prune when file spans stay within the bucket grain") {
