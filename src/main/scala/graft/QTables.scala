@@ -405,6 +405,40 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** A customer table whose column name was RELEASED by an
+   * overwriteSchema overwrite and RE-ADDED at a different type by a
+   * later mergeSchema append — the only legal drop-then-re-add path
+   * (ALTER TABLE RENAME/DROP COLUMN are refused because per-file
+   * stats/sketches are keyed by column name). The overwrite replaces
+   * the file set in the same commit, so no live file carries stats for
+   * `tag` recorded under the old DOUBLE type. */
+  def qbeastReAdded(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "customer_readded")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val c = raw(spark, sfDir, "customer")
+        // v0: tag is DOUBLE, wide numeric stats
+        c.filter("c_custkey % 2 = 1")
+          .selectExpr("c_custkey", "c_acctbal AS tag")
+          .write.format("qbeast").option("columnsToIndex", "c_custkey")
+          .option("cubeSize", "2000").save(path)
+        // v1: schema replaced — the name is released, v0 files removed
+        c.filter("c_custkey % 2 = 0").selectExpr("c_custkey", "c_name")
+          .write.format("qbeast").mode("overwrite")
+          .option("overwriteSchema", "true")
+          .option("columnsToIndex", "c_custkey")
+          .option("cubeSize", "2000").save(path)
+        // v2: tag re-added as STRING via metadata-only evolution
+        c.filter("c_custkey % 4 = 1")
+          .selectExpr("c_custkey", "c_name", "c_mktsegment AS tag")
+          .write.format("qbeast").mode("append")
+          .option("mergeSchema", "true").save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** A qbeast table adopted from plain parquet files (staging revision
    * only, no rewrite) — reference ConvertToQbeast semantics. */
   def qbeastConverted(spark: SparkSession, sfDir: String): DataFrame = {

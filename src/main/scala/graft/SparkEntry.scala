@@ -1357,6 +1357,19 @@ object SparkEntry {
       require(scans.isEmpty, "sidecar-scale fold should collapse to metadata")
       df
     }),
+    "q104_schema_readd" -> ((s, dir) => {
+      // a name released by overwriteSchema and re-added at a DIFFERENT
+      // type (DOUBLE → STRING): string filters over the re-added column
+      // ride the stats path — a stale numeric bound surviving under the
+      // name would mis-prune and corrupt the hash (QTables.qbeastReAdded;
+      // ALTER-side refusals spec-pinned in SchemaEvolutionSpec)
+      val df = QTables.qbeastReAdded(s, dir)
+      require(df.schema("tag").dataType ==
+        org.apache.spark.sql.types.StringType, "tag must re-add as STRING")
+      df.filter(col("tag").isNull || col("tag") >= "B")
+        .groupBy(coalesce(col("tag"), lit("none")).as("tag"))
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("s"))
+    }),
     "q65_distributed_meta" -> ((s, dir) => {
       // metadata-scale read: parquet sidecar checkpoint + executor-side
       // block pruning (light log replay; the post-checkpoint append tail
@@ -2919,6 +2932,14 @@ object SparkEntry {
     "q65_distributed_meta" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_extendedprice < 20000 GROUP BY 1""".stripMargin,
+    "q104_schema_readd" ->
+      """SELECT coalesce(CASE WHEN c_custkey % 4 = 1 THEN c_mktsegment END, 'none') AS tag,
+        |  count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS s
+        |FROM customer
+        |WHERE (c_custkey % 2 = 0 OR c_custkey % 4 = 1)
+        |  AND (CASE WHEN c_custkey % 4 = 1 THEN c_mktsegment END IS NULL
+        |       OR CASE WHEN c_custkey % 4 = 1 THEN c_mktsegment END >= 'B')
+        |GROUP BY 1""".stripMargin,
     "q103_metadata_fold_sidecar" ->
       """SELECT count(*) AS cnt,
         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,

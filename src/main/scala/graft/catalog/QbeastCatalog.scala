@@ -237,21 +237,38 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
       case Some(d) =>
         val current = d.loadTable(ident)
         val currentProps = current.properties().asScala.toMap
-        if (isQbeastProvider(currentProps))
+        if (isQbeastProvider(currentProps)) {
+          val adds = QbeastCatalog.screenColumnChanges(changes)
           currentProps.get(TableCatalog.PROP_LOCATION).orElse(currentProps.get("location"))
-            .foreach(loc => persistToLog(stripScheme(loc)))
+            .foreach { loc =>
+              if (adds.nonEmpty)
+                QbeastCatalog.persistAddColumnsToLog(stripScheme(loc), adds)
+              persistToLog(stripScheme(loc))
+            }
+        }
         d.alterTable(ident, changes: _*)
       case None =>
         val table = QbeastCatalog.standaloneTables.getOrElse(key(ident),
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
             Seq(catalogName) ++ ident.namespace() :+ ident.name()))
+        val adds = QbeastCatalog.screenColumnChanges(changes)
+        if (adds.nonEmpty)
+          QbeastCatalog.persistAddColumnsToLog(table.location, adds)
         persistToLog(table.location)
         val props = changes.foldLeft(table.tableProperties) {
           case (acc, set: TableChange.SetProperty) => acc + (set.property() -> set.value())
           case (acc, rm: TableChange.RemoveProperty) => acc - rm.property()
           case (acc, _) => acc
         }
-        val updated = table.copy(tableProperties = props)
+        // the cached record's declared schema must track the log, or
+        // loadTable would keep serving the pre-ALTER column set
+        val newFields = adds.map(a => org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true))
+        val updated = table.copy(
+          tableProperties = props,
+          declaredSchema =
+            if (table.declaredSchema.isEmpty) table.declaredSchema
+            else StructType(table.declaredSchema.fields ++ newFields))
         QbeastCatalog.standaloneTables.put(key(ident), updated)
         QbeastCatalog.saveStore(warehouse)
         updated
@@ -478,6 +495,80 @@ object QbeastCatalog {
         graft.log.QbeastLog.commit(location, conf, snapshot.version,
           Seq(graft.log.MetaDataAction(schemaJson, config)),
           operation = "SET TBLPROPERTIES")
+        committed = true
+      } catch {
+        case e: graft.log.ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > 3) throw e
+      }
+    }
+  }
+
+  /** Screens ALTER TABLE column changes for qbeast tables: top-level
+   * nullable ADD COLUMNS pass through (metadata-only, old files read
+   * the column as null); everything else — RENAME/DROP COLUMN, type or
+   * nullability changes — is REFUSED rather than silently ignored or
+   * half-applied. Refusal is deliberate, not a TODO: per-file column
+   * stats, blooms and HLL/KLL sketch states are keyed by column NAME in
+   * the stats JSON, so a rename or a drop-then-re-add under this
+   * catalog would leave old files carrying stale stats for the new
+   * column's name, silently mis-pruning scans and mis-folding metadata
+   * aggregates. The supported way to reshape a schema is
+   * overwriteSchema=true, which replaces the file set in the same
+   * commit (stale stats die with their files — spec-pinned in
+   * SchemaEvolutionSpec). */
+  private[catalog] def screenColumnChanges(
+      changes: Seq[TableChange]): Seq[TableChange.AddColumn] = {
+    val cols = changes.collect { case c: TableChange.ColumnChange => c }
+    val rejected = cols.filterNot(_.isInstanceOf[TableChange.AddColumn])
+    if (rejected.nonEmpty) {
+      val what = rejected.map(_.getClass.getSimpleName).distinct.mkString(", ")
+      throw new UnsupportedOperationException(
+        s"qbeast tables do not support ALTER TABLE column changes: $what. " +
+          "Per-file stats/sketches are keyed by column name, so renames and " +
+          "drops would leave stale stats behind. Add nullable columns with " +
+          "ALTER TABLE ... ADD COLUMNS or mergeSchema=true on append; replace " +
+          "the schema (and the data) with overwriteSchema=true on overwrite.")
+    }
+    val adds = cols.collect { case a: TableChange.AddColumn => a }
+    adds.foreach { a =>
+      if (a.fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"qbeast ADD COLUMNS supports top-level columns only, got " +
+            a.fieldNames().mkString("."))
+      if (!a.isNullable)
+        throw new UnsupportedOperationException(
+          s"qbeast ADD COLUMNS requires nullable columns (existing files " +
+            s"cannot provide values for ${a.fieldNames()(0)})")
+    }
+    adds
+  }
+
+  /** Persist ALTER TABLE ADD COLUMNS as one metadata-only schema commit
+   * (same shape as a mergeSchema append's widening — no file is
+   * rewritten; old parquet yields nulls through the by-name scan). */
+  private[catalog] def persistAddColumnsToLog(
+      location: String, adds: Seq[TableChange.AddColumn]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val snapshot = graft.log.QbeastLog.snapshot(location, conf)
+      if (snapshot.isEmpty) return // nothing written yet; catalog entry rules
+      val schema = snapshot.schema.getOrElse(return)
+      adds.foreach { a =>
+        val n = a.fieldNames()(0)
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+          throw new IllegalArgumentException(s"column $n already exists")
+      }
+      val widened = StructType(schema.fields ++ adds.map(a =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)))
+      try {
+        graft.log.QbeastLog.commit(location, conf, snapshot.version,
+          Seq(graft.log.MetaDataAction(widened.json, snapshot.configuration)),
+          operation = "ADD COLUMNS")
         committed = true
       } catch {
         case e: graft.log.ConcurrentCommitException =>

@@ -211,4 +211,106 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(back.filter(col("a") === 8L).select("b").as[Double].head() === 8.0)
   }
 
+  // ---- ALTER TABLE column changes vs name-keyed stats ----------------------
+
+  private def catalogTable(name: String): String = {
+    spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    val dir = TestSpark.tmpDir(s"evolve-$name")
+    spark.sql(s"DROP TABLE IF EXISTS qbeast_catalog.default.$name")
+    spark.sql(s"""CREATE TABLE qbeast_catalog.default.$name
+      (a BIGINT, b DOUBLE) USING qbeast
+      OPTIONS ('columnsToIndex'='a') LOCATION '$dir'""")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("a", "b")
+      .writeTo(s"qbeast_catalog.default.$name").append()
+    dir
+  }
+
+  test("ALTER TABLE RENAME/DROP/ALTER COLUMN are refused, never silently ignored") {
+    // per-file stats, blooms and HLL/KLL states are keyed by column
+    // NAME: a rename or drop-then-re-add would leave old files carrying
+    // stale stats under the new column's name, silently mis-pruning.
+    // The catalog must REFUSE, not half-apply or no-op.
+    catalogTable("alt_refuse")
+    def refuse(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(e.getMessage.contains("column changes") ||
+        e.getMessage.contains("RENAME") || e.getMessage.contains("not supported"),
+        s"wrong error for: $sql — ${e.getMessage}")
+    }
+    refuse("ALTER TABLE qbeast_catalog.default.alt_refuse RENAME COLUMN b TO z")
+    refuse("ALTER TABLE qbeast_catalog.default.alt_refuse DROP COLUMN b")
+    refuse("ALTER TABLE qbeast_catalog.default.alt_refuse ALTER COLUMN b TYPE STRING")
+    // schema and data untouched after every refusal
+    val back = spark.sql("SELECT * FROM qbeast_catalog.default.alt_refuse")
+    assert(back.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(back.count() == 2L)
+  }
+
+  test("ALTER TABLE ADD COLUMNS is a metadata-only schema commit") {
+    val dir = catalogTable("alt_add")
+    val before = graft.table.QbeastTable.forPath(spark, dir).snapshot
+    spark.sql("ALTER TABLE qbeast_catalog.default.alt_add ADD COLUMNS (c STRING)")
+    val after = graft.table.QbeastTable.forPath(spark, dir).snapshot
+    // no file rewritten — same physical set, one metadata commit
+    assert(after.files.map(_.path).toSet == before.files.map(_.path).toSet)
+    assert(after.version == before.version + 1)
+    val back = spark.sql("SELECT * FROM qbeast_catalog.default.alt_add")
+    assert(back.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(back.filter(col("c").isNull).count() == 2L)
+    // new appends can fill the column; filters on it stay correct
+    Seq((3L, 3.0, "x")).toDF("a", "b", "c")
+      .writeTo("qbeast_catalog.default.alt_add").append()
+    assert(spark.sql(
+      "SELECT a FROM qbeast_catalog.default.alt_add WHERE c = 'x'")
+      .as[Long].collect().toSeq == Seq(3L))
+    // duplicate / nested / non-nullable adds are refused
+    val dup = intercept[Exception] {
+      spark.sql("ALTER TABLE qbeast_catalog.default.alt_add ADD COLUMNS (b DOUBLE)")
+    }
+    assert(dup.getMessage.toLowerCase.contains("exists"))
+  }
+
+  test("a released name re-added at a different type never consults stale stats") {
+    // the one legal way to release a column name is overwriteSchema,
+    // which replaces the FILE SET in the same commit — so when a later
+    // mergeSchema append re-adds the name at a different type, no live
+    // file carries stats recorded under the old type
+    val dir = TestSpark.tmpDir("evolve-readd")
+    // v0: tag is DOUBLE with wide numeric stats
+    (1 to 100).map(i => (i.toLong, i * 100.0)).toDF("k", "tag")
+      .write.format("qbeast").option("columnsToIndex", "k")
+      .option("cubeSize", "30").save(dir)
+    // v1: schema replaced, name released, all v0 files removed
+    (1 to 100).map(i => (i.toLong, s"name-$i")).toDF("k", "c")
+      .write.format("qbeast").mode("overwrite")
+      .option("overwriteSchema", "true")
+      .option("columnsToIndex", "k").option("cubeSize", "30").save(dir)
+    val v1 = graft.table.QbeastTable.forPath(spark, dir).snapshot
+    // v2: tag re-added as STRING
+    (101 to 150).map(i => (i.toLong, s"name-$i", if (i % 2 == 0) "even" else "odd"))
+      .toDF("k", "c", "tag")
+      .write.format("qbeast").mode("append")
+      .option("mergeSchema", "true").save(dir)
+    val t = graft.table.QbeastTable.forPath(spark, dir)
+    // no live file predates the overwrite (stale DOUBLE stats are gone)
+    val v1Paths = v1.files.map(_.path).toSet
+    assert(t.snapshot.files.map(_.path).toSet.intersect(v1Paths) == v1Paths,
+      "v1 files must survive") // v1 files carry c, no tag — fine
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.schema("tag").dataType.typeName == "string")
+    // string-comparison filters over the re-added column: the v1 files
+    // have NO tag stats (kept conservatively), the v2 files have STRING
+    // stats — a stale DOUBLE bound under the name would mis-prune
+    assert(back.filter(col("tag") >= "odd").count() == 25L)
+    assert(back.filter(col("tag") === "even").count() == 25L)
+    assert(back.filter(col("tag").isNull).count() == 100L)
+    // DML classification through the same stats path
+    assert(t.delete("tag = 'odd'") == 25L)
+    assert(spark.read.format("qbeast").load(dir).count() == 125L)
+    // time travel still reads v0 with its own schema and files
+    val v0 = spark.read.format("qbeast").option("versionAsOf", "0").load(dir)
+    assert(v0.schema("tag").dataType.typeName == "double")
+    assert(v0.count() == 100L)
+  }
+
 }
