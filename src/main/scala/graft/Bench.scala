@@ -53,7 +53,11 @@ object Bench {
     Seq("events_streamed", "documents_stream_pipeline", "events_cdc",
       "events_foreachbatch", "events_stream_source", "events_stream_source_sink",
       "events_stream_ratelimit", "events_stream_ratelimit_sink",
-      "orders_cdf_stream", "orders_cdf_stream_sink")
+      "orders_cdf_stream", "orders_cdf_stream_sink",
+      // s20's dv twin was missing here through r13, so its minima
+      // measured a cached-sink read (0.38 s at sf1) while s19 honestly
+      // rebuilt (19.4 s) — expect s20 to rise to s19's class in r14
+      "orders_dvcdf_stream", "orders_dvcdf_stream_sink")
 
   private def deleteDir(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -177,6 +177,11 @@ object QbeastLog extends org.apache.spark.internal.Logging {
    * keep serving the pre-surgery fold through the still-live snapshot
    * instance — any same-version surgery path MUST route through here
    * (spec-pinned in LogCheckpointSpec). */
+  /** Snapshot-cache misses (full JSON replays) since JVM start —
+   * read by tools/CdfStreamProbe to attribute streaming floors; no
+   * production consumer. */
+  private[graft] val uncachedReplays = new java.util.concurrent.atomic.AtomicLong()
+
   def invalidateCache(): Unit = {
     snapshotCache.clear()
     graft.rules.MetadataCountRule.invalidateFoldMemo()
@@ -253,6 +258,7 @@ object QbeastLog extends org.apache.spark.internal.Logging {
       case Some(cached) if cached.fingerprint == fingerprint => return cached.snap
       case _ =>
     }
+    uncachedReplays.incrementAndGet() // probe-only visibility (cache misses)
     val snap = replaySnapshotUncached(tablePath, conf, fs, dir, asOfVersion, withFiles)
     // time-traveled snapshots are unbounded in key space (one per
     // asOf) and rarely re-read — caching them would evict the hot

@@ -105,9 +105,12 @@ object KllScaleProbe {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._
     val d = AttributeReference("d", DateType)()
-    val yearFilter = EqualTo(Year(d), Literal(1996))
-    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay.toInt
-    val hi = java.time.LocalDate.of(1997, 1, 1).toEpochDay.toInt
+    // a year the fixture's date ramp actually reaches at any N: the
+    // middle file's year
+    val midYear = java.time.LocalDate.ofEpochDay(9131L + (numFiles / 2) / 64).getYear
+    val yearFilter = EqualTo(Year(d), Literal(midYear))
+    val lo = java.time.LocalDate.of(midYear, 1, 1).toEpochDay.toInt
+    val hi = java.time.LocalDate.of(midYear + 1, 1, 1).toEpochDay.toInt
     val rawFilter = And(GreaterThanOrEqual(d, Literal(lo, DateType)),
       LessThan(d, Literal(hi, DateType)))
     def time3(f: => Int): (Double, Int) = {
@@ -121,8 +124,50 @@ object KllScaleProbe {
     }
     val (ty, ny) = time3(graft.read.QbeastFileIndex.selectFiles(snap, Seq(yearFilter)).size)
     val (tr, nr) = time3(graft.read.QbeastFileIndex.selectFiles(snap, Seq(rawFilter)).size)
-    println(f"[kllscale] selectFiles(year(d)=1996): $ny%d files in $ty%.2f s; " +
+    println(f"[kllscale] selectFiles(year(d)=$midYear%d): $ny%d files in $ty%.2f s; " +
       f"raw range: $nr%d files in $tr%.2f s (parity=${ny == nr}%b)")
+
+    // ---- sidecar-scale SKETCH folds (round-14 probe): the filtered
+    // approxQuantile path runs tri-state stats proofs AND the KLL state
+    // merge as ONE Spark job over the parquet checkpoint; only
+    // per-partition state partials reach the driver ----
+    val fsys = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val tcp = System.nanoTime()
+    graft.log.QbeastLog.writeCheckpoint(fsys, snap)
+    graft.log.FileCheckpoint.write(spark, snap)
+    println(f"[kllscale] checkpoint + parquet sidecar write: " +
+      f"${(System.nanoTime() - tcp) / 1e9}%.1f s")
+    graft.log.QbeastLog.invalidateCache()
+    spark.conf.set("spark.qbeast.metadata.sidecar.minFiles", "0")
+    val tls = System.nanoTime()
+    val lightSnap = graft.log.QbeastLog.lightSnapshot(dir, conf)
+    println(f"[kllscale] light snapshot: complete=${lightSnap.filesComplete}%b " +
+      f"load=${(System.nanoTime() - tls) / 1e9}%.2f s tail=${lightSnap.files.size}%d")
+    val tws = System.nanoTime()
+    graft.log.QbeastLog.lightSnapshot(dir, conf)
+    println(f"[kllscale] light snapshot warm hit: ${(System.nanoTime() - tws) / 1e6}%.2f ms")
+
+    def timeQ(label: String)(body: => Option[Seq[Double]]): Unit = {
+      var bq = Double.MaxValue
+      var res: Option[Seq[Double]] = None
+      for (_ <- 1 to 3) {
+        val tq = System.nanoTime()
+        res = body
+        bq = math.min(bq, (System.nanoTime() - tq) / 1e9)
+      }
+      println(f"[kllscale] $label%s: best=$bq%.2f s -> " +
+        res.map(_.map(v => f"$v%.0f").mkString(",")).getOrElse("BAILED"))
+    }
+    // unfiltered sidecar fold (DistributedMetadata.kllState, one job)
+    timeQ("sidecar approxQuantile(v, p50/p99)")(
+      t.approxQuantile("v", Seq(0.5, 0.99)))
+    // filtered folds: a 40%-of-files range cut and a derived-date cut —
+    // every file proves TRUE or FALSE, so the fold must answer
+    val cut = (total * 0.4).toLong - (total * 0.4).toLong % rowsPerFile
+    timeQ(s"sidecar filtered approxQuantile(v | a < $cut)")(
+      t.approxQuantile("v", Seq(0.5, 0.99), s"a < $cut"))
+    timeQ(s"sidecar filtered approxQuantile(v | year(d) = $midYear)")(
+      t.approxQuantile("v", Seq(0.5), s"year(d) = $midYear"))
 
     spark.stop()
   }
