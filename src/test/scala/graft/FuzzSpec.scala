@@ -272,6 +272,10 @@ class FuzzSpec extends AnyFunSuite {
       var model = localize(init.toDF("k", "v", "s", "d"))
       var nextKey = 161L
       val t = QbeastTable.forPath(spark, dir)
+      // (version, expected content) after every op — replayed through
+      // versionAsOf at sequence end, so time travel is fuzzed across
+      // random DML histories too
+      val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
 
       def dmlPred(): String = {
         // 1-in-4: an IN-subquery over a freshly registered keys view —
@@ -344,6 +348,18 @@ class FuzzSpec extends AnyFunSuite {
             s"${got.size} rows vs ${want.size} expected; " +
             s"missing=$missing extra=$extra")
         }
+        history += ((t.snapshot.version, want))
+      }
+      // time travel across the random history: up to 4 random recorded
+      // versions must read back exactly the state the model had there
+      val picks = new Random(seed + 999).shuffle(history.toSeq).take(4)
+      picks.foreach { case (v, want) =>
+        val got = canon(spark.read.format("qbeast")
+          .option("versionAsOf", v.toString).load(dir))
+        if (got != want)
+          fail(s"[seq=$seq seed=$seed dv=$dv versionAsOf=$v]: " +
+            s"${got.size} rows vs ${want.size} expected; " +
+            s"missing=${want.diff(got).take(3)} extra=${got.diff(want).take(3)}")
       }
     }
   }
