@@ -728,12 +728,18 @@ object QTables {
         spark.conf.set("spark.qbeast.autoCompact.minNumFiles", "6")
         try {
           val orders = raw(spark, sfDir, "orders")
-          // 10 slivers against a 5000-row rollup target: the smalls are
-          // genuinely sub-rollup, so the progress guard lets the fold
-          // run (10 files → ~data/5000 outputs)
+          // the slivers must be genuinely SUB-ROLLUP at every scale
+          // factor or compactSmallFiles' progress guard (correctly)
+          // refuses to fold files already at their natural size — so
+          // the rollup target scales WITH the sliver (4x), instead of a
+          // fixed 5000 that a bigger sf's slivers outgrow (this exact
+          // fixture deterministically stopped firing at sf0.1+ when the
+          // guard landed, masked by the /tmp cache until a fresh build)
+          val sliver = math.max(1L, orders.count() / 10)
+          val cube = math.max(5000L, sliver * 4)
           (0 until 10).foreach { i =>
             val w = orders.filter(col("o_orderkey") % 10 === i)
-              .write.format("qbeast").option("cubeSize", "5000")
+              .write.format("qbeast").option("cubeSize", cube.toString)
             (if (i == 0)
               w.option("columnsToIndex", "o_orderkey,o_totalprice")
                 .option("autoCompact", "true")
@@ -1552,7 +1558,9 @@ object QTables {
   /** Bump when the log/layout format changes so stale caches from a
    * previous build round are never replayed by newer code.
    * v3: per-file column stats (data skipping) recorded at write. */
-  val CacheFormatVersion = 4
+  // v5: orders_autocompact recipe changed (sliver-scaled cube target) —
+  // cached v4 tables may carry a compaction-never-fired history
+  val CacheFormatVersion = 5
 
   /** Documents indexed with per-file HLL register stats on text/source
    * — the metadata-only approx-distinct fixture (q93). Small cubes so

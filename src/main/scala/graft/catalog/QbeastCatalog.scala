@@ -261,14 +261,15 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
           case (acc, _) => acc
         }
         // the cached record's declared schema must track the log, or
-        // loadTable would keep serving the pre-ALTER column set
-        val newFields = adds.map(a => org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType(), nullable = true))
+        // loadTable would keep serving the pre-ALTER column set; the
+        // same-type idempotency / type-conflict screen applies here too
+        // (a never-written table has no log to catch it)
         val updated = table.copy(
           tableProperties = props,
           declaredSchema =
             if (table.declaredSchema.isEmpty) table.declaredSchema
-            else StructType(table.declaredSchema.fields ++ newFields))
+            else StructType(table.declaredSchema.fields ++
+              QbeastCatalog.newFieldsFor(table.declaredSchema, adds)))
         QbeastCatalog.standaloneTables.put(key(ident), updated)
         QbeastCatalog.saveStore(warehouse)
         updated
@@ -517,10 +518,14 @@ object QbeastCatalog {
    * overwriteSchema=true, which replaces the file set in the same
    * commit (stale stats die with their files — spec-pinned in
    * SchemaEvolutionSpec). */
-  private[catalog] def screenColumnChanges(
+  private[graft] def screenColumnChanges(
       changes: Seq[TableChange]): Seq[TableChange.AddColumn] = {
     val cols = changes.collect { case c: TableChange.ColumnChange => c }
-    val rejected = cols.filterNot(_.isInstanceOf[TableChange.AddColumn])
+    val rejected = cols.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] ||
+        // comments are metadata-only and touch no name-keyed state —
+        // the delegate applies them; the standalone store ignores them
+        c.isInstanceOf[TableChange.UpdateColumnComment])
     if (rejected.nonEmpty) {
       val what = rejected.map(_.getClass.getSimpleName).distinct.mkString(", ")
       throw new UnsupportedOperationException(
@@ -541,13 +546,37 @@ object QbeastCatalog {
           s"qbeast ADD COLUMNS requires nullable columns (existing files " +
             s"cannot provide values for ${a.fieldNames()(0)})")
     }
+    // in-batch duplicates would commit a corrupt duplicate-column schema
+    val dup = adds.groupBy(_.fieldNames()(0).toLowerCase(java.util.Locale.ROOT))
+      .collectFirst { case (_, as) if as.size > 1 => as.head.fieldNames()(0) }
+    dup.foreach(n => throw new IllegalArgumentException(
+      s"duplicate column $n in ADD COLUMNS"))
     adds
   }
+
+  /** The fields `adds` would append to `existing`: an add whose name is
+   * already present with the SAME type is dropped (a retried ALTER —
+   * e.g. the log committed but the delegate catalog then failed — must
+   * converge, not wedge on "already exists"); a different type is a
+   * real conflict and throws. */
+  private[graft] def newFieldsFor(
+      existing: StructType,
+      adds: Seq[TableChange.AddColumn]): Seq[org.apache.spark.sql.types.StructField] =
+    adds.flatMap { a =>
+      val n = a.fieldNames()(0)
+      existing.fields.find(_.name.equalsIgnoreCase(n)) match {
+        case Some(f) if f.dataType == a.dataType() => None
+        case Some(f) => throw new IllegalArgumentException(
+          s"column $n already exists with type ${f.dataType.simpleString}")
+        case None => Some(org.apache.spark.sql.types.StructField(
+          n, a.dataType(), nullable = true))
+      }
+    }
 
   /** Persist ALTER TABLE ADD COLUMNS as one metadata-only schema commit
    * (same shape as a mergeSchema append's widening — no file is
    * rewritten; old parquet yields nulls through the by-name scan). */
-  private[catalog] def persistAddColumnsToLog(
+  private[graft] def persistAddColumnsToLog(
       location: String, adds: Seq[TableChange.AddColumn]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
@@ -557,14 +586,9 @@ object QbeastCatalog {
       val snapshot = graft.log.QbeastLog.snapshot(location, conf)
       if (snapshot.isEmpty) return // nothing written yet; catalog entry rules
       val schema = snapshot.schema.getOrElse(return)
-      adds.foreach { a =>
-        val n = a.fieldNames()(0)
-        if (schema.fieldNames.exists(_.equalsIgnoreCase(n)))
-          throw new IllegalArgumentException(s"column $n already exists")
-      }
-      val widened = StructType(schema.fields ++ adds.map(a =>
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType(), nullable = true)))
+      val fields = newFieldsFor(schema, adds)
+      if (fields.isEmpty) return // retried ALTER: already applied
+      val widened = StructType(schema.fields ++ fields)
       try {
         graft.log.QbeastLog.commit(location, conf, snapshot.version,
           Seq(graft.log.MetaDataAction(widened.json, snapshot.configuration)),

@@ -41,9 +41,16 @@ object DistributedMetadata {
 
   /** Can `snap` be served by these jobs right now? (Light replay AND the
    * sidecar still on disk — vacuum never prunes the newest sidecar, but a
-   * pinned old snapshot can outlive its own.) */
+   * pinned old snapshot can outlive its own.) Honors the read path's
+   * `spark.qbeast.metadata.distributed` = "false" opt-out: this is the
+   * chokepoint every metadata fold / sketch job routes through, so the
+   * one gate keeps "no executor-side metadata jobs" true across count,
+   * min/max, HLL and KLL paths (they fall back to full replay + driver
+   * fold). */
   def usable(spark: SparkSession, snap: QbeastSnapshot): Boolean = {
     if (snap.filesComplete) return false
+    if (spark.conf.getOption("spark.qbeast.metadata.distributed").contains("false"))
+      return false
     val key = (System.identityHashCode(snap), snap.tablePath, snap.checkpointVersion)
     usableMemo.get(key).getOrElse {
       val v = FileCheckpoint.exists(snap.tablePath,
@@ -320,40 +327,17 @@ object DistributedMetadata {
       snap: QbeastSnapshot,
       provable: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       column: String): Option[(Array[Byte], Long)] = {
-    import spark.implicits._
     import graft.expressions.HllDistinctAgg
-    import graft.rules.MetadataCountRule.proveFileForFold
-    val partials = liveRows(spark, snap, None).mapPartitions { it =>
-      var ok = true
-      var included = 0L
-      val acc = new Array[Byte](HllDistinctAgg.M)
-      // stop consuming the partition once a file is undecidable
-      while (ok && it.hasNext) {
-        val r = it.next()
-        val ec = r.blocks.iterator.map(_.elementCount).sum
-        proveFileForFold(r.stats, ec, provable) match {
-          case 1 =>
-            r.stats.flatMap(graft.read.FileStatsPruning.parse)
-              .flatMap(_.hll.get(column)) match {
-              case Some(b) => HllDistinctAgg.mergeRegisters(acc, b); included += 1
-              case None => ok = false
-            }
-          case 0 => ()
-          case _ => ok = false
-        }
-      }
-      Iterator.single((ok, included, acc))
-    }.collect()
-    if (partials.exists(!_._1)) None
-    else {
-      val acc = new Array[Byte](HllDistinctAgg.M)
-      var included = 0L
-      partials.foreach { p =>
-        included += p._2
-        HllDistinctAgg.mergeRegisters(acc, p._3)
-      }
-      Some((acc, included))
-    }
+    filteredSketchFold(spark, snap, provable,
+      extract = _.hll.get(column),
+      // HLL registers: the empty state is M zero bytes; merging IS the
+      // byte-wise max, identical for file states and partials
+      empty = Array.empty[Byte],
+      absorb = (acc: Array[Byte], b: Array[Byte]) => {
+        val a = if (acc.isEmpty) new Array[Byte](HllDistinctAgg.M) else acc
+        HllDistinctAgg.mergeRegisters(a, b)
+        a
+      })
   }
 
   /** FILTERED twin of [[kllState]] — the sidecar half of
@@ -368,45 +352,71 @@ object DistributedMetadata {
       snap: QbeastSnapshot,
       provable: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       column: String): Option[(Array[Byte], Long)] = {
-    import spark.implicits._
     import graft.expressions.KllState
+    filteredSketchFold(spark, snap, provable,
+      extract = _.kll.get(column),
+      empty = Array.empty[Byte],
+      // KLL: partials and file states share one serialized form, so the
+      // partition fold and the driver merge go through the same absorb
+      absorb = (acc: Array[Byte], b: Array[Byte]) => {
+        if (acc.isEmpty) b
+        else {
+          val st = KllState.deserialize(acc)
+          st.mergeIn(KllState.deserialize(b))
+          st.serialize()
+        }
+      })
+  }
+
+  /** The ONE tri-state filtered sketch fold both sketch kinds share
+   * (review finding r14: four hand-kept copies of this loop would
+   * drift): each partition classifies every file with
+   * [[graft.rules.MetadataCountRule.proveFileForFold]] — TRUE-proved
+   * files have their serialized state extracted and absorbed,
+   * FALSE-proved files contribute nothing, any undecidable file fails
+   * the fold — and emits one (ok, included, state) partial; the driver
+   * absorbs the partials through the SAME `absorb`. `empty` is the
+   * identity state (also returned when no TRUE-proved file held one). */
+  private def filteredSketchFold(
+      spark: SparkSession,
+      snap: QbeastSnapshot,
+      provable: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      extract: graft.read.FileStatsPruning.Stats => Option[Array[Byte]],
+      empty: Array[Byte],
+      absorb: (Array[Byte], Array[Byte]) => Array[Byte])
+      : Option[(Array[Byte], Long)] = {
+    import spark.implicits._
     import graft.rules.MetadataCountRule.proveFileForFold
     val partials = liveRows(spark, snap, None).mapPartitions { it =>
       var ok = true
       var included = 0L
-      var acc: KllState = null
+      var acc = empty
+      // stop consuming the partition once a file is undecidable
       while (ok && it.hasNext) {
         val r = it.next()
         val ec = r.blocks.iterator.map(_.elementCount).sum
         proveFileForFold(r.stats, ec, provable) match {
           case 1 =>
             r.stats.flatMap(graft.read.FileStatsPruning.parse)
-              .flatMap(_.kll.get(column)) match {
-              case Some(b) =>
-                val st = KllState.deserialize(b)
-                if (acc == null) acc = st else acc.mergeIn(st)
-                included += 1
+              .flatMap(extract) match {
+              case Some(b) => acc = absorb(acc, b); included += 1
               case None => ok = false
             }
           case 0 => ()
           case _ => ok = false
         }
       }
-      Iterator.single(
-        (ok, included, if (acc == null) Array.empty[Byte] else acc.serialize()))
+      Iterator.single((ok, included, acc))
     }.collect()
     if (partials.exists(!_._1)) None
     else {
       var included = 0L
-      var acc: KllState = null
+      var acc = empty
       partials.foreach { case (_, inc, bytes) =>
         included += inc
-        if (bytes.nonEmpty) {
-          val st = KllState.deserialize(bytes)
-          if (acc == null) acc = st else acc.mergeIn(st)
-        }
+        if (bytes.nonEmpty) acc = absorb(acc, bytes)
       }
-      Some((if (acc == null) Array.empty[Byte] else acc.serialize(), included))
+      Some((acc, included))
     }
   }
 

@@ -169,6 +169,11 @@ object QbeastLog extends org.apache.spark.internal.Logging {
     s"$lastV:$lastLen:$lastMod:cp$lastCp:$cpLen:$cpMod"
   }
 
+  /** Snapshot-cache misses (full JSON replays) since JVM start —
+   * read by tools/CdfStreamProbe to attribute streaming floors; no
+   * production consumer. */
+  private[graft] val uncachedReplays = new java.util.concurrent.atomic.AtomicLong()
+
   /** Drop all cached snapshots (tests; or after out-of-band surgery).
    * Also clears the metadata-fold and sidecar-usable memos, which key
    * on snapshot IDENTITY (plus path/version) and must not outlive
@@ -177,11 +182,6 @@ object QbeastLog extends org.apache.spark.internal.Logging {
    * keep serving the pre-surgery fold through the still-live snapshot
    * instance — any same-version surgery path MUST route through here
    * (spec-pinned in LogCheckpointSpec). */
-  /** Snapshot-cache misses (full JSON replays) since JVM start —
-   * read by tools/CdfStreamProbe to attribute streaming floors; no
-   * production consumer. */
-  private[graft] val uncachedReplays = new java.util.concurrent.atomic.AtomicLong()
-
   def invalidateCache(): Unit = {
     snapshotCache.clear()
     graft.rules.MetadataCountRule.invalidateFoldMemo()

@@ -301,7 +301,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           if (!light) Some(0L)
           else DistributedMetadata.filteredHllRegisters(spark, s, provable, column)
             .map { case (regs, inc) =>
-              graft.expressions.HllDistinctAgg.mergeRegisters(acc, regs); inc
+              // regs is EMPTY (not M zero bytes) when no bulk file was
+              // TRUE-proved — nothing to merge
+              if (regs.nonEmpty)
+                graft.expressions.HllDistinctAgg.mergeRegisters(acc, regs)
+              inc
             }
         bulkInc match {
           // "matched nothing" keeps answering None (scan instead) —
@@ -2832,7 +2836,16 @@ object QbeastTable {
       // match on "/name": a bare-name suffix match would let
       // "11.parquet" claim "1.parquet"'s count
       val n = countsByFile.find { case (k, _) => k.endsWith("/" + st.getPath.getName) }
-        .map(_._2).getOrElse(0L)
+        .map(_._2).getOrElse {
+          // a 0-row file legitimately produces no groupBy row — but a
+          // MATCHING failure (URI-encoded names the suffix test misses)
+          // must fail loudly, not convert with elementCount=0: every
+          // metadata count and sketch fold downstream trusts this number
+          if (spark.read.parquet(st.getPath.toString).isEmpty) 0L
+          else throw new IllegalStateException(
+            s"convert: could not match row count for ${st.getPath} " +
+              s"(non-empty file missing from the _metadata.file_path keys)")
+        }
       IndexFile(
         path = st.getPath.getName,
         size = st.getLen,

@@ -51,6 +51,10 @@ object CdfStreamProbe {
     phase("v0 overwrite (indexed write)")(write("o_orderkey % 10 < 5", "overwrite"))
     val t = graft.table.QbeastTable.forPath(spark, tableDir)
 
+    // ONE checkpoint shared by both drains, like the benched fixture:
+    // drain2 must RESUME from drain1's offsets (v1..v3 only), not
+    // reprocess v0 — a fresh dir per drain would overstate restart cost
+    val ckpt = graft.ops.Streaming.fastCheckpointDir()
     def drain(tag: String): Unit = {
       val replays0 = graft.log.QbeastLog.uncachedReplays.get()
       val t0 = System.nanoTime()
@@ -58,7 +62,7 @@ object CdfStreamProbe {
         .option("readChangeFeed", "true").option("startingVersion", "0")
         .load(tableDir)
         .writeStream.format("parquet")
-        .option("checkpointLocation", graft.ops.Streaming.fastCheckpointDir())
+        .option("checkpointLocation", ckpt)
         .option("path", sinkDir)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       try q.awaitTermination()

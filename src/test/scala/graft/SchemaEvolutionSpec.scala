@@ -263,11 +263,30 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT a FROM qbeast_catalog.default.alt_add WHERE c = 'x'")
       .as[Long].collect().toSeq == Seq(3L))
-    // duplicate / nested / non-nullable adds are refused
+    // re-adding an existing name is refused (Spark's analyzer or our
+    // type-conflict screen, whichever sees it first)
     val dup = intercept[Exception] {
-      spark.sql("ALTER TABLE qbeast_catalog.default.alt_add ADD COLUMNS (b DOUBLE)")
+      spark.sql("ALTER TABLE qbeast_catalog.default.alt_add ADD COLUMNS (b STRING)")
     }
-    assert(dup.getMessage.toLowerCase.contains("exists"))
+    assert(dup.getMessage.toLowerCase.contains("exist"))
+    // the log-side widening is IDEMPOTENT for a same-type retry: the
+    // delegate-failure replay path (log committed, catalog didn't) must
+    // converge instead of wedging on "already exists"
+    val t2 = graft.table.QbeastTable.forPath(spark, dir)
+    val vBefore = t2.snapshot.version
+    graft.catalog.QbeastCatalog.persistAddColumnsToLog(dir, Seq(
+      org.apache.spark.sql.connector.catalog.TableChange
+        .addColumn(Array("c"), org.apache.spark.sql.types.StringType)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableChange.AddColumn]))
+    assert(t2.snapshot.version == vBefore, "same-type retry must be a no-op")
+    // a different type under the same name is a real conflict
+    val clash = intercept[IllegalArgumentException] {
+      graft.catalog.QbeastCatalog.persistAddColumnsToLog(dir, Seq(
+        org.apache.spark.sql.connector.catalog.TableChange
+          .addColumn(Array("c"), org.apache.spark.sql.types.LongType)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableChange.AddColumn]))
+    }
+    assert(clash.getMessage.contains("already exists with type"))
   }
 
   test("a released name re-added at a different type never consults stale stats") {
