@@ -218,10 +218,18 @@ class FuzzSpec extends AnyFunSuite {
         fail(s"$clue: ${got.size} rows vs ${want.size} expected; " +
           s"missing=$missing extra=$extra")
       }
-      // count(*) goes through the metadata filtered-fold rewrite — its
-      // tri-state proofs and bail logic must agree with ground truth
-      val gotCnt = spark.sql(s"SELECT count(*) FROM fuzz_q WHERE $p").head().getLong(0)
-      assert(gotCnt == want.size.toLong, s"$clue: count $gotCnt vs ${want.size}")
+      // count(*)/min/max go through the metadata filtered-fold rewrite —
+      // its tri-state proofs and bail logic must agree with ground truth
+      // on every aggregate shape it can answer
+      val gotAgg = spark.sql(
+        s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx FROM fuzz_q WHERE $p").head()
+      assert(gotAgg.getLong(0) == want.size.toLong,
+        s"$clue: count ${gotAgg.getLong(0)} vs ${want.size}")
+      val wantMin = if (want.isEmpty) null else java.lang.Long.valueOf(want.head)
+      val wantMax = if (want.isEmpty) null else java.lang.Long.valueOf(want.last)
+      assert(Option(gotAgg.get(1)).orNull == wantMin &&
+        Option(gotAgg.get(2)).orNull == wantMax,
+        s"$clue: min/max ${gotAgg.get(1)}/${gotAgg.get(2)} vs $wantMin/$wantMax")
       i += 1
     }
   }
