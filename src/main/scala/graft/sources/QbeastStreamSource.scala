@@ -668,10 +668,20 @@ class QbeastStreamSource(
               }
               val df = spark.read.schema(tableSchema).parquet(absolute: _*)
               val newProbe = dvs.probeCol(tablePath, newM, hadoopConf)
-              val newly =
-                if (oldM.isEmpty) df.filter(newProbe)
-                else df.filter(newProbe && !dvs.probeCol(tablePath, oldM, hadoopConf))
-              newly.withColumn("_change_type", lit("delete"))
+              if (oldM.isEmpty) {
+                df.filter(newProbe).withColumn("_change_type", lit("delete"))
+              } else {
+                // a RESTORE can reset a vector to an earlier, SMALLER
+                // one: the newly unmasked rows are resurrected content
+                // and feed as inserts (ordinary DML only grows a
+                // vector, so the insert side is empty there) — batch
+                // changes() parity
+                val oldProbe = dvs.probeCol(tablePath, oldM, hadoopConf)
+                df.filter(newProbe && !oldProbe)
+                  .withColumn("_change_type", lit("delete"))
+                  .union(df.filter(oldProbe && !newProbe)
+                    .withColumn("_change_type", lit("insert")))
+              }
             case "s" =>
               // snapshot-phase files: inserts as of the ANCHOR, masked
               // by the vectors AT the anchor version (v IS the anchor —
@@ -695,9 +705,37 @@ class QbeastStreamSource(
               // A LATER mask streams as its own commit's vector delta —
               // masking with any later state (the old maskInitial bug)
               // double-drops those rows from the insert feed.
-              graft.write.DeletionVectors.maskWith(tablePath,
-                commitDvByName(v), hadoopConf,
-                spark.read.schema(tableSchema).parquet(absolute: _*))
+              // A file re-added WHILE LIVE AND MASKED at v-1 is a
+              // RESTORE clearing its deletion vector: only its
+              // previously-masked rows are new content (the still-live
+              // rows would double downstream) — batch changes() parity.
+              val oldM = dvByNameAt(v - 1)
+              val (reAdds, freshAdds) = list.partition(u =>
+                oldM.contains(new Path(u._3).getName))
+              val fresh =
+                if (freshAdds.isEmpty) None
+                else Some(graft.write.DeletionVectors.maskWith(tablePath,
+                  commitDvByName(v), hadoopConf,
+                  spark.read.schema(tableSchema).parquet(
+                    freshAdds.map(u => new Path(tablePath, u._3).toString): _*)))
+              val resurrected =
+                if (reAdds.isEmpty) None
+                else {
+                  val names = reAdds.map(u => new Path(u._3).getName).toSet
+                  val masks = oldM.filter { case (n, _) => names.contains(n) }
+                  masks.values.foreach { dvp =>
+                    if (!fs.exists(new Path(tablePath, dvp)))
+                      throw new IllegalStateException(
+                        s"qbeast streaming CDF: deletion vector $dvp of commit " +
+                          s"$v was vacuumed — this range cannot be replayed; " +
+                          "restart the stream from a later startingVersion")
+                  }
+                  Some(spark.read.schema(tableSchema).parquet(
+                    reAdds.map(u => new Path(tablePath, u._3).toString): _*)
+                    .filter(graft.write.DeletionVectors
+                      .probeCol(tablePath, masks, hadoopConf)))
+                }
+              (fresh.toSeq ++ resurrected.toSeq).reduce(_.union(_))
                 .withColumn("_change_type", lit("insert"))
           }
           tagged.withColumn("_commit_version", lit(v)).select(outCols: _*)

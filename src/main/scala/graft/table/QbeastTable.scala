@@ -2249,12 +2249,15 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           "was vacuumed — this range cannot be replayed")
       dvPath
     }
-    // rows a commit's dv actions newly mask: (new vector) minus the
-    // PRE-commit vector state — shared by the dv-only and dv+adds
-    // (merge-on-read UPDATE) replay branches
-    def dvDeltaRows(
+    // rows a commit's dv actions newly MASK (delete feed: new vector
+    // minus the pre-commit state) and newly UNMASK (insert feed: old
+    // minus new — ordinary DML only grows a file's vector, but a
+    // RESTORE can set it back to an earlier, SMALLER one, resurrecting
+    // rows) — shared by the dv-only, dv+adds (merge-on-read UPDATE)
+    // and restore replay branches
+    def dvDeltaFrames(
         dvActs: Seq[graft.log.DvFileAction],
-        v: Long): org.apache.spark.sql.DataFrame = {
+        v: Long): Seq[org.apache.spark.sql.DataFrame] = {
       val dvs = graft.write.DeletionVectors
       val newByName = dvActs.map(d =>
         new Path(d.path).getName -> requireDv(d.dvPath, v)).toMap
@@ -2262,10 +2265,31 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       oldByName.values.foreach(requireDv(_, v))
       val df = readFiles(dvActs.map(_.path))
       val newProbe = dvs.probeCol(tablePath, newByName, conf)
-      val newlyMasked =
-        if (oldByName.isEmpty) df.filter(newProbe)
-        else df.filter(newProbe && !dvs.probeCol(tablePath, oldByName, conf))
-      newlyMasked.select(schema.fieldNames.map(col): _*)
+      val cols = schema.fieldNames.map(col)
+      if (oldByName.isEmpty)
+        Seq(tagged(df.filter(newProbe).select(cols: _*), "delete", v))
+      else {
+        val oldProbe = dvs.probeCol(tablePath, oldByName, conf)
+        Seq(
+          tagged(df.filter(newProbe && !oldProbe).select(cols: _*), "delete", v),
+          tagged(df.filter(oldProbe && !newProbe).select(cols: _*), "insert", v))
+      }
+    }
+    // files RE-ADDED while carrying a running mask (restore clears a
+    // file's dv by re-adding it): only their previously-MASKED rows are
+    // new content, so their live-before image joins the before side —
+    // otherwise the whole file would feed as inserts and every
+    // still-live row would double in the replay
+    def liveBeforeOfMaskedReAdds(
+        dataAdds: Seq[String], v: Long): Option[org.apache.spark.sql.DataFrame] = {
+      val masks = dvNamesFor(dataAdds)
+      if (masks.isEmpty) None
+      else {
+        val masked = dataAdds.filter(p => masks.contains(new Path(p).getName))
+        masks.values.foreach(requireDv(_, v))
+        Some(graft.write.DeletionVectors
+          .maskWith(tablePath, masks, conf, readFiles(masked)))
+      }
     }
 
     val frames = (startVersion to end).flatMap { v =>
@@ -2301,19 +2325,23 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           .withColumn("_commit_version", lit(v))))
       }
       else if (dvActs.nonEmpty && dataAdds.isEmpty && removes.isEmpty) {
-        // dv-only commit without a change file: the newly masked rows
-        // are the delete feed — (new vector) minus (old vector)
-        emit(Seq(tagged(dvDeltaRows(dvActs, v), "delete", v)))
+        // dv-only commit without a change file: newly masked rows feed
+        // as deletes; newly unmasked (restore) as inserts
+        emit(dvDeltaFrames(dvActs, v))
       }
       else if (anyAdds && dataAdds.isEmpty) emit(Nil) // optimize/compact: content unchanged
       else if (dataAdds.isEmpty && removes.isEmpty) emit(Nil) // metadata-only commit
       else if (removes.isEmpty) {
         // adds — possibly WITH dv actions in the same commit (a
         // merge-on-read UPDATE run without CDF): the new images are
-        // the insert feed, the freshly masked rows the delete feed
-        val inserts = tagged(readFiles(dataAdds), "insert", v)
+        // the insert feed, the freshly masked rows the delete feed;
+        // dv-clearing re-adds (restore) insert only their resurrected rows
+        val after = readFiles(dataAdds)
+        val inserts = tagged(
+          liveBeforeOfMaskedReAdds(dataAdds, v)
+            .map(after.exceptAll(_)).getOrElse(after), "insert", v)
         if (dvActs.isEmpty) emit(Seq(inserts))
-        else emit(Seq(inserts, tagged(dvDeltaRows(dvActs, v), "delete", v)))
+        else emit(inserts +: dvDeltaFrames(dvActs, v))
       }
       else {
         // the before-image excludes rows the removed files' vectors had
@@ -2323,17 +2351,20 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         // delete feed via the vector delta
         val maskNames = dvNamesFor(removes)
         maskNames.values.foreach(requireDv(_, v))
-        val before = graft.write.DeletionVectors
+        val removesBefore = graft.write.DeletionVectors
           .maskWith(tablePath, maskNames, conf, readFiles(removes))
-        val dvDeletes =
-          if (dvActs.isEmpty) Nil
-          else Seq(tagged(dvDeltaRows(dvActs, v), "delete", v))
-        if (dataAdds.isEmpty) emit(tagged(before, "delete", v) +: dvDeletes)
+        val dvDeltas =
+          if (dvActs.isEmpty) Nil else dvDeltaFrames(dvActs, v)
+        if (dataAdds.isEmpty) emit(tagged(removesBefore, "delete", v) +: dvDeltas)
         else {
+          // a restore can remove, re-add (dv clear) and resurrect in ONE
+          // commit — masked re-adds' live-before rows join the before side
+          val before = liveBeforeOfMaskedReAdds(dataAdds, v)
+            .map(removesBefore.unionByName(_)).getOrElse(removesBefore)
           val after = readFiles(dataAdds)
           emit(Seq(
             tagged(after.exceptAll(before), "insert", v),
-            tagged(before.exceptAll(after), "delete", v)) ++ dvDeletes)
+            tagged(before.exceptAll(after), "delete", v)) ++ dvDeltas)
         }
       }
     }

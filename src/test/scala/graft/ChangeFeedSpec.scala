@@ -167,4 +167,65 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(feedCounts(spark.read.parquet(out2)) == Map(
       (0L, "insert") -> 25L, (1L, "delete") -> 25L))
   }
+
+  test("restore on a dv table replays exactly: clear-by-re-add and vector shrink") {
+    // shrunk from a FuzzSpec find (seq=5, seed=628085270): RESTORE
+    // clears a file's deletion vector by RE-ADDING it — the feed must
+    // insert only the RESURRECTED rows, not the whole file (still-live
+    // rows would double in any downstream replay); and a restore that
+    // resets a vector to an earlier, SMALLER one must emit inserts for
+    // the newly unmasked rows (ordinary DML only ever grows a vector,
+    // so only restore hits this direction).
+    val tbl = TestSpark.tmpDir("cdf-dv-restore")
+    (0L until 100L).map(i => (i, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a")
+      .option("cubeSize", "200") // ONE file: the mask and re-add hit it
+      .option("deletionVectors", "true").save(tbl) // v0
+    val t = table.QbeastTable.forPath(spark, tbl)
+    assert(t.delete("a < 10") == 10L) // v1: dv masks 10 rows
+    assert(t.delete("a >= 90") == 10L) // v2: vector GROWS to 20 rows
+    require(t.snapshot.dvs.nonEmpty, "fixture must mask, not rewrite")
+
+    // restore to v1: same file, smaller vector — 10 rows resurrect
+    t.restoreToVersion(1L) // v3
+    assert(spark.read.format("qbeast").load(tbl).count() == 90L)
+    val shrink = feedCounts(t.changes(3L, 3L))
+    assert(shrink == Map((3L, "insert") -> 10L),
+      s"vector-shrink restore must insert exactly the resurrected rows: $shrink")
+
+    // restore to v0: the mask clears entirely — replay clears a dv on
+    // re-add, so the commit re-ADDS the file; only the 10 still-masked
+    // rows are new content
+    t.restoreToVersion(0L) // v4
+    assert(spark.read.format("qbeast").load(tbl).count() == 100L)
+    val clear = feedCounts(t.changes(4L, 4L))
+    assert(clear == Map((4L, "insert") -> 10L),
+      s"dv-clearing re-add must insert only previously-masked rows: $clear")
+
+    // full replay from v0 reconstructs the final content (multiset)
+    val ch = t.changes(1L).select("_change_type", "a").collect()
+    val net = ch.foldLeft(Map.empty[Long, Long]) { (m, r) =>
+      val d = if (r.getString(0) == "insert") 1L else -1L
+      m + (r.getLong(1) -> (m.getOrElse(r.getLong(1), 0L) + d))
+    }.filter(_._2 != 0)
+    assert(net.values.forall(_ == 0L) || net.isEmpty,
+      s"v1..v4 must cancel exactly (table is back at v0): $net")
+
+    // the STREAMING feed replays the same history identically (its 'a'
+    // re-add and 'v' vector-delta units have their own replay code)
+    val out = TestSpark.tmpDir("cdf-dv-restore-sink")
+    val q = spark.readStream.format("qbeast")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(tbl)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", TestSpark.tmpDir("cdf-dv-restore-ckpt"))
+      .option("path", out)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = feedCounts(
+      spark.read.parquet(out).filter(col("_commit_version") >= 1))
+    val batch = feedCounts(t.changes(1L))
+    assert(streamed == batch,
+      s"stream feed must match batch changes(): $streamed vs $batch")
+  }
 }

@@ -280,10 +280,13 @@ class FuzzSpec extends AnyFunSuite {
       var model = localize(init.toDF("k", "v", "s", "d"))
       var nextKey = 161L
       val t = QbeastTable.forPath(spark, dir)
-      // (version, expected content) after every op — replayed through
-      // versionAsOf at sequence end, so time travel is fuzzed across
-      // random DML histories too
-      val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+      // (version, expected content, model frame) after every commit —
+      // replayed through versionAsOf at sequence end (time travel over
+      // random histories) and drawn from by the RESTORE op
+      val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String], DataFrame)]
+      val v0 = t.snapshot.version
+      val initialCanon = canon(model)
+      history += ((v0, initialCanon, model))
 
       def dmlPred(): String = {
         // 1-in-4: an IN-subquery over a freshly registered keys view —
@@ -343,6 +346,13 @@ class FuzzSpec extends AnyFunSuite {
                   .unionByName(srcDf))
               s"UPSERT ${src.size}"
             }
+          case 9 if history.size > 1 =>
+            // restore to a random recorded version: the model rolls
+            // back with it (restore is itself one more commit)
+            val (rv, _, rm) = history(r.nextInt(history.size))
+            t.restoreToVersion(rv)
+            model = rm
+            s"RESTORE to v$rv"
           case _ =>
             t.optimize()
             "OPTIMIZE"
@@ -356,18 +366,46 @@ class FuzzSpec extends AnyFunSuite {
             s"${got.size} rows vs ${want.size} expected; " +
             s"missing=$missing extra=$extra")
         }
-        history += ((t.snapshot.version, want))
+        history += ((t.snapshot.version, want, model))
       }
       // time travel across the random history: up to 4 random recorded
       // versions must read back exactly the state the model had there
       val picks = new Random(seed + 999).shuffle(history.toSeq).take(4)
-      picks.foreach { case (v, want) =>
+      picks.foreach { case (v, want, _) =>
         val got = canon(spark.read.format("qbeast")
           .option("versionAsOf", v.toString).load(dir))
         if (got != want)
           fail(s"[seq=$seq seed=$seed dv=$dv versionAsOf=$v]: " +
             s"${got.size} rows vs ${want.size} expected; " +
             s"missing=${want.diff(got).take(3)} extra=${got.diff(want).take(3)}")
+      }
+      // change-feed reconstruction: initial state ⊎ inserts ∖ deletes
+      // over the whole random history must equal the final content —
+      // multiset semantics (updates/upserts/restores emit delete+insert
+      // pairs; optimize emits nothing)
+      val head = t.snapshot.version
+      if (head > v0) {
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        initialCanon.foreach(s => counts(s) = counts.getOrElse(s, 0L) + 1)
+        t.changes(v0 + 1, head)
+          .select("_change_type", "k", "v", "s", "d").collect().foreach { r2 =>
+            val row = (1 to 4).map(j =>
+              if (r2.isNullAt(j)) "∅" else r2.get(j).toString).mkString("|")
+            val delta = if (r2.getString(0) == "insert") 1L else -1L
+            counts(row) = counts.getOrElse(row, 0L) + delta
+          }
+        val rebuilt = counts.toSeq.filter(_._2 != 0)
+          .flatMap { case (row, n) =>
+            if (n < 0) fail(s"[seq=$seq seed=$seed dv=$dv cdf]: " +
+              s"negative multiplicity $n for $row")
+            Seq.fill(n.toInt)(row)
+          }.sorted
+        val finalCanon = canon(model)
+        if (rebuilt != finalCanon)
+          fail(s"[seq=$seq seed=$seed dv=$dv cdf v${v0 + 1}..$head]: " +
+            s"replay gives ${rebuilt.size} rows vs ${finalCanon.size}; " +
+            s"missing=${finalCanon.diff(rebuilt).take(3)} " +
+            s"extra=${rebuilt.diff(finalCanon).take(3)}")
       }
     }
   }
