@@ -239,12 +239,24 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
         val currentProps = current.properties().asScala.toMap
         if (isQbeastProvider(currentProps)) {
           val adds = QbeastCatalog.screenColumnChanges(changes)
-          currentProps.get(TableCatalog.PROP_LOCATION).orElse(currentProps.get("location"))
-            .foreach { loc =>
-              if (adds.nonEmpty)
-                QbeastCatalog.persistAddColumnsToLog(stripScheme(loc), adds)
-              persistToLog(stripScheme(loc))
-            }
+          val loc = currentProps.get(TableCatalog.PROP_LOCATION)
+            .orElse(currentProps.get("location"))
+          // ADD COLUMNS must reach the table log: path-based readers
+          // resolve the schema from the log, not the catalog, so a
+          // catalog-only widening would silently serve the OLD column
+          // set there. A qbeast table with no resolvable location is a
+          // broken registration — refuse rather than diverge.
+          if (adds.nonEmpty && loc.isEmpty)
+            throw new UnsupportedOperationException(
+              s"ALTER TABLE ${ident.name()} ADD COLUMNS: the delegate catalog " +
+                "exposes no table location, so the change cannot be committed " +
+                "to the qbeast table log (catalog and log schemas would " +
+                "diverge). Register the table with an explicit LOCATION.")
+          loc.foreach { l =>
+            if (adds.nonEmpty)
+              QbeastCatalog.persistAddColumnsToLog(stripScheme(l), adds)
+            persistToLog(stripScheme(l))
+          }
         }
         d.alterTable(ident, changes: _*)
       case None =>

@@ -328,16 +328,17 @@ object DistributedMetadata {
       provable: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       column: String): Option[(Array[Byte], Long)] = {
     import graft.expressions.HllDistinctAgg
-    filteredSketchFold(spark, snap, provable,
+    // HLL accumulates raw registers: merging IS the byte-wise max,
+    // identical for file states and partials; serialize is free
+    filteredSketchFold[Array[Byte]](spark, snap, provable,
       extract = _.hll.get(column),
-      // HLL registers: the empty state is M zero bytes; merging IS the
-      // byte-wise max, identical for file states and partials
-      empty = Array.empty[Byte],
-      absorb = (acc: Array[Byte], b: Array[Byte]) => {
+      start = () => Array.empty[Byte],
+      absorb = (acc, b) => {
         val a = if (acc.isEmpty) new Array[Byte](HllDistinctAgg.M) else acc
         HllDistinctAgg.mergeRegisters(a, b)
         a
-      })
+      },
+      finish = a => a)
   }
 
   /** FILTERED twin of [[kllState]] — the sidecar half of
@@ -353,19 +354,20 @@ object DistributedMetadata {
       provable: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       column: String): Option[(Array[Byte], Long)] = {
     import graft.expressions.KllState
-    filteredSketchFold(spark, snap, provable,
+    // KLL accumulates ONE live state per partition and serializes it
+    // once at partition end (serializing the accumulator on every
+    // absorbed file would add O(files-per-partition) churn to exactly
+    // the sidecar-scale path this fold exists to speed up); partials
+    // and file states share one serialized form, so the driver merge
+    // runs the same absorb over the partition outputs
+    filteredSketchFold[KllState](spark, snap, provable,
       extract = _.kll.get(column),
-      empty = Array.empty[Byte],
-      // KLL: partials and file states share one serialized form, so the
-      // partition fold and the driver merge go through the same absorb
-      absorb = (acc: Array[Byte], b: Array[Byte]) => {
-        if (acc.isEmpty) b
-        else {
-          val st = KllState.deserialize(acc)
-          st.mergeIn(KllState.deserialize(b))
-          st.serialize()
-        }
-      })
+      start = () => null,
+      absorb = (acc, b) => {
+        val in = KllState.deserialize(b)
+        if (acc == null) in else { acc.mergeIn(in); acc }
+      },
+      finish = st => if (st == null) Array.empty[Byte] else st.serialize())
   }
 
   /** The ONE tri-state filtered sketch fold both sketch kinds share
@@ -375,22 +377,27 @@ object DistributedMetadata {
    * files have their serialized state extracted and absorbed,
    * FALSE-proved files contribute nothing, any undecidable file fails
    * the fold — and emits one (ok, included, state) partial; the driver
-   * absorbs the partials through the SAME `absorb`. `empty` is the
-   * identity state (also returned when no TRUE-proved file held one). */
-  private def filteredSketchFold(
+   * absorbs the partials through the SAME `absorb`. The fold is typed
+   * over an accumulator `A` with a serialize-at-partition-end `finish`
+   * step so a state with a costly serialized form (KLL) stays LIVE
+   * across the per-file absorbs instead of round-tripping through
+   * bytes on every file. `finish(start())` is the identity state (also
+   * returned when no TRUE-proved file held one). */
+  private def filteredSketchFold[A](
       spark: SparkSession,
       snap: QbeastSnapshot,
       provable: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       extract: graft.read.FileStatsPruning.Stats => Option[Array[Byte]],
-      empty: Array[Byte],
-      absorb: (Array[Byte], Array[Byte]) => Array[Byte])
+      start: () => A,
+      absorb: (A, Array[Byte]) => A,
+      finish: A => Array[Byte])
       : Option[(Array[Byte], Long)] = {
     import spark.implicits._
     import graft.rules.MetadataCountRule.proveFileForFold
     val partials = liveRows(spark, snap, None).mapPartitions { it =>
       var ok = true
       var included = 0L
-      var acc = empty
+      var acc = start()
       // stop consuming the partition once a file is undecidable
       while (ok && it.hasNext) {
         val r = it.next()
@@ -406,17 +413,17 @@ object DistributedMetadata {
           case _ => ok = false
         }
       }
-      Iterator.single((ok, included, acc))
+      Iterator.single((ok, included, finish(acc)))
     }.collect()
     if (partials.exists(!_._1)) None
     else {
       var included = 0L
-      var acc = empty
+      var acc = start()
       partials.foreach { case (_, inc, bytes) =>
         included += inc
         if (bytes.nonEmpty) acc = absorb(acc, bytes)
       }
-      Some((acc, included))
+      Some((finish(acc), included))
     }
   }
 

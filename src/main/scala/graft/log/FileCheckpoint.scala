@@ -5,7 +5,7 @@ import graft.core.model._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, udf}
+import org.apache.spark.sql.functions.col
 
 import java.nio.charset.StandardCharsets
 
@@ -247,9 +247,12 @@ object FileCheckpoint {
     var out: DataFrame = null
     chain.foreach { case (lv, summary) =>
       val isFullBase = summary.parent < 0
-      val maskB = spark.sparkContext.broadcast(decided)
-      val unmasked = udf((p: String) => !maskB.value.contains(p))
-      val live = layer(lv).filter(col("size") >= 0L).filter(unmasked(col("path")))
+      // the decided-path mask is O(tail): isInCollection compiles it to
+      // a codegen'd InSet probe (no UDF, no broadcast bookkeeping)
+      val base = layer(lv).filter(col("size") >= 0L)
+      val live =
+        if (decided.isEmpty) base
+        else base.filter(!col("path").isInCollection(decided))
       out = if (out == null) live else out.unionAll(live)
       if (!isFullBase) {
         // delta layers are O(tail): collecting their paths is cheap

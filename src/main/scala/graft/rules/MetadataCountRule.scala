@@ -560,6 +560,20 @@ object MetadataCountRule {
       bound: ExtremeAcc): Boolean = {
     if (elementCount <= 0L || dvCard >= elementCount) return true // no live rows
     val stats = statsJson.flatMap(FileStatsPruning.parse).getOrElse(return false)
+    foldFileExtreme(stats, dvCard, column, isMin, witness, bound)
+  }
+
+  /** [[foldFileExtreme]] over ALREADY-PARSED stats — the filtered fold
+   * parses each file once and folds 2×|cols| extremes through this
+   * overload instead of re-probing the parse cache per column on the
+   * sidecar-scale hot loop. Caller guarantees the file has live rows. */
+  private[graft] def foldFileExtreme(
+      stats: FileStatsPruning.Stats,
+      dvCard: Long,
+      column: String,
+      isMin: Boolean,
+      witness: ExtremeAcc,
+      bound: ExtremeAcc): Boolean = {
     val nulls = stats.nulls.getOrElse(column, return false)
     if (nulls >= stats.numRecords) return true // all-null: contributes nothing
     val side = if (isMin) stats.mins else stats.maxs
@@ -614,13 +628,14 @@ object MetadataCountRule {
     if (!proofs.forall(_.contains(true))) return false // partial overlap
     // proofs hold for every PHYSICAL row, hence for every live one
     addCount(elementCount - dvCard)
+    if (dvCard >= elementCount) return true // fully-masked: extremes skip
     var i = 0
     while (i < cols.length) {
       val (name, _, _) = cols(i)
       val (minW, minB, maxW, maxB) = accs(i)
-      if (!foldFileExtreme(statsJson, elementCount, dvCard, name,
+      if (!foldFileExtreme(stats, dvCard, name,
         isMin = true, minW, minB)) return false
-      if (!foldFileExtreme(statsJson, elementCount, dvCard, name,
+      if (!foldFileExtreme(stats, dvCard, name,
         isMin = false, maxW, maxB)) return false
       i += 1
     }

@@ -392,7 +392,15 @@ class QbeastStreamSource(
         // no file size — admitted for free, still file-counted), the
         // same budget shape as pre-size removes.
         val cdcs = actions.collect { case CdcFileAction(p, sz) => (s"$v:c:$p", sz) }
-        lazy val dvUnits = dvActs.map(d => (s"$v:v:${d.path}", 0L))
+        // a dv action on a file ADDED in this same commit (a RESTORE
+        // resurrecting a file that was MASKED at the target version) is
+        // the add's OWN mask, not a vector delta: the 'a' unit already
+        // inserts only the live rows (commitDvByName), and a 'v' unit
+        // would emit its masked rows as deletes that were never
+        // inserted (the file was dead at v-1)
+        lazy val addPaths = dataAdds.map(_._1).toSet
+        lazy val dvUnits = dvActs.filterNot(d => addPaths.contains(d.path))
+          .map(d => (s"$v:v:${d.path}", 0L))
         if (cdcs.nonEmpty) cdcs.toVector
         else if (layoutOnly) Vector.empty // optimize: content unchanged
         else if (removes.isEmpty && dataAdds.isEmpty) dvUnits.toVector // dv-only DELETE
@@ -411,11 +419,15 @@ class QbeastStreamSource(
           // straddlers mask ('v') — same decomposition as the batch
           // changes() replay
           (removes.map(r => (s"$v:d:${r.remove.path}", r.remove.size)) ++ dvUnits).toVector
-        else throw new UnsupportedOperationException(
-          s"qbeast streaming CDF: commit $v of $tablePath rewrites data without " +
-            "a change file. Set the table property 'enableChangeDataFeed' (write " +
-            "option) BEFORE running DML, or replay this range with the batch " +
-            "QbeastTable.changes API.")
+        else
+          // rewrite / RESTORE without a persisted change file: the
+          // before/after diff needs BOTH sides of the commit at once
+          // (after ∖ before inserts, before ∖ after deletes — the
+          // same frames batch changes() builds), so the commit
+          // replays as ONE atomic pseudo-unit ('x') sized as its
+          // added bytes. Admission never splits a single unit ("at
+          // least one file always fits"), so the diff is always whole.
+          Vector((s"$v:x:", dataAdds.map(_._2).sum))
       } else {
         // a dv+adds commit is a row-level rewrite (merge-on-read
         // UPDATE): the updated images stream as appends only under the
@@ -603,6 +615,138 @@ class QbeastStreamSource(
     else Some(QbeastSourceOffset(math.max(head, startExclusive)))
   }
 
+  /** The vector-delta frame of commit `v` over the given data files
+   * (relative paths): rows newly masked since v-1 feed as deletes;
+   * rows a RESTORE unmasked (vector shrink) feed as inserts. Vectors
+   * load lazily on executors, so their existence is probed HERE
+   * (vacuum check) — a reclaimed vector must fail NAMED, not with a
+   * mid-task FileNotFoundException. Grow-only short-circuit, same as
+   * the batch dvDeltaFrames: old ⊆ new per file (driver-side, over
+   * the cached sorted index arrays) proves the resurrect side empty
+   * for every ordinary DML commit, so only files a RESTORE actually
+   * shrank pay the second probe-scan. Shared by the 'v' units and the
+   * whole-commit diff ('x') replay. */
+  private def vectorDeltaFrame(
+      v: Long,
+      relPaths: Seq[String],
+      fs: org.apache.hadoop.fs.FileSystem): DataFrame = {
+    val dvs = graft.write.DeletionVectors
+    val newM = dvByNameAt(v)
+    val oldM = dvByNameAt(v - 1)
+    val names = relPaths.map(p => new Path(p).getName).toSet
+    // probe BOTH maps' entries (not their merged map: a file re-masked
+    // at v has a different vector path in each, and the merge would
+    // hide one of them from the check)
+    (newM.iterator ++ oldM.iterator).foreach { case (n, dvp) =>
+      if (names.contains(n) && !fs.exists(new Path(tablePath, dvp)))
+        throw new IllegalStateException(
+          s"qbeast streaming CDF: deletion vector $dvp of commit $v " +
+            "was vacuumed — this range cannot be replayed; restart " +
+            "the stream from a later startingVersion")
+    }
+    val absolute = relPaths.map(p => new Path(tablePath, p).toString)
+    val df = spark.read.schema(tableSchema).parquet(absolute: _*)
+    val newProbe = dvs.probeCol(tablePath, newM, hadoopConf)
+    if (oldM.isEmpty) {
+      df.filter(newProbe).withColumn("_change_type", lit("delete"))
+    } else {
+      val oldProbe = dvs.probeCol(tablePath, oldM, hadoopConf)
+      val deletes = df.filter(newProbe && !oldProbe)
+        .withColumn("_change_type", lit("delete"))
+      val shrunk = names.filter(n => oldM.contains(n) && {
+        val oldIdx = dvs.cached(tablePath, hadoopConf, oldM(n))
+        newM.get(n) match {
+          case Some(np) =>
+            !dvs.subsetOf(oldIdx, dvs.cached(tablePath, hadoopConf, np))
+          case None => oldIdx.nonEmpty
+        }
+      })
+      if (shrunk.isEmpty) deletes
+      else {
+        val shrunkAbs = relPaths
+          .filter(p => shrunk.contains(new Path(p).getName))
+          .map(p => new Path(tablePath, p).toString)
+        deletes.union(
+          spark.read.schema(tableSchema).parquet(shrunkAbs: _*)
+            .filter(oldProbe && !newProbe)
+            .withColumn("_change_type", lit("insert")))
+      }
+    }
+  }
+
+  /** Whole-commit diff replay (the 'x' unit): a rewrite / RESTORE
+   * without a persisted change file, delivered atomically. Builds the
+   * SAME frames batch changes() builds for a removes+adds commit: the
+   * removed files' live-before image (masked by the dv state at v-1)
+   * plus masked re-adds' live-before rows form the BEFORE side; the
+   * added files, masked by the commit's OWN dv actions (a restore
+   * resurrecting a file that was masked at the target version), the
+   * AFTER. after ∖ before feeds as inserts, before ∖ after as
+   * deletes, and dv actions on files NOT added in this commit replay
+   * as vector deltas. */
+  private def wholeCommitDiffFrame(
+      v: Long,
+      fs: org.apache.hadoop.fs.FileSystem): DataFrame = {
+    val dvs = graft.write.DeletionVectors
+    val revisions =
+      if (lastLight.version >= v) lastLight.revisions
+      else QbeastLog.lightSnapshot(tablePath, hadoopConf).revisions
+    val actions = QbeastLog.commitActions(tablePath, hadoopConf, v, revisions)
+    val removes = actions.collect { case graft.log.RemoveFileAction(r) => r.path }
+    val dataAdds = actions.collect {
+      case graft.log.AddFileAction(f, true) => f.path
+    }
+    val dvActs = actions.collect { case d: graft.log.DvFileAction => d }
+    def readRel(ps: Seq[String]): DataFrame = {
+      val abs = ps.map { p =>
+        val ap = new Path(tablePath, p)
+        if (!fs.exists(ap)) throw new IllegalStateException(
+          s"qbeast streaming CDF: file $p of commit $v was vacuumed — " +
+            "this range cannot be replayed; restart the stream from a " +
+            "later startingVersion")
+        ap.toString
+      }
+      spark.read.schema(tableSchema).parquet(abs: _*)
+    }
+    def dvOk(dvp: String): String = {
+      if (!fs.exists(new Path(tablePath, dvp)))
+        throw new IllegalStateException(
+          s"qbeast streaming CDF: deletion vector $dvp of commit $v was " +
+            "vacuumed — this range cannot be replayed; restart the " +
+            "stream from a later startingVersion")
+      dvp
+    }
+    val oldM = dvByNameAt(v - 1)
+    val addSet = dataAdds.toSet
+    val (selfDvs, deltaDvs) = dvActs.partition(d => addSet.contains(d.path))
+    val removeNames = removes.map(p => new Path(p).getName).toSet
+    val removeMask = oldM.filter { case (n, _) => removeNames.contains(n) }
+    removeMask.values.foreach(dvOk)
+    val removesBefore =
+      dvs.maskWith(tablePath, removeMask, hadoopConf, readRel(removes))
+    val reAddNames = dataAdds.map(p => new Path(p).getName)
+      .filter(oldM.contains).toSet
+    val before =
+      if (reAddNames.isEmpty) removesBefore
+      else {
+        // files re-added while live AND masked at v-1 (restore clearing
+        // a dv): only their previously-masked rows are new content
+        val reAddMask = oldM.filter { case (n, _) => reAddNames.contains(n) }
+        reAddMask.values.foreach(dvOk)
+        val reAdds = dataAdds.filter(p => reAddNames.contains(new Path(p).getName))
+        removesBefore.unionByName(
+          dvs.maskWith(tablePath, reAddMask, hadoopConf, readRel(reAdds)))
+      }
+    val selfMask = selfDvs.map(d => new Path(d.path).getName -> dvOk(d.dvPath)).toMap
+    val after = dvs.maskWith(tablePath, selfMask, hadoopConf, readRel(dataAdds))
+    val base = after.exceptAll(before)
+      .withColumn("_change_type", lit("insert"))
+      .union(before.exceptAll(after)
+        .withColumn("_change_type", lit("delete")))
+    if (deltaDvs.isEmpty) base
+    else base.union(vectorDeltaFrame(v, deltaDvs.map(_.path), fs))
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endO = QbeastSourceOffset.of(end)
     val startO = start.map(QbeastSourceOffset.of).getOrElse(initialPosition(endO.version))
@@ -621,7 +765,7 @@ class QbeastStreamSource(
       val outCols = schema.fieldNames.map(col).toSeq
       val frames = units.groupBy(u => (u._1, u._2)).toSeq.sortBy(_._1).map {
         case ((v, kind), list) =>
-          val absolute = list.map(u => new Path(tablePath, u._3).toString)
+          lazy val absolute = list.map(u => new Path(tablePath, u._3).toString)
           // EVERY CDF kind can land behind vacuum: 'd' files are
           // tombstoned at this very commit, 'c' change files expire
           // with the data-file retention, and an 'a' file a LATER
@@ -630,9 +774,10 @@ class QbeastStreamSource(
           // (the batch changes() contract), not with a raw
           // FileNotFoundException mid-task. The CDF path is a replay
           // surface, not the hot append path, so the per-file
-          // existence probe is acceptable here.
+          // existence probe is acceptable here. ('x' units carry no
+          // path — the diff replay probes its own file set.)
           val fs = new Path(tablePath).getFileSystem(hadoopConf)
-          absolute.find(p => !fs.exists(new Path(p))).foreach { p =>
+          if (kind != "x") absolute.find(p => !fs.exists(new Path(p))).foreach { p =>
             throw new IllegalStateException(
               s"qbeast streaming CDF: file $p of commit $v was vacuumed — " +
                 "this range cannot be replayed; restart the stream from a " +
@@ -645,43 +790,9 @@ class QbeastStreamSource(
               spark.read.schema(tableSchema).parquet(absolute: _*))
               .withColumn("_change_type", lit("delete"))
             case "v" =>
-              // deletion-vector delta: the rows this commit newly
-              // masked — (vector state at v) minus (state at v-1), the
-              // same pre-commit asOf discipline as the batch changes()
-              // replay. Vectors load lazily on executors, so probe
-              // their existence here (vacuum check) like the data files
-              // above — a reclaimed vector must fail NAMED, not with a
-              // mid-task FileNotFoundException.
-              val dvs = graft.write.DeletionVectors
-              val newM = dvByNameAt(v)
-              val oldM = dvByNameAt(v - 1)
-              val names = list.map(u => new Path(u._3).getName).toSet
-              // probe BOTH maps' entries (not their merged map: a file
-              // re-masked at v has a different vector path in each, and
-              // the merge would hide one of them from the check)
-              (newM.iterator ++ oldM.iterator).foreach { case (n, dvp) =>
-                if (names.contains(n) && !fs.exists(new Path(tablePath, dvp)))
-                  throw new IllegalStateException(
-                    s"qbeast streaming CDF: deletion vector $dvp of commit $v " +
-                      "was vacuumed — this range cannot be replayed; restart " +
-                      "the stream from a later startingVersion")
-              }
-              val df = spark.read.schema(tableSchema).parquet(absolute: _*)
-              val newProbe = dvs.probeCol(tablePath, newM, hadoopConf)
-              if (oldM.isEmpty) {
-                df.filter(newProbe).withColumn("_change_type", lit("delete"))
-              } else {
-                // a RESTORE can reset a vector to an earlier, SMALLER
-                // one: the newly unmasked rows are resurrected content
-                // and feed as inserts (ordinary DML only grows a
-                // vector, so the insert side is empty there) — batch
-                // changes() parity
-                val oldProbe = dvs.probeCol(tablePath, oldM, hadoopConf)
-                df.filter(newProbe && !oldProbe)
-                  .withColumn("_change_type", lit("delete"))
-                  .union(df.filter(oldProbe && !newProbe)
-                    .withColumn("_change_type", lit("insert")))
-              }
+              vectorDeltaFrame(v, list.map(_._3), fs)
+            case "x" =>
+              wholeCommitDiffFrame(v, fs)
             case "s" =>
               // snapshot-phase files: inserts as of the ANCHOR, masked
               // by the vectors AT the anchor version (v IS the anchor —

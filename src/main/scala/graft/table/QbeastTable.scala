@@ -2270,9 +2270,28 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         Seq(tagged(df.filter(newProbe).select(cols: _*), "delete", v))
       else {
         val oldProbe = dvs.probeCol(tablePath, oldByName, conf)
-        Seq(
-          tagged(df.filter(newProbe && !oldProbe).select(cols: _*), "delete", v),
-          tagged(df.filter(oldProbe && !newProbe).select(cols: _*), "insert", v))
+        val deletes =
+          tagged(df.filter(newProbe && !oldProbe).select(cols: _*), "delete", v)
+        // grow-only short-circuit: old ⊆ new per file (driver-side,
+        // over the cached sorted index arrays) proves the resurrect
+        // side empty for every ordinary DML commit — only the files a
+        // RESTORE actually SHRANK pay the second probe-scan, and the
+        // scan reads just those files
+        val shrunkNames = oldByName.keySet.filter { n =>
+          val oldIdx = dvs.cached(tablePath, conf, oldByName(n))
+          newByName.get(n) match {
+            case Some(np) => !dvs.subsetOf(oldIdx, dvs.cached(tablePath, conf, np))
+            case None => oldIdx.nonEmpty
+          }
+        }
+        if (shrunkNames.isEmpty) Seq(deletes)
+        else {
+          val shrunkPaths = dvActs.map(_.path)
+            .filter(p => shrunkNames.contains(new Path(p).getName))
+          Seq(deletes,
+            tagged(readFiles(shrunkPaths).filter(oldProbe && !newProbe)
+              .select(cols: _*), "insert", v))
+        }
       }
     }
     // files RE-ADDED while carrying a running mask (restore clears a
@@ -2335,13 +2354,24 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         // adds — possibly WITH dv actions in the same commit (a
         // merge-on-read UPDATE run without CDF): the new images are
         // the insert feed, the freshly masked rows the delete feed;
-        // dv-clearing re-adds (restore) insert only their resurrected rows
-        val after = readFiles(dataAdds)
+        // dv-clearing re-adds (restore) insert only their resurrected rows.
+        // A dv action on a file ADDED in this same commit (a RESTORE
+        // resurrecting a file that was MASKED at the target version:
+        // add + DvFileAction, the file dead at v-1) is not a vector
+        // delta — it is the add's own mask. Its live rows feed as the
+        // inserts; replaying it through the delta path would pair every
+        // masked row as a spurious same-commit insert+delete.
+        val addSet = dataAdds.toSet
+        val (selfDvs, deltaDvs) = dvActs.partition(d => addSet.contains(d.path))
+        val selfMask = selfDvs.map(d =>
+          new Path(d.path).getName -> requireDv(d.dvPath, v)).toMap
+        val after = graft.write.DeletionVectors
+          .maskWith(tablePath, selfMask, conf, readFiles(dataAdds))
         val inserts = tagged(
           liveBeforeOfMaskedReAdds(dataAdds, v)
             .map(after.exceptAll(_)).getOrElse(after), "insert", v)
-        if (dvActs.isEmpty) emit(Seq(inserts))
-        else emit(inserts +: dvDeltaFrames(dvActs, v))
+        if (deltaDvs.isEmpty) emit(Seq(inserts))
+        else emit(inserts +: dvDeltaFrames(deltaDvs, v))
       }
       else {
         // the before-image excludes rows the removed files' vectors had
@@ -2353,15 +2383,22 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         maskNames.values.foreach(requireDv(_, v))
         val removesBefore = graft.write.DeletionVectors
           .maskWith(tablePath, maskNames, conf, readFiles(removes))
+        // same-commit add+dv (restore resurrecting a masked file): the
+        // vector belongs to the insert side, not the delta feed
+        val addSet = dataAdds.toSet
+        val (selfDvs, deltaDvs) = dvActs.partition(d => addSet.contains(d.path))
         val dvDeltas =
-          if (dvActs.isEmpty) Nil else dvDeltaFrames(dvActs, v)
+          if (deltaDvs.isEmpty) Nil else dvDeltaFrames(deltaDvs, v)
         if (dataAdds.isEmpty) emit(tagged(removesBefore, "delete", v) +: dvDeltas)
         else {
           // a restore can remove, re-add (dv clear) and resurrect in ONE
           // commit — masked re-adds' live-before rows join the before side
           val before = liveBeforeOfMaskedReAdds(dataAdds, v)
             .map(removesBefore.unionByName(_)).getOrElse(removesBefore)
-          val after = readFiles(dataAdds)
+          val selfMask = selfDvs.map(d =>
+            new Path(d.path).getName -> requireDv(d.dvPath, v)).toMap
+          val after = graft.write.DeletionVectors
+            .maskWith(tablePath, selfMask, conf, readFiles(dataAdds))
           emit(Seq(
             tagged(after.exceptAll(before), "insert", v),
             tagged(before.exceptAll(after), "delete", v)) ++ dvDeltas)

@@ -103,6 +103,26 @@ object DeletionVectors {
     if (k == out.length) out else java.util.Arrays.copyOf(out, k)
   }
 
+  /** Is sorted-distinct `a` a subset of sorted-distinct `b`? Driver-side
+   * grow-only test for the change-feed replay: every ordinary DML
+   * commit only ever GROWS a file's vector (union of the old mask and
+   * the new deletes), so `old ⊆ new` proves the resurrect (insert) side
+   * of a vector delta empty without scanning the data file. Only a
+   * RESTORE that reset a vector to an earlier, smaller state fails the
+   * test. O(|b|) merge walk over the cached arrays. */
+  def subsetOf(a: Array[Long], b: Array[Long]): Boolean = {
+    if (a.length > b.length) return false
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val c = java.lang.Long.compare(a(i), b(j))
+      if (c == 0) { i += 1; j += 1 }
+      else if (c > 0) j += 1
+      else return false
+    }
+    i == a.length
+  }
+
   /** Apply the table's deletion-vector mask to a DataFrame reading its
    * data files (any file-source frame — the `_metadata` columns resolve
    * through the analyzer). No-op when the snapshot has no vectors. Used

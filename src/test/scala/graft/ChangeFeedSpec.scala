@@ -131,7 +131,12 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(feedCounts(feed) == Map((1L, "insert") -> 30L))
   }
 
-  test("rewrite without a change file fails the CDF stream; delete-only streams") {
+  test("rewrite without a change file streams as a whole-commit diff; " +
+    "delete-only streams") {
+    // a copy-on-write UPDATE on a non-CDF table has no persisted change
+    // file: the stream replays the commit ATOMICALLY as the same
+    // after ∖ before / before ∖ after diff batch changes() builds (the
+    // 'x' unit), instead of killing the query
     val tbl = TestSpark.tmpDir("cdf-nocdc-tbl")
     writeSlice(tbl, 0, 30, "overwrite", cdf = false) // property NOT set
     val t = table.QbeastTable.forPath(spark, tbl)
@@ -144,11 +149,17 @@ class ChangeFeedSpec extends AnyFunSuite {
       .writeStream.format("parquet")
       .option("checkpointLocation", ckpt).option("path", out)
       .trigger(Trigger.AvailableNow()).start()
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.awaitTermination()
-    }
-    assert(e.getMessage.contains("enableChangeDataFeed") ||
-      Option(e.getCause).exists(_.getMessage.contains("enableChangeDataFeed")))
+    try q.awaitTermination() finally q.stop()
+    val streamed = feedCounts(spark.read.parquet(out))
+    assert(streamed == Map((1L, "delete") -> 10L, (1L, "insert") -> 10L),
+      s"whole-commit diff must equal the batch exceptAll feed: $streamed")
+    assert(feedCounts(t.changes(1L, 1L)) == streamed)
+    // the post-image values stream correctly
+    val ins = spark.read.parquet(out)
+      .filter(col("_change_type") === "insert")
+      .select("a", "b").as[(Long, Double)].collect().toMap
+    assert(ins.keySet == (0L until 10L).toSet &&
+      ins.forall { case (k, v) => v == k % 10 * 1.0 + 1 })
 
     // a delete matching EVERY row of the table produces a delete-only
     // commit (no survivors), streamable without a change file
@@ -227,5 +238,59 @@ class ChangeFeedSpec extends AnyFunSuite {
     val batch = feedCounts(t.changes(1L))
     assert(streamed == batch,
       s"stream feed must match batch changes(): $streamed vs $batch")
+  }
+
+  test("restore resurrecting a dropped file that is MASKED at the target " +
+    "version feeds only its live rows (add + dv action, same commit)") {
+    // mask → drop → restore: the restore commit re-ADDS the file and
+    // re-attaches the target version's deletion vector in the SAME
+    // commit (add + DvFileAction, no removes). The file was dead at
+    // v-1, so its vector is NOT a delta — the feed must insert exactly
+    // the rows live under that vector and emit no deletes at all. The
+    // old batch replay emitted whole-file inserts plus masked-row
+    // deletes (net right, spurious pair); the old STREAM replay
+    // inserted only live rows but still emitted the masked deletes,
+    // net-diverging from batch by the vector's cardinality.
+    val tbl = TestSpark.tmpDir("cdf-dv-resurrect")
+    (0L until 100L).map(i => (i, i * 1.0)).toDF("a", "b")
+      .write.format("qbeast").option("columnsToIndex", "a")
+      .option("cubeSize", "200") // ONE file
+      .option("deletionVectors", "true").save(tbl) // v0
+    val t = table.QbeastTable.forPath(spark, tbl)
+    assert(t.delete("a < 10") == 10L) // v1: dv masks 10 rows
+    require(t.snapshot.dvs.nonEmpty, "fixture must mask, not rewrite")
+    assert(t.delete("a >= 0") == 90L) // v2: drops the file whole
+    require(t.snapshot.files.isEmpty, "fixture must drop the file")
+    t.restoreToVersion(1L) // v3: add + dv action, no removes
+    assert(spark.read.format("qbeast").load(tbl).count() == 90L)
+
+    val v3 = feedCounts(t.changes(3L, 3L))
+    assert(v3 == Map((3L, "insert") -> 90L),
+      s"resurrect-with-mask must insert exactly the live rows: $v3")
+    // the inserted VALUES are the unmasked rows, not just the count
+    val ins = t.changes(3L, 3L).select("a").as[Long].collect().toSet
+    assert(ins == (10L until 100L).toSet)
+
+    // stream parity across the whole history
+    val out = TestSpark.tmpDir("cdf-dv-resurrect-sink")
+    val q = spark.readStream.format("qbeast")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(tbl)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", TestSpark.tmpDir("cdf-dv-resurrect-ckpt"))
+      .option("path", out)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = feedCounts(
+      spark.read.parquet(out).filter(col("_commit_version") >= 1))
+    val batch = feedCounts(t.changes(1L))
+    assert(streamed == batch,
+      s"stream feed must match batch changes(): $streamed vs $batch")
+    // and both reconstruct the table: net multiset == current content
+    val all = spark.read.parquet(out)
+    val net = all.filter(col("_change_type") === "insert").select("a", "b")
+      .exceptAll(all.filter(col("_change_type") === "delete").select("a", "b"))
+    val current = spark.read.format("qbeast").load(tbl).select("a", "b")
+    assert(net.exceptAll(current).count() == 0 && current.exceptAll(net).count() == 0)
   }
 }
