@@ -866,6 +866,17 @@ object SparkEntry {
       // only, never all-pairs)
       ops.Dedup.editDistanceVerifiedPairs(QTables.raw(s, dir, "documents"),
         "doc_id", "text", threshold = 0.5, prefixLen = 120, maxDist = 40)),
+    "t41_bounded_neardup_pairs" -> ((s, dir) => {
+      // the dup-heavy-corpus scale recipe: exact-hash pre-collapse
+      // (O(g) `exact` edges per g-deep duplicate group, never C(g,2)),
+      // LSH over distinct-content representatives only — pair output
+      // grows with DISTINCT content, not with replication depth (t02/
+      // t33 keep the exact pairwise baselines)
+      ops.Dedup.boundedNearDupPairs(QTables.raw(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.2)
+        .orderBy(col("est_jaccard").desc, col("kind"), col("id_a"), col("id_b"))
+        .limit(300)
+    }),
     "t34_cross_corpus_dedup" -> ((s, dir) => {
       // incremental ingest: dedup the incoming slice against the
       // existing corpus only (exact hash semi-join + LSH band semi-join)
@@ -1836,10 +1847,12 @@ object SparkEntry {
   private def sqlArr(xs: Array[Long]): String = xs.mkString("[", ",", "]")
 
   /** Shared CTE chain computing minhash signatures, LSH bands and the
-   * candidate-pair set `cp(id_a, id_b, sa, sb)` — the exact SQL replay
-   * of `Dedup.minHashCandidatePairs`; used by the t02 and t13 oracles. */
-  private lazy val minhashCteBody: String =
-    s"""tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+   * candidate-pair set `cp(id_a, id_b, sa, sb)` over relation `src` —
+   * the exact SQL replay of `Dedup.minHashCandidatePairs`; used by the
+   * t02/t13 oracles (over `documents`) and t41 (over the exact-hash
+   * representatives). */
+  private def minhashCte(src: String): String =
+    s"""tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src),
        |shr AS (SELECT doc_id, ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))::BIGINT AS h
        |  FROM tk, LATERAL unnest(range(1, greatest(len(toks) - 1, 1))) u(i) WHERE len(toks) >= 3),
        |mins AS (SELECT doc_id, j, min((${sqlArr(mhA)}[j] * h + ${sqlArr(mhB)}[j]) % 2147483647) AS mn
@@ -1851,6 +1864,8 @@ object SparkEntry {
        |  FROM sg, range(0, 16) t(b)),
        |cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
        |  FROM bd a JOIN bd b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  private lazy val minhashCteBody: String = minhashCte("documents")
 
   /** Quality-filter CTE chain ending in `r(doc_id, reason)` — the exact
    * SQL replay of `TextOps.qualityFilter`; shared by t12 and t23. */
@@ -2751,6 +2766,24 @@ object SparkEntry {
          |  levenshtein(a.pfx, b.pfx)::BIGINT AS edit_dist
          |FROM pr p JOIN tx a ON p.id_a = a.doc_id JOIN tx b ON p.id_b = b.doc_id
          |WHERE p.est_jaccard >= 0.5 AND levenshtein(a.pfx, b.pfx) <= 40""".stripMargin,
+    "t41_bounded_neardup_pairs" ->
+      // exact-hash pre-collapse, then the SAME minhash CTE chain run
+      // over the representatives relation; exact members attach as
+      // O(g) rep→member edges with est 1.0
+      s"""WITH g AS (SELECT coalesce(md5(text), '__null__' || doc_id::VARCHAR) AS h,
+         |    min(doc_id) AS rep FROM documents GROUP BY 1),
+         |mem AS (SELECT d.doc_id, g.rep FROM documents d
+         |  JOIN g ON coalesce(md5(d.text), '__null__' || d.doc_id::VARCHAR) = g.h),
+         |exact_e AS (SELECT rep AS id_a, doc_id AS id_b, 1.0::DOUBLE AS est_jaccard,
+         |  'exact' AS kind FROM mem WHERE doc_id <> rep),
+         |reps AS (SELECT d.* FROM documents d JOIN g ON d.doc_id = g.rep),
+         |${minhashCte("reps")},
+         |near_e AS (SELECT id_a, id_b,
+         |  len(list_filter(range(1, 65), j -> sa[j] = sb[j])) / 64.0 AS est_jaccard,
+         |  'near' AS kind FROM cp
+         |  WHERE len(list_filter(range(1, 65), j -> sa[j] = sb[j])) / 64.0 >= 0.2)
+         |SELECT * FROM (SELECT * FROM exact_e UNION ALL SELECT * FROM near_e)
+         |ORDER BY est_jaccard DESC, kind, id_a, id_b LIMIT 300""".stripMargin,
     "t34_cross_corpus_dedup" ->
       s"""WITH $minhashCteBody,
          |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

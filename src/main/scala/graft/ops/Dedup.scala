@@ -218,6 +218,113 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Bounded near-dup pair emission — the dup-heavy-corpus scale recipe.
+   *
+   * [[minHashCandidatePairs]] (and [[editDistanceVerifiedPairs]] on top
+   * of it) emits C(g,2) pairs per duplicate group: correct, but
+   * quadratic in group depth — a document repeated 10 000 times costs
+   * ~5·10⁷ pair rows for that group alone, and a 10× corpus
+   * replication multiplies pair output ~100×. This variant bounds the
+   * output without losing information:
+   *
+   *  1. EXACT-HASH PRE-COLLAPSE: md5-group the corpus; each distinct
+   *     content keeps one representative (min id). Exact-duplicate
+   *     members attach to their representative as O(g) `exact` edges
+   *     (est_jaccard = 1.0 by construction) instead of C(g,2) pairs.
+   *  2. LSH runs over REPRESENTATIVES only — one signature per
+   *     DISTINCT content, so a replicated corpus costs what its
+   *     distinct content costs.
+   *  3. Optional PER-BUCKET OCCUPANCY CAP on the representative band
+   *     rows (lowest `bucketCap` ids kept per (band, bucket)): a
+   *     degenerate bucket — boilerplate shingles shared by millions of
+   *     near-identical-but-unequal docs — degrades to the capped
+   *     population instead of all-pairs. Capped buckets are REPORTED,
+   *     not silent: run [[bucketOverflow]] with the same arguments
+   *     alongside a capped job.
+   *
+   * Output: (id_a, id_b, est_jaccard, kind) with kind ∈ exact | near.
+   * The full pairwise set is recoverable by linear joins when a
+   * consumer truly needs it (a `near` edge (ra, rb) expands to the
+   * cross product of the two md5 groups; `exact` edges enumerate each
+   * group), and recall on DISTINCT contents equals
+   * [[minHashCandidatePairs]] whenever every bucket fits under the
+   * cap. NULL content follows [[exactDedup]]: each null row is its own
+   * group (and has no shingles, so it never reaches the LSH side).
+   */
+  def boundedNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = 16,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
+    val withHash = df.select(col(idCol).as("id"), col(textCol).as("txt"),
+      coalesce(md5(col(textCol)),
+        concat(lit("__null__"), col(idCol).cast("string"))).as("h"))
+    val groups = withHash.groupBy("h").agg(min(col("id")).as("rep"))
+    val members = withHash.join(groups, "h")
+    val exactEdges = members.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("est_jaccard"), lit("exact").as("kind"))
+    val sigs = members.filter(col("id") === col("rep"))
+      .filter(size(split(trim(col("txt")), "\\s+")) >= DefaultShingleTokens)
+      .select(col("id"), minhashSig(col("txt"), numHashes).as("sig"))
+      .localCheckpoint(true)
+    val bandRows0 = sigs.select(col("id"),
+      posexplode(bandKeysCol(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
+    val bandRows =
+      if (bucketCap == Int.MaxValue) bandRows0
+      else bandRows0
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket").orderBy("id")))
+        .filter(col("rn") <= bucketCap).drop("rn")
+    val a = bandRows.alias("a")
+    val b = bandRows.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shims = org.apache.spark.sql.GraftShims
+    val est = shims.column(graft.expressions.ArrayAgreement(
+      shims.expression(col("sa")), shims.expression(col("sb"))))
+      .cast("double") / lit(numHashes.toDouble)
+    val nearEdges = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"),
+        lit("near").as("kind"))
+      .filter(col("est_jaccard") >= threshold)
+    exactEdges.unionByName(nearEdges)
+  }
+
+  /** The no-silent-caps report for a capped [[boundedNearDupPairs]]
+   * run: every (band, bucket) whose REPRESENTATIVE population exceeds
+   * `bucketCap`, with how many rows the cap dropped. Empty ⇒ the
+   * capped run had full recall on distinct contents. */
+  def bucketOverflow(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = 16,
+      bucketCap: Int = 64): DataFrame = {
+    val withHash = df.select(col(idCol).as("id"), col(textCol).as("txt"),
+      coalesce(md5(col(textCol)),
+        concat(lit("__null__"), col(idCol).cast("string"))).as("h"))
+    val reps = withHash.groupBy("h").agg(min(col("id")).as("id"),
+        first(col("txt")).as("txt"))
+      .filter(size(split(trim(col("txt")), "\\s+")) >= DefaultShingleTokens)
+    reps.select(col("id"),
+        posexplode(bandKeysCol(minhashSig(col("txt"), numHashes), numHashes, bands))
+          .as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("population"))
+      .filter(col("population") > bucketCap)
+      .withColumn("dropped", col("population") - bucketCap)
+  }
+
   // ---- simhash ------------------------------------------------------------
 
   /** 60-bit SimHash over whitespace tokens (md5-derived token hashes;

@@ -3,6 +3,8 @@ package graft
 import graft.table.QbeastTable
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
@@ -31,11 +33,20 @@ import scala.util.Random
  *     the metadata filtered-fold rewrite, so its proof/bail logic is
  *     fuzzed against ground truth too.
  *
- *  2. DML fuzz: random delete/update/append/upsert/optimize sequences
- *     (copy-on-write AND deletion-vector tables) with predicates drawn
- *     from the same generator plus IN-subqueries, checked after every
- *     op against a driver-side LocalRelation model advanced through
- *     plain Spark SQL — the reference semantics with no qbeast code.
+ *  2. DML+schema fuzz: random delete/update/append/upsert/restore/
+ *     optimize sequences (copy-on-write AND deletion-vector tables)
+ *     with predicates drawn from the same generator plus
+ *     IN-subqueries, interleaved with SCHEMA EVOLUTION ops —
+ *     mergeSchema widening appends, metadata-only ADD COLUMNS
+ *     commits, overwriteSchema replacement, and dead names re-added
+ *     at a different type — checked after every op against a
+ *     driver-side LocalRelation model advanced through plain Spark
+ *     SQL (the reference semantics with no qbeast code). Sequence-end
+ *     invariants: versionAsOf reads across the whole history (incl.
+ *     schema replacements), CDF multiset reconstruction from the last
+ *     replacement, and an AvailableNow streaming drain that must
+ *     equal the batch feed (or stop with the pinned schema-change
+ *     error when the history widened).
  *
  * Case budget: 700 predicate cases (x2 checks each) + 32 sequences x
  * 10 ops = 1020 seeded cases per `sbt test` run, tunable via
@@ -236,11 +247,24 @@ class FuzzSpec extends AnyFunSuite {
 
   // ---- DML sequence fuzz -----------------------------------------------------
 
+  /** Canonical multiset of a frame's rows — columns SORTED BY NAME so
+   * frames whose schemas agree as sets (but not in order) compare
+   * equal; schema evolution grows the column set mid-sequence. */
   private def canon(df: DataFrame): Seq[String] =
-    df.select("k", "v", "s", "d").collect().map(_.toSeq.map {
+    df.select(df.columns.sorted.map(col).toSeq: _*).collect().map(_.toSeq.map {
       case null => "∅"
       case x => x.toString
     }.mkString("|")).sorted.toSeq
+
+  /** Project `df` onto `to`: shared columns pass through, missing ones
+   * become typed nulls, extra ones drop — the projection the change
+   * feed applies when replaying commits under a schema that widened
+   * (or narrowed, via restore) after them. */
+  private def conform(df: DataFrame, to: StructType): DataFrame =
+    df.select(to.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
 
   /** Re-materialize as a LocalRelation so the model never reads files. */
   private def localize(df: DataFrame): DataFrame = {
@@ -259,7 +283,7 @@ class FuzzSpec extends AnyFunSuite {
       (k, v, s, d)
     }
 
-  test(s"DML fuzz: $dmlSeqs seeded sequences x $dmlOps ops match a LocalRelation model") {
+  test(s"DML+schema fuzz: $dmlSeqs seeded sequences x $dmlOps ops match a LocalRelation model") {
     import spark.implicits._
     val assigns = Seq(
       Map("v" -> "v + 10.5"),
@@ -267,11 +291,17 @@ class FuzzSpec extends AnyFunSuite {
       Map("s" -> "concat(coalesce(s, 'n'), '!')"),
       Map("d" -> "date_add(d, 30)"),
       Map("v" -> "-v", "s" -> "upper(s)"))
+    val baseCols = Set("k", "v", "s", "d")
 
     for (seq <- 0 until dmlSeqs) {
       val seed = masterSeed * 31 + seq
       val r = new Random(seed)
       val dv = seq % 2 == 1
+      // every 4th sequence stays schema-stable: its end-of-sequence
+      // streaming drain must SUCCEED and match batch changes() row for
+      // row (schema-changing histories pin the restart-the-stream
+      // error instead — Delta parity)
+      val allowSchema = seq % 4 != 3
       val dir = TestSpark.tmpDir(s"fuzz-dml-$seq")
       val init = freshRows(1L, 160, r)
       val w = init.toDF("k", "v", "s", "d").write.format("qbeast")
@@ -279,14 +309,26 @@ class FuzzSpec extends AnyFunSuite {
       (if (dv) w.option("deletionVectors", "true") else w).save(dir)
       var model = localize(init.toDF("k", "v", "s", "d"))
       var nextKey = 161L
+      var nextCol = 1
+      var schemaOps = 0
+      // overwriteSchema-released names become reusable at a DIFFERENT
+      // type — the stale-stats screen must never consult the dead files
+      val droppedCols = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
       val t = QbeastTable.forPath(spark, dir)
-      // (version, expected content, model frame) after every commit —
-      // replayed through versionAsOf at sequence end (time travel over
-      // random histories) and drawn from by the RESTORE op
-      val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String], DataFrame)]
       val v0 = t.snapshot.version
-      val initialCanon = canon(model)
-      history += ((v0, initialCanon, model))
+      // (version, expected content, model frame) after every commit —
+      // drawn from by the RESTORE op. CLEARED at overwriteSchema so
+      // restores and the CDF reconstruction never cross a schema
+      // REPLACEMENT (changes() reads every commit's files under the
+      // head schema, and a replaced column type would clash); widening
+      // commits stay fully inside both invariants. `fullHistory` keeps
+      // every version for versionAsOf, which DOES cross replacements
+      // (each snapshot reads under its own schema).
+      val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String], DataFrame)]
+      val fullHistory = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+      history += ((v0, canon(model), model))
+      fullHistory += ((v0, canon(model)))
+      var anchor: (Long, DataFrame) = (v0, model)
 
       def dmlPred(): String = {
         // 1-in-4: an IN-subquery over a freshly registered keys view —
@@ -297,20 +339,28 @@ class FuzzSpec extends AnyFunSuite {
           "k IN (SELECT id FROM fuzz_dml_keys)"
         } else new Gen(r, dmlMode = true).gen(1 + r.nextInt(2))
       }
+      def randType(): DataType =
+        Seq[DataType](DoubleType, IntegerType, StringType)(r.nextInt(3))
+      def widenValue(dt: DataType): org.apache.spark.sql.Column = dt match {
+        case IntegerType => (col("k") % 7).cast(IntegerType)
+        case DoubleType => col("k") * 0.5
+        case _ => org.apache.spark.sql.functions.concat(lit("z"), col("k"))
+      }
 
       for (op <- 0 until dmlOps) {
-        val what = r.nextInt(10)
+        val what0 = r.nextInt(20)
+        val what = if (!allowSchema && what0 >= 16) what0 % 8 else what0
         val desc: String = what match {
-          case 0 | 1 | 2 =>
+          case 0 | 1 | 2 | 3 =>
             val p = dmlPred()
             t.delete(p)
             model = localize(model.where(s"NOT coalesce(($p), false)"))
             s"DELETE WHERE $p"
-          case 3 | 4 | 5 =>
+          case 4 | 5 | 6 =>
             val p = dmlPred()
             val a = assigns(r.nextInt(assigns.length))
             t.update(p, a)
-            val sel = Seq("k", "v", "s", "d").map { c =>
+            val sel = model.columns.toSeq.map { c =>
               a.get(c) match {
                 case Some(e) => s"IF(coalesce(($p), false), $e, $c) AS $c"
                 case None => c
@@ -318,21 +368,23 @@ class FuzzSpec extends AnyFunSuite {
             }
             model = localize(model.selectExpr(sel: _*))
             s"UPDATE ${a.keys.mkString(",")} WHERE $p"
-          case 6 | 7 =>
+          case 7 | 8 =>
+            // appends carry the FULL current schema (widened columns as
+            // nulls) — exact-schema appends need no mergeSchema option
             val batch = freshRows(nextKey, 10 + r.nextInt(20), r)
             nextKey += batch.size
-            batch.toDF("k", "v", "s", "d").write.format("qbeast")
-              .mode("append").save(dir)
-            model = localize(model.unionByName(batch.toDF("k", "v", "s", "d")))
+            val bdf = conform(batch.toDF("k", "v", "s", "d"), model.schema)
+            bdf.write.format("qbeast").mode("append").save(dir)
+            model = localize(model.unionByName(bdf))
             s"APPEND ${batch.size}"
-          case 8 =>
+          case 9 | 10 =>
             // keys may hit existing rows, deleted rows, or be brand new
             val src = freshRows(1, 0, r) ++ (0 until (5 + r.nextInt(10))).map { _ =>
               val k = 1L + (math.abs(r.nextLong()) % (nextKey + 10))
               freshRows(k, 1, r).head
             }
-            val srcDf = src.toDF("k", "v", "s", "d")
-              .dropDuplicates("k")
+            val srcDf = conform(
+              src.toDF("k", "v", "s", "d").dropDuplicates("k"), model.schema)
             if (model.isEmpty) {
               // upsert into an emptied table is a pinned refusal (use a
               // plain write); the model must stay unchanged
@@ -346,13 +398,63 @@ class FuzzSpec extends AnyFunSuite {
                   .unionByName(srcDf))
               s"UPSERT ${src.size}"
             }
-          case 9 if history.size > 1 =>
+          case 11 | 12 if history.size > 1 =>
             // restore to a random recorded version: the model rolls
-            // back with it (restore is itself one more commit)
+            // back with it (restore is itself one more commit) — and
+            // the schema narrows back with it across widening commits
             val (rv, _, rm) = history(r.nextInt(history.size))
             t.restoreToVersion(rv)
             model = rm
             s"RESTORE to v$rv"
+          case 16 | 17 =>
+            // widen via mergeSchema append: a fresh column, or (when an
+            // overwrite released one) a DEAD name re-added at a
+            // DIFFERENT type — legal exactly because no live file
+            // carries the old type
+            val (cname, dt) =
+              if (droppedCols.nonEmpty && r.nextBoolean()) {
+                val (n, oldDt) = droppedCols.head
+                droppedCols.remove(n)
+                val nt = Seq[DataType](DoubleType, IntegerType, StringType)
+                  .filterNot(_ == oldDt)(r.nextInt(2))
+                (n, nt)
+              } else { val n = s"x$nextCol"; nextCol += 1; (n, randType()) }
+            val batch = freshRows(nextKey, 8 + r.nextInt(12), r)
+            nextKey += batch.size
+            val bdf = conform(batch.toDF("k", "v", "s", "d"), model.schema)
+              .withColumn(cname, widenValue(dt))
+            bdf.write.format("qbeast").option("mergeSchema", "true")
+              .mode("append").save(dir)
+            model = localize(
+              model.withColumn(cname, lit(null).cast(dt)).unionByName(bdf))
+            schemaOps += 1
+            s"WIDEN $cname:${dt.simpleString} +${batch.size}"
+          case 18 =>
+            // metadata-only ADD COLUMNS (the ALTER TABLE commit shape):
+            // no file is written; every existing row reads null
+            val n = s"x$nextCol"; nextCol += 1
+            val dt = randType()
+            val tc = org.apache.spark.sql.connector.catalog.TableChange.addColumn(Array(n), dt)
+            graft.catalog.QbeastCatalog.persistAddColumnsToLog(dir,
+              Seq(tc.asInstanceOf[org.apache.spark.sql.connector.catalog.TableChange.AddColumn]))
+            model = localize(model.withColumn(n, lit(null).cast(dt)))
+            schemaOps += 1
+            s"ADD COLUMNS $n:${dt.simpleString}"
+          case 19 =>
+            // overwriteSchema replacement: back to the base columns,
+            // releasing every widened name for a later retyped re-add
+            model.schema.fields.filterNot(f => baseCols.contains(f.name))
+              .foreach(f => droppedCols(f.name) = f.dataType)
+            val batch = freshRows(nextKey, 30 + r.nextInt(30), r)
+            nextKey += batch.size
+            val w2 = batch.toDF("k", "v", "s", "d").write.format("qbeast")
+              .option("columnsToIndex", "k").option("cubeSize", "40")
+              .option("overwriteSchema", "true").mode("overwrite")
+            (if (dv) w2.option("deletionVectors", "true") else w2).save(dir)
+            model = localize(batch.toDF("k", "v", "s", "d"))
+            history.clear()
+            schemaOps += 1
+            s"OVERWRITE ${batch.size} (schema reset)"
           case _ =>
             t.optimize()
             "OPTIMIZE"
@@ -366,12 +468,17 @@ class FuzzSpec extends AnyFunSuite {
             s"${got.size} rows vs ${want.size} expected; " +
             s"missing=$missing extra=$extra")
         }
-        history += ((t.snapshot.version, want, model))
+        val ver = t.snapshot.version
+        if (desc.startsWith("OVERWRITE")) anchor = (ver, model)
+        history += ((ver, want, model))
+        fullHistory += ((ver, want))
       }
-      // time travel across the random history: up to 4 random recorded
-      // versions must read back exactly the state the model had there
-      val picks = new Random(seed + 999).shuffle(history.toSeq).take(4)
-      picks.foreach { case (v, want, _) =>
+      // time travel across the random history — INCLUDING schema
+      // replacements (each snapshot reads its files under its own
+      // schema): up to 4 random recorded versions must read back
+      // exactly the state the model had there
+      val picks = new Random(seed + 999).shuffle(fullHistory.toSeq).take(4)
+      picks.foreach { case (v, want) =>
         val got = canon(spark.read.format("qbeast")
           .option("versionAsOf", v.toString).load(dir))
         if (got != want)
@@ -379,17 +486,21 @@ class FuzzSpec extends AnyFunSuite {
             s"${got.size} rows vs ${want.size} expected; " +
             s"missing=${want.diff(got).take(3)} extra=${got.diff(want).take(3)}")
       }
-      // change-feed reconstruction: initial state ⊎ inserts ∖ deletes
-      // over the whole random history must equal the final content —
-      // multiset semantics (updates/upserts/restores emit delete+insert
-      // pairs; optimize emits nothing)
+      // change-feed reconstruction: anchor state ⊎ inserts ∖ deletes
+      // from the last schema REPLACEMENT (or the initial write) to head
+      // must equal the final content — multiset semantics, with every
+      // frame and the anchor projected to the HEAD schema (widening
+      // commits inside the range replay old rows with null new columns)
       val head = t.snapshot.version
-      if (head > v0) {
+      val (anchorV, anchorModel) = anchor
+      if (head > anchorV) {
+        val finalCols = model.columns.sorted.toSeq
         val counts = scala.collection.mutable.Map.empty[String, Long]
-        initialCanon.foreach(s => counts(s) = counts.getOrElse(s, 0L) + 1)
-        t.changes(v0 + 1, head)
-          .select("_change_type", "k", "v", "s", "d").collect().foreach { r2 =>
-            val row = (1 to 4).map(j =>
+        canon(conform(anchorModel, model.schema))
+          .foreach(s => counts(s) = counts.getOrElse(s, 0L) + 1)
+        t.changes(anchorV + 1, head)
+          .select(("_change_type" +: finalCols).map(col): _*).collect().foreach { r2 =>
+            val row = (1 until r2.length).map(j =>
               if (r2.isNullAt(j)) "∅" else r2.get(j).toString).mkString("|")
             val delta = if (r2.getString(0) == "insert") 1L else -1L
             counts(row) = counts.getOrElse(row, 0L) + delta
@@ -402,10 +513,43 @@ class FuzzSpec extends AnyFunSuite {
           }.sorted
         val finalCanon = canon(model)
         if (rebuilt != finalCanon)
-          fail(s"[seq=$seq seed=$seed dv=$dv cdf v${v0 + 1}..$head]: " +
+          fail(s"[seq=$seq seed=$seed dv=$dv cdf v${anchorV + 1}..$head]: " +
             s"replay gives ${rebuilt.size} rows vs ${finalCanon.size}; " +
             s"missing=${finalCanon.diff(rebuilt).take(3)} " +
             s"extra=${rebuilt.diff(finalCanon).take(3)}")
+      }
+      // sequence-end STREAMING drain: the CDF stream must replay the
+      // SAME feed batch changes() computes (restores and rewrites ride
+      // the whole-commit diff units) — or, when the history changed the
+      // schema, stop with the pinned restart-the-stream error
+      val outDir = TestSpark.tmpDir(s"fuzz-stream-out-$seq")
+      val ckpt = TestSpark.tmpDir(s"fuzz-stream-ckpt-$seq")
+      try {
+        val q = spark.readStream.format("qbeast")
+          .option("readChangeFeed", "true").option("startingVersion", v0.toString)
+          .load(dir)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", outDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        val finalCols = model.columns.sorted.toSeq
+        def rows(df: DataFrame): Seq[String] =
+          df.select(("_commit_version" +: "_change_type" +: finalCols).map(col): _*)
+            .collect().map(_.toSeq.map { case null => "∅"; case x => x.toString }
+              .mkString("|")).sorted.toSeq
+        val streamed = rows(spark.read.parquet(outDir))
+        val batchFeed = rows(t.changes(v0, head))
+        if (streamed != batchFeed)
+          fail(s"[seq=$seq seed=$seed dv=$dv stream-drain v$v0..$head]: " +
+            s"${streamed.size} streamed rows vs ${batchFeed.size} batch; " +
+            s"missing=${batchFeed.diff(streamed).take(3)} " +
+            s"extra=${streamed.diff(batchFeed).take(3)}")
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+          if (!(schemaOps > 0 && msg.contains("changed the table schema")))
+            fail(s"[seq=$seq seed=$seed dv=$dv stream-drain]: unexpected " +
+              s"stream failure (schemaOps=$schemaOps): $msg")
       }
     }
   }

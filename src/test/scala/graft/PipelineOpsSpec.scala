@@ -655,6 +655,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), s"unexpected UDF in plan:\n$p")
   }
 
+  test("boundedNearDupPairs: linear exact edges, rep-level near recall, " +
+    "capped buckets reported") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a + " tail" // near-dup of a, different content hash
+    val c = "pack my box with five dozen liquor jugs for the long trip north"
+    // 40-deep, 3-deep and 5-deep exact groups + two singletons — the
+    // replication shape that makes pairwise emission quadratic
+    val docs = (Seq.fill(40)(a) ++ Seq.fill(3)(b) ++ Seq.fill(5)(c) ++
+      Seq("completely unrelated first singleton document text here",
+        "another entirely different lone document with its own words"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    val out = ops.Dedup.boundedNearDupPairs(docs, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+
+    // exact edges: (depth - 1) per group, anchored at the min-id rep —
+    // 45 rows where a pairwise emitter produces C(40,2)+C(3,2)+C(5,2)
+    val exact = out.filter(_._4 == "exact")
+    assert(exact.length == 39 + 2 + 4 && exact.forall(_._3 == 1.0))
+    assert(exact.count(_._1 == 0L) == 39)
+    assert(exact.count(_._1 == 40L) == 2)
+    assert(exact.count(_._1 == 43L) == 4)
+
+    // near recall survives the collapse: exactly the one rep-level
+    // pair (a-rep, b-rep) — expandable to the 40×3 cross product by a
+    // linear join when a consumer truly needs every pair
+    val near = out.filter(_._4 == "near")
+    assert(near.map(p => (p._1, p._2)).toSeq == Seq((0L, 40L)), near.toSeq.toString)
+
+    // bucket cap: cap=1 keeps only the lowest rep per (band, bucket),
+    // so the near pair disappears — and the overflow report NAMES the
+    // over-cap buckets instead of staying silent
+    val capped = ops.Dedup.boundedNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.2, bucketCap = 1)
+    assert(capped.filter(col("kind") === "near").count() == 0)
+    assert(capped.filter(col("kind") === "exact").count() == 45)
+    val overflow = ops.Dedup.bucketOverflow(docs, "doc_id", "text", bucketCap = 1)
+      .collect()
+    assert(overflow.nonEmpty && overflow.forall(_.getLong(2) > 1))
+
+    // a cap above every bucket's population is a no-op: identical rows
+    val wide = ops.Dedup.boundedNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.2, bucketCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(wide.sortBy(x => (x._1, x._2)).toSeq == out.sortBy(x => (x._1, x._2)).toSeq)
+    assert(ops.Dedup.bucketOverflow(docs, "doc_id", "text", bucketCap = 64).isEmpty)
+  }
+
   test("text-signature expressions match their UDF formulations bit-for-bit") {
     val rnd = new scala.util.Random(41)
     val vocab = (0 until 60).map(i => s"w$i") ++ Seq("émoji", "日本語", "a_b", "x-y")
