@@ -240,6 +240,35 @@ class ChangeFeedSpec extends AnyFunSuite {
       s"stream feed must match batch changes(): $streamed vs $batch")
   }
 
+  test("changes() replays across an ADD COLUMNS commit in the widened schema") {
+    val tbl = TestSpark.tmpDir("cdf-addcol")
+    writeSlice(tbl, 0, 40, "overwrite") // v0
+    val t = table.QbeastTable.forPath(spark, tbl)
+    // v1: metadata-only widening (the ALTER TABLE ADD COLUMNS shape)
+    val tc = org.apache.spark.sql.connector.catalog.TableChange
+      .addColumn(Array("x"), org.apache.spark.sql.types.IntegerType)
+    graft.catalog.QbeastCatalog.persistAddColumnsToLog(tbl,
+      Seq(tc.asInstanceOf[org.apache.spark.sql.connector.catalog.TableChange.AddColumn]))
+    t.delete("a >= 30") // v2: DML on pre-widening files
+    (40L until 45L).map(i => (i, i % 10 * 1.0, i.toInt)).toDF("a", "b", "x")
+      .write.format("qbeast").mode("append").save(tbl) // v3: x populated
+
+    // the feed replays in the WIDENED schema: the metadata commit
+    // itself emits nothing, pre-widening rows read x as null, and
+    // post-widening inserts carry their x values
+    val feed = t.changes(1L)
+    assert(feed.columns.toSet ==
+      Set("a", "b", "x", "_change_type", "_commit_version"))
+    assert(feedCounts(feed) == Map((2L, "delete") -> 10L, (3L, "insert") -> 5L))
+    val deleted = feed.filter(col("_change_type") === "delete")
+      .select("a", "x").collect()
+    assert(deleted.forall(_.isNullAt(1)) &&
+      deleted.map(_.getLong(0)).sorted.toSeq == (30L until 40L).toSeq)
+    val inserted = feed.filter(col("_change_type") === "insert")
+      .select("a", "x").as[(Long, Int)].collect().toMap
+    assert(inserted == (40L until 45L).map(i => i -> i.toInt).toMap)
+  }
+
   test("restore resurrecting a dropped file that is MASKED at the target " +
     "version feeds only its live rows (add + dv action, same commit)") {
     // mask → drop → restore: the restore commit re-ADDS the file and

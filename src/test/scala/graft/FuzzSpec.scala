@@ -60,7 +60,8 @@ class FuzzSpec extends AnyFunSuite {
     sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260815L)
   private val predCases: Int =
     sys.env.get("GRAFT_FUZZ_CASES").map(_.toInt).getOrElse(700)
-  private val dmlSeqs = 32
+  private val dmlSeqs: Int =
+    sys.env.get("GRAFT_FUZZ_DML_SEQS").map(_.toInt).getOrElse(32)
   private val dmlOps = 10
 
   // ---- shared literal/predicate generator -----------------------------------
@@ -330,6 +331,21 @@ class FuzzSpec extends AnyFunSuite {
       fullHistory += ((v0, canon(model)))
       var anchor: (Long, DataFrame) = (v0, model)
 
+      // one sink + checkpoint per sequence: the mid-sequence drain (on
+      // schema-stable sequences) and the final drain share them, so the
+      // final drain RESUMES from the recorded offsets
+      val outDir = TestSpark.tmpDir(s"fuzz-stream-out-$seq")
+      val ckpt = TestSpark.tmpDir(s"fuzz-stream-ckpt-$seq")
+      def drainFeed(): Unit = {
+        val q = spark.readStream.format("qbeast")
+          .option("readChangeFeed", "true").option("startingVersion", v0.toString)
+          .load(dir)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", outDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      }
+
       def dmlPred(): String = {
         // 1-in-4: an IN-subquery over a freshly registered keys view —
         // the shape class both recent real bugs lived in
@@ -472,6 +488,11 @@ class FuzzSpec extends AnyFunSuite {
         if (desc.startsWith("OVERWRITE")) anchor = (ver, model)
         history += ((ver, want, model))
         fullHistory += ((ver, want))
+        // mid-sequence drain on the schema-stable sequences: the final
+        // drain then RESUMES from this checkpoint, exercising offset
+        // restart across every unit kind (incl. the whole-commit 'x'
+        // diffs) with exactly-once delivery into the same sink
+        if (!allowSchema && op == dmlOps / 2 - 1) drainFeed()
       }
       // time travel across the random history — INCLUDING schema
       // replacements (each snapshot reads its files under its own
@@ -522,16 +543,8 @@ class FuzzSpec extends AnyFunSuite {
       // SAME feed batch changes() computes (restores and rewrites ride
       // the whole-commit diff units) — or, when the history changed the
       // schema, stop with the pinned restart-the-stream error
-      val outDir = TestSpark.tmpDir(s"fuzz-stream-out-$seq")
-      val ckpt = TestSpark.tmpDir(s"fuzz-stream-ckpt-$seq")
       try {
-        val q = spark.readStream.format("qbeast")
-          .option("readChangeFeed", "true").option("startingVersion", v0.toString)
-          .load(dir)
-          .writeStream.format("parquet")
-          .option("checkpointLocation", ckpt).option("path", outDir)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        try q.awaitTermination() finally q.stop()
+        drainFeed()
         val finalCols = model.columns.sorted.toSeq
         def rows(df: DataFrame): Seq[String] =
           df.select(("_commit_version" +: "_change_type" +: finalCols).map(col): _*)
