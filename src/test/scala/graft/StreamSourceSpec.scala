@@ -174,6 +174,41 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(files1 == 2L)
   }
 
+  test("CDF whole-commit diff ('x') units admit atomically under rate limits") {
+    // a rewrite commit without a persisted change file replays as ONE
+    // pseudo-unit: under maxFilesPerTrigger=1 every unit is its own
+    // microbatch, so the diff's before/after sides can never be split
+    // across batches — and the drained feed must equal batch changes()
+    val tbl = TestSpark.tmpDir("qss-x-tbl")
+    writeSlice(tbl, 0, 30, "overwrite") // v0
+    writeSlice(tbl, 30, 40, "append") // v1
+    val t = graft.table.QbeastTable.forPath(spark, tbl)
+    assert(t.update("id < 5", Map("price" -> "price + 1")) == 5L) // v2: 'x'
+    writeSlice(tbl, 40, 45, "append") // v3: plain 'a' units after the diff
+    val ckpt = TestSpark.tmpDir("qss-x-ckpt")
+    val out = TestSpark.tmpDir("qss-x-out")
+    val q = spark.readStream.format("qbeast")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "1").load(tbl)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("_commit_version", "_change_type").count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamed = counts(spark.read.parquet(out))
+    val batch = counts(t.changes(0))
+    assert(streamed == batch,
+      s"rate-limited 'x' replay must equal batch changes(): $streamed vs $batch")
+    assert(streamed((2L, "insert")) == 5L && streamed((2L, "delete")) == 5L)
+    // the updated rows stream their post-image values
+    val ins = spark.read.parquet(out)
+      .filter(col("_commit_version") === 2 && col("_change_type") === "insert")
+      .select("id", "price").as[(Long, Double)].collect().toMap
+    assert(ins == (0L until 5L).map(i => i -> (i * 10.0 + 1)).toMap)
+  }
+
   test("readChangeFeed rejects tables that already use the reserved column names") {
     val tbl = TestSpark.tmpDir("qss-reserved-tbl")
     (1 to 5).map(i => (i.toLong, s"t$i")).toDF("_commit_version", "_change_type")
