@@ -298,6 +298,10 @@ class FuzzSpec extends AnyFunSuite {
       val seed = masterSeed * 31 + seq
       val r = new Random(seed)
       val dv = seq % 2 == 1
+      // every 4th sequence persists change files (enableChangeDataFeed):
+      // its DML replays through the 'c' units / cdc branch instead of
+      // the file re-diff, under the same model invariants
+      val cdf = seq % 4 == 2
       // every 4th sequence stays schema-stable: its end-of-sequence
       // streaming drain must SUCCEED and match batch changes() row for
       // row (schema-changing histories pin the restart-the-stream
@@ -305,9 +309,10 @@ class FuzzSpec extends AnyFunSuite {
       val allowSchema = seq % 4 != 3
       val dir = TestSpark.tmpDir(s"fuzz-dml-$seq")
       val init = freshRows(1L, 160, r)
-      val w = init.toDF("k", "v", "s", "d").write.format("qbeast")
+      val w0 = init.toDF("k", "v", "s", "d").write.format("qbeast")
         .option("columnsToIndex", "k").option("cubeSize", "40")
-      (if (dv) w.option("deletionVectors", "true") else w).save(dir)
+      val w1 = if (dv) w0.option("deletionVectors", "true") else w0
+      (if (cdf) w1.option("enableChangeDataFeed", "true") else w1).save(dir)
       var model = localize(init.toDF("k", "v", "s", "d"))
       var nextKey = 161L
       var nextCol = 1
@@ -466,11 +471,19 @@ class FuzzSpec extends AnyFunSuite {
             val w2 = batch.toDF("k", "v", "s", "d").write.format("qbeast")
               .option("columnsToIndex", "k").option("cubeSize", "40")
               .option("overwriteSchema", "true").mode("overwrite")
-            (if (dv) w2.option("deletionVectors", "true") else w2).save(dir)
+            val w3 = if (dv) w2.option("deletionVectors", "true") else w2
+            (if (cdf) w3.option("enableChangeDataFeed", "true") else w3).save(dir)
             model = localize(batch.toDF("k", "v", "s", "d"))
             history.clear()
             schemaOps += 1
             s"OVERWRITE ${batch.size} (schema reset)"
+          case 13 =>
+            // WHERE-scoped optimize: rewrites only matching files;
+            // content is invariant like plain optimize
+            val p = new Gen(r, dmlMode = true).gen(1)
+            try { t.optimizeWhere(org.apache.spark.sql.functions.expr(p)); () }
+            catch { case _: IllegalArgumentException => t.optimize() }
+            s"OPTIMIZE WHERE $p"
           case _ =>
             t.optimize()
             "OPTIMIZE"
