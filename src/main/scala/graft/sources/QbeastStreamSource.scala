@@ -125,15 +125,17 @@ class QbeastStreamSource(
    * content — every row carries `_change_type` ('insert' | 'delete')
    * and `_commit_version`. The initial snapshot streams as inserts at
    * its anchor version; append commits as inserts; DML commits read
-   * their persisted `_change_data` file (requires the table property
-   * `qbeast.enableChangeDataFeed` to have been set BEFORE the DML —
-   * a micro-batch cannot re-diff rewritten files, that needs the
-   * stateful EXCEPT ALL only batch [[graft.table.QbeastTable.changes]]
-   * can run). Delete-only commits without a change file stream the
-   * removed files as deletes; deletion-vector commits without one
-   * replay their vector DELTA — the rows masked at v but not at v-1 —
-   * as deletes (merge-on-read UPDATE/upsert adds stream as inserts
-   * alongside), mirroring the batch replay. */
+   * their persisted `_change_data` file when the table property
+   * `qbeast.enableChangeDataFeed` was set before the DML. Commits
+   * WITHOUT a change file mirror the batch replay exactly: delete-only
+   * commits stream the removed files as deletes; deletion-vector
+   * commits replay their vector DELTA — the rows masked at v but not
+   * at v-1 — as deletes (merge-on-read UPDATE/upsert adds stream as
+   * inserts alongside); and rewrite/RESTORE commits (removes + adds)
+   * replay as ONE atomic whole-commit diff unit running the same
+   * EXCEPT ALL frames batch [[graft.table.QbeastTable.changes]]
+   * builds — admission never splits the unit, so the before/after
+   * sides always land in the same micro-batch. */
   private val readChangeFeed = boolOpt("readChangeFeed")
 
   private val maxFilesPerTrigger: Option[Int] =

@@ -34,7 +34,8 @@ import scala.util.Random
  *     fuzzed against ground truth too.
  *
  *  2. DML+schema fuzz: random delete/update/append/upsert/restore/
- *     optimize sequences (copy-on-write AND deletion-vector tables)
+ *     optimize/optimizeWhere/vacuum sequences (copy-on-write AND
+ *     deletion-vector tables, with and without persisted change files)
  *     with predicates drawn from the same generator plus
  *     IN-subqueries, interleaved with SCHEMA EVOLUTION ops —
  *     mergeSchema widening appends, metadata-only ADD COLUMNS
@@ -317,6 +318,11 @@ class FuzzSpec extends AnyFunSuite {
       var nextKey = 161L
       var nextCol = 1
       var schemaOps = 0
+      // set when a zero-retention VACUUM ran (only on seq % 8 == 5
+      // sequences): replays reaching behind the reclaim may fail, but
+      // only with the reclaim named (or Spark's file-not-found for the
+      // probe-free time-travel scan) — never with wrong rows
+      var lastVacuum: Option[Long] = None
       // overwriteSchema-released names become reusable at a DIFFERENT
       // type — the stale-stats screen must never consult the dead files
       val droppedCols = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
@@ -422,11 +428,20 @@ class FuzzSpec extends AnyFunSuite {
           case 11 | 12 if history.size > 1 =>
             // restore to a random recorded version: the model rolls
             // back with it (restore is itself one more commit) — and
-            // the schema narrows back with it across widening commits
+            // the schema narrows back with it across widening commits.
+            // After a zero-retention vacuum the resurrect files may be
+            // gone: the refusal must NAME the reclaim and commit
+            // NOTHING (the model stays put and the next check proves it)
             val (rv, _, rm) = history(r.nextInt(history.size))
-            t.restoreToVersion(rv)
-            model = rm
-            s"RESTORE to v$rv"
+            try {
+              t.restoreToVersion(rv)
+              model = rm
+              s"RESTORE to v$rv"
+            } catch {
+              case e: IllegalArgumentException
+                if lastVacuum.isDefined && e.getMessage.contains("vacuum") =>
+                s"RESTORE-REFUSED v$rv (vacuumed)"
+            }
           case 16 | 17 =>
             // widen via mergeSchema append: a fresh column, or (when an
             // overwrite released one) a DEAD name re-added at a
@@ -484,6 +499,16 @@ class FuzzSpec extends AnyFunSuite {
             try { t.optimizeWhere(org.apache.spark.sql.functions.expr(p)); () }
             catch { case _: IllegalArgumentException => t.optimize() }
             s"OPTIMIZE WHERE $p"
+          case 15 if seq % 8 == 5 =>
+            // zero-retention vacuum: reclaims every tombstoned file,
+            // change file and replaced vector. CURRENT content must
+            // stay bit-identical (a vacuum that touches a live file —
+            // or a live deletion vector — fails the very next check);
+            // replays reaching BEHIND the reclaim fail NAMED, which the
+            // sequence-end invariants tolerate for pre-vacuum versions
+            t.vacuum(0L, force = true)
+            lastVacuum = Some(t.snapshot.version)
+            "VACUUM"
           case _ =>
             t.optimize()
             "OPTIMIZE"
@@ -511,11 +536,24 @@ class FuzzSpec extends AnyFunSuite {
       // replacements (each snapshot reads its files under its own
       // schema): up to 4 random recorded versions must read back
       // exactly the state the model had there
+      def msgChain(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t2 => s"${t2.getClass.getSimpleName}: ${t2.getMessage}").mkString(" | ")
       val picks = new Random(seed + 999).shuffle(fullHistory.toSeq).take(4)
       picks.foreach { case (v, want) =>
-        val got = canon(spark.read.format("qbeast")
-          .option("versionAsOf", v.toString).load(dir))
-        if (got != want)
+        val got =
+          try canon(spark.read.format("qbeast")
+            .option("versionAsOf", v.toString).load(dir))
+          catch {
+            // a pre-vacuum version may reference reclaimed files; the
+            // time-travel scan has no pre-probe, so Spark's own
+            // file-not-found is also acceptable — wrong ROWS never are
+            case e: Throwable if lastVacuum.exists(_ >= v) &&
+              (msgChain(e).contains("vacuum") ||
+                msgChain(e).toLowerCase.contains("does not exist") ||
+                msgChain(e).contains("FileNotFound")) => null
+          }
+        if (got != null && got != want)
           fail(s"[seq=$seq seed=$seed dv=$dv versionAsOf=$v]: " +
             s"${got.size} rows vs ${want.size} expected; " +
             s"missing=${want.diff(got).take(3)} extra=${got.diff(want).take(3)}")
@@ -532,25 +570,35 @@ class FuzzSpec extends AnyFunSuite {
         val counts = scala.collection.mutable.Map.empty[String, Long]
         canon(conform(anchorModel, model.schema))
           .foreach(s => counts(s) = counts.getOrElse(s, 0L) + 1)
-        t.changes(anchorV + 1, head)
-          .select(("_change_type" +: finalCols).map(col): _*).collect().foreach { r2 =>
+        val feedRows =
+          try t.changes(anchorV + 1, head)
+            .select(("_change_type" +: finalCols).map(col): _*).collect()
+          catch {
+            // a replay range reaching behind a zero-retention vacuum
+            // must fail with the reclaim NAMED — anything else is a bug
+            case e: Throwable if lastVacuum.isDefined &&
+              msgChain(e).contains("vacuum") => null
+          }
+        if (feedRows != null) {
+          feedRows.foreach { r2 =>
             val row = (1 until r2.length).map(j =>
               if (r2.isNullAt(j)) "∅" else r2.get(j).toString).mkString("|")
             val delta = if (r2.getString(0) == "insert") 1L else -1L
             counts(row) = counts.getOrElse(row, 0L) + delta
           }
-        val rebuilt = counts.toSeq.filter(_._2 != 0)
-          .flatMap { case (row, n) =>
-            if (n < 0) fail(s"[seq=$seq seed=$seed dv=$dv cdf]: " +
-              s"negative multiplicity $n for $row")
-            Seq.fill(n.toInt)(row)
-          }.sorted
-        val finalCanon = canon(model)
-        if (rebuilt != finalCanon)
-          fail(s"[seq=$seq seed=$seed dv=$dv cdf v${anchorV + 1}..$head]: " +
-            s"replay gives ${rebuilt.size} rows vs ${finalCanon.size}; " +
-            s"missing=${finalCanon.diff(rebuilt).take(3)} " +
-            s"extra=${rebuilt.diff(finalCanon).take(3)}")
+          val rebuilt = counts.toSeq.filter(_._2 != 0)
+            .flatMap { case (row, n) =>
+              if (n < 0) fail(s"[seq=$seq seed=$seed dv=$dv cdf]: " +
+                s"negative multiplicity $n for $row")
+              Seq.fill(n.toInt)(row)
+            }.sorted
+          val finalCanon = canon(model)
+          if (rebuilt != finalCanon)
+            fail(s"[seq=$seq seed=$seed dv=$dv cdf v${anchorV + 1}..$head]: " +
+              s"replay gives ${rebuilt.size} rows vs ${finalCanon.size}; " +
+              s"missing=${finalCanon.diff(rebuilt).take(3)} " +
+              s"extra=${rebuilt.diff(finalCanon).take(3)}")
+        }
       }
       // sequence-end STREAMING drain: the CDF stream must replay the
       // SAME feed batch changes() computes (restores and rewrites ride
@@ -571,11 +619,14 @@ class FuzzSpec extends AnyFunSuite {
             s"missing=${batchFeed.diff(streamed).take(3)} " +
             s"extra=${streamed.diff(batchFeed).take(3)}")
       } catch {
-        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-          val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
-          if (!(schemaOps > 0 && msg.contains("changed the table schema")))
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case e: Throwable =>
+          val msg = msgChain(e)
+          val schemaStop = schemaOps > 0 && msg.contains("changed the table schema")
+          val vacuumStop = lastVacuum.isDefined && msg.contains("vacuum")
+          if (!(schemaStop || vacuumStop))
             fail(s"[seq=$seq seed=$seed dv=$dv stream-drain]: unexpected " +
-              s"stream failure (schemaOps=$schemaOps): $msg")
+              s"failure (schemaOps=$schemaOps vacuum=$lastVacuum): $msg")
       }
     }
   }
