@@ -418,6 +418,19 @@ object SparkEntry {
         .groupBy("_commit_version", "_change_type")
         .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
     }),
+    "s23_stream_rewrite_change_feed" -> ((s, dir) => {
+      // the change feed as a stream over COPY-ON-WRITE DML with no
+      // persisted change files: the DELETE and UPDATE are remove+add
+      // rewrite commits (builder-asserted), replayed as atomic
+      // whole-commit diff units ('x') — same change multiset as s19,
+      // hence the same oracle
+      QTables.ensureExtensions(s)
+      ops.Streaming.streamRewriteChangeFeed(s, s"$dir/orders.parquet",
+          QTables.cachePathFor(dir, "orders_xcdf_stream"),
+          QTables.cachePathFor(dir, "orders_xcdf_stream_sink"))
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n"), dec(col("o_totalprice")).as("sum_price"))
+    }),
     "s16_stream_kmv" -> ((s, dir) =>
       // sketch state in a stream: distinct-user estimate per event type,
       // ≤ k longs of state per group; batching-independent, so the
@@ -2339,6 +2352,29 @@ object SparkEntry {
     "s20_stream_dv_change_feed" ->
       // identical change multiset to s19: merge-on-read DML changes the
       // MECHANISM (vector deltas instead of change files), not the feed
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
+        |  app AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (5, 6)),
+        |  v1_state AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |  v2_del AS (SELECT * FROM v1_state
+        |             WHERE o_orderstatus = 'F' AND o_orderkey % 100 < 50),
+        |  v2_state AS (SELECT * FROM v1_state
+        |               WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 100 < 50)),
+        |  v3_match AS (SELECT * FROM v2_state WHERE o_orderkey % 7 = 0),
+        |  changes AS (
+        |    SELECT CAST(0 AS BIGINT) AS _commit_version,
+        |           'insert' AS _change_type, o_totalprice FROM base
+        |    UNION ALL SELECT CAST(1 AS BIGINT), 'insert', o_totalprice FROM app
+        |    UNION ALL SELECT CAST(2 AS BIGINT), 'delete', o_totalprice FROM v2_del
+        |    UNION ALL SELECT CAST(3 AS BIGINT), 'delete', o_totalprice FROM v3_match
+        |    UNION ALL SELECT CAST(3 AS BIGINT), 'insert', o_totalprice + 1
+        |              FROM v3_match)
+        |SELECT _commit_version, _change_type, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM changes GROUP BY 1, 2""".stripMargin,
+    "s23_stream_rewrite_change_feed" ->
+      // identical change multiset to s19: copy-on-write rewrites with
+      // no change files alter the MECHANISM (atomic whole-commit diff
+      // units instead of persisted change files), not the feed
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 5),
         |  app AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (5, 6)),
         |  v1_state AS (SELECT * FROM base UNION ALL SELECT * FROM app),

@@ -811,4 +811,71 @@ object Streaming {
     spark.read.parquet(sinkDir)
   }
 
+  /**
+   * [[streamChangeFeed]]'s copy-on-write twin WITHOUT persisted change
+   * files: the same version history (overwrite, append, DELETE,
+   * UPDATE) on a table with neither `enableChangeDataFeed` nor
+   * deletion vectors, so the DML commits land as remove+add REWRITES.
+   * The stream replays each one as ONE atomic whole-commit diff unit
+   * ('x') building the same EXCEPT ALL before/after frames batch
+   * changes() builds. The builder asserts the DML commits really are
+   * rewrites (removes AND dataChange adds, no change file, no dv
+   * action), so the oracle-matched result proves the 'x' replay — the
+   * change multiset equals the s19 feed, so its oracle applies
+   * verbatim.
+   */
+  def streamRewriteChangeFeed(
+      spark: SparkSession,
+      ordersPath: String,
+      tableDir: String,
+      sinkDir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(sinkDir, "_graft_complete")
+    if (!fs.exists(marker)) {
+      fs.delete(sinkPath, true)
+      fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+      val o = spark.read.parquet(ordersPath)
+      val ckpt = fastCheckpointDir()
+      def drain(): Unit = {
+        val q = spark.readStream.format("qbeast")
+          .option("readChangeFeed", "true").option("startingVersion", "0")
+          .load(tableDir)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", sinkDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+      def write(slice: DataFrame, mode: String): Unit = slice.write.format("qbeast")
+        .option("columnsToIndex", "o_orderkey,o_totalprice")
+        .option("cubeSize", "5000") // copy-on-write, NO change feed, NO dv
+        .mode(mode).save(tableDir)
+      write(o.filter("o_orderkey % 10 < 5"), "overwrite") // v0
+      drain() // v0 inserts
+      write(o.filter("o_orderkey % 10 IN (5, 6)"), "append") // v1
+      val t = graft.table.QbeastTable.forPath(spark, tableDir)
+      t.delete("o_orderstatus = 'F' AND o_orderkey % 100 < 50") // v2: rewrite
+      t.update("o_orderkey % 7 = 0", Map("o_totalprice" -> "o_totalprice + 1")) // v3
+      // the fixture must exercise the whole-commit diff replay: DML
+      // commits are rewrites with BOTH sides and no cdc/dv shortcut
+      val snap = t.snapshot
+      (2L to snap.version).foreach { v =>
+        val acts = graft.log.QbeastLog.commitActions(
+          tableDir, conf, v, snap.revisions)
+        require(!acts.exists(_.isInstanceOf[graft.log.CdcFileAction]) &&
+          !acts.exists(_.isInstanceOf[graft.log.DvFileAction]),
+          s"rewrite CDF fixture: commit $v took a cdc/dv shortcut — " +
+            "the 'x' replay path would go untested")
+        require(acts.exists { case graft.log.RemoveFileAction(_) => true; case _ => false } &&
+          acts.exists { case graft.log.AddFileAction(_, true) => true; case _ => false },
+          s"rewrite CDF fixture: commit $v is not a remove+add rewrite")
+      }
+      drain() // restart: v1..v3 exactly once via 'a' + 'x' units
+      fs.create(marker, true).close() // publish: build is complete
+    }
+    spark.read.parquet(sinkDir)
+  }
+
 }
