@@ -238,23 +238,24 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
         val current = d.loadTable(ident)
         val currentProps = current.properties().asScala.toMap
         if (isQbeastProvider(currentProps)) {
-          val adds = QbeastCatalog.screenColumnChanges(changes)
+          val screened = QbeastCatalog.screenColumnChanges(changes)
           val loc = currentProps.get(TableCatalog.PROP_LOCATION)
             .orElse(currentProps.get("location"))
-          // ADD COLUMNS must reach the table log: path-based readers
+          // Column changes must reach the table log: path-based readers
           // resolve the schema from the log, not the catalog, so a
-          // catalog-only widening would silently serve the OLD column
+          // catalog-only change would silently serve the OLD column
           // set there. A qbeast table with no resolvable location is a
           // broken registration — refuse rather than diverge.
-          if (adds.nonEmpty && loc.isEmpty)
+          if (screened.nonEmpty && loc.isEmpty)
             throw new UnsupportedOperationException(
-              s"ALTER TABLE ${ident.name()} ADD COLUMNS: the delegate catalog " +
+              s"ALTER TABLE ${ident.name()} column changes: the delegate catalog " +
                 "exposes no table location, so the change cannot be committed " +
                 "to the qbeast table log (catalog and log schemas would " +
                 "diverge). Register the table with an explicit LOCATION.")
           loc.foreach { l =>
-            if (adds.nonEmpty)
-              QbeastCatalog.persistAddColumnsToLog(stripScheme(l), adds)
+            if (screened.adds.nonEmpty)
+              QbeastCatalog.persistAddColumnsToLog(stripScheme(l), screened.adds)
+            QbeastCatalog.persistRenameDropToLog(stripScheme(l), screened)
             persistToLog(stripScheme(l))
           }
         }
@@ -263,9 +264,10 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
         val table = QbeastCatalog.standaloneTables.getOrElse(key(ident),
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
             Seq(catalogName) ++ ident.namespace() :+ ident.name()))
-        val adds = QbeastCatalog.screenColumnChanges(changes)
-        if (adds.nonEmpty)
-          QbeastCatalog.persistAddColumnsToLog(table.location, adds)
+        val screened = QbeastCatalog.screenColumnChanges(changes)
+        if (screened.adds.nonEmpty)
+          QbeastCatalog.persistAddColumnsToLog(table.location, screened.adds)
+        QbeastCatalog.persistRenameDropToLog(table.location, screened)
         persistToLog(table.location)
         val props = changes.foldLeft(table.tableProperties) {
           case (acc, set: TableChange.SetProperty) => acc + (set.property() -> set.value())
@@ -280,8 +282,16 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
           tableProperties = props,
           declaredSchema =
             if (table.declaredSchema.isEmpty) table.declaredSchema
-            else StructType(table.declaredSchema.fields ++
-              QbeastCatalog.newFieldsFor(table.declaredSchema, adds)))
+            else {
+              val widened = StructType(table.declaredSchema.fields ++
+                QbeastCatalog.newFieldsFor(table.declaredSchema, screened.adds))
+              val renamed = StructType(widened.fields.map { f =>
+                screened.renames.find(_.fieldNames()(0).equalsIgnoreCase(f.name))
+                  .map(r => f.copy(name = r.newName())).getOrElse(f)
+              })
+              StructType(renamed.fields.filterNot(f =>
+                screened.drops.exists(_.fieldNames()(0).equalsIgnoreCase(f.name))))
+            })
         QbeastCatalog.standaloneTables.put(key(ident), updated)
         QbeastCatalog.saveStore(warehouse)
         updated
@@ -517,24 +527,33 @@ object QbeastCatalog {
     }
   }
 
+  /** Screened ALTER TABLE column changes: top-level nullable adds,
+   * top-level renames and drops — everything the mapping-aware log can
+   * commit metadata-only. */
+  private[graft] final case class ScreenedColumnChanges(
+      adds: Seq[TableChange.AddColumn],
+      renames: Seq[TableChange.RenameColumn],
+      drops: Seq[TableChange.DeleteColumn]) {
+    def nonEmpty: Boolean = adds.nonEmpty || renames.nonEmpty || drops.nonEmpty
+  }
+
   /** Screens ALTER TABLE column changes for qbeast tables: top-level
    * nullable ADD COLUMNS pass through (metadata-only, old files read
-   * the column as null); everything else — RENAME/DROP COLUMN, type or
-   * nullability changes — is REFUSED rather than silently ignored or
-   * half-applied. Refusal is deliberate, not a TODO: per-file column
-   * stats, blooms and HLL/KLL sketch states are keyed by column NAME in
-   * the stats JSON, so a rename or a drop-then-re-add under this
-   * catalog would leave old files carrying stale stats for the new
-   * column's name, silently mis-pruning scans and mis-folding metadata
-   * aggregates. The supported way to reshape a schema is
-   * overwriteSchema=true, which replaces the file set in the same
-   * commit (stale stats die with their files — spec-pinned in
-   * SchemaEvolutionSpec). */
+   * the column as null); RENAME/DROP COLUMN pass through as
+   * metadata-only commits under logical→physical column mapping
+   * (per-file stats, blooms, sketches and revision transformers stay
+   * keyed by the immutable PHYSICAL name; see
+   * `graft.core.model.ColumnMapping`). Type/nullability changes remain
+   * REFUSED: old parquet footers carry the old type and the shared scan
+   * schema would poison. Nested (multi-part) renames/drops are refused —
+   * the mapping is top-level. */
   private[graft] def screenColumnChanges(
-      changes: Seq[TableChange]): Seq[TableChange.AddColumn] = {
+      changes: Seq[TableChange]): ScreenedColumnChanges = {
     val cols = changes.collect { case c: TableChange.ColumnChange => c }
     val rejected = cols.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn] ||
         // comments are metadata-only and touch no name-keyed state —
         // the delegate applies them; the standalone store ignores them
         c.isInstanceOf[TableChange.UpdateColumnComment])
@@ -542,10 +561,17 @@ object QbeastCatalog {
       val what = rejected.map(_.getClass.getSimpleName).distinct.mkString(", ")
       throw new UnsupportedOperationException(
         s"qbeast tables do not support ALTER TABLE column changes: $what. " +
-          "Per-file stats/sketches are keyed by column name, so renames and " +
-          "drops would leave stale stats behind. Add nullable columns with " +
-          "ALTER TABLE ... ADD COLUMNS or mergeSchema=true on append; replace " +
-          "the schema (and the data) with overwriteSchema=true on overwrite.")
+          "Old parquet files keep their written types, so type/nullability " +
+          "changes would poison the shared scan schema. Replace the schema " +
+          "(and the data) with overwriteSchema=true on overwrite.")
+    }
+    val renames = cols.collect { case r: TableChange.RenameColumn => r }
+    val drops = cols.collect { case d: TableChange.DeleteColumn => d }
+    (renames.map(_.fieldNames()) ++ drops.map(_.fieldNames())).foreach { fn =>
+      if (fn.length != 1)
+        throw new UnsupportedOperationException(
+          s"qbeast RENAME/DROP COLUMN supports top-level columns only, got " +
+            fn.mkString("."))
     }
     val adds = cols.collect { case a: TableChange.AddColumn => a }
     adds.foreach { a =>
@@ -563,7 +589,20 @@ object QbeastCatalog {
       .collectFirst { case (_, as) if as.size > 1 => as.head.fieldNames()(0) }
     dup.foreach(n => throw new IllegalArgumentException(
       s"duplicate column $n in ADD COLUMNS"))
-    adds
+    ScreenedColumnChanges(adds, renames, drops)
+  }
+
+  /** Apply screened renames/drops as metadata-only commits on the
+   * table's own log (the durable source of truth for path readers). */
+  private[graft] def persistRenameDropToLog(
+      location: String, screened: ScreenedColumnChanges): Unit = {
+    if (screened.renames.isEmpty && screened.drops.isEmpty) return
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (!graft.log.QbeastLog.exists(location,
+        spark.sparkContext.hadoopConfiguration)) return // never written: catalog entry rules
+    val table = graft.table.QbeastTable.forPath(spark, location)
+    screened.renames.foreach(r => table.renameColumn(r.fieldNames()(0), r.newName()))
+    screened.drops.foreach(d => table.dropColumn(d.fieldNames()(0)))
   }
 
   /** The fields `adds` would append to `existing`: an add whose name is
@@ -598,8 +637,13 @@ object QbeastCatalog {
       val snapshot = graft.log.QbeastLog.snapshot(location, conf)
       if (snapshot.isEmpty) return // nothing written yet; catalog entry rules
       val schema = snapshot.schema.getOrElse(return)
-      val fields = newFieldsFor(schema, adds)
-      if (fields.isEmpty) return // retried ALTER: already applied
+      val fields0 = newFieldsFor(schema, adds)
+      if (fields0.isEmpty) return // retried ALTER: already applied
+      // mapped table: new columns mint a FRESH physical name — re-adding
+      // a dropped/renamed logical name can never resurrect old data
+      val fields =
+        if (!graft.core.model.ColumnMapping.isEnabled(schema)) fields0
+        else fields0.map(graft.core.model.ColumnMapping.mintedField)
       val widened = StructType(schema.fields ++ fields)
       try {
         graft.log.QbeastLog.commit(location, conf, snapshot.version,

@@ -92,7 +92,7 @@ final case class QbeastTableImpl(
       partitionSchema = StructType(Nil),
       dataSchema = snapshot.schema.getOrElse(declaredSchema),
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
+      fileFormat = new graft.sources.QbeastParquetFileFormat(),
       options = tableProperties)(spark)
   }
 

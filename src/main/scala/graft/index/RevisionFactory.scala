@@ -15,12 +15,39 @@ import org.json4s._
  */
 object RevisionFactory {
 
-  /** @return (revision to write into, isNewRevision, numElements) */
+  /** @return (revision to write into, isNewRevision, numElements)
+   *
+   * `mappingSchema` is the table's LOGICAL schema carrying the
+   * logical→physical column mapping (None → loaded from the log;
+   * identity tables no-op everywhere). Revisions and transformers are
+   * keyed by PHYSICAL names — immutable across RENAME COLUMN — so the
+   * incoming frame (logical names) is renamed here and `columnsToIndex`
+   * specs are translated; user `columnStats` keys stay LOGICAL. */
   def computeRevisionChanges(
       existing: Option[Revision],
       options: QbeastOptions,
       tableID: String,
-      data: DataFrame): (Revision, Boolean, Long) = {
+      data0: DataFrame,
+      mappingSchema: Option[org.apache.spark.sql.types.StructType] = None): (Revision, Boolean, Long) = {
+
+    val mschema = mappingSchema.orElse {
+      scala.util.Try(graft.log.QbeastLog.lightSnapshot(tableID,
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+        .schema).toOption.flatten
+    }.filter(ColumnMapping.isEnabled)
+    val physMap = mschema.map(ColumnMapping.toPhysicalMap).getOrElse(Map.empty)
+    val data = if (physMap.isEmpty) data0 else ColumnMapping.toPhysicalDf(data0, mschema.get)
+    def translateSpec(spec: String): String =
+      if (physMap.isEmpty) spec
+      else spec.split(":") match {
+        case Array(n) => physMap.getOrElse(n.trim.toLowerCase(java.util.Locale.ROOT), n.trim)
+        case Array(n, k) =>
+          physMap.getOrElse(n.trim.toLowerCase(java.util.Locale.ROOT), n.trim) + ":" + k.trim
+        case _ => spec
+      }
+    // columnStats are keyed by the names the USER writes — logical
+    val statKey: Transformer => String = t =>
+      mschema.map(ColumnMapping.logicalOf(_, t.columnName)).getOrElse(t.columnName)
 
     val schema = data.schema
     // cubeSize: an append that does NOT explicitly set it inherits the
@@ -35,7 +62,7 @@ object RevisionFactory {
     }
     val transformers: Vector[Transformer] =
       if (options.columnsToIndex.nonEmpty)
-        options.columnsToIndex.map(spec => Transformer(spec, schema)).toVector
+        options.columnsToIndex.map(spec => Transformer(translateSpec(spec), schema)).toVector
       else existing match {
         case Some(rev) if !rev.isStaging => rev.columnTransformers
         case _ =>
@@ -51,14 +78,14 @@ object RevisionFactory {
     var offset = 0
     val newTransformations: Vector[Transformation] = transformers.map { t =>
       val fromStats = t match {
-        case _: QuantilesTransformer => quantilesFromColumnStats(t, options)
-        case _: StringHistogramTransformer => histogramFromColumnStats(t, options)
+        case _: QuantilesTransformer => quantilesFromColumnStats(t, options, statKey(t))
+        case _: StringHistogramTransformer => histogramFromColumnStats(t, options, statKey(t))
         // min/max columnStats define a LINEAR space — applying them to
         // a hashing/histogram transformer would build a Linear
         // transformation over (possibly string) values and bump a new
         // revision on every subsequent write
-        case _: LinearTransformer if hasUserStats(t, options) =>
-          userStatsTransformation(t, options)
+        case _: LinearTransformer if hasUserStats(statKey(t), options) =>
+          userStatsTransformation(t, options, statKey(t))
         case _ =>
           if (numElements == 0) IdentityTransformation(None)
           else t.makeTransformation(statsRow, offset)
@@ -94,11 +121,12 @@ object RevisionFactory {
     }
   }
 
-  private def hasUserStats(t: Transformer, options: QbeastOptions): Boolean =
-    options.parsedColumnStats.contains(s"${t.columnName}_min") &&
-      options.parsedColumnStats.contains(s"${t.columnName}_max")
+  private def hasUserStats(key: String, options: QbeastOptions): Boolean =
+    options.parsedColumnStats.contains(s"${key}_min") &&
+      options.parsedColumnStats.contains(s"${key}_max")
 
-  private def userStatsTransformation(t: Transformer, options: QbeastOptions): Transformation = {
+  private def userStatsTransformation(
+      t: Transformer, options: QbeastOptions, key: String): Transformation = {
     def num(j: JValue): Double = j match {
       case JInt(v) => v.toDouble
       case JLong(v) => v.toDouble
@@ -115,8 +143,8 @@ object RevisionFactory {
       }
       case other => throw new IllegalArgumentException(s"bad columnStats value: $other")
     }
-    val lo = num(options.parsedColumnStats(s"${t.columnName}_min"))
-    val hi = num(options.parsedColumnStats(s"${t.columnName}_max"))
+    val lo = num(options.parsedColumnStats(s"${key}_min"))
+    val hi = num(options.parsedColumnStats(s"${key}_max"))
     if (lo == hi) IdentityTransformation(Some(lo))
     else LinearTransformation(lo, hi, LinearTransformer.nullCoordinate(t.columnName))
   }
@@ -136,8 +164,9 @@ object RevisionFactory {
     }
   }
 
-  private def quantilesFromColumnStats(t: Transformer, options: QbeastOptions): Transformation = {
-    val key = s"${t.columnName}_quantiles"
+  private def quantilesFromColumnStats(
+      t: Transformer, options: QbeastOptions, statBase: String): Transformation = {
+    val key = s"${statBase}_quantiles"
     options.parsedColumnStats.get(key) match {
       case Some(JArray(values)) if values.nonEmpty =>
         values.head match {
@@ -161,8 +190,9 @@ object RevisionFactory {
   /** Histogram bounds from `columnStats {"col_histogram":[...]}`;
    * absent, the reference's default a-z histogram (unlike quantiles,
    * histogram indexing works without user stats). */
-  private def histogramFromColumnStats(t: Transformer, options: QbeastOptions): Transformation = {
-    options.parsedColumnStats.get(s"${t.columnName}_histogram") match {
+  private def histogramFromColumnStats(
+      t: Transformer, options: QbeastOptions, statBase: String): Transformation = {
+    options.parsedColumnStats.get(s"${statBase}_histogram") match {
       case Some(JArray(values)) if values.nonEmpty =>
         val bounds = values.map {
           case JString(v) => v

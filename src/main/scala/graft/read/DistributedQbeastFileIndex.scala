@@ -175,15 +175,22 @@ final class DistributedQbeastFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // expand monotone date-function predicates once here so the
-    // checkpoint-side stats pruning below sees them too (selectFiles
-    // re-expands its own input — a no-op on already-expanded trees)
-    val filters = DerivedPredicates.expand(partitionFilters ++ dataFilters)
     // capture ONCE: a concurrent refresh() must not tear this view
     // across tail, checkpoint version, and touched set
     val snap = degradeIfSidecarGone(snapshot)
+    // logical→physical rename first (stats/specs are physical-keyed;
+    // idempotent — selectFiles' own rename no-ops on these), then
+    // expand monotone date-function predicates once here so the
+    // checkpoint-side stats pruning below sees them too (selectFiles
+    // re-expands its own input — a no-op on already-expanded trees)
+    val renamed = snap.schema match {
+      case Some(sc) => graft.core.model.ColumnMapping
+        .toPhysicalExprs(partitionFilters ++ dataFilters, sc)
+      case None => partitionFilters ++ dataFilters
+    }
+    val filters = DerivedPredicates.expand(renamed)
     if (snap.filesComplete) {
-      val statuses = QbeastFileIndex.selectFiles(snap, filters).map { f =>
+      val statuses = QbeastFileIndex.selectFiles(snap, filters, alreadyPhysical = true).map { f =>
         new FileStatus(f.size, false, 1, 134217728L, f.modificationTime,
           new Path(tablePath, f.path))
       }.toArray
@@ -191,7 +198,7 @@ final class DistributedQbeastFileIndex(
     }
     // tail adds: flat matcher over the (small) post-checkpoint commits
     val tailSelected = QbeastFileIndex
-      .selectFiles(snap.copy(filesComplete = true), filters)
+      .selectFiles(snap.copy(filesComplete = true), filters, alreadyPhysical = true)
       .map(f => (f.path, f.size, f.modificationTime))
     // checkpoint bulk: Spark job over the sidecar, then stats pruning on
     // the survivors only

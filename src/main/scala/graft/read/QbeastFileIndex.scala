@@ -101,7 +101,20 @@ object QbeastFileIndex {
    * index-candidates (unindexed, root-only data). A second, independent
    * layer then applies the per-file column stats (data skipping on
    * non-indexed columns) to every candidate, staging included. */
-  def selectFiles(snapshot: QbeastSnapshot, filters: Seq[Expression]): Vector[IndexFile] = {
+  def selectFiles(
+      snapshot: QbeastSnapshot,
+      filters0: Seq[Expression],
+      alreadyPhysical: Boolean = false): Vector[IndexFile] = {
+    // logical→physical rename first: revision transformers and per-file
+    // stats are keyed by PHYSICAL column names. Renaming is applied
+    // EXACTLY once per filter tree (`alreadyPhysical` marks pre-renamed
+    // trees from the distributed index) and is additionally idempotent
+    // under the ALTER-time no-clash invariant — belt and braces.
+    val filters = snapshot.schema match {
+      case Some(sc) if filters0.nonEmpty && !alreadyPhysical =>
+        graft.core.model.ColumnMapping.toPhysicalExprs(filters0, sc)
+      case _ => filters0
+    }
     // monotone date-function predicates (year(ts)=…, cast-to-date,
     // trunc/date_trunc) rewrite to equivalent raw-column ranges both
     // layers below understand; idempotent, so re-expanded filters from

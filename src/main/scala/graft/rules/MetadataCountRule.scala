@@ -107,11 +107,21 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
    * 100 TB this turns the most common dashboard query
    * (`count(*), min(ts), max(ts) WHERE day = X`) into a driver fold.
    */
+  /** Per-file stats/sketches are keyed by PHYSICAL column names; plan
+   * attributes carry LOGICAL ones (identity on unmapped tables). */
+  private def physName(snap: QbeastSnapshot, a: Attribute): String =
+    snap.schema.map(graft.core.model.ColumnMapping.physicalOf(_, a.name))
+      .getOrElse(a.name)
+
   private def rewriteFiltered(
       agg: Aggregate,
       snap: QbeastSnapshot,
       output: Seq[Attribute],
-      conds: Seq[Expression]): Option[LogicalPlan] = {
+      conds0: Seq[Expression]): Option[LogicalPlan] = {
+    val conds = snap.schema match {
+      case Some(sc) => graft.core.model.ColumnMapping.toPhysicalExprs(conds0, sc)
+      case None => conds0
+    }
     val outIds = output.map(_.exprId).toSet
     // only count(*)/min/max-shaped outputs the stats can answer
     val answerable = agg.aggregateExpressions.forall {
@@ -162,9 +172,9 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
         ae.aggregateFunction match {
           case _: Count => Some(n)
           case Min(a: Attribute) =>
-            statsExtreme(snap, a.name, a.dataType, isMin = true, surviving.contains)
+            statsExtreme(snap, physName(snap, a), a.dataType, isMin = true, surviving.contains)
           case Max(a: Attribute) =>
-            statsExtreme(snap, a.name, a.dataType, isMin = false, surviving.contains)
+            statsExtreme(snap, physName(snap, a), a.dataType, isMin = false, surviving.contains)
         }
       case Alias(l: Literal, _) => Some(l.value)
       case l: Literal => Some(l.value)
@@ -203,7 +213,7 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => Nil
     }.distinctBy(_.name)
-    val cols = colAttrs.map(a => (a.name,
+    val cols = colAttrs.map(a => (physName(snap, a),
       a.dataType == FloatType || a.dataType == DoubleType,
       a.dataType.isInstanceOf[StringType])).toArray
     // fold the (small, driver-local) post-checkpoint tail FIRST: a
@@ -242,10 +252,10 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
             ae.aggregateFunction match {
               case _: Count => Some(n)
               case Min(a: Attribute) =>
-                val (w, b, _, _) = accs(byName(a.name))
+                val (w, b, _, _) = accs(byName(physName(snap, a)))
                 resolveExtreme(w, b, a.dataType)
               case Max(a: Attribute) =>
-                val (_, _, w, b) = accs(byName(a.name))
+                val (_, _, w, b) = accs(byName(physName(snap, a)))
                 resolveExtreme(w, b, a.dataType)
             }
           case Alias(l: Literal, _) => Some(l.value)
@@ -306,9 +316,9 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           ae.aggregateFunction match {
             case _: Count => Some(n)
             case Min(a: Attribute) =>
-              statsExtreme(snap, a.name, a.dataType, isMin = true)
+              statsExtreme(snap, physName(snap, a), a.dataType, isMin = true)
             case Max(a: Attribute) =>
-              statsExtreme(snap, a.name, a.dataType, isMin = false)
+              statsExtreme(snap, physName(snap, a), a.dataType, isMin = false)
           }
         case Alias(l: Literal, _) => Some(l.value)
         case l: Literal => Some(l.value)

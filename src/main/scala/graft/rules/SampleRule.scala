@@ -82,8 +82,13 @@ class SampleRule(spark: SparkSession) extends Rule[LogicalPlan] {
       output: Seq[Attribute]): Option[Seq[Attribute]] = {
     val snapshot = fi.currentSnapshot
     snapshot.lastRevision.filterNot(_.isStaging).flatMap { revision: Revision =>
-      val resolved = revision.columnNames.map(name =>
-        output.find(a => a.name.equalsIgnoreCase(name)))
+      // revision columns are PHYSICAL names; the relation output is
+      // LOGICAL — map back before resolving (identity on unmapped tables)
+      val resolved = revision.columnNames.map { name =>
+        val logical = snapshot.schema
+          .map(graft.core.model.ColumnMapping.logicalOf(_, name)).getOrElse(name)
+        output.find(a => a.name.equalsIgnoreCase(logical))
+      }
       if (resolved.forall(_.nonEmpty)) Some(resolved.map(_.get)) else None
     }
   }

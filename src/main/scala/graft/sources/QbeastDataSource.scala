@@ -167,7 +167,9 @@ class QbeastDataSource
       partitionSchema = StructType(Nil),
       dataSchema = snapshot.schema.getOrElse(StructType(Nil)),
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
+      // mapping-aware: resolves physical column names under a logical
+      // dataSchema; identical to the stock format on identity tables
+      fileFormat = new QbeastParquetFileFormat(),
       options = parameters)(spark)
   }
 

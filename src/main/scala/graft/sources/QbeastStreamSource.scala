@@ -221,6 +221,19 @@ class QbeastStreamSource(
     org.apache.spark.sql.types.StructField("_change_type",
       org.apache.spark.sql.types.StringType, nullable = false))
 
+  /** Mapping-aware parquet read of table data files: resolve by the
+   * PHYSICAL footer names, expose the pinned logical names (identity
+   * tables take the plain path — see ColumnMapping.readParquet). */
+  private def readTableParquet(paths: Seq[String]): DataFrame =
+    graft.core.model.ColumnMapping.readParquet(spark, tableSchema, paths)
+
+  /** Same for persisted `_change_data` files (physical names +
+   * `_change_type`, see QbeastTable.writeCdcData). */
+  private def readCdcParquet(paths: Seq[String]): DataFrame =
+    graft.core.model.ColumnMapping.readParquetWith(spark, tableSchema,
+      Seq(org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false)), paths)
+
   /** Commits ≤ this version are NOT part of the stream (exclusive lower
    * bound of the first incremental batch). -1 = emit the initial
    * snapshot first. */
@@ -647,7 +660,7 @@ class QbeastStreamSource(
             "the stream from a later startingVersion")
     }
     val absolute = relPaths.map(p => new Path(tablePath, p).toString)
-    val df = spark.read.schema(tableSchema).parquet(absolute: _*)
+    val df = readTableParquet(absolute)
     val newProbe = dvs.probeCol(tablePath, newM, hadoopConf)
     if (oldM.isEmpty) {
       df.filter(newProbe).withColumn("_change_type", lit("delete"))
@@ -669,7 +682,7 @@ class QbeastStreamSource(
           .filter(p => shrunk.contains(new Path(p).getName))
           .map(p => new Path(tablePath, p).toString)
         deletes.union(
-          spark.read.schema(tableSchema).parquet(shrunkAbs: _*)
+          readTableParquet(shrunkAbs)
             .filter(oldProbe && !newProbe)
             .withColumn("_change_type", lit("insert")))
       }
@@ -708,7 +721,7 @@ class QbeastStreamSource(
             "later startingVersion")
         ap.toString
       }
-      spark.read.schema(tableSchema).parquet(abs: _*)
+      readTableParquet(abs)
     }
     def dvOk(dvp: String): String = {
       if (!fs.exists(new Path(tablePath, dvp)))
@@ -786,10 +799,10 @@ class QbeastStreamSource(
                 "later startingVersion")
           }
           val tagged = kind match {
-            case "c" => spark.read.schema(cdcFileSchema).parquet(absolute: _*)
+            case "c" => readCdcParquet(absolute)
             case "d" => graft.write.DeletionVectors.maskWith(tablePath,
               dvByNameAt(v - 1), hadoopConf,
-              spark.read.schema(tableSchema).parquet(absolute: _*))
+              readTableParquet(absolute))
               .withColumn("_change_type", lit("delete"))
             case "v" =>
               vectorDeltaFrame(v, list.map(_._3), fs)
@@ -808,7 +821,7 @@ class QbeastStreamSource(
               // double-dropped from the insert feed).
               graft.write.DeletionVectors.maskWith(tablePath,
                 dvByNameAt(v), hadoopConf,
-                spark.read.schema(tableSchema).parquet(absolute: _*))
+                readTableParquet(absolute))
                 .withColumn("_change_type", lit("insert"))
             case _ =>
               // commit adds ('a'): the insert feed is the file AS
@@ -829,8 +842,8 @@ class QbeastStreamSource(
                 if (freshAdds.isEmpty) None
                 else Some(graft.write.DeletionVectors.maskWith(tablePath,
                   commitDvByName(v), hadoopConf,
-                  spark.read.schema(tableSchema).parquet(
-                    freshAdds.map(u => new Path(tablePath, u._3).toString): _*)))
+                  readTableParquet(
+                    freshAdds.map(u => new Path(tablePath, u._3).toString))))
               val resurrected =
                 if (reAdds.isEmpty) None
                 else {
@@ -843,8 +856,8 @@ class QbeastStreamSource(
                           s"$v was vacuumed — this range cannot be replayed; " +
                           "restart the stream from a later startingVersion")
                   }
-                  Some(spark.read.schema(tableSchema).parquet(
-                    reAdds.map(u => new Path(tablePath, u._3).toString): _*)
+                  Some(readTableParquet(
+                    reAdds.map(u => new Path(tablePath, u._3).toString))
                     .filter(graft.write.DeletionVectors
                       .probeCol(tablePath, masks, hadoopConf)))
                 }
@@ -856,7 +869,8 @@ class QbeastStreamSource(
       shims.asStreamingDataFrame(frames.reduce(_.union(_)))
     } else {
       val absolute = paths.map(p => new Path(tablePath, p).toString)
-      val batchDf = maskInitial(spark.read.schema(schema).parquet(absolute: _*))
+      // non-CDF mode: schema == tableSchema (no metadata columns)
+      val batchDf = maskInitial(readTableParquet(absolute))
       shims.asStreamingDataFrame(batchDf)
     }
   }

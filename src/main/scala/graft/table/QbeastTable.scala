@@ -53,7 +53,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       files: Seq[IndexFile]): org.apache.spark.sql.DataFrame = {
     val paths = files.map(f => new Path(tablePath, f.path).toString)
     val raw = s.schema match {
-      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      // mapping-aware: resolve by PHYSICAL footer names, expose logical
+      case Some(sc) => ColumnMapping.readParquet(spark, sc, paths)
       case None => spark.read.parquet(paths: _*)
     }
     // deletion-vector mask: a rewrite (optimize/compact/DML survivors)
@@ -73,7 +74,9 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   def indexedColumns(revisionID: Long = -1L): Seq[String] = {
     val s = snapshot
     val rid = if (revisionID < 0) s.lastRevisionID else revisionID
-    s.revisions.get(rid).map(_.columnNames).getOrElse(Nil)
+    // revisions store PHYSICAL names; report the logical ones users see
+    s.revisions.get(rid).map(_.columnNames.map(c =>
+      s.schema.map(ColumnMapping.logicalOf(_, c)).getOrElse(c))).getOrElse(Nil)
   }
 
   /** Table configuration as persisted in the log (includes properties
@@ -106,10 +109,12 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * checkpoint ([[graft.log.DistributedMetadata.hllRegisters]]); only
    * 256-byte partials reach the driver.
    */
-  def approxCountDistinct(column: String): Option[QbeastTable.HllEstimate] = {
+  def approxCountDistinct(column0: String): Option[QbeastTable.HllEstimate] = {
     import graft.expressions.HllDistinctAgg
     val s = QbeastLog.lightSnapshot(tablePath, conf)
     if (s.dvs.nonEmpty) return None
+    // per-file sketch states are keyed by PHYSICAL names
+    val column = s.schema.map(ColumnMapping.physicalOf(_, column0)).getOrElse(column0)
     val acc = new Array[Byte](HllDistinctAgg.M)
     val ok =
       if (s.filesComplete) foldHllRegisters(s.files, column, acc)
@@ -195,11 +200,12 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * is empty of the column's values entirely — Some(NaN…) is the legal
    * answer for a table whose column is all-null.
    */
-  def approxQuantile(column: String, qs: Seq[Double]): Option[Seq[Double]] = {
+  def approxQuantile(column0: String, qs: Seq[Double]): Option[Seq[Double]] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must lie in [0,1], got $qs")
     val s0 = QbeastLog.lightSnapshot(tablePath, conf)
     if (s0.dvs.nonEmpty) return None
+    val column = s0.schema.map(ColumnMapping.physicalOf(_, column0)).getOrElse(column0)
     val f = new KllFold
     val ok =
       if (s0.filesComplete) f.fold(s0.files, column)
@@ -238,11 +244,12 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * tail bails before the job launches.
    */
   def approxQuantile(
-      column: String, qs: Seq[Double], where: String): Option[Seq[Double]] = {
+      column0: String, qs: Seq[Double], where: String): Option[Seq[Double]] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must lie in [0,1], got $qs")
     val s0 = QbeastLog.lightSnapshot(tablePath, conf)
     if (s0.dvs.nonEmpty) return None
+    val column = s0.schema.map(ColumnMapping.physicalOf(_, column0)).getOrElse(column0)
     val light = !s0.filesComplete && DistributedMetadata.usable(spark, s0)
     // no usable sidecar on a light table: full replay, flat driver
     // fold — re-checking masks on the SAME snapshot being folded
@@ -280,9 +287,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * undecidable, lacks registers, matches nothing, or the table
    * carries deletion-vector masks. */
   def approxCountDistinct(
-      column: String, where: String): Option[QbeastTable.HllEstimate] = {
+      column0: String, where: String): Option[QbeastTable.HllEstimate] = {
     val s0 = QbeastLog.lightSnapshot(tablePath, conf)
     if (s0.dvs.nonEmpty) return None
+    val column = s0.schema.map(ColumnMapping.physicalOf(_, column0)).getOrElse(column0)
     val light = !s0.filesComplete && DistributedMetadata.usable(spark, s0)
     val s = if (s0.filesComplete || light) s0 else snapshot
     if (s.dvs.nonEmpty) return None
@@ -332,8 +340,13 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   private def provableConjuncts(s: QbeastSnapshot, where: String)
       : Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = {
     val matched = coalesce(expr(where), lit(false))
-    val (hasScan, raw) = optimizedUserConjuncts(pinnedRead(s).filter(matched))
+    val (hasScan, raw0) = optimizedUserConjuncts(pinnedRead(s).filter(matched))
     if (!hasScan) return None
+    // per-file stats are keyed by PHYSICAL names
+    val raw = s.schema match {
+      case Some(sc) => ColumnMapping.toPhysicalExprs(raw0, sc)
+      case None => raw0
+    }
     val expanded = graft.read.DerivedPredicates.expand(raw)
     if (expanded.exists(_.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
@@ -575,8 +588,12 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     if (!hasScan) return None
     // date-function predicates (year(ts)=…, trunc, cast-to-date)
     // rewrite to equivalent raw-column ranges the stats can prove, so
-    // `DELETE WHERE year(ts) < 2020` still drops whole files
-    val conjuncts = graft.read.DerivedPredicates.expand(rawConjuncts)
+    // `DELETE WHERE year(ts) < 2020` still drops whole files; stats are
+    // keyed by PHYSICAL names — rename logical plan attributes first
+    val conjuncts = graft.read.DerivedPredicates.expand(s.schema match {
+      case Some(sc) => ColumnMapping.toPhysicalExprs(rawConjuncts, sc)
+      case None => rawConjuncts
+    })
     val provedTrue = Vector.newBuilder[IndexFile]
     val undecided = Vector.newBuilder[IndexFile]
     s.files.foreach { f =>
@@ -816,7 +833,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       dataSchema = s.schema.getOrElse(
         throw new IllegalStateException(s"qbeast table at $tablePath has no schema")),
       bucketSpec = None,
-      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      fileFormat = new graft.sources.QbeastParquetFileFormat(),
       options = Map.empty[String, String])(spark)
     // explicit mask (not just DvMaskRule): DML correctness must not
     // depend on which rules the session happens to have registered
@@ -1993,6 +2010,142 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   def constraints: Map[String, String] =
     graft.write.Constraints.of(snapshot.configuration)
 
+  // ---- logical→physical column mapping (RENAME / DROP COLUMN) --------
+
+  /** Constraint names whose SQL references `column` (case-insensitive
+   * top-level attribute match) — renames/drops of such columns are
+   * refused rather than silently breaking the CHECK (Delta refuses the
+   * same way). */
+  private def constraintsReferencing(cfg: Map[String, String], column: String): Seq[String] =
+    graft.write.Constraints.of(cfg).toSeq.collect {
+      case (name, sql) if scala.util.Try {
+        spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.length == 1 => a.nameParts.head
+        }.exists(_.equalsIgnoreCase(column))
+      }.getOrElse(true) => name // unparseable (shouldn't happen) → conservative
+    }.map(_.toString)
+
+  /** Rewrite a comma-separated column-list config value on rename/drop
+   * (the bloom/HLL/KLL sketch column properties store LOGICAL names). */
+  private def renameInList(v: String, from: String, to: Option[String]): String =
+    v.split(",").map(_.trim).filter(_.nonEmpty).flatMap { c =>
+      if (c.equalsIgnoreCase(from)) to else Some(c)
+    }.mkString(",")
+
+  private val SketchListProps =
+    Seq("qbeast.bloomFilterColumns", "qbeast.hllColumns", "qbeast.kllColumns")
+
+  /**
+   * `ALTER TABLE ... RENAME COLUMN` for a qbeast table — a metadata-only
+   * commit under logical→physical column mapping (the Delta
+   * `columnMapping = name` design; the reference refuses renames because
+   * its per-file stats are name-keyed —
+   * `src/.../QbeastCatalog.scala` delegates to Delta which requires the
+   * same mapping). The first rename UPGRADES the schema by pinning
+   * `physical := current name` on every field; the rename itself then
+   * only changes the logical name. Parquet files, stats, blooms,
+   * sketches and revision transformers all stay keyed by the immutable
+   * physical name, so file pruning and pushdown keep working; scans
+   * resolve physical and expose logical (see QbeastParquetFileFormat).
+   */
+  def renameColumn(existingName: String, newName: String): Unit = {
+    require(newName.nonEmpty && !newName.contains(".") && !newName.contains(","),
+      s"bad column name '$newName'")
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val base = snapshot
+      require(!base.isEmpty, s"no qbeast table at $tablePath")
+      val schema = base.schema.getOrElse(
+        throw new IllegalStateException(s"qbeast table at $tablePath has no schema"))
+      val field = schema.fields.find(_.name.equalsIgnoreCase(existingName)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $existingName does not exist (have ${schema.fieldNames.mkString(", ")})"))
+      if (newName.equalsIgnoreCase(field.name) && newName == field.name) return // no-op
+      schema.fields.find(f => (f ne field) && f.name.equalsIgnoreCase(newName)).foreach(_ =>
+        throw new IllegalArgumentException(s"column $newName already exists"))
+      ColumnMapping.requireNoPhysicalClash(schema, newName, self = field.name)
+      val refs = constraintsReferencing(base.configuration, field.name)
+      if (refs.nonEmpty) throw new UnsupportedOperationException(
+        s"cannot rename column ${field.name}: CHECK constraint(s) " +
+          s"${refs.mkString(", ")} reference it; drop them first")
+      val upgradedSchema = ColumnMapping.upgraded(schema)
+      val renamed = org.apache.spark.sql.types.StructType(upgradedSchema.fields.map { f =>
+        if (f.name.equalsIgnoreCase(existingName)) f.copy(name = newName) else f
+      })
+      val config = base.configuration.map {
+        case (k, v) if SketchListProps.contains(k) =>
+          k -> renameInList(v, field.name, Some(newName))
+        case kv => kv
+      } + ("qbeast.columnMapping.mode" -> "name")
+      try {
+        QbeastLog.commit(tablePath, conf, base.version,
+          Seq(MetaDataAction(renamed.json, config)),
+          operation = s"RENAME COLUMN ${field.name} TO $newName")
+        committed = true
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+  }
+
+  /**
+   * `ALTER TABLE ... DROP COLUMN` — metadata-only under column mapping:
+   * the logical field disappears; the physical column stays in old
+   * files, unreachable (scans project only logical fields), and a
+   * later ADD COLUMN of the same logical name mints a FRESH physical
+   * name so the old data can never resurface. Refused for indexed
+   * columns (appends must carry them to place rows) and for columns a
+   * CHECK constraint references.
+   */
+  def dropColumn(name: String): Unit = {
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val base = snapshot
+      require(!base.isEmpty, s"no qbeast table at $tablePath")
+      val schema = base.schema.getOrElse(
+        throw new IllegalStateException(s"qbeast table at $tablePath has no schema"))
+      val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name does not exist (have ${schema.fieldNames.mkString(", ")})"))
+      require(schema.fields.length > 1, s"cannot drop the only column ${field.name}")
+      val physical = ColumnMapping.physicalName(
+        ColumnMapping.upgraded(schema).fields.find(_.name == field.name).get)
+      base.lastRevision.filterNot(_.isStaging).foreach { rev =>
+        if (rev.columnNames.exists(_.equalsIgnoreCase(physical)))
+          throw new UnsupportedOperationException(
+            s"cannot drop indexed column ${field.name}: the table is organized " +
+              "by it (appends must carry it to place rows). Re-index with " +
+              "different columnsToIndex first (overwrite), then drop.")
+      }
+      val refs = constraintsReferencing(base.configuration, field.name)
+      if (refs.nonEmpty) throw new UnsupportedOperationException(
+        s"cannot drop column ${field.name}: CHECK constraint(s) " +
+          s"${refs.mkString(", ")} reference it; drop them first")
+      val remaining = org.apache.spark.sql.types.StructType(
+        ColumnMapping.upgraded(schema).fields.filterNot(_.name == field.name))
+      val config = base.configuration.map {
+        case (k, v) if SketchListProps.contains(k) =>
+          k -> renameInList(v, field.name, None)
+        case kv => kv
+      } + ("qbeast.columnMapping.mode" -> "name")
+      try {
+        QbeastLog.commit(tablePath, conf, base.version,
+          Seq(MetaDataAction(remaining.json, config)),
+          operation = s"DROP COLUMNS ${field.name}")
+        committed = true
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+  }
+
   /** Commit a configuration change (optimistic, rebase on conflict). */
   private def alterConfiguration(
       change: Map[String, String] => Map[String, String],
@@ -2036,15 +2189,19 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     def read(fs: Seq[IndexFile]): org.apache.spark.sql.DataFrame =
       if (fs.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else graft.write.DeletionVectors.mask(s, conf, spark.read.schema(schema)
-        .parquet(fs.map(f => new Path(tablePath, f.path).toString): _*))
+      else graft.write.DeletionVectors.mask(s, conf, ColumnMapping.readParquet(
+        spark, schema, fs.map(f => new Path(tablePath, f.path).toString)))
     val before = read(removes)
     val after = read(adds)
     val changed = after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .union(before.exceptAll(after).withColumn("_change_type", lit("delete")))
     val dir = s"_change_data/cdc-${java.util.UUID.randomUUID()}"
     val target = new Path(tablePath, dir)
-    changed.write.mode("overwrite").parquet(target.toString)
+    // change files are keyed by PHYSICAL names: stable across renames,
+    // so a CDF replay spanning a rename still resolves every column
+    // (readers rename back to the END version's logical names)
+    ColumnMapping.toPhysicalDf(changed, schema).write.mode("overwrite")
+      .parquet(target.toString)
     val fs = target.getFileSystem(conf)
     val size = fs.listStatus(target).filter(_.isFile).map(_.getLen).sum
     Some(CdcFileAction(dir, size))
@@ -2221,7 +2378,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
             "the requested range reaches behind the retention window")
         abs.toString
       }
-      spark.read.schema(schema).parquet(absolute: _*)
+      ColumnMapping.readParquet(spark, schema, absolute)
     }
 
     def tagged(df: org.apache.spark.sql.DataFrame, kind: String, v: Long) =
@@ -2331,16 +2488,17 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       if (cdcDirs.nonEmpty) {
         // the commit persisted its own change data (CDF-enabled DML):
         // read it directly — no re-diff of the rewritten files
-        val cdcSchema = org.apache.spark.sql.types.StructType(schema.fields :+
-          org.apache.spark.sql.types.StructField("_change_type",
-            org.apache.spark.sql.types.StringType, nullable = false))
+        val ctField = org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false)
         val absolute = cdcDirs.map { p =>
           val abs = new Path(tablePath, p)
           require(fs.exists(abs),
             s"changes($startVersion, $end): change file $p was vacuumed")
           abs.toString
         }
-        emit(Seq(spark.read.schema(cdcSchema).parquet(absolute: _*)
+        // change files are keyed by PHYSICAL names (stable across
+        // renames — see writeCdcData); _change_type is CDF infra
+        emit(Seq(ColumnMapping.readParquetWith(spark, schema, Seq(ctField), absolute)
           .withColumn("_commit_version", lit(v))))
       }
       else if (dvActs.nonEmpty && dataAdds.isEmpty && removes.isEmpty) {

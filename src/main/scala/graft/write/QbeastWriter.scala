@@ -143,7 +143,11 @@ object QbeastWriter {
     snapshot.lastRevision.filterNot(_.isStaging).foreach { rev =>
       if (mode == SaveMode.Append) {
         val have = data.schema.fieldNames.map(_.toLowerCase).toSet
-        val missing = rev.columnNames.filterNot(c => have.contains(c.toLowerCase))
+        // revision columns are PHYSICAL names; the incoming frame uses
+        // LOGICAL names — report the name the user knows
+        val missing = rev.columnNames
+          .map(c => snapshot.schema.map(ColumnMapping.logicalOf(_, c)).getOrElse(c))
+          .filterNot(c => have.contains(c.toLowerCase))
         require(missing.isEmpty,
           s"append is missing indexed column(s) ${missing.mkString(", ")}: " +
             "rows must carry every indexed column so they can be placed")
@@ -154,7 +158,14 @@ object QbeastWriter {
         SchemaEvolution.mergeForAppend(existing, data.schema, canMergeSchema)
       case Some(existing) if isOverwrite =>
         SchemaEvolution.validateOverwrite(existing, data.schema, boolOpt("overwriteSchema"))
-        data.schema
+        // same-column-set overwrite of a MAPPED table: the mapping
+        // metadata must survive (new files keep writing the existing
+        // physical names so revisions/config stay valid). An
+        // overwriteSchema=true reshape resets to identity — every old
+        // file is removed in the same commit, so stale physical names
+        // die with them.
+        if (boolOpt("overwriteSchema")) data.schema
+        else SchemaEvolution.inheritMapping(data.schema, existing)
       case _ => data.schema
     }
     // CHECK constraints recorded on the table gate every written row
@@ -241,7 +252,8 @@ object QbeastWriter {
       } else options
 
     val (revision, isNewRevision0, numElements) =
-      RevisionFactory.computeRevisionChanges(existingRevision, options1, tablePath, data)
+      RevisionFactory.computeRevisionChanges(existingRevision, options1, tablePath, data,
+        mappingSchema = Some(tableSchema))
     // never collide with IDs already in the log after an overwrite
     val revision1 =
       if (isOverwrite && snapshot.lastRevisionID >= revision.revisionID)
@@ -257,7 +269,8 @@ object QbeastWriter {
       rollupSize = options1.rollupSize, constraints = tableConstraints,
       bloomSpec = Some(BloomWriteSpec(bloomCols, bloomBits)),
       hllSpec = Some(HllWriteSpec(hllCols)),
-      kllSpec = Some(KllWriteSpec(kllCols, kllK)))
+      kllSpec = Some(KllWriteSpec(kllCols, kllK)),
+      mappingSchema = Some(tableSchema))
 
     // ---- pre-commit hooks (reference #28) ----
     val hookTags =
@@ -342,9 +355,26 @@ object QbeastWriter {
       val schemaToCommit =
         if (mode == SaveMode.Append)
           base.schema.map(existing =>
-            SchemaEvolution.mergeForAppend(existing, data.schema, canMergeSchema))
+            SchemaEvolution.mergeForAppend(existing, data.schema, canMergeSchema,
+              mintFrom = Some(tableSchema)))
             .getOrElse(tableSchema)
         else tableSchema
+      // mapped tables: our files are already written under tableSchema's
+      // physical names. A concurrent ALTER/merge that assigned ANY of
+      // our written columns a DIFFERENT physical name would make those
+      // files unreadable under the committed schema — fail the write
+      // instead of committing silent nulls (Delta's metadata-changed
+      // conflict, narrowed to the columns this write touched).
+      if (ColumnMapping.isEnabled(schemaToCommit) || ColumnMapping.isEnabled(tableSchema)) {
+        data.schema.fieldNames.foreach { n =>
+          val wrote = ColumnMapping.physicalOf(tableSchema, n)
+          val committed = ColumnMapping.physicalOf(schemaToCommit, n)
+          if (wrote != committed) throw new IllegalStateException(
+            s"concurrent schema change on $tablePath: column $n was written " +
+              s"under physical name $wrote but the table now maps it to " +
+              s"$committed; re-run the write")
+        }
+      }
       actions += MetaDataAction(schemaToCommit.json, config)
       if (isNewRevision) actions += RevisionAction(revisionToCommit)
       (options.txnAppId, options.txnVersion) match {
@@ -477,7 +507,7 @@ object QbeastWriter {
   def index(
       spark: SparkSession,
       tablePath: String,
-      data: DataFrame,
+      data0: DataFrame,
       revision: Revision,
       existingStatus: Option[IndexStatus],
       numElements: Long,
@@ -486,11 +516,35 @@ object QbeastWriter {
       constraints: Seq[(String, String)] = Nil,
       bloomSpec: Option[BloomWriteSpec] = None,
       hllSpec: Option[HllWriteSpec] = None,
-      kllSpec: Option[KllWriteSpec] = None): Seq[IndexFile] = {
+      kllSpec: Option[KllWriteSpec] = None,
+      mappingSchema: Option[StructType] = None): Seq[IndexFile] = {
 
-    lazy val tableCfg = QbeastLog
+    lazy val tableSnap = QbeastLog
       .lightSnapshot(tablePath, spark.sparkContext.hadoopConfiguration)
-      .configuration
+    lazy val tableCfg = tableSnap.configuration
+
+    // Column mapping: files, stats, blooms and sketches are keyed by
+    // PHYSICAL names. Callers hand LOGICAL-named frames (DML rewrites
+    // read through the logical scan) plus logical-named constraint SQL
+    // and sketch column specs — rename/translate all of them here, once
+    // (idempotent: a frame already physical-named passes through).
+    // `mappingSchema` is the write's merged logical schema (writeOnce,
+    // where mergeSchema may mint fresh physical names); absent, the
+    // log's current schema serves (all DML/optimize rewrites).
+    val mschema = mappingSchema.orElse(tableSnap.schema)
+      .filter(graft.core.model.ColumnMapping.isEnabled)
+    val physMap = mschema
+      .map(graft.core.model.ColumnMapping.toPhysicalMap).getOrElse(Map.empty)
+    val data =
+      if (physMap.isEmpty) data0
+      else graft.core.model.ColumnMapping.toPhysicalDf(data0, mschema.get)
+    val constraintsPhys =
+      if (physMap.isEmpty) constraints
+      else constraints.map { case (n, sql) =>
+        (n, graft.core.model.ColumnMapping.toPhysicalSql(spark, sql, mschema.get))
+      }
+    def physCol(c: String): String =
+      physMap.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c)
     val bloom = bloomSpec.getOrElse {
       BloomWriteSpec(
         tableCfg.get("qbeast.bloomFilterColumns")
@@ -512,13 +566,13 @@ object QbeastWriter {
     // this batch doesn't carry (schema evolution) or an ineligible
     // type is skipped — readers treat a missing filter conservatively
     val bloomCols: Seq[String] = bloom.cols.flatMap(c =>
-      data.schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
+      data.schema.fields.find(f => f.name.equalsIgnoreCase(physCol(c)) &&
         bloomEligible(f.dataType)).map(_.name)).distinct
     val hllCols: Seq[String] = hll.cols.flatMap(c =>
-      data.schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
+      data.schema.fields.find(f => f.name.equalsIgnoreCase(physCol(c)) &&
         hllEligible(f.dataType)).map(_.name)).distinct
     val kllCols: Seq[String] = kll.cols.flatMap(c =>
-      data.schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
+      data.schema.fields.find(f => f.name.equalsIgnoreCase(physCol(c)) &&
         KllCollector.eligible(f.dataType)).map(_.name)).distinct
 
     val dims = revision.dimensionCount
@@ -614,9 +668,9 @@ object QbeastWriter {
     // first >= 0 it sees (see writeFiles); the column itself is never
     // written to parquet (the writer projects only dataSchema columns).
     val checked =
-      if (constraints.isEmpty) tagged0
+      if (constraintsPhys.isEmpty) tagged0
       else tagged0.withColumn("_qbeastCheck",
-        constraints.zipWithIndex.foldRight(lit(-1)) { case (((_, sql), i), acc) =>
+        constraintsPhys.zipWithIndex.foldRight(lit(-1)) { case (((_, sql), i), acc) =>
           when(not(coalesce(expr(sql), lit(true))), lit(i)).otherwise(acc)
         })
     val shuffled = checked.repartition(col(QbeastColumns.fileUUIDColumnName))
@@ -677,7 +731,7 @@ object QbeastWriter {
 
     // ---- pass 3: physical write with per-cube block accounting ----
     writeFiles(spark, tablePath, taggedH, dataSchema, dims, revision.revisionID,
-      constraints, bloomCols1, bloomNumBits, hllCols, kllCols, kll.k)
+      constraintsPhys, bloomCols1, bloomNumBits, hllCols, kllCols, kll.k)
   }
 
   private[graft] def classic(df: DataFrame): org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row] =

@@ -25,11 +25,20 @@ import org.apache.spark.sql.types.StructType
  */
 object SchemaEvolution {
 
-  /** Table schema after an append of `incoming`; throws on violations. */
+  /** Table schema after an append of `incoming`; throws on violations.
+   *
+   * Column mapping: on a mapped table every NEW column mints a fresh
+   * physical name ([[graft.core.model.ColumnMapping.freshPhysicalName]])
+   * so a re-added logical name can never resurrect a dropped/renamed
+   * column's old data. `mintFrom` makes the minting DETERMINISTIC across
+   * the commit-rebase re-merge: a field already minted in that schema
+   * (the first merge, whose names the files were written under) keeps
+   * its name instead of minting twice. */
   def mergeForAppend(
       existing: StructType,
       incoming: StructType,
-      allowMerge: Boolean): StructType = {
+      allowMerge: Boolean,
+      mintFrom: Option[StructType] = None): StructType = {
     val existingByName = existing.fields.map(f => f.name.toLowerCase -> f).toMap
     val clashes = incoming.fields.flatMap { f =>
       existingByName.get(f.name.toLowerCase).collect {
@@ -52,7 +61,37 @@ object SchemaEvolution {
           "to replace the schema")
     }
     // keep the table's canonical column order; new columns go last
-    StructType(existing.fields ++ newCols.map(_.copy(nullable = true)))
+    import graft.core.model.ColumnMapping
+    val mapped = ColumnMapping.isEnabled(existing)
+    val minted = newCols.map { f0 =>
+      val f = f0.copy(nullable = true)
+      if (!mapped) f
+      else {
+        mintFrom.flatMap(_.fields.find(m =>
+          m.name.equalsIgnoreCase(f.name) &&
+            m.metadata.contains(ColumnMapping.PhysicalNameKey)))
+          .map(m => f.copy(metadata =
+            ColumnMapping.withPhysical(f.metadata, ColumnMapping.physicalName(m))))
+          .getOrElse(ColumnMapping.mintedField(f))
+      }
+    }
+    StructType(existing.fields ++ minted)
+  }
+
+  /** Same-column-set overwrite of a mapped table: carry the existing
+   * fields' mapping metadata onto the (metadata-less) incoming schema so
+   * new files keep writing the established physical names. */
+  def inheritMapping(incoming: StructType, existing: StructType): StructType = {
+    import graft.core.model.ColumnMapping
+    if (!ColumnMapping.isEnabled(existing)) incoming
+    else StructType(incoming.fields.map { f =>
+      existing.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(e) if e.metadata.contains(ColumnMapping.PhysicalNameKey) =>
+          f.copy(metadata =
+            ColumnMapping.withPhysical(f.metadata, ColumnMapping.physicalName(e)))
+        case _ => f
+      }
+    })
   }
 
   /** Validate an overwrite of a table whose schema is `existing`. */

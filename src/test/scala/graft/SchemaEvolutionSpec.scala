@@ -225,25 +225,36 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     dir
   }
 
-  test("ALTER TABLE RENAME/DROP/ALTER COLUMN are refused, never silently ignored") {
-    // per-file stats, blooms and HLL/KLL states are keyed by column
-    // NAME: a rename or drop-then-re-add would leave old files carrying
-    // stale stats under the new column's name, silently mis-pruning.
-    // The catalog must REFUSE, not half-apply or no-op.
+  test("ALTER COLUMN TYPE is refused; RENAME/DROP work via column mapping") {
+    // type changes stay refused — old parquet footers keep the written
+    // type and the shared scan schema would poison. RENAME and DROP are
+    // metadata-only commits under logical→physical column mapping
+    // (ColumnMappingSpec covers the full behavior; this pins the SQL
+    // surface through the catalog).
     catalogTable("alt_refuse")
-    def refuse(sql: String): Unit = {
-      val e = intercept[Exception] { spark.sql(sql) }
-      assert(e.getMessage.contains("column changes") ||
-        e.getMessage.contains("RENAME") || e.getMessage.contains("not supported"),
-        s"wrong error for: $sql — ${e.getMessage}")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE qbeast_catalog.default.alt_refuse ALTER COLUMN b TYPE STRING")
     }
-    refuse("ALTER TABLE qbeast_catalog.default.alt_refuse RENAME COLUMN b TO z")
-    refuse("ALTER TABLE qbeast_catalog.default.alt_refuse DROP COLUMN b")
-    refuse("ALTER TABLE qbeast_catalog.default.alt_refuse ALTER COLUMN b TYPE STRING")
-    // schema and data untouched after every refusal
-    val back = spark.sql("SELECT * FROM qbeast_catalog.default.alt_refuse")
-    assert(back.schema.fieldNames.toSeq == Seq("a", "b"))
-    assert(back.count() == 2L)
+    assert(e.getMessage.contains("column changes") ||
+      e.getMessage.contains("not supported"), e.getMessage)
+    // schema and data untouched after the refusal
+    assert(spark.sql("SELECT * FROM qbeast_catalog.default.alt_refuse")
+      .schema.fieldNames.toSeq == Seq("a", "b"))
+    // RENAME via SQL: logical-only; data still reads under the new name
+    spark.sql("ALTER TABLE qbeast_catalog.default.alt_refuse RENAME COLUMN b TO z")
+    val renamed = spark.sql("SELECT * FROM qbeast_catalog.default.alt_refuse")
+    assert(renamed.schema.fieldNames.toSeq == Seq("a", "z"))
+    assert(renamed.select(sum(col("z"))).as[Double].head() === 3.0)
+    // DROP via SQL: the column disappears; rows remain
+    spark.sql("ALTER TABLE qbeast_catalog.default.alt_refuse DROP COLUMN z")
+    val dropped = spark.sql("SELECT * FROM qbeast_catalog.default.alt_refuse")
+    assert(dropped.schema.fieldNames.toSeq == Seq("a"))
+    assert(dropped.count() == 2L)
+    // the indexed column cannot be dropped (appends must place rows)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE qbeast_catalog.default.alt_refuse DROP COLUMN a")
+    }
+    assert(e2.getMessage.contains("indexed"), e2.getMessage)
   }
 
   test("ALTER TABLE ADD COLUMNS is a metadata-only schema commit") {
