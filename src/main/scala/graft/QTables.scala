@@ -405,11 +405,42 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** A customer table exercised through logical→physical column mapping
+   * (ALTER TABLE RENAME/DROP COLUMN as metadata-only commits): the
+   * acctbal column is RENAMED mid-history, a DML delete then runs under
+   * the new name, another column is DROPPED, and a post-rename append
+   * lands rows under the new logical name — all without rewriting a
+   * single pre-rename file (their parquet footers keep the immutable
+   * physical name; scans resolve through QbeastParquetFileFormat). */
+  def qbeastMapped(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "customer_mapped")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val c = raw(spark, sfDir, "customer")
+        // v0: even keys, pre-rename column names
+        c.filter("c_custkey % 2 = 0")
+          .select("c_custkey", "c_acctbal", "c_mktsegment")
+          .write.format("qbeast").option("columnsToIndex", "c_custkey")
+          .option("cubeSize", "2000").save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        t.renameColumn("c_acctbal", "balance") // metadata-only
+        t.delete("balance < 0") // DML under the renamed name
+        t.dropColumn("c_mktsegment") // metadata-only
+        // post-rename append under the NEW logical name (physical
+        // parquet column stays the original)
+        c.filter("c_custkey % 2 = 1")
+          .selectExpr("c_custkey", "c_acctbal AS balance")
+          .write.format("qbeast").mode("append").save(path)
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** A customer table whose column name was RELEASED by an
    * overwriteSchema overwrite and RE-ADDED at a different type by a
-   * later mergeSchema append — the only legal drop-then-re-add path
-   * (ALTER TABLE RENAME/DROP COLUMN are refused because per-file
-   * stats/sketches are keyed by column name). The overwrite replaces
+   * later mergeSchema append — a legal drop-then-re-add path that
+   * never relies on column mapping. The overwrite replaces
    * the file set in the same commit, so no live file carries stats for
    * `tag` recorded under the old DOUBLE type. */
   def qbeastReAdded(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1381,6 +1381,19 @@ object SparkEntry {
       require(scans.isEmpty, "sidecar-scale fold should collapse to metadata")
       df
     }),
+    "q105_column_mapping" -> ((s, dir) => {
+      // RENAME/DROP COLUMN via logical→physical mapping: reads, file
+      // pruning and DML all run under the renamed name while every
+      // pre-rename file keeps its original physical parquet columns
+      // (QTables.qbeastMapped history: rename → delete → drop → append)
+      val df = QTables.qbeastMapped(s, dir)
+      require(!df.schema.fieldNames.contains("c_mktsegment"),
+        "dropped column must not resurface")
+      df.filter(col("balance") < 5000.0)
+        .groupBy((col("c_custkey") % 5).as("g"))
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("sk"),
+          min("balance").as("bmin"), max("balance").as("bmax"))
+    }),
     "q104_schema_readd" -> ((s, dir) => {
       // a name released by overwriteSchema and re-added at a DIFFERENT
       // type (DOUBLE → STRING): string filters over the re-added column
@@ -3001,6 +3014,13 @@ object SparkEntry {
     "q65_distributed_meta" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_extendedprice < 20000 GROUP BY 1""".stripMargin,
+    "q105_column_mapping" ->
+      """SELECT c_custkey % 5 AS g, count(*) AS n,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sk,
+        |  min(c_acctbal) AS bmin, max(c_acctbal) AS bmax
+        |FROM customer
+        |WHERE c_acctbal < 5000 AND (c_custkey % 2 = 1 OR c_acctbal >= 0)
+        |GROUP BY 1""".stripMargin,
     "q104_schema_readd" ->
       """SELECT coalesce(CASE WHEN c_custkey % 4 = 1 THEN c_mktsegment END, 'none') AS tag,
         |  count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS s

@@ -33,11 +33,13 @@ import java.util.Locale
  *    ([[freshPhysicalName]]), so re-adding a dropped or renamed-away
  *    logical name can never resurrect old data.
  *
- * Invariant (enforced at ALTER time, [[requireNoPhysicalClash]]): no
- * logical name may equal a DIFFERENT field's physical name. This makes
- * the logical→physical rename IDEMPOTENT (applying it to an
- * already-physical name is a no-op), so predicate rewriting at the
- * pruning layers cannot corrupt names if a filter passes through twice.
+ * Name rewriting is applied EXACTLY ONCE per predicate tree — the file
+ * indexes mark pre-renamed trees (`alreadyPhysical`), every other layer
+ * translates at its own entry only. RENAME additionally refuses a
+ * target name equal to another field's physical name
+ * ([[requireNoPhysicalClash]]) — chain renames would make the mapping
+ * ambiguous to humans and any accidental double application unsafe;
+ * ADD COLUMNS may reuse a released name freely (fresh physical mint).
  */
 object ColumnMapping {
 
@@ -130,8 +132,8 @@ object ColumnMapping {
   /** Rename attribute references logical→physical in a Catalyst filter
    * expression (the pruning layers — QuerySpecBuilder, FileStatsPruning,
    * derived-date expansion — all match names against physical-keyed
-   * stats and revision transformers). Idempotent under the ALTER-time
-   * invariant above. */
+   * stats and revision transformers). Applied exactly once per tree —
+   * see the class doc. */
   def toPhysicalExpr(e: Expression, map: Map[String, String]): Expression =
     if (map.isEmpty) e
     else e.transformUp {

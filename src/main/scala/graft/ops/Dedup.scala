@@ -303,14 +303,19 @@ object Dedup {
   /** The no-silent-caps report for a capped [[boundedNearDupPairs]]
    * run: every (band, bucket) whose REPRESENTATIVE population exceeds
    * `bucketCap`, with how many rows the cap dropped. Empty ⇒ the
-   * capped run had full recall on distinct contents. */
+   * capped run had full recall on distinct contents.
+   *
+   * `bucketCap` is REQUIRED (no default): the report only means
+   * something against the exact cap the paired [[boundedNearDupPairs]]
+   * run used — a defaulted value here silently audited a different run
+   * than the one it claims to describe. */
   def bucketOverflow(
       df: DataFrame,
       idCol: String,
       textCol: String,
+      bucketCap: Int,
       numHashes: Int = DefaultNumHashes,
-      bands: Int = 16,
-      bucketCap: Int = 64): DataFrame = {
+      bands: Int = 16): DataFrame = {
     val withHash = df.select(col(idCol).as("id"), col(textCol).as("txt"),
       coalesce(md5(col(textCol)),
         concat(lit("__null__"), col(idCol).cast("string"))).as("h"))

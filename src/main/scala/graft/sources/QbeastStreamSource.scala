@@ -344,12 +344,25 @@ class QbeastStreamSource(
   private def commitDvByName(v: Long): Map[String, String] =
     commitDvCache.getOrElseUpdate(v, {
       if (commitDvCache.size > 64) commitDvCache.remove(commitDvCache.head._1)
+      commitActionsCached(v).collect {
+        case graft.log.DvFileAction(p, dvPath, _) => new Path(p).getName -> dvPath
+      }.toMap
+    })
+
+  // one parse per commit file per stream: enumeration (commitAdds), dv
+  // masks (commitDvByName) and the whole-commit diff replay ('x') all
+  // read the SAME committed actions — commit files are immutable once
+  // published (atomic put-if-absent), so caching is always sound
+  private val commitActionsCache =
+    mutable.LinkedHashMap.empty[Long, Seq[graft.log.LogAction]]
+
+  private def commitActionsCached(v: Long): Seq[graft.log.LogAction] =
+    commitActionsCache.getOrElseUpdate(v, {
+      if (commitActionsCache.size > 8) commitActionsCache.remove(commitActionsCache.head._1)
       val revisions =
         if (lastLight.version >= v) lastLight.revisions
         else QbeastLog.lightSnapshot(tablePath, hadoopConf).revisions
-      QbeastLog.commitActions(tablePath, hadoopConf, v, revisions).collect {
-        case graft.log.DvFileAction(p, dvPath, _) => new Path(p).getName -> dvPath
-      }.toMap
+      QbeastLog.commitActions(tablePath, hadoopConf, v, revisions)
     })
 
   private val commitAddsCache = mutable.LinkedHashMap.empty[Long, Vector[(String, Long)]]
@@ -363,10 +376,7 @@ class QbeastStreamSource(
       // lastLight covers every commit ≤ the head this trigger observed;
       // a revision cut INSIDE commit v is picked up by commitActions
       // itself (serde contract: revisions precede their files)
-      val revisions =
-        if (lastLight.version >= v) lastLight.revisions
-        else QbeastLog.lightSnapshot(tablePath, hadoopConf).revisions
-      val actions = QbeastLog.commitActions(tablePath, hadoopConf, v, revisions)
+      val actions = commitActionsCached(v)
       // a schema CHANGE mid-stream must stop the stream (Delta's
       // contract): delivering new-schema files through the pinned
       // schema silently drops or nulls the changed columns
@@ -440,9 +450,12 @@ class QbeastStreamSource(
           // (after ∖ before inserts, before ∖ after deletes — the
           // same frames batch changes() builds), so the commit
           // replays as ONE atomic pseudo-unit ('x') sized as its
-          // added bytes. Admission never splits a single unit ("at
-          // least one file always fits"), so the diff is always whole.
-          Vector((s"$v:x:", dataAdds.map(_._2).sum))
+          // added PLUS removed bytes — the EXCEPT ALL frames read both
+          // sides, so admission must budget the actual IO, not half of
+          // it. Admission never splits a single unit ("at least one
+          // file always fits"), so the diff is always whole.
+          Vector((s"$v:x:", dataAdds.map(_._2).sum +
+            removes.map(_.remove.size).sum))
       } else {
         // a dv+adds commit is a row-level rewrite (merge-on-read
         // UPDATE): the updated images stream as appends only under the
@@ -641,6 +654,33 @@ class QbeastStreamSource(
    * for every ordinary DML commit, so only files a RESTORE actually
    * shrank pay the second probe-scan. Shared by the 'v' units and the
    * whole-commit diff ('x') replay. */
+
+  /** Batched replay-surface existence check: ONE listStatus per parent
+   * directory, diffed against the needed set — a 10k-file replayed
+   * commit on an object store pays a couple of LIST round trips instead
+   * of 10k serial exists() probes. The first missing path fails NAMED
+   * (the batch changes() contract), never with a raw
+   * FileNotFoundException mid-task. */
+  private def requireAllExist(
+      v: Long,
+      relPaths: Iterable[String],
+      what: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    if (relPaths.isEmpty) return
+    relPaths.groupBy(p => new Path(tablePath, p).getParent).foreach {
+      case (dir, ps) =>
+        val present: Set[String] =
+          try fs.listStatus(dir).iterator.map(_.getPath.getName).toSet
+          catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+        ps.find(p => !present.contains(new Path(tablePath, p).getName)).foreach { p =>
+          throw new IllegalStateException(
+            s"qbeast streaming CDF: $what $p of commit $v was vacuumed — " +
+              "this range cannot be replayed; restart the stream from a " +
+              "later startingVersion")
+        }
+    }
+  }
+
   private def vectorDeltaFrame(
       v: Long,
       relPaths: Seq[String],
@@ -651,14 +691,11 @@ class QbeastStreamSource(
     val names = relPaths.map(p => new Path(p).getName).toSet
     // probe BOTH maps' entries (not their merged map: a file re-masked
     // at v has a different vector path in each, and the merge would
-    // hide one of them from the check)
-    (newM.iterator ++ oldM.iterator).foreach { case (n, dvp) =>
-      if (names.contains(n) && !fs.exists(new Path(tablePath, dvp)))
-        throw new IllegalStateException(
-          s"qbeast streaming CDF: deletion vector $dvp of commit $v " +
-            "was vacuumed — this range cannot be replayed; restart " +
-            "the stream from a later startingVersion")
-    }
+    // hide one of them from the check); batched — one LIST, not N probes
+    requireAllExist(v,
+      (newM.iterator ++ oldM.iterator).collect {
+        case (n, dvp) if names.contains(n) => dvp
+      }.toSeq.distinct, "deletion vector", fs)
     val absolute = relPaths.map(p => new Path(tablePath, p).toString)
     val df = readTableParquet(absolute)
     val newProbe = dvs.probeCol(tablePath, newM, hadoopConf)
@@ -703,56 +740,41 @@ class QbeastStreamSource(
       v: Long,
       fs: org.apache.hadoop.fs.FileSystem): DataFrame = {
     val dvs = graft.write.DeletionVectors
-    val revisions =
-      if (lastLight.version >= v) lastLight.revisions
-      else QbeastLog.lightSnapshot(tablePath, hadoopConf).revisions
-    val actions = QbeastLog.commitActions(tablePath, hadoopConf, v, revisions)
+    // cached: commitAdds already parsed this commit when sizing the unit
+    val actions = commitActionsCached(v)
     val removes = actions.collect { case graft.log.RemoveFileAction(r) => r.path }
     val dataAdds = actions.collect {
       case graft.log.AddFileAction(f, true) => f.path
     }
     val dvActs = actions.collect { case d: graft.log.DvFileAction => d }
-    def readRel(ps: Seq[String]): DataFrame = {
-      val abs = ps.map { p =>
-        val ap = new Path(tablePath, p)
-        if (!fs.exists(ap)) throw new IllegalStateException(
-          s"qbeast streaming CDF: file $p of commit $v was vacuumed — " +
-            "this range cannot be replayed; restart the stream from a " +
-            "later startingVersion")
-        ap.toString
-      }
-      readTableParquet(abs)
-    }
-    def dvOk(dvp: String): String = {
-      if (!fs.exists(new Path(tablePath, dvp)))
-        throw new IllegalStateException(
-          s"qbeast streaming CDF: deletion vector $dvp of commit $v was " +
-            "vacuumed — this range cannot be replayed; restart the " +
-            "stream from a later startingVersion")
-      dvp
-    }
+    def readRel(ps: Seq[String]): DataFrame =
+      readTableParquet(ps.map(p => new Path(tablePath, p).toString))
     val oldM = dvByNameAt(v - 1)
     val addSet = dataAdds.toSet
     val (selfDvs, deltaDvs) = dvActs.partition(d => addSet.contains(d.path))
     val removeNames = removes.map(p => new Path(p).getName).toSet
     val removeMask = oldM.filter { case (n, _) => removeNames.contains(n) }
-    removeMask.values.foreach(dvOk)
-    val removesBefore =
-      dvs.maskWith(tablePath, removeMask, hadoopConf, readRel(removes))
     val reAddNames = dataAdds.map(p => new Path(p).getName)
       .filter(oldM.contains).toSet
+    val reAddMask = oldM.filter { case (n, _) => reAddNames.contains(n) }
+    val selfMask = selfDvs.map(d => new Path(d.path).getName -> d.dvPath).toMap
+    // ONE batched existence sweep for every path this replay will read
+    // (data files on both sides + all vectors), not per-file probes
+    requireAllExist(v, removes ++ dataAdds, "file", fs)
+    requireAllExist(v,
+      (removeMask.values ++ reAddMask.values ++ selfMask.values).toSeq.distinct,
+      "deletion vector", fs)
+    val removesBefore =
+      dvs.maskWith(tablePath, removeMask, hadoopConf, readRel(removes))
     val before =
       if (reAddNames.isEmpty) removesBefore
       else {
         // files re-added while live AND masked at v-1 (restore clearing
         // a dv): only their previously-masked rows are new content
-        val reAddMask = oldM.filter { case (n, _) => reAddNames.contains(n) }
-        reAddMask.values.foreach(dvOk)
         val reAdds = dataAdds.filter(p => reAddNames.contains(new Path(p).getName))
         removesBefore.unionByName(
           dvs.maskWith(tablePath, reAddMask, hadoopConf, readRel(reAdds)))
       }
-    val selfMask = selfDvs.map(d => new Path(d.path).getName -> dvOk(d.dvPath)).toMap
     val after = dvs.maskWith(tablePath, selfMask, hadoopConf, readRel(dataAdds))
     val base = after.exceptAll(before)
       .withColumn("_change_type", lit("insert"))
@@ -787,17 +809,11 @@ class QbeastStreamSource(
           // commit removed is reclaimable while a lagging stream still
           // needs it. A replay reaching such a range must fail NAMED
           // (the batch changes() contract), not with a raw
-          // FileNotFoundException mid-task. The CDF path is a replay
-          // surface, not the hot append path, so the per-file
-          // existence probe is acceptable here. ('x' units carry no
-          // path — the diff replay probes its own file set.)
+          // FileNotFoundException mid-task. Batched: one listStatus per
+          // parent directory, never per-file exists() round trips. ('x'
+          // units carry no path — the diff replay checks its own set.)
           val fs = new Path(tablePath).getFileSystem(hadoopConf)
-          if (kind != "x") absolute.find(p => !fs.exists(new Path(p))).foreach { p =>
-            throw new IllegalStateException(
-              s"qbeast streaming CDF: file $p of commit $v was vacuumed — " +
-                "this range cannot be replayed; restart the stream from a " +
-                "later startingVersion")
-          }
+          if (kind != "x") requireAllExist(v, list.map(_._3), "file", fs)
           val tagged = kind match {
             case "c" => readCdcParquet(absolute)
             case "d" => graft.write.DeletionVectors.maskWith(tablePath,
@@ -849,13 +865,8 @@ class QbeastStreamSource(
                 else {
                   val names = reAdds.map(u => new Path(u._3).getName).toSet
                   val masks = oldM.filter { case (n, _) => names.contains(n) }
-                  masks.values.foreach { dvp =>
-                    if (!fs.exists(new Path(tablePath, dvp)))
-                      throw new IllegalStateException(
-                        s"qbeast streaming CDF: deletion vector $dvp of commit " +
-                          s"$v was vacuumed — this range cannot be replayed; " +
-                          "restart the stream from a later startingVersion")
-                  }
+                  requireAllExist(v, masks.values.toSeq.distinct,
+                    "deletion vector", fs)
                   Some(readTableParquet(
                     reAdds.map(u => new Path(tablePath, u._3).toString))
                     .filter(graft.write.DeletionVectors

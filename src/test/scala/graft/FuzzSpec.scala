@@ -336,11 +336,25 @@ class FuzzSpec extends AnyFunSuite {
       // commits stay fully inside both invariants. `fullHistory` keeps
       // every version for versionAsOf, which DOES cross replacements
       // (each snapshot reads under its own schema).
-      val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String], DataFrame)]
+      // per entry: (version, canon, model, curName snapshot, anchor
+      // content under that version's logical names) — the last two
+      // restore with the schema on RESTORE ops
+      val history = scala.collection.mutable
+        .ArrayBuffer.empty[(Long, Seq[String], DataFrame, Map[String, String], DataFrame)]
       val fullHistory = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
-      history += ((v0, canon(model), model))
+      // base logical name -> CURRENT logical name (tracks RENAME COLUMN;
+      // generated predicates/assignments translate through it)
+      var curName: Map[String, String] = Map("k" -> "k", "v" -> "v", "s" -> "s", "d" -> "d")
+      // the anchor's content expressed under the CURRENT head names —
+      // renames re-label it, drops remove, restores roll it back
+      var anchorHead: DataFrame = model
+      history += ((v0, canon(model), model, curName, anchorHead))
       fullHistory += ((v0, canon(model)))
       var anchor: (Long, DataFrame) = (v0, model)
+      // translate base column tokens in generated SQL to current names
+      def tr(sql: String): String =
+        if (curName.forall { case (b, c) => b == c }) sql
+        else "\\b(k|v|s|d)\\b".r.replaceAllIn(sql, m => curName(m.group(1)))
 
       // one sink + checkpoint per sequence: the mid-sequence drain (on
       // schema-stable sequences) and the final drain share them, so the
@@ -363,19 +377,20 @@ class FuzzSpec extends AnyFunSuite {
         if (r.nextInt(4) == 0) {
           val keys = Seq.fill(1 + r.nextInt(12))((math.abs(r.nextLong()) % (nextKey + 20)))
           keys.toDF("id").createOrReplaceTempView("fuzz_dml_keys")
-          "k IN (SELECT id FROM fuzz_dml_keys)"
-        } else new Gen(r, dmlMode = true).gen(1 + r.nextInt(2))
+          s"${curName("k")} IN (SELECT id FROM fuzz_dml_keys)"
+        } else tr(new Gen(r, dmlMode = true).gen(1 + r.nextInt(2)))
       }
       def randType(): DataType =
         Seq[DataType](DoubleType, IntegerType, StringType)(r.nextInt(3))
       def widenValue(dt: DataType): org.apache.spark.sql.Column = dt match {
-        case IntegerType => (col("k") % 7).cast(IntegerType)
-        case DoubleType => col("k") * 0.5
-        case _ => org.apache.spark.sql.functions.concat(lit("z"), col("k"))
+        case IntegerType => (col(curName("k")) % 7).cast(IntegerType)
+        case DoubleType => col(curName("k")) * 0.5
+        case _ => org.apache.spark.sql.functions.concat(lit("z"), col(curName("k")))
       }
+      def curNames: Seq[String] = Seq("k", "v", "s", "d").map(curName)
 
       for (op <- 0 until dmlOps) {
-        val what0 = r.nextInt(20)
+        val what0 = r.nextInt(24)
         val what = if (!allowSchema && what0 >= 16) what0 % 8 else what0
         val desc: String = what match {
           case 0 | 1 | 2 | 3 =>
@@ -386,6 +401,7 @@ class FuzzSpec extends AnyFunSuite {
           case 4 | 5 | 6 =>
             val p = dmlPred()
             val a = assigns(r.nextInt(assigns.length))
+              .map { case (c, e) => (curName.getOrElse(c, c), tr(e)) }
             t.update(p, a)
             val sel = model.columns.toSeq.map { c =>
               a.get(c) match {
@@ -400,7 +416,7 @@ class FuzzSpec extends AnyFunSuite {
             // nulls) — exact-schema appends need no mergeSchema option
             val batch = freshRows(nextKey, 10 + r.nextInt(20), r)
             nextKey += batch.size
-            val bdf = conform(batch.toDF("k", "v", "s", "d"), model.schema)
+            val bdf = conform(batch.toDF(curNames: _*), model.schema)
             bdf.write.format("qbeast").mode("append").save(dir)
             model = localize(model.unionByName(bdf))
             s"APPEND ${batch.size}"
@@ -411,17 +427,19 @@ class FuzzSpec extends AnyFunSuite {
               freshRows(k, 1, r).head
             }
             val srcDf = conform(
-              src.toDF("k", "v", "s", "d").dropDuplicates("k"), model.schema)
+              src.toDF(curNames: _*).dropDuplicates(curName("k")), model.schema)
             if (model.isEmpty) {
               // upsert into an emptied table is a pinned refusal (use a
               // plain write); the model must stay unchanged
-              val e = intercept[IllegalArgumentException] { t.upsert(srcDf, Seq("k")) }
+              val e = intercept[IllegalArgumentException] {
+                t.upsert(srcDf, Seq(curName("k")))
+              }
               assert(e.getMessage.contains("empty table"))
               s"UPSERT-REFUSED ${src.size}"
             } else {
-              t.upsert(srcDf, Seq("k"))
+              t.upsert(srcDf, Seq(curName("k")))
               model = localize(
-                model.join(srcDf.select("k"), Seq("k"), "left_anti")
+                model.join(srcDf.select(curName("k")), Seq(curName("k")), "left_anti")
                   .unionByName(srcDf))
               s"UPSERT ${src.size}"
             }
@@ -432,10 +450,12 @@ class FuzzSpec extends AnyFunSuite {
             // After a zero-retention vacuum the resurrect files may be
             // gone: the refusal must NAME the reclaim and commit
             // NOTHING (the model stays put and the next check proves it)
-            val (rv, _, rm) = history(r.nextInt(history.size))
+            val (rv, _, rm, rCur, rAnchor) = history(r.nextInt(history.size))
             try {
               t.restoreToVersion(rv)
               model = rm
+              curName = rCur
+              anchorHead = rAnchor
               s"RESTORE to v$rv"
             } catch {
               case e: IllegalArgumentException
@@ -447,9 +467,13 @@ class FuzzSpec extends AnyFunSuite {
             // overwrite released one) a DEAD name re-added at a
             // DIFFERENT type — legal exactly because no live file
             // carries the old type
+            // a RESTORE may have resurrected a released name — only
+            // names absent from the CURRENT schema are re-addable
+            val reAddable = droppedCols.filterNot { case (n, _) =>
+              model.columns.exists(_.equalsIgnoreCase(n)) }
             val (cname, dt) =
-              if (droppedCols.nonEmpty && r.nextBoolean()) {
-                val (n, oldDt) = droppedCols.head
+              if (reAddable.nonEmpty && r.nextBoolean()) {
+                val (n, oldDt) = reAddable.head
                 droppedCols.remove(n)
                 val nt = Seq[DataType](DoubleType, IntegerType, StringType)
                   .filterNot(_ == oldDt)(r.nextInt(2))
@@ -457,7 +481,7 @@ class FuzzSpec extends AnyFunSuite {
               } else { val n = s"x$nextCol"; nextCol += 1; (n, randType()) }
             val batch = freshRows(nextKey, 8 + r.nextInt(12), r)
             nextKey += batch.size
-            val bdf = conform(batch.toDF("k", "v", "s", "d"), model.schema)
+            val bdf = conform(batch.toDF(curNames: _*), model.schema)
               .withColumn(cname, widenValue(dt))
             bdf.write.format("qbeast").option("mergeSchema", "true")
               .mode("append").save(dir)
@@ -483,19 +507,71 @@ class FuzzSpec extends AnyFunSuite {
               .foreach(f => droppedCols(f.name) = f.dataType)
             val batch = freshRows(nextKey, 30 + r.nextInt(30), r)
             nextKey += batch.size
+            // renamed base columns are also released back to base names
+            // (overwriteSchema resets the column mapping to identity)
+            curName.values.filterNot(baseCols.contains)
+              .foreach(n => droppedCols(n) = model.schema(n).dataType)
             val w2 = batch.toDF("k", "v", "s", "d").write.format("qbeast")
               .option("columnsToIndex", "k").option("cubeSize", "40")
               .option("overwriteSchema", "true").mode("overwrite")
             val w3 = if (dv) w2.option("deletionVectors", "true") else w2
             (if (cdf) w3.option("enableChangeDataFeed", "true") else w3).save(dir)
             model = localize(batch.toDF("k", "v", "s", "d"))
+            curName = Map("k" -> "k", "v" -> "v", "s" -> "s", "d" -> "d")
             history.clear()
             schemaOps += 1
             s"OVERWRITE ${batch.size} (schema reset)"
+          case 20 | 21 =>
+            // RENAME COLUMN (column mapping): metadata-only; the
+            // physical name — and every file, stat, sketch and
+            // revision transformer keyed by it — stays put
+            val cols0 = model.columns.toSeq
+            val c = cols0(r.nextInt(cols0.length))
+            val nn = s"rn$nextCol"; nextCol += 1
+            t.renameColumn(c, nn)
+            model = localize(model.withColumnRenamed(c, nn))
+            anchorHead = anchorHead.withColumnRenamed(c, nn)
+            curName = curName.map { case (b, cur) => (b, if (cur == c) nn else cur) }
+            schemaOps += 1
+            s"RENAME $c -> $nn"
+          case 22 =>
+            // DROP a widened/re-added column (never a base one — the
+            // predicate generator keeps referencing those); the name is
+            // then re-addable at ANY type (fresh physical mint)
+            val widened = model.columns.filterNot(curName.values.toSet.contains).toSeq
+            if (widened.isEmpty) { t.optimize(); "OPTIMIZE (nothing to drop)" }
+            else {
+              val c = widened(r.nextInt(widened.length))
+              t.dropColumn(c)
+              droppedCols(c) = model.schema(c).dataType
+              model = localize(model.drop(c))
+              anchorHead = anchorHead.drop(c)
+              schemaOps += 1
+              s"DROP COLUMN $c"
+            }
+          case 23 =>
+            // rename-then-re-add the RELEASED logical name: the re-add
+            // mints a fresh physical name, so every pre-existing row
+            // must read NULL under it — resurrected data fails the
+            // very next content check
+            val cols0 = model.columns.toSeq
+            val c = cols0(r.nextInt(cols0.length))
+            val nn = s"rn$nextCol"; nextCol += 1
+            t.renameColumn(c, nn)
+            model = localize(model.withColumnRenamed(c, nn))
+            anchorHead = anchorHead.withColumnRenamed(c, nn)
+            curName = curName.map { case (b, cur) => (b, if (cur == c) nn else cur) }
+            val dt = randType()
+            val tc = org.apache.spark.sql.connector.catalog.TableChange.addColumn(Array(c), dt)
+            graft.catalog.QbeastCatalog.persistAddColumnsToLog(dir,
+              Seq(tc.asInstanceOf[org.apache.spark.sql.connector.catalog.TableChange.AddColumn]))
+            model = localize(model.withColumn(c, lit(null).cast(dt)))
+            schemaOps += 2
+            s"RENAME $c -> $nn + RE-ADD $c:${dt.simpleString}"
           case 13 =>
             // WHERE-scoped optimize: rewrites only matching files;
             // content is invariant like plain optimize
-            val p = new Gen(r, dmlMode = true).gen(1)
+            val p = tr(new Gen(r, dmlMode = true).gen(1))
             try { t.optimizeWhere(org.apache.spark.sql.functions.expr(p)); () }
             catch { case _: IllegalArgumentException => t.optimize() }
             s"OPTIMIZE WHERE $p"
@@ -523,8 +599,8 @@ class FuzzSpec extends AnyFunSuite {
             s"missing=$missing extra=$extra")
         }
         val ver = t.snapshot.version
-        if (desc.startsWith("OVERWRITE")) anchor = (ver, model)
-        history += ((ver, want, model))
+        if (desc.startsWith("OVERWRITE")) { anchor = (ver, model); anchorHead = model }
+        history += ((ver, want, model, curName, anchorHead))
         fullHistory += ((ver, want))
         // mid-sequence drain on the schema-stable sequences: the final
         // drain then RESUMES from this checkpoint, exercising offset
@@ -547,11 +623,16 @@ class FuzzSpec extends AnyFunSuite {
           catch {
             // a pre-vacuum version may reference reclaimed files; the
             // time-travel scan has no pre-probe, so Spark's own
-            // file-not-found is also acceptable — wrong ROWS never are
-            case e: Throwable if lastVacuum.exists(_ >= v) &&
-              (msgChain(e).contains("vacuum") ||
-                msgChain(e).toLowerCase.contains("does not exist") ||
-                msgChain(e).contains("FileNotFound")) => null
+            // file-not-found is also acceptable — but ONLY when the
+            // message names a path under THIS table (a wrong-path
+            // reader bug must not hide behind the tolerance); wrong
+            // ROWS never are
+            case e: Throwable if lastVacuum.exists(_ >= v) && {
+              val m = msgChain(e)
+              m.contains("vacuum") ||
+                (m.contains(dir) && (m.toLowerCase.contains("does not exist") ||
+                  m.contains("FileNotFound") || m.contains("FILE_NOT_EXIST")))
+            } => null
           }
         if (got != null && got != want)
           fail(s"[seq=$seq seed=$seed dv=$dv versionAsOf=$v]: " +
@@ -564,11 +645,14 @@ class FuzzSpec extends AnyFunSuite {
       // frame and the anchor projected to the HEAD schema (widening
       // commits inside the range replay old rows with null new columns)
       val head = t.snapshot.version
-      val (anchorV, anchorModel) = anchor
+      val (anchorV, _) = anchor
       if (head > anchorV) {
         val finalCols = model.columns.sorted.toSeq
         val counts = scala.collection.mutable.Map.empty[String, Long]
-        canon(conform(anchorModel, model.schema))
+        // the anchor content viewed under the HEAD logical names:
+        // renames re-labeled it along the way, drops removed columns,
+        // re-adds null-fill through conform (fresh physical names)
+        canon(conform(anchorHead, model.schema))
           .foreach(s => counts(s) = counts.getOrElse(s, 0L) + 1)
         val feedRows =
           try t.changes(anchorV + 1, head)

@@ -245,16 +245,16 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val renamed = spark.sql("SELECT * FROM qbeast_catalog.default.alt_refuse")
     assert(renamed.schema.fieldNames.toSeq == Seq("a", "z"))
     assert(renamed.select(sum(col("z"))).as[Double].head() === 3.0)
-    // DROP via SQL: the column disappears; rows remain
-    spark.sql("ALTER TABLE qbeast_catalog.default.alt_refuse DROP COLUMN z")
-    val dropped = spark.sql("SELECT * FROM qbeast_catalog.default.alt_refuse")
-    assert(dropped.schema.fieldNames.toSeq == Seq("a"))
-    assert(dropped.count() == 2L)
     // the indexed column cannot be dropped (appends must place rows)
     val e2 = intercept[Exception] {
       spark.sql("ALTER TABLE qbeast_catalog.default.alt_refuse DROP COLUMN a")
     }
     assert(e2.getMessage.contains("indexed"), e2.getMessage)
+    // DROP via SQL: the column disappears; rows remain
+    spark.sql("ALTER TABLE qbeast_catalog.default.alt_refuse DROP COLUMN z")
+    val dropped = spark.sql("SELECT * FROM qbeast_catalog.default.alt_refuse")
+    assert(dropped.schema.fieldNames.toSeq == Seq("a"))
+    assert(dropped.count() == 2L)
   }
 
   test("ALTER TABLE ADD COLUMNS is a metadata-only schema commit") {
