@@ -2796,6 +2796,16 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       "cannot generate a symlink manifest while deletion vectors mask rows " +
         "(external readers would resurrect deleted rows); run " +
         "REORG ... APPLY (PURGE) first")
+    // a manifest reader resolves parquet columns by their PHYSICAL
+    // names — after a RENAME those differ from the table's logical
+    // schema, and an external engine would silently serve the old
+    // names (Delta refuses manifests under column mapping identically)
+    s.schema.foreach { sc =>
+      require(ColumnMapping.isIdentity(sc),
+        "cannot generate a symlink manifest for a column-mapped table " +
+          "(RENAME/DROP COLUMN history): external readers resolve the " +
+          "physical parquet names, not the renamed logical schema")
+    }
     val dir = new Path(tablePath, "_symlink_format_manifest")
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)

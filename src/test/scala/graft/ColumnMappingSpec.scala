@@ -267,6 +267,23 @@ class ColumnMappingSpec extends AnyFunSuite {
       (0 until 1000).map(_.toDouble).sum + 5.0)
   }
 
+  test("symlink manifest refused on a column-mapped table; clone carries the mapping") {
+    val dir = freshTable("cm-manifest")
+    val t = QbeastTable.forPath(spark, dir)
+    assert(t.generateSymlinkManifest() > 0) // identity mapping: fine
+    t.renameColumn("v", "value")
+    val e = intercept[IllegalArgumentException] { t.generateSymlinkManifest() }
+    assert(e.getMessage.contains("column-mapped"))
+    // shallow clone: the mapping rides the copied schema — the clone
+    // reads under the renamed logical names against the SOURCE files
+    val target = TestSpark.tmpDir("cm-clone-dst") + "/t"
+    t.cloneTo(target)
+    val c = spark.read.format("qbeast").load(target)
+    assert(c.schema.fieldNames.toSeq == Seq("k", "value", "s"))
+    assert(c.select(sum("value")).as[Double].head() ==
+      (0 until 1000).map(_.toDouble).sum)
+  }
+
   test("optimize and vacuum after rename; verifyIntegrity stays clean") {
     val dir = freshTable("cm-opt")
     val t = QbeastTable.forPath(spark, dir)
