@@ -267,6 +267,79 @@ class ColumnMappingSpec extends AnyFunSuite {
       (0 until 1000).map(_.toDouble).sum + 5.0)
   }
 
+  test("SQL DML (DELETE/UPDATE/MERGE) and INSERT work after SQL RENAME COLUMN") {
+    spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    val dir = TestSpark.tmpDir("cm-sqldml")
+    val table = "qbeast_catalog.default.cm_sqldml"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    (0 until 500).map(i => (i.toLong, i.toDouble, s"s$i")).toDF("k", "v", "s")
+      .createOrReplaceTempView("cm_sqldml_src")
+    spark.sql(s"""CREATE TABLE $table
+      USING qbeast OPTIONS ('columnsToIndex'='k', 'cubeSize'='100')
+      LOCATION '$dir' AS SELECT * FROM cm_sqldml_src""")
+    spark.sql(s"ALTER TABLE $table RENAME COLUMN v TO price")
+    spark.sql(s"DELETE FROM $table WHERE price < 50.0")
+    assert(spark.sql(s"SELECT count(*) FROM $table").head.getLong(0) == 450L)
+    spark.sql(s"UPDATE $table SET s = 'big' WHERE price >= 490.0")
+    assert(spark.sql(s"SELECT count(*) FROM $table WHERE s = 'big'")
+      .head.getLong(0) == 10L)
+    Seq((100L, -5.0, "m"), (9000L, -6.0, "m")).toDF("k", "price", "s")
+      .createOrReplaceTempView("cm_merge_src")
+    spark.sql(s"""MERGE INTO $table t USING cm_merge_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val m = spark.sql(s"SELECT price FROM $table WHERE s = 'm' ORDER BY k")
+      .as[Double].collect().toSeq
+    assert(m == Seq(-5.0, -6.0))
+    spark.sql(s"INSERT INTO $table VALUES (9001, 7.5, 'i')")
+    assert(spark.sql(s"SELECT price FROM $table WHERE k = 9001")
+      .as[Double].head() == 7.5)
+  }
+
+  test("streaming sink appends into a column-mapped table under the new names") {
+    val dir = freshTable("cm-sink")
+    QbeastTable.forPath(spark, dir).renameColumn("v", "value")
+    val srcDir = TestSpark.tmpDir("cm-sink-src")
+    (5000 until 5100).map(i => (i.toLong, i.toDouble, s"s$i"))
+      .toDF("k", "value", "s").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.format("qbeast")
+      .option("checkpointLocation", TestSpark.tmpDir("cm-sink-ckpt"))
+      .option("path", dir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() == 1100L)
+    assert(back.filter(col("value") >= 5000.0).count() == 100L)
+    // physical parquet of the streamed files still carries the original
+    // physical name — pruning on the renamed column keeps working
+    assert(filesRead(back.filter(col("value") >= 5050.0)) < filesRead(back))
+  }
+
+  test("sidecar-distributed reads and folds prune under renamed names") {
+    val dir = freshTable("cm-sidecar")
+    spark.conf.set("spark.qbeast.metadata.sidecar.minFiles", "0")
+    try {
+      val t = QbeastTable.forPath(spark, dir)
+      t.checkpoint() // parquet sidecar → DistributedQbeastFileIndex path
+      t.renameColumn("v", "value")
+      t.renameColumn("k", "key")
+      val back = spark.read.format("qbeast").load(dir)
+      assert(back.count() == 1000L)
+      // OTree pruning (renamed indexed col) + stats pruning (renamed
+      // payload col) both run through the sidecar job
+      val total = filesRead(back)
+      assert(filesRead(back.filter(col("key") < 50L)) < total)
+      assert(filesRead(back.filter(col("value") < 10.0)) < total)
+      assert(back.filter(col("key") < 50L).count() == 50L)
+      // metadata fold over the sidecar answers under logical names
+      val agg = back.agg(count(lit(1)), min("value"), max("value")).collect().head
+      assert(agg.getLong(0) == 1000L && agg.getDouble(2) == 999.0)
+    } finally spark.conf.unset("spark.qbeast.metadata.sidecar.minFiles")
+  }
+
   test("symlink manifest refused on a column-mapped table; clone carries the mapping") {
     val dir = freshTable("cm-manifest")
     val t = QbeastTable.forPath(spark, dir)
