@@ -2917,6 +2917,19 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   def verifyIntegrity(): Seq[IntegrityIssue] = {
     val s = snapshot
     val issues = mutable.Buffer.empty[IntegrityIssue]
+    // column-mapping invariant: physical names must be unique — two
+    // logical columns resolving to one parquet column would silently
+    // serve the same data twice (the ALTER path cannot produce this;
+    // only log surgery could). A logical name equal to ANOTHER field's
+    // physical name is legal (rename-then-re-add) — rewriting is
+    // single-application throughout, see ColumnMapping's class doc.
+    s.schema.foreach { sc =>
+      sc.fields.map(f =>
+        ColumnMapping.physicalName(f).toLowerCase(java.util.Locale.ROOT))
+        .groupBy(identity).collect { case (p, ps) if ps.length > 1 => p }
+        .foreach(p => issues += IntegrityIssue("<schema>", "duplicate-physical-name",
+          s"two columns map to physical name $p"))
+    }
     // (no duplicate-reference check: snapshot replay is path-keyed, so
     // a double-add collapses to the last action by construction — the
     // log cannot surface two live entries for one path)
