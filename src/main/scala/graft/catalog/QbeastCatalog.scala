@@ -265,6 +265,34 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
             Seq(catalogName) ++ ident.namespace() :+ ident.name()))
         val screened = QbeastCatalog.screenColumnChanges(changes)
+        // a NEVER-WRITTEN table has no log to validate rename/drop
+        // against (QbeastTable.renameColumn/dropColumn enforce
+        // existence, collisions and the not-the-only-column rule) —
+        // validate against the declared schema here, or the unchecked
+        // transform below would persist a duplicate-name or empty
+        // catalog schema
+        val hasLog = graft.log.QbeastLog.exists(table.location,
+          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+        if (!hasLog && table.declaredSchema.nonEmpty) {
+          var working = table.declaredSchema
+          screened.renames.foreach { r =>
+            val from = r.fieldNames()(0)
+            require(working.fields.exists(_.name.equalsIgnoreCase(from)),
+              s"column $from does not exist (have ${working.fieldNames.mkString(", ")})")
+            require(!working.fields.exists(f =>
+              !f.name.equalsIgnoreCase(from) && f.name.equalsIgnoreCase(r.newName())),
+              s"column ${r.newName()} already exists")
+            working = StructType(working.fields.map(f =>
+              if (f.name.equalsIgnoreCase(from)) f.copy(name = r.newName()) else f))
+          }
+          screened.drops.foreach { d =>
+            val n = d.fieldNames()(0)
+            require(working.fields.exists(_.name.equalsIgnoreCase(n)),
+              s"column $n does not exist (have ${working.fieldNames.mkString(", ")})")
+            require(working.fields.length > 1, s"cannot drop the only column $n")
+            working = StructType(working.fields.filterNot(_.name.equalsIgnoreCase(n)))
+          }
+        }
         if (screened.adds.nonEmpty)
           QbeastCatalog.persistAddColumnsToLog(table.location, screened.adds)
         QbeastCatalog.persistRenameDropToLog(table.location, screened)

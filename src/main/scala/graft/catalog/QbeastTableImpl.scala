@@ -92,7 +92,8 @@ final case class QbeastTableImpl(
       partitionSchema = StructType(Nil),
       dataSchema = snapshot.schema.getOrElse(declaredSchema),
       bucketSpec = None,
-      fileFormat = new graft.sources.QbeastParquetFileFormat(),
+      fileFormat = new graft.sources.QbeastParquetFileFormat(snapshot.schema
+        .map(graft.core.model.ColumnMapping.toPhysicalMap).getOrElse(Map.empty)),
       options = tableProperties)(spark)
   }
 

@@ -169,7 +169,8 @@ class QbeastDataSource
       bucketSpec = None,
       // mapping-aware: resolves physical column names under a logical
       // dataSchema; identical to the stock format on identity tables
-      fileFormat = new QbeastParquetFileFormat(),
+      fileFormat = new QbeastParquetFileFormat(snapshot.schema
+        .map(graft.core.model.ColumnMapping.toPhysicalMap).getOrElse(Map.empty)),
       options = parameters)(spark)
   }
 

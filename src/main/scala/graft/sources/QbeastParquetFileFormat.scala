@@ -25,7 +25,15 @@ import org.apache.spark.sql.types.{StructField, StructType}
  * rename below is a no-op and this class behaves exactly like the stock
  * format.
  */
-final class QbeastParquetFileFormat extends ParquetFileFormat {
+final class QbeastParquetFileFormat(
+    /** lowercase(logical) → physical for the TABLE's schema, captured at
+     * relation construction. Needed as a constructor value (the Delta
+     * `DeltaParquetFileFormat.referenceSchema` pattern) because nested
+     * schema pruning rebuilds the relation with a PRUNED dataSchema
+     * whose fields lose their metadata — deriving the map from the
+     * passed-in schemas alone silently drops the mapping there. */
+    private val logicalToPhysical: Map[String, String] = Map.empty)
+    extends ParquetFileFormat {
 
   override def shortName(): String = "qbeast-parquet"
 
@@ -39,7 +47,11 @@ final class QbeastParquetFileFormat extends ParquetFileFormat {
       filters: Seq[Filter],
       options: Map[String, String],
       hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
-    val map = ColumnMapping.toPhysicalMap(dataSchema)
+    // prefer the constructor map (survives nested pruning); fall back
+    // to schema metadata for externally-constructed relations
+    val map =
+      if (logicalToPhysical.nonEmpty) logicalToPhysical
+      else ColumnMapping.toPhysicalMap(dataSchema)
     if (map.isEmpty)
       super.buildReaderWithPartitionValues(sparkSession, dataSchema, partitionSchema,
         requiredSchema, filters, options, hadoopConf)
@@ -65,12 +77,19 @@ final class QbeastParquetFileFormat extends ParquetFileFormat {
     }
   }
 
-  // ParquetFileFormat.equals accepts ANY ParquetFileFormat; keep the
-  // same shape restricted to this class so plan-level relation equality
-  // can't conflate a mapped scan with a stock parquet scan
-  override def equals(other: Any): Boolean =
-    other.isInstanceOf[QbeastParquetFileFormat]
+  // ParquetFileFormat.equals accepts ANY ParquetFileFormat (so the
+  // stock-on-the-left comparison still reports equal — inherent, its
+  // equals can't be overridden from here); restricting THIS side keeps
+  // two QbeastParquetFileFormats equal to each other while our
+  // relations never compare equal to a stock scan through this class's
+  // own equals. Relation-level distinctness ultimately rides the
+  // (location, dataSchema) pair either way.
+  override def equals(other: Any): Boolean = other match {
+    case q: QbeastParquetFileFormat => q.logicalToPhysical == logicalToPhysical
+    case _ => false
+  }
 
-  override def hashCode(): Int = getClass.hashCode()
+  override def hashCode(): Int =
+    getClass.hashCode() * 31 + logicalToPhysical.hashCode()
 
 }

@@ -199,8 +199,19 @@ class QbeastStreamSource(
       if (readChangeFeed) userSchema.map(s => StructType(
         s.fields.filterNot(f => QbeastStreamSource.CdfColumns.contains(f.name))))
       else userSchema
-    given.filter(_.fields.nonEmpty).orElse(initialSnapshot.schema).getOrElse(
+    val base = given.filter(_.fields.nonEmpty).orElse(initialSnapshot.schema).getOrElse(
       throw new IllegalStateException(s"qbeast table $tablePath has no schema"))
+    // a USER-specified schema carries no column-mapping metadata: on a
+    // mapped table the identity read path would resolve RENAMED columns
+    // by their logical names — absent from every parquet footer — and
+    // silently serve NULLs. Graft the log schema's physical names onto
+    // the user's fields by logical name (no-op on unmapped tables).
+    initialSnapshot.schema match {
+      case Some(logSchema) if given.nonEmpty &&
+          graft.core.model.ColumnMapping.isEnabled(logSchema) =>
+        graft.write.SchemaEvolution.inheritMapping(base, logSchema)
+      case _ => base
+    }
   }
 
   if (readChangeFeed) {
@@ -214,12 +225,6 @@ class QbeastStreamSource(
 
   override val schema: StructType =
     if (readChangeFeed) QbeastStreamSource.withCdfColumns(tableSchema) else tableSchema
-
-  /** Schema persisted inside a `_change_data` parquet (written by
-   * CDF-enabled DML commits): table columns + `_change_type`. */
-  private def cdcFileSchema: StructType = StructType(tableSchema.fields :+
-    org.apache.spark.sql.types.StructField("_change_type",
-      org.apache.spark.sql.types.StringType, nullable = false))
 
   /** Mapping-aware parquet read of table data files: resolve by the
    * PHYSICAL footer names, expose the pinned logical names (identity

@@ -833,7 +833,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       dataSchema = s.schema.getOrElse(
         throw new IllegalStateException(s"qbeast table at $tablePath has no schema")),
       bucketSpec = None,
-      fileFormat = new graft.sources.QbeastParquetFileFormat(),
+      fileFormat = new graft.sources.QbeastParquetFileFormat(s.schema
+        .map(ColumnMapping.toPhysicalMap).getOrElse(Map.empty)),
       options = Map.empty[String, String])(spark)
     // explicit mask (not just DvMaskRule): DML correctness must not
     // depend on which rules the session happens to have registered
@@ -1002,7 +1003,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         val opts = QbeastOptions(Map.empty[String, String],
           defaultCubeSize = existing.map(_.desiredCubeSize).getOrElse(QbeastOptions.DefaultCubeSize))
         val (rev, isNew, n) = RevisionFactory.computeRevisionChanges(
-          existing, opts, tablePath, updated)
+          existing, opts, tablePath, updated, mappingSchema = s.schema)
         val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
         // per-row backstop: the validate above ran as a SEPARATE job,
         // so these rows are re-checked inside the write itself
@@ -1178,7 +1179,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val opts = QbeastOptions(Map.empty[String, String],
         defaultCubeSize = existing.map(_.desiredCubeSize).getOrElse(QbeastOptions.DefaultCubeSize))
       val (rev, isNew, nSrc) = RevisionFactory.computeRevisionChanges(
-        existing, opts, tablePath, source)
+        existing, opts, tablePath, source, mappingSchema = s.schema)
       val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
       // per-row backstop: a nondeterministic source could pass the
       // driver-side validation yet draw violating rows here
@@ -1432,7 +1433,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
             defaultCubeSize = existingRev.map(_.desiredCubeSize)
               .getOrElse(QbeastOptions.DefaultCubeSize))
           val (rev, isNew, n) = RevisionFactory.computeRevisionChanges(
-            existingRev, opts, tablePath, df)
+            existingRev, opts, tablePath, df, mappingSchema = s.schema)
           val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
           // per-row backstop (see upsert): the rows written must be the
           // rows the constraint gate saw
@@ -1796,7 +1797,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val opts = QbeastOptions(Map.empty[String, String],
       defaultCubeSize = existing.map(_.desiredCubeSize).getOrElse(QbeastOptions.DefaultCubeSize))
     val (rev, isNew, n) = RevisionFactory.computeRevisionChanges(
-      existing, opts, tablePath, toIndex)
+      existing, opts, tablePath, toIndex, mappingSchema = s.schema)
     val status = if (!isNew) Some(s.indexStatus(rev.revisionID)) else None
     // per-row backstop inside the write task (driver-side validate ran
     // as a separate job — DML sources can change between executions)
@@ -2020,8 +2021,9 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     graft.write.Constraints.of(cfg).toSeq.collect {
       case (name, sql) if scala.util.Try {
         spark.sessionState.sqlParser.parseExpression(sql).collect {
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-              if a.nameParts.length == 1 => a.nameParts.head
+          // HEAD part: a nested reference (s.x) depends on column s too
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head
         }.exists(_.equalsIgnoreCase(column))
       }.getOrElse(true) => name // unparseable (shouldn't happen) → conservative
     }.map(_.toString)
@@ -2036,22 +2038,14 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   private val SketchListProps =
     Seq("qbeast.bloomFilterColumns", "qbeast.hllColumns", "qbeast.kllColumns")
 
-  /**
-   * `ALTER TABLE ... RENAME COLUMN` for a qbeast table — a metadata-only
-   * commit under logical→physical column mapping (the Delta
-   * `columnMapping = name` design; the reference refuses renames because
-   * its per-file stats are name-keyed —
-   * `src/.../QbeastCatalog.scala` delegates to Delta which requires the
-   * same mapping). The first rename UPGRADES the schema by pinning
-   * `physical := current name` on every field; the rename itself then
-   * only changes the logical name. Parquet files, stats, blooms,
-   * sketches and revision transformers all stay keyed by the immutable
-   * physical name, so file pruning and pushdown keep working; scans
-   * resolve physical and expose logical (see QbeastParquetFileFormat).
-   */
-  def renameColumn(existingName: String, newName: String): Unit = {
-    require(newName.nonEmpty && !newName.contains(".") && !newName.contains(","),
-      s"bad column name '$newName'")
+  /** Optimistic schema-change commit shared by [[renameColumn]] and
+   * [[dropColumn]]: `change` inspects the current snapshot + schema and
+   * returns (new schema, new configuration, operation) — or None for a
+   * no-op. Validation failures propagate; a lost commit race re-reads
+   * and re-validates against the winner's state. */
+  private def commitColumnChange(
+      change: (QbeastSnapshot, org.apache.spark.sql.types.StructType) =>
+        Option[(org.apache.spark.sql.types.StructType, Map[String, String], String)]): Unit = {
     var attempts = 0
     var committed = false
     while (!committed) {
@@ -2059,35 +2053,71 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       require(!base.isEmpty, s"no qbeast table at $tablePath")
       val schema = base.schema.getOrElse(
         throw new IllegalStateException(s"qbeast table at $tablePath has no schema"))
+      change(base, schema) match {
+        case None => return
+        case Some((newSchema, config, operation)) =>
+          try {
+            QbeastLog.commit(tablePath, conf, base.version,
+              Seq(MetaDataAction(newSchema.json, config)), operation)
+            committed = true
+          } catch {
+            case e: ConcurrentCommitException =>
+              attempts += 1
+              if (attempts > 5) throw e
+          }
+      }
+    }
+  }
+
+  /** Refuse a rename/drop of a column some CHECK constraint references. */
+  private def requireNoConstraintRefs(
+      cfg: Map[String, String], column: String, what: String): Unit = {
+    val refs = constraintsReferencing(cfg, column)
+    if (refs.nonEmpty) throw new UnsupportedOperationException(
+      s"cannot $what column $column: CHECK constraint(s) " +
+        s"${refs.mkString(", ")} reference it; drop them first")
+  }
+
+  /** Rewrite the sketch column-list properties on a rename/drop and tag
+   * the table as column-mapped. */
+  private def mappedConfig(
+      cfg: Map[String, String], from: String, to: Option[String]): Map[String, String] =
+    cfg.map {
+      case (k, v) if SketchListProps.contains(k) => k -> renameInList(v, from, to)
+      case kv => kv
+    } + ("qbeast.columnMapping.mode" -> "name")
+
+  /**
+   * `ALTER TABLE ... RENAME COLUMN` for a qbeast table — a metadata-only
+   * commit under logical→physical column mapping (the Delta
+   * `columnMapping = name` design; the reference refuses renames because
+   * its per-file stats are name-keyed). The first rename UPGRADES the
+   * schema by pinning `physical := current name` on every field; the
+   * rename itself then only changes the logical name. Parquet files,
+   * stats, blooms, sketches and revision transformers all stay keyed by
+   * the immutable physical name, so file pruning and pushdown keep
+   * working; scans resolve physical and expose logical (see
+   * QbeastParquetFileFormat).
+   */
+  def renameColumn(existingName: String, newName: String): Unit = {
+    require(newName.nonEmpty && !newName.contains(".") && !newName.contains(","),
+      s"bad column name '$newName'")
+    commitColumnChange { (base, schema) =>
       val field = schema.fields.find(_.name.equalsIgnoreCase(existingName)).getOrElse(
         throw new IllegalArgumentException(
           s"column $existingName does not exist (have ${schema.fieldNames.mkString(", ")})"))
-      if (newName.equalsIgnoreCase(field.name) && newName == field.name) return // no-op
-      schema.fields.find(f => (f ne field) && f.name.equalsIgnoreCase(newName)).foreach(_ =>
-        throw new IllegalArgumentException(s"column $newName already exists"))
-      ColumnMapping.requireNoPhysicalClash(schema, newName, self = field.name)
-      val refs = constraintsReferencing(base.configuration, field.name)
-      if (refs.nonEmpty) throw new UnsupportedOperationException(
-        s"cannot rename column ${field.name}: CHECK constraint(s) " +
-          s"${refs.mkString(", ")} reference it; drop them first")
-      val upgradedSchema = ColumnMapping.upgraded(schema)
-      val renamed = org.apache.spark.sql.types.StructType(upgradedSchema.fields.map { f =>
-        if (f.name.equalsIgnoreCase(existingName)) f.copy(name = newName) else f
-      })
-      val config = base.configuration.map {
-        case (k, v) if SketchListProps.contains(k) =>
-          k -> renameInList(v, field.name, Some(newName))
-        case kv => kv
-      } + ("qbeast.columnMapping.mode" -> "name")
-      try {
-        QbeastLog.commit(tablePath, conf, base.version,
-          Seq(MetaDataAction(renamed.json, config)),
-          operation = s"RENAME COLUMN ${field.name} TO $newName")
-        committed = true
-      } catch {
-        case e: ConcurrentCommitException =>
-          attempts += 1
-          if (attempts > 5) throw e
+      if (newName == field.name) None // no-op
+      else {
+        schema.fields.find(f => (f ne field) && f.name.equalsIgnoreCase(newName)).foreach(_ =>
+          throw new IllegalArgumentException(s"column $newName already exists"))
+        ColumnMapping.requireNoPhysicalClash(schema, newName, self = field.name)
+        requireNoConstraintRefs(base.configuration, field.name, "rename")
+        val renamed = org.apache.spark.sql.types.StructType(
+          ColumnMapping.upgraded(schema).fields.map { f =>
+            if (f.name.equalsIgnoreCase(existingName)) f.copy(name = newName) else f
+          })
+        Some((renamed, mappedConfig(base.configuration, field.name, Some(newName)),
+          s"RENAME COLUMN ${field.name} TO $newName"))
       }
     }
   }
@@ -2102,13 +2132,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * CHECK constraint references.
    */
   def dropColumn(name: String): Unit = {
-    var attempts = 0
-    var committed = false
-    while (!committed) {
-      val base = snapshot
-      require(!base.isEmpty, s"no qbeast table at $tablePath")
-      val schema = base.schema.getOrElse(
-        throw new IllegalStateException(s"qbeast table at $tablePath has no schema"))
+    commitColumnChange { (base, schema) =>
       val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(
           s"column $name does not exist (have ${schema.fieldNames.mkString(", ")})"))
@@ -2122,27 +2146,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
               "by it (appends must carry it to place rows). Re-index with " +
               "different columnsToIndex first (overwrite), then drop.")
       }
-      val refs = constraintsReferencing(base.configuration, field.name)
-      if (refs.nonEmpty) throw new UnsupportedOperationException(
-        s"cannot drop column ${field.name}: CHECK constraint(s) " +
-          s"${refs.mkString(", ")} reference it; drop them first")
+      requireNoConstraintRefs(base.configuration, field.name, "drop")
       val remaining = org.apache.spark.sql.types.StructType(
         ColumnMapping.upgraded(schema).fields.filterNot(_.name == field.name))
-      val config = base.configuration.map {
-        case (k, v) if SketchListProps.contains(k) =>
-          k -> renameInList(v, field.name, None)
-        case kv => kv
-      } + ("qbeast.columnMapping.mode" -> "name")
-      try {
-        QbeastLog.commit(tablePath, conf, base.version,
-          Seq(MetaDataAction(remaining.json, config)),
-          operation = s"DROP COLUMNS ${field.name}")
-        committed = true
-      } catch {
-        case e: ConcurrentCommitException =>
-          attempts += 1
-          if (attempts > 5) throw e
-      }
+      Some((remaining, mappedConfig(base.configuration, field.name, None),
+        s"DROP COLUMNS ${field.name}"))
     }
   }
 

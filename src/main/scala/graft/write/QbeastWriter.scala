@@ -251,8 +251,24 @@ object QbeastWriter {
           graft.index.ColumnsToIndexSelector.selectColumnsToIndex(data, maxCols))
       } else options
 
+    // overwriteSchema on a MAPPED table resets the mapping to identity,
+    // but an unspecified columnsToIndex would inherit the existing
+    // revision's transformers keyed by the OLD physical names — absent
+    // from the new frame once an indexed column was renamed. Re-express
+    // them as the OLD logical names (the ones the user knows) so the
+    // stats job resolves or fails NAMED; the revision is fresh either
+    // way (different key names never reuse the old space).
+    val options2 =
+      if (isOverwrite && boolOpt("overwriteSchema") && options1.columnsToIndex.isEmpty)
+        (snapshot.schema, existingRevision) match {
+          case (Some(sc), Some(rev)) if ColumnMapping.isEnabled(sc) =>
+            options1.copy(columnsToIndex =
+              rev.columnNames.map(c => ColumnMapping.logicalOf(sc, c)))
+          case _ => options1
+        }
+      else options1
     val (revision, isNewRevision0, numElements) =
-      RevisionFactory.computeRevisionChanges(existingRevision, options1, tablePath, data,
+      RevisionFactory.computeRevisionChanges(existingRevision, options2, tablePath, data,
         mappingSchema = Some(tableSchema))
     // never collide with IDs already in the log after an overwrite
     val revision1 =

@@ -318,6 +318,95 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(filesRead(back.filter(col("value") >= 5050.0)) < filesRead(back))
   }
 
+  test("user-specified stream schema on a mapped table inherits the physical names") {
+    val dir = freshTable("cm-userschema")
+    QbeastTable.forPath(spark, dir).renameColumn("v", "value")
+    // the user schema carries NO mapping metadata — the source must
+    // graft the log's physical names on, or every renamed column would
+    // silently read as NULL through the identity path
+    val user = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    val sink = TestSpark.tmpDir("cm-userschema-sink")
+    val q = spark.readStream.format("qbeast").schema(user).load(dir)
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", TestSpark.tmpDir("cm-userschema-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drained = spark.read.parquet(sink)
+    assert(drained.count() == 1000L)
+    assert(drained.filter(col("value").isNull).count() == 0L,
+      "renamed column read as NULL through a user-specified stream schema")
+  }
+
+  test("never-written catalog table validates RENAME/DROP against the declared schema") {
+    spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
+    val dir = TestSpark.tmpDir("cm-nolog")
+    val table = "qbeast_catalog.default.cm_nolog"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"""CREATE TABLE $table (a BIGINT, b DOUBLE) USING qbeast
+      OPTIONS ('columnsToIndex'='a') LOCATION '$dir'""")
+    // rename onto an existing name must refuse (no log to catch it —
+    // the catalog validates against the declared schema)
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $table RENAME COLUMN a TO b")
+    }
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $table RENAME COLUMN nope TO c")
+    }
+    assert(e2.getMessage.contains("does not exist") ||
+      e2.getMessage.toLowerCase.contains("missing field") ||
+      e2.getMessage.contains("UNRESOLVED_COLUMN") ||
+      e2.getMessage.contains("cannot be resolved"), e2.getMessage)
+    // a legal pre-write rename applies to the catalog schema
+    spark.sql(s"ALTER TABLE $table RENAME COLUMN b TO c")
+    assert(spark.table(table).schema.fieldNames.toSeq == Seq("a", "c"))
+    // dropping the last remaining non-... the ONLY column path
+    spark.sql(s"ALTER TABLE $table DROP COLUMN c")
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $table DROP COLUMN a")
+    }
+    assert(e3.getMessage.contains("only column"), e3.getMessage)
+  }
+
+  test("overwriteSchema after an indexed-column rename re-keys columnsToIndex") {
+    val dir = freshTable("cm-ovw")
+    val t = QbeastTable.forPath(spark, dir)
+    t.renameColumn("k", "key")
+    // overwrite WITHOUT re-specifying columnsToIndex: the inherited
+    // transformers are keyed by the OLD physical name ("k"), which the
+    // new identity-mapped frame does not carry — the writer re-keys
+    // them to the logical name ("key") the user knows
+    (0 until 300).map(i => (i.toLong, s"n$i")).toDF("key", "name")
+      .write.format("qbeast").mode("overwrite")
+      .option("overwriteSchema", "true").save(dir)
+    val back = spark.read.format("qbeast").load(dir)
+    assert(back.count() == 300L)
+    assert(QbeastTable.forPath(spark, dir).indexedColumns() == Seq("key"))
+    // and the reset table is identity-mapped again
+    assert(ColumnMapping.isIdentity(
+      QbeastTable.forPath(spark, dir).snapshot.schema.get))
+  }
+
+  test("nested CHECK constraint references block renaming the struct column") {
+    val dir = TestSpark.tmpDir("cm-nested")
+    (0 until 100).map(i => (i.toLong, (i.toDouble, s"s$i")))
+      .toDF("k", "st")
+      .write.format("qbeast").option("columnsToIndex", "k")
+      .option("cubeSize", "50").save(dir)
+    val t = QbeastTable.forPath(spark, dir)
+    t.addConstraint("stx", "st._1 >= 0")
+    val e = intercept[UnsupportedOperationException] { t.renameColumn("st", "payload") }
+    assert(e.getMessage.contains("stx"), e.getMessage)
+    t.dropConstraint("stx")
+    t.renameColumn("st", "payload")
+    assert(spark.read.format("qbeast").load(dir)
+      .select("payload._1").as[Double].collect().sum == (0 until 100).map(_.toDouble).sum)
+  }
+
   test("sidecar-distributed reads and folds prune under renamed names") {
     val dir = freshTable("cm-sidecar")
     spark.conf.set("spark.qbeast.metadata.sidecar.minFiles", "0")
