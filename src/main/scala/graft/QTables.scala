@@ -437,6 +437,41 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** A customer table whose columns were TYPE-WIDENED by metadata-only
+   * commits (ALTER COLUMN TYPE, the Delta `typeWidening` design):
+   * v0 writes nk as INT and bal as FLOAT, the widen commits change
+   * them to BIGINT/DOUBLE (old parquet footers keep the narrow types —
+   * the scan upcasts per batch), the append lands BIGINT values no int
+   * can hold, and a mixed-era DELETE removes rows from both eras. */
+  def qbeastWidened(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "customer_widened")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val c = raw(spark, sfDir, "customer")
+        // v0: narrow types over several files
+        c.filter("c_custkey % 2 = 0")
+          .selectExpr("c_custkey", "CAST(c_nationkey AS INT) AS nk",
+            "CAST(c_acctbal AS FLOAT) AS bal")
+          .write.format("qbeast").option("columnsToIndex", "c_custkey")
+          .option("cubeSize", "2000").save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        t.widenColumn("nk", org.apache.spark.sql.types.LongType)
+        t.widenColumn("bal", org.apache.spark.sql.types.DoubleType)
+        // wide-era append: some nk values exceed Int.MaxValue
+        c.filter("c_custkey % 2 = 1")
+          .selectExpr("c_custkey",
+            "CAST(CASE WHEN c_custkey % 97 = 0 THEN c_custkey + 3000000000 " +
+              "ELSE c_nationkey END AS BIGINT) AS nk",
+            "CAST(CAST(c_acctbal AS FLOAT) AS DOUBLE) AS bal")
+          .write.format("qbeast").mode("append").save(path)
+        // mixed-era DML under the widened type
+        t.delete("nk >= 5 AND nk <= 9")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** A customer table whose column name was RELEASED by an
    * overwriteSchema overwrite and RE-ADDED at a different type by a
    * later mergeSchema append — a legal drop-then-re-add path that

@@ -1394,6 +1394,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("c_custkey").as("sk"),
           min("balance").as("bmin"), max("balance").as("bmax"))
     }),
+    "q106_type_widening" -> ((s, dir) => {
+      // ALTER COLUMN TYPE as a metadata-only commit: nk INT→BIGINT and
+      // bal FLOAT→DOUBLE widen without rewriting a file; the scan
+      // upcasts narrow-era footers per batch, wide-era appends hold
+      // values no int can, and a mixed-era DELETE lands under the wide
+      // type (QTables.qbeastWidened history)
+      val df = QTables.qbeastWidened(s, dir)
+      require(df.schema("nk").dataType == org.apache.spark.sql.types.LongType,
+        "nk must read as BIGINT after the widen")
+      require(df.filter(col("nk") > Int.MaxValue.toLong).count() > 0,
+        "wide-era rows must exist")
+      df.groupBy((col("nk") % 10).as("g"))
+        .agg(count(lit(1)).as("n"), sum("nk").as("snk"),
+          min("bal").as("bmin"), max("bal").as("bmax"))
+    }),
     "q104_schema_readd" -> ((s, dir) => {
       // a name released by overwriteSchema and re-added at a DIFFERENT
       // type (DOUBLE → STRING): string filters over the re-added column
@@ -3020,6 +3035,21 @@ object SparkEntry {
         |  min(c_acctbal) AS bmin, max(c_acctbal) AS bmax
         |FROM customer
         |WHERE c_acctbal < 5000 AND (c_custkey % 2 = 1 OR c_acctbal >= 0)
+        |GROUP BY 1""".stripMargin,
+    "q106_type_widening" ->
+      """WITH w AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |         CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS bal
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT CASE WHEN c_custkey % 97 = 0 THEN c_custkey + 3000000000
+        |              ELSE CAST(c_nationkey AS BIGINT) END,
+        |         CAST(CAST(c_acctbal AS REAL) AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 2 = 1
+        |)
+        |SELECT nk % 10 AS g, count(*) AS n, CAST(sum(nk) AS BIGINT) AS snk,
+        |  min(bal) AS bmin, max(bal) AS bmax
+        |FROM w WHERE NOT (nk BETWEEN 5 AND 9)
         |GROUP BY 1""".stripMargin,
     "q104_schema_readd" ->
       """SELECT coalesce(CASE WHEN c_custkey % 4 = 1 THEN c_mktsegment END, 'none') AS tag,

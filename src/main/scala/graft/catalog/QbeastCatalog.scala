@@ -292,6 +292,16 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
             require(working.fields.length > 1, s"cannot drop the only column $n")
             working = StructType(working.fields.filterNot(_.name.equalsIgnoreCase(n)))
           }
+          screened.widens.foreach { w =>
+            val n = w.fieldNames()(0)
+            val f = working.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+              throw new IllegalArgumentException(
+                s"column $n does not exist (have ${working.fieldNames.mkString(", ")})"))
+            // same matrix as written tables — a declared-only table has
+            // no files yet, but the rule must not depend on write order
+            graft.core.model.TypeWidening.requireWidenable(
+              f.name, f.dataType, w.newDataType())
+          }
         }
         if (screened.adds.nonEmpty)
           QbeastCatalog.persistAddColumnsToLog(table.location, screened.adds)
@@ -313,7 +323,11 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
             else {
               val widened = StructType(table.declaredSchema.fields ++
                 QbeastCatalog.newFieldsFor(table.declaredSchema, screened.adds))
-              val renamed = StructType(widened.fields.map { f =>
+              val retyped = StructType(widened.fields.map { f =>
+                screened.widens.find(_.fieldNames()(0).equalsIgnoreCase(f.name))
+                  .map(w => f.copy(dataType = w.newDataType())).getOrElse(f)
+              })
+              val renamed = StructType(retyped.fields.map { f =>
                 screened.renames.find(_.fieldNames()(0).equalsIgnoreCase(f.name))
                   .map(r => f.copy(name = r.newName())).getOrElse(f)
               })
@@ -561,8 +575,10 @@ object QbeastCatalog {
   private[graft] final case class ScreenedColumnChanges(
       adds: Seq[TableChange.AddColumn],
       renames: Seq[TableChange.RenameColumn],
-      drops: Seq[TableChange.DeleteColumn]) {
-    def nonEmpty: Boolean = adds.nonEmpty || renames.nonEmpty || drops.nonEmpty
+      drops: Seq[TableChange.DeleteColumn],
+      widens: Seq[TableChange.UpdateColumnType] = Nil) {
+    def nonEmpty: Boolean =
+      adds.nonEmpty || renames.nonEmpty || drops.nonEmpty || widens.nonEmpty
   }
 
   /** Screens ALTER TABLE column changes for qbeast tables: top-level
@@ -571,10 +587,13 @@ object QbeastCatalog {
    * metadata-only commits under logical→physical column mapping
    * (per-file stats, blooms, sketches and revision transformers stay
    * keyed by the immutable PHYSICAL name; see
-   * `graft.core.model.ColumnMapping`). Type/nullability changes remain
-   * REFUSED: old parquet footers carry the old type and the shared scan
-   * schema would poison. Nested (multi-part) renames/drops are refused —
-   * the mapping is top-level. */
+   * `graft.core.model.ColumnMapping`); ALTER COLUMN TYPE passes through
+   * for probe-verified WIDENING moves only (metadata-only type
+   * widening, `graft.core.model.TypeWidening` — old footers keep the
+   * narrow type and the scan upcasts). Narrowing / other type moves
+   * and nullability changes remain REFUSED: old parquet footers carry
+   * the written type and the shared scan schema would poison. Nested
+   * (multi-part) changes are refused — the mapping is top-level. */
   private[graft] def screenColumnChanges(
       changes: Seq[TableChange]): ScreenedColumnChanges = {
     val cols = changes.collect { case c: TableChange.ColumnChange => c }
@@ -582,6 +601,7 @@ object QbeastCatalog {
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType] ||
         // comments are metadata-only and touch no name-keyed state —
         // the delegate applies them; the standalone store ignores them
         c.isInstanceOf[TableChange.UpdateColumnComment])
@@ -589,16 +609,18 @@ object QbeastCatalog {
       val what = rejected.map(_.getClass.getSimpleName).distinct.mkString(", ")
       throw new UnsupportedOperationException(
         s"qbeast tables do not support ALTER TABLE column changes: $what. " +
-          "Old parquet files keep their written types, so type/nullability " +
+          "Old parquet files keep their written types, so nullability " +
           "changes would poison the shared scan schema. Replace the schema " +
           "(and the data) with overwriteSchema=true on overwrite.")
     }
     val renames = cols.collect { case r: TableChange.RenameColumn => r }
     val drops = cols.collect { case d: TableChange.DeleteColumn => d }
-    (renames.map(_.fieldNames()) ++ drops.map(_.fieldNames())).foreach { fn =>
+    val widens = cols.collect { case w: TableChange.UpdateColumnType => w }
+    (renames.map(_.fieldNames()) ++ drops.map(_.fieldNames()) ++
+      widens.map(_.fieldNames())).foreach { fn =>
       if (fn.length != 1)
         throw new UnsupportedOperationException(
-          s"qbeast RENAME/DROP COLUMN supports top-level columns only, got " +
+          s"qbeast RENAME/DROP/ALTER COLUMN supports top-level columns only, got " +
             fn.mkString("."))
     }
     val adds = cols.collect { case a: TableChange.AddColumn => a }
@@ -617,20 +639,22 @@ object QbeastCatalog {
       .collectFirst { case (_, as) if as.size > 1 => as.head.fieldNames()(0) }
     dup.foreach(n => throw new IllegalArgumentException(
       s"duplicate column $n in ADD COLUMNS"))
-    ScreenedColumnChanges(adds, renames, drops)
+    ScreenedColumnChanges(adds, renames, drops, widens)
   }
 
-  /** Apply screened renames/drops as metadata-only commits on the
+  /** Apply screened renames/drops/widens as metadata-only commits on the
    * table's own log (the durable source of truth for path readers). */
   private[graft] def persistRenameDropToLog(
       location: String, screened: ScreenedColumnChanges): Unit = {
-    if (screened.renames.isEmpty && screened.drops.isEmpty) return
+    if (screened.renames.isEmpty && screened.drops.isEmpty &&
+      screened.widens.isEmpty) return
     val spark = org.apache.spark.sql.SparkSession.active
     if (!graft.log.QbeastLog.exists(location,
         spark.sparkContext.hadoopConfiguration)) return // never written: catalog entry rules
     val table = graft.table.QbeastTable.forPath(spark, location)
     screened.renames.foreach(r => table.renameColumn(r.fieldNames()(0), r.newName()))
     screened.drops.foreach(d => table.dropColumn(d.fieldNames()(0)))
+    screened.widens.foreach(w => table.widenColumn(w.fieldNames()(0), w.newDataType()))
   }
 
   /** The fields `adds` would append to `existing`: an add whose name is

@@ -203,9 +203,11 @@ final class DistributedQbeastFileIndex(
     // checkpoint bulk: Spark job over the sidecar, then stats pruning on
     // the survivors only
     val cpCandidates = checkpointRows(snap, filters)
+    val gates = snap.schema.map(FileStatsPruning.Gates.of)
+      .getOrElse(FileStatsPruning.Gates.none)
     val cpSelected = (
       if (filters.isEmpty) cpCandidates
-      else cpCandidates.filter(r => FileStatsPruning.mayMatch(r.stats, filters))
+      else cpCandidates.filter(r => FileStatsPruning.mayMatch(r.stats, filters, gates))
     ).map(r => (r.path, r.size, r.modificationTime))
     val statuses = (cpSelected ++ tailSelected).map { case (p, size, mtime) =>
       new FileStatus(size, false, 1, 134217728L, mtime, new Path(tablePath, p))

@@ -50,13 +50,59 @@ object FileStatsPruning {
   private val MaxCacheEntries = 200000
   private val cache = new ConcurrentHashMap[String, Stats]()
 
+  /**
+   * Era gates for type-widened columns ([[graft.core.model.TypeWidening]]):
+   * `statsOff` columns lose their min/max bounds (stored-unit change —
+   * date days vs timestamp micros — makes old values incomparable);
+   * `bloomOff` columns lose their bloom filters (xxhash64 keys hashed at
+   * the narrow type would produce FALSE NEGATIVES against widened
+   * literals). Everything downstream already treats a missing bound /
+   * missing filter conservatively, so gating = removing the entries.
+   * nullCount and numRecords stay — they are type-independent.
+   */
+  final case class Gates(statsOff: Set[String], bloomOff: Set[String]) {
+    def isEmpty: Boolean = statsOff.isEmpty && bloomOff.isEmpty
+  }
+
+  object Gates {
+    val none: Gates = Gates(Set.empty, Set.empty)
+
+    /** Gates for a table's current LOGICAL schema (physical-keyed). */
+    def of(schema: org.apache.spark.sql.types.StructType): Gates = {
+      import graft.core.model.TypeWidening
+      if (!TypeWidening.isEnabled(schema)) none
+      else Gates(TypeWidening.statsTrustless(schema), TypeWidening.bloomTrustless(schema))
+    }
+  }
+
+  /** Apply era gates to parsed stats (identity when no column of the
+   * table was ever widened — the universal fast path). */
+  def gate(s: Stats, g: Gates): Stats =
+    if (g.isEmpty) s
+    else {
+      val off = g.statsOff
+      val bloomOff = g.statsOff ++ g.bloomOff
+      s.copy(
+        mins = if (off.isEmpty) s.mins else s.mins -- off,
+        maxs = if (off.isEmpty) s.maxs else s.maxs -- off,
+        blooms = s.blooms -- bloomOff,
+        hll = s.hll -- off,
+        kll = s.kll -- off)
+    }
+
   def mayMatch(statsJson: Option[String], filters: Seq[Expression]): Boolean =
+    mayMatch(statsJson, filters, Gates.none)
+
+  def mayMatch(
+      statsJson: Option[String],
+      filters: Seq[Expression],
+      gates: Gates): Boolean =
     statsJson match {
       case None => true
       case Some(json) =>
         parse(json) match {
           case None => true
-          case Some(stats) => filters.forall(f => eval(stats, f))
+          case Some(stats) => filters.forall(f => eval(gate(stats, gates), f))
         }
     }
 

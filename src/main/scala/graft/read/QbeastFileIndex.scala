@@ -129,7 +129,14 @@ object QbeastFileIndex {
       }
     }
     if (expanded.isEmpty) indexSelected
-    else indexSelected.filter(f => FileStatsPruning.mayMatch(f.stats, expanded))
+    else {
+      // era gates: a type-widened column's narrow-era min/max (unit
+      // change) or bloom filters (hash at the narrow type) must not
+      // prune — see TypeWidening. Identity for never-widened tables.
+      val gates = snapshot.schema.map(FileStatsPruning.Gates.of)
+        .getOrElse(FileStatsPruning.Gates.none)
+      indexSelected.filter(f => FileStatsPruning.mayMatch(f.stats, expanded, gates))
+    }
   }
 
   private[read] def blockMatches(block: Block, spec: QuerySpec): Boolean = {

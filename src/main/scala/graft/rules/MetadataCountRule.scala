@@ -113,6 +113,54 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     snap.schema.map(graft.core.model.ColumnMapping.physicalOf(_, a.name))
       .getOrElse(a.name)
 
+  /** Physical names of the min/max fold columns of `agg`. */
+  private def foldColumns(agg: Aggregate, snap: QbeastSnapshot): Seq[String] =
+    agg.aggregateExpressions.flatMap {
+      case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+        case Min(a: Attribute) => Some(physName(snap, a))
+        case Max(a: Attribute) => Some(physName(snap, a))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Era gate for TYPE-WIDENED columns ([[graft.core.model.TypeWidening]]):
+   * narrow-era stats of a unit-changing widen (date → timestamp_ntz)
+   * cannot answer min/max or prove ANY predicate on the column, and
+   * narrow-era bloom filters would FALSE-NEGATIVE equality proofs
+   * against widened literals — a metadata answer could silently drop
+   * rows. A gated reference bails the whole rewrite to the scan
+   * (conservative; widens are rare, the scan is always correct).
+   * Range proofs on a bloom-gated column stay allowed — min/max values
+   * survive every value-preserving widen (BigDecimal compare). All
+   * names physical. */
+  private def eraBlocked(
+      snap: QbeastSnapshot,
+      provable: Seq[Expression],
+      foldCols: Seq[String]): Boolean =
+    snap.schema.exists { sc =>
+      import graft.core.model.TypeWidening
+      if (!TypeWidening.isEnabled(sc)) false
+      else {
+        val statsOff = TypeWidening.statsTrustless(sc)
+        val bloomOff = TypeWidening.bloomTrustless(sc) -- statsOff
+        (statsOff.nonEmpty &&
+          (provable.exists(_.references.exists(a => statsOff.contains(a.name))) ||
+            foldCols.exists(statsOff.contains))) ||
+        (bloomOff.nonEmpty &&
+          provable.iterator.flatMap(equalityRefs).exists(bloomOff.contains))
+      }
+    }
+
+  /** Attribute names probed by EQUALITY/IN shapes (the proofs that
+   * consult bloom filters — see FileStatsPruning.proveEq). */
+  private def equalityRefs(e: Expression): Iterator[String] = e.collect {
+    case EqualTo(a: AttributeReference, _) => Seq(a.name)
+    case EqualTo(_, a: AttributeReference) => Seq(a.name)
+    case In(a: AttributeReference, _) => Seq(a.name)
+    case InSet(a: AttributeReference, _) => Seq(a.name)
+  }.flatten.iterator
+
   private def rewriteFiltered(
       agg: Aggregate,
       snap: QbeastSnapshot,
@@ -148,6 +196,8 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // trunc) rewrite to EQUIVALENT raw-column ranges, so their
     // TRUE/FALSE proofs below are exactly the original predicate's
     val provable = graft.read.DerivedPredicates.expand(conds)
+
+    if (eraBlocked(snap, provable, foldColumns(agg, snap))) return None
 
     if (!snap.filesComplete) return rewriteFilteredLight(agg, snap, provable)
 
@@ -293,6 +343,7 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     if (!answerable) return None
+    if (eraBlocked(snap, Nil, foldColumns(agg, snap))) return None
     // live rows = physical block counts minus deletion-vector masks
     // (vector cardinalities are exact log metadata). Sidecar-scale
     // tables sum their block counts in one Spark job over the parquet

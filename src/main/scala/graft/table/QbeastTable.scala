@@ -115,6 +115,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     if (s.dvs.nonEmpty) return None
     // per-file sketch states are keyed by PHYSICAL names
     val column = s.schema.map(ColumnMapping.physicalOf(_, column0)).getOrElse(column0)
+    if (!sketchEraOk(s, column, forKll = false)) return None
     val acc = new Array[Byte](HllDistinctAgg.M)
     val ok =
       if (s.filesComplete) foldHllRegisters(s.files, column, acc)
@@ -206,6 +207,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val s0 = QbeastLog.lightSnapshot(tablePath, conf)
     if (s0.dvs.nonEmpty) return None
     val column = s0.schema.map(ColumnMapping.physicalOf(_, column0)).getOrElse(column0)
+    if (!sketchEraOk(s0, column, forKll = true)) return None
     val f = new KllFold
     val ok =
       if (s0.filesComplete) f.fold(s0.files, column)
@@ -250,6 +252,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val s0 = QbeastLog.lightSnapshot(tablePath, conf)
     if (s0.dvs.nonEmpty) return None
     val column = s0.schema.map(ColumnMapping.physicalOf(_, column0)).getOrElse(column0)
+    if (!sketchEraOk(s0, column, forKll = true)) return None
     val light = !s0.filesComplete && DistributedMetadata.usable(spark, s0)
     // no usable sidecar on a light table: full replay, flat driver
     // fold — re-checking masks on the SAME snapshot being folded
@@ -291,6 +294,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val s0 = QbeastLog.lightSnapshot(tablePath, conf)
     if (s0.dvs.nonEmpty) return None
     val column = s0.schema.map(ColumnMapping.physicalOf(_, column0)).getOrElse(column0)
+    if (!sketchEraOk(s0, column, forKll = false)) return None
     val light = !s0.filesComplete && DistributedMetadata.usable(spark, s0)
     val s = if (s0.filesComplete || light) s0 else snapshot
     if (s.dvs.nonEmpty) return None
@@ -351,8 +355,49 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     if (expanded.exists(_.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
       None
+    // era gate (TypeWidening): a predicate on a unit-changed column
+    // cannot be proved from narrow-era stats, and an equality on a
+    // bloom-gated column could FALSE-NEGATIVE — bail to the scan
+    else if (eraBlockedConjuncts(s, expanded)) None
     else Some(expanded)
   }
+
+  /** True when stats-based PROOFS over `conjuncts` (physical-named)
+   * would be unsound on this table because a referenced column was
+   * type-widened: unit-changed columns have incomparable narrow-era
+   * min/max, and equality/IN proofs consult bloom filters hashed at
+   * the narrow type (see [[graft.core.model.TypeWidening]]). */
+  private def eraBlockedConjuncts(
+      s: QbeastSnapshot,
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, InSet}
+    s.schema.exists { sc =>
+      if (!TypeWidening.isEnabled(sc)) false
+      else {
+        val statsOff = TypeWidening.statsTrustless(sc)
+        val bloomOff = TypeWidening.bloomTrustless(sc)
+        (statsOff.nonEmpty &&
+          conjuncts.exists(_.references.exists(a => statsOff.contains(a.name)))) ||
+        (bloomOff.nonEmpty && conjuncts.exists(_.exists {
+          case EqualTo(a: AttributeReference, _) if bloomOff.contains(a.name) => true
+          case EqualTo(_, a: AttributeReference) if bloomOff.contains(a.name) => true
+          case In(a: AttributeReference, _) if bloomOff.contains(a.name) => true
+          case InSet(a: AttributeReference, _) if bloomOff.contains(a.name) => true
+          case _ => false
+        }))
+      }
+    }
+  }
+
+  /** Era gate for the metadata-only sketch folds: false when the
+   * column's narrow-era per-file state is incompatible with its
+   * current (widened) type — folding would mix hash/unit domains. */
+  private def sketchEraOk(
+      s: QbeastSnapshot, physical: String, forKll: Boolean): Boolean =
+    s.schema.forall { sc =>
+      !(if (forKll) TypeWidening.kllTrustless(sc)
+        else TypeWidening.hllTrustless(sc)).contains(physical)
+    }
 
   /** Driver-side tri-state fold for the filtered sketch APIs
    * ([[graft.rules.MetadataCountRule.proveFileForFold]] per file):
@@ -594,6 +639,9 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       case Some(sc) => ColumnMapping.toPhysicalExprs(rawConjuncts, sc)
       case None => rawConjuncts
     })
+    // era gate: stats proofs on a widened column could be unsound —
+    // fall back to the scan-based classification (always correct)
+    if (eraBlockedConjuncts(s, conjuncts)) return None
     val provedTrue = Vector.newBuilder[IndexFile]
     val undecided = Vector.newBuilder[IndexFile]
     s.files.foreach { f =>
@@ -2154,6 +2202,58 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /**
+   * `ALTER TABLE ... ALTER COLUMN ... TYPE <wider>` — type widening as
+   * a metadata-only commit (the Delta `typeWidening` design; see
+   * [[graft.core.model.TypeWidening]] for the probe-verified matrix
+   * and the era gates). Old files keep the narrow parquet type and the
+   * scan upcasts per batch; the field records the change in its
+   * metadata so stats/bloom/HLL/KLL consumers can gate the narrow-era
+   * state. Refused outside the matrix, for HASH-transformed indexed
+   * columns (the recorded transformation hashes probe literals at the
+   * narrow type), and for indexed columns on the unit-changing
+   * `date → timestamp_ntz` move (old cube coordinates are days, new
+   * predicates micros).
+   */
+  def widenColumn(name: String, newType: org.apache.spark.sql.types.DataType): Unit = {
+    commitColumnChange { (base, schema) =>
+      val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name does not exist (have ${schema.fieldNames.mkString(", ")})"))
+      if (field.dataType == newType) None // no-op (a retried ALTER must converge)
+      else {
+        TypeWidening.requireWidenable(field.name, field.dataType, newType)
+        val physical = ColumnMapping.physicalOf(schema, field.name)
+        base.revisions.values.filterNot(_.isStaging).foreach { rev =>
+          rev.columnTransformers.foreach { t =>
+            if (t.columnName.equalsIgnoreCase(physical)) {
+              if (t.kind == "hashing") throw new UnsupportedOperationException(
+                s"cannot widen hash-indexed column ${field.name}: revision " +
+                  s"${rev.revisionID} hashes lookup values at the recorded " +
+                  s"type ${field.dataType.simpleString}, so widened literals " +
+                  "would no longer match old files. Re-index first " +
+                  "(overwrite with different columnsToIndex).")
+              if (TypeWidening.unitChanging(field.dataType, newType))
+                throw new UnsupportedOperationException(
+                  s"cannot widen indexed column ${field.name} from " +
+                    s"${field.dataType.simpleString} to ${newType.simpleString}: " +
+                    "the index coordinates are date DAYS, timestamp predicates " +
+                    "are MICROSECONDS — old files would prune wrongly. " +
+                    "Re-index first (overwrite).")
+            }
+          }
+        }
+        val widened = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+          if (f.name.equalsIgnoreCase(name))
+            TypeWidening.withTypeChange(f, newType, base.version + 1)
+          else f
+        })
+        Some((widened, base.configuration,
+          s"ALTER COLUMN ${field.name} TYPE ${newType.simpleString}"))
+      }
+    }
+  }
+
   /** Commit a configuration change (optimistic, rebase on conflict). */
   private def alterConfiguration(
       change: Map[String, String] => Map[String, String],
@@ -2937,6 +3037,23 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         .groupBy(identity).collect { case (p, ps) if ps.length > 1 => p }
         .foreach(p => issues += IntegrityIssue("<schema>", "duplicate-physical-name",
           s"two columns map to physical name $p"))
+      // type-widening invariant: each field's change history must chain
+      // contiguously and end at the field's current type — a broken
+      // chain means the era gates cannot be derived soundly
+      sc.fields.foreach { f =>
+        val h = TypeWidening.typeChanges(f)
+        if (h.nonEmpty) {
+          val chained = h.sliding(2).forall {
+            case Seq(a, b) => a.to == b.from
+            case _ => true
+          }
+          if (!chained || h.last.to != f.dataType)
+            issues += IntegrityIssue("<schema>", "broken-type-history",
+              s"column ${f.name}: type-change history " +
+                s"${h.map(c => s"${c.from.simpleString}->${c.to.simpleString}").mkString(", ")} " +
+                s"does not chain to current type ${f.dataType.simpleString}")
+        }
+      }
     }
     // (no duplicate-reference check: snapshot replay is path-keyed, so
     // a double-add collapses to the last action by construction — the

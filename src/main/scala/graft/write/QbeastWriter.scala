@@ -155,7 +155,8 @@ object QbeastWriter {
     }
     val tableSchema: StructType = snapshot.schema match {
       case Some(existing) if mode == SaveMode.Append =>
-        SchemaEvolution.mergeForAppend(existing, data.schema, canMergeSchema)
+        SchemaEvolution.mergeForAppend(existing, data.schema, canMergeSchema,
+          widenAtVersion = snapshot.version + 1)
       case Some(existing) if isOverwrite =>
         SchemaEvolution.validateOverwrite(existing, data.schema, boolOpt("overwriteSchema"))
         // same-column-set overwrite of a MAPPED table: the mapping
@@ -168,6 +169,11 @@ object QbeastWriter {
         else SchemaEvolution.inheritMapping(data.schema, existing)
       case _ => data.schema
     }
+    // type widening, the narrow-incoming half: cast the frame UP to the
+    // (possibly widened) table types BEFORE indexing, so new parquet
+    // footers, stats, blooms and sketch states are all wide-era —
+    // mixed-era state stays confined to files written before the widen
+    val dataAligned = SchemaEvolution.alignTypes(data, tableSchema)
     // CHECK constraints recorded on the table gate every written row
     // (appends, overwrites, streaming batches). Enforced PER ROW inside
     // the write task (Delta's invariant-check discipline, see index()):
@@ -188,7 +194,7 @@ object QbeastWriter {
       .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val bloomCols = options.bloomFilterColumns.getOrElse(configuredBloomCols)
     options.bloomFilterColumns.foreach(_.foreach { c =>
-      val f = data.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      val f = dataAligned.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"bloomFilterColumns: column $c not found in the written schema"))
       require(bloomEligible(f.dataType),
@@ -209,7 +215,7 @@ object QbeastWriter {
       .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val hllCols = options.hllColumns.getOrElse(configuredHllCols)
     options.hllColumns.foreach(_.foreach { c =>
-      val f = data.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      val f = dataAligned.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"hllColumns: column $c not found in the written schema"))
       require(hllEligible(f.dataType),
@@ -224,7 +230,7 @@ object QbeastWriter {
       .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val kllCols = options.kllColumns.getOrElse(configuredKllCols)
     options.kllColumns.foreach(_.foreach { c =>
-      val f = data.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      val f = dataAligned.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"kllColumns: column $c not found in the written schema"))
       require(KllCollector.eligible(f.dataType),
@@ -268,8 +274,8 @@ object QbeastWriter {
         }
       else options1
     val (revision, isNewRevision0, numElements) =
-      RevisionFactory.computeRevisionChanges(existingRevision, options2, tablePath, data,
-        mappingSchema = Some(tableSchema))
+      RevisionFactory.computeRevisionChanges(existingRevision, options2, tablePath,
+        dataAligned, mappingSchema = Some(tableSchema))
     // never collide with IDs already in the log after an overwrite
     val revision1 =
       if (isOverwrite && snapshot.lastRevisionID >= revision.revisionID)
@@ -281,7 +287,7 @@ object QbeastWriter {
       if (!isNewRevision && !isOverwrite) Some(snapshot.indexStatus(revision1.revisionID))
       else None
 
-    val files0 = index(spark, tablePath, data, revision1, existingStatus, numElements,
+    val files0 = index(spark, tablePath, dataAligned, revision1, existingStatus, numElements,
       rollupSize = options1.rollupSize, constraints = tableConstraints,
       bloomSpec = Some(BloomWriteSpec(bloomCols, bloomBits)),
       hllSpec = Some(HllWriteSpec(hllCols)),
@@ -368,11 +374,16 @@ object QbeastWriter {
       // lost-update). With mergeSchema off, a concurrent widening makes
       // the re-merge throw here — failing the append instead of
       // clobbering — which is the right outcome for an enforced schema.
+      // the ALIGNED schema (the types our files were actually written
+      // under): if a concurrent commit narrowed the base back (RESTORE
+      // past our widen), re-merging the aligned types either re-widens
+      // under mergeSchema or fails the append NAMED — never commits a
+      // schema narrower than our own files' footers
       val schemaToCommit =
         if (mode == SaveMode.Append)
           base.schema.map(existing =>
-            SchemaEvolution.mergeForAppend(existing, data.schema, canMergeSchema,
-              mintFrom = Some(tableSchema)))
+            SchemaEvolution.mergeForAppend(existing, dataAligned.schema, canMergeSchema,
+              mintFrom = Some(tableSchema), widenAtVersion = base.version + 1))
             .getOrElse(tableSchema)
         else tableSchema
       // mapped tables: our files are already written under tableSchema's

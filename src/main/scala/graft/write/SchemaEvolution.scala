@@ -1,6 +1,6 @@
 package graft.write
 
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /**
  * Append/overwrite schema enforcement and evolution (reference:
@@ -38,12 +38,32 @@ object SchemaEvolution {
       existing: StructType,
       incoming: StructType,
       allowMerge: Boolean,
-      mintFrom: Option[StructType] = None): StructType = {
+      mintFrom: Option[StructType] = None,
+      widenAtVersion: Long = -1L): StructType = {
+    import graft.core.model.TypeWidening
     val existingByName = existing.fields.map(f => f.name.toLowerCase -> f).toMap
+    // overlapping columns with a different type: NARROWER incoming
+    // upcasts into the table type (the writer casts the frame — no
+    // schema change); WIDER incoming widens the table type under
+    // mergeSchema (a metadata-only commit recording the change in the
+    // field's history, exactly like ALTER COLUMN TYPE — old files keep
+    // the narrow footer type and the scan upcasts); anything else is
+    // the poison-the-scan case and rejects
+    val widenable = scala.collection.mutable.Map.empty[String, StructField]
     val clashes = incoming.fields.flatMap { f =>
-      existingByName.get(f.name.toLowerCase).collect {
-        case e if e.dataType != f.dataType =>
-          s"${f.name} (table: ${e.dataType.simpleString}, data: ${f.dataType.simpleString})"
+      existingByName.get(f.name.toLowerCase).flatMap {
+        case e if e.dataType == f.dataType => None
+        case e if TypeWidening.canWiden(f.dataType, e.dataType) => None // upcast on write
+        case e if TypeWidening.canWiden(e.dataType, f.dataType) && allowMerge =>
+          widenable.put(e.name.toLowerCase,
+            TypeWidening.withTypeChange(e, f.dataType, widenAtVersion))
+          None
+        case e if TypeWidening.canWiden(e.dataType, f.dataType) =>
+          Some(s"${f.name} (table: ${e.dataType.simpleString}, data: " +
+            s"${f.dataType.simpleString} — set mergeSchema=true to widen the " +
+            "table column)")
+        case e =>
+          Some(s"${f.name} (table: ${e.dataType.simpleString}, data: ${f.dataType.simpleString})")
       }
     }
     if (clashes.nonEmpty) {
@@ -62,6 +82,9 @@ object SchemaEvolution {
     }
     // keep the table's canonical column order; new columns go last
     import graft.core.model.ColumnMapping
+    val base =
+      if (widenable.isEmpty) existing.fields
+      else existing.fields.map(f => widenable.getOrElse(f.name.toLowerCase, f))
     val mapped = ColumnMapping.isEnabled(existing)
     val minted = newCols.map { f0 =>
       val f = f0.copy(nullable = true)
@@ -75,7 +98,32 @@ object SchemaEvolution {
           .getOrElse(ColumnMapping.mintedField(f))
       }
     }
-    StructType(existing.fields ++ minted)
+    StructType(base ++ minted)
+  }
+
+  /** Cast the incoming frame's columns UP to the merged table schema's
+   * types (the narrow-incoming half of type widening — e.g. int data
+   * appended to a column already widened to long). Exact-match columns
+   * pass through untouched; the cast is provably lossless because
+   * [[mergeForAppend]] only reaches here via `TypeWidening.canWiden`. */
+  def alignTypes(
+      df: org.apache.spark.sql.DataFrame,
+      table: StructType): org.apache.spark.sql.DataFrame = {
+    val byName = table.fields.map(f => f.name.toLowerCase -> f).toMap
+    val needs = df.schema.fields.exists(f =>
+      byName.get(f.name.toLowerCase).exists(_.dataType != f.dataType))
+    if (!needs) df
+    else {
+      import org.apache.spark.sql.functions.col
+      def quoted(n: String): String = "`" + n.replace("`", "``") + "`"
+      df.select(df.schema.fields.map { f =>
+        byName.get(f.name.toLowerCase) match {
+          case Some(t) if t.dataType != f.dataType =>
+            col(quoted(f.name)).cast(t.dataType).as(f.name)
+          case _ => col(quoted(f.name))
+        }
+      }.toIndexedSeq: _*)
+    }
   }
 
   /** Same-column-set overwrite of a mapped table: carry the existing

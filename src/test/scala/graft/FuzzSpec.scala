@@ -4,7 +4,7 @@ import graft.table.QbeastTable
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructType, TimestampNTZType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
@@ -575,6 +575,41 @@ class FuzzSpec extends AnyFunSuite {
             try { t.optimizeWhere(org.apache.spark.sql.functions.expr(p)); () }
             catch { case _: IllegalArgumentException => t.optimize() }
             s"OPTIMIZE WHERE $p"
+          case 14 if allowSchema =>
+            // ALTER COLUMN TYPE (type widening): metadata-only; old
+            // files keep narrow footers, the scan upcasts per batch.
+            // Candidates: INT x-columns (→ LONG or DOUBLE) and the
+            // date column (→ TIMESTAMP_NTZ — the unit-changing move
+            // that exercises the stats/bloom/sketch era gates).
+            // Subsequent appends/upserts conform to the widened model
+            // schema, predicates keep their literals (Spark coerces),
+            // and RESTORE rolls the narrow schema back from history.
+            val intCols = model.schema.fields
+              .filter(_.dataType == IntegerType).map(_.name).toSeq
+            val dateCol = curName("d")
+            val dIsDate = model.schema(dateCol).dataType == DateType
+            if (intCols.isEmpty && !dIsDate) {
+              t.optimize(); "OPTIMIZE (nothing to widen)"
+            } else if (intCols.nonEmpty && (!dIsDate || r.nextBoolean())) {
+              val c = intCols(r.nextInt(intCols.length))
+              val to: DataType = if (r.nextBoolean()) LongType else DoubleType
+              t.widenColumn(c, to)
+              model = localize(model.withColumn(c, col(c).cast(to)))
+              // the anchor snapshot may predate the column entirely
+              if (anchorHead.columns.contains(c))
+                anchorHead = anchorHead.withColumn(c, col(c).cast(to))
+              schemaOps += 1
+              s"WIDEN TYPE $c -> ${to.simpleString}"
+            } else {
+              t.widenColumn(dateCol, TimestampNTZType)
+              model = localize(
+                model.withColumn(dateCol, col(dateCol).cast(TimestampNTZType)))
+              if (anchorHead.columns.contains(dateCol))
+                anchorHead =
+                  anchorHead.withColumn(dateCol, col(dateCol).cast(TimestampNTZType))
+              schemaOps += 1
+              s"WIDEN TYPE $dateCol -> timestamp_ntz"
+            }
           case 15 if seq % 8 == 5 =>
             // zero-retention vacuum: reclaims every tombstoned file,
             // change file and replaced vector. CURRENT content must

@@ -225,17 +225,19 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     dir
   }
 
-  test("ALTER COLUMN TYPE is refused; RENAME/DROP work via column mapping") {
-    // type changes stay refused — old parquet footers keep the written
-    // type and the shared scan schema would poison. RENAME and DROP are
-    // metadata-only commits under logical→physical column mapping
-    // (ColumnMappingSpec covers the full behavior; this pins the SQL
-    // surface through the catalog).
+  test("ALTER COLUMN TYPE is refused outside the widening matrix; RENAME/DROP work via column mapping") {
+    // NON-WIDENING type changes stay refused — old parquet footers keep
+    // the written type and the shared scan schema would poison.
+    // Widening moves (TypeWideningSpec) pass through as metadata-only
+    // commits. RENAME and DROP are metadata-only commits under
+    // logical→physical column mapping (ColumnMappingSpec covers the
+    // full behavior; this pins the SQL surface through the catalog).
     catalogTable("alt_refuse")
     val e = intercept[Exception] {
       spark.sql("ALTER TABLE qbeast_catalog.default.alt_refuse ALTER COLUMN b TYPE STRING")
     }
-    assert(e.getMessage.contains("column changes") ||
+    assert(e.getMessage.contains("cannot change column") ||
+      e.getMessage.contains("column changes") ||
       e.getMessage.contains("not supported"), e.getMessage)
     // schema and data untouched after the refusal
     assert(spark.sql("SELECT * FROM qbeast_catalog.default.alt_refuse")
