@@ -253,6 +253,20 @@ class QbeastCatalog extends CatalogExtension with StagingTableCatalog {
                 "to the qbeast table log (catalog and log schemas would " +
                 "diverge). Register the table with an explicit LOCATION.")
           loc.foreach { l =>
+            // a NEVER-WRITTEN delegate-backed table has no log for
+            // widenColumn to validate against — apply the same matrix
+            // screen the standalone branch does, or an out-of-matrix
+            // type change the analyzer up-casts (e.g. long -> double)
+            // would reach the delegate unchecked
+            if (screened.widens.nonEmpty && !graft.log.QbeastLog.exists(stripScheme(l),
+                org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)) {
+              val cur = current.schema()
+              screened.widens.foreach { w =>
+                cur.fields.find(_.name.equalsIgnoreCase(w.fieldNames()(0))).foreach(f =>
+                  graft.core.model.TypeWidening.requireWidenable(
+                    f.name, f.dataType, w.newDataType()))
+              }
+            }
             if (screened.adds.nonEmpty)
               QbeastCatalog.persistAddColumnsToLog(stripScheme(l), screened.adds)
             QbeastCatalog.persistRenameDropToLog(stripScheme(l), screened)

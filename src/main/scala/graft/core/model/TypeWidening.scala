@@ -102,6 +102,11 @@ object TypeWidening {
     case (f, d: DecimalType) if intDigits(f).isDefined =>
       d.precision - d.scale >= math.max(intDigits(f).get, 10) &&
         d.precision <= DecimalType.MAX_PRECISION
+    // decimal growth works across ALL parquet backings, int32-backed
+    // targets and rescales included (probe cells: (5,2)->(9,2),
+    // (5,2)->(9,3), (12,2)->(14,4), (5,2)->(10,2)/(12,5)/(38,10)) —
+    // only the INTEGRAL->decimal32 cell is unsupported, hence the
+    // p - s >= 10 floor above
     case (f: DecimalType, t: DecimalType) =>
       t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
     case (DateType, TimestampNTZType) => true
@@ -182,6 +187,69 @@ object TypeWidening {
   /** Columns whose per-file KLL states cannot be folded. */
   def kllTrustless(schema: StructType): Set[String] =
     trustless(schema, unitChanging)
+
+  /** Refuse widening a column some ACTIVE REVISION indexes when the
+   * revision space cannot survive it: HASH transformations hash lookup
+   * literals at the RECORDED narrow type (new long literals would miss
+   * every old row — or throw casting the boxed value), and a
+   * unit-changing widen flips the canonical coordinates (date DAYS vs
+   * timestamp MICROS). Linear/quantile transformers map through
+   * canonical doubles and survive every value-preserving widen. THE
+   * single guard for both widen entry points — the explicit ALTER
+   * (QbeastTable.widenColumn) and the mergeSchema auto-widen
+   * (SchemaEvolution.mergeForAppend): an append must not corrupt an
+   * index an ALTER refuses to. */
+  def requireIndexSafe(
+      logical: String,
+      physical: String,
+      from: DataType,
+      to: DataType,
+      revisions: Iterable[Revision]): Unit = {
+    revisions.filterNot(_.isStaging).foreach { rev =>
+      rev.columnTransformers.foreach { t =>
+        if (t.columnName.equalsIgnoreCase(physical)) {
+          if (t.kind == "hashing") throw new UnsupportedOperationException(
+            s"cannot widen hash-indexed column $logical: revision " +
+              s"${rev.revisionID} hashes lookup values at the recorded " +
+              s"type ${from.simpleString}, so widened literals would no " +
+              "longer match old files. Re-index first (overwrite with " +
+              "different columnsToIndex).")
+          if (unitChanging(from, to))
+            throw new UnsupportedOperationException(
+              s"cannot widen indexed column $logical from " +
+                s"${from.simpleString} to ${to.simpleString}: the index " +
+                "coordinates are date DAYS, timestamp predicates are " +
+                "MICROSECONDS — old files would prune wrongly. " +
+                "Re-index first (overwrite).")
+        }
+      }
+    }
+  }
+
+  /** True when stats-based PROOFS over `conjuncts` (physical-named
+   * Catalyst expressions) would be unsound on this schema: any
+   * reference to a unit-changed column (incomparable narrow-era
+   * min/max), or an equality/IN shape on a bloom-gated column (the
+   * proofs that consult bloom filters hashed at the narrow type). The
+   * single definition behind QbeastTable's DML classifier / filtered
+   * sketch folds and MetadataCountRule's rewrites. */
+  def proofBlocked(
+      schema: StructType,
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, InSet}
+    if (!isEnabled(schema)) return false
+    val statsOff = statsTrustless(schema)
+    val bloomOff = bloomTrustless(schema) -- statsOff
+    (statsOff.nonEmpty &&
+      conjuncts.exists(_.references.exists(a => statsOff.contains(a.name)))) ||
+    (bloomOff.nonEmpty && conjuncts.exists(_.exists {
+      case EqualTo(a: AttributeReference, _) if bloomOff.contains(a.name) => true
+      case EqualTo(_, a: AttributeReference) if bloomOff.contains(a.name) => true
+      case In(a: AttributeReference, _) if bloomOff.contains(a.name) => true
+      case InSet(a: AttributeReference, _) if bloomOff.contains(a.name) => true
+      case _ => false
+    }))
+  }
 
   /** Named refusal when `from → to` is outside the verified matrix. */
   def requireWidenable(column: String, from: DataType, to: DataType): Unit = {

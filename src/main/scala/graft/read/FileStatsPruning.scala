@@ -76,18 +76,19 @@ object FileStatsPruning {
   }
 
   /** Apply era gates to parsed stats (identity when no column of the
-   * table was ever widened — the universal fast path). */
+   * table was ever widened — the universal fast path). Only the
+   * sections the PROOFS consult are trimmed; the hll/kll sections are
+   * gated separately by their fold entry points (sketchEraOk /
+   * TypeWidening.hllTrustless|kllTrustless), which know the finer
+   * hash-compatibility rules. */
   def gate(s: Stats, g: Gates): Stats =
     if (g.isEmpty) s
     else {
       val off = g.statsOff
-      val bloomOff = g.statsOff ++ g.bloomOff
       s.copy(
         mins = if (off.isEmpty) s.mins else s.mins -- off,
         maxs = if (off.isEmpty) s.maxs else s.maxs -- off,
-        blooms = s.blooms -- bloomOff,
-        hll = s.hll -- off,
-        kll = s.kll -- off)
+        blooms = s.blooms -- off -- g.bloomOff)
     }
 
   def mayMatch(statsJson: Option[String], filters: Seq[Expression]): Boolean =
@@ -102,7 +103,9 @@ object FileStatsPruning {
       case Some(json) =>
         parse(json) match {
           case None => true
-          case Some(stats) => filters.forall(f => eval(gate(stats, gates), f))
+          case Some(stats) =>
+            val gated = gate(stats, gates)
+            filters.forall(f => eval(gated, f))
         }
     }
 

@@ -141,25 +141,9 @@ class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
     snap.schema.exists { sc =>
       import graft.core.model.TypeWidening
       if (!TypeWidening.isEnabled(sc)) false
-      else {
-        val statsOff = TypeWidening.statsTrustless(sc)
-        val bloomOff = TypeWidening.bloomTrustless(sc) -- statsOff
-        (statsOff.nonEmpty &&
-          (provable.exists(_.references.exists(a => statsOff.contains(a.name))) ||
-            foldCols.exists(statsOff.contains))) ||
-        (bloomOff.nonEmpty &&
-          provable.iterator.flatMap(equalityRefs).exists(bloomOff.contains))
-      }
+      else TypeWidening.proofBlocked(sc, provable) ||
+        foldCols.exists(TypeWidening.statsTrustless(sc).contains)
     }
-
-  /** Attribute names probed by EQUALITY/IN shapes (the proofs that
-   * consult bloom filters — see FileStatsPruning.proveEq). */
-  private def equalityRefs(e: Expression): Iterator[String] = e.collect {
-    case EqualTo(a: AttributeReference, _) => Seq(a.name)
-    case EqualTo(_, a: AttributeReference) => Seq(a.name)
-    case In(a: AttributeReference, _) => Seq(a.name)
-    case InSet(a: AttributeReference, _) => Seq(a.name)
-  }.flatten.iterator
 
   private def rewriteFiltered(
       agg: Aggregate,

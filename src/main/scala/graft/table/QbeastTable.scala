@@ -364,30 +364,12 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 
   /** True when stats-based PROOFS over `conjuncts` (physical-named)
    * would be unsound on this table because a referenced column was
-   * type-widened: unit-changed columns have incomparable narrow-era
-   * min/max, and equality/IN proofs consult bloom filters hashed at
-   * the narrow type (see [[graft.core.model.TypeWidening]]). */
+   * type-widened ([[TypeWidening.proofBlocked]] — the single shared
+   * definition). */
   private def eraBlockedConjuncts(
       s: QbeastSnapshot,
-      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, InSet}
-    s.schema.exists { sc =>
-      if (!TypeWidening.isEnabled(sc)) false
-      else {
-        val statsOff = TypeWidening.statsTrustless(sc)
-        val bloomOff = TypeWidening.bloomTrustless(sc)
-        (statsOff.nonEmpty &&
-          conjuncts.exists(_.references.exists(a => statsOff.contains(a.name)))) ||
-        (bloomOff.nonEmpty && conjuncts.exists(_.exists {
-          case EqualTo(a: AttributeReference, _) if bloomOff.contains(a.name) => true
-          case EqualTo(_, a: AttributeReference) if bloomOff.contains(a.name) => true
-          case In(a: AttributeReference, _) if bloomOff.contains(a.name) => true
-          case InSet(a: AttributeReference, _) if bloomOff.contains(a.name) => true
-          case _ => false
-        }))
-      }
-    }
-  }
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+    s.schema.exists(TypeWidening.proofBlocked(_, conjuncts))
 
   /** Era gate for the metadata-only sketch folds: false when the
    * column's narrow-era per-file state is incompatible with its
@@ -2223,26 +2205,9 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       if (field.dataType == newType) None // no-op (a retried ALTER must converge)
       else {
         TypeWidening.requireWidenable(field.name, field.dataType, newType)
-        val physical = ColumnMapping.physicalOf(schema, field.name)
-        base.revisions.values.filterNot(_.isStaging).foreach { rev =>
-          rev.columnTransformers.foreach { t =>
-            if (t.columnName.equalsIgnoreCase(physical)) {
-              if (t.kind == "hashing") throw new UnsupportedOperationException(
-                s"cannot widen hash-indexed column ${field.name}: revision " +
-                  s"${rev.revisionID} hashes lookup values at the recorded " +
-                  s"type ${field.dataType.simpleString}, so widened literals " +
-                  "would no longer match old files. Re-index first " +
-                  "(overwrite with different columnsToIndex).")
-              if (TypeWidening.unitChanging(field.dataType, newType))
-                throw new UnsupportedOperationException(
-                  s"cannot widen indexed column ${field.name} from " +
-                    s"${field.dataType.simpleString} to ${newType.simpleString}: " +
-                    "the index coordinates are date DAYS, timestamp predicates " +
-                    "are MICROSECONDS — old files would prune wrongly. " +
-                    "Re-index first (overwrite).")
-            }
-          }
-        }
+        TypeWidening.requireIndexSafe(field.name,
+          ColumnMapping.physicalOf(schema, field.name),
+          field.dataType, newType, base.revisions.values)
         val widened = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
           if (f.name.equalsIgnoreCase(name))
             TypeWidening.withTypeChange(f, newType, base.version + 1)

@@ -112,6 +112,18 @@ object TypeWidenProbe {
         dir => Seq("123.45", "-9.99").map(BigDecimal(_)).toDF("c")
           .select(col("c").cast(DecimalType(5, 2)).as("c")).write.parquet(dir),
         StructType(Seq(StructField("c", DecimalType(38, 10)))), col("c") > lit(0), 1),
+      Case("decimal(5,2)->decimal(9,2) (int32 target)",
+        dir => Seq("123.45", "-9.99").map(BigDecimal(_)).toDF("c")
+          .select(col("c").cast(DecimalType(5, 2)).as("c")).write.parquet(dir),
+        StructType(Seq(StructField("c", DecimalType(9, 2)))), col("c") > lit(0), 1),
+      Case("decimal(5,2)->decimal(9,3) (int32 rescale)",
+        dir => Seq("123.45", "-9.99").map(BigDecimal(_)).toDF("c")
+          .select(col("c").cast(DecimalType(5, 2)).as("c")).write.parquet(dir),
+        StructType(Seq(StructField("c", DecimalType(9, 3)))), col("c") > lit(0), 1),
+      Case("decimal(12,2)->decimal(14,4) (int64 rescale)",
+        dir => Seq("123.45", "-9.99").map(BigDecimal(_)).toDF("c")
+          .select(col("c").cast(DecimalType(12, 2)).as("c")).write.parquet(dir),
+        StructType(Seq(StructField("c", DecimalType(14, 4)))), col("c") > lit(0), 1),
       Case("decimal(5,2)->decimal(12,5) (scale up)",
         dir => Seq("123.45", "-9.99").map(BigDecimal(_)).toDF("c")
           .select(col("c").cast(DecimalType(5, 2)).as("c")).write.parquet(dir),

@@ -156,7 +156,8 @@ object QbeastWriter {
     val tableSchema: StructType = snapshot.schema match {
       case Some(existing) if mode == SaveMode.Append =>
         SchemaEvolution.mergeForAppend(existing, data.schema, canMergeSchema,
-          widenAtVersion = snapshot.version + 1)
+          widenAtVersion = snapshot.version + 1,
+          revisions = snapshot.revisions.values)
       case Some(existing) if isOverwrite =>
         SchemaEvolution.validateOverwrite(existing, data.schema, boolOpt("overwriteSchema"))
         // same-column-set overwrite of a MAPPED table: the mapping
@@ -383,7 +384,8 @@ object QbeastWriter {
         if (mode == SaveMode.Append)
           base.schema.map(existing =>
             SchemaEvolution.mergeForAppend(existing, dataAligned.schema, canMergeSchema,
-              mintFrom = Some(tableSchema), widenAtVersion = base.version + 1))
+              mintFrom = Some(tableSchema), widenAtVersion = base.version + 1,
+              revisions = base.revisions.values))
             .getOrElse(tableSchema)
         else tableSchema
       // mapped tables: our files are already written under tableSchema's

@@ -39,7 +39,8 @@ object SchemaEvolution {
       incoming: StructType,
       allowMerge: Boolean,
       mintFrom: Option[StructType] = None,
-      widenAtVersion: Long = -1L): StructType = {
+      widenAtVersion: Long = -1L,
+      revisions: Iterable[graft.core.model.Revision] = Nil): StructType = {
     import graft.core.model.TypeWidening
     val existingByName = existing.fields.map(f => f.name.toLowerCase -> f).toMap
     // overlapping columns with a different type: NARROWER incoming
@@ -55,6 +56,12 @@ object SchemaEvolution {
         case e if e.dataType == f.dataType => None
         case e if TypeWidening.canWiden(f.dataType, e.dataType) => None // upcast on write
         case e if TypeWidening.canWiden(e.dataType, f.dataType) && allowMerge =>
+          // same index guard as the explicit ALTER — an auto-widen must
+          // not corrupt a hash-transformed or unit-changed index that
+          // QbeastTable.widenColumn refuses
+          TypeWidening.requireIndexSafe(e.name,
+            graft.core.model.ColumnMapping.physicalName(e),
+            e.dataType, f.dataType, revisions)
           widenable.put(e.name.toLowerCase,
             TypeWidening.withTypeChange(e, f.dataType, widenAtVersion))
           None

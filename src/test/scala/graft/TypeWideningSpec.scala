@@ -280,6 +280,42 @@ class TypeWideningSpec extends AnyFunSuite {
       .filter(col("k") === 10000L).select("a").as[Long].head() == 42L)
   }
 
+  test("mergeSchema auto-widen applies the SAME index guards as the explicit ALTER") {
+    // hash-indexed column: an auto-widen would hash new rows at LONG
+    // while the recorded transformation hashes lookup literals at INT —
+    // silent lookup misses. The append must refuse exactly like
+    // widenColumn does.
+    val dirH = TestSpark.tmpDir("tw-merge-hash")
+    (0 until 200).map(i => (i, s"s$i")).toDF("h", "s")
+      .write.format("qbeast").option("columnsToIndex", "h:hashing")
+      .option("cubeSize", "50").save(dirH)
+    val eH = intercept[Exception] {
+      Seq((1L << 40, "wide")).toDF("h", "s")
+        .write.format("qbeast").mode("append")
+        .option("mergeSchema", "true").save(dirH)
+    }
+    assert(eH.getMessage.contains("hash-indexed"), eH.getMessage)
+    // table untouched after the refusal
+    assert(spark.read.format("qbeast").load(dirH).schema("h").dataType == IntegerType)
+    assert(spark.read.format("qbeast").load(dirH).count() == 200)
+
+    // indexed DATE column: auto-widen to TIMESTAMP_NTZ would flip the
+    // canonical coordinate unit (days -> micros)
+    val dirD = TestSpark.tmpDir("tw-merge-dateidx")
+    (0 until 100).map(i => (java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d"), i))
+      .toDF("d", "x")
+      .write.format("qbeast").option("columnsToIndex", "d").option("cubeSize", "50")
+      .save(dirD)
+    val eD = intercept[Exception] {
+      Seq((java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 1))
+        .toDF("d", "x").select(col("d").cast(TimestampNTZType).as("d"), col("x"))
+        .write.format("qbeast").mode("append")
+        .option("mergeSchema", "true").save(dirD)
+    }
+    assert(eD.getMessage.contains("indexed"), eD.getMessage)
+    assert(spark.read.format("qbeast").load(dirD).count() == 100)
+  }
+
   test("time travel reads each version under ITS type; RESTORE rolls the widen back") {
     val dir = freshTable("tw-tt")
     val t = QbeastTable.forPath(spark, dir)
