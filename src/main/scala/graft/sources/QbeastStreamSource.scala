@@ -288,6 +288,38 @@ class QbeastStreamSource(
   private val startingVersionGiven =
     opt("startingVersion").isDefined || opt("startingTimestamp").isDefined
 
+  // Type-widening era guard at the ANCHOR: if the schema in effect at
+  // the stream's first replayed commit does not UPCAST into the pinned
+  // schema (a RESTORE rolled the table back past a type widening after
+  // those commits were written), the replay would crash mid-scan on
+  // wide-era footers — refuse NAMED at construction instead. Era
+  // changes INSIDE the replayed range are already covered: any
+  // MetaDataAction crossed mid-stream stops the stream with the pinned
+  // restart error before its commit's files are read.
+  if (startingVersionGiven && startExclusive + 1 >= 0 &&
+    startExclusive + 1 < initialSnapshot.version) {
+    QbeastLog.lightSnapshot(tablePath, hadoopConf,
+      asOfVersion = startExclusive + 1).schema.foreach { es =>
+      es.fields.foreach { f =>
+        val phys = graft.core.model.ColumnMapping.physicalName(f)
+        tableSchema.fields.find(e =>
+          graft.core.model.ColumnMapping.physicalName(e).equalsIgnoreCase(phys))
+          .foreach { e =>
+            if (e.dataType != f.dataType &&
+              !graft.core.model.TypeWidening.canWiden(f.dataType, e.dataType))
+              throw new UnsupportedOperationException(
+                s"qbeast streaming source: version ${startExclusive + 1} of " +
+                  s"$tablePath wrote column ${f.name} as " +
+                  s"${f.dataType.simpleString}, but the current schema reads " +
+                  s"it as ${e.dataType.simpleString} — this range crosses a " +
+                  "type change that cannot upcast (a RESTORE rolled back " +
+                  "past a type widening). Start the stream from a newer " +
+                  "startingVersion.")
+          }
+      }
+    }
+  }
+
   /** Trigger.AvailableNow: commits beyond the version latched here are
    * left for a later run, no matter how long this one drains. */
   @volatile private var latchedHead: Option[Long] = None

@@ -2463,8 +2463,47 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // and a copy-on-write commit's before-image must exclude rows its
     // files' vectors had already deleted
     val running = mutable.HashMap.empty[String, graft.log.DvInfo]
-    if (startVersion > 0)
-      running ++= QbeastLog.snapshot(tablePath, conf, asOfVersion = startVersion - 1).dvs
+    val preStart: Option[QbeastSnapshot] =
+      if (startVersion > 0)
+        Some(QbeastLog.snapshot(tablePath, conf, asOfVersion = startVersion - 1))
+      else None
+    preStart.foreach(s => running ++= s.dvs)
+
+    // ---- type-widening era guard -------------------------------------
+    // Every file this replay reads must be readable under the END
+    // schema. That holds whenever each commit-era type UPCASTS into the
+    // end type (the normal widen case: narrow-era files read wide). It
+    // BREAKS when a RESTORE inside the range rolled the schema back
+    // past a widen: wide-era files cannot be read (or faithfully
+    // expressed) under the narrowed end schema — refuse NAMED rather
+    // than crash in the scan or silently narrow values (Delta's CDF
+    // refuses read-incompatible ranges the same way).
+    var eraSchema: Option[org.apache.spark.sql.types.StructType] =
+      preStart.flatMap(_.schema)
+    def eraOf(actions: Seq[LogAction]): Unit =
+      actions.collectFirst {
+        case MetaDataAction(sj, _) if sj.nonEmpty =>
+          org.apache.spark.sql.types.DataType.fromJson(sj)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }.foreach(s => eraSchema = Some(s))
+    def requireEraReadable(v: Long): Unit = eraSchema.foreach { es =>
+      es.fields.foreach { f =>
+        val phys = ColumnMapping.physicalName(f)
+        schema.fields.find(e =>
+          ColumnMapping.physicalName(e).equalsIgnoreCase(phys)).foreach { e =>
+          if (e.dataType != f.dataType &&
+            !TypeWidening.canWiden(f.dataType, e.dataType))
+            throw new UnsupportedOperationException(
+              s"changes($startVersion, $end): version $v wrote column " +
+                s"${f.name} as ${f.dataType.simpleString}, but the end " +
+                s"schema (version $end) reads it as ${e.dataType.simpleString} " +
+                "— the range crosses a type change that cannot upcast (a " +
+                "RESTORE rolled back past a type widening). Replay with " +
+                "endVersion inside the widened era, or read versions " +
+                "individually with versionAsOf.")
+        }
+      }
+    }
     def dvNamesFor(paths: Seq[String]): Map[String, String] = {
       val wanted = paths.map(p => new Path(p).getName).toSet
       running.collect {
@@ -2548,6 +2587,15 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val anyAdds = actions.exists { case _: AddFileAction => true; case _ => false }
       val removes = actions.collect { case RemoveFileAction(r) => r.path }
       val dvActs = actions.collect { case d: graft.log.DvFileAction => d }
+      // era guard, split around the commit's own MetaDataAction: the
+      // commit's REMOVES and dv references are before-images written
+      // under the PRE-commit era (a RESTORE removing wide-era files
+      // carries a narrow MetaDataAction in the same commit — its
+      // delete feed is still wide), while its ADDS and change files
+      // are written under the POST-commit schema
+      if (removes.nonEmpty || dvActs.nonEmpty) requireEraReadable(v)
+      eraOf(actions)
+      if (cdcDirs.nonEmpty || dataAdds.nonEmpty) requireEraReadable(v)
       def advanceDvState(): Unit = {
         actions.foreach {
           case AddFileAction(f, _) => running.remove(f.path)

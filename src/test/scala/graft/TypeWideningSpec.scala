@@ -356,6 +356,55 @@ class TypeWideningSpec extends AnyFunSuite {
     assert(deletes.select("a").as[Long].head() == 5L)
   }
 
+  test("RESTORE past a widen: CDF ranges crossing the wide era refuse NAMED") {
+    // found by the r16 fuzz soak (seed 20260825, seq 34): widen ->
+    // wide-era DML -> RESTORE to v0 narrows the end schema, and a
+    // changes() range crossing the wide era would crash mid-scan
+    // reading INT64 footers as date. It must refuse with the range and
+    // columns NAMED instead (Delta refuses read-incompatible CDF
+    // ranges the same way).
+    val dir = freshTable("tw-regress")
+    val t = QbeastTable.forPath(spark, dir)
+    val v0 = t.snapshot.version
+    t.widenColumn("a", LongType)
+    (0 until 4).map(i => (7000L + i, Int.MaxValue.toLong + i + 1, 1.0f))
+      .toDF("k", "a", "f").write.format("qbeast").mode("append").save(dir)
+    val vWide = t.snapshot.version
+    // inside the wide era the feed works and reads wide values
+    assert(t.changes(0, vWide).filter(col("a") > Int.MaxValue.toLong).count() == 4)
+    t.restoreToVersion(v0)
+    val head = t.snapshot.version
+    // crossing the wide era with a NARROW end schema: named refusal
+    val e = intercept[UnsupportedOperationException] { t.changes(0, head).collect() }
+    assert(e.getMessage.contains("crosses a type change"), e.getMessage)
+    // the restore commit ITSELF is refused too: its delete feed is the
+    // wide-era before-image, not expressible under the narrow schema
+    // (the removed files' footers are INT64 — only column pruning would
+    // hide the crash)
+    val eSelf = intercept[UnsupportedOperationException] {
+      t.changes(head, head).collect()
+    }
+    assert(eSelf.getMessage.contains("crosses a type change"), eSelf.getMessage)
+    // a range entirely AFTER the restore replays fine (narrow era only)
+    Seq((9999L, 1, 1.0f)).toDF("k", "a", "f")
+      .write.format("qbeast").mode("append").save(dir)
+    val afterFeed = t.changes(head + 1, head + 1)
+    assert(afterFeed.collect().length == 1)
+    assert(afterFeed.schema("a").dataType == IntegerType)
+    // the streaming source refuses a startingVersion anchored INSIDE
+    // the wide era under the narrowed pinned schema
+    val e2 = intercept[Exception] {
+      spark.readStream.format("qbeast")
+        .option("startingVersion", vWide.toString).load(dir)
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    val msgs = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("crosses a type change"), msgs)
+  }
+
   test("SQL surface: ALTER COLUMN TYPE widens through the catalog; narrowing refused") {
     spark.conf.set("spark.sql.catalog.qbeast_catalog", "graft.catalog.QbeastCatalog")
     val dir = TestSpark.tmpDir("tw-sql")
