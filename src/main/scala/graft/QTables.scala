@@ -472,6 +472,46 @@ object QTables {
     spark.read.format("qbeast").load(path)
   }
 
+  /** An orders-derived table with GENERATED columns (Delta `GENERATED
+   * ALWAYS AS`): `o_year` derives from the order timestamp and is
+   * INDEXED — the table is physically organized by a column no write
+   * ever supplies — and `o_mod` derives from the customer key. History:
+   * computed first write → enforced append (values supplied and checked
+   * per row) → UPDATE of the referenced timestamp (o_year recomputes
+   * for the matched rows) → DELETE keyed on the derived o_mod (per-file
+   * stats over the stored column prune it like any other). */
+  def qbeastGenerated(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
+    val path = cachePath(sfDir, "orders_generated")
+    lock.synchronized {
+      if (!graft.log.QbeastLog.exists(path, spark.sparkContext.hadoopConfiguration)) {
+        val o = raw(spark, sfDir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        // v0: generated columns COMPUTED (the frame omits them)
+        o.filter("o_orderkey % 2 = 0")
+          .write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_year")
+          .option("cubeSize", "5000")
+          .option("generatedColumns",
+            "o_year:year(o_orderdate);o_mod:CAST(o_custkey % 7 AS INT)")
+          .save(path)
+        // v1: generated columns SUPPLIED — enforced per row in the task
+        o.filter("o_orderkey % 2 = 1")
+          .selectExpr("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+            "CAST(year(o_orderdate) AS INT) AS o_year",
+            "CAST(o_custkey % 7 AS INT) AS o_mod")
+          .write.format("qbeast").mode("append").save(path)
+        val t = graft.table.QbeastTable.forPath(spark, path)
+        // v2: UPDATE moves the referenced timestamp — o_year recomputes
+        t.update("o_orderkey % 10 = 3",
+          Map("o_orderdate" -> "o_orderdate + INTERVAL 400 DAY"))
+        // v3: DELETE keyed on the derived column
+        t.delete("o_mod = 5")
+      }
+    }
+    spark.read.format("qbeast").load(path)
+  }
+
   /** A customer table whose column name was RELEASED by an
    * overwriteSchema overwrite and RE-ADDED at a different type by a
    * later mergeSchema append — a legal drop-then-re-add path that

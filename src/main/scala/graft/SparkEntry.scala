@@ -1409,6 +1409,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("nk").as("snk"),
           min("bal").as("bmin"), max("bal").as("bmax"))
     }),
+    "q107_generated_columns" -> ((s, dir) => {
+      // GENERATED ALWAYS AS: o_year/o_mod are computed on writes that
+      // omit them, enforced on writes that supply them, recomputed by
+      // UPDATE when the referenced timestamp moves, and o_year is the
+      // table's index column (QTables.qbeastGenerated history)
+      val df = QTables.qbeastGenerated(s, dir)
+      require(df.schema("o_year").dataType ==
+        org.apache.spark.sql.types.IntegerType, "o_year must store as INT")
+      df.filter(col("o_year") >= 1995)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n"), sum("o_mod").as("sm"),
+          dec(col("o_totalprice")).as("sum_price"))
+    }),
     "q104_schema_readd" -> ((s, dir) => {
       // a name released by overwriteSchema and re-added at a DIFFERENT
       // type (DOUBLE → STRING): string filters over the re-added column
@@ -3050,6 +3063,24 @@ object SparkEntry {
         |SELECT nk % 10 AS g, count(*) AS n, CAST(sum(nk) AS BIGINT) AS snk,
         |  min(bal) AS bmin, max(bal) AS bmax
         |FROM w WHERE NOT (nk BETWEEN 5 AND 9)
+        |GROUP BY 1""".stripMargin,
+    "q107_generated_columns" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 3
+        |              THEN o_orderdate + INTERVAL 400 DAY
+        |              ELSE o_orderdate END AS od,
+        |         o_totalprice
+        |  FROM orders
+        |), g AS (
+        |  SELECT CAST(year(od) AS INTEGER) AS o_year,
+        |         CAST(o_custkey % 7 AS INTEGER) AS o_mod,
+        |         o_totalprice
+        |  FROM upd
+        |)
+        |SELECT o_year, count(*) AS n, CAST(sum(o_mod) AS BIGINT) AS sm,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM g WHERE o_mod <> 5 AND o_year >= 1995
         |GROUP BY 1""".stripMargin,
     "q104_schema_readd" ->
       """SELECT coalesce(CASE WHEN c_custkey % 4 = 1 THEN c_mktsegment END, 'none') AS tag,

@@ -559,6 +559,16 @@ object QbeastCatalog {
       location: String,
       sets: Map[String, String],
       unsets: Seq[String]): Unit = {
+    // generated-column definitions are fixed at table creation: a
+    // SET TBLPROPERTIES retrofit would enforce/recompute against rows
+    // that were never validated (UNSET — dropping a definition — is a
+    // harmless relaxation and stays allowed)
+    sets.keys.find(_.startsWith(graft.write.GeneratedColumns.Prefix)).foreach { k =>
+      throw new UnsupportedOperationException(
+        s"cannot SET $k: generated-column definitions are fixed at table " +
+          "creation (existing rows were never validated against the " +
+          "expression). Recreate the table to change them.")
+    }
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     // metadata-only commit: on a concurrent-writer conflict, re-snapshot

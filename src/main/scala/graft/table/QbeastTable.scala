@@ -894,6 +894,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   private def mutate(cond: Column, assignments: Option[Map[String, Column]]): Long = {
     val s = snapshot
     if (s.isEmpty || s.files.isEmpty) return 0L
+    // generated columns are computed, never assigned (Delta refuses
+    // identically); both the copy-on-write and the dv path recompute
+    // them after the remaining assignments apply
+    assignments.foreach(a =>
+      graft.write.GeneratedColumns.refuseAssignments(s.configuration, a.keys))
     // null condition rows are NOT matched (SQL three-valued logic)
     val matched = coalesce(cond, lit(false))
 
@@ -1025,7 +1030,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         val base = readTableFiles(s, affected)
         // top-level and struct-field assignments, simultaneous semantics
         val updatedCols = Assignments(base.schema, asgn)
-        val updated = base.filter(matched).select(updatedCols: _*)
+        // generated columns recompute AFTER the assignments apply, so a
+        // change to a referenced column never leaves a stale value
+        val updated = graft.write.GeneratedColumns.recompute(
+          base.filter(matched).select(updatedCols: _*), s.configuration, s.schema)
         graft.write.Constraints.validate(updated,
           graft.write.Constraints.of(s.configuration), "UPDATE-assigned")
         val existing = latestRevision.orElse(throw new UnsupportedOperationException(
@@ -1120,7 +1128,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * backstop that makes changed-row writes safe even when the driver-side
    * pre-validation ran against a different execution of the plan. */
   private def constraintsFor(s: QbeastSnapshot): Seq[(String, String)] =
-    graft.write.Constraints.of(s.configuration).toSeq.sortBy(_._1)
+    (graft.write.Constraints.of(s.configuration).toSeq ++
+      graft.write.GeneratedColumns.checksFor(s.configuration, s.schema)).sortBy(_._1)
 
   /** Change data feed enabled for this snapshot (and writable — a
    * schema exists to shape the change file). */
@@ -1181,8 +1190,12 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       }.toSeq: _*)
     }.getOrElse(source0)
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
+    // generated columns: upsert source rows REPLACE target rows (insert
+    // semantics), so supplied values are enforced, not recomputed
     graft.write.Constraints.validate(source,
-      graft.write.Constraints.of(s.configuration), "upsert source")
+      graft.write.Constraints.of(s.configuration) ++
+        graft.write.GeneratedColumns.checksFor(s.configuration, s.schema),
+      "upsert source")
     val srcKeys = source.select(keys.map(col): _*).distinct().persist()
     try {
       // ---- merge-on-read upsert (opt-in): mask matched target rows,
@@ -1352,6 +1365,12 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           notMatchedBySource.zipWithIndex.collect {
             case (cl, i) if cl.assignments.isDefined => (cl.assignments.get, 1000 + i)
           }
+      // UPDATE-shaped clauses RECOMPUTE generated columns after the
+      // assignments apply (SQL's SET * expands to every column before
+      // reaching here, so an explicit-assignment refusal would break
+      // legal SET * merges — the recompute makes the end state correct
+      // either way); INSERT clauses must supply them and are gated per
+      // row like any constraint
 
       def applyAssignments(asgn: Map[String, Column]): Seq[Column] =
         Assignments(tableSchema, asgn)
@@ -1392,7 +1411,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 
       val perGroup = groupJoins.map { case (rid, files, joined) =>
         val changed = updateClauses.map { case (asgn, id) =>
-          joined.filter(col(actionCol) === id).select(applyAssignments(asgn): _*)
+          // recompute generated columns after the clause's assignments
+          graft.write.GeneratedColumns.recompute(
+            joined.filter(col(actionCol) === id).select(applyAssignments(asgn): _*),
+            s.configuration, s.schema)
         }
         val survivors = joined.filter(col(actionCol) === -1)
           .select(targetCols.map(col): _*)
@@ -1754,7 +1776,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // in a new, merged-space revision, exactly like an append)
     val base0 = matchedRows.drop(DvFileCol, DvIdxCol)
     val updatedCols = Assignments(base0.schema, asgn)
-    val updated = base0.select(updatedCols: _*)
+    // generated columns recompute after the assignments (same as the
+    // copy-on-write pass 3)
+    val updated = graft.write.GeneratedColumns.recompute(
+      base0.select(updatedCols: _*), s.configuration, s.schema)
     graft.write.Constraints.validate(updated,
       graft.write.Constraints.of(s.configuration), "UPDATE-assigned")
     dvCommitWithAdds(s, updated,
@@ -2041,6 +2066,40 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
   def constraints: Map[String, String] =
     graft.write.Constraints.of(snapshot.configuration)
 
+  /** The table's generated columns, name → generation SQL (defined at
+   * table creation via the `generatedColumns` write option or
+   * `qbeast.generatedColumns.*` properties). */
+  def generatedColumns: Map[String, String] =
+    graft.write.GeneratedColumns.of(snapshot.configuration)
+
+  /** Refuse a rename/drop/widen of a column some generation expression
+   * references — the stored definition would silently derive from the
+   * wrong (or a missing) column afterwards. */
+  private def requireNoGeneratedRefs(
+      cfg: Map[String, String], column: String, what: String): Unit = {
+    val refs = graft.write.GeneratedColumns.referencing(spark, cfg, column)
+    if (refs.nonEmpty) throw new UnsupportedOperationException(
+      s"cannot $what column $column: generated column(s) " +
+        s"${refs.mkString(", ")} reference it in their expressions; " +
+        "recreate the table (overwriteSchema) to change it")
+  }
+
+  /** Carry the `qbeast.generatedColumns.<name>` definition across a
+   * rename of the generated column itself, or drop it with the
+   * column. */
+  private def renameGenKey(
+      cfg: Map[String, String], from: String, to: Option[String]): Map[String, String] = {
+    val prefix = graft.write.GeneratedColumns.Prefix
+    cfg.keys.find(k => k.startsWith(prefix) &&
+      k.stripPrefix(prefix).equalsIgnoreCase(from)) match {
+      case None => cfg
+      case Some(k) => to match {
+        case Some(n) => cfg - k + (prefix + n -> cfg(k))
+        case None => cfg - k
+      }
+    }
+  }
+
   // ---- logical→physical column mapping (RENAME / DROP COLUMN) --------
 
   /** Constraint names whose SQL references `column` (case-insensitive
@@ -2142,11 +2201,15 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           throw new IllegalArgumentException(s"column $newName already exists"))
         ColumnMapping.requireNoPhysicalClash(schema, newName, self = field.name)
         requireNoConstraintRefs(base.configuration, field.name, "rename")
+        requireNoGeneratedRefs(base.configuration, field.name, "rename")
         val renamed = org.apache.spark.sql.types.StructType(
           ColumnMapping.upgraded(schema).fields.map { f =>
             if (f.name.equalsIgnoreCase(existingName)) f.copy(name = newName) else f
           })
-        Some((renamed, mappedConfig(base.configuration, field.name, Some(newName)),
+        // renaming a GENERATED column carries its definition along
+        Some((renamed,
+          renameGenKey(mappedConfig(base.configuration, field.name, Some(newName)),
+            field.name, Some(newName)),
           s"RENAME COLUMN ${field.name} TO $newName"))
       }
     }
@@ -2177,9 +2240,13 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
               "different columnsToIndex first (overwrite), then drop.")
       }
       requireNoConstraintRefs(base.configuration, field.name, "drop")
+      requireNoGeneratedRefs(base.configuration, field.name, "drop")
       val remaining = org.apache.spark.sql.types.StructType(
         ColumnMapping.upgraded(schema).fields.filterNot(_.name == field.name))
-      Some((remaining, mappedConfig(base.configuration, field.name, None),
+      // dropping a GENERATED column drops its definition with it
+      Some((remaining,
+        renameGenKey(mappedConfig(base.configuration, field.name, None),
+          field.name, None),
         s"DROP COLUMNS ${field.name}"))
     }
   }
@@ -2204,6 +2271,13 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           s"column $name does not exist (have ${schema.fieldNames.mkString(", ")})"))
       if (field.dataType == newType) None // no-op (a retried ALTER must converge)
       else {
+        val gens = graft.write.GeneratedColumns.of(base.configuration)
+        if (gens.nonEmpty && graft.write.GeneratedColumns
+            .typeProtected(spark, gens).contains(field.name.toLowerCase(java.util.Locale.ROOT)))
+          throw new UnsupportedOperationException(
+            s"cannot widen column ${field.name}: a generated column produces " +
+              "or references it, and the widen could change computed values " +
+              "through the enforcement cast. Recreate the table to change it.")
         TypeWidening.requireWidenable(field.name, field.dataType, newType)
         TypeWidening.requireIndexSafe(field.name,
           ColumnMapping.physicalOf(schema, field.name),

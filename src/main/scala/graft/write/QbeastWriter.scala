@@ -106,7 +106,7 @@ object QbeastWriter {
   private def writeOnce(
       spark: SparkSession,
       tablePath: String,
-      data: DataFrame,
+      data0: DataFrame,
       options: QbeastOptions,
       mode: SaveMode,
       snapshot: QbeastSnapshot): Unit = {
@@ -124,6 +124,30 @@ object QbeastWriter {
     val canMergeSchema = boolOpt("mergeSchema") ||
       spark.conf.getOption("spark.qbeast.schema.autoMerge.enabled").contains("true")
     val isOverwrite = mode == SaveMode.Overwrite && !snapshot.isEmpty
+    // ---- generated columns (Delta GENERATED ALWAYS AS): columns the
+    // frame omits are computed per row; columns it supplies are
+    // enforced per row through the CHECK-constraint path below ----
+    val (genSpec, genDefinedNow) = GeneratedColumns.resolveForWrite(
+      options.extra, snapshot.configuration, tableExists = !snapshot.isEmpty,
+      isSchemaReplace = isOverwrite && boolOpt("overwriteSchema"),
+      incoming = data0.schema, tableSchema = snapshot.schema)
+    if (genDefinedNow) GeneratedColumns.validateDefinitions(spark, data0, genSpec)
+    // a definition whose column the declared schema lacks would silently
+    // evolve the schema on first insert — fail NAMED instead
+    if (!genDefinedNow) snapshot.schema.foreach { sc =>
+      genSpec.keys.foreach { n =>
+        require(sc.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"generated column $n is not a column of the table schema " +
+            s"(${sc.fieldNames.mkString(", ")}); drop the " +
+            s"qbeast.generatedColumns.$n property or recreate the table")
+      }
+    }
+    val (data, genChecks) = GeneratedColumns.prepare(data0, genSpec, snapshot.schema)
+    // columns a generation expression depends on (or produces) must not
+    // auto-widen under mergeSchema — same refusal as the explicit ALTER
+    val genWidenBlocked: Set[String] =
+      if (genSpec.isEmpty) Set.empty
+      else GeneratedColumns.typeProtected(spark, genSpec)
     // the tagged-row layout appends the index columns positionally —
     // a user column with a reserved name would be REPLACED in place
     // and shift the physical writer's index math (reference rejects
@@ -157,7 +181,8 @@ object QbeastWriter {
       case Some(existing) if mode == SaveMode.Append =>
         SchemaEvolution.mergeForAppend(existing, data.schema, canMergeSchema,
           widenAtVersion = snapshot.version + 1,
-          revisions = snapshot.revisions.values)
+          revisions = snapshot.revisions.values,
+          widenBlocked = genWidenBlocked)
       case Some(existing) if isOverwrite =>
         SchemaEvolution.validateOverwrite(existing, data.schema, boolOpt("overwriteSchema"))
         // same-column-set overwrite of a MAPPED table: the mapping
@@ -182,7 +207,8 @@ object QbeastWriter {
     // a nondeterministic input (rand(), a source re-read between jobs)
     // could pass the validation run yet write violating rows — the rows
     // checked must BE the rows written.
-    val tableConstraints = Constraints.of(snapshot.configuration).toSeq.sortBy(_._1)
+    val tableConstraints =
+      (Constraints.of(snapshot.configuration).toSeq ++ genChecks).sortBy(_._1)
 
     // per-file bloom filters (equality skipping on non-indexed
     // columns): the explicit option wins — an empty string TURNS OFF
@@ -363,11 +389,24 @@ object QbeastWriter {
       val dvDrop: Set[String] =
         if (dvOpt.contains(false)) Set(graft.write.DeletionVectors.PropertyKey)
         else Set.empty
+      // generated-column definitions persist like table properties:
+      // written when DEFINED (first write, or an overwriteSchema
+      // replace, which also drops the entries the replace released)
+      val isSchemaReplace = isOverwrite && boolOpt("overwriteSchema")
+      val genTag =
+        if (genDefinedNow || isSchemaReplace)
+          genSpec.map { case (n, sql) => GeneratedColumns.Prefix + n -> sql }
+        else Map.empty[String, String]
+      val genDrop: Set[String] =
+        if (isSchemaReplace)
+          base.configuration.keySet.filter(_.startsWith(GeneratedColumns.Prefix)) --
+            genTag.keySet
+        else Set.empty
       val config = base.configuration ++ hookTags ++ cdfTag ++ bloomTag ++ hllTag ++
-        kllTag ++ autoTag ++ dvTag ++
+        kllTag ++ autoTag ++ dvTag ++ genTag ++
         Map("qbeast.lastRevisionID" ->
           math.max(revisionToCommit.revisionID, base.lastRevisionID).toString) --
-        bloomDrop -- hllDrop -- kllDrop -- autoDrop -- dvDrop
+        bloomDrop -- hllDrop -- kllDrop -- autoDrop -- dvDrop -- genDrop
       // Re-derive the schema against the CURRENT base, not the snapshot
       // this write started from: a concurrent append may itself have
       // evolved the schema, and committing the stale merge would
@@ -385,7 +424,8 @@ object QbeastWriter {
           base.schema.map(existing =>
             SchemaEvolution.mergeForAppend(existing, dataAligned.schema, canMergeSchema,
               mintFrom = Some(tableSchema), widenAtVersion = base.version + 1,
-              revisions = base.revisions.values))
+              revisions = base.revisions.values,
+              widenBlocked = genWidenBlocked))
             .getOrElse(tableSchema)
         else tableSchema
       // mapped tables: our files are already written under tableSchema's

@@ -40,7 +40,8 @@ object SchemaEvolution {
       allowMerge: Boolean,
       mintFrom: Option[StructType] = None,
       widenAtVersion: Long = -1L,
-      revisions: Iterable[graft.core.model.Revision] = Nil): StructType = {
+      revisions: Iterable[graft.core.model.Revision] = Nil,
+      widenBlocked: Set[String] = Set.empty): StructType = {
     import graft.core.model.TypeWidening
     val existingByName = existing.fields.map(f => f.name.toLowerCase -> f).toMap
     // overlapping columns with a different type: NARROWER incoming
@@ -56,15 +57,25 @@ object SchemaEvolution {
         case e if e.dataType == f.dataType => None
         case e if TypeWidening.canWiden(f.dataType, e.dataType) => None // upcast on write
         case e if TypeWidening.canWiden(e.dataType, f.dataType) && allowMerge =>
-          // same index guard as the explicit ALTER — an auto-widen must
-          // not corrupt a hash-transformed or unit-changed index that
-          // QbeastTable.widenColumn refuses
-          TypeWidening.requireIndexSafe(e.name,
-            graft.core.model.ColumnMapping.physicalName(e),
-            e.dataType, f.dataType, revisions)
-          widenable.put(e.name.toLowerCase,
-            TypeWidening.withTypeChange(e, f.dataType, widenAtVersion))
-          None
+          // columns a generated-column definition produces or references
+          // never auto-widen (the enforcement cast would silently change
+          // computed values) — same refusal as the explicit ALTER
+          if (widenBlocked.contains(e.name.toLowerCase))
+            Some(s"${f.name} (table: ${e.dataType.simpleString}, data: " +
+              s"${f.dataType.simpleString} — a generated column produces or " +
+              "references it, so its type cannot widen; redefine the " +
+              "generated columns first)")
+          else {
+            // same index guard as the explicit ALTER — an auto-widen must
+            // not corrupt a hash-transformed or unit-changed index that
+            // QbeastTable.widenColumn refuses
+            TypeWidening.requireIndexSafe(e.name,
+              graft.core.model.ColumnMapping.physicalName(e),
+              e.dataType, f.dataType, revisions)
+            widenable.put(e.name.toLowerCase,
+              TypeWidening.withTypeChange(e, f.dataType, widenAtVersion))
+            None
+          }
         case e if TypeWidening.canWiden(e.dataType, f.dataType) =>
           Some(s"${f.name} (table: ${e.dataType.simpleString}, data: " +
             s"${f.dataType.simpleString} — set mergeSchema=true to widen the " +
