@@ -3,7 +3,7 @@ package graft
 import graft.table.QbeastTable
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructType, TimestampNTZType}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -308,13 +308,23 @@ class FuzzSpec extends AnyFunSuite {
       // row (schema-changing histories pin the restart-the-stream
       // error instead — Delta parity)
       val allowSchema = seq % 4 != 3
+      // every 8th (two residues: one schema-fuzzing+cdf, one dv+stable)
+      // sequence carries a GENERATED column gc := CAST(k % 9 AS INT):
+      // appends/upserts compute it, DML recomputes it, renames/widens
+      // of the referenced k are refused (tolerated below), drops and
+      // overwrites kill the definition, RESTORE resurrects it
+      val gen = seq % 8 == 6 || seq % 8 == 3
+      val genSql = "CAST(k % 9 AS INT)"
       val dir = TestSpark.tmpDir(s"fuzz-dml-$seq")
       val init = freshRows(1L, 160, r)
       val w0 = init.toDF("k", "v", "s", "d").write.format("qbeast")
         .option("columnsToIndex", "k").option("cubeSize", "40")
       val w1 = if (dv) w0.option("deletionVectors", "true") else w0
-      (if (cdf) w1.option("enableChangeDataFeed", "true") else w1).save(dir)
-      var model = localize(init.toDF("k", "v", "s", "d"))
+      val w2 = if (cdf) w1.option("enableChangeDataFeed", "true") else w1
+      (if (gen) w2.option("generatedColumns", s"gc:$genSql") else w2).save(dir)
+      var model = localize(
+        if (gen) init.toDF("k", "v", "s", "d").withColumn("gc", expr(genSql))
+        else init.toDF("k", "v", "s", "d"))
       var nextKey = 161L
       var nextCol = 1
       var schemaOps = 0
@@ -394,6 +404,17 @@ class FuzzSpec extends AnyFunSuite {
         case _ => org.apache.spark.sql.functions.concat(lit("z"), col(curName("k")))
       }
       def curNames: Seq[String] = Seq("k", "v", "s", "d").map(curName)
+      // compute the LIVE generated columns on a frame about to be
+      // written (conform null-fills them, which enforcement would
+      // reject); defs are read per op — drops/overwrites kill them,
+      // RESTORE resurrects them, renames re-key them
+      def genComputed(df: DataFrame): DataFrame =
+        if (!gen) df
+        else t.generatedColumns.foldLeft(df) { case (acc, (n, sql)) =>
+          if (acc.columns.contains(n))
+            acc.withColumn(n, expr(sql).cast(acc.schema(n).dataType))
+          else acc
+        }
 
       for (op <- 0 until dmlOps) {
         val what0 = r.nextInt(24)
@@ -422,7 +443,7 @@ class FuzzSpec extends AnyFunSuite {
             // nulls) — exact-schema appends need no mergeSchema option
             val batch = freshRows(nextKey, 10 + r.nextInt(20), r)
             nextKey += batch.size
-            val bdf = conform(batch.toDF(curNames: _*), model.schema)
+            val bdf = genComputed(conform(batch.toDF(curNames: _*), model.schema))
             bdf.write.format("qbeast").mode("append").save(dir)
             model = localize(model.unionByName(bdf))
             s"APPEND ${batch.size}"
@@ -432,8 +453,8 @@ class FuzzSpec extends AnyFunSuite {
               val k = 1L + (math.abs(r.nextLong()) % (nextKey + 10))
               freshRows(k, 1, r).head
             }
-            val srcDf = conform(
-              src.toDF(curNames: _*).dropDuplicates(curName("k")), model.schema)
+            val srcDf = genComputed(conform(
+              src.toDF(curNames: _*).dropDuplicates(curName("k")), model.schema))
             if (model.isEmpty) {
               // upsert into an emptied table is a pinned refusal (use a
               // plain write); the model must stay unchanged
@@ -487,7 +508,7 @@ class FuzzSpec extends AnyFunSuite {
               } else { val n = s"x$nextCol"; nextCol += 1; (n, randType()) }
             val batch = freshRows(nextKey, 8 + r.nextInt(12), r)
             nextKey += batch.size
-            val bdf = conform(batch.toDF(curNames: _*), model.schema)
+            val bdf = genComputed(conform(batch.toDF(curNames: _*), model.schema))
               .withColumn(cname, widenValue(dt))
             bdf.write.format("qbeast").option("mergeSchema", "true")
               .mode("append").save(dir)
@@ -530,16 +551,24 @@ class FuzzSpec extends AnyFunSuite {
           case 20 | 21 =>
             // RENAME COLUMN (column mapping): metadata-only; the
             // physical name — and every file, stat, sketch and
-            // revision transformer keyed by it — stays put
+            // revision transformer keyed by it — stays put. A column a
+            // LIVE generation expression references refuses the rename
+            // (the engine's guard) — the model stays put with it.
             val cols0 = model.columns.toSeq
             val c = cols0(r.nextInt(cols0.length))
             val nn = s"rn$nextCol"; nextCol += 1
-            t.renameColumn(c, nn)
-            model = localize(model.withColumnRenamed(c, nn))
-            anchorHead = anchorHead.withColumnRenamed(c, nn)
-            curName = curName.map { case (b, cur) => (b, if (cur == c) nn else cur) }
-            schemaOps += 1
-            s"RENAME $c -> $nn"
+            try {
+              t.renameColumn(c, nn)
+              model = localize(model.withColumnRenamed(c, nn))
+              anchorHead = anchorHead.withColumnRenamed(c, nn)
+              curName = curName.map { case (b, cur) => (b, if (cur == c) nn else cur) }
+              schemaOps += 1
+              s"RENAME $c -> $nn"
+            } catch {
+              case e: UnsupportedOperationException
+                if gen && e.getMessage.contains("generated column") =>
+                s"RENAME-REFUSED $c (generated-column reference)"
+            }
           case 22 =>
             // DROP a widened/re-added column (never a base one — the
             // predicate generator keeps referencing those); the name is
@@ -563,17 +592,23 @@ class FuzzSpec extends AnyFunSuite {
             val cols0 = model.columns.toSeq
             val c = cols0(r.nextInt(cols0.length))
             val nn = s"rn$nextCol"; nextCol += 1
-            t.renameColumn(c, nn)
-            model = localize(model.withColumnRenamed(c, nn))
-            anchorHead = anchorHead.withColumnRenamed(c, nn)
-            curName = curName.map { case (b, cur) => (b, if (cur == c) nn else cur) }
-            val dt = randType()
-            val tc = org.apache.spark.sql.connector.catalog.TableChange.addColumn(Array(c), dt)
-            graft.catalog.QbeastCatalog.persistAddColumnsToLog(dir,
-              Seq(tc.asInstanceOf[org.apache.spark.sql.connector.catalog.TableChange.AddColumn]))
-            model = localize(model.withColumn(c, lit(null).cast(dt)))
-            schemaOps += 2
-            s"RENAME $c -> $nn + RE-ADD $c:${dt.simpleString}"
+            try {
+              t.renameColumn(c, nn)
+              model = localize(model.withColumnRenamed(c, nn))
+              anchorHead = anchorHead.withColumnRenamed(c, nn)
+              curName = curName.map { case (b, cur) => (b, if (cur == c) nn else cur) }
+              val dt = randType()
+              val tc = org.apache.spark.sql.connector.catalog.TableChange.addColumn(Array(c), dt)
+              graft.catalog.QbeastCatalog.persistAddColumnsToLog(dir,
+                Seq(tc.asInstanceOf[org.apache.spark.sql.connector.catalog.TableChange.AddColumn]))
+              model = localize(model.withColumn(c, lit(null).cast(dt)))
+              schemaOps += 2
+              s"RENAME $c -> $nn + RE-ADD $c:${dt.simpleString}"
+            } catch {
+              case e: UnsupportedOperationException
+                if gen && e.getMessage.contains("generated column") =>
+                s"RENAME-REFUSED $c (generated-column reference)"
+            }
           case 13 =>
             // WHERE-scoped optimize: rewrites only matching files;
             // content is invariant like plain optimize
@@ -590,8 +625,15 @@ class FuzzSpec extends AnyFunSuite {
             // Subsequent appends/upserts conform to the widened model
             // schema, predicates keep their literals (Spark coerces),
             // and RESTORE rolls the narrow schema back from history.
+            // a LIVE generated column (or a column its expression
+            // references) refuses the widen — exclude those candidates
+            val genOff: Set[String] =
+              if (!gen) Set.empty
+              else t.generatedColumns.keys.map(_.toLowerCase).toSet + "k"
             val intCols = model.schema.fields
-              .filter(_.dataType == IntegerType).map(_.name).toSeq
+              .filter(_.dataType == IntegerType).map(_.name)
+              .filterNot(n => genOff.contains(n.toLowerCase) &&
+                t.generatedColumns.nonEmpty).toSeq
             val dateCol = curName("d")
             val dIsDate = model.schema(dateCol).dataType == DateType
             if (intCols.isEmpty && !dIsDate) {
@@ -652,6 +694,15 @@ class FuzzSpec extends AnyFunSuite {
         // restart across every unit kind (incl. the whole-commit 'x'
         // diffs) with exactly-once delivery into the same sink
         if (!allowSchema && op == dmlOps / 2 - 1) drainFeed()
+      }
+      // generated-column invariant: every stored value of a LIVE
+      // definition satisfies its expression at sequence end (computed,
+      // enforced and recomputed rows alike)
+      if (gen) t.generatedColumns.foreach { case (n, sql) =>
+        val bad = spark.read.format("qbeast").load(dir)
+          .filter(org.apache.spark.sql.functions.not(expr(s"`$n` <=> ($sql)"))).count()
+        assert(bad == 0L, s"[seq=$seq seed=$seed] generated column $n " +
+          s"violates its definition on $bad rows")
       }
       // time travel across the random history — INCLUDING schema
       // replacements (each snapshot reads its files under its own
