@@ -425,28 +425,67 @@ object QbeastLog extends org.apache.spark.internal.Logging {
     listVersions(dir.getFileSystem(conf), dir)._1
   }
 
-  /** The commit file's write time (backs vacuum's change-data
-   * retention accounting). */
-  def commitTimestamp(tablePath: String, conf: Configuration, version: Long): Long = {
-    val p = versionFile(tablePath, version)
-    p.getFileSystem(conf).getFileStatus(p).getModificationTime
+  /** The leading [[CommitInfoAction]] of a commit file, read from its
+   * FIRST LINE only ([[commit]] always writes it there) — one cheap
+   * ranged read regardless of how many add/remove actions follow. */
+  private def readFirstCommitInfo(fs: FileSystem, p: Path): Option[CommitInfoAction] = {
+    val in = fs.open(p)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+    try {
+      val line = reader.readLine()
+      if (line != null && line.startsWith("{\"commitInfo\":"))
+        QbeastLogSerde.parseLine(line, _ => 1) match {
+          case c: CommitInfoAction => Some(c)
+          case _ => None
+        }
+      else None
+    } finally reader.close()
   }
 
-  /** Latest committed version whose commit file was written at or before
-   * `timestampMillis` (backs SQL `TIMESTAMP AS OF`). */
+  /** The IN-COMMIT timestamp of `version` (Delta's `inCommitTimestamp`
+   * design): recorded inside the commit payload, so it survives
+   * object-store migrations/copies that rewrite file mtimes and stays
+   * MONOTONIC under writer clock skew ([[commit]] clamps each commit to
+   * its predecessor + 1 ms). None for commits written before the
+   * feature existed. */
+  def inCommitTimestamp(tablePath: String, conf: Configuration, version: Long): Option[Long] = {
+    val p = versionFile(tablePath, version)
+    readFirstCommitInfo(p.getFileSystem(conf), p).map(_.timestamp)
+  }
+
+  /** Commit time of `version`: the in-commit timestamp when recorded,
+   * the commit file's mtime for pre-feature logs (backs vacuum's
+   * change-data retention accounting, DESCRIBE HISTORY and
+   * `TIMESTAMP AS OF`). */
+  def commitTimestamp(tablePath: String, conf: Configuration, version: Long): Long = {
+    val p = versionFile(tablePath, version)
+    val fs = p.getFileSystem(conf)
+    readFirstCommitInfo(fs, p).map(_.timestamp)
+      .getOrElse(fs.getFileStatus(p).getModificationTime)
+  }
+
+  /** Latest committed version at or before `timestampMillis` (backs SQL
+   * `TIMESTAMP AS OF`). In-commit timestamps are monotonic, so this is
+   * a BINARY SEARCH over the version list — O(log n) first-line reads,
+   * not a scan; pre-feature commits fall back to their file mtime
+   * (non-decreasing on any single filesystem). */
   def versionAt(tablePath: String, conf: Configuration, timestampMillis: Long): Option[Long] = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return None
-    fs.listStatus(dir).toSeq
-      .filter { s =>
-        val n = s.getPath.getName
-        n.endsWith(".json") && !n.endsWith(".checkpoint.json") &&
-          n.stripSuffix(".json").forall(_.isDigit) &&
-          s.getModificationTime <= timestampMillis
-      }
-      .map(_.getPath.getName.stripSuffix(".json").toLong)
-      .maxOption
+    val versions = listVersions(fs, dir)._1
+    if (versions.isEmpty) return None
+    var lo = 0
+    var hi = versions.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) / 2
+      if (commitTimestamp(tablePath, conf, versions(mid)) <= timestampMillis) {
+        ans = mid; lo = mid + 1
+      } else hi = mid - 1
+    }
+    if (ans < 0) None else Some(versions(ans))
   }
 
   /** Write a consolidated checkpoint at the current version if the tail
@@ -539,9 +578,18 @@ object QbeastLog extends org.apache.spark.internal.Logging {
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val next = expectedVersion + 1
     val target = versionFile(tablePath, next)
-    val allActions =
-      if (operation.isEmpty) actions
-      else CommitInfoAction(operation, System.currentTimeMillis()) +: actions
+    // in-commit timestamp, clamped MONOTONIC against the predecessor's
+    // (one first-line read; pre-feature predecessors just use now) — so
+    // TIMESTAMP AS OF binary-searches correctly even under writer clock
+    // skew or object-store mtime rewrites. Every commit carries the
+    // CommitInfoAction so the chain has no holes.
+    val prevIct =
+      if (expectedVersion < 0) None
+      else try readFirstCommitInfo(fs, versionFile(tablePath, expectedVersion))
+        .map(_.timestamp)
+      catch { case scala.util.control.NonFatal(_) => None }
+    val ts = math.max(System.currentTimeMillis(), prevIct.map(_ + 1L).getOrElse(Long.MinValue))
+    val allActions = CommitInfoAction(operation, ts) +: actions
     val payload = allActions.map(QbeastLogSerde.actionToJsonLine).mkString("", "\n", "\n")
     writeAtomic(fs, dir, target, payload,
       s"log version $next already written by a concurrent writer")

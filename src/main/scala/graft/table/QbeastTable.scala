@@ -2450,6 +2450,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         var removes = 0
         var newRevision = false
         var recordedOp: Option[String] = None
+        var recordedTs: Option[Long] = None
         val in = fs.open(st.getPath)
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
@@ -2462,7 +2463,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
             else if (line.startsWith("{\"revision\":")) newRevision = true
             else if (line.startsWith("{\"commitInfo\":"))
               QbeastLogSerde.parseLine(line, _ => 1) match {
-                case CommitInfoAction(op, _) => recordedOp = Some(op)
+                // empty op = a commit that recorded only its in-commit
+                // timestamp; the operation stays inferred below
+                case CommitInfoAction(op, ts) =>
+                  if (op.nonEmpty) recordedOp = Some(op)
+                  recordedTs = Some(ts)
                 case _ =>
               }
             line = reader.readLine()
@@ -2476,7 +2481,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           else if (adds > 0) "WRITE"
           else "METADATA"
         }
-        HistoryEntry(version, st.getModificationTime, op, adds, removes, newRevision)
+        // in-commit timestamp wins: it survives object-store migrations
+        // that rewrite file mtimes and is monotonic across the history
+        HistoryEntry(version, recordedTs.getOrElse(st.getModificationTime),
+          op, adds, removes, newRevision)
       }
   }
 
