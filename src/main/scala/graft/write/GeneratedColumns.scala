@@ -136,8 +136,16 @@ object GeneratedColumns {
               s"redefined as ($sql) on a table that already has data. " +
               "Recreate the table (overwrite with overwriteSchema=true).")
           case None if !schemaNames.contains(lower(n)) &&
-              configured.values.exists(_ == sql) =>
-            () // stale key from a rename of the generated column itself
+              !incoming.fieldNames.exists(_.equalsIgnoreCase(n)) &&
+              tableSchema.exists(graft.core.model.ColumnMapping.isEnabled) =>
+            // stale echo: the column was dropped or renamed away after
+            // creation (both upgrade the table to column mapping — an
+            // UNMAPPED table can have no stale echoes, so this arm
+            // never swallows a genuine retrofit there), but the catalog
+            // keeps replaying the creation options on every write — the
+            // persisted config rules, and refusing here would brick
+            // inserts after a legal DROP
+            ()
           case None => throw new UnsupportedOperationException(
             s"generated column $n cannot be added to a table that already " +
               "has data (existing rows were never validated against the " +

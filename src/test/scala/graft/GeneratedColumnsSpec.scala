@@ -154,6 +154,12 @@ class GeneratedColumnsSpec extends AnyFunSuite {
     Seq((6000L, 1.0)).toDF("k", "v").write.format("qbeast").mode("append").save(dir)
     assert(spark.read.format("qbeast").load(dir)
       .filter(col("k") === 6000L).select("bucket").as[Int].head() == 0)
+    // the catalog's creation-time option still names the OLD column —
+    // the stale echo is tolerated and the renamed definition rules
+    Seq((6001L, 1.0)).toDF("k", "v").write.format("qbeast").mode("append")
+      .option("generatedColumns", "g:CAST(k % 10 AS INT)").save(dir)
+    assert(spark.read.format("qbeast").load(dir)
+      .filter(col("k") === 6001L).select("bucket").as[Int].head() == 1)
   }
 
   test("drop of a referenced column is refused; dropping the generated column drops the definition") {
@@ -167,6 +173,12 @@ class GeneratedColumnsSpec extends AnyFunSuite {
     assert(t.generatedColumns.isEmpty)
     // subsequent append: no definition, no computed column
     Seq((7000L, 1.0)).toDF("k", "v").write.format("qbeast").mode("append").save(dir)
+    assert(spark.read.format("qbeast").load(dir).schema.fieldNames.toSeq == Seq("k", "v"))
+    // the catalog replays creation-time options on every write: after
+    // the drop, the stale echo must be tolerated (not a retrofit) and
+    // must not resurrect the column
+    Seq((7001L, 1.0)).toDF("k", "v").write.format("qbeast").mode("append")
+      .option("generatedColumns", "g:CAST(k % 10 AS INT)").save(dir)
     assert(spark.read.format("qbeast").load(dir).schema.fieldNames.toSeq == Seq("k", "v"))
   }
 
