@@ -938,7 +938,15 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     proved match {
       case Some((drop, undecided)) if undecided.isEmpty =>
         if (drop.isEmpty) return 0L
-        commitMutation(s, Nil, None, drop, operation = "DELETE")
+        // CDF feed computed directly: every (live) row of a TRUE-proved
+        // file is a deleted row, so the feed is one masked read of the
+        // dropped files — the generic file diff would re-read them AND
+        // pay an exceptAll shuffle against the empty after-side
+        val cdcDrop: Option[Option[LogAction]] =
+          if (!cdfOn(s)) None
+          else Some(Some(persistCdc(s,
+            readTableFiles(s, drop).withColumn("_change_type", lit("delete")))))
+        commitMutation(s, Nil, None, drop, operation = "DELETE", cdc = cdcDrop)
         // element counts are PRE-mask; rows a deletion vector already
         // removed are not deleted again by this drop
         val alreadyMasked =
@@ -1024,8 +1032,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 
     // ---- pass 3 (update only): matched rows, assignments applied,
     // through the normal revision-aware indexing path ----
-    val (updatedAdds, newRevision) = assignments match {
-      case None => (Nil, None)
+    val (updatedAdds, newRevision, updatedFrame) = assignments match {
+      case None => (Nil, None, None)
       case Some(asgn) =>
         val base = readTableFiles(s, affected)
         // top-level and struct-field assignments, simultaneous semantics
@@ -1047,11 +1055,44 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         // so these rows are re-checked inside the write itself
         val adds = QbeastWriter.index(spark, tablePath, updated, rev, status, n,
           constraints = constraintsFor(s))
-        (adds, if (isNew) Some(rev) else None)
+        (adds, if (isNew) Some(rev) else None, Some(adds))
     }
 
+    // CDF feed computed directly from the matched rows instead of the
+    // generic file diff (which re-reads every affected AND rewritten
+    // file and pays a full-width exceptAll over them). Equivalence:
+    // survivors are rewritten verbatim (deterministic condition,
+    // enforced above), so in `after_full ∖ before_full` and
+    // `before_full ∖ after_full` the survivor rows cancel exactly and
+    // the diff reduces to (updated images, matched pre-images) — for a
+    // DELETE the after-side is empty and the feed is just the matched
+    // rows. Narrowing the exceptAll inputs to those frames keeps the
+    // multiset result identical (incl. UPDATEs whose assignment is the
+    // identity on some rows: those still cancel) while reading only
+    // the affected files with the predicate pushed into the scan, plus
+    // the just-written updated images (compact parquet, read once —
+    // re-executing the update plan here would scan the inputs again).
+    val cdcDirect: Option[Option[LogAction]] =
+      if (!cdfOn(s)) None
+      else {
+        val beforeParts =
+          (if (scanned.isEmpty) Nil
+           else Seq(readTableFiles(s, scanned).filter(matched))) ++
+            (if (dropProved.isEmpty) Nil else Seq(readTableFiles(s, dropProved)))
+        val before = beforeParts.reduce(_.unionByName(_))
+        val changed = updatedFrame match {
+          case None => before.withColumn("_change_type", lit("delete"))
+          case Some(updAdds) =>
+            val after = readTableFiles(s, updAdds)
+            after.exceptAll(before).withColumn("_change_type", lit("insert"))
+              .union(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+        }
+        Some(Some(persistCdc(s, changed)))
+      }
+
     commitMutation(s, survivorAdds ++ updatedAdds, newRevision, affected,
-      operation = if (assignments.isDefined) "UPDATE" else "DELETE")
+      operation = if (assignments.isDefined) "UPDATE" else "DELETE",
+      cdc = cdcDirect)
 
     if (assignments.isDefined) updatedAdds.map(_.elementCount).sum
     else {
@@ -2331,7 +2372,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       s: QbeastSnapshot,
       adds: Seq[IndexFile],
       removes: Seq[IndexFile]): Option[LogAction] = {
-    if (!s.configuration.get("qbeast.enableChangeDataFeed").contains("true")) return None
+    if (!cdfOn(s)) return None
     val schema = s.schema.getOrElse(return None)
     def read(fs: Seq[IndexFile]): org.apache.spark.sql.DataFrame =
       if (fs.isEmpty)
@@ -2342,6 +2383,17 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val after = read(adds)
     val changed = after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .union(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    Some(persistCdc(s, changed))
+  }
+
+  /** Persist an already-computed change frame (table columns +
+   * `_change_type`) under `_change_data/` and return its log action —
+   * the write tail [[writeCdcData]] and the direct DML feeds share. */
+  private def persistCdc(
+      s: QbeastSnapshot,
+      changed: org.apache.spark.sql.DataFrame): LogAction = {
+    val schema = s.schema.getOrElse(
+      throw new IllegalStateException(s"qbeast table at $tablePath has no schema"))
     val dir = s"_change_data/cdc-${java.util.UUID.randomUUID()}"
     val target = new Path(tablePath, dir)
     // change files are keyed by PHYSICAL names: stable across renames,
@@ -2351,7 +2403,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       .parquet(target.toString)
     val fs = target.getFileSystem(conf)
     val size = fs.listStatus(target).filter(_.isFile).map(_.getLen).sum
-    Some(CdcFileAction(dir, size))
+    CdcFileAction(dir, size)
   }
 
   /**
