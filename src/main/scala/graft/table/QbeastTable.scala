@@ -1039,9 +1039,14 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         // top-level and struct-field assignments, simultaneous semantics
         val updatedCols = Assignments(base.schema, asgn)
         // generated columns recompute AFTER the assignments apply, so a
-        // change to a referenced column never leaves a stale value
+        // change to a referenced column never leaves a stale value.
+        // Materialized once (matched rows only): the frame otherwise
+        // re-executes its scan+assignment plan four times — constraint
+        // validation, the revision min/max job, the domain pass and the
+        // physical write would each re-read the affected files
         val updated = graft.write.GeneratedColumns.recompute(
           base.filter(matched).select(updatedCols: _*), s.configuration, s.schema)
+          .localCheckpoint(true)
         graft.write.Constraints.validate(updated,
           graft.write.Constraints.of(s.configuration), "UPDATE-assigned")
         val existing = latestRevision.orElse(throw new UnsupportedOperationException(
@@ -1055,6 +1060,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         // so these rows are re-checked inside the write itself
         val adds = QbeastWriter.index(spark, tablePath, updated, rev, status, n,
           constraints = constraintsFor(s))
+        updated.unpersist()
         (adds, if (isNew) Some(rev) else None, Some(adds))
     }
 

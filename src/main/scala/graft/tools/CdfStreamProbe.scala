@@ -96,42 +96,56 @@ object CdfStreamProbe {
       spark.read.parquet(sinkDir)
         .groupBy("_commit_version", "_change_type").count().collect())
 
-    // ---- WARM repeat on fresh dirs (same JVM): the bench's minima
-    // come from post-warmup iterations, so the numbers that matter are
-    // these, not the first pass's codegen-warmup-inflated ones ----
-    println("[cdfprobe] ---- warm repeat ----")
-    val tableDir2 = java.nio.file.Files.createTempDirectory("cdfprobe-t2").toString
-    val sinkDir2 = java.nio.file.Files.createTempDirectory("cdfprobe-s2").toString
-    def write2(filter: String, mode: String): Unit =
-      o.filter(filter).write.format("qbeast")
-        .option("columnsToIndex", "o_orderkey,o_totalprice")
-        .option("cubeSize", "5000")
-        .option("enableChangeDataFeed", "true")
-        .mode(mode).save(tableDir2)
-    val ckpt2 = graft.ops.Streaming.fastCheckpointDir()
-    def drain2(tag: String): Unit = phase(tag) {
-      val q = spark.readStream.format("qbeast")
-        .option("readChangeFeed", "true").option("startingVersion", "0")
-        .load(tableDir2)
-        .writeStream.format("parquet")
-        .option("checkpointLocation", ckpt2)
-        .option("path", sinkDir2)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      try q.awaitTermination()
-      finally q.stop()
+    // ---- WARM repeats on fresh dirs (same JVM): the bench's minima
+    // come from post-warmup iterations, and single-shot numbers swing
+    // 2-4x with ambient host load — report per-phase MINIMA over 3
+    // warm repeats, the same statistic the bench publishes ----
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def minPhase[T](tag: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val out = body
+      val sec0 = sec(t0)
+      if (mins.get(tag).forall(sec0 < _)) mins(tag) = sec0
+      out
     }
-    phase("v0 overwrite (warm)")(write2("o_orderkey % 10 < 5", "overwrite"))
-    val t2 = graft.table.QbeastTable.forPath(spark, tableDir2)
-    drain2("drain1 (warm)")
-    phase("v1 append (warm)")(write2("o_orderkey % 10 IN (5, 6)", "append"))
-    phase("v2 DELETE (warm)")(
-      t2.delete("o_orderstatus = 'F' AND o_orderkey % 100 < 50"))
-    phase("v3 UPDATE (warm)")(
-      t2.update("o_orderkey % 7 = 0", Map("o_totalprice" -> "o_totalprice + 1")))
-    drain2("drain2 (warm)")
-    phase("final sink read + agg (warm)")(
-      spark.read.parquet(sinkDir2)
-        .groupBy("_commit_version", "_change_type").count().collect())
+    (1 to 3).foreach { rep =>
+      val tableDir2 = java.nio.file.Files.createTempDirectory(s"cdfprobe-t$rep").toString
+      val sinkDir2 = java.nio.file.Files.createTempDirectory(s"cdfprobe-s$rep").toString
+      def write2(filter: String, mode: String): Unit =
+        o.filter(filter).write.format("qbeast")
+          .option("columnsToIndex", "o_orderkey,o_totalprice")
+          .option("cubeSize", "5000")
+          .option("enableChangeDataFeed", "true")
+          .mode(mode).save(tableDir2)
+      val ckpt2 = graft.ops.Streaming.fastCheckpointDir()
+      def drain2(tag: String): Unit = minPhase(tag) {
+        val q = spark.readStream.format("qbeast")
+          .option("readChangeFeed", "true").option("startingVersion", "0")
+          .load(tableDir2)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt2)
+          .option("path", sinkDir2)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+      minPhase("v0 overwrite (warm)")(write2("o_orderkey % 10 < 5", "overwrite"))
+      val t2 = graft.table.QbeastTable.forPath(spark, tableDir2)
+      drain2("drain1 (warm)")
+      minPhase("v1 append (warm)")(write2("o_orderkey % 10 IN (5, 6)", "append"))
+      minPhase("v2 DELETE (warm)")(
+        t2.delete("o_orderstatus = 'F' AND o_orderkey % 100 < 50"))
+      minPhase("v3 UPDATE (warm)")(
+        t2.update("o_orderkey % 7 = 0", Map("o_totalprice" -> "o_totalprice + 1")))
+      drain2("drain2 (warm)")
+      minPhase("final sink read + agg (warm)")(
+        spark.read.parquet(sinkDir2)
+          .groupBy("_commit_version", "_change_type").count().collect())
+    }
+    println("[cdfprobe] ---- warm minima over 3 repeats ----")
+    mins.foreach { case (tag, v) =>
+      println(f"[cdfprobe] $tag%-34s $v%6.2f s")
+    }
 
     spark.stop()
   }
