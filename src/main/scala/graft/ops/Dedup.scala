@@ -649,6 +649,53 @@ object Dedup {
     val sym0 = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)
+    // Small-graph fast path: dedup edge lists are tiny next to the
+    // corpus that produced them (edges ≈ duplicates, not rows), and the
+    // iterative label propagation below costs ~3 Spark jobs PER ROUND.
+    // Under a driver-safe bound — the same size discipline as a
+    // broadcast join's build side — a local union-find computes the
+    // identical fixpoint (min id per component) from one collect of the
+    // already-materialized edge list. Beyond the bound (set
+    // spark.qbeast.dedup.localComponentsMaxEdges; 0 disables) the
+    // distributed path below runs unchanged — at 100 TB edge lists can
+    // be billions of rows and belong on the cluster.
+    val spark0 = edges.sparkSession
+    val localMax = spark0.conf
+      .getOption("spark.qbeast.dedup.localComponentsMaxEdges")
+      .map(_.toLong).getOrElse(1000000L)
+    val idType = sym0.schema("u").dataType
+    if (localMax > 0 && sym0.count() <= 2L * localMax) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      // the symmetric list carries each edge twice; unions are idempotent
+      sym0.select(col("u").cast("long"), col("v").cast("long")).collect()
+        .foreach { row =>
+          val u = row.getLong(0)
+          val v = row.getLong(1)
+          parent.putIfAbsent(u, u)
+          parent.putIfAbsent(v, v)
+          val (ru, rv) = (find(u), find(v))
+          // union by MIN root so the final root IS the component minimum
+          if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
+        }
+      sym0.unpersist()
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+      parent.keySet().forEach(v => rows.add(org.apache.spark.sql.Row(v, find(v))))
+      val longSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      return spark0.createDataFrame(rows, longSchema)
+        .select(col("doc_id").cast(idType).as("doc_id"),
+          col("cluster").cast(idType).as("cluster"))
+    }
     val vertices = sym0.select(col("u")).distinct()
     // self-loops fold "keep your own label" into the neighbor join, so
     // each round is ONE join+groupBy (+ the doubling self-join) with no

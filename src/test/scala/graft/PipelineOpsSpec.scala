@@ -62,6 +62,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       val got = ops.Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"seed=$seed")
+      // the DISTRIBUTED label-propagation path must produce the same
+      // fixpoint — force it by disabling the small-graph fast path
+      // (which these edge lists would otherwise always take)
+      spark.conf.set("spark.qbeast.dedup.localComponentsMaxEdges", "0")
+      try {
+        val gotDist = ops.Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotDist == expected, s"distributed path, seed=$seed")
+      } finally spark.conf.unset("spark.qbeast.dedup.localComponentsMaxEdges")
     }
   }
 
