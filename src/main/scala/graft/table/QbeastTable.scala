@@ -1224,6 +1224,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // schema for every future read. Store-assignment semantics: a
     // non-null value the cast can't represent FAILS the upsert instead
     // of silently becoming NULL.
+    // materialized once (Delta materializes merge sources the same
+    // way): the source plan otherwise re-executes for the constraint
+    // validation, the key-distinct job, the revision min/max job, the
+    // domain pass and the physical write — five runs of an arbitrary
+    // upstream plan per upsert (per micro-batch on the CDC-apply path)
     val source = s.schema.map { existing =>
       val have = source0.schema.fieldNames.map(_.toLowerCase).toSet
       val want = existing.fieldNames.map(_.toLowerCase).toSet
@@ -1235,7 +1240,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         if (srcTypes(f.name.toLowerCase) == f.dataType) col(f.name).as(f.name)
         else storeAssignCast(col(f.name), f.name, f.dataType)
       }.toSeq: _*)
-    }.getOrElse(source0)
+    }.getOrElse(source0).localCheckpoint(true)
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
     // generated columns: upsert source rows REPLACE target rows (insert
     // semantics), so supplied values are enforced, not recomputed
@@ -1281,7 +1286,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 
       val replaced = affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
       (replaced, nSrc)
-    } finally srcKeys.unpersist()
+    } finally { srcKeys.unpersist(); source.unpersist(); () }
   }
 
   /**

@@ -142,12 +142,15 @@ class ConstraintSpec extends AnyFunSuite {
     assert(back.filter(col("a") >= 1000).count() == 100)
   }
 
-  test("upsert's per-row backstop catches rows the driver-side validation never saw") {
-    // the source value PASSES its first evaluation (the separate
-    // validation job) and VIOLATES every later one (stats job + the
-    // write itself) — the exact execution drift a nondeterministic
-    // source exhibits; only per-row enforcement inside the write task
-    // (QbeastWriter.index constraints backstop) can catch it
+  test("upsert materializes its source: validated rows ARE the written rows") {
+    // a nondeterministic source draws DIFFERENT values per execution.
+    // upsert materializes the source once (localCheckpoint — Delta
+    // materializes merge sources for the same hazard), so the rows the
+    // driver-side validation saw are bit-for-bit the rows written: no
+    // later job can redraw a violating value, and the committed row is
+    // the first (validated) draw. The per-row write backstop for plans
+    // that DON'T materialize is pinned by the neighboring
+    // "nondeterministic inputs are gated per-row" test.
     val dir = freshTable()
     val t = table.QbeastTable.forPath(spark, dir)
     t.addConstraint("positive", "b >= 0")
@@ -155,10 +158,13 @@ class ConstraintSpec extends AnyFunSuite {
     val flip = udf((i: Long) =>
       if (FlipValue.calls.getAndIncrement() == 0) 1.0 else -1.0).asNondeterministic()
     val src = Seq(1L).toDF("a").select(col("a"), flip(col("a")).as("b"))
-    val e = intercept[Exception] { t.upsert(src, Seq("a")) }
-    assert(e.getMessage.contains("positive"), e.getMessage)
+    t.upsert(src, Seq("a")) // first draw passes; no later job redraws
+    val got = spark.read.format("qbeast").load(dir)
+      .filter(col("a") === 1L).select("b").collect().map(_.getDouble(0))
+    assert(got.sameElements(Array(1.0)),
+      s"the committed row must be the validated first draw, got ${got.mkString(",")}")
     assert(spark.read.format("qbeast").load(dir).filter(col("b") < 0).count() == 0,
-      "violating redraw must never commit")
+      "a violating redraw must never commit")
   }
 
   test("a constraint landing mid-write still gates the racing write") {
