@@ -377,9 +377,15 @@ object Dedup {
     require(maxDistance >= 0 && maxDistance < 60,
       s"maxDistance=$maxDistance outside the 60-bit SimHash range")
     val nChunks = maxDistance + 1
+    // materialized: the signature feeds BOTH sides of the self-join,
+    // and the join key's pushed null-check re-evaluates the O(tokens)
+    // simhash60 below the projection — without this the signature runs
+    // FOUR times over the corpus (plan-verified: isnotnull(simhash60)
+    // in the Filter + simhash60 in the Project, on each join side)
     val hashes = df
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .localCheckpoint(true)
     val chunkCols = (0 until nChunks).map { i =>
       val lo = i * 60 / nChunks
       val width = (i + 1) * 60 / nChunks - lo

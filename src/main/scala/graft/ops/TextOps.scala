@@ -485,18 +485,20 @@ object TextOps {
       evalPred: Column,
       n: Int = 8): DataFrame = {
     val evalGrams = ngramHashes(df.filter(evalPred), idCol, textCol, n)
-      .select("ngh").distinct()
-    val train = ngramHashes(df.filter(not(evalPred)), idCol, textCol, n)
-    val totals = train.groupBy(col(idCol))
-      .agg(countDistinct(col("ngh")).as("n_grams"))
-    val hits = train.join(broadcast(evalGrams), "ngh")
+      .select("ngh").distinct().withColumn("__hit", lit(true))
+    // ONE pass over the train grams: tag each gram by a broadcast left
+    // join against the eval set and compute totals and hits in the same
+    // aggregation — the two-aggregate formulation scanned and exploded
+    // the train side twice and paid a third join to stitch the counts
+    // (countDistinct over the `when` is exactly the inner-join count;
+    // docs sharing nothing get 0 from countDistinct, as coalesce did)
+    ngramHashes(df.filter(not(evalPred)), idCol, textCol, n)
+      .join(broadcast(evalGrams), Seq("ngh"), "left")
       .groupBy(col(idCol))
-      .agg(countDistinct(col("ngh")).as("n_shared"))
-    totals.join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
-          .as("contamination"))
+      .agg(countDistinct(col("ngh")).as("n_grams"),
+        countDistinct(when(col("__hit"), col("ngh"))).as("n_shared"))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
   }
 
   // ---- vocabulary coverage (cheap LM-style quality signal) -----------------
