@@ -23,18 +23,25 @@ private[sources] class QbeastStreamSink(
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
-    val batch = GraftShims.asBatchDataFrame(data)
-    val defaultCubeSize = spark.conf.getOption("spark.qbeast.index.defaultCubeSize")
-      .map(_.toInt).getOrElse(QbeastOptions.DefaultCubeSize)
-    val options = QbeastOptions(
-      parameters ++ Map(
-        QbeastOptions.TxnAppId -> s"qbeast-stream-$appId",
-        QbeastOptions.TxnVersion -> batchId.toString),
-      defaultCubeSize)
-    // Complete mode: each trigger's FULL result replaces the table —
-    // appending it would accumulate every trigger's snapshot
-    QbeastWriter.save(spark, path, batch, options,
-      if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+    // materialized once: the indexed write is two passes (domain stats,
+    // then the physical write), which would re-execute the micro-batch's
+    // whole upstream plan — including any stateful operators feeding the
+    // sink — per pass. A micro-batch is admission-bounded, so caching it
+    // is O(batch), never O(table).
+    val batch = GraftShims.asBatchDataFrame(data).localCheckpoint(true)
+    try {
+      val defaultCubeSize = spark.conf.getOption("spark.qbeast.index.defaultCubeSize")
+        .map(_.toInt).getOrElse(QbeastOptions.DefaultCubeSize)
+      val options = QbeastOptions(
+        parameters ++ Map(
+          QbeastOptions.TxnAppId -> s"qbeast-stream-$appId",
+          QbeastOptions.TxnVersion -> batchId.toString),
+        defaultCubeSize)
+      // Complete mode: each trigger's FULL result replaces the table —
+      // appending it would accumulate every trigger's snapshot
+      QbeastWriter.save(spark, path, batch, options,
+        if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+    } finally { batch.unpersist(); () }
   }
 
   override def toString: String = s"QbeastStreamSink[$path]"
