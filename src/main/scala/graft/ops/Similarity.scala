@@ -596,9 +596,48 @@ object Similarity {
     val dim = q.select(size(col("q"))).head().getInt(0)
     require(m > 0 && dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
     val sub = dim / m
-    (0 until m).map { s =>
-      trainQuantized(q, slice(col("q"), s * sub + 1, sub), k, iters)
+    // All m subspaces train TOGETHER: one init collect (the k smallest
+    // ids' full vectors, sliced locally) and ONE assignment+partial-sum
+    // job per Lloyd's iteration instead of m of each — the per-subspace
+    // loop paid m·iters scheduler round-trips for byte-identical math
+    // (each subspace still assigns against its own codebook and updates
+    // by the same floor-division, so the oracle replay is unchanged).
+    val initRows = q.select(col("id"), col("q")).orderBy("id").limit(k).collect()
+    var books: IndexedSeq[Seq[(Int, Array[Long])]] = (0 until m).map { s =>
+      initRows.zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Long](1).slice(s * sub, (s + 1) * sub).toArray
+      }.toSeq
     }
+    (1 to iters).foreach { _ =>
+      val cids = (0 until m).map(s =>
+        assignQuantized(slice(col("q"), s * sub + 1, sub), books(s)))
+      val subOf = floor(col("pos") / lit(sub)).cast("int")
+      val sums = q
+        .select(array(cids: _*).as("cids"), posexplode(col("q")).as(Seq("pos", "v")))
+        .select(subOf.as("s"),
+          col("cids").getItem(subOf).as("cid"),
+          (col("pos") % lit(sub)).cast("int").as("p"),
+          col("v"))
+        .groupBy("s", "cid", "p")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .collect()
+      val bySub = sums.groupBy(_.getInt(0))
+      books = (0 until m).map { s =>
+        val byCluster = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getInt(1))
+        books(s).map { case (cid, prev) =>
+          byCluster.get(cid) match {
+            case None => cid -> prev // empty cluster keeps its centroid
+            case Some(rows) =>
+              val vec = prev.clone()
+              rows.foreach(r => vec(r.getInt(2)) = Math.floorDiv(r.getLong(3), r.getLong(4)))
+              cid -> vec
+          }
+        }
+      }
+    }
+    q.unpersist()
+    books
   }
 
   /** Encode every vector as its `m` per-subspace nearest-codeword ids
