@@ -981,15 +981,29 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // join, and under a shuffled (non-broadcast) join input_file_name
     // evaluates post-shuffle to "" — every file would look unaffected
     // and the DELETE would silently no-op (spec-pinned in DmlSpec)
-    val affectedNames = residual.filter(matched)
-      .select(col("_metadata.file_path").as("f")).distinct()
+    //
+    // A copy-on-write CDF DELETE needs the matched rows TWICE (file
+    // discovery here, the change feed below) — materialize them once
+    // with their file identity, the dvDelete discipline. Non-CDF
+    // deletes keep the plain discovery scan: it reads only the
+    // predicate columns, which is cheaper than caching full rows.
+    val matchedFull: Option[org.apache.spark.sql.DataFrame] =
+      if (assignments.isEmpty && !dvMode && cdfOn(s))
+        Some(residual.filter(matched)
+          .withColumn("__qbeastF", col("_metadata.file_path"))
+          .localCheckpoint(true))
+      else None
+    val affectedNames = matchedFull.getOrElse(
+        residual.filter(matched)
+          .withColumn("__qbeastF", col("_metadata.file_path")))
+      .select(col("__qbeastF").as("f")).distinct()
       .collect().map(r => new Path(r.getString(0)).getName).toSet
     // `scanned` = files whose matched rows were DISCOVERED by reading —
     // these mask/rewrite below; TRUE-proved drops skip that read
     // entirely (they have no survivors by proof)
     val scanned = scanDomain.filter(f => affectedNames.contains(new Path(f.path).getName))
     val affected = dropProved ++ scanned
-    if (affected.isEmpty) return 0L
+    if (affected.isEmpty) { matchedFull.foreach(_.unpersist()); return 0L }
 
     // ---- merge-on-read DELETE (opt-in): write deletion vectors for
     // the straddling files and plain removes for the proved drops —
@@ -1032,21 +1046,23 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
 
     // ---- pass 3 (update only): matched rows, assignments applied,
     // through the normal revision-aware indexing path ----
-    val (updatedAdds, newRevision, updatedFrame) = assignments match {
-      case None => (Nil, None, None)
+    // `preMatched` = the matched PRE-update images, materialized once:
+    // the updated frame derives from it by pure expression evaluation,
+    // so the constraint validation, the revision min/max job, the
+    // domain pass and the physical write all read the affected files
+    // zero more times — and the CDF before-side below is the SAME
+    // cached frame instead of another scan.
+    val (updatedAdds, newRevision, updatedFrame, preMatched) = assignments match {
+      case None => (Nil, None, None, None)
       case Some(asgn) =>
         val base = readTableFiles(s, affected)
         // top-level and struct-field assignments, simultaneous semantics
         val updatedCols = Assignments(base.schema, asgn)
+        val pre = base.filter(matched).localCheckpoint(true)
         // generated columns recompute AFTER the assignments apply, so a
-        // change to a referenced column never leaves a stale value.
-        // Materialized once (matched rows only): the frame otherwise
-        // re-executes its scan+assignment plan four times — constraint
-        // validation, the revision min/max job, the domain pass and the
-        // physical write would each re-read the affected files
+        // change to a referenced column never leaves a stale value
         val updated = graft.write.GeneratedColumns.recompute(
-          base.filter(matched).select(updatedCols: _*), s.configuration, s.schema)
-          .localCheckpoint(true)
+          pre.select(updatedCols: _*), s.configuration, s.schema)
         graft.write.Constraints.validate(updated,
           graft.write.Constraints.of(s.configuration), "UPDATE-assigned")
         val existing = latestRevision.orElse(throw new UnsupportedOperationException(
@@ -1060,8 +1076,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         // so these rows are re-checked inside the write itself
         val adds = QbeastWriter.index(spark, tablePath, updated, rev, status, n,
           constraints = constraintsFor(s))
-        updated.unpersist()
-        (adds, if (isNew) Some(rev) else None, Some(adds))
+        (adds, if (isNew) Some(rev) else None, Some(adds), Some(pre))
     }
 
     // CDF feed computed directly from the matched rows instead of the
@@ -1074,16 +1089,17 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // DELETE the after-side is empty and the feed is just the matched
     // rows. Narrowing the exceptAll inputs to those frames keeps the
     // multiset result identical (incl. UPDATEs whose assignment is the
-    // identity on some rows: those still cancel) while reading only
-    // the affected files with the predicate pushed into the scan, plus
-    // the just-written updated images (compact parquet, read once —
-    // re-executing the update plan here would scan the inputs again).
+    // identity on some rows: those still cancel). Both before-sides
+    // come from already-materialized frames (`matchedFull` for DELETE,
+    // `preMatched` for UPDATE) — zero extra scans — and the after-side
+    // reads the just-written updated images (compact parquet, once).
     val cdcDirect: Option[Option[LogAction]] =
       if (!cdfOn(s)) None
       else {
+        val matchedBefore = preMatched.orElse(matchedFull.map(_.drop("__qbeastF")))
+          .getOrElse(readTableFiles(s, scanned).filter(matched))
         val beforeParts =
-          (if (scanned.isEmpty) Nil
-           else Seq(readTableFiles(s, scanned).filter(matched))) ++
+          (if (scanned.isEmpty) Nil else Seq(matchedBefore)) ++
             (if (dropProved.isEmpty) Nil else Seq(readTableFiles(s, dropProved)))
         val before = beforeParts.reduce(_.unionByName(_))
         val changed = updatedFrame match {
@@ -1095,6 +1111,8 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         }
         Some(Some(persistCdc(s, changed)))
       }
+    matchedFull.foreach(_.unpersist())
+    preMatched.foreach(_.unpersist())
 
     commitMutation(s, survivorAdds ++ updatedAdds, newRevision, affected,
       operation = if (assignments.isDefined) "UPDATE" else "DELETE",
