@@ -9,7 +9,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Per-row cube + rollup-file assignment for the indexed-write pipeline —
@@ -23,27 +22,21 @@ import org.apache.spark.unsafe.types.UTF8String
  * known ancestor for fresh leaves).
  *
  * The cube-weight and file maps ride a Spark broadcast (one copy per
- * executor, not per task) and the file UUIDs are pre-converted to
- * UTF8String once per executor, so the per-row work is the tree descent
- * plus one hash lookup — no boxing, no string re-encoding.
+ * executor, not per task). The file payload is an INT index into the
+ * write's target-file table — the 36-char UUID string used to ride the
+ * write exchange on every row (36 B vs 4 B); the physical writer
+ * resolves index → name once per FILE from its own broadcast of the
+ * name table.
  */
 final class CubeFileAssigner(
     bWeights: Broadcast[Map[CubeId, Weight]],
-    bFiles: Broadcast[Map[CubeId, String]],
-    defaultFile: String)
+    bFiles: Broadcast[Map[CubeId, Int]],
+    defaultFile: Int)
     extends Serializable {
 
   @transient private lazy val weights: Map[CubeId, Weight] = bWeights.value
 
-  @transient private lazy val filesUtf8: java.util.HashMap[CubeId, UTF8String] = {
-    val files = bFiles.value
-    val m = new java.util.HashMap[CubeId, UTF8String](math.max(8, files.size * 2))
-    files.foreach { case (c, f) => m.put(c, UTF8String.fromString(f)) }
-    m
-  }
-
-  @transient private lazy val defaultFileUtf8: UTF8String =
-    UTF8String.fromString(defaultFile)
+  @transient private lazy val files: Map[CubeId, Int] = bFiles.value
 
   // ONE trie per executor, not per task: the assigner is serialized
   // into the task binary (addReferenceObj), so every task deserializes
@@ -56,11 +49,8 @@ final class CubeFileAssigner(
   private def trieFor(dims: Int): graft.index.AssignTrie =
     if (dims > graft.index.CubeTrie.MaxTrieDims) null
     else CubeFileAssigner.trieCache.computeIfAbsent(
-      (CubeFileAssigner.appDiscriminator, bWeights.id, bFiles.id, dims), { _ =>
-        val files = Map.newBuilder[CubeId, UTF8String]
-        filesUtf8.forEach((c, f) => files += (c -> f))
-        new graft.index.AssignTrie(dims, weights, files.result(), defaultFileUtf8)
-      })
+      (CubeFileAssigner.appDiscriminator, bWeights.id, bFiles.id, dims),
+      { _ => new graft.index.AssignTrie(dims, weights, files, defaultFile) })
 
   def assign(coords: ArrayData, weight: Int): InternalRow = {
     val point = coords.toDoubleArray()
@@ -74,14 +64,14 @@ final class CubeFileAssigner(
       // high-dimensional fallback: the original map walk
       val cube = OTreeAlgorithm.findTargetCube(point, weight, weights)
       var c = cube
-      var file = filesUtf8.get(c)
+      var file = files.getOrElse(c, -1)
       // cube unseen at rollup time (fresh leaf): nearest known ancestor
-      while (file == null && !c.isRoot) {
+      while (file < 0 && !c.isRoot) {
         c = c.parent.get
-        file = filesUtf8.get(c)
+        file = files.getOrElse(c, -1)
       }
       new GenericInternalRow(
-        Array[Any](cube.bytes, if (file == null) defaultFileUtf8 else file))
+        Array[Any](cube.bytes, if (file < 0) defaultFile else file))
     }
   }
 
@@ -125,7 +115,7 @@ final case class CubeFileAssign(
 
   override def dataType: DataType = StructType(Seq(
     StructField("cube", BinaryType, nullable = false),
-    StructField("file", StringType, nullable = false)))
+    StructField("file", IntegerType, nullable = false)))
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {

@@ -2,8 +2,6 @@ package graft.index
 
 import graft.core.model.{CubeId, Weight}
 
-import org.apache.spark.unsafe.types.UTF8String
-
 /**
  * Pointer-walk tries for the two per-row hot loops of the indexed-write
  * pipeline. Both previously walked the cube tree with a fresh `CubeId`
@@ -59,8 +57,8 @@ object CubeTrie {
 final class AssignTrie(
     dims: Int,
     weights: Map[CubeId, Weight],
-    files: Map[CubeId, UTF8String],
-    defaultFile: UTF8String) {
+    files: Map[CubeId, Int],
+    defaultFile: Int) {
 
   require(dims <= CubeTrie.MaxTrieDims, s"AssignTrie supports <= ${CubeTrie.MaxTrieDims} dims")
 
@@ -69,7 +67,7 @@ final class AssignTrie(
   private final class Node {
     var present: Boolean = false // cube ∈ weights
     var maxWeight: Int = Int.MaxValue
-    var file: UTF8String = null // own files entry only (no inheritance)
+    var file: Int = -1 // own files entry only (no inheritance)
     var children: Array[Node] = null
   }
 
@@ -100,14 +98,17 @@ final class AssignTrie(
   }
   files.foreach { case (c, f) => insertPath(c).file = f }
 
-  /** (stopDepth, file) walk; `coords` is advanced in place and holds the
-   * stop cube's coordinates on return. */
-  def walk(point: Array[Double], weight: Int, coords: Array[Long]): (Int, UTF8String) = {
+  /** (stopDepth, fileIndex) walk; `coords` is advanced in place and
+   * holds the stop cube's coordinates on return. The file payload is an
+   * INT index into the write's target-file table, not the 36-char UUID
+   * string: the index is what rides the write exchange (4 bytes/row vs
+   * 36), the task-side writer resolves the name once per FILE. */
+  def walk(point: Array[Double], weight: Int, coords: Array[Long]): (Int, Int) = {
     var node: Node = root
     var depth = 0
     var best = defaultFile
     while (true) {
-      if (node != null && node.file != null) best = node.file
+      if (node != null && node.file >= 0) best = node.file
       if (node == null || !node.present) return (depth, best)
       if (weight <= node.maxWeight || depth >= CubeId.MaxDepth) return (depth, best)
       val idx = CubeTrie.childIndex(point, coords, depth)

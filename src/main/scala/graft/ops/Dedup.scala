@@ -652,8 +652,12 @@ object Dedup {
           s"${edges.schema(c).dataType.simpleString} " +
           "(hash or dense-rank non-numeric ids first)")
     }
-    val sym0 = edges.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+    // the single-direction edge list, materialized once: the local fast
+    // path gates and collects on THIS (unions are symmetric, so one
+    // direction suffices — half the driver transfer of the symmetric
+    // list); the distributed path derives its symmetric list from the
+    // same checkpoint by pure projection, no second execution
+    val single = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .localCheckpoint(true)
     // Small-graph fast path: dedup edge lists are tiny next to the
     // corpus that produced them (edges ≈ duplicates, not rows), and the
@@ -669,8 +673,8 @@ object Dedup {
     val localMax = spark0.conf
       .getOption("spark.qbeast.dedup.localComponentsMaxEdges")
       .map(_.toLong).getOrElse(1000000L)
-    val idType = sym0.schema("u").dataType
-    if (localMax > 0 && sym0.count() <= 2L * localMax) {
+    val idType = single.schema("u").dataType
+    if (localMax > 0 && single.count() <= localMax) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -679,8 +683,7 @@ object Dedup {
         while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
         r
       }
-      // the symmetric list carries each edge twice; unions are idempotent
-      sym0.select(col("u").cast("long"), col("v").cast("long")).collect()
+      single.select(col("u").cast("long"), col("v").cast("long")).collect()
         .foreach { row =>
           val u = row.getLong(0)
           val v = row.getLong(1)
@@ -690,7 +693,7 @@ object Dedup {
           // union by MIN root so the final root IS the component minimum
           if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
         }
-      sym0.unpersist()
+      graft.table.QbeastTable.releaseLocalCheckpoint(single)
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
       parent.keySet().forEach(v => rows.add(org.apache.spark.sql.Row(v, find(v))))
       val longSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -702,6 +705,10 @@ object Dedup {
         .select(col("doc_id").cast(idType).as("doc_id"),
           col("cluster").cast(idType).as("cluster"))
     }
+    // symmetric list for the distributed rounds, derived from the
+    // checkpoint by projection+union — reads the materialized blocks,
+    // never re-executes the edges plan
+    val sym0 = single.unionAll(single.select(col("v").as("u"), col("u").as("v")))
     val vertices = sym0.select(col("u")).distinct()
     // self-loops fold "keep your own label" into the neighbor join, so
     // each round is ONE join+groupBy (+ the doubling self-join) with no
@@ -739,16 +746,16 @@ object Dedup {
           col("label") === col("lu"))
         .select(col("u"), least(col("label"), col("llabel")).as("label"))
         .localCheckpoint(true)
-      prop.unpersist()
+      graft.table.QbeastTable.releaseLocalCheckpoint(prop)
       val nextSum = labelSum(next)
-      labels.unpersist()
+      graft.table.QbeastTable.releaseLocalCheckpoint(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
-    sym.unpersist()
-    sym0.unpersist()
+    graft.table.QbeastTable.releaseLocalCheckpoint(sym)
+    graft.table.QbeastTable.releaseLocalCheckpoint(single)
     labels.select(col("u").as("doc_id"), col("label").as("cluster"))
   }
 

@@ -636,7 +636,9 @@ object Similarity {
         }
       }
     }
-    q.unpersist()
+    // release the checkpoint's RDD blocks (Dataset.unpersist is a no-op
+    // for localCheckpoint frames — see QbeastTable.releaseLocalCheckpoint)
+    graft.table.QbeastTable.releaseLocalCheckpoint(q)
     books
   }
 

@@ -126,8 +126,21 @@ object Sketch {
       states: DataFrame,
       keyCol: String,
       state: Column): DataFrame = {
-    val a = states.select(col(keyCol).as("src_a"), state.as("_sa"))
-    val b = states.select(col(keyCol).as("src_b"), state.as("_sb"))
+    // cached (LAZY) once: the pairwise self-join otherwise RE-EXECUTES
+    // the states' whole upstream plan for each side — for t40-shaped
+    // callers that plan is the corpus scan + explode + KMV aggregation,
+    // so the corpus was scanned twice for a result derived from
+    // O(groups·k) longs of state. A lazy persist makes both join sides
+    // read ONE InMemoryRelation (the aggregation runs once when the
+    // join first executes) without the eager extra job a
+    // localCheckpoint would schedule — measured at bench SF the eager
+    // job cost MORE than the second scan it saved (0.46→0.73 s),
+    // while the lazy cache wins in both regimes. The entry is
+    // O(groups·k) longs and lives until GC/session end — the sketch
+    // kit's whole point is that this state is tiny.
+    val mat = states.select(col(keyCol).as("_k"), state.as("_s")).persist()
+    val a = mat.select(col("_k").as("src_a"), col("_s").as("_sa"))
+    val b = mat.select(col("_k").as("src_b"), col("_s").as("_sb"))
     val ov = shims.column(graft.expressions.KmvOverlapExpr(
       shims.expression(col("_sa")), shims.expression(col("_sb"))))
     a.join(b, col("src_a") < col("src_b"))

@@ -41,7 +41,12 @@ private[sources] class QbeastStreamSink(
       // appending it would accumulate every trigger's snapshot
       QbeastWriter.save(spark, path, batch, options,
         if (overwrite) SaveMode.Overwrite else SaveMode.Append)
-    } finally { batch.unpersist(); () }
+    } finally {
+      // Dataset.unpersist is a no-op for localCheckpoint blocks (never
+      // CacheManager-registered): release the RDD's blocks directly, or
+      // a long-running stream pins every past micro-batch until GC
+      graft.table.QbeastTable.releaseLocalCheckpoint(batch)
+    }
   }
 
   override def toString: String = s"QbeastStreamSink[$path]"

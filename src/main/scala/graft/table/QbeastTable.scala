@@ -987,23 +987,39 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     // with their file identity, the dvDelete discipline. Non-CDF
     // deletes keep the plain discovery scan: it reads only the
     // predicate columns, which is cheaper than caching full rows.
+    //
+    // The identity column is namespaced AND uniquified against the
+    // actual schema: a user column literally named __qbeast_cdf_file
+    // would otherwise be silently replaced here and dropped from the
+    // change feed below (the dv reserved names guard the same hazard
+    // via dvIdentitySafe; uniquifying needs no fallback path).
+    val fileCol = {
+      var n = "__qbeast_cdf_file"
+      while (table.columns.exists(_.equalsIgnoreCase(n))) n += "_"
+      n
+    }
     val matchedFull: Option[org.apache.spark.sql.DataFrame] =
       if (assignments.isEmpty && !dvMode && cdfOn(s))
         Some(residual.filter(matched)
-          .withColumn("__qbeastF", col("_metadata.file_path"))
+          .withColumn(fileCol, col("_metadata.file_path"))
           .localCheckpoint(true))
       else None
     val affectedNames = matchedFull.getOrElse(
         residual.filter(matched)
-          .withColumn("__qbeastF", col("_metadata.file_path")))
-      .select(col("__qbeastF").as("f")).distinct()
+          .withColumn(fileCol, col("_metadata.file_path")))
+      .select(col(fileCol).as("f")).distinct()
       .collect().map(r => new Path(r.getString(0)).getName).toSet
     // `scanned` = files whose matched rows were DISCOVERED by reading —
     // these mask/rewrite below; TRUE-proved drops skip that read
     // entirely (they have no survivors by proof)
     val scanned = scanDomain.filter(f => affectedNames.contains(new Path(f.path).getName))
     val affected = dropProved ++ scanned
-    if (affected.isEmpty) { matchedFull.foreach(_.unpersist()); return 0L }
+    // matchedFull/preMatched release must run on EVERY exit (constraint
+    // failures, write errors, commit conflicts included) — a leaked
+    // checkpoint's blocks otherwise pin block-manager memory until GC
+    var preMatchedRef: Option[org.apache.spark.sql.DataFrame] = None
+    try {
+    if (affected.isEmpty) return 0L
 
     // ---- merge-on-read DELETE (opt-in): write deletion vectors for
     // the straddling files and plain removes for the proved drops —
@@ -1059,6 +1075,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         // top-level and struct-field assignments, simultaneous semantics
         val updatedCols = Assignments(base.schema, asgn)
         val pre = base.filter(matched).localCheckpoint(true)
+        preMatchedRef = Some(pre)
         // generated columns recompute AFTER the assignments apply, so a
         // change to a referenced column never leaves a stale value
         val updated = graft.write.GeneratedColumns.recompute(
@@ -1096,7 +1113,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val cdcDirect: Option[Option[LogAction]] =
       if (!cdfOn(s)) None
       else {
-        val matchedBefore = preMatched.orElse(matchedFull.map(_.drop("__qbeastF")))
+        val matchedBefore = preMatched.orElse(matchedFull.map(_.drop(fileCol)))
           .getOrElse(readTableFiles(s, scanned).filter(matched))
         val beforeParts =
           (if (scanned.isEmpty) Nil else Seq(matchedBefore)) ++
@@ -1111,8 +1128,6 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         }
         Some(Some(persistCdc(s, changed)))
       }
-    matchedFull.foreach(_.unpersist())
-    preMatched.foreach(_.unpersist())
 
     commitMutation(s, survivorAdds ++ updatedAdds, newRevision, affected,
       operation = if (assignments.isDefined) "UPDATE" else "DELETE",
@@ -1126,6 +1141,10 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
         affected.iterator.flatMap(f => s.dvs.get(f.path)).map(_.cardinality).sum
       affected.map(_.elementCount).sum - alreadyMasked -
         survivorAdds.map(_.elementCount).sum
+    }
+    } finally {
+      matchedFull.foreach(QbeastTable.releaseLocalCheckpoint)
+      preMatchedRef.foreach(QbeastTable.releaseLocalCheckpoint)
     }
   }
 
@@ -1183,7 +1202,20 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val (affected, survivorAdds) =
         rewriteWithoutMatches(s, srcKeys, keys, knownAffected = knownAffected)
       if (affected.isEmpty) return 0L
-      commitMutation(s, survivorAdds, None, affected, operation = "DELETE")
+      // CDF feed computed directly: the affected files' rows partition
+      // into survivors (anti-join, rewritten verbatim — they cancel in
+      // the generic diff's two exceptAll sides) and matched rows (the
+      // same semi-join against the persisted srcKeys), so the feed is
+      // exactly the matched rows as deletes — one masked semi-join scan
+      // instead of re-reading affected AND written files plus two
+      // full-width exceptAll shuffles.
+      val cdcDirect: Option[Option[LogAction]] =
+        if (!cdfOn(s)) None
+        else Some(Some(persistCdc(s,
+          readTableFiles(s, affected).join(srcKeys, keys, "left_semi")
+            .withColumn("_change_type", lit("delete")))))
+      commitMutation(s, survivorAdds, None, affected, operation = "DELETE",
+        cdc = cdcDirect)
       affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
     } finally srcKeys.unpersist()
   }
@@ -1299,12 +1331,39 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
       val srcAdds = QbeastWriter.index(spark, tablePath, source, rev, status, nSrc,
         constraints = constraintsFor(s))
 
+      // CDF feed computed directly from the matched pre-images and the
+      // (already materialized) source instead of the generic file diff,
+      // which re-reads every affected file AND every just-written file
+      // (survivors + source adds) and pays a full-width exceptAll over
+      // all of them. Equivalence: the affected files' rows partition
+      // exactly into survivors (the anti-join) and matched pre-images
+      // (the semi-join, same persisted srcKeys); survivors are
+      // rewritten verbatim, so they cancel in both exceptAll sides and
+      // the diff reduces to (source ∖ matchedPre, matchedPre ∖ source)
+      // — identical multiset, one narrow scan of the affected files
+      // plus the cached source, zero re-reads of written files.
+      val cdcDirect: Option[Option[LogAction]] =
+        if (!cdfOn(s)) None
+        else {
+          // no matches → the feed is simply every source row as insert
+          val matchedPre =
+            if (affected.isEmpty) spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              s.schema.get)
+            else readTableFiles(s, affected).join(srcKeys, keys, "left_semi")
+          val changed = source.exceptAll(matchedPre)
+            .withColumn("_change_type", lit("insert"))
+            .union(matchedPre.exceptAll(source)
+              .withColumn("_change_type", lit("delete")))
+          Some(Some(persistCdc(s, changed)))
+        }
+
       commitMutation(s, survivorAdds ++ srcAdds, if (isNew) Some(rev) else None, affected,
-        operation = "MERGE")
+        operation = "MERGE", cdc = cdcDirect)
 
       val replaced = affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
       (replaced, nSrc)
-    } finally { srcKeys.unpersist(); source.unpersist(); () }
+    } finally { srcKeys.unpersist(); QbeastTable.releaseLocalCheckpoint(source); () }
   }
 
   /**
@@ -1342,7 +1401,7 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
    * shape SQL `MERGE ... ON t.a = s.b` produces — Delta accepts
    * arbitrary equi-key names, so the SQL rule routes here. */
   def mergeOn(
-      source: org.apache.spark.sql.DataFrame,
+      source0: org.apache.spark.sql.DataFrame,
       keyPairs: Seq[(String, String)],
       matched: Seq[MergeClause],
       notMatched: Seq[MergeClause],
@@ -1356,6 +1415,11 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
     val s = snapshot
     require(!s.isEmpty && s.files.nonEmpty,
       s"merge into an empty table at $tablePath: use a plain qbeast write")
+    // materialized once (Delta materializes merge sources the same way;
+    // upsert above too): the source plan otherwise re-executes for the
+    // key-distinct job, every per-revision-group join, and the
+    // insert-path anti-join — 2+G runs of an arbitrary upstream plan
+    val source = source0.localCheckpoint(true)
     val latestRevision = s.lastRevision.filterNot(_.isStaging)
     val existingRev = latestRevision.orElse(throw new UnsupportedOperationException(
       "merge into a staging-only qbeast table: optimize() first"))
@@ -1564,13 +1628,42 @@ class QbeastTable private (spark: SparkSession, tablePath: String) {
           (adds, if (isNew) Some(rev) else None, n)
       }
       if (affected.isEmpty && changedAdds.isEmpty) return (0L, 0L)
+      // CDF feed computed directly from the (persisted) merge join
+      // instead of the generic file diff: the affected files' rows
+      // partition by actionCol into survivors (== -1, rewritten
+      // verbatim — they cancel in both exceptAll sides of the generic
+      // diff) and pre-images (!= -1); the after-side is exactly the
+      // changed+inserted frame that was just indexed. The diff reduces
+      // to (changedAll ∖ preImages, preImages ∖ changedAll) — both
+      // sides read the ALREADY-CACHED join frames, zero re-reads of
+      // affected or written files.
+      val cdcDirect: Option[Option[LogAction]] =
+        if (!cdfOn(s)) None
+        else {
+          val preImages = groupJoins.map { case (_, _, joined) =>
+            joined.filter(col(actionCol) =!= -1).select(targetCols.map(col): _*)
+          }.reduceOption(_ unionByName _)
+          val feed = (changedAll, preImages) match {
+            case (None, None) => None
+            case (Some(after), None) =>
+              Some(after.withColumn("_change_type", lit("insert")))
+            case (None, Some(before)) =>
+              Some(before.withColumn("_change_type", lit("delete")))
+            case (Some(after), Some(before)) =>
+              Some(after.exceptAll(before).withColumn("_change_type", lit("insert"))
+                .union(before.exceptAll(after)
+                  .withColumn("_change_type", lit("delete"))))
+          }
+          Some(feed.map(persistCdc(s, _)))
+        }
       commitMutation(s, survivorAdds ++ changedAdds, newRevision, affected,
-        operation = "MERGE")
+        operation = "MERGE", cdc = cdcDirect)
       val replaced = affected.map(_.elementCount).sum - survivorAdds.map(_.elementCount).sum
       (replaced, nChanged)
     } finally {
       srcKeys.unpersist()
       cachedJoins.foreach(_.unpersist())
+      QbeastTable.releaseLocalCheckpoint(source)
     }
   }
 
@@ -3342,6 +3435,20 @@ object QbeastTable {
    * before every DML commit (delete/update/merge/upsert) — the
    * options-borne `hook.*` mechanism's DML twin; tags are discarded. */
   val DmlPreCommitHookKey = "spark.qbeast.dml.preCommitHook"
+
+  /** Free the block-manager blocks behind a `localCheckpoint(true)`
+   * frame. `Dataset.unpersist` is a NO-OP for these (it goes through
+   * the CacheManager, which never registered the checkpoint's RDD
+   * blocks) — without this the blocks live until the RDD is GC'd,
+   * which on a long-running stream of DML micro-batches pins
+   * block-manager memory trigger after trigger. Must only run once
+   * every consumer of the frame is done: the checkpoint truncated the
+   * lineage, so the data cannot be recomputed afterwards. */
+  private[graft] def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    try df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The metadata-only distinct estimate: standard HLL correction of
    * the folded registers plus the integer-exact (scaled, zeros) state

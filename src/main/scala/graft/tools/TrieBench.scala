@@ -53,11 +53,9 @@ object TrieBench {
       val domains = builder.result().toMap.map { case (s, d) => CubeId.fromString(dims, s) -> d }
       val (weights, _) = OTreeAlgorithm.estimateCubeWeights(domains, Map.empty, 5000)
       println(s"[triebench] $tag tree: ${weights.size} cubes, height ${weights.keys.map(_.depth).max}")
-      val files = weights.keys.map(c => c -> s"f${c.depth}").toMap
+      val files = weights.keys.zipWithIndex.toMap
       val ws = rnd.shuffle(pts.toSeq.take(100000)).toArray
-      import org.apache.spark.unsafe.types.UTF8String
-      val filesU = files.map { case (k, v) => k -> UTF8String.fromString(v) }
-      val trie = new AssignTrie(dims, weights, filesU, UTF8String.fromString("d"))
+      val trie = new AssignTrie(dims, weights, files, files.size)
       time(s"$tag trie assign", ws.length) {
         var i = 0; var acc = 0L
         while (i < ws.length) {

@@ -700,13 +700,21 @@ object QbeastWriter {
       rollupSize.getOrElse(revision.desiredCubeSize.toLong))
     // one file per GROUP (a heavily-subdivided parent may seal several
     // groups — distinct files keep sizes < 2×rollupSize at any
-    // dimension count)
-    val fileByCube: Map[CubeId, String] = groups.flatMap { case (_, ms) =>
-      val uuid = java.util.UUID.randomUUID().toString
-      ms.map(_ -> uuid)
+    // dimension count). Rows carry an INT index into `fileNames`, not
+    // the 36-char UUID string: the index is what rides the write
+    // exchange and sort (4 B vs 36 B per row, and int comparisons in
+    // the sort), the writer task resolves index → name once per file.
+    val fileNamesBuf = scala.collection.mutable.ArrayBuffer.empty[String]
+    def mintFile(): Int = {
+      fileNamesBuf += java.util.UUID.randomUUID().toString
+      fileNamesBuf.length - 1
+    }
+    val fileByCube: Map[CubeId, Int] = groups.flatMap { case (_, ms) =>
+      val idx = mintFile()
+      ms.map(_ -> idx)
     }.toMap
-    val defaultFile = fileByCube.getOrElse(CubeId.root(dims),
-      java.util.UUID.randomUUID().toString)
+    val defaultFile = fileByCube.getOrElse(CubeId.root(dims), mintFile())
+    val fileNames = fileNamesBuf.toArray
     val bWeights = spark.sparkContext.broadcast(cubeWeights)
     val bFiles = spark.sparkContext.broadcast(fileByCube)
 
@@ -800,6 +808,7 @@ object QbeastWriter {
 
     // ---- pass 3: physical write with per-cube block accounting ----
     writeFiles(spark, tablePath, taggedH, dataSchema, dims, revision.revisionID,
+      spark.sparkContext.broadcast(fileNames),
       constraintsPhys, bloomCols1, bloomNumBits, hllCols, kllCols, kll.k)
   }
 
@@ -816,6 +825,7 @@ object QbeastWriter {
       dataSchema: StructType,
       dims: Int,
       revisionId: Long,
+      fileNames: org.apache.spark.broadcast.Broadcast[Array[String]],
       constraints: Seq[(String, String)] = Nil,
       bloomCols: Seq[String] = Nil,
       bloomNumBits: Long = 0L,
@@ -855,6 +865,17 @@ object QbeastWriter {
     val kllSrcIdx = kllNames.map(dataSchema.fieldIndex)
     val kllKinds = kllSrcIdx.map(i => KllCollector.kindOf(fields(i).dataType))
     val plan = classic(tagged).queryExecution.executedPlan
+    // plan-evidence hook (optimization rounds): dump the write
+    // pipeline's formatted plan — the exchange the rows actually ride —
+    // to the configured path; zero cost when unset
+    spark.conf.getOption("spark.qbeast.debug.writePlanDump").foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        classic(tagged).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode) +
+          "\n== Write pipeline output schema ==\n" +
+          plan.schema.simpleString + "\n")
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
     val filesRdd = plan.execute().mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
@@ -869,12 +890,12 @@ object QbeastWriter {
           }.toSeq)
 
         // ONE open writer at a time: input is sorted by target-file
-        // UUID (see `tagged`), so each file's rows arrive as one
+        // index (see `tagged`), so each file's rows arrive as one
         // contiguous run — close on run change. Task memory is O(1) in
         // the number of target files; the pre-fix formulation (a map of
         // concurrently open writers) OOM'd at 100× bench scale.
         final case class OpenFile(
-            uuid: String,
+            idx: Int,
             writer: org.apache.spark.sql.execution.datasources.OutputWriter,
             path: Path,
             blocks: mutable.HashMap[CubeId, (Int, Int, Long)],
@@ -883,8 +904,9 @@ object QbeastWriter {
             hll: HllCollector,
             kll: KllCollector)
         val fs = new Path(tablePath).getFileSystem(conf)
+        val names = fileNames.value
         val done = Vector.newBuilder[IndexFile]
-        val closed = mutable.HashSet.empty[String]
+        val closed = mutable.HashSet.empty[Int]
         var of: OpenFile = null
 
         def closeCurrent(): Unit = if (of != null) {
@@ -902,14 +924,14 @@ object QbeastWriter {
               .map(_.toJson(Option(of.bloom).map(_.toJsonSection),
                 Option(of.hll).map(_.toJsonSection),
                 Option(of.kll).map(_.toJsonSection))))
-          closed += of.uuid
+          closed += of.idx
           of = null
         }
 
-        // the run-change comparison keeps the UTF8String (a reused
-        // UnsafeRow buffer, so the retained copy must be cloned) and
-        // materializes a String only once per FILE, not once per row
-        var currentUuid: org.apache.spark.unsafe.types.UTF8String = null
+        // run-change detection is one int comparison per row; the UUID
+        // string materializes once per FILE from the broadcast name
+        // table, never per row
+        var currentIdx = -1
         val hasCheck = constraints.nonEmpty
         try {
           rows.foreach { row =>
@@ -926,16 +948,16 @@ object QbeastWriter {
             }
             val cube = CubeId.fromBytes(dims, row.getBinary(n))
             val weight = row.getInt(n + 1)
-            val uuidRaw = row.getUTF8String(n + 2)
-            if (of == null || currentUuid == null || !currentUuid.equals(uuidRaw)) {
+            val fileIdx = row.getInt(n + 2)
+            if (of == null || fileIdx != currentIdx) {
               closeCurrent()
-              val uuid = uuidRaw.toString
-              currentUuid = uuidRaw.clone()
+              val uuid = names(fileIdx)
+              currentIdx = fileIdx
               // the sort invariant is what bounds memory — fail loudly if
               // a plan change ever breaks the contiguous-run contract
-              require(!closed.contains(uuid),
+              require(!closed.contains(fileIdx),
                 s"target file $uuid reappeared after its run closed: " +
-                  "write input is no longer clustered by file UUID")
+                  "write input is no longer clustered by file index")
               // attempt-unique name: a speculative/retried task never
               // collides with another attempt's file; only the attempt
               // whose IndexFile metadata reaches the commit wins, losers
@@ -943,7 +965,7 @@ object QbeastWriter {
               val attempt = Option(org.apache.spark.TaskContext.get())
                 .map(_.taskAttemptId()).getOrElse(0L)
               val path = new Path(tablePath, s"$uuid-a$attempt.parquet")
-              of = OpenFile(uuid,
+              of = OpenFile(fileIdx,
                 factory.newInstance(path.toString, dataSchema, context), path,
                 mutable.HashMap.empty,
                 if (collectStats) new FileStatsCollector(dataSchema) else null,

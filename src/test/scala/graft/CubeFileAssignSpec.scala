@@ -14,8 +14,12 @@ class CubeFileAssignSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  // file payloads are INT indexes into the write's target-file name
+  // table (>= 0 by construction; the assigner treats < 0 as absent)
+  private val DefaultFile = 999999
+
   private def buildMaps(dims: Int)
-      : (Map[CubeId, Weight], Map[CubeId, String]) = {
+      : (Map[CubeId, Weight], Map[CubeId, Int]) = {
     // a tiny 2-level tree: root at 40%, children at graduated weights
     val root = CubeId.root(dims)
     val children = root.children.toSeq
@@ -25,7 +29,7 @@ class CubeFileAssignSpec extends AnyFunSuite {
       }
     // only root and the first child got rollup files; other cubes must
     // fall back to the nearest mapped ancestor (root)
-    val files = Map(root -> "file-root", children.head -> "file-child0")
+    val files = Map(root -> 0, children.head -> 1)
     (weights, files)
   }
 
@@ -35,7 +39,7 @@ class CubeFileAssignSpec extends AnyFunSuite {
     val (weights, files) = buildMaps(dims)
     val assigner = new CubeFileAssigner(
       spark.sparkContext.broadcast(weights),
-      spark.sparkContext.broadcast(files), "file-default")
+      spark.sparkContext.broadcast(files), DefaultFile)
 
     val rnd = new scala.util.Random(7)
     val rows = (1 to 2000).map { _ =>
@@ -53,13 +57,13 @@ class CubeFileAssignSpec extends AnyFunSuite {
     rows.zip(out).foreach { case ((coords, w), row) =>
       val cube = OTreeAlgorithm.findTargetCube(coords, w, weights)
       var c = cube
-      var file = files.getOrElse(c, null)
-      while (file == null && !c.isRoot) {
+      var file = files.getOrElse(c, -1)
+      while (file < 0 && !c.isRoot) {
         c = c.parent.get
-        file = files.getOrElse(c, null)
+        file = files.getOrElse(c, -1)
       }
       assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("cube"), cube.bytes))
-      assert(row.getAs[String]("file") === (if (file == null) "file-default" else file))
+      assert(row.getAs[Int]("file") === (if (file < 0) DefaultFile else file))
     }
   }
 
@@ -71,19 +75,19 @@ class CubeFileAssignSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(23)
     val clusters = (0 until 10).map(i => Array(i / 10.0 + 1e-7, i / 10.0 + 1e-7))
     val weightsB = Map.newBuilder[CubeId, Weight]
-    val filesB = Map.newBuilder[CubeId, String]
+    val filesB = Map.newBuilder[CubeId, Int]
     clusters.zipWithIndex.foreach { case (c, ci) =>
       var cube = CubeId.root(dims)
       (0 until 22).foreach { lvl =>
         weightsB += cube -> Weight(Int.MinValue + (lvl + 1) * (Int.MaxValue / 16))
-        if (lvl % 3 == ci % 3) filesB += cube -> s"f-$ci-$lvl"
+        if (lvl % 3 == ci % 3) filesB += cube -> (ci * 100 + lvl)
         cube = cube.childContaining(c)
       }
     }
     val (weights, files) = (weightsB.result(), filesB.result())
     val assigner = new CubeFileAssigner(
       spark.sparkContext.broadcast(weights),
-      spark.sparkContext.broadcast(files), "file-default")
+      spark.sparkContext.broadcast(files), DefaultFile)
 
     import spark.implicits._
     val rows = (1 to 3000).map { _ =>
@@ -102,15 +106,15 @@ class CubeFileAssignSpec extends AnyFunSuite {
     rows.zip(out).foreach { case ((coords, w), row) =>
       val cube = OTreeAlgorithm.findTargetCube(coords, w, weights)
       var c = cube
-      var file = files.getOrElse(c, null)
-      while (file == null && !c.isRoot) {
+      var file = files.getOrElse(c, -1)
+      while (file < 0 && !c.isRoot) {
         c = c.parent.get
-        file = files.getOrElse(c, null)
+        file = files.getOrElse(c, -1)
       }
       assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("cube"), cube.bytes),
         s"cube mismatch at ${coords.mkString(",")} w=$w: " +
           s"got ${CubeId.fromBytes(dims, row.getAs[Array[Byte]]("cube"))}, want $cube")
-      assert(row.getAs[String]("file") === (if (file == null) "file-default" else file))
+      assert(row.getAs[Int]("file") === (if (file < 0) DefaultFile else file))
     }
   }
 
@@ -120,7 +124,7 @@ class CubeFileAssignSpec extends AnyFunSuite {
     val (weights, files) = buildMaps(dims)
     val assigner = new CubeFileAssigner(
       spark.sparkContext.broadcast(weights),
-      spark.sparkContext.broadcast(files), "file-default")
+      spark.sparkContext.broadcast(files), DefaultFile)
     val shims = org.apache.spark.sql.GraftShims
     val df = spark.range(100)
       .select(array((col("id") / 100.0), (col("id") % 10) / 10.0).as("coords"),
