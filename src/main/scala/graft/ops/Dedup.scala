@@ -471,10 +471,22 @@ object Dedup {
       .filter(col("count") <= maxDocFreq)
       .select("fp")
     val kept = fps.join(rare, Seq("fp"), "left_semi")
-    val a = kept.alias("a")
-    val b = kept.alias("b")
-    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Pair generation via ONE groupBy + map-side expansion instead of
+    // the fp self-join: the join shuffled the kept frame TWICE (once
+    // per side) before the pair aggregation paid a third exchange. The
+    // per-fp doc list is bounded by maxDocFreq (hot fps were dropped
+    // BEFORE list building, so aggregation buffers stay O(maxDocFreq)
+    // at any corpus size), and the sorted-list i<j expansion emits
+    // exactly the a.doc_id < b.doc_id pair multiset the join produced.
+    val ds = col("ds")
+    kept.groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(ds) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(ds) - 2),
+        i => transform(slice(ds, i + lit(2), size(ds)),
+          x => struct(element_at(ds, i + 1).as("id_a"), x.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)
@@ -555,9 +567,15 @@ object Dedup {
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sa"), col("pfx").as("pa")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sb"), col("pfx").as("pb")), "id_b")
       .filter(est >= threshold)
+      // thresholded variant: banded O(prefixLen·maxDist) DP with early
+      // termination, returning -1 past the bound — for kept rows
+      // (distance ≤ maxDist) the value is the exact distance, so the
+      // output is identical to the unbounded DP + filter, and the
+      // dominant per-pair cost in a dup-heavy corpus (every candidate
+      // pair pays the DP) drops by ~prefixLen/maxDist
       .select(col("id_a"), col("id_b"), est.as("est_jaccard"),
-        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("pa"), col("pb"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
 
   // ---- cross-corpus (incremental) dedup ------------------------------------

@@ -72,7 +72,7 @@ object Streaming {
    * timestamp[us]/NTZ) — the legacy flag makes nanos readable and is a
    * no-op otherwise; consumers access `ts` only through
    * [[graft.EventTime]], which adapts to whichever type arrives. */
-  private def eventsStream(spark: SparkSession, eventsPath: String) = {
+  private[graft] def eventsStream(spark: SparkSession, eventsPath: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = stageDir(eventsPath)
     val schema = spark.read.parquet(dir).schema

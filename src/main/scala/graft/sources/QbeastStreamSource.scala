@@ -599,10 +599,12 @@ class QbeastStreamSource(
   }
 
   /** Files strictly after `start` up to and including `end` in stream
-   * order. */
+   * order, with their log-recorded sizes (CDF units keep their encoded
+   * "version:kind:path" form in `_1`; the non-CDF batch read builds its
+   * relation from the sizes without re-listing anything). */
   private def filesBetween(
       start: QbeastSourceOffset,
-      end: QbeastSourceOffset): Seq[String] = {
+      end: QbeastSourceOffset): Seq[(String, Long)] = {
     if (start.snapshotPhase || end.snapshotPhase) {
       // both bounds inside the pinned snapshot (a batch never crosses
       // the boundary; a legacy/done end equals "whole snapshot")
@@ -612,24 +614,25 @@ class QbeastStreamSource(
       val until =
         if (end.snapshotPhase) end.index
         else all.length.toLong // end = commits-phase(anchor) = snapshot done
-      val slice = all.slice(from.toInt, until.toInt).map(_._1)
+      val slice = all.slice(from.toInt, until.toInt)
       // CDF: the snapshot streams as inserts stamped with its anchor
-      if (readChangeFeed) slice.map(p => s"$anchor:s:$p") else slice
+      if (readChangeFeed) slice.map { case (p, sz) => (s"$anchor:s:$p", sz) }
+      else slice
     } else {
-      val out = Vector.newBuilder[String]
+      val out = Vector.newBuilder[(String, Long)]
       var v = start.version
       if (start.index != Long.MaxValue) { // finish the partial commit
         val adds = commitAdds(v)
         val hi = if (v == end.version) math.min(end.indexOr(adds.length), adds.length.toLong)
           else adds.length.toLong
-        adds.slice(start.index.toInt, hi.toInt).foreach(f => out += f._1)
+        adds.slice(start.index.toInt, hi.toInt).foreach(f => out += f)
       }
       v += 1
       while (v <= end.version) {
         val adds = commitAdds(v)
         val hi = if (v == end.version) math.min(end.indexOr(adds.length), adds.length.toLong)
           else adds.length.toLong
-        adds.take(hi.toInt).foreach(f => out += f._1)
+        adds.take(hi.toInt).foreach(f => out += f)
         v += 1
       }
       out.result()
@@ -824,7 +827,8 @@ class QbeastStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endO = QbeastSourceOffset.of(end)
     val startO = start.map(QbeastSourceOffset.of).getOrElse(initialPosition(endO.version))
-    val paths = filesBetween(startO, endO)
+    val sized = filesBetween(startO, endO)
+    val paths = sized.map(_._1)
     logInfo(s"qbeast stream batch (${startO.json} .. ${endO.json}]: ${paths.length} files")
     val shims = org.apache.spark.sql.GraftShims
     if (paths.isEmpty) shims.emptyStreamingDataFrame(spark, schema)
@@ -916,9 +920,24 @@ class QbeastStreamSource(
       }
       shims.asStreamingDataFrame(frames.reduce(_.union(_)))
     } else {
-      val absolute = paths.map(p => new Path(tablePath, p).toString)
-      // non-CDF mode: schema == tableSchema (no metadata columns)
-      val batchDf = maskInitial(readTableParquet(absolute))
+      // non-CDF mode: schema == tableSchema (no metadata columns).
+      // The relation is built from an EXPLICIT (path, size) index — the
+      // sizes were recorded in the commit log, so the hot append path
+      // skips the per-trigger DataSource resolution + driver re-listing
+      // a spark.read.parquet(paths) would pay (one LIST/HEAD per file
+      // per micro-batch on an object store).
+      val idx = new graft.read.StaticFileIndex(new Path(tablePath),
+        sized.map { case (p, sz) => (new Path(tablePath, p), sz) })
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        location = idx,
+        partitionSchema = StructType(Nil),
+        dataSchema = tableSchema,
+        bucketSpec = None,
+        fileFormat = new QbeastParquetFileFormat(
+          graft.core.model.ColumnMapping.toPhysicalMap(tableSchema)),
+        options = Map.empty[String, String])(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      val batchDf = maskInitial(spark.baseRelationToDataFrame(relation))
       shims.asStreamingDataFrame(batchDf)
     }
   }
